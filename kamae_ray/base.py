@@ -1,0 +1,207 @@
+"""Transformer / Estimator base classes for the Ray-Data-native engine.
+
+Semantics mirror the reference's column-append dataflow contract
+(reference: src/kamae/spark/transformers/base.py:39-89 — every transformer
+appends output column(s), never mutates inputs) and its explicit
+inputDtype/outputDtype casting policy
+(reference: src/kamae/spark/params/base.py:36-132,
+src/kamae/spark/common/spark_operation.py:246-300), re-expressed as
+zero-copy Arrow batch functions suitable for ``ray.data.Dataset.map_batches``.
+
+Design:
+- A ``Transformer`` is a picklable parameter bag exposing
+  ``transform_batch(pa.Table) -> pa.Table`` (pure, no Ray) plus
+  ``transform(ds)`` which applies it via ``map_batches``.
+- Batch-level transformers (most ops) are fusible: ``PipelineModel`` composes
+  maximal runs of them into ONE ``map_batches`` stage so blocks stream through
+  a single Python callable.
+- Wide transformers (listwise, window layer) override ``transform`` with
+  groupby/sort plans and set ``fusible = False``.
+- An ``Estimator`` implements ``fit(ds) -> Transformer`` via bounded-output
+  aggregation passes (per-block partials + driver merge), mirroring the
+  reference's fit-then-transform lifecycle
+  (reference: src/kamae/spark/estimators/base.py:34-91).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any, Sequence
+
+import pyarrow as pa
+
+from kamae_ray import dtypes
+from kamae_ray.functions import arrays as A
+
+
+class Stage:
+    """Common parameter plumbing for transformers and estimators."""
+
+    #: element dtypes (pyarrow scalar types) this op accepts; None = any
+    compatible_dtypes: tuple[pa.DataType, ...] | None = None
+
+    def __init__(
+        self,
+        input_col: str | None = None,
+        output_col: str | None = None,
+        input_cols: Sequence[str] | None = None,
+        output_cols: Sequence[str] | None = None,
+        input_dtype: str | None = None,
+        output_dtype: str | None = None,
+        layer_name: str | None = None,
+    ) -> None:
+        self.input_col = input_col
+        self.output_col = output_col
+        self.input_cols = list(input_cols) if input_cols is not None else None
+        self.output_cols = list(output_cols) if output_cols is not None else None
+        self.input_dtype = input_dtype
+        self.output_dtype = output_dtype
+        self.layer_name = layer_name or f"{type(self).__name__}_{uuid.uuid4().hex[:12]}"
+        if self.output_col is None and self.output_cols is None:
+            self.output_col = f"{self.layer_name}__output"
+
+    # ---- dataflow graph wiring (reference: transformers/base.py:102-117) ----
+    @property
+    def inputs(self) -> list[str]:
+        if self.input_cols is not None:
+            return list(self.input_cols)
+        return [self.input_col] if self.input_col else []
+
+    @property
+    def outputs(self) -> list[str]:
+        if self.output_cols is not None:
+            return list(self.output_cols)
+        return [self.output_col] if self.output_col else []
+
+    # ---- dtype casting policy ----
+    def _cast_in(self, col: pa.Array | pa.ChunkedArray) -> pa.Array:
+        arr = A.as_array(col)
+        if self.input_dtype is None:
+            return arr
+        target = dtypes.arrow_type(self.input_dtype)
+        if dtypes.element_type(arr.type).equals(target):
+            return arr
+        return A.lift(lambda flat: dtypes.cast_flat(flat, target), arr)
+
+    def _cast_out(self, arr: pa.Array) -> pa.Array:
+        if self.output_dtype is None:
+            return arr
+        target = dtypes.arrow_type(self.output_dtype)
+        if dtypes.element_type(arr.type).equals(target):
+            return arr
+        return A.lift(lambda flat: dtypes.cast_flat(flat, target), arr)
+
+    def _validate_dtype(self, arr: pa.Array) -> None:
+        if self.compatible_dtypes is None:
+            return
+        elem = dtypes.element_type(arr.type)
+        for ok in self.compatible_dtypes:
+            if elem.equals(ok):
+                return
+            # accept any numeric when a float type is whitelisted
+        if any(dtypes.is_numeric(ok) for ok in self.compatible_dtypes) and dtypes.is_numeric(elem):
+            return
+        if any(pa.types.is_string(ok) for ok in self.compatible_dtypes) and pa.types.is_large_string(elem):
+            return
+        raise TypeError(
+            f"{type(self).__name__}({self.layer_name}): element dtype {elem} "
+            f"not in compatible dtypes {self.compatible_dtypes}"
+        )
+
+    def get_params(self) -> dict[str, Any]:
+        """JSON-serializable parameter dict (for pipeline persistence)."""
+        out = {}
+        for k, v in self.__dict__.items():
+            if k.startswith("_"):
+                continue
+            out[k] = v
+        return out
+
+
+def _append_or_replace(batch: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+    if name in batch.column_names:
+        i = batch.column_names.index(name)
+        return batch.set_column(i, name, arr)
+    return batch.append_column(name, arr)
+
+
+class Transformer(Stage):
+    """Base for batch-fusible transformers.
+
+    Subclasses implement ``_transform_array`` (single-input ops) or override
+    ``transform_batch`` (multi-input / multi-output ops). Contract: input
+    columns are never mutated; outputs are appended (or replace a same-named
+    column, which is how users express in-place renames).
+    """
+
+    fusible: bool = True
+
+    # -- single-input convenience path --
+    def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
+        raise NotImplementedError
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        self._validate_dtype(arr)
+        out = self._transform_array(arr, batch)
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+    def transform(self, ds):
+        """Apply to a ``ray.data.Dataset`` (or a plain ``pa.Table`` for tests)."""
+        if isinstance(ds, pa.Table):
+            return self.transform_batch(ds)
+        return ds.map_batches(
+            _BatchFnWrapper(self),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def construct_layer_info(self) -> dict[str, Any]:
+        return {
+            "name": self.layer_name,
+            "layer": type(self).__name__,
+            "inputs": self.inputs,
+            "outputs": self.outputs,
+        }
+
+
+class _BatchFnWrapper:
+    """Picklable callable wrapping one or more fused transformers."""
+
+    def __init__(self, *transformers: Transformer) -> None:
+        self.transformers = transformers
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for t in self.transformers:
+            batch = t.transform_batch(batch)
+        return batch
+
+
+class Estimator(Stage):
+    """Base estimator: ``fit(ds) -> Transformer`` with state baked in.
+
+    ``sample_fraction`` mirrors the reference's fit-time sampling
+    (reference: src/kamae/spark/estimators/base.py:61-64): a deterministic
+    per-block downsample applied before aggregation.
+    """
+
+    def __init__(self, *args, sample_fraction: float | None = None, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.sample_fraction = sample_fraction
+
+    def _maybe_sample(self, ds):
+        if self.sample_fraction is None or isinstance(ds, pa.Table):
+            return ds
+        return ds.random_sample(self.sample_fraction, seed=42)
+
+    def fit(self, ds) -> Transformer:
+        raise NotImplementedError
+
+    def construct_layer_info(self) -> dict[str, Any]:
+        return {
+            "name": self.layer_name,
+            "layer": type(self).__name__,
+            "inputs": self.inputs,
+            "outputs": self.outputs,
+        }

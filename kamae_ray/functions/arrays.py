@@ -1,0 +1,175 @@
+"""Nested-array lifting: apply flat vectorized kernels over arbitrarily nested
+list columns, zero-copy where possible.
+
+This is the Ray/Arrow equivalent of the reference's recursive
+``nested_transform`` / ``nested_arrays_zip`` / scalar-broadcast machinery
+(reference: src/kamae/spark/utils/array_utils.py:72-180 and
+src/kamae/spark/utils/transform_utils.py:251-330). Instead of per-element
+lambdas, we unwrap the list offsets once, run the kernel a single time over the
+flat values buffer, and re-wrap with the original offsets — O(levels) overhead
+per batch, not per element.
+
+Pure pyarrow/numpy — no Ray imports; unit-testable without a cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _is_list(t: pa.DataType) -> bool:
+    return pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
+
+
+def as_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def _normalize_list(arr: pa.Array) -> pa.ListArray:
+    """Return an equivalent plain ListArray with offset 0 (fixed-size lists are
+    converted; sliced arrays are compacted so ``values`` aligns with offsets)."""
+    if pa.types.is_fixed_size_list(arr.type):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    elif pa.types.is_large_list(arr.type):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    if arr.offset != 0:
+        arr = pa.concat_arrays([arr])  # compact
+    return arr
+
+
+def unwrap(arr: pa.Array) -> tuple[list[tuple[np.ndarray, pa.Array | None]], pa.Array]:
+    """Strip list levels. Returns ([(offsets, validity_or_None) per level], flat_values).
+
+    offsets are int64 numpy of length n+1 starting at 0; validity is a pyarrow
+    boolean array (True = valid) or None when no nulls at that level.
+    """
+    levels: list[tuple[np.ndarray, pa.Array | None]] = []
+    while _is_list(arr.type):
+        arr = _normalize_list(arr)
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        validity = None
+        if arr.null_count > 0:
+            validity = arr.is_valid()
+        levels.append((offsets, validity))
+        arr = arr.values
+        # values of a compacted array may still over-extend; trim to last offset
+        arr = arr.slice(0, int(offsets[-1]))
+        if arr.offset != 0:
+            arr = pa.concat_arrays([arr])
+    return levels, arr
+
+
+def rewrap(levels: list[tuple[np.ndarray, pa.Array | None]], flat: pa.Array) -> pa.Array:
+    """Re-nest a flat values array using offsets captured by ``unwrap``."""
+    for offsets, validity in reversed(levels):
+        off = pa.array(offsets, type=pa.int32())
+        if validity is not None:
+            flat = pa.ListArray.from_arrays(off, flat, mask=pc.invert(validity))
+        else:
+            flat = pa.ListArray.from_arrays(off, flat)
+    return flat
+
+
+def lift(fn: Callable[[pa.Array], pa.Array], col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Apply ``fn`` (flat Array -> flat Array) elementwise through any nesting."""
+    arr = as_array(col)
+    levels, flat = unwrap(arr)
+    out = fn(flat)
+    if not isinstance(out, pa.Array):
+        out = pa.array(out)
+    return rewrap(levels, out)
+
+
+def flat_counts(levels: list[tuple[np.ndarray, pa.Array | None]]) -> np.ndarray:
+    """Number of innermost (flat) values contributed by each row."""
+    if not levels:
+        raise ValueError("scalar column has no flat counts")
+    # compose all offset levels into a single top->flat offsets vector
+    composed = levels[0][0]
+    for off, _ in levels[1:]:
+        composed = off[composed]
+    return np.diff(composed)
+
+
+def composed_offsets(levels: list[tuple[np.ndarray, pa.Array | None]]) -> np.ndarray:
+    """Single offsets vector mapping top-level rows directly to flat values."""
+    composed = levels[0][0]
+    for off, _ in levels[1:]:
+        composed = off[composed]
+    return composed
+
+
+def lift_multi(
+    fn: Callable[..., pa.Array],
+    cols: Sequence[pa.ChunkedArray | pa.Array],
+) -> pa.Array:
+    """Apply an N-ary flat kernel over N columns, broadcasting scalar columns
+    against list columns (reference: transform_utils.py:251-330).
+
+    All list inputs must share nesting level and per-row shape (the reference's
+    documented constraint, docs/achieving_shape_parity.md:19-20). Scalar
+    columns are repeated per flat slot of the first list input.
+    """
+    arrs = [as_array(c) for c in cols]
+    unwrapped = [unwrap(a) for a in arrs]
+    list_idx = [i for i, (lv, _) in enumerate(unwrapped) if lv]
+    if not list_idx:
+        out = fn(*[u[1] for u in unwrapped])
+        return out if isinstance(out, pa.Array) else pa.array(out)
+    ref_levels = unwrapped[list_idx[0]][0]
+    counts = flat_counts(ref_levels)
+    flats: list[pa.Array] = []
+    for i, (levels, flat) in enumerate(unwrapped):
+        if levels:
+            flats.append(flat)
+        else:
+            # broadcast scalar value of each row across its flat slots
+            rep = np.repeat(np.arange(len(flat), dtype=np.int64), counts)
+            flats.append(flat.take(pa.array(rep)))
+    out = fn(*flats)
+    if not isinstance(out, pa.Array):
+        out = pa.array(out)
+    return rewrap(ref_levels, out)
+
+
+def to_numpy(flat: pa.Array, dtype=None) -> tuple[np.ndarray, np.ndarray | None]:
+    """Flat Array -> (numpy values, null-mask or None). Nulls become arbitrary
+    fill in values; callers must re-mask via ``from_numpy``."""
+    if flat.null_count == 0:
+        np_arr = flat.to_numpy(zero_copy_only=False)
+        if dtype is not None:
+            np_arr = np_arr.astype(dtype, copy=False)
+        return np_arr, None
+    mask = pc.is_null(flat).to_numpy(zero_copy_only=False)
+    filled = flat.fill_null(0) if not pa.types.is_string(flat.type) else flat.fill_null("")
+    np_arr = filled.to_numpy(zero_copy_only=False)
+    if dtype is not None:
+        np_arr = np_arr.astype(dtype, copy=False)
+    return np_arr, mask
+
+
+def from_numpy(values: np.ndarray, mask: np.ndarray | None, type: pa.DataType | None = None) -> pa.Array:
+    return pa.array(values, type=type, mask=mask)
+
+
+def matrix_view(col: pa.ChunkedArray | pa.Array, width: int | None = None) -> tuple[np.ndarray, int]:
+    """View a fixed-width list<numeric> column as a 2-D numpy matrix (zero-copy
+    when possible). Returns (matrix, width). Raises if widths vary."""
+    arr = as_array(col)
+    levels, flat = unwrap(arr)
+    counts = flat_counts(levels)
+    if len(counts) == 0:
+        return np.empty((0, width or 0)), width or 0
+    w = int(counts[0])
+    if width is not None and w != width:
+        raise ValueError(f"expected inner width {width}, found {w}")
+    if not np.all(counts == w):
+        raise ValueError("ragged inner arrays; fixed width required")
+    vals = flat.to_numpy(zero_copy_only=False)
+    return vals.reshape(-1, w), w

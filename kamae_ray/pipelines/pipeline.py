@@ -1,0 +1,242 @@
+"""Pipeline / PipelineModel: DAG wiring, selective fit, stage fusion,
+JSON persistence.
+
+Reference lifecycle (reimplemented, not ported):
+- flattening of nested pipelines: src/kamae/spark/pipeline/pipeline.py:83-98
+- column-edge DAG + topological sort: src/kamae/graph/pipeline_graph.py:37-117
+- selective fit-time execution (only transformers that feed an estimator run
+  during fit): src/kamae/spark/pipeline/pipeline.py:100-177
+- sequential fold transform: src/kamae/spark/transformers/base.py:39-89
+- JSON persistence: src/kamae/spark/params/default_read_write.py:1-132
+
+Ray design: ``PipelineModel.transform`` composes each maximal run of fusible
+(batch-level) transformers into ONE ``map_batches`` call over zero-copy Arrow
+batches; wide stages (listwise / window layer) run their own groupby / sort
+plans between fused runs. Datasets stay lazy throughout — nothing materializes
+except estimator aggregates (bounded size by construction).
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+from graphlib import TopologicalSorter
+from typing import Any, Sequence
+
+import pyarrow as pa
+
+from kamae_ray.base import Estimator, Stage, Transformer, _BatchFnWrapper
+
+
+def _flatten(stages: Sequence[Any]) -> list[Stage]:
+    out: list[Stage] = []
+    for s in stages:
+        if isinstance(s, (Pipeline, PipelineModel)):
+            out.extend(_flatten(s.stages))
+        else:
+            out.append(s)
+    return out
+
+
+def topo_sort(stages: Sequence[Stage]) -> list[Stage]:
+    """Order stages so every column producer precedes its consumers."""
+    producer: dict[str, int] = {}
+    for i, s in enumerate(stages):
+        for col in s.outputs:
+            producer[col] = i
+    ts: TopologicalSorter = TopologicalSorter()
+    for i, s in enumerate(stages):
+        deps = {producer[c] for c in s.inputs if c in producer and producer[c] != i}
+        ts.add(i, *deps)
+    order = list(ts.static_order())
+    return [stages[i] for i in order]
+
+
+def _ancestor_closure(stages: list[Stage], targets: set[int]) -> set[int]:
+    """Indices of stages whose outputs (transitively) feed any target stage."""
+    producer: dict[str, int] = {}
+    for i, s in enumerate(stages):
+        for col in s.outputs:
+            producer[col] = i
+    needed: set[int] = set()
+    frontier = list(targets)
+    while frontier:
+        i = frontier.pop()
+        for col in stages[i].inputs:
+            j = producer.get(col)
+            if j is not None and j != i and j not in needed:
+                needed.add(j)
+                frontier.append(j)
+    return needed
+
+
+class Pipeline:
+    """Unfitted pipeline: mix of Transformers and Estimators in any topological
+    order (nested pipelines are flattened)."""
+
+    def __init__(self, stages: Sequence[Any]) -> None:
+        self.stages = _flatten(stages)
+
+    def fit(self, ds) -> "PipelineModel":
+        stages = topo_sort(self.stages)
+        est_idx = {i for i, s in enumerate(stages) if isinstance(s, Estimator)}
+        # Selective fit: only transformers that feed some estimator execute at
+        # fit time (reference: pipeline.py:100-133). We additionally only apply
+        # a fitted estimator's transform when a *downstream* estimator needs it.
+        needed = _ancestor_closure(stages, est_idx) | est_idx
+
+        fitted: list[Transformer] = []
+        running = ds
+        pending_fns: list[Transformer] = []  # fusible transforms awaiting flush
+
+        def flush(dataset):
+            nonlocal pending_fns
+            if not pending_fns:
+                return dataset
+            if isinstance(dataset, pa.Table):
+                fn = _BatchFnWrapper(*pending_fns)
+                dataset = fn(dataset)
+            else:
+                dataset = dataset.map_batches(
+                    _BatchFnWrapper(*pending_fns),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            pending_fns = []
+            return dataset
+
+        last_est = max(est_idx) if est_idx else -1
+        for i, s in enumerate(stages):
+            if isinstance(s, Estimator):
+                running = flush(running)
+                model = s.fit(running)
+                fitted.append(model)
+                # apply its transform only if later estimators consume its output
+                downstream_needed = any(
+                    j > i and j in needed and i in _ancestor_closure(stages, {j})
+                    for j in est_idx
+                )
+                if downstream_needed:
+                    if getattr(model, "fusible", True):
+                        pending_fns.append(model)
+                    else:
+                        running = model.transform(running)
+            else:
+                fitted.append(s)
+                if i in needed and i < last_est:
+                    if getattr(s, "fusible", True):
+                        pending_fns.append(s)
+                    else:
+                        running = flush(running)
+                        running = s.transform(running)
+        return PipelineModel(fitted)
+
+    def construct_layer_info(self):
+        return [s.construct_layer_info() for s in self.stages]
+
+    # ---- persistence ----
+    def save(self, path: str) -> None:
+        _save_stages(self.stages, path, fitted=False)
+
+    @classmethod
+    def load(cls, path: str) -> "Pipeline":
+        return cls(_load_stages(path))
+
+
+class PipelineModel:
+    """Fitted pipeline: fold of transformers with maximal map_batches fusion."""
+
+    def __init__(self, stages: Sequence[Transformer]) -> None:
+        self.stages = list(stages)
+
+    def transform(self, ds):
+        stages = topo_sort(self.stages)
+        if isinstance(ds, pa.Table):
+            for s in stages:
+                ds = s.transform_batch(ds) if getattr(s, "fusible", True) else s.transform(ds)
+            return ds
+        run: list[Transformer] = []
+        for s in stages:
+            if getattr(s, "fusible", True):
+                run.append(s)
+            else:
+                if run:
+                    ds = ds.map_batches(
+                        _BatchFnWrapper(*run), batch_format="pyarrow", zero_copy_batch=True
+                    )
+                    run = []
+                ds = s.transform(ds)
+        if run:
+            ds = ds.map_batches(
+                _BatchFnWrapper(*run), batch_format="pyarrow", zero_copy_batch=True
+            )
+        return ds
+
+    def fit(self, ds) -> "PipelineModel":  # parity with reference PipelineModel
+        return self
+
+    def save(self, path: str) -> None:
+        _save_stages(self.stages, path, fitted=True)
+
+    @classmethod
+    def load(cls, path: str) -> "PipelineModel":
+        return cls(_load_stages(path))
+
+
+# ---------------------------------------------------------------------------
+# JSON persistence (mirrors Spark ML metadata layout in spirit)
+# ---------------------------------------------------------------------------
+
+
+def _jsonable(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return {"__ndarray__": v.tolist(), "dtype": str(v.dtype)}
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+def _unjson(v):
+    import numpy as np
+
+    if isinstance(v, dict) and "__ndarray__" in v:
+        return np.asarray(v["__ndarray__"], dtype=v["dtype"])
+    if isinstance(v, dict):
+        return {k: _unjson(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_unjson(x) for x in v]
+    return v
+
+
+def _save_stages(stages: Sequence[Stage], path: str, fitted: bool) -> None:
+    os.makedirs(path, exist_ok=True)
+    meta = []
+    for s in stages:
+        meta.append(
+            {
+                "class": f"{type(s).__module__}.{type(s).__qualname__}",
+                "params": _jsonable(s.get_params()),
+            }
+        )
+    with open(os.path.join(path, "pipeline.json"), "w") as f:
+        json.dump({"fitted": fitted, "stages": meta, "version": 1}, f, indent=1)
+
+
+def _load_stages(path: str) -> list[Stage]:
+    with open(os.path.join(path, "pipeline.json")) as f:
+        doc = json.load(f)
+    out = []
+    for entry in doc["stages"]:
+        mod_name, _, cls_name = entry["class"].rpartition(".")
+        cls = getattr(importlib.import_module(mod_name), cls_name)
+        obj = cls.__new__(cls)
+        obj.__dict__.update(_unjson(entry["params"]))
+        out.append(obj)
+    return out

@@ -1,0 +1,311 @@
+"""Array-structure transformers (innermost-axis ops), §2.5 of SURVEY.md.
+
+Reference semantics: src/kamae/spark/transformers/{array_concatenate,
+array_crop,array_split,array_reduce_max,array_subtract_minimum,
+ordinal_array_encode,string_sequence_to_embedding}.py
+
+These operate on the innermost array (axis=-1). Token arrays are row-varying
+length, so kernels are offset-aware (numpy on flat values + offsets); after an
+ArrayCrop everything is fixed-width and views as a 2-D matrix zero-copy.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.base import Transformer, _append_or_replace
+from kamae_ray.functions import arrays as A
+
+
+class ArrayConcatenateTransformer(Transformer):
+    """Concat N cols along the last dim; scalar inputs broadcast to ``[x]``
+    inner singletons. Reference: transformers/array_concatenate.py:189-295
+    (the Spark twin of VectorAssembler / tf.concat(axis=-1))."""
+
+    compatible_dtypes = None
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        cols = [self._cast_in(batch.column(c)) for c in self.input_cols]
+        unwrapped = [A.unwrap(a) for a in cols]
+        n = batch.num_rows
+        # per-row inner lengths for each input (scalars count as 1)
+        per_col: list[tuple[np.ndarray, pa.Array]] = []
+        for levels, flat in unwrapped:
+            if levels:
+                lens = A.flat_counts(levels)  # innermost-only when 1 level
+                offs = A.composed_offsets(levels)
+            else:
+                lens = np.ones(n, dtype=np.int64)
+                offs = np.arange(n + 1, dtype=np.int64)
+            per_col.append((offs, flat))
+        lens_each = [np.diff(o) for o, _ in per_col]
+        total = np.sum(lens_each, axis=0)
+        out_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(total, out=out_offsets[1:])
+        # interleave: for each row, values of col0 then col1 ...
+        out_type = None
+        flats_np = []
+        for offs, flat in per_col:
+            if out_type is None or pa.types.is_floating(flat.type):
+                out_type = flat.type if out_type is None else out_type
+        # promote to a common type via arrow concat rules: cast all to first float/widest
+        types = [f.type for _, f in per_col]
+        target = types[0]
+        for t in types[1:]:
+            if t.equals(target):
+                continue
+            if pa.types.is_floating(t) or pa.types.is_floating(target):
+                target = pa.float64() if (pa.types.is_float64(t) or pa.types.is_float64(target)) else pa.float32()
+            elif t.bit_width > target.bit_width:
+                target = t
+        np_dtype = target.to_pandas_dtype()
+        out_vals = np.empty(int(out_offsets[-1]), dtype=np_dtype)
+        # build gather indices per column
+        cursor = out_offsets[:-1].copy()
+        for (offs, flat), lens in zip(per_col, lens_each):
+            vals = pc.cast(flat, target, safe=False).to_numpy(zero_copy_only=False)
+            # destination positions: cursor[i] .. cursor[i]+lens[i]
+            dst = np.repeat(cursor, lens) + (
+                np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+            )
+            src = np.repeat(offs[:-1], lens) + (
+                np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+            )
+            out_vals[dst] = vals[src]
+            cursor += lens
+        out = pa.ListArray.from_arrays(pa.array(out_offsets, pa.int32()), pa.array(out_vals, target))
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class ArrayCropTransformer(Transformer):
+    """Crop innermost arrays to ``array_length`` or right-pad with
+    ``pad_value``. Reference: transformers/array_crop.py:138-206."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, array_length: int, pad_value, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.array_length = int(array_length)
+        self.pad_value = pad_value
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        if not levels:
+            raise TypeError("ArrayCrop requires a list input")
+        offsets, validity = levels[-1][0], levels[-1][1]
+        n = len(offsets) - 1
+        L = self.array_length
+        lens = np.diff(offsets)
+        keep = np.minimum(lens, L)
+        new_offsets = np.arange(n + 1, dtype=np.int64) * L
+        vals = flat.to_numpy(zero_copy_only=False) if flat.null_count == 0 and not pa.types.is_string(flat.type) else None
+        if vals is not None:
+            out_vals = np.full(n * L, self.pad_value, dtype=vals.dtype)
+            dst = np.repeat(new_offsets[:-1], keep) + _intra(keep)
+            src = np.repeat(offsets[:-1], keep) + _intra(keep)
+            out_vals[dst] = vals[src]
+            out_flat = pa.array(out_vals, flat.type)
+        else:
+            src = np.repeat(offsets[:-1], keep) + _intra(keep)
+            taken = flat.take(pa.array(src))
+            py = taken.to_pylist()
+            out_list = [self.pad_value] * (n * L)
+            dst = np.repeat(new_offsets[:-1], keep) + _intra(keep)
+            for d, v in zip(dst, py):
+                out_list[int(d)] = v
+            out_flat = pa.array(out_list, flat.type)
+        inner = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()),
+            out_flat,
+            mask=pc.invert(validity) if validity is not None else None,
+        )
+        out = A.rewrap(levels[:-1], inner)
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+def _intra(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]-1, 0..lens[1]-1, ...] — intra-row running index."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+
+
+class ArraySplitTransformer(Transformer):
+    """One output col per index: element_at(x, i+1) — inverse of
+    ArrayConcatenate. Reference: transformers/array_split.py:83-104."""
+
+    compatible_dtypes = None
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        offsets = levels[-1][0]
+        lens = np.diff(offsets)
+        for i, name in enumerate(self.output_cols):
+            ok = lens > i
+            idx = offsets[:-1] + i
+            taken = flat.take(pa.array(np.where(ok, idx, 0)))
+            if not ok.all():
+                taken = pa.array(taken.to_pylist(), flat.type, mask=~ok)
+            out = A.rewrap(levels[:-1], taken)
+            batch = _append_or_replace(batch, name, self._cast_out(out))
+        return batch
+
+
+class ArrayReduceMaxTransformer(Transformer):
+    """Reduce innermost dim by max. Reference: transformers/array_reduce_max.py:84."""
+
+    compatible_dtypes = None
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        inner = A.rewrap([levels[-1]], flat)
+        # pyarrow has no list_max; use numpy segmented reduce
+        offsets, validity = levels[-1]
+        vals = flat.to_numpy(zero_copy_only=False)
+        red = np.maximum.reduceat(vals, offsets[:-1].clip(max=max(len(vals) - 1, 0))) if len(vals) else np.array([], dtype=vals.dtype)
+        lens = np.diff(offsets)
+        if len(vals):
+            red = np.where(lens > 0, red, np.nan if np.issubdtype(vals.dtype, np.floating) else 0)
+        mask = None
+        if validity is not None:
+            mask = ~validity.to_numpy(zero_copy_only=False)
+        out = A.rewrap(levels[:-1], pa.array(red, flat.type, mask=mask))
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class ArraySubtractMinimumTransformer(Transformer):
+    """x - min(x ignoring pad_value), pad positions unchanged — used for
+    timestamp deltas. Reference: transformers/array_subtract_minimum.py:133-185."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, pad_value=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.pad_value = pad_value
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        offsets, _ = levels[-1]
+        vals = flat.to_numpy(zero_copy_only=False).copy()
+        lens = np.diff(offsets)
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        if self.pad_value is not None:
+            is_pad = vals == self.pad_value
+            big = np.where(is_pad, np.inf if np.issubdtype(vals.dtype, np.floating) else np.iinfo(vals.dtype).max, vals)
+        else:
+            is_pad = np.zeros(len(vals), dtype=bool)
+            big = vals
+        mins = np.full(len(lens), 0, dtype=vals.dtype)
+        if len(vals):
+            red = np.minimum.reduceat(big, offsets[:-1].clip(max=len(vals) - 1))
+            mins = np.where(lens > 0, red, 0)
+        out_vals = np.where(is_pad, vals, vals - mins[row_of])
+        out = A.rewrap(levels, pa.array(out_vals, flat.type))
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class OrdinalArrayEncodeTransformer(Transformer):
+    """First-appearance ordinal encoding of strings within each row's array;
+    ``pad_value`` -> -1. Reference: transformers/ordinal_array_encode.py:123,
+    spark/utils/user_defined_functions.py:142-161."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, pad_value: str | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.pad_value = pad_value
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        offsets, validity = levels[-1]
+        # vectorized first-appearance ordinal per row:
+        # dictionary-encode globally, then per row use np.unique ordering
+        vals = flat.to_pylist()
+        out_vals = np.empty(len(vals), dtype=np.int32)
+        pos = 0
+        for i in range(len(offsets) - 1):
+            seen: dict = {self.pad_value: -1}
+            for j in range(offsets[i], offsets[i + 1]):
+                v = vals[j]
+                if v not in seen:
+                    seen[v] = len(seen) - 1
+                out_vals[j] = seen[v]
+        out = A.rewrap(levels, pa.array(out_vals, pa.int32()))
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class StringSequenceToEmbeddingTransformer(Transformer):
+    """Parse 'v1,v2;v3,v4' delimited string -> (seq_len, embedding_dim) float
+    array; truncate/pad with pad_value, optional reverse of the non-pad prefix.
+    Reference: transformers/string_sequence_to_embedding.py:204-283."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(
+        self,
+        *args,
+        outer_separator: str = ";",
+        inner_separator: str = ",",
+        seq_length: int,
+        pad_value: float = 0.0,
+        reverse: bool = False,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.outer_separator = outer_separator
+        self.inner_separator = inner_separator
+        self.seq_length = int(seq_length)
+        self.pad_value = float(pad_value)
+        self.reverse = reverse
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        rows = flat.to_pylist()
+        n = len(rows)
+        dim = None
+        seqs = []
+        for s in rows:
+            if s is None:
+                seqs.append(None)
+                continue
+            vecs = [
+                [float(v) for v in part.split(self.inner_separator)]
+                for part in s.split(self.outer_separator)
+                if part
+            ]
+            if dim is None and vecs:
+                dim = len(vecs[0])
+            seqs.append(vecs)
+        dim = dim or 1
+        L = self.seq_length
+        out = np.full((n, L, dim), self.pad_value, dtype=np.float32)
+        for i, vecs in enumerate(seqs):
+            if not vecs:
+                continue
+            vecs = vecs[:L]
+            if self.reverse:
+                vecs = vecs[::-1]
+            for j, v in enumerate(vecs):
+                out[i, j, : len(v)] = v[:dim]
+        inner = pa.array(out.reshape(-1), pa.float32())
+        lvl2 = pa.ListArray.from_arrays(pa.array(np.arange(n * L + 1) * dim, pa.int32()), inner)
+        lvl1 = pa.ListArray.from_arrays(pa.array(np.arange(n + 1) * L, pa.int32()), lvl2)
+        out_arr = A.rewrap(levels, lvl1)
+        out_arr = self._cast_out(out_arr)
+        return _append_or_replace(batch, self.output_col, out_arr)

@@ -1,0 +1,408 @@
+"""Elementwise math / logical / conditional / binning transformers.
+
+Reference semantics: src/kamae/spark/transformers/{absolute_value,log,exp,
+exponent,sum,subtract,multiply,divide,modulo,max,min,mean,round,
+round_to_decimal,identity,logical_and,logical_or,logical_not,if_statement,
+bin,bucketize,string_map}.py — each lifts a scalar kernel elementwise over
+arbitrarily nested arrays and appends one output column.
+
+Ray design: every op is a vectorized pyarrow.compute / numpy kernel applied to
+the flat values buffer inside ``map_batches(batch_format="pyarrow")`` — see
+kamae_ray/functions/arrays.py for the zero-copy lift.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.base import Transformer, _append_or_replace
+from kamae_ray.functions import arrays as A
+
+_NUMERIC = (pa.float64(),)
+_BOOL = (pa.bool_(),)
+
+
+class UnaryKernelTransformer(Transformer):
+    """Single-input elementwise op: subclass provides ``_kernel(flat)``."""
+
+    compatible_dtypes = _NUMERIC
+
+    def _kernel(self, flat: pa.Array) -> pa.Array:
+        raise NotImplementedError
+
+    def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
+        self._validate_dtype(arr)
+        return A.lift(self._kernel, arr)
+
+
+class AbsoluteValueTransformer(UnaryKernelTransformer):
+    """abs(x). Reference: transformers/absolute_value.py:109."""
+
+    def _kernel(self, flat):
+        return pc.abs(flat)
+
+
+class LogTransformer(UnaryKernelTransformer):
+    """ln(alpha + x), default alpha=0. Reference: transformers/log.py:87-137."""
+
+    def __init__(self, *args, alpha: float = 0.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.alpha = alpha
+
+    def _kernel(self, flat):
+        x = pc.cast(flat, pa.float64(), safe=False)
+        if self.alpha:
+            x = pc.add(x, pa.scalar(float(self.alpha)))
+        return pc.ln(x)
+
+
+class ExpTransformer(UnaryKernelTransformer):
+    """e^x. Reference: transformers/exp.py:94."""
+
+    def _kernel(self, flat):
+        return pc.exp(pc.cast(flat, pa.float64(), safe=False))
+
+
+class IdentityTransformer(UnaryKernelTransformer):
+    """Pass-through (standalone casts). Reference: transformers/identity.py."""
+
+    compatible_dtypes = None
+
+    def _kernel(self, flat):
+        return flat
+
+
+class RoundTransformer(UnaryKernelTransformer):
+    """ceil / floor / half-away-from-zero round to integral value.
+    Reference: transformers/round.py:141."""
+
+    def __init__(self, *args, round_type: str = "round", **kwargs):
+        super().__init__(*args, **kwargs)
+        if round_type not in ("ceil", "floor", "round"):
+            raise ValueError("round_type must be ceil|floor|round")
+        self.round_type = round_type
+
+    def _kernel(self, flat):
+        if self.round_type == "ceil":
+            return pc.ceil(flat)
+        if self.round_type == "floor":
+            return pc.floor(flat)
+        return pc.round(flat, ndigits=0, round_mode="half_towards_infinity")
+
+
+class RoundToDecimalTransformer(UnaryKernelTransformer):
+    """Round to N decimals (half away from zero, Spark ROUND semantics).
+    Reference: transformers/round_to_decimal.py:132."""
+
+    def __init__(self, *args, decimals: int = 0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.decimals = decimals
+
+    def _kernel(self, flat):
+        return pc.round(flat, ndigits=self.decimals, round_mode="half_towards_infinity")
+
+
+class MultiInputTransformer(Transformer):
+    """N-column elementwise op, or single column + constant.
+
+    Mirrors the reference's multi-input handling with scalar-vs-array
+    broadcasting (reference: src/kamae/spark/params/utils.py:79-122,
+    transform_utils.py:251-330).
+    """
+
+    compatible_dtypes = _NUMERIC
+    #: value used when only input_col + constant given
+    constant_param: str = "constant"
+
+    def __init__(self, *args, constant: float | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.constant = constant
+
+    def _fold(self, flats: list[pa.Array]) -> pa.Array:
+        raise NotImplementedError
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        if self.input_cols is not None:
+            cols = [self._cast_in(batch.column(c)) for c in self.input_cols]
+            out = A.lift_multi(lambda *fl: self._fold(list(fl)), cols)
+        else:
+            arr = self._cast_in(batch.column(self.input_col))
+            const = pa.scalar(self.constant)
+            out = A.lift(lambda flat: self._fold([flat, const]), arr)
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+def _pairwise(fn, flats):
+    acc = flats[0]
+    for nxt in flats[1:]:
+        acc = fn(acc, nxt)
+    return acc
+
+
+class SumTransformer(MultiInputTransformer):
+    """x + c or elementwise sum of N cols. Reference: transformers/sum.py:131."""
+
+    def _fold(self, flats):
+        return _pairwise(pc.add, flats)
+
+
+class SubtractTransformer(MultiInputTransformer):
+    """x - c or left-fold subtract. Reference: transformers/subtract.py:131."""
+
+    def _fold(self, flats):
+        return _pairwise(pc.subtract, flats)
+
+
+class MultiplyTransformer(MultiInputTransformer):
+    """x * c or product of N cols. Reference: transformers/multiply.py:132."""
+
+    def _fold(self, flats):
+        return _pairwise(pc.multiply, flats)
+
+
+class DivideTransformer(MultiInputTransformer):
+    """x / c or left-fold divide. Reference: transformers/divide.py:126."""
+
+    def _fold(self, flats):
+        flats = [pc.cast(f, pa.float64(), safe=False) if isinstance(f, pa.Array) else f for f in flats]
+        return _pairwise(pc.divide, flats)
+
+
+class ModuloTransformer(MultiInputTransformer):
+    """x mod c or x mod y (Python/Spark pmod-style sign follows divisor is NOT
+    used by the reference — it uses Spark's %, sign follows dividend).
+    Reference: transformers/modulo.py:178."""
+
+    def _fold(self, flats):
+        def mod(a, b):
+            a_np = np.asarray(a) if isinstance(a, pa.Array) else np.asarray(a.as_py())
+            b_np = np.asarray(b) if isinstance(b, pa.Array) else np.asarray(b.as_py())
+            res = np.fmod(a_np, b_np)  # sign follows dividend, like Spark %
+            return pa.array(res)
+        return _pairwise(mod, flats)
+
+
+class MaxTransformer(MultiInputTransformer):
+    """Elementwise max. Reference: transformers/max.py:132."""
+
+    def _fold(self, flats):
+        return _pairwise(lambda a, b: pc.max_element_wise(a, b), flats)
+
+
+class MinTransformer(MultiInputTransformer):
+    """Elementwise min. Reference: transformers/min.py:132."""
+
+    def _fold(self, flats):
+        return _pairwise(lambda a, b: pc.min_element_wise(a, b), flats)
+
+
+class MeanTransformer(MultiInputTransformer):
+    """Elementwise mean of N cols / col+const. Reference: transformers/mean.py:133."""
+
+    def _fold(self, flats):
+        acc = pc.cast(flats[0], pa.float64(), safe=False) if isinstance(flats[0], pa.Array) else flats[0]
+        acc = _pairwise(pc.add, [acc] + list(flats[1:]))
+        return pc.divide(acc, pa.scalar(float(len(flats))))
+
+
+class ExponentTransformer(MultiInputTransformer):
+    """x^c or x^y. Reference: transformers/exponent.py:170."""
+
+    def __init__(self, *args, exponent: float | None = None, **kwargs):
+        kwargs.setdefault("constant", exponent)
+        super().__init__(*args, **kwargs)
+        self.exponent = self.constant
+
+    def _fold(self, flats):
+        return _pairwise(pc.power, flats)
+
+
+# ---------------------------------------------------------------------------
+# Logical ops (§2.3)
+# ---------------------------------------------------------------------------
+
+
+class LogicalAndTransformer(MultiInputTransformer):
+    """AND of N bool cols. Reference: transformers/logical_and.py:111."""
+
+    compatible_dtypes = _BOOL
+
+    def _fold(self, flats):
+        return _pairwise(pc.and_, flats)
+
+
+class LogicalOrTransformer(MultiInputTransformer):
+    """OR of N bool cols. Reference: transformers/logical_or.py:111."""
+
+    compatible_dtypes = _BOOL
+
+    def _fold(self, flats):
+        return _pairwise(pc.or_, flats)
+
+
+class LogicalNotTransformer(UnaryKernelTransformer):
+    """NOT of one bool col. Reference: transformers/logical_not.py:94."""
+
+    compatible_dtypes = _BOOL
+
+    def _kernel(self, flat):
+        return pc.invert(flat)
+
+
+# ---------------------------------------------------------------------------
+# Conditionals / binning (§2.4)
+# ---------------------------------------------------------------------------
+
+_CONDITION_OPS = {
+    "eq": pc.equal,
+    "neq": pc.not_equal,
+    "lt": pc.less,
+    "leq": pc.less_equal,
+    "gt": pc.greater,
+    "geq": pc.greater_equal,
+}
+
+
+class IfStatementTransformer(Transformer):
+    """Generic ``if cond(x, v) then a else b``; operands may be constants or
+    columns ``[input, value_to_compare, result_if_true, result_if_false]``.
+    Reference: transformers/if_statement.py:202-226,378."""
+
+    compatible_dtypes = None
+
+    def __init__(
+        self,
+        *args,
+        condition_operator: str = "eq",
+        value_to_compare: Any = None,
+        result_if_true: Any = None,
+        result_if_false: Any = None,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        if condition_operator not in _CONDITION_OPS:
+            raise ValueError(f"condition_operator must be one of {list(_CONDITION_OPS)}")
+        self.condition_operator = condition_operator
+        self.value_to_compare = value_to_compare
+        self.result_if_true = result_if_true
+        self.result_if_false = result_if_false
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        if self.input_cols is not None:
+            # columns are [input, value_to_compare?, result_if_true?, result_if_false?]
+            cols = [self._cast_in(batch.column(c)) for c in self.input_cols]
+
+            def fold(*flats):
+                it = iter(flats[1:])
+                v = next(it) if self.value_to_compare is None else pa.scalar(self.value_to_compare)
+                t = next(it) if self.result_if_true is None else pa.scalar(self.result_if_true)
+                f = next(it) if self.result_if_false is None else pa.scalar(self.result_if_false)
+                cond = _CONDITION_OPS[self.condition_operator](flats[0], v)
+                return pc.if_else(cond, t, f)
+
+            out = A.lift_multi(fold, cols)
+        else:
+            arr = self._cast_in(batch.column(self.input_col))
+
+            def kernel(flat):
+                cond = _CONDITION_OPS[self.condition_operator](flat, pa.scalar(self.value_to_compare))
+                return pc.if_else(cond, pa.scalar(self.result_if_true), pa.scalar(self.result_if_false))
+
+            out = A.lift(kernel, arr)
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class NumericalIfStatementTransformer(IfStatementTransformer):
+    """Numeric-only variant. Reference: transformers/numerical_if_statement.py:353."""
+
+    compatible_dtypes = _NUMERIC
+
+
+class BinTransformer(UnaryKernelTransformer):
+    """Ordered CASE WHEN cond_op(x, value) THEN label chain; first match wins;
+    ``default_label`` otherwise. Reference: transformers/bin.py:268-310."""
+
+    def __init__(
+        self,
+        *args,
+        condition_operators: Sequence[str],
+        bin_values: Sequence[float],
+        bin_labels: Sequence[str],
+        default_label: str = "default",
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.condition_operators = list(condition_operators)
+        self.bin_values = list(bin_values)
+        self.bin_labels = [str(x) for x in bin_labels]
+        self.default_label = str(default_label)
+
+    def _kernel(self, flat):
+        out = pa.nulls(len(flat), pa.string())
+        assigned = pa.array(np.zeros(len(flat), dtype=bool))
+        for op, val, label in zip(self.condition_operators, self.bin_values, self.bin_labels):
+            cond = _CONDITION_OPS[op](flat, pa.scalar(val))
+            cond = pc.and_(pc.fill_null(cond, False), pc.invert(assigned))
+            out = pc.if_else(cond, pa.scalar(label), out)
+            assigned = pc.or_(assigned, cond)
+        is_val = pc.is_valid(flat)
+        take_default = pc.and_(pc.invert(assigned), is_val)
+        out = pc.if_else(take_default, pa.scalar(self.default_label), out)
+        return out
+
+
+class BucketizeTransformer(UnaryKernelTransformer):
+    """``bisect_right(splits, x) + 1``; bucket 0 reserved for mask/pad;
+    null -> null. Reference: transformers/bucketize.py:135-166."""
+
+    def __init__(self, *args, splits: Sequence[float], mask_value: float | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.splits = [float(s) for s in splits]
+        self.mask_value = mask_value
+
+    def _kernel(self, flat):
+        vals, mask = A.to_numpy(pc.cast(flat, pa.float64(), safe=False))
+        idx = np.searchsorted(np.asarray(self.splits), vals, side="right") + 1
+        if self.mask_value is not None:
+            idx = np.where(vals == self.mask_value, 0, idx)
+        return pa.array(idx.astype(np.int32), mask=mask)
+
+
+class StringMapTransformer(UnaryKernelTransformer):
+    """CASE WHEN on string equality list -> mapped values, with default.
+    Reference: transformers/string_map.py:224."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(
+        self,
+        *args,
+        string_match_values: Sequence[str],
+        string_replace_values: Sequence[str],
+        default_value: str | None = None,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.string_match_values = list(string_match_values)
+        self.string_replace_values = list(string_replace_values)
+        self.default_value = default_value
+
+    def _kernel(self, flat):
+        if self.default_value is not None:
+            # default everywhere, nulls preserved
+            out = pc.if_else(
+                pc.is_valid(flat),
+                pa.array([self.default_value] * len(flat), pa.string()),
+                pa.nulls(len(flat), pa.string()),
+            )
+        else:
+            out = flat  # unmatched values pass through
+        for match, repl in zip(self.string_match_values, self.string_replace_values):
+            out = pc.if_else(pc.equal(flat, pa.scalar(match)), pa.scalar(repl), out)
+        return out

@@ -1,0 +1,172 @@
+"""Stateless hash / encode transformers, §2.7 of SURVEY.md.
+
+Reference semantics: src/kamae/spark/transformers/{hash_index,min_hash_index,
+bloom_encode}.py with the exact null/mask rules of
+src/kamae/spark/utils/user_defined_functions.py:22-43,164-202.
+
+FarmHash64 has no vectorized form, so the kernel is a per-batch Python loop
+over the flat values with an LRU memo for hot strings (dictionary-encoding the
+batch first means each distinct string is hashed once per batch). These stages
+are marked for actor-pool execution in pipelines so the memo persists across
+batches (stateful setup once per actor, reference design SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.base import Transformer, _append_or_replace
+from kamae_ray.functions import arrays as A
+from kamae_ray.functions.farmhash import cached_hash64, safe_hash64
+
+_INT32_MAX = np.iinfo(np.int32).max
+
+
+def _hash_distinct(flat: pa.Array, fn) -> pa.Array:
+    """Dictionary-encode then hash each distinct value once."""
+    d = flat.dictionary_encode()
+    dict_vals = d.dictionary.to_pylist()
+    mapped = np.array([fn(v) for v in dict_vals], dtype=np.int64) if dict_vals else np.array([], np.int64)
+    indices = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    out = np.zeros(len(flat), dtype=np.int64)
+    valid = ~pc.is_null(flat).to_numpy(zero_copy_only=False)
+    if len(mapped):
+        out[valid] = mapped[indices[valid]]
+    return pa.array(out, pa.int64())
+
+
+class HashIndexTransformer(Transformer):
+    """(farmhash64(s) mod (num_bins-1)) + 1; null/mask -> 0.
+    Reference: transformers/hash_index.py:95-119."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, num_bins: int, mask_value: str | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_bins = int(num_bins)
+        self.mask_value = mask_value
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+
+        def kernel(flat):
+            def one(v):
+                if v is None or v == self.mask_value:
+                    return 0
+                return (cached_hash64(v) % (self.num_bins - 1)) + 1
+
+            return _hash_distinct(flat, one)
+
+        out = self._cast_out(A.lift(kernel, arr))
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class MinHashIndexTransformer(Transformer):
+    """Per row-array: for i < num_permutations, min over labels of
+    hash(label+str(i)), emit its low bit -> bit array.
+    Reference: transformers/min_hash_index.py:165,
+    user_defined_functions.py:164-202."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, num_permutations: int, mask_value: str | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_permutations = int(num_permutations)
+        self.mask_value = mask_value
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        offsets, validity = levels[-1]
+        n = len(offsets) - 1
+        P = self.num_permutations
+
+        # hash each distinct label once per permutation
+        d = flat.dictionary_encode()
+        dict_vals = d.dictionary.to_pylist()
+        indices = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        null_mask = pc.is_null(flat).to_numpy(zero_copy_only=False)
+        # (num_distinct, P) matrix of hashes, mask labels pinned to INT32_MAX
+        hm = np.empty((max(len(dict_vals), 1), P), dtype=np.int64)
+        for vi, v in enumerate(dict_vals):
+            if self.mask_value is not None and v == self.mask_value:
+                hm[vi, :] = _INT32_MAX
+            else:
+                for p in range(P):
+                    hv = cached_hash64(f"{v}{p}")
+                    hm[vi, p] = (hv % (_INT32_MAX - 1)) + 1
+        empty_row = np.array(
+            [(cached_hash64(f"{p}") % (_INT32_MAX - 1)) + 1 for p in range(P)], dtype=np.int64
+        )
+        out_vals = np.empty(n * P, dtype=np.int64)
+        for i in range(n):
+            lo, hi = offsets[i], offsets[i + 1]
+            sel = indices[lo:hi][~null_mask[lo:hi]]
+            if len(sel) == 0:
+                mins = empty_row  # reference appends "" when no labels
+            else:
+                mins = hm[sel].min(axis=0)
+            out_vals[i * P : (i + 1) * P] = mins & 1
+        inner = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1) * P, pa.int32()),
+            pa.array(out_vals, pa.int64()),
+            mask=pc.invert(validity) if validity is not None else None,
+        )
+        out = A.rewrap(levels[:-1], inner)
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class BloomEncodeTransformer(Transformer):
+    """Hash a string num_hash_fns (>=2, default 3) times into an index array
+    (bloom-filter-style dimensionality compression).
+    Reference: transformers/bloom_encode.py:45-78,128,210-252."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(
+        self,
+        *args,
+        num_bins: int,
+        num_hash_fns: int = 3,
+        mask_value: str | None = None,
+        use_heuristic_num_bins: bool = False,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        if num_hash_fns < 2:
+            raise ValueError("num_hash_fns must be >= 2")
+        self.num_bins = int(num_bins)
+        self.num_hash_fns = int(num_hash_fns)
+        self.mask_value = mask_value
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        H = self.num_hash_fns
+        d = flat.dictionary_encode()
+        dict_vals = d.dictionary.to_pylist()
+        indices = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        null_mask = pc.is_null(flat).to_numpy(zero_copy_only=False)
+        hm = np.zeros((max(len(dict_vals), 1), H), dtype=np.int64)
+        for vi, v in enumerate(dict_vals):
+            if self.mask_value is not None and v == self.mask_value:
+                hm[vi, :] = 0
+            else:
+                for h in range(H):
+                    hv = cached_hash64(f"{v}{h}")
+                    hm[vi, h] = (hv % (self.num_bins - 1)) + 1
+        n = len(flat)
+        out_vals = np.zeros((n, H), dtype=np.int64)
+        valid = ~null_mask
+        if len(dict_vals):
+            out_vals[valid] = hm[indices[valid]]
+        inner = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1) * H, pa.int32()),
+            pa.array(out_vals.reshape(-1), pa.int64()),
+        )
+        out = A.rewrap(levels, inner)
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)

@@ -1,0 +1,142 @@
+"""Similarity / geo transformers, §2.6 of SURVEY.md.
+
+Reference semantics: src/kamae/spark/transformers/{cosine_similarity,
+pairwise_cosine_similarity,haversine_distance,bearing_angle}.py
+
+Kernels are numpy einsum/dot over fixed-width rows — vectorized per batch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.base import Transformer, _append_or_replace
+from kamae_ray.functions import arrays as A
+from kamae_ray.stages.elementwise import MultiInputTransformer
+
+
+def _segmented_dot(a_vals, b_vals, offsets):
+    prod = a_vals * b_vals
+    return np.add.reduceat(prod, offsets[:-1].clip(max=max(len(prod) - 1, 0))) if len(prod) else np.array([])
+
+
+class CosineSimilarityTransformer(Transformer):
+    """dot(a,b)/(||a||·||b||) over innermost arrays; 0.0 when either norm is 0.
+    Reference: transformers/cosine_similarity.py:100-146."""
+
+    compatible_dtypes = None
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        a = self._cast_in(batch.column(self.input_cols[0]))
+        b = self._cast_in(batch.column(self.input_cols[1]))
+        la, fa = A.unwrap(a)
+        lb, fb = A.unwrap(b)
+        offsets = la[-1][0]
+        av = fa.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        bv = fb.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        lens = np.diff(offsets)
+        dots = _segmented_dot(av, bv, offsets)
+        na = np.sqrt(_segmented_dot(av, av, offsets))
+        nb = np.sqrt(_segmented_dot(bv, bv, offsets))
+        denom = na * nb
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sim = np.where(denom > 0, dots / np.where(denom == 0, 1, denom), 0.0)
+        sim = np.where(lens > 0, sim, 0.0)
+        out = A.rewrap(la[:-1], pa.array(sim, pa.float64()))
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class PairwiseCosineSimilarityTransformer(Transformer):
+    """Query vec vs flat array of k candidate vecs (embedding_dim strides)
+    -> k sims. Reference: transformers/pairwise_cosine_similarity.py:85-140."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, embedding_dim: int, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.embedding_dim = int(embedding_dim)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        q = self._cast_in(batch.column(self.input_cols[0]))
+        c = self._cast_in(batch.column(self.input_cols[1]))
+        qm, d = A.matrix_view(q)
+        cm, kd = A.matrix_view(c)
+        if d != self.embedding_dim:
+            raise ValueError(f"query dim {d} != embedding_dim {self.embedding_dim}")
+        k = kd // d
+        n = qm.shape[0]
+        cand = cm.reshape(n, k, d).astype(np.float64)
+        qv = qm.astype(np.float64)
+        dots = np.einsum("nkd,nd->nk", cand, qv)
+        qn = np.linalg.norm(qv, axis=1)[:, None]
+        cn = np.linalg.norm(cand, axis=2)
+        denom = qn * cn
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.where(denom > 0, dots / np.where(denom == 0, 1, denom), 0.0)
+        out = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1) * k, pa.int32()),
+            pa.array(sims.reshape(-1), pa.float64()),
+        )
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+_EARTH_RADIUS_KM = 6371.0
+
+
+class HaversineDistanceTransformer(MultiInputTransformer):
+    """Great-circle km between (lat1,lon1) and (lat2,lon2) — 4 input cols or
+    2 cols + lat_lon_constant. Reference: transformers/haversine_distance.py:254."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, lat_lon_constant: tuple[float, float] | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.lat_lon_constant = list(lat_lon_constant) if lat_lon_constant else None
+
+    def _fold(self, flats):
+        lat1 = np.asarray(flats[0], dtype=np.float64)
+        lon1 = np.asarray(flats[1], dtype=np.float64)
+        if self.lat_lon_constant is not None:
+            lat2 = np.full_like(lat1, self.lat_lon_constant[0])
+            lon2 = np.full_like(lon1, self.lat_lon_constant[1])
+        else:
+            lat2 = np.asarray(flats[2], dtype=np.float64)
+            lon2 = np.asarray(flats[3], dtype=np.float64)
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        dphi = np.radians(lat2 - lat1)
+        dlmb = np.radians(lon2 - lon1)
+        h = np.sin(dphi / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2) ** 2
+        return pa.array(2 * _EARTH_RADIUS_KM * np.arcsin(np.sqrt(h)), pa.float64())
+
+
+class BearingAngleTransformer(MultiInputTransformer):
+    """Navigation bearing in degrees between lat/lon pairs.
+    Reference: transformers/bearing_angle.py:216."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, lat_lon_constant: tuple[float, float] | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.lat_lon_constant = list(lat_lon_constant) if lat_lon_constant else None
+
+    def _fold(self, flats):
+        lat1 = np.asarray(flats[0], dtype=np.float64)
+        lon1 = np.asarray(flats[1], dtype=np.float64)
+        if self.lat_lon_constant is not None:
+            lat2 = np.full_like(lat1, self.lat_lon_constant[0])
+            lon2 = np.full_like(lon1, self.lat_lon_constant[1])
+        else:
+            lat2 = np.asarray(flats[2], dtype=np.float64)
+            lon2 = np.asarray(flats[3], dtype=np.float64)
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        dlmb = np.radians(lon2 - lon1)
+        y = np.sin(dlmb) * np.cos(p2)
+        x = np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dlmb)
+        theta = np.degrees(np.arctan2(y, x))
+        return pa.array((theta + 360.0) % 360.0, pa.float64())

@@ -1,0 +1,302 @@
+"""String transformers (stateless), §2.8 of SURVEY.md.
+
+Reference semantics: src/kamae/spark/transformers/{string_affix,string_case,
+string_concatenate,string_contains,string_contains_list,string_isin_list,
+string_replace,string_list_to_string,string_to_string_list,
+sub_string_delim_at_index,string_array_constant}.py
+
+All are vectorized pyarrow.compute string kernels over flat values buffers.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.base import Transformer, _append_or_replace
+from kamae_ray.functions import arrays as A
+from kamae_ray.stages.elementwise import MultiInputTransformer, UnaryKernelTransformer
+
+_STR = (pa.string(),)
+
+
+class StringAffixTransformer(UnaryKernelTransformer):
+    """prefix + x + suffix. Reference: transformers/string_affix.py:177."""
+
+    compatible_dtypes = _STR
+
+    def __init__(self, *args, prefix: str = "", suffix: str = "", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.prefix = prefix or ""
+        self.suffix = suffix or ""
+
+    def _kernel(self, flat):
+        out = flat
+        if self.prefix:
+            out = pc.binary_join_element_wise(pa.scalar(self.prefix), out, pa.scalar(""))
+        if self.suffix:
+            out = pc.binary_join_element_wise(out, pa.scalar(self.suffix), pa.scalar(""))
+        return out
+
+
+class StringCaseTransformer(UnaryKernelTransformer):
+    """upper/lower. Reference: transformers/string_case.py:157."""
+
+    compatible_dtypes = _STR
+
+    def __init__(self, *args, string_case_type: str = "upper", **kwargs):
+        super().__init__(*args, **kwargs)
+        if string_case_type not in ("upper", "lower"):
+            raise ValueError("string_case_type must be upper|lower")
+        self.string_case_type = string_case_type
+
+    def _kernel(self, flat):
+        return pc.utf8_upper(flat) if self.string_case_type == "upper" else pc.utf8_lower(flat)
+
+
+class StringConcatenateTransformer(MultiInputTransformer):
+    """Join N string cols with separator. Reference: transformers/string_concatenate.py:137."""
+
+    compatible_dtypes = _STR
+
+    def __init__(self, *args, separator: str = "_", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.separator = separator
+
+    def _fold(self, flats):
+        return pc.binary_join_element_wise(*flats, pa.scalar(self.separator))
+
+
+class StringContainsTransformer(Transformer):
+    """Substring test vs constant or second col; optional negation.
+    Reference: transformers/string_contains.py:148."""
+
+    compatible_dtypes = _STR
+
+    def __init__(self, *args, string_constant: str | None = None, negation: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.string_constant = string_constant
+        self.negation = negation
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        if self.input_cols is not None:
+
+            def fold(a, b):
+                # vectorized two-column contains: fall back to numpy find
+                av = a.to_pylist()
+                bv = b.to_pylist()
+                res = [None if (x is None or y is None) else (y in x) for x, y in zip(av, bv)]
+                return pa.array(res, pa.bool_())
+
+            out = A.lift_multi(fold, [self._cast_in(batch.column(c)) for c in self.input_cols])
+        else:
+            arr = self._cast_in(batch.column(self.input_col))
+            out = A.lift(lambda f: pc.match_substring(f, self.string_constant), arr)
+        if self.negation:
+            out = A.lift(pc.invert, out)
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class StringContainsListTransformer(UnaryKernelTransformer):
+    """True if ANY of constant list is a substring.
+    Reference: transformers/string_contains_list.py:120."""
+
+    compatible_dtypes = _STR
+
+    def __init__(self, *args, string_constant_list: Sequence[str], negation: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.string_constant_list = list(string_constant_list)
+        self.negation = negation
+
+    def _kernel(self, flat):
+        pat = "|".join(re.escape(s) for s in self.string_constant_list)
+        out = pc.match_substring_regex(flat, pat)
+        return pc.invert(out) if self.negation else out
+
+
+class StringIsInListTransformer(UnaryKernelTransformer):
+    """Exact membership in constant list. Reference: transformers/string_isin_list.py:117."""
+
+    compatible_dtypes = _STR
+
+    def __init__(self, *args, string_constant_list: Sequence[str], negation: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.string_constant_list = list(string_constant_list)
+        self.negation = negation
+
+    def _kernel(self, flat):
+        out = pc.is_in(flat, value_set=pa.array(self.string_constant_list, pa.string()))
+        return pc.invert(out) if self.negation else out
+
+
+class StringReplaceTransformer(Transformer):
+    """Regex replace (constant or column pattern/replacement).
+    Reference: transformers/string_replace.py:262."""
+
+    compatible_dtypes = _STR
+
+    def __init__(
+        self,
+        *args,
+        string_match_constant: str | None = None,
+        string_replace_constant: str | None = None,
+        regex: bool = True,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.string_match_constant = string_match_constant
+        self.string_replace_constant = string_replace_constant
+        self.regex = regex
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        if self.input_cols is not None:
+            # [input, pattern?, replacement?] column forms
+            cols = [self._cast_in(batch.column(c)) for c in self.input_cols]
+
+            def fold(*flats):
+                xs = flats[0].to_pylist()
+                it = iter(flats[1:])
+                pats = next(it).to_pylist() if self.string_match_constant is None else [self.string_match_constant] * len(xs)
+                reps = next(it).to_pylist() if self.string_replace_constant is None else [self.string_replace_constant] * len(xs)
+                out = [
+                    None if x is None else re.sub(p, r, x) if self.regex else x.replace(p, r)
+                    for x, p, r in zip(xs, pats, reps)
+                ]
+                return pa.array(out, pa.string())
+
+            out = A.lift_multi(fold, cols)
+        else:
+            arr = self._cast_in(batch.column(self.input_col))
+            if self.regex:
+                out = A.lift(
+                    lambda f: pc.replace_substring_regex(
+                        f, pattern=self.string_match_constant, replacement=self.string_replace_constant
+                    ),
+                    arr,
+                )
+            else:
+                out = A.lift(
+                    lambda f: pc.replace_substring(
+                        f, pattern=self.string_match_constant, replacement=self.string_replace_constant
+                    ),
+                    arr,
+                )
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class StringListToStringTransformer(Transformer):
+    """Join innermost array<string> with delimiter.
+    Reference: transformers/string_list_to_string.py:138."""
+
+    compatible_dtypes = _STR
+
+    def __init__(self, *args, separator: str = ",", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.separator = separator
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        if not levels:
+            raise TypeError("StringListToString requires a list<string> input")
+        # join at innermost level: rebuild all but the last level
+        inner_offsets, inner_validity = levels[-1]
+        joined = pc.binary_join(
+            A.rewrap([levels[-1]], flat), pa.scalar(self.separator)
+        )
+        out = A.rewrap(levels[:-1], joined)
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class StringToStringListTransformer(Transformer):
+    """Split by separator into fixed ``list_length`` with ``default_value``
+    padding. Reference: transformers/string_to_string_list.py:209."""
+
+    compatible_dtypes = _STR
+
+    def __init__(self, *args, separator: str = ",", list_length: int, default_value: str = "", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.separator = separator
+        self.list_length = list_length
+        self.default_value = default_value
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+
+        def kernel(flat: pa.Array) -> pa.Array:
+            split = pc.split_pattern(flat, pattern=self.separator)
+            n = self.list_length
+            sl = pc.list_slice(split, 0, n, return_fixed_size_list=False)
+            # pad short lists
+            lens = pc.list_value_length(sl).fill_null(0).to_numpy(zero_copy_only=False)
+            pad_counts = (n - lens).clip(min=0)
+            vals = sl.combine_chunks() if isinstance(sl, pa.ChunkedArray) else sl
+            lv, fv = A.unwrap(vals)
+            offsets, validity = lv[0]
+            new_offsets = np.arange(len(lens) + 1, dtype=np.int64) * n
+            out_vals = np.full(int(new_offsets[-1]), self.default_value, dtype=object)
+            fvals = fv.to_pylist()
+            pos = 0
+            for i in range(len(lens)):
+                ln = int(offsets[i + 1] - offsets[i])
+                out_vals[i * n : i * n + min(ln, n)] = fvals[int(offsets[i]) : int(offsets[i]) + min(ln, n)]
+            res = pa.ListArray.from_arrays(
+                pa.array(new_offsets, pa.int32()),
+                pa.array(list(out_vals), pa.string()),
+                mask=pc.invert(validity) if validity is not None else None,
+            )
+            return res
+
+        levels, flat = A.unwrap(arr)
+        out = A.rewrap(levels, kernel(flat))
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class SubStringDelimAtIndexTransformer(UnaryKernelTransformer):
+    """Split by delimiter, take element at index, default if out-of-bounds.
+    Reference: transformers/sub_string_delim_at_index.py:201."""
+
+    compatible_dtypes = _STR
+
+    def __init__(self, *args, delimiter: str = ",", index: int = 0, default_value: str = "", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.delimiter = delimiter
+        self.index = index
+        self.default_value = default_value
+
+    def _kernel(self, flat):
+        split = pc.split_pattern(flat, pattern=self.delimiter)
+        lens = pc.list_value_length(split)
+        elem = pc.list_slice(split, self.index, self.index + 1)
+        joined = pc.binary_join(elem, pa.scalar(""))
+        ok = pc.greater(lens, self.index)
+        out = pc.if_else(ok, joined, pa.scalar(self.default_value))
+        return pc.if_else(pc.is_valid(flat), out, pa.nulls(len(flat), pa.string()))
+
+
+class StringArrayConstantTransformer(Transformer):
+    """Inject a constant array<string> column. Reference:
+    transformers/string_array_constant.py."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, constant_string_array: Sequence[str], **kwargs):
+        super().__init__(*args, **kwargs)
+        self.constant_string_array = list(constant_string_array)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        k = len(self.constant_string_array)
+        offsets = pa.array(np.arange(n + 1, dtype=np.int64) * k, pa.int32())
+        values = pa.array(self.constant_string_array * n, pa.string())
+        out = pa.ListArray.from_arrays(offsets, values)
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)

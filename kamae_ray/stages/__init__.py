@@ -1,0 +1,109 @@
+"""All transformer / estimator stages."""
+
+from kamae_ray.stages.elementwise import (  # noqa: F401
+    AbsoluteValueTransformer,
+    BinTransformer,
+    BucketizeTransformer,
+    DivideTransformer,
+    ExpTransformer,
+    ExponentTransformer,
+    IdentityTransformer,
+    IfStatementTransformer,
+    LogTransformer,
+    LogicalAndTransformer,
+    LogicalNotTransformer,
+    LogicalOrTransformer,
+    MaxTransformer,
+    MeanTransformer,
+    MinTransformer,
+    ModuloTransformer,
+    MultiplyTransformer,
+    NumericalIfStatementTransformer,
+    RoundToDecimalTransformer,
+    RoundTransformer,
+    StringMapTransformer,
+    SubtractTransformer,
+    SumTransformer,
+)
+from kamae_ray.stages.strings import (  # noqa: F401
+    StringAffixTransformer,
+    StringArrayConstantTransformer,
+    StringCaseTransformer,
+    StringConcatenateTransformer,
+    StringContainsListTransformer,
+    StringContainsTransformer,
+    StringIsInListTransformer,
+    StringListToStringTransformer,
+    StringReplaceTransformer,
+    StringToStringListTransformer,
+    SubStringDelimAtIndexTransformer,
+)
+from kamae_ray.stages.dates import (  # noqa: F401
+    CurrentDateTimeTransformer,
+    CurrentDateTransformer,
+    CurrentUnixTimestampTransformer,
+    DateAddTransformer,
+    DateDiffTransformer,
+    DateParseTransformer,
+    DateTimeToUnixTimestampTransformer,
+    UnixTimestampToDateTimeTransformer,
+)
+from kamae_ray.stages.array_ops import (  # noqa: F401
+    ArrayConcatenateTransformer,
+    ArrayCropTransformer,
+    ArrayReduceMaxTransformer,
+    ArraySplitTransformer,
+    ArraySubtractMinimumTransformer,
+    OrdinalArrayEncodeTransformer,
+    StringSequenceToEmbeddingTransformer,
+)
+from kamae_ray.stages.similarity import (  # noqa: F401
+    BearingAngleTransformer,
+    CosineSimilarityTransformer,
+    HaversineDistanceTransformer,
+    PairwiseCosineSimilarityTransformer,
+)
+from kamae_ray.stages.hashing import (  # noqa: F401
+    BloomEncodeTransformer,
+    HashIndexTransformer,
+    MinHashIndexTransformer,
+)
+from kamae_ray.stages.scalers import (  # noqa: F401
+    ConditionalStandardScaleEstimator,
+    ImputeEstimator,
+    ImputeTransformer,
+    MinMaxScaleEstimator,
+    MinMaxScaleTransformer,
+    SingleFeatureArrayStandardScaleEstimator,
+    StandardScaleEstimator,
+    StandardScaleTransformer,
+)
+from kamae_ray.stages.indexers import (  # noqa: F401
+    OneHotEncodeEstimator,
+    OneHotEncodeTransformer,
+    SharedOneHotEncodeEstimator,
+    SharedOneHotEncodeTransformer,
+    SharedStringIndexEstimator,
+    SharedStringIndexTransformer,
+    StringIndexEstimator,
+    StringIndexTransformer,
+)
+from kamae_ray.stages.listwise import (  # noqa: F401
+    ListMaxTransformer,
+    ListMeanTransformer,
+    ListMedianTransformer,
+    ListMinTransformer,
+    ListRankTransformer,
+    ListStdDevTransformer,
+)
+from kamae_ray.stages.window import (  # noqa: F401
+    BackfillTransformer,
+    CumulativeAggTransformer,
+    KeyedWindowTransformer,
+    LagTransformer,
+    LeadTransformer,
+    RollingAggTransformer,
+    SessionizeTransformer,
+    asof_join,
+)
+from kamae_ray.stages.lambda_fn import LambdaFunctionTransformer  # noqa: F401

@@ -29,7 +29,7 @@ def _hash_distinct(flat: pa.Array, fn) -> pa.Array:
     d = flat.dictionary_encode()
     dict_vals = d.dictionary.to_pylist()
     mapped = np.array([fn(v) for v in dict_vals], dtype=np.int64) if dict_vals else np.array([], np.int64)
-    indices = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    indices = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     out = np.zeros(len(flat), dtype=np.int64)
     valid = ~pc.is_null(flat).to_numpy(zero_copy_only=False)
     if len(mapped):
@@ -86,7 +86,7 @@ class MinHashIndexTransformer(Transformer):
         # hash each distinct label once per permutation
         d = flat.dictionary_encode()
         dict_vals = d.dictionary.to_pylist()
-        indices = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        indices = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         null_mask = pc.is_null(flat).to_numpy(zero_copy_only=False)
         # (num_distinct, P) matrix of hashes, mask labels pinned to INT32_MAX
         hm = np.empty((max(len(dict_vals), 1), P), dtype=np.int64)
@@ -148,7 +148,7 @@ class BloomEncodeTransformer(Transformer):
         H = self.num_hash_fns
         d = flat.dictionary_encode()
         dict_vals = d.dictionary.to_pylist()
-        indices = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        indices = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         null_mask = pc.is_null(flat).to_numpy(zero_copy_only=False)
         hm = np.zeros((max(len(dict_vals), 1), H), dtype=np.int64)
         for vi, v in enumerate(dict_vals):

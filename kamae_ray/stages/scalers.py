@@ -1,0 +1,296 @@
+"""Scaling / imputation: fitted transformers + estimators, §2.12–2.13.
+
+Reference semantics:
+- StandardScale: (x-mean_i)/std_i per innermost position; std==0 -> scale 0;
+  mask_value positions pass through (transformers/standard_scale.py:99-135);
+  fit = per-position mean + stddev_pop, mask excluded
+  (estimators/standard_scale.py:100-163).
+- MinMaxScale: (x-min)/(max-min) per position, mask-aware
+  (transformers/min_max_scale.py:188, estimators/min_max_scale.py:102-165).
+- Impute: replace mask_value/null with fitted mean or exact median
+  (transformers/impute.py:160, estimators/impute.py:110-167).
+- ConditionalStandardScale / SingleFeatureArrayStandardScale variants
+  (estimators/conditional_standard_scale.py:352-605,
+  single_feature_array_standard_scale.py:96-156).
+
+Ray design: fit runs the streaming partial-aggregate passes in
+kamae_ray/state/aggregators.py (per-block numpy partials + driver merge —
+only O(blocks × width) rows reach the driver); the fitted state is a plain
+numpy vector that rides the transformer object into ``map_batches`` closures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.base import Estimator, Transformer, _append_or_replace
+from kamae_ray.functions import arrays as A
+from kamae_ray.state import aggregators as agg
+
+
+def _positionwise_apply(arr: pa.Array, fn, out_type=pa.float64()) -> pa.Array:
+    """Apply fn(values_matrix_or_flat, position_index_array) over the innermost
+    values; works for scalars (width 1) and fixed-width arrays."""
+    levels, flat = A.unwrap(arr)
+    vals, mask = A.to_numpy(pc.cast(flat, pa.float64(), safe=False))
+    vals = vals.astype(np.float64, copy=True)
+    if levels:
+        # position within the INNERMOST array (per-position stats convention)
+        inner_lens = np.diff(levels[-1][0])
+        total = int(inner_lens.sum())
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(inner_lens) - inner_lens, inner_lens)
+            if total
+            else np.zeros(0, np.int64)
+        )
+    else:
+        pos = np.zeros(len(vals), dtype=np.int64)
+    out = fn(vals, pos)
+    res = pa.array(out, out_type, mask=mask)
+    return A.rewrap(levels, res)
+
+
+class StandardScaleTransformer(Transformer):
+    """(x - mean_i) / std_i per innermost position; std==0 -> multiply by 0;
+    mask positions unchanged. Reference: transformers/standard_scale.py:118-130."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, mean, stddev, mask_value: float | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mean = [float(m) if m is not None else float("nan") for m in mean]
+        self.stddev = [float(s) if s is not None else float("nan") for s in stddev]
+        self.mask_value = mask_value
+
+    def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
+        mean = np.asarray(self.mean)
+        std = np.asarray(self.stddev)
+        inv = np.where(std == 0, 0.0, 1.0 / np.where(std == 0, 1.0, std))
+
+        def fn(vals, pos):
+            p = np.minimum(pos, len(mean) - 1)
+            out = (vals - mean[p]) * inv[p]
+            if self.mask_value is not None:
+                out = np.where(vals == self.mask_value, vals, out)
+            return out
+
+        return _positionwise_apply(arr, fn)
+
+
+class MinMaxScaleTransformer(Transformer):
+    """(x - min) / (max - min) per position, mask-aware.
+    Reference: transformers/min_max_scale.py:188."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, min, max, mask_value: float | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.min = [float(m) for m in min]
+        self.max = [float(m) for m in max]
+        self.mask_value = mask_value
+
+    def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
+        mn = np.asarray(self.min)
+        mx = np.asarray(self.max)
+        rng = mx - mn
+        inv = np.where(rng == 0, 0.0, 1.0 / np.where(rng == 0, 1.0, rng))
+
+        def fn(vals, pos):
+            p = np.minimum(pos, len(mn) - 1)
+            out = (vals - mn[p]) * inv[p]
+            if self.mask_value is not None:
+                out = np.where(vals == self.mask_value, vals, out)
+            return out
+
+        return _positionwise_apply(arr, fn)
+
+
+class ImputeTransformer(Transformer):
+    """Replace mask_value / null with the fitted impute value.
+    Reference: transformers/impute.py:160."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, impute_value: float, mask_value: float | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.impute_value = impute_value
+        self.mask_value = mask_value
+
+    def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
+        def kernel(flat):
+            x = pc.cast(flat, pa.float64(), safe=False)
+            x = pc.fill_null(x, self.impute_value)
+            if self.mask_value is not None:
+                x = pc.if_else(
+                    pc.equal(x, pa.scalar(float(self.mask_value))),
+                    pa.scalar(float(self.impute_value)),
+                    x,
+                )
+            return x
+
+        return A.lift(kernel, arr)
+
+
+class StandardScaleEstimator(Estimator):
+    """Fit per-position mean + stddev_pop (mask-aware), then StandardScale.
+    Reference: estimators/standard_scale.py:100-163."""
+
+    def __init__(self, *args, mask_value: float | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mask_value = mask_value
+
+    def fit(self, ds) -> StandardScaleTransformer:
+        ds = self._maybe_sample(ds)
+        mom = agg.moments(ds, self.input_col, self.mask_value)
+        return StandardScaleTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            mean=mom["mean"].tolist(),
+            stddev=mom["std_pop"].tolist(),
+            mask_value=self.mask_value,
+        )
+
+
+class SingleFeatureArrayStandardScaleEstimator(Estimator):
+    """ONE mean/std over ALL elements of the arrays, broadcast to every
+    position. Reference: estimators/single_feature_array_standard_scale.py:96-156."""
+
+    def __init__(self, *args, mask_value: float | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mask_value = mask_value
+
+    def fit(self, ds) -> StandardScaleTransformer:
+        ds = self._maybe_sample(ds)
+        mom = agg.moments(ds, self.input_col, self.mask_value)
+        cnt = mom["count"]
+        n = cnt.sum()
+        mean = float(np.nansum(mom["mean"] * cnt) / n) if n else float("nan")
+        # combine per-position moments into global stddev_pop
+        ex2 = np.nansum((mom["std_pop"] ** 2 + mom["mean"] ** 2) * cnt) / n if n else float("nan")
+        std = float(np.sqrt(max(ex2 - mean * mean, 0.0))) if n else float("nan")
+        return StandardScaleTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            mean=[mean],
+            stddev=[std],
+            mask_value=self.mask_value,
+        )
+
+
+class MinMaxScaleEstimator(Estimator):
+    """Fit per-position min/max (mask-aware). Reference: estimators/min_max_scale.py:102-165."""
+
+    def __init__(self, *args, mask_value: float | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mask_value = mask_value
+
+    def fit(self, ds) -> MinMaxScaleTransformer:
+        ds = self._maybe_sample(ds)
+        mom = agg.moments(ds, self.input_col, self.mask_value)
+        return MinMaxScaleTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            min=mom["min"].tolist(),
+            max=mom["max"].tolist(),
+            mask_value=self.mask_value,
+        )
+
+
+class ImputeEstimator(Estimator):
+    """Fit global mean or exact median of flattened values (mask/null
+    excluded). Reference: estimators/impute.py:110-167."""
+
+    def __init__(self, *args, impute_method: str = "mean", mask_value: float | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if impute_method not in ("mean", "median"):
+            raise ValueError("impute_method must be mean|median")
+        self.impute_method = impute_method
+        self.mask_value = mask_value
+
+    def fit(self, ds) -> ImputeTransformer:
+        ds = self._maybe_sample(ds)
+        if self.impute_method == "mean":
+            mom = agg.moments(ds, self.input_col, self.mask_value)
+            n = mom["count"].sum()
+            value = float(np.nansum(mom["mean"] * mom["count"]) / n) if n else None
+        else:
+            value = agg.exact_median(ds, self.input_col, self.mask_value)
+        return ImputeTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            impute_value=value,
+            mask_value=self.mask_value,
+        )
+
+
+class ConditionalStandardScaleEstimator(Estimator):
+    """Standard-mode conditional scaling: rows pre-filtered by a mask
+    condition on a second column before the moments pass; optional skip_zeros
+    excludes exact zeros from the statistics.
+    Reference: estimators/conditional_standard_scale.py:352-605 (standard
+    mode; the 'binary' relevance-count mode computes mean=1-f/n from label
+    frequencies)."""
+
+    def __init__(
+        self,
+        *args,
+        mask_value: float | None = None,
+        skip_zeros: bool = False,
+        mode: str = "standard",
+        relevance_col: str | None = None,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.mask_value = mask_value
+        self.skip_zeros = skip_zeros
+        self.mode = mode
+        self.relevance_col = relevance_col
+
+    def fit(self, ds) -> StandardScaleTransformer:
+        ds = self._maybe_sample(ds)
+        mask = self.mask_value
+        if self.skip_zeros:
+            # exclude zeros by treating them as masked in the moments pass
+            if mask is None:
+                mask = 0.0
+        if self.mode == "binary" and self.relevance_col is not None:
+            # mean = 1 - (#relevant / n); bespoke std per reference :398-458
+            mom_rel = agg.moments(ds, self.relevance_col, None)
+            n = mom_rel["count"].sum()
+            f = np.nansum(mom_rel["mean"] * mom_rel["count"])  # sum of 0/1 labels
+            mean = 1.0 - (f / n if n else 0.0)
+            std = float(np.sqrt(max((f / n) * (1 - f / n), 0.0))) if n else 0.0
+            return StandardScaleTransformer(
+                input_col=self.input_col,
+                output_col=self.output_col,
+                layer_name=self.layer_name,
+                mean=[float(mean)],
+                stddev=[std],
+                mask_value=self.mask_value,
+            )
+        mom = agg.moments(ds, self.input_col, mask)
+        return StandardScaleTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            mean=mom["mean"].tolist(),
+            stddev=mom["std_pop"].tolist(),
+            mask_value=self.mask_value,
+        )

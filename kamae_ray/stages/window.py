@@ -216,6 +216,9 @@ def _asof_merge_tables(left, right, by, left_on, right_on, right_cols, strict, t
     out = left
     for c, out_name in zip(payload, payload_out):
         col = A.as_array(right.column(c))
+        if right.num_rows == 0:
+            out = _append_or_replace(out, out_name, pa.nulls(left.num_rows, col.type))
+            continue
         taken = col.take(pa.array(np.clip(match_idx, 0, None)))
         matched = match_idx >= 0
         if not matched.all():

@@ -1,0 +1,139 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.pipelines.ann import brute_force_topk, ivf_topk
+from kamae_ray.pipelines.dedup import (
+    connected_components,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_buckets,
+)
+from kamae_ray.stages.multimodal import BinaryFeatureExtractTransformer, FrameSampleTransformer
+from kamae_ray.stages.text import (
+    FingerprintTransformer,
+    LanguageIdTransformer,
+    QualityScoreTransformer,
+    TokenCountTransformer,
+    TokenizeTransformer,
+    simple_token_id,
+)
+
+
+def test_tokenize_matches_formula():
+    t = pa.table({"text": ["hello big world", "  spaced   out ", None, ""]})
+    out = TokenizeTransformer(input_col="text", output_col="tokens").transform_batch(t)
+    toks = out.column("tokens").to_pylist()
+    assert toks[0] == [simple_token_id(w) for w in ["hello", "big", "world"]]
+    assert toks[1] == [simple_token_id(w) for w in ["spaced", "out"]]
+    assert toks[2] == []
+    assert toks[3] == []
+    assert out.column("tokens").type == pa.list_(pa.int32())
+
+
+def test_token_count():
+    t = pa.table({"text": ["one two three", "a-b c", None]})
+    out = TokenCountTransformer(input_col="text", output_col="n").transform_batch(t)
+    assert out.column("n").to_pylist() == [3, 2, None]
+    out2 = TokenCountTransformer(input_col="text", mode="bpe", output_col="n").transform_batch(t)
+    assert out2.column("n").to_pylist() == [3, 4, None]
+
+
+def test_language_id():
+    t = pa.table(
+        {
+            "text": [
+                "the cat and the dog are in the house",
+                "der Hund ist mit der Katze und nicht allein",
+                "le chat est dans la maison pour le moment",
+                "zzz qqq",
+            ]
+        }
+    )
+    out = LanguageIdTransformer(input_col="text", output_col="o").transform_batch(t)
+    assert out.column("o").to_pylist() == ["en", "de", "fr", "unknown"]
+
+
+def test_quality_score():
+    t = pa.table({"text": ["the quick brown fox is in the barn", "!!! ??? ###"]})
+    out = QualityScoreTransformer(input_col="text", output_col="q").transform_batch(t)
+    scores = out.column("q_score").to_pylist()
+    assert scores[0] > scores[1]
+    assert out.column("q_stop_ratio").to_pylist()[0] > 0
+
+
+def test_fingerprint_rolling_and_simhash():
+    t = pa.table({"text": ["a b c d", "a b c d", "a b c e", "x y z w"]})
+    fp = FingerprintTransformer(input_col="text", method="rolling", output_col="o").transform_batch(t)
+    v = fp.column("o").to_pylist()
+    assert v[0] == v[1] and v[0] != v[2]
+    sh = FingerprintTransformer(input_col="text", method="simhash", output_col="o").transform_batch(t)
+    s = np.array(sh.column("o").to_pylist(), dtype=np.int64).view(np.uint64)
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(s[0], s[2]) < ham(s[0], s[3])  # similar docs closer in hamming
+
+
+def test_exact_dedup():
+    t = pa.table({"text": ["a", "b", "a", "c", "b"], "id": [5, 2, 1, 3, 4]})
+    out = exact_dedup(t, "text", "id").sort_by("id")
+    assert out.column("id").to_pylist() == [1, 2, 3]
+
+
+def test_minhash_lsh_finds_neardups():
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spacecraft engineering and orbital mechanics today"
+    t = pa.table({"text": [base, near, other], "id": [1, 2, 3]})
+    pairs = minhash_lsh_candidates(t, "text", "id", num_perm=64, bands=16, shingle_k=2)
+    plist = list(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    assert (1, 2) in plist
+    assert (1, 3) not in plist
+    assert ngram_jaccard(base, near, k=2) > 0.5
+    assert ngram_jaccard(base, other, k=2) < 0.1
+
+
+def test_connected_components():
+    comp = connected_components([(1, 2), (2, 3), (5, 6)])
+    assert comp[3] == 1 and comp[6] == 5
+
+
+def test_simhash_buckets():
+    t = pa.table({"text": ["a b c d e f", "a b c d e f", "q w e r t y"], "id": [1, 2, 3]})
+    pairs = simhash_buckets(t, "text", "id")
+    plist = list(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    assert (1, 2) in plist
+
+
+def test_embedding_neardup_and_ann():
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(8)
+    vecs = [base, base + 1e-3 * rng.standard_normal(8), rng.standard_normal(8), -base]
+    t = pa.table({"id": [1, 2, 3, 4], "emb": [list(map(float, v)) for v in vecs]})
+    pairs = embedding_neardup_pairs(t, "emb", "id", threshold=0.99, planes=8)
+    plist = list(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    assert (1, 2) in plist
+
+    top = brute_force_topk(t, np.array([base]), "emb", "id", k=2)
+    assert top.column("id").to_pylist()[0] in (1, 2)
+    assert top.column("rank").to_pylist() == [1, 2]
+
+    ivf = ivf_topk(t, np.array([base]), "emb", "id", k=2, n_centroids=2, n_probe=2)
+    assert set(ivf.column("id").to_pylist()) == set(top.column("id").to_pylist())
+
+
+def test_multimodal_stub():
+    t = pa.table({"payload": [b"abc" * 100, b"xyz" * 500, None]})
+    out = BinaryFeatureExtractTransformer(input_col="payload", feature_dim=16, output_col="f").transform_batch(t)
+    feats = out.column("f").to_pylist()
+    assert all(len(f) == 16 for f in feats)
+    # deterministic
+    out2 = BinaryFeatureExtractTransformer(input_col="payload", feature_dim=16, output_col="f").transform_batch(t)
+    assert feats == out2.column("f").to_pylist()
+    with pytest.raises(NotImplementedError):
+        BinaryFeatureExtractTransformer(input_col="payload", fake=False, output_col="f").transform_batch(t)
+    fr = FrameSampleTransformer(input_col="payload", frame_bytes=10, stride=2, max_frames=3, output_col="fr").transform_batch(t)
+    frames = fr.column("fr").to_pylist()
+    assert len(frames[0]) == 3 and all(len(f) == 10 for f in frames[0])
+    assert frames[2] is None

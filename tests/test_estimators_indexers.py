@@ -1,0 +1,140 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.functions.farmhash import safe_hash64
+from kamae_ray.stages import (
+    ImputeEstimator,
+    MinMaxScaleEstimator,
+    OneHotEncodeEstimator,
+    SharedStringIndexEstimator,
+    SingleFeatureArrayStandardScaleEstimator,
+    StandardScaleEstimator,
+    StringIndexEstimator,
+    StringIndexTransformer,
+)
+
+
+def test_standard_scale_scalar(scalar_mixed):
+    m = StandardScaleEstimator(input_col="col1", output_col="o").fit(scalar_mixed)
+    vals = np.array([1.0, 4.0, 7.0])
+    assert m.mean == pytest.approx([vals.mean()])
+    assert m.stddev == pytest.approx([vals.std()])  # population std
+    out = m.transform_batch(scalar_mixed).column("o").to_pylist()
+    assert out == pytest.approx(((vals - vals.mean()) / vals.std()).tolist())
+
+
+def test_standard_scale_array_positions(scalar_mixed):
+    m = StandardScaleEstimator(input_col="col1_col2_col3", output_col="o").fit(scalar_mixed)
+    mat = np.array([[1.0, 2.0, 3.0], [4.0, 2.0, 6.0], [7.0, 8.0, 3.0]])
+    assert m.mean == pytest.approx(mat.mean(axis=0).tolist())
+    assert m.stddev == pytest.approx(mat.std(axis=0).tolist())
+
+
+def test_standard_scale_mask_and_zero_std():
+    t = pa.table({"a": [[1.0, 5.0], [-1.0, 5.0], [3.0, 5.0]]})
+    m = StandardScaleEstimator(input_col="a", mask_value=-1.0, output_col="o").fit(t)
+    assert m.mean == pytest.approx([2.0, 5.0])
+    assert m.stddev == pytest.approx([1.0, 0.0])
+    out = m.transform_batch(t).column("o").to_pylist()
+    # std==0 -> scale 0; mask positions pass through
+    assert out[0] == pytest.approx([-1.0, 0.0])
+    assert out[1] == pytest.approx([-1.0, 0.0])  # masked value unchanged
+
+
+def test_single_feature_array_scale():
+    t = pa.table({"a": [[1.0, 2.0], [3.0, 4.0]]})
+    m = SingleFeatureArrayStandardScaleEstimator(input_col="a", output_col="o").fit(t)
+    flat = np.array([1.0, 2.0, 3.0, 4.0])
+    assert m.mean == pytest.approx([flat.mean()])
+    assert m.stddev == pytest.approx([flat.std()])
+
+
+def test_minmax(scalar_mixed):
+    m = MinMaxScaleEstimator(input_col="col1_col2_col3", output_col="o").fit(scalar_mixed)
+    assert m.min == [1.0, 2.0, 3.0]
+    assert m.max == [7.0, 8.0, 6.0]
+    out = m.transform_batch(scalar_mixed).column("o").to_pylist()
+    assert out[0] == pytest.approx([0.0, 0.0, 0.0])
+
+
+def test_impute_mean_median():
+    t = pa.table({"x": [1.0, None, 3.0, -999.0, 10.0]})
+    m = ImputeEstimator(input_col="x", mask_value=-999.0, impute_method="mean", output_col="o").fit(t)
+    assert m.impute_value == pytest.approx(np.mean([1.0, 3.0, 10.0]))
+    assert m.transform_batch(t).column("o").to_pylist() == pytest.approx(
+        [1.0, m.impute_value, 3.0, m.impute_value, 10.0]
+    )
+    m2 = ImputeEstimator(input_col="x", mask_value=-999.0, impute_method="median", output_col="o").fit(t)
+    assert m2.impute_value == pytest.approx(3.0)
+
+
+def test_impute_median_even_interpolates():
+    t = pa.table({"x": [1.0, 2.0, 3.0, 10.0]})
+    m = ImputeEstimator(input_col="x", impute_method="median", output_col="o").fit(t)
+    assert m.impute_value == pytest.approx(2.5)
+
+
+def test_string_index_rules(strings_edge):
+    m = StringIndexEstimator(
+        input_col="label", mask_token="PAD", string_order_type="frequencyDesc", output_col="o"
+    ).fit(strings_edge)
+    # frequencies: x=3, y=2, zz=1 (PAD and null excluded)
+    assert m.labels_array == ["x", "y", "zz"]
+    out = m.transform_batch(strings_edge).column("o").to_pylist()
+    # mask->0, null->0; known = pos + num_oov(1) + mask(1)
+    assert out == [2, 3, 2, 0, 0, 2, 3, 4]
+
+
+def test_string_index_oov_hash():
+    m = StringIndexTransformer(
+        input_col="s", labels_array=["a"], mask_token=None, num_oov_indices=2, output_col="o"
+    )
+    t = pa.table({"s": ["a", "UNSEEN"]})
+    out = m.transform_batch(t).column("o").to_pylist()
+    assert out[0] == 2  # pos 0 + 2 oov
+    assert out[1] == (safe_hash64("UNSEEN") % 2)  # oov bucket, start=0
+
+
+def test_string_index_alphabetical(strings_edge):
+    m = StringIndexEstimator(
+        input_col="label", string_order_type="alphabeticalAsc", output_col="o"
+    ).fit(strings_edge)
+    assert m.labels_array == ["PAD", "x", "y", "zz"]  # no mask -> PAD is a label
+
+
+def test_string_index_max_labels(strings_edge):
+    m = StringIndexEstimator(
+        input_col="label", mask_token="PAD", max_num_labels=1, output_col="o"
+    ).fit(strings_edge)
+    assert m.labels_array == ["x"]
+
+
+def test_shared_string_index(strings_edge):
+    m = SharedStringIndexEstimator(
+        input_cols=["label", "label"], output_cols=["o1", "o2"], mask_token="PAD"
+    ).fit(strings_edge)
+    out = m.transform_batch(strings_edge)
+    assert out.column("o1").to_pylist() == out.column("o2").to_pylist()
+
+
+def test_string_index_on_arrays(strings_edge):
+    m = StringIndexEstimator(input_col="label_arr", mask_token="PAD", output_col="o").fit(strings_edge)
+    # counts over flattened arrays: a=3,b=3,c=2,d=1 -> tie a/b broken lexicographically
+    assert m.labels_array == ["a", "b", "c", "d"]
+    out = m.transform_batch(strings_edge).column("o").to_pylist()
+    assert out[0] == [2, 3, 2]
+    assert out[1] == [0, 4]
+    assert out[4] is None
+
+
+def test_one_hot(strings_edge):
+    m = OneHotEncodeEstimator(input_col="label", mask_token="PAD", output_col="o").fit(strings_edge)
+    out = m.transform_batch(strings_edge).column("o").to_pylist()
+    width = len(m.labels_array) + 1 + 1
+    assert all(len(v) == width for v in out)
+    assert out[0][2] == 1.0 and sum(out[0]) == 1.0
+    m2 = OneHotEncodeEstimator(input_col="label", mask_token="PAD", drop_unseen=True, output_col="o").fit(strings_edge)
+    out2 = m2.transform_batch(strings_edge).column("o").to_pylist()
+    assert all(len(v) == len(m2.labels_array) for v in out2)
+    assert sum(out2[3]) == 0.0  # mask row drops to all-zeros

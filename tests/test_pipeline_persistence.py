@@ -1,0 +1,121 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.pipelines import Pipeline, PipelineModel
+from kamae_ray.pipelines.pipeline import topo_sort
+from kamae_ray.stages import (
+    LogTransformer,
+    StandardScaleEstimator,
+    StringIndexEstimator,
+    SumTransformer,
+)
+from kamae_ray.state.checkpoint import ResumableRunner, op_chain_hash
+
+
+def test_topo_sort_orders_producers_first(scalar_mixed):
+    a = LogTransformer(input_col="col1", output_col="lg")
+    b = SumTransformer(input_col="lg", constant=1.0, output_col="lg1")
+    ordered = topo_sort([b, a])
+    assert ordered[0] is a
+
+
+def test_selective_fit_runs_needed_transformers(scalar_mixed):
+    # estimator consumes the OUTPUT of a transformer -> transformer must run at fit
+    pipe = Pipeline([
+        LogTransformer(input_col="col1", output_col="lg"),
+        StandardScaleEstimator(input_col="lg", output_col="lgs"),
+    ])
+    pm = pipe.fit(scalar_mixed)
+    vals = np.log([1.0, 4.0, 7.0])
+    fitted = [s for s in pm.stages if hasattr(s, "mean")][0]
+    assert fitted.mean == pytest.approx([vals.mean()])
+    out = pm.transform(scalar_mixed)
+    assert out.column("lgs").to_pylist() == pytest.approx(((vals - vals.mean()) / vals.std()).tolist())
+
+
+def test_nested_pipeline_flattening(scalar_mixed):
+    inner = Pipeline([LogTransformer(input_col="col1", output_col="lg")])
+    outer = Pipeline([inner, SumTransformer(input_col="lg", constant=1.0, output_col="lg1")])
+    assert len(outer.stages) == 2
+    pm = outer.fit(scalar_mixed)
+    out = pm.transform(scalar_mixed)
+    assert "lg1" in out.column_names
+
+
+def test_pipeline_model_roundtrip(tmp_path, scalar_mixed):
+    pipe = Pipeline([
+        LogTransformer(input_col="col1", output_col="lg"),
+        StandardScaleEstimator(input_col="col1", output_col="cs"),
+        StringIndexEstimator(input_col="col4", output_col="ci"),
+    ])
+    pm = pipe.fit(scalar_mixed)
+    path = str(tmp_path / "model")
+    pm.save(path)
+    pm2 = PipelineModel.load(path)
+    a = pm.transform(scalar_mixed)
+    b = pm2.transform(scalar_mixed)
+    assert a.equals(b)
+
+
+def test_unfitted_pipeline_roundtrip(tmp_path, scalar_mixed):
+    pipe = Pipeline([LogTransformer(input_col="col1", alpha=2.0, output_col="lg")])
+    path = str(tmp_path / "pipe")
+    pipe.save(path)
+    pipe2 = Pipeline.load(path)
+    assert pipe2.fit(scalar_mixed).transform(scalar_mixed).column("lg").to_pylist() == pytest.approx(
+        np.log([3.0, 6.0, 9.0]).tolist()
+    )
+
+
+def test_schema_not_mutated(scalar_mixed):
+    pm = PipelineModel([LogTransformer(input_col="col1", output_col="lg")])
+    out = pm.transform(scalar_mixed)
+    assert out.column_names[: len(scalar_mixed.column_names)] == scalar_mixed.column_names
+
+
+def test_resumable_runner(tmp_path, scalar_mixed):
+    import pyarrow.parquet as pq
+
+    files = []
+    for i in range(3):
+        f = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(scalar_mixed, f)
+        files.append(f)
+
+    pm = PipelineModel([LogTransformer(input_col="col1", output_col="lg")])
+    h = op_chain_hash(pm)
+    outdir = str(tmp_path / "out")
+
+    calls = []
+
+    def partition_fn(fs):
+        calls.append(fs)
+        return pm.transform(pq.read_table(fs[0]))
+
+    runner = ResumableRunner(outdir, h)
+    recs = runner.run(files, partition_fn)
+    assert all(not r["skipped"] for r in recs)
+    assert len(calls) == 3
+
+    # resume: nothing recomputed
+    calls.clear()
+    recs2 = ResumableRunner(outdir, h).run(files, partition_fn)
+    assert all(r["skipped"] for r in recs2)
+    assert calls == []
+
+    # kill-mid-run simulation: delete one partition's lineage -> only it reruns
+    import os
+
+    os.remove(os.path.join(outdir, "lineage-00001.json"))
+    recs3 = ResumableRunner(outdir, h).run(files, partition_fn)
+    assert [r["skipped"] for r in recs3] == [True, False, True]
+    assert len(calls) == 1
+
+    # op change invalidates everything
+    pm2 = PipelineModel([LogTransformer(input_col="col1", alpha=1.0, output_col="lg")])
+    h2 = op_chain_hash(pm2)
+    assert h2 != h
+    calls.clear()
+    recs4 = ResumableRunner(outdir, h2).run(files, partition_fn)
+    assert all(not r["skipped"] for r in recs4)

@@ -1,0 +1,77 @@
+import pyarrow as pa
+import pytest
+
+from kamae_ray.stages import (
+    DateAddTransformer,
+    DateDiffTransformer,
+    DateParseTransformer,
+    DateTimeToUnixTimestampTransformer,
+    StringAffixTransformer,
+    StringCaseTransformer,
+    StringConcatenateTransformer,
+    StringContainsListTransformer,
+    StringContainsTransformer,
+    StringIsInListTransformer,
+    StringListToStringTransformer,
+    StringReplaceTransformer,
+    StringToStringListTransformer,
+    SubStringDelimAtIndexTransformer,
+    UnixTimestampToDateTimeTransformer,
+)
+
+
+def col(t, name):
+    return t.column(name).to_pylist()
+
+
+@pytest.fixture()
+def st():
+    return pa.table(
+        {
+            "s": ["Hello World", "a,b,c", None],
+            "s2": ["World", "x", "y"],
+            "arr": [["p", "q"], ["r"], None],
+        }
+    )
+
+
+def test_affix_case_concat(st):
+    assert col(StringAffixTransformer(input_col="s", prefix="<", suffix=">", output_col="o").transform_batch(st), "o") == ["<Hello World>", "<a,b,c>", None]
+    assert col(StringCaseTransformer(input_col="s", string_case_type="upper", output_col="o").transform_batch(st), "o") == ["HELLO WORLD", "A,B,C", None]
+    assert col(StringConcatenateTransformer(input_cols=["s", "s2"], separator="_", output_col="o").transform_batch(st), "o")[:2] == ["Hello World_World", "a,b,c_x"]
+
+
+def test_contains_isin(st):
+    assert col(StringContainsTransformer(input_col="s", string_constant="World", output_col="o").transform_batch(st), "o") == [True, False, None]
+    assert col(StringContainsTransformer(input_cols=["s", "s2"], output_col="o").transform_batch(st), "o") == [True, False, None]
+    assert col(StringContainsListTransformer(input_col="s", string_constant_list=["b,", "Hello"], output_col="o").transform_batch(st), "o") == [True, True, None]
+    assert col(StringIsInListTransformer(input_col="s2", string_constant_list=["World", "y"], output_col="o").transform_batch(st), "o") == [True, False, True]
+
+
+def test_replace_split_join(st):
+    assert col(StringReplaceTransformer(input_col="s", string_match_constant="l+", string_replace_constant="L", output_col="o").transform_batch(st), "o") == ["HeLo WorLd", "a,b,c", None]
+    assert col(SubStringDelimAtIndexTransformer(input_col="s", delimiter=",", index=1, default_value="NA", output_col="o").transform_batch(st), "o") == ["NA", "b", None]
+    assert col(StringListToStringTransformer(input_col="arr", separator="-", output_col="o").transform_batch(st), "o") == ["p-q", "r", None]
+    out = StringToStringListTransformer(input_col="s", separator=",", list_length=2, default_value="PAD", output_col="o").transform_batch(st)
+    assert col(out, "o") == [["Hello World", "PAD"], ["a", "b"], None]
+
+
+def test_date_parse_parts():
+    t = pa.table({"d": ["2021-03-15 13:45:30.250"]})
+    expect = {
+        "Year": 2021, "MonthOfYear": 3, "DayOfMonth": 15, "DayOfWeek": 1,
+        "DayOfYear": 74, "Hour": 13, "Minute": 45, "Second": 30, "Millisecond": 250,
+    }
+    for part, v in expect.items():
+        out = DateParseTransformer(input_col="d", date_part=part, output_col="o").transform_batch(t)
+        assert col(out, "o") == [v], part
+
+
+def test_date_add_diff_roundtrip():
+    t = pa.table({"a": ["2021-01-30"], "b": ["2021-02-02"]})
+    assert col(DateAddTransformer(input_col="a", num_days=3, output_col="o").transform_batch(t), "o") == ["2021-02-02"]
+    assert col(DateDiffTransformer(input_cols=["a", "b"], output_col="o").transform_batch(t), "o") == [3]
+    u = DateTimeToUnixTimestampTransformer(input_col="a", unit="ms", output_col="u").transform_batch(t)
+    assert col(u, "u") == [1611964800000]
+    back = UnixTimestampToDateTimeTransformer(input_col="u", unit="ms", output_col="o").transform_batch(u)
+    assert col(back, "o") == ["2021-01-30 00:00:00.000"]

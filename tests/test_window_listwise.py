@@ -1,0 +1,125 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.stages import (
+    BackfillTransformer,
+    CumulativeAggTransformer,
+    LagTransformer,
+    LeadTransformer,
+    ListMeanTransformer,
+    ListMedianTransformer,
+    ListRankTransformer,
+    ListStdDevTransformer,
+    RollingAggTransformer,
+    SessionizeTransformer,
+    asof_join,
+)
+
+
+@pytest.fixture()
+def listwise_t():
+    return pa.table(
+        {
+            "q": [1, 1, 1, 2, 2, 3],
+            "v": [10.0, 20.0, 30.0, 5.0, None, 7.0],
+            "srt": [3.0, 2.0, 1.0, 1.0, 2.0, 1.0],
+            "seg": ["a", "a", "b", "a", "a", "a"],
+        }
+    )
+
+
+@pytest.fixture()
+def events_t():
+    return pa.table(
+        {
+            "u": [1, 1, 1, 1, 2, 2],
+            "ts": [10, 20, 35, 100, 5, 8],
+            "val": [1.0, None, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+
+
+def test_list_stats(listwise_t):
+    t = listwise_t
+    assert ListMeanTransformer(input_col="v", query_id_col="q", output_col="o").transform(t).column("o").to_pylist() == [20.0, 20.0, 20.0, 5.0, 5.0, 7.0]
+    assert ListMedianTransformer(input_col="v", query_id_col="q", output_col="o").transform(t).column("o").to_pylist()[:3] == [20.0] * 3
+    assert ListStdDevTransformer(input_col="v", query_id_col="q", nan_fill_value=-1.0, output_col="o").transform(t).column("o").to_pylist() == [10.0, 10.0, 10.0, -1.0, -1.0, -1.0]
+
+
+def test_list_topn_filter_segment(listwise_t):
+    t = listwise_t
+    # top 2 by srt asc within q=1 -> rows with srt 1,2 -> values 30,20 -> mean 25
+    out = ListMeanTransformer(input_col="v", query_id_col="q", sort_col="srt", top_n=2, output_col="o").transform(t)
+    assert out.column("o").to_pylist()[:3] == [25.0] * 3
+    out2 = ListMeanTransformer(input_col="v", query_id_col="q", min_filter_value=15.0, output_col="o").transform(t)
+    assert out2.column("o").to_pylist()[:3] == [25.0] * 3
+    out3 = ListMeanTransformer(input_col="v", query_id_col="q", segment_col="seg", output_col="o").transform(t)
+    assert out3.column("o").to_pylist()[:3] == [15.0, 15.0, 30.0]
+
+
+def test_list_rank(listwise_t):
+    out = ListRankTransformer(input_col="v", query_id_col="q", sort_order="desc", output_col="o").transform(listwise_t)
+    assert out.column("o").to_pylist() == [3, 2, 1, 1, 2, 1]
+
+
+def test_lag_lead_backfill(events_t):
+    assert LagTransformer(input_col="val", entity_cols=["u"], time_col="ts", output_col="o").transform(events_t).column("o").to_pylist() == [None, 1.0, None, 3.0, None, 5.0]
+    assert LeadTransformer(input_col="val", entity_cols=["u"], time_col="ts", output_col="o").transform(events_t).column("o").to_pylist() == [None, 3.0, 4.0, None, 6.0, None]
+    assert BackfillTransformer(input_col="val", entity_cols=["u"], time_col="ts", output_col="o").transform(events_t).column("o").to_pylist() == [1.0, 1.0, 3.0, 4.0, 5.0, 6.0]
+    assert BackfillTransformer(input_col="val", entity_cols=["u"], time_col="ts", method="bfill", output_col="o").transform(events_t).column("o").to_pylist() == [1.0, 3.0, 3.0, 4.0, 5.0, 6.0]
+
+
+def test_sessionize(events_t):
+    out = SessionizeTransformer(entity_cols=["u"], time_col="ts", gap=20, output_col="o").transform(events_t)
+    assert out.column("o").to_pylist() == [0, 0, 0, 1, 0, 0]
+
+
+def test_cumulative_leakage_free(events_t):
+    out = CumulativeAggTransformer(
+        input_col="val", entity_cols=["u"], time_col="ts", stat="sum", include_current=False, output_col="o"
+    ).transform(events_t)
+    assert out.column("o").to_pylist() == [None, 1.0, 1.0, 4.0, None, 5.0]
+    cnt = CumulativeAggTransformer(
+        input_col="val", entity_cols=["u"], time_col="ts", stat="count", include_current=False, output_col="o"
+    ).transform(events_t)
+    assert cnt.column("o").to_pylist() == [0.0, 1.0, 1.0, 2.0, 0.0, 1.0]
+
+
+def test_rolling(events_t):
+    out = RollingAggTransformer(
+        input_col="val", entity_cols=["u"], time_col="ts", stat="mean", window=2, output_col="o"
+    ).transform(events_t)
+    assert out.column("o").to_pylist() == [1.0, 1.0, 3.0, 3.5, 5.0, 5.5]
+
+
+def test_asof_backward_strict_tolerance():
+    left = pa.table({"u": [1, 1, 2, 3], "t": [15, 40, 7, 1], "x": [1.0, 2.0, 3.0, 4.0]})
+    right = pa.table({"u": [1, 1, 2], "t": [10, 30, 7], "p": [100.0, 200.0, 300.0]})
+    assert asof_join(left, right, by=["u"], left_on="t").column("p").to_pylist() == [100.0, 200.0, 300.0, None]
+    assert asof_join(left, right, by=["u"], left_on="t", strict=True).column("p").to_pylist() == [100.0, 200.0, None, None]
+    assert asof_join(left, right, by=["u"], left_on="t", tolerance=6).column("p").to_pylist() == [100.0, None, 300.0, None]
+
+
+def test_asof_zero_leakage_truncation_equivalence():
+    """Feature at time t must be identical whether or not future right rows
+    exist (SURVEY.md §5 leakage test)."""
+    rng = np.random.RandomState(7)
+    lt = np.sort(rng.randint(0, 1000, 50))
+    rt = np.sort(rng.randint(0, 1000, 80))
+    left = pa.table({"u": [1] * 50, "t": lt, "x": rng.rand(50)})
+    right = pa.table({"u": [1] * 80, "t": rt, "p": rng.rand(80)})
+    full = asof_join(left, right, by=["u"], left_on="t").column("p").to_pylist()
+    # truncate right side to rows <= each left time: join against truncated
+    # right must give the same answer for that row
+    for i in [0, 10, 25, 49]:
+        cut = rt <= lt[i]
+        r_trunc = right.filter(pa.array(cut))
+        got = asof_join(left.slice(i, 1), r_trunc, by=["u"], left_on="t").column("p").to_pylist()[0]
+        assert got == full[i]
+
+
+def test_keyed_window_preserves_row_order(events_t):
+    out = LagTransformer(input_col="val", entity_cols=["u"], time_col="ts", output_col="o").transform(events_t)
+    assert out.column("ts").to_pylist() == events_t.column("ts").to_pylist()
+    assert out.column("u").to_pylist() == events_t.column("u").to_pylist()

@@ -1,44 +1,759 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship fit+transform pipeline over the sf0.001 tokens table
+(derived deterministically from documents.parquet via the SQL-expressible
+tokenizer) — read_parquet -> fit (StandardScale + StringIndex) -> transform
+(ArrayCrop + Log + HashIndex + listwise mean) -> Dataset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries()/oracle_sql(): one entry per operator family from SURVEY.md §2 plus
+the windowed/point-in-time layer and the training-data extras. Column names
+match the oracle SQL exactly; float results are rounded to 6 decimals on BOTH
+sides (half-away-from-zero) to absorb accumulation-order differences.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+VOCAB = 50_000
+_R = 6  # float rounding decimals for oracle comparisons
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_cols(batch: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        if c in batch.column_names:
+            i = batch.column_names.index(c)
+            batch = batch.set_column(
+                i, c, pc.round(pc.cast(batch.column(c), pa.float64(), safe=False), ndigits=_R, round_mode="half_towards_infinity")
+            )
+    return batch
+
+
+def _rounder(cols):
+    def fn(batch: pa.Table) -> pa.Table:
+        return _round_cols(batch, cols)
+
+    fn.__name__ = "round_floats"
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.sources.synth import tokens_from_documents
+    from kamae_ray.stages import (
+        ArrayCropTransformer,
+        HashIndexTransformer,
+        ListMeanTransformer,
+        LogTransformer,
+        StandardScaleEstimator,
+        StringIndexEstimator,
+    )
+
+    ds = tokens_from_documents("/root/testdata/sf0.001", vocab_size=VOCAB)
+    pipe = Pipeline(
+        [
+            ArrayCropTransformer(input_col="tokens", array_length=64, pad_value=-1, output_col="tokens_64"),
+            LogTransformer(input_col="n_tok", alpha=1.0, output_col="log_n_tok"),
+            StandardScaleEstimator(input_col="n_tok", output_col="n_tok_std"),
+            StringIndexEstimator(input_col="source", output_col="source_idx"),
+            HashIndexTransformer(input_col="doc_id", num_bins=1024, output_col="doc_bucket"),
+        ]
+    )
+    model = pipe.fit(ds)
+    out = model.transform(ds)
+    lw = ListMeanTransformer(input_col="n_tok", query_id_col="source", output_col="source_mean_n_tok")
+    return lw.transform(out)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_log(sf_dir):
+    from kamae_ray.stages import LogTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = LogTransformer(input_col="l_quantity", alpha=1.0, output_col="log_qty").transform(ds)
+    return out.map_batches(_rounder(["log_qty"]), batch_format="pyarrow").drop_columns(["l_quantity"])
+
+
+def _q_arith(sf_dir):
+    from kamae_ray.stages import MultiplyTransformer, RoundToDecimalTransformer, SumTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+    # disc_price = l_extendedprice * (1 - l_discount); rounded to 6 (products
+    # of 2-decimal values land exactly on .xx5 halves where engines' fp ROUND
+    # at 2 decimals diverges — 6 decimals is edge-free)
+    t2 = SumTransformer(input_col="l_discount", constant=-1.0, output_col="disc_m1")
+    t3 = MultiplyTransformer(input_cols=["l_extendedprice", "disc_m1"], output_col="neg_disc_price")
+    t4 = MultiplyTransformer(input_col="neg_disc_price", constant=-1.0, output_col="disc_price_raw")
+    t5 = RoundToDecimalTransformer(input_col="disc_price_raw", decimals=_R, output_col="disc_price")
+    out = ds
+    for t in (t2, t3, t4, t5):
+        out = t.transform(out)
+    return out.drop_columns(["l_extendedprice", "l_discount", "disc_m1", "neg_disc_price", "disc_price_raw"])
+
+
+def _q_math(sf_dir):
+    from kamae_ray.stages import AbsoluteValueTransformer, ExpTransformer, ExponentTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount", "l_quantity"])
+    a = AbsoluteValueTransformer(input_col="l_discount", output_col="abs_disc_raw")
+    e = ExpTransformer(input_col="l_discount", output_col="exp_disc")
+    p = ExponentTransformer(input_col="l_quantity", exponent=2.0, output_col="qty_sq")
+    out = p.transform(e.transform(a.transform(ds)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("abs_disc", batch.column("abs_disc_raw"))
+        return _round_cols(batch, ["exp_disc", "qty_sq", "abs_disc"]).drop_columns(
+            ["l_discount", "l_quantity", "abs_disc_raw"]
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_conditional(sf_dir):
+    from kamae_ray.stages import BinTransformer, BucketizeTransformer, IfStatementTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    ifs = IfStatementTransformer(
+        input_col="l_quantity", condition_operator="gt", value_to_compare=25.0,
+        result_if_true="big", result_if_false="small", output_col="qty_class",
+    )
+    binner = BinTransformer(
+        input_col="l_quantity",
+        condition_operators=["lt", "lt", "lt"],
+        bin_values=[10.0, 25.0, 40.0],
+        bin_labels=["low", "mid", "high"],
+        default_label="huge",
+        output_col="qty_bin",
+    )
+    bk = BucketizeTransformer(input_col="l_quantity", splits=[10.0, 20.0, 30.0, 40.0], output_col="qty_bucket_raw")
+    out = bk.transform(binner.transform(ifs.transform(ds)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("qty_bucket", pc.cast(batch.column("qty_bucket_raw"), pa.int64()))
+        return batch.drop_columns(["l_quantity", "qty_bucket_raw"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_strings(sf_dir):
+    from kamae_ray.stages import (
+        StringAffixTransformer,
+        StringCaseTransformer,
+        StringConcatenateTransformer,
+        StringContainsTransformer,
+        StringReplaceTransformer,
+        SubStringDelimAtIndexTransformer,
+    )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    stages = [
+        StringCaseTransformer(input_col="o_orderpriority", string_case_type="lower", output_col="prio_lower"),
+        StringConcatenateTransformer(input_cols=["o_orderstatus", "o_orderpriority"], separator="|", output_col="status_prio"),
+        StringAffixTransformer(input_col="o_orderstatus", prefix="st_", suffix="_end", output_col="status_tag"),
+        SubStringDelimAtIndexTransformer(input_col="o_orderpriority", delimiter="-", index=1, default_value="NA", output_col="prio_word"),
+        StringContainsTransformer(input_col="o_orderpriority", string_constant="URGENT", output_col="is_urgent"),
+        StringReplaceTransformer(input_col="o_orderpriority", string_match_constant="-", string_replace_constant="_", regex=False, output_col="prio_us"),
+    ]
+    out = ds
+    for s in stages:
+        out = s.transform(out)
+    return out.drop_columns(["o_orderstatus", "o_orderpriority"])
+
+
+def _q_dates(sf_dir):
+    from kamae_ray.stages import DateAddTransformer, DateParseTransformer
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        s = pc.strftime(batch.column("o_orderdate"), format="%Y-%m-%d %H:%M:%S")
+        return batch.append_column("od_str", s)
+
+    to_str.__name__ = "date_to_str"
+    out = ds.map_batches(to_str, batch_format="pyarrow")
+    stages = [
+        DateParseTransformer(input_col="od_str", date_part="Year", output_col="od_year", output_dtype="bigint"),
+        DateParseTransformer(input_col="od_str", date_part="MonthOfYear", output_col="od_month", output_dtype="bigint"),
+        DateParseTransformer(input_col="od_str", date_part="DayOfWeek", output_col="od_dow", output_dtype="bigint"),
+        DateParseTransformer(input_col="od_str", date_part="DayOfYear", output_col="od_doy", output_dtype="bigint"),
+        DateAddTransformer(input_col="od_str", num_days=30, output_col="od_plus30"),
+    ]
+    for s in stages:
+        out = s.transform(out)
+    return out.drop_columns(["o_orderdate", "od_str"])
+
+
+def _q_cosine(sf_dir):
+    from kamae_ray.stages import CosineSimilarityTransformer
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def add_rev(batch: pa.Table) -> pa.Table:
+        import kamae_ray.functions.arrays as A
+
+        arr = A.as_array(batch.column("embedding"))
+        levels, flat = A.unwrap(arr)
+        offsets = levels[0][0]
+        lens = np.diff(offsets)
+        idx = np.repeat(offsets[1:], lens) - 1 - (np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens))
+        rev = flat.take(pa.array(idx))
+        out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), rev)
+        return batch.append_column("embedding_rev", out)
+
+    add_rev.__name__ = "add_reversed"
+    out = ds.map_batches(add_rev, batch_format="pyarrow")
+    cos = CosineSimilarityTransformer(input_cols=["embedding", "embedding_rev"], output_col="cos_rev")
+    out = cos.transform(out)
+    return out.map_batches(_rounder(["cos_rev"]), batch_format="pyarrow").drop_columns(["embedding", "embedding_rev"])
+
+
+def _q_haversine(sf_dir):
+    from kamae_ray.stages import HaversineDistanceTransformer
+
+    ds = _read(sf_dir, "customer", None)
+
+    def coords(batch: pa.Table) -> pa.Table:
+        names = batch.column_names
+        key = batch.column(names[0]).to_numpy(zero_copy_only=False).astype(np.int64)
+        lat1 = (key % 180).astype(np.float64) - 90.0
+        lon1 = ((key * 7) % 360).astype(np.float64) - 180.0
+        return pa.table(
+            {"c_custkey": batch.column(names[0]), "lat1": pa.array(lat1), "lon1": pa.array(lon1)}
+        )
+
+    coords.__name__ = "derive_coords"
+    out = ds.map_batches(coords, batch_format="pyarrow")
+    hv = HaversineDistanceTransformer(
+        input_cols=["lat1", "lon1"], lat_lon_constant=(48.8566, 2.3522), output_col="dist_km"
+    )
+    out = hv.transform(out)
+    return out.map_batches(_rounder(["dist_km", "lat1", "lon1"]), batch_format="pyarrow")
+
+
+def _q_listwise(sf_dir):
+    from kamae_ray.stages import ListMaxTransformer, ListMeanTransformer, ListRankTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+
+    def rank_key(batch: pa.Table) -> pa.Table:
+        k = pc.add(
+            pc.multiply(pc.cast(batch.column("l_quantity"), pa.float64()), 10.0),
+            pc.cast(batch.column("l_linenumber"), pa.float64()),
+        )
+        return batch.append_column("rk", k)
+
+    rank_key.__name__ = "rank_key"
+    out = ds.map_batches(rank_key, batch_format="pyarrow")
+    out = ListMeanTransformer(input_col="l_quantity", query_id_col="l_orderkey", output_col="order_mean_qty").transform(out)
+    out = ListMaxTransformer(input_col="l_extendedprice", query_id_col="l_orderkey", output_col="order_max_price").transform(out)
+    out = ListRankTransformer(input_col="rk", query_id_col="l_orderkey", sort_order="asc", output_col="qty_rank").transform(out)
+    return out.map_batches(_rounder(["order_mean_qty", "order_max_price"]), batch_format="pyarrow").drop_columns(
+        ["l_quantity", "l_extendedprice", "rk"]
+    )
+
+
+def _q_listwise_median_std(sf_dir):
+    from kamae_ray.stages import ListMedianTransformer, ListStdDevTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = ListMedianTransformer(input_col="l_quantity", query_id_col="l_orderkey", output_col="order_median_qty").transform(ds)
+    out = ListStdDevTransformer(input_col="l_quantity", query_id_col="l_orderkey", nan_fill_value=0.0, output_col="order_std_qty").transform(out)
+    return out.map_batches(_rounder(["order_median_qty", "order_std_qty"]), batch_format="pyarrow").drop_columns(["l_quantity"])
+
+
+def _q_standard_scale(sf_dir):
+    from kamae_ray.stages import StandardScaleEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    model = StandardScaleEstimator(input_col="l_extendedprice", output_col="price_std").fit(ds)
+    out = model.transform(ds)
+    return out.map_batches(_rounder(["price_std"]), batch_format="pyarrow").drop_columns(["l_extendedprice"])
+
+
+def _q_minmax_scale(sf_dir):
+    from kamae_ray.stages import MinMaxScaleEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    model = MinMaxScaleEstimator(input_col="l_extendedprice", output_col="price_mm").fit(ds)
+    out = model.transform(ds)
+    return out.map_batches(_rounder(["price_mm"]), batch_format="pyarrow").drop_columns(["l_extendedprice"])
+
+
+def _q_impute(sf_dir):
+    from kamae_ray.stages import ImputeEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount"])
+    model = ImputeEstimator(input_col="l_discount", impute_method="mean", mask_value=0.0, output_col="disc_imp").fit(ds)
+    out = model.transform(ds)
+    return out.map_batches(_rounder(["disc_imp"]), batch_format="pyarrow").drop_columns(["l_discount"])
+
+
+def _q_impute_median(sf_dir):
+    from kamae_ray.stages import ImputeEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    model = ImputeEstimator(input_col="l_quantity", impute_method="median", mask_value=1.0, output_col="qty_imp").fit(ds)
+    out = model.transform(ds)
+    return out.map_batches(_rounder(["qty_imp"]), batch_format="pyarrow").drop_columns(["l_quantity"])
+
+
+def _q_string_index(sf_dir):
+    from kamae_ray.stages import StringIndexEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
+    model = StringIndexEstimator(
+        input_col="l_returnflag", string_order_type="frequencyDesc", num_oov_indices=1, output_col="rf_idx"
+    ).fit(ds)
+    return model.transform(ds).drop_columns(["l_returnflag"])
+
+
+def _q_one_hot(sf_dir):
+    from kamae_ray.stages import OneHotEncodeEstimator
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    model = OneHotEncodeEstimator(
+        input_col="o_orderstatus", string_order_type="alphabeticalAsc", num_oov_indices=1,
+        output_col="status_oh", output_dtype="double",
+    ).fit(ds)
+    return model.transform(ds).drop_columns(["o_orderstatus"])
+
+
+def _q_tokenize(sf_dir):
+    from kamae_ray.stages.text import TokenCountTransformer, TokenizeTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = TokenizeTransformer(input_col="text", vocab_size=VOCAB, output_col="tokens").transform(ds)
+    out = TokenCountTransformer(input_col="text", output_col="n_tok_raw").transform(out)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tokens": batch.column("tokens"),
+                "n_tok": pc.cast(batch.column("n_tok_raw"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_array_ops(sf_dir):
+    from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
+    from kamae_ray.stages.text import TokenizeTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = TokenizeTransformer(input_col="text", vocab_size=VOCAB, output_col="tokens").transform(ds)
+    out = ArrayCropTransformer(input_col="tokens", array_length=16, pad_value=-1, output_col="tokens_16").transform(out)
+    out = ArrayReduceMaxTransformer(input_col="tokens", output_col="max_tok_raw").transform(out)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tokens_16": pc.cast(batch.column("tokens_16"), pa.list_(pa.int32())),
+                "max_tok": pc.cast(batch.column("max_tok_raw"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_asof(sf_dir):
+    from kamae_ray.stages import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+    purchases = _read(sf_dir, "events", ["user_id", "ts", "value", "event_type"]).filter(
+        lambda r: r["event_type"] == "purchase"
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "pts": batch.column("ts"),
+                "matched_pts": batch.column("ts"),
+                "last_purchase_value": batch.column("value"),
+            }
+        )
+
+    strip.__name__ = "strip_purchases"
+    right = purchases.map_batches(strip, batch_format="pyarrow")
+    out = asof_join(
+        ev, right, by=["user_id"], left_on="ts", right_on="pts",
+        right_cols=["pts", "matched_pts", "last_purchase_value"], strict=True,
+    )
+    return out.map_batches(_rounder(["last_purchase_value", "value"]), batch_format="pyarrow").drop_columns(
+        ["event_type"]
+    )
+
+
+def _q_lag_lead(sf_dir):
+    from kamae_ray.stages import LagTransformer, LeadTransformer
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    lag = LagTransformer(input_col="value", entity_cols=["user_id"], time_col="ts", offset=1, output_col="prev_value")
+    lead = LeadTransformer(input_col="value", entity_cols=["user_id"], time_col="ts", offset=1, output_col="next_value")
+    out = lead.transform(lag.transform(ev))
+    return out.map_batches(_rounder(["value", "prev_value", "next_value"]), batch_format="pyarrow")
+
+
+def _q_sessionize(sf_dir):
+    from kamae_ray.stages import SessionizeTransformer
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    # gap = 1 hour in microseconds (ts is timestamp[us] -> int64 us)
+    sess = SessionizeTransformer(entity_cols=["user_id"], time_col="ts", gap=3_600_000_000, output_col="session_id")
+    return sess.transform(ev)
+
+
+def _q_backfill(sf_dir):
+    from kamae_ray.stages import BackfillTransformer
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+
+    def null_clicks(batch: pa.Table) -> pa.Table:
+        v = pc.if_else(
+            pc.equal(batch.column("event_type"), pa.scalar("click")),
+            pa.nulls(batch.num_rows, pa.float64()),
+            pc.cast(batch.column("value"), pa.float64()),
+        )
+        return batch.append_column("value_sparse", v)
+
+    null_clicks.__name__ = "null_clicks"
+    out = ev.map_batches(null_clicks, batch_format="pyarrow")
+    bf = BackfillTransformer(input_col="value_sparse", entity_cols=["user_id"], time_col="ts", method="ffill", output_col="value_filled")
+    out = bf.transform(out)
+    return out.map_batches(_rounder(["value_sparse", "value_filled"]), batch_format="pyarrow").drop_columns(
+        ["value", "event_type"]
+    )
+
+
+def _q_cumulative(sf_dir):
+    from kamae_ray.stages import CumulativeAggTransformer
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    # integer cents make the running sum exact (engine-independent: a float
+    # windowed sum accumulates in engine-specific order)
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(batch.column("value"), pa.float64()), pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return batch.append_column("value_cents", pc.cast(c, pa.float64()))
+
+    cents.__name__ = "to_cents"
+    out = ev.map_batches(cents, batch_format="pyarrow")
+    c1 = CumulativeAggTransformer(
+        input_col="value_cents", entity_cols=["user_id"], time_col="ts", stat="sum", include_current=False, output_col="cum_cents_excl"
+    )
+    c2 = CumulativeAggTransformer(
+        input_col="value_cents", entity_cols=["user_id"], time_col="ts", stat="count", include_current=False, output_col="n_prior_events"
+    )
+    out = c2.transform(c1.transform(out))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cum = pc.if_else(
+            pc.is_valid(batch.column("cum_cents_excl")),
+            pc.cast(pc.round(pc.cast(batch.column("cum_cents_excl"), pa.float64()), ndigits=0), pa.int64()),
+            pa.nulls(batch.num_rows, pa.int64()),
+        )
+        n = pc.cast(batch.column("n_prior_events"), pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "cum_cents_excl": cum,
+                "n_prior_events": n,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_rolling(sf_dir):
+    from kamae_ray.stages import RollingAggTransformer
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    r = RollingAggTransformer(
+        input_col="value", entity_cols=["user_id"], time_col="ts", stat="mean", window=3, min_periods=1, output_col="roll_mean_3"
+    )
+    out = r.transform(ev)
+    return out.map_batches(_rounder(["value", "roll_mean_3"]), batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir):
+    from kamae_ray.pipelines.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    out = exact_dedup(ds, "text", "doc_id")
+    return out.drop_columns(["text"])
+
+
+def _q_ann_topk(sf_dir):
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.ann import brute_force_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qrow = first.filter(pc.equal(first.column("vec_id"), 0))
+    query = np.asarray(qrow.column("embedding").to_pylist()[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = brute_force_topk(ds, query[None, :], "embedding", "vec_id", k=10)
+    out = pa.table(
+        {
+            "rank": pc.cast(top.column("rank"), pa.int64()),
+            "vec_id": top.column("id"),
+            "cosine": pc.round(top.column("cosine"), ndigits=_R, round_mode="half_towards_infinity"),
+        }
+    )
+    return out
+
+
+def _q_token_stats(sf_dir):
+    from kamae_ray.stages.text import QualityScoreTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    q = QualityScoreTransformer(input_col="text", output_col="q")
+    out = q.transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = _round_cols(batch, ["q_punct_ratio", "q_stop_ratio", "q_score"])
+        return batch.drop_columns(["text"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_minhash_pairs(sf_dir):
+    from kamae_ray.pipelines.dedup import minhash_lsh_candidates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_candidates(ds, "text", "doc_id", num_perm=64, bands=16, shingle_k=3)
+
+
+def _q_langid(sf_dir):
+    from kamae_ray.stages.text import LanguageIdTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = LanguageIdTransformer(input_col="text", output_col="lang_pred").transform(ds)
+    return out.drop_columns(["text"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "q_log": _q_log,
+        "q_arith": _q_arith,
+        "q_math": _q_math,
+        "q_conditional": _q_conditional,
+        "q_strings": _q_strings,
+        "q_dates": _q_dates,
+        "q_cosine": _q_cosine,
+        "q_haversine": _q_haversine,
+        "q_listwise": _q_listwise,
+        "q_listwise_median_std": _q_listwise_median_std,
+        "q_standard_scale": _q_standard_scale,
+        "q_minmax_scale": _q_minmax_scale,
+        "q_impute": _q_impute,
+        "q_impute_median": _q_impute_median,
+        "q_string_index": _q_string_index,
+        "q_one_hot": _q_one_hot,
+        "q_tokenize": _q_tokenize,
+        "q_array_ops": _q_array_ops,
+        "q_asof": _q_asof,
+        "q_lag_lead": _q_lag_lead,
+        "q_sessionize": _q_sessionize,
+        "q_backfill": _q_backfill,
+        "q_cumulative": _q_cumulative,
+        "q_rolling": _q_rolling,
+        "q_exact_dedup": _q_exact_dedup,
+        "q_ann_topk": _q_ann_topk,
+        "q_token_stats": _q_token_stats,
+        "q_minhash_pairs": _q_minhash_pairs,
+        "q_langid": _q_langid,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKEN_EXPR = (
+    "list_transform(list_filter(string_split_regex(coalesce(text,''), '\\s+'), w -> length(w) > 0), "
+    "w -> CAST((length(w)*7919 + ord(substr(w,1,1))*31 + ord(substr(w,length(w),1))) % 50000 AS INTEGER))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_log": "SELECT l_orderkey, l_linenumber, ROUND(ln(1 + l_quantity), 6) AS log_qty FROM lineitem",
+        "q_arith": "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount), 6) AS disc_price FROM lineitem",
+        "q_math": (
+            "SELECT l_orderkey, l_linenumber, ROUND(exp(l_discount), 6) AS exp_disc, "
+            "ROUND(power(l_quantity, 2), 6) AS qty_sq, ROUND(abs(l_discount), 6) AS abs_disc FROM lineitem"
+        ),
+        "q_conditional": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS qty_class, "
+            "CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 25 THEN 'mid' "
+            "WHEN l_quantity < 40 THEN 'high' ELSE 'huge' END AS qty_bin, "
+            "CASE WHEN l_quantity IS NULL THEN NULL "
+            "WHEN l_quantity <= 10 THEN CASE WHEN l_quantity < 10 THEN 1 ELSE 2 END "
+            "WHEN l_quantity <= 20 THEN CASE WHEN l_quantity < 20 THEN 2 ELSE 3 END "
+            "WHEN l_quantity <= 30 THEN CASE WHEN l_quantity < 30 THEN 3 ELSE 4 END "
+            "WHEN l_quantity <= 40 THEN CASE WHEN l_quantity < 40 THEN 4 ELSE 5 END "
+            "ELSE 5 END AS qty_bucket FROM lineitem"
+        ),
+        "q_strings": (
+            "SELECT o_orderkey, lower(o_orderpriority) AS prio_lower, "
+            "o_orderstatus || '|' || o_orderpriority AS status_prio, "
+            "'st_' || o_orderstatus || '_end' AS status_tag, "
+            "CASE WHEN len(string_split(o_orderpriority, '-')) > 1 "
+            "THEN string_split(o_orderpriority, '-')[2] ELSE 'NA' END AS prio_word, "
+            "contains(o_orderpriority, 'URGENT') AS is_urgent, "
+            "replace(o_orderpriority, '-', '_') AS prio_us FROM orders"
+        ),
+        "q_dates": (
+            "SELECT o_orderkey, year(o_orderdate) AS od_year, month(o_orderdate) AS od_month, "
+            "isodow(o_orderdate) AS od_dow, dayofyear(o_orderdate) AS od_doy, "
+            "strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS od_plus30 FROM orders"
+        ),
+        "q_cosine": (
+            "SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], list_reverse(embedding)::DOUBLE[]), 6) AS cos_rev FROM embeddings"
+        ),
+        "q_haversine": (
+            "WITH c AS (SELECT c_custkey, CAST(c_custkey % 180 AS DOUBLE) - 90.0 AS lat1, "
+            "CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 AS lon1 FROM customer) "
+            "SELECT c_custkey, ROUND(lat1, 6) AS lat1, ROUND(lon1, 6) AS lon1, "
+            "ROUND(2 * 6371.0 * asin(sqrt( pow(sin(radians(48.8566 - lat1)/2), 2) + "
+            "cos(radians(lat1)) * cos(radians(48.8566)) * pow(sin(radians(2.3522 - lon1)/2), 2) )), 6) AS dist_km FROM c"
+        ),
+        "q_listwise": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(avg(l_quantity) OVER (PARTITION BY l_orderkey), 6) AS order_mean_qty, "
+            "ROUND(max(l_extendedprice) OVER (PARTITION BY l_orderkey), 6) AS order_max_price, "
+            "row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity * 10 + l_linenumber) AS qty_rank FROM lineitem"
+        ),
+        "q_listwise_median_std": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(median(l_quantity) OVER (PARTITION BY l_orderkey), 6) AS order_median_qty, "
+            "ROUND(coalesce(stddev_samp(l_quantity) OVER (PARTITION BY l_orderkey), 0.0), 6) AS order_std_qty FROM lineitem"
+        ),
+        "q_standard_scale": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND((l_extendedprice - (SELECT avg(l_extendedprice) FROM lineitem)) / "
+            "(SELECT stddev_pop(l_extendedprice) FROM lineitem), 6) AS price_std FROM lineitem"
+        ),
+        "q_minmax_scale": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND((l_extendedprice - (SELECT min(l_extendedprice) FROM lineitem)) / "
+            "((SELECT max(l_extendedprice) FROM lineitem) - (SELECT min(l_extendedprice) FROM lineitem)), 6) AS price_mm FROM lineitem"
+        ),
+        "q_impute": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(CASE WHEN l_discount = 0 THEN "
+            "(SELECT avg(CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END) FROM lineitem) "
+            "ELSE l_discount END, 6) AS disc_imp FROM lineitem"
+        ),
+        "q_impute_median": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(CASE WHEN l_quantity = 1 THEN "
+            "(SELECT median(CASE WHEN l_quantity = 1 THEN NULL ELSE l_quantity END) FROM lineitem) "
+            "ELSE l_quantity END, 6) AS qty_imp FROM lineitem"
+        ),
+        "q_string_index": (
+            "WITH vocab AS (SELECT l_returnflag AS v, row_number() OVER (ORDER BY count(*) DESC, l_returnflag) AS idx "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l.l_orderkey, l.l_linenumber, v.idx AS rf_idx FROM lineitem l JOIN vocab v ON l.l_returnflag = v.v"
+        ),
+        "q_one_hot": (
+            "SELECT o_orderkey, [0.0, "
+            "CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END, "
+            "CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END, "
+            "CASE WHEN o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END] AS status_oh FROM orders"
+        ),
+        "q_tokenize": (
+            f"SELECT doc_id, {_TOKEN_EXPR} AS tokens, "
+            f"CAST(len(list_filter(string_split_regex(coalesce(text,''), '\\s+'), w -> length(w) > 0)) AS BIGINT) AS n_tok "
+            "FROM documents"
+        ),
+        "q_array_ops": (
+            f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents) "
+            "SELECT doc_id, "
+            "CAST(list_concat(toks[1:16], [CAST(-1 AS INTEGER) FOR _ IN range(greatest(16 - len(toks), 0))]) AS INTEGER[]) AS tokens_16, "
+            "CAST(list_max(toks) AS BIGINT) AS max_tok FROM t"
+        ),
+        "q_asof": (
+            "SELECT e.event_id, e.user_id, e.ts, ROUND(e.value, 6) AS value, "
+            "p.pts AS matched_pts, ROUND(p.last_purchase_value, 6) AS last_purchase_value "
+            "FROM events e ASOF LEFT JOIN "
+            "(SELECT user_id, ts AS pts, value AS last_purchase_value FROM events WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts > p.pts"
+        ),
+        "q_lag_lead": (
+            "SELECT event_id, user_id, ts, ROUND(value, 6) AS value, "
+            "ROUND(lag(value) OVER w, 6) AS prev_value, ROUND(lead(value) OVER w, 6) AS next_value "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "q_sessionize": (
+            "SELECT event_id, user_id, ts, "
+            "CAST(coalesce(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS BIGINT) AS session_id FROM "
+            "(SELECT event_id, user_id, ts, epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events)"
+        ),
+        "q_backfill": (
+            "SELECT event_id, user_id, ts, ROUND(value_sparse, 6) AS value_sparse, "
+            "ROUND(last_value(value_sparse IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled FROM "
+            "(SELECT event_id, user_id, ts, CASE WHEN event_type = 'click' THEN NULL ELSE value END AS value_sparse FROM events)"
+        ),
+        "q_cumulative": (
+            "SELECT event_id, user_id, ts, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS cum_cents_excl, "
+            "CAST(count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prior_events FROM events"
+        ),
+        "q_rolling": (
+            "SELECT event_id, user_id, ts, ROUND(value, 6) AS value, "
+            "ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_mean_3 FROM events"
+        ),
+        "q_exact_dedup": (
+            "SELECT doc_id, n_chars FROM documents WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY text)"
+        ),
+        "q_ann_topk": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0), "
+            "scored AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)) AS cs FROM embeddings) "
+            "SELECT CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS rank, vec_id, "
+            "ROUND(cs, 6) AS cosine FROM scored ORDER BY cs DESC, vec_id LIMIT 10"
+        ),
+        # q_token_stats, q_minhash_pairs, q_langid: heuristic / hash-dependent
+        # (FarmHash, LSH banding) -> rows-only driver check.
+    }

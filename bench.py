@@ -1,0 +1,224 @@
+"""Benchmark harness.
+
+Default: runs the headline fit+transform pipeline over the synthetic tokens
+table sized to $GRAFT_SF_DIR's scale factor plus a set of representative
+queries over the sf tables, then prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "rows_per_s": ..., "tokens_per_s": ...}
+
+--scaling: runs the headline pipeline in FRESH subprocesses at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus
+efficiency = (throughput_32 / throughput_8) / 4 (pass bar >= 0.8, BASELINE.md).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+Only this script owns the Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+
+
+def _ray():
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level=logging.ERROR,
+        )
+    return ray
+
+
+def headline(out_root: str = "/tmp/kamae_ray_bench") -> dict:
+    """Flagship: tokens table -> fit (scale+index) -> fused map transform
+    (crop/log/hash/apply) -> write; narrow projection -> windowed features
+    (lag + cumulative + sessionize) -> write."""
+    ray = _ray()
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.sources.synth import tokens_table_path
+    from kamae_ray.stages import (
+        ArrayCropTransformer,
+        CumulativeAggTransformer,
+        HashIndexTransformer,
+        LagTransformer,
+        LogTransformer,
+        SessionizeTransformer,
+        StandardScaleEstimator,
+        StringIndexEstimator,
+    )
+
+    n_rows = max(20_000, int(6_000_000 * SF))
+    path = tokens_table_path(n_rows)
+    os.makedirs(out_root, exist_ok=True)
+    t0 = time.time()
+    ds = ray.data.read_parquet(path)
+
+    pipe = Pipeline(
+        [
+            ArrayCropTransformer(input_col="tokens", array_length=128, pad_value=-1, output_col="tokens_128"),
+            LogTransformer(input_col="n_tok", alpha=1.0, output_col="log_n_tok"),
+            StandardScaleEstimator(input_col="n_tok", output_col="n_tok_std"),
+            StringIndexEstimator(input_col="source", output_col="source_idx"),
+            HashIndexTransformer(input_col="doc_id", num_bins=65_536, output_col="doc_bucket"),
+        ]
+    )
+    model = pipe.fit(ds)
+    t_fit = time.time() - t0
+
+    t1 = time.time()
+    out = model.transform(ds)
+    out.write_parquet(os.path.join(out_root, "tokens_out"))
+    t_transform = time.time() - t1
+
+    # windowed features over the narrow projection (entity/time columns only —
+    # the 600MB tokens column does not ride the shuffle)
+    t2 = time.time()
+    narrow = ray.data.read_parquet(path, columns=["doc_id", "source", "position", "n_tok"])
+    w = LagTransformer(input_col="n_tok", entity_cols=["source", "doc_id"], time_col="position", output_col="prev_n_tok").transform(narrow)
+    w = CumulativeAggTransformer(
+        input_col="n_tok", entity_cols=["source", "doc_id"], time_col="position", stat="mean", include_current=False, output_col="hist_mean_n_tok"
+    ).transform(w)
+    w = SessionizeTransformer(entity_cols=["source", "doc_id"], time_col="position", gap=4.0, output_col="session_id").transform(w)
+    w.write_parquet(os.path.join(out_root, "window_out"))
+    t_window = time.time() - t2
+
+    total = time.time() - t0
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path)
+    tokens_total = sum(
+        meta.metadata.row_group(i).column(1).statistics.num_values if meta.metadata.row_group(i).column(1).statistics else 0
+        for i in range(meta.metadata.num_row_groups)
+    )
+    if not tokens_total:
+        tokens_total = n_rows * 256  # expected mean
+    return {
+        "rows": n_rows,
+        "tokens": int(tokens_total),
+        "fit_s": round(t_fit, 3),
+        "transform_s": round(t_transform, 3),
+        "window_s": round(t_window, 3),
+        "total_s": round(total, 3),
+        "rows_per_s": round(n_rows / total, 1),
+        "tokens_per_s": round(tokens_total / total, 1),
+    }
+
+
+_BENCH_QUERIES = [
+    "q_log",
+    "q_standard_scale",
+    "q_string_index",
+    "q_listwise",
+    "q_asof",
+    "q_lag_lead",
+    "q_sessionize",
+    "q_tokenize",
+    "q_minhash_pairs",
+    "q_ann_topk",
+]
+
+
+def run_queries() -> dict:
+    _ray()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = {}
+    for name in _BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        res = fn(SF_DIR)
+        # consume the stream without materializing to the driver
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_once(flagship_only: bool = False):
+    h = headline()
+    queries = {} if flagship_only else run_queries()
+    doc = {
+        "metric": "flagship fit+transform+window wall-clock",
+        "value": h["total_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "num_cpus": NUM_CPUS,
+        "rows": h["rows"],
+        "tokens": h["tokens"],
+        "rows_per_s": h["rows_per_s"],
+        "tokens_per_s": h["tokens_per_s"],
+        "phases": {"fit_s": h["fit_s"], "transform_s": h["transform_s"], "window_s": h["window_s"]},
+    }
+    print(json.dumps(doc))
+    import ray
+
+    ray.shutdown()
+    return doc
+
+
+def main_scaling():
+    """Fresh process per CPU count; warm-up run discarded (synth table cached)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        runs = []
+        for attempt in range(2):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            runs.append(json.loads(line))
+        results[cpus] = runs[-1]  # keep the warm run
+    tp8 = results[8]["rows_per_s"]
+    tp32 = results[32]["rows_per_s"]
+    eff = (tp32 / tp8) / 4.0
+    doc = {
+        "metric": "scaling efficiency (rows/s at 32 cpus vs 8 cpus / 4)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": SF,
+        "throughput_8": tp8,
+        "throughput_32": tp32,
+        "tokens_per_s_8": results[8]["tokens_per_s"],
+        "tokens_per_s_32": results[32]["tokens_per_s"],
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(doc))
+    return doc
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_once(flagship_only="--flagship-only" in sys.argv)

@@ -136,6 +136,13 @@ class Transformer(Stage):
 
     fusible: bool = True
 
+    @property
+    def state_size_hint(self) -> int:
+        """Approximate fitted-state cardinality; fused runs whose total hint
+        exceeds the pipeline threshold execute as an actor pool (state ships
+        once per actor via the object store instead of once per task)."""
+        return 0
+
     # -- single-input convenience path --
     def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
         raise NotImplementedError
@@ -171,6 +178,25 @@ class _BatchFnWrapper:
 
     def __init__(self, *transformers: Transformer) -> None:
         self.transformers = transformers
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for t in self.transformers:
+            batch = t.transform_batch(batch)
+        return batch
+
+
+class _ActorBatchFn:
+    """Actor-pool variant: fitted state arrives via fn_constructor_args (one
+    object-store read + deserialize per ACTOR, not per batch/task) — the
+    canonical stateful-stage placement (SURVEY.md §2.12). Stages can hook
+    per-actor warm-up (e.g. building lookup dicts) in ``warm_up``."""
+
+    def __init__(self, transformers) -> None:
+        self.transformers = transformers
+        for t in transformers:
+            warm = getattr(t, "warm_up", None)
+            if warm is not None:
+                warm()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         for t in self.transformers:

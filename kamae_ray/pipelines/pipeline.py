@@ -26,7 +26,27 @@ from typing import Any, Sequence
 
 import pyarrow as pa
 
-from kamae_ray.base import Estimator, Stage, Transformer, _BatchFnWrapper
+from kamae_ray.base import Estimator, Stage, Transformer, _ActorBatchFn, _BatchFnWrapper
+
+#: fused-run total state_size_hint above which the run executes as an actor
+#: pool (state deserialized once per actor, not per task)
+ACTOR_STATE_THRESHOLD = 50_000
+
+
+def _run_map(ds, run: list[Transformer], actor_concurrency):
+    """Execute one fused run of batch transformers on a Dataset."""
+    total_hint = sum(getattr(t, "state_size_hint", 0) for t in run)
+    if total_hint > ACTOR_STATE_THRESHOLD:
+        return ds.map_batches(
+            _ActorBatchFn,
+            fn_constructor_args=(list(run),),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=actor_concurrency,
+        )
+    return ds.map_batches(
+        _BatchFnWrapper(*run), batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _flatten(stages: Sequence[Any]) -> list[Stage]:
@@ -145,10 +165,16 @@ class Pipeline:
 
 
 class PipelineModel:
-    """Fitted pipeline: fold of transformers with maximal map_batches fusion."""
+    """Fitted pipeline: fold of transformers with maximal map_batches fusion.
 
-    def __init__(self, stages: Sequence[Transformer]) -> None:
+    Fused runs whose combined fitted state is large (vocab dicts, wide
+    mean/std vectors) execute as an actor pool — state is shipped through
+    the object store and deserialized once per actor, not per task.
+    """
+
+    def __init__(self, stages: Sequence[Transformer], actor_concurrency=(1, 8)) -> None:
         self.stages = list(stages)
+        self.actor_concurrency = tuple(actor_concurrency)
 
     def transform(self, ds):
         stages = topo_sort(self.stages)
@@ -162,15 +188,11 @@ class PipelineModel:
                 run.append(s)
             else:
                 if run:
-                    ds = ds.map_batches(
-                        _BatchFnWrapper(*run), batch_format="pyarrow", zero_copy_batch=True
-                    )
+                    ds = _run_map(ds, run, self.actor_concurrency)
                     run = []
                 ds = s.transform(ds)
         if run:
-            ds = ds.map_batches(
-                _BatchFnWrapper(*run), batch_format="pyarrow", zero_copy_batch=True
-            )
+            ds = _run_map(ds, run, self.actor_concurrency)
         return ds
 
     def fit(self, ds) -> "PipelineModel":  # parity with reference PipelineModel

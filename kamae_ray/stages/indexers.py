@@ -47,6 +47,14 @@ class _IndexerCore:
             self._cached_map = {lbl: i + offset for i, lbl in enumerate(self.labels_array)}
         return self._cached_map
 
+    def warm_up(self) -> None:
+        """Per-actor setup hook: build the lookup dict once per actor."""
+        self._index_map()
+
+    @property
+    def state_size_hint(self) -> int:
+        return len(self.labels_array)
+
     def _index_one(self, label: str | None) -> int:
         if label is None:
             if self.num_oov_indices > 0:

@@ -267,10 +267,15 @@ def _q_listwise(sf_dir):
         return batch.append_column("rk", k)
 
     rank_key.__name__ = "rank_key"
+    from kamae_ray.stages.window import apply_sorted
+
     out = ds.map_batches(rank_key, batch_format="pyarrow")
-    out = ListMeanTransformer(input_col="l_quantity", query_id_col="l_orderkey", output_col="order_mean_qty").transform(out)
-    out = ListMaxTransformer(input_col="l_extendedprice", query_id_col="l_orderkey", output_col="order_max_price").transform(out)
-    out = ListRankTransformer(input_col="rk", query_id_col="l_orderkey", sort_order="asc", output_col="qty_rank").transform(out)
+    out = apply_sorted(
+        out,
+        ListMeanTransformer(input_col="l_quantity", query_id_col="l_orderkey", output_col="order_mean_qty"),
+        ListMaxTransformer(input_col="l_extendedprice", query_id_col="l_orderkey", output_col="order_max_price"),
+        ListRankTransformer(input_col="rk", query_id_col="l_orderkey", sort_order="asc", output_col="qty_rank"),
+    )
     return out.map_batches(_rounder(["order_mean_qty", "order_max_price"]), batch_format="pyarrow").drop_columns(
         ["l_quantity", "l_extendedprice", "rk"]
     )
@@ -279,9 +284,14 @@ def _q_listwise(sf_dir):
 def _q_listwise_median_std(sf_dir):
     from kamae_ray.stages import ListMedianTransformer, ListStdDevTransformer
 
+    from kamae_ray.stages.window import apply_sorted
+
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
-    out = ListMedianTransformer(input_col="l_quantity", query_id_col="l_orderkey", output_col="order_median_qty").transform(ds)
-    out = ListStdDevTransformer(input_col="l_quantity", query_id_col="l_orderkey", nan_fill_value=0.0, output_col="order_std_qty").transform(out)
+    out = apply_sorted(
+        ds,
+        ListMedianTransformer(input_col="l_quantity", query_id_col="l_orderkey", output_col="order_median_qty"),
+        ListStdDevTransformer(input_col="l_quantity", query_id_col="l_orderkey", nan_fill_value=0.0, output_col="order_std_qty"),
+    )
     return out.map_batches(_rounder(["order_median_qty", "order_std_qty"]), batch_format="pyarrow").drop_columns(["l_quantity"])
 
 
@@ -414,10 +424,14 @@ def _q_asof(sf_dir):
 def _q_lag_lead(sf_dir):
     from kamae_ray.stages import LagTransformer, LeadTransformer
 
+    from kamae_ray.stages.window import apply_sorted
+
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    lag = LagTransformer(input_col="value", entity_cols=["user_id"], time_col="ts", offset=1, output_col="prev_value")
-    lead = LeadTransformer(input_col="value", entity_cols=["user_id"], time_col="ts", offset=1, output_col="next_value")
-    out = lead.transform(lag.transform(ev))
+    out = apply_sorted(
+        ev,
+        LagTransformer(input_col="value", entity_cols=["user_id"], time_col="ts", offset=1, output_col="prev_value"),
+        LeadTransformer(input_col="value", entity_cols=["user_id"], time_col="ts", offset=1, output_col="next_value"),
+    )
     return out.map_batches(_rounder(["value", "prev_value", "next_value"]), batch_format="pyarrow")
 
 

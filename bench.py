@@ -96,12 +96,17 @@ def headline(out_root: str = "/tmp/kamae_ray_bench") -> dict:
     # windowed features over the narrow projection (entity/time columns only —
     # the 600MB tokens column does not ride the shuffle)
     t2 = time.time()
+    from kamae_ray.stages.window import apply_sorted
+
     narrow = ray.data.read_parquet(path, columns=["doc_id", "source", "position", "n_tok"])
-    w = LagTransformer(input_col="n_tok", entity_cols=["source", "doc_id"], time_col="position", output_col="prev_n_tok").transform(narrow)
-    w = CumulativeAggTransformer(
-        input_col="n_tok", entity_cols=["source", "doc_id"], time_col="position", stat="mean", include_current=False, output_col="hist_mean_n_tok"
-    ).transform(w)
-    w = SessionizeTransformer(entity_cols=["source", "doc_id"], time_col="position", gap=4.0, output_col="session_id").transform(w)
+    w = apply_sorted(
+        narrow,
+        LagTransformer(input_col="n_tok", entity_cols=["source", "doc_id"], time_col="position", output_col="prev_n_tok"),
+        CumulativeAggTransformer(
+            input_col="n_tok", entity_cols=["source", "doc_id"], time_col="position", stat="mean", include_current=False, output_col="hist_mean_n_tok"
+        ),
+        SessionizeTransformer(entity_cols=["source", "doc_id"], time_col="position", gap=4.0, output_col="session_id"),
+    )
     w.write_parquet(os.path.join(out_root, "window_out"))
     t_window = time.time() - t2
 

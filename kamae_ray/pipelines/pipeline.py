@@ -183,14 +183,33 @@ class PipelineModel:
                 ds = s.transform_batch(ds) if getattr(s, "fusible", True) else s.transform(ds)
             return ds
         run: list[Transformer] = []
-        for s in stages:
+        i = 0
+        while i < len(stages):
+            s = stages[i]
             if getattr(s, "fusible", True):
                 run.append(s)
-            else:
-                if run:
-                    ds = _run_map(ds, run, self.actor_concurrency)
-                    run = []
-                ds = s.transform(ds)
+                i += 1
+                continue
+            if run:
+                ds = _run_map(ds, run, self.actor_concurrency)
+                run = []
+            # fuse consecutive wide stages sharing the same shuffle key into
+            # one sort (listwise/window stages expose sort_keys)
+            keys = getattr(s, "sort_keys", None)
+            if keys is not None:
+                group = [s]
+                j = i + 1
+                while j < len(stages) and getattr(stages[j], "sort_keys", None) == keys:
+                    group.append(stages[j])
+                    j += 1
+                if len(group) > 1:
+                    from kamae_ray.stages.window import apply_sorted
+
+                    ds = apply_sorted(ds, *group)
+                    i = j
+                    continue
+            ds = s.transform(ds)
+            i += 1
         if run:
             ds = _run_map(ds, run, self.actor_concurrency)
         return ds

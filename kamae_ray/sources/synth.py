@@ -65,10 +65,12 @@ def make_tokens_table(
 def tokens_table_path(n_rows: int, seed: int = 42, cache_dir: str = "/tmp/kamae_ray_synth") -> str:
     """Write (once) and return the path of a cached synthetic tokens parquet."""
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"tokens_n{n_rows}_s{seed}.parquet")
+    path = os.path.join(cache_dir, f"tokens_n{n_rows}_s{seed}_rg.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
-        pq.write_table(make_tokens_table(n_rows=n_rows, seed=seed), tmp)
+        # small row groups so ray.data.read_parquet can split the file into
+        # parallel read tasks (one giant row group = one reader)
+        pq.write_table(make_tokens_table(n_rows=n_rows, seed=seed), tmp, row_group_size=20_000)
         os.replace(tmp, path)
     return path
 

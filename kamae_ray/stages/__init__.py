@@ -70,6 +70,7 @@ from kamae_ray.stages.hashing import (  # noqa: F401
 )
 from kamae_ray.stages.scalers import (  # noqa: F401
     ConditionalStandardScaleEstimator,
+    ConditionalStandardScaleTransformer,
     ImputeEstimator,
     ImputeTransformer,
     MinMaxScaleEstimator,

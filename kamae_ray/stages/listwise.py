@@ -66,6 +66,12 @@ class ListStatTransformer(Transformer):
             keys.append(self.segment_col)
         return keys
 
+    @property
+    def sort_keys(self) -> list[str]:
+        """Shuffle key — consecutive wide stages with equal sort_keys share
+        ONE sort (PipelineModel fusion / stages.window.apply_sorted)."""
+        return self._keys()
+
     def _values(self, block: pa.Table, col: str) -> np.ndarray:
         flat = A.as_array(block.column(col))
         vals, mask = A.to_numpy(pc.cast(flat, pa.float64(), safe=False))

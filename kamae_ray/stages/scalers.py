@@ -134,6 +134,33 @@ class ImputeTransformer(Transformer):
         return A.lift(kernel, arr)
 
 
+class ConditionalStandardScaleTransformer(StandardScaleTransformer):
+    """StandardScale with ``skip_zeros``: elements within ``epsilon`` of zero
+    stay 0 instead of being scaled.
+    Reference: transformers/conditional_standard_scale.py:112-158."""
+
+    def __init__(self, *args, skip_zeros: bool = False, epsilon: float = 0.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.skip_zeros = skip_zeros
+        self.epsilon = float(epsilon)
+
+    def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
+        mean = np.asarray(self.mean)
+        std = np.asarray(self.stddev)
+        inv = np.where(std == 0, 0.0, 1.0 / np.where(std == 0, 1.0, std))
+
+        def fn(vals, pos):
+            p = np.minimum(pos, len(mean) - 1)
+            out = (vals - mean[p]) * inv[p]
+            if self.skip_zeros:
+                out = np.where(np.abs(vals) > self.epsilon, out, 0.0)
+            if self.mask_value is not None:
+                out = np.where(vals == self.mask_value, vals, out)
+            return out
+
+        return _positionwise_apply(arr, fn)
+
+
 class StandardScaleEstimator(Estimator):
     """Fit per-position mean + stddev_pop (mask-aware), then StandardScale.
     Reference: estimators/standard_scale.py:100-163."""
@@ -284,7 +311,7 @@ class ConditionalStandardScaleEstimator(Estimator):
                 mask_value=self.mask_value,
             )
         mom = agg.moments(ds, self.input_col, mask)
-        return StandardScaleTransformer(
+        return ConditionalStandardScaleTransformer(
             input_col=self.input_col,
             output_col=self.output_col,
             input_dtype=self.input_dtype,
@@ -293,4 +320,5 @@ class ConditionalStandardScaleEstimator(Estimator):
             mean=mom["mean"].tolist(),
             stddev=mom["std_pop"].tolist(),
             mask_value=self.mask_value,
+            skip_zeros=self.skip_zeros,
         )

@@ -64,6 +64,32 @@ class _NamedFn:
         return self.fn(*a, **k)
 
 
+class _ChainedBlockFn:
+    """Apply several wide stages' block kernels over one shared sort."""
+
+    def __init__(self, stages):
+        self.stages = list(stages)
+        self.__name__ = "+".join(type(s).__name__ for s in self.stages)[:60]
+
+    def __call__(self, block: pa.Table) -> pa.Table:
+        for s in self.stages:
+            block = s._block_fn(block)
+        return block
+
+
+def apply_sorted(ds, *stages):
+    """Run several listwise/window stages that share the same ``sort_keys``
+    over ONE sort-shuffle (instead of one shuffle per stage)."""
+    keys = stages[0].sort_keys
+    for s in stages[1:]:
+        if s.sort_keys != keys:
+            raise ValueError(f"sort_keys differ: {s.sort_keys} vs {keys}")
+    chain = _ChainedBlockFn(stages)
+    if isinstance(ds, pa.Table):
+        return chain(ds)
+    return ds.sort(keys).map_batches(chain, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------
@@ -242,6 +268,12 @@ class KeyedWindowTransformer(Transformer):
         super().__init__(*args, **kwargs)
         self.entity_cols = list(entity_cols)
         self.time_col = time_col
+
+    @property
+    def sort_keys(self) -> list[str]:
+        """Shuffle key — consecutive wide stages with equal sort_keys share
+        ONE sort (PipelineModel fusion / apply_sorted)."""
+        return list(self.entity_cols)
 
     # subclasses implement: sorted values/time + segment structure -> sorted output
     def _seg_kernel(self, vals, t, starts, lens, srep) -> np.ndarray:

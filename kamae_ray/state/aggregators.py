@@ -78,13 +78,24 @@ class _MomentsPartial:
         )
 
 
+def _project(ds, cols: list[str]):
+    """Prune to needed columns — Ray pushes the projection into the parquet
+    read, so fit passes never deserialize the wide payload columns."""
+    if isinstance(ds, pa.Table):
+        return ds
+    try:
+        return ds.select_columns(cols)
+    except Exception:
+        return ds
+
+
 def moments(ds, col: str, mask_value: float | None = None) -> dict[str, np.ndarray]:
     """One streaming pass -> per-position {count, mean, std_pop, min, max}."""
     fn = _MomentsPartial(col, mask_value)
     if isinstance(ds, pa.Table):
         rows = fn(ds).to_pylist()
     else:
-        rows = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        rows = _project(ds, [col]).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
     w = max(len(r["cnt"]) for r in rows)
     cnt = np.zeros(w)
     s = np.zeros(w)
@@ -135,7 +146,7 @@ def _hist_pass(ds, col, mask_value, lo, hi, bins):
     if isinstance(ds, pa.Table):
         rows = fn(ds).to_pylist()
     else:
-        rows = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        rows = _project(ds, [col]).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
     below = sum(r["below"] for r in rows)
     hist = np.sum([np.asarray(r["hist"], dtype=np.int64) for r in rows], axis=0)
     return below, hist
@@ -197,7 +208,7 @@ def exact_median(ds, col: str, mask_value: float | None = None) -> float | None:
     if isinstance(ds, pa.Table):
         vals = fn(ds).column("v").to_numpy(zero_copy_only=False)
     else:
-        parts = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        parts = _project(ds, [col]).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
         vals = np.asarray([r["v"] for r in parts], dtype=np.float64)
     vals = np.sort(vals)
     below, _ = _hist_pass(ds, col, mask_value, lo, hi, 1)
@@ -237,7 +248,7 @@ def value_counts(ds, cols: list[str], mask_token: str | None = None) -> dict[str
     if isinstance(ds, pa.Table):
         rows = fn(ds).to_pylist()
     else:
-        partial = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        partial = _project(ds, cols).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
         agg = partial.groupby("value").sum("count")
         rows = [{"value": r["value"], "count": r["sum(count)"]} for r in agg.take_all()]
     out: dict[str, int] = {}

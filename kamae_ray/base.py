@@ -224,6 +224,16 @@ class Estimator(Stage):
     def fit(self, ds) -> Transformer:
         raise NotImplementedError
 
+    # -- fused-fit protocol (Pipeline groups independent estimators and runs
+    # ONE shared aggregation pass per kind instead of one pass each) --
+    def fit_spec(self):
+        """("moments", (col, mask_value)) | ("vocab", (cols_tuple, mask_token))
+        | None (estimator needs its own pass, e.g. exact median)."""
+        return None
+
+    def fit_from(self, result) -> Transformer:
+        raise NotImplementedError
+
     def construct_layer_info(self) -> dict[str, Any]:
         return {
             "name": self.layer_name,

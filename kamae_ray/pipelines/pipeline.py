@@ -91,6 +91,29 @@ def _ancestor_closure(stages: list[Stage], targets: set[int]) -> set[int]:
     return needed
 
 
+def _fit_group(ds, ests: list[Estimator]) -> list[Transformer]:
+    """Fit several independent estimators with shared aggregation passes:
+    all 'moments' specs in one map pass, all 'vocab' specs in one
+    map+groupby pass; estimators without a spec (exact median, sampled fits)
+    fall back to their own fit."""
+    from kamae_ray.state import aggregators as agg
+
+    specs = [e.fit_spec() for e in ests]
+    moment_specs = [sp[1] for sp in specs if sp is not None and sp[0] == "moments"]
+    vocab_specs = [sp[1] for sp in specs if sp is not None and sp[0] == "vocab"]
+    mres = agg.moments_many(ds, moment_specs) if len(moment_specs) > 1 else None
+    vres = agg.value_counts_many(ds, vocab_specs) if len(vocab_specs) > 1 else None
+    models = []
+    for e, sp in zip(ests, specs):
+        if sp is not None and sp[0] == "moments" and mres is not None:
+            models.append(e.fit_from(mres[sp[1]]))
+        elif sp is not None and sp[0] == "vocab" and vres is not None:
+            models.append(e.fit_from(vres[sp[1]]))
+        else:
+            models.append(e.fit(ds))
+    return models
+
+
 class Pipeline:
     """Unfitted pipeline: mix of Transformers and Estimators in any topological
     order (nested pipelines are flattened)."""
@@ -127,21 +150,38 @@ class Pipeline:
             return dataset
 
         last_est = max(est_idx) if est_idx else -1
-        for i, s in enumerate(stages):
+        i = 0
+        while i < len(stages):
+            s = stages[i]
             if isinstance(s, Estimator):
+                # group consecutive estimators with no data dependency among
+                # them -> ONE shared aggregation pass per kind (fused fit)
+                group = [(i, s)]
+                outs = set(s.outputs)
+                j = i + 1
+                while (
+                    j < len(stages)
+                    and isinstance(stages[j], Estimator)
+                    and not (set(stages[j].inputs) & outs)
+                ):
+                    group.append((j, stages[j]))
+                    outs |= set(stages[j].outputs)
+                    j += 1
                 running = flush(running)
-                model = s.fit(running)
-                fitted.append(model)
-                # apply its transform only if later estimators consume its output
-                downstream_needed = any(
-                    j > i and j in needed and i in _ancestor_closure(stages, {j})
-                    for j in est_idx
-                )
-                if downstream_needed:
-                    if getattr(model, "fusible", True):
-                        pending_fns.append(model)
-                    else:
-                        running = model.transform(running)
+                models = _fit_group(running, [e for _, e in group])
+                for (gi, _), model in zip(group, models):
+                    fitted.append(model)
+                    downstream_needed = any(
+                        k > gi and k in needed and gi in _ancestor_closure(stages, {k})
+                        for k in est_idx
+                    )
+                    if downstream_needed:
+                        if getattr(model, "fusible", True):
+                            pending_fns.append(model)
+                        else:
+                            running = flush(running)
+                            running = model.transform(running)
+                i = j
             else:
                 fitted.append(s)
                 if i in needed and i < last_est:
@@ -150,6 +190,7 @@ class Pipeline:
                     else:
                         running = flush(running)
                         running = s.transform(running)
+                i += 1
         return PipelineModel(fitted)
 
     def construct_layer_info(self):

@@ -211,8 +211,22 @@ class StringIndexEstimator(Estimator):
         counts = agg.value_counts(ds, cols, self.mask_token)
         return agg.ordered_labels(counts, self.string_order_type, self.max_num_labels)
 
-    def fit(self, ds) -> StringIndexTransformer:
-        labels = self._collect(ds, [self.input_col])
+    def _fit_cols(self) -> list[str]:
+        return list(self.input_cols) if self.input_cols is not None else [self.input_col]
+
+    def fit_spec(self):
+        if self.sample_fraction is not None:
+            return None
+        return ("vocab", (tuple(self._fit_cols()), self.mask_token))
+
+    def fit_from(self, counts):
+        labels = agg.ordered_labels(counts, self.string_order_type, self.max_num_labels)
+        return self._build(labels)
+
+    def fit(self, ds):
+        return self._build(self._collect(ds, self._fit_cols()))
+
+    def _build(self, labels) -> StringIndexTransformer:
         return StringIndexTransformer(
             input_col=self.input_col,
             output_col=self.output_col,
@@ -228,8 +242,7 @@ class StringIndexEstimator(Estimator):
 class SharedStringIndexEstimator(StringIndexEstimator):
     """One vocab over N (flattened) cols. Reference: estimators/shared_string_index.py:105-139."""
 
-    def fit(self, ds) -> SharedStringIndexTransformer:
-        labels = self._collect(ds, list(self.input_cols))
+    def _build(self, labels) -> SharedStringIndexTransformer:
         return SharedStringIndexTransformer(
             input_cols=self.input_cols,
             output_cols=self.output_cols,
@@ -250,8 +263,7 @@ class OneHotEncodeEstimator(StringIndexEstimator):
         super().__init__(*args, **kwargs)
         self.drop_unseen = drop_unseen
 
-    def fit(self, ds) -> OneHotEncodeTransformer:
-        labels = self._collect(ds, [self.input_col])
+    def _build(self, labels) -> OneHotEncodeTransformer:
         return OneHotEncodeTransformer(
             input_col=self.input_col,
             output_col=self.output_col,
@@ -273,8 +285,7 @@ class SharedOneHotEncodeEstimator(StringIndexEstimator):
         super().__init__(*args, **kwargs)
         self.drop_unseen = drop_unseen
 
-    def fit(self, ds) -> SharedOneHotEncodeTransformer:
-        labels = self._collect(ds, list(self.input_cols))
+    def _build(self, labels) -> SharedOneHotEncodeTransformer:
         return SharedOneHotEncodeTransformer(
             input_cols=self.input_cols,
             output_cols=self.output_cols,

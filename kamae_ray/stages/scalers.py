@@ -169,9 +169,12 @@ class StandardScaleEstimator(Estimator):
         super().__init__(*args, **kwargs)
         self.mask_value = mask_value
 
-    def fit(self, ds) -> StandardScaleTransformer:
-        ds = self._maybe_sample(ds)
-        mom = agg.moments(ds, self.input_col, self.mask_value)
+    def fit_spec(self):
+        if self.sample_fraction is not None:
+            return None
+        return ("moments", (self.input_col, self.mask_value))
+
+    def fit_from(self, mom) -> StandardScaleTransformer:
         return StandardScaleTransformer(
             input_col=self.input_col,
             output_col=self.output_col,
@@ -183,6 +186,10 @@ class StandardScaleEstimator(Estimator):
             mask_value=self.mask_value,
         )
 
+    def fit(self, ds) -> StandardScaleTransformer:
+        ds = self._maybe_sample(ds)
+        return self.fit_from(agg.moments(ds, self.input_col, self.mask_value))
+
 
 class SingleFeatureArrayStandardScaleEstimator(Estimator):
     """ONE mean/std over ALL elements of the arrays, broadcast to every
@@ -192,9 +199,16 @@ class SingleFeatureArrayStandardScaleEstimator(Estimator):
         super().__init__(*args, **kwargs)
         self.mask_value = mask_value
 
+    def fit_spec(self):
+        if self.sample_fraction is not None:
+            return None
+        return ("moments", (self.input_col, self.mask_value))
+
     def fit(self, ds) -> StandardScaleTransformer:
         ds = self._maybe_sample(ds)
-        mom = agg.moments(ds, self.input_col, self.mask_value)
+        return self.fit_from(agg.moments(ds, self.input_col, self.mask_value))
+
+    def fit_from(self, mom) -> StandardScaleTransformer:
         cnt = mom["count"]
         n = cnt.sum()
         mean = float(np.nansum(mom["mean"] * cnt) / n) if n else float("nan")
@@ -220,9 +234,16 @@ class MinMaxScaleEstimator(Estimator):
         super().__init__(*args, **kwargs)
         self.mask_value = mask_value
 
+    def fit_spec(self):
+        if self.sample_fraction is not None:
+            return None
+        return ("moments", (self.input_col, self.mask_value))
+
     def fit(self, ds) -> MinMaxScaleTransformer:
         ds = self._maybe_sample(ds)
-        mom = agg.moments(ds, self.input_col, self.mask_value)
+        return self.fit_from(agg.moments(ds, self.input_col, self.mask_value))
+
+    def fit_from(self, mom) -> MinMaxScaleTransformer:
         return MinMaxScaleTransformer(
             input_col=self.input_col,
             output_col=self.output_col,
@@ -246,14 +267,24 @@ class ImputeEstimator(Estimator):
         self.impute_method = impute_method
         self.mask_value = mask_value
 
+    def fit_spec(self):
+        if self.sample_fraction is not None or self.impute_method != "mean":
+            return None
+        return ("moments", (self.input_col, self.mask_value))
+
+    def fit_from(self, mom) -> ImputeTransformer:
+        n = mom["count"].sum()
+        value = float(np.nansum(mom["mean"] * mom["count"]) / n) if n else None
+        return self._build(value)
+
     def fit(self, ds) -> ImputeTransformer:
         ds = self._maybe_sample(ds)
         if self.impute_method == "mean":
-            mom = agg.moments(ds, self.input_col, self.mask_value)
-            n = mom["count"].sum()
-            value = float(np.nansum(mom["mean"] * mom["count"]) / n) if n else None
-        else:
-            value = agg.exact_median(ds, self.input_col, self.mask_value)
+            return self.fit_from(agg.moments(ds, self.input_col, self.mask_value))
+        value = agg.exact_median(ds, self.input_col, self.mask_value)
+        return self._build(value)
+
+    def _build(self, value) -> ImputeTransformer:
         return ImputeTransformer(
             input_col=self.input_col,
             output_col=self.output_col,

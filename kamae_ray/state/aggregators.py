@@ -116,6 +116,107 @@ def moments(ds, col: str, mask_value: float | None = None) -> dict[str, np.ndarr
     return {"count": cnt, "mean": mean, "std_pop": std, "min": mn, "max": mx}
 
 
+class _MultiMomentsPartial:
+    """One pass computing moments partials for MANY columns at once (fused
+    fit: k estimators -> 1 read instead of k)."""
+
+    def __init__(self, specs: list[tuple[str, float | None]]):
+        self.specs = specs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {}
+        for col, mask_value in self.specs:
+            part = _MomentsPartial(col, mask_value)(batch)
+            tag = f"{col}\x1f{mask_value}"
+            for name in ("cnt", "sum", "sumsq", "min", "max"):
+                cols[f"{tag}\x1f{name}"] = part.column(name)
+        return pa.table(cols)
+
+
+def moments_many(ds, specs: list[tuple[str, float | None]]) -> dict[tuple[str, float | None], dict[str, np.ndarray]]:
+    """Shared single-pass moments for several (col, mask_value) specs."""
+    specs = list(dict.fromkeys(specs))
+    fn = _MultiMomentsPartial(specs)
+    if isinstance(ds, pa.Table):
+        rows = fn(ds).to_pylist()
+    else:
+        cols = list(dict.fromkeys(c for c, _ in specs))
+        rows = _project(ds, cols).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    out = {}
+    for col, mask_value in specs:
+        tag = f"{col}\x1f{mask_value}"
+        w = max(len(r[f"{tag}\x1fcnt"]) for r in rows)
+        cnt = np.zeros(w)
+        s = np.zeros(w)
+        s2 = np.zeros(w)
+        mn = np.full(w, np.inf)
+        mx = np.full(w, -np.inf)
+        for r in rows:
+            cnt += np.asarray(r[f"{tag}\x1fcnt"])
+            s += np.asarray(r[f"{tag}\x1fsum"])
+            s2 += np.asarray(r[f"{tag}\x1fsumsq"])
+            mn = np.minimum(mn, np.asarray(r[f"{tag}\x1fmin"]))
+            mx = np.maximum(mx, np.asarray(r[f"{tag}\x1fmax"]))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), np.nan)
+            var = np.clip(np.where(cnt > 0, s2 / np.where(cnt == 0, 1, cnt) - mean * mean, np.nan), 0, None)
+        out[(col, mask_value)] = {
+            "count": cnt,
+            "mean": mean,
+            "std_pop": np.sqrt(var),
+            "min": mn,
+            "max": mx,
+        }
+    return out
+
+
+class _MultiValueCountsPartial:
+    """One pass collecting value counts for several vocab specs; emits
+    (spec_idx, value, count) rows."""
+
+    def __init__(self, specs: list[tuple[tuple[str, ...], str | None]]):
+        self.specs = specs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idxs, values, counts = [], [], []
+        for i, (cols, mask_token) in enumerate(self.specs):
+            part = _ValueCountsPartial(list(cols), mask_token)(batch)
+            idxs.extend([i] * part.num_rows)
+            values.extend(part.column("value").to_pylist())
+            counts.extend(part.column("count").to_pylist())
+        return pa.table(
+            {
+                "spec": pa.array(idxs, pa.int32()),
+                "value": pa.array(values, pa.string()),
+                "count": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def value_counts_many(
+    ds, specs: list[tuple[tuple[str, ...], str | None]]
+) -> dict[tuple[tuple[str, ...], str | None], dict[str, int]]:
+    """Shared single-pass value counts for several (cols, mask_token) specs."""
+    specs = list(dict.fromkeys(specs))
+    fn = _MultiValueCountsPartial(specs)
+    if isinstance(ds, pa.Table):
+        rows = fn(ds).to_pylist()
+    else:
+        all_cols = list(dict.fromkeys(c for cols, _ in specs for c in cols))
+        partial = _project(ds, all_cols).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        agg_ds = partial.groupby(["spec", "value"]).sum("count")
+        rows = [
+            {"spec": r["spec"], "value": r["value"], "count": r["sum(count)"]}
+            for r in agg_ds.take_all()
+        ]
+    out: dict = {spec: {} for spec in specs}
+    for r in rows:
+        spec = specs[r["spec"]]
+        d = out[spec]
+        d[r["value"]] = d.get(r["value"], 0) + r["count"]
+    return out
+
+
 class _CountHistPartial:
     """Per-block (count_in_range_histogram, below, in) for quantile refinement."""
 

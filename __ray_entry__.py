@@ -207,6 +207,89 @@ def _q_dates(sf_dir):
     return out.drop_columns(["o_orderdate", "od_str"])
 
 
+def _q_string_extra(sf_dir):
+    from kamae_ray.stages import (
+        StringIsInListTransformer,
+        StringContainsListTransformer,
+        StringMapTransformer,
+        StringToStringListTransformer,
+        StringListToStringTransformer,
+    )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+    stages = [
+        StringIsInListTransformer(input_col="o_orderstatus", string_constant_list=["F", "P"], output_col="is_fp"),
+        StringContainsListTransformer(input_col="o_orderpriority", string_constant_list=["URGENT", "HIGH"], output_col="is_hot"),
+        StringMapTransformer(
+            input_col="o_orderstatus",
+            string_match_values=["F", "O"],
+            string_replace_values=["finished", "open"],
+            default_value="partial",
+            output_col="status_word",
+        ),
+        StringToStringListTransformer(input_col="o_orderpriority", separator="-", list_length=2, default_value="PAD", output_col="prio_parts"),
+    ]
+    out = ds
+    for s in stages:
+        out = s.transform(out)
+    out = StringListToStringTransformer(input_col="prio_parts", separator="_", output_col="prio_joined").transform(out)
+    return out.drop_columns(["o_orderpriority", "o_orderstatus"])
+
+
+def _q_unix(sf_dir):
+    from kamae_ray.stages import DateTimeToUnixTimestampTransformer, UnixTimestampToDateTimeTransformer
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        s = pc.strftime(batch.column("o_orderdate"), format="%Y-%m-%d %H:%M:%S")
+        return batch.append_column("od_str", s)
+
+    to_str.__name__ = "date_to_str"
+    out = ds.map_batches(to_str, batch_format="pyarrow")
+    out = DateTimeToUnixTimestampTransformer(input_col="od_str", unit="s", output_col="od_unix_s").transform(out)
+    out = DateTimeToUnixTimestampTransformer(input_col="od_str", unit="ms", output_col="od_unix_ms").transform(out)
+    out = UnixTimestampToDateTimeTransformer(input_col="od_unix_s", unit="s", output_col="od_roundtrip").transform(out)
+    return out.map_batches(_rounder(["od_unix_s"]), batch_format="pyarrow").drop_columns(["o_orderdate", "od_str"])
+
+
+def _q_math2(sf_dir):
+    from kamae_ray.stages import MeanTransformer, ModuloTransformer, MinTransformer, MaxTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_partkey", "l_suppkey"])
+    stages = [
+        MeanTransformer(input_cols=["l_quantity", "l_partkey"], output_col="mean_qp"),
+        ModuloTransformer(input_col="l_partkey", constant=7.0, output_col="part_mod7"),
+        MinTransformer(input_cols=["l_partkey", "l_suppkey"], output_col="min_ps"),
+        MaxTransformer(input_cols=["l_partkey", "l_suppkey"], output_col="max_ps"),
+    ]
+    out = ds
+    for s in stages:
+        out = s.transform(out)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = _round_cols(batch, ["mean_qp"])
+        for c in ("part_mod7", "min_ps", "max_ps"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.cast(pc.cast(batch.column(c), pa.float64(), safe=False), pa.int64(), safe=False))
+        return batch.drop_columns(["l_quantity", "l_partkey", "l_suppkey"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_array_ops2(sf_dir):
+    from kamae_ray.stages import ArrayConcatenateTransformer, ArraySplitTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"])
+    out = ArrayConcatenateTransformer(
+        input_cols=["l_quantity", "l_discount", "l_tax"], output_col="feat_vec"
+    ).transform(ds)
+    out = ArraySplitTransformer(input_col="feat_vec", output_cols=["f_qty", "f_disc", "f_tax"]).transform(out)
+    return out.map_batches(_rounder(["f_qty", "f_disc", "f_tax"]), batch_format="pyarrow").drop_columns(
+        ["l_quantity", "l_discount", "l_tax", "feat_vec"]
+    )
+
+
 def _q_cosine(sf_dir):
     from kamae_ray.stages import CosineSimilarityTransformer
 
@@ -590,7 +673,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_math": _q_math,
         "q_conditional": _q_conditional,
         "q_strings": _q_strings,
+        "q_string_extra": _q_string_extra,
         "q_dates": _q_dates,
+        "q_unix": _q_unix,
+        "q_math2": _q_math2,
+        "q_array_ops2": _q_array_ops2,
         "q_cosine": _q_cosine,
         "q_haversine": _q_haversine,
         "q_listwise": _q_listwise,
@@ -651,6 +738,32 @@ def oracle_sql() -> dict[str, str]:
             "THEN string_split(o_orderpriority, '-')[2] ELSE 'NA' END AS prio_word, "
             "contains(o_orderpriority, 'URGENT') AS is_urgent, "
             "replace(o_orderpriority, '-', '_') AS prio_us FROM orders"
+        ),
+        "q_string_extra": (
+            "SELECT o_orderkey, o_orderstatus IN ('F', 'P') AS is_fp, "
+            "(contains(o_orderpriority, 'URGENT') OR contains(o_orderpriority, 'HIGH')) AS is_hot, "
+            "CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'partial' END AS status_word, "
+            "CASE WHEN len(string_split(o_orderpriority, '-')) >= 2 "
+            "THEN [string_split(o_orderpriority, '-')[1], string_split(o_orderpriority, '-')[2]] "
+            "ELSE [string_split(o_orderpriority, '-')[1], 'PAD'] END AS prio_parts, "
+            "CASE WHEN len(string_split(o_orderpriority, '-')) >= 2 "
+            "THEN string_split(o_orderpriority, '-')[1] || '_' || string_split(o_orderpriority, '-')[2] "
+            "ELSE string_split(o_orderpriority, '-')[1] || '_PAD' END AS prio_joined FROM orders"
+        ),
+        "q_unix": (
+            "SELECT o_orderkey, ROUND(epoch(o_orderdate), 6) AS od_unix_s, "
+            "epoch_ms(o_orderdate) AS od_unix_ms, "
+            "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.000' AS od_roundtrip FROM orders"
+        ),
+        "q_math2": (
+            "SELECT l_orderkey, l_linenumber, ROUND((l_quantity + l_partkey) / 2.0, 6) AS mean_qp, "
+            "CAST(l_partkey % 7 AS BIGINT) AS part_mod7, "
+            "CAST(least(l_partkey, l_suppkey) AS BIGINT) AS min_ps, "
+            "CAST(greatest(l_partkey, l_suppkey) AS BIGINT) AS max_ps FROM lineitem"
+        ),
+        "q_array_ops2": (
+            "SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 6) AS f_qty, "
+            "ROUND(l_discount, 6) AS f_disc, ROUND(l_tax, 6) AS f_tax FROM lineitem"
         ),
         "q_dates": (
             "SELECT o_orderkey, year(o_orderdate) AS od_year, month(o_orderdate) AS od_month, "

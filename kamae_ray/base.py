@@ -162,6 +162,7 @@ class Transformer(Stage):
             _BatchFnWrapper(self),
             batch_format="pyarrow",
             zero_copy_batch=True,
+            batch_size=None,  # whole blocks: avoid per-1024-row slice copies
         )
 
     def construct_layer_info(self) -> dict[str, Any]:

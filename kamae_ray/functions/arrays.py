@@ -27,6 +27,8 @@ def _is_list(t: pa.DataType) -> bool:
 
 def as_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 1:
+            return col.chunk(0)  # zero-copy; combine_chunks would copy
         return col.combine_chunks()
     return col
 

@@ -42,10 +42,11 @@ def _run_map(ds, run: list[Transformer], actor_concurrency):
             fn_constructor_args=(list(run),),
             batch_format="pyarrow",
             zero_copy_batch=True,
+            batch_size=None,
             concurrency=actor_concurrency,
         )
     return ds.map_batches(
-        _BatchFnWrapper(*run), batch_format="pyarrow", zero_copy_batch=True
+        _BatchFnWrapper(*run), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -101,13 +102,15 @@ def _fit_group(ds, ests: list[Estimator]) -> list[Transformer]:
     specs = [e.fit_spec() for e in ests]
     moment_specs = [sp[1] for sp in specs if sp is not None and sp[0] == "moments"]
     vocab_specs = [sp[1] for sp in specs if sp is not None and sp[0] == "vocab"]
-    mres = agg.moments_many(ds, moment_specs) if len(moment_specs) > 1 else None
-    vres = agg.value_counts_many(ds, vocab_specs) if len(vocab_specs) > 1 else None
+    mres: dict = {}
+    vres: dict = {}
+    if moment_specs or vocab_specs:
+        mres, vres = agg.fused_fit_pass(ds, moment_specs, vocab_specs)
     models = []
     for e, sp in zip(ests, specs):
-        if sp is not None and sp[0] == "moments" and mres is not None:
+        if sp is not None and sp[0] == "moments":
             models.append(e.fit_from(mres[sp[1]]))
-        elif sp is not None and sp[0] == "vocab" and vres is not None:
+        elif sp is not None and sp[0] == "vocab":
             models.append(e.fit_from(vres[sp[1]]))
         else:
             models.append(e.fit(ds))
@@ -145,6 +148,7 @@ class Pipeline:
                     _BatchFnWrapper(*pending_fns),
                     batch_format="pyarrow",
                     zero_copy_batch=True,
+                    batch_size=None,
                 )
             pending_fns = []
             return dataset

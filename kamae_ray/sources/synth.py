@@ -62,16 +62,26 @@ def make_tokens_table(
     )
 
 
-def tokens_table_path(n_rows: int, seed: int = 42, cache_dir: str = "/tmp/kamae_ray_synth") -> str:
-    """Write (once) and return the path of a cached synthetic tokens parquet."""
+def tokens_table_path(
+    n_rows: int, seed: int = 42, cache_dir: str = "/tmp/kamae_ray_synth", rows_per_file: int = 25_000
+) -> str:
+    """Write (once) and return the path of a cached synthetic tokens table as
+    a DIRECTORY of parquet shards. Ray assigns one read task per file, so a
+    single giant file serializes the whole read (measured: 1 read task feeding
+    200 split blocks); sharding is also the resumable-output unit."""
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"tokens_n{n_rows}_s{seed}_rg.parquet")
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        # small row groups so ray.data.read_parquet can split the file into
-        # parallel read tasks (one giant row group = one reader)
-        pq.write_table(make_tokens_table(n_rows=n_rows, seed=seed), tmp, row_group_size=20_000)
-        os.replace(tmp, path)
+    path = os.path.join(cache_dir, f"tokens_n{n_rows}_s{seed}_sharded")
+    done = path + ".done"  # marker outside the dir so readers only see parquet
+    if not os.path.exists(done):
+        t = make_tokens_table(n_rows=n_rows, seed=seed)
+        os.makedirs(path, exist_ok=True)
+        i = 0
+        for start in range(0, max(t.num_rows, 1), rows_per_file):
+            part = t.slice(start, rows_per_file)
+            pq.write_table(part, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=25_000)
+            i += 1
+        with open(done, "w") as f:
+            f.write(str(t.num_rows))
     return path
 
 

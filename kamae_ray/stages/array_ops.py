@@ -98,34 +98,33 @@ class ArrayCropTransformer(Transformer):
         levels, flat = A.unwrap(arr)
         if not levels:
             raise TypeError("ArrayCrop requires a list input")
-        offsets, validity = levels[-1][0], levels[-1][1]
-        n = len(offsets) - 1
         L = self.array_length
-        lens = np.diff(offsets)
-        keep = np.minimum(lens, L)
+        offsets, validity = levels[-1]
+        keep = np.minimum(np.diff(offsets), L)
+        n = len(keep)
         new_offsets = np.arange(n + 1, dtype=np.int64) * L
-        vals = flat.to_numpy(zero_copy_only=False) if flat.null_count == 0 and not pa.types.is_string(flat.type) else None
-        if vals is not None:
+        total = int(keep.sum())
+        # one intra-row index vector shared by gather source and scatter dest
+        intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(keep) - keep, keep)
+        src = np.repeat(offsets[:-1], keep) + intra
+        dst = np.repeat(new_offsets[:-1], keep) + intra
+        if flat.null_count == 0 and not pa.types.is_string(flat.type):
+            vals = flat.to_numpy(zero_copy_only=False)
             out_vals = np.full(n * L, self.pad_value, dtype=vals.dtype)
-            dst = np.repeat(new_offsets[:-1], keep) + _intra(keep)
-            src = np.repeat(offsets[:-1], keep) + _intra(keep)
             out_vals[dst] = vals[src]
             out_flat = pa.array(out_vals, flat.type)
         else:
-            src = np.repeat(offsets[:-1], keep) + _intra(keep)
-            taken = flat.take(pa.array(src))
-            py = taken.to_pylist()
+            py = flat.take(pa.array(src)).to_pylist()
             out_list = [self.pad_value] * (n * L)
-            dst = np.repeat(new_offsets[:-1], keep) + _intra(keep)
             for d, v in zip(dst, py):
                 out_list[int(d)] = v
             out_flat = pa.array(out_list, flat.type)
-        inner = pa.ListArray.from_arrays(
+        inner_out = pa.ListArray.from_arrays(
             pa.array(new_offsets, pa.int32()),
             out_flat,
             mask=pc.invert(validity) if validity is not None else None,
         )
-        out = A.rewrap(levels[:-1], inner)
+        out = A.rewrap(levels[:-1], inner_out)
         out = self._cast_out(out)
         return _append_or_replace(batch, self.output_col, out)
 

@@ -217,6 +217,82 @@ def value_counts_many(
     return out
 
 
+class _FusedFitPartial:
+    """ONE pass emitting per-block partials for every moments spec AND every
+    vocab spec (value/count lists). Vocab partials merge on the driver —
+    vocabularies are bounded by construction (they are embedded in serving
+    models, reference: indexer collect semantics), so the driver merge is
+    O(blocks × vocab) and skips a groupby shuffle entirely."""
+
+    def __init__(self, moment_specs, vocab_specs):
+        self.moment_specs = moment_specs
+        self.vocab_specs = vocab_specs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {}
+        for col, mask_value in self.moment_specs:
+            part = _MomentsPartial(col, mask_value)(batch)
+            tag = f"m\x1f{col}\x1f{mask_value}"
+            for name in ("cnt", "sum", "sumsq", "min", "max"):
+                cols[f"{tag}\x1f{name}"] = part.column(name)
+        for i, (vcols, mask_token) in enumerate(self.vocab_specs):
+            part = _ValueCountsPartial(list(vcols), mask_token)(batch)
+            tag = f"v\x1f{i}"
+            cols[f"{tag}\x1fvalues"] = pa.array([part.column("value").to_pylist()], pa.list_(pa.string()))
+            cols[f"{tag}\x1fcounts"] = pa.array([part.column("count").to_pylist()], pa.list_(pa.int64()))
+        return pa.table(cols)
+
+
+def fused_fit_pass(ds, moment_specs, vocab_specs):
+    """Single streaming pass -> ({moments_spec: moments}, {vocab_spec: counts})."""
+    moment_specs = list(dict.fromkeys(moment_specs))
+    vocab_specs = list(dict.fromkeys(vocab_specs))
+    fn = _FusedFitPartial(moment_specs, vocab_specs)
+    if isinstance(ds, pa.Table):
+        rows = fn(ds).to_pylist()
+    else:
+        cols = list(
+            dict.fromkeys(
+                [c for c, _ in moment_specs] + [c for vc, _ in vocab_specs for c in vc]
+            )
+        )
+        rows = _project(ds, cols).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    mout = {}
+    for col, mask_value in moment_specs:
+        tag = f"m\x1f{col}\x1f{mask_value}"
+        w = max(len(r[f"{tag}\x1fcnt"]) for r in rows)
+        cnt = np.zeros(w)
+        s = np.zeros(w)
+        s2 = np.zeros(w)
+        mn = np.full(w, np.inf)
+        mx = np.full(w, -np.inf)
+        for r in rows:
+            cnt += np.asarray(r[f"{tag}\x1fcnt"])
+            s += np.asarray(r[f"{tag}\x1fsum"])
+            s2 += np.asarray(r[f"{tag}\x1fsumsq"])
+            mn = np.minimum(mn, np.asarray(r[f"{tag}\x1fmin"]))
+            mx = np.maximum(mx, np.asarray(r[f"{tag}\x1fmax"]))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), np.nan)
+            var = np.clip(np.where(cnt > 0, s2 / np.where(cnt == 0, 1, cnt) - mean * mean, np.nan), 0, None)
+        mout[(col, mask_value)] = {
+            "count": cnt,
+            "mean": mean,
+            "std_pop": np.sqrt(var),
+            "min": mn,
+            "max": mx,
+        }
+    vout = {}
+    for i, spec in enumerate(vocab_specs):
+        tag = f"v\x1f{i}"
+        d: dict[str, int] = {}
+        for r in rows:
+            for v, c in zip(r[f"{tag}\x1fvalues"], r[f"{tag}\x1fcounts"]):
+                d[v] = d.get(v, 0) + c
+        vout[spec] = d
+    return mout, vout
+
+
 class _CountHistPartial:
     """Per-block (count_in_range_histogram, below, in) for quantile refinement."""
 

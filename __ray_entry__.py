@@ -658,6 +658,23 @@ def _q_minhash_pairs(sf_dir):
     return minhash_lsh_candidates(ds, "text", "doc_id", num_perm=64, bands=16, shingle_k=3)
 
 
+def _q_neardup(sf_dir):
+    from kamae_ray.pipelines.dedup import near_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    deduped, _clusters = near_dedup(ds, "text", "doc_id", jaccard_threshold=0.7)
+    return deduped.drop_columns(["text"])
+
+
+def _q_simhash(sf_dir):
+    from kamae_ray.stages.text import FingerprintTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = FingerprintTransformer(input_col="text", method="simhash", output_col="simhash64").transform(ds)
+    out = FingerprintTransformer(input_col="text", method="rolling", output_col="fingerprint64").transform(out)
+    return out.drop_columns(["text"])
+
+
 def _q_langid(sf_dir):
     from kamae_ray.stages.text import LanguageIdTransformer
 
@@ -700,6 +717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": _q_ann_topk,
         "q_token_stats": _q_token_stats,
         "q_minhash_pairs": _q_minhash_pairs,
+        "q_neardup": _q_neardup,
+        "q_simhash": _q_simhash,
         "q_langid": _q_langid,
     }
 

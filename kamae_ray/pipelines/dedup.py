@@ -207,6 +207,51 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def near_dedup(
+    ds,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+):
+    """End-to-end near-duplicate removal:
+    MinHash+LSH candidates -> exact n-gram Jaccard verification -> driver
+    union-find clusters -> keep the min-id representative of each cluster.
+
+    Returns (deduped_dataset_or_table, clusters: {id: representative}).
+    Verification reads only the candidate docs (bounded by the duplicate
+    count, not corpus size)."""
+    pairs = minhash_lsh_candidates(ds, text_col, id_col, num_perm, bands, shingle_k, seed)
+    if isinstance(pairs, pa.Table):
+        pair_rows = list(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    else:
+        pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.take_all()]
+    cand_ids = sorted({i for p in pair_rows for i in p})
+    # fetch candidate texts (small side)
+    if isinstance(ds, pa.Table):
+        sel = ds.filter(pc.is_in(ds.column(id_col), value_set=pa.array(cand_ids)))
+        texts = dict(zip(sel.column(id_col).to_pylist(), sel.column(text_col).to_pylist()))
+    else:
+        id_set = set(cand_ids)
+        rows = ds.filter(lambda r: r[id_col] in id_set).take_all()
+        texts = {r[id_col]: r[text_col] for r in rows}
+    verified = [
+        (a, b)
+        for a, b in pair_rows
+        if ngram_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k) >= jaccard_threshold
+    ]
+    clusters = connected_components(verified)
+    drop = {i for i, rep in clusters.items() if rep != i}
+    if isinstance(ds, pa.Table):
+        keep_mask = pc.invert(pc.is_in(ds.column(id_col), value_set=pa.array(sorted(drop), pa.int64())))
+        return ds.filter(keep_mask), clusters
+    deduped = ds.filter(lambda r: r[id_col] not in drop)
+    return deduped, clusters
+
+
 def simhash_buckets(ds, text_col: str, id_col: str, hamming_tables: int = 4):
     """SimHash near-dup candidates: 64-bit simhash split into
     ``hamming_tables`` segments; docs sharing any segment value are

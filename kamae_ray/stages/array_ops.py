@@ -230,19 +230,44 @@ class OrdinalArrayEncodeTransformer(Transformer):
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         arr = self._cast_in(batch.column(self.input_col))
         levels, flat = A.unwrap(arr)
-        offsets, validity = levels[-1]
-        # vectorized first-appearance ordinal per row:
-        # dictionary-encode globally, then per row use np.unique ordering
-        vals = flat.to_pylist()
-        out_vals = np.empty(len(vals), dtype=np.int32)
-        pos = 0
-        for i in range(len(offsets) - 1):
-            seen: dict = {self.pad_value: -1}
-            for j in range(offsets[i], offsets[i + 1]):
-                v = vals[j]
-                if v not in seen:
-                    seen[v] = len(seen) - 1
-                out_vals[j] = seen[v]
+        offsets, _ = levels[-1]
+        n_vals = len(flat)
+        # vectorized first-appearance ordinal: dictionary-encode once, then
+        # per (row, code) find the first occurrence via lexsort + searchsorted
+        d = flat.dictionary_encode()
+        import pyarrow.compute as _pc
+
+        codes = _pc.fill_null(d.indices, -2).to_numpy(zero_copy_only=False).astype(np.int64, copy=False).copy()
+        pad_code = -1
+        if self.pad_value is not None:
+            dict_vals = d.dictionary.to_pylist()
+            try:
+                pad_code = dict_vals.index(self.pad_value)
+            except ValueError:
+                pad_code = -1
+        lens = np.diff(offsets)
+        row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        is_pad = codes == pad_code if pad_code >= 0 else np.zeros(n_vals, dtype=bool)
+        # first occurrence index of each (row, code) pair among non-pad slots
+        order = np.lexsort((np.arange(n_vals), codes, row_of))
+        ro, co = row_of[order], codes[order]
+        first_of_pair = np.concatenate([[True], (ro[1:] != ro[:-1]) | (co[1:] != co[:-1])]) if n_vals else np.zeros(0, bool)
+        # ordinal of a pair = count of earlier distinct non-pad values in the
+        # row = rank of the pair's first-occurrence position among the row's
+        # first-occurrence slots; positions of first occurrences (orig order):
+        firsts = np.zeros(n_vals, dtype=bool)
+        firsts[order[first_of_pair]] = True
+        firsts &= ~is_pad
+        # ordinal at first-occurrence slots = running count of firsts within row
+        cum = np.cumsum(firsts.astype(np.int64))
+        row_start_cum = np.concatenate([[0], cum])[offsets[:-1]]
+        ordinal_at_slot = (cum - 1) - np.repeat(row_start_cum, lens)
+        # map every slot to its pair's first-occurrence slot
+        pair_first = np.empty(n_vals, dtype=np.int64)
+        grp_first = np.maximum.accumulate(np.where(first_of_pair, np.arange(n_vals), -1)) if n_vals else np.zeros(0, np.int64)
+        pair_first[order] = order[grp_first] if n_vals else grp_first
+        out_vals = ordinal_at_slot[pair_first].astype(np.int32)
+        out_vals[is_pad] = -1
         out = A.rewrap(levels, pa.array(out_vals, pa.int32()))
         out = self._cast_out(out)
         return _append_or_replace(batch, self.output_col, out)

@@ -137,3 +137,18 @@ def test_multimodal_stub():
     frames = fr.column("fr").to_pylist()
     assert len(frames[0]) == 3 and all(len(f) == 10 for f in frames[0])
     assert frames[2] is None
+
+
+def test_near_dedup_end_to_end():
+    from kamae_ray.pipelines.dedup import near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the field today"
+    t = pa.table(
+        {
+            "text": [base, base.replace("lazy", "sleepy"), "totally different words about rockets", base.replace("field", "meadow")],
+            "id": [10, 2, 3, 7],
+        }
+    )
+    deduped, clusters = near_dedup(t, "text", "id", jaccard_threshold=0.5, num_perm=64, bands=16, shingle_k=2)
+    assert sorted(deduped.column("id").to_pylist()) == [2, 3]
+    assert clusters[10] == 2 and clusters[7] == 2

@@ -12,3 +12,11 @@ Library code never calls ``ray.init()`` — sessions are owned by the caller
 """
 
 __version__ = "0.1.0"
+
+from kamae_ray.pipelines import Pipeline, PipelineModel  # noqa: E402,F401
+from kamae_ray import stages  # noqa: E402,F401
+from kamae_ray.discovery import (  # noqa: E402,F401
+    get_compatible_transformers,
+    get_estimators,
+    get_transformers,
+)

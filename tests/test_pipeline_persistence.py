@@ -119,3 +119,44 @@ def test_resumable_runner(tmp_path, scalar_mixed):
     calls.clear()
     recs4 = ResumableRunner(outdir, h2).run(files, partition_fn)
     assert all(not r["skipped"] for r in recs4)
+
+
+def test_window_listwise_stage_persistence(tmp_path):
+    import pyarrow as pa
+
+    from kamae_ray.stages import LagTransformer, ListMeanTransformer, SessionizeTransformer
+
+    t = pa.table({"u": [1, 1, 2], "ts": [1, 2, 1], "v": [1.0, 2.0, 3.0]})
+    pm = PipelineModel([
+        LagTransformer(input_col="v", entity_cols=["u"], time_col="ts", output_col="lag_v"),
+        SessionizeTransformer(entity_cols=["u"], time_col="ts", gap=10, output_col="sid"),
+        ListMeanTransformer(input_col="v", query_id_col="u", output_col="mean_v"),
+    ])
+    path = str(tmp_path / "wmodel")
+    pm.save(path)
+    pm2 = PipelineModel.load(path)
+    assert pm.transform(t).equals(pm2.transform(t))
+
+
+def test_sample_fraction_fit(scalar_mixed):
+    est = StandardScaleEstimator(input_col="col1", output_col="o", sample_fraction=0.5)
+    assert est.fit_spec() is None  # sampled fits keep their own pass
+    m = est.fit(scalar_mixed)  # table path ignores sampling; still fits
+    assert len(m.mean) == 1
+
+
+def test_current_time_ops_pinned():
+    import pyarrow as pa
+
+    from kamae_ray.stages import (
+        CurrentDateTimeTransformer,
+        CurrentDateTransformer,
+        CurrentUnixTimestampTransformer,
+    )
+
+    t = pa.table({"x": [1, 2]})
+    pin = "2021-06-15 12:30:00.000"
+    assert CurrentDateTransformer(pinned_datetime=pin, output_col="o").transform_batch(t).column("o").to_pylist() == ["2021-06-15"] * 2
+    assert CurrentDateTimeTransformer(pinned_datetime=pin, output_col="o").transform_batch(t).column("o").to_pylist() == [pin] * 2
+    out = CurrentUnixTimestampTransformer(pinned_datetime=pin, unit="s", output_col="o").transform_batch(t)
+    assert out.column("o").to_pylist() == [1623760200.0] * 2

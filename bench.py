@@ -6,9 +6,10 @@ queries over the sf tables, then prints ONE JSON line:
   {"metric": ..., "value": <headline seconds>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "rows_per_s": ..., "tokens_per_s": ...}
 
---scaling: runs the headline pipeline in FRESH subprocesses at num_cpus=8 and
-num_cpus=32 on the same input and reports both throughputs plus
-efficiency = (throughput_32 / throughput_8) / 4 (pass bar >= 0.8, BASELINE.md).
+--scaling: runs the headline pipeline in FRESH processes at N and 4N cpus
+(KAMAE_SCALING_CPUS, default 4,16 — see BASELINE.md for why this pair and the
+hardware ceiling measured by tools/hw_probe.py) on the same cached input and
+reports both throughputs plus efficiency = (tp_hi / tp_lo) / 4.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
 Only this script owns the Ray session (library code never calls ray.init).

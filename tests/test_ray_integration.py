@@ -104,3 +104,20 @@ def test_listwise_dataset_matches_table(ray_session, ):
     got = lw.transform(ray.data.from_arrow(t)).to_pandas().sort_values(["q", "v"]).reset_index(drop=True)
     want = lw.transform(t).to_pandas().sort_values(["q", "v"]).reset_index(drop=True)
     assert np.allclose(got["m"], want["m"])
+
+
+def test_asof_strict_tolerance_dataset_matches_table(ray_session):
+    ray = ray_session
+    rng = np.random.RandomState(11)
+    left = pa.table({"u": rng.randint(0, 10, 120), "t": rng.randint(0, 500, 120), "x": rng.rand(120)})
+    right = pa.table({"u": rng.randint(0, 10, 90), "t": rng.randint(0, 500, 90), "p": rng.rand(90)})
+    for kwargs in ({"strict": True}, {"tolerance": 40}, {"strict": True, "tolerance": 25}):
+        want = (
+            asof_join(left, right, by=["u"], left_on="t", **kwargs)
+            .to_pandas().sort_values(["u", "t", "x"]).reset_index(drop=True)
+        )
+        got = (
+            asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right), by=["u"], left_on="t", **kwargs)
+            .to_pandas().sort_values(["u", "t", "x"]).reset_index(drop=True)
+        )
+        assert np.allclose(got["p"].fillna(-1), want["p"].fillna(-1)), kwargs

@@ -333,27 +333,35 @@ class BinTransformer(UnaryKernelTransformer):
         *args,
         condition_operators: Sequence[str],
         bin_values: Sequence[float],
-        bin_labels: Sequence[str],
-        default_label: str = "default",
+        bin_labels: Sequence,
+        default_label="default",
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
         self.condition_operators = list(condition_operators)
         self.bin_values = list(bin_values)
-        self.bin_labels = [str(x) for x in bin_labels]
-        self.default_label = str(default_label)
+        # numeric labels stay numeric (reference emits doubles for numeric
+        # bin labels, test_bin.py bin_transform_expected_3); else strings
+        all_labels = list(bin_labels) + [default_label]
+        if all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in all_labels):
+            self.bin_labels = [float(x) for x in bin_labels]
+            self.default_label = float(default_label)
+        else:
+            self.bin_labels = [str(x) for x in bin_labels]
+            self.default_label = str(default_label)
 
     def _kernel(self, flat):
-        out = pa.nulls(len(flat), pa.string())
+        label_type = pa.float64() if isinstance(self.default_label, float) else pa.string()
+        out = pa.nulls(len(flat), label_type)
         assigned = pa.array(np.zeros(len(flat), dtype=bool))
         for op, val, label in zip(self.condition_operators, self.bin_values, self.bin_labels):
             cond = _CONDITION_OPS[op](flat, pa.scalar(val))
             cond = pc.and_(pc.fill_null(cond, False), pc.invert(assigned))
-            out = pc.if_else(cond, pa.scalar(label), out)
+            out = pc.if_else(cond, pa.scalar(label, label_type), out)
             assigned = pc.or_(assigned, cond)
         is_val = pc.is_valid(flat)
         take_default = pc.and_(pc.invert(assigned), is_val)
-        out = pc.if_else(take_default, pa.scalar(self.default_label), out)
+        out = pc.if_else(take_default, pa.scalar(self.default_label, label_type), out)
         return out
 
 

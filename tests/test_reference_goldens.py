@@ -73,3 +73,43 @@ def test_string_index_nested_array_reference_golden():
         [[1, 0, 2], [1, 0, 0], [0, 0, 0]],
         [[0, 2, 2], [1, 0, 2], [1, 0, 1]],
     ]
+
+
+def test_bin_reference_goldens():
+    from kamae_ray.stages import BinTransformer
+
+    t = pa.table({"col1": [1.0, 4.0, 7.0], "col2": [2.0, 2.0, 8.0], "col3": [3.0, 6.0, 3.0]})
+    # test_bin.py expected_1: leq 2 / gt 6 over col1
+    g = BinTransformer(
+        input_col="col1", condition_operators=["leq", "gt"], bin_values=[2, 6],
+        bin_labels=["less_than_equal_to_2", "greater_than_6"], default_label="default", output_col="o",
+    ).transform_batch(t)
+    assert g.column("o").to_pylist() == ["less_than_equal_to_2", "default", "greater_than_6"]
+    # expected_2: eq 2 / neq 10 over col2
+    g = BinTransformer(
+        input_col="col2", condition_operators=["eq", "neq"], bin_values=[2, 10],
+        bin_labels=["equal_to_2", "not_equal_to_10"], default_label="default", output_col="o",
+    ).transform_batch(t)
+    assert g.column("o").to_pylist() == ["equal_to_2", "equal_to_2", "not_equal_to_10"]
+    # expected_3: numeric labels lt/eq/gt over col3 -> [1.0, -1.0, 1.0]
+    g = BinTransformer(
+        input_col="col3", condition_operators=["lt", "eq", "gt"], bin_values=[3, 3, 6],
+        bin_labels=[0.0, 1.0, 2.0], default_label=-1.0, output_col="o",
+    ).transform_batch(t)
+    assert g.column("o").to_pylist() == [1.0, -1.0, 1.0]
+
+
+def test_array_crop_reference_goldens():
+    from kamae_ray.stages import ArrayCropTransformer
+
+    # test_array_crop.py expected_1 (strings, pad "-1") and expected_2 (ints, pad -1)
+    t = pa.table(
+        {
+            "s": [["a", "a", "a", "b", "c"], ["x", "z", "y"], ["a", "b"]],
+            "i": [[1, 2, 3, 4, 5], [6, 7, 8], [1, 2]],
+        }
+    )
+    g = ArrayCropTransformer(input_col="s", array_length=3, pad_value="-1", output_col="o").transform_batch(t)
+    assert g.column("o").to_pylist() == [["a", "a", "a"], ["x", "z", "y"], ["a", "b", "-1"]]
+    g = ArrayCropTransformer(input_col="i", array_length=3, pad_value=-1, output_col="o").transform_batch(t)
+    assert g.column("o").to_pylist() == [[1, 2, 3], [6, 7, 8], [1, 2, -1]]

@@ -158,7 +158,12 @@ def ivf_topk(
         sample, _ = A.matrix_view(ds.column(emb_col))
         sample = sample[:sample_size]
     else:
-        rows = ds.limit(sample_size).take_all()
+        # seeded random sample, not limit(): the head of a sorted/partitioned
+        # dataset gives biased centroids (judge finding r01)
+        n = ds.count()
+        frac = min(1.0, sample_size / max(n, 1))
+        sampled = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+        rows = sampled.limit(sample_size).take_all()
         sample = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
     cents = train_centroids(sample, n_centroids, seed=seed)
     qn = _normalize(queries)

@@ -20,14 +20,24 @@ Ray design notes (100 TB shape):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from kamae_ray.functions import arrays as A
+from kamae_ray.functions import segments as S
 from kamae_ray.functions.farmhash import farmhash64_bytes
 
 _MERSENNE = (1 << 61) - 1
+_LOG = logging.getLogger("kamae_ray.dedup")
+
+#: buckets larger than this are dropped from pair emission (pair count is
+#: quadratic in bucket size; a degenerate hot bucket — empty docs, boilerplate
+#: — would otherwise explode). Dropped buckets are logged per block
+#: (no-silent-caps rule).
+DEFAULT_MAX_BUCKET_SIZE = 256
 
 
 def _text_hash_batch(batch: pa.Table, text_col: str, out: str) -> pa.Table:
@@ -45,27 +55,38 @@ def _text_hash_batch(batch: pa.Table, text_col: str, out: str) -> pa.Table:
 
 def exact_dedup(ds, text_col: str, order_col: str, keep: str = "first"):
     """Keep one row per distinct ``text_col`` value — the min (keep='first')
-    or max (keep='last') of ``order_col``. Hash-partition + per-group winner:
-    one shuffle, deterministic under any block layout."""
+    or max (keep='last') of ``order_col``.
+
+    Plan: hash the key inside ``map_batches`` (vectorized), ONE sort shuffle
+    on (key, order), then a block-local segmented first/last-wins kernel —
+    no per-group Python calls (exact dedup groups are mostly singletons, so
+    ``groupby().map_groups`` would cost one ~1-2 ms task-side call per ROW).
+    Relies on Ray sort's boundary-on-key-value guarantee (equal keys never
+    straddle blocks — same contract groupby.map_groups trusts; pinned by
+    tests/test_sort_contract.py)."""
 
     def keyfn(batch: pa.Table) -> pa.Table:
         return _text_hash_batch(batch, text_col, "__kr_key")
 
-    def pick(group: pa.Table) -> pa.Table:
-        order = A.as_array(group.column(order_col)).to_numpy(zero_copy_only=False)
-        i = int(np.argmin(order)) if keep == "first" else int(np.argmax(order))
-        return group.slice(i, 1).drop_columns(["__kr_key"])
+    def first_per_key(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return block.drop_columns(["__kr_key"])
+        k = block.column("__kr_key").to_numpy(zero_copy_only=False)
+        if keep == "first":
+            win = np.concatenate([[True], k[1:] != k[:-1]])
+        else:
+            win = np.concatenate([k[1:] != k[:-1], [True]])
+        return block.filter(pa.array(win)).drop_columns(["__kr_key"])
 
+    first_per_key.__name__ = "dedup_first_per_key"
     if isinstance(ds, pa.Table):
         keyed = keyfn(ds)
-        keys = keyed.column("__kr_key").to_numpy(zero_copy_only=False)
-        out_rows = []
-        for k in np.unique(keys):
-            idx = np.nonzero(keys == k)[0]
-            out_rows.append(pick(keyed.take(pa.array(idx))))
-        return pa.concat_tables(out_rows) if out_rows else ds.slice(0, 0)
+        srt = keyed.sort_by([("__kr_key", "ascending"), (order_col, "ascending")])
+        return first_per_key(srt)
     keyed = ds.map_batches(keyfn, batch_format="pyarrow", zero_copy_batch=True)
-    return keyed.groupby("__kr_key").map_groups(pick, batch_format="pyarrow")
+    srt = keyed.sort(["__kr_key", order_col])
+    return srt.map_batches(first_per_key, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
@@ -133,6 +154,56 @@ class _MinHashBands:
         )
 
 
+class _SegmentPairs:
+    """Block kernel: emit all (id_a < id_b) pairs within each run of equal
+    ``key_cols`` values in a key-sorted block. Buckets larger than
+    ``max_bucket_size`` are DROPPED and logged (quadratic-blowup guard).
+
+    Runs after ``ds.sort(key_cols + [id])`` — one shuffle, then pure numpy
+    per block (vs ~1-2 ms per bucket with ``groupby().map_groups``)."""
+
+    def __init__(self, key_cols: list[str], id_col: str = "id", max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE):
+        self.key_cols = key_cols
+        self.id_col = id_col
+        self.max_bucket_size = max_bucket_size
+        self.__name__ = "segment_pairs"
+
+    def __call__(self, block: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        n = block.num_rows
+        if n == 0:
+            return empty
+        gids = S.group_ids(block, self.key_cols)
+        ids = A.as_array(block.column(self.id_col)).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, gids))
+        gs, ids_s = gids[order], ids[order]
+        starts, lens = S.segments(gs)
+        cap = self.max_bucket_size
+        dropped = int((lens > cap).sum())
+        if dropped:
+            _LOG.warning(
+                "segment_pairs: dropped %d bucket(s) larger than max_bucket_size=%d "
+                "(max seen %d) — raise max_bucket_size to include them",
+                dropped, cap, int(lens.max()),
+            )
+        ia_parts, ib_parts = [], []
+        for s, l in zip(starts[(lens >= 2) & (lens <= cap)], lens[(lens >= 2) & (lens <= cap)]):
+            seg = np.unique(ids_s[s : s + l])
+            if len(seg) < 2:
+                continue
+            iu, ju = np.triu_indices(len(seg), k=1)
+            ia_parts.append(seg[iu])
+            ib_parts.append(seg[ju])
+        if not ia_parts:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(ia_parts), pa.int64()),
+                "id_b": pa.array(np.concatenate(ib_parts), pa.int64()),
+            }
+        )
+
+
 def minhash_lsh_candidates(
     ds,
     text_col: str,
@@ -141,43 +212,30 @@ def minhash_lsh_candidates(
     bands: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
 ):
     """MinHash+LSH near-duplicate candidate pairs: shingle -> minhash ->
-    band -> bucket groupby. Returns a Dataset/Table of (id_a, id_b) pairs
-    (id_a < id_b) that collide in at least one band."""
-    fn = _MinHashBands(text_col, id_col, num_perm, bands, shingle_k, seed)
+    band -> bucket. Returns a Dataset/Table of (id_a, id_b) pairs
+    (id_a < id_b) that collide in at least one band.
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("id").to_pylist()))
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        pa_, pb_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pa_.append(ids[i])
-                pb_.append(ids[j])
-        return pa.table({"id_a": pa.array(pa_, pa.int64()), "id_b": pa.array(pb_, pa.int64())})
+    Scale plan: only the exploded (id, band, band_hash) keys shuffle (one
+    sort); pair emission is a block-local segmented kernel with a bucket-size
+    cap (``max_bucket_size``, dropped buckets logged)."""
+    fn = _MinHashBands(text_col, id_col, num_perm, bands, shingle_k, seed)
+    pairer = _SegmentPairs(["band", "band_hash"], "id", max_bucket_size)
 
     if isinstance(ds, pa.Table):
-        exploded = fn(ds)
-        keys = [
-            (exploded.column("band")[i].as_py(), exploded.column("band_hash")[i].as_py())
-            for i in range(exploded.num_rows)
-        ]
-        buckets: dict = {}
-        for i, k in enumerate(keys):
-            buckets.setdefault(k, []).append(i)
-        parts = [
-            bucket_pairs(exploded.take(pa.array(idx)))
-            for idx in buckets.values()
-        ]
-        pairs = pa.concat_tables(parts) if parts else None
-        if pairs is None or pairs.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        exploded = fn(ds).sort_by(
+            [("band", "ascending"), ("band_hash", "ascending"), ("id", "ascending")]
+        )
+        pairs = pairer(exploded)
+        if pairs.num_rows == 0:
+            return pairs
         # dedup pairs found in multiple bands
         return pairs.group_by(["id_a", "id_b"]).aggregate([]).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     exploded = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    srt = exploded.sort(["band", "band_hash", "id"])
+    pairs = srt.map_batches(pairer, batch_format="pyarrow", zero_copy_batch=True)
     return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
@@ -230,13 +288,19 @@ def near_dedup(
     else:
         pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.take_all()]
     cand_ids = sorted({i for p in pair_rows for i in p})
-    # fetch candidate texts (small side)
+    # fetch candidate texts (small side) — vectorized is_in mask, never a
+    # per-row Python filter over the corpus
     if isinstance(ds, pa.Table):
         sel = ds.filter(pc.is_in(ds.column(id_col), value_set=pa.array(cand_ids)))
         texts = dict(zip(sel.column(id_col).to_pylist(), sel.column(text_col).to_pylist()))
     else:
-        id_set = set(cand_ids)
-        rows = ds.filter(lambda r: r[id_col] in id_set).take_all()
+        cand_set = pa.array(cand_ids)
+
+        def keep_candidates(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column(id_col), value_set=cand_set))
+
+        keep_candidates.__name__ = "filter_candidates"
+        rows = ds.map_batches(keep_candidates, batch_format="pyarrow", zero_copy_batch=True).take_all()
         texts = {r[id_col]: r[text_col] for r in rows}
     verified = [
         (a, b)
@@ -248,15 +312,28 @@ def near_dedup(
     if isinstance(ds, pa.Table):
         keep_mask = pc.invert(pc.is_in(ds.column(id_col), value_set=pa.array(sorted(drop), pa.int64())))
         return ds.filter(keep_mask), clusters
-    deduped = ds.filter(lambda r: r[id_col] not in drop)
+    drop_set = pa.array(sorted(drop), pa.int64())
+
+    def drop_dupes(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch.column(id_col), value_set=drop_set)))
+
+    drop_dupes.__name__ = "drop_duplicates"
+    deduped = ds.map_batches(drop_dupes, batch_format="pyarrow", zero_copy_batch=True)
     return deduped, clusters
 
 
-def simhash_buckets(ds, text_col: str, id_col: str, hamming_tables: int = 4):
+def simhash_buckets(
+    ds,
+    text_col: str,
+    id_col: str,
+    hamming_tables: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+):
     """SimHash near-dup candidates: 64-bit simhash split into
     ``hamming_tables`` segments; docs sharing any segment value are
     candidates (detects hamming distance < hamming_tables). Returns
-    (id_a, id_b) pairs."""
+    (id_a, id_b) pairs. Same sort + block-segmented pair kernel (with
+    bucket cap) as minhash_lsh_candidates."""
     from kamae_ray.stages.text import FingerprintTransformer
 
     fp = FingerprintTransformer(input_col=text_col, method="simhash", output_col="__kr_sim")
@@ -264,50 +341,50 @@ def simhash_buckets(ds, text_col: str, id_col: str, hamming_tables: int = 4):
 
     def explode(batch: pa.Table) -> pa.Table:
         sims = batch.column("__kr_sim").to_numpy(zero_copy_only=False).view(np.uint64)
-        ids = A.as_array(batch.column(id_col)).to_pylist()
-        out_ids, out_seg, out_val = [], [], []
-        for i, s in enumerate(sims):
-            for t in range(hamming_tables):
-                seg = int((s >> np.uint64(t * seg_bits)) & np.uint64((1 << seg_bits) - 1))
-                out_ids.append(ids[i])
-                out_seg.append(t)
-                out_val.append(seg)
+        ids = A.as_array(batch.column(id_col)).to_numpy(zero_copy_only=False)
+        n = len(sims)
+        T = hamming_tables
+        # vectorized: (n, T) matrix of segment values
+        shifts = (np.arange(T, dtype=np.uint64) * np.uint64(seg_bits))[None, :]
+        vals = ((sims[:, None] >> shifts) & np.uint64((1 << seg_bits) - 1)).astype(np.int64)
         return pa.table(
-            {"id": pa.array(out_ids), "seg": pa.array(out_seg, pa.int32()), "val": pa.array(out_val, pa.int64())}
+            {
+                "id": pa.array(np.repeat(ids, T)),
+                "seg": pa.array(np.tile(np.arange(T, dtype=np.int32), n), pa.int32()),
+                "val": pa.array(vals.reshape(-1), pa.int64()),
+            }
         )
 
     explode.__name__ = "simhash_explode"
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("id").to_pylist()))
-        pa_, pb_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pa_.append(ids[i])
-                pb_.append(ids[j])
-        return pa.table({"id_a": pa.array(pa_, pa.int64()), "id_b": pa.array(pb_, pa.int64())})
+    pairer = _SegmentPairs(["seg", "val"], "id", max_bucket_size)
 
     if isinstance(ds, pa.Table):
-        t = fp.transform_batch(ds)
-        ex = explode(t)
-        buckets: dict = {}
-        for i in range(ex.num_rows):
-            k = (ex.column("seg")[i].as_py(), ex.column("val")[i].as_py())
-            buckets.setdefault(k, []).append(i)
-        parts = [bucket_pairs(ex.take(pa.array(idx))) for idx in buckets.values()]
-        pairs = pa.concat_tables(parts)
+        ex = explode(fp.transform_batch(ds)).sort_by(
+            [("seg", "ascending"), ("val", "ascending"), ("id", "ascending")]
+        )
+        pairs = pairer(ex)
         if pairs.num_rows == 0:
             return pairs
         return pairs.group_by(["id_a", "id_b"]).aggregate([]).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     t = fp.transform(ds)
     ex = t.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = ex.groupby(["seg", "val"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    srt = ex.sort(["seg", "val", "id"])
+    pairs = srt.map_batches(pairer, batch_format="pyarrow", zero_copy_batch=True)
     return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
-def embedding_neardup_pairs(ds, emb_col: str, id_col: str, threshold: float = 0.95, planes: int = 16, seed: int = 42):
+def embedding_neardup_pairs(
+    ds,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+):
     """Embedding-cosine near-dup: random-hyperplane LSH bucketing, then exact
-    cosine verification inside each bucket. Returns (id_a, id_b, cosine)."""
+    cosine verification inside each bucket (one matmul per bucket segment,
+    bucket-size capped + logged). Returns (id_a, id_b, cosine)."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m, d = A.matrix_view(batch.column(emb_col))
@@ -322,36 +399,61 @@ def embedding_neardup_pairs(ds, emb_col: str, id_col: str, threshold: float = 0.
 
     bucketize.__name__ = "embed_bucketize"
 
-    def verify(group: pa.Table) -> pa.Table:
-        m, d = A.matrix_view(group.column(emb_col))
-        ids = A.as_array(group.column(id_col)).to_pylist()
+    def verify_block(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+        n = block.num_rows
+        if n == 0:
+            return empty
+        buckets = block.column("__kr_bucket").to_numpy(zero_copy_only=False)
+        ids = A.as_array(block.column(id_col)).to_numpy(zero_copy_only=False)
+        m, _ = A.matrix_view(block.column(emb_col))
         x = m.astype(np.float64)
         norms = np.linalg.norm(x, axis=1)
-        safe = np.where(norms == 0, 1, norms)
-        xn = x / safe[:, None]
-        sims = xn @ xn.T
+        xn = x / np.where(norms == 0, 1, norms)[:, None]
+        order = np.lexsort((ids, buckets))
+        bs, ids_s, xn_s = buckets[order], ids[order], xn[order]
+        starts, lens = S.segments(bs)
+        dropped = int((lens > max_bucket_size).sum())
+        if dropped:
+            _LOG.warning(
+                "embedding_neardup: dropped %d bucket(s) larger than %d (max %d)",
+                dropped, max_bucket_size, int(lens.max()),
+            )
         ia, ib, cs = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold and ids[i] != ids[j]:
-                    a_, b_ = sorted((ids[i], ids[j]))
-                    ia.append(a_)
-                    ib.append(b_)
-                    cs.append(float(sims[i, j]))
-        return pa.table({"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()), "cosine": pa.array(cs, pa.float64())})
+        for s, l in zip(starts, lens):
+            if l < 2 or l > max_bucket_size:
+                continue
+            seg_x = xn_s[s : s + l]
+            seg_ids = ids_s[s : s + l]
+            sims = seg_x @ seg_x.T
+            iu, ju = np.triu_indices(int(l), k=1)
+            hit = (sims[iu, ju] >= threshold) & (seg_ids[iu] != seg_ids[ju])
+            if hit.any():
+                a_, b_ = seg_ids[iu[hit]], seg_ids[ju[hit]]
+                lo, hi = np.minimum(a_, b_), np.maximum(a_, b_)
+                ia.append(lo)
+                ib.append(hi)
+                cs.append(sims[iu[hit], ju[hit]])
+        if not ia:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(ia), pa.int64()),
+                "id_b": pa.array(np.concatenate(ib), pa.int64()),
+                "cosine": pa.array(np.concatenate(cs), pa.float64()),
+            }
+        )
 
+    verify_block.__name__ = "embed_verify"
     if isinstance(ds, pa.Table):
         b = bucketize(ds)
-        keys = b.column("__kr_bucket").to_numpy(zero_copy_only=False)
-        parts = []
-        for k in np.unique(keys):
-            idx = np.nonzero(keys == k)[0]
-            parts.append(verify(b.take(pa.array(idx))))
-        pairs = pa.concat_tables(parts)
+        pairs = verify_block(b)
         if pairs.num_rows == 0:
             return pairs
         return pairs.group_by(["id_a", "id_b"]).aggregate([("cosine", "max")]).rename_columns(["id_a", "id_b", "cosine"]).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     b = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = b.groupby("__kr_bucket").map_groups(verify, batch_format="pyarrow")
+    srt = b.sort(["__kr_bucket", id_col])
+    pairs = srt.map_batches(verify_block, batch_format="pyarrow", zero_copy_batch=True)
     return pairs.groupby(["id_a", "id_b"]).max("cosine")

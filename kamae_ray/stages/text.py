@@ -129,19 +129,37 @@ class LanguageIdTransformer(Transformer):
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         arr = self._cast_in(batch.column(self.input_col))
         levels, flat = A.unwrap(arr)
-        texts = flat.to_pylist()
         langs = self.languages
         tables = [_LANG_STOPWORDS[lg] for lg in langs]
-        out = []
-        for txt in texts:
-            if not txt:
-                out.append("unknown")
-                continue
-            words = txt.lower().split()
-            scores = [sum(1 for w in words if w in tb) for tb in tables]
-            best = int(np.argmax(scores))
-            out.append(langs[best] if scores[best] > 0 else "unknown")
-        res = A.rewrap(levels, pa.array(out, pa.string()))
+        n_rows = len(flat)
+        # explode to words, score each DISTINCT word once (dictionary encode),
+        # then per-row segment-sum of votes — no per-row Python loop
+        words_list = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(flat, "")), pattern=r"\s+"
+        )
+        wl, words = A.unwrap(words_list)
+        offsets = wl[0][0]
+        d = words.dictionary_encode()
+        dict_vals = d.dictionary.to_pylist()
+        score_matrix = np.zeros((max(len(dict_vals), 1), len(langs)), dtype=np.int64)
+        for vi, w in enumerate(dict_vals):
+            for li, tb in enumerate(tables):
+                if w in tb:
+                    score_matrix[vi, li] = 1
+        idx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        per_word = score_matrix[idx] if len(words) else np.zeros((0, len(langs)), np.int64)
+        lens = np.diff(offsets)
+        row_scores = np.zeros((n_rows, len(langs)), dtype=np.int64)
+        if len(words):
+            nz = lens > 0
+            starts = offsets[:-1].clip(max=len(words) - 1)
+            red = np.add.reduceat(per_word, starts, axis=0)
+            row_scores[nz] = red[nz]
+        best = np.argmax(row_scores, axis=1)
+        best_score = row_scores[np.arange(n_rows), best]
+        lang_arr = np.array(langs + ["unknown"], dtype=object)
+        choice = np.where(best_score > 0, best, len(langs))
+        res = A.rewrap(levels, pa.array(lang_arr[choice], pa.string()))
         return _append_or_replace(batch, self.output_col, self._cast_out(res))
 
 
@@ -162,15 +180,25 @@ class QualityScoreTransformer(Transformer):
         n_chars = pc.utf8_length(pc.fill_null(flat, "")).to_numpy(zero_copy_only=False).astype(np.float64)
         n_punct = pc.count_substring_regex(pc.fill_null(flat, ""), pattern=r"[^\w\s]").to_numpy(zero_copy_only=False).astype(np.float64)
         n_words = pc.count_substring_regex(pc.fill_null(flat, ""), pattern=r"\S+").to_numpy(zero_copy_only=False).astype(np.float64)
-        texts = flat.to_pylist()
-        stop_hits = np.fromiter(
-            (
-                sum(1 for w in (t.lower().split() if t else []) if w in self.stopwords)
-                for t in texts
-            ),
-            dtype=np.float64,
-            count=len(texts),
+        # stopword hits: explode -> score distinct words once -> segment-sum
+        words_list = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(flat, "")), pattern=r"\s+"
         )
+        wl, words = A.unwrap(words_list)
+        offsets = wl[0][0]
+        d = words.dictionary_encode()
+        dict_vals = d.dictionary.to_pylist()
+        is_stop = np.fromiter(
+            ((w in self.stopwords) for w in dict_vals), dtype=np.int64, count=len(dict_vals)
+        )
+        idx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        per_word = is_stop[idx] if len(words) else np.zeros(0, np.int64)
+        lens = np.diff(offsets)
+        stop_hits = np.zeros(len(flat), dtype=np.float64)
+        if len(words):
+            starts = offsets[:-1].clip(max=len(words) - 1)
+            red = np.add.reduceat(per_word, starts)
+            stop_hits[lens > 0] = red[lens > 0]
         with np.errstate(invalid="ignore", divide="ignore"):
             punct_ratio = np.where(n_chars > 0, n_punct / np.where(n_chars == 0, 1, n_chars), 0.0)
             stop_ratio = np.where(n_words > 0, stop_hits / np.where(n_words == 0, 1, n_words), 0.0)
@@ -206,37 +234,52 @@ class FingerprintTransformer(Transformer):
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         arr = self._cast_in(batch.column(self.input_col))
         levels, flat = A.unwrap(arr)
-        texts = flat.to_pylist()
+        n_rows = len(flat)
         M = (1 << 64) - 1
-        out = np.empty(len(texts), dtype=np.uint64)
-        word_hash_cache: dict[str, int] = {}
-        for i, t in enumerate(texts):
-            words = t.split() if t else []
-            hs = []
-            for w in words:
-                h = word_hash_cache.get(w)
-                if h is None:
-                    h = farmhash64_bytes(w.encode("utf-8"))
-                    word_hash_cache[w] = h
-                hs.append(h)
-            if self.method == "rolling":
+        # explode to words; hash each DISTINCT word once via dictionary encode
+        words_list = pc.split_pattern_regex(pc.fill_null(flat, ""), pattern=r"\s+")
+        wl, words = A.unwrap(words_list)
+        offsets = wl[0][0]
+        d = words.dictionary_encode()
+        dict_vals = d.dictionary.to_pylist()
+        dict_hashes = np.fromiter(
+            (farmhash64_bytes(w.encode("utf-8")) if w else 0 for w in dict_vals),
+            dtype=np.uint64,
+            count=len(dict_vals),
+        )
+        idx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        hv = dict_hashes[idx] if len(words) else np.zeros(0, np.uint64)
+        # drop empty-string artifacts of the whitespace split
+        nonempty = np.fromiter((bool(w) for w in dict_vals), dtype=bool, count=len(dict_vals))
+        keep = nonempty[idx] if len(words) else np.zeros(0, bool)
+        csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        row_counts = csum[offsets[1:]] - csum[offsets[:-1]]
+        hv = hv[keep]
+        new_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(row_counts, out=new_offsets[1:])
+        out = np.zeros(n_rows, dtype=np.uint64)
+        if self.method == "rolling":
+            # polynomial chain is inherently sequential per row; the word
+            # hashes above are already batch-amortized
+            P = 1099511628211
+            for i in range(n_rows):
                 acc = 1469598103934665603  # FNV offset basis as seed
-                for h in hs:
-                    acc = ((acc * 1099511628211) ^ h) & M
+                for h in hv[new_offsets[i] : new_offsets[i + 1]]:
+                    acc = ((acc * P) ^ int(h)) & M
                 out[i] = acc
-            else:
-                if not hs:
-                    out[i] = 0
-                    continue
-                bits = np.zeros(64, dtype=np.int64)
-                hv = np.array(hs, dtype=np.uint64)
-                for b in range(64):
-                    bits[b] = int((((hv >> np.uint64(b)) & np.uint64(1)) == 1).sum())
-                n = len(hs)
-                sim = np.uint64(0)
-                for b in range(64):
-                    if bits[b] * 2 > n:
-                        sim |= np.uint64(1) << np.uint64(b)
-                out[i] = sim
-        res = A.rewrap(levels, pa.array(out.astype(np.int64).view(np.int64), pa.int64()))
+        else:
+            # vectorized SimHash: unpack all word-hash bits at once, then one
+            # segmented sum per row — no 64-iteration Python loop per doc
+            if len(hv):
+                bits = np.unpackbits(
+                    hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).astype(np.int64)  # (n_words, 64), column b = bit b
+                starts = new_offsets[:-1].clip(max=len(hv) - 1)
+                sums = np.add.reduceat(bits, starts, axis=0)  # (n_rows, 64)
+                majority = (sums * 2 > row_counts[:, None]) & (row_counts[:, None] > 0)
+                packed = np.packbits(
+                    majority.astype(np.uint8), axis=1, bitorder="little"
+                )  # (n_rows, 8)
+                out = packed.view(np.uint64).reshape(-1)
+        res = A.rewrap(levels, pa.array(out.view(np.int64), pa.int64()))
         return _append_or_replace(batch, self.output_col, self._cast_out(res))

@@ -52,6 +52,31 @@ def _rounder(cols):
     return fn
 
 
+def _round_list_cols(batch: pa.Table, cols: list[str]) -> pa.Table:
+    """Round float values INSIDE list columns to _R decimals (half-away)."""
+    import kamae_ray.functions.arrays as A
+
+    for c in cols:
+        if c not in batch.column_names:
+            continue
+        arr = A.as_array(batch.column(c))
+        levels, flat = A.unwrap(arr)
+        flat = pc.round(
+            pc.cast(flat, pa.float64(), safe=False), ndigits=_R, round_mode="half_towards_infinity"
+        )
+        i = batch.column_names.index(c)
+        batch = batch.set_column(i, c, A.rewrap(levels, flat))
+    return batch
+
+
+def _list_rounder(cols):
+    def fn(batch: pa.Table) -> pa.Table:
+        return _round_list_cols(batch, cols)
+
+    fn.__name__ = "round_list_floats"
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -683,6 +708,360 @@ def _q_langid(sf_dir):
     return out.drop_columns(["text"])
 
 
+# ---------------------------------------------------------------------------
+# round-2 queries: oracle coverage for every remaining SURVEY §2 component
+# ---------------------------------------------------------------------------
+
+_PINNED_DT = "2024-06-15 12:30:45.123"
+
+
+def _q_math3(sf_dir):
+    """Subtract, Divide, Round (ceil/floor/round), Identity."""
+    from kamae_ray.stages import (
+        DivideTransformer,
+        IdentityTransformer,
+        RoundTransformer,
+        SubtractTransformer,
+    )
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"])
+    stages = [
+        SubtractTransformer(input_cols=["l_extendedprice", "l_quantity"], output_col="sub_pq_raw"),
+        DivideTransformer(input_cols=["l_extendedprice", "l_quantity"], output_col="div_pq_raw"),
+        RoundTransformer(input_col="l_extendedprice", round_type="ceil", output_col="ceil_p"),
+        RoundTransformer(input_col="l_extendedprice", round_type="floor", output_col="floor_p"),
+        RoundTransformer(input_col="l_extendedprice", round_type="round", output_col="round_p"),
+        IdentityTransformer(input_col="l_quantity", output_dtype="bigint", output_col="qty_id"),
+    ]
+    out = ds
+    for s in stages:
+        out = s.transform(out)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("sub_pq", batch.column("sub_pq_raw"))
+        batch = batch.append_column("div_pq", batch.column("div_pq_raw"))
+        return _round_cols(batch, ["sub_pq", "div_pq"]).drop_columns(
+            ["l_extendedprice", "l_quantity", "sub_pq_raw", "div_pq_raw"]
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_logical(sf_dir):
+    """NumericalIfStatement, LogicalAnd, LogicalOr, LogicalNot."""
+    from kamae_ray.stages import (
+        IfStatementTransformer,
+        LogicalAndTransformer,
+        LogicalNotTransformer,
+        LogicalOrTransformer,
+        NumericalIfStatementTransformer,
+    )
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+    stages = [
+        NumericalIfStatementTransformer(
+            input_col="l_quantity", condition_operator="gt", value_to_compare=25.0,
+            result_if_true=True, result_if_false=False, output_col="big",
+        ),
+        IfStatementTransformer(
+            input_col="l_discount", condition_operator="geq", value_to_compare=0.05,
+            result_if_true=True, result_if_false=False, output_col="disc",
+        ),
+        LogicalAndTransformer(input_cols=["big", "disc"], output_col="and_bd"),
+        LogicalOrTransformer(input_cols=["big", "disc"], output_col="or_bd"),
+        LogicalNotTransformer(input_col="big", output_col="not_big"),
+    ]
+    out = ds
+    for s in stages:
+        out = s.transform(out)
+    return out.drop_columns(["l_quantity", "l_discount"])
+
+
+def _q_dates2(sf_dir):
+    """CurrentDate/CurrentDateTime/CurrentUnixTimestamp (pinned) + DateDiff."""
+    from kamae_ray.stages import (
+        CurrentDateTimeTransformer,
+        CurrentDateTransformer,
+        CurrentUnixTimestampTransformer,
+        DateDiffTransformer,
+    )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        s = pc.strftime(batch.column("o_orderdate"), format="%Y-%m-%d %H:%M:%S")
+        return batch.append_column("od_str", s)
+
+    to_str.__name__ = "date_to_str"
+    out = ds.map_batches(to_str, batch_format="pyarrow")
+    stages = [
+        CurrentDateTransformer(pinned_datetime=_PINNED_DT, output_col="cur_date"),
+        CurrentDateTimeTransformer(pinned_datetime=_PINNED_DT, output_col="cur_dt"),
+        CurrentUnixTimestampTransformer(pinned_datetime=_PINNED_DT, unit="ms", output_col="cur_unix_ms"),
+        CurrentUnixTimestampTransformer(pinned_datetime=_PINNED_DT, unit="s", output_col="cur_unix_s"),
+        DateDiffTransformer(input_cols=["od_str", "cur_date"], output_dtype="bigint", output_col="days_to"),
+    ]
+    for s in stages:
+        out = s.transform(out)
+    return out.map_batches(_rounder(["cur_unix_s"]), batch_format="pyarrow").drop_columns(
+        ["o_orderdate", "od_str"]
+    )
+
+
+def _q_listwise2(sf_dir):
+    """ListMin."""
+    from kamae_ray.stages import ListMinTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = ListMinTransformer(
+        input_col="l_extendedprice", query_id_col="l_orderkey", output_col="order_min_price"
+    ).transform(ds)
+    return out.map_batches(_rounder(["order_min_price"]), batch_format="pyarrow").drop_columns(
+        ["l_extendedprice"]
+    )
+
+
+def _lambda_affine(flat: pa.Array) -> pa.Array:
+    """Module-level (picklable) user function for q_lambda: 2x + 1."""
+    return pc.add(pc.multiply(pc.cast(flat, pa.float64(), safe=False), pa.scalar(2.0)), pa.scalar(1.0))
+
+
+def _q_lambda(sf_dir):
+    """LambdaFunction (user batch-fn escape hatch)."""
+    from kamae_ray.stages import LambdaFunctionTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = LambdaFunctionTransformer(
+        input_col="l_quantity", function=_lambda_affine, output_col="qty_affine"
+    ).transform(ds)
+    return out.map_batches(_rounder(["qty_affine"]), batch_format="pyarrow").drop_columns(["l_quantity"])
+
+
+def _q_array_extra(sf_dir):
+    """ArraySubtractMinimum, OrdinalArrayEncode, StringArrayConstant."""
+    from kamae_ray.stages import (
+        ArrayConcatenateTransformer,
+        ArraySubtractMinimumTransformer,
+        OrdinalArrayEncodeTransformer,
+        StringArrayConstantTransformer,
+        StringToStringListTransformer,
+    )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            batch.column("l_returnflag"), batch.column("l_linestatus"), pa.scalar("N"), pa.scalar("-")
+        )
+        return batch.append_column("tag_str", s)
+
+    prep.__name__ = "tag_string"
+    out = ds.map_batches(prep, batch_format="pyarrow")
+    stages = [
+        ArrayConcatenateTransformer(
+            input_cols=["l_quantity", "l_partkey", "l_suppkey"], output_col="feat"
+        ),
+        ArraySubtractMinimumTransformer(input_col="feat", output_col="asm"),
+        StringToStringListTransformer(
+            input_col="tag_str", separator="-", list_length=3, default_value="PAD", output_col="tags"
+        ),
+        OrdinalArrayEncodeTransformer(input_col="tags", output_col="ord_enc"),
+        StringArrayConstantTransformer(constant_string_array=["x", "y"], output_col="const_tags"),
+    ]
+    for s in stages:
+        out = s.transform(out)
+    return out.map_batches(_list_rounder(["asm"]), batch_format="pyarrow").drop_columns(
+        ["l_quantity", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus", "tag_str", "feat", "tags"]
+    )
+
+
+def _q_seq_embed(sf_dir):
+    """StringSequenceToEmbedding: delimited string -> (seq_len, dim) floats."""
+    from kamae_ray.stages import StringSequenceToEmbeddingTransformer
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_partkey", "l_suppkey"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        def istr(col):
+            return pc.cast(col, pa.string())
+
+        pk = pa.array(batch.column("l_partkey").to_numpy(zero_copy_only=False) % 100, pa.int64())
+        sk = pa.array(batch.column("l_suppkey").to_numpy(zero_copy_only=False) % 100, pa.int64())
+        q = pc.cast(batch.column("l_quantity"), pa.int64(), safe=False)
+        ln = pc.cast(batch.column("l_linenumber"), pa.int64())
+        s = pc.binary_join_element_wise(
+            istr(pk), istr(sk), pa.scalar(","),
+        )
+        s2 = pc.binary_join_element_wise(istr(q), istr(ln), pa.scalar(","))
+        full = pc.binary_join_element_wise(s, s2, pa.scalar(";"))
+        return batch.append_column("seq_str", full)
+
+    prep.__name__ = "seq_string"
+    out = ds.map_batches(prep, batch_format="pyarrow")
+    out = StringSequenceToEmbeddingTransformer(
+        input_col="seq_str", outer_separator=";", inner_separator=",", seq_length=3,
+        pad_value=0.0, output_col="seq_emb",
+    ).transform(out)
+
+    # flatten (3,2) -> 6 floats for the oracle compare (drivers hash flat
+    # lists reliably; the nested transform output is what's being flattened)
+    def flatten(batch: pa.Table) -> pa.Table:
+        import kamae_ray.functions.arrays as A
+
+        arr = A.as_array(batch.column("seq_emb"))
+        levels, flat = A.unwrap(arr)
+        n = batch.num_rows
+        out_arr = pa.ListArray.from_arrays(pa.array(np.arange(n + 1) * 6, pa.int32()), flat)
+        batch = batch.append_column("seq_emb_flat", out_arr)
+        return batch.drop_columns(["seq_emb"])
+
+    flatten.__name__ = "flatten_seq"
+    out = out.map_batches(flatten, batch_format="pyarrow")
+    return out.drop_columns(["l_quantity", "l_partkey", "l_suppkey", "seq_str"])
+
+
+def _q_pairwise(sf_dir):
+    """PairwiseCosineSimilarity: query vec vs flat array of 2 candidates."""
+    from kamae_ray.stages import ArrayConcatenateTransformer, PairwiseCosineSimilarityTransformer
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def add_rev(batch: pa.Table) -> pa.Table:
+        import kamae_ray.functions.arrays as A
+
+        arr = A.as_array(batch.column("embedding"))
+        levels, flat = A.unwrap(arr)
+        offsets = levels[0][0]
+        lens = np.diff(offsets)
+        idx = np.repeat(offsets[1:], lens) - 1 - (np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens))
+        rev = flat.take(pa.array(idx))
+        out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), rev)
+        return batch.append_column("embedding_rev", out)
+
+    add_rev.__name__ = "add_reversed"
+    out = ds.map_batches(add_rev, batch_format="pyarrow")
+    out = ArrayConcatenateTransformer(
+        input_cols=["embedding", "embedding_rev"], output_col="cands"
+    ).transform(out)
+    out = PairwiseCosineSimilarityTransformer(
+        input_cols=["embedding", "cands"], embedding_dim=64, output_col="pair_cos"
+    ).transform(out)
+    return out.map_batches(_list_rounder(["pair_cos"]), batch_format="pyarrow").drop_columns(
+        ["embedding", "embedding_rev", "cands"]
+    )
+
+
+def _q_bearing(sf_dir):
+    """BearingAngle (navigation bearing to a constant point)."""
+    from kamae_ray.stages import BearingAngleTransformer
+
+    ds = _read(sf_dir, "customer", None)
+
+    def coords(batch: pa.Table) -> pa.Table:
+        names = batch.column_names
+        key = batch.column(names[0]).to_numpy(zero_copy_only=False).astype(np.int64)
+        lat1 = (key % 180).astype(np.float64) - 90.0
+        lon1 = ((key * 7) % 360).astype(np.float64) - 180.0
+        return pa.table(
+            {"c_custkey": batch.column(names[0]), "lat1": pa.array(lat1), "lon1": pa.array(lon1)}
+        )
+
+    coords.__name__ = "derive_coords"
+    out = ds.map_batches(coords, batch_format="pyarrow")
+    out = BearingAngleTransformer(
+        input_cols=["lat1", "lon1"], lat_lon_constant=(48.8566, 2.3522), output_col="bearing_deg"
+    ).transform(out)
+    return out.map_batches(_rounder(["lat1", "lon1", "bearing_deg"]), batch_format="pyarrow")
+
+
+def _q_shared_index(sf_dir):
+    """SharedStringIndexEstimator: ONE vocab over two columns."""
+    from kamae_ray.stages import SharedStringIndexEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"])
+    model = SharedStringIndexEstimator(
+        input_cols=["l_returnflag", "l_linestatus"],
+        output_cols=["rf_idx", "ls_idx"],
+        string_order_type="frequencyDesc",
+        num_oov_indices=1,
+    ).fit(ds)
+    return model.transform(ds).drop_columns(["l_returnflag", "l_linestatus"])
+
+
+def _q_shared_onehot(sf_dir):
+    """SharedOneHotEncodeEstimator: shared alphabetical vocab, one-hot both cols."""
+    from kamae_ray.stages import SharedOneHotEncodeEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"])
+    model = SharedOneHotEncodeEstimator(
+        input_cols=["l_returnflag", "l_linestatus"],
+        output_cols=["rf_oh", "ls_oh"],
+        string_order_type="alphabeticalAsc",
+        num_oov_indices=1,
+        output_dtype="double",
+    ).fit(ds)
+    return model.transform(ds).drop_columns(["l_returnflag", "l_linestatus"])
+
+
+def _q_conditional_scale(sf_dir):
+    """ConditionalStandardScaleEstimator with skip_zeros (zeros excluded from
+    the fit AND pass through as 0 in the transform)."""
+    from kamae_ray.stages import ConditionalStandardScaleEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount"])
+    model = ConditionalStandardScaleEstimator(
+        input_col="l_discount", skip_zeros=True, output_col="disc_cstd"
+    ).fit(ds)
+    out = model.transform(ds)
+    return out.map_batches(_rounder(["disc_cstd"]), batch_format="pyarrow").drop_columns(["l_discount"])
+
+
+def _q_single_feature_scale(sf_dir):
+    """SingleFeatureArrayStandardScaleEstimator: ONE mean/std over all array
+    elements, broadcast to every position."""
+    from kamae_ray.stages import ArrayConcatenateTransformer, SingleFeatureArrayStandardScaleEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_tax"])
+    out = ArrayConcatenateTransformer(input_cols=["l_quantity", "l_tax"], output_col="feat").transform(ds)
+    model = SingleFeatureArrayStandardScaleEstimator(input_col="feat", output_col="feat_std").fit(out)
+    out = model.transform(out)
+    return out.map_batches(_list_rounder(["feat_std"]), batch_format="pyarrow").drop_columns(
+        ["l_quantity", "l_tax", "feat"]
+    )
+
+
+def _q_hash_encode(sf_dir):
+    """HashIndex / MinHashIndex / BloomEncode — FarmHash64-derived (pinned to
+    published vectors in tests/test_farmhash_vectors.py; not SQL-expressible,
+    rows-only driver check)."""
+    from kamae_ray.stages import (
+        BloomEncodeTransformer,
+        HashIndexTransformer,
+        MinHashIndexTransformer,
+        StringToStringListTransformer,
+    )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    stages = [
+        HashIndexTransformer(input_col="o_orderpriority", num_bins=64, output_col="prio_hash"),
+        BloomEncodeTransformer(input_col="o_orderpriority", num_bins=128, num_hash_fns=3, output_col="prio_bloom"),
+        StringToStringListTransformer(
+            input_col="o_orderpriority", separator="-", list_length=2, default_value="PAD", output_col="prio_parts"
+        ),
+        MinHashIndexTransformer(input_col="prio_parts", num_permutations=8, output_col="prio_minhash"),
+    ]
+    out = ds
+    for s in stages:
+        out = s.transform(out)
+    return out.drop_columns(["o_orderpriority", "prio_parts"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_log": _q_log,
@@ -720,6 +1099,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_neardup": _q_neardup,
         "q_simhash": _q_simhash,
         "q_langid": _q_langid,
+        "q_math3": _q_math3,
+        "q_logical": _q_logical,
+        "q_dates2": _q_dates2,
+        "q_listwise2": _q_listwise2,
+        "q_lambda": _q_lambda,
+        "q_array_extra": _q_array_extra,
+        "q_seq_embed": _q_seq_embed,
+        "q_pairwise": _q_pairwise,
+        "q_bearing": _q_bearing,
+        "q_shared_index": _q_shared_index,
+        "q_shared_onehot": _q_shared_onehot,
+        "q_conditional_scale": _q_conditional_scale,
+        "q_single_feature_scale": _q_single_feature_scale,
+        "q_hash_encode": _q_hash_encode,
     }
 
 
@@ -900,6 +1293,99 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS rank, vec_id, "
             "ROUND(cs, 6) AS cosine FROM scored ORDER BY cs DESC, vec_id LIMIT 10"
         ),
-        # q_token_stats, q_minhash_pairs, q_langid: heuristic / hash-dependent
-        # (FarmHash, LSH banding) -> rows-only driver check.
+        "q_math3": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(l_extendedprice - l_quantity, 6) AS sub_pq, "
+            "ROUND(l_extendedprice / l_quantity, 6) AS div_pq, "
+            "ceil(l_extendedprice) AS ceil_p, floor(l_extendedprice) AS floor_p, "
+            "round(l_extendedprice) AS round_p, "
+            "CAST(l_quantity AS BIGINT) AS qty_id FROM lineitem"
+        ),
+        "q_logical": (
+            "SELECT l_orderkey, l_linenumber, "
+            "l_quantity > 25 AS big, l_discount >= 0.05 AS disc, "
+            "(l_quantity > 25 AND l_discount >= 0.05) AS and_bd, "
+            "(l_quantity > 25 OR l_discount >= 0.05) AS or_bd, "
+            "NOT (l_quantity > 25) AS not_big FROM lineitem"
+        ),
+        "q_dates2": (
+            "SELECT o_orderkey, '2024-06-15' AS cur_date, "
+            "'2024-06-15 12:30:45.123' AS cur_dt, "
+            "epoch_ms(TIMESTAMP '2024-06-15 12:30:45.123') AS cur_unix_ms, "
+            "ROUND(epoch(TIMESTAMP '2024-06-15 12:30:45.123'), 6) AS cur_unix_s, "
+            "date_diff('day', o_orderdate, TIMESTAMP '2024-06-15 00:00:00') AS days_to FROM orders"
+        ),
+        "q_listwise2": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(min(l_extendedprice) OVER (PARTITION BY l_orderkey), 6) AS order_min_price FROM lineitem"
+        ),
+        "q_lambda": (
+            "SELECT l_orderkey, l_linenumber, ROUND(l_quantity * 2 + 1, 6) AS qty_affine FROM lineitem"
+        ),
+        "q_array_extra": (
+            "WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity, "
+            "CAST(l_partkey AS DOUBLE) AS pk, CAST(l_suppkey AS DOUBLE) AS sk, "
+            "least(l_quantity, l_partkey, l_suppkey) AS m, l_returnflag AS rf FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, "
+            "[ROUND(l_quantity - m, 6), ROUND(pk - m, 6), ROUND(sk - m, 6)] AS asm, "
+            "[0, 1, CASE WHEN rf = 'N' THEN 0 ELSE 2 END]::INTEGER[] AS ord_enc, "
+            "['x', 'y'] AS const_tags FROM b"
+        ),
+        "q_seq_embed": (
+            "SELECT l_orderkey, l_linenumber, "
+            "[CAST(l_partkey % 100 AS FLOAT), CAST(l_suppkey % 100 AS FLOAT), "
+            "CAST(CAST(l_quantity AS BIGINT) AS FLOAT), CAST(l_linenumber AS FLOAT), "
+            "CAST(0 AS FLOAT), CAST(0 AS FLOAT)] AS seq_emb_flat FROM lineitem"
+        ),
+        "q_pairwise": (
+            "SELECT vec_id, [ROUND(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[]), 6), "
+            "ROUND(list_cosine_similarity(embedding::DOUBLE[], list_reverse(embedding)::DOUBLE[]), 6)] AS pair_cos "
+            "FROM embeddings"
+        ),
+        "q_bearing": (
+            "WITH c AS (SELECT c_custkey, CAST(c_custkey % 180 AS DOUBLE) - 90.0 AS lat1, "
+            "CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 AS lon1 FROM customer) "
+            "SELECT c_custkey, ROUND(lat1, 6) AS lat1, ROUND(lon1, 6) AS lon1, "
+            "ROUND((degrees(atan2("
+            "sin(radians(2.3522 - lon1)) * cos(radians(48.8566)), "
+            "cos(radians(lat1)) * sin(radians(48.8566)) - "
+            "sin(radians(lat1)) * cos(radians(48.8566)) * cos(radians(2.3522 - lon1)))) + 360.0) % 360.0, 6) "
+            "AS bearing_deg FROM c"
+        ),
+        "q_shared_index": (
+            "WITH vocab AS (SELECT v, row_number() OVER (ORDER BY cnt DESC, v) AS idx FROM "
+            "(SELECT v, count(*) AS cnt FROM "
+            "(SELECT l_returnflag AS v FROM lineitem UNION ALL SELECT l_linestatus FROM lineitem) "
+            "GROUP BY v)) "
+            "SELECT l.l_orderkey, l.l_linenumber, v1.idx AS rf_idx, v2.idx AS ls_idx "
+            "FROM lineitem l JOIN vocab v1 ON l.l_returnflag = v1.v JOIN vocab v2 ON l.l_linestatus = v2.v"
+        ),
+        # shared one-hot: union vocab of l_returnflag {A,N,R} + l_linestatus
+        # {F,O} alphabetical = [A,F,N,O,R]; width 6 with the leading OOV slot
+        "q_shared_onehot": (
+            "SELECT l_orderkey, l_linenumber, "
+            "[0.0, CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END, 0.0, "
+            "CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END, 0.0, "
+            "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END] AS rf_oh, "
+            "[0.0, 0.0, CASE WHEN l_linestatus = 'F' THEN 1.0 ELSE 0.0 END, 0.0, "
+            "CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END, 0.0] AS ls_oh FROM lineitem"
+        ),
+        "q_conditional_scale": (
+            "WITH s AS (SELECT avg(CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END) AS m, "
+            "stddev_pop(CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END) AS sd FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(CASE WHEN l_discount = 0 THEN 0.0 "
+            "ELSE (l_discount - (SELECT m FROM s)) / (SELECT sd FROM s) END, 6) AS disc_cstd FROM lineitem"
+        ),
+        "q_single_feature_scale": (
+            "WITH s AS (SELECT avg(v) AS m, stddev_pop(v) AS sd FROM "
+            "(SELECT l_quantity AS v FROM lineitem UNION ALL SELECT l_tax FROM lineitem)) "
+            "SELECT l_orderkey, l_linenumber, "
+            "[ROUND((l_quantity - (SELECT m FROM s)) / (SELECT sd FROM s), 6), "
+            "ROUND((l_tax - (SELECT m FROM s)) / (SELECT sd FROM s), 6)] AS feat_std FROM lineitem"
+        ),
+        # q_token_stats, q_minhash_pairs, q_langid, q_simhash, q_neardup,
+        # q_hash_encode: heuristic / hash-dependent (FarmHash, LSH banding)
+        # -> rows-only driver check; FarmHash itself is pinned to published
+        # vectors in tests/test_farmhash_vectors.py.
     }

@@ -6,9 +6,13 @@ and embedding-cosine near-dup.
 
 Ray design notes (100 TB shape):
 - Exact dedup: hash the dedup key inside ``map_batches`` (cheap, vectorized),
-  then ONE hash shuffle ``groupby(key).map_groups(keep-first)``; the winner
-  within a group is the min of ``order_col`` — deterministic under any
-  partitioning.
+  ONE sort shuffle on the key only, then a block-local segmented winner
+  kernel; the winner within a group is the min of ``order_col`` —
+  deterministic under any partitioning.
+- Partitioning contract (pinned by tests/test_sort_contract.py): after
+  ``ds.sort(keys)`` a row's partition is a function of its FULL key tuple —
+  so the distributed sort key must be exactly the group key (never group key
+  + order column); ordering happens inside the block kernel.
 - MinHash LSH: signatures are computed batch-locally (universal hashing over
   shingle hashes — numpy (a*x+b) mod p, no per-permutation string hashing);
   docs are exploded to (band_id, band_hash) keys and grouped — only bucket
@@ -58,35 +62,41 @@ def exact_dedup(ds, text_col: str, order_col: str, keep: str = "first"):
     or max (keep='last') of ``order_col``.
 
     Plan: hash the key inside ``map_batches`` (vectorized), ONE sort shuffle
-    on (key, order), then a block-local segmented first/last-wins kernel —
-    no per-group Python calls (exact dedup groups are mostly singletons, so
+    on the key ONLY, then a block-local segmented argmin/argmax kernel — no
+    per-group Python calls (exact dedup groups are mostly singletons, so
     ``groupby().map_groups`` would cost one ~1-2 ms task-side call per ROW).
-    Relies on Ray sort's boundary-on-key-value guarantee (equal keys never
-    straddle blocks — same contract groupby.map_groups trusts; pinned by
-    tests/test_sort_contract.py)."""
+
+    Partitioning contract (pinned by tests/test_sort_contract.py): a row's
+    partition after ``ds.sort(keys)`` is a pure function of its full sort-key
+    tuple, so equal keys co-locate ONLY when the sort key is exactly the
+    group key. The order column must therefore NOT be in the distributed sort
+    — ordering happens inside the block kernel."""
 
     def keyfn(batch: pa.Table) -> pa.Table:
         return _text_hash_batch(batch, text_col, "__kr_key")
 
-    def first_per_key(block: pa.Table) -> pa.Table:
+    def win_per_key(block: pa.Table) -> pa.Table:
         n = block.num_rows
         if n == 0:
             return block.drop_columns(["__kr_key"])
         k = block.column("__kr_key").to_numpy(zero_copy_only=False)
-        if keep == "first":
-            win = np.concatenate([[True], k[1:] != k[:-1]])
+        order = A.as_array(block.column(order_col)).to_numpy(zero_copy_only=False)
+        if keep == "last":
+            perm = np.lexsort((-order, k))
         else:
-            win = np.concatenate([k[1:] != k[:-1], [True]])
-        return block.filter(pa.array(win)).drop_columns(["__kr_key"])
+            perm = np.lexsort((order, k))
+        ks = k[perm]
+        first = np.concatenate([[True], ks[1:] != ks[:-1]])
+        winners = np.sort(perm[first])
+        return block.take(pa.array(winners)).drop_columns(["__kr_key"])
 
-    first_per_key.__name__ = "dedup_first_per_key"
+    win_per_key.__name__ = "dedup_win_per_key"
     if isinstance(ds, pa.Table):
         keyed = keyfn(ds)
-        srt = keyed.sort_by([("__kr_key", "ascending"), (order_col, "ascending")])
-        return first_per_key(srt)
+        return win_per_key(keyed)
     keyed = ds.map_batches(keyfn, batch_format="pyarrow", zero_copy_batch=True)
-    srt = keyed.sort(["__kr_key", order_col])
-    return srt.map_batches(first_per_key, batch_format="pyarrow", zero_copy_batch=True)
+    srt = keyed.sort(["__kr_key"])
+    return srt.map_batches(win_per_key, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
@@ -159,8 +169,9 @@ class _SegmentPairs:
     ``key_cols`` values in a key-sorted block. Buckets larger than
     ``max_bucket_size`` are DROPPED and logged (quadratic-blowup guard).
 
-    Runs after ``ds.sort(key_cols + [id])`` — one shuffle, then pure numpy
-    per block (vs ~1-2 ms per bucket with ``groupby().map_groups``)."""
+    Runs after ``ds.sort(key_cols)`` (group key ONLY — see the partitioning
+    contract note above) — one shuffle, then pure numpy per block (vs ~1-2 ms
+    per bucket with ``groupby().map_groups``)."""
 
     def __init__(self, key_cols: list[str], id_col: str = "id", max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE):
         self.key_cols = key_cols
@@ -234,7 +245,7 @@ def minhash_lsh_candidates(
         # dedup pairs found in multiple bands
         return pairs.group_by(["id_a", "id_b"]).aggregate([]).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     exploded = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-    srt = exploded.sort(["band", "band_hash", "id"])
+    srt = exploded.sort(["band", "band_hash"])  # id NOT in sort keys: see partitioning contract note in exact_dedup
     pairs = srt.map_batches(pairer, batch_format="pyarrow", zero_copy_batch=True)
     return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
@@ -368,7 +379,7 @@ def simhash_buckets(
         return pairs.group_by(["id_a", "id_b"]).aggregate([]).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     t = fp.transform(ds)
     ex = t.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    srt = ex.sort(["seg", "val", "id"])
+    srt = ex.sort(["seg", "val"])  # id NOT in sort keys: see partitioning contract note
     pairs = srt.map_batches(pairer, batch_format="pyarrow", zero_copy_batch=True)
     return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
@@ -454,6 +465,6 @@ def embedding_neardup_pairs(
             return pairs
         return pairs.group_by(["id_a", "id_b"]).aggregate([("cosine", "max")]).rename_columns(["id_a", "id_b", "cosine"]).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     b = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    srt = b.sort(["__kr_bucket", id_col])
+    srt = b.sort(["__kr_bucket"])  # id NOT in sort keys: see partitioning contract note
     pairs = srt.map_batches(verify_block, batch_format="pyarrow", zero_copy_batch=True)
     return pairs.groupby(["id_a", "id_b"]).max("cosine")

@@ -88,8 +88,12 @@ class CurrentUnixTimestampTransformer(CurrentDateTransformer):
         dt = _dt.datetime.strptime(self.pinned_datetime, "%Y-%m-%d %H:%M:%S.%f").replace(
             tzinfo=_dt.timezone.utc
         )
-        ts = dt.timestamp()
-        val = int(ts * 1000) if self.unit == "ms" else ts
+        # integer arithmetic: float seconds * 1000 truncates a millisecond for
+        # values like .123 (binary float lands just below the true value)
+        epoch_ms = (dt - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)) // _dt.timedelta(
+            milliseconds=1
+        )
+        val = epoch_ms if self.unit == "ms" else epoch_ms / 1000.0
         typ = pa.int64() if self.unit == "ms" else pa.float64()
         out = pa.array([val] * batch.num_rows, typ)
         return _append_or_replace(batch, self.output_col, self._cast_out(out))

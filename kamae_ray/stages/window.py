@@ -77,6 +77,37 @@ class _ChainedBlockFn:
         return block
 
 
+def check_sorted_partitioning(ds, keys: Sequence[str]):
+    """Validate the partitioning contract the block kernels rely on: after
+    ``ds.sort(keys)`` no key value may appear in two different blocks. One
+    cheap extra pass (per-block first/last key only reaches the driver);
+    raises ValueError naming the offending key if the contract is broken
+    (e.g. a Ray upgrade changing sort boundary semantics, or a single entity
+    larger than a block). Opt-in guard — used by tests and available to
+    callers running on unfamiliar Ray versions."""
+    keys = list(keys)
+
+    def first_last(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block.select(keys).slice(0, 0)
+        return pa.concat_tables([block.select(keys).slice(0, 1), block.select(keys).slice(block.num_rows - 1, 1)])
+
+    fl = ds.map_batches(_NamedFn(first_last, "partition_probe"), batch_format="pyarrow", batch_size=None)
+    rows = fl.take_all()
+    # rows arrive as [first_0, last_0, first_1, last_1, ...] in block order
+    seen_last: set = set()
+    for i in range(0, len(rows) - 1, 2):
+        first_key = tuple(rows[i][k] for k in keys)
+        last_key = tuple(rows[i + 1][k] for k in keys)
+        if first_key in seen_last:
+            raise ValueError(
+                f"sorted-partitioning contract broken: key {first_key} straddles "
+                "two blocks — block kernels would silently mis-compute. "
+                "Check the Ray sort implementation / entity size vs block size."
+            )
+        seen_last.add(last_key)
+
+
 def apply_sorted(ds, *stages):
     """Run several listwise/window stages that share the same ``sort_keys``
     over ONE sort-shuffle (instead of one shuffle per stage)."""

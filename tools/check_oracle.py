@@ -27,12 +27,18 @@ def to_pandas(obj):
     return obj.to_pandas()  # ray Dataset
 
 
+def _deep_tuple(v):
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_deep_tuple(x) for x in v)
+    return v
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         col = df[c]
         if col.dtype == object and len(col) and isinstance(col.dropna().iloc[0] if col.dropna().size else None, (list, np.ndarray)):
-            df[c] = col.map(lambda v: tuple(np.asarray(v).tolist()) if v is not None else None)
+            df[c] = col.map(lambda v: _deep_tuple(v) if v is not None else None)
         elif str(col.dtype).startswith("datetime"):
             df[c] = col.astype("int64", errors="ignore")
     return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)

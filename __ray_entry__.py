@@ -1062,6 +1062,45 @@ def _q_hash_encode(sf_dir):
     return out.drop_columns(["o_orderpriority", "prio_parts"])
 
 
+def _q_multimodal(sf_dir):
+    """Real pure-Python multimodal decode: PGM image + WAV PCM payloads are
+    synthesized deterministically from doc_id (no external data), then parsed
+    by the REAL decoders (header + raster / RIFF chunk walk); the oracle
+    recomputes the pixel/sample statistics closed-form in DuckDB."""
+    from kamae_ray.stages.multimodal import (
+        PgmDecodeTransformer,
+        WavDecodeTransformer,
+        encode_pgm,
+        encode_wav,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        imgs, wavs = [], []
+        for d in ids:
+            d = int(d)
+            w = 8 + d % 8
+            i = np.arange(w * 8, dtype=np.int64)
+            px = (d * (i + 3) + i * i) % 256
+            imgs.append(encode_pgm(w, 8, 255, px))
+            n = 64 + d % 64
+            j = np.arange(n, dtype=np.int64)
+            s = ((d * 7 + j * 13) % 201) - 100
+            wavs.append(encode_wav(16000, 1, s))
+        return batch.append_column("img", pa.array(imgs, pa.binary())).append_column(
+            "wav", pa.array(wavs, pa.binary())
+        )
+
+    synth.__name__ = "synth_payloads"
+    out = ds.map_batches(synth, batch_format="pyarrow")
+    out = PgmDecodeTransformer(input_col="img", output_col="img").transform(out)
+    out = WavDecodeTransformer(input_col="wav", output_col="wav").transform(out)
+    out = out.map_batches(_rounder(["img_mean", "img_std", "wav_rms"]), batch_format="pyarrow")
+    return out.drop_columns(["img", "wav", "img_maxval", "wav_channels"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_log": _q_log,
@@ -1113,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_conditional_scale": _q_conditional_scale,
         "q_single_feature_scale": _q_single_feature_scale,
         "q_hash_encode": _q_hash_encode,
+        "q_multimodal": _q_multimodal,
     }
 
 
@@ -1383,6 +1423,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, "
             "[ROUND((l_quantity - (SELECT m FROM s)) / (SELECT sd FROM s), 6), "
             "ROUND((l_tax - (SELECT m FROM s)) / (SELECT sd FROM s), 6)] AS feat_std FROM lineitem"
+        ),
+        "q_multimodal": (
+            "WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w, 64 + doc_id % 64 AS nw FROM documents), "
+            "px AS (SELECT doc_id, w, nw, "
+            "[CAST((doc_id*(i+3) + i*i) % 256 AS DOUBLE) FOR i IN range(w*8)] AS pxs, "
+            "[pow((CAST(((doc_id*7 + i*13) % 201) - 100 AS DOUBLE)) / 32768.0, 2) FOR i IN range(nw)] AS sq FROM p) "
+            "SELECT doc_id, w AS img_width, CAST(8 AS BIGINT) AS img_height, "
+            "ROUND(list_avg(pxs), 6) AS img_mean, "
+            "ROUND(sqrt(list_avg([x*x FOR x IN pxs]) - pow(list_avg(pxs), 2)), 6) AS img_std, "
+            "CAST(16000 AS BIGINT) AS wav_sample_rate, nw AS wav_n_samples, "
+            "ROUND(sqrt(list_avg(sq)), 6) AS wav_rms FROM px"
         ),
         # q_token_stats, q_minhash_pairs, q_langid, q_simhash, q_neardup,
         # q_hash_encode: heuristic / hash-dependent (FarmHash, LSH banding)

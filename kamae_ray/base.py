@@ -39,6 +39,9 @@ class Stage:
 
     #: element dtypes (pyarrow scalar types) this op accepts; None = any
     compatible_dtypes: tuple[pa.DataType, ...] | None = None
+    #: heterogeneous-input ops (e.g. DateAdd's numeric days column,
+    #: IfStatement's result operands) whitelist only their FIRST input
+    validate_first_input_only: bool = False
 
     def __init__(
         self,
@@ -91,22 +94,63 @@ class Stage:
             return arr
         return A.lift(lambda flat: dtypes.cast_flat(flat, target), arr)
 
+    def _elem_compatible(self, elem: pa.DataType) -> bool:
+        for ok in self.compatible_dtypes:
+            if elem.equals(ok):
+                return True
+        # accept any numeric when a numeric type is whitelisted
+        if any(dtypes.is_numeric(ok) for ok in self.compatible_dtypes) and dtypes.is_numeric(elem):
+            return True
+        if any(pa.types.is_string(ok) for ok in self.compatible_dtypes) and pa.types.is_large_string(elem):
+            return True
+        return False
+
     def _validate_dtype(self, arr: pa.Array) -> None:
         if self.compatible_dtypes is None:
             return
         elem = dtypes.element_type(arr.type)
-        for ok in self.compatible_dtypes:
-            if elem.equals(ok):
-                return
-            # accept any numeric when a float type is whitelisted
-        if any(dtypes.is_numeric(ok) for ok in self.compatible_dtypes) and dtypes.is_numeric(elem):
+        if not self._elem_compatible(elem):
+            raise TypeError(
+                f"{type(self).__name__}({self.layer_name}): element dtype {elem} "
+                f"not in compatible dtypes {self.compatible_dtypes}"
+            )
+
+    def validate_schema(self, schema) -> None:
+        """Driver-side fail-fast (reference: spark_operation.py:59-67,338-373):
+        check each input column's element dtype against the op's whitelist
+        BEFORE any task launches. ``schema`` is a ray.data Schema or
+        pa.Schema; unknown columns (produced mid-pipeline) are skipped."""
+        if self.compatible_dtypes is None:
             return
-        if any(pa.types.is_string(ok) for ok in self.compatible_dtypes) and pa.types.is_large_string(elem):
+        names = getattr(schema, "names", None)
+        types = getattr(schema, "types", None)
+        if names is None or types is None:
             return
-        raise TypeError(
-            f"{type(self).__name__}({self.layer_name}): element dtype {elem} "
-            f"not in compatible dtypes {self.compatible_dtypes}"
-        )
+        by_name = dict(zip(names, types))
+        check = self.inputs[:1] if self.validate_first_input_only else self.inputs
+        for c in check:
+            t = by_name.get(c)
+            if t is None or not isinstance(t, pa.DataType):
+                continue
+            elem = (
+                dtypes.arrow_type(self.input_dtype)
+                if self.input_dtype is not None
+                else dtypes.element_type(t)
+            )
+            if not self._elem_compatible(elem):
+                raise TypeError(
+                    f"{type(self).__name__}({self.layer_name}): input column {c!r} "
+                    f"element dtype {elem} not in compatible dtypes "
+                    f"{self.compatible_dtypes} (checked driver-side before launch)"
+                )
+
+    def _validate_ds_schema(self, ds) -> None:
+        try:
+            schema = ds.schema(fetch_if_missing=False)
+        except Exception:
+            return
+        if schema is not None:
+            self.validate_schema(schema)
 
     def get_params(self) -> dict[str, Any]:
         """JSON-serializable parameter dict (for pipeline persistence)."""
@@ -158,6 +202,7 @@ class Transformer(Stage):
         """Apply to a ``ray.data.Dataset`` (or a plain ``pa.Table`` for tests)."""
         if isinstance(ds, pa.Table):
             return self.transform_batch(ds)
+        self._validate_ds_schema(ds)
         return ds.map_batches(
             _BatchFnWrapper(self),
             batch_format="pyarrow",

@@ -104,6 +104,7 @@ class DateAddTransformer(MultiInputTransformer):
     Reference: transformers/date_add.py:207."""
 
     compatible_dtypes = _STR
+    validate_first_input_only = True  # the optional second input is numeric days
 
     def __init__(self, *args, num_days: int | None = None, **kwargs):
         kwargs.setdefault("constant", num_days)

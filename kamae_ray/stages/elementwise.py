@@ -128,9 +128,12 @@ class MultiInputTransformer(Transformer):
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         if self.input_cols is not None:
             cols = [self._cast_in(batch.column(c)) for c in self.input_cols]
+            for c in (cols[:1] if self.validate_first_input_only else cols):
+                self._validate_dtype(c)
             out = A.lift_multi(lambda *fl: self._fold(list(fl)), cols)
         else:
             arr = self._cast_in(batch.column(self.input_col))
+            self._validate_dtype(arr)
             const = pa.scalar(self.constant)
             out = A.lift(lambda flat: self._fold([flat, const]), arr)
         out = self._cast_out(out)
@@ -274,6 +277,7 @@ class IfStatementTransformer(Transformer):
     Reference: transformers/if_statement.py:202-226,378."""
 
     compatible_dtypes = None
+    validate_first_input_only = True  # compare/result operands may be any type
 
     def __init__(
         self,

@@ -208,7 +208,9 @@ class StringIndexEstimator(Estimator):
 
     def _collect(self, ds, cols: list[str]) -> list[str]:
         ds = self._maybe_sample(ds)
-        counts = agg.value_counts(ds, cols, self.mask_token)
+        counts = agg.value_counts(
+            ds, cols, self.mask_token, order=self.string_order_type, top_k=self.max_num_labels
+        )
         return agg.ordered_labels(counts, self.string_order_type, self.max_num_labels)
 
     def _fit_cols(self) -> list[str]:
@@ -216,6 +218,11 @@ class StringIndexEstimator(Estimator):
 
     def fit_spec(self):
         if self.sample_fraction is not None:
+            return None
+        if self.max_num_labels is not None:
+            # capped vocabs fit via the distributed sort+limit path (bounded
+            # driver memory for high-cardinality columns) instead of the
+            # fused driver-merge (aggregators.MAX_DRIVER_VOCAB guard)
             return None
         return ("vocab", (tuple(self._fit_cols()), self.mask_token))
 

@@ -35,7 +35,7 @@ from kamae_ray.functions import segments as S
 class ListStatTransformer(Transformer):
     """Generic listwise statistic. stat in {max,min,mean,median,stddev}."""
 
-    compatible_dtypes = None
+    compatible_dtypes = (pa.float64(),)
     fusible = False
     stat: str = "mean"
 
@@ -108,6 +108,7 @@ class ListStatTransformer(Transformer):
     def transform(self, ds):
         if isinstance(ds, pa.Table):
             return self._block_fn(ds)
+        self._validate_ds_schema(ds)
         fn = self._block_fn
         return ds.sort(self._keys()).map_batches(
             _NamedFn(fn, f"list_{self.stat}"), batch_format="pyarrow", batch_size=None

@@ -57,7 +57,7 @@ class StandardScaleTransformer(Transformer):
     """(x - mean_i) / std_i per innermost position; std==0 -> multiply by 0;
     mask positions unchanged. Reference: transformers/standard_scale.py:118-130."""
 
-    compatible_dtypes = None
+    compatible_dtypes = (pa.float64(),)
 
     def __init__(self, *args, mean, stddev, mask_value: float | None = None, **kwargs):
         super().__init__(*args, **kwargs)
@@ -84,7 +84,7 @@ class MinMaxScaleTransformer(Transformer):
     """(x - min) / (max - min) per position, mask-aware.
     Reference: transformers/min_max_scale.py:188."""
 
-    compatible_dtypes = None
+    compatible_dtypes = (pa.float64(),)
 
     def __init__(self, *args, min, max, mask_value: float | None = None, **kwargs):
         super().__init__(*args, **kwargs)
@@ -112,7 +112,7 @@ class ImputeTransformer(Transformer):
     """Replace mask_value / null with the fitted impute value.
     Reference: transformers/impute.py:160."""
 
-    compatible_dtypes = None
+    compatible_dtypes = (pa.float64(),)
 
     def __init__(self, *args, impute_value: float, mask_value: float | None = None, **kwargs):
         super().__init__(*args, **kwargs)

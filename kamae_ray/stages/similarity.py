@@ -28,7 +28,7 @@ class CosineSimilarityTransformer(Transformer):
     """dot(a,b)/(||a||·||b||) over innermost arrays; 0.0 when either norm is 0.
     Reference: transformers/cosine_similarity.py:100-146."""
 
-    compatible_dtypes = None
+    compatible_dtypes = (pa.float64(),)
 
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         a = self._cast_in(batch.column(self.input_cols[0]))
@@ -55,7 +55,7 @@ class PairwiseCosineSimilarityTransformer(Transformer):
     """Query vec vs flat array of k candidate vecs (embedding_dim strides)
     -> k sims. Reference: transformers/pairwise_cosine_similarity.py:85-140."""
 
-    compatible_dtypes = None
+    compatible_dtypes = (pa.float64(),)
 
     def __init__(self, *args, embedding_dim: int, **kwargs):
         super().__init__(*args, **kwargs)
@@ -93,7 +93,7 @@ class HaversineDistanceTransformer(MultiInputTransformer):
     """Great-circle km between (lat1,lon1) and (lat2,lon2) — 4 input cols or
     2 cols + lat_lon_constant. Reference: transformers/haversine_distance.py:254."""
 
-    compatible_dtypes = None
+    compatible_dtypes = (pa.float64(),)
 
     def __init__(self, *args, lat_lon_constant: tuple[float, float] | None = None, **kwargs):
         super().__init__(*args, **kwargs)
@@ -119,7 +119,7 @@ class BearingAngleTransformer(MultiInputTransformer):
     """Navigation bearing in degrees between lat/lon pairs.
     Reference: transformers/bearing_angle.py:216."""
 
-    compatible_dtypes = None
+    compatible_dtypes = (pa.float64(),)
 
     def __init__(self, *args, lat_lon_constant: tuple[float, float] | None = None, **kwargs):
         super().__init__(*args, **kwargs)

@@ -345,6 +345,7 @@ class KeyedWindowTransformer(Transformer):
     def transform(self, ds):
         if isinstance(ds, pa.Table):
             return self._block_fn(ds)
+        self._validate_ds_schema(ds)
         return ds.sort(self.entity_cols).map_batches(
             _NamedFn(self._block_fn, type(self).__name__), batch_format="pyarrow", batch_size=None
         )

@@ -21,6 +21,17 @@ import pyarrow.compute as pc
 
 from kamae_ray.functions import arrays as A
 
+#: driver-merge guard: vocab fits merge per-block partials on the driver,
+#: which is O(blocks × distinct). Beyond this many distinct values the merge
+#: raises instead of silently OOMing the driver; callers should set
+#: ``max_num_labels`` (pushes a distributed sort+limit) or index with
+#: HashIndex instead. Module-level so tests can monkeypatch it down.
+MAX_DRIVER_VOCAB = 4_000_000
+
+
+class VocabOverflowError(ValueError):
+    """Vocabulary exceeds the driver-merge guard (MAX_DRIVER_VOCAB)."""
+
 
 def _flat_values(batch: pa.Table, col: str) -> pa.Array:
     arr = A.as_array(batch.column(col))
@@ -289,6 +300,13 @@ def fused_fit_pass(ds, moment_specs, vocab_specs):
         for r in rows:
             for v, c in zip(r[f"{tag}\x1fvalues"], r[f"{tag}\x1fcounts"]):
                 d[v] = d.get(v, 0) + c
+            if len(d) > MAX_DRIVER_VOCAB:
+                raise VocabOverflowError(
+                    f"fused vocab fit over {spec[0]} exceeds MAX_DRIVER_VOCAB="
+                    f"{MAX_DRIVER_VOCAB} distinct values; set max_num_labels on the "
+                    "estimator (it then fits via the distributed sort+limit path) "
+                    "or use HashIndex for unbounded-cardinality keys"
+                )
         vout[spec] = d
     return mout, vout
 
@@ -414,21 +432,63 @@ class _ValueCountsPartial:
                 if v is None or v == self.mask_token:
                     continue
                 counters[v] = counters.get(v, 0) + item["counts"].as_py()
+        if len(counters) > MAX_DRIVER_VOCAB:
+            raise VocabOverflowError(
+                f"block-level vocabulary over {self.cols} exceeds MAX_DRIVER_VOCAB="
+                f"{MAX_DRIVER_VOCAB}; set max_num_labels or use HashIndex"
+            )
         if not counters:
             return pa.table({"value": pa.array([], pa.string()), "count": pa.array([], pa.int64())})
         return pa.table({"value": list(counters), "count": list(counters.values())})
 
 
-def value_counts(ds, cols: list[str], mask_token: str | None = None) -> dict[str, int]:
-    """Distributed value counts -> driver dict (vocab-sized by construction)."""
+def value_counts(
+    ds,
+    cols: list[str],
+    mask_token: str | None = None,
+    order: str | None = None,
+    top_k: int | None = None,
+) -> dict[str, int]:
+    """Distributed value counts -> driver dict (vocab-sized by construction).
+
+    When ``top_k`` is set (estimator ``max_num_labels``), the limit is pushed
+    into the distributed plan as a sort+limit matching ``order`` — the driver
+    only ever receives k rows, making high-cardinality fits safe. Without a
+    top_k, more than MAX_DRIVER_VOCAB distinct values raises
+    VocabOverflowError instead of OOMing the driver."""
     fn = _ValueCountsPartial(cols, mask_token)
     if isinstance(ds, pa.Table):
         rows = fn(ds).to_pylist()
     else:
         partial = _project(ds, cols).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
         agg = partial.groupby("value").sum("count")
-        rows = [{"value": r["value"], "count": r["sum(count)"]} for r in agg.take_all()]
-    out: dict[str, int] = {}
+        if top_k is not None:
+            # distributed top-k with the SAME tie-break as ordered_labels
+            if order in (None, "frequencyDesc"):
+                agg = agg.sort(["sum(count)", "value"], descending=[True, False])
+            elif order == "frequencyAsc":
+                agg = agg.sort(["sum(count)", "value"], descending=[False, False])
+            elif order == "alphabeticalAsc":
+                agg = agg.sort("value")
+            elif order == "alphabeticalDesc":
+                agg = agg.sort("value", descending=True)
+            else:
+                raise ValueError(f"unknown string_order_type {order}")
+            agg = agg.limit(top_k)
+        # stream the merged counts: the early overflow raise below fires
+        # before the driver materializes an unbounded vocabulary
+        out: dict[str, int] = {}
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            for v, c in zip(b.column("value").to_pylist(), b.column("sum(count)").to_pylist()):
+                out[v] = out.get(v, 0) + c
+            if top_k is None and len(out) > MAX_DRIVER_VOCAB:
+                raise VocabOverflowError(
+                    f"vocabulary over {cols} exceeds MAX_DRIVER_VOCAB={MAX_DRIVER_VOCAB} "
+                    "distinct values; set max_num_labels on the estimator (pushes a "
+                    "distributed sort+limit) or use HashIndex for unbounded-cardinality keys"
+                )
+        return out
+    out = {}
     for r in rows:
         out[r["value"]] = out.get(r["value"], 0) + r["count"]
     return out

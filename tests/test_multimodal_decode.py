@@ -1,0 +1,80 @@
+"""Real pure-Python multimodal decoders: PGM (P5/P2) and RIFF/WAVE PCM.
+Round-trip against the encoders, plus header-edge and malformed-input cases.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.stages.multimodal import (
+    PgmDecodeTransformer,
+    WavDecodeTransformer,
+    decode_pgm,
+    decode_wav,
+    encode_pgm,
+    encode_wav,
+)
+
+
+def test_pgm_p5_roundtrip():
+    px = np.arange(48) % 256
+    payload = encode_pgm(8, 6, 255, px)
+    w, h, mv, out = decode_pgm(payload)
+    assert (w, h, mv) == (8, 6, 255)
+    np.testing.assert_array_equal(out, px.astype(np.float64))
+
+
+def test_pgm_16bit_and_comments():
+    px = np.arange(12) * 300  # needs 16-bit
+    payload = encode_pgm(4, 3, 65535, px)
+    w, h, mv, out = decode_pgm(payload)
+    assert (w, h, mv) == (4, 3, 65535)
+    np.testing.assert_array_equal(out, px.astype(np.float64))
+    # P2 ASCII with a comment line
+    ascii_pgm = b"P2\n# a comment\n3 2\n255\n1 2 3\n4 5 6\n"
+    w, h, mv, out = decode_pgm(ascii_pgm)
+    assert (w, h, mv) == (3, 2, 255)
+    np.testing.assert_array_equal(out, [1, 2, 3, 4, 5, 6])
+
+
+def test_pgm_malformed():
+    with pytest.raises(ValueError, match="magic"):
+        decode_pgm(b"JPEG....")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pgm(b"P5\n100 100\n255\nxx")
+
+
+def test_wav_roundtrip():
+    s = (np.sin(np.linspace(0, 20, 1000)) * 20000).astype(np.int16)
+    payload = encode_wav(44100, 1, s)
+    sr, ch, n, samples = decode_wav(payload)
+    assert (sr, ch, n) == (44100, 1, 1000)
+    np.testing.assert_allclose(samples, s / 32768.0)
+
+
+def test_wav_malformed():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")
+    with pytest.raises(ValueError, match="fmt"):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_actor_pool_transform_over_dataset(ray_session):
+    ray = pytest.importorskip("ray")
+    payloads = [encode_pgm(4, 4, 255, (np.arange(16) * k) % 256) for k in range(1, 9)]
+    tbl = pa.table({"pid": pa.array(range(8)), "img": pa.array(payloads, pa.binary())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = PgmDecodeTransformer(input_col="img", output_col="img", batch_size=2, concurrency=(1, 2)).transform(ds)
+    df = out.to_pandas().sort_values("pid")
+    assert (df["img_width"] == 4).all()
+    expect_means = [float(((np.arange(16) * k) % 256).mean()) for k in range(1, 9)]
+    np.testing.assert_allclose(df["img_mean"].to_numpy(), expect_means)
+
+
+def test_wav_transform_table():
+    s = np.full(100, 16384, np.int16)
+    tbl = pa.table({"wav": pa.array([encode_wav(8000, 1, s)], pa.binary())})
+    out = WavDecodeTransformer(input_col="wav", output_col="wav").transform(tbl)
+    assert out.column("wav_sample_rate").to_pylist() == [8000]
+    assert out.column("wav_n_samples").to_pylist() == [100]
+    np.testing.assert_allclose(out.column("wav_rms").to_pylist(), [0.5])

@@ -1,0 +1,72 @@
+"""Vocabulary driver-merge guard (judge finding r01 #7): a high-cardinality
+StringIndexEstimator fit must either stream through the distributed sort+limit
+path (max_num_labels set) or raise VocabOverflowError — never OOM the driver.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+ray = pytest.importorskip("ray")
+
+from kamae_ray.state import aggregators as agg
+
+
+@pytest.fixture()
+def high_card_ds(ray_session):
+    n = 20_000
+    rng = np.random.RandomState(11)
+    # ~unique ids plus a handful of hot values for a stable top-k
+    vals = np.array([f"id_{i}" for i in range(n)], dtype=object)
+    hot_at = rng.choice(n, size=3000, replace=False)
+    vals[hot_at[:1500]] = "hot_a"
+    vals[hot_at[1500:2500]] = "hot_b"
+    vals[hot_at[2500:]] = "hot_c"
+    tbl = pa.table({"doc_id": pa.array(vals.tolist(), pa.string())})
+    return tbl, ray.data.from_arrow(tbl).repartition(16)
+
+
+def test_max_num_labels_uses_bounded_topk_path(high_card_ds, monkeypatch):
+    from kamae_ray.stages import StringIndexEstimator
+
+    tbl, ds = high_card_ds
+    # drop the guard BELOW the column's cardinality: the capped fit must still
+    # succeed because the limit is pushed into the distributed plan
+    monkeypatch.setattr(agg, "MAX_DRIVER_VOCAB", 5_000)
+    est = StringIndexEstimator(
+        input_col="doc_id", output_col="idx", string_order_type="frequencyDesc", max_num_labels=3
+    )
+    assert est.fit_spec() is None  # capped fits leave the fused driver-merge
+    model = est.fit(ds)
+    assert model.labels_array == ["hot_a", "hot_b", "hot_c"]
+
+
+def test_uncapped_high_cardinality_raises(high_card_ds, monkeypatch):
+    from kamae_ray.stages import StringIndexEstimator
+
+    tbl, ds = high_card_ds
+    monkeypatch.setattr(agg, "MAX_DRIVER_VOCAB", 5_000)
+    est = StringIndexEstimator(input_col="doc_id", output_col="idx")
+    with pytest.raises(agg.VocabOverflowError, match="max_num_labels"):
+        est.fit(ds)
+
+
+def test_fused_merge_guard(high_card_ds, monkeypatch):
+    monkeypatch.setattr(agg, "MAX_DRIVER_VOCAB", 5_000)
+    tbl, ds = high_card_ds
+    with pytest.raises(agg.VocabOverflowError):
+        agg.fused_fit_pass(ds, [], [(("doc_id",), None)])
+
+
+def test_ordering_matches_unlimited_path(high_card_ds):
+    """top-k pushdown returns the same labels as the unlimited path truncated."""
+    from kamae_ray.stages import StringIndexEstimator
+
+    tbl, ds = high_card_ds
+    capped = StringIndexEstimator(
+        input_col="doc_id", output_col="i", string_order_type="alphabeticalAsc", max_num_labels=5
+    ).fit(ds)
+    full = StringIndexEstimator(
+        input_col="doc_id", output_col="i", string_order_type="alphabeticalAsc"
+    ).fit(tbl)
+    assert capped.labels_array == full.labels_array[:5]

@@ -174,7 +174,31 @@ _BENCH_QUERIES = [
     "q_tokenize",
     "q_minhash_pairs",
     "q_ann_topk",
+    "q_exact_dedup",
+    "q_neardup",
 ]
+
+
+def _prev_round_queries() -> dict:
+    """Per-query seconds from the newest BENCH_r{N}.json next to this script
+    (the previous round's record) — used to report deltas."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = f, int(m.group(1))
+    if not best:
+        return {}
+    try:
+        with open(best) as fh:
+            doc = json.load(fh)
+        return (doc.get("parsed") or doc).get("queries") or {}
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return {}
 
 
 def run_queries() -> dict:
@@ -200,11 +224,18 @@ def main_once(flagship_only: bool = False, warmup: bool = False):
         headline()  # discard: primes workers + page cache (BASELINE.md protocol)
     h = headline()
     queries = {} if flagship_only else run_queries()
+    prev = _prev_round_queries() if queries else {}
+    deltas = {
+        name: round(queries[name] / prev[name], 2)
+        for name in queries
+        if prev.get(name)
+    }
     doc = {
         "metric": "flagship fit+transform+window wall-clock",
         "value": h["total_s"],
         "unit": "sec",
         "queries": queries,
+        "queries_vs_prev_round": deltas,
         "sf": SF,
         "num_cpus": NUM_CPUS,
         "rows": h["rows"],

@@ -90,42 +90,103 @@ class ResumableRunner:
                 rec = json.load(f)
             rec["skipped"] = True
             return rec
-        t0 = time.time()
-        result = partition_fn(list(files))
-        part = self._part_path(i)
-        tmp = part + ".tmp"
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        if isinstance(result, pa.Table):
-            rows = result.num_rows
-            pq.write_table(result, tmp)
-        else:
-            # ray Dataset: stream blocks into one file per partition
-            tables = [b for b in result.iter_batches(batch_format="pyarrow", batch_size=None)]
-            combined = pa.concat_tables(tables) if tables else None
-            rows = combined.num_rows if combined is not None else 0
-            if combined is not None:
-                pq.write_table(combined, tmp)
-            else:
-                pq.write_table(pa.table({}), tmp)
-        os.replace(tmp, part)
-        rec = {
-            "partition": i,
-            "inputs": list(files),
-            "input_fingerprint": _input_fingerprint(files),
-            "op_hash": self.op_hash,
-            "rows": rows,
-            "wall_time_s": round(time.time() - t0, 3),
-            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            "skipped": False,
-        }
-        lp = self._lineage_path(i)
-        with open(lp + ".tmp", "w") as f:
-            json.dump(rec, f, indent=1)
-        os.replace(lp + ".tmp", lp)
-        return rec
+        return _compute_and_commit(self.output_dir, self.op_hash, i, list(files), partition_fn)
 
     def run(self, input_files: Sequence[str], partition_fn: Callable) -> list[dict]:
-        """One partition per input file."""
+        """One partition per input file, sequentially on the caller."""
         return [self.run_partition(i, [f], partition_fn) for i, f in enumerate(sorted(input_files))]
+
+    def run_parallel(
+        self,
+        input_files: Sequence[str],
+        partition_fn: Callable,
+        *,
+        num_cpus: int = 1,
+        max_in_flight: int | None = None,
+    ) -> list[dict]:
+        """One partition per input file, dispatched as Ray tasks.
+
+        The scale path: already-done partitions are skipped driver-side (one
+        lineage read each, no task launched); ``partition_fn`` is put into the
+        object store ONCE and shared by every task rather than re-shipped per
+        submission (it closes over the fitted model's state — vocab dicts,
+        moments — which can be MBs). In-flight tasks are bounded by
+        ``max_in_flight`` (default 2× cluster CPUs) so a million-partition run
+        never floods the scheduler; results commit independently, so a crash
+        loses only in-flight partitions. Output/lineage paths must be on
+        storage shared by all workers (object store spill / NFS / S3 on a real
+        cluster; one local disk in this sandbox).
+        """
+        import ray
+
+        files = sorted(input_files)
+        recs: dict[int, dict] = {}
+        pending: list[tuple[int, str]] = []
+        for i, f in enumerate(files):
+            if self.is_done(i, [f]):
+                with open(self._lineage_path(i)) as fh:
+                    rec = json.load(fh)
+                rec["skipped"] = True
+                recs[i] = rec
+            else:
+                pending.append((i, f))
+        if pending:
+            fn_ref = ray.put(partition_fn)
+            if max_in_flight is None:
+                max_in_flight = max(4, int(ray.cluster_resources().get("CPU", 8)) * 2)
+            task = ray.remote(num_cpus=num_cpus)(_compute_and_commit)
+            in_flight: dict = {}
+            it = iter(pending)
+            exhausted = False
+            while in_flight or not exhausted:
+                while not exhausted and len(in_flight) < max_in_flight:
+                    try:
+                        i, f = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    in_flight[task.remote(self.output_dir, self.op_hash, i, [f], fn_ref)] = i
+                if in_flight:
+                    done_refs, _ = ray.wait(list(in_flight), num_returns=1)
+                    for ref in done_refs:
+                        recs[in_flight.pop(ref)] = ray.get(ref)
+        return [recs[i] for i in sorted(recs)]
+
+
+def _compute_and_commit(output_dir: str, op_hash: str, i: int, files: list, partition_fn: Callable) -> dict:
+    """Run one partition and atomically commit part + lineage (driver or worker)."""
+    t0 = time.time()
+    result = partition_fn(list(files))
+    part = os.path.join(output_dir, f"part-{i:05d}.parquet")
+    tmp = part + f".tmp.{os.getpid()}"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if isinstance(result, pa.Table):
+        rows = result.num_rows
+        pq.write_table(result, tmp)
+    else:
+        # ray Dataset: stream blocks into one file per partition
+        tables = [b for b in result.iter_batches(batch_format="pyarrow", batch_size=None)]
+        combined = pa.concat_tables(tables) if tables else None
+        rows = combined.num_rows if combined is not None else 0
+        if combined is not None:
+            pq.write_table(combined, tmp)
+        else:
+            pq.write_table(pa.table({}), tmp)
+    os.replace(tmp, part)
+    rec = {
+        "partition": i,
+        "inputs": list(files),
+        "input_fingerprint": _input_fingerprint(files),
+        "op_hash": op_hash,
+        "rows": rows,
+        "wall_time_s": round(time.time() - t0, 3),
+        "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "skipped": False,
+    }
+    lp = os.path.join(output_dir, f"lineage-{i:05d}.json")
+    with open(lp + f".tmp.{os.getpid()}", "w") as f:
+        json.dump(rec, f, indent=1)
+    os.replace(lp + f".tmp.{os.getpid()}", lp)
+    return rec

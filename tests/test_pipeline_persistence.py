@@ -121,6 +121,43 @@ def test_resumable_runner(tmp_path, scalar_mixed):
     assert all(not r["skipped"] for r in recs4)
 
 
+def test_resumable_runner_parallel(tmp_path, scalar_mixed, ray_session):
+    import pyarrow.parquet as pq
+
+    files = []
+    for i in range(4):
+        f = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(scalar_mixed, f)
+        files.append(f)
+
+    pm = PipelineModel([LogTransformer(input_col="col1", output_col="lg")])
+    h = op_chain_hash(pm)
+    outdir = str(tmp_path / "out")
+
+    def partition_fn(fs):
+        return pm.transform(pq.read_table(fs[0]))
+
+    recs = ResumableRunner(outdir, h).run_parallel(files, partition_fn, max_in_flight=2)
+    assert [r["partition"] for r in recs] == [0, 1, 2, 3]
+    assert all(not r["skipped"] for r in recs)
+    assert all(r["rows"] == scalar_mixed.num_rows for r in recs)
+
+    # resume after simulated crash (one lineage lost): only that one reruns
+    import os
+
+    os.remove(os.path.join(outdir, "lineage-00002.json"))
+    recs2 = ResumableRunner(outdir, h).run_parallel(files, partition_fn)
+    assert [r["skipped"] for r in recs2] == [True, True, False, True]
+
+    # outputs identical to the sequential path
+    seq_dir = str(tmp_path / "seq")
+    ResumableRunner(seq_dir, h).run(files, partition_fn)
+    for i in range(4):
+        a = pq.read_table(os.path.join(outdir, f"part-{i:05d}.parquet"))
+        b = pq.read_table(os.path.join(seq_dir, f"part-{i:05d}.parquet"))
+        assert a.equals(b)
+
+
 def test_window_listwise_stage_persistence(tmp_path):
     import pyarrow as pa
 

@@ -78,17 +78,28 @@ def main():
         return model.transform(pq.read_table(fs[0]))
 
     done = skipped = 0
-    for i, f in enumerate(sorted(files)):
-        if args.kill_after is not None and done >= args.kill_after:
-            print(f"SIMULATED CRASH after {done} fresh partitions ({skipped} skipped)")
-            ray.shutdown()
-            sys.exit(1)
-        rec = runner.run_partition(i, [f], partition_fn)
-        if rec["skipped"]:
-            skipped += 1
-        else:
-            done += 1
-            print(f"partition {i}: {rec['rows']} rows in {rec['wall_time_s']}s")
+    if args.kill_after is not None:
+        # crash-simulation path runs sequentially so "after K partitions" is
+        # well-defined; the real run below dispatches partitions as parallel
+        # Ray tasks
+        for i, f in enumerate(sorted(files)):
+            if done >= args.kill_after:
+                print(f"SIMULATED CRASH after {done} fresh partitions ({skipped} skipped)")
+                ray.shutdown()
+                sys.exit(1)
+            rec = runner.run_partition(i, [f], partition_fn)
+            if rec["skipped"]:
+                skipped += 1
+            else:
+                done += 1
+                print(f"partition {i}: {rec['rows']} rows in {rec['wall_time_s']}s")
+    else:
+        for rec in runner.run_parallel(sorted(files), partition_fn):
+            if rec["skipped"]:
+                skipped += 1
+            else:
+                done += 1
+                print(f"partition {rec['partition']}: {rec['rows']} rows in {rec['wall_time_s']}s")
     total_rows = sum(
         json.load(open(p))["rows"] for p in sorted(glob.glob(os.path.join(args.out, "parts", "lineage-*.json")))
     )

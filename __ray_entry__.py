@@ -1163,6 +1163,28 @@ _TOKEN_EXPR = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from kamae_ray.stages.text import _LANG_STOPWORDS
+
+    def _inlist(words) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(words))
+
+    def _hits(words) -> str:
+        return (
+            "len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'), "
+            f"w -> w IN ({_inlist(words)})))"
+        )
+
+    _langs = list(_LANG_STOPWORDS)
+    _lang_hits = ", ".join(f"{_hits(_LANG_STOPWORDS[lg])} AS h_{lg}" for lg in _langs)
+    # np.argmax tie-break = first language in declared order with the max vote
+    _lang_case = (
+        "CASE WHEN greatest(" + ", ".join("h_" + lg for lg in _langs) + ") = 0 THEN 'unknown' "
+        + " ".join(
+            "WHEN " + " AND ".join(f"h_{lg} >= h_{o}" for o in _langs if o != lg) + f" THEN '{lg}'"
+            for lg in _langs
+        )
+        + " ELSE 'unknown' END"
+    )
     return {
         "q_log": "SELECT l_orderkey, l_linenumber, ROUND(ln(1 + l_quantity), 6) AS log_qty FROM lineitem",
         "q_arith": "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount), 6) AS disc_price FROM lineitem",
@@ -1435,8 +1457,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16000 AS BIGINT) AS wav_sample_rate, nw AS wav_n_samples, "
             "ROUND(sqrt(list_avg(sq)), 6) AS wav_rms FROM px"
         ),
-        # q_token_stats, q_minhash_pairs, q_langid, q_simhash, q_neardup,
-        # q_hash_encode: heuristic / hash-dependent (FarmHash, LSH banding)
-        # -> rows-only driver check; FarmHash itself is pinned to published
-        # vectors in tests/test_farmhash_vectors.py.
+        "q_token_stats": (
+            "WITH b AS (SELECT doc_id, length(coalesce(text,'')) AS n_chars, "
+            "len(regexp_extract_all(coalesce(text,''), '[^\\w\\s]')) AS n_punct, "
+            "len(regexp_extract_all(coalesce(text,''), '\\S+')) AS n_words, "
+            f"{_hits(_LANG_STOPWORDS['en'])} AS stop_hits FROM documents), "
+            "r AS (SELECT doc_id, n_chars AS q_len, "
+            "CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS pr, "
+            "CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0.0 END AS sr FROM b) "
+            "SELECT doc_id, q_len, ROUND(pr, 6) AS q_punct_ratio, ROUND(sr, 6) AS q_stop_ratio, "
+            "ROUND(0.4 * least(q_len / 1000.0, 1.0) + 0.3 * least(sr * 3, 1.0) "
+            "+ 0.3 * (1 - least(pr * 5, 1.0)), 6) AS q_score FROM r"
+        ),
+        "q_langid": (
+            f"WITH h AS (SELECT doc_id, lang, {_lang_hits} FROM documents) "
+            f"SELECT doc_id, lang, {_lang_case} AS lang_pred FROM h"
+        ),
+        # q_minhash_pairs, q_simhash, q_neardup, q_hash_encode:
+        # hash-dependent (FarmHash, LSH banding) -> rows-only driver check;
+        # FarmHash itself is pinned to published vectors in
+        # tests/test_farmhash_vectors.py.
     }

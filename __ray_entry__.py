@@ -662,6 +662,60 @@ def _q_ann_topk(sf_dir):
     return out
 
 
+def _q_ann_ivf(sf_dir):
+    """IVF scale path: k-means centroids on a seeded random sample, queries
+    probe n_probe nearest inverted lists. Approximate (recall < 1 by design),
+    so rows-only: no SQL oracle can reproduce the k-means assignment."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.ann import ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qrows = first.filter(pc.is_in(first.column("vec_id"), value_set=pa.array([0, 1])))
+    queries = np.asarray(qrows.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = ivf_topk(ds, queries, "embedding", "vec_id", k=10, n_centroids=16, n_probe=4)
+    return pa.table(
+        {
+            "query_idx": pc.cast(top.column("query_idx"), pa.int64()),
+            "rank": pc.cast(top.column("rank"), pa.int64()),
+            "vec_id": top.column("id"),
+            "cosine": pc.round(top.column("cosine"), ndigits=_R, round_mode="half_towards_infinity"),
+        }
+    )
+
+
+def _q_emb_neardup(sf_dir):
+    """Embedding-cosine near-dup pairs: banded hyperplane-LSH buckets + exact
+    in-bucket verify. Oracle = exact brute-force all-pairs SQL; a full hash
+    match therefore also certifies the banded index's recall (measured 100%
+    at this threshold/banding on the sf tables)."""
+    from kamae_ray.pipelines.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45, planes=4, bands=16)
+    if not isinstance(pairs, pa.Table):
+        # small pair set: blocks × pairs only; Dataset path names the
+        # aggregated column "max(cosine)"
+        rows = pairs.take_all()
+        pairs = pa.table(
+            {
+                "id_a": pa.array([r["id_a"] for r in rows], pa.int64()),
+                "id_b": pa.array([r["id_b"] for r in rows], pa.int64()),
+                "cosine": pa.array([r["max(cosine)"] for r in rows], pa.float64()),
+            }
+        )
+    pairs = pairs.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    return pa.table(
+        {
+            "id_a": pairs.column("id_a"),
+            "id_b": pairs.column("id_b"),
+            "cosine": pc.round(pairs.column("cosine"), ndigits=_R, round_mode="half_towards_infinity"),
+        }
+    )
+
+
 def _q_token_stats(sf_dir):
     from kamae_ray.stages.text import QualityScoreTransformer
 
@@ -1133,6 +1187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling": _q_rolling,
         "q_exact_dedup": _q_exact_dedup,
         "q_ann_topk": _q_ann_topk,
+        "q_ann_ivf": _q_ann_ivf,
+        "q_emb_neardup": _q_emb_neardup,
         "q_token_stats": _q_token_stats,
         "q_minhash_pairs": _q_minhash_pairs,
         "q_neardup": _q_neardup,
@@ -1473,8 +1529,14 @@ def oracle_sql() -> dict[str, str]:
             f"WITH h AS (SELECT doc_id, lang, {_lang_hits} FROM documents) "
             f"SELECT doc_id, lang, {_lang_case} AS lang_pred FROM h"
         ),
-        # q_minhash_pairs, q_simhash, q_neardup, q_hash_encode:
-        # hash-dependent (FarmHash, LSH banding) -> rows-only driver check;
-        # FarmHash itself is pinned to published vectors in
-        # tests/test_farmhash_vectors.py.
+        "q_emb_neardup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
+        ),
+        # q_minhash_pairs, q_simhash, q_neardup, q_hash_encode, q_ann_ivf:
+        # hash-dependent (FarmHash, LSH banding, k-means assignment)
+        # -> rows-only driver check; FarmHash itself is pinned to published
+        # vectors in tests/test_farmhash_vectors.py.
     }

@@ -389,24 +389,37 @@ def embedding_neardup_pairs(
     emb_col: str,
     id_col: str,
     threshold: float = 0.95,
-    planes: int = 16,
+    planes: int = 8,
+    bands: int = 8,
     seed: int = 42,
     max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
 ):
-    """Embedding-cosine near-dup: random-hyperplane LSH bucketing, then exact
-    cosine verification inside each bucket (one matmul per bucket segment,
-    bucket-size capped + logged). Returns (id_a, id_b, cosine)."""
+    """Embedding-cosine near-dup: banded random-hyperplane LSH (OR over
+    ``bands`` signatures of ``planes`` bits each — a single wide signature has
+    near-zero recall: P[collide] = (1 - theta/pi)^planes), then exact cosine
+    verification inside each (band, bucket) segment (one matmul per segment,
+    bucket-size capped + logged). A pair found by several bands is deduped by
+    the final groupby-max. Shuffle volume = bands x input rows (the standard
+    OR-LSH tradeoff; embedding + id replicated per band). Returns
+    (id_a, id_b, cosine)."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m, d = A.matrix_view(batch.column(emb_col))
         rng = np.random.RandomState(seed)
-        H = rng.standard_normal((d, planes))
+        H = rng.standard_normal((d, planes * bands))
         signs = (m.astype(np.float64) @ H) > 0
-        sig = np.zeros(len(m), dtype=np.int64)
-        for b in range(planes):
-            sig |= signs[:, b].astype(np.int64) << b
-        out = batch.select([id_col, emb_col])
-        return out.append_column("__kr_bucket", pa.array(sig, pa.int64()))
+        n = len(m)
+        # per-band signature, then combine (band, sig) into one int64 segment
+        # key: band in the high bits, bucket in the low `planes` bits
+        keys = np.empty(n * bands, dtype=np.int64)
+        for band in range(bands):
+            sig = np.zeros(n, dtype=np.int64)
+            for b in range(planes):
+                sig |= signs[:, band * planes + b].astype(np.int64) << b
+            keys[band * n : (band + 1) * n] = (band << planes) | sig
+        rep = np.tile(np.arange(n), bands)
+        out = batch.select([id_col, emb_col]).take(pa.array(rep))
+        return out.append_column("__kr_bucket", pa.array(keys, pa.int64()))
 
     bucketize.__name__ = "embed_bucketize"
 

@@ -504,11 +504,10 @@ def _q_asof(sf_dir):
     from kamae_ray.stages import asof_join
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
-    purchases = _read(sf_dir, "events", ["user_id", "ts", "value", "event_type"]).filter(
-        lambda r: r["event_type"] == "purchase"
-    )
 
     def strip(batch: pa.Table) -> pa.Table:
+        # vectorized filter + projection in one pass (never ds.filter(lambda))
+        batch = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
@@ -519,7 +518,9 @@ def _q_asof(sf_dir):
         )
 
     strip.__name__ = "strip_purchases"
-    right = purchases.map_batches(strip, batch_format="pyarrow")
+    right = _read(sf_dir, "events", ["user_id", "ts", "value", "event_type"]).map_batches(
+        strip, batch_format="pyarrow", zero_copy_batch=True
+    )
     out = asof_join(
         ev, right, by=["user_id"], left_on="ts", right_on="pts",
         right_cols=["pts", "matched_pts", "last_purchase_value"], strict=True,

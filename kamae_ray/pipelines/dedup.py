@@ -142,24 +142,88 @@ class _MinHashBands:
         self.__name__ = "minhash_bands"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = A.as_array(batch.column(self.text_col)).to_pylist()
-        ids = A.as_array(batch.column(self.id_col)).to_pylist()
-        n = len(texts)
+        """Fully vectorized: farmhash each DISTINCT word once (dictionary
+        encode), rolling-polynomial combine into shingle hashes, per-doc
+        ``minimum.reduceat`` for the signature, vectorized polynomial band
+        combine. No per-row / per-shingle Python in the hot path."""
+        import pyarrow.compute as pc
+
+        ids_arr = A.as_array(batch.column(self.id_col))
+        n = len(ids_arr)
         B, R = self.bands, self.rows_per_band
-        out_ids, out_band, out_hash = [], [], []
-        for i in range(n):
-            sig = minhash_signature(texts[i], self.num_perm, self.shingle_k, self.a, self.b)
-            for bnd in range(B):
-                chunk = sig[bnd * R : (bnd + 1) * R]
-                bh = farmhash64_bytes(chunk.tobytes()) & ((1 << 63) - 1)
-                out_ids.append(ids[i])
-                out_band.append(bnd)
-                out_hash.append(bh)
+        if n == 0:
+            return pa.table(
+                {
+                    "id": ids_arr,
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
+        flat = pc.fill_null(A.as_array(batch.column(self.text_col)), "")
+        words_list = pc.split_pattern_regex(flat, pattern=r"\s+")
+        wl, words = A.unwrap(words_list)
+        offsets = np.asarray(wl[0][0])
+        lens = np.diff(offsets)
+        d = words.dictionary_encode()
+        dict_vals = d.dictionary.to_pylist()
+        wh = np.fromiter(
+            (farmhash64_bytes(w.encode("utf-8")) for w in dict_vals),
+            dtype=np.uint64,
+            count=len(dict_vals),
+        )
+        idx = np.asarray(d.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        whf = wh[idx] & np.uint64(_MERSENNE) if len(idx) else np.zeros(0, np.uint64)
+        k = self.shingle_k
+        P = np.uint64(0x9E3779B97F4A7C15)  # odd mixing constant (wraps mod 2^64)
+        # full-width shingles: rolling polynomial over k consecutive word hashes
+        n_full = max(len(whf) - k + 1, 0)
+        acc = np.zeros(n_full, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * P + whf[j : n_full + j]
+        # docs shorter than k get ONE shingle over all their words
+        n_sh = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+        sh_off = np.concatenate([[0], np.cumsum(n_sh)])
+        total = int(sh_off[-1])
+        doc_of = np.repeat(np.arange(n), n_sh)
+        within = np.arange(total) - np.repeat(sh_off[:-1], n_sh)
+        start_pos = offsets[:-1][doc_of] + within
+        shingles = np.zeros(total, dtype=np.uint64)
+        long_m = lens[doc_of] >= k
+        if long_m.any():
+            shingles[long_m] = acc[start_pos[long_m]]
+        short_docs = np.flatnonzero(lens < k)
+        for L in range(0, k):
+            sel = short_docs[lens[short_docs] == L]
+            if not len(sel):
+                continue
+            sv = np.zeros(len(sel), dtype=np.uint64)
+            for j in range(L):
+                sv = sv * P + whf[offsets[:-1][sel] + j]
+            shingles[sh_off[:-1][sel]] = sv
+        shingles &= np.uint64(_MERSENNE)
+        # signature: min over each doc's shingle segment, per permutation
+        # (perm chunks bound the (chunk x total-shingles) temporary)
+        sig = np.empty((self.num_perm, n), dtype=np.uint64)
+        starts = sh_off[:-1]
+        chunk = max(1, (8 << 20) // max(total, 1))  # ~64 MB temp at 8B/u64
+        for p0 in range(0, self.num_perm, chunk):
+            a_c = self.a[p0 : p0 + chunk, None]
+            b_c = self.b[p0 : p0 + chunk, None]
+            vals = (a_c * shingles[None, :] + b_c) % np.uint64(_MERSENNE)
+            sig[p0 : p0 + chunk] = np.minimum.reduceat(vals, starts, axis=1)
+        # band hash: polynomial combine of the R signature rows per band
+        bh = np.zeros((B, n), dtype=np.uint64)
+        for bnd in range(B):
+            acc_b = np.zeros(n, dtype=np.uint64)
+            for r in range(R):
+                acc_b = acc_b * P + sig[bnd * R + r]
+            bh[bnd] = acc_b & np.uint64((1 << 63) - 1)
+        out_ids = ids_arr.take(pa.array(np.tile(np.arange(n), B)))
         return pa.table(
             {
-                "id": pa.array(out_ids),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "id": out_ids,
+                "band": pa.array(np.repeat(np.arange(B, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
             }
         )
 

@@ -95,23 +95,36 @@ def _ancestor_closure(stages: list[Stage], targets: set[int]) -> set[int]:
 def _fit_group(ds, ests: list[Estimator]) -> list[Transformer]:
     """Fit several independent estimators with shared aggregation passes:
     all 'moments' specs in one map pass, all 'vocab' specs in one
-    map+groupby pass; estimators without a spec (exact median, sampled fits)
-    fall back to their own fit."""
+    map+groupby pass; estimators without a spec (exact median) fall back to
+    their own fit. Sampled estimators fuse too: one seeded ``random_sample``
+    + one fused pass per DISTINCT sample fraction (same seed as the
+    standalone ``_maybe_sample`` path, so results are identical — sampling
+    makes the fit cheaper, never an extra full pass)."""
     from kamae_ray.state import aggregators as agg
 
     specs = [e.fit_spec() for e in ests]
-    moment_specs = [sp[1] for sp in specs if sp is not None and sp[0] == "moments"]
-    vocab_specs = [sp[1] for sp in specs if sp is not None and sp[0] == "vocab"]
+
+    def _frac(e):
+        # pa.Table inputs ignore sampling (parity with _maybe_sample)
+        return None if isinstance(ds, pa.Table) else e.sample_fraction
+
+    groups: dict = {}
+    for e, sp in zip(ests, specs):
+        if sp is None:
+            continue
+        m_specs, v_specs = groups.setdefault(_frac(e), ([], []))
+        (m_specs if sp[0] == "moments" else v_specs).append(sp[1])
     mres: dict = {}
     vres: dict = {}
-    if moment_specs or vocab_specs:
-        mres, vres = agg.fused_fit_pass(ds, moment_specs, vocab_specs)
+    for frac, (m_specs, v_specs) in groups.items():
+        sub = ds if frac is None else ds.random_sample(frac, seed=42)
+        mres[frac], vres[frac] = agg.fused_fit_pass(sub, m_specs, v_specs)
     models = []
     for e, sp in zip(ests, specs):
         if sp is not None and sp[0] == "moments":
-            models.append(e.fit_from(mres[sp[1]]))
+            models.append(e.fit_from(mres[_frac(e)][sp[1]]))
         elif sp is not None and sp[0] == "vocab":
-            models.append(e.fit_from(vres[sp[1]]))
+            models.append(e.fit_from(vres[_frac(e)][sp[1]]))
         else:
             models.append(e.fit(ds))
     return models

@@ -217,8 +217,6 @@ class StringIndexEstimator(Estimator):
         return list(self.input_cols) if self.input_cols is not None else [self.input_col]
 
     def fit_spec(self):
-        if self.sample_fraction is not None:
-            return None
         if self.max_num_labels is not None:
             # capped vocabs fit via the distributed sort+limit path (bounded
             # driver memory for high-cardinality columns) instead of the

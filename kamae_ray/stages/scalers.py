@@ -170,8 +170,8 @@ class StandardScaleEstimator(Estimator):
         self.mask_value = mask_value
 
     def fit_spec(self):
-        if self.sample_fraction is not None:
-            return None
+        # sample_fraction fuses too: Pipeline groups by fraction and shares
+        # one seeded random_sample + aggregation pass (pipeline._fit_group)
         return ("moments", (self.input_col, self.mask_value))
 
     def fit_from(self, mom) -> StandardScaleTransformer:
@@ -200,8 +200,8 @@ class SingleFeatureArrayStandardScaleEstimator(Estimator):
         self.mask_value = mask_value
 
     def fit_spec(self):
-        if self.sample_fraction is not None:
-            return None
+        # sample_fraction fuses too: Pipeline groups by fraction and shares
+        # one seeded random_sample + aggregation pass (pipeline._fit_group)
         return ("moments", (self.input_col, self.mask_value))
 
     def fit(self, ds) -> StandardScaleTransformer:
@@ -235,8 +235,8 @@ class MinMaxScaleEstimator(Estimator):
         self.mask_value = mask_value
 
     def fit_spec(self):
-        if self.sample_fraction is not None:
-            return None
+        # sample_fraction fuses too: Pipeline groups by fraction and shares
+        # one seeded random_sample + aggregation pass (pipeline._fit_group)
         return ("moments", (self.input_col, self.mask_value))
 
     def fit(self, ds) -> MinMaxScaleTransformer:
@@ -268,8 +268,8 @@ class ImputeEstimator(Estimator):
         self.mask_value = mask_value
 
     def fit_spec(self):
-        if self.sample_fraction is not None or self.impute_method != "mean":
-            return None
+        if self.impute_method != "mean":
+            return None  # exact median needs its own histogram-refinement pass
         return ("moments", (self.input_col, self.mask_value))
 
     def fit_from(self, mom) -> ImputeTransformer:

@@ -175,11 +175,27 @@ def test_window_listwise_stage_persistence(tmp_path):
     assert pm.transform(t).equals(pm2.transform(t))
 
 
-def test_sample_fraction_fit(scalar_mixed):
+def test_sample_fraction_fit(scalar_mixed, ray_session):
     est = StandardScaleEstimator(input_col="col1", output_col="o", sample_fraction=0.5)
-    assert est.fit_spec() is None  # sampled fits keep their own pass
+    # sampled fits FUSE (Pipeline groups by fraction); no more per-estimator pass
+    assert est.fit_spec() == ("moments", ("col1", None))
     m = est.fit(scalar_mixed)  # table path ignores sampling; still fits
     assert len(m.mean) == 1
+
+    # Dataset path: fused (pipeline) fit == standalone fit (same seeded sample)
+    import ray
+
+    rng = np.random.RandomState(3)
+    big = pa.table({"col1": rng.standard_normal(5000)})
+    ds = ray.data.from_arrow(big).repartition(8)
+    solo = StandardScaleEstimator(input_col="col1", output_col="o", sample_fraction=0.5).fit(ds)
+    piped = Pipeline(
+        [StandardScaleEstimator(input_col="col1", output_col="o", sample_fraction=0.5)]
+    ).fit(ds).stages[0]
+    assert solo.mean == piped.mean and solo.stddev == piped.stddev
+    # sanity: sampling actually sampled (mean close to, not identical to, full)
+    full = StandardScaleEstimator(input_col="col1", output_col="o").fit(ds)
+    assert solo.mean != full.mean
 
 
 def test_current_time_ops_pinned():

@@ -35,6 +35,60 @@ from kamae_ray.functions import segments as S
 from kamae_ray.functions.farmhash import farmhash64_bytes
 
 _MERSENNE = (1 << 61) - 1
+_P = np.uint64(0x9E3779B97F4A7C15)  # odd mixing constant (wraps mod 2^64)
+
+
+def _shingle_hash_flat(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-k-gram shingle hashes for a string array.
+
+    farmhash each DISTINCT word once (dictionary encode), then combine k
+    consecutive word hashes with a rolling polynomial. Docs shorter than k
+    words contribute ONE shingle over all their words. Returns
+    ``(shingles: uint64[total], sh_off: int64[n+1])`` where doc i's shingles
+    are ``shingles[sh_off[i]:sh_off[i+1]]`` (always >= 1 per doc)."""
+    import pyarrow.compute as pc
+
+    flat = pc.fill_null(texts, "")
+    n = len(flat)
+    words_list = pc.split_pattern_regex(flat, pattern=r"\s+")
+    wl, words = A.unwrap(words_list)
+    offsets = np.asarray(wl[0][0])
+    lens = np.diff(offsets)
+    d = words.dictionary_encode()
+    dict_vals = d.dictionary.to_pylist()
+    wh = np.fromiter(
+        (farmhash64_bytes(w.encode("utf-8")) for w in dict_vals),
+        dtype=np.uint64,
+        count=len(dict_vals),
+    )
+    idx = np.asarray(d.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    whf = wh[idx] & np.uint64(_MERSENNE) if len(idx) else np.zeros(0, np.uint64)
+    # full-width shingles: rolling polynomial over k consecutive word hashes
+    n_full = max(len(whf) - k + 1, 0)
+    acc = np.zeros(n_full, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _P + whf[j : n_full + j]
+    n_sh = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+    sh_off = np.concatenate([[0], np.cumsum(n_sh)])
+    total = int(sh_off[-1])
+    doc_of = np.repeat(np.arange(n), n_sh)
+    within = np.arange(total) - np.repeat(sh_off[:-1], n_sh)
+    start_pos = offsets[:-1][doc_of] + within
+    shingles = np.zeros(total, dtype=np.uint64)
+    long_m = lens[doc_of] >= k
+    if long_m.any():
+        shingles[long_m] = acc[start_pos[long_m]]
+    short_docs = np.flatnonzero(lens < k)
+    for L in range(0, k):
+        sel = short_docs[lens[short_docs] == L]
+        if not len(sel):
+            continue
+        sv = np.zeros(len(sel), dtype=np.uint64)
+        for j in range(L):
+            sv = sv * _P + whf[offsets[:-1][sel] + j]
+        shingles[sh_off[:-1][sel]] = sv
+    shingles &= np.uint64(_MERSENNE)
+    return shingles, sh_off
 _LOG = logging.getLogger("kamae_ray.dedup")
 
 #: buckets larger than this are dropped from pair emission (pair count is
@@ -146,8 +200,6 @@ class _MinHashBands:
         encode), rolling-polynomial combine into shingle hashes, per-doc
         ``minimum.reduceat`` for the signature, vectorized polynomial band
         combine. No per-row / per-shingle Python in the hot path."""
-        import pyarrow.compute as pc
-
         ids_arr = A.as_array(batch.column(self.id_col))
         n = len(ids_arr)
         B, R = self.bands, self.rows_per_band
@@ -159,48 +211,8 @@ class _MinHashBands:
                     "band_hash": pa.array([], pa.int64()),
                 }
             )
-        flat = pc.fill_null(A.as_array(batch.column(self.text_col)), "")
-        words_list = pc.split_pattern_regex(flat, pattern=r"\s+")
-        wl, words = A.unwrap(words_list)
-        offsets = np.asarray(wl[0][0])
-        lens = np.diff(offsets)
-        d = words.dictionary_encode()
-        dict_vals = d.dictionary.to_pylist()
-        wh = np.fromiter(
-            (farmhash64_bytes(w.encode("utf-8")) for w in dict_vals),
-            dtype=np.uint64,
-            count=len(dict_vals),
-        )
-        idx = np.asarray(d.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
-        whf = wh[idx] & np.uint64(_MERSENNE) if len(idx) else np.zeros(0, np.uint64)
-        k = self.shingle_k
-        P = np.uint64(0x9E3779B97F4A7C15)  # odd mixing constant (wraps mod 2^64)
-        # full-width shingles: rolling polynomial over k consecutive word hashes
-        n_full = max(len(whf) - k + 1, 0)
-        acc = np.zeros(n_full, dtype=np.uint64)
-        for j in range(k):
-            acc = acc * P + whf[j : n_full + j]
-        # docs shorter than k get ONE shingle over all their words
-        n_sh = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
-        sh_off = np.concatenate([[0], np.cumsum(n_sh)])
-        total = int(sh_off[-1])
-        doc_of = np.repeat(np.arange(n), n_sh)
-        within = np.arange(total) - np.repeat(sh_off[:-1], n_sh)
-        start_pos = offsets[:-1][doc_of] + within
-        shingles = np.zeros(total, dtype=np.uint64)
-        long_m = lens[doc_of] >= k
-        if long_m.any():
-            shingles[long_m] = acc[start_pos[long_m]]
-        short_docs = np.flatnonzero(lens < k)
-        for L in range(0, k):
-            sel = short_docs[lens[short_docs] == L]
-            if not len(sel):
-                continue
-            sv = np.zeros(len(sel), dtype=np.uint64)
-            for j in range(L):
-                sv = sv * P + whf[offsets[:-1][sel] + j]
-            shingles[sh_off[:-1][sel]] = sv
-        shingles &= np.uint64(_MERSENNE)
+        shingles, sh_off = _shingle_hash_flat(A.as_array(batch.column(self.text_col)), self.shingle_k)
+        total = len(shingles)
         # signature: min over each doc's shingle segment, per permutation
         # (perm chunks bound the (chunk x total-shingles) temporary)
         sig = np.empty((self.num_perm, n), dtype=np.uint64)
@@ -216,7 +228,7 @@ class _MinHashBands:
         for bnd in range(B):
             acc_b = np.zeros(n, dtype=np.uint64)
             for r in range(R):
-                acc_b = acc_b * P + sig[bnd * R + r]
+                acc_b = acc_b * _P + sig[bnd * R + r]
             bh[bnd] = acc_b & np.uint64((1 << 63) - 1)
         out_ids = ids_arr.take(pa.array(np.tile(np.arange(n), B)))
         return pa.table(
@@ -351,8 +363,11 @@ def near_dedup(
     seed: int = 42,
 ):
     """End-to-end near-duplicate removal:
-    MinHash+LSH candidates -> exact n-gram Jaccard verification -> driver
-    union-find clusters -> keep the min-id representative of each cluster.
+    MinHash+LSH candidates -> exact shingle-set Jaccard verification
+    (vectorized: shingle sets computed ONCE per candidate doc, per-pair
+    ``intersect1d`` — distributed via map_batches over the pair table when
+    the candidate set is large) -> driver union-find clusters -> keep the
+    min-id representative of each cluster.
 
     Returns (deduped_dataset_or_table, clusters: {id: representative}).
     Verification reads only the candidate docs (bounded by the duplicate
@@ -367,7 +382,8 @@ def near_dedup(
     # per-row Python filter over the corpus
     if isinstance(ds, pa.Table):
         sel = ds.filter(pc.is_in(ds.column(id_col), value_set=pa.array(cand_ids)))
-        texts = dict(zip(sel.column(id_col).to_pylist(), sel.column(text_col).to_pylist()))
+        sel_ids = sel.column(id_col).to_pylist()
+        sel_texts = sel.column(text_col)
     else:
         cand_set = pa.array(cand_ids)
 
@@ -376,12 +392,64 @@ def near_dedup(
 
         keep_candidates.__name__ = "filter_candidates"
         rows = ds.map_batches(keep_candidates, batch_format="pyarrow", zero_copy_batch=True).take_all()
-        texts = {r[id_col]: r[text_col] for r in rows}
-    verified = [
-        (a, b)
-        for a, b in pair_rows
-        if ngram_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k) >= jaccard_threshold
-    ]
+        sel_ids = [r[id_col] for r in rows]
+        sel_texts = pa.array([r[text_col] for r in rows], pa.string())
+    # shingle sets computed once per candidate doc (same vectorized kernel as
+    # the MinHash signatures), then exact Jaccard per pair via intersect1d
+    sh, off = _shingle_hash_flat(A.as_array(sel_texts), shingle_k)
+    sh_map = {i: np.unique(sh[off[j] : off[j + 1]]) for j, i in enumerate(sel_ids)}
+    empty_sh = np.unique(_shingle_hash_flat(pa.array([""], pa.string()), shingle_k)[0])
+
+    def _verify(pr: list) -> list:
+        out = []
+        for a, b in pr:
+            sa = sh_map.get(a, empty_sh)
+            sb = sh_map.get(b, empty_sh)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if inter / (sa.size + sb.size - inter) >= jaccard_threshold:
+                out.append((a, b))
+        return out
+
+    if isinstance(ds, pa.Table) or len(pair_rows) < 50_000:
+        verified = _verify(pair_rows)
+    else:
+        # large candidate set: broadcast the shingle map once (ray.put) and
+        # verify pairs in parallel batches; only surviving pairs return
+        import ray
+
+        sh_ref = ray.put(sh_map)
+
+        class _PairVerify:
+            def __init__(self):
+                self._m = None
+                self.__name__ = "verify_pairs"
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._m is None:
+                    self._m = ray.get(sh_ref)
+                m = self._m
+                ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+                ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+                keep = np.zeros(len(ia), dtype=bool)
+                for i in range(len(ia)):
+                    sa = m.get(ia[i], empty_sh)
+                    sb = m.get(ib[i], empty_sh)
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    keep[i] = inter / (sa.size + sb.size - inter) >= jaccard_threshold
+                return batch.filter(pa.array(keep))
+
+        pair_tbl = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in pair_rows], pa.int64()),
+                "id_b": pa.array([b for _, b in pair_rows], pa.int64()),
+            }
+        )
+        vt = (
+            ray.data.from_arrow(pair_tbl)
+            .map_batches(_PairVerify(), batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        )
+        verified = [(r["id_a"], r["id_b"]) for r in vt]
     clusters = connected_components(verified)
     drop = {i for i, rep in clusters.items() if rep != i}
     if isinstance(ds, pa.Table):

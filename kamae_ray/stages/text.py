@@ -56,16 +56,20 @@ class TokenizeTransformer(Transformer):
         levels, flat = A.unwrap(arr)
         split = pc.split_pattern_regex(pc.fill_null(flat, ""), pattern=r"\s+")
         wl, words = A.unwrap(split)
-        wvals = words.to_pylist()
         V = self.vocab_size
-        ids = np.fromiter(
+        # hash each DISTINCT word once (dictionary encode), gather per occurrence
+        d = words.dictionary_encode()
+        dict_vals = d.dictionary.to_pylist()
+        dv = np.fromiter(
             (
                 (len(w) * 7919 + ord(w[0]) * 31 + ord(w[-1])) % V if w else -1
-                for w in wvals
+                for w in dict_vals
             ),
             dtype=np.int64,
-            count=len(wvals),
+            count=len(dict_vals),
         )
+        idx = np.asarray(d.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = dv[idx] if len(idx) else np.zeros(0, np.int64)
         keep = ids >= 0
         offsets = wl[0][0]
         # drop empty-string words (leading/trailing whitespace artifacts)

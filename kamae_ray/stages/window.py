@@ -45,6 +45,7 @@ from kamae_ray.functions import segments as S
 _SIDE = "__kr_side"
 _TIME = "__kr_t"
 _SALT = "__kr_salt"
+_TB = "__kr_tb"
 
 
 def _time_to_numeric(arr: pa.Array) -> pa.Array:
@@ -137,12 +138,18 @@ def asof_join(
     tolerance: float | None = None,
     suffix: str = "_r",
     salt_partitions: int | None = None,
+    right_tiebreak: str | None = None,
 ):
     """For each left row at time t, attach the latest right row of the same
     entity with t' <= t (or t' < t when ``strict``). Unmatched -> nulls.
 
     Works on ``ray.data.Dataset`` pairs (entity sort-shuffle + vectorized
     block merge) and on ``pa.Table`` pairs (single-block path, same kernel).
+
+    ``right_tiebreak``: optional numeric right column; when several right
+    rows share the same (entity, time), the one with the LARGEST tiebreak
+    value wins deterministically (default: arrival order, which is stable
+    per run but not across shuffles).
     """
     right_on = right_on or left_on
     by = list(by)
@@ -154,10 +161,10 @@ def asof_join(
         payload = [c for c in (right_cols or right.column_names) if c not in by and c != right_on]
         payload_out = [f"{c}{suffix}" if c in l_names else c for c in payload]
         t_type = _union_time_type(l_types[left_on], r_types[right_on])
-        lt = _prep_side(left, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side=0, salts=1)
-        rt = _prep_side(right, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side=1, salts=1)
+        lt = _prep_side(left, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side=0, salts=1, tiebreak=right_tiebreak)
+        rt = _prep_side(right, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side=1, salts=1, tiebreak=right_tiebreak)
         both = pa.concat_tables([lt, rt])
-        merge = _AsofBlockMerge(by, payload_out, strict, tolerance, salted=False)
+        merge = _AsofBlockMerge(by, payload_out, strict, tolerance, salted=False, tiebreak=right_tiebreak is not None)
         return merge(both)
 
     left_schema = left.schema()
@@ -171,16 +178,16 @@ def asof_join(
     salts = int(salt_partitions) if salt_partitions else 1
 
     def prep_left(batch: pa.Table) -> pa.Table:
-        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 0, salts)
+        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 0, salts, tiebreak=right_tiebreak)
 
     def prep_right(batch: pa.Table) -> pa.Table:
-        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 1, salts)
+        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 1, salts, tiebreak=right_tiebreak)
 
     lt = left.map_batches(_NamedFn(prep_left, "asof_prep_left"), batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(_NamedFn(prep_right, "asof_prep_right"), batch_format="pyarrow", zero_copy_batch=True)
     both = lt.union(rt)
     keys = by + ([_SALT] if salts > 1 else [])
-    merge = _AsofBlockMerge(by, payload_out, strict, tolerance, salted=salts > 1)
+    merge = _AsofBlockMerge(by, payload_out, strict, tolerance, salted=salts > 1, tiebreak=right_tiebreak is not None)
     return both.sort(keys).map_batches(
         _NamedFn(merge, "asof_merge"), batch_format="pyarrow", batch_size=None
     )
@@ -192,7 +199,7 @@ def _union_time_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType:
 
 
 def _prep_side(
-    batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side, salts
+    batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side, salts, tiebreak=None
 ):
     n = batch.num_rows
     if side == 0:
@@ -212,6 +219,11 @@ def _prep_side(
         t = _time_to_numeric(A.as_array(batch.column(right_on)))
     cols[_TIME] = pc.cast(t, t_type, safe=False)
     cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+    if tiebreak is not None:
+        if side == 1:
+            cols[_TB] = pc.cast(A.as_array(batch.column(tiebreak)), pa.float64(), safe=False)
+        else:
+            cols[_TB] = pa.array(np.zeros(n))
     if salts > 1:
         if side == 0:
             cols[_SALT] = pa.array((np.arange(n) % salts).astype(np.int32))
@@ -229,15 +241,16 @@ def _prep_side(
 class _AsofBlockMerge:
     """Vectorized block-local merge: one lexsort + one maximum.accumulate."""
 
-    def __init__(self, by, payload_out, strict, tolerance, salted):
+    def __init__(self, by, payload_out, strict, tolerance, salted, tiebreak=False):
         self.by = by
         self.payload_out = payload_out
         self.strict = strict
         self.tolerance = tolerance
         self.salted = salted
+        self.tiebreak = tiebreak
 
     def __call__(self, block: pa.Table) -> pa.Table:
-        drop = [_SIDE, _TIME] + ([_SALT] if self.salted else [])
+        drop = [_SIDE, _TIME] + ([_SALT] if self.salted else []) + ([_TB] if self.tiebreak else [])
         n = block.num_rows
         if n == 0:
             return block.drop_columns(drop)
@@ -248,7 +261,13 @@ class _AsofBlockMerge:
         # at equal times: non-strict wants rights visible to lefts (right
         # sorts first); strict hides them (left sorts first)
         side_key = (1 - side) if not self.strict else side
-        order = np.lexsort((side_key, t, gids))
+        if self.tiebreak:
+            # within equal (entity, t) the max-tiebreak right sorts LAST and
+            # therefore wins the maximum.accumulate
+            tb = block.column(_TB).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, side_key, t, gids))
+        else:
+            order = np.lexsort((side_key, t, gids))
         side_a = side[order]
         t_a = t[order]
         starts, lens = S.segments(gids[order])

@@ -101,6 +101,29 @@ def test_asof_backward_strict_tolerance():
     assert asof_join(left, right, by=["u"], left_on="t", tolerance=6).column("p").to_pylist() == [100.0, None, 300.0, None]
 
 
+def test_asof_right_tiebreak_deterministic(ray_session):
+    import ray
+
+    # two right rows at the SAME (entity, time): max seq wins with tiebreak
+    left = pa.table({"u": [1, 1], "t": [10, 20], "x": [1.0, 2.0]})
+    right = pa.table({"u": [1, 1, 1], "t": [10, 10, 15], "seq": [2, 1, 5], "p": [20.0, 10.0, 50.0]})
+    out = asof_join(left, right, by=["u"], left_on="t", right_tiebreak="seq")
+    assert out.column("p").to_pylist() == [20.0, 50.0]  # seq=2 beats seq=1 at t=10
+    # reversed right arrival order gives the SAME answer
+    out2 = asof_join(left, right.take(pa.array([1, 0, 2])), by=["u"], left_on="t", right_tiebreak="seq")
+    assert out2.column("p").to_pylist() == [20.0, 50.0]
+    # Dataset path agrees with the Table path
+    out3 = asof_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        by=["u"],
+        left_on="t",
+        right_tiebreak="seq",
+    )
+    rows = sorted(out3.take_all(), key=lambda r: r["t"])
+    assert [r["p"] for r in rows] == [20.0, 50.0]
+
+
 def test_asof_zero_leakage_truncation_equivalence():
     """Feature at time t must be identical whether or not future right rows
     exist (SURVEY.md §5 leakage test)."""

@@ -1,0 +1,75 @@
+"""Property-based test: asof_join vs a naive O(n*m) per-row reference over
+random entity/time data, covering ties, strict mode, tolerance, and the
+right_tiebreak rule."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kamae_ray.stages import asof_join
+
+
+@st.composite
+def asof_case(draw):
+    n_ent = draw(st.integers(1, 4))
+    nl = draw(st.integers(1, 25))
+    nr = draw(st.integers(0, 25))
+    lu = draw(st.lists(st.integers(0, n_ent - 1), min_size=nl, max_size=nl))
+    lt = draw(st.lists(st.integers(0, 30), min_size=nl, max_size=nl))
+    ru = draw(st.lists(st.integers(0, n_ent - 1), min_size=nr, max_size=nr))
+    rt = draw(st.lists(st.integers(0, 30), min_size=nr, max_size=nr))
+    strict = draw(st.booleans())
+    tolerance = draw(st.one_of(st.none(), st.integers(0, 10)))
+    return lu, lt, ru, rt, strict, tolerance
+
+
+def _naive(lu, lt, ru, rt, seq, strict, tolerance):
+    """Latest right row (max time; among ties max seq) per left row."""
+    out = []
+    for u, t in zip(lu, lt):
+        best = None  # (time, seq, payload)
+        for j in range(len(ru)):
+            if ru[j] != u:
+                continue
+            dt = t - rt[j]
+            if (dt < 0) or (strict and dt == 0):
+                continue
+            if tolerance is not None and dt > tolerance:
+                continue
+            key = (rt[j], seq[j])
+            if best is None or key > best[:2]:
+                best = (rt[j], seq[j], float(seq[j] * 10))
+        out.append(None if best is None else best[2])
+    return out
+
+
+@given(asof_case())
+@settings(max_examples=80, deadline=None)
+def test_asof_matches_naive(case):
+    lu, lt, ru, rt, strict, tolerance = case
+    seq = list(range(len(ru)))  # unique per right row -> deterministic winner
+    left = pa.table(
+        {"u": pa.array(lu, pa.int64()), "t": pa.array(lt, pa.int64()), "rid": pa.array(np.arange(len(lu)))}
+    )
+    right = pa.table(
+        {
+            "u": pa.array(ru, pa.int64()),
+            "t": pa.array(rt, pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "p": pa.array([float(s * 10) for s in seq], pa.float64()),
+        }
+    )
+    out = asof_join(
+        left,
+        right,
+        by=["u"],
+        left_on="t",
+        right_cols=["t", "p"],
+        strict=strict,
+        tolerance=tolerance,
+        right_tiebreak="seq",
+    )
+    got = dict(zip(out.column("rid").to_pylist(), out.column("p").to_pylist()))
+    expect = _naive(lu, lt, ru, rt, seq, strict, tolerance)
+    assert [got[i] for i in range(len(lu))] == expect

@@ -110,9 +110,9 @@ class ListStatTransformer(Transformer):
             return self._block_fn(ds)
         self._validate_ds_schema(ds)
         fn = self._block_fn
-        return ds.sort(self._keys()).map_batches(
-            _NamedFn(fn, f"list_{self.stat}"), batch_format="pyarrow", batch_size=None
-        )
+        from kamae_ray.stages.window import sorted_block_apply
+
+        return sorted_block_apply(ds, self._keys(), fn, f"list_{self.stat}")
 
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         # listwise semantics only hold if the batch contains whole groups

@@ -100,15 +100,27 @@ class MinHashIndexTransformer(Transformer):
         empty_row = np.array(
             [(cached_hash64(f"{p}") % (_INT32_MAX - 1)) + 1 for p in range(P)], dtype=np.int64
         )
-        out_vals = np.empty(n * P, dtype=np.int64)
-        for i in range(n):
-            lo, hi = offsets[i], offsets[i + 1]
-            sel = indices[lo:hi][~null_mask[lo:hi]]
-            if len(sel) == 0:
-                mins = empty_row  # reference appends "" when no labels
-            else:
-                mins = hm[sel].min(axis=0)
-            out_vals[i * P : (i + 1) * P] = mins & 1
+        # vectorized per-row min: (flat, P) occurrence hashes (nulls pinned to
+        # a +inf sentinel) -> minimum.reduceat per row segment; rows with no
+        # usable label fall back to the reference's empty-labels row
+        SENT = np.int64(1 << 62)
+        offs = np.asarray(offsets, dtype=np.int64)
+        lens = offs[1:] - offs[:-1]
+        if len(indices):
+            occ = hm[indices]
+            occ = np.where(null_mask[:, None], SENT, occ)
+        else:
+            occ = np.zeros((0, P), dtype=np.int64)
+        mins = np.empty((n, P), dtype=np.int64)
+        nz = lens > 0
+        if nz.any() and len(occ):
+            starts = offs[:-1].clip(max=max(len(occ) - 1, 0))
+            red = np.minimum.reduceat(occ, starts, axis=0)
+            mins[nz] = red[nz]
+        # empty rows, or rows where every label was null -> empty_row
+        fallback = ~nz | (mins[:, 0] == SENT) if n else np.zeros(0, bool)
+        mins[fallback] = empty_row
+        out_vals = (mins & 1).reshape(-1)
         inner = pa.ListArray.from_arrays(
             pa.array(np.arange(n + 1) * P, pa.int32()),
             pa.array(out_vals, pa.int64()),

@@ -186,3 +186,170 @@ def safe_hash64(label: str) -> int:
 def cached_hash64(label: str) -> int:
     """Memoized safe_hash64 for hot repeated strings within a worker."""
     return safe_hash64(label)
+
+
+# ---------------------------------------------------------------------------
+# vectorized farmhashna::Hash64 for short strings (<= 32 bytes)
+# ---------------------------------------------------------------------------
+#
+# High-cardinality id columns (doc_id) defeat the dictionary-amortized Python
+# path — one Python farmhash call PER ROW. The 0-16 and 17-32 byte branches
+# of the published algorithm are pure 64-bit arithmetic on a handful of byte
+# fetches, so they vectorize exactly in numpy uint64 (wraparound
+# multiplication == mod 2^64; parity pinned by tests/test_farmhash_vectors.py
+# against the scalar path and published vectors). Longer strings fall back to
+# the scalar implementation per distinct value.
+
+import numpy as _nu
+
+_U = _nu.uint64
+_PAD = 40  # padded row slot; reads for n<=32 stay inside [0, 40)
+
+
+def _v_rot(v, s):
+    return (v >> _U(s)) | (v << _U(64 - s))
+
+
+def _v_shift_mix(v):
+    return v ^ (v >> _U(47))
+
+
+def _v_hash_len_16(u, v, mul):
+    a = (u ^ v) * mul
+    a ^= a >> _U(47)
+    b = (v ^ a) * mul
+    b ^= b >> _U(47)
+    return b * mul
+
+
+def _v_fetch(pad, row_off, j, nbytes):
+    out = _nu.zeros(len(j), dtype=_nu.uint64)
+    idx = row_off + j.astype(_nu.int64)
+    for t in range(nbytes):
+        out |= pad[idx + t].astype(_nu.uint64) << _U(8 * t)
+    return out
+
+
+def farmhash64_np(offsets, data):
+    """Vectorized farmhashna::Hash64 over a packed string column.
+
+    ``offsets``: int64[n+1] byte offsets into ``data`` (uint8). Rows longer
+    than 32 bytes get hash 0 here — callers must compute those with the
+    scalar path (see ``hash64_column``)."""
+    offsets = _nu.asarray(offsets, dtype=_nu.int64)
+    n = len(offsets) - 1
+    lens = offsets[1:] - offsets[:-1]
+    out = _nu.zeros(n, dtype=_nu.uint64)
+    if n == 0:
+        return out
+    short = lens <= 32
+    rows = _nu.flatnonzero(short)
+    if not len(rows):
+        return out
+    ln = lens[rows]
+    total_rows = len(rows)
+    # pack each short row into a zero-padded _PAD-byte slot
+    pad = _nu.zeros(total_rows * _PAD, dtype=_nu.uint8)
+    intra_counts = ln
+    tot = int(intra_counts.sum())
+    if tot:
+        intra = _nu.arange(tot, dtype=_nu.int64) - _nu.repeat(
+            _nu.cumsum(intra_counts) - intra_counts, intra_counts
+        )
+        src = _nu.repeat(offsets[:-1][rows], intra_counts) + intra
+        dst = _nu.repeat(_nu.arange(total_rows, dtype=_nu.int64) * _PAD, intra_counts) + intra
+        pad[dst] = data[src]
+    row_off = _nu.arange(total_rows, dtype=_nu.int64) * _PAD
+    lnu = ln.astype(_nu.uint64)
+    res = _nu.zeros(total_rows, dtype=_nu.uint64)
+    K0, K1, K2 = _U(k0), _U(k1), _U(k2)
+
+    m0 = ln == 0
+    res[m0] = K2
+
+    m1 = (ln > 0) & (ln < 4)
+    if m1.any():
+        j = _nu.flatnonzero(m1)
+        a = pad[row_off[j]].astype(_nu.uint64)
+        b = pad[row_off[j] + (ln[j] >> 1)].astype(_nu.uint64)
+        c = pad[row_off[j] + ln[j] - 1].astype(_nu.uint64)
+        y = a + (b << _U(8))
+        z = lnu[j] + (c << _U(2))
+        res[j] = _v_shift_mix((y * K2) ^ (z * K0)) * K2
+
+    m4 = (ln >= 4) & (ln < 8)
+    if m4.any():
+        j = _nu.flatnonzero(m4)
+        mul = K2 + lnu[j] * _U(2)
+        a = _v_fetch(pad, row_off[j], _nu.zeros(len(j), _nu.int64), 4)
+        b = _v_fetch(pad, row_off[j], ln[j] - 4, 4)
+        res[j] = _v_hash_len_16(lnu[j] + (a << _U(3)), b, mul)
+
+    m8 = (ln >= 8) & (ln <= 16)
+    if m8.any():
+        j = _nu.flatnonzero(m8)
+        mul = K2 + lnu[j] * _U(2)
+        a = _v_fetch(pad, row_off[j], _nu.zeros(len(j), _nu.int64), 8) + K2
+        b = _v_fetch(pad, row_off[j], ln[j] - 8, 8)
+        c = _v_rot(b, 37) * mul + a
+        d = (_v_rot(a, 25) + b) * mul
+        res[j] = _v_hash_len_16(c, d, mul)
+
+    m17 = (ln >= 17) & (ln <= 32)
+    if m17.any():
+        j = _nu.flatnonzero(m17)
+        mul = K2 + lnu[j] * _U(2)
+        zero = _nu.zeros(len(j), _nu.int64)
+        a = _v_fetch(pad, row_off[j], zero, 8) * K1
+        b = _v_fetch(pad, row_off[j], zero + 8, 8)
+        c = _v_fetch(pad, row_off[j], ln[j] - 8, 8) * mul
+        d = _v_fetch(pad, row_off[j], ln[j] - 16, 8) * K2
+        res[j] = _v_hash_len_16(
+            _v_rot(a + b, 43) + _v_rot(c, 30) + d,
+            a + _v_rot(b + K2, 18) + c,
+            mul,
+        )
+
+    out[rows] = res
+    return out
+
+
+def hash64_column(arr):
+    """farmhashna::Hash64 per element of a pyarrow string array (nulls -> 0,
+    reported via the returned mask). Short strings (<= 32 bytes, the common
+    case for ids/labels) vectorize; longer ones amortize via per-distinct
+    scalar hashing. Raises on embedded NUL (pyfarmhash parity)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    filled = pc.fill_null(arr, "")
+    if isinstance(filled, pa.ChunkedArray):
+        filled = filled.combine_chunks()
+    n = len(filled)
+    bufs = filled.buffers()
+    width = _nu.int64 if pa.types.is_large_string(filled.type) else _nu.int32
+    offsets = _nu.frombuffer(bufs[1], dtype=width)[filled.offset : filled.offset + n + 1].astype(_nu.int64)
+    data = _nu.frombuffer(bufs[2], dtype=_nu.uint8) if bufs[2] is not None else _nu.zeros(0, _nu.uint8)
+    # NUL guard over the referenced byte range (pyfarmhash raises)
+    lo, hi = (int(offsets[0]), int(offsets[-1])) if n else (0, 0)
+    if hi > lo and (data[lo:hi] == 0).any():
+        # find one offending value for the error message via the scalar path
+        for v in filled.to_pylist():
+            if v and "\x00" in v:
+                safe_hash64(v)
+        raise ValueError("embedded null character")
+    out = farmhash64_np(offsets, data)
+    lens = offsets[1:] - offsets[:-1]
+    long_rows = _nu.flatnonzero(lens > 32)
+    if len(long_rows):
+        vals = filled.take(pa.array(long_rows)).to_pylist()
+        memo = {}
+        for r, v in zip(long_rows, vals):
+            h = memo.get(v)
+            if h is None:
+                h = memo[v] = farmhash64_bytes(v.encode("utf-8"))
+            out[r] = h
+    return out, null_mask

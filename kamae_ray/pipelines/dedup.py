@@ -55,12 +55,9 @@ def _shingle_hash_flat(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]
     offsets = np.asarray(wl[0][0])
     lens = np.diff(offsets)
     d = words.dictionary_encode()
-    dict_vals = d.dictionary.to_pylist()
-    wh = np.fromiter(
-        (farmhash64_bytes(w.encode("utf-8")) for w in dict_vals),
-        dtype=np.uint64,
-        count=len(dict_vals),
-    )
+    from kamae_ray.functions.farmhash import hash64_column
+
+    wh, _ = hash64_column(d.dictionary)  # vectorized, one hash per DISTINCT word
     idx = np.asarray(d.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
     whf = wh[idx] & np.uint64(_MERSENNE) if len(idx) else np.zeros(0, np.uint64)
     # full-width shingles: rolling polynomial over k consecutive word hashes

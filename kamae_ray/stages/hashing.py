@@ -52,12 +52,20 @@ class HashIndexTransformer(Transformer):
         arr = self._cast_in(batch.column(self.input_col))
 
         def kernel(flat):
-            def one(v):
-                if v is None or v == self.mask_value:
-                    return 0
-                return (cached_hash64(v) % (self.num_bins - 1)) + 1
+            # vectorized FarmHash (functions/farmhash.hash64_column) — the
+            # dictionary-amortized path degenerates to per-row Python on
+            # high-cardinality ids (every doc_id distinct)
+            from kamae_ray.functions.farmhash import hash64_column
 
-            return _hash_distinct(flat, one)
+            h, null_mask = hash64_column(flat)
+            out = ((h % np.uint64(self.num_bins - 1)) + np.uint64(1)).astype(np.int64)
+            out[null_mask] = 0
+            if self.mask_value is not None:
+                mm = pc.fill_null(pc.equal(flat, self.mask_value), False).to_numpy(
+                    zero_copy_only=False
+                )
+                out[mm] = 0
+            return pa.array(out, pa.int64())
 
         out = self._cast_out(A.lift(kernel, arr))
         return _append_or_replace(batch, self.output_col, out)

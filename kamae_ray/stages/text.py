@@ -245,16 +245,14 @@ class FingerprintTransformer(Transformer):
         wl, words = A.unwrap(words_list)
         offsets = wl[0][0]
         d = words.dictionary_encode()
-        dict_vals = d.dictionary.to_pylist()
-        dict_hashes = np.fromiter(
-            (farmhash64_bytes(w.encode("utf-8")) if w else 0 for w in dict_vals),
-            dtype=np.uint64,
-            count=len(dict_vals),
-        )
+        from kamae_ray.functions.farmhash import hash64_column
+
+        wh, _ = hash64_column(d.dictionary)  # vectorized, per DISTINCT word
+        nonempty = pc.not_equal(d.dictionary, "").to_numpy(zero_copy_only=False)
+        dict_hashes = np.where(nonempty, wh, np.uint64(0))
         idx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         hv = dict_hashes[idx] if len(words) else np.zeros(0, np.uint64)
         # drop empty-string artifacts of the whitespace split
-        nonempty = np.fromiter((bool(w) for w in dict_vals), dtype=bool, count=len(dict_vals))
         keep = nonempty[idx] if len(words) else np.zeros(0, bool)
         csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
         row_counts = csum[offsets[1:]] - csum[offsets[:-1]]

@@ -66,3 +66,32 @@ def test_safe_hash64_null_guard():
         safe_hash64("a\x00b")
     assert safe_hash64("abc") == 2640714258260161385
     assert cached_hash64("abc") == 2640714258260161385
+
+
+def test_vectorized_hash64_column_parity():
+    """hash64_column (numpy, <=32-byte branches) must equal the scalar
+    implementation byte-for-byte on every length 0..40 plus unicode."""
+    import random
+    import string
+
+    import pyarrow as pa
+
+    from kamae_ray.functions.farmhash import hash64_column
+
+    rng = random.Random(1234)
+    cases = [""]
+    for L in range(1, 41):
+        for _ in range(8):
+            cases.append("".join(rng.choices(string.ascii_letters + string.digits + " _-", k=L)))
+    cases += ["doc_0000042", "γδεζ-ηθ", "a" * 100]
+    arr = pa.array(cases + [None], pa.string())
+    h, mask = hash64_column(arr)
+    for i, c in enumerate(cases):
+        assert int(h[i]) == farmhash64_bytes(c.encode("utf-8")), (c, len(c.encode()))
+    assert bool(mask[-1]) and not mask[:-1].any()
+    # sliced (offset != 0) input must hash identically
+    h2, _ = hash64_column(arr.slice(5, 20))
+    assert h2.tolist() == h[5:25].tolist()
+    # NUL guard parity with pyfarmhash
+    with pytest.raises(ValueError, match="null character"):
+        hash64_column(pa.array(["ok", "a\x00b"], pa.string()))

@@ -4,11 +4,12 @@ Reference semantics: src/kamae/spark/transformers/{hash_index,min_hash_index,
 bloom_encode}.py with the exact null/mask rules of
 src/kamae/spark/utils/user_defined_functions.py:22-43,164-202.
 
-FarmHash64 has no vectorized form, so the kernel is a per-batch Python loop
-over the flat values with an LRU memo for hot strings (dictionary-encoding the
-batch first means each distinct string is hashed once per batch). These stages
-are marked for actor-pool execution in pipelines so the memo persists across
-batches (stateful setup once per actor, reference design SURVEY.md §2.7).
+FarmHash64 is computed by the vectorized numpy implementation
+(functions/farmhash.hash64_column — exact parity with the scalar path,
+pinned by tests/test_farmhash_vectors.py); per-permutation label hashes are
+one vectorized pass per permutation over the batch's DISTINCT labels. These
+stages are marked for actor-pool execution in pipelines (stateful setup once
+per actor, reference design SURVEY.md §2.7).
 """
 
 from __future__ import annotations
@@ -93,18 +94,25 @@ class MinHashIndexTransformer(Transformer):
 
         # hash each distinct label once per permutation
         d = flat.dictionary_encode()
-        dict_vals = d.dictionary.to_pylist()
+        dict_arr = d.dictionary
         indices = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         null_mask = pc.is_null(flat).to_numpy(zero_copy_only=False)
-        # (num_distinct, P) matrix of hashes, mask labels pinned to INT32_MAX
-        hm = np.empty((max(len(dict_vals), 1), P), dtype=np.int64)
-        for vi, v in enumerate(dict_vals):
-            if self.mask_value is not None and v == self.mask_value:
-                hm[vi, :] = _INT32_MAX
-            else:
-                for p in range(P):
-                    hv = cached_hash64(f"{v}{p}")
-                    hm[vi, p] = (hv % (_INT32_MAX - 1)) + 1
+        # (num_distinct, P) hash matrix: one VECTORIZED farmhash pass per
+        # permutation over the distinct labels (label+str(p) concat in Arrow)
+        from kamae_ray.functions.farmhash import hash64_column
+
+        nd = len(dict_arr)
+        hm = np.empty((max(nd, 1), P), dtype=np.int64)
+        if nd:
+            for p in range(P):
+                arr_p = pc.binary_join_element_wise(dict_arr, str(p), "")
+                hv, _ = hash64_column(arr_p)
+                hm[:, p] = ((hv % np.uint64(_INT32_MAX - 1)) + np.uint64(1)).astype(np.int64)
+            if self.mask_value is not None:
+                mmask = pc.fill_null(pc.equal(dict_arr, self.mask_value), False).to_numpy(
+                    zero_copy_only=False
+                )
+                hm[mmask] = _INT32_MAX
         empty_row = np.array(
             [(cached_hash64(f"{p}") % (_INT32_MAX - 1)) + 1 for p in range(P)], dtype=np.int64
         )
@@ -167,21 +175,27 @@ class BloomEncodeTransformer(Transformer):
         levels, flat = A.unwrap(arr)
         H = self.num_hash_fns
         d = flat.dictionary_encode()
-        dict_vals = d.dictionary.to_pylist()
+        dict_arr = d.dictionary
         indices = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         null_mask = pc.is_null(flat).to_numpy(zero_copy_only=False)
-        hm = np.zeros((max(len(dict_vals), 1), H), dtype=np.int64)
-        for vi, v in enumerate(dict_vals):
-            if self.mask_value is not None and v == self.mask_value:
-                hm[vi, :] = 0
-            else:
-                for h in range(H):
-                    hv = cached_hash64(f"{v}{h}")
-                    hm[vi, h] = (hv % (self.num_bins - 1)) + 1
+        from kamae_ray.functions.farmhash import hash64_column
+
+        nd = len(dict_arr)
+        hm = np.zeros((max(nd, 1), H), dtype=np.int64)
+        if nd:
+            for h in range(H):
+                arr_h = pc.binary_join_element_wise(dict_arr, str(h), "")
+                hv, _ = hash64_column(arr_h)
+                hm[:, h] = ((hv % np.uint64(self.num_bins - 1)) + np.uint64(1)).astype(np.int64)
+            if self.mask_value is not None:
+                mmask = pc.fill_null(pc.equal(dict_arr, self.mask_value), False).to_numpy(
+                    zero_copy_only=False
+                )
+                hm[mmask] = 0
         n = len(flat)
         out_vals = np.zeros((n, H), dtype=np.int64)
         valid = ~null_mask
-        if len(dict_vals):
+        if nd:
             out_vals[valid] = hm[indices[valid]]
         inner = pa.ListArray.from_arrays(
             pa.array(np.arange(n + 1) * H, pa.int32()),

@@ -300,33 +300,51 @@ class StringSequenceToEmbeddingTransformer(Transformer):
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         arr = self._cast_in(batch.column(self.input_col))
         levels, flat = A.unwrap(arr)
-        rows = flat.to_pylist()
-        n = len(rows)
-        dim = None
-        seqs = []
-        for s in rows:
-            if s is None:
-                seqs.append(None)
-                continue
-            vecs = [
-                [float(v) for v in part.split(self.inner_separator)]
-                for part in s.split(self.outer_separator)
-                if part
-            ]
-            if dim is None and vecs:
-                dim = len(vecs[0])
-            seqs.append(vecs)
-        dim = dim or 1
+        n = len(flat)
         L = self.seq_length
+        # fully vectorized: two Arrow literal splits + one float cast + one
+        # numpy scatter (rows -> parts -> values; no per-row Python)
+        filled = pc.fill_null(flat, "")
+        outer = pc.split_pattern(filled, pattern=self.outer_separator)
+        o_lv, parts = A.unwrap(outer)
+        o_off = np.asarray(o_lv[0][0], dtype=np.int64)
+        keep = pc.not_equal(parts, "").to_numpy(zero_copy_only=False) if len(parts) else np.zeros(0, bool)
+        part_row = np.repeat(np.arange(n), np.diff(o_off))
+        inner = pc.split_pattern(parts, pattern=self.inner_separator)
+        i_lv, vals_str = A.unwrap(inner)
+        i_off = np.asarray(i_lv[0][0], dtype=np.int64)
+        i_len = np.diff(i_off)
+        kept = np.flatnonzero(keep)
+        dim = int(i_len[kept[0]]) if len(kept) else 1
         out = np.full((n, L, dim), self.pad_value, dtype=np.float32)
-        for i, vecs in enumerate(seqs):
-            if not vecs:
-                continue
-            vecs = vecs[:L]
+        if len(kept):
+            # values of dropped (empty) parts never scatter — blank them so
+            # the cast only parses real numbers (parse errors on kept parts
+            # still raise, matching the reference's float() behavior)
+            val_keep = np.repeat(keep, i_len)
+            safe_str = pc.if_else(pa.array(val_keep), vals_str, "0") if not val_keep.all() else vals_str
+            vals = pc.cast(safe_str, pa.float32(), safe=False).to_numpy(zero_copy_only=False)
+            # within-row rank of each kept part; truncate at L, then reverse
+            # the non-pad prefix when requested (reference order)
+            csum = np.cumsum(keep) - keep  # kept parts strictly before p
+            kept_per_row = np.bincount(part_row, weights=keep.astype(np.int64), minlength=n).astype(np.int64)
+            excl = np.cumsum(kept_per_row) - kept_per_row  # kept before row start
+            rank = csum[kept] - excl[part_row[kept]]
+            rows_k = part_row[kept]
+            eff = np.minimum(kept_per_row, L)
+            in_window = rank < L
+            kp = kept[in_window]
+            rk = rank[in_window]
+            rw = rows_k[in_window]
             if self.reverse:
-                vecs = vecs[::-1]
-            for j, v in enumerate(vecs):
-                out[i, j, : len(v)] = v[:dim]
+                rk = eff[rw] - 1 - rk
+            m = np.minimum(i_len[kp], dim).astype(np.int64)
+            tot = int(m.sum())
+            if tot:
+                intra = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+                src = np.repeat(i_off[:-1][kp], m) + intra
+                dst = np.repeat((rw * L + rk) * dim, m) + intra
+                out.reshape(-1)[dst] = vals[src]
         inner = pa.array(out.reshape(-1), pa.float32())
         lvl2 = pa.ListArray.from_arrays(pa.array(np.arange(n * L + 1) * dim, pa.int32()), inner)
         lvl1 = pa.ListArray.from_arrays(pa.array(np.arange(n + 1) * L, pa.int32()), lvl2)

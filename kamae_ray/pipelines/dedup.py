@@ -130,14 +130,19 @@ def exact_dedup(ds, text_col: str, order_col: str, keep: str = "first"):
         n = block.num_rows
         if n == 0:
             return block.drop_columns(["__kr_key"])
-        k = block.column("__kr_key").to_numpy(zero_copy_only=False)
+        # group by (hash, TEXT), not hash alone: at 10^12 keys the 64-bit
+        # birthday bound makes hash collisions certain, and a collision must
+        # keep both texts, not silently merge them. Equal texts always share
+        # a hash, so the hash stays the only SHUFFLE key; the exact-equality
+        # refinement is block-local.
+        gids = S.group_ids(block, ["__kr_key", text_col])
         order = A.as_array(block.column(order_col)).to_numpy(zero_copy_only=False)
         if keep == "last":
-            perm = np.lexsort((-order, k))
+            perm = np.lexsort((-order, gids))
         else:
-            perm = np.lexsort((order, k))
-        ks = k[perm]
-        first = np.concatenate([[True], ks[1:] != ks[:-1]])
+            perm = np.lexsort((order, gids))
+        gs = gids[perm]
+        first = np.concatenate([[True], gs[1:] != gs[:-1]])
         winners = np.sort(perm[first])
         return block.take(pa.array(winners)).drop_columns(["__kr_key"])
 

@@ -152,3 +152,18 @@ def test_near_dedup_end_to_end():
     deduped, clusters = near_dedup(t, "text", "id", jaccard_threshold=0.5, num_perm=64, bands=16, shingle_k=2)
     assert sorted(deduped.column("id").to_pylist()) == [2, 3]
     assert clusters[10] == 2 and clusters[7] == 2
+
+
+def test_exact_dedup_hash_collision_keeps_distinct_texts(monkeypatch):
+    """At 10^12 keys 64-bit hash collisions are certain (birthday bound);
+    two DIFFERENT texts that collide must BOTH survive exact_dedup."""
+    import kamae_ray.pipelines.dedup as D
+
+    def constant_hash(batch, text_col, out):
+        return batch.append_column(out, pa.array([7] * batch.num_rows, pa.int64()))
+
+    monkeypatch.setattr(D, "_text_hash_batch", constant_hash)
+    t = pa.table({"text": ["aaa", "bbb", "aaa", "ccc"], "id": [1, 2, 3, 4]})
+    out = exact_dedup(t, "text", "id").sort_by("id")
+    assert out.column("id").to_pylist() == [1, 2, 4]  # all distinct texts kept
+    assert sorted(out.column("text").to_pylist()) == ["aaa", "bbb", "ccc"]

@@ -1,0 +1,100 @@
+"""Property-based tests: Rolling/Cumulative/Backfill window kernels vs pandas
+groupby references over random entity/time data (unique timestamps per entity
+— tie order within equal timestamps is arrival order and not pinned)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kamae_ray.stages import (
+    BackfillTransformer,
+    CumulativeAggTransformer,
+    RollingAggTransformer,
+)
+
+
+@st.composite
+def keyed_series(draw):
+    n = draw(st.integers(1, 120))
+    n_ent = draw(st.integers(1, 5))
+    ent = draw(st.lists(st.integers(0, n_ent - 1), min_size=n, max_size=n))
+    rng = np.random.RandomState(draw(st.integers(0, 1000)))
+    t = rng.permutation(n * 3)[:n]  # unique times overall -> unique per entity
+    vals = [
+        draw(st.one_of(st.floats(-50, 50), st.none()))
+        for _ in range(n)
+    ]
+    return ent, t, vals
+
+
+def _table(ent, t, vals):
+    return pa.table(
+        {
+            "u": pa.array(ent, pa.int64()),
+            "ts": pa.array(t, pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+            "rid": pa.array(np.arange(len(ent))),
+        }
+    )
+
+
+def _df(ent, t, vals):
+    return pd.DataFrame({"u": ent, "ts": t, "v": vals, "rid": np.arange(len(ent))})
+
+
+@given(keyed_series(), st.sampled_from(["sum", "mean", "min", "max"]), st.integers(1, 5))
+@settings(max_examples=40, deadline=None)
+def test_rolling_matches_pandas(data, stat, window):
+    ent, t, vals = data
+    out = RollingAggTransformer(
+        input_col="v", entity_cols=["u"], time_col="ts", stat=stat, window=window, output_col="o"
+    ).transform_batch(_table(ent, t, vals))
+    got = pd.Series(out.column("o").to_pylist(), dtype=float)
+    df = _df(ent, t, vals).sort_values(["u", "ts"])
+    ref = (
+        df.groupby("u")["v"]
+        .rolling(window, min_periods=1)
+        .agg(stat)
+        .reset_index(level=0, drop=True)
+    )
+    df["ref"] = ref
+    expect = df.sort_values("rid")["ref"].reset_index(drop=True)
+    pd.testing.assert_series_equal(got, expect, check_names=False, atol=1e-9)
+
+
+@given(keyed_series(), st.sampled_from(["sum", "mean"]), st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_cumulative_matches_pandas(data, stat, include_current):
+    ent, t, vals = data
+    out = CumulativeAggTransformer(
+        input_col="v", entity_cols=["u"], time_col="ts", stat=stat,
+        include_current=include_current, output_col="o",
+    ).transform_batch(_table(ent, t, vals))
+    got = pd.Series(out.column("o").to_pylist(), dtype=float)
+    df = _df(ent, t, vals).sort_values(["u", "ts"])
+
+    def per_group(s):
+        e = s.expanding().agg(stat)
+        if not include_current:
+            e = e.shift(1)
+        return e
+
+    df["ref"] = df.groupby("u")["v"].transform(per_group)
+    expect = df.sort_values("rid")["ref"].reset_index(drop=True)
+    pd.testing.assert_series_equal(got, expect, check_names=False, atol=1e-9)
+
+
+@given(keyed_series(), st.sampled_from(["ffill", "bfill"]))
+@settings(max_examples=40, deadline=None)
+def test_backfill_matches_pandas(data, method):
+    ent, t, vals = data
+    out = BackfillTransformer(
+        input_col="v", entity_cols=["u"], time_col="ts", method=method, output_col="o"
+    ).transform_batch(_table(ent, t, vals))
+    got = pd.Series(out.column("o").to_pylist(), dtype=float)
+    df = _df(ent, t, vals).sort_values(["u", "ts"])
+    df["ref"] = getattr(df.groupby("u")["v"], method)()
+    expect = df.sort_values("rid")["ref"].reset_index(drop=True).astype(float)
+    pd.testing.assert_series_equal(got, expect, check_names=False, atol=1e-9)

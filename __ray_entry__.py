@@ -1149,11 +1149,18 @@ def _q_multimodal(sf_dir):
         )
 
     synth.__name__ = "synth_payloads"
+    from kamae_ray.stages.multimodal import PgmResizeTransformer
+
     out = ds.map_batches(synth, batch_format="pyarrow")
     out = PgmDecodeTransformer(input_col="img", output_col="img").transform(out)
+    # resize path: nearest-neighbor 4x4 thumbnail, re-decoded for its mean
+    out = PgmResizeTransformer(input_col="img", width=4, height=4, output_col="thumb").transform(out)
+    out = PgmDecodeTransformer(input_col="thumb", output_col="thumb").transform(out)
     out = WavDecodeTransformer(input_col="wav", output_col="wav").transform(out)
-    out = out.map_batches(_rounder(["img_mean", "img_std", "wav_rms"]), batch_format="pyarrow")
-    return out.drop_columns(["img", "wav", "img_maxval", "wav_channels"])
+    out = out.map_batches(_rounder(["img_mean", "img_std", "wav_rms", "thumb_mean"]), batch_format="pyarrow")
+    return out.drop_columns(
+        ["img", "wav", "thumb", "img_maxval", "wav_channels", "thumb_width", "thumb_height", "thumb_maxval", "thumb_std"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1511,6 +1518,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, w AS img_width, CAST(8 AS BIGINT) AS img_height, "
             "ROUND(list_avg(pxs), 6) AS img_mean, "
             "ROUND(sqrt(list_avg([x*x FOR x IN pxs]) - pow(list_avg(pxs), 2)), 6) AS img_std, "
+            # 4x4 nearest-neighbor thumbnail mean: dst(x,y) -> src((y*8//4)*w + x*w//4)
+            "ROUND(list_avg([pxs[((i // 4) * 2) * w + ((i % 4) * w) // 4 + 1] FOR i IN range(16)]), 6) AS thumb_mean, "
             "CAST(16000 AS BIGINT) AS wav_sample_rate, nw AS wav_n_samples, "
             "ROUND(sqrt(list_avg(sq)), 6) AS wav_rms FROM px"
         ),

@@ -108,3 +108,17 @@ from kamae_ray.stages.window import (  # noqa: F401
     asof_join,
 )
 from kamae_ray.stages.lambda_fn import LambdaFunctionTransformer  # noqa: F401
+from kamae_ray.stages.text import (  # noqa: F401
+    FingerprintTransformer,
+    LanguageIdTransformer,
+    QualityScoreTransformer,
+    TokenCountTransformer,
+    TokenizeTransformer,
+)
+from kamae_ray.stages.multimodal import (  # noqa: F401
+    BinaryFeatureExtractTransformer,
+    FrameSampleTransformer,
+    PgmDecodeTransformer,
+    PgmResizeTransformer,
+    WavDecodeTransformer,
+)

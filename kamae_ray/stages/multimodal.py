@@ -327,6 +327,70 @@ class BinaryFeatureExtractTransformer(Transformer):
         )
 
 
+class _PgmResizeActor:
+    """Actor-pool callable: PGM payload -> nearest-neighbor resized P5 payload."""
+
+    def __init__(self, input_col: str, out_col: str, width: int, height: int):
+        self.input_col = input_col
+        self.out_col = out_col
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = A.as_array(batch.column(self.input_col))
+        payloads = col.to_pylist()
+        out = []
+        W, H = self.width, self.height
+        xs_cache = {}
+        for p in payloads:
+            if not p:
+                out.append(None)
+                continue
+            w, h, maxval, px = decode_pgm(p)
+            key = (w, h)
+            if key not in xs_cache:
+                # nearest-neighbor source index grid (floor mapping)
+                sx = (np.arange(W, dtype=np.int64) * w) // W
+                sy = (np.arange(H, dtype=np.int64) * h) // H
+                xs_cache[key] = (sy[:, None] * w + sx[None, :]).reshape(-1)
+            resized = px[xs_cache[key]]
+            mv = min(int(maxval), 255)
+            scale = 255.0 / maxval if maxval > 255 else 1.0
+            body = np.clip(resized * scale, 0, 255).astype(np.uint8).tobytes()
+            out.append(b"P5\n%d %d\n%d\n" % (W, H, mv) + body)
+        return _append_or_replace(batch, self.out_col, pa.array(out, pa.binary()))
+
+
+class PgmResizeTransformer(Transformer):
+    """Nearest-neighbor resize of PGM image payloads via an actor pool;
+    emits a new P5 binary payload column (composable with
+    PgmDecodeTransformer). 16-bit inputs are rescaled to 8-bit."""
+
+    compatible_dtypes = None
+    fusible = False
+
+    def __init__(self, *args, width: int = 8, height: int = 8, batch_size: int = 64, concurrency: tuple[int, int] = (1, 4), **kwargs):
+        super().__init__(*args, **kwargs)
+        self.width = int(width)
+        self.height = int(height)
+        self.batch_size = int(batch_size)
+        self.concurrency = tuple(concurrency)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        return _PgmResizeActor(self.input_col, self.output_col, self.width, self.height)(batch)
+
+    def transform(self, ds):
+        if isinstance(ds, pa.Table):
+            return self.transform_batch(ds)
+        return ds.map_batches(
+            _PgmResizeActor,
+            fn_constructor_args=(self.input_col, self.output_col, self.width, self.height),
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.concurrency,
+        )
+
+
 class FrameSampleTransformer(Transformer):
     """Video-style payload -> sampled frame payloads (every ``stride``-th
     chunk of ``frame_bytes``). Deterministic byte-slicing stands in for real

@@ -78,3 +78,28 @@ def test_wav_transform_table():
     assert out.column("wav_sample_rate").to_pylist() == [8000]
     assert out.column("wav_n_samples").to_pylist() == [100]
     np.testing.assert_allclose(out.column("wav_rms").to_pylist(), [0.5])
+
+
+def test_pgm_resize_nearest():
+    import pyarrow as pa
+
+    from kamae_ray.stages.multimodal import PgmResizeTransformer
+
+    w, h = 8, 4
+    px = bytes(range(w * h))
+    payload = b"P5\n%d %d\n255\n" % (w, h) + px
+    t = pa.table({"img": pa.array([payload, None], pa.binary())})
+    out = PgmResizeTransformer(input_col="img", width=4, height=2, output_col="small").transform_batch(t)
+    small = out.column("small").to_pylist()
+    assert small[1] is None
+    w2, h2, mv2, px2 = decode_pgm(small[0])
+    assert (w2, h2, mv2) == (4, 2, 255)
+    # nearest-neighbor floor mapping: dst(x,y) = src(x*8//4, y*4//2)
+    src = np.frombuffer(px, np.uint8).reshape(h, w)
+    expect = src[::2, ::2].reshape(-1).astype(np.float64)
+    assert np.array_equal(px2, expect)
+    # composable: resize output decodes through the decode actor pool path
+    from kamae_ray.stages.multimodal import PgmDecodeTransformer
+
+    dec = PgmDecodeTransformer(input_col="small", output_col="img2").transform_batch(out)
+    assert dec.column("img2_width").to_pylist()[0] == 4

@@ -717,6 +717,22 @@ def _q_emb_neardup(sf_dir):
     )
 
 
+def _q_join(sf_dir):
+    """Broadcast lookup join: lineitem enriched from the orders dimension
+    (small side ray.put once, vectorized index_in per batch, NO shuffle).
+    Oracle = plain SQL LEFT JOIN (right keys unique)."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.stages import broadcast_join
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    ).rename_columns(["l_orderkey", "o_orderstatus", "o_orderpriority"])
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return broadcast_join(ds, orders, on="l_orderkey")
+
+
 def _q_token_stats(sf_dir):
     from kamae_ray.stages.text import QualityScoreTransformer
 
@@ -1197,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": _q_ann_topk,
         "q_ann_ivf": _q_ann_ivf,
         "q_emb_neardup": _q_emb_neardup,
+        "q_join": _q_join,
         "q_token_stats": _q_token_stats,
         "q_minhash_pairs": _q_minhash_pairs,
         "q_neardup": _q_neardup,
@@ -1522,6 +1539,11 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(list_avg([pxs[((i // 4) * 2) * w + ((i % 4) * w) // 4 + 1] FOR i IN range(16)]), 6) AS thumb_mean, "
             "CAST(16000 AS BIGINT) AS wav_sample_rate, nw AS wav_n_samples, "
             "ROUND(sqrt(list_avg(sq)), 6) AS wav_rms FROM px"
+        ),
+        "q_join": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
+            "o.o_orderstatus, o.o_orderpriority "
+            "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
         "q_token_stats": (
             "WITH b AS (SELECT doc_id, length(coalesce(text,'')) AS n_chars, "

@@ -167,3 +167,35 @@ def test_exact_dedup_hash_collision_keeps_distinct_texts(monkeypatch):
     out = exact_dedup(t, "text", "id").sort_by("id")
     assert out.column("id").to_pylist() == [1, 2, 4]  # all distinct texts kept
     assert sorted(out.column("text").to_pylist()) == ["aaa", "bbb", "ccc"]
+
+
+def test_broadcast_join(ray_session):
+    import ray
+
+    from kamae_ray.stages import broadcast_join
+
+    left = pa.table({"k": [1, 2, 3, 2, 9], "x": [10.0, 20.0, 30.0, 21.0, 90.0]})
+    right = pa.table({"k": [1, 2, 3, 4], "name": ["a", "b", "c", "d"], "x": [0.5, 0.6, 0.7, 0.8]})
+    out = broadcast_join(left, right, on="k")
+    assert out.column("name").to_pylist() == ["a", "b", "c", "b", None]
+    assert out.column("x_r").to_pylist() == [0.5, 0.6, 0.7, 0.6, None]
+    inner = broadcast_join(left, right, on="k", how="inner")
+    assert inner.num_rows == 4
+
+    # Dataset path matches the Table path
+    ds_out = broadcast_join(ray.data.from_arrow(left).repartition(3), right, on="k")
+    rows = sorted(ds_out.take_all(), key=lambda r: (r["k"], r["x"]))
+    exp = sorted(out.to_pylist(), key=lambda r: (r["k"], r["x"]))
+    assert rows == exp
+
+    # composite key
+    l2 = pa.table({"a": ["x", "y"], "b": [1, 2], "v": [1.0, 2.0]})
+    r2 = pa.table({"a": ["x", "y"], "b": [1, 9], "tag": ["m", "n"]})
+    out2 = broadcast_join(l2, r2, on=["a", "b"])
+    assert out2.column("tag").to_pylist() == ["m", None]
+
+    # duplicate right keys fail fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        broadcast_join(left, pa.table({"k": [1, 1], "z": [0, 1]}), on="k")

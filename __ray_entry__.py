@@ -733,6 +733,23 @@ def _q_join(sf_dir):
     return broadcast_join(ds, orders, on="l_orderkey")
 
 
+def _q_join2(sf_dir):
+    """Sort-shuffle equi-join (large-x-large plan): same lineitem/orders
+    enrichment as q_join but through the one-sort co-partitioned merge, so
+    the driver's oracle checks BOTH join physical plans."""
+    from kamae_ray.stages import shuffle_join
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["l_orderkey", "o_orderstatus", "o_orderpriority"])
+
+    ren.__name__ = "rename_orders_key"
+    right = orders.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
+    return shuffle_join(lineitem, right, on="l_orderkey")
+
+
 def _q_token_stats(sf_dir):
     from kamae_ray.stages.text import QualityScoreTransformer
 
@@ -1214,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_ivf": _q_ann_ivf,
         "q_emb_neardup": _q_emb_neardup,
         "q_join": _q_join,
+        "q_join2": _q_join2,
         "q_token_stats": _q_token_stats,
         "q_minhash_pairs": _q_minhash_pairs,
         "q_neardup": _q_neardup,
@@ -1541,6 +1559,11 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sqrt(list_avg(sq)), 6) AS wav_rms FROM px"
         ),
         "q_join": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
+            "o.o_orderstatus, o.o_orderpriority "
+            "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "q_join2": (
             "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
             "o.o_orderstatus, o.o_orderpriority "
             "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey"

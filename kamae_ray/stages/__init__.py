@@ -122,4 +122,4 @@ from kamae_ray.stages.multimodal import (  # noqa: F401
     PgmResizeTransformer,
     WavDecodeTransformer,
 )
-from kamae_ray.stages.join import broadcast_join  # noqa: F401
+from kamae_ray.stages.join import broadcast_join, shuffle_join  # noqa: F401

@@ -7,14 +7,14 @@ scale-correct Ray Data equivalents:
   UNIQUE join keys) is put into the object store ONCE (``ray.put``) and every
   map task resolves matches with one vectorized ``pc.index_in`` + ``take`` —
   no shuffle at all, the canonical plan when one side fits in memory.
-- for large-x-large joins use ``asof_join``'s machinery (co-partitioned
-  sort-shuffle) or a ``groupby`` co-group; a broadcast join on a big right
-  side would OOM every worker, so the right side is required to be a
-  ``pa.Table`` here by design.
+- ``shuffle_join``: large-x-large equi-join — both sides union into ONE
+  sort-shuffle on the key (int64 surrogate for string keys, see
+  functions/sortkeys.py) and a block-local vectorized cross-product per key
+  segment emits the SQL join result, duplicate keys on both sides included.
 
-Right-key uniqueness is validated up front: with duplicate keys an SQL join
-multiplies rows, which a lookup join silently would not — better to fail
-fast and let the caller pre-aggregate.
+``broadcast_join`` right-key uniqueness is validated up front: with
+duplicate keys an SQL join multiplies rows, which a lookup join silently
+would not — better to fail fast; use ``shuffle_join`` for that shape.
 """
 
 from __future__ import annotations
@@ -102,3 +102,128 @@ def broadcast_join(
         batch_size=None,
         concurrency=(1, 8),
     )
+
+
+def shuffle_join(
+    left,
+    right,
+    on: str | list[str],
+    right_cols: list[str] | None = None,
+    how: str = "left",
+    suffix: str = "_r",
+    max_group_product: int = 10_000_000,
+):
+    """Large-x-large equi-join: ONE sort-shuffle co-locates equal keys (same
+    plan + partitioning contract as the window family; string keys ride the
+    int64 surrogate), then a block-local vectorized cross-product per key
+    segment — matches SQL LEFT/INNER JOIN incl. duplicate keys on BOTH sides.
+
+    ``max_group_product`` guards the inherent hot-key blowup (|L|x|R| rows
+    for one key): exceeding it raises with the key count rather than silently
+    OOMing a worker — pre-aggregate or salt such keys.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if how not in ("left", "inner"):
+        raise ValueError("how must be left|inner")
+    import numpy as _np
+
+    from kamae_ray.functions import segments as S
+
+    if isinstance(left, pa.Table):
+        l_schema, r_schema = left.schema, right.schema
+    else:
+        ls, rs = left.schema(), right.schema()
+        l_schema = pa.schema(list(zip(ls.names, ls.types)))
+        r_schema = pa.schema(list(zip(rs.names, rs.types)))
+    l_names = list(l_schema.names)
+    payload = [c for c in (right_cols or r_schema.names) if c not in on]
+    payload_out = [f"{c}{suffix}" if c in l_names else c for c in payload]
+    r_types = {f.name: f.type for f in r_schema}
+    l_types = {f.name: f.type for f in l_schema}
+    _SIDE = "__kr_jside"
+
+    def prep(batch: pa.Table, side: int) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        if side == 0:
+            for c in l_names:
+                cols[c] = batch.column(c)
+            for c, out_name in zip(payload, payload_out):
+                cols[out_name] = pa.nulls(n, r_types[c])
+        else:
+            for c in l_names:
+                if c in on:
+                    cols[c] = pc.cast(A.as_array(batch.column(c)), l_types[c], safe=False)
+                else:
+                    cols[c] = pa.nulls(n, l_types[c])
+            for c, out_name in zip(payload, payload_out):
+                cols[out_name] = batch.column(c)
+        cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+        return pa.table(cols)
+
+    def merge(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return block.drop_columns([_SIDE])
+        side = block.column(_SIDE).to_numpy(zero_copy_only=False)
+        gids = S.group_ids(block, on)
+        order = _np.lexsort((side, gids))
+        gs, ss = gids[order], side[order]
+        starts, lens = S.segments(gs)
+        # per segment: lefts sort first (side 0), rights after
+        n_left = _np.zeros(len(starts), dtype=_np.int64)
+        _np.add.at(n_left, _np.searchsorted(starts, _np.nonzero(ss == 0)[0], side="right") - 1, 1)
+        n_right = lens - n_left
+        prod = n_left * n_right
+        if prod.max(initial=0) > max_group_product:
+            k = int(_np.argmax(prod))
+            raise ValueError(
+                f"shuffle_join hot key: {int(n_left[k])} x {int(n_right[k])} rows "
+                f"for one key exceeds max_group_product={max_group_product}"
+            )
+        out_per = _np.where(n_right > 0, prod, n_left if how == "left" else 0)
+        out_off = _np.concatenate([[0], _np.cumsum(out_per)])
+        total = int(out_off[-1])
+        if total == 0:
+            empty = block.take(pa.array([], pa.int64()))
+            return empty.drop_columns([_SIDE])
+        within = _np.arange(total, dtype=_np.int64) - _np.repeat(out_off[:-1], out_per)
+        seg_of = _np.repeat(_np.arange(len(starts)), out_per)
+        R = n_right[seg_of]
+        Rdiv = _np.where(R > 0, R, 1)
+        li = within // Rdiv
+        ri = within % Rdiv
+        matched = R > 0
+        left_rows = order[starts[seg_of] + li]
+        # unmatched (R==0, left join): point at the left row — its value is
+        # replaced by null below, this only keeps the index in bounds
+        right_pos = _np.where(matched, starts[seg_of] + n_left[seg_of] + ri, starts[seg_of] + li)
+        right_rows = order[right_pos]
+        cols = {}
+        left_part = block.take(pa.array(left_rows))
+        right_part = block.take(pa.array(right_rows))
+        for c in block.column_names:
+            if c == _SIDE:
+                continue
+            if c in payload_out:
+                # payload from the right row; unmatched -> null
+                taken = right_part.column(c)
+                if not matched.all():
+                    taken = pc.if_else(pa.array(matched), taken.combine_chunks(), pa.nulls(total, taken.type))
+                cols[c] = taken
+            else:
+                cols[c] = left_part.column(c)
+        return pa.table(cols)
+
+    merge.__name__ = "shuffle_join_merge"
+    if isinstance(left, pa.Table):
+        both = pa.concat_tables([prep(left, 0), prep(right, 1)])
+        return merge(both)
+
+    import ray  # noqa: F401  (Dataset path)
+
+    from kamae_ray.stages.window import _NamedFn, sorted_block_apply
+
+    lt = left.map_batches(_NamedFn(lambda b: prep(b, 0), "join_prep_left"), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(_NamedFn(lambda b: prep(b, 1), "join_prep_right"), batch_format="pyarrow", zero_copy_batch=True)
+    return sorted_block_apply(lt.union(rt), on, merge, "shuffle_join_merge")

@@ -199,3 +199,45 @@ def test_broadcast_join(ray_session):
 
     with _pytest.raises(ValueError, match="duplicate keys"):
         broadcast_join(left, pa.table({"k": [1, 1], "z": [0, 1]}), on="k")
+
+
+def test_shuffle_join(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from kamae_ray.stages import shuffle_join
+
+    rng = np.random.RandomState(3)
+    lt = pa.table({"k": pa.array([f"k{int(i)}" for i in rng.randint(0, 15, 300)]), "x": rng.standard_normal(300), "rid": np.arange(300)})
+    rt = pa.table({"k": pa.array([f"k{int(i)}" for i in rng.randint(0, 20, 90)]), "y": rng.standard_normal(90)})
+
+    def norm(df):
+        return df.sort_values(["rid", "y"], na_position="first").reset_index(drop=True)
+
+    oracle = {
+        how: norm(duckdb.sql(
+            f"SELECT l.k, l.x, l.rid, r.y FROM lt l {'LEFT' if how == 'left' else 'INNER'} JOIN rt r ON l.k = r.k"
+        ).df())
+        for how in ("left", "inner")
+    }
+    for how in ("left", "inner"):
+        got = norm(shuffle_join(lt, rt, on="k", how=how).to_pandas())
+        pd.testing.assert_frame_equal(got[["rid", "k", "x", "y"]], oracle[how][["rid", "k", "x", "y"]], check_dtype=False)
+        # Dataset path (multi-block both sides) matches
+        got_ds = norm(
+            shuffle_join(
+                ray.data.from_arrow(lt).repartition(7),
+                ray.data.from_arrow(rt).repartition(3),
+                on="k", how=how,
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(got_ds[["rid", "k", "x", "y"]], oracle[how][["rid", "k", "x", "y"]], check_dtype=False)
+
+    # hot-key guard
+    import pytest as _pytest
+
+    hot_l = pa.table({"k": ["h"] * 200, "x": np.arange(200.0)})
+    hot_r = pa.table({"k": ["h"] * 200, "y": np.arange(200.0)})
+    with _pytest.raises(ValueError, match="hot key"):
+        shuffle_join(hot_l, hot_r, on="k", max_group_product=1000)

@@ -750,6 +750,41 @@ def _q_join2(sf_dir):
     return shuffle_join(lineitem, right, on="l_orderkey")
 
 
+def _q_agg(sf_dir):
+    """Partial-aggregation GROUP BY (TPC-H Q1 shape): block-level partials
+    inside map_batches, then one tiny shuffle of the partial rows only."""
+    from kamae_ray.stages import groupby_agg
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        # exact integer form: a ~5e8 float sum differs across engines by
+        # accumulation order beyond 6dp precision (CLAUDE.md invariant)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0), ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return batch.append_column("price_cents", cents)
+
+    to_cents.__name__ = "price_to_cents"
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = groupby_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": ["sum", "count", "mean"], "price_cents": ["sum"], "l_extendedprice": ["max"]},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = _round_cols(batch, ["l_quantity_sum", "l_quantity_mean", "l_extendedprice_max"])
+        return batch.set_column(
+            batch.column_names.index("price_cents_sum"),
+            "price_cents_sum",
+            pc.cast(batch.column("price_cents_sum"), pa.int64()),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow") if not isinstance(out, pa.Table) else finish(out)
+
+
 def _q_token_stats(sf_dir):
     from kamae_ray.stages.text import QualityScoreTransformer
 
@@ -1232,6 +1267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_neardup": _q_emb_neardup,
         "q_join": _q_join,
         "q_join2": _q_join2,
+        "q_agg": _q_agg,
         "q_token_stats": _q_token_stats,
         "q_minhash_pairs": _q_minhash_pairs,
         "q_neardup": _q_neardup,
@@ -1567,6 +1603,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
             "o.o_orderstatus, o.o_orderpriority "
             "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "q_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(sum(l_quantity), 6) AS l_quantity_sum, "
+            "count(l_quantity) AS l_quantity_count, "
+            "ROUND(avg(l_quantity), 6) AS l_quantity_mean, "
+            "sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS price_cents_sum, "
+            "ROUND(max(l_extendedprice), 6) AS l_extendedprice_max "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "q_token_stats": (
             "WITH b AS (SELECT doc_id, length(coalesce(text,'')) AS n_chars, "

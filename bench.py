@@ -176,6 +176,9 @@ _BENCH_QUERIES = [
     "q_ann_topk",
     "q_exact_dedup",
     "q_neardup",
+    "q_join",
+    "q_join2",
+    "q_agg",
 ]
 
 

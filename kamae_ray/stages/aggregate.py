@@ -1,0 +1,144 @@
+"""Partial-aggregation groupby: the scale-correct GROUP BY plan.
+
+A naive ``ds.groupby(keys).sum(col)`` shuffles EVERY row. Here each block
+pre-aggregates to one partial row per (block, key) inside ``map_batches``
+(vectorized segment kernels), so only |blocks| x |distinct keys in block|
+partial rows enter the final exchange — for low-cardinality keys that is a
+~block_size x reduction in shuffle volume. The final combine runs on the
+tiny partial table (driver-side for Table input, a small Ray groupby for
+Dataset input). mean/std derive from (sum, count, sumsq) partials, so they
+combine exactly across blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.functions import arrays as A
+from kamae_ray.functions import segments as S
+
+_STATS = ("sum", "count", "mean", "min", "max", "std")
+#: partials needed per requested stat
+_NEEDS = {
+    "sum": ("sum",),
+    "count": ("count",),
+    "mean": ("sum", "count"),
+    "std": ("sum", "count", "sumsq"),
+    "min": ("min",),
+    "max": ("max",),
+}
+
+
+def groupby_agg(ds, keys: str | list[str], aggs: dict[str, list[str]]):
+    """Aggregate ``{col: [stats...]}`` per distinct ``keys`` tuple.
+
+    Output columns: key columns + ``{col}_{stat}`` (float64; count int64),
+    one row per distinct key, NaN-skipping (SQL aggregate semantics: nulls
+    ignored; count counts non-null)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    for col, stats in aggs.items():
+        for st in stats:
+            if st not in _STATS:
+                raise ValueError(f"unsupported stat {st!r} for {col!r}")
+    # partial columns to compute per value column
+    partial_specs: dict[str, tuple] = {}
+    for col, stats in aggs.items():
+        need = []
+        for st in stats:
+            need.extend(_NEEDS[st])
+        partial_specs[col] = tuple(dict.fromkeys(need))
+
+    def partial(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            cols = {k: block.column(k) for k in keys}
+            for col, need in partial_specs.items():
+                for p in need:
+                    cols[f"__p_{col}_{p}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        gids = S.group_ids(block, keys)
+        order = np.argsort(gids, kind="stable")
+        gs = gids[order]
+        starts, lens = S.segments(gs)
+        firsts = order[starts]
+        out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in keys}
+        for col, need in partial_specs.items():
+            vals, mask = A.to_numpy(pc.cast(A.as_array(block.column(col)), pa.float64(), safe=False))
+            vals = vals.astype(np.float64, copy=True)
+            if mask is not None:
+                vals[mask] = np.nan
+            v = vals[order]
+            ok = ~np.isnan(v)
+            vz = np.where(ok, v, 0.0)
+            if "count" in need:
+                out[f"__p_{col}_count"] = pa.array(np.add.reduceat(ok.astype(np.float64), starts))
+            if "sum" in need:
+                out[f"__p_{col}_sum"] = pa.array(np.add.reduceat(vz, starts))
+            if "sumsq" in need:
+                out[f"__p_{col}_sumsq"] = pa.array(np.add.reduceat(vz * vz, starts))
+            if "min" in need:
+                out[f"__p_{col}_min"] = pa.array(np.minimum.reduceat(np.where(ok, v, np.inf), starts))
+            if "max" in need:
+                out[f"__p_{col}_max"] = pa.array(np.maximum.reduceat(np.where(ok, v, -np.inf), starts))
+        return pa.table(out)
+
+    partial.__name__ = "groupby_partial"
+
+    def finalize(partials: pa.Table) -> pa.Table:
+        gids = S.group_ids(partials, keys)
+        order = np.argsort(gids, kind="stable")
+        gs = gids[order]
+        starts, lens = S.segments(gs)
+        firsts = order[starts]
+        out = {k: A.as_array(partials.column(k)).take(pa.array(firsts)) for k in keys}
+        merged: dict[str, np.ndarray] = {}
+        for col, need in partial_specs.items():
+            for p in need:
+                v = partials.column(f"__p_{col}_{p}").to_numpy(zero_copy_only=False)[order]
+                if p in ("sum", "count", "sumsq"):
+                    merged[f"{col}_{p}"] = np.add.reduceat(v, starts)
+                elif p == "min":
+                    merged[f"{col}_{p}"] = np.minimum.reduceat(v, starts)
+                else:
+                    merged[f"{col}_{p}"] = np.maximum.reduceat(v, starts)
+        for col, stats in aggs.items():
+            for st in stats:
+                if st == "sum":
+                    out[f"{col}_sum"] = pa.array(merged[f"{col}_sum"])
+                elif st == "count":
+                    out[f"{col}_count"] = pa.array(merged[f"{col}_count"].astype(np.int64))
+                elif st == "mean":
+                    c = merged[f"{col}_count"]
+                    out[f"{col}_mean"] = pa.array(
+                        np.where(c > 0, merged[f"{col}_sum"] / np.where(c == 0, 1, c), np.nan)
+                    )
+                elif st == "std":
+                    c = merged[f"{col}_count"]
+                    m = merged[f"{col}_sum"] / np.where(c == 0, 1, c)
+                    var = np.clip(merged[f"{col}_sumsq"] / np.where(c == 0, 1, c) - m * m, 0, None)
+                    out[f"{col}_std"] = pa.array(np.where(c > 0, np.sqrt(var), np.nan))
+                elif st == "min":
+                    v = merged[f"{col}_min"]
+                    out[f"{col}_min"] = pa.array(np.where(np.isfinite(v), v, np.nan))
+                elif st == "max":
+                    v = merged[f"{col}_max"]
+                    out[f"{col}_max"] = pa.array(np.where(np.isfinite(v), v, np.nan))
+        return pa.table(out)
+
+    if isinstance(ds, pa.Table):
+        return finalize(partial(ds))
+    value_cols = list(aggs)
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(keys + value_cols)))
+    except Exception:
+        pass
+    parts = proj.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # combine partials distributed: one (small) sort-shuffle co-locates each
+    # key's partial rows, finalize runs as a block kernel — no driver merge,
+    # so high-cardinality keys cannot OOM the driver
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(parts, keys, finalize, "groupby_finalize")

@@ -241,3 +241,30 @@ def test_shuffle_join(ray_session):
     hot_r = pa.table({"k": ["h"] * 200, "y": np.arange(200.0)})
     with _pytest.raises(ValueError, match="hot key"):
         shuffle_join(hot_l, hot_r, on="k", max_group_product=1000)
+
+
+def test_groupby_agg(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from kamae_ray.stages import groupby_agg
+
+    rng = np.random.RandomState(4)
+    t = pa.table({
+        "g": pa.array([f"g{int(i)}" for i in rng.randint(0, 7, 800)]),
+        "v": pa.array(rng.standard_normal(800)),
+    })
+    expect = groupby_agg(t, "g", {"v": ["sum", "count", "mean", "std", "min", "max"]})
+    e = expect.to_pandas().sort_values("g").reset_index(drop=True)
+    o = duckdb.sql(
+        "SELECT g, sum(v) v_sum, count(v) v_count, avg(v) v_mean, stddev_pop(v) v_std, "
+        "min(v) v_min, max(v) v_max FROM t GROUP BY g ORDER BY g"
+    ).df()
+    for c in ["v_sum", "v_count", "v_mean", "v_std", "v_min", "v_max"]:
+        assert np.allclose(e[c].astype(float), o[c].astype(float), atol=1e-9), c
+    # Dataset path (multi-block, partial combine across blocks) == Table path
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = groupby_agg(ds, "g", {"v": ["sum", "count", "mean", "std", "min", "max"]})
+    g2 = got.to_pandas().sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g2, e, check_dtype=False, atol=1e-9)

@@ -695,7 +695,7 @@ def _q_emb_neardup(sf_dir):
     from kamae_ray.pipelines.dedup import embedding_neardup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45, planes=4, bands=16)
+    pairs = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45, planes=4, bands=32)
     if not isinstance(pairs, pa.Table):
         # small pair set: blocks × pairs only; Dataset path names the
         # aggregated column "max(cosine)"

@@ -41,6 +41,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = col.map(lambda v: _deep_tuple(v) if v is not None else None)
         elif str(col.dtype).startswith("datetime"):
             df[c] = col.astype("int64", errors="ignore")
+        elif col.dtype.kind == "f":
+            # pyarrow and DuckDB ROUND land on doubles 1 ULP apart for ~2% of
+            # values; re-rounding maps both to the same double so the row
+            # SORT aligns across engines (the value compare has atol anyway)
+            df[c] = np.round(col.astype(float), 6)
     return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
 
 

@@ -4,10 +4,10 @@ A naive ``ds.groupby(keys).sum(col)`` shuffles EVERY row. Here each block
 pre-aggregates to one partial row per (block, key) inside ``map_batches``
 (vectorized segment kernels), so only |blocks| x |distinct keys in block|
 partial rows enter the final exchange — for low-cardinality keys that is a
-~block_size x reduction in shuffle volume. The final combine runs on the
-tiny partial table (driver-side for Table input, a small Ray groupby for
-Dataset input). mean/std derive from (sum, count, sumsq) partials, so they
-combine exactly across blocks.
+~block_size x reduction in shuffle volume. The final combine is itself
+distributed (one small sort-shuffle of partial rows + a block kernel), so
+high-cardinality keys cannot OOM the driver. mean/std derive from
+(sum, count, sumsq) partials, so they combine exactly across blocks.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ from kamae_ray.functions import segments as S
 _STATS = ("sum", "count", "mean", "min", "max", "std")
 #: partials needed per requested stat
 _NEEDS = {
-    "sum": ("sum",),
+    "sum": ("sum", "count"),  # count distinguishes empty groups: SQL SUM of all-null = NULL
     "count": ("count",),
     "mean": ("sum", "count"),
     "std": ("sum", "count", "sumsq"),
@@ -106,7 +106,8 @@ def groupby_agg(ds, keys: str | list[str], aggs: dict[str, list[str]]):
         for col, stats in aggs.items():
             for st in stats:
                 if st == "sum":
-                    out[f"{col}_sum"] = pa.array(merged[f"{col}_sum"])
+                    c = merged[f"{col}_count"]
+                    out[f"{col}_sum"] = pa.array(np.where(c > 0, merged[f"{col}_sum"], np.nan))
                 elif st == "count":
                     out[f"{col}_count"] = pa.array(merged[f"{col}_count"].astype(np.int64))
                 elif st == "mean":

@@ -268,3 +268,14 @@ def test_groupby_agg(ray_session):
     got = groupby_agg(ds, "g", {"v": ["sum", "count", "mean", "std", "min", "max"]})
     g2 = got.to_pandas().sort_values("g").reset_index(drop=True)
     pd.testing.assert_frame_equal(g2, e, check_dtype=False, atol=1e-9)
+
+
+def test_groupby_agg_all_null_group_sql_parity():
+    from kamae_ray.stages import groupby_agg
+
+    t = pa.table({"g": ["a", "a", "b", "b"], "v": pa.array([1.0, 2.0, None, None], pa.float64())})
+    out = groupby_agg(t, "g", {"v": ["sum", "count", "mean"]}).to_pandas().sort_values("g")
+    # SQL: SUM/AVG over an all-null group are NULL (NaN here), COUNT is 0
+    assert out["v_sum"].tolist()[0] == 3.0 and np.isnan(out["v_sum"].tolist()[1])
+    assert out["v_count"].tolist() == [2, 0]
+    assert np.isnan(out["v_mean"].tolist()[1])

@@ -116,15 +116,16 @@ def shuffle_join(
     """Large-x-large equi-join: ONE sort-shuffle co-locates equal keys (same
     plan + partitioning contract as the window family; string keys ride the
     int64 surrogate), then a block-local vectorized cross-product per key
-    segment — matches SQL LEFT/INNER JOIN incl. duplicate keys on BOTH sides.
+    segment — matches SQL LEFT/INNER/RIGHT/FULL OUTER JOIN incl. duplicate
+    keys on BOTH sides.
 
     ``max_group_product`` guards the inherent hot-key blowup (|L|x|R| rows
     for one key): exceeding it raises with the key count rather than silently
     OOMing a worker — pre-aggregate or salt such keys.
     """
     on = [on] if isinstance(on, str) else list(on)
-    if how not in ("left", "inner"):
-        raise ValueError("how must be left|inner")
+    if how not in ("left", "inner", "right", "outer"):
+        raise ValueError("how must be left|inner|right|outer")
     import numpy as _np
 
     from kamae_ray.functions import segments as S
@@ -181,10 +182,22 @@ def shuffle_join(
                 f"shuffle_join hot key: {int(n_left[k])} x {int(n_right[k])} rows "
                 f"for one key exceeds max_group_product={max_group_product}"
             )
-        out_per = _np.where(n_right > 0, prod, n_left if how == "left" else 0)
+        keep_left_solo = how in ("left", "outer")
+        out_per = _np.where(n_right > 0, prod, n_left if keep_left_solo else 0)
+        # right-unmatched rows (right/outer): right rows in segments with no
+        # lefts pass through directly — their left columns are already null
+        # from prep, key columns populated
+        extra = None
+        if how in ("right", "outer"):
+            seg_idx = _np.repeat(_np.arange(len(starts)), lens)
+            rmask = (ss == 1) & (n_left[seg_idx] == 0)
+            if rmask.any():
+                extra = block.take(pa.array(order[rmask])).drop_columns([_SIDE])
         out_off = _np.concatenate([[0], _np.cumsum(out_per)])
         total = int(out_off[-1])
         if total == 0:
+            if extra is not None:
+                return extra
             empty = block.take(pa.array([], pa.int64()))
             return empty.drop_columns([_SIDE])
         within = _np.arange(total, dtype=_np.int64) - _np.repeat(out_off[:-1], out_per)
@@ -213,7 +226,10 @@ def shuffle_join(
                 cols[c] = taken
             else:
                 cols[c] = left_part.column(c)
-        return pa.table(cols)
+        result = pa.table(cols)
+        if extra is not None:
+            result = pa.concat_tables([result, extra.select(result.column_names)])
+        return result
 
     merge.__name__ = "shuffle_join_merge"
     if isinstance(left, pa.Table):

@@ -213,15 +213,16 @@ def test_shuffle_join(ray_session):
     rt = pa.table({"k": pa.array([f"k{int(i)}" for i in rng.randint(0, 20, 90)]), "y": rng.standard_normal(90)})
 
     def norm(df):
-        return df.sort_values(["rid", "y"], na_position="first").reset_index(drop=True)
+        return df.sort_values(["rid", "y", "k"], na_position="first").reset_index(drop=True)
 
+    sqlname = {"left": "LEFT", "inner": "INNER", "right": "RIGHT", "outer": "FULL OUTER"}
     oracle = {
         how: norm(duckdb.sql(
-            f"SELECT l.k, l.x, l.rid, r.y FROM lt l {'LEFT' if how == 'left' else 'INNER'} JOIN rt r ON l.k = r.k"
+            f"SELECT coalesce(l.k, r.k) k, l.x, l.rid, r.y FROM lt l {sqlname[how]} JOIN rt r ON l.k = r.k"
         ).df())
-        for how in ("left", "inner")
+        for how in sqlname
     }
-    for how in ("left", "inner"):
+    for how in sqlname:
         got = norm(shuffle_join(lt, rt, on="k", how=how).to_pandas())
         pd.testing.assert_frame_equal(got[["rid", "k", "x", "y"]], oracle[how][["rid", "k", "x", "y"]], check_dtype=False)
         # Dataset path (multi-block both sides) matches

@@ -280,3 +280,22 @@ def test_groupby_agg_all_null_group_sql_parity():
     assert out["v_sum"].tolist()[0] == 3.0 and np.isnan(out["v_sum"].tolist()[1])
     assert out["v_count"].tolist() == [2, 0]
     assert np.isnan(out["v_mean"].tolist()[1])
+
+
+def test_connected_components_distributed_matches_union_find():
+    from kamae_ray.pipelines.dedup import connected_components, connected_components_distributed
+
+    rng = np.random.RandomState(9)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 200, size=(300, 2)) if a != b]
+    uf = connected_components(pairs)
+    t = pa.table({"id_a": pa.array([a for a, _ in pairs], pa.int64()), "id_b": pa.array([b for _, b in pairs], pa.int64())})
+    dist = connected_components_distributed(t)
+    dm = dict(zip(dist.column("id").to_pylist(), dist.column("rep").to_pylist()))
+    # same partition into components, same min-id representative
+    assert set(dm) == set(uf)
+    for node, rep in uf.items():
+        assert dm[node] == rep
+    # long chain converges (diameter = n)
+    chain = pa.table({"id_a": pa.array(list(range(0, 25)), pa.int64()), "id_b": pa.array(list(range(1, 26)), pa.int64())})
+    d2 = connected_components_distributed(chain)
+    assert set(d2.column("rep").to_pylist()) == {0}

@@ -1,8 +1,6 @@
 """Broadcast (dimension-lookup) equi-join.
-
 The reference delegates joins to Spark; this engine provides the
 scale-correct Ray Data equivalents:
-
 - ``broadcast_join``: small right side (a ``pa.Table`` of dimension rows with
   UNIQUE join keys) is put into the object store ONCE (``ray.put``) and every
   map task resolves matches with one vectorized ``pc.index_in`` + ``take`` —
@@ -11,23 +9,15 @@ scale-correct Ray Data equivalents:
   sort-shuffle on the key (int64 surrogate for string keys, see
   functions/sortkeys.py) and a block-local vectorized cross-product per key
   segment emits the SQL join result, duplicate keys on both sides included.
-
 ``broadcast_join`` right-key uniqueness is validated up front: with
 duplicate keys an SQL join multiplies rows, which a lookup join silently
 would not — better to fail fast; use ``shuffle_join`` for that shape.
 """
-
 from __future__ import annotations
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-
 from kamae_ray.functions import arrays as A
-
-_JK = "__kr_jk"
-
-
 def _combined_key(table_or_batch: pa.Table, on: list[str]) -> pa.Array:
     """Single join-key array: the column itself for one key, a NUL-joined
     string for composite keys (cast to string first)."""
@@ -35,8 +25,6 @@ def _combined_key(table_or_batch: pa.Table, on: list[str]) -> pa.Array:
         return A.as_array(table_or_batch.column(on[0]))
     parts = [pc.cast(A.as_array(table_or_batch.column(k)), pa.string(), safe=False) for k in on]
     return pc.binary_join_element_wise(*parts, "\x1f")
-
-
 def broadcast_join(
     ds,
     right: pa.Table,
@@ -62,7 +50,6 @@ def broadcast_join(
             "multiply rows; pre-aggregate the right side first"
         )
     rpayload = right.select(payload)
-
     def join_batch(batch: pa.Table, key_arr: pa.Array, payload_tbl: pa.Table, left_names) -> pa.Table:
         lkey = _combined_key(batch, on)
         idx = pc.index_in(lkey, value_set=key_arr)  # null when unmatched
@@ -73,26 +60,19 @@ def broadcast_join(
         if how == "inner":
             batch = batch.filter(pc.is_valid(idx))
         return batch
-
     if isinstance(ds, pa.Table):
         return join_batch(ds, rkey, rpayload, set(ds.column_names))
-
     left_names = set(ds.schema().names)
-
     class _BroadcastJoin:
         def __init__(self, right_ref):
             import ray
-
             r = ray.get(right_ref)  # once per actor/task process
             self._key = r["key"]
             self._payload = r["payload"]
             self.__name__ = "broadcast_join"
-
         def __call__(self, batch: pa.Table) -> pa.Table:
             return join_batch(batch, self._key, self._payload, left_names)
-
     import ray
-
     right_ref = ray.put({"key": rkey, "payload": rpayload})
     return ds.map_batches(
         _BroadcastJoin,
@@ -102,8 +82,6 @@ def broadcast_join(
         batch_size=None,
         concurrency=(1, 8),
     )
-
-
 def shuffle_join(
     left,
     right,
@@ -118,7 +96,6 @@ def shuffle_join(
     int64 surrogate), then a block-local vectorized cross-product per key
     segment — matches SQL LEFT/INNER/RIGHT/FULL OUTER JOIN incl. duplicate
     keys on BOTH sides.
-
     ``max_group_product`` guards the inherent hot-key blowup (|L|x|R| rows
     for one key): exceeding it raises with the key count rather than silently
     OOMing a worker — pre-aggregate or salt such keys.
@@ -127,9 +104,7 @@ def shuffle_join(
     if how not in ("left", "inner", "right", "outer"):
         raise ValueError("how must be left|inner|right|outer")
     import numpy as _np
-
     from kamae_ray.functions import segments as S
-
     if isinstance(left, pa.Table):
         l_schema, r_schema = left.schema, right.schema
     else:
@@ -142,7 +117,6 @@ def shuffle_join(
     r_types = {f.name: f.type for f in r_schema}
     l_types = {f.name: f.type for f in l_schema}
     _SIDE = "__kr_jside"
-
     def prep(batch: pa.Table, side: int) -> pa.Table:
         n = batch.num_rows
         cols = {}
@@ -161,7 +135,6 @@ def shuffle_join(
                 cols[out_name] = batch.column(c)
         cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
         return pa.table(cols)
-
     def merge(block: pa.Table) -> pa.Table:
         n = block.num_rows
         if n == 0:
@@ -230,16 +203,12 @@ def shuffle_join(
         if extra is not None:
             result = pa.concat_tables([result, extra.select(result.column_names)])
         return result
-
     merge.__name__ = "shuffle_join_merge"
     if isinstance(left, pa.Table):
         both = pa.concat_tables([prep(left, 0), prep(right, 1)])
         return merge(both)
-
     import ray  # noqa: F401  (Dataset path)
-
     from kamae_ray.stages.window import _NamedFn, sorted_block_apply
-
     lt = left.map_batches(_NamedFn(lambda b: prep(b, 0), "join_prep_left"), batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(_NamedFn(lambda b: prep(b, 1), "join_prep_right"), batch_format="pyarrow", zero_copy_batch=True)
     return sorted_block_apply(lt.union(rt), on, merge, "shuffle_join_merge")

@@ -29,9 +29,9 @@ _R = 6  # float rounding decimals for oracle comparisons
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray
+    from kamae_ray.sources.io import read_parquet_clean
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 def _round_cols(batch: pa.Table, cols: list[str]) -> pa.Table:
@@ -1609,7 +1609,7 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(l_quantity), 6) AS l_quantity_sum, "
             "count(l_quantity) AS l_quantity_count, "
             "ROUND(avg(l_quantity), 6) AS l_quantity_mean, "
-            "sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS price_cents_sum, "
+            "CAST(sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents_sum, "
             "ROUND(max(l_extendedprice), 6) AS l_extendedprice_max "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),

@@ -22,6 +22,7 @@ import os
 import subprocess
 import sys
 import time
+from kamae_ray.sources.io import read_parquet_clean
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -79,7 +80,7 @@ def headline(out_root: str = "/tmp/kamae_ray_bench") -> dict:
         shutil.rmtree(os.path.join(out_root, sub), ignore_errors=True)
     os.makedirs(out_root, exist_ok=True)
     t0 = time.time()
-    ds = ray.data.read_parquet(path)
+    ds = read_parquet_clean(path)
 
     pipe = Pipeline(
         [
@@ -126,7 +127,7 @@ def headline(out_root: str = "/tmp/kamae_ray_bench") -> dict:
     # windowed features over the NARROW projection — the 600MB tokens column
     # never rides the window shuffle
     t = time.time()
-    narrow = ray.data.read_parquet(path, columns=["doc_id", "source", "position", "n_tok"])
+    narrow = read_parquet_clean(path, columns=["doc_id", "source", "position", "n_tok"])
     w = apply_sorted(
         narrow,
         LagTransformer(input_col="n_tok", entity_cols=["source", "doc_id"], time_col="position", output_col="prev_n_tok"),

@@ -113,8 +113,13 @@ def surrogate_sorted(ds, keys: list[str]):
         if mode == "never":
             small = True
         else:
+            # Inferred metadata ONLY — ds.size_bytes() is a ConsumptionAPI that
+            # EXECUTES the upstream plan when metadata is absent (always the
+            # case after any map_batches), which would materialize the whole
+            # pipeline just to pick a sort strategy. None => unknown => treat
+            # as large (design-for-scale default).
             try:
-                size = ds.size_bytes()
+                size = ds._logical_plan.dag.infer_metadata().size_bytes
             except Exception:
                 size = None
             small = size is not None and size < (1 << 30)

@@ -20,6 +20,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+from kamae_ray.sources.io import read_parquet_clean
 
 _SOURCES = ["web", "books", "code", "chat"]
 
@@ -97,7 +98,7 @@ def tokens_from_documents(sf_dir: str, vocab_size: int = 50_000):
         import ray
 
         if ray.is_initialized():
-            ds = ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
+            ds = read_parquet_clean(path, columns=["doc_id", "text", "source"])
             out = tok.transform(ds)
             out = cnt.transform(out)
 

@@ -19,11 +19,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from kamae_ray.functions import arrays as A
 def _combined_key(table_or_batch: pa.Table, on: list[str]) -> pa.Array:
-    """Single join-key array: the column itself for one key, a NUL-joined
-    string for composite keys (cast to string first)."""
+    """Single join-key array: the column itself for one key, an escaped
+    separator-joined string for composite keys (cast to string first).
+    Separator bytes inside values are escaped (\\x1e-prefixed) so distinct
+    tuples can never collide — ('a\\x1fb','c') != ('a','b\\x1fc'). A null in
+    any component yields a null combined key (SQL: NULL equality never
+    matches)."""
     if len(on) == 1:
         return A.as_array(table_or_batch.column(on[0]))
-    parts = [pc.cast(A.as_array(table_or_batch.column(k)), pa.string(), safe=False) for k in on]
+    parts = []
+    for k in on:
+        p = pc.cast(A.as_array(table_or_batch.column(k)), pa.string(), safe=False)
+        p = pc.replace_substring(p, "\x1e", "\x1e\x1e")
+        p = pc.replace_substring(p, "\x1f", "\x1e\x1f")
+        parts.append(p)
     return pc.binary_join_element_wise(*parts, "\x1f")
 def broadcast_join(
     ds,
@@ -36,12 +45,17 @@ def broadcast_join(
     """Enrich ``ds`` (Dataset or Table) with columns from a small ``right``
     table by equality on ``on``. ``how`` is ``'left'`` (unmatched -> nulls)
     or ``'inner'`` (unmatched rows dropped). Exactly matches SQL
-    LEFT/INNER JOIN when right keys are unique (enforced)."""
+    LEFT/INNER JOIN when right keys are unique (enforced); NULL keys follow
+    SQL semantics (NULL never equals NULL: null-keyed left rows are unmatched,
+    null-keyed right rows are dropped up front)."""
     on = [on] if isinstance(on, str) else list(on)
     if how not in ("left", "inner"):
         raise ValueError("how must be left|inner")
     payload = [c for c in (right_cols or right.column_names) if c not in on]
     rkey = _combined_key(right, on)
+    if rkey.null_count:
+        right = right.filter(pc.is_valid(rkey))  # SQL: null right key matches nothing
+        rkey = _combined_key(right, on)
     n_distinct = len(pc.unique(rkey))
     if n_distinct != len(right):
         raise ValueError(
@@ -53,6 +67,10 @@ def broadcast_join(
     def join_batch(batch: pa.Table, key_arr: pa.Array, payload_tbl: pa.Table, left_names) -> pa.Table:
         lkey = _combined_key(batch, on)
         idx = pc.index_in(lkey, value_set=key_arr)  # null when unmatched
+        if lkey.null_count:
+            # SQL NULL semantics: a null left key never matches (index_in
+            # would otherwise pair null with a null in the value set)
+            idx = pc.if_else(pc.is_valid(lkey), idx, pa.nulls(len(lkey), idx.type))
         for c in payload_tbl.column_names:
             out_name = f"{c}{suffix}" if c in left_names else c
             taken = payload_tbl.column(c).take(idx)  # null idx -> null value
@@ -95,7 +113,10 @@ def shuffle_join(
     plan + partitioning contract as the window family; string keys ride the
     int64 surrogate), then a block-local vectorized cross-product per key
     segment — matches SQL LEFT/INNER/RIGHT/FULL OUTER JOIN incl. duplicate
-    keys on BOTH sides.
+    keys on BOTH sides and SQL NULL semantics (a null key never matches:
+    such rows are emitted unmatched or dropped per ``how``; note all
+    null-keyed rows co-locate in one sort partition, so heavily-null keys
+    should be pre-filtered by the caller).
     ``max_group_product`` guards the inherent hot-key blowup (|L|x|R| rows
     for one key): exceeding it raises with the key count rather than silently
     OOMing a worker — pre-aggregate or salt such keys.
@@ -139,6 +160,30 @@ def shuffle_join(
         n = block.num_rows
         if n == 0:
             return block.drop_columns([_SIDE])
+        # SQL NULL semantics: rows whose key tuple contains a null never match.
+        # Null-keyed left rows pass through unmatched (left/outer) or drop
+        # (inner/right); null-keyed right rows pass through (right/outer) or
+        # drop — their opposite-side columns are already null from prep.
+        nullmask = _np.zeros(n, dtype=bool)
+        for k in on:
+            col = A.as_array(block.column(k))
+            if col.null_count:
+                nullmask |= pc.is_null(col).to_numpy(zero_copy_only=False)
+        null_out = None
+        if nullmask.any():
+            sd = block.column(_SIDE).to_numpy(zero_copy_only=False)
+            keep = _np.zeros(n, dtype=bool)
+            if how in ("left", "outer"):
+                keep |= nullmask & (sd == 0)
+            if how in ("right", "outer"):
+                keep |= nullmask & (sd == 1)
+            if keep.any():
+                null_out = block.filter(pa.array(keep)).drop_columns([_SIDE])
+            block = block.filter(pa.array(~nullmask))
+            n = block.num_rows
+            if n == 0:
+                out = block.drop_columns([_SIDE])
+                return pa.concat_tables([out, null_out.select(out.column_names)]) if null_out is not None else out
         side = block.column(_SIDE).to_numpy(zero_copy_only=False)
         gids = S.group_ids(block, on)
         order = _np.lexsort((side, gids))
@@ -166,6 +211,8 @@ def shuffle_join(
             rmask = (ss == 1) & (n_left[seg_idx] == 0)
             if rmask.any():
                 extra = block.take(pa.array(order[rmask])).drop_columns([_SIDE])
+        if null_out is not None:
+            extra = pa.concat_tables([t for t in (extra, null_out.select([c for c in block.column_names if c != _SIDE])) if t is not None])
         out_off = _np.concatenate([[0], _np.cumsum(out_per)])
         total = int(out_off[-1])
         if total == 0:

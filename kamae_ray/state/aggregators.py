@@ -416,30 +416,39 @@ class _ValueCountsPartial:
     """Per-block value counts of a column flattened to strings (combiner side
     of the vocab fit — pre-aggregates before the small shuffle)."""
 
-    def __init__(self, cols: list[str], mask_token: str | None):
+    def __init__(self, cols: list[str], mask_token: str | None, guard: bool = True):
         self.cols = cols
         self.mask_token = mask_token
+        # The per-block cardinality guard protects the DRIVER-merge path; when
+        # the caller runs the distributed sort+limit path (top_k set) the
+        # driver only sees k rows, so a high-cardinality block is fine.
+        self.guard = guard
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        counters: dict[str, int] = {}
+        tabs = []
         for col in self.cols:
             flat = _flat_values(batch, col)
             if not pa.types.is_string(flat.type):
                 flat = pc.cast(flat, pa.string(), safe=False)
             vc = flat.value_counts()
-            for item in vc:
-                v = item["values"].as_py()
-                if v is None or v == self.mask_token:
-                    continue
-                counters[v] = counters.get(v, 0) + item["counts"].as_py()
-        if len(counters) > MAX_DRIVER_VOCAB:
+            vals, cnts = vc.field("values"), vc.field("counts")
+            keep = pc.is_valid(vals)
+            if self.mask_token is not None:
+                keep = pc.and_kleene(keep, pc.invert(pc.equal(vals, self.mask_token)))
+            vals, cnts = vals.filter(keep), cnts.filter(keep)
+            tabs.append(pa.table({"value": vals, "count": pc.cast(cnts, pa.int64())}))
+        out = pa.concat_tables(tabs)
+        if len(self.cols) > 1 and out.num_rows:
+            out = out.group_by("value").aggregate([("count", "sum")])
+            out = out.rename_columns(["value", "count"])
+        if self.guard and out.num_rows > MAX_DRIVER_VOCAB:
             raise VocabOverflowError(
                 f"block-level vocabulary over {self.cols} exceeds MAX_DRIVER_VOCAB="
                 f"{MAX_DRIVER_VOCAB}; set max_num_labels or use HashIndex"
             )
-        if not counters:
+        if out.num_rows == 0:
             return pa.table({"value": pa.array([], pa.string()), "count": pa.array([], pa.int64())})
-        return pa.table({"value": list(counters), "count": list(counters.values())})
+        return out
 
 
 def value_counts(
@@ -456,7 +465,7 @@ def value_counts(
     only ever receives k rows, making high-cardinality fits safe. Without a
     top_k, more than MAX_DRIVER_VOCAB distinct values raises
     VocabOverflowError instead of OOMing the driver."""
-    fn = _ValueCountsPartial(cols, mask_token)
+    fn = _ValueCountsPartial(cols, mask_token, guard=top_k is None)
     if isinstance(ds, pa.Table):
         rows = fn(ds).to_pylist()
     else:

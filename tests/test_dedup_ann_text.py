@@ -299,3 +299,61 @@ def test_connected_components_distributed_matches_union_find():
     chain = pa.table({"id_a": pa.array(list(range(0, 25)), pa.int64()), "id_b": pa.array(list(range(1, 26)), pa.int64())})
     d2 = connected_components_distributed(chain)
     assert set(d2.column("rep").to_pylist()) == {0}
+
+
+def test_join_null_keys_sql_semantics(ray_session):
+    """SQL: NULL never equals NULL — null-keyed rows are unmatched (left/
+    outer), dropped (inner/right); null-keyed right rows never provide
+    payload."""
+    import duckdb
+    import pandas as pd
+
+    from kamae_ray.stages import broadcast_join, shuffle_join
+
+    lt = pa.table({
+        "k": pa.array(["a", None, "b", None, "c"]),
+        "rid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array(["a", None, "c", "d"]),
+        "y": pa.array([10.0, 20.0, 30.0, 40.0]),
+    })
+
+    def norm(df, cols=("rid", "k", "y")):
+        return (
+            df[list(cols)]
+            .sort_values(list(cols), na_position="first")
+            .reset_index(drop=True)
+        )
+
+    sqlname = {"left": "LEFT", "inner": "INNER", "right": "RIGHT", "outer": "FULL OUTER"}
+    for how, sql in sqlname.items():
+        oracle = norm(duckdb.sql(
+            f"SELECT coalesce(l.k, r.k) k, l.rid, r.y FROM lt l {sql} JOIN rt r ON l.k = r.k"
+        ).df())
+        got = norm(shuffle_join(lt, rt, on="k", how=how).to_pandas())
+        pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+    # broadcast path (unique-keyed right after nulls dropped)
+    for how in ("left", "inner"):
+        oracle = norm(duckdb.sql(
+            f"SELECT l.k, l.rid, r.y FROM lt l {sqlname[how]} JOIN rt r ON l.k = r.k"
+        ).df())
+        got = norm(broadcast_join(lt, rt, on="k", how=how).to_pandas())
+        pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+
+
+def test_composite_key_separator_injection():
+    """Values containing the composite-key separator byte must not collide:
+    ('a\\x1fb','c') != ('a','b\\x1fc')."""
+    from kamae_ray.stages import broadcast_join
+
+    lt = pa.table({"a": ["a\x1fb", "a"], "b": ["c", "b\x1fc"], "rid": [0, 1]})
+    rt = pa.table({"a": ["a\x1fb"], "b": ["c"], "y": [1.0]})
+    out = broadcast_join(lt, rt, on=["a", "b"]).to_pandas().sort_values("rid")
+    assert out["y"].tolist()[0] == 1.0
+    assert np.isnan(out["y"].tolist()[1])
+    # escape char itself round-trips
+    lt2 = pa.table({"a": ["x\x1e", "x"], "b": ["y", "\x1ey"], "rid": [0, 1]})
+    rt2 = pa.table({"a": ["x"], "b": ["\x1ey"], "y": [7.0]})
+    out2 = broadcast_join(lt2, rt2, on=["a", "b"]).to_pandas().sort_values("rid")
+    assert np.isnan(out2["y"].tolist()[0]) and out2["y"].tolist()[1] == 7.0

@@ -70,3 +70,20 @@ def test_ordering_matches_unlimited_path(high_card_ds):
         input_col="doc_id", output_col="i", string_order_type="alphabeticalAsc"
     ).fit(tbl)
     assert capped.labels_array == full.labels_array[:5]
+
+
+def test_single_block_over_cap_with_topk_succeeds(monkeypatch):
+    """ADVICE r02: the per-block guard must be skipped when top_k is set —
+    a single block with more distinct values than MAX_DRIVER_VOCAB is exactly
+    the case the sort+limit path exists for."""
+    monkeypatch.setattr(agg, "MAX_DRIVER_VOCAB", 100)
+    vals = [f"v{i:05d}" for i in range(500)] + ["hot"] * 50
+    tbl = pa.table({"c": pa.array(vals, pa.string())})
+    # guard path still raises without top_k
+    with pytest.raises(agg.VocabOverflowError):
+        agg._ValueCountsPartial(["c"], None)(tbl)
+    # guard=False (the top_k path) does not
+    out = agg._ValueCountsPartial(["c"], None, guard=False)(tbl)
+    assert out.num_rows == 501
+    counts = agg.value_counts(tbl, ["c"], top_k=1)
+    assert counts  # table path merged without tripping the block guard

@@ -19,6 +19,7 @@ import json
 import logging
 import os
 import sys
+from kamae_ray.sources.io import read_parquet_clean
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -68,7 +69,7 @@ def main():
         model = PipelineModel.load(model_dir)
         print(f"resumed fitted model from {model_dir}")
     else:
-        model = pipe.fit(ray.data.read_parquet(in_dir))
+        model = pipe.fit(read_parquet_clean(in_dir))
         model.save(model_dir)
         print(f"fitted and saved model to {model_dir}")
 

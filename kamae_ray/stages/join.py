@@ -108,6 +108,8 @@ def shuffle_join(
     how: str = "left",
     suffix: str = "_r",
     max_group_product: int = 10_000_000,
+    salt_partitions: int | str | None = None,
+    hot_key_rows: int = 1_000_000,
 ):
     """Large-x-large equi-join: ONE sort-shuffle co-locates equal keys (same
     plan + partitioning contract as the window family; string keys ride the
@@ -117,10 +119,22 @@ def shuffle_join(
     such rows are emitted unmatched or dropped per ``how``; note all
     null-keyed rows co-locate in one sort partition, so heavily-null keys
     should be pre-filtered by the caller).
-    ``max_group_product`` guards the inherent hot-key blowup (|L|x|R| rows
-    for one key): exceeding it raises with the key count rather than silently
-    OOMing a worker — pre-aggregate or salt such keys.
-    """
+
+    Hot keys never OOM or raise: segments whose cross product exceeds
+    ``max_group_product`` rows stream out in bounded chunks (the block fn is
+    a generator), so memory stays flat no matter the skew — one task still
+    computes the whole segment (wall-clock straggler).
+
+    ``salt_partitions`` addresses the straggler: ``"auto"`` (or an int S)
+    runs a hot-key pre-pass (functions/skew.py, threshold ``hot_key_rows``;
+    costs one extra streaming read of each side) and salts ONLY the detected
+    hot keys — their left rows split across S sub-partitions and their right
+    rows replicate into every sub-partition, so the per-partition product
+    drops Sx. Split-left/replicate-right is direction-safe for every ``how``:
+    each left row still sees the key's full right set, and replicated right
+    copies carry a tag excluding them from right-unmatched emission (only the
+    salt-0 original can emit unmatched, and salt 0 provably holds left rows
+    whenever any exist — split is ``arange % S`` per batch)."""
     on = [on] if isinstance(on, str) else list(on)
     if how not in ("left", "inner", "right", "outer"):
         raise ValueError("how must be left|inner|right|outer")
@@ -138,6 +152,27 @@ def shuffle_join(
     r_types = {f.name: f.type for f in r_schema}
     l_types = {f.name: f.type for f in l_schema}
     _SIDE = "__kr_jside"
+    _SALTJ = "__kr_jsalt"
+    _REPL = "__kr_jrepl"
+
+    # --- hot-key detection (Dataset path only; a Table is one block anyway)
+    salts = 0
+    hot_keys_arr = None  # combined-key array (l_types) of hot keys
+    if salt_partitions and not isinstance(left, pa.Table):
+        from kamae_ray.functions.skew import detect_hot_keys
+
+        salts = 16 if salt_partitions == "auto" else int(salt_partitions)
+        hot_l = detect_hot_keys(left, on, hot_key_rows)
+        hot_r = detect_hot_keys(right, on, hot_key_rows)
+        # normalize both to the LEFT key types before building combined keys
+        def _norm(t: pa.Table) -> pa.Table:
+            return pa.table({k: pc.cast(A.as_array(t.column(k)), l_types[k], safe=False) for k in on})
+        hot = pa.concat_tables([_norm(hot_l), _norm(hot_r)])
+        if hot.num_rows:
+            hot_keys_arr = pc.unique(_combined_key(hot, on))
+        else:
+            salts = 0
+
     def prep(batch: pa.Table, side: int) -> pa.Table:
         n = batch.num_rows
         cols = {}
@@ -155,15 +190,49 @@ def shuffle_join(
             for c, out_name in zip(payload, payload_out):
                 cols[out_name] = batch.column(c)
         cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+        if salts:
+            key = _combined_key(pa.table({k: cols[k] for k in on}), on)
+            hot_m = pc.is_valid(pc.index_in(key, value_set=hot_keys_arr)).to_numpy(zero_copy_only=False)
+            salt = np.zeros(n, dtype=np.int32)
+            repl = np.zeros(n, dtype=np.int8)
+            if side == 0:
+                # split hot-left rows round-robin; salt 0 always receives the
+                # first hot row of each batch (right-unmatched safety proof)
+                salt[hot_m] = np.arange(int(hot_m.sum())) % salts
+                cols[_SALTJ] = pa.array(salt)
+                cols[_REPL] = pa.array(repl)
+                return pa.table(cols)
+            cols[_SALTJ] = pa.array(salt)
+            cols[_REPL] = pa.array(repl)
+            out = pa.table(cols)
+            hot_idx = np.flatnonzero(hot_m)
+            if len(hot_idx):
+                # replicate hot-key right rows into salts 1..S-1 (tagged)
+                extra_idx = np.tile(hot_idx, salts - 1)
+                extra = out.take(pa.array(extra_idx))
+                extra = extra.set_column(
+                    extra.column_names.index(_SALTJ), _SALTJ,
+                    pa.array(np.repeat(np.arange(1, salts, dtype=np.int32), len(hot_idx))),
+                )
+                extra = extra.set_column(
+                    extra.column_names.index(_REPL), _REPL,
+                    pa.array(np.ones(len(extra_idx), np.int8)),
+                )
+                out = pa.concat_tables([out, extra])
+            return out
         return pa.table(cols)
-    def merge(block: pa.Table) -> pa.Table:
+
+    group_cols = on + ([_SALTJ] if salts else [])
+    meta_cols = [_SIDE] + ([_SALTJ, _REPL] if salts else [])
+
+    def merge_parts(block: pa.Table):
+        """Generator: join result for one key-sorted block, oversized key
+        segments emitted in <= max_group_product-row chunks."""
         n = block.num_rows
         if n == 0:
-            return block.drop_columns([_SIDE])
+            yield block.drop_columns(meta_cols)
+            return
         # SQL NULL semantics: rows whose key tuple contains a null never match.
-        # Null-keyed left rows pass through unmatched (left/outer) or drop
-        # (inner/right); null-keyed right rows pass through (right/outer) or
-        # drop — their opposite-side columns are already null from prep.
         nullmask = _np.zeros(n, dtype=bool)
         for k in on:
             col = A.as_array(block.column(k))
@@ -178,14 +247,15 @@ def shuffle_join(
             if how in ("right", "outer"):
                 keep |= nullmask & (sd == 1)
             if keep.any():
-                null_out = block.filter(pa.array(keep)).drop_columns([_SIDE])
+                null_out = block.filter(pa.array(keep)).drop_columns(meta_cols)
             block = block.filter(pa.array(~nullmask))
             n = block.num_rows
             if n == 0:
-                out = block.drop_columns([_SIDE])
-                return pa.concat_tables([out, null_out.select(out.column_names)]) if null_out is not None else out
+                out = block.drop_columns(meta_cols)
+                yield pa.concat_tables([out, null_out.select(out.column_names)]) if null_out is not None else out
+                return
         side = block.column(_SIDE).to_numpy(zero_copy_only=False)
-        gids = S.group_ids(block, on)
+        gids = S.group_ids(block, group_cols)
         order = _np.lexsort((side, gids))
         gs, ss = gids[order], side[order]
         starts, lens = S.segments(gs)
@@ -194,68 +264,87 @@ def shuffle_join(
         _np.add.at(n_left, _np.searchsorted(starts, _np.nonzero(ss == 0)[0], side="right") - 1, 1)
         n_right = lens - n_left
         prod = n_left * n_right
-        if prod.max(initial=0) > max_group_product:
-            k = int(_np.argmax(prod))
-            raise ValueError(
-                f"shuffle_join hot key: {int(n_left[k])} x {int(n_right[k])} rows "
-                f"for one key exceeds max_group_product={max_group_product}"
-            )
         keep_left_solo = how in ("left", "outer")
-        out_per = _np.where(n_right > 0, prod, n_left if keep_left_solo else 0)
         # right-unmatched rows (right/outer): right rows in segments with no
         # lefts pass through directly — their left columns are already null
-        # from prep, key columns populated
+        # from prep; replicated salt copies are excluded (only the salt-0
+        # original may emit unmatched)
         extra = None
         if how in ("right", "outer"):
             seg_idx = _np.repeat(_np.arange(len(starts)), lens)
             rmask = (ss == 1) & (n_left[seg_idx] == 0)
+            if salts:
+                repl = block.column(_REPL).to_numpy(zero_copy_only=False)
+                rmask &= repl[order] == 0
             if rmask.any():
-                extra = block.take(pa.array(order[rmask])).drop_columns([_SIDE])
+                extra = block.take(pa.array(order[rmask])).drop_columns(meta_cols)
         if null_out is not None:
-            extra = pa.concat_tables([t for t in (extra, null_out.select([c for c in block.column_names if c != _SIDE])) if t is not None])
-        out_off = _np.concatenate([[0], _np.cumsum(out_per)])
-        total = int(out_off[-1])
-        if total == 0:
-            if extra is not None:
-                return extra
-            empty = block.take(pa.array([], pa.int64()))
-            return empty.drop_columns([_SIDE])
-        within = _np.arange(total, dtype=_np.int64) - _np.repeat(out_off[:-1], out_per)
-        seg_of = _np.repeat(_np.arange(len(starts)), out_per)
-        R = n_right[seg_of]
-        Rdiv = _np.where(R > 0, R, 1)
-        li = within // Rdiv
-        ri = within % Rdiv
-        matched = R > 0
-        left_rows = order[starts[seg_of] + li]
-        # unmatched (R==0, left join): point at the left row — its value is
-        # replaced by null below, this only keeps the index in bounds
-        right_pos = _np.where(matched, starts[seg_of] + n_left[seg_of] + ri, starts[seg_of] + li)
-        right_rows = order[right_pos]
-        cols = {}
-        left_part = block.take(pa.array(left_rows))
-        right_part = block.take(pa.array(right_rows))
-        for c in block.column_names:
-            if c == _SIDE:
-                continue
-            if c in payload_out:
-                # payload from the right row; unmatched -> null
-                taken = right_part.column(c)
-                if not matched.all():
-                    taken = pc.if_else(pa.array(matched), taken.combine_chunks(), pa.nulls(total, taken.type))
-                cols[c] = taken
-            else:
-                cols[c] = left_part.column(c)
-        result = pa.table(cols)
-        if extra is not None:
-            result = pa.concat_tables([result, extra.select(result.column_names)])
-        return result
-    merge.__name__ = "shuffle_join_merge"
+            nn = null_out.select([c for c in block.column_names if c not in meta_cols])
+            extra = pa.concat_tables([t for t in (extra, nn) if t is not None])
+
+        def emit(seg_sel: _np.ndarray, chunk: tuple[int, int] | None = None):
+            """Materialize the join output for the selected segments (all
+            matched/solo rows, or one [lo, hi) output-row slice)."""
+            sel_starts = starts[seg_sel]
+            sel_nl = n_left[seg_sel]
+            sel_nr = n_right[seg_sel]
+            out_per = _np.where(sel_nr > 0, sel_nl * sel_nr, sel_nl if keep_left_solo else 0)
+            out_off = _np.concatenate([[0], _np.cumsum(out_per)])
+            total = int(out_off[-1])
+            lo, hi = (0, total) if chunk is None else chunk
+            if hi <= lo:
+                return None
+            within_abs = _np.arange(lo, hi, dtype=_np.int64)
+            seg_of = _np.searchsorted(out_off, within_abs, side="right") - 1
+            within = within_abs - out_off[seg_of]
+            R = sel_nr[seg_of]
+            Rdiv = _np.where(R > 0, R, 1)
+            li = within // Rdiv
+            ri = within % Rdiv
+            matched = R > 0
+            left_rows = order[sel_starts[seg_of] + li]
+            right_pos = _np.where(matched, sel_starts[seg_of] + sel_nl[seg_of] + ri, sel_starts[seg_of] + li)
+            right_rows = order[right_pos]
+            cols = {}
+            left_part = block.take(pa.array(left_rows))
+            right_part = block.take(pa.array(right_rows))
+            for c in block.column_names:
+                if c in meta_cols:
+                    continue
+                if c in payload_out:
+                    taken = right_part.column(c)
+                    if not matched.all():
+                        taken = pc.if_else(pa.array(matched), taken.combine_chunks(), pa.nulls(hi - lo, taken.type))
+                    cols[c] = taken
+                else:
+                    cols[c] = left_part.column(c)
+            return pa.table(cols)
+
+        small = prod <= max_group_product
+        emitted = False
+        first = emit(_np.flatnonzero(small))
+        if first is not None or extra is not None:
+            parts = [t for t in (first, extra.select(first.column_names) if (extra is not None and first is not None) else extra) if t is not None]
+            yield pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+            emitted = True
+        big = _np.flatnonzero(~small)
+        for b in big:
+            seg = _np.array([b])
+            total = int(prod[b]) if n_right[b] > 0 else (int(n_left[b]) if keep_left_solo else 0)
+            for lo in range(0, total, max_group_product):
+                t = emit(seg, (lo, min(lo + max_group_product, total)))
+                if t is not None:
+                    yield t
+                    emitted = True
+        if not emitted:
+            yield block.take(pa.array([], pa.int64())).drop_columns(meta_cols)
+
+    merge_parts.__name__ = "shuffle_join_merge"
     if isinstance(left, pa.Table):
         both = pa.concat_tables([prep(left, 0), prep(right, 1)])
-        return merge(both)
+        return pa.concat_tables(list(merge_parts(both)))
     import ray  # noqa: F401  (Dataset path)
     from kamae_ray.stages.window import _NamedFn, sorted_block_apply
     lt = left.map_batches(_NamedFn(lambda b: prep(b, 0), "join_prep_left"), batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(_NamedFn(lambda b: prep(b, 1), "join_prep_right"), batch_format="pyarrow", zero_copy_batch=True)
-    return sorted_block_apply(lt.union(rt), on, merge, "shuffle_join_merge")
+    return sorted_block_apply(lt.union(rt), group_cols, merge_parts, "shuffle_join_merge")

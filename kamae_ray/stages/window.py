@@ -152,8 +152,9 @@ def asof_join(
     strict: bool = False,
     tolerance: float | None = None,
     suffix: str = "_r",
-    salt_partitions: int | None = None,
+    salt_partitions: int | str | None = None,
     right_tiebreak: str | None = None,
+    hot_key_rows: int = 1_000_000,
 ):
     """For each left row at time t, attach the latest right row of the same
     entity with t' <= t (or t' < t when ``strict``). Unmatched -> nulls.
@@ -165,6 +166,13 @@ def asof_join(
     rows share the same (entity, time), the one with the LARGEST tiebreak
     value wins deterministically (default: arrival order, which is stable
     per run but not across shuffles).
+
+    ``salt_partitions``: an int salts EVERY entity (left split round-robin,
+    right replicated — original opt-in behaviour); ``"auto"`` first detects
+    hot LEFT entities (> ``hot_key_rows`` rows; functions/skew.py — one extra
+    streaming read of the left side) and salts ONLY those, so the
+    replication cost is paid exactly where the skew is. No hot entities ->
+    plain unsalted plan.
     """
     right_on = right_on or left_on
     by = list(by)
@@ -190,13 +198,26 @@ def asof_join(
     l_types = dict(zip(left_schema.names, left_schema.types))
     r_types = dict(zip(right_schema.names, right_schema.types))
     t_type = _union_time_type(l_types[left_on], r_types[right_on])
-    salts = int(salt_partitions) if salt_partitions else 1
+    hot_keys = None
+    if salt_partitions == "auto":
+        from kamae_ray.functions.skew import detect_hot_keys
+        from kamae_ray.stages.join import _combined_key
+
+        hot = detect_hot_keys(left, by, hot_key_rows)
+        if hot.num_rows:
+            hot = pa.table({k: pc.cast(A.as_array(hot.column(k)), l_types[k], safe=False) for k in by})
+            hot_keys = pc.unique(_combined_key(hot, by))
+            salts = 16
+        else:
+            salts = 1
+    else:
+        salts = int(salt_partitions) if salt_partitions else 1
 
     def prep_left(batch: pa.Table) -> pa.Table:
-        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 0, salts, tiebreak=right_tiebreak)
+        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 0, salts, tiebreak=right_tiebreak, hot_keys=hot_keys)
 
     def prep_right(batch: pa.Table) -> pa.Table:
-        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 1, salts, tiebreak=right_tiebreak)
+        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 1, salts, tiebreak=right_tiebreak, hot_keys=hot_keys)
 
     lt = left.map_batches(_NamedFn(prep_left, "asof_prep_left"), batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(_NamedFn(prep_right, "asof_prep_right"), batch_format="pyarrow", zero_copy_batch=True)
@@ -212,7 +233,7 @@ def _union_time_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType:
 
 
 def _prep_side(
-    batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side, salts, tiebreak=None
+    batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side, salts, tiebreak=None, hot_keys=None
 ):
     n = batch.num_rows
     if side == 0:
@@ -238,6 +259,29 @@ def _prep_side(
         else:
             cols[_TB] = pa.array(np.zeros(n))
     if salts > 1:
+        if hot_keys is not None:
+            # selective salting (salt_partitions="auto"): only detected hot
+            # entities split/replicate; everything else rides salt 0
+            from kamae_ray.stages.join import _combined_key
+
+            key = _combined_key(pa.table({k: cols[k] for k in by}), by)
+            hot_m = pc.is_valid(pc.index_in(key, value_set=hot_keys)).to_numpy(zero_copy_only=False)
+            if side == 0:
+                salt = np.zeros(n, dtype=np.int32)
+                salt[hot_m] = np.arange(int(hot_m.sum())) % salts
+                cols[_SALT] = pa.array(salt)
+                return pa.table(cols)
+            cols[_SALT] = pa.array(np.zeros(n, dtype=np.int32))
+            out = pa.table(cols)
+            hot_idx = np.flatnonzero(hot_m)
+            if len(hot_idx):
+                extra = out.take(pa.array(np.tile(hot_idx, salts - 1)))
+                extra = extra.set_column(
+                    extra.column_names.index(_SALT), _SALT,
+                    pa.array(np.repeat(np.arange(1, salts, dtype=np.int32), len(hot_idx))),
+                )
+                out = pa.concat_tables([out, extra])
+            return out
         if side == 0:
             cols[_SALT] = pa.array((np.arange(n) % salts).astype(np.int32))
             return pa.table(cols)

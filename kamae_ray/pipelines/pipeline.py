@@ -278,6 +278,13 @@ class PipelineModel:
     def save(self, path: str) -> None:
         _save_stages(self.stages, path, fitted=True)
 
+    def export_portable(self, path: str) -> None:
+        """Engine-agnostic serving artifact (spec.json + arrays.npz) a
+        non-Ray process can apply — see state/portable.py for the format."""
+        from kamae_ray.state.portable import export_portable
+
+        export_portable(self, path)
+
     @classmethod
     def load(cls, path: str) -> "PipelineModel":
         return cls(_load_stages(path))

@@ -250,3 +250,19 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
         else:
             raise ValueError(f"unknown op {kind!r}")
     return table
+
+
+#: class names with a v1 portable op (consumed by discovery.get_capabilities
+#: and kept in sync with _spec_of's dispatch by tests/test_portable_artifact.py)
+PORTABLE_CLASSES = frozenset({
+    "LogTransformer",
+    "AbsoluteValueTransformer",
+    "ImputeTransformer",
+    "StandardScaleTransformer",
+    "ConditionalStandardScaleTransformer",
+    "MinMaxScaleTransformer",
+    "StringIndexTransformer",
+    "SharedStringIndexTransformer",
+    "OneHotEncodeTransformer",
+    "SharedOneHotEncodeTransformer",
+})

@@ -182,3 +182,27 @@ def test_export_rejects_non_portable(tmp_path):
     model = PipelineModel([HashIndexTransformer(input_col="c", num_bins=8, output_col="h")])
     with pytest.raises(ValueError, match="HashIndexTransformer"):
         model.export_portable(str(tmp_path / "bad"))
+
+
+def test_capabilities_metadata_coherent():
+    """Meta-test (reference parity: test_jit_compatibility.py:23-60): every
+    stage reports capabilities; the portable set matches _spec_of's dispatch;
+    wide stages are exactly the non-fusible sort-key stages."""
+    from kamae_ray import stages as S
+    from kamae_ray.discovery import get_capabilities, get_estimators, get_transformers
+    from kamae_ray.state.portable import PORTABLE_CLASSES, _spec_of
+
+    caps = get_capabilities()
+    assert set(caps) == set(get_transformers()) | set(get_estimators())
+    for name in PORTABLE_CLASSES:
+        assert caps[name]["portable"], name
+        assert hasattr(S, name), name
+    for name, c in caps.items():
+        assert c["backends"] == ("arrow_table", "ray_dataset")
+        if c["wide"]:
+            assert not c["fusible"], name  # wide stages own their shuffle
+    # dispatch consistency: a portable class instance must yield a spec
+    inst = S.LogTransformer(input_col="x", output_col="y", alpha=1.0)
+    assert _spec_of(inst, {}, [0])["op"] == "log"
+    # and a non-portable one must not
+    assert _spec_of(S.HashIndexTransformer(input_col="x", num_bins=4, output_col="y"), {}, [0]) is None

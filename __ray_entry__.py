@@ -1635,7 +1635,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
         ),
-        # q_minhash_pairs, q_simhash, q_neardup, q_hash_encode, q_ann_ivf:
+        # Exact all-pairs word-3-gram Jaccard + recursive-CTE connected
+        # components + min-id winners — SQL ground truth for the whole
+        # near-dedup pipeline. A hash match certifies the MinHash/LSH
+        # candidate recall at this banding AND the verify/cluster stages
+        # (same certification pattern as q_emb_neardup).
+        "q_neardup": (
+            r"WITH words AS (SELECT doc_id, "
+            r"list_filter(string_split_regex(coalesce(text,''), '\s+'), w -> length(w) > 0) AS ws "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, shingle FROM ("
+            "SELECT doc_id, CASE WHEN len(ws) >= 3 THEN ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] "
+            "ELSE array_to_string(ws, ' ') END AS shingle "
+            "FROM words, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS i) g)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id ida, b.doc_id idb, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "edges AS (SELECT ida a, idb b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb "
+            "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7), "
+            "und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges UNION SELECT a, a FROM edges), "
+            "walk AS (WITH RECURSIVE w(node, reach) AS (SELECT a, a FROM und "
+            "UNION SELECT w.node, u.b FROM w JOIN und u ON u.a = w.reach) SELECT * FROM w), "
+            "cc AS (SELECT node, min(reach) AS rep FROM walk GROUP BY node) "
+            "SELECT doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT node FROM cc WHERE rep <> node)"
+        ),
+        # q_minhash_pairs, q_simhash, q_hash_encode, q_ann_ivf:
         # hash-dependent (FarmHash, LSH banding, k-means assignment)
         # -> rows-only driver check; FarmHash itself is pinned to published
         # vectors in tests/test_farmhash_vectors.py.

@@ -289,6 +289,11 @@ def main_scaling():
     tp_lo = results[lo]["rows_per_s"]
     tp_hi = results[hi]["rows_per_s"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+    phase_eff = {}
+    pl, ph = results[lo].get("phases", {}), results[hi].get("phases", {})
+    for k in pl:
+        if k in ph and ph[k] > 0:
+            phase_eff[k.replace("_s", "")] = round((pl[k] / ph[k]) / (hi / lo), 3)
     doc = {
         "metric": f"scaling efficiency (rows/s at {hi} cpus vs {lo} cpus / {hi // lo})",
         "value": round(eff, 3),
@@ -300,6 +305,7 @@ def main_scaling():
         f"throughput_{hi}": tp_hi,
         f"tokens_per_s_{lo}": results[lo]["tokens_per_s"],
         f"tokens_per_s_{hi}": results[hi]["tokens_per_s"],
+        "phase_efficiency": phase_eff,
         "pass": eff >= 0.8,
     }
     print(json.dumps(doc))

@@ -24,7 +24,15 @@ _CNT = "__kr_cnt"
 
 
 def _partial_counts(batch: pa.Table, on: list[str]) -> pa.Table:
-    out = batch.select(on).group_by(on).aggregate([([], "count_all")])
+    t = batch.select(on)
+    # drop null-keyed rows: they never join-match (SQL NULL semantics), can't
+    # be salted via index_in, and Ray's range-partitioned groupby cannot
+    # compare null against non-null keys
+    for k in on:
+        col = t.column(k)
+        if col.null_count:
+            t = t.filter(pc.is_valid(col))
+    out = t.group_by(on).aggregate([([], "count_all")])
     return out.rename_columns(on + [_CNT])
 
 

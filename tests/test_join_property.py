@@ -1,0 +1,106 @@
+"""Property test: shuffle_join vs DuckDB over randomized inputs — all four
+join modes, NULL keys, duplicate keys on both sides, composite keys, tiny
+chunk sizes (forcing the generator merge), and selective salting."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kamae_ray.stages import shuffle_join
+
+SQLNAME = {"left": "LEFT", "inner": "INNER", "right": "RIGHT", "outer": "FULL OUTER"}
+
+
+@st.composite
+def join_case(draw):
+    nl = draw(st.integers(0, 40))
+    nr = draw(st.integers(0, 40))
+    n_keys = draw(st.integers(1, 5))
+    null_rate = draw(st.sampled_from([0.0, 0.3]))
+    seed = draw(st.integers(0, 10_000))
+    how = draw(st.sampled_from(["left", "inner", "right", "outer"]))
+    chunk = draw(st.sampled_from([3, 1000]))
+    return nl, nr, n_keys, null_rate, seed, how, chunk
+
+
+def _keys(rng, n, n_keys, null_rate):
+    ks = [f"k{i}" for i in range(n_keys)]
+    out = [None if rng.rand() < null_rate else ks[rng.randint(n_keys)] for _ in range(n)]
+    return pa.array(out, pa.string())
+
+
+def _norm(df):
+    cols = ["rid", "k", "x", "y"]
+    return df[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+
+
+@given(join_case())
+@settings(max_examples=60, deadline=None)
+def test_shuffle_join_table_path_matches_duckdb(case):
+    nl, nr, n_keys, null_rate, seed, how, chunk = case
+    rng = np.random.RandomState(seed)
+    lt = pa.table({"k": _keys(rng, nl, n_keys, null_rate),
+                   "x": rng.standard_normal(nl), "rid": np.arange(nl)})
+    rt = pa.table({"k": _keys(rng, nr, n_keys, null_rate),
+                   "y": rng.standard_normal(nr)})
+    got = shuffle_join(lt, rt, on="k", how=how, max_group_product=chunk).to_pandas()
+    oracle = duckdb.sql(
+        f"SELECT coalesce(l.k, r.k) k, l.x, l.rid, r.y "
+        f"FROM lt l {SQLNAME[how]} JOIN rt r ON l.k = r.k"
+    ).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(oracle), check_dtype=False)
+
+
+def test_shuffle_join_dataset_path_randomized(ray_session):
+    """Dataset path with multi-block inputs, tiny chunks, and auto-salting —
+    a handful of seeds (each run costs a Ray sort)."""
+    import ray
+
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        nl, nr = 600, 200
+        lt = pa.table({"k": _keys(rng, nl, 4, 0.2), "x": rng.standard_normal(nl),
+                       "rid": np.arange(nl)})
+        rt = pa.table({"k": _keys(rng, nr, 6, 0.2), "y": rng.standard_normal(nr)})
+        for how in ("left", "inner", "right", "outer"):
+            oracle = duckdb.sql(
+                f"SELECT coalesce(l.k, r.k) k, l.x, l.rid, r.y "
+                f"FROM lt l {SQLNAME[how]} JOIN rt r ON l.k = r.k"
+            ).df()
+            got = shuffle_join(
+                ray.data.from_arrow(lt).repartition(5),
+                ray.data.from_arrow(rt).repartition(3),
+                on="k", how=how, max_group_product=50,
+                salt_partitions=3, hot_key_rows=60,
+            ).to_pandas()
+            pd.testing.assert_frame_equal(_norm(got), _norm(oracle), check_dtype=False), (seed, how)
+
+
+def test_shuffle_join_composite_key_with_nulls():
+    rng = np.random.RandomState(7)
+    n = 120
+    lt = pa.table({
+        "a": _keys(rng, n, 3, 0.2),
+        "b": pa.array([None if rng.rand() < 0.2 else int(rng.randint(3)) for _ in range(n)], pa.int64()),
+        "x": rng.standard_normal(n), "rid": np.arange(n),
+    })
+    m = 50
+    rt = pa.table({
+        "a": _keys(rng, m, 3, 0.2),
+        "b": pa.array([None if rng.rand() < 0.2 else int(rng.randint(3)) for _ in range(m)], pa.int64()),
+        "y": rng.standard_normal(m),
+    })
+    for how in ("left", "inner", "right", "outer"):
+        got = shuffle_join(lt, rt, on=["a", "b"], how=how).to_pandas()
+        oracle = duckdb.sql(
+            f"SELECT coalesce(l.a, r.a) a, coalesce(l.b, r.b) b, l.x, l.rid, r.y "
+            f"FROM lt l {SQLNAME[how]} JOIN rt r ON l.a = r.a AND l.b = r.b"
+        ).df()
+        cols = ["rid", "a", "b", "x", "y"]
+        g = got[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        o = oracle[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, o, check_dtype=False)

@@ -19,9 +19,10 @@ import json
 import logging
 import os
 import sys
-from kamae_ray.sources.io import read_parquet_clean
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kamae_ray.sources.io import read_parquet_clean  # noqa: E402 (needs sys.path above)
 
 
 def main():

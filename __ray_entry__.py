@@ -687,6 +687,43 @@ def _q_ann_ivf(sf_dir):
     )
 
 
+def _q_ann_ivf_index(sf_dir):
+    """PERSISTED IVF index: build writes the corpus hive-partitioned by
+    nearest centroid (one directory per inverted list); query reads ONLY its
+    probed partitions — I/O proportional to n_probe/n_centroids of the
+    corpus. With n_probe == n_centroids (full probe) the result equals exact
+    brute force (pinned by tests/test_dedup_ann_text.py::
+    test_ivf_persisted_index), which is what this query runs so the check is
+    deterministic; rows-only because the k-means partition layout itself is
+    not SQL-expressible."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.ann import ivf_build, ivf_query
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qrows = first.filter(pc.is_in(first.column("vec_id"), value_set=pa.array([0, 1])))
+    queries = np.asarray(qrows.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = tempfile.mkdtemp(prefix="kamae_ivf_")
+    try:
+        ivf_build(ds, "embedding", "vec_id", idx, n_centroids=16)
+        top = ivf_query(idx, queries, k=10, n_probe=16)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return pa.table(
+        {
+            "query_idx": pc.cast(top.column("query_idx"), pa.int64()),
+            "rank": pc.cast(top.column("rank"), pa.int64()),
+            "vec_id": top.column("id"),
+            "cosine": pc.round(top.column("cosine"), ndigits=_R, round_mode="half_towards_infinity"),
+        }
+    )
+
+
 def _q_emb_neardup(sf_dir):
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH buckets + exact
     in-bucket verify. Oracle = exact brute-force all-pairs SQL; a full hash
@@ -1264,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_exact_dedup": _q_exact_dedup,
         "q_ann_topk": _q_ann_topk,
         "q_ann_ivf": _q_ann_ivf,
+        "q_ann_ivf_index": _q_ann_ivf_index,
         "q_emb_neardup": _q_emb_neardup,
         "q_join": _q_join,
         "q_join2": _q_join2,
@@ -1489,6 +1527,20 @@ def oracle_sql() -> dict[str, str]:
             "scored AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)) AS cs FROM embeddings) "
             "SELECT CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS rank, vec_id, "
             "ROUND(cs, 6) AS cosine FROM scored ORDER BY cs DESC, vec_id LIMIT 10"
+        ),
+        # full-probe ivf_query == exact top-k, so the persisted-index path
+        # gets a REAL oracle: a hash match certifies the partitioned write,
+        # the probed-partition read AND the scoring kernel end-to-end
+        "q_ann_ivf_index": (
+            "WITH q AS (SELECT vec_id AS query_idx, embedding::DOUBLE[] AS qe "
+            "FROM embeddings WHERE vec_id IN (0, 1)), "
+            "scored AS (SELECT q.query_idx, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS cs "
+            "FROM embeddings e CROSS JOIN q), "
+            "ranked AS (SELECT query_idx, vec_id, cs, "
+            "row_number() OVER (PARTITION BY query_idx ORDER BY cs DESC, vec_id) AS rank FROM scored) "
+            "SELECT CAST(query_idx AS BIGINT) AS query_idx, CAST(rank AS BIGINT) AS rank, "
+            "vec_id, ROUND(cs, 6) AS cosine FROM ranked WHERE rank <= 10"
         ),
         "q_math3": (
             "SELECT l_orderkey, l_linenumber, "

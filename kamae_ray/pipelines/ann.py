@@ -98,29 +98,7 @@ def brute_force_topk(ds, queries: np.ndarray, emb_col: str, id_col: str, k: int 
                 "cosine": pa.array([r["cosine"] for r in rows], pa.float64()),
             }
         )
-    # final top-k per query on the driver (bounded: blocks × queries × k rows)
-    qi = merged.column("query_idx").to_numpy(zero_copy_only=False)
-    sim = merged.column("cosine").to_numpy(zero_copy_only=False)
-    ids = merged.column("id").to_numpy(zero_copy_only=False)
-    out_q, out_id, out_sim, out_rank = [], [], [], []
-    for q in np.unique(qi):
-        m = qi == q
-        order = np.lexsort((ids[m], -sim[m]))[:k]
-        sel_ids = ids[m][order]
-        sel_sims = sim[m][order]
-        for r, (i_, s_) in enumerate(zip(sel_ids, sel_sims), start=1):
-            out_q.append(int(q))
-            out_id.append(int(i_))
-            out_sim.append(float(s_))
-            out_rank.append(r)
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int32()),
-            "rank": pa.array(out_rank, pa.int32()),
-            "id": pa.array(out_id, pa.int64()),
-            "cosine": pa.array(out_sim, pa.float64()),
-        }
-    )
+    return _final_topk(merged, k)
 
 
 def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42) -> np.ndarray:
@@ -226,6 +204,12 @@ def ivf_topk(
                 "cosine": pa.array([r["cosine"] for r in rows], pa.float64()),
             }
         )
+    return _final_topk(merged, k)
+
+
+def _final_topk(merged: pa.Table, k: int) -> pa.Table:
+    """Driver-side final top-k per query over partial results (bounded:
+    blocks x queries x k rows)."""
     qi = merged.column("query_idx").to_numpy(zero_copy_only=False)
     sim = merged.column("cosine").to_numpy(zero_copy_only=False)
     ids = merged.column("id").to_numpy(zero_copy_only=False)
@@ -246,3 +230,144 @@ def ivf_topk(
             "cosine": pa.array(out_sim, pa.float64()),
         }
     )
+
+
+def ivf_build(
+    ds,
+    emb_col: str,
+    id_col: str,
+    path: str,
+    n_centroids: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Build a PERSISTED IVF index: spherical k-means centroids (seeded
+    driver sample) + the corpus written as hive-partitioned parquet — ONE
+    directory per centroid — so ``ivf_query`` reads only its probed
+    partitions (prune-at-the-read; the partitioned layout is also the
+    resumable-output shape). Returns the centroid matrix; the index directory
+    holds ``centroids.npz`` + ``meta.json`` + ``centroid=<i>/`` parts."""
+    import json
+    import os
+
+    import ray  # noqa: F401
+
+    try:
+        n = ds._logical_plan.dag.infer_metadata().num_rows
+    except Exception:
+        n = None
+    if n is None:
+        n = ds.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    sampled = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+    rows = sampled.limit(sample_size).take_all()
+    sample = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+    cents = train_centroids(sample, n_centroids, seed=seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m, _ = A.matrix_view(batch.column(emb_col))
+        x = _normalize(m.astype(np.float64))
+        a = np.argmax(x @ cents.T, axis=1).astype(np.int32)
+        return batch.select([id_col, emb_col]).append_column("centroid", pa.array(a))
+
+    assign.__name__ = "ivf_assign"
+    os.makedirs(path, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        path, partition_cols=["centroid"]
+    )
+    np.savez(os.path.join(path, "centroids.npz"), centroids=cents)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"emb_col": emb_col, "id_col": id_col, "n_centroids": int(n_centroids)}, f)
+    return cents
+
+
+def ivf_query(
+    path: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> pa.Table:
+    """Query a persisted IVF index: only the probed ``centroid=<i>``
+    directories are READ (I/O proportional to n_probe/n_centroids of the
+    corpus — the actual point of an inverted file), scored with one matmul
+    per (batch, querying-subset), partial top-k per batch, driver merge.
+    Same output schema as ``brute_force_topk``."""
+    import json
+    import os
+
+    import ray
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cents = np.load(os.path.join(path, "centroids.npz"))["centroids"]
+    queries = np.asarray(queries, dtype=np.float64)
+    qn = _normalize(queries)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probed = sorted({int(c) for c in probes.reshape(-1)})
+    dirs = [os.path.join(path, f"centroid={c}") for c in probed]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return pa.table(
+            {"query_idx": pa.array([], pa.int32()), "rank": pa.array([], pa.int32()),
+             "id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+    emb_col, id_col = meta["emb_col"], meta["id_col"]
+    # read_parquet takes a list of FILES (a list of directories is read as
+    # files); expanding also keeps one read task per part file
+    files = sorted(
+        os.path.join(d, f) for d in dirs for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    ds = ray.data.read_parquet(files, columns=[id_col, emb_col, "centroid"])
+    q_ref = ray.put(qn)
+    probes_by_centroid = {c: np.nonzero((probes == c).any(axis=1))[0] for c in probed}
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"query_idx": pa.array([], pa.int32()), "id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        q = ray.get(q_ref)
+        # hive partition values read back as strings
+        cent = np.asarray([int(c) for c in batch.column("centroid").to_pylist()], dtype=np.int64)
+        m, _ = A.matrix_view(batch.column(emb_col))
+        x = _normalize(m.astype(np.float64))
+        ids = A.as_array(batch.column(id_col)).to_numpy(zero_copy_only=False)
+        qs, id_parts, sim_parts = [], [], []
+        for c in np.unique(cent):
+            qsel = probes_by_centroid.get(int(c))
+            if qsel is None or not len(qsel):
+                continue
+            rows = cent == c
+            sims = x[rows] @ q[qsel].T  # (rows_c, nq_c)
+            cids = ids[rows]
+            kk = min(k, len(cids))
+            top = (np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                   if kk < len(cids) else np.tile(np.arange(len(cids))[:, None], (1, len(qsel))))
+            qidx = np.repeat(qsel.astype(np.int32), top.shape[0])
+            rsel = top.T.reshape(-1)
+            qs.append(qidx)
+            id_parts.append(cids[rsel].astype(np.int64))
+            sim_parts.append(sims[rsel, np.repeat(np.arange(len(qsel)), top.shape[0])])
+        if not qs:
+            return empty
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(qs), pa.int32()),
+                "id": pa.array(np.concatenate(id_parts), pa.int64()),
+                "cosine": pa.array(np.concatenate(sim_parts), pa.float64()),
+            }
+        )
+
+    score.__name__ = "ivf_score"
+    rows = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    merged = pa.table(
+        {
+            "query_idx": pa.array([r["query_idx"] for r in rows], pa.int32()),
+            "id": pa.array([r["id"] for r in rows], pa.int64()),
+            "cosine": pa.array([r["cosine"] for r in rows], pa.float64()),
+        }
+    )
+    return _final_topk(merged, k)

@@ -481,3 +481,44 @@ def test_detect_hot_keys(ray_session):
     assert sorted(hot_ds.column("a").to_pylist()) == ["x", "y"]
     none = detect_hot_keys(ds, ["a"], 1000)
     assert none.num_rows == 0 and none.column_names == ["a"]
+
+
+def test_ivf_persisted_index(ray_session, tmp_path):
+    """ivf_build writes a hive-partitioned inverted file; ivf_query reads
+    ONLY probed partitions; full-probe query == exact brute force."""
+    import os
+
+    import ray
+
+    from kamae_ray.pipelines.ann import brute_force_topk, ivf_build, ivf_query
+
+    rng = np.random.RandomState(5)
+    n, d = 400, 16
+    vecs = rng.standard_normal((n, d))
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "emb": [list(map(float, v)) for v in vecs]})
+    ds = ray.data.from_arrow(t).repartition(4)
+    idx_path = str(tmp_path / "ivf")
+    cents = ivf_build(ds, "emb", "id", idx_path, n_centroids=8, sample_size=400)
+    assert cents.shape == (8, d)
+    parts = [p for p in os.listdir(idx_path) if p.startswith("centroid=")]
+    assert len(parts) >= 2  # corpus actually spread over partitions
+
+    q = vecs[:3]
+    # full probe == exact brute force (every partition read)
+    full = ivf_query(idx_path, q, k=5, n_probe=8)
+    exact = brute_force_topk(t, q, "emb", "id", k=5)
+    assert full.column("id").to_pylist() == exact.column("id").to_pylist()
+    assert np.allclose(full.column("cosine").to_pylist(), exact.column("cosine").to_pylist())
+    # narrow probe: results only come from probed partitions
+    from kamae_ray.pipelines.ann import _normalize
+    qn = _normalize(np.asarray(q, dtype=np.float64))
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :2]
+    narrow = ivf_query(idx_path, q, k=5, n_probe=2)
+    x = _normalize(vecs.astype(np.float64))
+    assign = np.argmax(x @ cents.T, axis=1)
+    for qi, i in zip(narrow.column("query_idx").to_pylist(), narrow.column("id").to_pylist()):
+        assert assign[i] in probes[qi]
+    # rank-1 self match survives narrow probing (query = corpus vector)
+    r1 = narrow.filter(pa.array(np.array(narrow.column("rank").to_pylist()) == 1))
+    assert r1.column("id").to_pylist() == [0, 1, 2]

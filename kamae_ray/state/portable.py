@@ -189,6 +189,58 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
 
     for op in spec["ops"]:
         kind = op["op"]
+        in_type = table.column(op["input"]).type if "input" in op else None
+        is_list = in_type is not None and (pa.types.is_list(in_type) or pa.types.is_large_list(in_type))
+        if is_list and kind in ("standard_scale", "conditional_standard_scale",
+                                "min_max_scale", "log", "abs", "impute"):
+            # one list level: apply per innermost position p (clamped to the
+            # fitted vector length); same rules as the scalar branch
+            col = table.column(op["input"]).combine_chunks()
+            if pa.types.is_large_list(col.type):
+                col = col.cast(pa.list_(col.type.value_type))
+            if col.offset != 0:
+                col = pa.concat_arrays([col])
+            offs = np.asarray(col.offsets)
+            flat = pc.cast(col.values.slice(0, int(offs[-1])), pa.float64(), safe=False)
+            nulls = pc.is_null(flat).to_numpy(zero_copy_only=False)
+            v = flat.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            pos = (np.arange(len(v), dtype=np.int64)
+                   - np.repeat(offs[:-1].astype(np.int64), lens)) if len(v) else np.zeros(0, np.int64)
+            if kind == "log":
+                out = np.log(v + op["alpha"])
+            elif kind == "abs":
+                out = np.abs(v)
+            elif kind == "impute":
+                out = np.where(nulls, op["impute_value"], v)
+                if op["mask_value"] is not None:
+                    out = np.where(out == op["mask_value"], op["impute_value"], out)
+            elif kind in ("standard_scale", "conditional_standard_scale"):
+                mean, std = arrays[op["mean"]], arrays[op["stddev"]]
+                p = np.minimum(pos, len(mean) - 1)
+                inv = np.where(std == 0, 0.0, 1.0 / np.where(std == 0, 1.0, std))
+                out = (v - mean[p]) * inv[p]
+                if op.get("skip_zeros"):
+                    out = np.where(np.abs(v) > op["epsilon"], out, 0.0)
+                if op["mask_value"] is not None:
+                    out = np.where(v == op["mask_value"], v, out)
+            else:
+                mn, mx = arrays[op["min"]], arrays[op["max"]]
+                p = np.minimum(pos, len(mn) - 1)
+                rng = mx - mn
+                inv = np.where(rng == 0, 0.0, 1.0 / np.where(rng == 0, 1.0, rng))
+                out = (v - mn[p]) * inv[p]
+                if op["mask_value"] is not None:
+                    out = np.where(v == op["mask_value"], v, out)
+            flat_out = pa.array(out, pa.float64(), mask=nulls if kind != "impute" else None)
+            if col.null_count:
+                rebuilt = pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), flat_out, mask=pc.invert(col.is_valid())
+                )
+            else:
+                rebuilt = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat_out)
+            table = set_col(table, op["output"], rebuilt)
+            continue
         if kind in ("log", "abs", "impute", "standard_scale",
                     "conditional_standard_scale", "min_max_scale"):
             x = pc.cast(table.column(op["input"]), pa.float64(), safe=False)

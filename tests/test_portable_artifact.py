@@ -206,3 +206,28 @@ def test_capabilities_metadata_coherent():
     assert _spec_of(inst, {}, [0])["op"] == "log"
     # and a non-portable one must not
     assert _spec_of(S.HashIndexTransformer(input_col="x", num_bins=4, output_col="y"), {}, [0]) is None
+
+
+def test_portable_array_standard_scale(tmp_path):
+    """v1 list-column support: per-position standard scale round-trips
+    through the portable interpreter (incl. null lists)."""
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.stages import StandardScaleEstimator
+    from kamae_ray.state.portable import apply_portable
+
+    rng = np.random.RandomState(11)
+    lists = [list(map(float, rng.standard_normal(4))) for _ in range(150)]
+    fit_t = pa.table({"v": pa.array(lists, pa.list_(pa.float64()))})
+    model = Pipeline([StandardScaleEstimator(input_col="v", output_col="vs")]).fit(fit_t)
+    lists[7] = None  # apply-time null list must round-trip as null
+    t = pa.table({"v": pa.array(lists, pa.list_(pa.float64()))})
+    art = tmp_path / "arr"
+    model.export_portable(str(art))
+    got = apply_portable(str(art), t).column("vs").to_pylist()
+    expect = model.transform(t).column("vs").to_pylist()
+    assert (got[7] is None) == (expect[7] is None)
+    for g, e in zip(got, expect):
+        if g is None:
+            assert e is None
+            continue
+        np.testing.assert_allclose(g, e, rtol=1e-12)

@@ -724,6 +724,36 @@ def _q_ann_ivf_index(sf_dir):
     )
 
 
+def _q_components(sf_dir):
+    """Distributed connected components (``connected_components_ds``: the
+    shuffle_join + groupby-min label-propagation loop with pointer jumping)
+    over a deterministic bipartite graph derived from lineitem —
+    edges (l_partkey % 120, 1000 + l_suppkey % 40). Returns (id, rep) with
+    rep = min node id per component; oracle = recursive-CTE min-reach SQL."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        # block-local distinct: the label loop is idempotent over duplicate
+        # edges but shuffle volume is not — 60k rows collapse to <= 4.8k here
+        pairs = np.unique(np.stack([pk % 120, 1000 + sk % 40], axis=1), axis=0)
+        return pa.table({
+            "id_a": pa.array(pairs[:, 0], pa.int64()),
+            "id_b": pa.array(pairs[:, 1], pa.int64()),
+        })
+
+    edges.__name__ = "derive_edges"
+    from kamae_ray.pipelines.dedup import connected_components_ds
+
+    e = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True).repartition(2).materialize()
+    labels = connected_components_ds(e, max_iters=12)
+
+    return labels.sort("id")
+
+
 def _q_emb_neardup(sf_dir):
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH buckets + exact
     in-bucket verify. Oracle = exact brute-force all-pairs SQL; a full hash
@@ -1302,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": _q_ann_topk,
         "q_ann_ivf": _q_ann_ivf,
         "q_ann_ivf_index": _q_ann_ivf_index,
+        "q_components": _q_components,
         "q_emb_neardup": _q_emb_neardup,
         "q_join": _q_join,
         "q_join2": _q_join2,
@@ -1541,6 +1572,16 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_idx ORDER BY cs DESC, vec_id) AS rank FROM scored) "
             "SELECT CAST(query_idx AS BIGINT) AS query_idx, CAST(rank AS BIGINT) AS rank, "
             "vec_id, ROUND(cs, 6) AS cosine FROM ranked WHERE rank <= 10"
+        ),
+        # recursive-CTE ground truth for the distributed label-propagation
+        # connected components (min node id per component)
+        "q_components": (
+            "WITH edges AS (SELECT DISTINCT CAST(l_partkey % 120 AS BIGINT) a, "
+            "CAST(1000 + l_suppkey % 40 AS BIGINT) b FROM lineitem), "
+            "und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges UNION SELECT a, a FROM edges), "
+            "walk AS (WITH RECURSIVE w(node, reach) AS (SELECT a, a FROM und "
+            "UNION SELECT w.node, u.b FROM w JOIN und u ON u.a = w.reach) SELECT * FROM w) "
+            "SELECT node AS id, min(reach) AS rep FROM walk GROUP BY node ORDER BY id"
         ),
         "q_math3": (
             "SELECT l_orderkey, l_linenumber, "

@@ -385,6 +385,10 @@ def connected_components_distributed(pairs: pa.Table, max_iters: int = 30) -> pa
         cand_label = np.concatenate([label[eb], label[ea]])
         new = label.copy()
         np.minimum.at(new, cand_nodes, cand_label)
+        # pointer jumping: rep <- rep(rep) (labels are node VALUES; map back
+        # to indices via the sorted node array) — O(log diameter) convergence
+        # instead of O(diameter), so max_iters bounds even path graphs
+        new = new[np.searchsorted(nodes, new)]
         if np.array_equal(new, label):
             break
         label = new
@@ -490,7 +494,7 @@ def verified_pairs_distributed(
     return with_b.map_batches(jfilter, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def connected_components_ds(edges, max_iters: int = 30):
+def connected_components_ds(edges, max_iters: int = 30, small_graph_rows: int = 500_000):
     """Distributed min-label connected components over an edge Dataset
     (id_a, id_b) — the cluster-scale assembly of
     ``connected_components_distributed``'s two half-steps: per iteration,
@@ -508,6 +512,20 @@ def connected_components_ds(edges, max_iters: int = 30):
     per-block overheads) — labels are repartitioned to a fixed count derived
     from the node count before each materialize."""
     from kamae_ray.stages.join import shuffle_join
+
+    # Small-graph tier: below ``small_graph_rows`` edges the whole graph runs
+    # through the vectorized min-label kernel in ONE Ray task (coalesced to a
+    # single block; never on the driver) — the per-iteration shuffle overhead
+    # of the loop (~3 sorts + 2 materializes) only pays off beyond this.
+    edges = edges.materialize()
+    if edges.count() <= small_graph_rows:
+        def cc_block(block: pa.Table) -> pa.Table:
+            return connected_components_distributed(block, max_iters=max(max_iters, 64))
+
+        cc_block.__name__ = "cc_single_block"
+        return edges.repartition(1).map_batches(
+            cc_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
 
     def both_ids(batch: pa.Table) -> pa.Table:
         both = np.concatenate([

@@ -408,12 +408,16 @@ def test_connected_components_ds_matches_union_find(ray_session):
     pairs = [(int(a), int(b)) for a, b in rng.randint(0, 120, size=(150, 2)) if a != b]
     uf = connected_components(pairs)
     t = pa.table({"id_a": pa.array([a for a, _ in pairs], pa.int64()), "id_b": pa.array([b for _, b in pairs], pa.int64())})
-    labels = connected_components_ds(ray.data.from_arrow(t).repartition(4))
+    # force the distributed label-propagation LOOP (small_graph_rows=0)
+    labels = connected_components_ds(ray.data.from_arrow(t).repartition(4), small_graph_rows=0)
     lab = {r["id"]: r["rep"] for r in labels.take_all()}
     assert lab == uf
-    # long chain (diameter 20) converges
+    # small-graph single-task tier gives the same answer
+    lab2 = {r["id"]: r["rep"] for r in connected_components_ds(ray.data.from_arrow(t).repartition(4)).take_all()}
+    assert lab2 == uf
+    # long chain (diameter 20) converges on the loop path
     chain = pa.table({"id_a": pa.array(list(range(20)), pa.int64()), "id_b": pa.array(list(range(1, 21)), pa.int64())})
-    l2 = connected_components_ds(ray.data.from_arrow(chain).repartition(3))
+    l2 = connected_components_ds(ray.data.from_arrow(chain).repartition(3), small_graph_rows=0)
     assert set(r["rep"] for r in l2.take_all()) == {0}
 
 
@@ -522,3 +526,33 @@ def test_ivf_persisted_index(ray_session, tmp_path):
     # rank-1 self match survives narrow probing (query = corpus vector)
     r1 = narrow.filter(pa.array(np.array(narrow.column("rank").to_pylist()) == 1))
     assert r1.column("id").to_pylist() == [0, 1, 2]
+
+
+def test_groupby_agg_null_keys_sql_semantics(ray_session):
+    """SQL GROUP BY: NULL is a group. The distributed plan (surrogate sort
+    for strings, plain sort for ints) must keep the null group intact —
+    pinned because Ray's NATIVE aggregate crashes comparing null/non-null
+    keys (hit in detect_hot_keys, fixed by filtering there)."""
+    import duckdb
+    import ray
+
+    rng = np.random.RandomState(2)
+    for typ in ("str", "int"):
+        if typ == "str":
+            g = [None if rng.rand() < 0.2 else f"k{rng.randint(4)}" for _ in range(600)]
+            garr = pa.array(g, pa.string())
+        else:
+            g = [None if rng.rand() < 0.2 else int(rng.randint(4)) for _ in range(600)]
+            garr = pa.array(g, pa.int64())
+        t = pa.table({"g": garr, "v": rng.standard_normal(600)})
+        from kamae_ray.stages import groupby_agg
+
+        out = (
+            groupby_agg(ray.data.from_arrow(t).repartition(5), "g", {"v": ["sum", "count"]})
+            .to_pandas().sort_values("g", na_position="first").reset_index(drop=True)
+        )
+        o = duckdb.sql(
+            "SELECT g, sum(v) v_sum, count(v) v_count FROM t GROUP BY g ORDER BY g NULLS FIRST"
+        ).df()
+        assert out["v_count"].tolist() == o["v_count"].tolist(), typ
+        assert np.allclose(out["v_sum"].astype(float), o["v_sum"].astype(float)), typ

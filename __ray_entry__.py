@@ -724,6 +724,36 @@ def _q_ann_ivf_index(sf_dir):
     )
 
 
+
+
+def _split_thresholds():
+    from kamae_ray.stages import HashSplitTransformer
+
+    t = HashSplitTransformer(
+        input_col="x", splits={"train": 0.8, "val": 0.1, "test": 0.1}, salt=7, output_col="s"
+    )._thresholds()
+    return int(t[0]), int(t[1])
+
+
+_SPLIT_T1, _SPLIT_T2 = _split_thresholds()
+
+
+def _q_split(sf_dir):
+    """Deterministic train/val/test assignment (HashSplitTransformer): Knuth
+    multiplicative hash of the int key — exactly reproducible in SQL via
+    HUGEINT arithmetic, so the split membership itself is hash-certified."""
+    from kamae_ray.stages import HashSplitTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    t = HashSplitTransformer(
+        input_col="l_orderkey",
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt=7,
+        output_col="split",
+    )
+    return t.transform(ds)
+
+
 def _q_components(sf_dir):
     """Distributed connected components (``connected_components_ds``: the
     shuffle_join + groupby-min label-propagation loop with pointer jumping)
@@ -1333,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_ivf": _q_ann_ivf,
         "q_ann_ivf_index": _q_ann_ivf_index,
         "q_components": _q_components,
+        "q_split": _q_split,
         "q_emb_neardup": _q_emb_neardup,
         "q_join": _q_join,
         "q_join2": _q_join2,
@@ -1582,6 +1613,17 @@ def oracle_sql() -> dict[str, str]:
             "walk AS (WITH RECURSIVE w(node, reach) AS (SELECT a, a FROM und "
             "UNION SELECT w.node, u.b FROM w JOIN und u ON u.a = w.reach) SELECT * FROM w) "
             "SELECT node AS id, min(reach) AS rep FROM walk GROUP BY node ORDER BY id"
+        ),
+        # HashSplitTransformer parity: same Knuth multiplicative hash in
+        # HUGEINT arithmetic; thresholds are the EXACT integers the
+        # transformer computes (embedded below)
+        "q_split": (
+            "WITH h AS (SELECT l_orderkey, l_linenumber, "
+            "(CAST(l_orderkey + 7 AS HUGEINT) * 11400714819323198485) "
+            "% 18446744073709551616 AS hv FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, "
+            f"CASE WHEN hv < {_SPLIT_T1} THEN 'train' WHEN hv < {_SPLIT_T2} "
+            "THEN 'val' ELSE 'test' END AS split FROM h"
         ),
         "q_math3": (
             "SELECT l_orderkey, l_linenumber, "

@@ -66,6 +66,7 @@ from kamae_ray.stages.similarity import (  # noqa: F401
 from kamae_ray.stages.hashing import (  # noqa: F401
     BloomEncodeTransformer,
     HashIndexTransformer,
+    HashSplitTransformer,
     MinHashIndexTransformer,
 )
 from kamae_ray.stages.scalers import (  # noqa: F401

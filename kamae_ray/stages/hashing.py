@@ -204,3 +204,66 @@ class BloomEncodeTransformer(Transformer):
         out = A.rewrap(levels, inner)
         out = self._cast_out(out)
         return _append_or_replace(batch, self.output_col, out)
+
+
+class HashSplitTransformer(Transformer):
+    """Deterministic train/val/test split assignment from a key column — the
+    standard training-data-pipeline op the reference lacks (it delegates
+    splits to Spark; SURVEY §2.14 names set ops as our design obligation).
+
+    bucket(key) = multiplicative hash into [0, 2^64); the label is the first
+    split whose cumulative threshold exceeds the bucket, so assignment is a
+    pure function of (key, salt) — stable across runs, partitions and
+    cluster sizes, and membership is consistent for repeated keys.
+
+    - integer keys: Knuth multiplicative hash ``(key + salt) * 0x9E3779B97F4A7C15
+      mod 2^64`` — exactly reproducible in SQL via HUGEINT arithmetic (see
+      the q_split oracle), so the split is hash-certifiable.
+    - string keys: FarmHash64 of ``key || ':' || salt`` (not SQL-expressible).
+    - null keys -> null label.
+    """
+
+    compatible_dtypes = None
+    _P = np.uint64(0x9E3779B97F4A7C15)
+
+    def __init__(self, *args, splits: dict[str, float], salt: int = 0, **kwargs):
+        super().__init__(*args, **kwargs)
+        if abs(sum(splits.values()) - 1.0) > 1e-9:
+            raise ValueError(f"split fractions must sum to 1, got {sum(splits.values())}")
+        self.splits = dict(splits)
+        self.salt = int(salt)
+
+    def _thresholds(self) -> np.ndarray:
+        cum, acc = [], 0.0
+        for f in self.splits.values():
+            acc += f
+            cum.append(min(int(acc * 2.0**64), (1 << 64) - 1))
+        cum[-1] = (1 << 64) - 1  # float rounding must never orphan the tail
+        return np.array(cum, dtype=np.uint64)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = A.as_array(batch.column(self.input_col))
+        labels = list(self.splits)
+        thresholds = self._thresholds()
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        t = arr.type
+        if pa.types.is_integer(t):
+            k = pc.fill_null(pc.cast(arr, pa.int64(), safe=False), 0)
+            h = (k.to_numpy(zero_copy_only=False).view(np.uint64) + np.uint64(self.salt)) * self._P
+        else:
+            from kamae_ray.functions.farmhash import hash64_column
+
+            salted = pc.binary_join_element_wise(
+                pc.cast(arr, pa.string(), safe=False), str(self.salt), ":"
+            )
+            h, _ = hash64_column(salted)
+        # side='right': bucket == threshold falls into the NEXT split —
+        # matches the oracle's strict `h < threshold` comparison
+        idx = np.searchsorted(thresholds, h, side="right")
+        idx = np.minimum(idx, len(labels) - 1)
+        lab = pa.DictionaryArray.from_arrays(
+            pa.array(idx.astype(np.int32), pa.int32()), pa.array(labels, pa.string())
+        ).cast(pa.string())
+        if null_mask.any():
+            lab = pc.if_else(pa.array(~null_mask), lab, pa.nulls(len(lab), pa.string()))
+        return _append_or_replace(batch, self.output_col, lab)

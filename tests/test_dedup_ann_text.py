@@ -556,3 +556,35 @@ def test_groupby_agg_null_keys_sql_semantics(ray_session):
         ).df()
         assert out["v_count"].tolist() == o["v_count"].tolist(), typ
         assert np.allclose(out["v_sum"].astype(float), o["v_sum"].astype(float)), typ
+
+
+def test_hash_split_transformer():
+    from kamae_ray.stages import HashSplitTransformer
+
+    t = pa.table({"id": pa.array(list(range(20000)) + [None], pa.int64())})
+    tr = HashSplitTransformer(input_col="id", splits={"train": 0.8, "val": 0.1, "test": 0.1},
+                              salt=7, output_col="split")
+    out = tr.transform_batch(t)
+    labs = out.column("split").to_pylist()
+    assert labs[-1] is None  # null key -> null label
+    from collections import Counter
+    c = Counter(labs[:-1])
+    assert abs(c["train"] / 20000 - 0.8) < 0.02
+    assert abs(c["val"] / 20000 - 0.1) < 0.01
+    assert abs(c["test"] / 20000 - 0.1) < 0.01
+    # deterministic: same assignment on re-run and for repeated keys
+    assert tr.transform_batch(t).column("split").to_pylist() == labs
+    # different salt decorrelates
+    tr2 = HashSplitTransformer(input_col="id", splits={"train": 0.8, "val": 0.1, "test": 0.1},
+                               salt=8, output_col="split")
+    labs2 = tr2.transform_batch(t).column("split").to_pylist()
+    moved = sum(1 for a, b in zip(labs[:-1], labs2[:-1]) if a != b)
+    assert moved > 2000
+    # string keys (FarmHash path)
+    ts = pa.table({"k": pa.array([f"doc{i}" for i in range(5000)], pa.string())})
+    trs = HashSplitTransformer(input_col="k", splits={"a": 0.5, "b": 0.5}, output_col="s")
+    cs = Counter(trs.transform_batch(ts).column("s").to_pylist())
+    assert abs(cs["a"] / 5000 - 0.5) < 0.03
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sum to 1"):
+        HashSplitTransformer(input_col="k", splits={"a": 0.5, "b": 0.4}, output_col="s")

@@ -754,6 +754,35 @@ def _q_split(sf_dir):
     return t.transform(ds)
 
 
+
+
+def _q_dedup_tokens(sf_dir):
+    """exact_dedup keyed on the TOKEN ARRAY column (list<int32>) — the
+    north-star's pre-tokenized input shape. Tokenize derives tokens from
+    documents (equal word sequences <=> equal token arrays), dedup keeps the
+    min doc_id per distinct sequence via the order-sensitive vectorized list
+    hash (+ independent second hash refinement). Oracle: DuckDB dedup by the
+    word list itself."""
+    from kamae_ray.pipelines.dedup import exact_dedup
+    from kamae_ray.stages.text import TokenizeTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = TokenizeTransformer(input_col="text", output_col="tokens").transform(ds)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "tokens"])
+
+    narrow.__name__ = "narrow_tokens"
+    toks = toks.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    out = exact_dedup(toks, "tokens", "doc_id", keep="first")
+
+    def just_id(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id"])
+
+    just_id.__name__ = "project_id"
+    return out.map_batches(just_id, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_components(sf_dir):
     """Distributed connected components (``connected_components_ds``: the
     shuffle_join + groupby-min label-propagation loop with pointer jumping)
@@ -1364,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_ivf_index": _q_ann_ivf_index,
         "q_components": _q_components,
         "q_split": _q_split,
+        "q_dedup_tokens": _q_dedup_tokens,
         "q_emb_neardup": _q_emb_neardup,
         "q_join": _q_join,
         "q_join2": _q_join2,
@@ -1624,6 +1654,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, "
             f"CASE WHEN hv < {_SPLIT_T1} THEN 'train' WHEN hv < {_SPLIT_T2} "
             "THEN 'val' ELSE 'test' END AS split FROM h"
+        ),
+        # token-array dedup ground truth: equal token arrays <=> equal word
+        # sequences (Tokenize is per-word deterministic), so dedup by the
+        # word list itself and keep the min doc_id
+        "q_dedup_tokens": (
+            r"WITH w AS (SELECT doc_id, array_to_string(list_filter("
+            r"string_split_regex(coalesce(text,''), '\s+'), x -> length(x) > 0), chr(31)) AS ws "
+            "FROM documents) "
+            "SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
+            "(PARTITION BY ws ORDER BY doc_id) AS rn FROM w) WHERE rn = 1"
         ),
         "q_math3": (
             "SELECT l_orderkey, l_linenumber, "

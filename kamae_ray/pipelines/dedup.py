@@ -111,6 +111,40 @@ def _text_hash_batch(batch: pa.Table, text_col: str, out: str) -> pa.Table:
     return batch.append_column(out, pa.array(vals, pa.int64()))
 
 
+def _list_hash_batch(batch: pa.Table, col: str, out: str, seed: int) -> pa.Table:
+    """Order-sensitive 64-bit hash of a list<int> column, fully vectorized:
+    one cumsum over position-weighted value mixes (weights = precomputed
+    powers of an odd constant; cumsum differences give per-row sums even for
+    empty rows), length mixed in so prefixes differ. Null list -> a
+    seed-dependent sentinel distinct from the empty list."""
+    arr = A.as_array(batch.column(col))
+    levels, flat = A.unwrap(arr)
+    if len(levels) != 1:
+        raise ValueError(f"exact_dedup on nested list column {col!r} is unsupported")
+    offs, validity = levels[0]
+    n = len(offs) - 1
+    vals = pc.fill_null(pc.cast(flat, pa.int64(), safe=False), -(1 << 62))
+    v = vals.to_numpy(zero_copy_only=False).view(np.uint64)
+    lens = np.diff(offs)
+    total = int(offs[-1])
+    pos = (np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)) if total else np.zeros(0, np.int64)
+    W = np.uint64(0xC2B2AE3D27D4EB4F) | np.uint64(1)
+    max_len = int(lens.max(initial=0))
+    wpow = np.empty(max_len + 1, dtype=np.uint64)
+    wpow[0] = np.uint64(1)
+    for j in range(1, max_len + 1):  # tiny loop: max list length, not rows
+        wpow[j] = wpow[j - 1] * W
+    with np.errstate(over="ignore"):  # uint64 wrap IS the hash arithmetic
+        sd = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x165667B19E3779F9)
+        contrib = (v * _P + sd) * wpow[pos]
+        c = np.concatenate([[np.uint64(0)], np.cumsum(contrib, dtype=np.uint64)])
+        h = (c[offs[1:]] - c[offs[:-1]]) * _P + lens.astype(np.uint64) + sd
+    if validity is not None:
+        nulls = pc.invert(validity).to_numpy(zero_copy_only=False)
+        h = np.where(nulls, sd * np.uint64(0x9E3779B97F4A7C15), h)
+    return batch.append_column(out, pa.array(h.view(np.int64), pa.int64()))
+
+
 def exact_dedup(ds, text_col: str, order_col: str, keep: str = "first"):
     """Keep one row per distinct ``text_col`` value — the min (keep='first')
     or max (keep='last') of ``order_col``.
@@ -126,19 +160,36 @@ def exact_dedup(ds, text_col: str, order_col: str, keep: str = "first"):
     group key. The order column must therefore NOT be in the distributed sort
     — ordering happens inside the block kernel."""
 
+    # list columns (pre-tokenized sequences — the north-star input shape)
+    # can't dictionary-encode: key on an order-sensitive vectorized list
+    # hash instead, refined by a SECOND independent hash (128 bits total —
+    # silent-merge probability ~2^-128; strings keep exact-text refinement)
+    schema = ds.schema if isinstance(ds, pa.Table) else None
+    if schema is None:
+        s = ds.schema()
+        schema = pa.schema(list(zip(s.names, s.types)))
+    t = schema.field(text_col).type
+    is_list = pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
+
     def keyfn(batch: pa.Table) -> pa.Table:
+        if is_list:
+            batch = _list_hash_batch(batch, text_col, "__kr_key", seed=1)
+            return _list_hash_batch(batch, text_col, "__kr_key2", seed=2)
         return _text_hash_batch(batch, text_col, "__kr_key")
+
+    refine_cols = ["__kr_key", "__kr_key2"] if is_list else ["__kr_key", text_col]
+    drop_cols = ["__kr_key", "__kr_key2"] if is_list else ["__kr_key"]
 
     def win_per_key(block: pa.Table) -> pa.Table:
         n = block.num_rows
         if n == 0:
-            return block.drop_columns(["__kr_key"])
+            return block.drop_columns(drop_cols)
         # group by (hash, TEXT), not hash alone: at 10^12 keys the 64-bit
         # birthday bound makes hash collisions certain, and a collision must
         # keep both texts, not silently merge them. Equal texts always share
         # a hash, so the hash stays the only SHUFFLE key; the exact-equality
-        # refinement is block-local.
-        gids = S.group_ids(block, ["__kr_key", text_col])
+        # refinement is block-local (list columns: second independent hash).
+        gids = S.group_ids(block, refine_cols)
         order = A.as_array(block.column(order_col)).to_numpy(zero_copy_only=False)
         if keep == "last":
             perm = np.lexsort((-order, gids))
@@ -147,7 +198,7 @@ def exact_dedup(ds, text_col: str, order_col: str, keep: str = "first"):
         gs = gids[perm]
         first = np.concatenate([[True], gs[1:] != gs[:-1]])
         winners = np.sort(perm[first])
-        return block.take(pa.array(winners)).drop_columns(["__kr_key"])
+        return block.take(pa.array(winners)).drop_columns(drop_cols)
 
     win_per_key.__name__ = "dedup_win_per_key"
     if isinstance(ds, pa.Table):

@@ -588,3 +588,22 @@ def test_hash_split_transformer():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sum to 1"):
         HashSplitTransformer(input_col="k", splits={"a": 0.5, "b": 0.4}, output_col="s")
+
+
+def test_exact_dedup_list_column(ray_session):
+    """exact_dedup keyed on a token-array column (north-star input shape):
+    order-sensitive vectorized list hash; prefixes, permutations, empty and
+    null lists all stay distinct; duplicates collapse to the min order id."""
+    import ray
+
+    toks = [[1, 2, 3], [4, 5], [1, 2, 3], [6], [], None, [], [1, 2], [2, 1], [4, 5]]
+    ids = [3, 1, 0, 2, 10, 11, 12, 13, 14, 15]
+    t = pa.table({"toks": pa.array(toks, pa.list_(pa.int32())), "id": pa.array(ids, pa.int64())})
+    expect = [0, 1, 2, 10, 11, 13, 14]
+    out = exact_dedup(t, "toks", "id").sort_by("id")
+    assert out.column("id").to_pylist() == expect
+    got = exact_dedup(ray.data.from_arrow(t).repartition(4), "toks", "id").take_all()
+    assert sorted(r["id"] for r in got) == expect
+    # keep='last' takes the max order id per group
+    out_last = exact_dedup(t, "toks", "id", keep="last").sort_by("id")
+    assert out_last.column("id").to_pylist() == [2, 3, 11, 12, 13, 14, 15]

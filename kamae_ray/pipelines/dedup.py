@@ -514,11 +514,17 @@ def verified_pairs_distributed(
         return pa.table({id_col: pa.array(np.unique(both), pa.int64())})
 
     pair_ids.__name__ = "candidate_ids"
+    # NOTE each intermediate below is candidate-bounded (never corpus-sized)
+    # and MATERIALIZES before feeding the next shuffle_join: a chained join
+    # calls .schema() on its lazy input, which executes any upstream sort —
+    # without the checkpoints every stage here ran 2-3x (measured 54s -> 23s
+    # at sf0.1 for the whole tail)
     cand_ids = (
         pairs.map_batches(pair_ids, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(id_col)
         .count()
         .drop_columns(["count()"])
+        .materialize()
     )
     # semi-join: only candidate docs' (id, text) ride the shuffle
     cand_docs = shuffle_join(
@@ -529,11 +535,13 @@ def verified_pairs_distributed(
         return _shingle_list_batch(batch, text_col, id_col, shingle_k)
 
     shingles.__name__ = "shingle_sets"
-    sh_tbl = cand_docs.map_batches(shingles, batch_format="pyarrow", zero_copy_batch=True)
+    sh_tbl = cand_docs.map_batches(
+        shingles, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice (both join sides)
     # attach each side's shingle set, then one vectorized Jaccard filter
     with_a = shuffle_join(
         pairs, sh_tbl.rename_columns(["id_a", "__kr_sh_a"]), on="id_a", how="inner"
-    )
+    ).materialize()
     with_b = shuffle_join(
         with_a, sh_tbl.rename_columns(["id_b", "__kr_sh_b"]), on="id_b", how="inner"
     )
@@ -604,7 +612,11 @@ def connected_components_ds(edges, max_iters: int = 30, small_graph_rows: int = 
     labels = labels.repartition(n_blocks).materialize()
     prev_sum = None
     for it in range(max_iters):
-        e1 = shuffle_join(edges, labels.rename_columns(["id_a", "__rep_a"]), on="id_a", how="inner")
+        # e1 materializes before e2: shuffle_join's .schema() on a lazy
+        # sorted input would otherwise execute e1's sort a second time
+        e1 = shuffle_join(
+            edges, labels.rename_columns(["id_a", "__rep_a"]), on="id_a", how="inner"
+        ).materialize()
         e2 = shuffle_join(e1, labels.rename_columns(["id_b", "__rep_b"]), on="id_b", how="inner")
 
         def propose(batch: pa.Table) -> pa.Table:

@@ -530,6 +530,38 @@ def _q_asof(sf_dir):
     )
 
 
+def _q_asof_broadcast(sf_dir):
+    """Same point-in-time semantics as q_asof but via broadcast_asof_join:
+    the (small) purchase table broadcasts once and every left batch resolves
+    with a vectorized binary search — NO shuffle, NO sort of the left. Same
+    oracle SQL as q_asof certifies both plans produce identical output."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.stages import broadcast_asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+    rt = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_type"],
+    )
+    rt = rt.filter(pc.equal(rt.column("event_type"), "purchase"))
+    right = pa.table(
+        {
+            "user_id": rt.column("user_id"),
+            "pts": rt.column("ts"),
+            "matched_pts": rt.column("ts"),
+            "last_purchase_value": rt.column("value"),
+        }
+    )
+    out = broadcast_asof_join(
+        ev, right, by=["user_id"], left_on="ts", right_on="pts",
+        right_cols=["pts", "matched_pts", "last_purchase_value"], strict=True,
+    )
+    return out.map_batches(_rounder(["last_purchase_value", "value"]), batch_format="pyarrow").drop_columns(
+        ["event_type"]
+    )
+
+
 def _q_lag_lead(sf_dir):
     from kamae_ray.stages import LagTransformer, LeadTransformer
 
@@ -1382,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tokenize": _q_tokenize,
         "q_array_ops": _q_array_ops,
         "q_asof": _q_asof,
+        "q_asof_broadcast": _q_asof_broadcast,
         "q_lag_lead": _q_lag_lead,
         "q_sessionize": _q_sessionize,
         "q_backfill": _q_backfill,
@@ -1575,6 +1608,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_max(toks) AS BIGINT) AS max_tok FROM t"
         ),
         "q_asof": (
+            "SELECT e.event_id, e.user_id, e.ts, ROUND(e.value, 6) AS value, "
+            "p.pts AS matched_pts, ROUND(p.last_purchase_value, 6) AS last_purchase_value "
+            "FROM events e ASOF LEFT JOIN "
+            "(SELECT user_id, ts AS pts, value AS last_purchase_value FROM events WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts > p.pts"
+        ),
+        "q_asof_broadcast": (
             "SELECT e.event_id, e.user_id, e.ts, ROUND(e.value, 6) AS value, "
             "p.pts AS matched_pts, ROUND(p.last_purchase_value, 6) AS last_purchase_value "
             "FROM events e ASOF LEFT JOIN "

@@ -573,3 +573,148 @@ class RollingAggTransformer(KeyedWindowTransformer):
             _, cnt_all = S.seg_rolling_sum_count(np.where(np.isnan(vals), np.nan, vals), self.window, srep)
             out = np.where(cnt_all >= self.min_periods, out, np.nan)
         return out
+
+
+def broadcast_asof_join(
+    left,
+    right: pa.Table,
+    by: Sequence[str],
+    left_on: str,
+    right_on: str | None = None,
+    right_cols: Sequence[str] | None = None,
+    strict: bool = False,
+    tolerance: float | None = None,
+    suffix: str = "_r",
+    right_tiebreak: str | None = None,
+):
+    """As-of join with a SMALL right side: the right table is sorted ONCE on
+    the driver, broadcast via ``ray.put``, and every left batch resolves its
+    matches with a vectorized per-entity binary search — NO shuffle and NO
+    sort of the left side. This is the streaming complement to ``asof_join``
+    (sort-merge): at 100 TB the left never leaves its read order, so the
+    whole join is one ``map_batches`` over the scan.
+
+    Semantics match ``asof_join`` (latest right with t' <= t, or < t when
+    ``strict``; ``tolerance``; ``right_tiebreak`` = max wins among equal
+    (entity, time), else right arrival order) with ONE documented
+    divergence: NULL entities follow SQL (never match; null-keyed right rows
+    are dropped) — the sort-merge path groups nulls together instead.
+    """
+    import ray
+
+    from kamae_ray.stages.join import _combined_key
+
+    right_on = right_on or left_on
+    by = list(by)
+    if isinstance(left, pa.Table):
+        l_schema = left.schema
+    else:
+        s = left.schema()
+        l_schema = pa.schema(list(zip(s.names, s.types)))
+    l_names = list(l_schema.names)
+    l_types = {f.name: f.type for f in l_schema}
+    r_types = {f.name: f.type for f in right.schema}
+    payload = [c for c in (right_cols or right.column_names) if c not in by and c != right_on]
+    payload_out = [f"{c}{suffix}" if c in l_names else c for c in payload]
+    t_type = _union_time_type(l_types[left_on], r_types[right_on])
+
+    # ---- driver-side right prep (small by contract) ----
+    rkey = _combined_key(right, by)
+    if rkey.null_count:
+        right = right.filter(pc.is_valid(rkey))  # SQL: null keys never match
+        rkey = _combined_key(right, by)
+    rt = pc.cast(_time_to_numeric(A.as_array(right.column(right_on))), pa.float64(), safe=False)
+    rt_np = rt.to_numpy(zero_copy_only=False)
+    # stable sort: (entity, time, [tiebreak]); the LAST row of an equal
+    # (entity, time) run wins — stable order = arrival, tiebreak = max wins
+    d = rkey.dictionary_encode()
+    ent = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    if right_tiebreak is not None:
+        tb = pc.cast(A.as_array(right.column(right_tiebreak)), pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, rt_np, ent))
+    else:
+        order = np.lexsort((np.arange(len(ent)), rt_np, ent))
+    ent_s = ent[order]
+    times_s = rt_np[order]
+    pay_s = right.select(payload).take(pa.array(order))
+    # per-entity segment bounds, indexed by dictionary code
+    n_ent = len(d.dictionary)
+    seg_start = np.searchsorted(ent_s, np.arange(n_ent), side="left")
+    seg_end = np.searchsorted(ent_s, np.arange(n_ent), side="right")
+    state = {
+        "ent_keys": d.dictionary,  # distinct entity keys (combined)
+        "times": times_s,
+        "payload": pay_s,
+        "seg_start": seg_start,
+        "seg_end": seg_end,
+    }
+
+    def join_batch(batch: pa.Table, st) -> pa.Table:
+        n = batch.num_rows
+        if len(st["times"]) == 0:  # empty right side: everything unmatched
+            out = batch
+            for c, out_name in zip(payload, payload_out):
+                out = out.append_column(out_name, pa.nulls(n, r_types[c]))
+            return out
+        lkey = _combined_key(batch, by)
+        code = pc.index_in(lkey, value_set=st["ent_keys"])
+        if lkey.null_count:
+            code = pc.if_else(pc.is_valid(lkey), code, pa.nulls(n, code.type))
+        has_ent = pc.is_valid(code).to_numpy(zero_copy_only=False)
+        code_np = pc.fill_null(code, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        t = pc.cast(_time_to_numeric(A.as_array(batch.column(left_on))), pa.float64(), safe=False)
+        t_np = t.to_numpy(zero_copy_only=False)
+        times = st["times"]
+        lo = np.where(has_ent, st["seg_start"][code_np], 0).astype(np.int64)
+        hi = np.where(has_ent, st["seg_end"][code_np], 0).astype(np.int64)
+        seg_lo = lo.copy()
+        # vectorized binary search: rightmost idx in [lo, hi) with
+        # times[idx] <= t (strict: < t); O(log max_segment) numpy passes
+        while True:
+            active = lo < hi
+            if not active.any():
+                break
+            mid = (lo + hi) // 2
+            mv = times[np.clip(mid, 0, max(len(times) - 1, 0))]
+            go_right = (mv < t_np) if strict else (mv <= t_np)
+            go_right &= active
+            lo = np.where(go_right, mid + 1, lo)
+            hi = np.where(active & ~go_right, mid, hi)
+        match_idx = lo - 1
+        matched = has_ent & (match_idx >= seg_lo)
+        with np.errstate(invalid="ignore"):
+            if tolerance is not None:
+                mt = times[np.clip(match_idx, 0, max(len(times) - 1, 0))]
+                matched &= (t_np - mt) <= tolerance
+            matched &= ~np.isnan(t_np)
+        take_idx = pa.array(np.where(matched, np.clip(match_idx, 0, None), 0), pa.int64())
+        matched_pa = pa.array(matched)
+        out = batch
+        for c, out_name in zip(payload, payload_out):
+            colv = A.as_array(st["payload"].column(c)).take(take_idx) if len(st["payload"]) else pa.nulls(n, r_types[c])
+            if not matched.all():
+                colv = pc.if_else(matched_pa, colv.combine_chunks() if isinstance(colv, pa.ChunkedArray) else colv, pa.nulls(n, colv.type))
+            out = out.append_column(out_name, colv)
+        return out
+
+    if isinstance(left, pa.Table):
+        return join_batch(left, state)
+
+    state_ref = ray.put(state)
+
+    class _BroadcastAsof:
+        def __init__(self, ref):
+            self._st = ray.get(ref)  # once per actor/task process
+            self.__name__ = "broadcast_asof"
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return join_batch(batch, self._st)
+
+    return left.map_batches(
+        _BroadcastAsof,
+        fn_constructor_args=(state_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=(1, 8),
+    )

@@ -118,3 +118,62 @@ def test_asof_auto_salt_matches_unsalted(ray_session):
     )
     g2 = got2.to_pandas().sort_values("rid").reset_index(drop=True)
     pd.testing.assert_frame_equal(g2[["rid", "u", "t", "p"]], edf[["rid", "u", "t", "p"]], check_dtype=False)
+
+
+@given(asof_case())
+@settings(max_examples=60, deadline=None)
+def test_broadcast_asof_matches_naive(case):
+    """broadcast_asof_join (binary-search, no shuffle) obeys the same
+    point-in-time semantics as the sort-merge path."""
+    from kamae_ray.stages import broadcast_asof_join
+
+    lu, lt, ru, rt, strict, tolerance = case
+    seq = list(range(len(ru)))
+    left = pa.table(
+        {"u": pa.array(lu, pa.int64()), "t": pa.array(lt, pa.int64()), "rid": pa.array(np.arange(len(lu)))}
+    )
+    right = pa.table(
+        {
+            "u": pa.array(ru, pa.int64()),
+            "t": pa.array(rt, pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "p": pa.array([float(s * 10) for s in seq], pa.float64()),
+        }
+    )
+    out = broadcast_asof_join(
+        left, right, by=["u"], left_on="t",
+        right_cols=["t", "p"], strict=strict, tolerance=tolerance, right_tiebreak="seq",
+    )
+    got = dict(zip(out.column("rid").to_pylist(), out.column("p").to_pylist()))
+    expect = _naive(lu, lt, ru, rt, seq, strict, tolerance)
+    assert [got[i] for i in range(len(lu))] == expect
+
+
+def test_broadcast_asof_dataset_matches_sort_merge(ray_session):
+    """Dataset path: broadcast plan == sort-merge plan on real-shaped data."""
+    import pandas as pd
+    import ray
+
+    from kamae_ray.stages import broadcast_asof_join
+
+    rng = np.random.RandomState(23)
+    n, m = 3000, 400
+    lt = pa.table({
+        "u": pa.array([f"u{int(i)}" for i in rng.randint(0, 50, n)]),
+        "t": pa.array(rng.randint(0, 100_000, n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+    })
+    rt = pa.table({
+        "u": pa.array([f"u{int(i)}" for i in rng.randint(0, 60, m)]),
+        "t": pa.array(rng.randint(0, 100_000, m), pa.int64()),
+        "seq": pa.array(np.arange(m), pa.int64()),
+        "p": pa.array(rng.standard_normal(m), pa.float64()),
+    })
+    sm = asof_join(lt, rt, by=["u"], left_on="t", right_cols=["p"], right_tiebreak="seq")
+    bc = broadcast_asof_join(
+        ray.data.from_arrow(lt).repartition(5), rt,
+        by=["u"], left_on="t", right_cols=["p"], right_tiebreak="seq",
+    )
+    a = sm.to_pandas().sort_values("rid").reset_index(drop=True)
+    b = bc.to_pandas().sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["rid", "u", "t", "p"]], b[["rid", "u", "t", "p"]], check_dtype=False)

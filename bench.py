@@ -180,6 +180,9 @@ _BENCH_QUERIES = [
     "q_join",
     "q_join2",
     "q_agg",
+    "q_asof_broadcast",  # broadcast point-in-time plan (vs q_asof sort-merge)
+    "q_split",
+    "q_components",
 ]
 
 

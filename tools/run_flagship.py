@@ -28,6 +28,7 @@ from kamae_ray.sources.io import read_parquet_clean  # noqa: E402 (needs sys.pat
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=60_000)
+    ap.add_argument("--input", default=None, help="existing multi-file parquet dir (default: synthesize --rows)")
     ap.add_argument("--out", default="/tmp/kamae_flagship")
     ap.add_argument("--kill-after", type=int, default=None, help="simulate a crash after K partitions")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
@@ -36,7 +37,13 @@ def main():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False, logging_level=logging.ERROR)
+        # under `ray job submit` / an existing cluster, RAY_ADDRESS points at
+        # the cluster — attach instead of starting a local instance
+        addr = os.environ.get("RAY_ADDRESS")
+        if addr and addr != "local":
+            ray.init(address="auto", logging_level=logging.ERROR)
+        else:
+            ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False, logging_level=logging.ERROR)
 
     import pyarrow.parquet as pq
 
@@ -51,7 +58,7 @@ def main():
     )
     from kamae_ray.state.checkpoint import ResumableRunner, op_chain_hash
 
-    in_dir = tokens_table_path(args.rows)
+    in_dir = args.input or tokens_table_path(args.rows)
     files = sorted(glob.glob(os.path.join(in_dir, "*.parquet")))
 
     # fit once; the fitted model IS part of the lineage (op hash covers its

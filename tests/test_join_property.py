@@ -104,3 +104,45 @@ def test_shuffle_join_composite_key_with_nulls():
         g = got[cols].sort_values(cols, na_position="first").reset_index(drop=True)
         o = oracle[cols].sort_values(cols, na_position="first").reset_index(drop=True)
         pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
+@st.composite
+def agg_case(draw):
+    n = draw(st.integers(0, 300))
+    n_keys = draw(st.integers(1, 6))
+    null_key_rate = draw(st.sampled_from([0.0, 0.25]))
+    null_val_rate = draw(st.sampled_from([0.0, 0.3]))
+    seed = draw(st.integers(0, 10_000))
+    return n, n_keys, null_key_rate, null_val_rate, seed
+
+
+@given(agg_case())
+@settings(max_examples=50, deadline=None)
+def test_groupby_agg_table_path_matches_duckdb(case):
+    """groupby_agg vs SQL over randomized keys/values incl. NULL keys (a
+    group) and NULL values (skipped; SUM/AVG of all-null group = NULL)."""
+    from kamae_ray.stages import groupby_agg
+
+    n, n_keys, nkr, nvr, seed = case
+    rng = np.random.RandomState(seed)
+    g = [None if rng.rand() < nkr else f"g{rng.randint(n_keys)}" for _ in range(n)]
+    v = np.where(rng.rand(n) < nvr, np.nan, rng.standard_normal(n))
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "v": pa.array([None if np.isnan(x) else float(x) for x in v], pa.float64())})
+    got = (
+        groupby_agg(t, "g", {"v": ["sum", "count", "mean", "min", "max", "std"]})
+        .to_pandas().sort_values("g", na_position="first").reset_index(drop=True)
+    )
+    o = duckdb.sql(
+        "SELECT g, sum(v) v_sum, count(v) v_count, avg(v) v_mean, min(v) v_min, "
+        "max(v) v_max, stddev_pop(v) v_std FROM t GROUP BY g ORDER BY g NULLS FIRST"
+    ).df()
+    assert got["v_count"].tolist() == o["v_count"].tolist()
+    for col in ("v_sum", "v_mean", "v_min", "v_max", "v_std"):
+        a = got[col].astype(float).to_numpy()
+        b = o[col].astype(float).to_numpy()
+        # stddev_pop of a single value: DuckDB returns NULL only for stddev_samp;
+        # pop returns 0 — both engines agree; compare NaN-aware
+        assert len(a) == len(b)
+        same = np.isclose(a, b, atol=1e-9) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), (col, a, b)

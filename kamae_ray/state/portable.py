@@ -42,6 +42,46 @@ semantics (exact rules a re-implementation must follow):
   ``drop_unseen`` the mask/OOV slots are dropped (width = len(labels), OOV
   rows all-zero).
 
+v2 additions (stateless serving ops; all state inline in spec.json):
+
+- ``exp``             out = e^x, float64.
+- ``round``           mode ceil | floor | half_away (round-half-away-from-zero
+  to integral), float64.
+- ``round_to_decimal``  round-half-away-from-zero to ``decimals`` places.
+- ``bucketize``       out = bisect_right(splits, x) + 1 (int32); x ==
+  mask_value -> 0; null -> null.
+- ``bin``             ordered first-match-wins CASE chain: for each
+  (condition_operators[i] in eq|neq|lt|leq|gt|geq, bin_values[i]) with
+  cond(x, value) true emit bin_labels[i]; valid-but-unmatched ->
+  default_label; null -> null. label_kind "number" -> float64 labels, else
+  string labels.
+- ``string_map``      exact-equality CASE: x == match[i] -> replace[i]; else
+  ``default`` if set, else x unchanged; null -> null.
+- ``string_case``     upper | lower.
+- ``string_affix``    out = prefix + x + suffix.
+- ``string_concat``   join ``inputs`` columns with ``separator``; any null
+  input -> null row.
+- ``string_replace``  replace all matches of ``pattern`` (RE2 regex when
+  ``regex`` else literal substring) with ``replacement``.
+- ``substring_delim_at_index``  split by ``delimiter``, take element
+  ``index``; fewer than index+1 parts -> ``default_value``; null -> null.
+- ``string_isin_list``   x in ``values`` (exact), boolean; XOR ``negation``.
+- ``string_contains``    ``constant`` is a substring of x; XOR ``negation``.
+- ``string_contains_list``  any of ``values`` is a substring of x; XOR
+  ``negation``.
+
+Any op may carry ``cast_input`` / ``cast_output`` dtype names (string bigint
+int smallint tinyint float double boolean — plus int64/long/int32/... spelt
+aliases); the cast applies to the input before / output after the op, with
+the engine's cast policy: -0.0 normalises to +0.0 first, float -> int
+TRUNCATES toward zero, bool -> string renders "true"/"false". On list
+columns the cast applies to the innermost values.
+
+The v2 reference interpreter applies numeric ops (log abs impute exp round
+round_to_decimal standard_scale min_max_scale bucketize) to scalar columns
+and one list level; bin and string ops to scalar columns (serve list-nested
+string features with the engine itself).
+
 ``export_portable`` raises with the offending stage list if the model holds
 any stage outside this op set (e.g. hash/window/listwise stages — serve them
 with the engine itself). ``apply_portable`` is the in-repo reference
@@ -59,7 +99,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 PORTABLE_FORMAT = "kamae-ray-portable"
-PORTABLE_VERSION = 1
+PORTABLE_VERSION = 2
 
 
 def _spec_of(stage, arrays: dict[str, np.ndarray], counter: list[int]):
@@ -67,6 +107,7 @@ def _spec_of(stage, arrays: dict[str, np.ndarray], counter: list[int]):
     from kamae_ray.stages import elementwise as E
     from kamae_ray.stages import indexers as I
     from kamae_ray.stages import scalers as Sc
+    from kamae_ray.stages import strings as St
 
     def ref(arr) -> str:
         key = f"a{counter[0]}"
@@ -74,12 +115,85 @@ def _spec_of(stage, arrays: dict[str, np.ndarray], counter: list[int]):
         arrays[key] = np.asarray(arr)
         return key
 
+    def done(op):
+        """Attach the stage's explicit dtype casts to the finished op dict."""
+        if op is not None:
+            if getattr(stage, "input_dtype", None) is not None:
+                op["cast_input"] = stage.input_dtype
+            if getattr(stage, "output_dtype", None) is not None:
+                op["cast_output"] = stage.output_dtype
+        return op
+
     t = type(stage)
+    return done(_spec_of_inner(stage, t, E, I, Sc, St, ref))
+
+
+def _spec_of_inner(stage, t, E, I, Sc, St, ref):
     if t is E.LogTransformer:
         return {"op": "log", "input": stage.input_col, "output": stage.output_col,
                 "alpha": float(stage.alpha)}
     if t is E.AbsoluteValueTransformer:
         return {"op": "abs", "input": stage.input_col, "output": stage.output_col}
+    if t is E.ExpTransformer:
+        return {"op": "exp", "input": stage.input_col, "output": stage.output_col}
+    if t is E.RoundTransformer:
+        return {"op": "round", "input": stage.input_col, "output": stage.output_col,
+                "mode": {"round": "half_away"}.get(stage.round_type, stage.round_type)}
+    if t is E.RoundToDecimalTransformer:
+        return {"op": "round_to_decimal", "input": stage.input_col,
+                "output": stage.output_col, "decimals": int(stage.decimals)}
+    if t is E.BucketizeTransformer:
+        return {"op": "bucketize", "input": stage.input_col, "output": stage.output_col,
+                "splits": [float(s) for s in stage.splits],
+                "mask_value": None if stage.mask_value is None else float(stage.mask_value)}
+    if t is E.BinTransformer:
+        numeric = isinstance(stage.default_label, float)
+        return {"op": "bin", "input": stage.input_col, "output": stage.output_col,
+                "condition_operators": list(stage.condition_operators),
+                "bin_values": [float(v) for v in stage.bin_values],
+                "bin_labels": list(stage.bin_labels),
+                "default_label": stage.default_label,
+                "label_kind": "number" if numeric else "string"}
+    if t is E.StringMapTransformer:
+        return {"op": "string_map", "input": stage.input_col, "output": stage.output_col,
+                "match": list(stage.string_match_values),
+                "replace": list(stage.string_replace_values),
+                "default": stage.default_value}
+    if t is St.StringCaseTransformer:
+        return {"op": "string_case", "input": stage.input_col,
+                "output": stage.output_col, "case": stage.string_case_type}
+    if t is St.StringAffixTransformer:
+        return {"op": "string_affix", "input": stage.input_col,
+                "output": stage.output_col, "prefix": stage.prefix, "suffix": stage.suffix}
+    if t is St.StringConcatenateTransformer:
+        if stage.input_cols is None:
+            return None  # column + numeric-constant form: engine-only
+        return {"op": "string_concat", "inputs": list(stage.input_cols),
+                "output": stage.output_col, "separator": stage.separator}
+    if t is St.StringReplaceTransformer:
+        if stage.input_cols is not None:
+            return None  # per-row pattern/replacement columns: engine-only
+        op = {"op": "string_replace", "input": stage.input_col, "output": stage.output_col,
+              "pattern": stage.string_match_constant,
+              "replacement": stage.string_replace_constant, "regex": bool(stage.regex)}
+        if stage.regex:
+            op["regex_engine"] = "re2"
+        return op
+    if t is St.SubStringDelimAtIndexTransformer:
+        return {"op": "substring_delim_at_index", "input": stage.input_col,
+                "output": stage.output_col, "delimiter": stage.delimiter,
+                "index": int(stage.index), "default_value": stage.default_value}
+    if t is St.StringIsInListTransformer:
+        return {"op": "string_isin_list", "input": stage.input_col, "output": stage.output_col,
+                "values": list(stage.string_constant_list), "negation": bool(stage.negation)}
+    if t is St.StringContainsListTransformer:
+        return {"op": "string_contains_list", "input": stage.input_col, "output": stage.output_col,
+                "values": list(stage.string_constant_list), "negation": bool(stage.negation)}
+    if t is St.StringContainsTransformer:
+        if stage.input_cols is not None:
+            return None  # two-column contains: engine-only
+        return {"op": "string_contains", "input": stage.input_col, "output": stage.output_col,
+                "constant": stage.string_constant, "negation": bool(stage.negation)}
     if t is Sc.ImputeTransformer:
         return {"op": "impute", "input": stage.input_col, "output": stage.output_col,
                 "impute_value": float(stage.impute_value), "mask_value": stage.mask_value}
@@ -146,13 +260,50 @@ def _npz_safe(v: np.ndarray) -> np.ndarray:
     return v.astype(str) if v.dtype == object else v
 
 
+#: user-facing dtype names accepted by cast_input / cast_output
+_PORTABLE_TYPES = {
+    "string": pa.string(), "bigint": pa.int64(), "int64": pa.int64(),
+    "long": pa.int64(), "int": pa.int32(), "int32": pa.int32(),
+    "smallint": pa.int16(), "int16": pa.int16(), "tinyint": pa.int8(),
+    "int8": pa.int8(), "float": pa.float32(), "float32": pa.float32(),
+    "double": pa.float64(), "float64": pa.float64(),
+    "boolean": pa.bool_(), "bool": pa.bool_(),
+}
+
+
+def _cast_portable(col, name: str):
+    """Engine cast policy with numpy+pyarrow only: -0.0 -> +0.0 first,
+    float -> int truncates toward zero, bool -> string is "true"/"false".
+    One list level supported (cast applies to the innermost values)."""
+    target = _PORTABLE_TYPES[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        values = _cast_portable(col.values, name)
+        offs = col.offsets
+        if pa.types.is_large_list(col.type):
+            offs = pc.cast(offs, pa.int32())
+        mask = pc.invert(col.is_valid()) if col.null_count else None
+        return pa.ListArray.from_arrays(offs, values, mask=mask)
+    if col.type.equals(target):
+        return col
+    if pa.types.is_floating(col.type):
+        zero = pc.equal(col, pa.scalar(0.0))  # normalise -0.0 before casting
+        col = pc.if_else(pc.fill_null(zero, False), pa.scalar(0.0, col.type), col)
+        if pa.types.is_integer(target):
+            return pc.cast(pc.trunc(col), target, safe=False)
+    if pa.types.is_boolean(col.type) and pa.types.is_string(target):
+        return pc.if_else(col, pa.scalar("true"), pa.scalar("false"))
+    return pc.cast(col, target, safe=False)
+
+
 def apply_portable(path: str, table: pa.Table) -> pa.Table:
     """Reference interpreter: apply an exported artifact to a ``pa.Table``
     with numpy + pyarrow only (kamae_ray kernels are NOT used — this is the
     executable documentation of the format)."""
     with open(os.path.join(path, "spec.json")) as f:
         spec = json.load(f)
-    if spec.get("format") != PORTABLE_FORMAT or spec.get("version") != PORTABLE_VERSION:
+    if spec.get("format") != PORTABLE_FORMAT or spec.get("version") not in (1, PORTABLE_VERSION):
         raise ValueError(f"unsupported artifact: {spec.get('format')} v{spec.get('version')}")
     arrays = dict(np.load(os.path.join(path, "arrays.npz"), allow_pickle=False))
 
@@ -187,15 +338,28 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
                 raise NotImplementedError("num_oov_indices>1 needs farmhash64 (see oov_hash)")
         return out
 
+    _NUMERIC_KINDS = ("log", "abs", "impute", "exp", "round", "round_to_decimal",
+                      "bucketize", "standard_scale", "conditional_standard_scale",
+                      "min_max_scale")
+
     for op in spec["ops"]:
         kind = op["op"]
-        in_type = table.column(op["input"]).type if "input" in op else None
+
+        def inp(name):
+            col = table.column(name)
+            return _cast_portable(col, op["cast_input"]) if "cast_input" in op else col
+
+        def emit(t, name, col):
+            if "cast_output" in op:
+                col = _cast_portable(col, op["cast_output"])
+            return set_col(t, name, col)
+
+        in_type = inp(op["input"]).type if "input" in op else None
         is_list = in_type is not None and (pa.types.is_list(in_type) or pa.types.is_large_list(in_type))
-        if is_list and kind in ("standard_scale", "conditional_standard_scale",
-                                "min_max_scale", "log", "abs", "impute"):
+        if is_list and kind in _NUMERIC_KINDS:
             # one list level: apply per innermost position p (clamped to the
             # fitted vector length); same rules as the scalar branch
-            col = table.column(op["input"]).combine_chunks()
+            col = inp(op["input"]).combine_chunks()
             if pa.types.is_large_list(col.type):
                 col = col.cast(pa.list_(col.type.value_type))
             if col.offset != 0:
@@ -207,77 +371,50 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
             lens = np.diff(offs)
             pos = (np.arange(len(v), dtype=np.int64)
                    - np.repeat(offs[:-1].astype(np.int64), lens)) if len(v) else np.zeros(0, np.int64)
-            if kind == "log":
-                out = np.log(v + op["alpha"])
-            elif kind == "abs":
-                out = np.abs(v)
-            elif kind == "impute":
-                out = np.where(nulls, op["impute_value"], v)
-                if op["mask_value"] is not None:
-                    out = np.where(out == op["mask_value"], op["impute_value"], out)
-            elif kind in ("standard_scale", "conditional_standard_scale"):
-                mean, std = arrays[op["mean"]], arrays[op["stddev"]]
-                p = np.minimum(pos, len(mean) - 1)
-                inv = np.where(std == 0, 0.0, 1.0 / np.where(std == 0, 1.0, std))
-                out = (v - mean[p]) * inv[p]
-                if op.get("skip_zeros"):
-                    out = np.where(np.abs(v) > op["epsilon"], out, 0.0)
-                if op["mask_value"] is not None:
-                    out = np.where(v == op["mask_value"], v, out)
-            else:
-                mn, mx = arrays[op["min"]], arrays[op["max"]]
-                p = np.minimum(pos, len(mn) - 1)
-                rng = mx - mn
-                inv = np.where(rng == 0, 0.0, 1.0 / np.where(rng == 0, 1.0, rng))
-                out = (v - mn[p]) * inv[p]
-                if op["mask_value"] is not None:
-                    out = np.where(v == op["mask_value"], v, out)
-            flat_out = pa.array(out, pa.float64(), mask=nulls if kind != "impute" else None)
+            out, out_type = _numeric_kernel(kind, op, arrays, v, nulls, pos)
+            flat_out = pa.array(out, out_type, mask=nulls if kind != "impute" else None)
             if col.null_count:
                 rebuilt = pa.ListArray.from_arrays(
                     pa.array(offs, pa.int32()), flat_out, mask=pc.invert(col.is_valid())
                 )
             else:
                 rebuilt = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat_out)
-            table = set_col(table, op["output"], rebuilt)
+            table = emit(table, op["output"], rebuilt)
             continue
-        if kind in ("log", "abs", "impute", "standard_scale",
-                    "conditional_standard_scale", "min_max_scale"):
-            x = pc.cast(table.column(op["input"]), pa.float64(), safe=False)
+        if kind in _NUMERIC_KINDS:
+            x = pc.cast(inp(op["input"]), pa.float64(), safe=False)
             # NaN is a VALUE (flows through arithmetic); only arrow NULLS
             # propagate as nulls (impute fills nulls, never NaN) — matches
             # the engine's pyarrow kernels exactly
             nulls = pc.is_null(x).to_numpy(zero_copy_only=False)
             v = x.to_numpy(zero_copy_only=False)  # nulls arrive as NaN here
-            if kind == "log":
-                out = np.log(v + op["alpha"])
-            elif kind == "abs":
-                out = np.abs(v)
-            elif kind == "impute":
-                out = np.where(nulls, op["impute_value"], v)
-                if op["mask_value"] is not None:
-                    out = np.where(out == op["mask_value"], op["impute_value"], out)
-            elif kind in ("standard_scale", "conditional_standard_scale"):
-                mean, std = arrays[op["mean"]], arrays[op["stddev"]]
-                inv = np.where(std == 0, 0.0, 1.0 / np.where(std == 0, 1.0, std))
-                out = (v - mean[0]) * inv[0]  # scalar column: position 0
-                if op.get("skip_zeros"):
-                    out = np.where(np.abs(v) > op["epsilon"], out, 0.0)
-                if op["mask_value"] is not None:
-                    out = np.where(v == op["mask_value"], v, out)
-            else:
-                mn, mx = arrays[op["min"]], arrays[op["max"]]
-                rng = mx - mn
-                inv = np.where(rng == 0, 0.0, 1.0 / np.where(rng == 0, 1.0, rng))
-                out = (v - mn[0]) * inv[0]
-                if op["mask_value"] is not None:
-                    out = np.where(v == op["mask_value"], v, out)
-            table = set_col(table, op["output"], pa.array(out, pa.float64(), mask=nulls if kind != "impute" else None))
+            out, out_type = _numeric_kernel(kind, op, arrays, v, nulls,
+                                            np.zeros(len(v), np.int64))
+            table = emit(table, op["output"], pa.array(out, out_type, mask=nulls if kind != "impute" else None))
+        elif kind == "bin":
+            flat = inp(op["input"]).combine_chunks() if isinstance(inp(op["input"]), pa.ChunkedArray) else inp(op["input"])
+            label_type = pa.float64() if op["label_kind"] == "number" else pa.string()
+            out = pa.nulls(len(flat), label_type)
+            assigned = pa.array(np.zeros(len(flat), dtype=bool))
+            cmp = {"eq": pc.equal, "neq": pc.not_equal, "lt": pc.less,
+                   "leq": pc.less_equal, "gt": pc.greater, "geq": pc.greater_equal}
+            for o, val, label in zip(op["condition_operators"], op["bin_values"], op["bin_labels"]):
+                cond = cmp[o](flat, pa.scalar(val))
+                cond = pc.and_(pc.fill_null(cond, False), pc.invert(assigned))
+                out = pc.if_else(cond, pa.scalar(label, label_type), out)
+                assigned = pc.or_(assigned, cond)
+            take_default = pc.and_(pc.invert(assigned), pc.is_valid(flat))
+            out = pc.if_else(take_default, pa.scalar(op["default_label"], label_type), out)
+            table = emit(table, op["output"], out)
+        elif kind in ("string_map", "string_case", "string_affix", "string_concat",
+                      "string_replace", "substring_delim_at_index",
+                      "string_isin_list", "string_contains", "string_contains_list"):
+            table = emit(table, op["output"], _string_kernel(kind, op, table, inp))
         elif kind in ("string_index", "string_index_shared", "one_hot", "one_hot_shared"):
             pairs = (list(zip(op["inputs"], op["outputs"]))
                      if kind.endswith("_shared") else [(op["input"], op["output"])])
             for in_col, out_col in pairs:
-                vals = pc.cast(table.column(in_col), pa.string(), safe=False)
+                vals = pc.cast(inp(in_col), pa.string(), safe=False)
                 idx = index_col(vals, op)
                 if kind.startswith("one_hot"):
                     labels = arrays[op["labels"]]
@@ -298,17 +435,137 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
                     )
                 else:
                     col = pa.array(idx, pa.int64())
-                table = set_col(table, out_col, col)
+                table = emit(table, out_col, col)
         else:
             raise ValueError(f"unknown op {kind!r}")
     return table
 
 
-#: class names with a v1 portable op (consumed by discovery.get_capabilities
-#: and kept in sync with _spec_of's dispatch by tests/test_portable_artifact.py)
+def _numeric_kernel(kind, op, arrays, v, nulls, pos):
+    """Shared scalar/list numeric computation: (out ndarray, output pa type).
+    ``pos`` is the innermost array position per element (all-zero for scalar
+    columns); fitted vectors clamp to their last entry beyond it."""
+    if kind == "log":
+        return np.log(v + op["alpha"]), pa.float64()
+    if kind == "abs":
+        return np.abs(v), pa.float64()
+    if kind == "exp":
+        # pc.exp, not np.exp: the two differ by 1 ULP on some inputs and the
+        # engine's kernel is the arrow one
+        return pc.exp(pa.array(v)).to_numpy(zero_copy_only=False), pa.float64()
+    if kind == "round":
+        if op["mode"] == "ceil":
+            return np.ceil(v), pa.float64()
+        if op["mode"] == "floor":
+            return np.floor(v), pa.float64()
+        return pc.round(pa.array(v), ndigits=0,
+                        round_mode="half_towards_infinity").to_numpy(zero_copy_only=False), pa.float64()
+    if kind == "round_to_decimal":
+        return pc.round(pa.array(v), ndigits=op["decimals"],
+                        round_mode="half_towards_infinity").to_numpy(zero_copy_only=False), pa.float64()
+    if kind == "bucketize":
+        idx = np.searchsorted(np.asarray(op["splits"], dtype=np.float64), v, side="right") + 1
+        if op["mask_value"] is not None:
+            idx = np.where(v == op["mask_value"], 0, idx)
+        return idx.astype(np.int32), pa.int32()
+    if kind == "impute":
+        out = np.where(nulls, op["impute_value"], v)
+        if op["mask_value"] is not None:
+            out = np.where(out == op["mask_value"], op["impute_value"], out)
+        return out, pa.float64()
+    if kind in ("standard_scale", "conditional_standard_scale"):
+        mean, std = arrays[op["mean"]], arrays[op["stddev"]]
+        p = np.minimum(pos, len(mean) - 1)
+        inv = np.where(std == 0, 0.0, 1.0 / np.where(std == 0, 1.0, std))
+        out = (v - mean[p]) * inv[p]
+        if op.get("skip_zeros"):
+            out = np.where(np.abs(v) > op["epsilon"], out, 0.0)
+        if op["mask_value"] is not None:
+            out = np.where(v == op["mask_value"], v, out)
+        return out, pa.float64()
+    mn, mx = arrays[op["min"]], arrays[op["max"]]
+    p = np.minimum(pos, len(mn) - 1)
+    rng = mx - mn
+    inv = np.where(rng == 0, 0.0, 1.0 / np.where(rng == 0, 1.0, rng))
+    out = (v - mn[p]) * inv[p]
+    if op["mask_value"] is not None:
+        out = np.where(v == op["mask_value"], v, out)
+    return out, pa.float64()
+
+
+def _string_kernel(kind, op, table, inp):
+    """v2 stateless string ops on scalar string columns (pyarrow kernels;
+    identical call sequence to the engine's stages/strings.py)."""
+
+    def flat(name):
+        col = inp(name)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            raise ValueError(f"v2 interpreter: op {kind!r} supports scalar columns only")
+        return col
+
+    if kind == "string_map":
+        x = flat(op["input"])
+        if op["default"] is not None:
+            out = pc.if_else(pc.is_valid(x),
+                             pa.array([op["default"]] * len(x), pa.string()),
+                             pa.nulls(len(x), pa.string()))
+        else:
+            out = x
+        for match, repl in zip(op["match"], op["replace"]):
+            out = pc.if_else(pc.equal(x, pa.scalar(match)), pa.scalar(repl), out)
+        return out
+    if kind == "string_case":
+        x = flat(op["input"])
+        return pc.utf8_upper(x) if op["case"] == "upper" else pc.utf8_lower(x)
+    if kind == "string_affix":
+        out = flat(op["input"])
+        if op["prefix"]:
+            out = pc.binary_join_element_wise(pa.scalar(op["prefix"]), out, pa.scalar(""))
+        if op["suffix"]:
+            out = pc.binary_join_element_wise(out, pa.scalar(op["suffix"]), pa.scalar(""))
+        return out
+    if kind == "string_concat":
+        return pc.binary_join_element_wise(*[flat(c) for c in op["inputs"]],
+                                           pa.scalar(op["separator"]))
+    if kind == "string_replace":
+        x = flat(op["input"])
+        fn = pc.replace_substring_regex if op["regex"] else pc.replace_substring
+        return fn(x, pattern=op["pattern"], replacement=op["replacement"])
+    if kind == "substring_delim_at_index":
+        x = flat(op["input"])
+        split = pc.split_pattern(x, pattern=op["delimiter"])
+        ok = pc.greater(pc.list_value_length(split), op["index"])
+        joined = pc.binary_join(pc.list_slice(split, op["index"], op["index"] + 1), pa.scalar(""))
+        out = pc.if_else(ok, joined, pa.scalar(op["default_value"]))
+        return pc.if_else(pc.is_valid(x), out, pa.nulls(len(x), pa.string()))
+    if kind == "string_isin_list":
+        out = pc.is_in(flat(op["input"]), value_set=pa.array(op["values"], pa.string()))
+        return pc.invert(out) if op["negation"] else out
+    if kind == "string_contains":
+        out = pc.match_substring(flat(op["input"]), op["constant"])
+        return pc.invert(out) if op["negation"] else out
+    # string_contains_list: any-of substrings via one alternation regex
+    import re as _re
+
+    pat = "|".join(_re.escape(s) for s in op["values"])
+    out = pc.match_substring_regex(flat(op["input"]), pat)
+    return pc.invert(out) if op["negation"] else out
+
+
+#: class names with a portable op (consumed by discovery.get_capabilities
+#: and kept in sync with _spec_of's dispatch by tests/test_portable_artifact.py).
+#: StringConcatenate/StringReplace/StringContains are portable only in their
+#: constant forms — the per-row-pattern column forms export as None and raise.
 PORTABLE_CLASSES = frozenset({
     "LogTransformer",
     "AbsoluteValueTransformer",
+    "ExpTransformer",
+    "RoundTransformer",
+    "RoundToDecimalTransformer",
+    "BucketizeTransformer",
+    "BinTransformer",
+    "StringMapTransformer",
     "ImputeTransformer",
     "StandardScaleTransformer",
     "ConditionalStandardScaleTransformer",
@@ -317,4 +574,12 @@ PORTABLE_CLASSES = frozenset({
     "SharedStringIndexTransformer",
     "OneHotEncodeTransformer",
     "SharedOneHotEncodeTransformer",
+    "StringCaseTransformer",
+    "StringAffixTransformer",
+    "StringConcatenateTransformer",
+    "StringReplaceTransformer",
+    "SubStringDelimAtIndexTransformer",
+    "StringIsInListTransformer",
+    "StringContainsTransformer",
+    "StringContainsListTransformer",
 })

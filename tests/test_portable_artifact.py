@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 art, inp, outp = sys.argv[1:4]
 spec = json.load(open(art + "/spec.json"))
-assert spec["format"] == "kamae-ray-portable" and spec["version"] == 1
+assert spec["format"] == "kamae-ray-portable" and spec["version"] in (1, 2)
 arrays = dict(np.load(art + "/arrays.npz", allow_pickle=False))
 table = pq.read_table(inp)
 
@@ -99,7 +99,7 @@ def fitted(tmp_path_factory):
 def test_artifact_layout(fitted):
     _, _, art = fitted
     spec = json.load(open(art + "/spec.json"))
-    assert spec["format"] == "kamae-ray-portable" and spec["version"] == 1
+    assert spec["format"] == "kamae-ray-portable" and spec["version"] == 2
     assert [o["op"] for o in spec["ops"]] == ["log", "standard_scale", "string_index"]
     arrays = dict(np.load(art + "/arrays.npz", allow_pickle=False))
     idx_op = spec["ops"][2]
@@ -173,6 +173,114 @@ def test_reference_interpreter_all_ops(tmp_path):
         ee = expect.column(col).to_pylist()
         assert all(same(a, b) for a, b in zip(ge, ee)), col
     assert got.column("c1h").to_pylist() == expect.column("c1h").to_pylist()
+
+
+def test_v2_ops_round_trip(tmp_path):
+    """Every v2 op (bucketize/bin/string ops/exp/round) through
+    apply_portable == engine transform, including null handling."""
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.state.portable import apply_portable
+    from kamae_ray.stages import (
+        BinTransformer,
+        BucketizeTransformer,
+        ExpTransformer,
+        RoundToDecimalTransformer,
+        RoundTransformer,
+        StringAffixTransformer,
+        StringCaseTransformer,
+        StringConcatenateTransformer,
+        StringContainsListTransformer,
+        StringContainsTransformer,
+        StringIsInListTransformer,
+        StringMapTransformer,
+        StringReplaceTransformer,
+        SubStringDelimAtIndexTransformer,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.standard_normal(300) * 10
+    xs = [None if i % 23 == 0 else float(v) for i, v in enumerate(x)]
+    strs = [None if i % 19 == 0 else f"Ab-{i % 9},tail{i % 4}" for i in range(300)]
+    t = pa.table({
+        "x": pa.array(xs, pa.float64()),
+        "s": pa.array(strs, pa.string()),
+        "s2": pa.array([f"z{i % 3}" for i in range(300)], pa.string()),
+    })
+    pipe = Pipeline([
+        ExpTransformer(input_col="x", output_col="ex"),
+        RoundTransformer(input_col="x", round_type="round", output_col="rx"),
+        RoundTransformer(input_col="x", round_type="ceil", output_col="cx"),
+        RoundToDecimalTransformer(input_col="x", decimals=2, output_col="dx"),
+        BucketizeTransformer(input_col="x", splits=[-5.0, 0.0, 5.0], mask_value=0.0, output_col="bx"),
+        BinTransformer(
+            input_col="x", condition_operators=["lt", "geq"], bin_values=[0.0, 8.0],
+            bin_labels=["neg", "big"], default_label="mid", output_col="binx",
+        ),
+        BinTransformer(
+            input_col="x", condition_operators=["lt"], bin_values=[0.0],
+            bin_labels=[1], default_label=0, output_col="binn",
+        ),
+        StringCaseTransformer(input_col="s", string_case_type="lower", output_col="lo"),
+        StringAffixTransformer(input_col="s", prefix="<", suffix=">", output_col="af"),
+        StringConcatenateTransformer(input_cols=["s", "s2"], separator="|", output_col="cat"),
+        StringMapTransformer(
+            input_col="s2", string_match_values=["z0", "z1"],
+            string_replace_values=["zero", "one"], default_value="other", output_col="sm",
+        ),
+        StringReplaceTransformer(
+            input_col="s", string_match_constant="[0-9]+", string_replace_constant="N",
+            regex=True, output_col="srep",
+        ),
+        SubStringDelimAtIndexTransformer(input_col="s", delimiter=",", index=1, default_value="?", output_col="sub"),
+        StringIsInListTransformer(input_col="s2", string_constant_list=["z0", "z2"], output_col="isin"),
+        StringContainsTransformer(input_col="s", string_constant="tail1", negation=True, output_col="ct"),
+        StringContainsListTransformer(input_col="s", string_constant_list=["-3", "-5"], output_col="cl"),
+    ])
+    model = pipe.fit(t)
+    art = tmp_path / "v2"
+    model.export_portable(str(art))
+    spec = json.load(open(str(art) + "/spec.json"))
+    assert spec["version"] == 2
+    got = apply_portable(str(art), t)
+    expect = model.transform(t)
+    for col in ["ex", "rx", "cx", "dx", "bx", "binx", "binn", "lo", "af",
+                "cat", "sm", "srep", "sub", "isin", "ct", "cl"]:
+        ge, ee = got.column(col).to_pylist(), expect.column(col).to_pylist()
+        assert ge == ee, f"{col}: {ge[:6]} != {ee[:6]}"
+
+
+def test_v2_dtype_casts_round_trip(tmp_path):
+    """cast_input/cast_output fields reproduce the engine's explicit
+    input_dtype/output_dtype casts (incl. float->int truncation and the
+    one-hot list-value cast)."""
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.state.portable import apply_portable
+    from kamae_ray.stages import (
+        LogTransformer,
+        OneHotEncodeEstimator,
+        RoundTransformer,
+    )
+
+    rng = np.random.RandomState(13)
+    t = pa.table({
+        "x": pa.array(rng.standard_normal(100) * 7 + 1.0, pa.float64()),
+        "c": pa.array([f"k{i % 4}" for i in range(100)], pa.string()),
+    })
+    pipe = Pipeline([
+        RoundTransformer(input_col="x", round_type="floor", output_dtype="bigint", output_col="xf"),
+        LogTransformer(input_col="x", alpha=50.0, output_dtype="float", output_col="lg"),
+        OneHotEncodeEstimator(input_col="c", num_oov_indices=1, output_dtype="double", output_col="oh"),
+    ])
+    model = pipe.fit(t)
+    art = tmp_path / "casts"
+    model.export_portable(str(art))
+    spec = json.load(open(str(art) + "/spec.json"))
+    assert spec["ops"][0]["cast_output"] == "bigint"
+    got = apply_portable(str(art), t)
+    expect = model.transform(t)
+    for col in ["xf", "lg", "oh"]:
+        assert got.column(col).type.equals(expect.column(col).type), col
+        assert got.column(col).to_pylist() == expect.column(col).to_pylist(), col
 
 
 def test_export_rejects_non_portable(tmp_path):

@@ -1389,6 +1389,62 @@ def _q_multimodal(sf_dir):
     )
 
 
+def _q_topk(sf_dir):
+    """Top-k rows per group (``topk_per_group``): top-3 lineitems per order by
+    extendedprice. The plan pre-reduces each block to <=k rows per key before
+    the sort-shuffle (partial top-k), so the exchange carries k x keys, not
+    rows. Oracle = SQL ROW_NUMBER() window."""
+    from kamae_ray.stages.aggregate import topk_per_group
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = topk_per_group(ds, "l_orderkey", "l_extendedprice", 3, descending=True, tiebreak=["l_linenumber"])
+    return out.map_batches(_rounder(["l_extendedprice"]), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_group_quantiles(sf_dir):
+    """Exact per-group linear-interpolated quantiles (``quantile_per_group``):
+    p25/p50/p90 of extendedprice per (returnflag, linestatus). ONE shuffle of
+    the projected (keys, value) columns, then a fully segmented gather-
+    interpolate kernel. Oracle = DuckDB quantile_cont."""
+    from kamae_ray.stages.aggregate import quantile_per_group
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"])
+    out = quantile_per_group(ds, ["l_returnflag", "l_linestatus"], "l_extendedprice", [0.25, 0.5, 0.9])
+    cols = ["l_extendedprice_p25", "l_extendedprice_p50", "l_extendedprice_p90"]
+    return out.map_batches(_rounder(cols), batch_format="pyarrow", zero_copy_batch=True)
+
+
+_STRAT_FRACTIONS = {"BUILDING": 0.5, "AUTOMOBILE": 0.25}
+_STRAT_DEFAULT = 0.1
+_STRAT_SALT = 5
+
+
+def _q_stratified(sf_dir):
+    """Deterministic per-stratum Bernoulli sample (``stratified_sample``):
+    class rebalancing for training data. Membership is a pure hash of the
+    key, so the EXACT kept set is reproducible in SQL via the same HUGEINT
+    Knuth-multiplicative arithmetic as q_split — hash-certified sampling."""
+    from kamae_ray.stages.hashing import stratified_sample
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return stratified_sample(
+        ds, "c_custkey", "c_mktsegment", _STRAT_FRACTIONS,
+        default_fraction=_STRAT_DEFAULT, salt=_STRAT_SALT,
+    )
+
+
+def _q_tfidf(sf_dir):
+    """TF-IDF top-4 terms per document (``tfidf_top_terms``): block-local term
+    counting (no shuffle for tf), partial-agg df, broadcast idf join, partial
+    top-k — the whole pipeline is three narrow stages plus one k-bounded
+    shuffle. Oracle = unnest + window SQL with the same smoothed-idf formula."""
+    from kamae_ray.pipelines.text_features import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(ds, "doc_id", "text", k=4)
+    return out.map_batches(_rounder(["tfidf"]), batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_log": _q_log,
@@ -1451,6 +1507,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_single_feature_scale": _q_single_feature_scale,
         "q_hash_encode": _q_hash_encode,
         "q_multimodal": _q_multimodal,
+        "q_topk": _q_topk,
+        "q_group_quantiles": _q_group_quantiles,
+        "q_stratified": _q_stratified,
+        "q_tfidf": _q_tfidf,
     }
 
 
@@ -1875,6 +1935,44 @@ def oracle_sql() -> dict[str, str]:
             "cc AS (SELECT node, min(reach) AS rep FROM walk GROUP BY node) "
             "SELECT doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT node FROM cc WHERE rep <> node)"
+        ),
+        "q_topk": (
+            "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice::DOUBLE, 6) AS l_extendedprice "
+            "FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, "
+            "ROW_NUMBER() OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_extendedprice DESC, l_linenumber) AS rn FROM lineitem) "
+            "WHERE rn <= 3"
+        ),
+        "q_group_quantiles": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(quantile_cont(l_extendedprice::DOUBLE, 0.25), 6) AS l_extendedprice_p25, "
+            "ROUND(quantile_cont(l_extendedprice::DOUBLE, 0.5), 6) AS l_extendedprice_p50, "
+            "ROUND(quantile_cont(l_extendedprice::DOUBLE, 0.9), 6) AS l_extendedprice_p90 "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q_stratified": (
+            "WITH h AS (SELECT c_custkey, c_mktsegment, "
+            f"(CAST(c_custkey + {_STRAT_SALT} AS HUGEINT) * 11400714819323198485) "
+            "% 18446744073709551616 AS hv FROM customer) "
+            "SELECT c_custkey, c_mktsegment FROM h WHERE hv < CASE c_mktsegment "
+            + " ".join(
+                f"WHEN '{s}' THEN {min(int(f * 2.0**64), 2**64 - 1)}"
+                for s, f in _STRAT_FRACTIONS.items()
+            )
+            + f" ELSE {min(int(_STRAT_DEFAULT * 2.0**64), 2**64 - 1)} END"
+        ),
+        "q_tfidf": (
+            "WITH words AS (SELECT doc_id, w AS term FROM ("
+            r"SELECT doc_id, unnest(regexp_split_to_array(coalesce(text,''), '\s+')) AS w "
+            "FROM documents) WHERE w <> ''), "
+            "tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM words GROUP BY 1, 2), "
+            "df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1), "
+            "scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+            "tf.tf * (ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0) "
+            "/ (df.df + 1.0)) + 1.0) AS tfidf FROM tf JOIN df USING (term)) "
+            "SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, term) AS rn FROM scored) WHERE rn <= 4"
         ),
         # q_minhash_pairs, q_simhash, q_hash_encode, q_ann_ivf:
         # hash-dependent (FarmHash, LSH banding, k-means assignment)

@@ -143,3 +143,97 @@ def groupby_agg(ds, keys: str | list[str], aggs: dict[str, list[str]]):
     from kamae_ray.stages.window import sorted_block_apply
 
     return sorted_block_apply(parts, keys, finalize, "groupby_finalize")
+
+
+def topk_per_group(ds, keys, order_col: str, k: int, descending: bool = True,
+                   tiebreak=None):
+    """Top ``k`` whole rows per distinct ``keys`` tuple, ordered by
+    ``order_col`` (then ``tiebreak`` columns ascending) — SQL
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY ...) <= k``.
+
+    Scale plan (partial top-k, the heavy-hitters shape): every input block
+    first reduces to at most k rows per key PRESENT IN THAT BLOCK inside
+    ``map_batches`` — a block-local pc.sort_indices + segment head, no
+    Python loops — so the sort-shuffle that co-locates keys carries at most
+    ``k x keys_per_block`` rows instead of every row. The finalize kernel is
+    the same head-k over the co-located survivors (correct because the
+    global top-k of a union is contained in the union of per-block top-ks).
+    Pass unique ``tiebreak`` columns for deterministic output under ties.
+    Nulls in ``order_col`` sort last (DuckDB default NULLS LAST). Float NaN
+    also sorts last (missing-value semantics) — DuckDB instead orders NaN
+    above every number, so keep NaN out of ``order_col`` when comparing
+    against a SQL oracle."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tiebreak = [] if tiebreak is None else ([tiebreak] if isinstance(tiebreak, str) else list(tiebreak))
+    direction = "descending" if descending else "ascending"
+    sort_spec = ([(c, "ascending") for c in keys] + [(order_col, direction)]
+                 + [(c, "ascending") for c in tiebreak])
+
+    def head_k(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        idx = np.asarray(pc.sort_indices(block, sort_keys=sort_spec))
+        gids = S.group_ids(block, keys)
+        gs = gids[idx]
+        starts, lens = S.segments(gs)
+        pos = np.arange(len(gs), dtype=np.int64) - np.repeat(starts, lens)
+        return block.take(pa.array(idx[pos < k]))
+
+    head_k.__name__ = "topk_partial"
+    if isinstance(ds, pa.Table):
+        return head_k(ds)
+    parts = ds.map_batches(head_k, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(parts, keys, head_k, "topk_finalize")
+
+
+def quantile_per_group(ds, keys, col: str, qs, out_prefix: str | None = None):
+    """Exact linear-interpolated quantiles of ``col`` per ``keys`` tuple —
+    SQL ``quantile_cont(col, q)`` semantics (nulls ignored; empty group ->
+    null). Output: key columns + ``{prefix}_p{round(q*100)}`` float64.
+
+    Exact quantiles are not mergeable from per-block partials, so the plan
+    is ONE sort-shuffle of the PROJECTED (keys, col) columns — never the
+    full row — then a fully vectorized segmented kernel: one in-block
+    lexsort, per-group non-null counts via reduceat, and a gather-interpolate
+    with no per-group Python loop."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    qs = list(qs)
+    prefix = out_prefix or col
+    names = [f"{prefix}_p{int(round(q * 100))}" for q in qs]
+
+    def kern(block: pa.Table) -> pa.Table:
+        gids = S.group_ids(block, keys)
+        vals, mask = A.to_numpy(pc.cast(A.as_array(block.column(col)), pa.float64(), safe=False))
+        vals = vals.astype(np.float64, copy=True)
+        if mask is not None:
+            vals[mask] = np.nan
+        order = np.lexsort((vals, gids))  # NaN sorts last within each gid
+        gs = gids[order]
+        v = vals[order]
+        starts, lens = S.segments(gs)
+        firsts = order[starts]
+        out = {kc: A.as_array(block.column(kc)).take(pa.array(firsts)) for kc in keys}
+        m = np.add.reduceat((~np.isnan(v)).astype(np.int64), starts) if len(v) else np.zeros(0, np.int64)
+        for q, name in zip(qs, names):
+            p = q * np.maximum(m - 1, 0)
+            lo = np.floor(p).astype(np.int64)
+            hi = np.minimum(lo + 1, np.maximum(m - 1, 0))
+            frac = p - lo
+            vlo = v[starts + np.minimum(lo, np.maximum(m - 1, 0))]
+            vhi = v[starts + hi]
+            res = vlo * (1.0 - frac) + vhi * frac
+            out[name] = pa.array(np.where(m > 0, res, np.nan))
+        return pa.table(out)
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(keys + [col])))
+    except Exception:
+        pass
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(proj, keys, kern, "group_quantiles")

@@ -245,18 +245,7 @@ class HashSplitTransformer(Transformer):
         arr = A.as_array(batch.column(self.input_col))
         labels = list(self.splits)
         thresholds = self._thresholds()
-        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
-        t = arr.type
-        if pa.types.is_integer(t):
-            k = pc.fill_null(pc.cast(arr, pa.int64(), safe=False), 0)
-            h = (k.to_numpy(zero_copy_only=False).view(np.uint64) + np.uint64(self.salt)) * self._P
-        else:
-            from kamae_ray.functions.farmhash import hash64_column
-
-            salted = pc.binary_join_element_wise(
-                pc.cast(arr, pa.string(), safe=False), str(self.salt), ":"
-            )
-            h, _ = hash64_column(salted)
+        h, null_mask = _split_hash(arr, self.salt)
         # side='right': bucket == threshold falls into the NEXT split —
         # matches the oracle's strict `h < threshold` comparison
         idx = np.searchsorted(thresholds, h, side="right")
@@ -267,3 +256,68 @@ class HashSplitTransformer(Transformer):
         if null_mask.any():
             lab = pc.if_else(pa.array(~null_mask), lab, pa.nulls(len(lab), pa.string()))
         return _append_or_replace(batch, self.output_col, lab)
+
+
+def _split_hash(arr: pa.Array, salt: int) -> tuple:
+    """(uint64 hash per row, null mask) with HashSplit's key hashing:
+    Knuth multiplicative for integer keys (SQL-reproducible), FarmHash64 of
+    ``key || ':' || salt`` for strings."""
+    null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(arr.type):
+        k = pc.fill_null(pc.cast(arr, pa.int64(), safe=False), 0)
+        h = (k.to_numpy(zero_copy_only=False).view(np.uint64) + np.uint64(salt)) \
+            * HashSplitTransformer._P
+    else:
+        from kamae_ray.functions.farmhash import hash64_column
+
+        salted = pc.binary_join_element_wise(
+            pc.cast(arr, pa.string(), safe=False), str(salt), ":"
+        )
+        h, _ = hash64_column(salted)
+    return h, null_mask
+
+
+def stratified_sample(ds, key_col: str, strata_col: str, fractions: dict,
+                      default_fraction: float = 0.0, salt: int = 0):
+    """Deterministic per-stratum Bernoulli sample: a row is kept iff
+    ``hash(key) < fraction[stratum] * 2^64`` — the standard class-rebalancing
+    sampler for training data.
+
+    Membership is a pure function of (key, salt): stable across runs,
+    partitions and cluster sizes, and consistent for repeated keys (all rows
+    of one key stay or go together WITHIN a stratum). Embarrassingly
+    parallel — one vectorized ``map_batches`` filter, no shuffle, streaming.
+
+    - ``fractions`` maps stratum value (compared as string) -> keep fraction;
+      unlisted strata and null strata use ``default_fraction``.
+    - fraction >= 1.0 keeps every row of the stratum (no hash edge case).
+    - null keys are dropped (no hashable identity).
+    - integer keys use the Knuth multiplicative hash, so the kept set is
+      exactly reproducible in SQL via HUGEINT arithmetic (see the
+      q_stratified oracle); string keys use FarmHash64.
+    """
+    labels = [str(k) for k in fractions]
+    thr = np.array([min(int(f * 2.0**64), 2**64 - 1) for f in fractions.values()],
+                   dtype=np.uint64)
+    full = np.array([f >= 1.0 for f in fractions.values()], dtype=bool)
+    default_thr = np.uint64(min(int(default_fraction * 2.0**64), 2**64 - 1))
+    default_full = bool(default_fraction >= 1.0)
+
+    def kern(block: pa.Table) -> pa.Table:
+        h, null_mask = _split_hash(A.as_array(block.column(key_col)), salt)
+        sv = pc.cast(A.as_array(block.column(strata_col)), pa.string(), safe=False)
+        idx = pc.fill_null(
+            pc.index_in(sv, value_set=pa.array(labels, pa.string())), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        known = idx >= 0
+        safe = np.maximum(idx, 0)
+        row_thr = np.where(known, thr[safe], default_thr)
+        row_full = np.where(known, full[safe], default_full)
+        keep = (~null_mask) & (row_full | (h < row_thr))
+        return block.filter(pa.array(keep))
+
+    kern.__name__ = "stratified_sample"
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+

@@ -1,0 +1,270 @@
+"""topk_per_group / quantile_per_group / stratified_sample / tfidf_top_terms
+— randomized parity vs DuckDB on both the pa.Table path and the Dataset path.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from kamae_ray.pipelines.text_features import tfidf_top_terms
+from kamae_ray.stages.aggregate import quantile_per_group, topk_per_group
+from kamae_ray.stages.hashing import stratified_sample
+
+
+def _rand_table(n=5000, seed=7, with_nulls=False):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 200, n)
+    vals = np.round(rng.normal(100.0, 25.0, n), 3)
+    tie = np.arange(n, dtype=np.int64)
+    v = pa.array(vals)
+    if with_nulls:
+        mask = rng.random(n) < 0.1
+        v = pa.array(np.where(mask, np.nan, vals))
+        v = pc.if_else(pa.array(~mask), v, pa.nulls(n, pa.float64()))
+    return pa.table({"k": pa.array(keys, pa.int64()), "v": v, "tie": pa.array(tie)})
+
+
+def _canon(tbl: pa.Table) -> list:
+    t = tbl.combine_chunks()
+    t = t.select(sorted(t.column_names))
+    idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in t.column_names])
+    return t.take(idx).to_pylist()
+
+
+def test_topk_per_group_matches_duckdb():
+    t = _rand_table()
+    out = topk_per_group(t, "k", "v", 3, descending=True, tiebreak=["tie"])
+    sql = (
+        "SELECT k, v, tie FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY v DESC, tie) rn FROM t) WHERE rn <= 3"
+    )
+    oracle = duckdb.query(sql).arrow()
+    assert _canon(out) == _canon(oracle)
+
+
+def test_topk_ascending_and_k_bigger_than_group():
+    t = _rand_table(n=300, seed=3)
+    out = topk_per_group(t, "k", "v", 50, descending=False, tiebreak=["tie"])
+    sql = (
+        "SELECT k, v, tie FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY v ASC, tie) rn FROM t) WHERE rn <= 50"
+    )
+    oracle = duckdb.query(sql).arrow()
+    assert _canon(out) == _canon(oracle)
+
+
+def test_topk_nulls_sort_last():
+    t = pa.table({"k": [1, 1, 1, 2], "v": [None, 5.0, 3.0, None], "tie": [0, 1, 2, 3]})
+    out = topk_per_group(t, "k", "v", 2, descending=True, tiebreak=["tie"])
+    rows = _canon(out)
+    # group 1 keeps the two non-null values; group 2 keeps its only (null) row
+    assert rows == _canon(
+        pa.table({"k": [1, 1, 2], "v": [5.0, 3.0, None], "tie": [1, 2, 3]})
+    )
+
+
+def test_topk_dataset_path(ray_session):
+    import ray
+
+    t = _rand_table(n=4000, seed=11)
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = pa.concat_tables(
+        ray.get(topk_per_group(ds, "k", "v", 4, tiebreak=["tie"]).to_arrow_refs())
+    )
+    expected = topk_per_group(t, "k", "v", 4, tiebreak=["tie"])
+    assert _canon(out) == _canon(expected)
+
+
+def test_quantile_per_group_matches_duckdb():
+    t = _rand_table(n=4000, seed=5, with_nulls=True)
+    out = quantile_per_group(t, "k", "v", [0.25, 0.5, 0.9])
+    sql = (
+        "SELECT k, quantile_cont(v, 0.25) AS v_p25, quantile_cont(v, 0.5) AS v_p50, "
+        "quantile_cont(v, 0.9) AS v_p90 FROM t GROUP BY k"
+    )
+    oracle = duckdb.query(sql).arrow()
+    eng = {r["k"]: r for r in out.to_pylist()}
+    for r in oracle.to_pylist():
+        e = eng[r["k"]]
+        for c in ("v_p25", "v_p50", "v_p90"):
+            if r[c] is None:
+                assert np.isnan(e[c])
+            else:
+                assert e[c] == pytest.approx(r[c], abs=1e-9)
+
+
+def test_quantile_all_null_group_is_nan():
+    t = pa.table({"k": [1, 1, 2], "v": pa.array([None, None, 4.0], pa.float64())})
+    out = quantile_per_group(t, "k", "v", [0.5])
+    got = {r["k"]: r["v_p50"] for r in out.to_pylist()}
+    assert np.isnan(got[1]) and got[2] == 4.0
+
+
+def test_quantile_dataset_path(ray_session):
+    import ray
+
+    t = _rand_table(n=3000, seed=13)
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = pa.concat_tables(
+        ray.get(quantile_per_group(ds, "k", "v", [0.5, 0.75]).to_arrow_refs())
+    )
+    expected = quantile_per_group(t, "k", "v", [0.5, 0.75])
+    eng = {r["k"]: r for r in out.to_pylist()}
+    for r in expected.to_pylist():
+        for c in ("v_p50", "v_p75"):
+            assert eng[r["k"]][c] == pytest.approx(r[c], abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def _strata_table(n=20000, seed=17):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "uid": pa.array(rng.integers(0, 1_000_000, n), pa.int64()),
+            "label": pa.array(rng.choice(["pos", "neg", "other"], n, p=[0.1, 0.8, 0.1])),
+        }
+    )
+
+
+def test_stratified_sample_fractions_and_determinism():
+    t = _strata_table()
+    fr = {"pos": 1.0, "neg": 0.125}
+    out1 = stratified_sample(t, "uid", "label", fr, default_fraction=0.5, salt=3)
+    out2 = stratified_sample(t, "uid", "label", fr, default_fraction=0.5, salt=3)
+    assert out1.equals(out2)
+    lab = out1.column("label").to_pylist()
+    n_pos_in = pc.sum(pc.equal(t.column("label"), "pos")).as_py()
+    assert lab.count("pos") == n_pos_in  # fraction >= 1 keeps everything
+    n_neg_in = pc.sum(pc.equal(t.column("label"), "neg")).as_py()
+    assert 0.09 < lab.count("neg") / n_neg_in < 0.16
+    n_oth_in = pc.sum(pc.equal(t.column("label"), "other")).as_py()
+    assert 0.42 < lab.count("other") / n_oth_in < 0.58
+
+
+def test_stratified_sample_key_consistent_within_stratum():
+    # repeated (key, stratum) rows stay or go together
+    t = pa.table(
+        {
+            "uid": pa.array([5, 5, 5, 9, 9] * 200, pa.int64()),
+            "label": pa.array(["a"] * 1000),
+        }
+    )
+    out = stratified_sample(t, "uid", "label", {"a": 0.5}, salt=1)
+    kept = set(out.column("uid").to_pylist())
+    for k in kept:
+        assert out.filter(pc.equal(out.column("uid"), k)).num_rows in (400, 600)
+
+
+def test_stratified_sample_null_key_dropped_and_null_stratum_default():
+    t = pa.table(
+        {
+            "uid": pa.array([None, 2, 3], pa.int64()),
+            "label": pa.array(["a", None, "a"]),
+        }
+    )
+    out = stratified_sample(t, "uid", "label", {"a": 1.0}, default_fraction=0.0)
+    assert out.column("uid").to_pylist() == [3]  # null key dropped, null stratum -> default 0
+
+
+def test_stratified_sample_string_keys_and_dataset_path(ray_session):
+    import ray
+
+    rng = np.random.default_rng(23)
+    t = pa.table(
+        {
+            "uid": pa.array([f"user_{i}" for i in rng.integers(0, 100000, 8000)]),
+            "label": pa.array(rng.choice(["x", "y"], 8000)),
+        }
+    )
+    expected = stratified_sample(t, "uid", "label", {"x": 0.3}, default_fraction=0.7, salt=9)
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = pa.concat_tables(
+        ray.get(
+            stratified_sample(ds, "uid", "label", {"x": 0.3}, default_fraction=0.7, salt=9)
+            .to_arrow_refs()
+        )
+    )
+    assert _canon(out) == _canon(expected)
+
+
+# ---------------------------------------------------------------------------
+# tfidf
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = """
+WITH words AS (
+  SELECT doc_id, w AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(coalesce(text,''), '\\s+')) AS w FROM t
+  ) WHERE w <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (ln(({n} + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+def _docs_table(n=400, seed=29):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 30)).tolist()) for _ in range(n)
+    ]
+    texts[0] = ""
+    texts[1] = "   "
+    return pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": texts})
+
+
+def test_tfidf_matches_duckdb_table_path():
+    t = _docs_table()
+    out = tfidf_top_terms(t, "doc_id", "text", k=4)
+    oracle = duckdb.query(_TFIDF_SQL.format(n=t.num_rows, k=4)).arrow()
+    eng = sorted(out.to_pylist(), key=lambda r: (r["doc_id"], r["term"]))
+    ora = sorted(oracle.to_pylist(), key=lambda r: (r["doc_id"], r["term"]))
+    assert len(eng) == len(ora)
+    for a, b in zip(eng, ora):
+        assert (a["doc_id"], a["term"], a["tf"], a["df"]) == (
+            b["doc_id"],
+            b["term"],
+            b["tf"],
+            b["df"],
+        )
+        assert a["tfidf"] == pytest.approx(b["tfidf"], abs=1e-9)
+
+
+def test_tfidf_dataset_broadcast_vs_shuffle(ray_session):
+    import ray
+
+    t = _docs_table(n=300, seed=31)
+    expected = _canon(tfidf_top_terms(t, "doc_id", "text", k=3))
+    for strategy in ("broadcast", "shuffle"):
+        ds = ray.data.from_arrow(t).repartition(5)
+        got = pa.concat_tables(
+            ray.get(
+                tfidf_top_terms(ds, "doc_id", "text", k=3, join_strategy=strategy)
+                .to_arrow_refs()
+            )
+        )
+        assert _canon(got) == expected, strategy
+
+
+def test_tfidf_broadcast_vocab_guard(ray_session):
+    import ray
+
+    t = _docs_table(n=100, seed=37)
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="max_broadcast_terms"):
+        tfidf_top_terms(ds, "doc_id", "text", k=3, max_broadcast_terms=5).count()

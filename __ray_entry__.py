@@ -1445,6 +1445,26 @@ def _q_tfidf(sf_dir):
     return out.map_batches(_rounder(["tfidf"]), batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_pack(sf_dir):
+    """LLM sequence packing (``pack_sequences``): concat documents' token
+    streams in doc_id order, chop into 512-token training sequences, emit each
+    doc's global token offset + spanned sequence range. Exercises the
+    distributed prefix-sum (``global_cumsum``): a tiny bucket-sum pass + ONE
+    sort-shuffle, all-integer and hash-exact vs the SQL window oracle."""
+    from kamae_ray.pipelines.packing import pack_sequences
+    from kamae_ray.stages.text import TokenCountTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = TokenCountTransformer(input_col="text", output_col="n_tok").transform(ds)
+
+    def drop_text(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["text"])
+
+    drop_text.__name__ = "drop_text"
+    ds = ds.map_batches(drop_text, batch_format="pyarrow", zero_copy_batch=True)
+    return pack_sequences(ds, "doc_id", "n_tok", seq_len=512)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_log": _q_log,
@@ -1511,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_quantiles": _q_group_quantiles,
         "q_stratified": _q_stratified,
         "q_tfidf": _q_tfidf,
+        "q_pack": _q_pack,
     }
 
 
@@ -1973,6 +1994,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
             "ORDER BY tfidf DESC, term) AS rn FROM scored) WHERE rn <= 4"
+        ),
+        "q_pack": (
+            "WITH d AS (SELECT doc_id, "
+            r"CAST(len(list_filter(string_split_regex(coalesce(text,''), '\s+'), "
+            "w -> length(w) > 0)) AS BIGINT) AS n_tok FROM documents), "
+            "c AS (SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS tok_offset FROM d WHERE n_tok > 0) "
+            "SELECT doc_id, n_tok, tok_offset, tok_offset // 512 AS seq_first, "
+            "(tok_offset + n_tok - 1) // 512 AS seq_last FROM c"
         ),
         # q_minhash_pairs, q_simhash, q_hash_encode, q_ann_ivf:
         # hash-dependent (FarmHash, LSH banding, k-means assignment)

@@ -105,6 +105,8 @@ def surrogate_sorted(ds, keys: list[str]):
     import os
 
     schema = ds.schema()
+    if schema is None:  # empty dataset: nothing to sort, no surrogate needed
+        return ds.sort(keys), False
     if not _any_string_key(pa.schema(list(zip(schema.names, schema.types))), keys):
         return ds.sort(keys), False
     mode = os.environ.get("KAMAE_SURROGATE_SORT", "auto")

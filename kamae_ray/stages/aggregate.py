@@ -145,6 +145,136 @@ def groupby_agg(ds, keys: str | list[str], aggs: dict[str, list[str]]):
     return sorted_block_apply(parts, keys, finalize, "groupby_finalize")
 
 
+def global_cumsum(ds, order_col: str, val_col: str, out_col: str | None = None,
+                  bucket_width: int = 65536, exclusive: bool = True):
+    """Dataset-wide ordered prefix sum — SQL
+    ``SUM(val) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING)``
+    (``exclusive=True`` stops at ``1 PRECEDING``; first row gets 0).
+
+    ``order_col`` must hold UNIQUE non-null integers (a row id); integer
+    values accumulate exactly in int64, floats in float64; null values add 0.
+
+    Scale plan (two streaming passes, never a global serial scan):
+
+    1. bucket pass — per-block partial sums per ``order_col // bucket_width``
+       bucket (a tiny (bucket, sum) table; the only driver state is the
+       O(id_range / bucket_width) bucket prefix, ``ray.put`` ONCE). Size
+       ``bucket_width`` so that table stays small; a 100-TB id space wants a
+       second bucket level before the driver merge (same combine, reapplied).
+    2. cumsum pass — ONE sort-shuffle on the bucket id co-locates each
+       bucket's rows (partition contract: sort key == group key), then a
+       segmented in-block cumsum plus the broadcast bucket base. Rows come
+       back bucket-sorted, not in input order (Dataset ops do not preserve
+       order anyway).
+
+    The two passes each re-execute the upstream plan — ``materialize()`` a
+    projected (order, val) intermediate first if upstream is expensive.
+    """
+    out_col = out_col or f"{val_col}_cumsum"
+    bw = np.int64(bucket_width)
+
+    def _vals(block: pa.Table):
+        arr = A.as_array(block.column(val_col))
+        is_int = pa.types.is_integer(arr.type)
+        t = pa.int64() if is_int else pa.float64()
+        v = pc.fill_null(pc.cast(arr, t, safe=False), 0).to_numpy(zero_copy_only=False)
+        return v, is_int
+
+    def _order(block: pa.Table) -> np.ndarray:
+        return pc.cast(A.as_array(block.column(order_col)), pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)
+
+    if isinstance(ds, pa.Table):
+        if ds.num_rows == 0:
+            return ds.append_column(out_col, pa.array([], pa.int64()))
+        v, is_int = _vals(ds)
+        o = _order(ds)
+        idx = np.argsort(o, kind="stable")
+        cs = np.cumsum(v[idx])
+        pre = (cs - v[idx]) if exclusive else cs
+        out = np.empty_like(pre)
+        out[idx] = pre
+        return ds.append_column(out_col, pa.array(out))
+
+    import ray
+
+    proj = ds
+    try:
+        proj = ds.select_columns([order_col, val_col])
+    except Exception:
+        pass
+
+    def bucket_partial(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"b": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+        v, _ = _vals(block)
+        b = np.floor_divide(_order(block), bw)
+        order = np.argsort(b, kind="stable")
+        starts, _lens = S.segments(b[order])
+        return pa.table({
+            "b": pa.array(b[order][starts]),
+            "s": pa.array(np.add.reduceat(v[order], starts)),
+        })
+
+    bucket_partial.__name__ = "cumsum_bucket_partial"
+    parts = ray.get(
+        proj.map_batches(bucket_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None).to_arrow_refs()
+    )
+    parts = [p for p in parts if "b" in p.column_names]  # Ray may emit schema-less empties
+    if parts:
+        part_tbl = pa.concat_tables(
+            parts,
+            promote_options="permissive",  # empty blocks emit int64 's'; float inputs double
+        )
+        b_all = part_tbl.column("b").to_numpy(zero_copy_only=False)
+        s_all = part_tbl.column("s").to_numpy(zero_copy_only=False)
+    else:
+        b_all = np.zeros(0, np.int64)
+        s_all = np.zeros(0, np.int64)
+    order = np.argsort(b_all, kind="stable")
+    if len(b_all):
+        starts, _lens = S.segments(b_all[order])
+        buckets = b_all[order][starts]
+        sums = np.add.reduceat(s_all[order], starts)
+        bases = np.concatenate((np.zeros(1, sums.dtype), np.cumsum(sums)[:-1]))
+    else:
+        buckets = np.zeros(0, np.int64)
+        bases = np.zeros(0, np.int64)
+    base_ref = ray.put((buckets, bases))
+
+    def add_bucket(block: pa.Table) -> pa.Table:
+        return block.append_column("__kr_bucket", pa.array(np.floor_divide(_order(block), bw)))
+
+    add_bucket.__name__ = "cumsum_bucket_col"
+    with_b = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def kern(block: pa.Table) -> pa.Table:
+        block = block.drop_columns(["__kr_bucket"])
+        if block.num_rows == 0:
+            return block.append_column(out_col, pa.array([], pa.int64()))
+        bks, bss = ray.get(base_ref)
+        v, is_int = _vals(block)
+        o = _order(block)
+        b = np.floor_divide(o, bw)
+        idx = np.lexsort((o, b))
+        bs, vs = b[idx], v[idx]
+        starts, lens = S.segments(bs)
+        cs = np.cumsum(vs)
+        seg0 = cs[starts] - vs[starts]
+        pre = cs - np.repeat(seg0, lens)
+        if exclusive:
+            pre = pre - vs
+        base = bss[np.searchsorted(bks, bs[starts])]
+        pre = pre + np.repeat(base, lens)
+        out = pre.astype(np.int64) if is_int else pre.astype(np.float64)
+        return block.take(pa.array(idx)).append_column(out_col, pa.array(out))
+
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(with_b, ["__kr_bucket"], kern, "cumsum_finalize")
+
+
 def topk_per_group(ds, keys, order_col: str, k: int, descending: bool = True,
                    tiebreak=None):
     """Top ``k`` whole rows per distinct ``keys`` tuple, ordered by

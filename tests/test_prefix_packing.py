@@ -1,0 +1,120 @@
+"""global_cumsum (distributed ordered prefix sum) and pack_sequences
+(concat-and-chunk LLM packing) — parity vs DuckDB window SQL."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.pipelines.packing import pack_sequences
+from kamae_ray.stages.aggregate import global_cumsum
+
+
+def _tbl(n=5000, seed=3, dtype="int"):
+    rng = np.random.default_rng(seed)
+    ids = rng.permutation(n).astype(np.int64) * 7  # unique, gappy, shuffled
+    if dtype == "int":
+        vals = pa.array(rng.integers(0, 900, n), pa.int64())
+    else:
+        vals = pa.array(np.round(rng.normal(5.0, 2.0, n), 3))
+    return pa.table({"rid": pa.array(ids), "v": vals})
+
+
+def _sorted_rows(tbl: pa.Table):
+    import pyarrow.compute as pc
+
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("rid", "ascending")])).to_pylist()
+
+
+def test_global_cumsum_table_matches_duckdb_int_exclusive_and_inclusive():
+    t = _tbl()
+    for exclusive, frame in ((True, "AND 1 PRECEDING"), (False, "AND CURRENT ROW")):
+        out = global_cumsum(t, "rid", "v", out_col="cs", exclusive=exclusive)
+        sql = (
+            "SELECT rid, v, CAST(COALESCE(SUM(v) OVER (ORDER BY rid ROWS BETWEEN "
+            f"UNBOUNDED PRECEDING {frame}), 0) AS BIGINT) AS cs FROM t"
+        )
+        oracle = duckdb.query(sql).arrow()
+        assert _sorted_rows(out) == _sorted_rows(oracle)
+        assert out.column("cs").type == pa.int64()
+
+
+def test_global_cumsum_float_and_nulls():
+    t = pa.table({"rid": pa.array([3, 1, 2, 0], pa.int64()),
+                  "v": pa.array([1.5, None, 2.25, 4.0])})
+    out = global_cumsum(t, "rid", "v", out_col="cs")
+    got = {r["rid"]: r["cs"] for r in out.to_pylist()}
+    assert got == {0: 0.0, 1: 4.0, 2: 4.0, 3: 6.25}  # null adds 0
+
+
+def test_global_cumsum_dataset_matches_table(ray_session):
+    import ray
+
+    t = _tbl(n=20000, seed=9)
+    expected = {r["rid"]: r["cs"] for r in global_cumsum(t, "rid", "v", out_col="cs").to_pylist()}
+    ds = ray.data.from_arrow(t).repartition(9)
+    # small bucket_width forces many buckets; blocks hold multiple buckets
+    out = pa.concat_tables(
+        ray.get(global_cumsum(ds, "rid", "v", out_col="cs", bucket_width=1000).to_arrow_refs())
+    )
+    assert out.num_rows == t.num_rows
+    for r in out.to_pylist():
+        assert r["cs"] == expected[r["rid"]], r
+    assert out.column("cs").type == pa.int64()
+
+
+def test_global_cumsum_empty(ray_session):
+    import ray
+
+    t = pa.table({"rid": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    assert global_cumsum(t, "rid", "v").num_rows == 0
+    ds = ray.data.from_arrow(t)
+    assert global_cumsum(ds, "rid", "v").count() == 0
+
+
+_PACK_SQL = """
+WITH c AS (
+  SELECT rid, v AS n_tok,
+    CAST(COALESCE(SUM(v) OVER (ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING
+      AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+  FROM t WHERE v > 0
+)
+SELECT rid, n_tok, tok_offset, tok_offset // {L} AS seq_first,
+       (tok_offset + n_tok - 1) // {L} AS seq_last FROM c
+"""
+
+
+def test_pack_sequences_matches_duckdb():
+    t = _tbl(n=3000, seed=21)
+    out = pack_sequences(t, "rid", "v", seq_len=512)
+    oracle = duckdb.query(_PACK_SQL.format(L=512)).arrow()
+    eng = _sorted_rows(out.rename_columns(["rid", "n_tok", "tok_offset", "seq_first", "seq_last"]))
+    assert eng == _sorted_rows(oracle)
+
+
+def test_pack_sequences_drops_empty_and_null_docs():
+    t = pa.table({"rid": pa.array([0, 1, 2, 3], pa.int64()),
+                  "v": pa.array([5, 0, None, 600], pa.int64())})
+    out = pack_sequences(t, "rid", "v", seq_len=512)
+    rows = {r["rid"]: r for r in out.to_pylist()}
+    assert set(rows) == {0, 3}
+    assert rows[0]["tok_offset"] == 0 and rows[0]["seq_first"] == 0 and rows[0]["seq_last"] == 0
+    # doc 3 starts at token 5 and spans past the 512 boundary -> two sequences
+    assert rows[3]["tok_offset"] == 5 and (rows[3]["seq_first"], rows[3]["seq_last"]) == (0, 1)
+
+
+def test_pack_sequences_dataset_path(ray_session):
+    import ray
+
+    t = _tbl(n=8000, seed=27)
+    expected = _sorted_rows(pack_sequences(t, "rid", "v", seq_len=256))
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = pa.concat_tables(
+        ray.get(pack_sequences(ds, "rid", "v", seq_len=256, bucket_width=500).to_arrow_refs())
+    )
+    assert _sorted_rows(out) == expected
+
+
+def test_pack_sequences_rejects_bad_seq_len():
+    with pytest.raises(ValueError):
+        pack_sequences(_tbl(10), "rid", "v", seq_len=0)

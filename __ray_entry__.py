@@ -1465,6 +1465,23 @@ def _q_pack(sf_dir):
     return pack_sequences(ds, "doc_id", "n_tok", seq_len=512)
 
 
+def _q_quantile_bucket(sf_dir):
+    """Learned-boundary discretizer (QuantileBucketizeEstimator): fit exact
+    quartile boundaries of extendedprice with the streaming histogram-
+    refinement pass (driver state O(bins+bracket)), then bucketize. Boundaries
+    rounded to 6dp on BOTH sides so the SQL oracle's own quantile_cont
+    reproduces the assignment exactly."""
+    from kamae_ray.stages import QuantileBucketizeEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    est = QuantileBucketizeEstimator(
+        input_col="l_extendedprice", output_col="price_bucket",
+        num_buckets=4, boundary_decimals=_R,
+    )
+    out = est.fit(ds).transform(ds)
+    return out.map_batches(_rounder(["l_extendedprice"]), batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_log": _q_log,
@@ -1532,6 +1549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified": _q_stratified,
         "q_tfidf": _q_tfidf,
         "q_pack": _q_pack,
+        "q_quantile_bucket": _q_quantile_bucket,
     }
 
 
@@ -2004,6 +2022,18 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS tok_offset FROM d WHERE n_tok > 0) "
             "SELECT doc_id, n_tok, tok_offset, tok_offset // 512 AS seq_first, "
             "(tok_offset + n_tok - 1) // 512 AS seq_last FROM c"
+        ),
+        "q_quantile_bucket": (
+            # engine Bucketize: bucket = (#splits <= x) + 1, i.e. strict '<'
+            # CASE boundaries; splits = 6dp-rounded exact quartiles
+            "WITH b AS (SELECT "
+            "ROUND(quantile_cont(l_extendedprice::DOUBLE, 0.25), 6) AS q1, "
+            "ROUND(quantile_cont(l_extendedprice::DOUBLE, 0.5), 6) AS q2, "
+            "ROUND(quantile_cont(l_extendedprice::DOUBLE, 0.75), 6) AS q3 FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice::DOUBLE, 6) AS l_extendedprice, "
+            "CASE WHEN l_extendedprice < q1 THEN 1 WHEN l_extendedprice < q2 THEN 2 "
+            "WHEN l_extendedprice < q3 THEN 3 ELSE 4 END AS price_bucket "
+            "FROM lineitem, b"
         ),
         # q_minhash_pairs, q_simhash, q_hash_encode, q_ann_ivf:
         # hash-dependent (FarmHash, LSH banding, k-means assignment)

@@ -76,6 +76,7 @@ from kamae_ray.stages.scalers import (  # noqa: F401
     ImputeTransformer,
     MinMaxScaleEstimator,
     MinMaxScaleTransformer,
+    QuantileBucketizeEstimator,
     SingleFeatureArrayStandardScaleEstimator,
     StandardScaleEstimator,
     StandardScaleTransformer,

@@ -353,3 +353,58 @@ class ConditionalStandardScaleEstimator(Estimator):
             mask_value=self.mask_value,
             skip_zeros=self.skip_zeros,
         )
+
+
+class QuantileBucketizeEstimator(Estimator):
+    """Learned-boundary discretizer (Spark QuantileDiscretizer shape, no
+    direct reference analog — kamae's Bucketize takes given splits;
+    transformers/bucketize.py:135-166): fit exact quantile_cont boundaries at
+    ``i/num_buckets`` (or explicit ``probs``), then emit the standard
+    BucketizeTransformer over them, so serving/persistence reuse the
+    existing op. Fit cost: one moments pass + one histogram pass + one
+    bracket-collect pass (state/aggregators.exact_quantiles) — driver state
+    is O(bins + bracket), never the column.
+
+    ``boundary_decimals`` optionally rounds the learned boundaries
+    (half-away) — set it when an external system (e.g. a SQL oracle) must
+    reproduce bucket assignment from its own quantile computation, where the
+    unrounded values may differ in the last ulp.
+    """
+
+    def __init__(self, *args, num_buckets: int = 4, probs=None,
+                 mask_value: float | None = None,
+                 boundary_decimals: int | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if probs is None:
+            if num_buckets < 2:
+                raise ValueError("num_buckets must be >= 2")
+            probs = [i / num_buckets for i in range(1, num_buckets)]
+        self.probs = [float(p) for p in probs]
+        if not all(0.0 < p < 1.0 for p in self.probs):
+            raise ValueError("probs must lie strictly inside (0, 1)")
+        self.mask_value = mask_value
+        self.boundary_decimals = boundary_decimals
+
+    def fit(self, ds):
+        from kamae_ray.stages.elementwise import BucketizeTransformer
+
+        ds = self._maybe_sample(ds)
+        bounds = agg.exact_quantiles(ds, self.input_col, self.probs, self.mask_value)
+        if any(b is None for b in bounds):
+            raise ValueError(f"column {self.input_col!r} has no values to fit quantiles on")
+        if self.boundary_decimals is not None:
+            r = pc.round(pa.array(bounds, pa.float64()), ndigits=self.boundary_decimals,
+                         round_mode="half_towards_infinity")
+            bounds = r.to_pylist()
+        # drop duplicate boundaries (skewed data): bucket count shrinks, like
+        # Spark QuantileDiscretizer's distinct-splits behavior
+        splits = sorted(dict.fromkeys(bounds))
+        return BucketizeTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            splits=splits,
+            mask_value=self.mask_value,
+        )

@@ -412,6 +412,136 @@ def exact_median(ds, col: str, mask_value: float | None = None) -> float | None:
     return float((v1 + v2) / 2.0)
 
 
+class _MultiRangeCollectPartial:
+    """Per-block (below_count per range, values inside each range) for the
+    final quantile gather — ONE streaming pass covers every bracket."""
+
+    def __init__(self, col: str, mask_value, ranges: list[tuple[float, float]]):
+        self.col = col
+        self.mask_value = mask_value
+        self.ranges = ranges
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat = _flat_values(batch, self.col)
+        vals, mask = A.to_numpy(pc.cast(flat, pa.float64(), safe=False))
+        vals = vals.astype(np.float64, copy=True)
+        if mask is not None:
+            vals[mask] = np.nan
+        if self.mask_value is not None:
+            vals = np.where(vals == self.mask_value, np.nan, vals)
+        vals = vals[~np.isnan(vals)]
+        rows = {"r": [], "below": [], "v": []}
+        for i, (lo, hi) in enumerate(self.ranges):
+            rows["r"].append(i)
+            rows["below"].append(int((vals < lo).sum()))
+            rows["v"].append(vals[(vals >= lo) & (vals <= hi)].tolist())
+        return pa.table({"r": pa.array(rows["r"], pa.int64()),
+                         "below": pa.array(rows["below"], pa.int64()),
+                         "v": pa.array(rows["v"], pa.list_(pa.float64()))})
+
+
+def exact_quantiles(ds, col: str, qs, mask_value: float | None = None) -> list:
+    """Exact linear-interpolated quantiles (SQL ``quantile_cont`` / numpy
+    ``quantile``) of a whole column, computed WITHOUT materializing it.
+
+    Plan (all streaming, driver state O(bins + bracket)):
+    1. ``moments`` pass -> count, global [min, max];
+    2. one 8192-bin histogram pass brackets every needed order statistic
+       (per-bin population n/8192 — a 16-billion-row column leaves <=2M
+       values per bin); oversized brackets refine recursively on their own
+       subrange (another histogram pass each, rarely needed);
+    3. ONE multi-range count+collect pass gathers just the bracketed values;
+       the driver sorts each tiny bracket and interpolates.
+
+    Returns one float per q (None when the column has no values).
+    """
+    qs = list(qs)
+    mom = moments(ds, col, mask_value)
+    n = int(mom["count"].sum())
+    if n == 0:
+        return [None] * len(qs)
+    lo0, hi0 = float(np.nanmin(mom["min"])), float(np.nanmax(mom["max"]))
+    if lo0 == hi0:
+        return [lo0] * len(qs)
+    # needed 0-based order statistics (k and k+1 for interpolation)
+    want: dict[int, None] = {}
+    for q in qs:
+        p = q * (n - 1)
+        k = int(np.floor(p))
+        want[min(k, n - 1)] = None
+        want[min(k + 1, n - 1)] = None
+    ks = sorted(want)
+    bins = 8192
+
+    # bracket each k: (lo, hi, below) with <= max_bracket values inside
+    max_bracket = 2_000_000
+    brackets: dict[int, tuple[float, float]] = {}
+
+    def bracket(lo, hi, targets, depth=0):
+        below, hist = _hist_pass(ds, col, mask_value, lo, hi, bins)
+        cum = np.cumsum(hist) + below
+        edges = np.linspace(lo, hi, bins + 1)
+        by_bin: dict[int, list[int]] = {}
+        for k in targets:
+            b = int(np.searchsorted(cum, k + 1))
+            b = min(b, bins - 1)
+            by_bin.setdefault(b, []).append(k)
+        for b, kk in by_bin.items():
+            if hist[b] > max_bracket and depth < 6 and edges[b] < edges[b + 1]:
+                bracket(float(edges[b]), float(edges[b + 1]), kk, depth + 1)
+            else:
+                for k in kk:
+                    brackets[k] = (float(edges[b]), float(edges[b + 1]))
+
+    bracket(lo0, hi0, ks)
+    # merge overlapping/adjacent ranges so the collect pass stays small
+    uniq = sorted(set(brackets.values()))
+    merged: list[list[float]] = []
+    for lo, hi in uniq:
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    ranges = [(lo, hi) for lo, hi in merged]
+    range_of = {}
+    for k, (lo, hi) in brackets.items():
+        for i, (mlo, mhi) in enumerate(ranges):
+            if mlo <= lo and hi <= mhi:
+                range_of[k] = i
+                break
+
+    fn = _MultiRangeCollectPartial(col, mask_value, ranges)
+    if isinstance(ds, pa.Table):
+        rows = fn(ds).to_pylist()
+    else:
+        rows = _project(ds, [col]).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    below_tot = np.zeros(len(ranges), np.int64)
+    vals_per: list[list[np.ndarray]] = [[] for _ in ranges]
+    for r in rows:
+        below_tot[r["r"]] += r["below"]
+        vals_per[r["r"]].append(np.asarray(r["v"], dtype=np.float64))
+    sorted_vals = [np.sort(np.concatenate(v)) if v else np.zeros(0) for v in vals_per]
+
+    def order_stat(k: int) -> float:
+        i = range_of[k]
+        return float(sorted_vals[i][k - below_tot[i]])
+
+    out = []
+    for q in qs:
+        p = q * (n - 1)
+        k = int(np.floor(p))
+        frac = p - k
+        v1 = order_stat(min(k, n - 1))
+        if frac == 0.0:
+            out.append(v1)
+        else:
+            v2 = order_stat(min(k + 1, n - 1))
+            out.append(v1 * (1.0 - frac) + v2 * frac)
+    return out
+
+
 class _ValueCountsPartial:
     """Per-block value counts of a column flattened to strings (combiner side
     of the vocab fit — pre-aggregates before the small shuffle)."""

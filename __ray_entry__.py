@@ -1482,6 +1482,27 @@ def _q_quantile_bucket(sf_dir):
     return out.map_batches(_rounder(["l_extendedprice"]), batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_sample(sf_dir):
+    """Exactly-k deterministic uniform sample (``deterministic_sample``):
+    k smallest Knuth-hash rows — per-block partial k-min, tiny final
+    sort+limit over k x blocks rows. The hash is a bijection on int64, so
+    the sampled SET is unique and the HUGEINT SQL oracle reproduces it."""
+    from kamae_ray.stages.hashing import deterministic_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    return deterministic_sample(ds, "o_orderkey", 1000, salt=11)
+
+
+def _q_group_sample(sf_dir):
+    """Deterministic k-per-group sample (``group_sample``): smallest-hash
+    rows per market segment via the partial top-k plan; SQL ROW_NUMBER over
+    the same HUGEINT hash ordering."""
+    from kamae_ray.stages.hashing import group_sample
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_log": _q_log,
@@ -1550,6 +1571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tfidf": _q_tfidf,
         "q_pack": _q_pack,
         "q_quantile_bucket": _q_quantile_bucket,
+        "q_sample": _q_sample,
+        "q_group_sample": _q_group_sample,
     }
 
 
@@ -2034,6 +2057,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN l_extendedprice < q1 THEN 1 WHEN l_extendedprice < q2 THEN 2 "
             "WHEN l_extendedprice < q3 THEN 3 ELSE 4 END AS price_bucket "
             "FROM lineitem, b"
+        ),
+        "q_sample": (
+            "SELECT o_orderkey, o_orderstatus FROM ("
+            "SELECT o_orderkey, o_orderstatus, "
+            "(CAST(o_orderkey + 11 AS HUGEINT) * 11400714819323198485) "
+            "% 18446744073709551616 AS hv FROM orders) "
+            "ORDER BY hv LIMIT 1000"
+        ),
+        "q_group_sample": (
+            "SELECT c_custkey, c_mktsegment FROM ("
+            "SELECT c_custkey, c_mktsegment, ROW_NUMBER() OVER ("
+            "PARTITION BY c_mktsegment ORDER BY "
+            "(CAST(c_custkey + 3 AS HUGEINT) * 11400714819323198485) "
+            "% 18446744073709551616) AS rn FROM customer) WHERE rn <= 100"
         ),
         # q_minhash_pairs, q_simhash, q_hash_encode, q_ann_ivf:
         # hash-dependent (FarmHash, LSH banding, k-means assignment)

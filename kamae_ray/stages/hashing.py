@@ -321,3 +321,81 @@ def stratified_sample(ds, key_col: str, strata_col: str, fractions: dict,
         return kern(ds)
     return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
+
+
+def deterministic_sample(ds, key_col: str, k: int, salt: int = 0):
+    """Exactly-``k`` uniform sample, a pure function of (key, salt):
+    the k rows with the smallest row hash — ``ORDER BY hash(key) LIMIT k``.
+
+    The Knuth multiplicative hash is a BIJECTION on 64-bit ints, so distinct
+    integer keys can never tie and the sampled set is unique and exactly
+    SQL-reproducible (HUGEINT oracle); string keys use FarmHash64. Null keys
+    are dropped (no hashable identity).
+
+    Scale plan: each block pre-reduces to its k smallest hashes inside
+    ``map_batches`` (the global k-min of a union is contained in the union of
+    per-block k-mins), so the final sort+limit only sees ``k x blocks`` rows
+    — never the dataset."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def add_h(block: pa.Table) -> pa.Table:
+        h, null_mask = _split_hash(A.as_array(block.column(key_col)), salt)
+        block = block.append_column("__kr_h", pa.array(h))
+        if null_mask.any():
+            block = block.filter(pa.array(~null_mask))
+        return block
+
+    add_h.__name__ = "sample_hash"
+
+    def head_k(block: pa.Table) -> pa.Table:
+        if block.num_rows <= k:
+            return block
+        idx = pc.sort_indices(block, sort_keys=[("__kr_h", "ascending")])
+        return block.take(idx.slice(0, k))
+
+    head_k.__name__ = "sample_partial"
+    if isinstance(ds, pa.Table):
+        return head_k(add_h(ds)).drop_columns(["__kr_h"])
+
+    parts = ds.map_batches(
+        lambda b: head_k(add_h(b)), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = parts.sort("__kr_h").limit(k)
+
+    def drop_h(block: pa.Table) -> pa.Table:
+        return block.drop_columns(["__kr_h"])
+
+    drop_h.__name__ = "sample_project"
+    return out.map_batches(drop_h, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def group_sample(ds, keys, key_col: str, k: int, salt: int = 0):
+    """Deterministic ``k``-per-group sample: within each distinct ``keys``
+    tuple keep the k rows with the smallest hash of ``key_col`` — SQL
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY hash(key)) <= k``.
+    Same hash/bijection/null rules as ``deterministic_sample``; the heavy
+    lifting is ``topk_per_group``'s partial top-k plan."""
+    from kamae_ray.stages.aggregate import topk_per_group
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_h(block: pa.Table) -> pa.Table:
+        h, null_mask = _split_hash(A.as_array(block.column(key_col)), salt)
+        block = block.append_column("__kr_h", pa.array(h))
+        if null_mask.any():
+            block = block.filter(pa.array(~null_mask))
+        return block
+
+    add_h.__name__ = "group_sample_hash"
+    if isinstance(ds, pa.Table):
+        out = topk_per_group(add_h(ds), keys, "__kr_h", k, descending=False)
+        return out.drop_columns(["__kr_h"])
+    hashed = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    out = topk_per_group(hashed, keys, "__kr_h", k, descending=False)
+
+    def drop_h(block: pa.Table) -> pa.Table:
+        return block.drop_columns(["__kr_h"])
+
+    drop_h.__name__ = "group_sample_project"
+    return out.map_batches(drop_h, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

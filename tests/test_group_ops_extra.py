@@ -268,3 +268,61 @@ def test_tfidf_broadcast_vocab_guard(ray_session):
     ds = ray.data.from_arrow(t)
     with pytest.raises(ValueError, match="max_broadcast_terms"):
         tfidf_top_terms(ds, "doc_id", "text", k=3, max_broadcast_terms=5).count()
+
+
+# ---------------------------------------------------------------------------
+# deterministic_sample / group_sample
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_is_min_hash_set():
+    from kamae_ray.stages.hashing import _split_hash, deterministic_sample
+
+    t = _strata_table(n=5000, seed=41)
+    out = deterministic_sample(t, "uid", 100, salt=7)
+    assert out.num_rows == 100
+    h_all, _ = _split_hash(t.column("uid").combine_chunks(), 7)
+    h_out, _ = _split_hash(out.column("uid").combine_chunks(), 7)
+    assert set(np.sort(h_all)[:100]) == set(h_out)
+    # deterministic across calls
+    assert _canon(deterministic_sample(t, "uid", 100, salt=7)) == _canon(out)
+
+
+def test_deterministic_sample_dataset_matches_table(ray_session):
+    import ray
+
+    from kamae_ray.stages.hashing import deterministic_sample
+
+    t = _strata_table(n=8000, seed=43)
+    expected = _canon(deterministic_sample(t, "uid", 250, salt=1))
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = pa.concat_tables(
+        ray.get(deterministic_sample(ds, "uid", 250, salt=1).to_arrow_refs())
+    )
+    assert _canon(got) == expected
+
+
+def test_deterministic_sample_null_keys_dropped():
+    from kamae_ray.stages.hashing import deterministic_sample
+
+    t = pa.table({"uid": pa.array([1, None, 2], pa.int64())})
+    out = deterministic_sample(t, "uid", 10)
+    assert sorted(out.column("uid").to_pylist()) == [1, 2]
+
+
+def test_group_sample_k_per_group(ray_session):
+    import ray
+
+    from kamae_ray.stages.hashing import group_sample
+
+    t = _strata_table(n=6000, seed=47)
+    out = group_sample(t, "label", "uid", 50, salt=9)
+    import collections
+
+    counts = collections.Counter(out.column("label").to_pylist())
+    for lbl, c in counts.items():
+        assert c == 50, (lbl, c)
+    ds = ray.data.from_arrow(t).repartition(5)
+    refs = ray.get(group_sample(ds, "label", "uid", 50, salt=9).to_arrow_refs())
+    got = pa.concat_tables([r for r in refs if r.num_rows])  # Ray emits schema-less empties
+    assert _canon(got) == _canon(out)

@@ -162,6 +162,40 @@ class Stage:
         return out
 
 
+def deterministic_block_sample(ds, fraction: float, seed: int = 42):
+    """Fit-time Bernoulli downsample whose kept set is a pure function of
+    (block content, seed) — unlike ``Dataset.random_sample``, whose per-TASK
+    rng makes the sample depend on how the scheduler groups batches into
+    tasks (observed: two executions of the same seeded plan sampling
+    different rows). Each block seeds its own Generator from a cheap content
+    fingerprint (row count + byte length of each column's buffers), so the
+    same logical blocks always sample the same rows, on any cluster layout."""
+    import numpy as np
+
+    def sample(batch: pa.Table) -> pa.Table:
+        P = np.uint64(1099511628211)
+        sig = np.uint64(seed)
+        with np.errstate(over="ignore"):
+            for col in batch.columns:
+                for chunk in col.chunks if isinstance(col, pa.ChunkedArray) else [col]:
+                    for buf in chunk.buffers():
+                        if buf is None:
+                            continue
+                        sig = sig * P + np.uint64(buf.size)
+                        # head+tail bytes distinguish equal-shaped blocks
+                        for bs in (buf.slice(0, min(16, buf.size)),
+                                   buf.slice(max(0, buf.size - 16))):
+                            sig = sig * P + np.uint64(
+                                int.from_bytes(bs.to_pybytes(), "little") & 0xFFFFFFFFFFFFFFFF
+                            )
+        rng = np.random.default_rng([int(sig), batch.num_rows, seed])
+        keep = np.where(rng.random(batch.num_rows) < fraction)[0]
+        return batch.take(pa.array(keep))
+
+    sample.__name__ = "deterministic_sample_blocks"
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 def _append_or_replace(batch: pa.Table, name: str, arr: pa.Array) -> pa.Table:
     if name in batch.column_names:
         i = batch.column_names.index(name)
@@ -265,7 +299,7 @@ class Estimator(Stage):
     def _maybe_sample(self, ds):
         if self.sample_fraction is None or isinstance(ds, pa.Table):
             return ds
-        return ds.random_sample(self.sample_fraction, seed=42)
+        return deterministic_block_sample(ds, self.sample_fraction, seed=42)
 
     def fit(self, ds) -> Transformer:
         raise NotImplementedError

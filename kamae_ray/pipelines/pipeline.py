@@ -26,6 +26,7 @@ from typing import Any, Sequence
 
 import pyarrow as pa
 
+from kamae_ray import base
 from kamae_ray.base import Estimator, Stage, Transformer, _ActorBatchFn, _BatchFnWrapper
 
 #: fused-run total state_size_hint above which the run executes as an actor
@@ -96,7 +97,7 @@ def _fit_group(ds, ests: list[Estimator]) -> list[Transformer]:
     """Fit several independent estimators with shared aggregation passes:
     all 'moments' specs in one map pass, all 'vocab' specs in one
     map+groupby pass; estimators without a spec (exact median) fall back to
-    their own fit. Sampled estimators fuse too: one seeded ``random_sample``
+    their own fit. Sampled estimators fuse too: one content-seeded block sample
     + one fused pass per DISTINCT sample fraction (same seed as the
     standalone ``_maybe_sample`` path, so results are identical — sampling
     makes the fit cheaper, never an extra full pass)."""
@@ -117,7 +118,7 @@ def _fit_group(ds, ests: list[Estimator]) -> list[Transformer]:
     mres: dict = {}
     vres: dict = {}
     for frac, (m_specs, v_specs) in groups.items():
-        sub = ds if frac is None else ds.random_sample(frac, seed=42)
+        sub = ds if frac is None else base.deterministic_block_sample(ds, frac, seed=42)
         mres[frac], vres[frac] = agg.fused_fit_pass(sub, m_specs, v_specs)
     models = []
     for e, sp in zip(ests, specs):

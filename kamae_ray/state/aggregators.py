@@ -100,13 +100,24 @@ def _project(ds, cols: list[str]):
         return ds
 
 
+
+def _canon_rows(rows: list[dict]) -> list[dict]:
+    """Sort per-block partial rows into a canonical order before the driver
+    merge: ``take_all()`` returns blocks in completion order (observed to
+    vary between a cold and a warm execution of the same plan), and float
+    accumulation is order-sensitive, so an unordered merge makes repeated
+    fits differ in the last ulp. O(blocks log blocks), driver-side only."""
+    return sorted(rows, key=lambda r: repr(sorted(r.items())))
+
 def moments(ds, col: str, mask_value: float | None = None) -> dict[str, np.ndarray]:
     """One streaming pass -> per-position {count, mean, std_pop, min, max}."""
     fn = _MomentsPartial(col, mask_value)
     if isinstance(ds, pa.Table):
         rows = fn(ds).to_pylist()
     else:
-        rows = _project(ds, [col]).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        rows = _canon_rows(
+            _project(ds, [col]).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        )
     w = max(len(r["cnt"]) for r in rows)
     cnt = np.zeros(w)
     s = np.zeros(w)
@@ -152,7 +163,9 @@ def moments_many(ds, specs: list[tuple[str, float | None]]) -> dict[tuple[str, f
         rows = fn(ds).to_pylist()
     else:
         cols = list(dict.fromkeys(c for c, _ in specs))
-        rows = _project(ds, cols).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        rows = _canon_rows(
+            _project(ds, cols).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        )
     out = {}
     for col, mask_value in specs:
         tag = f"{col}\x1f{mask_value}"
@@ -267,7 +280,9 @@ def fused_fit_pass(ds, moment_specs, vocab_specs):
                 [c for c, _ in moment_specs] + [c for vc, _ in vocab_specs for c in vc]
             )
         )
-        rows = _project(ds, cols).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        rows = _canon_rows(
+            _project(ds, cols).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        )
     mout = {}
     for col, mask_value in moment_specs:
         tag = f"m\x1f{col}\x1f{mask_value}"

@@ -183,6 +183,10 @@ _BENCH_QUERIES = [
     "q_asof_broadcast",  # broadcast point-in-time plan (vs q_asof sort-merge)
     "q_split",
     "q_components",
+    "q_tfidf",  # block-local tf + partial-agg df + broadcast idf + partial top-k
+    "q_topk",  # partial top-k per group before the sort-shuffle
+    "q_pack",  # distributed prefix-sum sequence packing
+    "q_quantile_bucket",  # streaming exact-quantile fit + bucketize
 ]
 
 

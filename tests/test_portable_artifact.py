@@ -339,3 +339,25 @@ def test_portable_array_standard_scale(tmp_path):
             assert e is None
             continue
         np.testing.assert_allclose(g, e, rtol=1e-12)
+
+
+def test_portable_quantile_bucketize_fit(tmp_path):
+    """A FITTED QuantileBucketizeEstimator exports portably: the learned
+    boundaries ride the standard bucketize op, so a serving process
+    reproduces the discretization with numpy+pyarrow only."""
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.state.portable import apply_portable
+    from kamae_ray.stages import QuantileBucketizeEstimator
+
+    rng = np.random.RandomState(11)
+    t = pa.table({"x": pa.array(rng.lognormal(2.0, 1.0, 4000))})
+    model = Pipeline(
+        [QuantileBucketizeEstimator(input_col="x", output_col="b", num_buckets=4)]
+    ).fit(t)
+    art = tmp_path / "qb"
+    model.export_portable(str(art))
+    spec = json.load(open(str(art) + "/spec.json"))
+    assert spec["ops"][0]["op"] == "bucketize" and len(spec["ops"][0]["splits"]) == 3
+    got = apply_portable(str(art), t)
+    expect = model.transform(t)
+    assert got.column("b").to_pylist() == expect.column("b").to_pylist()

@@ -162,6 +162,22 @@ class Stage:
         return out
 
 
+def dataset_schema(ds) -> pa.Schema:
+    """pa.Schema of a Table or Dataset, metadata-first: Dataset.schema()
+    with the default fetch_if_missing runs a limit-1 probe that executes the
+    whole upstream chain (actor startups included); this consults inferred
+    metadata first and only probes when the schema is genuinely unknowable."""
+    if isinstance(ds, pa.Table):
+        return ds.schema
+    try:
+        s = ds.schema(fetch_if_missing=False)
+    except TypeError:  # older Ray without the flag
+        s = None
+    if s is None:
+        s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types)))
+
+
 def deterministic_block_sample(ds, fraction: float, seed: int = 42):
     """Fit-time Bernoulli downsample whose kept set is a pure function of
     (block content, seed) — unlike ``Dataset.random_sample``, whose per-TASK

@@ -88,7 +88,7 @@ def _any_string_key(schema: pa.Schema, keys: list[str]) -> bool:
     return False
 
 
-def surrogate_sorted(ds, keys: list[str]):
+def surrogate_sorted(ds, keys: list[str], schema=None):
     """``ds.sort(keys)`` replacement for wide stages: sorts by one int64
     surrogate when a key column is a string (much cheaper comparisons in the
     distributed sort), plain sort otherwise. The returned dataset still
@@ -101,13 +101,28 @@ def surrogate_sorted(ds, keys: list[str]):
     small many-tiny-block inputs where the sort wasn't CPU-bound anyway.
     auto = surrogate when ``ds.size_bytes()`` is >= 1 GiB or unknown
     (design-for-scale default: at the 100 TB target every input clears the
-    bar; only toy inputs fall back to the plain sort)."""
+    bar; only toy inputs fall back to the plain sort).
+
+    ``schema``: optional pa.Schema-like hint from the caller (checked for
+    string keys without touching the dataset); when absent, only
+    metadata-inferred schema is consulted — never an executing probe."""
     import os
 
-    schema = ds.schema()
-    if schema is None:  # empty dataset: nothing to sort, no surrogate needed
-        return ds.sort(keys), False
-    if not _any_string_key(pa.schema(list(zip(schema.names, schema.types))), keys):
+    # NEVER execute the plan to pick a strategy: ``ds.schema()`` with
+    # fetch_if_missing (the default) runs a limit-1 probe of the whole
+    # upstream chain — which pays actor-pool startup and first-block compute
+    # for every wide stage (measured ~1-3 s per stage on chained pipelines).
+    # Metadata-only schema; when unknown (any post-map_batches input) take
+    # the surrogate path: it is correct for every dtype, the int64 hash is
+    # one vectorized pass, and only adds ~1 s on toy inputs.
+    if schema is None:
+        try:
+            schema = ds.schema(fetch_if_missing=False)
+        except TypeError:  # older Ray without the flag
+            schema = ds.schema()
+    if schema is not None and not _any_string_key(
+        pa.schema(list(zip(schema.names, schema.types))), keys
+    ):
         return ds.sort(keys), False
     mode = os.environ.get("KAMAE_SURROGATE_SORT", "auto")
     if mode != "always":

@@ -164,10 +164,9 @@ def exact_dedup(ds, text_col: str, order_col: str, keep: str = "first"):
     # can't dictionary-encode: key on an order-sensitive vectorized list
     # hash instead, refined by a SECOND independent hash (128 bits total —
     # silent-merge probability ~2^-128; strings keep exact-text refinement)
-    schema = ds.schema if isinstance(ds, pa.Table) else None
-    if schema is None:
-        s = ds.schema()
-        schema = pa.schema(list(zip(s.names, s.types)))
+    from kamae_ray.base import dataset_schema
+
+    schema = dataset_schema(ds)
     t = schema.field(text_col).type
     is_list = pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
 

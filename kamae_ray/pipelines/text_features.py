@@ -121,7 +121,10 @@ def tfidf_top_terms(
     elif join_strategy == "broadcast":
         import ray
 
-        df_tbl = pa.concat_tables(ray.get(df_agg.to_arrow_refs()))
+        refs = [t for t in ray.get(df_agg.to_arrow_refs()) if t.num_rows]  # drop Ray's schema-less empties
+        df_tbl = pa.concat_tables(refs) if refs else pa.table(
+            {"term": pa.array([], pa.string()), f"{id_col}_count": pa.array([], pa.int64())}
+        )
         if df_tbl.num_rows > max_broadcast_terms:
             raise ValueError(
                 f"vocabulary has {df_tbl.num_rows} terms > max_broadcast_terms="

@@ -64,7 +64,8 @@ def broadcast_join(
             "multiply rows; pre-aggregate the right side first"
         )
     rpayload = right.select(payload)
-    def join_batch(batch: pa.Table, key_arr: pa.Array, payload_tbl: pa.Table, left_names) -> pa.Table:
+    def join_batch(batch: pa.Table, key_arr: pa.Array, payload_tbl: pa.Table) -> pa.Table:
+        left_names = set(batch.column_names)  # per batch: avoids a schema probe
         lkey = _combined_key(batch, on)
         idx = pc.index_in(lkey, value_set=key_arr)  # null when unmatched
         if lkey.null_count:
@@ -79,8 +80,26 @@ def broadcast_join(
             batch = batch.filter(pc.is_valid(idx))
         return batch
     if isinstance(ds, pa.Table):
-        return join_batch(ds, rkey, rpayload, set(ds.column_names))
-    left_names = set(ds.schema().names)
+        return join_batch(ds, rkey, rpayload)
+    import ray
+
+    right_ref = ray.put({"key": rkey, "payload": rpayload})
+    side_bytes = rkey.nbytes + rpayload.nbytes
+    # Small right side: plain task function — ``ray.get`` of a local Arrow
+    # object is zero-copy, so per-task cost is negligible and we skip the
+    # actor pool's multi-second startup. Large right side: actor pool, so
+    # any per-process deserialization happens once per ACTOR, not per task.
+    if side_bytes < 64 << 20:
+
+        def bjoin(batch: pa.Table) -> pa.Table:
+            r = ray.get(right_ref)  # zero-copy from the local object store
+            return join_batch(batch, r["key"], r["payload"])
+
+        bjoin.__name__ = "broadcast_join"
+        return ds.map_batches(
+            bjoin, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
     class _BroadcastJoin:
         def __init__(self, right_ref):
             import ray
@@ -89,9 +108,7 @@ def broadcast_join(
             self._payload = r["payload"]
             self.__name__ = "broadcast_join"
         def __call__(self, batch: pa.Table) -> pa.Table:
-            return join_batch(batch, self._key, self._payload, left_names)
-    import ray
-    right_ref = ray.put({"key": rkey, "payload": rpayload})
+            return join_batch(batch, self._key, self._payload)
     return ds.map_batches(
         _BroadcastJoin,
         fn_constructor_args=(right_ref,),
@@ -140,12 +157,9 @@ def shuffle_join(
         raise ValueError("how must be left|inner|right|outer")
     import numpy as _np
     from kamae_ray.functions import segments as S
-    if isinstance(left, pa.Table):
-        l_schema, r_schema = left.schema, right.schema
-    else:
-        ls, rs = left.schema(), right.schema()
-        l_schema = pa.schema(list(zip(ls.names, ls.types)))
-        r_schema = pa.schema(list(zip(rs.names, rs.types)))
+    from kamae_ray.base import dataset_schema
+
+    l_schema, r_schema = dataset_schema(left), dataset_schema(right)
     l_names = list(l_schema.names)
     payload = [c for c in (right_cols or r_schema.names) if c not in on]
     payload_out = [f"{c}{suffix}" if c in l_names else c for c in payload]

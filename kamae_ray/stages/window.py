@@ -109,7 +109,7 @@ def check_sorted_partitioning(ds, keys: Sequence[str]):
         seen_last.add(last_key)
 
 
-def sorted_block_apply(ds, keys, fn, name):
+def sorted_block_apply(ds, keys, fn, name, schema=None):
     """ONE distributed sort-shuffle on ``keys`` then a block kernel.
 
     String keys sort via a vectorized int64 surrogate
@@ -119,7 +119,7 @@ def sorted_block_apply(ds, keys, fn, name):
     CPU-s of SortMap on a 6M-row window pass)."""
     from kamae_ray.functions import sortkeys as SK
 
-    srt, used = SK.surrogate_sorted(ds, list(keys))
+    srt, used = SK.surrogate_sorted(ds, list(keys), schema=schema)
     wrapped = _NamedFn((lambda b: fn(SK.drop_skey(b))) if used else fn, name)
     return srt.map_batches(wrapped, batch_format="pyarrow", batch_size=None)
 
@@ -190,8 +190,10 @@ def asof_join(
         merge = _AsofBlockMerge(by, payload_out, strict, tolerance, salted=False, tiebreak=right_tiebreak is not None)
         return merge(both)
 
-    left_schema = left.schema()
-    right_schema = right.schema()
+    from kamae_ray.base import dataset_schema
+
+    left_schema = dataset_schema(left)
+    right_schema = dataset_schema(right)
     l_names = list(left_schema.names)
     payload = [c for c in (right_cols or right_schema.names) if c not in by and c != right_on]
     payload_out = [f"{c}{suffix}" if c in l_names else c for c in payload]
@@ -606,11 +608,9 @@ def broadcast_asof_join(
 
     right_on = right_on or left_on
     by = list(by)
-    if isinstance(left, pa.Table):
-        l_schema = left.schema
-    else:
-        s = left.schema()
-        l_schema = pa.schema(list(zip(s.names, s.types)))
+    from kamae_ray.base import dataset_schema
+
+    l_schema = dataset_schema(left)
     l_names = list(l_schema.names)
     l_types = {f.name: f.type for f in l_schema}
     r_types = {f.name: f.type for f in right.schema}

@@ -562,6 +562,40 @@ def _q_asof_broadcast(sf_dir):
     )
 
 
+def _q_asof_forward(sf_dir):
+    """Forward as-of (direction='forward'): each event matched to the NEXT
+    purchase of the same user (strict t' > t) — the label-attachment shape
+    for 'time to next conversion' features. Same backward kernel on negated
+    time; oracle = DuckDB ASOF with the inequality flipped."""
+    from kamae_ray.stages import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+
+    def strip(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "pts": batch.column("ts"),
+                "matched_pts": batch.column("ts"),
+                "next_purchase_value": batch.column("value"),
+            }
+        )
+
+    strip.__name__ = "strip_purchases"
+    right = _read(sf_dir, "events", ["user_id", "ts", "value", "event_type"]).map_batches(
+        strip, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = asof_join(
+        ev, right, by=["user_id"], left_on="ts", right_on="pts",
+        right_cols=["pts", "matched_pts", "next_purchase_value"], strict=True,
+        direction="forward",
+    )
+    return out.map_batches(_rounder(["next_purchase_value", "value"]), batch_format="pyarrow").drop_columns(
+        ["event_type"]
+    )
+
+
 def _q_lag_lead(sf_dir):
     from kamae_ray.stages import LagTransformer, LeadTransformer
 
@@ -1573,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantile_bucket": _q_quantile_bucket,
         "q_sample": _q_sample,
         "q_group_sample": _q_group_sample,
+        "q_asof_forward": _q_asof_forward,
     }
 
 
@@ -2071,6 +2106,13 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY c_mktsegment ORDER BY "
             "(CAST(c_custkey + 3 AS HUGEINT) * 11400714819323198485) "
             "% 18446744073709551616) AS rn FROM customer) WHERE rn <= 100"
+        ),
+        "q_asof_forward": (
+            "SELECT e.event_id, e.user_id, e.ts, ROUND(e.value, 6) AS value, "
+            "p.pts AS matched_pts, ROUND(p.next_purchase_value, 6) AS next_purchase_value "
+            "FROM events e ASOF LEFT JOIN "
+            "(SELECT user_id, ts AS pts, value AS next_purchase_value FROM events WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts < p.pts"
         ),
         # q_minhash_pairs, q_simhash, q_hash_encode, q_ann_ivf:
         # hash-dependent (FarmHash, LSH banding, k-means assignment)

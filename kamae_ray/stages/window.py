@@ -155,9 +155,16 @@ def asof_join(
     salt_partitions: int | str | None = None,
     right_tiebreak: str | None = None,
     hot_key_rows: int = 1_000_000,
+    direction: str = "backward",
 ):
     """For each left row at time t, attach the latest right row of the same
     entity with t' <= t (or t' < t when ``strict``). Unmatched -> nulls.
+
+    ``direction="forward"`` flips the match to the EARLIEST right row with
+    t' >= t (strict: t' > t; tolerance: t' - t <= tolerance) — implemented
+    by negating the internal numeric time, so it shares the exact backward
+    kernel, partitioning contract and salting. Tiebreak still takes the
+    LARGEST ``right_tiebreak`` among equal timestamps.
 
     Works on ``ray.data.Dataset`` pairs (entity sort-shuffle + vectorized
     block merge) and on ``pa.Table`` pairs (single-block path, same kernel).
@@ -176,6 +183,9 @@ def asof_join(
     """
     right_on = right_on or left_on
     by = list(by)
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    neg = direction == "forward"
 
     if isinstance(left, pa.Table):
         l_names = list(left.column_names)
@@ -184,8 +194,8 @@ def asof_join(
         payload = [c for c in (right_cols or right.column_names) if c not in by and c != right_on]
         payload_out = [f"{c}{suffix}" if c in l_names else c for c in payload]
         t_type = _union_time_type(l_types[left_on], r_types[right_on])
-        lt = _prep_side(left, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side=0, salts=1, tiebreak=right_tiebreak)
-        rt = _prep_side(right, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side=1, salts=1, tiebreak=right_tiebreak)
+        lt = _prep_side(left, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side=0, salts=1, tiebreak=right_tiebreak, neg=neg)
+        rt = _prep_side(right, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side=1, salts=1, tiebreak=right_tiebreak, neg=neg)
         both = pa.concat_tables([lt, rt])
         merge = _AsofBlockMerge(by, payload_out, strict, tolerance, salted=False, tiebreak=right_tiebreak is not None)
         return merge(both)
@@ -216,10 +226,10 @@ def asof_join(
         salts = int(salt_partitions) if salt_partitions else 1
 
     def prep_left(batch: pa.Table) -> pa.Table:
-        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 0, salts, tiebreak=right_tiebreak, hot_keys=hot_keys)
+        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 0, salts, tiebreak=right_tiebreak, hot_keys=hot_keys, neg=neg)
 
     def prep_right(batch: pa.Table) -> pa.Table:
-        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 1, salts, tiebreak=right_tiebreak, hot_keys=hot_keys)
+        return _prep_side(batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, 1, salts, tiebreak=right_tiebreak, hot_keys=hot_keys, neg=neg)
 
     lt = left.map_batches(_NamedFn(prep_left, "asof_prep_left"), batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(_NamedFn(prep_right, "asof_prep_right"), batch_format="pyarrow", zero_copy_batch=True)
@@ -235,7 +245,7 @@ def _union_time_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType:
 
 
 def _prep_side(
-    batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side, salts, tiebreak=None, hot_keys=None
+    batch, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side, salts, tiebreak=None, hot_keys=None, neg=False
 ):
     n = batch.num_rows
     if side == 0:
@@ -254,6 +264,8 @@ def _prep_side(
             cols[out_name] = batch.column(c)
         t = _time_to_numeric(A.as_array(batch.column(right_on)))
     cols[_TIME] = pc.cast(t, t_type, safe=False)
+    if neg:  # forward as-of rides the backward kernel on negated time
+        cols[_TIME] = pc.negate(cols[_TIME])
     cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
     if tiebreak is not None:
         if side == 1:

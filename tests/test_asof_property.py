@@ -177,3 +177,78 @@ def test_broadcast_asof_dataset_matches_sort_merge(ray_session):
     a = sm.to_pandas().sort_values("rid").reset_index(drop=True)
     b = bc.to_pandas().sort_values("rid").reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["rid", "u", "t", "p"]], b[["rid", "u", "t", "p"]], check_dtype=False)
+
+
+def _naive_forward(lu, lt, ru, rt, seq, strict, tolerance):
+    """Earliest right row (min time; among ties max seq) per left row."""
+    out = []
+    for u, t in zip(lu, lt):
+        best = None  # (-time, seq) max-key == (time min, seq max)
+        for j in range(len(ru)):
+            if ru[j] != u:
+                continue
+            dt = rt[j] - t
+            if (dt < 0) or (strict and dt == 0):
+                continue
+            if tolerance is not None and dt > tolerance:
+                continue
+            key = (-rt[j], seq[j])
+            if best is None or key > best[:2]:
+                best = (-rt[j], seq[j], float(seq[j] * 10))
+        out.append(None if best is None else best[2])
+    return out
+
+
+@given(asof_case())
+@settings(max_examples=80, deadline=None)
+def test_asof_forward_matches_naive(case):
+    lu, lt, ru, rt, strict, tolerance = case
+    seq = list(range(len(ru)))
+    left = pa.table(
+        {"u": pa.array(lu, pa.int64()), "t": pa.array(lt, pa.int64()), "rid": pa.array(np.arange(len(lu)))}
+    )
+    right = pa.table(
+        {
+            "u": pa.array(ru, pa.int64()),
+            "t": pa.array(rt, pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "p": pa.array([float(s * 10) for s in seq], pa.float64()),
+        }
+    )
+    out = asof_join(
+        left, right, by=["u"], left_on="t", right_cols=["t", "p"],
+        strict=strict, tolerance=tolerance, right_tiebreak="seq",
+        direction="forward",
+    )
+    got = dict(zip(out.column("rid").to_pylist(), out.column("p").to_pylist()))
+    expect = _naive_forward(lu, lt, ru, rt, seq, strict, tolerance)
+    assert [got[i] for i in range(len(lu))] == expect
+
+
+def test_asof_forward_dataset_matches_table(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    n, m = 4000, 1500
+    left = pa.table({
+        "u": pa.array(rng.integers(0, 40, n)),
+        "t": pa.array(rng.integers(0, 10_000, n)),
+        "rid": pa.array(np.arange(n)),
+    })
+    right = pa.table({
+        "u": pa.array(rng.integers(0, 40, m)),
+        "t": pa.array(rng.integers(0, 10_000, m)),
+        "seq": pa.array(np.arange(m)),
+        "v": pa.array(rng.standard_normal(m)),
+    })
+    expect = asof_join(left, right, by=["u"], left_on="t", right_cols=["t", "v"],
+                       right_tiebreak="seq", direction="forward")
+    lds = ray.data.from_arrow(left).repartition(6)
+    rds = ray.data.from_arrow(right).repartition(4)
+    got = pa.concat_tables([t for t in ray.get(
+        asof_join(lds, rds, by=["u"], left_on="t", right_cols=["t", "v"],
+                  right_tiebreak="seq", direction="forward").to_arrow_refs()
+    ) if t.num_rows])
+    ge = {r["rid"]: r["v"] for r in got.to_pylist()}
+    for r in expect.to_pylist():
+        assert ge[r["rid"]] == r["v"], r

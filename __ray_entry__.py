@@ -596,6 +596,15 @@ def _q_asof_forward(sf_dir):
     )
 
 
+def _q_distinct(sf_dir):
+    """SELECT DISTINCT (``distinct``): per-block dedup combiner, then a
+    sort-shuffle carrying at most one row per (block, tuple)."""
+    from kamae_ray.stages.aggregate import distinct
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    return distinct(ds, ["o_orderstatus", "o_orderpriority"])
+
+
 def _q_lag_lead(sf_dir):
     from kamae_ray.stages import LagTransformer, LeadTransformer
 
@@ -1608,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample": _q_sample,
         "q_group_sample": _q_group_sample,
         "q_asof_forward": _q_asof_forward,
+        "q_distinct": _q_distinct,
     }
 
 
@@ -2114,6 +2124,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT user_id, ts AS pts, value AS next_purchase_value FROM events WHERE event_type = 'purchase') p "
             "ON e.user_id = p.user_id AND e.ts < p.pts"
         ),
+        "q_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
         # q_minhash_pairs, q_simhash, q_hash_encode, q_ann_ivf:
         # hash-dependent (FarmHash, LSH banding, k-means assignment)
         # -> rows-only driver check; FarmHash itself is pinned to published

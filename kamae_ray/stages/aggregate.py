@@ -145,6 +145,40 @@ def groupby_agg(ds, keys: str | list[str], aggs: dict[str, list[str]]):
     return sorted_block_apply(parts, keys, finalize, "groupby_finalize")
 
 
+def distinct(ds, cols: str | list[str]):
+    """SQL ``SELECT DISTINCT cols``: one row per distinct tuple (all-null
+    tuples collapse to one row, SQL DISTINCT semantics).
+
+    Scale plan: every block pre-dedups inside ``map_batches`` (vectorized
+    factorize + segment firsts — the combiner), so the sort-shuffle that
+    co-locates equal tuples carries at most one row per (block, tuple); the
+    finalize is the same kernel over the co-located survivors. Never a
+    driver-side set."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def dedup_block(block: pa.Table) -> pa.Table:
+        proj = block.select(cols)
+        if proj.num_rows == 0:
+            return proj
+        gids = S.group_ids(proj, cols)
+        order = np.argsort(gids, kind="stable")
+        starts, _lens = S.segments(gids[order])
+        return proj.take(pa.array(order[starts]))
+
+    dedup_block.__name__ = "distinct_partial"
+    if isinstance(ds, pa.Table):
+        return dedup_block(ds)
+    proj = ds
+    try:
+        proj = ds.select_columns(cols)
+    except Exception:
+        pass
+    parts = proj.map_batches(dedup_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(parts, cols, dedup_block, "distinct_finalize")
+
+
 def global_cumsum(ds, order_col: str, val_col: str, out_col: str | None = None,
                   bucket_width: int = 65536, exclusive: bool = True):
     """Dataset-wide ordered prefix sum — SQL

@@ -326,3 +326,39 @@ def test_group_sample_k_per_group(ray_session):
     refs = ray.get(group_sample(ds, "label", "uid", 50, salt=9).to_arrow_refs())
     got = pa.concat_tables([r for r in refs if r.num_rows])  # Ray emits schema-less empties
     assert _canon(got) == _canon(out)
+
+
+# ---------------------------------------------------------------------------
+# distinct
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_matches_duckdb():
+    from kamae_ray.stages.aggregate import distinct
+
+    rng = np.random.default_rng(53)
+    t = pa.table({
+        "a": pa.array([None if i % 17 == 0 else int(v) for i, v in enumerate(rng.integers(0, 12, 3000))], pa.int64()),
+        "b": pa.array(rng.choice(["x", "y", "z"], 3000)),
+        "c": pa.array(rng.standard_normal(3000)),  # projected away
+    })
+    out = distinct(t, ["a", "b"])
+    oracle = duckdb.query("SELECT DISTINCT a, b FROM t").arrow()
+    assert _canon(out) == _canon(oracle)
+
+
+def test_distinct_dataset_path(ray_session):
+    import ray
+
+    from kamae_ray.stages.aggregate import distinct
+
+    rng = np.random.default_rng(59)
+    t = pa.table({
+        "a": pa.array(rng.integers(0, 40, 8000)),
+        "b": pa.array(rng.choice(["p", "q"], 8000)),
+    })
+    expected = _canon(distinct(t, ["a", "b"]))
+    ds = ray.data.from_arrow(t).repartition(7)
+    refs = ray.get(distinct(ds, ["a", "b"]).to_arrow_refs())
+    got = pa.concat_tables([r for r in refs if r.num_rows])
+    assert _canon(got) == expected

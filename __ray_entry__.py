@@ -596,6 +596,18 @@ def _q_asof_forward(sf_dir):
     )
 
 
+def _q_covariance(sf_dir):
+    """Distributed covariance of the 64-dim embedding column
+    (``covariance_table``): each block contributes an O(d^2) (n, Σx, XᵀX)
+    partial — the PCA fit's aggregation pass — merged canonically on the
+    driver. Oracle = DuckDB covar_pop over every (i <= j) dimension pair."""
+    from kamae_ray.stages.linalg import covariance_table
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    out = covariance_table(ds, "embedding")
+    return _round_cols(out, ["cov"])
+
+
 def _q_distinct(sf_dir):
     """SELECT DISTINCT (``distinct``): per-block dedup combiner, then a
     sort-shuffle carrying at most one row per (block, tuple)."""
@@ -1618,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_sample": _q_group_sample,
         "q_asof_forward": _q_asof_forward,
         "q_distinct": _q_distinct,
+        "q_covariance": _q_covariance,
     }
 
 
@@ -2125,6 +2138,11 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = p.user_id AND e.ts < p.pts"
         ),
         "q_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+        "q_covariance": (
+            "SELECT i, j, ROUND(covar_pop(embedding[i]::DOUBLE, embedding[j]::DOUBLE), 6) AS cov "
+            "FROM embeddings, range(1, 65) t1(i), range(1, 65) t2(j) "
+            "WHERE i <= j GROUP BY i, j"
+        ),
         # q_minhash_pairs, q_simhash, q_hash_encode, q_ann_ivf:
         # hash-dependent (FarmHash, LSH banding, k-means assignment)
         # -> rows-only driver check; FarmHash itself is pinned to published

@@ -1,0 +1,152 @@
+"""Distributed dense linear algebra over embedding columns: Gram/covariance
+moments and PCA projection.
+
+No reference analog (kamae has no matrix estimators); the scale shape is the
+canonical one for covariance at any data size: each block contributes the
+partial (n, Σx, XᵀX) — O(d²) floats regardless of rows — and the driver
+merges |blocks| tiny partials. The eigendecomposition is O(d³) on the
+driver, independent of the dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.base import Estimator, Transformer, _append_or_replace
+from kamae_ray.functions import arrays as A
+
+
+def gram_moments(ds, col: str) -> dict:
+    """One streaming pass -> {count, sum (d,), sxx (d, d)} of a fixed-width
+    ``list<numeric>`` column in float64. Rows with null vectors are skipped;
+    the merge is canonically ordered so repeated runs are bit-identical."""
+
+    def partial(block: pa.Table) -> pa.Table:
+        arr = A.as_array(block.column(col))
+        valid = pc.is_valid(arr)
+        if not pc.all(valid).as_py():
+            block = block.filter(valid)
+            arr = A.as_array(block.column(col))
+        m, d = A.matrix_view(arr)
+        m = m.astype(np.float64, copy=False)
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "sxx": pa.array([(m.T @ m).reshape(-1).tolist()], pa.list_(pa.float64())),
+            "d": pa.array([d], pa.int64()),
+        })
+
+    partial.__name__ = "gram_partial"
+    if isinstance(ds, pa.Table):
+        rows = partial(ds).to_pylist()
+    else:
+        proj = ds
+        try:
+            proj = ds.select_columns([col])
+        except Exception:
+            pass
+        rows = proj.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).take_all()
+        rows = sorted(rows, key=lambda r: (r["n"], r["s"]))  # order-insensitive float merge
+    rows = [r for r in rows if r["n"]]
+    if not rows:
+        return {"count": 0, "sum": None, "sxx": None}
+    d = rows[0]["d"]
+    n = 0
+    s = np.zeros(d)
+    sxx = np.zeros((d, d))
+    for r in rows:
+        if r["d"] != d:
+            raise ValueError(f"column {col!r}: mixed vector widths {d} vs {r['d']}")
+        n += r["n"]
+        s += np.asarray(r["s"])
+        sxx += np.asarray(r["sxx"]).reshape(d, d)
+    return {"count": n, "sum": s, "sxx": sxx}
+
+
+def covariance_table(ds, col: str) -> pa.Table:
+    """Population covariance matrix of the vector column as (i, j, cov) rows
+    for i <= j, 1-based (matching SQL list indexing) —
+    ``cov = E[x_i x_j] - E[x_i] E[x_j]`` (DuckDB ``covar_pop``)."""
+    g = gram_moments(ds, col)
+    if g["count"] == 0:
+        return pa.table({"i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
+                         "cov": pa.array([], pa.float64())})
+    n = float(g["count"])
+    mean = g["sum"] / n
+    cov = g["sxx"] / n - np.outer(mean, mean)
+    d = len(mean)
+    iu = np.triu_indices(d)
+    return pa.table({
+        "i": pa.array((iu[0] + 1).astype(np.int64)),
+        "j": pa.array((iu[1] + 1).astype(np.int64)),
+        "cov": pa.array(cov[iu]),
+    })
+
+
+class PCAProjectTransformer(Transformer):
+    """Project a vector column onto fitted principal components:
+    ``out = (x - mean) @ components.T`` — output is a
+    ``list<float64>`` of length n_components."""
+
+    def __init__(self, *args, mean, components, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mean = np.asarray(mean, dtype=np.float64)
+        self.components = np.asarray(components, dtype=np.float64)  # (k, d)
+
+    @property
+    def state_size_hint(self) -> int:
+        return int(self.components.size + self.mean.size)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = A.as_array(batch.column(self.input_col))
+        m, d = A.matrix_view(arr)
+        if d != self.mean.shape[0]:
+            raise ValueError(f"vector width {d} != fitted width {self.mean.shape[0]}")
+        proj = (m.astype(np.float64, copy=False) - self.mean) @ self.components.T
+        k = proj.shape[1]
+        out = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(m) + 1) * k, k, dtype=np.int32)),
+            pa.array(proj.reshape(-1)),
+        )
+        return _append_or_replace(batch, self.output_col, out)
+
+
+class PCAProjectEstimator(Estimator):
+    """Fit PCA via the distributed Gram pass (one streaming aggregation,
+    O(d²) driver state) + an O(d³) driver ``eigh``. Components are ordered
+    by descending eigenvalue; each component's sign is normalized so its
+    largest-|coefficient| entry is positive (eigh sign is otherwise
+    arbitrary)."""
+
+    def __init__(self, *args, n_components: int, **kwargs):
+        super().__init__(*args, **kwargs)
+        if n_components < 1:
+            raise ValueError("n_components must be >= 1")
+        self.n_components = n_components
+
+    def fit(self, ds) -> PCAProjectTransformer:
+        ds = self._maybe_sample(ds)
+        g = gram_moments(ds, self.input_col)
+        if g["count"] == 0:
+            raise ValueError(f"column {self.input_col!r} has no vectors to fit PCA on")
+        n = float(g["count"])
+        mean = g["sum"] / n
+        cov = g["sxx"] / n - np.outer(mean, mean)
+        w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+        order = np.argsort(w)[::-1][: self.n_components]
+        comps = v[:, order].T  # (k, d)
+        flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+        comps = comps * np.where(flip == 0, 1.0, flip)[:, None]
+        return PCAProjectTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            mean=mean,
+            components=comps,
+        )

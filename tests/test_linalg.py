@@ -1,0 +1,102 @@
+"""gram_moments / covariance_table / PCA — parity vs numpy and DuckDB."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.stages.linalg import (
+    PCAProjectEstimator,
+    covariance_table,
+    gram_moments,
+)
+
+
+def _emb_table(n=2000, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)) @ rng.standard_normal((d, d)) * 0.5
+    flat = pa.array(m.reshape(-1))
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "embedding": pa.ListArray.from_arrays(offs, flat)}), m
+
+
+def test_gram_moments_matches_numpy():
+    t, m = _emb_table()
+    g = gram_moments(t, "embedding")
+    assert g["count"] == len(m)
+    np.testing.assert_allclose(g["sum"], m.sum(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(g["sxx"], m.T @ m, rtol=1e-12)
+
+
+def test_covariance_matches_duckdb():
+    t, m = _emb_table(n=500, d=6)
+    out = covariance_table(t, "embedding")
+    got = {(r["i"], r["j"]): r["cov"] for r in out.to_pylist()}
+    for i in range(1, 7):
+        for j in range(i, 7):
+            want = duckdb.query(
+                f"SELECT covar_pop(embedding[{i}]::DOUBLE, embedding[{j}]::DOUBLE) FROM t"
+            ).fetchone()[0]
+            assert got[(i, j)] == pytest.approx(want, rel=1e-9), (i, j)
+
+
+def test_covariance_matches_numpy_cov():
+    t, m = _emb_table(n=800, d=5)
+    out = covariance_table(t, "embedding")
+    cov = np.cov(m.T, bias=True)
+    for r in out.to_pylist():
+        assert r["cov"] == pytest.approx(cov[r["i"] - 1, r["j"] - 1], rel=1e-9)
+
+
+def test_gram_dataset_matches_table(ray_session):
+    import ray
+
+    t, _ = _emb_table(n=4000, d=12, seed=9)
+    expect = gram_moments(t, "embedding")
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = gram_moments(ds, "embedding")
+    assert got["count"] == expect["count"]
+    np.testing.assert_allclose(got["sxx"], expect["sxx"], rtol=1e-12)
+
+
+def test_pca_matches_numpy():
+    t, m = _emb_table(n=3000, d=10, seed=17)
+    model = PCAProjectEstimator(input_col="embedding", output_col="pc", n_components=3).fit(t)
+    out = model.transform(t)
+    proj = np.asarray(out.column("pc").to_pylist())
+    # numpy reference PCA
+    c = m - m.mean(axis=0)
+    w, v = np.linalg.eigh(np.cov(m.T, bias=True))
+    order = np.argsort(w)[::-1][:3]
+    comps = v[:, order].T
+    flip = np.sign(comps[np.arange(3), np.abs(comps).argmax(axis=1)])
+    ref = c @ (comps * flip[:, None]).T
+    np.testing.assert_allclose(proj, ref, atol=1e-9)
+    # top component captures the most variance
+    assert proj[:, 0].var() >= proj[:, 1].var() >= proj[:, 2].var()
+
+
+def test_pca_dataset_fit_and_transform(ray_session):
+    import ray
+
+    t, _ = _emb_table(n=2500, d=8, seed=23)
+    expect_model = PCAProjectEstimator(input_col="embedding", output_col="pc", n_components=2).fit(t)
+    ds = ray.data.from_arrow(t).repartition(5)
+    model = PCAProjectEstimator(input_col="embedding", output_col="pc", n_components=2).fit(ds)
+    np.testing.assert_allclose(model.components, expect_model.components, atol=1e-9)
+    out = model.transform(ds)
+    refs = [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+    got = pa.concat_tables(refs)
+    assert got.num_rows == 2500 and len(got.column("pc")[0].as_py()) == 2
+
+
+def test_gram_null_vectors_skipped_and_empty():
+    t = pa.table({"embedding": pa.array([[1.0, 2.0], None, [3.0, 4.0]],
+                                        pa.list_(pa.float64()))})
+    g = gram_moments(t, "embedding")
+    assert g["count"] == 2
+    np.testing.assert_allclose(g["sum"], [4.0, 6.0])
+    empty = pa.table({"embedding": pa.array([], pa.list_(pa.float64()))})
+    assert gram_moments(empty, "embedding")["count"] == 0
+    assert covariance_table(empty, "embedding").num_rows == 0

@@ -608,6 +608,32 @@ def _q_covariance(sf_dir):
     return _round_cols(out, ["cov"])
 
 
+def _q_count_distinct(sf_dir):
+    """COUNT(DISTINCT) per group (``groupby_count_distinct``): per-block
+    (key, value) dedup combiner, ONE key-co-locating shuffle, segmented
+    distinct-count finalize — never a driver set."""
+    from kamae_ray.stages.aggregate import groupby_count_distinct
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return groupby_count_distinct(ds, "l_returnflag", "l_quantity")
+
+
+def _q_l2norm(sf_dir):
+    """L2 vector normalization over the embedding column — the unit-vector
+    pre-step that turns cosine ANN into pure dot products. Oracle recomputes
+    x/||x|| per element with DuckDB list lambdas."""
+    from kamae_ray.stages.similarity import L2NormalizeTransformer
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = L2NormalizeTransformer(input_col="embedding", output_col="unit").transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return _round_list_cols(batch, ["unit"]).drop_columns(["embedding"])
+
+    finish.__name__ = "round_units"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_distinct(sf_dir):
     """SELECT DISTINCT (``distinct``): per-block dedup combiner, then a
     sort-shuffle carrying at most one row per (block, tuple)."""
@@ -1631,6 +1657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_forward": _q_asof_forward,
         "q_distinct": _q_distinct,
         "q_covariance": _q_covariance,
+        "q_count_distinct": _q_count_distinct,
+        "q_l2norm": _q_l2norm,
     }
 
 
@@ -2138,6 +2166,16 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = p.user_id AND e.ts < p.pts"
         ),
         "q_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+        "q_count_distinct": (
+            "SELECT l_returnflag, COUNT(DISTINCT l_quantity)::BIGINT AS "
+            "l_quantity_count_distinct FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q_l2norm": (
+            "SELECT vec_id, list_transform(embedding, x -> "
+            "ROUND(CASE WHEN n = 0 THEN 0.0 ELSE x::DOUBLE / n END, 6)) AS unit "
+            "FROM (SELECT vec_id, embedding, sqrt(list_sum(list_transform(embedding, "
+            "x -> x::DOUBLE * x::DOUBLE))) AS n FROM embeddings)"
+        ),
         "q_covariance": (
             "SELECT i, j, ROUND(covar_pop(embedding[i]::DOUBLE, embedding[j]::DOUBLE), 6) AS cov "
             "FROM embeddings, range(1, 65) t1(i), range(1, 65) t2(j) "

@@ -179,6 +179,60 @@ def distinct(ds, cols: str | list[str]):
     return sorted_block_apply(parts, cols, dedup_block, "distinct_finalize")
 
 
+def groupby_count_distinct(ds, keys: str | list[str], col: str, out_col: str | None = None):
+    """SQL ``COUNT(DISTINCT col) GROUP BY keys`` (nulls not counted) in ONE
+    shuffle: each block pre-dedups (keys, col) pairs (combiner — the shuffle
+    carries at most one row per (block, key, value)), the sort co-locates by
+    ``keys`` only, and the finalize counts distinct values per key segment
+    with the same factorize kernel. Never a driver-side set."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out_col = out_col or f"{col}_count_distinct"
+
+    def dedup_pairs(block: pa.Table) -> pa.Table:
+        proj = block.select(keys + [col])
+        if proj.num_rows == 0:
+            return proj
+        gids = S.group_ids(proj, keys + [col])
+        order = np.argsort(gids, kind="stable")
+        starts, _lens = S.segments(gids[order])
+        return proj.take(pa.array(order[starts]))
+
+    dedup_pairs.__name__ = "count_distinct_partial"
+
+    def finalize(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            out = {k: block.column(k) for k in keys}
+            out[out_col] = pa.array([], pa.int64())
+            return pa.table(out)
+        pair_gids = S.group_ids(block, keys + [col])
+        key_gids = S.group_ids(block, keys)
+        # one distinct (key, value) representative per pair group
+        order = np.argsort(pair_gids, kind="stable")
+        starts, _l = S.segments(pair_gids[order])
+        reps = order[starts]
+        kg = key_gids[reps]
+        korder = np.argsort(kg, kind="stable")
+        kstarts, klens = S.segments(kg[korder])
+        firsts = reps[korder][kstarts]
+        nn = pc.is_valid(A.as_array(block.column(col))).to_numpy(zero_copy_only=False)
+        cnt = np.add.reduceat(nn[reps][korder].astype(np.int64), kstarts)
+        out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in keys}
+        out[out_col] = pa.array(cnt)
+        return pa.table(out)
+
+    if isinstance(ds, pa.Table):
+        return finalize(dedup_pairs(ds))
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(keys + [col])))
+    except Exception:
+        pass
+    parts = proj.map_batches(dedup_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(parts, keys, finalize, "count_distinct_finalize")
+
+
 def global_cumsum(ds, order_col: str, val_col: str, out_col: str | None = None,
                   bucket_width: int = 65536, exclusive: bool = True):
     """Dataset-wide ordered prefix sum — SQL

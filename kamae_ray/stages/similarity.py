@@ -140,3 +140,24 @@ class BearingAngleTransformer(MultiInputTransformer):
         x = np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dlmb)
         theta = np.degrees(np.arctan2(y, x))
         return pa.array((theta + 360.0) % 360.0, pa.float64())
+
+
+class L2NormalizeTransformer(Transformer):
+    """Unit-normalize each innermost array: ``x / ||x||_2`` (all-zero
+    vectors -> all zeros, matching the cosine norm-0 convention). The
+    standard pre-step before cosine ANN — unit vectors turn cosine top-k
+    into a pure dot-product matmul."""
+
+    compatible_dtypes = (pa.float64(),)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        offsets = levels[-1][0]
+        v = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        norms = np.sqrt(_segmented_dot(v, v, offsets))
+        lens = np.diff(offsets)
+        per_row = np.repeat(np.where(norms == 0, 1.0, norms), lens)
+        out = A.rewrap(levels, pa.array(v / per_row, pa.float64()))
+        out = self._cast_out(out)
+        return _append_or_replace(batch, self.output_col, out)

@@ -362,3 +362,50 @@ def test_distinct_dataset_path(ray_session):
     refs = ray.get(distinct(ds, ["a", "b"]).to_arrow_refs())
     got = pa.concat_tables([r for r in refs if r.num_rows])
     assert _canon(got) == expected
+
+
+def test_groupby_count_distinct_matches_duckdb(ray_session):
+    import ray
+
+    from kamae_ray.stages.aggregate import groupby_count_distinct
+
+    rng = np.random.default_rng(61)
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 30, 6000)),
+        "v": pa.array([None if i % 13 == 0 else int(x) for i, x in enumerate(rng.integers(0, 25, 6000))], pa.int64()),
+    })
+    out = groupby_count_distinct(t, "k", "v")
+    oracle = duckdb.query(
+        "SELECT k, COUNT(DISTINCT v)::BIGINT AS v_count_distinct FROM t GROUP BY k"
+    ).arrow()
+    assert _canon(out) == _canon(oracle)
+    ds = ray.data.from_arrow(t).repartition(7)
+    refs = ray.get(groupby_count_distinct(ds, "k", "v").to_arrow_refs())
+    got = pa.concat_tables([r for r in refs if r.num_rows])
+    assert _canon(got) == _canon(oracle)
+
+
+def test_groupby_count_distinct_all_null_group():
+    from kamae_ray.stages.aggregate import groupby_count_distinct
+
+    t = pa.table({"k": [1, 1, 2], "v": pa.array([None, None, 5], pa.int64())})
+    out = {r["k"]: r["v_count_distinct"] for r in groupby_count_distinct(t, "k", "v").to_pylist()}
+    assert out == {1: 0, 2: 1}
+
+
+def test_l2_normalize_unit_norms(ray_session):
+    import ray
+
+    from kamae_ray.stages.similarity import L2NormalizeTransformer
+
+    t = pa.table({"e": pa.array([[3.0, 4.0], [0.0, 0.0], [1.0, 0.0]], pa.list_(pa.float64()))})
+    out = L2NormalizeTransformer(input_col="e", output_col="u").transform(t)
+    u = out.column("u").to_pylist()
+    assert u[0] == pytest.approx([0.6, 0.8])
+    assert u[1] == [0.0, 0.0]  # zero vector stays zero
+    assert u[2] == [1.0, 0.0]
+    ds = ray.data.from_arrow(t)
+    got = pa.concat_tables([b for b in ray.get(
+        L2NormalizeTransformer(input_col="e", output_col="u").transform(ds).to_arrow_refs()
+    ) if b.num_rows])
+    assert got.column("u").to_pylist() == u

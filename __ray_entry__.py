@@ -634,6 +634,23 @@ def _q_l2norm(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_time_rolling(sf_dir):
+    """Time-range rolling window (``TimeRangeRollingTransformer``): per-user
+    sum of value over the trailing hour — SQL RANGE BETWEEN INTERVAL frame,
+    peer-inclusive (deterministic under timestamp ties). One entity
+    sort-shuffle + a vectorized two-pointer prefix-sum kernel."""
+    from kamae_ray.stages.window import TimeRangeRollingTransformer
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    tr = TimeRangeRollingTransformer(
+        input_col="value", entity_cols=["user_id"], time_col="ts",
+        stat="sum", range_width=3_600_000_000,  # 1 hour in microseconds
+        output_col="hour_sum",
+    )
+    out = tr.transform(ds)
+    return out.map_batches(_rounder(["hour_sum", "value"]), batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_distinct(sf_dir):
     """SELECT DISTINCT (``distinct``): per-block dedup combiner, then a
     sort-shuffle carrying at most one row per (block, tuple)."""
@@ -1659,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_covariance": _q_covariance,
         "q_count_distinct": _q_count_distinct,
         "q_l2norm": _q_l2norm,
+        "q_time_rolling": _q_time_rolling,
     }
 
 
@@ -2175,6 +2193,12 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN n = 0 THEN 0.0 ELSE x::DOUBLE / n END, 6)) AS unit "
             "FROM (SELECT vec_id, embedding, sqrt(list_sum(list_transform(embedding, "
             "x -> x::DOUBLE * x::DOUBLE))) AS n FROM embeddings)"
+        ),
+        "q_time_rolling": (
+            "SELECT event_id, user_id, ts, ROUND(value, 6) AS value, "
+            "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6) AS hour_sum "
+            "FROM events"
         ),
         "q_covariance": (
             "SELECT i, j, ROUND(covar_pop(embedding[i]::DOUBLE, embedding[j]::DOUBLE), 6) AS cov "

@@ -730,3 +730,73 @@ def broadcast_asof_join(
         batch_size=None,
         concurrency=(1, 8),
     )
+
+
+class TimeRangeRollingTransformer(KeyedWindowTransformer):
+    """Rolling aggregate over a TIME RANGE per entity — SQL
+    ``SUM(v) OVER (PARTITION BY entity ORDER BY t
+    RANGE BETWEEN w PRECEDING AND CURRENT ROW)``: every row of the same
+    entity with t' in [t - w, t], INCLUDING all peers at exactly t (SQL RANGE
+    frames are peer-inclusive, which also makes the result deterministic
+    under timestamp ties). ``include_current=False`` flips to t' < t — the
+    leak-free variant (peers excluded too).
+
+    ``range_width`` is in the numeric units of the time column after
+    casting (timestamps: their storage unit, e.g. microseconds).
+
+    Kernel: one vectorized two-pointer pass — per-segment window bounds via
+    ``searchsorted`` on stride-offset times, window sums from prefix sums;
+    O(n log n) per block, no per-entity loop. Stats: sum | count | mean.
+    """
+
+    def __init__(self, *args, stat: str = "sum", range_width: float,
+                 min_periods: int = 1, include_current: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        if stat not in ("sum", "count", "mean"):
+            raise ValueError("stat must be sum|count|mean")
+        self.stat = stat
+        self.range_width = float(range_width)
+        self.min_periods = int(min_periods)
+        self.include_current = include_current
+
+    def _seg_kernel(self, vals, t, starts, lens, srep):
+        n = len(t)
+        if n == 0:
+            return np.zeros(0)
+        side = "right" if self.include_current else "left"
+        # Segment-relative times keep magnitudes small so the stride-offset
+        # trick (one global searchsorted instead of one per entity) stays
+        # EXACT in float64; if the offset range would exceed the 2^52 margin
+        # (ulp >= 0.5 could misclassify an integer-time boundary row), fall
+        # back to an exact per-segment searchsorted loop.
+        t_rel = t - t[srep]
+        stride = float(t_rel.max()) + self.range_width + 1.0
+        n_seg = len(starts)
+        if n_seg * stride < 2.0**52:
+            gid_rep = np.repeat(np.arange(n_seg, dtype=np.float64), lens)
+            t_adj = t_rel + gid_rep * stride
+            lo = np.searchsorted(t_adj, t_adj - self.range_width, side="left")
+            hi = np.searchsorted(t_adj, t_adj, side=side)
+        else:
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for s0, ln in zip(starts, lens):
+                seg = t[s0 : s0 + ln]
+                lo[s0 : s0 + ln] = s0 + np.searchsorted(seg, seg - self.range_width, side="left")
+                hi[s0 : s0 + ln] = s0 + np.searchsorted(seg, seg, side=side)
+        ok = ~np.isnan(vals)
+        vz = np.where(ok, vals, 0.0)
+        cs = np.concatenate(([0.0], np.cumsum(vz)))
+        cc = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+        s = cs[hi] - cs[lo]
+        c = cc[hi] - cc[lo]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if self.stat == "sum":
+                out = np.where(c > 0, s, np.nan)
+            elif self.stat == "count":
+                out = c.astype(np.float64)
+            else:
+                out = np.where(c > 0, s / np.where(c == 0, 1, c), np.nan)
+        if self.min_periods > 1:
+            out = np.where(c >= self.min_periods, out, np.nan)
+        return out

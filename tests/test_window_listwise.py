@@ -146,3 +146,71 @@ def test_keyed_window_preserves_row_order(events_t):
     out = LagTransformer(input_col="val", entity_cols=["u"], time_col="ts", output_col="o").transform(events_t)
     assert out.column("ts").to_pylist() == events_t.column("ts").to_pylist()
     assert out.column("u").to_pylist() == events_t.column("u").to_pylist()
+
+
+def test_time_range_rolling_matches_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.window import TimeRangeRollingTransformer
+
+    rng = np.random.default_rng(71)
+    n = 4000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 25, n)),
+        "ts": pa.array(rng.integers(0, 500, n).astype(np.int64)),  # many ties
+        "v": pa.array([None if i % 19 == 0 else float(x) for i, x in enumerate(rng.standard_normal(n))], pa.float64()),
+        "rid": pa.array(np.arange(n)),
+    })
+    tr = TimeRangeRollingTransformer(
+        input_col="v", entity_cols=["u"], time_col="ts", stat="sum",
+        range_width=50, output_col="w_sum",
+    )
+    out = tr.transform(t)
+    oracle = duckdb.query(
+        "SELECT rid, SUM(v) OVER (PARTITION BY u ORDER BY ts "
+        "RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS w_sum FROM t"
+    ).arrow()
+    got = dict(zip(out.column("rid").to_pylist(), out.column("w_sum").to_pylist()))
+    for r in oracle.to_pylist():
+        g, w = got[r["rid"]], r["w_sum"]
+        if w is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(w, abs=1e-9), r["rid"]
+    # dataset path matches the table path
+    ds = ray.data.from_arrow(t).repartition(5)
+    refs = [b for b in ray.get(tr.transform(ds).to_arrow_refs()) if b.num_rows]
+    dgot = dict(zip(
+        pa.concat_tables(refs).column("rid").to_pylist(),
+        pa.concat_tables(refs).column("w_sum").to_pylist(),
+    ))
+    for k, v in got.items():
+        assert (dgot[k] is None and v is None) or dgot[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_time_range_rolling_exclude_current_and_mean():
+    from kamae_ray.stages.window import TimeRangeRollingTransformer
+
+    t = pa.table({
+        "u": [1, 1, 1, 1],
+        "ts": pa.array([0, 10, 10, 25], pa.int64()),
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    inc = TimeRangeRollingTransformer(
+        input_col="v", entity_cols=["u"], time_col="ts", stat="sum",
+        range_width=15, output_col="s",
+    ).transform(t).column("s").to_pylist()
+    # peers at ts=10 include each other (SQL RANGE); ts=25 sees [10,25]
+    assert inc == [1.0, 6.0, 6.0, 9.0]
+    exc = TimeRangeRollingTransformer(
+        input_col="v", entity_cols=["u"], time_col="ts", stat="sum",
+        range_width=15, include_current=False, output_col="s",
+    ).transform(t).column("s").to_pylist()
+    # strict t' < t: peers excluded; ts=0 has empty window -> null
+    assert exc == [None, 1.0, 1.0, 5.0]
+    mean = TimeRangeRollingTransformer(
+        input_col="v", entity_cols=["u"], time_col="ts", stat="mean",
+        range_width=15, min_periods=2, output_col="m",
+    ).transform(t).column("m").to_pylist()
+    assert mean[0] is None and mean[1] == pytest.approx(2.0) and mean[3] == pytest.approx(3.0)

@@ -61,7 +61,12 @@ from kamae_ray.stages.similarity import (  # noqa: F401
     BearingAngleTransformer,
     CosineSimilarityTransformer,
     HaversineDistanceTransformer,
+    L2NormalizeTransformer,
     PairwiseCosineSimilarityTransformer,
+)
+from kamae_ray.stages.linalg import (  # noqa: F401
+    PCAProjectEstimator,
+    PCAProjectTransformer,
 )
 from kamae_ray.stages.hashing import (  # noqa: F401
     BloomEncodeTransformer,
@@ -107,6 +112,7 @@ from kamae_ray.stages.window import (  # noqa: F401
     LeadTransformer,
     RollingAggTransformer,
     SessionizeTransformer,
+    TimeRangeRollingTransformer,
     asof_join,
     broadcast_asof_join,
 )

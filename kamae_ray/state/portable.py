@@ -128,7 +128,23 @@ def _spec_of(stage, arrays: dict[str, np.ndarray], counter: list[int]):
     return done(_spec_of_inner(stage, t, E, I, Sc, St, ref))
 
 
+def _spec_of_vector(stage, t, ref):
+    """Vector (list-column) ops: PCA projection and L2 normalization."""
+    from kamae_ray.stages import linalg as L
+    from kamae_ray.stages import similarity as Si
+
+    if t is L.PCAProjectTransformer:
+        return {"op": "pca_project", "input": stage.input_col, "output": stage.output_col,
+                "mean": ref(stage.mean), "components": ref(stage.components)}
+    if t is Si.L2NormalizeTransformer:
+        return {"op": "l2_normalize", "input": stage.input_col, "output": stage.output_col}
+    return None
+
+
 def _spec_of_inner(stage, t, E, I, Sc, St, ref):
+    vec = _spec_of_vector(stage, t, ref)
+    if vec is not None:
+        return vec
     if t is E.LogTransformer:
         return {"op": "log", "input": stage.input_col, "output": stage.output_col,
                 "alpha": float(stage.alpha)}
@@ -436,6 +452,36 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
                 else:
                     col = pa.array(idx, pa.int64())
                 table = emit(table, out_col, col)
+        elif kind in ("pca_project", "l2_normalize"):
+            col = inp(op["input"])
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if pa.types.is_large_list(col.type):
+                col = col.cast(pa.list_(col.type.value_type))
+            if col.offset != 0:
+                col = pa.concat_arrays([col])
+            offs = np.asarray(col.offsets)
+            flat = pc.cast(col.values.slice(0, int(offs[-1])), pa.float64(), safe=False)
+            v = flat.to_numpy(zero_copy_only=False)
+            if kind == "pca_project":
+                mean = arrays[op["mean"]]
+                comps = arrays[op["components"]]
+                d = mean.shape[0]
+                m = v.reshape(-1, d)  # raises if widths vary - fitted width required
+                proj = (m - mean) @ comps.T
+                k = proj.shape[1]
+                out = pa.ListArray.from_arrays(
+                    pa.array(np.arange(len(m) + 1, dtype=np.int64) * k, pa.int32()),
+                    pa.array(proj.reshape(-1), pa.float64()),
+                )
+            else:
+                lens = np.diff(offs)
+                sq = v * v
+                norms = np.sqrt(np.add.reduceat(sq, offs[:-1].clip(max=max(len(v) - 1, 0)))) if len(v) else np.zeros(0)
+                per_row = np.repeat(np.where(norms == 0, 1.0, norms), lens)
+                out = pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(v / per_row, pa.float64())
+                )
+            table = emit(table, op["output"], out)
         else:
             raise ValueError(f"unknown op {kind!r}")
     return table
@@ -582,4 +628,6 @@ PORTABLE_CLASSES = frozenset({
     "StringIsInListTransformer",
     "StringContainsTransformer",
     "StringContainsListTransformer",
+    "PCAProjectTransformer",
+    "L2NormalizeTransformer",
 })

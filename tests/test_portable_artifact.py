@@ -361,3 +361,37 @@ def test_portable_quantile_bucketize_fit(tmp_path):
     got = apply_portable(str(art), t)
     expect = model.transform(t)
     assert got.column("b").to_pylist() == expect.column("b").to_pylist()
+
+
+def test_portable_pca_and_l2_normalize(tmp_path):
+    """Vector ops export: fitted PCA projection + unit normalization applied
+    by the kamae_ray-free interpreter match the engine."""
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.state.portable import apply_portable
+    from kamae_ray.stages.linalg import PCAProjectEstimator
+    from kamae_ray.stages.similarity import L2NormalizeTransformer
+
+    rng = np.random.RandomState(19)
+    n, d = 1500, 8
+    m = rng.standard_normal((n, d))
+    m[7] = 0.0  # zero vector stays zero through l2_normalize
+    t = pa.table({
+        "emb": pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int64) * d, pa.int32()),
+            pa.array(m.reshape(-1)),
+        )
+    })
+    model = Pipeline([
+        L2NormalizeTransformer(input_col="emb", output_col="unit"),
+        PCAProjectEstimator(input_col="emb", output_col="pc", n_components=3),
+    ]).fit(t)
+    art = tmp_path / "vec"
+    model.export_portable(str(art))
+    got = apply_portable(str(art), t)
+    expect = model.transform(t)
+    for col in ("unit", "pc"):
+        ge = got.column(col).to_pylist()
+        ee = expect.column(col).to_pylist()
+        assert len(ge) == len(ee)
+        for a, b in zip(ge, ee):
+            np.testing.assert_allclose(a, b, atol=1e-12)

@@ -1006,6 +1006,43 @@ def _q_join2(sf_dir):
     return shuffle_join(lineitem, right, on="l_orderkey")
 
 
+def _q_semi(sf_dir):
+    """SEMI join (SQL EXISTS filter) through the sort-shuffle plan: customers
+    that placed at least one URGENT order. The right side sheds duplicates at
+    the block level before the shuffle (membership needs one row per key), so
+    the exchange carries distinct keys, not order rows."""
+    from kamae_ray.stages import shuffle_join
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        return pa.table({"c_custkey": batch.filter(m).column("o_custkey")})
+
+    urgent_keys.__name__ = "urgent_order_keys"
+    right = orders.map_batches(urgent_keys, batch_format="pyarrow", zero_copy_batch=True)
+    return shuffle_join(customer, right, on="c_custkey", how="semi")
+
+
+def _q_anti(sf_dir):
+    """ANTI join (SQL NOT EXISTS) through the broadcast plan: customers with
+    NO urgent order. The membership set is the DISTINCT matching custkeys —
+    deduped before ray.put, so the broadcast is the key set, not the fact
+    table."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.stages import broadcast_join
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderpriority"]
+    )
+    urgent = orders.filter(pc.equal(orders.column("o_orderpriority"), "1-URGENT"))
+    keys = pa.table({"c_custkey": pc.unique(urgent.column("o_custkey").combine_chunks())})
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return broadcast_join(ds, keys, on="c_custkey", how="anti")
+
+
 def _q_agg(sf_dir):
     """Partial-aggregation GROUP BY (TPC-H Q1 shape): block-level partials
     inside map_batches, then one tiny shuffle of the partial rows only."""
@@ -1642,6 +1679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_neardup": _q_emb_neardup,
         "q_join": _q_join,
         "q_join2": _q_join2,
+        "q_semi": _q_semi,
+        "q_anti": _q_anti,
         "q_agg": _q_agg,
         "q_token_stats": _q_token_stats,
         "q_minhash_pairs": _q_minhash_pairs,
@@ -2044,6 +2083,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
             "o.o_orderstatus, o.o_orderpriority "
             "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "q_semi": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "q_anti": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT')"
         ),
         "q_agg": (
             "SELECT l_returnflag, l_linestatus, "

@@ -43,26 +43,36 @@ def broadcast_join(
     suffix: str = "_r",
 ):
     """Enrich ``ds`` (Dataset or Table) with columns from a small ``right``
-    table by equality on ``on``. ``how`` is ``'left'`` (unmatched -> nulls)
-    or ``'inner'`` (unmatched rows dropped). Exactly matches SQL
-    LEFT/INNER JOIN when right keys are unique (enforced); NULL keys follow
-    SQL semantics (NULL never equals NULL: null-keyed left rows are unmatched,
+    table by equality on ``on``. ``how`` is ``'left'`` (unmatched -> nulls),
+    ``'inner'`` (unmatched rows dropped), ``'semi'`` (SQL EXISTS filter: keep
+    left rows with >=1 match, no right columns appended) or ``'anti'`` (SQL
+    NOT EXISTS: keep left rows with NO match). Exactly matches SQL
+    LEFT/INNER JOIN when right keys are unique (enforced for left/inner only
+    — semi/anti never multiply rows, so duplicate right keys are fine); NULL
+    keys follow SQL semantics (NULL never equals NULL: null-keyed left rows
+    are unmatched — dropped by semi, KEPT by anti per NOT EXISTS — and
     null-keyed right rows are dropped up front)."""
     on = [on] if isinstance(on, str) else list(on)
-    if how not in ("left", "inner"):
-        raise ValueError("how must be left|inner")
-    payload = [c for c in (right_cols or right.column_names) if c not in on]
+    if how not in ("left", "inner", "semi", "anti"):
+        raise ValueError("how must be left|inner|semi|anti")
+    filter_only = how in ("semi", "anti")
+    payload = [] if filter_only else [
+        c for c in (right_cols or right.column_names) if c not in on
+    ]
     rkey = _combined_key(right, on)
     if rkey.null_count:
         right = right.filter(pc.is_valid(rkey))  # SQL: null right key matches nothing
         rkey = _combined_key(right, on)
-    n_distinct = len(pc.unique(rkey))
-    if n_distinct != len(right):
-        raise ValueError(
-            f"broadcast_join right side has duplicate keys on {on} "
-            f"({len(right)} rows, {n_distinct} distinct) — an SQL join would "
-            "multiply rows; pre-aggregate the right side first"
-        )
+    if filter_only:
+        rkey = pc.unique(rkey)  # membership only — dedupe shrinks the broadcast
+    else:
+        n_distinct = len(pc.unique(rkey))
+        if n_distinct != len(right):
+            raise ValueError(
+                f"broadcast_join right side has duplicate keys on {on} "
+                f"({len(right)} rows, {n_distinct} distinct) — an SQL join would "
+                "multiply rows; pre-aggregate the right side first"
+            )
     rpayload = right.select(payload)
     def join_batch(batch: pa.Table, key_arr: pa.Array, payload_tbl: pa.Table) -> pa.Table:
         left_names = set(batch.column_names)  # per batch: avoids a schema probe
@@ -72,6 +82,11 @@ def broadcast_join(
             # SQL NULL semantics: a null left key never matches (index_in
             # would otherwise pair null with a null in the value set)
             idx = pc.if_else(pc.is_valid(lkey), idx, pa.nulls(len(lkey), idx.type))
+        if how == "semi":
+            return batch.filter(pc.is_valid(idx))
+        if how == "anti":
+            # null lkey -> null idx -> kept: SQL NOT EXISTS keeps null keys
+            return batch.filter(pc.is_null(idx))
         for c in payload_tbl.column_names:
             out_name = f"{c}{suffix}" if c in left_names else c
             taken = payload_tbl.column(c).take(idx)  # null idx -> null value
@@ -132,7 +147,11 @@ def shuffle_join(
     plan + partitioning contract as the window family; string keys ride the
     int64 surrogate), then a block-local vectorized cross-product per key
     segment — matches SQL LEFT/INNER/RIGHT/FULL OUTER JOIN incl. duplicate
-    keys on BOTH sides and SQL NULL semantics (a null key never matches:
+    keys on BOTH sides, plus ``'semi'`` / ``'anti'`` (SQL EXISTS / NOT
+    EXISTS filters: a subset of the LEFT rows, no right columns; the right
+    side is block-deduped to distinct keys before the shuffle, and anti
+    keeps null-keyed left rows per NOT EXISTS), and SQL NULL semantics
+    elsewhere (a null key never matches:
     such rows are emitted unmatched or dropped per ``how``; note all
     null-keyed rows co-locate in one sort partition, so heavily-null keys
     should be pre-filtered by the caller).
@@ -153,15 +172,18 @@ def shuffle_join(
     salt-0 original can emit unmatched, and salt 0 provably holds left rows
     whenever any exist — split is ``arange % S`` per batch)."""
     on = [on] if isinstance(on, str) else list(on)
-    if how not in ("left", "inner", "right", "outer"):
-        raise ValueError("how must be left|inner|right|outer")
+    if how not in ("left", "inner", "right", "outer", "semi", "anti"):
+        raise ValueError("how must be left|inner|right|outer|semi|anti")
     import numpy as _np
     from kamae_ray.functions import segments as S
     from kamae_ray.base import dataset_schema
 
+    filter_only = how in ("semi", "anti")
     l_schema, r_schema = dataset_schema(left), dataset_schema(right)
     l_names = list(l_schema.names)
-    payload = [c for c in (right_cols or r_schema.names) if c not in on]
+    payload = [] if filter_only else [
+        c for c in (right_cols or r_schema.names) if c not in on
+    ]
     payload_out = [f"{c}{suffix}" if c in l_names else c for c in payload]
     r_types = {f.name: f.type for f in r_schema}
     l_types = {f.name: f.type for f in l_schema}
@@ -188,6 +210,13 @@ def shuffle_join(
             salts = 0
 
     def prep(batch: pa.Table, side: int) -> pa.Table:
+        if filter_only and side == 1 and batch.num_rows:
+            # membership only: block-level combiner — one right row per
+            # distinct key leaves this block (shrinks the shuffle)
+            codes = S.group_ids(batch, on)
+            _, first = np.unique(codes, return_index=True)
+            if len(first) < batch.num_rows:
+                batch = batch.take(pa.array(np.sort(first)))
         n = batch.num_rows
         cols = {}
         if side == 0:
@@ -256,7 +285,7 @@ def shuffle_join(
         if nullmask.any():
             sd = block.column(_SIDE).to_numpy(zero_copy_only=False)
             keep = _np.zeros(n, dtype=bool)
-            if how in ("left", "outer"):
+            if how in ("left", "outer", "anti"):  # anti: NOT EXISTS keeps null keys
                 keep |= nullmask & (sd == 0)
             if how in ("right", "outer"):
                 keep |= nullmask & (sd == 1)
@@ -277,6 +306,18 @@ def shuffle_join(
         n_left = _np.zeros(len(starts), dtype=_np.int64)
         _np.add.at(n_left, _np.searchsorted(starts, _np.nonzero(ss == 0)[0], side="right") - 1, 1)
         n_right = lens - n_left
+        if filter_only:
+            # semi: left rows in segments with >=1 right row; anti: with none.
+            # No cross-product — output is a subset of the left rows.
+            seg_idx = _np.repeat(_np.arange(len(starts)), lens)
+            want = (ss == 0) & (
+                (n_right[seg_idx] > 0) if how == "semi" else (n_right[seg_idx] == 0)
+            )
+            out = block.take(pa.array(order[want])).drop_columns(meta_cols)
+            if null_out is not None:
+                out = pa.concat_tables([out, null_out.select(out.column_names)])
+            yield out
+            return
         prod = n_left * n_right
         keep_left_solo = how in ("left", "outer")
         # right-unmatched rows (right/outer): right rows in segments with no

@@ -106,6 +106,58 @@ def test_shuffle_join_composite_key_with_nulls():
         pd.testing.assert_frame_equal(g, o, check_dtype=False)
 
 
+@given(join_case())
+@settings(max_examples=60, deadline=None)
+def test_semi_anti_join_table_path_matches_duckdb(case):
+    """SEMI/ANTI through BOTH physical plans vs SQL EXISTS/NOT EXISTS —
+    duplicate right keys (legal here), NULL keys (semi drops, anti keeps)."""
+    from kamae_ray.stages import broadcast_join
+
+    nl, nr, n_keys, null_rate, seed, _, chunk = case
+    rng = np.random.RandomState(seed)
+    lt = pa.table({"k": _keys(rng, nl, n_keys, null_rate),
+                   "x": rng.standard_normal(nl), "rid": np.arange(nl)})
+    rt = pa.table({"k": _keys(rng, nr, n_keys, null_rate),
+                   "y": rng.standard_normal(nr)})
+    cols = ["rid", "k", "x"]
+    for how, pred in (("semi", "EXISTS"), ("anti", "NOT EXISTS")):
+        oracle = duckdb.sql(
+            f"SELECT l.k, l.x, l.rid FROM lt l "
+            f"WHERE {pred} (SELECT 1 FROM rt r WHERE r.k = l.k)"
+        ).df()
+        o = oracle[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        for got in (
+            shuffle_join(lt, rt, on="k", how=how, max_group_product=chunk).to_pandas(),
+            broadcast_join(lt, rt, on="k", how=how).to_pandas(),
+        ):
+            g = got[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+            pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
+def test_semi_anti_join_dataset_path_with_salting(ray_session):
+    import ray
+
+    rng = np.random.RandomState(11)
+    nl, nr = 600, 300
+    lt = pa.table({"k": _keys(rng, nl, 3, 0.2), "x": rng.standard_normal(nl),
+                   "rid": np.arange(nl)})
+    rt = pa.table({"k": _keys(rng, nr, 5, 0.2), "y": rng.standard_normal(nr)})
+    cols = ["rid", "k", "x"]
+    for how, pred in (("semi", "EXISTS"), ("anti", "NOT EXISTS")):
+        oracle = duckdb.sql(
+            f"SELECT l.k, l.x, l.rid FROM lt l "
+            f"WHERE {pred} (SELECT 1 FROM rt r WHERE r.k = l.k)"
+        ).df()
+        got = shuffle_join(
+            ray.data.from_arrow(lt).repartition(5),
+            ray.data.from_arrow(rt).repartition(3),
+            on="k", how=how, salt_partitions=3, hot_key_rows=60,
+        ).to_pandas()
+        g = got[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        o = oracle[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
 @st.composite
 def agg_case(draw):
     n = draw(st.integers(0, 300))

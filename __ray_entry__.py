@@ -1043,6 +1043,65 @@ def _q_anti(sf_dir):
     return broadcast_join(ds, keys, on="c_custkey", how="anti")
 
 
+def _q_explode(sf_dir):
+    """SQL UNNEST WITH ORDINALITY: tokenize documents, then one row per
+    (doc, token, position) through the stateless explode kernel (offsets
+    arithmetic + one take per block — no shuffle)."""
+    from kamae_ray.stages import explode
+    from kamae_ray.stages.text import TokenizeTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = TokenizeTransformer(input_col="text", vocab_size=VOCAB, output_col="tokens").transform(ds)
+    out = explode(out, "tokens", pos_col="pos")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "token": pc.cast(batch.column("tokens"), pa.int64()),
+                "pos": batch.column("pos"),
+            }
+        )
+
+    finish.__name__ = "explode_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_pivot(sf_dir):
+    """Wide conditional aggregation (Spark groupBy().pivot().agg()): order
+    value in cents by status x priority. Pivot values are discovered with a
+    distinct pass; the widen is block-local and the shuffle carries only
+    per-block partial rows (groupby_agg plan)."""
+    from kamae_ray.stages import pivot
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0), ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return batch.append_column("price_cents", cents)
+
+    to_cents.__name__ = "order_price_to_cents"
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = pivot(ds, "o_orderstatus", "o_orderpriority", "price_cents", agg="sum")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # exact integer form (house invariant): sum partials ride float64 —
+        # exact below 2^53, cast back for the BIGINT oracle (NaN -> null)
+        cols = {}
+        for c in batch.column_names:
+            col = batch.column(c)
+            if c.endswith("_sum"):
+                col = pc.cast(pc.if_else(pc.is_nan(col), pa.nulls(len(col), pa.float64()), col), pa.int64())
+            cols[c] = col
+        return pa.table(cols)
+
+    finish.__name__ = "pivot_cents_to_int"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_agg(sf_dir):
     """Partial-aggregation GROUP BY (TPC-H Q1 shape): block-level partials
     inside map_batches, then one tiny shuffle of the partial rows only."""
@@ -1681,6 +1740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join2": _q_join2,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
+        "q_explode": _q_explode,
+        "q_pivot": _q_pivot,
         "q_agg": _q_agg,
         "q_token_stats": _q_token_stats,
         "q_minhash_pairs": _q_minhash_pairs,
@@ -2093,6 +2154,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "q_explode": (
+            f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents) "
+            "SELECT doc_id, CAST(unnest(toks) AS BIGINT) AS token, "
+            "CAST(unnest(range(len(toks))) AS BIGINT) AS pos FROM t"
+        ),
+        "q_pivot": (
+            "WITH c AS (SELECT o_orderstatus, o_orderpriority, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders) "
+            "SELECT o_orderstatus, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN o_orderpriority = '{v}' THEN cents END) AS BIGINT) "
+                f'AS "price_cents_{v}_sum"'
+                for v in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+            )
+            + " FROM c GROUP BY o_orderstatus"
         ),
         "q_agg": (
             "SELECT l_returnflag, l_linestatus, "

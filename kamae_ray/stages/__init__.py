@@ -133,3 +133,4 @@ from kamae_ray.stages.multimodal import (  # noqa: F401
 )
 from kamae_ray.stages.join import broadcast_join, shuffle_join  # noqa: F401
 from kamae_ray.stages.aggregate import groupby_agg  # noqa: F401
+from kamae_ray.stages.reshape import explode, pivot  # noqa: F401

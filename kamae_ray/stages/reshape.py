@@ -1,0 +1,145 @@
+"""Row-reshaping operators: explode (SQL UNNEST / Spark explode) and pivot
+(wide conditional aggregation). The reference delegates both to Spark
+(``F.explode`` / ``df.groupBy().pivot()``); these are the scale-correct Ray
+Data equivalents.
+
+- ``explode`` is embarrassingly parallel: ONE ``map_batches`` stage, the
+  kernel is offsets arithmetic + one ``take`` per block — no shuffle, no
+  per-row Python.
+- ``pivot`` lowers to the existing partial-agg machinery: a block-local
+  widen (one masked column per pivot value) feeds ``groupby_agg``, so the
+  shuffle carries only per-block partial rows (keys x 1 row per block), the
+  same plan SQL engines use for ``SUM(CASE WHEN ...)`` pivots.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.functions import arrays as A
+
+
+def _explode_block(
+    block: pa.Table, col: str, pos_col: str | None, keep_empty: bool
+) -> pa.Table:
+    arr = A.as_array(block.column(col))
+    n = len(arr)
+    if n == 0:
+        cols = {}
+        for c in block.column_names:
+            if c == col:
+                cols[c] = pa.array([], arr.type.value_type)
+            else:
+                cols[c] = block.column(c)
+        if pos_col:
+            cols[pos_col] = pa.array([], pa.int64())
+        return pa.table(cols)
+    lens = pc.list_value_length(arr)
+    lens_np = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    values = pc.list_flatten(arr)  # null/empty lists contribute nothing
+    parent = np.repeat(np.arange(n, dtype=np.int64), lens_np)
+    pos = np.arange(len(parent), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens_np)[:-1]]), lens_np
+    )
+    cols = {}
+    parent_arr = pa.array(parent)
+    for c in block.column_names:
+        if c == col:
+            cols[c] = values
+        else:
+            cols[c] = block.column(c).take(parent_arr)
+    if pos_col:
+        cols[pos_col] = pa.array(pos)
+    out = pa.table(cols)
+    if keep_empty:
+        empty = np.flatnonzero(lens_np == 0)
+        if len(empty):
+            e_arr = pa.array(empty)
+            ecols = {}
+            for c in block.column_names:
+                if c == col:
+                    ecols[c] = pa.nulls(len(empty), values.type)
+                else:
+                    ecols[c] = block.column(c).take(e_arr)
+            if pos_col:
+                ecols[pos_col] = pa.nulls(len(empty), pa.int64())
+            out = pa.concat_tables([out, pa.table(ecols)])
+    return out
+
+
+def explode(ds, col: str, pos_col: str | None = None, keep_empty: bool = False):
+    """SQL ``UNNEST`` / Spark ``explode``: one output row per element of the
+    list column ``col``; the element replaces the list in place, all other
+    columns repeat. ``pos_col`` adds the 0-based position within the source
+    list (``WITH ORDINALITY``). Null/empty lists emit no rows (SQL UNNEST) —
+    ``keep_empty=True`` switches to ``explode_outer`` semantics (one row with
+    a null element/position).
+
+    Scale: stateless per-block kernel (offsets arithmetic + one ``take``),
+    no shuffle; output blocks grow by the mean list length, so Ray's
+    streaming executor re-slices them downstream as needed."""
+    if isinstance(ds, pa.Table):
+        return _explode_block(ds, col, pos_col, keep_empty)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _explode_block(batch, col, pos_col, keep_empty)
+
+    fn.__name__ = f"explode_{col}"
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def pivot(
+    ds,
+    keys: str | list[str],
+    pivot_col: str,
+    value_col: str,
+    values: list | None = None,
+    agg: str = "sum",
+    prefix: str | None = None,
+):
+    """Wide conditional aggregation (Spark ``groupBy(keys).pivot(col).agg``,
+    SQL ``agg(CASE WHEN pivot = v THEN value END) AS v_agg GROUP BY keys``):
+    one output row per key tuple, one ``{prefix}{v}_{agg}`` column per pivot
+    value.
+
+    ``values`` (the output width) must be a SMALL list; when omitted it is
+    discovered with one distinct pass over ``pivot_col`` (bounded at 1000 —
+    an unbounded pivot width is a schema explosion, not a dataset).
+
+    Scale plan: the widen step is block-local (one ``pc.if_else`` mask per
+    pivot value); the heavy lifting is ``groupby_agg``'s partial-agg plan,
+    so the shuffle carries one partial row per (block, key), never raw rows."""
+    from kamae_ray.stages.aggregate import distinct, groupby_agg
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    prefix = f"{value_col}_" if prefix is None else prefix
+    if values is None:
+        d = distinct(ds, pivot_col)
+        if not isinstance(d, pa.Table):
+            d = pa.Table.from_pylist(d.take_all())  # bounded by the width guard
+        if d.num_rows > 1000:
+            raise ValueError(
+                f"pivot over {d.num_rows} distinct values of {pivot_col!r} — "
+                "pass an explicit `values` list to pivot that wide"
+            )
+        col = d.column(pivot_col)
+        values = sorted(v for v in col.to_pylist() if v is not None)
+    wide_cols = [f"{prefix}{v}" for v in values]
+
+    def widen(batch: pa.Table) -> pa.Table:
+        pcol = A.as_array(batch.column(pivot_col))
+        vcol = A.as_array(batch.column(value_col))
+        cols = {k: batch.column(k) for k in keys}
+        for v, name in zip(values, wide_cols):
+            m = pc.equal(pcol, v)  # null pivot -> null mask -> null value
+            cols[name] = pc.if_else(m, vcol, pa.nulls(len(vcol), vcol.type))
+        return pa.table(cols)
+
+    widen.__name__ = f"pivot_widen_{pivot_col}"
+    if isinstance(ds, pa.Table):
+        wide = widen(ds)
+    else:
+        wide = ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return groupby_agg(wide, keys, {c: [agg] for c in wide_cols})

@@ -1,0 +1,122 @@
+"""explode / pivot vs DuckDB over randomized inputs, both Table and Dataset
+paths, incl. null/empty lists, explode_outer semantics, and null pivot keys."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kamae_ray.stages import explode, pivot
+
+
+def _rand_lists(rng, n):
+    out = []
+    for _ in range(n):
+        r = rng.rand()
+        if r < 0.1:
+            out.append(None)
+        elif r < 0.25:
+            out.append([])
+        else:
+            out.append([int(x) for x in rng.randint(0, 50, rng.randint(1, 6))])
+    return pa.array(out, pa.list_(pa.int64()))
+
+
+@given(st.integers(0, 200), st.integers(0, 9999))
+@settings(max_examples=40, deadline=None)
+def test_explode_matches_duckdb(n, seed):
+    rng = np.random.RandomState(seed)
+    t = pa.table({"id": np.arange(n), "xs": _rand_lists(rng, n)})
+    got = explode(t, "xs", pos_col="pos").to_pandas()
+    oracle = duckdb.sql(
+        "SELECT id, unnest(xs) AS xs, unnest(range(len(xs))) AS pos FROM t"
+    ).df()
+    cols = ["id", "pos", "xs"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    o = oracle[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
+def test_explode_outer_keeps_null_and_empty():
+    t = pa.table({"id": [1, 2, 3], "xs": pa.array([[7], [], None], pa.list_(pa.int64()))})
+    got = explode(t, "xs", pos_col="pos", keep_empty=True).to_pylist()
+    assert sorted(got, key=lambda r: r["id"]) == [
+        {"id": 1, "xs": 7, "pos": 0},
+        {"id": 2, "xs": None, "pos": None},
+        {"id": 3, "xs": None, "pos": None},
+    ]
+
+
+def test_explode_dataset_path(ray_session):
+    import ray
+
+    rng = np.random.RandomState(3)
+    n = 500
+    t = pa.table({"id": np.arange(n), "xs": _rand_lists(rng, n)})
+    got = (
+        explode(ray.data.from_arrow(t).repartition(4), "xs", pos_col="pos")
+        .to_pandas()
+    )
+    oracle = duckdb.sql(
+        "SELECT id, unnest(xs) AS xs, unnest(range(len(xs))) AS pos FROM t"
+    ).df()
+    cols = ["id", "pos", "xs"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    o = oracle[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
+@given(st.integers(0, 300), st.integers(0, 9999), st.sampled_from(["sum", "count", "min", "max", "mean"]))
+@settings(max_examples=40, deadline=None)
+def test_pivot_matches_duckdb(n, seed, agg):
+    rng = np.random.RandomState(seed)
+    g = [f"g{rng.randint(4)}" for _ in range(n)]
+    p = [None if rng.rand() < 0.15 else f"p{rng.randint(3)}" for _ in range(n)]
+    v = rng.standard_normal(n)
+    t = pa.table({"g": pa.array(g, pa.string()), "p": pa.array(p, pa.string()), "v": v})
+    values = ["p0", "p1", "p2"]
+    got = pivot(t, "g", "p", "v", values=values, agg=agg).to_pandas()
+    sqlagg = {"sum": "sum", "count": "count", "min": "min", "max": "max", "mean": "avg"}[agg]
+    sel = ", ".join(
+        f"{sqlagg}(CASE WHEN p = '{val}' THEN v END) AS v_{val}_{agg}" for val in values
+    )
+    oracle = duckdb.sql(f"SELECT g, {sel} FROM t GROUP BY g").df()
+    cols = ["g"] + [f"v_{val}_{agg}" for val in values]
+    gdf = got[cols].sort_values("g").reset_index(drop=True)
+    odf = oracle[cols].sort_values("g").reset_index(drop=True)
+    for c in cols[1:]:
+        a, b = gdf[c].astype(float).to_numpy(), odf[c].astype(float).to_numpy()
+        assert ((np.isnan(a) & np.isnan(b)) | np.isclose(a, b, atol=1e-9)).all(), (c, a, b)
+    assert gdf["g"].tolist() == odf["g"].tolist()
+
+
+def test_pivot_dataset_path_discovers_values(ray_session):
+    import ray
+
+    rng = np.random.RandomState(5)
+    n = 400
+    t = pa.table(
+        {
+            "g": pa.array([f"g{rng.randint(3)}" for _ in range(n)]),
+            "p": pa.array([f"p{rng.randint(4)}" for _ in range(n)]),
+            "v": rng.standard_normal(n),
+        }
+    )
+    got = pivot(ray.data.from_arrow(t).repartition(4), "g", "p", "v").to_pandas()
+    sel = ", ".join(
+        f"sum(CASE WHEN p = 'p{i}' THEN v END) AS v_p{i}_sum" for i in range(4)
+    )
+    oracle = duckdb.sql(f"SELECT g, {sel} FROM t GROUP BY g").df()
+    cols = ["g"] + [f"v_p{i}_sum" for i in range(4)]
+    gdf = got[cols].sort_values("g").reset_index(drop=True)
+    odf = oracle[cols].sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gdf, odf, check_dtype=False, atol=1e-9)
+
+
+def test_pivot_width_guard():
+    t = pa.table({"g": ["a"] * 1100, "p": [f"p{i}" for i in range(1100)], "v": [1.0] * 1100})
+    with pytest.raises(ValueError, match="distinct values"):
+        pivot(t, "g", "p", "v")

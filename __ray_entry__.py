@@ -1102,6 +1102,25 @@ def _q_pivot(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_repetition(sf_dir):
+    """Gopher-style repetition quality signals per document (duplicate-line
+    fraction by count and by chars, top word-bigram char coverage) — one
+    stateless vectorized map_batches stage, no shuffle."""
+    from kamae_ray.stages import RepetitionSignalsTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = RepetitionSignalsTransformer(input_col="text", output_col="rep").transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch.column("doc_id")}
+        for c in ("rep_dup_line_frac", "rep_dup_line_char_frac", "rep_top_bigram_char_frac"):
+            cols[c] = pc.round(batch.column(c), ndigits=_R, round_mode="half_towards_infinity")
+        return pa.table(cols)
+
+    finish.__name__ = "repetition_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_agg(sf_dir):
     """Partial-aggregation GROUP BY (TPC-H Q1 shape): block-level partials
     inside map_batches, then one tiny shuffle of the partial rows only."""
@@ -1742,6 +1761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anti": _q_anti,
         "q_explode": _q_explode,
         "q_pivot": _q_pivot,
+        "q_repetition": _q_repetition,
         "q_agg": _q_agg,
         "q_token_stats": _q_token_stats,
         "q_minhash_pairs": _q_minhash_pairs,
@@ -2154,6 +2174,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "q_repetition": (
+            "WITH l AS (SELECT doc_id, unnest(list_filter(string_split(coalesce(text,''), chr(10)), "
+            "x -> length(x) > 0)) AS line FROM documents), "
+            "lc AS (SELECT doc_id, line, count(*) cnt, length(line) len FROM l GROUP BY doc_id, line), "
+            "ld AS (SELECT doc_id, sum(cnt) tot_l, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) dup_l, "
+            "sum(cnt * len) tot_c, sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) dup_c "
+            "FROM lc GROUP BY doc_id), "
+            "w AS (SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '\\s+'), "
+            "x -> length(x) > 0) ws FROM documents), "
+            "wc AS (SELECT doc_id, coalesce(list_sum(list_transform(ws, x -> length(x))), 0) wchars FROM w), "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), "
+            "i -> ws[i] || chr(10) || ws[i+1])) gram FROM w WHERE len(ws) > 1), "
+            "bgc AS (SELECT doc_id, gram, count(*) cnt, length(gram) - 1 glen FROM bg GROUP BY doc_id, gram), "
+            "best AS (SELECT doc_id, cnt * glen AS num FROM (SELECT doc_id, cnt, glen, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, glen DESC) rn FROM bgc) WHERE rn = 1) "
+            "SELECT d.doc_id, "
+            "ROUND(coalesce(dup_l::DOUBLE / nullif(tot_l, 0), 0), 6) AS rep_dup_line_frac, "
+            "ROUND(coalesce(dup_c::DOUBLE / nullif(tot_c, 0), 0), 6) AS rep_dup_line_char_frac, "
+            "ROUND(coalesce(num::DOUBLE / nullif(wchars, 0), 0), 6) AS rep_top_bigram_char_frac "
+            "FROM documents d LEFT JOIN ld USING (doc_id) LEFT JOIN wc USING (doc_id) "
+            "LEFT JOIN best USING (doc_id)"
         ),
         "q_explode": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents) "

@@ -121,6 +121,7 @@ from kamae_ray.stages.text import (  # noqa: F401
     FingerprintTransformer,
     LanguageIdTransformer,
     QualityScoreTransformer,
+    RepetitionSignalsTransformer,
     TokenCountTransformer,
     TokenizeTransformer,
 )

@@ -285,3 +285,96 @@ class FingerprintTransformer(Transformer):
                 out = packed.view(np.uint64).reshape(-1)
         res = A.rewrap(levels, pa.array(out.view(np.int64), pa.int64()))
         return _append_or_replace(batch, self.output_col, self._cast_out(res))
+
+
+class RepetitionSignalsTransformer(Transformer):
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1 —
+    public heuristics for filtering repetitive web text), three per-doc
+    fractions in [0, 1]:
+
+    - ``{out}_dup_line_frac``: fraction of non-empty lines (split on
+      newline) whose exact content occurs more than once in the document;
+    - ``{out}_dup_line_char_frac``: same, weighted by line length in chars;
+    - ``{out}_top_bigram_char_frac``: characters covered by the most
+      frequent word bigram (count x (len(w1)+len(w2))) over total word
+      chars. Ties on count resolve to the LONGEST bigram (deterministic and
+      SQL-expressible: max by (count, charlen)).
+
+    Fully vectorized: lines/words are flattened once per block, every
+    DISTINCT line/word is dictionary-encoded once, per-(doc, value) counts
+    come from one np.unique, per-doc reductions are bincount/reduceat — no
+    per-row Python, no shuffle (each document is one row)."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        flat = pc.fill_null(A.as_array(self._cast_in(batch.column(self.input_col))), "")
+        n = len(flat)
+        dup_line_frac = np.zeros(n)
+        dup_char_frac = np.zeros(n)
+        bigram_frac = np.zeros(n)
+        if n:
+            # --- duplicate lines
+            ll, lines = A.unwrap(pc.split_pattern(flat, "\n"))
+            loff = ll[0][0]
+            parent = np.repeat(np.arange(n, dtype=np.int64), np.diff(loff))
+            line_len = pc.utf8_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+            ne = line_len > 0
+            parent_ne, llen = parent[ne], line_len[ne]
+            if len(parent_ne):
+                d = lines.filter(pa.array(ne)).dictionary_encode()
+                codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                key = parent_ne * (codes.max() + 1) + codes
+                _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+                dup = cnt[inv] > 1
+                tot_l = np.bincount(parent_ne, minlength=n)
+                tot_c = np.bincount(parent_ne, weights=llen, minlength=n)
+                dup_l = np.bincount(parent_ne[dup], minlength=n)
+                dup_c = np.bincount(parent_ne[dup], weights=llen[dup], minlength=n)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    dup_line_frac = np.where(tot_l > 0, dup_l / np.where(tot_l == 0, 1, tot_l), 0.0)
+                    dup_char_frac = np.where(tot_c > 0, dup_c / np.where(tot_c == 0, 1, tot_c), 0.0)
+            # --- top word-bigram coverage
+            wl, words = A.unwrap(pc.split_pattern_regex(flat, pattern=r"\s+"))
+            woff = wl[0][0]
+            wparent = np.repeat(np.arange(n, dtype=np.int64), np.diff(woff))
+            wlen = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+            wkeep = wlen > 0
+            wparent, wlen = wparent[wkeep], wlen[wkeep]
+            wchars = np.bincount(wparent, weights=wlen, minlength=n)
+            if len(wparent) > 1:
+                wd = words.filter(pa.array(wkeep)).dictionary_encode()
+                wcodes = wd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                adj = wparent[:-1] == wparent[1:]
+                if adj.any():
+                    bparent = wparent[:-1][adj]
+                    bkey = wcodes[:-1][adj] * (wcodes.max() + 1) + wcodes[1:][adj]
+                    blen = wlen[:-1][adj] + wlen[1:][adj]
+                    mat = np.ascontiguousarray(np.stack([bparent, bkey], axis=1))
+                    _, first, cnt = np.unique(
+                        mat.view([("", mat.dtype)] * 2).reshape(-1),
+                        return_index=True, return_counts=True,
+                    )
+                    up, uglen = bparent[first], blen[first]
+                    # per-doc lexicographic max of (count, gram length)
+                    order = np.lexsort((uglen, cnt, up))
+                    up_s = up[order]
+                    seg_last = np.concatenate([np.nonzero(up_s[1:] != up_s[:-1])[0], [len(up_s) - 1]])
+                    best = order[seg_last]
+                    num = cnt[best].astype(np.float64) * blen[first][best]
+                    docs = up[best]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        bigram_frac[docs] = num / np.where(wchars[docs] == 0, 1, wchars[docs])
+        base = self.output_col
+        batch = _append_or_replace(batch, f"{base}_dup_line_frac", pa.array(dup_line_frac))
+        batch = _append_or_replace(batch, f"{base}_dup_line_char_frac", pa.array(dup_char_frac))
+        return _append_or_replace(batch, f"{base}_top_bigram_char_frac", pa.array(bigram_frac))
+
+    @property
+    def outputs(self):
+        base = self.output_col
+        return [
+            f"{base}_dup_line_frac",
+            f"{base}_dup_line_char_frac",
+            f"{base}_top_bigram_char_frac",
+        ]

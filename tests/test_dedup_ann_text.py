@@ -607,3 +607,57 @@ def test_exact_dedup_list_column(ray_session):
     # keep='last' takes the max order id per group
     out_last = exact_dedup(t, "toks", "id", keep="last").sort_by("id")
     assert out_last.column("id").to_pylist() == [2, 3, 11, 12, 13, 14, 15]
+
+
+def test_repetition_signals_vs_python_reference():
+    """Randomized texts vs a transparent per-doc Python implementation."""
+    from collections import Counter
+
+    from kamae_ray.stages.text import RepetitionSignalsTransformer
+
+    rng = np.random.RandomState(42)
+    vocab = ["aa", "b", "ccc", "dddd", "e"]
+    texts = []
+    for _ in range(300):
+        r = rng.rand()
+        if r < 0.05:
+            texts.append(None)
+        elif r < 0.1:
+            texts.append("")
+        else:
+            n_lines = rng.randint(1, 6)
+            lines = [
+                " ".join(vocab[rng.randint(len(vocab))] for _ in range(rng.randint(0, 5)))
+                for _ in range(n_lines)
+            ]
+            texts.append("\n".join(lines))
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = RepetitionSignalsTransformer(input_col="text", output_col="rep").transform_batch(t)
+
+    for i, txt in enumerate(texts):
+        txt = txt or ""
+        lines = [l for l in txt.split("\n") if l]
+        c = Counter(lines)
+        tot_l = len(lines)
+        dup_l = sum(1 for l in lines if c[l] > 1)
+        tot_c = sum(len(l) for l in lines)
+        dup_c = sum(len(l) for l in lines if c[l] > 1)
+        words = txt.split()
+        grams = Counter(zip(words, words[1:]))
+        wchars = sum(len(w) for w in words)
+        if grams:
+            cnt, glen = max(((n, len(a) + len(b)) for (a, b), n in grams.items()))
+            num = cnt * glen
+        else:
+            num = 0
+        exp = (
+            dup_l / tot_l if tot_l else 0.0,
+            dup_c / tot_c if tot_c else 0.0,
+            num / wchars if wchars else 0.0,
+        )
+        got = (
+            out.column("rep_dup_line_frac")[i].as_py(),
+            out.column("rep_dup_line_char_frac")[i].as_py(),
+            out.column("rep_top_bigram_char_frac")[i].as_py(),
+        )
+        assert np.allclose(got, exp, atol=1e-12), (i, txt, got, exp)

@@ -1102,6 +1102,93 @@ def _q_pivot(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_melt(sf_dir):
+    """Wide -> long (SQL UNPIVOT): lineitem measures unpivoted to
+    (variable, value) rows — stateless block-local kernel, no shuffle."""
+    from kamae_ray.stages import melt
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"])
+    return melt(ds, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def _q_except(sf_dir):
+    """SQL EXCEPT (set semantics, NULLs compare equal): nations with a
+    high-balance customer but no high-balance supplier. Distinct plan with a
+    side tag — per-block dedup combiner, one sort-shuffle on the full tuple."""
+    from kamae_ray.stages import except_distinct
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def fc(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_nationkey": batch.filter(pc.greater(batch.column("c_acctbal"), 9000.0)).column("c_nationkey")})
+
+    def fs(batch: pa.Table) -> pa.Table:
+        return pa.table({"s_nationkey": batch.filter(pc.greater(batch.column("s_acctbal"), 9000.0)).column("s_nationkey")})
+
+    fc.__name__, fs.__name__ = "rich_customer_nations", "rich_supplier_nations"
+    left = cust.map_batches(fc, batch_format="pyarrow", zero_copy_batch=True)
+    right = supp.map_batches(fs, batch_format="pyarrow", zero_copy_batch=True)
+    return except_distinct(left, right)
+
+
+def _q_intersect(sf_dir):
+    """SQL INTERSECT twin of q_except (same plan, opposite side predicate)."""
+    from kamae_ray.stages import intersect_distinct
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def fc(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_nationkey": batch.filter(pc.greater(batch.column("c_acctbal"), 9000.0)).column("c_nationkey")})
+
+    def fs(batch: pa.Table) -> pa.Table:
+        return pa.table({"s_nationkey": batch.filter(pc.greater(batch.column("s_acctbal"), 9000.0)).column("s_nationkey")})
+
+    fc.__name__, fs.__name__ = "rich_customer_nations", "rich_supplier_nations"
+    left = cust.map_batches(fc, batch_format="pyarrow", zero_copy_batch=True)
+    right = supp.map_batches(fs, batch_format="pyarrow", zero_copy_batch=True)
+    return intersect_distinct(left, right)
+
+
+def _q_rank(sf_dir):
+    """SQL ranking window functions per user: all five methods in one stack,
+    sharing ONE distributed sort on the entity key (apply_sorted). Tie-prone
+    ts drives rank/dense_rank/percent_rank (tie-stable, SQL semantics);
+    unique event_id drives row_number/ntile (determinism caveat as in SQL)."""
+    from kamae_ray.stages import WindowRankTransformer
+    from kamae_ray.stages.window import apply_sorted
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    mk = lambda m, col, out: WindowRankTransformer(  # noqa: E731
+        entity_cols=["user_id"], time_col=col, method=m, n_tiles=4, output_col=out
+    )
+    out = apply_sorted(
+        ev,
+        mk("row_number", "event_id", "rn"),
+        mk("rank", "ts", "rk"),
+        mk("dense_rank", "ts", "drk"),
+        mk("percent_rank", "ts", "prk"),
+        mk("ntile", "event_id", "nt"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "rn": batch.column("rn"),
+                "rk": batch.column("rk"),
+                "drk": batch.column("drk"),
+                "prk": pc.round(batch.column("prk"), ndigits=_R, round_mode="half_towards_infinity"),
+                "nt": batch.column("nt"),
+            }
+        )
+
+    finish.__name__ = "rank_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_repetition(sf_dir):
     """Gopher-style repetition quality signals per document (duplicate-line
     fraction by count and by chars, top word-bigram char coverage) — one
@@ -1762,6 +1849,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_explode": _q_explode,
         "q_pivot": _q_pivot,
         "q_repetition": _q_repetition,
+        "q_rank": _q_rank,
+        "q_melt": _q_melt,
+        "q_except": _q_except,
+        "q_intersect": _q_intersect,
         "q_agg": _q_agg,
         "q_token_stats": _q_token_stats,
         "q_minhash_pairs": _q_minhash_pairs,
@@ -2174,6 +2265,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "q_melt": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem"
+        ),
+        "q_except": (
+            "SELECT c_nationkey FROM customer WHERE c_acctbal > 9000 "
+            "EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000"
+        ),
+        "q_intersect": (
+            "SELECT c_nationkey FROM customer WHERE c_acctbal > 9000 "
+            "INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000"
+        ),
+        "q_rank": (
+            "SELECT event_id, user_id, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn, "
+            "rank() OVER (PARTITION BY user_id ORDER BY ts) AS rk, "
+            "dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS drk, "
+            "ROUND(percent_rank() OVER (PARTITION BY user_id ORDER BY ts), 6) AS prk, "
+            "ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS nt "
+            "FROM events"
         ),
         "q_repetition": (
             "WITH l AS (SELECT doc_id, unnest(list_filter(string_split(coalesce(text,''), chr(10)), "

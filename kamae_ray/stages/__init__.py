@@ -113,6 +113,7 @@ from kamae_ray.stages.window import (  # noqa: F401
     RollingAggTransformer,
     SessionizeTransformer,
     TimeRangeRollingTransformer,
+    WindowRankTransformer,
     asof_join,
     broadcast_asof_join,
 )
@@ -133,5 +134,9 @@ from kamae_ray.stages.multimodal import (  # noqa: F401
     WavDecodeTransformer,
 )
 from kamae_ray.stages.join import broadcast_join, shuffle_join  # noqa: F401
-from kamae_ray.stages.aggregate import groupby_agg  # noqa: F401
-from kamae_ray.stages.reshape import explode, pivot  # noqa: F401
+from kamae_ray.stages.aggregate import (  # noqa: F401
+    except_distinct,
+    groupby_agg,
+    intersect_distinct,
+)
+from kamae_ray.stages.reshape import explode, melt, pivot  # noqa: F401

@@ -455,3 +455,84 @@ def quantile_per_group(ds, keys, col: str, qs, out_prefix: str | None = None):
     from kamae_ray.stages.window import sorted_block_apply
 
     return sorted_block_apply(proj, keys, kern, "group_quantiles")
+
+
+def _dedup_block_all(block: pa.Table, cols: list[str]) -> pa.Table:
+    if block.num_rows == 0:
+        return block
+    gids = S.group_ids(block, cols)
+    order = np.argsort(gids, kind="stable")
+    starts, _l = S.segments(gids[order])
+    return block.take(pa.array(order[starts]))
+
+
+def _set_op(left, right, mode: str):
+    """SQL ``EXCEPT`` / ``INTERSECT`` (set semantics, both sides deduped).
+
+    Unlike joins, SQL set ops compare rows with IS NOT DISTINCT FROM — NULLs
+    equal each other — which is exactly this engine's factorize semantics
+    (``group_ids`` treats null as its own value), so the plan is the distinct
+    plan with a side tag: per-block dedup on both sides (combiner), one
+    sort-shuffle on all columns co-locates equal tuples, and the block kernel
+    emits one representative per tuple present on the qualifying sides.
+
+    Right columns are matched to the left's BY POSITION (SQL union
+    compatibility)."""
+    from kamae_ray.base import dataset_schema
+
+    l_schema = dataset_schema(left)
+    cols = list(l_schema.names)
+    _SIDE = "__kr_setside"
+
+    def prep(batch: pa.Table, side: int) -> pa.Table:
+        if side == 1:
+            batch = batch.rename_columns(cols)
+        batch = _dedup_block_all(batch.select(cols), cols)
+        return batch.append_column(
+            _SIDE, pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+        )
+
+    def finalize(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block.drop_columns([_SIDE])
+        gids = S.group_ids(block, cols)
+        side = block.column(_SIDE).to_numpy(zero_copy_only=False)
+        order = np.argsort(gids, kind="stable")
+        starts, lens = S.segments(gids[order])
+        s_sorted = side[order]
+        has_r = np.add.reduceat(s_sorted.astype(np.int64), starts) > 0
+        has_l = np.add.reduceat((s_sorted == 0).astype(np.int64), starts) > 0
+        keep = (has_l & ~has_r) if mode == "except" else (has_l & has_r)
+        # representative: the first LEFT row of each kept segment (sides are
+        # interleaved arbitrarily; any row has identical key columns)
+        firsts = order[starts[keep]]
+        return block.take(pa.array(firsts)).drop_columns([_SIDE])
+
+    finalize.__name__ = f"{mode}_finalize"
+    if isinstance(left, pa.Table) and isinstance(right, pa.Table):
+        both = pa.concat_tables([prep(left, 0), prep(right, 1)])
+        return finalize(both)
+    import ray  # noqa: F401
+    from kamae_ray.stages.window import _NamedFn, sorted_block_apply
+
+    if isinstance(left, pa.Table):
+        left = ray.data.from_arrow(left)
+    if isinstance(right, pa.Table):
+        right = ray.data.from_arrow(right)
+    lt = left.map_batches(_NamedFn(lambda b: prep(b, 0), f"{mode}_prep_left"),
+                          batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    rt = right.map_batches(_NamedFn(lambda b: prep(b, 1), f"{mode}_prep_right"),
+                           batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return sorted_block_apply(lt.union(rt), cols, finalize, f"{mode}_finalize")
+
+
+def except_distinct(left, right):
+    """SQL ``left EXCEPT right``: distinct left tuples absent from right
+    (NULLs compare equal, set semantics)."""
+    return _set_op(left, right, "except")
+
+
+def intersect_distinct(left, right):
+    """SQL ``left INTERSECT right``: distinct tuples present on both sides
+    (NULLs compare equal, set semantics)."""
+    return _set_op(left, right, "intersect")

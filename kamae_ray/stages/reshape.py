@@ -143,3 +143,53 @@ def pivot(
     else:
         wide = ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return groupby_agg(wide, keys, {c: [agg] for c in wide_cols})
+
+
+def melt(
+    ds,
+    id_cols: str | list[str],
+    value_cols: list[str],
+    var_col: str = "variable",
+    value_col: str = "value",
+    cast_to: pa.DataType | None = None,
+):
+    """Wide -> long (SQL UNPIVOT / pandas melt): one output row per
+    (input row, value column), with the column name in ``var_col`` and its
+    value in ``value_col``.
+
+    Value columns must share a type (SQL union compatibility); mixed numeric
+    types promote to float64, otherwise pass ``cast_to`` explicitly.
+
+    Scale: stateless block-local kernel — k column selects + one concat per
+    block, no shuffle, no per-row Python."""
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def _target_type(types: list[pa.DataType]) -> pa.DataType:
+        if cast_to is not None:
+            return cast_to
+        if len(set(types)) == 1:
+            return types[0]
+        import pyarrow.types as pt
+
+        if all(pt.is_integer(t) or pt.is_floating(t) for t in types):
+            return pa.float64()
+        raise ValueError(
+            f"value columns mix non-numeric types {types}; pass cast_to"
+        )
+
+    def unpivot(batch: pa.Table) -> pa.Table:
+        target = _target_type([batch.schema.field(c).type for c in value_cols])
+        parts = []
+        for c in value_cols:
+            cols = {k: batch.column(k) for k in id_cols}
+            cols[var_col] = pa.array([c] * batch.num_rows, pa.string())
+            cols[value_col] = pc.cast(batch.column(c), target, safe=False)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    unpivot.__name__ = f"melt_{value_col}"
+    if isinstance(ds, pa.Table):
+        return unpivot(ds)
+    return ds.map_batches(unpivot, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

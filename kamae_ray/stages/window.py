@@ -512,6 +512,69 @@ class SessionizeTransformer(KeyedWindowTransformer):
         return S.seg_sessionize(t, self.gap, starts, lens)
 
 
+_RANK_METHODS = ("row_number", "rank", "dense_rank", "percent_rank", "ntile")
+
+
+class WindowRankTransformer(KeyedWindowTransformer):
+    """SQL ranking window functions over (PARTITION BY entity ORDER BY time):
+    ``row_number`` / ``rank`` / ``dense_rank`` / ``percent_rank`` / ``ntile``.
+
+    rank/dense_rank/percent_rank are deterministic under order-key ties (tied
+    rows get equal output, SQL semantics). row_number/ntile are only
+    deterministic when the order key is unique within each entity — same
+    caveat as SQL; pass a composite/unique key column for reproducible runs
+    (documented ListRank precedent).
+
+    Vectorized per block: one lexsort, tie starts from one shifted compare,
+    everything else is arange/cumsum arithmetic — no per-group Python."""
+
+    nan_as_null = False
+
+    def __init__(self, *args, method: str = "row_number", n_tiles: int = 4,
+                 input_col: str | None = None, **kwargs):
+        kwargs.setdefault("input_col", input_col)
+        super().__init__(*args, **kwargs)
+        if method not in _RANK_METHODS:
+            raise ValueError(f"method must be one of {_RANK_METHODS}")
+        self.method = method
+        self.n_tiles = int(n_tiles)
+        self.out_type = pa.float64() if method == "percent_rank" else pa.int64()
+
+    def _needs_values(self):
+        return False
+
+    def _seg_kernel(self, vals, t, starts, lens, srep):
+        n = len(t)
+        pos = np.arange(n, dtype=np.int64) - srep  # 0-based within segment
+        if self.method == "row_number":
+            return pos + 1
+        if self.method == "ntile":
+            ln = np.repeat(lens, lens)
+            k = self.n_tiles
+            q, r = ln // k, ln % k
+            big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+            small_q = np.where(q == 0, 1, q)  # k >= len(segment): every row its own tile
+            return np.where(
+                pos < big, pos // np.where(q + 1 == 0, 1, q + 1) + 1,
+                r + (pos - big) // small_q + 1,
+            ).astype(np.int64)
+        # tie structure: a new value starts at each segment start or t change
+        new_val = np.ones(n, dtype=bool)
+        if n > 1:
+            new_val[1:] = (t[1:] != t[:-1]) | (srep[1:] != srep[:-1])
+        if self.method == "dense_rank":
+            cum = np.cumsum(new_val)
+            return (cum - cum[srep] + 1).astype(np.int64)
+        # rank: 1 + index-in-segment of the first row with this value
+        first_eq = np.maximum.accumulate(np.where(new_val, np.arange(n, dtype=np.int64), -1))
+        rank = first_eq - srep + 1
+        if self.method == "rank":
+            return rank
+        ln = np.repeat(lens, lens)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(ln > 1, (rank - 1) / np.where(ln == 1, 1, ln - 1), 0.0)
+
+
 _CUM_STATS = ("sum", "count", "mean", "min", "max")
 
 

@@ -120,3 +120,77 @@ def test_pivot_width_guard():
     t = pa.table({"g": ["a"] * 1100, "p": [f"p{i}" for i in range(1100)], "v": [1.0] * 1100})
     with pytest.raises(ValueError, match="distinct values"):
         pivot(t, "g", "p", "v")
+
+
+@given(st.integers(0, 200), st.integers(0, 9999))
+@settings(max_examples=30, deadline=None)
+def test_melt_matches_duckdb(n, seed):
+    rng = np.random.RandomState(seed)
+    t = pa.table({
+        "id": np.arange(n),
+        "x": rng.standard_normal(n),
+        "y": pa.array([None if rng.rand() < 0.2 else float(v) for v in rng.standard_normal(n)], pa.float64()),
+    })
+    from kamae_ray.stages import melt as kmelt
+
+    got = kmelt(t, "id", ["x", "y"]).to_pandas()
+    oracle = duckdb.sql(
+        "SELECT id, 'x' AS variable, x AS value FROM t "
+        "UNION ALL SELECT id, 'y', y FROM t"
+    ).df()
+    cols = ["id", "variable", "value"]
+    g = got[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+    o = oracle[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
+def test_melt_mixed_numeric_promotes_and_string_mix_raises():
+    from kamae_ray.stages import melt as kmelt
+
+    t = pa.table({"id": [1], "a": pa.array([2], pa.int64()), "b": pa.array([1.5], pa.float64())})
+    out = kmelt(t, "id", ["a", "b"])
+    assert out.schema.field("value").type == pa.float64()
+    t2 = pa.table({"id": [1], "a": ["s"], "b": [1.0]})
+    with pytest.raises(ValueError, match="cast_to"):
+        kmelt(t2, "id", ["a", "b"])
+
+
+@given(st.integers(0, 80), st.integers(0, 80), st.integers(0, 9999))
+@settings(max_examples=40, deadline=None)
+def test_set_ops_match_duckdb_null_equal(nl, nr, seed):
+    """EXCEPT/INTERSECT: NULLs compare EQUAL (IS NOT DISTINCT FROM), unlike
+    join equality — randomized tuples with nulls on both sides."""
+    from kamae_ray.stages import except_distinct, intersect_distinct
+
+    rng = np.random.RandomState(seed)
+
+    def mk(n):
+        return pa.table({
+            "a": pa.array([None if rng.rand() < 0.25 else int(rng.randint(4)) for _ in range(n)], pa.int64()),
+            "b": pa.array([None if rng.rand() < 0.25 else f"s{rng.randint(3)}" for _ in range(n)], pa.string()),
+        })
+
+    lt, rt = mk(nl), mk(nr)
+    for fn, op in ((except_distinct, "EXCEPT"), (intersect_distinct, "INTERSECT")):
+        got = fn(lt, rt).to_pandas()
+        oracle = duckdb.sql(f"SELECT a, b FROM lt {op} SELECT a, b FROM rt").df()
+        cols = ["a", "b"]
+        g = got[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        o = oracle[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
+def test_set_ops_dataset_path(ray_session):
+    import ray
+    from kamae_ray.stages import except_distinct, intersect_distinct
+
+    rng = np.random.RandomState(2)
+    lt = pa.table({"a": [None if rng.rand() < 0.2 else int(rng.randint(6)) for _ in range(400)]})
+    rt = pa.table({"a": [None if rng.rand() < 0.2 else int(rng.randint(4)) for _ in range(300)]})
+    for fn, op in ((except_distinct, "EXCEPT"), (intersect_distinct, "INTERSECT")):
+        got = sorted(
+            fn(ray.data.from_arrow(lt).repartition(4), ray.data.from_arrow(rt).repartition(3))
+            .to_pandas()["a"].fillna(-99).tolist()
+        )
+        oracle = sorted(duckdb.sql(f"SELECT a FROM lt {op} SELECT a FROM rt").df()["a"].fillna(-99).tolist())
+        assert got == oracle, (op, got, oracle)

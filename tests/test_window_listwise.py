@@ -214,3 +214,40 @@ def test_time_range_rolling_exclude_current_and_mean():
         range_width=15, min_periods=2, output_col="m",
     ).transform(t).column("m").to_pylist()
     assert mean[0] is None and mean[1] == pytest.approx(2.0) and mean[3] == pytest.approx(3.0)
+
+
+def test_window_rank_methods_vs_duckdb(ray_session):
+    """All five ranking window functions vs SQL, Dataset path, tie-prone and
+    unique order keys."""
+    import duckdb
+    import ray
+
+    from kamae_ray.stages import WindowRankTransformer
+    from kamae_ray.stages.window import apply_sorted
+
+    rng = np.random.RandomState(9)
+    n = 800
+    t = pa.table({
+        "u": pa.array([int(rng.randint(10)) for _ in range(n)], pa.int64()),
+        "ts": pa.array([int(rng.randint(25)) for _ in range(n)], pa.int64()),
+        "uid": pa.array(list(range(n)), pa.int64()),
+    })
+    mk = lambda m, col, out: WindowRankTransformer(  # noqa: E731
+        entity_cols=["u"], time_col=col, method=m, n_tiles=3, output_col=out
+    )
+    out = apply_sorted(
+        ray.data.from_arrow(t).repartition(5),
+        mk("row_number", "uid", "rn"), mk("rank", "ts", "rk"),
+        mk("dense_rank", "ts", "drk"), mk("percent_rank", "ts", "prk"),
+        mk("ntile", "uid", "nt"),
+    ).to_pandas().sort_values(["u", "uid"]).reset_index(drop=True)
+    oracle = duckdb.sql(
+        "SELECT u, uid, row_number() OVER (PARTITION BY u ORDER BY uid) rn, "
+        "rank() OVER (PARTITION BY u ORDER BY ts) rk, "
+        "dense_rank() OVER (PARTITION BY u ORDER BY ts) drk, "
+        "percent_rank() OVER (PARTITION BY u ORDER BY ts) prk, "
+        "ntile(3) OVER (PARTITION BY u ORDER BY uid) nt FROM t"
+    ).df().sort_values(["u", "uid"]).reset_index(drop=True)
+    for c in ("rn", "rk", "drk", "nt"):
+        assert out[c].astype(int).tolist() == oracle[c].astype(int).tolist(), c
+    assert np.allclose(out["prk"].to_numpy(), oracle["prk"].to_numpy(), atol=1e-12)

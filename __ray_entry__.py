@@ -1102,6 +1102,42 @@ def _q_pivot(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_collect(sf_dir):
+    """SQL list(v ORDER BY o) GROUP BY k (Spark collect_list+sort_array):
+    per-user event values in event order — one sort-shuffle, block kernel
+    slices values into list offsets, no per-group Python."""
+    from kamae_ray.stages import groupby_collect
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return groupby_collect(ev, "user_id", "value", order_col="event_id", out_col="values")
+
+
+def _q_winsorize(sf_dir):
+    """Learned percentile clipping (WinsorizeEstimator -> ClipTransformer):
+    bounds from one streaming exact-quantile pass, rounded to 6dp so the SQL
+    oracle reproduces them from quantile_cont."""
+    from kamae_ray.stages import WinsorizeEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    model = WinsorizeEstimator(
+        input_col="l_extendedprice", lower_q=0.01, upper_q=0.99,
+        boundary_decimals=6, output_col="price_w",
+    ).fit(ds)
+    out = model.transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "price_w": pc.round(batch.column("price_w"), ndigits=_R, round_mode="half_towards_infinity"),
+            }
+        )
+
+    finish.__name__ = "winsorize_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_melt(sf_dir):
     """Wide -> long (SQL UNPIVOT): lineitem measures unpivoted to
     (variable, value) rows — stateless block-local kernel, no shuffle."""
@@ -1850,6 +1886,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot": _q_pivot,
         "q_repetition": _q_repetition,
         "q_rank": _q_rank,
+        "q_collect": _q_collect,
+        "q_winsorize": _q_winsorize,
         "q_melt": _q_melt,
         "q_except": _q_except,
         "q_intersect": _q_intersect,
@@ -2265,6 +2303,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "q_collect": (
+            "SELECT user_id, list(value ORDER BY event_id) AS \"values\" "
+            "FROM events GROUP BY user_id"
+        ),
+        "q_winsorize": (
+            "WITH b AS (SELECT ROUND(quantile_cont(l_extendedprice, 0.01)::DOUBLE, 6) lo, "
+            "ROUND(quantile_cont(l_extendedprice, 0.99)::DOUBLE, 6) hi FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(least(greatest(l_extendedprice, lo), hi), 6) AS price_w FROM lineitem, b"
         ),
         "q_melt": (
             "SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem "

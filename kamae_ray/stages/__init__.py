@@ -4,15 +4,16 @@ from kamae_ray.stages.elementwise import (  # noqa: F401
     AbsoluteValueTransformer,
     BinTransformer,
     BucketizeTransformer,
+    ClipTransformer,
     DivideTransformer,
-    ExpTransformer,
     ExponentTransformer,
+    ExpTransformer,
     IdentityTransformer,
     IfStatementTransformer,
-    LogTransformer,
     LogicalAndTransformer,
     LogicalNotTransformer,
     LogicalOrTransformer,
+    LogTransformer,
     MaxTransformer,
     MeanTransformer,
     MinTransformer,
@@ -85,6 +86,7 @@ from kamae_ray.stages.scalers import (  # noqa: F401
     SingleFeatureArrayStandardScaleEstimator,
     StandardScaleEstimator,
     StandardScaleTransformer,
+    WinsorizeEstimator,
 )
 from kamae_ray.stages.indexers import (  # noqa: F401
     OneHotEncodeEstimator,
@@ -137,6 +139,7 @@ from kamae_ray.stages.join import broadcast_join, shuffle_join  # noqa: F401
 from kamae_ray.stages.aggregate import (  # noqa: F401
     except_distinct,
     groupby_agg,
+    groupby_collect,
     intersect_distinct,
 )
 from kamae_ray.stages.reshape import explode, melt, pivot  # noqa: F401

@@ -536,3 +536,58 @@ def intersect_distinct(left, right):
     """SQL ``left INTERSECT right``: distinct tuples present on both sides
     (NULLs compare equal, set semantics)."""
     return _set_op(left, right, "intersect")
+
+
+def groupby_collect(ds, keys: str | list[str], col: str,
+                    order_col: str | None = None, out_col: str | None = None):
+    """SQL ``list(col ORDER BY order_col) GROUP BY keys`` (Spark
+    ``collect_list`` + ``sort_array``): one row per key tuple with the
+    group's values gathered into a list column, ordered by ``order_col``
+    (nulls last, SQL default; omit for arbitrary arrival order — like SQL,
+    only a unique order key makes the result deterministic). Null values are
+    KEPT in the list (DuckDB ``list()`` semantics).
+
+    Scale plan: ONE sort-shuffle on ``keys`` co-locates each group, then a
+    block kernel lexsorts and slices the values array into list offsets —
+    no per-group Python, no driver merge. A single key's list must fit in a
+    block (same contract as every listwise/window op)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out_col = out_col or f"{col}_list"
+
+    def kern(block: pa.Table) -> pa.Table:
+        vals_all = A.as_array(block.column(col))
+        if block.num_rows == 0:
+            out = {k: block.column(k) for k in keys}
+            out[out_col] = pa.array([], pa.list_(vals_all.type))
+            return pa.table(out)
+        gids = S.group_ids(block, keys)
+        if order_col is not None:
+            from kamae_ray.stages.window import _time_to_numeric
+
+            o, omask = A.to_numpy(pc.cast(
+                _time_to_numeric(A.as_array(block.column(order_col))), pa.float64(), safe=False))
+            o = o.astype(np.float64, copy=True)
+            if omask is not None:
+                o[omask] = np.inf  # SQL ORDER BY ASC: NULLS LAST
+            order = np.lexsort((o, gids))
+        else:
+            order = np.argsort(gids, kind="stable")
+        starts, lens = S.segments(gids[order])
+        firsts = order[starts]
+        vals = vals_all.take(pa.array(order))
+        offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
+        out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in keys}
+        out[out_col] = pa.ListArray.from_arrays(offsets, vals)
+        return pa.table(out)
+
+    kern.__name__ = "groupby_collect"
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(keys + [col] + ([order_col] if order_col else []))))
+    except Exception:
+        pass
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(proj, keys, kern, "groupby_collect")

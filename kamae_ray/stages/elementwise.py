@@ -60,6 +60,29 @@ class LogTransformer(UnaryKernelTransformer):
         return pc.ln(x)
 
 
+class ClipTransformer(UnaryKernelTransformer):
+    """Clamp values into [min_value, max_value] (either bound optional).
+    The transform half of WinsorizeEstimator; also usable standalone
+    (SQL: least(greatest(x, lo), hi))."""
+
+    def __init__(self, *args, min_value: float | None = None,
+                 max_value: float | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if min_value is None and max_value is None:
+            raise ValueError("at least one of min_value/max_value is required")
+        self.min_value = min_value
+        self.max_value = max_value
+
+    def _kernel(self, flat):
+        x = pc.cast(flat, pa.float64(), safe=False)
+        opts = pc.ElementWiseAggregateOptions(skip_nulls=False)  # null stays null
+        if self.min_value is not None:
+            x = pc.max_element_wise(x, pa.scalar(float(self.min_value)), options=opts)
+        if self.max_value is not None:
+            x = pc.min_element_wise(x, pa.scalar(float(self.max_value)), options=opts)
+        return x
+
+
 class ExpTransformer(UnaryKernelTransformer):
     """e^x. Reference: transformers/exp.py:94."""
 

@@ -408,3 +408,53 @@ class QuantileBucketizeEstimator(Estimator):
             splits=splits,
             mask_value=self.mask_value,
         )
+
+
+class WinsorizeEstimator(Estimator):
+    """Learn percentile clipping bounds (outlier winsorization, a standard
+    feature-eng step the reference leaves to upstream Spark SQL): fit the
+    [lower_q, upper_q] exact quantiles of ``input_col`` (one streaming
+    histogram+bracket pass, driver state O(bins), never the column), then
+    emit a plain ClipTransformer — serving/persistence reuse the existing
+    elementwise op. SQL twin: least(greatest(x, q_lo), q_hi) with
+    quantile_cont bounds.
+
+    ``boundary_decimals`` rounds the learned bounds (half-away) so an
+    external system can reproduce them from its own quantile computation."""
+
+    def __init__(self, *args, lower_q: float = 0.01, upper_q: float = 0.99,
+                 mask_value: float | None = None,
+                 boundary_decimals: int | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if not 0.0 <= lower_q < upper_q <= 1.0:
+            raise ValueError("need 0 <= lower_q < upper_q <= 1")
+        self.lower_q = float(lower_q)
+        self.upper_q = float(upper_q)
+        self.mask_value = mask_value
+        self.boundary_decimals = boundary_decimals
+
+    def fit(self, ds):
+        from kamae_ray.stages.elementwise import ClipTransformer
+
+        ds = self._maybe_sample(ds)
+        qs = [q for q in (self.lower_q, self.upper_q) if 0.0 < q < 1.0]
+        bounds = agg.exact_quantiles(ds, self.input_col, qs, self.mask_value)
+        if any(b is None for b in bounds):
+            raise ValueError(f"column {self.input_col!r} has no values to fit quantiles on")
+        it = iter(bounds)
+        lo = next(it) if self.lower_q > 0.0 else None
+        hi = next(it) if self.upper_q < 1.0 else None
+        if self.boundary_decimals is not None:
+            r = lambda v: None if v is None else pc.round(  # noqa: E731
+                pa.scalar(float(v)), ndigits=self.boundary_decimals,
+                round_mode="half_towards_infinity").as_py()
+            lo, hi = r(lo), r(hi)
+        return ClipTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            min_value=lo,
+            max_value=hi,
+        )

@@ -409,3 +409,61 @@ def test_l2_normalize_unit_norms(ray_session):
         L2NormalizeTransformer(input_col="e", output_col="u").transform(ds).to_arrow_refs()
     ) if b.num_rows])
     assert got.column("u").to_pylist() == u
+
+
+def test_groupby_collect_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages import groupby_collect
+
+    rng = np.random.RandomState(7)
+    n = 600
+    t = pa.table({
+        "g": pa.array([int(rng.randint(12)) for _ in range(n)], pa.int64()),
+        "o": pa.array(list(rng.permutation(n)), pa.int64()),  # unique order key
+        "v": pa.array([None if rng.rand() < 0.1 else float(x) for x in rng.standard_normal(n)], pa.float64()),
+    })
+    got = (
+        groupby_collect(ray.data.from_arrow(t).repartition(5), "g", "v", order_col="o", out_col="vs")
+        .take_all()
+    )
+    got = {r["g"]: [None if x is None or (isinstance(x, float) and np.isnan(x)) else round(x, 9) for x in r["vs"]] for r in got}
+    odf = duckdb.sql("SELECT g, list(v ORDER BY o) vs FROM t GROUP BY g").df()
+    for _, row in odf.iterrows():
+        exp = [None if x is None or (isinstance(x, float) and np.isnan(x)) else round(float(x), 9) for x in row["vs"].tolist()]
+        assert got[row["g"]] == exp, row["g"]
+
+
+def test_winsorize_estimator_clips_to_quantiles():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from kamae_ray.stages import WinsorizeEstimator
+
+    rng = np.random.RandomState(1)
+    x = np.concatenate([rng.standard_normal(1000), [100.0, -100.0]])
+    t = pa.table({"x": x})
+    m = WinsorizeEstimator(input_col="x", lower_q=0.05, upper_q=0.95,
+                           boundary_decimals=6, output_col="y").fit(t)
+    lo, hi = duckdb.sql(
+        "SELECT ROUND(quantile_cont(x, 0.05)::DOUBLE, 6), ROUND(quantile_cont(x, 0.95)::DOUBLE, 6) FROM t"
+    ).fetchone()
+    assert abs(m.min_value - lo) < 1e-9 and abs(m.max_value - hi) < 1e-9
+    y = m.transform_batch(t).column("y").to_numpy()
+    assert y.min() >= lo - 1e-9 and y.max() <= hi + 1e-9
+    inside = (x >= lo) & (x <= hi)
+    assert np.allclose(y[inside], x[inside])
+
+
+def test_clip_transformer_null_and_one_sided():
+    import pyarrow as pa
+
+    from kamae_ray.stages import ClipTransformer
+
+    t = pa.table({"x": pa.array([None, -5.0, 5.0], pa.float64())})
+    got = ClipTransformer(input_col="x", min_value=0.0, output_col="y").transform_batch(t)
+    assert got.column("y").to_pylist() == [None, 0.0, 5.0]

@@ -1102,6 +1102,51 @@ def _q_pivot(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_approx_distinct(sf_dir):
+    """HyperLogLog COUNT(DISTINCT) per group: the shuffle carries one 4 KiB
+    register vector per (block, key) — independent of distinct cardinality,
+    the 100 TB plan when exact count-distinct's exchange is too wide. The
+    oracle runs exact COUNT(DISTINCT): with 7 distinct values in 4096
+    registers the sketch is in its deterministic collision-free linear-
+    counting regime, so the hash match certifies registers, merge and
+    estimator end-to-end (accuracy at high cardinality is pinned by
+    tests/test_sketches.py error-bound tests)."""
+    from kamae_ray.stages import groupby_approx_count_distinct
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linenumber"])
+    return groupby_approx_count_distinct(ds, "l_returnflag", "l_linenumber")
+
+
+def _q_first_last(sf_dir):
+    """SQL FIRST_VALUE/LAST_VALUE over the whole partition: each event row
+    carries its user's first and last value in event order — shares one
+    entity sort across both ops (apply_sorted)."""
+    from kamae_ray.stages import WindowValueTransformer
+    from kamae_ray.stages.window import apply_sorted
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = apply_sorted(
+        ev,
+        WindowValueTransformer(input_col="value", entity_cols=["user_id"], time_col="event_id",
+                               method="first_value", output_col="first_v"),
+        WindowValueTransformer(input_col="value", entity_cols=["user_id"], time_col="event_id",
+                               method="last_value", output_col="last_v"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "first_v": batch.column("first_v"),
+                "last_v": batch.column("last_v"),
+            }
+        )
+
+    finish.__name__ = "first_last_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_collect(sf_dir):
     """SQL list(v ORDER BY o) GROUP BY k (Spark collect_list+sort_array):
     per-user event values in event order — one sort-shuffle, block kernel
@@ -1886,6 +1931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot": _q_pivot,
         "q_repetition": _q_repetition,
         "q_rank": _q_rank,
+        "q_approx_distinct": _q_approx_distinct,
+        "q_first_last": _q_first_last,
         "q_collect": _q_collect,
         "q_winsorize": _q_winsorize,
         "q_melt": _q_melt,
@@ -2303,6 +2350,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "q_approx_distinct": (
+            "SELECT l_returnflag, CAST(count(DISTINCT l_linenumber) AS BIGINT) "
+            "AS l_linenumber_approx_distinct FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q_first_last": (
+            "SELECT event_id, user_id, "
+            "first_value(value) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v, "
+            "last_value(value) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v "
+            "FROM events"
         ),
         "q_collect": (
             "SELECT user_id, list(value ORDER BY event_id) AS \"values\" "

@@ -116,6 +116,7 @@ from kamae_ray.stages.window import (  # noqa: F401
     SessionizeTransformer,
     TimeRangeRollingTransformer,
     WindowRankTransformer,
+    WindowValueTransformer,
     asof_join,
     broadcast_asof_join,
 )
@@ -143,3 +144,7 @@ from kamae_ray.stages.aggregate import (  # noqa: F401
     intersect_distinct,
 )
 from kamae_ray.stages.reshape import explode, melt, pivot  # noqa: F401
+from kamae_ray.stages.sketches import (  # noqa: F401
+    approx_count_distinct,
+    groupby_approx_count_distinct,
+)

@@ -1,0 +1,202 @@
+"""Mergeable sketches for approximate distributed aggregation.
+
+HyperLogLog (Flajolet et al. 2007, the public HLL formulation with linear
+counting for the small range) — COUNT(DISTINCT) at 100 TB without carrying
+distinct values through a shuffle: each block reduces to a fixed 2^p-byte
+register vector per key (the partial), the exchange carries only those
+vectors, and the finalize is an elementwise register max + the standard
+estimator. Deterministic (FarmHash/splitmix64 inputs), mergeable in any
+order, relative error ~1.04/sqrt(2^p) (~1.6% at p=12).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.functions import arrays as A
+from kamae_ray.functions import segments as S
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain constant mix) — a
+    full-avalanche 64-bit hash for integer keys."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _hash_any(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 hashes, valid mask) for any column type: integers/floats mix
+    their bit patterns through splitmix64; strings go through the vectorized
+    FarmHash64; everything else casts to string first."""
+    arr = A.as_array(arr)
+    valid = np.ones(len(arr), dtype=bool)
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    t = arr.type
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_temporal(t) or pa.types.is_boolean(t):
+        v, _mask = A.to_numpy(pc.cast(pc.fill_null(arr, 0), pa.int64(), safe=False))
+        return _splitmix64(v.astype(np.int64).view(np.uint64)), valid
+    from kamae_ray.functions.farmhash import hash64_column
+
+    if not pa.types.is_string(t) and not pa.types.is_large_string(t):
+        arr = pc.cast(arr, pa.string(), safe=False)
+    h, _null = hash64_column(pc.fill_null(arr, ""))
+    return h.astype(np.uint64), valid
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (no float round-trip)."""
+    v = w.copy()
+    bl = np.zeros(len(w), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    return bl + (v > 0)
+
+
+def _hll_ranks(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash: index = top p bits, rank = leading
+    zeros of the remaining 64-p bits + 1 (capped when they are all zero)."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    with np.errstate(over="ignore"):
+        rem = h << np.uint64(p)
+    rank = np.where(rem == 0, 64 - p + 1, 64 - _bit_length_u64(rem) + 1).astype(np.int64)
+    return idx, rank
+
+
+def _regs_from_block(gids: np.ndarray, idx: np.ndarray, rank: np.ndarray,
+                     n_groups: int, m: int) -> np.ndarray:
+    """(n_groups, m) uint8 register matrix: max rank per (group, register),
+    via one argsort + reduceat (no ufunc.at)."""
+    regs = np.zeros((n_groups, m), dtype=np.uint8)
+    if len(idx) == 0:
+        return regs
+    combined = gids * m + idx
+    order = np.argsort(combined, kind="stable")
+    cs = combined[order]
+    starts, _l = S.segments(cs)
+    mx = np.maximum.reduceat(rank[order], starts)
+    slot = cs[starts]
+    regs.reshape(-1)[slot] = np.minimum(mx, 255).astype(np.uint8)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> np.ndarray:
+    """Standard HLL estimator with linear-counting small-range correction.
+    regs: (n, m) uint8 -> float64 estimates."""
+    n, m = regs.shape
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    inv = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+    est = alpha * m * m / inv
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.where(zeros == 0, 1, zeros))
+    return np.where(small, lin, est)
+
+
+def groupby_approx_count_distinct(ds, keys, col: str, p: int = 12,
+                                  out_col: str | None = None):
+    """Approximate ``COUNT(DISTINCT col) GROUP BY keys`` via mergeable
+    HyperLogLog registers (nulls not counted, SQL semantics). The shuffle
+    carries one 2^p-byte register vector per (block, key) — independent of
+    the number of distinct values, the property that makes this the
+    100 TB-safe plan when exact ``groupby_count_distinct``'s one-row-per-
+    distinct-value exchange is too wide. Deterministic; ~1.04/sqrt(2^p)
+    relative error (p=12 -> ~1.6%)."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out_col = out_col or f"{col}_approx_distinct"
+    m = 1 << p
+    _REG = "__kr_hll"
+
+    def partial(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            out = {k: block.column(k) for k in keys}
+            out[_REG] = pa.array([], pa.list_(pa.uint8(), m))
+            return pa.table(out)
+        gids = S.group_ids(block, keys)
+        order = np.argsort(gids, kind="stable")
+        starts, _l = S.segments(gids[order])
+        firsts = order[starts]
+        dense = np.empty(n, dtype=np.int64)
+        dense[order] = np.repeat(np.arange(len(starts)), _l)
+        h, valid = _hash_any(block.column(col))
+        idx, rank = _hll_ranks(h[valid], p)
+        regs = _regs_from_block(dense[valid], idx, rank, len(starts), m)
+        out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in keys}
+        out[_REG] = pa.FixedSizeListArray.from_arrays(pa.array(regs.reshape(-1)), m)
+        return pa.table(out)
+
+    partial.__name__ = "hll_partial"
+
+    def finalize(block: pa.Table) -> pa.Table:
+        nrows = block.num_rows
+        if nrows == 0:
+            out = {k: block.column(k) for k in keys}
+            out[out_col] = pa.array([], pa.int64())
+            return pa.table(out)
+        gids = S.group_ids(block, keys)
+        order = np.argsort(gids, kind="stable")
+        starts, _l = S.segments(gids[order])
+        firsts = order[starts]
+        flat = A.as_array(block.column(_REG)).flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(nrows, m)[order]
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        est = np.rint(_hll_estimate(merged)).astype(np.int64)
+        out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in keys}
+        out[out_col] = pa.array(est)
+        return pa.table(out)
+
+    finalize.__name__ = "hll_finalize"
+    if isinstance(ds, pa.Table):
+        return finalize(partial(ds))
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(keys + [col])))
+    except Exception:
+        pass
+    parts = proj.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(parts, keys, finalize, "hll_finalize")
+
+
+def approx_count_distinct(ds, col: str, p: int = 12) -> int:
+    """Dataset-global approximate COUNT(DISTINCT col): per-block HLL
+    registers merged on the driver (one 2^p-byte vector per block — O(blocks)
+    driver state, never the values)."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+
+    def block_regs(block: pa.Table) -> pa.Table:
+        h, valid = _hash_any(block.column(col))
+        idx, rank = _hll_ranks(h[valid], p)
+        regs = _regs_from_block(np.zeros(int(valid.sum()), np.int64), idx, rank, 1, m)
+        return pa.table({"regs": pa.FixedSizeListArray.from_arrays(pa.array(regs.reshape(-1)), m)})
+
+    block_regs.__name__ = "hll_block_regs"
+    if isinstance(ds, pa.Table):
+        mat = A.as_array(block_regs(ds).column("regs")).flatten().to_numpy(zero_copy_only=False).reshape(1, m)
+    else:
+        proj = ds
+        try:
+            proj = ds.select_columns([col])
+        except Exception:
+            pass
+        parts = proj.map_batches(block_regs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        rows = parts.take_all()
+        if not rows:
+            return 0
+        mat = np.stack([np.asarray(r["regs"], dtype=np.uint8) for r in rows])
+    merged = mat.max(axis=0, keepdims=True)
+    return int(np.rint(_hll_estimate(merged))[0])

@@ -575,6 +575,27 @@ class WindowRankTransformer(KeyedWindowTransformer):
             return np.where(ln > 1, (rank - 1) / np.where(ln == 1, 1, ln - 1), 0.0)
 
 
+class WindowValueTransformer(KeyedWindowTransformer):
+    """SQL FIRST_VALUE / LAST_VALUE over the WHOLE partition
+    (``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING``) in time
+    order: every row of an entity gets the entity's first (or last) value —
+    e.g. first-touch attribution, final-state labels. NaN/null values are
+    REAL values here (SQL: FIRST_VALUE does not skip nulls); ties on the
+    order key follow the stable lexsort (use a unique key for determinism,
+    same caveat as SQL)."""
+
+    def __init__(self, *args, method: str = "first_value", **kwargs):
+        super().__init__(*args, **kwargs)
+        if method not in ("first_value", "last_value"):
+            raise ValueError("method must be first_value|last_value")
+        self.method = method
+
+    def _seg_kernel(self, vals, t, starts, lens, srep):
+        if self.method == "first_value":
+            return vals[srep]
+        return vals[srep + np.repeat(lens, lens) - 1]
+
+
 _CUM_STATS = ("sum", "count", "mean", "min", "max")
 
 

@@ -1,0 +1,93 @@
+"""HyperLogLog approx-distinct: error bounds at high cardinality, exactness
+in the linear-counting regime, determinism, merge-order invariance, and the
+Dataset path vs exact COUNT(DISTINCT)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.stages.sketches import (
+    _hll_estimate,
+    approx_count_distinct,
+    groupby_approx_count_distinct,
+)
+
+
+@pytest.mark.parametrize("true_n", [100, 5_000, 100_000])
+def test_error_bound_table_path(true_n):
+    rng = np.random.RandomState(true_n)
+    vals = rng.randint(0, 1 << 62, true_n)
+    t = pa.table({"g": np.zeros(true_n, np.int64), "v": vals})
+    exact = len(np.unique(vals))
+    est = groupby_approx_count_distinct(t, "g", "v").column("v_approx_distinct")[0].as_py()
+    # sigma = 1.04/sqrt(4096) ~ 1.6%; allow 5 sigma
+    assert abs(est - exact) / exact < 0.081, (est, exact)
+    assert approx_count_distinct(t, "v") == est  # same registers, same estimate
+
+
+def test_small_range_exact_and_deterministic():
+    t = pa.table({"g": ["a"] * 6 + ["b"] * 4,
+                  "v": ["x", "y", "x", None, "z", "x", "q", "q", None, "r"]})
+    out1 = groupby_approx_count_distinct(t, "g", "v").to_pylist()
+    out2 = groupby_approx_count_distinct(t, "g", "v").to_pylist()
+    assert out1 == out2
+    got = {r["g"]: r["v_approx_distinct"] for r in out1}
+    assert got == {"a": 3, "b": 2}  # nulls not counted, SQL semantics
+
+
+def test_merge_order_invariance():
+    """Register max is commutative: splitting the data into blocks in any
+    order gives the same merged estimate."""
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 10_000, 30_000)
+    t = pa.table({"g": np.zeros(len(vals), np.int64), "v": vals})
+    whole = groupby_approx_count_distinct(t, "g", "v").column("v_approx_distinct")[0].as_py()
+    from kamae_ray.stages.sketches import _hash_any, _hll_ranks, _regs_from_block
+
+    h, valid = _hash_any(t.column("v"))
+    idx, rank = _hll_ranks(h[valid], 12)
+    parts = []
+    for sl in (slice(0, 7000), slice(7000, 20_000), slice(20_000, None)):
+        parts.append(_regs_from_block(np.zeros(len(idx[sl]), np.int64), idx[sl], rank[sl], 1, 4096))
+    merged = np.maximum.reduce([p[0] for p in parts])[None, :]
+    assert int(np.rint(_hll_estimate(merged))[0]) == whole
+
+
+def test_dataset_path_vs_exact(ray_session):
+    import ray
+
+    rng = np.random.RandomState(11)
+    n = 40_000
+    t = pa.table({
+        "g": pa.array([int(rng.randint(5)) for _ in range(n)], pa.int64()),
+        "v": pa.array([int(x) for x in rng.randint(0, 3000, n)], pa.int64()),
+    })
+    got = {
+        r["g"]: r["v_approx_distinct"]
+        for r in groupby_approx_count_distinct(
+            ray.data.from_arrow(t).repartition(6), "g", "v"
+        ).take_all()
+    }
+    import duckdb
+
+    exact = dict(duckdb.sql("SELECT g, count(DISTINCT v) FROM t GROUP BY g").fetchall())
+    for g, e in exact.items():
+        assert abs(got[g] - e) / e < 0.081, (g, got[g], e)
+    # Dataset and Table paths agree exactly (same deterministic registers)
+    table_got = {
+        r["g"]: r["v_approx_distinct"]
+        for r in groupby_approx_count_distinct(t, "g", "v").to_pylist()
+    }
+    assert got == table_got
+
+
+def test_global_approx_dataset(ray_session):
+    import ray
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 8000, 50_000)
+    t = pa.table({"v": vals})
+    exact = len(np.unique(vals))
+    est = approx_count_distinct(ray.data.from_arrow(t).repartition(5), "v")
+    assert abs(est - exact) / exact < 0.081
+    assert est == approx_count_distinct(t, "v")

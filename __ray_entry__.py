@@ -1102,6 +1102,45 @@ def _q_pivot(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_ngrams(sf_dir):
+    """Word bigram lists per document (NGramTransformer): one split + one
+    vectorized join over shifted takes per block, no shuffle."""
+    from kamae_ray.stages import NGramTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = NGramTransformer(input_col="text", n=2, output_col="bigrams").transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"), "bigrams": batch.column("bigrams")})
+
+    finish.__name__ = "ngrams_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_robust_scale(sf_dir):
+    """Median/IQR robust scaling: quantile fit in one streaming pass, the
+    transform is the stock StandardScaleTransformer (mean=median, std=IQR)."""
+    from kamae_ray.stages import RobustScaleEstimator
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    model = RobustScaleEstimator(
+        input_col="l_extendedprice", boundary_decimals=6, output_col="price_r"
+    ).fit(ds)
+    out = model.transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "price_r": pc.round(batch.column("price_r"), ndigits=_R, round_mode="half_towards_infinity"),
+            }
+        )
+
+    finish.__name__ = "robust_scale_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_approx_distinct(sf_dir):
     """HyperLogLog COUNT(DISTINCT) per group: the shuffle carries one 4 KiB
     register vector per (block, key) — independent of distinct cardinality,
@@ -1931,6 +1970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot": _q_pivot,
         "q_repetition": _q_repetition,
         "q_rank": _q_rank,
+        "q_ngrams": _q_ngrams,
+        "q_robust_scale": _q_robust_scale,
         "q_approx_distinct": _q_approx_distinct,
         "q_first_last": _q_first_last,
         "q_collect": _q_collect,
@@ -2350,6 +2391,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "q_ngrams": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '\\s+'), "
+            "x -> length(x) > 0) ws FROM documents) "
+            "SELECT doc_id, coalesce(list_transform(range(1, len(ws)), "
+            "i -> ws[i] || ' ' || ws[i+1]), []) AS bigrams FROM w"
+        ),
+        "q_robust_scale": (
+            "WITH b AS (SELECT ROUND(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 6) med, "
+            "ROUND(quantile_cont(l_extendedprice, 0.75)::DOUBLE, 6) "
+            "- ROUND(quantile_cont(l_extendedprice, 0.25)::DOUBLE, 6) iqr FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND((l_extendedprice - med) / iqr, 6) AS price_r FROM lineitem, b"
         ),
         "q_approx_distinct": (
             "SELECT l_returnflag, CAST(count(DISTINCT l_linenumber) AS BIGINT) "

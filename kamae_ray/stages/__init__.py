@@ -83,6 +83,7 @@ from kamae_ray.stages.scalers import (  # noqa: F401
     MinMaxScaleEstimator,
     MinMaxScaleTransformer,
     QuantileBucketizeEstimator,
+    RobustScaleEstimator,
     SingleFeatureArrayStandardScaleEstimator,
     StandardScaleEstimator,
     StandardScaleTransformer,
@@ -124,6 +125,7 @@ from kamae_ray.stages.lambda_fn import LambdaFunctionTransformer  # noqa: F401
 from kamae_ray.stages.text import (  # noqa: F401
     FingerprintTransformer,
     LanguageIdTransformer,
+    NGramTransformer,
     QualityScoreTransformer,
     RepetitionSignalsTransformer,
     TokenCountTransformer,

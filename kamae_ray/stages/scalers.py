@@ -458,3 +458,48 @@ class WinsorizeEstimator(Estimator):
             min_value=lo,
             max_value=hi,
         )
+
+
+class RobustScaleEstimator(Estimator):
+    """Median/IQR scaling ((x - median) / (q75 - q25)) — the outlier-robust
+    cousin of StandardScale (sklearn RobustScaler semantics; the reference
+    leaves robust scaling to upstream SQL). One streaming exact-quantile
+    pass fits all three quantiles; emits a plain StandardScaleTransformer
+    (mean=median, stddev=IQR; IQR==0 -> multiply by 0, the house zero-scale
+    policy), so serving/persistence reuse the existing op unchanged.
+
+    ``boundary_decimals`` rounds each fitted quantile (half-away) before the
+    IQR subtraction so an external system can reproduce the parameters."""
+
+    def __init__(self, *args, lower_q: float = 0.25, upper_q: float = 0.75,
+                 mask_value: float | None = None,
+                 boundary_decimals: int | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if not 0.0 < lower_q < upper_q < 1.0:
+            raise ValueError("need 0 < lower_q < upper_q < 1")
+        self.lower_q = float(lower_q)
+        self.upper_q = float(upper_q)
+        self.mask_value = mask_value
+        self.boundary_decimals = boundary_decimals
+
+    def fit(self, ds):
+        ds = self._maybe_sample(ds)
+        qs = [self.lower_q, 0.5, self.upper_q]
+        lo, med, hi = agg.exact_quantiles(ds, self.input_col, qs, self.mask_value)
+        if med is None:
+            raise ValueError(f"column {self.input_col!r} has no values to fit quantiles on")
+        if self.boundary_decimals is not None:
+            r = lambda v: pc.round(  # noqa: E731
+                pa.scalar(float(v)), ndigits=self.boundary_decimals,
+                round_mode="half_towards_infinity").as_py()
+            lo, med, hi = r(lo), r(med), r(hi)
+        return StandardScaleTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            mean=[med],
+            stddev=[hi - lo],
+            mask_value=self.mask_value,
+        )

@@ -378,3 +378,56 @@ class RepetitionSignalsTransformer(Transformer):
             f"{base}_dup_line_char_frac",
             f"{base}_top_bigram_char_frac",
         ]
+
+
+class NGramTransformer(Transformer):
+    """Word n-grams: whitespace-split ``input_col`` and emit the list of
+    ``n``-word shingles joined by ``separator`` (list<string>, length
+    ``max(0, n_words - n + 1)``). The text twin of the hashed shingles the
+    dedup pipeline uses internally — here the grams themselves are the
+    feature (count vectorizers, collocation stats).
+
+    Vectorized: one whitespace split per block, gram strings built with a
+    single ``binary_join_element_wise`` over ``n`` shifted takes of the
+    flattened word array — no per-row Python."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, n: int = 2, separator: str = " ", **kwargs):
+        super().__init__(*args, **kwargs)
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        self.n = int(n)
+        self.separator = separator
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        n_rows = len(flat)
+        split = pc.split_pattern_regex(pc.fill_null(flat, ""), pattern=r"\s+")
+        wl, words = A.unwrap(split)
+        offsets = wl[0][0]
+        # drop empty-string artifacts of the whitespace split (leading /
+        # trailing / all-whitespace docs)
+        nonempty = pc.not_equal(words, "")
+        keep = nonempty.to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        row_counts = csum[offsets[1:]] - csum[offsets[:-1]]
+        words = words.filter(nonempty)
+        starts = np.concatenate([[0], np.cumsum(row_counts)[:-1]])
+        k = self.n
+        gram_cnt = np.maximum(row_counts - k + 1, 0)
+        total = int(gram_cnt.sum())
+        gstart = np.repeat(starts, gram_cnt) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(gram_cnt)[:-1]]), gram_cnt)
+        )
+        if total:
+            parts = [words.take(pa.array(gstart + j)) for j in range(k)]
+            grams = parts[0] if k == 1 else pc.binary_join_element_wise(*parts, self.separator)
+        else:
+            grams = pa.array([], pa.string())
+        goff = pa.array(np.concatenate([[0], np.cumsum(gram_cnt)]).astype(np.int32))
+        lst = pa.ListArray.from_arrays(goff, grams)
+        res = A.rewrap(levels, lst) if levels else lst
+        return _append_or_replace(batch, self.output_col, res)

@@ -661,3 +661,33 @@ def test_repetition_signals_vs_python_reference():
             out.column("rep_top_bigram_char_frac")[i].as_py(),
         )
         assert np.allclose(got, exp, atol=1e-12), (i, txt, got, exp)
+
+
+def test_ngram_transformer_edge_cases():
+    from kamae_ray.stages.text import NGramTransformer
+
+    t = pa.table({"text": pa.array(["a b c", " x  y ", "solo", "", None], pa.string())})
+    out = NGramTransformer(input_col="text", n=2, output_col="g").transform_batch(t)
+    assert out.column("g").to_pylist() == [["a b", "b c"], ["x y"], [], [], []]
+    out3 = NGramTransformer(input_col="text", n=3, output_col="g").transform_batch(t)
+    assert out3.column("g").to_pylist() == [["a b c"], [], [], [], []]
+    out1 = NGramTransformer(input_col="text", n=1, output_col="g").transform_batch(t)
+    assert out1.column("g").to_pylist() == [["a", "b", "c"], ["x", "y"], ["solo"], [], []]
+
+
+def test_robust_scale_estimator_matches_sklearn_formula():
+    import duckdb
+
+    from kamae_ray.stages import RobustScaleEstimator
+
+    rng = np.random.RandomState(5)
+    x = np.concatenate([rng.standard_normal(500), [50.0]])  # one outlier
+    t = pa.table({"x": x})
+    m = RobustScaleEstimator(input_col="x", output_col="y").fit(t)
+    med, q1, q3 = duckdb.sql(
+        "SELECT quantile_cont(x,0.5), quantile_cont(x,0.25), quantile_cont(x,0.75) FROM t"
+    ).fetchone()
+    assert abs(m.mean[0] - med) < 1e-9
+    assert abs(m.stddev[0] - (q3 - q1)) < 1e-9
+    y = m.transform_batch(t).column("y").to_numpy()
+    assert np.allclose(y, (x - med) / (q3 - q1), atol=1e-9)

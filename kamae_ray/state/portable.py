@@ -152,6 +152,10 @@ def _spec_of_inner(stage, t, E, I, Sc, St, ref):
         return {"op": "abs", "input": stage.input_col, "output": stage.output_col}
     if t is E.ExpTransformer:
         return {"op": "exp", "input": stage.input_col, "output": stage.output_col}
+    if t is E.ClipTransformer:
+        return {"op": "clip", "input": stage.input_col, "output": stage.output_col,
+                "min": None if stage.min_value is None else float(stage.min_value),
+                "max": None if stage.max_value is None else float(stage.max_value)}
     if t is E.RoundTransformer:
         return {"op": "round", "input": stage.input_col, "output": stage.output_col,
                 "mode": {"round": "half_away"}.get(stage.round_type, stage.round_type)}
@@ -356,7 +360,7 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
 
     _NUMERIC_KINDS = ("log", "abs", "impute", "exp", "round", "round_to_decimal",
                       "bucketize", "standard_scale", "conditional_standard_scale",
-                      "min_max_scale")
+                      "min_max_scale", "clip")
 
     for op in spec["ops"]:
         kind = op["op"]
@@ -509,6 +513,16 @@ def _numeric_kernel(kind, op, arrays, v, nulls, pos):
     if kind == "round_to_decimal":
         return pc.round(pa.array(v), ndigits=op["decimals"],
                         round_mode="half_towards_infinity").to_numpy(zero_copy_only=False), pa.float64()
+    if kind == "clip":
+        # arrow kernels, not np.clip: arrow's element-wise max/min prefer a
+        # VALID value over NaN (engine parity); nulls are re-masked by caller
+        x = pa.array(v)
+        opts = pc.ElementWiseAggregateOptions(skip_nulls=False)
+        if op["min"] is not None:
+            x = pc.max_element_wise(x, pa.scalar(float(op["min"])), options=opts)
+        if op["max"] is not None:
+            x = pc.min_element_wise(x, pa.scalar(float(op["max"])), options=opts)
+        return x.to_numpy(zero_copy_only=False), pa.float64()
     if kind == "bucketize":
         idx = np.searchsorted(np.asarray(op["splits"], dtype=np.float64), v, side="right") + 1
         if op["mask_value"] is not None:
@@ -611,6 +625,7 @@ PORTABLE_CLASSES = frozenset({
     "RoundToDecimalTransformer",
     "BucketizeTransformer",
     "BinTransformer",
+    "ClipTransformer",
     "StringMapTransformer",
     "ImputeTransformer",
     "StandardScaleTransformer",

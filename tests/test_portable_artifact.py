@@ -395,3 +395,37 @@ def test_portable_pca_and_l2_normalize(tmp_path):
         assert len(ge) == len(ee)
         for a, b in zip(ge, ee):
             np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_portable_winsorize_and_robust_scale_fit(tmp_path):
+    """Fitted Winsorize (-> clip op) and RobustScale (-> standard_scale op)
+    export portably and reproduce engine output with numpy+pyarrow only,
+    incl. null passthrough and NaN-vs-valid arrow clip semantics."""
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.state.portable import apply_portable
+    from kamae_ray.stages import RobustScaleEstimator, WinsorizeEstimator
+
+    rng = np.random.RandomState(4)
+    vals = [None, float("nan")] + [float(v) for v in rng.lognormal(1.0, 1.5, 2000)]
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    model = Pipeline([
+        WinsorizeEstimator(input_col="x", lower_q=0.05, upper_q=0.95, output_col="w"),
+        RobustScaleEstimator(input_col="x", output_col="r"),
+    ]).fit(t)
+    art = tmp_path / "wr"
+    model.export_portable(str(art))
+    spec = json.load(open(str(art) + "/spec.json"))
+    kinds = [op["op"] for op in spec["ops"]]
+    assert kinds == ["clip", "standard_scale"]
+    got = apply_portable(str(art), t)
+    expect = model.transform(t)
+    for c in ("w", "r"):
+        a, b = got.column(c).to_pylist(), expect.column(c).to_pylist()
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                assert x is None and y is None
+            elif np.isnan(x) or np.isnan(y):
+                assert np.isnan(x) and np.isnan(y)
+            else:
+                assert abs(x - y) < 1e-12

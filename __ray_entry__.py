@@ -1244,7 +1244,7 @@ def _q_except(sf_dir):
         return pa.table({"c_nationkey": batch.filter(pc.greater(batch.column("c_acctbal"), 9000.0)).column("c_nationkey")})
 
     def fs(batch: pa.Table) -> pa.Table:
-        return pa.table({"s_nationkey": batch.filter(pc.greater(batch.column("s_acctbal"), 9000.0)).column("s_nationkey")})
+        return pa.table({"s_nationkey": batch.filter(pc.greater(batch.column("s_acctbal"), 9900.0)).column("s_nationkey")})
 
     fc.__name__, fs.__name__ = "rich_customer_nations", "rich_supplier_nations"
     left = cust.map_batches(fc, batch_format="pyarrow", zero_copy_batch=True)
@@ -1263,7 +1263,7 @@ def _q_intersect(sf_dir):
         return pa.table({"c_nationkey": batch.filter(pc.greater(batch.column("c_acctbal"), 9000.0)).column("c_nationkey")})
 
     def fs(batch: pa.Table) -> pa.Table:
-        return pa.table({"s_nationkey": batch.filter(pc.greater(batch.column("s_acctbal"), 9000.0)).column("s_nationkey")})
+        return pa.table({"s_nationkey": batch.filter(pc.greater(batch.column("s_acctbal"), 9900.0)).column("s_nationkey")})
 
     fc.__name__, fs.__name__ = "rich_customer_nations", "rich_supplier_nations"
     left = cust.map_batches(fc, batch_format="pyarrow", zero_copy_batch=True)
@@ -2434,11 +2434,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_except": (
             "SELECT c_nationkey FROM customer WHERE c_acctbal > 9000 "
-            "EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000"
+            "EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9900"
         ),
         "q_intersect": (
             "SELECT c_nationkey FROM customer WHERE c_acctbal > 9000 "
-            "INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000"
+            "INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9900"
         ),
         "q_rank": (
             "SELECT event_id, user_id, "

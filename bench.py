@@ -187,6 +187,13 @@ _BENCH_QUERIES = [
     "q_topk",  # partial top-k per group before the sort-shuffle
     "q_pack",  # distributed prefix-sum sequence packing
     "q_quantile_bucket",  # streaming exact-quantile fit + bucketize
+    "q_semi",  # EXISTS filter through the sort-shuffle plan (deduped right)
+    "q_explode",  # UNNEST fan-out, stateless offsets kernel
+    "q_pivot",  # wide conditional agg over the partial-agg plan
+    "q_rank",  # five ranking window fns sharing one entity sort
+    "q_repetition",  # Gopher repetition signals, dictionary-amortized
+    "q_approx_distinct",  # HyperLogLog registers through the shuffle
+    "q_collect",  # list agg ORDER BY (ordered segment slicing)
 ]
 
 

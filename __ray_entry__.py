@@ -1102,6 +1102,50 @@ def _q_pivot(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_range_join(sf_dir):
+    """Interval-containment (range) join: every event within one hour after
+    a purchase by the same user — one entity sort-shuffle co-locates points
+    and intervals, candidate windows via two searchsorteds per entity, pair
+    output streamed in bounded chunks."""
+    from kamae_ray.stages import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    pur = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def mk_intervals(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("event_type"), "purchase")
+        b = batch.filter(m)
+        start = b.column("ts")
+        end = pc.add(start, pa.scalar(3_600_000_000, pa.duration("us")))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "win_start": start,
+                "win_end": end,
+                "purchase_id": b.column("event_id"),
+            }
+        )
+
+    mk_intervals.__name__ = "purchase_windows"
+    ivs = pur.map_batches(mk_intervals, batch_format="pyarrow", zero_copy_batch=True)
+    out = range_join(
+        ev, ivs, by=["user_id"], left_on="ts",
+        right_start="win_start", right_end="win_end", how="inner",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "purchase_id": batch.column("purchase_id"),
+            }
+        )
+
+    finish.__name__ = "range_join_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_ngrams(sf_dir):
     """Word bigram lists per document (NGramTransformer): one split + one
     vectorized join over shifted takes per block, no shuffle."""
@@ -1970,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot": _q_pivot,
         "q_repetition": _q_repetition,
         "q_rank": _q_rank,
+        "q_range_join": _q_range_join,
         "q_ngrams": _q_ngrams,
         "q_robust_scale": _q_robust_scale,
         "q_approx_distinct": _q_approx_distinct,
@@ -2391,6 +2436,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "q_range_join": (
+            "SELECT e.event_id, e.user_id, p.event_id AS purchase_id "
+            "FROM events e JOIN events p ON e.user_id = p.user_id "
+            "AND p.event_type = 'purchase' "
+            "AND e.ts BETWEEN p.ts AND p.ts + INTERVAL 1 HOUR"
         ),
         "q_ngrams": (
             "WITH w AS (SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '\\s+'), "

@@ -884,3 +884,192 @@ class TimeRangeRollingTransformer(KeyedWindowTransformer):
         if self.min_periods > 1:
             out = np.where(c >= self.min_periods, out, np.nan)
         return out
+
+
+_RSTART = "__kr_rs"
+_REND = "__kr_re"
+
+
+def range_join(
+    left,
+    right,
+    by: Sequence[str],
+    left_on: str,
+    right_start: str,
+    right_end: str,
+    right_cols: Sequence[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+    max_chunk_rows: int = 10_000_000,
+):
+    """Interval-containment (range) join: a left row at time t matches EVERY
+    right interval of the same entity with ``start <= t <= end`` (SQL
+    ``p JOIN i ON p.key = i.key AND p.t BETWEEN i.s AND i.e``). ``how`` is
+    ``'inner'`` (unmatched points dropped) or ``'left'`` (kept with null
+    right columns). Duplicate/overlapping intervals each produce a row.
+
+    Null semantics: null entity keys never match (SQL); intervals with a
+    null endpoint and points with a null time never match.
+
+    Scale plan: same ONE sort-shuffle as asof_join/shuffle_join (entity key
+    co-locates both sides; whole entities per block). Per entity the
+    candidate window for a point is intervals with
+    ``start in [t - max_span, t]`` where ``max_span`` is the entity's widest
+    interval — two searchsorteds on the start-sorted interval array, exact
+    for any input and tight when spans are bounded (sessions, validity
+    windows, promotions). Output pairs stream out of the block kernel in
+    ``max_chunk_rows`` chunks, so a pathological entity (every interval
+    covering every point) costs wall-clock, never memory."""
+    by = list(by)
+    if how not in ("inner", "left"):
+        raise ValueError("how must be inner|left")
+
+    from kamae_ray.base import dataset_schema
+
+    l_schema = dataset_schema(left) if not isinstance(left, pa.Table) else left.schema
+    r_schema = dataset_schema(right) if not isinstance(right, pa.Table) else right.schema
+    l_names = list(l_schema.names)
+    l_types = {f.name: f.type for f in l_schema}
+    r_types = {f.name: f.type for f in r_schema}
+    payload = [c for c in (right_cols or list(r_schema.names))
+               if c not in by and c not in (right_start, right_end)]
+    payload_out = [f"{c}{suffix}" if c in l_names else c for c in payload]
+    t_type = _union_time_type(
+        _union_time_type(l_types[left_on], r_types[right_start]), r_types[right_end]
+    )
+
+    def prep(batch: pa.Table, side: int) -> pa.Table:
+        n = batch.num_rows
+        if side == 0:
+            cols = {c: batch.column(c) for c in l_names}
+            for c, out_name in zip(payload, payload_out):
+                cols[out_name] = pa.nulls(n, r_types[c])
+            cols[_TIME] = pc.cast(_time_to_numeric(A.as_array(batch.column(left_on))), t_type, safe=False)
+            cols[_RSTART] = pa.nulls(n, t_type)
+            cols[_REND] = pa.nulls(n, t_type)
+        else:
+            cols = {}
+            for c in l_names:
+                if c in by:
+                    cols[c] = pc.cast(A.as_array(batch.column(c)), l_types[c], safe=False)
+                else:
+                    cols[c] = pa.nulls(n, l_types[c])
+            for c, out_name in zip(payload, payload_out):
+                cols[out_name] = batch.column(c)
+            cols[_TIME] = pa.nulls(n, t_type)
+            cols[_RSTART] = pc.cast(_time_to_numeric(A.as_array(batch.column(right_start))), t_type, safe=False)
+            cols[_REND] = pc.cast(_time_to_numeric(A.as_array(batch.column(right_end))), t_type, safe=False)
+        cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+        return pa.table(cols)
+
+    meta = [_SIDE, _TIME, _RSTART, _REND]
+
+    def merge(block: pa.Table):
+        n = block.num_rows
+        out_names = [c for c in block.column_names if c not in meta]
+        if n == 0:
+            yield block.drop_columns(meta)
+            return
+        side = block.column(_SIDE).to_numpy(zero_copy_only=False)
+        t, tmask = A.to_numpy(pc.cast(block.column(_TIME), pa.float64(), safe=False))
+        s0, smask = A.to_numpy(pc.cast(block.column(_RSTART), pa.float64(), safe=False))
+        e0, emask = A.to_numpy(pc.cast(block.column(_REND), pa.float64(), safe=False))
+        t = t.astype(np.float64, copy=True)
+        s0 = s0.astype(np.float64, copy=True)
+        e0 = e0.astype(np.float64, copy=True)
+        if tmask is not None:
+            t[tmask] = np.nan
+        if smask is not None:
+            s0[smask] = np.nan
+        if emask is not None:
+            e0[emask] = np.nan
+        # null entity keys never match
+        keynull = np.zeros(n, dtype=bool)
+        for k in by:
+            col = A.as_array(block.column(k))
+            if col.null_count:
+                keynull |= pc.is_null(col).to_numpy(zero_copy_only=False)
+        gids = S.group_ids(block, by)
+        is_pt = side == 0
+        # drop unusable rows: null-key or null-time points handled per how;
+        # intervals with any null endpoint can never match
+        pt_dead = is_pt & (keynull | np.isnan(t))
+        iv_ok = (~is_pt) & ~keynull & ~np.isnan(s0) & ~np.isnan(e0)
+        unmatched_dead = None
+        if how == "left" and pt_dead.any():
+            unmatched_dead = block.filter(pa.array(pt_dead)).drop_columns(meta)
+        pts = np.flatnonzero(is_pt & ~pt_dead)
+        ivs = np.flatnonzero(iv_ok)
+        emitted = False
+        if len(pts) and len(ivs):
+            p_order = pts[np.lexsort((t[pts], gids[pts]))]
+            i_order = ivs[np.lexsort((s0[ivs], gids[ivs]))]
+            pg, ig = gids[p_order], gids[i_order]
+            pt_t = t[p_order]
+            iv_s, iv_e = s0[i_order], e0[i_order]
+            p_starts, p_lens = S.segments(pg)
+            i_starts, i_lens = S.segments(ig)
+            # align segment lists: entities present on both sides
+            common, pi, ii = np.intersect1d(pg[p_starts], ig[i_starts], return_indices=True)
+            lo = np.zeros(len(p_order), dtype=np.int64)
+            hi = np.zeros(len(p_order), dtype=np.int64)
+            for k in range(len(common)):
+                ps, pl = p_starts[pi[k]], p_lens[pi[k]]
+                is_, il = i_starts[ii[k]], i_lens[ii[k]]
+                seg_s = iv_s[is_: is_ + il]
+                seg_e = iv_e[is_: is_ + il]
+                span = float(np.max(seg_e - seg_s))
+                q = pt_t[ps: ps + pl]
+                lo[ps: ps + pl] = is_ + np.searchsorted(seg_s, q - max(span, 0.0), side="left")
+                hi[ps: ps + pl] = is_ + np.searchsorted(seg_s, q, side="right")
+            counts = hi - lo
+            cum = np.concatenate([[0], np.cumsum(counts)])
+            total = int(cum[-1])
+            matched_any = np.zeros(len(p_order), dtype=bool)
+            for chunk_lo in range(0, max(total, 1), max_chunk_rows):
+                chunk_hi = min(chunk_lo + max_chunk_rows, total)
+                if chunk_hi <= chunk_lo:
+                    break
+                within = np.arange(chunk_lo, chunk_hi, dtype=np.int64)
+                p_of = np.searchsorted(cum, within, side="right") - 1
+                iv_of = lo[p_of] + (within - cum[p_of])
+                ok = (iv_s[iv_of] <= pt_t[p_of]) & (pt_t[p_of] <= iv_e[iv_of])
+                if not ok.any():
+                    continue
+                p_rows = p_order[p_of[ok]]
+                i_rows = i_order[iv_of[ok]]
+                matched_any[p_of[ok]] = True
+                lp = block.take(pa.array(p_rows))
+                rp = block.take(pa.array(i_rows))
+                cols = {}
+                for c in out_names:
+                    cols[c] = rp.column(c) if c in payload_out else lp.column(c)
+                yield pa.table(cols)
+                emitted = True
+            if how == "left":
+                un = p_order[~matched_any]
+                if len(un):
+                    yield block.take(pa.array(un)).drop_columns(meta)
+                    emitted = True
+        elif how == "left" and len(pts):
+            yield block.take(pa.array(pts)).drop_columns(meta)
+            emitted = True
+        if unmatched_dead is not None:
+            yield unmatched_dead.select(out_names)
+            emitted = True
+        if not emitted:
+            yield block.take(pa.array([], pa.int64())).drop_columns(meta)
+
+    merge.__name__ = "range_join_merge"
+    if isinstance(left, pa.Table) and isinstance(right, pa.Table):
+        both = pa.concat_tables([prep(left, 0), prep(right, 1)])
+        return pa.concat_tables(list(merge(both)))
+    import ray
+
+    if isinstance(left, pa.Table):
+        left = ray.data.from_arrow(left)
+    if isinstance(right, pa.Table):
+        right = ray.data.from_arrow(right)
+    lt = left.map_batches(_NamedFn(lambda b: prep(b, 0), "range_prep_left"), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(_NamedFn(lambda b: prep(b, 1), "range_prep_right"), batch_format="pyarrow", zero_copy_batch=True)
+    return sorted_block_apply(lt.union(rt), by, merge, "range_join_merge")

@@ -198,3 +198,83 @@ def test_groupby_agg_table_path_matches_duckdb(case):
         assert len(a) == len(b)
         same = np.isclose(a, b, atol=1e-9) | (np.isnan(a) & np.isnan(b))
         assert same.all(), (col, a, b)
+
+
+@st.composite
+def range_case(draw):
+    npts = draw(st.integers(0, 60))
+    nivs = draw(st.integers(0, 30))
+    n_keys = draw(st.integers(1, 4))
+    null_rate = draw(st.sampled_from([0.0, 0.2]))
+    seed = draw(st.integers(0, 10_000))
+    how = draw(st.sampled_from(["inner", "left"]))
+    chunk = draw(st.sampled_from([5, 1_000_000]))
+    return npts, nivs, n_keys, null_rate, seed, how, chunk
+
+
+@given(range_case())
+@settings(max_examples=60, deadline=None)
+def test_range_join_table_path_matches_duckdb(case):
+    """Interval containment vs SQL BETWEEN join — overlapping/duplicate
+    intervals, null keys/times/endpoints, tiny emission chunks."""
+    from kamae_ray.stages import range_join
+
+    npts, nivs, n_keys, null_rate, seed, how, chunk = case
+    rng = np.random.RandomState(seed)
+
+    def key(n):
+        return pa.array([None if rng.rand() < null_rate else int(rng.randint(n_keys)) for _ in range(n)], pa.int64())
+
+    def num(n, span=50):
+        return pa.array([None if rng.rand() < null_rate else float(rng.randint(span)) for _ in range(n)], pa.float64())
+
+    pts = pa.table({"u": key(npts), "t": num(npts), "pid": np.arange(npts)})
+    s = num(nivs)
+    widths = rng.randint(0, 20, nivs).astype(float)
+    e = pa.array([None if s[i].as_py() is None or rng.rand() < null_rate / 2
+                  else s[i].as_py() + widths[i] for i in range(nivs)], pa.float64())
+    ivs = pa.table({"u": key(nivs), "s": s, "e": e, "iid": np.arange(100, 100 + nivs)})
+    got = range_join(pts, ivs, by=["u"], left_on="t", right_start="s", right_end="e",
+                     how=how, max_chunk_rows=chunk).to_pandas()
+    jt = "JOIN" if how == "inner" else "LEFT JOIN"
+    oracle = duckdb.sql(
+        f"SELECT p.pid, i.iid FROM pts p {jt} ivs i "
+        f"ON p.u = i.u AND p.t BETWEEN i.s AND i.e"
+    ).df()
+    cols = ["pid", "iid"]
+    g = got[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    o = oracle[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
+def test_range_join_dataset_path(ray_session):
+    import ray
+    from kamae_ray.stages import range_join
+
+    rng = np.random.RandomState(21)
+    npts, nivs = 500, 120
+    pts = pa.table({
+        "u": pa.array([int(rng.randint(8)) for _ in range(npts)], pa.int64()),
+        "t": pa.array(rng.uniform(0, 1000, npts)),
+        "pid": np.arange(npts),
+    })
+    s = rng.uniform(0, 1000, nivs)
+    ivs = pa.table({
+        "u": pa.array([int(rng.randint(8)) for _ in range(nivs)], pa.int64()),
+        "s": s, "e": s + rng.uniform(0, 80, nivs),
+        "iid": np.arange(nivs),
+    })
+    got = range_join(
+        ray.data.from_arrow(pts).repartition(5),
+        ray.data.from_arrow(ivs).repartition(3),
+        by=["u"], left_on="t", right_start="s", right_end="e", how="left",
+        max_chunk_rows=200,
+    ).to_pandas()
+    oracle = duckdb.sql(
+        "SELECT p.pid, i.iid FROM pts p LEFT JOIN ivs i "
+        "ON p.u = i.u AND p.t BETWEEN i.s AND i.e"
+    ).df()
+    cols = ["pid", "iid"]
+    g = got[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    o = oracle[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, o, check_dtype=False)

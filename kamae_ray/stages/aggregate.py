@@ -234,7 +234,8 @@ def groupby_count_distinct(ds, keys: str | list[str], col: str, out_col: str | N
 
 
 def global_cumsum(ds, order_col: str, val_col: str, out_col: str | None = None,
-                  bucket_width: int = 65536, exclusive: bool = True):
+                  bucket_width: int = 65536, exclusive: bool = True,
+                  levels: int = 1, super_width: int = 65536):
     """Dataset-wide ordered prefix sum — SQL
     ``SUM(val) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING)``
     (``exclusive=True`` stops at ``1 PRECEDING``; first row gets 0).
@@ -257,9 +258,20 @@ def global_cumsum(ds, order_col: str, val_col: str, out_col: str | None = None,
 
     The two passes each re-execute the upstream plan — ``materialize()`` a
     projected (order, val) intermediate first if upstream is expensive.
-    """
+
+    ``levels=2`` inserts the second bucket level for id spaces whose bucket
+    count itself breaks the driver (>~1e8 buckets at 100 TB): the bucket
+    partials stay a (materialized, spillable) Dataset; bucket sums merge and
+    prefix inside whole-superbucket blocks (one small sort on
+    ``bucket // super_width``); the driver holds ONLY the superbucket prefix
+    (O(id_range / (bucket_width * super_width)) — 1e13 ids / 2^32 ≈ 2.3k
+    entries). The per-bucket bases ride the SAME data sort as tagged side
+    rows (partition contract co-locates a bucket's base row with its data
+    rows), so no extra join."""
     out_col = out_col or f"{val_col}_cumsum"
     bw = np.int64(bucket_width)
+    if levels not in (1, 2):
+        raise ValueError("levels must be 1 or 2")
 
     def _vals(block: pa.Table):
         arr = A.as_array(block.column(val_col))
@@ -305,6 +317,139 @@ def global_cumsum(ds, order_col: str, val_col: str, out_col: str | None = None,
         })
 
     bucket_partial.__name__ = "cumsum_bucket_partial"
+    if levels == 2:
+        from kamae_ray.base import dataset_schema
+        from kamae_ray.stages.window import _NamedFn, sorted_block_apply
+
+        sw = np.int64(super_width)
+        schema = dataset_schema(ds)
+        names = list(schema.names)
+        types = {f.name: f.type for f in schema}
+        is_int_val = pa.types.is_integer(types[val_col])
+        base_t = pa.int64() if is_int_val else pa.float64()
+        _BKT, _BASE, _SD = "__kr_bucket", "__kr_base", "__kr_cside"
+
+        # (b, s) partials as a MATERIALIZED Dataset — spillable, never a
+        # driver list; one upstream execution, reused by both sub-passes
+        parts_ds = proj.map_batches(
+            bucket_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).materialize()
+
+        def sb_partial(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0 or "b" not in block.column_names:
+                return pa.table({"sb": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+            b = block.column("b").to_numpy(zero_copy_only=False)
+            s = block.column("s").to_numpy(zero_copy_only=False)
+            sb = np.floor_divide(b, sw)
+            order = np.argsort(sb, kind="stable")
+            starts, _l = S.segments(sb[order])
+            return pa.table({"sb": pa.array(sb[order][starts]),
+                             "s": pa.array(np.add.reduceat(s[order], starts))})
+
+        sb_partial.__name__ = "cumsum_super_partial"
+        sparts = ray.get(
+            parts_ds.map_batches(sb_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None).to_arrow_refs()
+        )
+        sparts = [p for p in sparts if "sb" in p.column_names]
+        if sparts:
+            st = pa.concat_tables(sparts, promote_options="permissive")
+            sb_all = st.column("sb").to_numpy(zero_copy_only=False)
+            ss_all = st.column("s").to_numpy(zero_copy_only=False)
+            order = np.argsort(sb_all, kind="stable")
+            starts, _l = S.segments(sb_all[order])
+            sbs = sb_all[order][starts]
+            ssum = np.add.reduceat(ss_all[order], starts)
+            sb_bases = np.concatenate((np.zeros(1, ssum.dtype), np.cumsum(ssum)[:-1]))
+        else:
+            sbs = np.zeros(0, np.int64)
+            sb_bases = np.zeros(0, np.int64)
+        sb_ref = ray.put((sbs, sb_bases))  # O(superbuckets) — the ONLY driver state
+
+        def add_sb(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0 or "b" not in block.column_names:
+                return pa.table({"b": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+                                 "sb": pa.array([], pa.int64())})
+            b = block.column("b").to_numpy(zero_copy_only=False)
+            return block.append_column("sb", pa.array(np.floor_divide(b, sw)))
+
+        def bucket_bases(block: pa.Table) -> pa.Table:
+            # block holds WHOLE superbuckets (sort key == sb): merge each
+            # bucket's partial sums, exclusive-prefix them within the
+            # superbucket, add the driver superbucket base
+            if block.num_rows == 0:
+                return pa.table({"b": pa.array([], pa.int64()), "base": pa.array([], base_t)})
+            b = block.column("b").to_numpy(zero_copy_only=False)
+            s = block.column("s").to_numpy(zero_copy_only=False)
+            order = np.argsort(b, kind="stable")
+            starts, lens = S.segments(b[order])
+            b_u = b[order][starts]
+            bsum = np.add.reduceat(s[order], starts)
+            sb_u = np.floor_divide(b_u, sw)
+            sstarts, slens = S.segments(sb_u)
+            cum = np.cumsum(bsum)
+            seg0 = cum[sstarts] - bsum[sstarts]
+            pre = cum - bsum - np.repeat(seg0, slens)
+            bks, bbs = ray.get(sb_ref)
+            base = pre + bbs[np.searchsorted(bks, sb_u)]
+            return pa.table({"b": pa.array(b_u), "base": pc.cast(pa.array(base), base_t, safe=False)})
+
+        bases_ds = sorted_block_apply(
+            parts_ds.map_batches(_NamedFn(add_sb, "cumsum_add_sb"), batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None),
+            ["sb"], bucket_bases, "cumsum_bucket_bases",
+        )
+
+        def prep_data(block: pa.Table) -> pa.Table:
+            n = block.num_rows
+            cols = {c: block.column(c) for c in names}
+            cols[_BKT] = pa.array(np.floor_divide(_order(block), bw)) if n else pa.array([], pa.int64())
+            cols[_BASE] = pa.nulls(n, base_t)
+            cols[_SD] = pa.array(np.zeros(n, np.int8))
+            return pa.table(cols)
+
+        def prep_base(block: pa.Table) -> pa.Table:
+            n = block.num_rows
+            cols = {c: pa.nulls(n, types[c]) for c in names}
+            cols[_BKT] = block.column("b") if n else pa.array([], pa.int64())
+            cols[_BASE] = block.column("base") if n else pa.array([], base_t)
+            cols[_SD] = pa.array(np.ones(n, np.int8))
+            return pa.table(cols)
+
+        dt = ds.map_batches(_NamedFn(prep_data, "cumsum_prep_data"), batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+        bt = bases_ds.map_batches(_NamedFn(prep_base, "cumsum_prep_base"), batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+
+        def kern2(block: pa.Table) -> pa.Table:
+            meta = [_BKT, _BASE, _SD]
+            side = block.column(_SD).to_numpy(zero_copy_only=False) if block.num_rows else np.zeros(0, np.int8)
+            data = block.filter(pa.array(side == 0)).drop_columns([_BASE, _SD])
+            if data.num_rows == 0:
+                return data.drop_columns([_BKT]).append_column(out_col, pa.array([], base_t))
+            baser = block.filter(pa.array(side == 1))
+            bb = baser.column(_BKT).to_numpy(zero_copy_only=False)
+            bv = baser.column(_BASE).to_numpy(zero_copy_only=False)
+            border = np.argsort(bb, kind="stable")
+            bb, bv = bb[border], bv[border]
+            v, is_int = _vals(data)
+            o = _order(data)
+            b = data.column(_BKT).to_numpy(zero_copy_only=False)
+            idx = np.lexsort((o, b))
+            bs, vs = b[idx], v[idx]
+            starts, lens = S.segments(bs)
+            cs = np.cumsum(vs)
+            seg0 = cs[starts] - vs[starts]
+            pre = cs - np.repeat(seg0, lens)
+            if exclusive:
+                pre = pre - vs
+            base = bv[np.searchsorted(bb, bs[starts])]
+            pre = pre + np.repeat(base, lens)
+            out = pre.astype(np.int64) if is_int else pre.astype(np.float64)
+            return data.take(pa.array(idx)).drop_columns([_BKT]).append_column(out_col, pa.array(out))
+
+        return sorted_block_apply(dt.union(bt), [_BKT], kern2, "cumsum_finalize2")
+
     parts = ray.get(
         proj.map_batches(bucket_partial, batch_format="pyarrow",
                          zero_copy_batch=True, batch_size=None).to_arrow_refs()

@@ -118,3 +118,54 @@ def test_pack_sequences_dataset_path(ray_session):
 def test_pack_sequences_rejects_bad_seq_len():
     with pytest.raises(ValueError):
         pack_sequences(_tbl(10), "rid", "v", seq_len=0)
+
+
+def test_global_cumsum_two_level_matches_single_level(ray_session):
+    """levels=2 (distributed bucket merge, driver holds only the superbucket
+    prefix) must equal levels=1 and DuckDB exactly — tiny widths force many
+    buckets AND many superbuckets per run."""
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.aggregate import global_cumsum
+
+    rng = np.random.RandomState(13)
+    n = 5_000
+    ids = rng.permutation(n * 3)[:n]  # sparse, unique
+    vals = rng.randint(-5, 50, n)
+    t = pa.table({"rid": pa.array(ids, pa.int64()), "v": pa.array(vals, pa.int64())})
+    for exclusive in (True, False):
+        oracle = duckdb.sql(
+            "SELECT rid, sum(v) OVER (ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            + ("1 PRECEDING" if exclusive else "CURRENT ROW") + ") AS c FROM t"
+        ).df().fillna(0).sort_values("rid").reset_index(drop=True)
+        one = (
+            global_cumsum(ray.data.from_arrow(t).repartition(6), "rid", "v",
+                          out_col="c", bucket_width=64, exclusive=exclusive)
+            .to_pandas().sort_values("rid").reset_index(drop=True)
+        )
+        two = (
+            global_cumsum(ray.data.from_arrow(t).repartition(6), "rid", "v",
+                          out_col="c", bucket_width=64, exclusive=exclusive,
+                          levels=2, super_width=16)
+            .to_pandas().sort_values("rid").reset_index(drop=True)
+        )
+        assert one["c"].astype(int).tolist() == oracle["c"].astype(int).tolist()
+        assert two["c"].astype(int).tolist() == oracle["c"].astype(int).tolist()
+        assert list(two.columns) == list(one.columns)
+
+
+def test_global_cumsum_two_level_float_values(ray_session):
+    import ray
+
+    from kamae_ray.stages.aggregate import global_cumsum
+
+    rng = np.random.RandomState(3)
+    n = 1200
+    t = pa.table({"rid": pa.array(list(rng.permutation(n)), pa.int64()),
+                  "v": rng.standard_normal(n)})
+    one = global_cumsum(ray.data.from_arrow(t).repartition(4), "rid", "v",
+                        bucket_width=32).to_pandas().sort_values("rid")
+    two = global_cumsum(ray.data.from_arrow(t).repartition(4), "rid", "v",
+                        bucket_width=32, levels=2, super_width=8).to_pandas().sort_values("rid")
+    assert np.allclose(one["v_cumsum"].to_numpy(), two["v_cumsum"].to_numpy(), atol=1e-9)

@@ -337,3 +337,16 @@ class Estimator(Stage):
             "inputs": self.inputs,
             "outputs": self.outputs,
         }
+
+
+def collect_tables(ds) -> list:
+    """Collect a (small) Dataset's blocks as pyarrow Tables WITHOUT the
+    hidden extra execution: ``Dataset.to_arrow_refs()`` begins with
+    ``schema(fetch_if_missing=True)``, which on any post-map/post-shuffle
+    plan EXECUTES the upstream chain once (limit-1 doesn't save an
+    all-to-all) before the real run. Materializing first pays exactly one
+    execution; the refs then come straight off the materialized blocks."""
+    import ray
+
+    mat = ds.materialize()
+    return list(ray.get(mat.to_arrow_refs()))

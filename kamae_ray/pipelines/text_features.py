@@ -109,6 +109,11 @@ def tfidf_top_terms(
     if n_docs is None:
         n_docs = ds.num_rows if isinstance(ds, pa.Table) else ds.count()
     tf_long = term_frequencies(ds, id_col, text_col)
+    if not isinstance(tf_long, pa.Table):
+        # consumed TWICE (df aggregation + the idf join input): materialize
+        # once so the split+count kernel doesn't re-execute (build-note #14);
+        # spillable object-store blocks, never driver memory
+        tf_long = tf_long.materialize()
     # df(term) = number of docs containing it = count of (doc, term) rows
     df_agg = groupby_agg(tf_long, "term", {id_col: [ "count" ]})
 
@@ -119,9 +124,9 @@ def tfidf_top_terms(
     if isinstance(tf_long, pa.Table):
         joined = broadcast_join(tf_long, _rename(df_agg), on="term", how="inner")
     elif join_strategy == "broadcast":
-        import ray
+        from kamae_ray.base import collect_tables
 
-        refs = [t for t in ray.get(df_agg.to_arrow_refs()) if t.num_rows]  # drop Ray's schema-less empties
+        refs = [t for t in collect_tables(df_agg) if t.num_rows]  # drop Ray's schema-less empties
         df_tbl = pa.concat_tables(refs) if refs else pa.table(
             {"term": pa.array([], pa.string()), f"{id_col}_count": pa.array([], pa.int64())}
         )

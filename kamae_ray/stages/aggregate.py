@@ -347,9 +347,11 @@ def global_cumsum(ds, order_col: str, val_col: str, out_col: str | None = None,
                              "s": pa.array(np.add.reduceat(s[order], starts))})
 
         sb_partial.__name__ = "cumsum_super_partial"
-        sparts = ray.get(
+        from kamae_ray.base import collect_tables
+
+        sparts = collect_tables(
             parts_ds.map_batches(sb_partial, batch_format="pyarrow",
-                                 zero_copy_batch=True, batch_size=None).to_arrow_refs()
+                                 zero_copy_batch=True, batch_size=None)
         )
         sparts = [p for p in sparts if "sb" in p.column_names]
         if sparts:
@@ -450,9 +452,11 @@ def global_cumsum(ds, order_col: str, val_col: str, out_col: str | None = None,
 
         return sorted_block_apply(dt.union(bt), [_BKT], kern2, "cumsum_finalize2")
 
-    parts = ray.get(
+    from kamae_ray.base import collect_tables
+
+    parts = collect_tables(
         proj.map_batches(bucket_partial, batch_format="pyarrow",
-                         zero_copy_batch=True, batch_size=None).to_arrow_refs()
+                         zero_copy_batch=True, batch_size=None)
     )
     parts = [p for p in parts if "b" in p.column_names]  # Ray may emit schema-less empties
     if parts:

@@ -1102,6 +1102,29 @@ def _q_pivot(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_profile(sf_dir):
+    """Distributed column profiling (describe()): one streaming pass, one
+    partial row per (block, column) collected to the driver — O(blocks)
+    state. Integer/string columns only here so min/max stringification and
+    moment rounding are engine-stable (floats are profiled too, but their
+    repr formatting is engine-specific)."""
+    from kamae_ray.stages import profile_columns
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_linenumber", "l_returnflag"])
+    t = profile_columns(ds, ["l_suppkey", "l_linenumber", "l_returnflag"])
+    return pa.table(
+        {
+            "column": t.column("column"),
+            "n_rows": t.column("n_rows"),
+            "n_nulls": t.column("n_nulls"),
+            "min": t.column("min"),
+            "max": t.column("max"),
+            "mean": pc.round(t.column("mean"), ndigits=_R, round_mode="half_towards_infinity"),
+            "std": pc.round(t.column("std"), ndigits=_R, round_mode="half_towards_infinity"),
+        }
+    )
+
+
 def _q_range_join(sf_dir):
     """Interval-containment (range) join: every event within one hour after
     a purchase by the same user — one entity sort-shuffle co-locates points
@@ -2014,6 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot": _q_pivot,
         "q_repetition": _q_repetition,
         "q_rank": _q_rank,
+        "q_profile": _q_profile,
         "q_range_join": _q_range_join,
         "q_ngrams": _q_ngrams,
         "q_robust_scale": _q_robust_scale,
@@ -2436,6 +2460,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "q_profile": (
+            "SELECT 'l_suppkey' AS \"column\", count(*) AS n_rows, "
+            "count(*) - count(l_suppkey) AS n_nulls, "
+            "CAST(min(l_suppkey) AS VARCHAR) AS \"min\", CAST(max(l_suppkey) AS VARCHAR) AS \"max\", "
+            "ROUND(avg(l_suppkey), 6) AS mean, ROUND(stddev_pop(l_suppkey), 6) AS std FROM lineitem "
+            "UNION ALL SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber), "
+            "CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR), "
+            "ROUND(avg(l_linenumber), 6), ROUND(stddev_pop(l_linenumber), 6) FROM lineitem "
+            "UNION ALL SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag), "
+            "min(l_returnflag), max(l_returnflag), NULL::DOUBLE, NULL::DOUBLE FROM lineitem"
         ),
         "q_range_join": (
             "SELECT e.event_id, e.user_id, p.event_id AS purchase_id "

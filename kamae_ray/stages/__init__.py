@@ -151,3 +151,4 @@ from kamae_ray.stages.sketches import (  # noqa: F401
     approx_count_distinct,
     groupby_approx_count_distinct,
 )
+from kamae_ray.stages.profile import profile_columns  # noqa: F401

@@ -1,0 +1,190 @@
+"""Distributed column profiling — the engine's ``describe()``: one
+streaming pass computes per-column row/null counts, numeric moments
+(min/max/mean/std), string min/max, and (optionally) a HyperLogLog
+approximate distinct count, for any subset of columns at once.
+
+Scale plan: each block reduces to ONE partial row per column (counts,
+partial moments, 2^p HLL registers); the driver merges |blocks| x |cols|
+tiny rows — never the data. The same shape at 100 TB: the collect is
+O(blocks), spillable until the final merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.functions import arrays as A
+
+
+def profile_columns(ds, cols: list[str] | None = None,
+                    approx_distinct: bool = False, p: int = 12) -> pa.Table:
+    """One row per column: ``column, n_rows, n_nulls, min, max, mean, std``
+    (min/max as strings — exact for integers/strings; floats formatted by
+    repr, use mean/std for numeric comparisons), plus ``approx_distinct``
+    when requested (deterministic HLL, ~1.6% at p=12).
+
+    Numeric moments are NaN-skipping (SQL aggregate semantics); mean/std
+    are null for non-numeric columns. ``std`` is population stddev
+    (stddev_pop), matching groupby_agg."""
+    from kamae_ray.stages.sketches import _hash_any, _hll_estimate, _hll_ranks, _regs_from_block
+
+    m = 1 << p
+
+    def partial(block: pa.Table) -> pa.Table:
+        names = cols or block.column_names
+        out = {
+            "column": [], "n": [], "nulls": [], "vmin": [], "vmax": [],
+            "nmin": [], "nmax": [], "sum": [], "sumsq": [], "cnt": [],
+        }
+        regs = []
+        for c in names:
+            arr = A.as_array(block.column(c))
+            out["column"].append(c)
+            out["n"].append(len(arr))
+            out["nulls"].append(arr.null_count)
+            t = arr.type
+            numeric = pa.types.is_integer(t) or pa.types.is_floating(t)
+            if len(arr) == arr.null_count:
+                out["vmin"].append(None)
+                out["vmax"].append(None)
+                out["nmin"].append(None)
+                out["nmax"].append(None)
+                out["sum"].append(0.0)
+                out["sumsq"].append(0.0)
+                out["cnt"].append(0)
+            else:
+                mm = pc.min_max(arr)
+                if numeric:
+                    # numeric extrema merge NUMERICALLY (lexicographic string
+                    # merge would say "10" < "9"); stringified only at the end
+                    out["vmin"].append(None)
+                    out["vmax"].append(None)
+                    out["nmin"].append(float(mm["min"].as_py()))
+                    out["nmax"].append(float(mm["max"].as_py()))
+                else:
+                    out["vmin"].append(str(mm["min"].as_py()))
+                    out["vmax"].append(str(mm["max"].as_py()))
+                    out["nmin"].append(None)
+                    out["nmax"].append(None)
+                if numeric:
+                    v, mask = A.to_numpy(pc.cast(arr, pa.float64(), safe=False))
+                    v = v.astype(np.float64, copy=True)
+                    if mask is not None:
+                        v[mask] = np.nan
+                    ok = ~np.isnan(v)
+                    vz = np.where(ok, v, 0.0)
+                    out["sum"].append(float(vz.sum()))
+                    out["sumsq"].append(float((vz * vz).sum()))
+                    out["cnt"].append(int(ok.sum()))
+                else:
+                    out["sum"].append(None)
+                    out["sumsq"].append(None)
+                    out["cnt"].append(0)
+            if approx_distinct:
+                h, valid = _hash_any(block.column(c))
+                idx, rank = _hll_ranks(h[valid], p)
+                r = _regs_from_block(np.zeros(int(valid.sum()), np.int64), idx, rank, 1, m)
+                regs.append(r.reshape(-1))
+        tbl = {
+            "column": pa.array(out["column"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "nulls": pa.array(out["nulls"], pa.int64()),
+            "vmin": pa.array(out["vmin"], pa.string()),
+            "vmax": pa.array(out["vmax"], pa.string()),
+            "nmin": pa.array(out["nmin"], pa.float64()),
+            "nmax": pa.array(out["nmax"], pa.float64()),
+            "sum": pa.array(out["sum"], pa.float64()),
+            "sumsq": pa.array(out["sumsq"], pa.float64()),
+            "cnt": pa.array(out["cnt"], pa.int64()),
+        }
+        if approx_distinct:
+            flat = np.concatenate(regs) if regs else np.zeros(0, np.uint8)
+            tbl["regs"] = pa.FixedSizeListArray.from_arrays(pa.array(flat), m)
+        return pa.table(tbl)
+
+    partial.__name__ = "profile_partial"
+    if isinstance(ds, pa.Table):
+        parts = [partial(ds)]
+    else:
+        proj = ds
+        if cols:
+            try:
+                proj = ds.select_columns(cols)
+            except Exception:
+                pass
+        from kamae_ray.base import collect_tables
+
+        parts = [t for t in collect_tables(
+            proj.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        ) if t.num_rows]
+    merged: dict[str, dict] = {}
+    order: list[str] = []
+    for t in parts:
+        rows = t.to_pylist()
+        for i, r in enumerate(rows):
+            c = r["column"]
+            if c not in merged:
+                order.append(c)
+                merged[c] = {"n": 0, "nulls": 0, "vmin": None, "vmax": None,
+                             "nmin": None, "nmax": None,
+                             "sum": 0.0, "sumsq": 0.0, "cnt": 0,
+                             "regs": np.zeros(m, np.uint8) if approx_distinct else None,
+                             "numeric": r["sum"] is not None}
+            g = merged[c]
+            g["n"] += r["n"]
+            g["nulls"] += r["nulls"]
+            if r["vmin"] is not None:
+                g["vmin"] = r["vmin"] if g["vmin"] is None else min(g["vmin"], r["vmin"])
+            if r["vmax"] is not None:
+                g["vmax"] = r["vmax"] if g["vmax"] is None else max(g["vmax"], r["vmax"])
+            if r["nmin"] is not None:
+                g["nmin"] = r["nmin"] if g["nmin"] is None else min(g["nmin"], r["nmin"])
+            if r["nmax"] is not None:
+                g["nmax"] = r["nmax"] if g["nmax"] is None else max(g["nmax"], r["nmax"])
+            if r["sum"] is not None:
+                g["numeric"] = True
+                g["sum"] += r["sum"]
+                g["sumsq"] += r["sumsq"]
+                g["cnt"] += r["cnt"]
+            if approx_distinct:
+                g["regs"] = np.maximum(g["regs"], np.asarray(r["regs"], np.uint8))
+    res = {"column": [], "n_rows": [], "n_nulls": [], "min": [], "max": [],
+           "mean": [], "std": []}
+    if approx_distinct:
+        res["approx_distinct"] = []
+    for c in order:
+        g = merged[c]
+        res["column"].append(c)
+        res["n_rows"].append(g["n"])
+        res["n_nulls"].append(g["nulls"])
+        if g["nmin"] is not None:
+            fmt = lambda x: str(int(x)) if float(x).is_integer() and abs(x) < 1e15 else str(x)  # noqa: E731
+            res["min"].append(fmt(g["nmin"]))
+            res["max"].append(fmt(g["nmax"]))
+        else:
+            res["min"].append(g["vmin"])
+            res["max"].append(g["vmax"])
+        if g["numeric"] and g["cnt"]:
+            mean = g["sum"] / g["cnt"]
+            var = max(g["sumsq"] / g["cnt"] - mean * mean, 0.0)
+            res["mean"].append(mean)
+            res["std"].append(float(np.sqrt(var)))
+        else:
+            res["mean"].append(None)
+            res["std"].append(None)
+        if approx_distinct:
+            res["approx_distinct"].append(int(np.rint(_hll_estimate(g["regs"][None, :]))[0]))
+    out = {
+        "column": pa.array(res["column"], pa.string()),
+        "n_rows": pa.array(res["n_rows"], pa.int64()),
+        "n_nulls": pa.array(res["n_nulls"], pa.int64()),
+        "min": pa.array(res["min"], pa.string()),
+        "max": pa.array(res["max"], pa.string()),
+        "mean": pa.array(res["mean"], pa.float64()),
+        "std": pa.array(res["std"], pa.float64()),
+    }
+    if approx_distinct:
+        out["approx_distinct"] = pa.array(res["approx_distinct"], pa.int64())
+    return pa.table(out)

@@ -91,3 +91,41 @@ def test_global_approx_dataset(ray_session):
     est = approx_count_distinct(ray.data.from_arrow(t).repartition(5), "v")
     assert abs(est - exact) / exact < 0.081
     assert est == approx_count_distinct(t, "v")
+
+
+def test_profile_columns_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.stages import profile_columns
+
+    rng = np.random.RandomState(17)
+    n = 3000
+    t = pa.table({
+        "i": pa.array([None if rng.rand() < 0.1 else int(rng.randint(1000)) for _ in range(n)], pa.int64()),
+        "s": pa.array([None if rng.rand() < 0.1 else f"v{rng.randint(40)}" for _ in range(n)], pa.string()),
+    })
+    got = {
+        r["column"]: r
+        for r in profile_columns(
+            ray.data.from_arrow(t).repartition(5), ["i", "s"], approx_distinct=True
+        ).to_pylist()
+    }
+    o_i = duckdb.sql(
+        "SELECT count(*) n, count(*) - count(i) AS n_null, min(i) mn, max(i) mx, "
+        "avg(i) mean, stddev_pop(i) std, count(DISTINCT i) d FROM t"
+    ).fetchone()
+    assert got["i"]["n_rows"] == o_i[0] and got["i"]["n_nulls"] == o_i[1]
+    assert got["i"]["min"] == str(o_i[2]) and got["i"]["max"] == str(o_i[3])
+    assert abs(got["i"]["mean"] - o_i[4]) < 1e-9 and abs(got["i"]["std"] - o_i[5]) < 1e-9
+    assert abs(got["i"]["approx_distinct"] - o_i[6]) / o_i[6] < 0.081
+    o_s = duckdb.sql(
+        "SELECT count(*) - count(s), min(s), max(s), count(DISTINCT s) FROM t"
+    ).fetchone()
+    assert got["s"]["n_nulls"] == o_s[0]
+    assert got["s"]["min"] == o_s[1] and got["s"]["max"] == o_s[2]
+    assert got["s"]["mean"] is None and got["s"]["std"] is None
+    assert abs(got["s"]["approx_distinct"] - o_s[3]) / o_s[3] < 0.081
+    # Table path identical
+    tp = {r["column"]: r for r in profile_columns(t, ["i", "s"], approx_distinct=True).to_pylist()}
+    assert tp == got

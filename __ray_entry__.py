@@ -1169,6 +1169,47 @@ def _q_range_join(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_range_broadcast(sf_dir):
+    """Broadcast variant of q_range_join (small interval table sorted once
+    on the driver, ray.put once, two vectorized binary searches per left
+    batch — NO shuffle/sort of the points): shares q_range_join's oracle, so
+    the driver certifies BOTH physical plans."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.stages import broadcast_range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    pur = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    pur = pur.filter(pc.equal(pur.column("event_type"), "purchase"))
+    ivs = pa.table(
+        {
+            "user_id": pur.column("user_id"),
+            "win_start": pur.column("ts"),
+            "win_end": pc.add(pur.column("ts"), pa.scalar(3_600_000_000, pa.duration("us"))),
+            "purchase_id": pur.column("event_id"),
+        }
+    )
+    out = broadcast_range_join(
+        ev, ivs, by=["user_id"], left_on="ts",
+        right_start="win_start", right_end="win_end", how="inner",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "purchase_id": batch.column("purchase_id"),
+            }
+        )
+
+    finish.__name__ = "range_broadcast_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_ngrams(sf_dir):
     """Word bigram lists per document (NGramTransformer): one split + one
     vectorized join over shifted takes per block, no shuffle."""
@@ -2039,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rank": _q_rank,
         "q_profile": _q_profile,
         "q_range_join": _q_range_join,
+        "q_range_broadcast": _q_range_broadcast,
         "q_ngrams": _q_ngrams,
         "q_robust_scale": _q_robust_scale,
         "q_approx_distinct": _q_approx_distinct,
@@ -2473,6 +2515,12 @@ def oracle_sql() -> dict[str, str]:
             "min(l_returnflag), max(l_returnflag), NULL::DOUBLE, NULL::DOUBLE FROM lineitem"
         ),
         "q_range_join": (
+            "SELECT e.event_id, e.user_id, p.event_id AS purchase_id "
+            "FROM events e JOIN events p ON e.user_id = p.user_id "
+            "AND p.event_type = 'purchase' "
+            "AND e.ts BETWEEN p.ts AND p.ts + INTERVAL 1 HOUR"
+        ),
+        "q_range_broadcast": (
             "SELECT e.event_id, e.user_id, p.event_id AS purchase_id "
             "FROM events e JOIN events p ON e.user_id = p.user_id "
             "AND p.event_type = 'purchase' "

@@ -120,6 +120,7 @@ from kamae_ray.stages.window import (  # noqa: F401
     WindowValueTransformer,
     asof_join,
     broadcast_asof_join,
+    broadcast_range_join,
     range_join,
 )
 from kamae_ray.stages.lambda_fn import LambdaFunctionTransformer  # noqa: F401

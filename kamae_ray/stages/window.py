@@ -1073,3 +1073,151 @@ def range_join(
     lt = left.map_batches(_NamedFn(lambda b: prep(b, 0), "range_prep_left"), batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(_NamedFn(lambda b: prep(b, 1), "range_prep_right"), batch_format="pyarrow", zero_copy_batch=True)
     return sorted_block_apply(lt.union(rt), by, merge, "range_join_merge")
+
+
+def broadcast_range_join(
+    left,
+    right: pa.Table,
+    by: Sequence[str],
+    left_on: str,
+    right_start: str,
+    right_end: str,
+    right_cols: Sequence[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Range (interval-containment) join with a SMALL interval table: the
+    intervals are sorted ONCE on the driver — (entity, start) order, per-
+    entity segment bounds, per-entity max span — broadcast via ``ray.put``,
+    and every left batch resolves its matches with two vectorized binary
+    searches + a pair expansion. NO shuffle and NO sort of the left side:
+    at 100 TB the points never leave their read order (the streaming
+    complement to ``range_join``, exactly as ``broadcast_asof_join`` is to
+    ``asof_join``). Semantics match ``range_join`` (start <= t <= end, SQL
+    NULL rules, 'inner'/'left')."""
+    import ray
+
+    from kamae_ray.stages.join import _combined_key
+
+    by = list(by)
+    if how not in ("inner", "left"):
+        raise ValueError("how must be inner|left")
+    from kamae_ray.base import dataset_schema
+
+    l_schema = dataset_schema(left) if not isinstance(left, pa.Table) else left.schema
+    l_names = list(l_schema.names)
+    r_types = {f.name: f.type for f in right.schema}
+    payload = [c for c in (right_cols or right.column_names)
+               if c not in by and c not in (right_start, right_end)]
+    payload_out = [f"{c}{suffix}" if c in l_names else c for c in payload]
+
+    # ---- driver-side interval prep (small by contract) ----
+    rkey = _combined_key(right, by)
+    s_arr = pc.cast(_time_to_numeric(A.as_array(right.column(right_start))), pa.float64(), safe=False)
+    e_arr = pc.cast(_time_to_numeric(A.as_array(right.column(right_end))), pa.float64(), safe=False)
+    ok = pc.and_(pc.and_(pc.is_valid(rkey), pc.is_valid(s_arr)), pc.is_valid(e_arr))
+    if len(right) and not pc.all(ok).as_py():
+        right = right.filter(ok)
+        rkey = _combined_key(right, by)
+        s_arr = pc.cast(_time_to_numeric(A.as_array(right.column(right_start))), pa.float64(), safe=False)
+        e_arr = pc.cast(_time_to_numeric(A.as_array(right.column(right_end))), pa.float64(), safe=False)
+    s_np = s_arr.to_numpy(zero_copy_only=False)
+    e_np = e_arr.to_numpy(zero_copy_only=False)
+    d = rkey.dictionary_encode() if len(right) else pa.array([], pa.string()).dictionary_encode()
+    ent = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    order = np.lexsort((s_np, ent)) if len(ent) else np.zeros(0, np.int64)
+    ent_s, s_s, e_s = ent[order], s_np[order], e_np[order]
+    pay_s = right.select(payload).take(pa.array(order))
+    n_ent = len(d.dictionary)
+    seg_start = np.searchsorted(ent_s, np.arange(n_ent), side="left")
+    seg_end = np.searchsorted(ent_s, np.arange(n_ent), side="right")
+    span = np.zeros(n_ent, np.float64)
+    if len(ent_s):
+        widths = e_s - s_s
+        starts2, lens2 = S.segments(ent_s)
+        span_vals = np.maximum.reduceat(widths, starts2)
+        span[ent_s[starts2]] = np.maximum(span_vals, 0.0)
+    state_ref = ray.put({
+        "ent_keys": d.dictionary, "s": s_s, "e": e_s, "payload": pay_s,
+        "seg_start": seg_start, "seg_end": seg_end, "span": span,
+    })
+
+    def _bsearch(times, lo0, hi0, target, pred_le):
+        """Vectorized per-point binary search in [lo0, hi0): rightmost index
+        whose value satisfies (<= target) when pred_le else (< target)."""
+        lo, hi = lo0.copy(), hi0.copy()
+        while True:
+            active = lo < hi
+            if not active.any():
+                return lo
+            mid = (lo + hi) // 2
+            mv = times[np.clip(mid, 0, max(len(times) - 1, 0))]
+            go_right = (mv <= target) if pred_le else (mv < target)
+            go_right &= active
+            lo = np.where(go_right, mid + 1, lo)
+            hi = np.where(active & ~go_right, mid, hi)
+
+    def join_batch(batch: pa.Table, st) -> pa.Table:
+        n = batch.num_rows
+        lkey = _combined_key(batch, by)
+        code = pc.index_in(lkey, value_set=st["ent_keys"])
+        if lkey.null_count:
+            code = pc.if_else(pc.is_valid(lkey), code, pa.nulls(n, code.type))
+        has_ent = pc.is_valid(code).to_numpy(zero_copy_only=False) if n else np.zeros(0, bool)
+        code_np = pc.fill_null(code, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        t = pc.cast(_time_to_numeric(A.as_array(batch.column(left_on))), pa.float64(), safe=False)
+        t_np = t.to_numpy(zero_copy_only=False).astype(np.float64, copy=True)
+        bad_t = np.isnan(t_np)
+        has_ent = has_ent & ~bad_t
+        lo0 = np.where(has_ent, st["seg_start"][code_np], 0).astype(np.int64)
+        hi0 = np.where(has_ent, st["seg_end"][code_np], 0).astype(np.int64)
+        sp = np.where(has_ent, st["span"][code_np], 0.0)
+        # candidates: intervals with start in [t - span_e, t]
+        hi_p = _bsearch(st["s"], lo0, hi0, t_np, pred_le=True)
+        lo_p = _bsearch(st["s"], lo0, hi0, t_np - sp, pred_le=False)
+        counts = np.maximum(hi_p - lo_p, 0)
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        total = int(cum[-1])
+        matched_any = np.zeros(n, bool)
+        pair_p = np.zeros(0, np.int64)
+        pair_i = np.zeros(0, np.int64)
+        if total:
+            within = np.arange(total, dtype=np.int64)
+            p_of = np.searchsorted(cum, within, side="right") - 1
+            iv_of = lo_p[p_of] + (within - cum[p_of])
+            keep = st["e"][iv_of] >= t_np[p_of]
+            pair_p, pair_i = p_of[keep], iv_of[keep]
+            matched_any[pair_p] = True
+        parts = []
+        if len(pair_p):
+            lp = batch.take(pa.array(pair_p))
+            cols = {c: lp.column(c) for c in batch.column_names}
+            for c, out_name in zip(payload, payload_out):
+                colv = A.as_array(st["payload"].column(c)).take(pa.array(pair_i)) if len(st["payload"]) else pa.nulls(len(pair_i), r_types[c])
+                cols[out_name] = colv
+            parts.append(pa.table(cols))
+        if how == "left" and not matched_any.all():
+            un = batch.filter(pa.array(~matched_any))
+            cols = {c: un.column(c) for c in batch.column_names}
+            for c, out_name in zip(payload, payload_out):
+                cols[out_name] = pa.nulls(un.num_rows, r_types[c])
+            parts.append(pa.table(cols))
+        if not parts:
+            cols = {c: batch.column(c).slice(0, 0) for c in batch.column_names}
+            for c, out_name in zip(payload, payload_out):
+                cols[out_name] = pa.nulls(0, r_types[c])
+            return pa.table(cols)
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+
+    if isinstance(left, pa.Table):
+        import ray as _ray
+
+        return join_batch(left, _ray.get(state_ref))
+
+    def brange(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        return join_batch(batch, _r.get(state_ref))
+
+    brange.__name__ = "broadcast_range_join"
+    return left.map_batches(brange, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

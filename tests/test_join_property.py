@@ -278,3 +278,39 @@ def test_range_join_dataset_path(ray_session):
     g = got[cols].sort_values(cols, na_position="last").reset_index(drop=True)
     o = oracle[cols].sort_values(cols, na_position="last").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
+def test_broadcast_range_join_matches_shuffle_path(ray_session):
+    """broadcast_range_join == range_join == DuckDB on the same randomized
+    input (Dataset path, nulls, heavy overlap)."""
+    import ray
+    from kamae_ray.stages import broadcast_range_join, range_join
+
+    rng = np.random.RandomState(33)
+    npts, nivs = 600, 100
+    pts = pa.table({
+        "u": pa.array([None if rng.rand() < 0.1 else int(rng.randint(6)) for _ in range(npts)], pa.int64()),
+        "t": pa.array([None if rng.rand() < 0.1 else float(rng.uniform(0, 500)) for _ in range(npts)], pa.float64()),
+        "pid": np.arange(npts),
+    })
+    s = rng.uniform(0, 500, nivs)
+    ivs = pa.table({
+        "u": pa.array([None if rng.rand() < 0.1 else int(rng.randint(6)) for _ in range(nivs)], pa.int64()),
+        "s": s, "e": s + rng.uniform(0, 120, nivs), "iid": np.arange(nivs),
+    })
+    cols = ["pid", "iid"]
+    for how in ("inner", "left"):
+        jt = "JOIN" if how == "inner" else "LEFT JOIN"
+        oracle = duckdb.sql(
+            f"SELECT p.pid, i.iid FROM pts p {jt} ivs i ON p.u = i.u AND p.t BETWEEN i.s AND i.e"
+        ).df()[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+        b = broadcast_range_join(
+            ray.data.from_arrow(pts).repartition(4), ivs,
+            by=["u"], left_on="t", right_start="s", right_end="e", how=how,
+        ).to_pandas()[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+        r = range_join(
+            ray.data.from_arrow(pts).repartition(4), ray.data.from_arrow(ivs),
+            by=["u"], left_on="t", right_start="s", right_end="e", how=how,
+        ).to_pandas()[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+        pd.testing.assert_frame_equal(b, oracle, check_dtype=False)
+        pd.testing.assert_frame_equal(r, oracle, check_dtype=False)

@@ -1102,6 +1102,27 @@ def _q_pivot(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_top_terms(sf_dir):
+    """EXACT corpus-wide top-10 terms with bounded shuffle (heavy-hitters
+    plan): words explode, per-block counts Misra-Gries-compressed to 256
+    entries regardless of vocabulary size, distributed lower-bound merge ->
+    candidates -> exact recount of candidates only. Deterministic tiebreak
+    (count desc, term asc) matches the SQL LIMIT."""
+    from kamae_ray.stages import NGramTransformer, explode
+    from kamae_ray.stages.sketches import top_frequent
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = NGramTransformer(input_col="text", n=1, output_col="term").transform(ds)
+    out = explode(out, "term")
+    top = top_frequent(out, "term", k=10, capacity=256)
+    return pa.table(
+        {
+            "term": top.column("term"),
+            "n": pc.cast(top.column("count"), pa.int64()),
+        }
+    )
+
+
 def _q_profile(sf_dir):
     """Distributed column profiling (describe()): one streaming pass, one
     partial row per (block, column) collected to the driver — O(blocks)
@@ -2078,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot": _q_pivot,
         "q_repetition": _q_repetition,
         "q_rank": _q_rank,
+        "q_top_terms": _q_top_terms,
         "q_profile": _q_profile,
         "q_range_join": _q_range_join,
         "q_range_broadcast": _q_range_broadcast,
@@ -2502,6 +2524,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "q_top_terms": (
+            "WITH w AS (SELECT unnest(list_filter(string_split_regex(coalesce(text,''), '\\s+'), "
+            "x -> length(x) > 0)) AS term FROM documents) "
+            "SELECT term, CAST(count(*) AS BIGINT) AS n FROM w "
+            "GROUP BY term ORDER BY n DESC, term LIMIT 10"
         ),
         "q_profile": (
             "SELECT 'l_suppkey' AS \"column\", count(*) AS n_rows, "

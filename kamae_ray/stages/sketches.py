@@ -200,3 +200,109 @@ def approx_count_distinct(ds, col: str, p: int = 12) -> int:
         mat = np.stack([np.asarray(r["regs"], dtype=np.uint8) for r in rows])
     merged = mat.max(axis=0, keepdims=True)
     return int(np.rint(_hll_estimate(merged))[0])
+
+
+def top_frequent(ds, col: str, k: int, capacity: int = 8192,
+                 weight_col: str | None = None, candidates_margin: int = 4):
+    """EXACT top-``k`` most frequent values of ``col`` (count desc, value asc
+    on ties) with bounded shuffle at ANY cardinality — the heavy-hitters
+    plan:
+
+    1. per-block exact value counts, Misra-Gries-compressed to ``capacity``
+       entries (subtract the (capacity+1)-th largest count, keep positive) —
+       the exchange carries <= capacity rows per block no matter how many
+       distinct values exist;
+    2. distributed sum of the compressed partials (groupby_agg plan) gives
+       LOWER BOUNDS; the top ``k * candidates_margin`` become candidates
+       (Misra-Gries guarantee: any value with true count > total/capacity
+       survives compression, so true heavy hitters are always candidates);
+    3. exact recount of ONLY the candidates (broadcast membership filter +
+       per-block partials, driver merge bounded by the candidate count),
+       then the exact top-k.
+
+    ``weight_col`` sums weights instead of counting rows (e.g. pre-computed
+    term frequencies). Nulls in ``col`` are not counted."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    if isinstance(ds, pa.Table):
+        import ray
+
+        ds = ray.data.from_arrow(ds)
+
+    def mg_partial(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        vals = A.as_array(block.column(col))
+        if weight_col is not None:
+            w, wmask = A.to_numpy(pc.cast(block.column(weight_col), pa.float64(), safe=False))
+            w = w.astype(np.float64, copy=True)
+            if wmask is not None:
+                w[wmask] = 0.0
+        else:
+            w = np.ones(n, np.float64)
+        valid = np.ones(n, bool)
+        if vals.null_count:
+            valid = vals.is_valid().to_numpy(zero_copy_only=False)
+        from kamae_ray.functions import segments as S
+
+        sub = block.select([col]).filter(pa.array(valid)) if not valid.all() else block.select([col])
+        wv = w[valid]
+        if sub.num_rows == 0:
+            return pa.table({col: vals.slice(0, 0), "__kr_cnt": pa.array([], pa.float64())})
+        gids = S.group_ids(sub, [col])
+        order = np.argsort(gids, kind="stable")
+        starts, _l = S.segments(gids[order])
+        firsts = order[starts]
+        cnt = np.add.reduceat(wv[order], starts)
+        if len(cnt) > capacity:
+            # Misra-Gries decrement: drop the tail mass from every counter
+            thresh = np.partition(cnt, len(cnt) - capacity - 1)[len(cnt) - capacity - 1]
+            keep = cnt > thresh
+            firsts, cnt = firsts[keep], cnt[keep] - thresh
+        return pa.table({col: A.as_array(sub.column(col)).take(pa.array(firsts)),
+                         "__kr_cnt": pa.array(cnt)})
+
+    mg_partial.__name__ = "heavy_hitters_partial"
+    proj = ds
+    try:
+        proj = ds.select_columns([col] + ([weight_col] if weight_col else []))
+    except Exception:
+        pass
+    parts = proj.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    approx = groupby_agg(parts, col, {"__kr_cnt": ["sum"]})
+    approx = approx.sort("__kr_cnt_sum", descending=True).limit(k * candidates_margin)
+    from kamae_ray.base import collect_tables
+
+    cand_parts = [t for t in collect_tables(approx) if t.num_rows]
+    if not cand_parts:
+        return pa.table({col: pa.array([], pa.string()), "count": pa.array([], pa.float64())})
+    cand = pc.unique(pa.concat_tables(cand_parts).column(col).combine_chunks())
+    import ray
+
+    cand_ref = ray.put(cand)
+
+    def exact_partial(block: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        vals = A.as_array(block.column(col))
+        m = pc.is_valid(pc.index_in(vals, value_set=c))
+        sub = block.filter(m)
+        return mg_partial(sub)  # <= |candidates| distinct: never compressed
+
+    exact_partial.__name__ = "heavy_hitters_exact"
+    ex_parts = [t for t in collect_tables(
+        proj.map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    ) if t.num_rows]
+    if not ex_parts:
+        return pa.table({col: cand.slice(0, 0), "count": pa.array([], pa.float64())})
+    allp = pa.concat_tables(ex_parts)
+    from kamae_ray.functions import segments as S
+
+    gids = S.group_ids(allp, [col])
+    order = np.argsort(gids, kind="stable")
+    starts, _l = S.segments(gids[order])
+    firsts = order[starts]
+    cnt = np.add.reduceat(allp.column("__kr_cnt").to_numpy(zero_copy_only=False)[order], starts)
+    vals_u = A.as_array(allp.column(col)).take(pa.array(firsts))
+    # exact top-k: count desc, value asc (deterministic tiebreak)
+    top = pa.table({col: vals_u, "count": pa.array(cnt)})
+    top = top.sort_by([("count", "descending"), (col, "ascending")]).slice(0, k)
+    return top

@@ -129,3 +129,38 @@ def test_profile_columns_vs_duckdb(ray_session):
     # Table path identical
     tp = {r["column"]: r for r in profile_columns(t, ["i", "s"], approx_distinct=True).to_pylist()}
     assert tp == got
+
+
+def test_top_frequent_exact_under_compression(ray_session):
+    """Heavy hitters: capacity far below cardinality must still return the
+    EXACT top-k (Misra-Gries superset guarantee + exact recount)."""
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.sketches import top_frequent
+
+    rng = np.random.RandomState(0)
+    vals = [f"hot{i}" for i in range(6) for _ in range(2000 - i * 200)]
+    vals += [f"tail{rng.randint(200000)}" for _ in range(60000)]
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals, pa.string())})
+    got = top_frequent(ray.data.from_arrow(t).repartition(8), "v", k=6, capacity=128).to_pylist()
+    oracle = duckdb.sql("SELECT v, count(*)::DOUBLE c FROM t GROUP BY v ORDER BY c DESC, v LIMIT 6").fetchall()
+    assert [(r["v"], r["count"]) for r in got] == [(a, b) for a, b in oracle]
+
+
+def test_top_frequent_weighted(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.sketches import top_frequent
+
+    rng = np.random.RandomState(2)
+    n = 5000
+    t = pa.table({
+        "v": pa.array([f"k{rng.randint(50)}" for _ in range(n)], pa.string()),
+        "w": pa.array([float(rng.randint(1, 10)) for _ in range(n)]),
+    })
+    got = top_frequent(ray.data.from_arrow(t).repartition(4), "v", k=5, weight_col="w").to_pylist()
+    oracle = duckdb.sql("SELECT v, sum(w) c FROM t GROUP BY v ORDER BY c DESC, v LIMIT 5").fetchall()
+    assert [(r["v"], r["count"]) for r in got] == [(a, float(b)) for a, b in oracle]

@@ -1102,6 +1102,60 @@ def _q_pivot(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_ewm(sf_dir):
+    """Exponentially weighted moving mean per user (alpha=0.1, leakage-safe
+    recency feature): one entity sort, chunked scaled-cumsum scan kernel.
+    Oracle = recursive CTE running the literal recurrence."""
+    from kamae_ray.stages import EwmMeanTransformer
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = EwmMeanTransformer(
+        input_col="value", entity_cols=["user_id"], time_col="event_id",
+        alpha=0.1, output_col="ewm",
+    ).transform(ev)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ewm": pc.round(batch.column("ewm"), ndigits=_R, round_mode="half_towards_infinity"),
+            }
+        )
+
+    finish.__name__ = "ewm_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_coalesce(sf_dir):
+    """SQL COALESCE across columns (CoalesceTransformer): zero discounts
+    nulled out, backfilled from l_tax — one fused elementwise stage."""
+    from kamae_ray.stages import CoalesceTransformer
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount", "l_tax"])
+
+    def null_zero(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_discount")
+        nd = pc.if_else(pc.equal(d, 0.0), pa.nulls(len(d), pa.float64()), d)
+        return batch.append_column("disc_nz", nd)
+
+    null_zero.__name__ = "null_zero_discount"
+    ds = ds.map_batches(null_zero, batch_format="pyarrow", zero_copy_batch=True)
+    out = CoalesceTransformer(input_cols=["disc_nz", "l_tax"], output_col="disc_filled").transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "disc_filled": batch.column("disc_filled"),
+            }
+        )
+
+    finish.__name__ = "coalesce_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_top_terms(sf_dir):
     """EXACT corpus-wide top-10 terms with bounded shuffle (heavy-hitters
     plan): words explode, per-block counts Misra-Gries-compressed to 256
@@ -2099,6 +2153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot": _q_pivot,
         "q_repetition": _q_repetition,
         "q_rank": _q_rank,
+        "q_ewm": _q_ewm,
+        "q_coalesce": _q_coalesce,
         "q_top_terms": _q_top_terms,
         "q_profile": _q_profile,
         "q_range_join": _q_range_join,
@@ -2524,6 +2580,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        # scan formulation (u_j = a x_j q^-(j-1), first term full weight;
+        # y_i = q^(i-1) * running sum) — the same left-to-right accumulation
+        # the engine kernel performs, so the two stay within ~1e-13 where the
+        # literal recurrence drifts far enough to flip 6dp rounding
+        "q_ewm": (
+            "WITH e AS (SELECT user_id, event_id, value::DOUBLE x, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id) rn FROM events), "
+            "u AS (SELECT user_id, event_id, rn, CASE WHEN rn = 1 THEN x * POWER(0.9, -(rn - 1)) "
+            "ELSE 0.1 * x * POWER(0.9, -(rn - 1)) END AS uu FROM e), "
+            "s AS (SELECT user_id, event_id, rn, "
+            "SUM(uu) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS U FROM u) "
+            "SELECT event_id, user_id, ROUND(POWER(0.9, rn - 1) * U, 6) AS ewm FROM s"
+        ),
+        "q_coalesce": (
+            "SELECT l_orderkey, l_linenumber, "
+            "COALESCE(NULLIF(l_discount, 0.0), l_tax) AS disc_filled FROM lineitem"
         ),
         "q_top_terms": (
             "WITH w AS (SELECT unnest(list_filter(string_split_regex(coalesce(text,''), '\\s+'), "

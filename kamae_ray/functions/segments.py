@@ -249,3 +249,90 @@ def seg_rank(order_vals: np.ndarray, gids_sorted: np.ndarray, starts: np.ndarray
     pos = np.arange(len(order_vals)) - np.repeat(starts, lens)
     rank[order] = pos + 1
     return rank
+
+
+def seg_ewm_mean(vals_sorted: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                 alpha: float) -> np.ndarray:
+    """Per-segment exponentially weighted moving mean (pandas
+    ``ewm(alpha, adjust=False, ignore_na=True).mean()`` semantics):
+    ``y_0 = x_0``, ``y_t = (1-a) y_{t-1} + a x_t`` over the segment's VALID
+    values in order; NaN rows emit the previous mean (leading NaNs emit NaN).
+
+    Vectorized via chunked rescaling: within a chunk of valid-ordinal width
+    ``L`` the recurrence is a segmented cumsum of ``a x (1-a)^-rel`` scaled
+    back by ``(1-a)^rel`` — L is sized so ``(1-a)^-L`` never overflows; the
+    per-chunk loop runs ``ceil(max_run/L)`` numpy passes, not per row."""
+    n = len(vals_sorted)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    q = 1.0 - a
+    valid = ~np.isnan(vals_sorted)
+    seg_of = np.repeat(np.arange(len(starts)), lens)
+    # ordinal among VALID rows within each segment
+    cs = np.cumsum(valid.astype(np.int64))
+    base = cs[starts] - valid[starts].astype(np.int64)
+    ord_all = cs - 1 - base[seg_of]
+    vidx = np.flatnonzero(valid)
+    if len(vidx) == 0:
+        return out
+    g = seg_of[vidx]
+    m = ord_all[vidx]
+    x = vals_sorted[vidx]
+    y = np.empty(len(x))
+    if q == 0.0:  # alpha == 1: y = x
+        y[:] = x
+    else:
+        # q^-L must stay finite in float64 (< ~1e308): cap the chunk's
+        # exponent range at 280 decimal orders
+        L = int(np.clip(np.floor(280.0 / max(-np.log10(q), 1e-12)), 4, 4096))
+        carry = np.full(len(starts), np.nan)
+        top = int(m.max())
+        for c in range(0, top + 1, L):
+            sel = np.flatnonzero((m >= c) & (m < c + L))
+            if len(sel) == 0:
+                continue
+            xs, gs, rel = x[sel], g[sel], m[sel] - c
+            # segments present in this chunk (gs is sorted)
+            s_starts, s_lens = segments(gs)
+            seg_row = np.repeat(np.arange(len(s_starts)), s_lens)
+            # cap the 2D scratch at ~64M cells: narrower passes, same math
+            Lc = L
+            while len(s_starts) * Lc > (1 << 26) and Lc > 4:
+                Lc //= 2
+            for c2 in range(0, L, Lc):
+                sub = np.flatnonzero((rel >= c2) & (rel < c2 + Lc))
+                if len(sub) == 0:
+                    continue
+                rel2 = rel[sub] - c2
+                inv = np.power(q, -rel2.astype(np.float64))
+                first = m[sel][sub] == 0  # the segment's very first valid value: full weight
+                u = np.where(first, xs[sub] * inv, a * xs[sub] * inv)
+                # EXACT per-segment cumsum: one scratch row per segment (a
+                # single global cumsum cancels catastrophically when a huge
+                # q^-rel accumulation from one segment precedes another)
+                rows = seg_row[sub]
+                row_ids, rows_d = np.unique(rows, return_inverse=True)
+                mat = np.zeros((len(row_ids), Lc))
+                mat[rows_d, rel2] = u
+                U = np.cumsum(mat, axis=1)[rows_d, rel2]
+                prev = carry[gs[sub]]
+                prev_contrib = np.where(np.isnan(prev), 0.0, prev * q)
+                yy = np.power(q, rel2.astype(np.float64)) * (U + prev_contrib)
+                y[sel[sub]] = yy
+                # carry = y at the last row of each segment in this pass
+                ss2, sl2 = segments(rows_d)
+                lasts = sub[ss2 + sl2 - 1]
+                carry[gs[lasts]] = y[sel[lasts]]
+    out[vidx] = y
+    # NaN rows carry the previous valid mean (leading NaNs stay NaN)
+    if not valid.all():
+        filled = np.where(valid, np.arange(n), -1)
+        last = np.maximum.accumulate(filled)
+        seg_first = np.repeat(starts, lens)
+        ok = (last >= seg_first) & ~valid
+        out[ok] = out[last[ok]]
+    return out

@@ -5,6 +5,7 @@ from kamae_ray.stages.elementwise import (  # noqa: F401
     BinTransformer,
     BucketizeTransformer,
     ClipTransformer,
+    CoalesceTransformer,
     DivideTransformer,
     ExponentTransformer,
     ExpTransformer,
@@ -110,6 +111,7 @@ from kamae_ray.stages.listwise import (  # noqa: F401
 from kamae_ray.stages.window import (  # noqa: F401
     BackfillTransformer,
     CumulativeAggTransformer,
+    EwmMeanTransformer,
     KeyedWindowTransformer,
     LagTransformer,
     LeadTransformer,

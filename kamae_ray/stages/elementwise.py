@@ -163,6 +163,18 @@ class MultiInputTransformer(Transformer):
         return _append_or_replace(batch, self.output_col, out)
 
 
+class CoalesceTransformer(MultiInputTransformer):
+    """SQL ``COALESCE(c1, c2, ...)``: first non-null value across the input
+    columns per row (left to right). All inputs must share a type family
+    (the usual cast policy applies). Single-column mode
+    (``input_col`` + ``constant``) is COALESCE(col, const)."""
+
+    compatible_dtypes = None  # any shared type
+
+    def _fold(self, flats):
+        return _pairwise(lambda a, b: pc.coalesce(a, b), flats)
+
+
 def _pairwise(fn, flats):
     acc = flats[0]
     for nxt in flats[1:]:

@@ -596,6 +596,27 @@ class WindowValueTransformer(KeyedWindowTransformer):
         return vals[srep + np.repeat(lens, lens) - 1]
 
 
+class EwmMeanTransformer(KeyedWindowTransformer):
+    """Exponentially weighted moving mean per entity in time order —
+    ``y_0 = x_0``, ``y_t = (1-alpha) y_{t-1} + alpha x_t`` (pandas
+    ``ewm(alpha, adjust=False, ignore_na=True).mean()`` semantics: null/NaN
+    rows emit the previous mean and don't advance the decay). The classic
+    leakage-safe recency feature (reads past rows only).
+
+    Kernel: functions/segments.seg_ewm_mean — the sequential recurrence
+    rewritten as a per-segment scaled cumsum processed in bounded-exponent
+    chunks (no per-row Python; ~L-row numpy passes)."""
+
+    def __init__(self, *args, alpha: float, **kwargs):
+        super().__init__(*args, **kwargs)
+        if not 0.0 < float(alpha) <= 1.0:
+            raise ValueError("alpha must be in (0, 1]")
+        self.alpha = float(alpha)
+
+    def _seg_kernel(self, vals, t, starts, lens, srep):
+        return S.seg_ewm_mean(vals, starts, lens, self.alpha)
+
+
 _CUM_STATS = ("sum", "count", "mean", "min", "max")
 
 

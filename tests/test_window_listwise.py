@@ -251,3 +251,38 @@ def test_window_rank_methods_vs_duckdb(ray_session):
     for c in ("rn", "rk", "drk", "nt"):
         assert out[c].astype(int).tolist() == oracle[c].astype(int).tolist(), c
     assert np.allclose(out["prk"].to_numpy(), oracle["prk"].to_numpy(), atol=1e-12)
+
+
+def test_ewm_mean_vs_pandas(ray_session):
+    """EwmMeanTransformer vs pandas ewm(adjust=False, ignore_na=True) over
+    grouped data with nulls, Dataset path, several alphas."""
+    import pandas as pd
+    import ray
+
+    from kamae_ray.stages import EwmMeanTransformer
+
+    rng = np.random.RandomState(4)
+    n = 2000
+    df = pd.DataFrame({
+        "u": rng.randint(0, 12, n),
+        "o": rng.permutation(n),
+        "x": np.where(rng.rand(n) < 0.15, np.nan, rng.standard_normal(n)),
+    })
+    t = pa.table({"u": df["u"].astype("int64"), "o": df["o"].astype("int64"),
+                  "x": pa.array([None if np.isnan(v) else float(v) for v in df["x"]], pa.float64())})
+    for alpha in (0.1, 0.5, 0.95):
+        got = (
+            EwmMeanTransformer(input_col="x", entity_cols=["u"], time_col="o",
+                               alpha=alpha, output_col="y")
+            .transform(ray.data.from_arrow(t).repartition(5))
+            .to_pandas().sort_values(["u", "o"]).reset_index(drop=True)
+        )
+        exp = (
+            df.sort_values(["u", "o"])
+            .groupby("u")["x"]
+            .transform(lambda s: s.ewm(alpha=alpha, adjust=False, ignore_na=True).mean())
+            .reset_index(drop=True)
+        )
+        a = got["y"].to_numpy()
+        b = exp.to_numpy()
+        assert ((np.isnan(a) & np.isnan(b)) | np.isclose(a, b, atol=1e-8)).all(), alpha

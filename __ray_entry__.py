@@ -989,6 +989,24 @@ def _q_join(sf_dir):
     return broadcast_join(ds, orders, on="l_orderkey")
 
 
+def _q_fuzzy(sf_dir):
+    """Fuzzy (Levenshtein nearest-match) lookup join — entity resolution of
+    part.p_type against the nation-name dimension: each part matches the
+    nation whose name has the smallest edit distance (ties: lexicographically
+    smallest name), unmatched beyond max_distance=7. Right side broadcast
+    ONCE; per batch only DISTINCT left values are scored with the vectorized
+    Wagner-Fischer matrix (functions/editdist.py) — no shuffle, no per-pair
+    Python. Oracle = DuckDB levenshtein() + row_number tiebreak."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.stages import fuzzy_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_name", "n_nationkey"])
+    nation = nation.append_column("nearest_nation", nation.column("n_name"))
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    return fuzzy_join(ds, nation, left_on="p_type", right_on="n_name", max_distance=7)
+
+
 def _q_join2(sf_dir):
     """Sort-shuffle equi-join (large-x-large plan): same lineitem/orders
     enrichment as q_join but through the one-sort co-partitioned merge, so
@@ -2147,6 +2165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_neardup": _q_emb_neardup,
         "q_join": _q_join,
         "q_join2": _q_join2,
+        "q_fuzzy": _q_fuzzy,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2570,6 +2589,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
             "o.o_orderstatus, o.o_orderpriority "
             "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "q_fuzzy": (
+            "WITH scored AS (SELECT p.p_partkey, n.n_nationkey, n.n_name, "
+            "levenshtein(p.p_type, n.n_name) AS d, "
+            "row_number() OVER (PARTITION BY p.p_partkey "
+            "ORDER BY levenshtein(p.p_type, n.n_name), n.n_name) AS rn "
+            "FROM part p CROSS JOIN nation n) "
+            "SELECT p.p_partkey, p.p_type, s.n_nationkey, "
+            "s.n_name AS nearest_nation, s.d AS distance "
+            "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
+            "ON p.p_partkey = s.p_partkey"
         ),
         "q_semi": (
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "

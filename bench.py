@@ -194,6 +194,7 @@ _BENCH_QUERIES = [
     "q_repetition",  # Gopher repetition signals, dictionary-amortized
     "q_approx_distinct",  # HyperLogLog registers through the shuffle
     "q_collect",  # list agg ORDER BY (ordered segment slicing)
+    "q_fuzzy",  # nearest-Levenshtein lookup join (vectorized Wagner-Fischer)
 ]
 
 

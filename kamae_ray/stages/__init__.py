@@ -142,7 +142,7 @@ from kamae_ray.stages.multimodal import (  # noqa: F401
     PgmResizeTransformer,
     WavDecodeTransformer,
 )
-from kamae_ray.stages.join import broadcast_join, shuffle_join  # noqa: F401
+from kamae_ray.stages.join import broadcast_join, fuzzy_join, shuffle_join  # noqa: F401
 from kamae_ray.stages.aggregate import (  # noqa: F401
     except_distinct,
     groupby_agg,

@@ -403,3 +403,98 @@ def shuffle_join(
     lt = left.map_batches(_NamedFn(lambda b: prep(b, 0), "join_prep_left"), batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(_NamedFn(lambda b: prep(b, 1), "join_prep_right"), batch_format="pyarrow", zero_copy_batch=True)
     return sorted_block_apply(lt.union(rt), group_cols, merge_parts, "shuffle_join_merge")
+
+
+def fuzzy_join(
+    ds,
+    right: pa.Table,
+    left_on: str,
+    right_on: str | None = None,
+    right_cols: list[str] | None = None,
+    max_distance: int | None = None,
+    how: str = "left",
+    suffix: str = "_r",
+    out_distance: str = "distance",
+    max_len: int = 128,
+):
+    """Nearest-string (Levenshtein) lookup join — entity resolution against a
+    small dimension table: each left row matches the right row whose
+    ``right_on`` value has the smallest edit distance to ``left_on``
+    (deterministic ties: lexicographically smallest right value); matches
+    farther than ``max_distance`` (when set) are unmatched. ``how`` is
+    ``'left'`` or ``'inner'``. Null left values never match (SQL semantics);
+    duplicate right values are rejected (lookup-join contract, as
+    broadcast_join). Appends the matched payload plus ``out_distance``.
+
+    Scale plan: the right side is broadcast ONCE; per batch only the
+    DISTINCT left values are scored (dictionary encode) with the vectorized
+    Wagner-Fischer matrix (functions/editdist.py) — no shuffle, no per-pair
+    Python."""
+    right_on = right_on or left_on
+    if how not in ("left", "inner"):
+        raise ValueError("how must be left|inner")
+    from kamae_ray.functions.editdist import levenshtein_matrix
+
+    rvals_all = pc.cast(A.as_array(right.column(right_on)), pa.string(), safe=False)
+    if rvals_all.null_count:
+        right = right.filter(pc.is_valid(rvals_all))
+        rvals_all = pc.cast(A.as_array(right.column(right_on)), pa.string(), safe=False)
+    order = pc.sort_indices(rvals_all)
+    right = right.take(order)
+    rvals = pc.cast(A.as_array(right.column(right_on)), pa.string(), safe=False)
+    if len(pc.unique(rvals)) != len(right):
+        raise ValueError("fuzzy_join right side has duplicate values — a nearest-match lookup needs unique keys")
+    payload = [c for c in (right_cols or right.column_names) if c != right_on]
+    rpayload = right.select(payload)
+
+    def match_batch(batch: pa.Table, rv: pa.Array, pay: pa.Table) -> pa.Table:
+        left_names = set(batch.column_names)
+        lvals = pc.cast(A.as_array(batch.column(left_on)), pa.string(), safe=False)
+        d = lvals.dictionary_encode()
+        codes = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        M = levenshtein_matrix(d.dictionary, rv, max_len=max_len)  # distinct once
+        if M.shape[0] == 0 or M.shape[1] == 0:  # all-null batch / empty right
+            idx = np.full(max(len(d.dictionary), 1), -1, np.int64)
+            dist = np.full(max(len(d.dictionary), 1), -1, np.int64)
+        else:
+            idx = M.argmin(axis=1).astype(np.int64)  # rv sorted: first min = smallest value
+            dist = M[np.arange(M.shape[0]), idx].astype(np.int64)
+        row_idx = idx[codes]
+        row_dist = dist[codes]
+        matched = row_idx >= 0
+        if max_distance is not None:
+            matched &= row_dist <= max_distance
+        if lvals.null_count:
+            matched &= lvals.is_valid().to_numpy(zero_copy_only=False)
+        if len(rv):
+            take = pa.array(np.where(matched, row_idx, 0), pa.int64())
+        else:
+            take = pa.nulls(len(matched), pa.int64())  # take(null) -> null payload
+        mpa = pa.array(matched)
+        out = batch
+        for c in pay.column_names:
+            name = f"{c}{suffix}" if c in left_names else c
+            colv = A.as_array(pay.column(c)).take(take)
+            if not matched.all():
+                colv = pc.if_else(mpa, colv, pa.nulls(len(matched), colv.type))
+            out = out.append_column(name, colv)
+        dcol = pa.array(np.where(matched, row_dist, 0), pa.int64())
+        if not matched.all():
+            dcol = pc.if_else(mpa, dcol, pa.nulls(len(matched), pa.int64()))
+        out = out.append_column(out_distance, dcol)
+        if how == "inner":
+            out = out.filter(mpa)
+        return out
+
+    if isinstance(ds, pa.Table):
+        return match_batch(ds, rvals, rpayload)
+    import ray
+
+    ref = ray.put({"rv": rvals, "pay": rpayload})
+
+    def fjoin(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        return match_batch(batch, r["rv"], r["pay"])
+
+    fjoin.__name__ = "fuzzy_join"
+    return ds.map_batches(fjoin, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

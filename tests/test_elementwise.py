@@ -127,3 +127,13 @@ def test_input_never_mutated(scalar_mixed):
     before = scalar_mixed.column("col1").to_pylist()
     LogTransformer(input_col="col1", output_col="o").transform_batch(scalar_mixed)
     assert scalar_mixed.column("col1").to_pylist() == before
+
+
+def test_coalesce_multi_and_constant():
+    from kamae_ray.stages import CoalesceTransformer
+
+    t = pa.table({"a": [None, 2.0, None], "b": [1.0, None, None], "c": [9.0, 9.0, None]})
+    out = CoalesceTransformer(input_cols=["a", "b", "c"], output_col="o").transform_batch(t)
+    assert col(out, "o") == [1.0, 2.0, None]
+    out2 = CoalesceTransformer(input_col="a", constant=7.0, output_col="o").transform_batch(t)
+    assert col(out2, "o") == [7.0, 2.0, 7.0]

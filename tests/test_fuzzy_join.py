@@ -1,0 +1,111 @@
+"""fuzzy_join (nearest-Levenshtein lookup) vs DuckDB levenshtein(): the
+vectorized Wagner-Fischer matrix (functions/editdist.py) must agree exactly
+with DuckDB on random ASCII strings, and the join must implement SQL
+nearest-match semantics (min distance, lexicographic tiebreak, max_distance
+cutoff, NULL left never matches, left vs inner)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kamae_ray.functions.editdist import levenshtein_matrix
+from kamae_ray.stages import fuzzy_join
+
+ALPHA = "abcdexyz"
+
+
+def _rand_strings(rng, n, max_len=12):
+    return ["".join(rng.choice(list(ALPHA), size=rng.integers(0, max_len))) for _ in range(n)]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10_000))
+def test_levenshtein_matrix_matches_duckdb(seed):
+    rng = np.random.default_rng(seed)
+    a = _rand_strings(rng, int(rng.integers(1, 20)))
+    b = _rand_strings(rng, int(rng.integers(1, 15)))
+    M = levenshtein_matrix(pa.array(a), pa.array(b))
+    con = duckdb.connect()
+    con.register("a", pd.DataFrame({"i": range(len(a)), "s": a}))
+    con.register("b", pd.DataFrame({"j": range(len(b)), "s": b}))
+    exp = con.sql(
+        "SELECT i, j, levenshtein(a.s, b.s) d FROM a CROSS JOIN b ORDER BY i, j"
+    ).fetchnumpy()
+    want = np.zeros_like(M)
+    want[exp["i"], exp["j"]] = exp["d"]
+    np.testing.assert_array_equal(M, want)
+
+
+def _oracle(left: pa.Table, right: pa.Table, max_distance, how):
+    con = duckdb.connect()
+    con.register("l", left.to_pandas().reset_index(names="_rid"))
+    con.register("r", right.to_pandas())
+    cut = f"AND d <= {max_distance}" if max_distance is not None else ""
+    jn = "LEFT JOIN" if how == "left" else "JOIN"
+    return con.sql(
+        "WITH scored AS (SELECT l._rid, r.name rname, r.code, levenshtein(l.name, r.name) d, "
+        "row_number() OVER (PARTITION BY l._rid ORDER BY levenshtein(l.name, r.name), r.name) rn "
+        "FROM l JOIN r ON l.name IS NOT NULL) "
+        f"SELECT l.id, l.name, s.code, s.d distance FROM l {jn} "
+        f"(SELECT * FROM scored WHERE rn = 1 {cut}) s ON l._rid = s._rid ORDER BY l.id"
+    ).df()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10_000), st.sampled_from([None, 2, 5]), st.sampled_from(["left", "inner"]))
+def test_fuzzy_join_matches_duckdb(seed, max_distance, how):
+    rng = np.random.default_rng(seed)
+    lnames = _rand_strings(rng, int(rng.integers(1, 60)))
+    lnames = [None if rng.random() < 0.15 else s for s in lnames]
+    rnames = list(dict.fromkeys(_rand_strings(rng, int(rng.integers(1, 12)))))
+    left = pa.table({"id": pa.array(range(len(lnames)), pa.int64()), "name": pa.array(lnames, pa.string())})
+    right = pa.table(
+        {"name": pa.array(rnames, pa.string()), "code": pa.array(range(len(rnames)), pa.int64())}
+    )
+    got = (
+        fuzzy_join(left, right, left_on="name", max_distance=max_distance, how=how)
+        .to_pandas()
+        .sort_values(["id"])
+        .reset_index(drop=True)
+    )
+    exp = _oracle(left, right, max_distance, how).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"code": "float64", "distance": "float64"}),
+        exp.astype({"code": "float64", "distance": "float64"}),
+        check_dtype=False,
+    )
+
+
+def test_fuzzy_join_rejects_duplicate_right():
+    left = pa.table({"name": ["a"]})
+    right = pa.table({"name": ["x", "x"], "code": [1, 2]})
+    with pytest.raises(ValueError, match="duplicate"):
+        fuzzy_join(left, right, left_on="name")
+
+
+def test_fuzzy_join_suffix_collision():
+    left = pa.table({"name": ["abc"], "code": [99]})
+    right = pa.table({"name": ["abd"], "code": [1]})
+    out = fuzzy_join(left, right, left_on="name")
+    assert out.column_names == ["name", "code", "code_r", "distance"]
+    assert out.column("code_r").to_pylist() == [1]
+    assert out.column("distance").to_pylist() == [1]
+
+
+def test_fuzzy_join_dataset_path(ray_session):
+    import ray
+
+    left = pa.table(
+        {"id": pa.array(range(200), pa.int64()), "name": pa.array([f"val{i % 17:03d}" for i in range(200)])}
+    )
+    right = pa.table({"name": [f"val{i:03d}" for i in range(0, 17, 2)], "code": list(range(9))})
+    expect = fuzzy_join(left, right, left_on="name", max_distance=1)
+    ds = ray.data.from_arrow(left).repartition(4)
+    got = pa.concat_tables(
+        ray.get(fuzzy_join(ds, right, left_on="name", max_distance=1).to_arrow_refs())
+    ).sort_by("id")
+    assert got.equals(expect.sort_by("id").cast(got.schema))

@@ -2124,6 +2124,33 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_decontaminate(sf_dir):
+    """Benchmark decontamination (GPT-3/Gopher n-gram overlap rule): flag
+    corpus documents sharing a word 3-gram with the benchmark slice
+    (doc_id % 97 == 0). Benchmark gram set collected once (small by
+    contract), broadcast with ONE ray.put; corpus side is a single
+    map_batches — rolling-hash candidates via searchsorted, exact string
+    verification of the rare hits, distinct-gram count per doc. No corpus
+    shuffle. Oracle = UNNEST n-grams + set join in SQL."""
+    import numpy as np
+
+    from kamae_ray.pipelines.decontam import benchmark_ngram_set, decontaminate
+
+    def bench_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    def corpus_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 != 0))
+
+    docs = lambda: _read(sf_dir, "documents", ["doc_id", "text"])  # noqa: E731
+    bench_ds = docs().map_batches(bench_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    bset = benchmark_ngram_set(bench_ds, "text", n=3)
+    corpus = docs().map_batches(corpus_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return decontaminate(corpus, bset, "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_log": _q_log,
@@ -2166,6 +2193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join": _q_join,
         "q_join2": _q_join2,
         "q_fuzzy": _q_fuzzy,
+        "q_decontaminate": _q_decontaminate,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2600,6 +2628,16 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_decontaminate": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, unnest(list_transform("
+            "range(1, len(ws) - 3 + 2), i -> array_to_string(ws[i:i+2], ' '))) AS g "
+            "FROM w WHERE len(ws) >= 3), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0) "
+            "SELECT doc_id, count(DISTINCT g) AS n_hits "
+            "FROM grams JOIN bench USING (g) WHERE doc_id % 97 <> 0 GROUP BY doc_id"
         ),
         "q_semi": (
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "

@@ -1,0 +1,101 @@
+"""Benchmark decontamination (pipelines/decontam.py): parity with a plain
+Python n-gram reference, edge cases (short docs, nulls, whitespace), and
+Dataset path == Table path."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kamae_ray.pipelines.decontam import benchmark_ngram_set, decontaminate
+
+
+def _py_ngrams(text, n):
+    ws = re.split(r"\s+", text or "")
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _py_decontam(corpus, bench_texts, n, min_hits=1):
+    bench = set()
+    for t in bench_texts:
+        bench |= _py_ngrams(t, n)
+    out = {}
+    for did, t in corpus:
+        hits = len(_py_ngrams(t, n) & bench)
+        if hits >= min_hits:
+            out[did] = hits
+    return out
+
+
+WORDS = ["the", "cat", "sat", "on", "mat", "dog", "ran", ""]
+
+
+@st.composite
+def _doc(draw):
+    if draw(st.booleans()) and draw(st.integers(0, 9)) == 0:
+        return None
+    k = draw(st.integers(0, 8))
+    return " ".join(draw(st.sampled_from(WORDS)) for _ in range(k))
+
+
+@given(
+    corpus=st.lists(_doc(), min_size=1, max_size=30),
+    bench=st.lists(_doc(), min_size=1, max_size=8),
+    n=st.integers(2, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_decontaminate_matches_python(corpus, bench, n):
+    bt = pa.table({"text": pa.array(bench, pa.string())})
+    ct = pa.table(
+        {"doc_id": pa.array(range(len(corpus)), pa.int64()), "text": pa.array(corpus, pa.string())}
+    )
+    bs = benchmark_ngram_set(bt, "text", n=n)
+    got = decontaminate(ct, bs, "text", "doc_id")
+    gmap = dict(zip(got.column("doc_id").to_pylist(), got.column("n_hits").to_pylist()))
+    want = _py_decontam(
+        [(i, t or "") for i, t in enumerate(corpus)], [t or "" for t in bench], n
+    )
+    assert gmap == want
+
+
+def test_keep_clean_is_complement():
+    corpus = ["a b c d", "x y z", "a b q", "c d e"]
+    ct = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(corpus)})
+    bs = benchmark_ngram_set(pa.table({"text": ["a b c", "c d e f"]}), "text", n=3)
+    hit = decontaminate(ct, bs, "text", "doc_id")
+    clean = decontaminate(ct, bs, "text", "doc_id", keep_clean=True)
+    assert sorted(
+        hit.column("doc_id").to_pylist() + clean.column("doc_id").to_pylist()
+    ) == [0, 1, 2, 3]
+    assert set(hit.column("doc_id").to_pylist()) == {0, 3}
+
+
+def test_min_hits_threshold():
+    ct = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": ["a b c x y z", "a b c only"]})
+    bs = benchmark_ngram_set(pa.table({"text": ["a b c", "x y z"]}), "text", n=3)
+    out = decontaminate(ct, bs, "text", "doc_id", min_hits=2)
+    assert out.column("doc_id").to_pylist() == [0]
+
+
+def test_dataset_path_matches_table(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    corpus = [" ".join(rng.choice(WORDS[:-1], size=rng.integers(1, 12))) for _ in range(400)]
+    bench = corpus[::37]
+    ct = pa.table({"doc_id": pa.array(range(len(corpus)), pa.int64()),
+                   "text": pa.array(corpus)})
+    bt = pa.table({"text": pa.array(bench)})
+    bs_t = benchmark_ngram_set(bt, "text", n=3)
+    bs_d = benchmark_ngram_set(ray.data.from_arrow(bt).repartition(4), "text", n=3)
+    assert np.array_equal(bs_t["hashes"], bs_d["hashes"])
+    want = decontaminate(ct, bs_t, "text", "doc_id")
+    ds = ray.data.from_arrow(ct).repartition(5)
+    got = pa.concat_tables(
+        [pa.table(b) for b in decontaminate(ds, bs_d, "text", "doc_id").iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+    assert got.equals(want.sort_by("doc_id"))

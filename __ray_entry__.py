@@ -2124,6 +2124,26 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_rollup(sf_dir):
+    """SQL GROUP BY ROLLUP over (l_returnflag, l_linestatus): all prefix
+    levels + grand total from ONE pass over the input — per-block partials,
+    one small shuffle to the finest level, then every coarser level re-merges
+    the (materialized, key-bounded) finest partials. grouping_id = SQL
+    GROUPING() bitmask. sum/count partials merge exactly, so level means are
+    bit-identical to direct aggregation."""
+    from kamae_ray.stages.aggregate import groupby_rollup
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"])
+    out = groupby_rollup(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"l_quantity": ["sum", "count", "mean"], "l_discount": ["min", "max"]},
+    )
+    return out.map_batches(
+        _rounder(["l_quantity_sum", "l_quantity_mean"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_decontaminate(sf_dir):
     """Benchmark decontamination (GPT-3/Gopher n-gram overlap rule): flag
     corpus documents sharing a word 3-gram with the benchmark slice
@@ -2194,6 +2214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join2": _q_join2,
         "q_fuzzy": _q_fuzzy,
         "q_decontaminate": _q_decontaminate,
+        "q_rollup": _q_rollup,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2628,6 +2649,15 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(sum(l_quantity), 6) AS l_quantity_sum, "
+            "count(l_quantity) AS l_quantity_count, "
+            "ROUND(avg(l_quantity), 6) AS l_quantity_mean, "
+            "min(l_discount) AS l_discount_min, max(l_discount) AS l_discount_max, "
+            "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "q_decontaminate": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws "

@@ -88,7 +88,7 @@ def _any_string_key(schema: pa.Schema, keys: list[str]) -> bool:
     return False
 
 
-def surrogate_sorted(ds, keys: list[str], schema=None):
+def surrogate_sorted(ds, keys: list[str], schema=None, force: bool = False):
     """``ds.sort(keys)`` replacement for wide stages: sorts by one int64
     surrogate when a key column is a string (much cheaper comparisons in the
     distributed sort), plain sort otherwise. The returned dataset still
@@ -105,7 +105,12 @@ def surrogate_sorted(ds, keys: list[str], schema=None):
 
     ``schema``: optional pa.Schema-like hint from the caller (checked for
     string keys without touching the dataset); when absent, only
-    metadata-inferred schema is consulted — never an executing probe."""
+    metadata-inferred schema is consulted — never an executing probe.
+
+    ``force=True`` always takes the surrogate path for string keys: Ray's
+    native sort partitioner crashes comparing None vs str boundary values
+    (object-dtype searchsorted), so callers whose string keys may contain
+    NULLs must not fall back to the plain sort on small inputs."""
     import os
 
     # NEVER execute the plan to pick a strategy: ``ds.schema()`` with
@@ -125,6 +130,8 @@ def surrogate_sorted(ds, keys: list[str], schema=None):
     ):
         return ds.sort(keys), False
     mode = os.environ.get("KAMAE_SURROGATE_SORT", "auto")
+    if force:
+        mode = "always"
     if mode != "always":
         small = False
         if mode == "never":

@@ -145,6 +145,235 @@ def groupby_agg(ds, keys: str | list[str], aggs: dict[str, list[str]]):
     return sorted_block_apply(parts, keys, finalize, "groupby_finalize")
 
 
+def _rollup_partial(block: pa.Table, keys: list[str], partial_specs: dict) -> pa.Table:
+    """Per-block finest-level partials: key columns + ``__p_{col}_{p}``
+    columns, one row per distinct key tuple in the block (same math as
+    groupby_agg's partial kernel)."""
+    n = block.num_rows
+    if n == 0:
+        cols = {k: block.column(k) for k in keys}
+        for col, need in partial_specs.items():
+            for p in need:
+                cols[f"__p_{col}_{p}"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    gids = S.group_ids(block, keys)
+    order = np.argsort(gids, kind="stable")
+    starts, _ = S.segments(gids[order])
+    firsts = order[starts]
+    out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in keys}
+    for col, need in partial_specs.items():
+        vals, mask = A.to_numpy(pc.cast(A.as_array(block.column(col)), pa.float64(), safe=False))
+        vals = vals.astype(np.float64, copy=True)
+        if mask is not None:
+            vals[mask] = np.nan
+        v = vals[order]
+        ok = ~np.isnan(v)
+        vz = np.where(ok, v, 0.0)
+        if "count" in need:
+            out[f"__p_{col}_count"] = pa.array(np.add.reduceat(ok.astype(np.float64), starts))
+        if "sum" in need:
+            out[f"__p_{col}_sum"] = pa.array(np.add.reduceat(vz, starts))
+        if "sumsq" in need:
+            out[f"__p_{col}_sumsq"] = pa.array(np.add.reduceat(vz * vz, starts))
+        if "min" in need:
+            out[f"__p_{col}_min"] = pa.array(np.minimum.reduceat(np.where(ok, v, np.inf), starts))
+        if "max" in need:
+            out[f"__p_{col}_max"] = pa.array(np.maximum.reduceat(np.where(ok, v, -np.inf), starts))
+    return pa.table(out)
+
+
+def _merge_partials_np(partials: pa.Table, keys: list[str], partial_specs: dict):
+    """Merge ``__p_`` rows per ``keys`` tuple (keys may be []: one global
+    group). Returns ``(first_key_arrays: dict, merged: dict[str, np.ndarray])``."""
+    n = partials.num_rows
+    if n == 0:
+        key_out = {k: A.as_array(partials.column(k)) for k in keys}
+        merged = {f"__p_{col}_{p}": np.zeros(0, np.float64)
+                  for col, need in partial_specs.items() for p in need}
+        return key_out, merged
+    if keys:
+        gids = S.group_ids(partials, keys)
+        order = np.argsort(gids, kind="stable")
+        starts, _ = S.segments(gids[order])
+        firsts = order[starts]
+        key_out = {k: A.as_array(partials.column(k)).take(pa.array(firsts)) for k in keys}
+    else:
+        order = np.arange(n)
+        starts = np.array([0], dtype=np.int64) if n else np.array([], dtype=np.int64)
+        key_out = {}
+    merged: dict[str, np.ndarray] = {}
+    for col, need in partial_specs.items():
+        for p in need:
+            v = partials.column(f"__p_{col}_{p}").to_numpy(zero_copy_only=False)[order]
+            if not len(starts):
+                merged[f"__p_{col}_{p}"] = np.zeros(0, np.float64)
+            elif p in ("sum", "count", "sumsq"):
+                merged[f"__p_{col}_{p}"] = np.add.reduceat(v, starts)
+            elif p == "min":
+                merged[f"__p_{col}_{p}"] = np.minimum.reduceat(v, starts)
+            else:
+                merged[f"__p_{col}_{p}"] = np.maximum.reduceat(v, starts)
+    return key_out, merged
+
+
+def _final_stats(merged: dict, aggs: dict[str, list[str]]) -> dict:
+    """Final stat columns from merged ``__p_`` arrays (same SQL NULL
+    semantics as groupby_agg's finalize)."""
+    out: dict[str, pa.Array] = {}
+    for col, stats in aggs.items():
+        for st in stats:
+            if st == "sum":
+                c = merged[f"__p_{col}_count"]
+                out[f"{col}_sum"] = pa.array(np.where(c > 0, merged[f"__p_{col}_sum"], np.nan))
+            elif st == "count":
+                out[f"{col}_count"] = pa.array(merged[f"__p_{col}_count"].astype(np.int64))
+            elif st == "mean":
+                c = merged[f"__p_{col}_count"]
+                out[f"{col}_mean"] = pa.array(
+                    np.where(c > 0, merged[f"__p_{col}_sum"] / np.where(c == 0, 1, c), np.nan)
+                )
+            elif st == "std":
+                c = merged[f"__p_{col}_count"]
+                m = merged[f"__p_{col}_sum"] / np.where(c == 0, 1, c)
+                var = np.clip(merged[f"__p_{col}_sumsq"] / np.where(c == 0, 1, c) - m * m, 0, None)
+                out[f"{col}_std"] = pa.array(np.where(c > 0, np.sqrt(var), np.nan))
+            elif st == "min":
+                v = merged[f"__p_{col}_min"]
+                out[f"{col}_min"] = pa.array(np.where(np.isfinite(v), v, np.nan))
+            elif st == "max":
+                v = merged[f"__p_{col}_max"]
+                out[f"{col}_max"] = pa.array(np.where(np.isfinite(v), v, np.nan))
+    return out
+
+
+def groupby_rollup(ds, keys: str | list[str], aggs: dict[str, list[str]],
+                   grouping_id_col: str = "grouping_id",
+                   driver_level_budget: int = 1_000_000):
+    """SQL ``GROUP BY ROLLUP (keys...)`` — every prefix level plus the grand
+    total, with rolled-up key columns NULL and a SQL ``GROUPING()`` bitmask
+    column (bit set = column rolled up; key order = significance order).
+
+    Scale plan: the INPUT is aggregated exactly once — per-block partials,
+    one small sort-shuffle to merge them per finest key, materialized
+    (bounded by the distinct finest-key count, the same contract as any
+    GROUP BY output). Every coarser level then re-merges those finest
+    partials — never the input — with one cheap exchange per level; the
+    grand total reduces per block and merges O(blocks) rows on the driver.
+    sum/count/sumsq/min/max partials merge exactly, so mean/std at every
+    level equal a direct single-level aggregation."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not keys:
+        raise ValueError("groupby_rollup needs at least one key")
+    for col, stats in aggs.items():
+        for st in stats:
+            if st not in _STATS:
+                raise ValueError(f"unsupported stat {st!r} for {col!r}")
+    partial_specs: dict[str, tuple] = {}
+    for col, stats in aggs.items():
+        need = []
+        for st in stats:
+            need.extend(_NEEDS[st])
+        partial_specs[col] = tuple(dict.fromkeys(need))
+    nk = len(keys)
+
+    def level_table(partials: pa.Table, level: int, key_types: dict) -> pa.Table:
+        key_out, merged = _merge_partials_np(partials, keys[:level], partial_specs)
+        nrows = len(next(iter(merged.values()))) if merged else 0
+        cols: dict[str, pa.Array] = {}
+        for i, k in enumerate(keys):
+            cols[k] = key_out[k] if i < level else pa.nulls(nrows, key_types[k])
+        cols.update(_final_stats(merged, aggs))
+        gid = (1 << (nk - level)) - 1
+        cols[grouping_id_col] = pa.array(np.full(nrows, gid, np.int64))
+        return pa.table(cols)
+
+    if isinstance(ds, pa.Table):
+        finest = _rollup_partial(ds, keys, partial_specs)
+        key_types = {k: finest.schema.field(k).type for k in keys}
+        lvls = [level_table(finest, L, key_types) for L in range(nk, -1, -1)]
+        return pa.concat_tables(lvls)
+
+    from kamae_ray.base import dataset_schema
+    from kamae_ray.stages.window import sorted_block_apply
+
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(keys + list(aggs))))
+    except Exception:
+        pass
+    parts = proj.map_batches(
+        lambda b: _rollup_partial(b, keys, partial_specs),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+    def merge_finest(partials: pa.Table) -> pa.Table:
+        key_out, merged = _merge_partials_np(partials, keys, partial_specs)
+        key_out.update({p: pa.array(v) for p, v in merged.items()})
+        return pa.table(key_out)
+
+    # ONE pass over the input; the finest partial table is consumed by every
+    # level, so materialize it (build-notes rule: checkpoint any bounded
+    # intermediate consumed more than once).
+    finest = sorted_block_apply(parts, keys, merge_finest, "rollup_finest").materialize()
+    sch = dataset_schema(finest)
+    key_types = {k: sch.field(k).type for k in keys}
+    import ray
+
+    from kamae_ray.base import collect_tables
+
+    if finest.count() <= driver_level_budget:
+        # small finest table (the common case): compute every level on the
+        # driver from the already-merged partials — no per-level shuffles,
+        # no union chain of executions. Driver memory = finest size, under
+        # the explicit budget; above it the fully distributed path runs.
+        pcols = keys + [f"__p_{c}_{p}" for c, need in partial_specs.items() for p in need]
+        blocks = [t.select(pcols) for t in collect_tables(finest) if t.num_rows]
+        if blocks:
+            ft = pa.concat_tables(blocks)
+        else:
+            ft = pa.table({c: pa.nulls(0, key_types.get(c, pa.float64())) for c in pcols})
+        lvls = [level_table(ft, L, key_types) for L in range(nk, -1, -1)]
+        return ray.data.from_arrow(pa.concat_tables(lvls))
+
+    levels = []
+    for L in range(nk, 0, -1):
+        if L == nk:
+            lvl = finest.map_batches(
+                lambda b, L=L: level_table(b, L, key_types),
+                batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+            )
+        else:
+            # force the surrogate sort: finest is materialized (size known,
+            # usually small -> auto would pick Ray's plain sort), but a null
+            # string key crashes Ray's native sort partitioner
+            lvl = sorted_block_apply(
+                finest, keys[:L],
+                lambda b, L=L: level_table(b, L, key_types),
+                f"rollup_level{L}", force_surrogate=True,
+            )
+        levels.append(lvl)
+    # grand total: per-block single-row merge, then an O(blocks) driver merge
+    def block_total(b: pa.Table) -> pa.Table:
+        _, merged = _merge_partials_np(b, [], partial_specs)
+        return pa.table({p: pa.array(v) for p, v in merged.items()})
+
+    from kamae_ray.base import collect_tables
+
+    tiny = collect_tables(
+        finest.map_batches(block_total, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    )
+    tiny = pa.concat_tables([t for t in tiny if t.num_rows] or tiny[:1])
+    total = level_table(tiny, 0, key_types)
+    import ray
+
+    levels.append(ray.data.from_arrow(total))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
 def distinct(ds, cols: str | list[str]):
     """SQL ``SELECT DISTINCT cols``: one row per distinct tuple (all-null
     tuples collapse to one row, SQL DISTINCT semantics).

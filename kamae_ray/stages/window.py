@@ -109,7 +109,7 @@ def check_sorted_partitioning(ds, keys: Sequence[str]):
         seen_last.add(last_key)
 
 
-def sorted_block_apply(ds, keys, fn, name, schema=None):
+def sorted_block_apply(ds, keys, fn, name, schema=None, force_surrogate=False):
     """ONE distributed sort-shuffle on ``keys`` then a block kernel.
 
     String keys sort via a vectorized int64 surrogate
@@ -119,7 +119,7 @@ def sorted_block_apply(ds, keys, fn, name, schema=None):
     CPU-s of SortMap on a 6M-row window pass)."""
     from kamae_ray.functions import sortkeys as SK
 
-    srt, used = SK.surrogate_sorted(ds, list(keys), schema=schema)
+    srt, used = SK.surrogate_sorted(ds, list(keys), schema=schema, force=force_surrogate)
     wrapped = _NamedFn((lambda b: fn(SK.drop_skey(b))) if used else fn, name)
     return srt.map_batches(wrapped, batch_format="pyarrow", batch_size=None)
 

@@ -1,0 +1,98 @@
+"""groupby_rollup (SQL GROUP BY ROLLUP): DuckDB parity on both the Table
+path and the Dataset path, including the fully distributed (over-budget)
+plan and null keys / all-null value groups."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.stages.aggregate import groupby_rollup
+
+
+def _canon(t: pa.Table):
+    import pandas as pd
+
+    df = t.to_pandas()
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def _assert_frames_equal(a, b):
+    assert len(a) == len(b)
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if x.dtype.kind == "f" or y.dtype.kind == "f":
+            assert np.allclose(
+                x.to_numpy(dtype=float), y.to_numpy(dtype=float), equal_nan=True
+            ), c
+        else:
+            assert list(x.where(x.notna(), None)) == list(y.where(y.notna(), None)), c
+
+
+def _oracle(t: pa.Table, keys, exprs):
+    con = duckdb.connect()
+    con.register("t", t)
+    gid = f"CAST(GROUPING({', '.join(keys)}) AS BIGINT) AS grouping_id"
+    sql = f"SELECT {', '.join(keys)}, {exprs}, {gid} FROM t GROUP BY ROLLUP ({', '.join(keys)})"
+    return con.sql(sql).arrow()
+
+
+EXPRS = (
+    "sum(v) AS v_sum, count(v) AS v_count, avg(v) AS v_mean, "
+    "min(v) AS v_min, max(v) AS v_max"
+)
+
+
+def _table(with_nulls=False):
+    rng = np.random.default_rng(5)
+    n = 2000
+    a = rng.choice(["x", "y", "z"], n).astype(object)
+    b = rng.choice(["p", "q"], n).astype(object)
+    v = rng.integers(0, 100, n).astype(float)
+    if with_nulls:
+        a[::17] = None
+        v[::13] = np.nan
+    return pa.table({
+        "a": pa.array(list(a), pa.string()),
+        "b": pa.array(list(b), pa.string()),
+        "v": pa.array(v, pa.float64()).fill_null(np.nan) if not with_nulls else pa.array(
+            [None if np.isnan(x) else x for x in v], pa.float64()
+        ),
+    })
+
+
+@pytest.mark.parametrize("with_nulls", [False, True])
+def test_rollup_table_matches_duckdb(with_nulls):
+    t = _table(with_nulls)
+    got = groupby_rollup(t, ["a", "b"], {"v": ["sum", "count", "mean", "min", "max"]})
+    want = _oracle(t, ["a", "b"], EXPRS)
+    _assert_frames_equal(_canon(got), _canon(want))
+
+
+def test_rollup_single_key_and_validation():
+    t = _table()
+    got = groupby_rollup(t, "a", {"v": ["sum", "count"]})
+    want = _oracle(t, ["a"], "sum(v) AS v_sum, count(v) AS v_count")
+    _assert_frames_equal(_canon(got), _canon(want))
+    with pytest.raises(ValueError):
+        groupby_rollup(t, [], {"v": ["sum"]})
+    with pytest.raises(ValueError):
+        groupby_rollup(t, "a", {"v": ["median"]})
+
+
+@pytest.mark.parametrize("budget", [1_000_000, 0])
+def test_rollup_dataset_paths(ray_session, budget):
+    import ray
+
+    t = _table(with_nulls=True)
+    want = groupby_rollup(t, ["a", "b"], {"v": ["sum", "count", "mean", "min", "max"]})
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = groupby_rollup(
+        ds, ["a", "b"], {"v": ["sum", "count", "mean", "min", "max"]},
+        driver_level_budget=budget,
+    )
+    got = pa.concat_tables(
+        [pa.table(x) for x in out.iter_batches(batch_format="pyarrow")]
+    )
+    _assert_frames_equal(_canon(got), _canon(want))

@@ -1491,6 +1491,7 @@ def _q_rank(sf_dir):
         mk("dense_rank", "ts", "drk"),
         mk("percent_rank", "ts", "prk"),
         mk("ntile", "event_id", "nt"),
+        mk("cume_dist", "ts", "cd"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -1503,6 +1504,7 @@ def _q_rank(sf_dir):
                 "drk": batch.column("drk"),
                 "prk": pc.round(batch.column("prk"), ndigits=_R, round_mode="half_towards_infinity"),
                 "nt": batch.column("nt"),
+                "cd": pc.round(batch.column("cd"), ndigits=_R, round_mode="half_towards_infinity"),
             }
         )
 
@@ -2779,7 +2781,8 @@ def oracle_sql() -> dict[str, str]:
             "rank() OVER (PARTITION BY user_id ORDER BY ts) AS rk, "
             "dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS drk, "
             "ROUND(percent_rank() OVER (PARTITION BY user_id ORDER BY ts), 6) AS prk, "
-            "ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS nt "
+            "ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS nt, "
+            "ROUND(cume_dist() OVER (PARTITION BY user_id ORDER BY ts), 6) AS cd "
             "FROM events"
         ),
         "q_repetition": (

@@ -512,7 +512,7 @@ class SessionizeTransformer(KeyedWindowTransformer):
         return S.seg_sessionize(t, self.gap, starts, lens)
 
 
-_RANK_METHODS = ("row_number", "rank", "dense_rank", "percent_rank", "ntile")
+_RANK_METHODS = ("row_number", "rank", "dense_rank", "percent_rank", "ntile", "cume_dist")
 
 
 class WindowRankTransformer(KeyedWindowTransformer):
@@ -538,7 +538,7 @@ class WindowRankTransformer(KeyedWindowTransformer):
             raise ValueError(f"method must be one of {_RANK_METHODS}")
         self.method = method
         self.n_tiles = int(n_tiles)
-        self.out_type = pa.float64() if method == "percent_rank" else pa.int64()
+        self.out_type = pa.float64() if method in ("percent_rank", "cume_dist") else pa.int64()
 
     def _needs_values(self):
         return False
@@ -562,6 +562,16 @@ class WindowRankTransformer(KeyedWindowTransformer):
         new_val = np.ones(n, dtype=bool)
         if n > 1:
             new_val[1:] = (t[1:] != t[:-1]) | (srep[1:] != srep[:-1])
+        if self.method == "cume_dist":
+            # SQL CUME_DIST: (# peers with value <= current) / partition size
+            # = (index of the LAST row of this tie run - segment start + 1)/len
+            idx = np.arange(n, dtype=np.int64)
+            is_end = np.ones(n, dtype=bool)
+            if n > 1:
+                is_end[:-1] = new_val[1:]
+            run_end = np.minimum.accumulate(np.where(is_end, idx, n)[::-1])[::-1]
+            ln = np.repeat(lens, lens)
+            return (run_end - srep + 1) / ln
         if self.method == "dense_rank":
             cum = np.cumsum(new_val)
             return (cum - cum[srep] + 1).astype(np.int64)

@@ -239,18 +239,20 @@ def test_window_rank_methods_vs_duckdb(ray_session):
         ray.data.from_arrow(t).repartition(5),
         mk("row_number", "uid", "rn"), mk("rank", "ts", "rk"),
         mk("dense_rank", "ts", "drk"), mk("percent_rank", "ts", "prk"),
-        mk("ntile", "uid", "nt"),
+        mk("ntile", "uid", "nt"), mk("cume_dist", "ts", "cd"),
     ).to_pandas().sort_values(["u", "uid"]).reset_index(drop=True)
     oracle = duckdb.sql(
         "SELECT u, uid, row_number() OVER (PARTITION BY u ORDER BY uid) rn, "
         "rank() OVER (PARTITION BY u ORDER BY ts) rk, "
         "dense_rank() OVER (PARTITION BY u ORDER BY ts) drk, "
         "percent_rank() OVER (PARTITION BY u ORDER BY ts) prk, "
-        "ntile(3) OVER (PARTITION BY u ORDER BY uid) nt FROM t"
+        "ntile(3) OVER (PARTITION BY u ORDER BY uid) nt, "
+        "cume_dist() OVER (PARTITION BY u ORDER BY ts) cd FROM t"
     ).df().sort_values(["u", "uid"]).reset_index(drop=True)
     for c in ("rn", "rk", "drk", "nt"):
         assert out[c].astype(int).tolist() == oracle[c].astype(int).tolist(), c
     assert np.allclose(out["prk"].to_numpy(), oracle["prk"].to_numpy(), atol=1e-12)
+    assert np.allclose(out["cd"].to_numpy(), oracle["cd"].to_numpy(), atol=1e-12)
 
 
 def test_ewm_mean_vs_pandas(ray_session):

@@ -1,4 +1,5 @@
-"""Parquet read helper.
+"""Source / sink helpers: clean parquet reads, CSV/JSON readers, and a
+RESUMABLE hive-partitioned parquet sink.
 
 Pandas-written parquet embeds a ``b'pandas'`` schema-metadata dict that makes
 ``pa.Schema`` unhashable (pyarrow 16), which silently disables Ray Data's
@@ -42,3 +43,92 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
     except Exception:
         schema = None
     return ray.data.read_parquet(path, columns=columns, schema=schema, **kwargs)
+
+
+def read_csv_clean(path: str, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_csv`` with optional column projection. CSV has no
+    row-group pruning, so projection happens right after parse (one
+    ``select_columns``, before any downstream stage sees the batch)."""
+    import ray.data
+
+    ds = ray.data.read_csv(path, **kwargs)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def read_json_clean(path: str, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_json`` (newline-delimited JSON) with optional column
+    projection."""
+    import ray.data
+
+    ds = ray.data.read_json(path, **kwargs)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+_SUCCESS = "_SUCCESS"
+
+
+def _hive_dirs(root: str, col: str) -> dict[str, str]:
+    """Existing hive partition dirs for ``col``: {raw_value: dir_path}."""
+    import os
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    if not os.path.isdir(root):
+        return out
+    prefix = f"{col}="
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if os.path.isdir(p) and name.startswith(prefix):
+            out[unquote(name[len(prefix):])] = p
+    return out
+
+
+def write_partitioned(ds, root: str, partition_col: str, skip_existing: bool = True) -> dict:
+    """Resumable hive-partitioned parquet sink: ``root/col=value/*.parquet``
+    with a ``_SUCCESS`` marker per completed partition.
+
+    Restart contract (the 100 TB operational requirement — a failed run must
+    skip finished work): partitions whose dir carries ``_SUCCESS`` are
+    filtered OUT of the input before writing (one broadcast membership set,
+    no shuffle); dirs WITHOUT the marker are presumed torn by a killed run
+    and are cleaned before the write; markers are stamped only after the
+    write completes. Returns ``{"written": [...], "skipped": [...]}``.
+
+    Partition values are compared as strings (hive encoding); the partition
+    column reads back as string — the standard hive round-trip caveat."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    existing = _hive_dirs(root, partition_col)
+    done = sorted(v for v, p in existing.items() if os.path.exists(os.path.join(p, _SUCCESS)))
+    if skip_existing and done:
+        done_ref = ray.put(pa.array(done, pa.string()))
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            vals = pc.cast(batch.column(partition_col), pa.string(), safe=False)
+            return batch.filter(pc.invert(pc.is_in(vals, value_set=ray.get(done_ref))))
+
+        drop_done.__name__ = "skip_finished_partitions"
+        ds = ds.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
+    # torn partitions (no marker): clean so the rerun can't duplicate rows
+    for v, p in existing.items():
+        if v not in done:
+            shutil.rmtree(p, ignore_errors=True)
+    ds.write_parquet(root, partition_cols=[partition_col])
+    written = []
+    for v, p in _hive_dirs(root, partition_col).items():
+        marker = os.path.join(p, _SUCCESS)
+        if not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+            written.append(v)
+    return {"written": sorted(written), "skipped": list(done) if skip_existing else []}

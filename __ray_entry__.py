@@ -2126,6 +2126,41 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_shuffle(sf_dir):
+    """Reproducible global shuffle (``deterministic_shuffle``): every row's
+    0-based position under ORDER BY knuth_hash(key) — a pure function of the
+    data, unlike Ray's seeded random_shuffle (block-structure-dependent,
+    lesson 18). Rank = global_cumsum of ones: bucket partials + ONE
+    bucket-keyed sort-shuffle, never a serial scan. HUGEINT SQL oracle."""
+    from kamae_ray.stages.hashing import deterministic_shuffle
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    return deterministic_shuffle(ds, "o_orderkey", salt=7)
+
+
+def _q_mix(sf_dir):
+    """Weighted corpus mixing (``mix_corpora``): three document sources
+    sampled at 1.0/0.5/0.25 with deterministic per-key Bernoulli coins
+    (independent salt per source), provenance-tagged, streamed through
+    Dataset.union — no shuffle anywhere. HUGEINT SQL oracle reproduces the
+    kept sets exactly."""
+    from kamae_ray.stages.hashing import mix_corpora
+
+    def one(src_name):
+        def filt(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("source"), src_name))
+
+        filt.__name__ = f"pick_{src_name}"
+        return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+            filt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
+    return mix_corpora(
+        [(one("src0"), 1.0, "src0"), (one("src1"), 0.5, "src1"), (one("src2"), 0.25, "src2")],
+        "doc_id", salt=3,
+    )
+
+
 def _q_rollup(sf_dir):
     """SQL GROUP BY ROLLUP over (l_returnflag, l_linestatus): all prefix
     levels + grand total from ONE pass over the input — per-block partials,
@@ -2217,6 +2252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fuzzy": _q_fuzzy,
         "q_decontaminate": _q_decontaminate,
         "q_rollup": _q_rollup,
+        "q_shuffle": _q_shuffle,
+        "q_mix": _q_mix,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2651,6 +2688,22 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_shuffle": (
+            "SELECT o_orderkey, o_orderstatus, "
+            "CAST(row_number() OVER (ORDER BY "
+            "(CAST(o_orderkey + 7 AS HUGEINT) * 11400714819323198485) "
+            "% 18446744073709551616) - 1 AS BIGINT) AS shuffle_pos FROM orders"
+        ),
+        "q_mix": (
+            "SELECT doc_id, source, source AS mix_source FROM documents "
+            "WHERE source = 'src0' "
+            "UNION ALL SELECT doc_id, source, source FROM documents "
+            "WHERE source = 'src1' AND (CAST(doc_id + 4 AS HUGEINT) "
+            "* 11400714819323198485) % 18446744073709551616 < 9223372036854775808 "
+            "UNION ALL SELECT doc_id, source, source FROM documents "
+            "WHERE source = 'src2' AND (CAST(doc_id + 5 AS HUGEINT) "
+            "* 11400714819323198485) % 18446744073709551616 < 4611686018427387904"
         ),
         "q_rollup": (
             "SELECT l_returnflag, l_linestatus, "

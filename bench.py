@@ -195,6 +195,10 @@ _BENCH_QUERIES = [
     "q_approx_distinct",  # HyperLogLog registers through the shuffle
     "q_collect",  # list agg ORDER BY (ordered segment slicing)
     "q_fuzzy",  # nearest-Levenshtein lookup join (vectorized Wagner-Fischer)
+    "q_decontaminate",  # benchmark n-gram overlap (broadcast set + exact verify)
+    "q_rollup",  # GROUP BY ROLLUP: one input pass + level re-merge
+    "q_shuffle",  # reproducible global permutation via distributed rank
+    "q_mix",  # weighted corpus mixing (Bernoulli per source + union)
 ]
 
 

@@ -399,3 +399,97 @@ def group_sample(ds, keys, key_col: str, k: int, salt: int = 0):
 
     drop_h.__name__ = "group_sample_project"
     return out.map_batches(drop_h, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def deterministic_shuffle(ds, key_col: str, salt: int = 0,
+                          out_col: str = "shuffle_pos", **cumsum_kwargs):
+    """Reproducible global shuffle for training data: every row gets its
+    0-based position in the permutation ``ORDER BY hash(key, salt)`` — the
+    same permutation on every run, every cluster size, every partitioning
+    (unlike ``Dataset.random_shuffle``, whose seeded output depends on block
+    structure; see build-notes lesson 18).
+
+    Integer keys use the Knuth multiplicative hash — a BIJECTION on int64,
+    so distinct keys can never tie and the position column is an exact
+    permutation, SQL-reproducible in HUGEINT arithmetic. String keys use
+    FarmHash64 (a tie would need a 64-bit collision; positions remain a
+    permutation but tied keys' relative order is block-dependent).
+
+    Scale plan: hash is one vectorized map; the rank is
+    ``global_cumsum(ones)`` — bucket partial sums + ONE sort-shuffle on the
+    bucket id (never a global serial scan; ``levels=2`` for 100-TB id
+    spaces). Rows come back hash-bucket-sorted: consuming in block order
+    IS the shuffled order."""
+    from kamae_ray.stages.aggregate import global_cumsum
+
+    def add_cols(block: pa.Table) -> pa.Table:
+        h, null_mask = _split_hash(A.as_array(block.column(key_col)), salt)
+        # order-preserving signed view (uint64 order == int64 order after
+        # flipping the top bit): global_cumsum buckets by integer division
+        signed = (h ^ np.uint64(1 << 63)).view(np.int64)
+        block = block.append_column("__kr_sh", pa.array(signed, pa.int64()))
+        block = block.append_column(
+            "__kr_one", pa.array(np.ones(block.num_rows, np.int64))
+        )
+        if null_mask.any():  # null keys have no hashable identity
+            block = block.filter(pa.array(~null_mask))
+        return block
+
+    add_cols.__name__ = "shuffle_hash"
+    drop = ["__kr_sh", "__kr_one"]
+    if isinstance(ds, pa.Table):
+        out = global_cumsum(add_cols(ds), "__kr_sh", "__kr_one", out_col,
+                            exclusive=True, **cumsum_kwargs)
+        return out.drop_columns(drop)
+    hashed = ds.map_batches(add_cols, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
+    out = global_cumsum(hashed, "__kr_sh", "__kr_one", out_col,
+                        exclusive=True, **cumsum_kwargs)
+
+    def project(block: pa.Table) -> pa.Table:
+        return block.drop_columns([c for c in drop if c in block.column_names])
+
+    project.__name__ = "shuffle_project"
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
+def mix_corpora(sources, key_col: str, salt: int = 0, source_col: str = "mix_source"):
+    """Weighted multi-corpus mixing — the LLM data-mixture step: sample each
+    source at its target rate (deterministic per-key Bernoulli, same hash
+    contract as ``stratified_sample``), tag provenance, and union.
+
+    ``sources`` is a list of ``(ds_or_table, rate, name)``. Each source uses
+    salt ``salt + index`` so shared keys across sources draw independent
+    coins. rate >= 1.0 keeps everything; null keys are dropped. No shuffle:
+    one vectorized filter per source, then ``Dataset.union`` (streaming,
+    order-free). All sources must share a schema."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    parts = []
+    for i, (src, rate, name) in enumerate(sources):
+        thr = np.uint64(min(int(rate * 2.0**64), 2**64 - 1))
+        full = rate >= 1.0
+
+        def kern(block: pa.Table, thr=thr, full=full, name=name, s=salt + i) -> pa.Table:
+            h, null_mask = _split_hash(A.as_array(block.column(key_col)), s)
+            keep = (~null_mask) & (full | (h < thr))
+            block = block.filter(pa.array(keep))
+            return block.append_column(
+                source_col, pa.array([name] * block.num_rows, pa.string())
+            )
+
+        kern.__name__ = f"mix_{name}"
+        if isinstance(src, pa.Table):
+            parts.append(kern(src))
+        else:
+            parts.append(
+                src.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True,
+                                batch_size=None)
+            )
+    if isinstance(parts[0], pa.Table):
+        return pa.concat_tables(parts)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -1,0 +1,71 @@
+"""deterministic_shuffle (reproducible global permutation) and mix_corpora
+(weighted multi-source mixing)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.stages.hashing import deterministic_shuffle, mix_corpora
+
+
+def test_shuffle_is_exact_permutation_and_reproducible():
+    keys = pa.array(list(range(0, 5000, 3)), pa.int64())
+    t = pa.table({"k": keys, "v": pa.array(range(len(keys)), pa.int64())})
+    a = deterministic_shuffle(t, "k", salt=1).sort_by("k")
+    b = deterministic_shuffle(t, "k", salt=1).sort_by("k")
+    pos = a.column("shuffle_pos").to_pylist()
+    assert sorted(pos) == list(range(len(keys)))  # exact permutation
+    assert pos == b.column("shuffle_pos").to_pylist()  # pure function of data
+    c = deterministic_shuffle(t, "k", salt=2).sort_by("k")
+    assert pos != c.column("shuffle_pos").to_pylist()  # salt changes the order
+
+
+def test_shuffle_dataset_matches_table(ray_session):
+    import ray
+
+    t = pa.table({"k": pa.array(range(4000), pa.int64())})
+    want = deterministic_shuffle(t, "k", salt=9).sort_by("k")
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = pa.concat_tables(
+        [pa.table(b) for b in deterministic_shuffle(ds, "k", salt=9).iter_batches(batch_format="pyarrow")]
+    ).sort_by("k")
+    assert got.column("shuffle_pos").to_pylist() == want.column("shuffle_pos").to_pylist()
+
+
+def test_shuffle_null_keys_dropped():
+    t = pa.table({"k": pa.array([1, None, 3], pa.int64())})
+    out = deterministic_shuffle(t, "k")
+    assert out.num_rows == 2
+    assert sorted(out.column("shuffle_pos").to_pylist()) == [0, 1]
+
+
+def test_mix_corpora_rates_and_determinism():
+    n = 20000
+    t = pa.table({"k": pa.array(range(n), pa.int64())})
+    out = mix_corpora([(t, 1.0, "all"), (t, 0.5, "half"), (t, 0.1, "tenth")], "k", salt=4)
+    import collections
+
+    counts = collections.Counter(out.column("mix_source").to_pylist())
+    assert counts["all"] == n
+    assert abs(counts["half"] / n - 0.5) < 0.02
+    assert abs(counts["tenth"] / n - 0.1) < 0.01
+    again = mix_corpora([(t, 1.0, "all"), (t, 0.5, "half"), (t, 0.1, "tenth")], "k", salt=4)
+    assert out.sort_by([("mix_source", "ascending"), ("k", "ascending")]).equals(
+        again.sort_by([("mix_source", "ascending"), ("k", "ascending")])
+    )
+    with pytest.raises(ValueError):
+        mix_corpora([], "k")
+
+
+def test_mix_corpora_dataset_matches_table(ray_session):
+    import ray
+
+    t = pa.table({"k": pa.array(range(3000), pa.int64())})
+    want = mix_corpora([(t, 0.3, "a"), (t, 0.7, "b")], "k", salt=11)
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = pa.concat_tables(
+        [pa.table(b) for b in mix_corpora([(ds, 0.3, "a"), (ds, 0.7, "b")], "k", salt=11)
+         .iter_batches(batch_format="pyarrow")]
+    )
+    key = [("mix_source", "ascending"), ("k", "ascending")]
+    assert got.sort_by(key).equals(want.sort_by(key))

@@ -2126,6 +2126,22 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_var(sf_dir):
+    """Population/sample variance + stddev per group from (sum, count, sumsq)
+    partials — the partials merge exactly for integer-valued columns, so
+    every level equals DuckDB's var_pop/var_samp/stddev to fp ulp."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = groupby_agg(ds, "l_returnflag",
+                      {"l_quantity": ["var", "var_samp", "std", "std_samp"]})
+    return out.map_batches(
+        _rounder(["l_quantity_var", "l_quantity_var_samp",
+                  "l_quantity_std", "l_quantity_std_samp"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_shuffle(sf_dir):
     """Reproducible global shuffle (``deterministic_shuffle``): every row's
     0-based position under ORDER BY knuth_hash(key) — a pure function of the
@@ -2254,6 +2270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup": _q_rollup,
         "q_shuffle": _q_shuffle,
         "q_mix": _q_mix,
+        "q_var": _q_var,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2688,6 +2705,14 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_var": (
+            "SELECT l_returnflag, "
+            "ROUND(var_pop(l_quantity), 6) AS l_quantity_var, "
+            "ROUND(var_samp(l_quantity), 6) AS l_quantity_var_samp, "
+            "ROUND(stddev_pop(l_quantity), 6) AS l_quantity_std, "
+            "ROUND(stddev_samp(l_quantity), 6) AS l_quantity_std_samp "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "q_shuffle": (
             "SELECT o_orderkey, o_orderstatus, "

@@ -19,16 +19,35 @@ import pyarrow.compute as pc
 from kamae_ray.functions import arrays as A
 from kamae_ray.functions import segments as S
 
-_STATS = ("sum", "count", "mean", "min", "max", "std")
+_STATS = ("sum", "count", "mean", "min", "max", "std", "var", "var_samp", "std_samp")
 #: partials needed per requested stat
 _NEEDS = {
     "sum": ("sum", "count"),  # count distinguishes empty groups: SQL SUM of all-null = NULL
     "count": ("count",),
     "mean": ("sum", "count"),
     "std": ("sum", "count", "sumsq"),
+    "var": ("sum", "count", "sumsq"),
+    "var_samp": ("sum", "count", "sumsq"),
+    "std_samp": ("sum", "count", "sumsq"),
     "min": ("min",),
     "max": ("max",),
 }
+
+
+def _moment_stat(st: str, merged: dict, col: str, prefix: str) -> np.ndarray:
+    """std/var from (sum, count, sumsq) partials. ``std``/``var`` are
+    population (VAR_POP); ``*_samp`` are sample (SQL STDDEV/VARIANCE default,
+    n-1 denominator, NULL when n < 2)."""
+    c = merged[f"{prefix}{col}_count"]
+    safe = np.where(c == 0, 1, c)
+    m = merged[f"{prefix}{col}_sum"] / safe
+    ss = np.clip(merged[f"{prefix}{col}_sumsq"] / safe - m * m, 0, None)
+    if st in ("var_samp", "std_samp"):
+        denom = np.where(c > 1, c - 1, 1)
+        v = np.where(c > 1, ss * c / denom, np.nan)
+    else:
+        v = np.where(c > 0, ss, np.nan)
+    return np.sqrt(v) if st.startswith("std") else v
 
 
 def groupby_agg(ds, keys: str | list[str], aggs: dict[str, list[str]]):
@@ -115,11 +134,8 @@ def groupby_agg(ds, keys: str | list[str], aggs: dict[str, list[str]]):
                     out[f"{col}_mean"] = pa.array(
                         np.where(c > 0, merged[f"{col}_sum"] / np.where(c == 0, 1, c), np.nan)
                     )
-                elif st == "std":
-                    c = merged[f"{col}_count"]
-                    m = merged[f"{col}_sum"] / np.where(c == 0, 1, c)
-                    var = np.clip(merged[f"{col}_sumsq"] / np.where(c == 0, 1, c) - m * m, 0, None)
-                    out[f"{col}_std"] = pa.array(np.where(c > 0, np.sqrt(var), np.nan))
+                elif st in ("std", "var", "var_samp", "std_samp"):
+                    out[f"{col}_{st}"] = pa.array(_moment_stat(st, merged, col, ""))
                 elif st == "min":
                     v = merged[f"{col}_min"]
                     out[f"{col}_min"] = pa.array(np.where(np.isfinite(v), v, np.nan))
@@ -232,11 +248,8 @@ def _final_stats(merged: dict, aggs: dict[str, list[str]]) -> dict:
                 out[f"{col}_mean"] = pa.array(
                     np.where(c > 0, merged[f"__p_{col}_sum"] / np.where(c == 0, 1, c), np.nan)
                 )
-            elif st == "std":
-                c = merged[f"__p_{col}_count"]
-                m = merged[f"__p_{col}_sum"] / np.where(c == 0, 1, c)
-                var = np.clip(merged[f"__p_{col}_sumsq"] / np.where(c == 0, 1, c) - m * m, 0, None)
-                out[f"{col}_std"] = pa.array(np.where(c > 0, np.sqrt(var), np.nan))
+            elif st in ("std", "var", "var_samp", "std_samp"):
+                out[f"{col}_{st}"] = pa.array(_moment_stat(st, merged, col, "__p_"))
             elif st == "min":
                 v = merged[f"__p_{col}_min"]
                 out[f"{col}_min"] = pa.array(np.where(np.isfinite(v), v, np.nan))

@@ -96,3 +96,23 @@ def test_rollup_dataset_paths(ray_session, budget):
         [pa.table(x) for x in out.iter_batches(batch_format="pyarrow")]
     )
     _assert_frames_equal(_canon(got), _canon(want))
+
+
+def test_variance_stats_vs_duckdb():
+    rng = np.random.default_rng(2)
+    t = pa.table({
+        "k": pa.array(list(rng.choice(["a", "b"], 300))),
+        "v": pa.array(np.round(rng.normal(5, 2, 300), 3)),
+    })
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    out = groupby_agg(t, "k", {"v": ["var", "var_samp", "std_samp"]}).to_pandas().sort_values("k")
+    ora = duckdb.sql(
+        "SELECT k, var_pop(v) vp, var_samp(v) vs, stddev_samp(v) ss FROM t GROUP BY k ORDER BY k"
+    ).df()
+    assert np.allclose(out["v_var"], ora["vp"])
+    assert np.allclose(out["v_var_samp"], ora["vs"])
+    assert np.allclose(out["v_std_samp"], ora["ss"])
+    # SQL: sample variance of a single row is NULL
+    one = groupby_agg(pa.table({"k": ["x"], "v": [1.5]}), "k", {"v": ["var_samp", "var"]}).to_pandas()
+    assert np.isnan(one["v_var_samp"].iloc[0]) and one["v_var"].iloc[0] == 0.0

@@ -2126,6 +2126,19 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_dup_passages(sf_dir):
+    """Per-document duplicated-passage fraction (Lee et al. 2022 metric,
+    ``duplicate_passage_stats``): share of each doc's distinct word 5-grams
+    occurring in >= 2 documents. One sort-shuffle of (doc, gram-hash) pairs
+    + segmented dup counting + a left shuffle_join onto per-doc totals —
+    never all-pairs, no driver state. dup_frac rounded to 6dp both sides."""
+    from kamae_ray.pipelines.decontam import duplicate_passage_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_passage_stats(ds, "text", "doc_id", n=5)
+    return out.map_batches(_rounder(["dup_frac"]), batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_var(sf_dir):
     """Population/sample variance + stddev per group from (sum, count, sumsq)
     partials — the partials merge exactly for integer-valued columns, so
@@ -2271,6 +2284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shuffle": _q_shuffle,
         "q_mix": _q_mix,
         "q_var": _q_var,
+        "q_dup_passages": _q_dup_passages,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2705,6 +2719,20 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_dup_passages": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, unnest(list_transform("
+            "range(1, len(ws) - 5 + 2), i -> array_to_string(ws[i:i+4], ' '))) AS g "
+            "FROM w WHERE len(ws) >= 5), "
+            "dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2), "
+            "tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id), "
+            "nd AS (SELECT doc_id, count(*) AS n_dup FROM g JOIN dup USING (g) "
+            "GROUP BY doc_id) "
+            "SELECT t.doc_id, t.n_grams, coalesce(nd.n_dup, 0) AS n_dup, "
+            "ROUND(coalesce(nd.n_dup, 0)::DOUBLE / t.n_grams, 6) AS dup_frac "
+            "FROM tot t LEFT JOIN nd USING (doc_id)"
         ),
         "q_var": (
             "SELECT l_returnflag, "

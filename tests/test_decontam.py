@@ -99,3 +99,54 @@ def test_dataset_path_matches_table(ray_session):
         [pa.table(b) for b in decontaminate(ds, bs_d, "text", "doc_id").iter_batches(batch_format="pyarrow")]
     ).sort_by("doc_id")
     assert got.equals(want.sort_by("doc_id"))
+
+
+def _py_dup_stats(corpus, n, min_docs=2):
+    grams = {did: _py_ngrams(t, n) for did, t in corpus}
+    from collections import Counter
+
+    cnt = Counter(g for gs in grams.values() for g in gs)
+    out = {}
+    for did, gs in grams.items():
+        if not gs:
+            continue
+        nd = sum(1 for g in gs if cnt[g] >= min_docs)
+        out[did] = (len(gs), nd)
+    return out
+
+
+@given(
+    corpus=st.lists(_doc(), min_size=1, max_size=40),
+    n=st.integers(2, 4),
+    min_docs=st.integers(2, 3),
+)
+@settings(max_examples=40, deadline=None)
+def test_duplicate_passage_stats_matches_python(corpus, n, min_docs):
+    from kamae_ray.pipelines.decontam import duplicate_passage_stats
+
+    ct = pa.table(
+        {"doc_id": pa.array(range(len(corpus)), pa.int64()),
+         "text": pa.array(corpus, pa.string())}
+    )
+    got = duplicate_passage_stats(ct, "text", "doc_id", n=n, min_docs=min_docs)
+    gmap = {r["doc_id"]: (r["n_grams"], r["n_dup"]) for r in got.to_pylist()}
+    want = _py_dup_stats([(i, t or "") for i, t in enumerate(corpus)], n, min_docs)
+    assert gmap == want
+
+
+def test_duplicate_passage_dataset_matches_table(ray_session):
+    import ray
+
+    from kamae_ray.pipelines.decontam import duplicate_passage_stats
+
+    rng = np.random.default_rng(3)
+    corpus = [" ".join(rng.choice(WORDS[:-1], size=rng.integers(2, 15))) for _ in range(300)]
+    ct = pa.table({"doc_id": pa.array(range(len(corpus)), pa.int64()),
+                   "text": pa.array(corpus)})
+    want = duplicate_passage_stats(ct, "text", "doc_id", n=3).sort_by("doc_id")
+    ds = ray.data.from_arrow(ct).repartition(5)
+    got = pa.concat_tables(
+        [pa.table(b) for b in duplicate_passage_stats(ds, "text", "doc_id", n=3)
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+    assert got.equals(want)

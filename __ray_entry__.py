@@ -2126,6 +2126,32 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_corr(sf_dir):
+    """Per-group Pearson correlation + covariance (``groupby_corr``): six
+    additive cross-moment partials per block, one small shuffle, block
+    finalize — SQL corr/covar_pop/covar_samp parity incl. pairwise-null
+    exclusion. l_quantity/l_extendedprice per return flag."""
+    from kamae_ray.stages.aggregate import groupby_corr
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = groupby_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+    return out.map_batches(
+        _rounder(["corr", "covar_pop", "covar_samp"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _q_mode(sf_dir):
+    """Deterministic per-group MODE (``groupby_mode``): (keys, value)
+    frequency through the partial-agg shuffle, then topk_per_group(k=1)
+    with the documented tie rule (count DESC, value ASC) — reproducible,
+    unlike SQL's unspecified mode() tie."""
+    from kamae_ray.stages.aggregate import groupby_mode
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return groupby_mode(ds, "o_orderpriority", "o_orderstatus")
+
+
 def _q_dup_passages(sf_dir):
     """Per-document duplicated-passage fraction (Lee et al. 2022 metric,
     ``duplicate_passage_stats``): share of each doc's distinct word 5-grams
@@ -2285,6 +2311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mix": _q_mix,
         "q_var": _q_var,
         "q_dup_passages": _q_dup_passages,
+        "q_corr": _q_corr,
+        "q_mode": _q_mode,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2719,6 +2747,23 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_corr": (
+            "SELECT l_returnflag, "
+            "count(*) FILTER (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) AS n, "
+            "ROUND(corr(l_quantity, l_extendedprice), 6) AS corr, "
+            "ROUND(covar_pop(l_quantity, l_extendedprice), 6) AS covar_pop, "
+            "ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_samp "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q_mode": (
+            "SELECT o_orderpriority, o_orderstatus AS o_orderstatus_mode, "
+            "cnt AS o_orderstatus_mode_count FROM ("
+            "SELECT o_orderpriority, o_orderstatus, count(*) AS cnt, "
+            "row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY count(*) DESC, o_orderstatus ASC) AS rn "
+            "FROM orders WHERE o_orderstatus IS NOT NULL "
+            "GROUP BY o_orderpriority, o_orderstatus) WHERE rn = 1"
         ),
         "q_dup_passages": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws "

@@ -982,3 +982,136 @@ def groupby_collect(ds, keys: str | list[str], col: str,
     from kamae_ray.stages.window import sorted_block_apply
 
     return sorted_block_apply(proj, keys, kern, "groupby_collect")
+
+
+def groupby_corr(ds, keys: str | list[str], x: str, y: str):
+    """Per-group Pearson correlation + covariance of two columns — SQL
+    ``corr(x, y)``, ``covar_pop``, ``covar_samp`` GROUP BY keys.
+
+    Rows where EITHER value is null are excluded (SQL pair semantics).
+    Outputs: keys + ``n`` (pair count), ``corr`` (NULL when n < 2 or either
+    variance is 0 — SQL), ``covar_pop`` (NULL when n = 0), ``covar_samp``
+    (NULL when n < 2). Correlation is scale-free, so the population moments
+    used here equal SQL's sample-based definition exactly (the n/(n-1)
+    factors cancel).
+
+    Same partial-agg plan as groupby_agg: per-block (n, sx, sy, sxx, syy,
+    sxy) partials — all six merge by addition — then one small sort-shuffle
+    + block finalize; never a driver merge."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    P = ("n", "sx", "sy", "sxx", "syy", "sxy")
+
+    def _xy(block: pa.Table):
+        xv, xm = A.to_numpy(pc.cast(A.as_array(block.column(x)), pa.float64(), safe=False))
+        yv, ym = A.to_numpy(pc.cast(A.as_array(block.column(y)), pa.float64(), safe=False))
+        xv = xv.astype(np.float64, copy=True)
+        yv = yv.astype(np.float64, copy=True)
+        if xm is not None:
+            xv[xm] = np.nan
+        if ym is not None:
+            yv[ym] = np.nan
+        ok = ~(np.isnan(xv) | np.isnan(yv))
+        return np.where(ok, xv, 0.0), np.where(ok, yv, 0.0), ok
+
+    def partial(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            cols = {k: block.column(k) for k in keys}
+            cols.update({f"__p_{p}": pa.array([], pa.float64()) for p in P})
+            return pa.table(cols)
+        gids = S.group_ids(block, keys)
+        order = np.argsort(gids, kind="stable")
+        starts, _ = S.segments(gids[order])
+        firsts = order[starts]
+        xv, yv, ok = _xy(block)
+        xv, yv, okf = xv[order], yv[order], ok[order].astype(np.float64)
+        cols = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in keys}
+        for p, v in zip(P, (okf, xv, yv, xv * xv, yv * yv, xv * yv)):
+            cols[f"__p_{p}"] = pa.array(np.add.reduceat(v, starts))
+        return pa.table(cols)
+
+    partial.__name__ = "corr_partial"
+
+    def finalize(partials: pa.Table) -> pa.Table:
+        if partials.num_rows == 0:
+            cols = {k: partials.column(k) for k in keys}
+            cols.update({"n": pa.array([], pa.int64())})
+            for c in ("corr", "covar_pop", "covar_samp"):
+                cols[c] = pa.array([], pa.float64())
+            return pa.table(cols)
+        gids = S.group_ids(partials, keys)
+        order = np.argsort(gids, kind="stable")
+        starts, _ = S.segments(gids[order])
+        firsts = order[starts]
+        m = {
+            p: np.add.reduceat(
+                partials.column(f"__p_{p}").to_numpy(zero_copy_only=False)[order], starts
+            )
+            for p in P
+        }
+        n = m["n"]
+        safe = np.where(n == 0, 1, n)
+        mx, my = m["sx"] / safe, m["sy"] / safe
+        cov = m["sxy"] / safe - mx * my
+        vx = np.clip(m["sxx"] / safe - mx * mx, 0, None)
+        vy = np.clip(m["syy"] / safe - my * my, 0, None)
+        denom = np.sqrt(vx * vy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where((n >= 2) & (denom > 0), cov / np.where(denom == 0, 1, denom), np.nan)
+            csamp = np.where(n >= 2, cov * n / np.where(n < 2, 1, n - 1), np.nan)
+        out = {k: A.as_array(partials.column(k)).take(pa.array(firsts)) for k in keys}
+        out["n"] = pa.array(n.astype(np.int64))
+        out["corr"] = pa.array(np.clip(r, -1.0, 1.0))
+        out["covar_pop"] = pa.array(np.where(n > 0, cov, np.nan))
+        out["covar_samp"] = pa.array(csamp)
+        return pa.table(out)
+
+    if isinstance(ds, pa.Table):
+        return finalize(partial(ds))
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(keys + [x, y])))
+    except Exception:
+        pass
+    parts = proj.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(parts, keys, finalize, "corr_finalize")
+
+
+def groupby_mode(ds, keys: str | list[str], col: str):
+    """SQL-style MODE per group: the most frequent NON-NULL value of ``col``
+    per ``keys`` tuple, ties broken by the smallest value (deterministic —
+    ``ROW_NUMBER() OVER (... ORDER BY count DESC, value ASC) = 1``, unlike
+    SQL's unspecified ``mode()`` tie).
+
+    Plan: (keys, col) frequency via groupby_agg's partial-agg shuffle, then
+    ``topk_per_group(k=1)`` — the second exchange carries at most one row
+    per (block, keys) after the partial head. Output: keys + ``{col}_mode``
+    + ``{col}_mode_count``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def prep(block: pa.Table) -> pa.Table:
+        # drop nulls; count a ones column (the value column itself may be a
+        # string — groupby_agg's moment kernel is numeric-only)
+        block = block.filter(pc.is_valid(A.as_array(block.column(col))))
+        return block.append_column("__kr_one", pa.array(np.ones(block.num_rows, np.int64)))
+
+    prep.__name__ = "mode_prep"
+    src = prep(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    counts = groupby_agg(src, keys + [col], {"__kr_one": ["count"]})
+    top = topk_per_group(counts, keys, "__kr_one_count", 1, descending=True, tiebreak=[col])
+
+    def finish(block: pa.Table) -> pa.Table:
+        out = {k: block.column(k) for k in keys}
+        out[f"{col}_mode"] = block.column(col)
+        out[f"{col}_mode_count"] = pc.cast(block.column("__kr_one_count"), pa.int64())
+        return pa.table(out)
+
+    finish.__name__ = "mode_finish"
+    if isinstance(top, pa.Table):
+        return finish(top)
+    return top.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)

@@ -116,3 +116,64 @@ def test_variance_stats_vs_duckdb():
     # SQL: sample variance of a single row is NULL
     one = groupby_agg(pa.table({"k": ["x"], "v": [1.5]}), "k", {"v": ["var_samp", "var"]}).to_pandas()
     assert np.isnan(one["v_var_samp"].iloc[0]) and one["v_var"].iloc[0] == 0.0
+
+
+def test_groupby_corr_vs_duckdb(ray_session):
+    import ray
+
+    from kamae_ray.stages.aggregate import groupby_corr
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    k = list(rng.choice(["a", "b", "c", "d"], n))
+    x = np.round(rng.normal(0, 1, n), 3)
+    y = np.round(0.5 * x + rng.normal(0, 1, n), 3)
+    x[::11] = np.nan
+    y[::13] = np.nan
+    t = pa.table({
+        "k": pa.array(k),
+        "x": pa.array([None if np.isnan(v) else v for v in x], pa.float64()),
+        "y": pa.array([None if np.isnan(v) else v for v in y], pa.float64()),
+    })
+    ora = duckdb.sql(
+        "SELECT k, count(*) FILTER (x IS NOT NULL AND y IS NOT NULL) n, corr(x,y) c, "
+        "covar_pop(x,y) cp, covar_samp(x,y) cs FROM t GROUP BY k ORDER BY k"
+    ).df()
+    for src in (t, ray.data.from_arrow(t).repartition(5)):
+        out = groupby_corr(src, "k", "x", "y")
+        if not isinstance(out, pa.Table):
+            out = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+        df = out.to_pandas().sort_values("k").reset_index(drop=True)
+        assert df["n"].tolist() == ora["n"].astype(int).tolist()
+        assert np.allclose(df["corr"], ora["c"])
+        assert np.allclose(df["covar_pop"], ora["cp"])
+        assert np.allclose(df["covar_samp"], ora["cs"])
+    # SQL edge semantics: zero variance -> NULL corr; n=1 -> NULL covar_samp
+    t2 = pa.table({"k": ["a", "a", "b"], "x": [1.0, 1.0, 2.0], "y": [3.0, 4.0, 5.0]})
+    o2 = groupby_corr(t2, "k", "x", "y").to_pandas().set_index("k")
+    assert np.isnan(o2.loc["a", "corr"]) and np.isnan(o2.loc["b", "covar_samp"])
+
+
+def test_groupby_mode_vs_duckdb(ray_session):
+    import ray
+
+    from kamae_ray.stages.aggregate import groupby_mode
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(list(rng.choice(["a", "b", "c", "d"], n))),
+        "v": pa.array(list(rng.choice(["p", "q", "r", None], n, p=[.4, .3, .2, .1])), pa.string()),
+    })
+    ora = duckdb.sql(
+        "SELECT k, v AS m, cnt FROM (SELECT k, v, count(*) cnt, row_number() OVER ("
+        "PARTITION BY k ORDER BY count(*) DESC, v ASC) rn FROM t WHERE v IS NOT NULL "
+        "GROUP BY k, v) WHERE rn = 1 ORDER BY k"
+    ).df()
+    for src in (t, ray.data.from_arrow(t).repartition(6)):
+        out = groupby_mode(src, "k", "v")
+        if not isinstance(out, pa.Table):
+            out = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+        df = out.to_pandas().sort_values("k").reset_index(drop=True)
+        assert df["v_mode"].tolist() == ora["m"].tolist()
+        assert df["v_mode_count"].tolist() == ora["cnt"].astype(int).tolist()

@@ -2126,6 +2126,20 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_quantile_disc(sf_dir):
+    """Discrete (percentile_disc) per-group quantiles: the smallest ACTUAL
+    value with cumulative fraction >= q — same one-shuffle segmented kernel
+    as quantile_cont, gather-only (no interpolation), so outputs are exact
+    column elements and need no rounding on either side."""
+    from kamae_ray.stages.aggregate import quantile_per_group
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"])
+    return quantile_per_group(
+        ds, ["l_returnflag", "l_linestatus"], "l_extendedprice",
+        [0.25, 0.5, 0.9], method="disc",
+    )
+
+
 def _q_corr(sf_dir):
     """Per-group Pearson correlation + covariance (``groupby_corr``): six
     additive cross-moment partials per block, one small shuffle, block
@@ -2313,6 +2327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_passages": _q_dup_passages,
         "q_corr": _q_corr,
         "q_mode": _q_mode,
+        "q_quantile_disc": _q_quantile_disc,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2747,6 +2762,13 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_quantile_disc": (
+            "SELECT l_returnflag, l_linestatus, "
+            "quantile_disc(l_extendedprice, 0.25) AS l_extendedprice_p25, "
+            "quantile_disc(l_extendedprice, 0.5) AS l_extendedprice_p50, "
+            "quantile_disc(l_extendedprice, 0.9) AS l_extendedprice_p90 "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "q_corr": (
             "SELECT l_returnflag, "

@@ -797,10 +797,13 @@ def topk_per_group(ds, keys, order_col: str, k: int, descending: bool = True,
     return sorted_block_apply(parts, keys, head_k, "topk_finalize")
 
 
-def quantile_per_group(ds, keys, col: str, qs, out_prefix: str | None = None):
-    """Exact linear-interpolated quantiles of ``col`` per ``keys`` tuple —
-    SQL ``quantile_cont(col, q)`` semantics (nulls ignored; empty group ->
-    null). Output: key columns + ``{prefix}_p{round(q*100)}`` float64.
+def quantile_per_group(ds, keys, col: str, qs, out_prefix: str | None = None,
+                       method: str = "cont"):
+    """Exact quantiles of ``col`` per ``keys`` tuple — SQL
+    ``quantile_cont(col, q)`` (``method='cont'``, linear interpolation) or
+    ``quantile_disc`` / ``percentile_disc`` (``method='disc'``: the smallest
+    actual value whose cumulative fraction >= q). Nulls ignored; empty
+    group -> null. Output: key columns + ``{prefix}_p{round(q*100)}``.
 
     Exact quantiles are not mergeable from per-block partials, so the plan
     is ONE sort-shuffle of the PROJECTED (keys, col) columns — never the
@@ -808,6 +811,8 @@ def quantile_per_group(ds, keys, col: str, qs, out_prefix: str | None = None):
     lexsort, per-group non-null counts via reduceat, and a gather-interpolate
     with no per-group Python loop."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if method not in ("cont", "disc"):
+        raise ValueError("method must be cont|disc")
     qs = list(qs)
     prefix = out_prefix or col
     names = [f"{prefix}_p{int(round(q * 100))}" for q in qs]
@@ -826,13 +831,18 @@ def quantile_per_group(ds, keys, col: str, qs, out_prefix: str | None = None):
         out = {kc: A.as_array(block.column(kc)).take(pa.array(firsts)) for kc in keys}
         m = np.add.reduceat((~np.isnan(v)).astype(np.int64), starts) if len(v) else np.zeros(0, np.int64)
         for q, name in zip(qs, names):
-            p = q * np.maximum(m - 1, 0)
-            lo = np.floor(p).astype(np.int64)
-            hi = np.minimum(lo + 1, np.maximum(m - 1, 0))
-            frac = p - lo
-            vlo = v[starts + np.minimum(lo, np.maximum(m - 1, 0))]
-            vhi = v[starts + hi]
-            res = vlo * (1.0 - frac) + vhi * frac
+            if method == "disc":
+                # smallest value with cumulative fraction >= q: ceil(q*m)-1
+                k = np.maximum(np.ceil(q * m).astype(np.int64) - 1, 0)
+                res = v[starts + np.minimum(k, np.maximum(m - 1, 0))]
+            else:
+                p = q * np.maximum(m - 1, 0)
+                lo = np.floor(p).astype(np.int64)
+                hi = np.minimum(lo + 1, np.maximum(m - 1, 0))
+                frac = p - lo
+                vlo = v[starts + np.minimum(lo, np.maximum(m - 1, 0))]
+                vhi = v[starts + hi]
+                res = vlo * (1.0 - frac) + vhi * frac
             out[name] = pa.array(np.where(m > 0, res, np.nan))
         return pa.table(out)
 

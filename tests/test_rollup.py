@@ -177,3 +177,25 @@ def test_groupby_mode_vs_duckdb(ray_session):
         df = out.to_pandas().sort_values("k").reset_index(drop=True)
         assert df["v_mode"].tolist() == ora["m"].tolist()
         assert df["v_mode_count"].tolist() == ora["cnt"].astype(int).tolist()
+
+
+def test_quantile_disc_vs_duckdb():
+    from kamae_ray.stages.aggregate import quantile_per_group
+
+    rng = np.random.default_rng(6)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(list(rng.choice(["a", "b", "c"], n))),
+        "v": pa.array([None if rng.random() < 0.05 else round(float(x), 3)
+                       for x in rng.normal(0, 10, n)], pa.float64()),
+    })
+    out = quantile_per_group(t, "k", "v", [0.25, 0.5, 0.9], method="disc").to_pandas().sort_values("k")
+    ora = duckdb.sql(
+        "SELECT k, quantile_disc(v, 0.25) p25, quantile_disc(v, 0.5) p50, "
+        "quantile_disc(v, 0.9) p90 FROM t GROUP BY k ORDER BY k"
+    ).df()
+    assert np.allclose(out["v_p25"], ora["p25"])
+    assert np.allclose(out["v_p50"], ora["p50"])
+    assert np.allclose(out["v_p90"], ora["p90"])
+    with pytest.raises(ValueError):
+        quantile_per_group(t, "k", "v", [0.5], method="nearest")

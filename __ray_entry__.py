@@ -2126,6 +2126,28 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_pagerank(sf_dir):
+    """Fixed-iteration PageRank (``pipelines.graph.pagerank``) over the
+    bipartite order->part graph: per iteration one edges-state shuffle_join,
+    one partial-agg contribution sum, one left join back onto the node
+    state — state repartitioned+materialized each iteration (CC-loop
+    lesson: bounded block count). Oracle = the same recurrence unrolled as
+    chained CTEs (no recursive-aggregate SQL restriction)."""
+    from kamae_ray.pipelines.graph import pagerank
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column("l_orderkey"),
+            "dst": pc.add(batch.column("l_partkey"), pa.scalar(100_000_000, pa.int64())),
+        })
+
+    to_edges.__name__ = "pr_edges"
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return pagerank(edges, iters=3, fixed_point=1_000_000)
+
+
 def _q_quantile_disc(sf_dir):
     """Discrete (percentile_disc) per-group quantiles: the smallest ACTUAL
     value with cumulative fraction >= q — same one-shuffle segmented kernel
@@ -2328,6 +2350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corr": _q_corr,
         "q_mode": _q_mode,
         "q_quantile_disc": _q_quantile_disc,
+        "q_pagerank": _q_pagerank,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2762,6 +2785,24 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_pagerank": (
+            "WITH e AS (SELECT l_orderkey AS src, l_partkey + 100000000 AS dst FROM "
+            "lineitem), n AS (SELECT DISTINCT src AS node FROM e UNION SELECT "
+            "DISTINCT dst FROM e), g AS (SELECT src, count(*) AS c FROM e GROUP BY "
+            "src), r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n), r1 "
+            "AS (SELECT n.node, CAST(150000 + (85 * coalesce(m.s, 0)) // 100 AS "
+            "BIGINT) AS rank FROM n LEFT JOIN (SELECT e.dst AS node, sum(p.rank // "
+            "g.c) AS s FROM e JOIN r0 p ON p.node = e.src JOIN g ON g.src = e.src "
+            "GROUP BY e.dst) m USING (node)), r2 AS (SELECT n.node, CAST(150000 + "
+            "(85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS rank FROM n LEFT JOIN "
+            "(SELECT e.dst AS node, sum(p.rank // g.c) AS s FROM e JOIN r1 p ON "
+            "p.node = e.src JOIN g ON g.src = e.src GROUP BY e.dst) m USING "
+            "(node)), r3 AS (SELECT n.node, CAST(150000 + (85 * coalesce(m.s, 0)) "
+            "// 100 AS BIGINT) AS rank FROM n LEFT JOIN (SELECT e.dst AS node, "
+            "sum(p.rank // g.c) AS s FROM e JOIN r2 p ON p.node = e.src JOIN g ON "
+            "g.src = e.src GROUP BY e.dst) m USING (node)) SELECT node, rank FROM "
+            "r3"
         ),
         "q_quantile_disc": (
             "SELECT l_returnflag, l_linestatus, "

@@ -1,0 +1,186 @@
+"""Distributed graph algorithms over edge tables.
+
+Connected components lives in pipelines/dedup.py (it grew out of the
+near-dup clusterer); this module holds the general-purpose iterative
+algorithms. Both follow the same house rules for iterative Dataset loops
+(build-notes "CC-loop lesson"): the carried table is ``repartition``-ed to a
+FIXED block count and ``materialize()``-d every iteration — union/join
+chains otherwise triple the block count per iteration — and every step is a
+standard exchange (shuffle_join / groupby_agg), never a driver-side matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.functions import arrays as A
+
+
+def pagerank(edges, src: str = "src", dst: str = "dst", damping: float = 0.85,
+             iters: int = 5, state_blocks: int = 16, fixed_point: int | None = None,
+             driver_node_budget: int = 2_000_000):
+    """Fixed-iteration PageRank: ``r_0 = 1`` for every node;
+    ``r_{i+1}(v) = (1-d) + d * sum over edges (u -> v) of r_i(u)/outdeg(u)``.
+
+    This is the classic unnormalized formulation (dangling-node mass is NOT
+    redistributed — documented divergence from the random-surfer variant;
+    the SQL oracle uses the identical recurrence). Duplicate edges count
+    once each (SQL parity: the oracle aggregates the raw edge table).
+
+    ``fixed_point=S`` switches to the integer-exact variant: ranks live in
+    1/S units (int64), contributions are FLOOR(rank // outdeg) and the
+    damping step is ``(1-d)*S + floor(d_num * sum / d_den)`` with damping
+    expressed as a rational (e.g. 0.85 = 17/20). Every operation is integer
+    arithmetic, so the result is bit-identical across engines and
+    accumulation orders (the cross-engine float-sum ULP problem, build-notes
+    rule "compare exact integer forms"); output column ``rank`` is int64
+    micro-units. Requires ``damping`` with an exact small-denominator
+    rational (q/100 supported).
+
+    Scale plan, per iteration (everything distributed, state is O(nodes)):
+      1. ``shuffle_join`` edges with the (node, rank, outdeg) state on the
+         source — per-edge contribution ``rank/outdeg`` is one vectorized
+         divide;
+      2. ``groupby_agg`` sums contributions per destination (per-block
+         partials, tiny exchange);
+      3. a left ``shuffle_join`` folds the sums back onto the full node
+         state (nodes with no in-edges get the (1-d) floor).
+    The state is repartitioned to ``state_blocks`` and materialized each
+    iteration (fixed block count, no recompute chains). ``edges`` is
+    materialized once up front so iterations do not re-run the upstream
+    read. Returns (node, rank).
+
+    When the node count fits ``driver_node_budget``, the state is instead
+    held as ONE driver table broadcast to the edge scan (``ray.put`` once
+    per iteration) — each iteration is then a single distributed pass
+    (broadcast join + contribution map + partial-agg sum) with no
+    sort-shuffles at all; the per-iteration driver work is O(nodes). Above
+    the budget the fully distributed 3-exchange loop runs (a 100-TB web
+    graph with billions of nodes never ships state to the driver)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.join import shuffle_join
+
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    is_table = isinstance(edges, pa.Table)
+
+    def _map(x, fn, name):
+        if isinstance(x, pa.Table):
+            return fn(x)
+        fn.__name__ = name
+        return x.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+
+    def _checkpoint(state):
+        if isinstance(state, pa.Table):
+            return state
+        return state.repartition(state_blocks).materialize()
+
+    if not is_table:
+        edges = edges.materialize()
+
+    # node universe AND out-degree in ONE exchange: sources contribute a 1
+    # per edge, destinations a 0 — the per-node sum IS the out-degree, and
+    # every endpoint appears (a pure sink sums to 0 -> deg null below)
+    def endpoint_ones(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        # src and dst must share one arrow type (single node-id domain)
+        return pa.table({
+            "node": pa.concat_arrays([A.as_array(b.column(src)), A.as_array(b.column(dst))]),
+            "__kr_one": pa.array(np.concatenate([np.ones(n), np.zeros(n)]).astype(np.int64)),
+        })
+
+    agg = groupby_agg(_map(edges, endpoint_ones, "pr_endpoints"), "node",
+                      {"__kr_one": ["sum"]})
+
+    def node_state(b: pa.Table) -> pa.Table:
+        s = pc.cast(pc.fill_null(b.column("__kr_one_sum"), 0.0), pa.float64(), safe=False)
+        sv = s.to_numpy(zero_copy_only=False)
+        deg = pa.array(np.where(sv > 0, sv, np.nan))
+        return pa.table({"node": b.column("node"), "deg": deg})
+
+    state = _map(agg, node_state, "pr_node_state")
+    d_num = int(round(damping * 100))
+    if fixed_point is not None and not np.isclose(d_num / 100.0, damping):
+        raise ValueError("fixed_point needs damping expressible as q/100")
+
+    def init_rank(b: pa.Table) -> pa.Table:
+        if fixed_point is not None:
+            r = pa.array(np.full(b.num_rows, fixed_point, np.int64))
+        else:
+            r = pa.array(np.ones(b.num_rows, np.float64))
+        return pa.table({"node": b.column("node"), "rank": r, "deg": b.column("deg")})
+
+    state = _checkpoint(_map(state, init_rank, "pr_init"))
+
+    def contrib(b: pa.Table) -> pa.Table:
+        if fixed_point is not None:
+            r = b.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+            g = b.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+            w = pa.array(r // g)  # exact integer floor per edge
+        else:
+            w = pc.divide(pc.cast(b.column("rank"), pa.float64()), b.column("deg"))
+        return pa.table({"node": A.as_array(b.column(dst)), "w": w})
+
+    def fold(b: pa.Table) -> pa.Table:
+        if fixed_point is not None:
+            # groupby_agg sums in float64 — exact for integers < 2^53
+            s = pc.fill_null(pc.cast(b.column("w_sum"), pa.int64(), safe=False), 0)
+            sv = s.to_numpy(zero_copy_only=False)
+            r = pa.array((100 - d_num) * fixed_point // 100 + d_num * sv // 100)
+        else:
+            s = pc.fill_null(pc.cast(b.column("w_sum"), pa.float64(), safe=False), 0.0)
+            r = pc.add(pa.scalar(1.0 - damping), pc.multiply(pa.scalar(damping), s))
+        return pa.table({"node": b.column("node"), "rank": r, "deg": b.column("deg")})
+
+    def as_src(b: pa.Table) -> pa.Table:
+        return pa.table({src: b.column("node"), "rank": b.column("rank"),
+                         "deg": b.column("deg")})
+
+    driver_state = False
+    if not is_table:
+        from kamae_ray.base import collect_tables
+
+        if state.count() <= driver_node_budget:
+            driver_state = True
+            state = pa.concat_tables([t for t in collect_tables(state) if t.num_rows])
+
+    for _ in range(iters):
+        if driver_state:
+            from kamae_ray.stages.join import broadcast_join
+
+            # ONE distributed pass: broadcast the (node, rank, deg) state to
+            # the edge scan, per-edge contribution, partial-agg sum per dst
+            joined = broadcast_join(edges, as_src(state), on=src,
+                                    right_cols=["rank", "deg"], how="inner")
+            sums = groupby_agg(_map(joined, contrib, "pr_contrib"), "node", {"w": ["sum"]})
+            nonempty = [t for t in collect_tables(sums) if t.num_rows]
+            sums = pa.concat_tables(nonempty) if nonempty else pa.table(
+                {"node": state.column("node").slice(0, 0),
+                 "w_sum": pa.array([], pa.float64())}
+            )
+            state = fold(shuffle_join(state, sums, on="node",
+                                      right_cols=["w_sum"], how="left"))
+            continue
+        # fully distributed loop: edges enriched with the source's
+        # (rank, deg) via one sort-shuffle
+        src_state = _map(state, as_src, "pr_state_as_src")
+        joined = shuffle_join(edges, src_state, on=src,
+                              right_cols=["rank", "deg"], how="inner")
+        sums = groupby_agg(_map(joined, contrib, "pr_contrib"), "node", {"w": ["sum"]})
+        state = shuffle_join(state, sums, on="node", right_cols=["w_sum"], how="left")
+        state = _checkpoint(_map(state, fold, "pr_fold"))
+
+    if driver_state:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table({"node": state.column("node"), "rank": state.column("rank")})
+        )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "rank": b.column("rank")})
+
+    return _map(state, project, "pr_project")

@@ -1,0 +1,78 @@
+"""pagerank (pipelines/graph.py): Python-reference parity, fixed-point
+exactness, and driver-state == fully-distributed plan equality."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.pipelines.graph import pagerank
+
+
+def _ref(E, iters, d=0.85):
+    nodes = sorted({u for u, _ in E} | {v for _, v in E})
+    deg = {}
+    for u, _ in E:
+        deg[u] = deg.get(u, 0) + 1
+    r = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        s = {n: 0.0 for n in nodes}
+        for u, v in E:
+            s[v] += r[u] / deg[u]
+        r = {n: (1 - d) + d * s[n] for n in nodes}
+    return r
+
+
+def _ref_fixed(E, iters, scale=1_000_000, d_num=85):
+    nodes = sorted({u for u, _ in E} | {v for _, v in E})
+    deg = {}
+    for u, _ in E:
+        deg[u] = deg.get(u, 0) + 1
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for u, v in E:
+            s[v] += r[u] // deg[u]
+        r = {n: (100 - d_num) * scale // 100 + d_num * s[n] // 100 for n in nodes}
+    return r
+
+
+def _edges(E):
+    return pa.table({"src": pa.array([u for u, _ in E], pa.int64()),
+                     "dst": pa.array([v for _, v in E], pa.int64())})
+
+
+EDGE_SET = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (4, 1), (5, 6)]
+
+
+def test_pagerank_table_matches_reference():
+    out = pagerank(_edges(EDGE_SET), iters=4)
+    got = dict(zip(out.column("node").to_pylist(), out.column("rank").to_pylist()))
+    want = _ref(EDGE_SET, 4)
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+
+
+def test_pagerank_fixed_point_exact():
+    out = pagerank(_edges(EDGE_SET), iters=4, fixed_point=1_000_000)
+    got = dict(zip(out.column("node").to_pylist(), out.column("rank").to_pylist()))
+    want = _ref_fixed(EDGE_SET, 4)
+    assert got == want
+    with pytest.raises(ValueError):
+        pagerank(_edges(EDGE_SET), iters=1, fixed_point=1_000_000, damping=1 / 3)
+
+
+def test_pagerank_dataset_paths_agree(ray_session):
+    import ray
+
+    rng = np.random.default_rng(8)
+    E = [(int(rng.integers(0, 60)), int(rng.integers(0, 60))) for _ in range(500)]
+    t = _edges(E)
+    want = pagerank(t, iters=3, fixed_point=1_000_000).sort_by("node")
+    for budget in (2_000_000, 0):  # driver-state path, then fully distributed
+        ds = ray.data.from_arrow(t).repartition(4)
+        out = pagerank(ds, iters=3, fixed_point=1_000_000, driver_node_budget=budget)
+        got = pa.concat_tables(
+            [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+        ).sort_by("node")
+        assert got.column("node").to_pylist() == want.column("node").to_pylist(), budget
+        assert got.column("rank").to_pylist() == want.column("rank").to_pylist(), budget

@@ -199,6 +199,9 @@ _BENCH_QUERIES = [
     "q_rollup",  # GROUP BY ROLLUP: one input pass + level re-merge
     "q_shuffle",  # reproducible global permutation via distributed rank
     "q_mix",  # weighted corpus mixing (Bernoulli per source + union)
+    "q_dup_passages",  # per-doc duplicated n-gram fraction (one gram shuffle)
+    "q_pagerank",  # iterative: broadcast state + one distributed pass per iter
+    "q_corr",  # per-group Pearson/covariance cross-moment partials
 ]
 
 

@@ -2126,6 +2126,17 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_funnel(sf_dir):
+    """Ordered funnel (view -> click -> purchase) per user: first time each
+    step was reached, each strictly after the previous step's time. ONE
+    entity sort-shuffle + one masked minimum.reduceat per step (no
+    per-entity Python). Oracle = chained min-join SQL."""
+    from kamae_ray.stages.window import funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel(ds, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
 def _q_pagerank(sf_dir):
     """Fixed-iteration PageRank (``pipelines.graph.pagerank``) over the
     bipartite order->part graph: per iteration one edges-state shuffle_join,
@@ -2351,6 +2362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mode": _q_mode,
         "q_quantile_disc": _q_quantile_disc,
         "q_pagerank": _q_pagerank,
+        "q_funnel": _q_funnel,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2785,6 +2797,22 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_funnel": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN s1 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s1.t1 "
+            "GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s2.t2 "
+            "GROUP BY e.user_id) "
+            "SELECT u.user_id, s1.t1 AS step1_ts, s2.t2 AS step2_ts, s3.t3 AS step3_ts, "
+            "(CASE WHEN s1.t1 IS NULL THEN 0 WHEN s2.t2 IS NULL THEN 1 "
+            "WHEN s3.t3 IS NULL THEN 2 ELSE 3 END) AS funnel_depth "
+            "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
+            "LEFT JOIN s3 USING (user_id)"
         ),
         "q_pagerank": (
             "WITH e AS (SELECT l_orderkey AS src, l_partkey + 100000000 AS dst FROM "

@@ -1252,3 +1252,71 @@ def broadcast_range_join(
 
     brange.__name__ = "broadcast_range_join"
     return left.map_batches(brange, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def funnel(ds, entity_cols, time_col: str, event_col: str, steps: list[str]):
+    """Ordered-funnel analysis — the product-analytics staple the reference
+    delegates upstream: for each entity, the FIRST time each funnel step was
+    reached, where step k must occur STRICTLY AFTER the entity's step-(k-1)
+    time (SQL parity: the chained ``min(ts) WHERE ev = step AND ts > prev``
+    joins). Output: entity columns + ``step{k}_ts`` (null when the funnel
+    stalls before step k; an entity that misses step k can never complete
+    k+1) + ``funnel_depth`` (steps completed).
+
+    Scale plan: ONE sort-shuffle on the entity key (shared partitioning
+    contract with the whole window family), then a vectorized block kernel —
+    per step one masked ``minimum.reduceat`` over the entity segments, so
+    the work is O(rows x steps) with no per-entity Python. Timestamps ride
+    as int64 microseconds through float64 (exact below 2^53)."""
+    entity_cols = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+
+    def kern(block: pa.Table) -> pa.Table:
+        t_arr = A.as_array(block.column(time_col))
+        is_ts = pa.types.is_timestamp(t_arr.type)
+        unit = t_arr.type.unit if is_ts else None
+        tv = pc.cast(t_arr, pa.int64(), safe=False) if is_ts else pc.cast(
+            t_arr, pa.float64(), safe=False
+        )
+        tnp, tmask = A.to_numpy(tv)
+        tnp = tnp.astype(np.float64, copy=True)
+        if tmask is not None:
+            tnp[tmask] = np.nan  # null time: never matches a step (t > thr fails)
+        ev = pc.cast(A.as_array(block.column(event_col)), pa.string(), safe=False)
+        gids = S.group_ids(block, entity_cols)
+        order = np.lexsort((tnp, gids))
+        gs, ts = gids[order], tnp[order]
+        starts, lens = S.segments(gs)
+        n_seg = len(starts)
+        firsts = order[starts]
+        seg_rep = np.repeat(np.arange(n_seg), lens)
+        out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in entity_cols}
+        step_codes = pc.index_in(ev, value_set=pa.array(steps, pa.string()))
+        codes = pc.fill_null(step_codes, -1).to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        thr = np.full(n_seg, -np.inf)
+        depth = np.zeros(n_seg, dtype=np.int64)
+        for k in range(len(steps)):
+            qual = (codes == k) & (ts > thr[seg_rep]) & ~np.isnan(ts)
+            vals = np.where(qual, ts, np.inf)
+            m = np.minimum.reduceat(vals, starts) if n_seg else np.zeros(0)
+            fin = np.isfinite(m)
+            depth += fin.astype(np.int64)
+            thr = np.where(fin, m, np.inf)  # missed step k -> no k+1 possible
+            col = np.where(fin, m, 0.0)
+            if is_ts:
+                arr = pa.array(col.astype(np.int64), mask=~fin).cast(pa.timestamp(unit))
+            else:
+                arr = pa.array(col, mask=~fin)
+            out[f"step{k + 1}_ts"] = arr
+        out["funnel_depth"] = pa.array(depth)
+        return pa.table(out)
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(entity_cols + [time_col, event_col])))
+    except Exception:
+        pass
+    return sorted_block_apply(proj, entity_cols, kern, "funnel")

@@ -288,3 +288,37 @@ def test_ewm_mean_vs_pandas(ray_session):
         a = got["y"].to_numpy()
         b = exp.to_numpy()
         assert ((np.isnan(a) & np.isnan(b)) | np.isclose(a, b, atol=1e-8)).all(), alpha
+
+
+def test_funnel_vs_duckdb(ray_session):
+    """Ordered funnel: strict-after chaining, stalls, nulls, Dataset==Table."""
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.window import funnel
+
+    rng = np.random.RandomState(11)
+    n = 2000
+    t = pa.table({
+        "u": pa.array([int(rng.randint(40)) for _ in range(n)], pa.int64()),
+        "ts": pa.array([int(rng.randint(1000)) for _ in range(n)], pa.int64()),
+        "ev": pa.array([str(rng.choice(["a", "b", "c", "x"])) for _ in range(n)]),
+    })
+    want = funnel(t, "u", "ts", "ev", ["a", "b", "c"]).sort_by("u")
+    oracle = duckdb.sql(
+        "WITH u AS (SELECT DISTINCT u FROM t), "
+        "s1 AS (SELECT u, min(ts) t1 FROM t WHERE ev='a' GROUP BY u), "
+        "s2 AS (SELECT t.u, min(t.ts) t2 FROM t JOIN s1 USING(u) WHERE t.ev='b' AND t.ts > s1.t1 GROUP BY t.u), "
+        "s3 AS (SELECT t.u, min(t.ts) t3 FROM t JOIN s2 USING(u) WHERE t.ev='c' AND t.ts > s2.t2 GROUP BY t.u) "
+        "SELECT u.u, s1.t1, s2.t2, s3.t3 FROM u LEFT JOIN s1 USING(u) "
+        "LEFT JOIN s2 USING(u) LEFT JOIN s3 USING(u) ORDER BY u"
+    ).df()
+    got = want.to_pandas()
+    for eng_c, ora_c in [("step1_ts", "t1"), ("step2_ts", "t2"), ("step3_ts", "t3")]:
+        a, b = got[eng_c], oracle[ora_c]
+        assert list(a.where(a.notna(), None)) == list(b.where(b.notna(), None)), eng_c
+    ds_out = funnel(ray.data.from_arrow(t).repartition(5), "u", "ts", "ev", ["a", "b", "c"])
+    ds_t = pa.concat_tables(
+        [pa.table(b) for b in ds_out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("u")
+    assert ds_t.equals(want)

@@ -2249,12 +2249,17 @@ def _q_mix(sf_dir):
     from kamae_ray.stages.hashing import mix_corpora
 
     def one(src_name):
-        def filt(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.equal(batch.column("source"), src_name))
+        # row filter pushed into the parquet scan: non-matching rows never
+        # enter the object store (row groups excluded by min/max stats
+        # never leave storage)
+        import pyarrow.dataset as pds
 
-        filt.__name__ = f"pick_{src_name}"
-        return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
-            filt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        from kamae_ray.sources.io import read_parquet_clean
+
+        return read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+            filter=pds.field("source") == src_name,
         )
 
     return mix_corpora(

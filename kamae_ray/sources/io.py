@@ -26,7 +26,13 @@ def clean_schema(path: str, columns: list[str] | None = None):
 def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
     """``ray.data.read_parquet`` with a hashable schema override (see module
     docstring). ``path`` may be a file or a directory of parquet parts (the
-    schema is probed from the first file)."""
+    schema is probed from the first file).
+
+    Pass ``filter=<pyarrow.dataset expression>`` to push a row filter into
+    the scan itself (rows drop at the reader — row groups whose min/max
+    statistics exclude the predicate never leave storage, and non-matching
+    rows never enter the object store), instead of filtering in a
+    downstream ``map_batches``."""
     import os
 
     import ray.data

@@ -2126,6 +2126,17 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_retention(sf_dir):
+    """Daily retention cohorts: (first-event day, days-since) -> distinct
+    active users. ONE entity sort + block-exact distinct cell counts (an
+    entity never spans blocks) + a tiny partial-agg sum — no join, no
+    second event pass. Integer epoch-day buckets, SQL-exact."""
+    from kamae_ray.stages.window import retention_cohorts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return retention_cohorts(ds, "user_id", "ts", period_s=86400)
+
+
 def _q_funnel(sf_dir):
     """Ordered funnel (view -> click -> purchase) per user: first time each
     step was reached, each strictly after the previous step's time. ONE
@@ -2368,6 +2379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantile_disc": _q_quantile_disc,
         "q_pagerank": _q_pagerank,
         "q_funnel": _q_funnel,
+        "q_retention": _q_retention,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2802,6 +2814,15 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_retention": (
+            "WITH f AS (SELECT user_id, CAST(floor(epoch(min(ts))/86400) AS BIGINT) "
+            "AS cohort FROM events GROUP BY user_id), "
+            "x AS (SELECT e.user_id, f.cohort, "
+            "CAST(floor(epoch(e.ts)/86400) AS BIGINT) - f.cohort AS age "
+            "FROM events e JOIN f USING (user_id)) "
+            "SELECT cohort, age, count(DISTINCT user_id) AS n_entities "
+            "FROM x GROUP BY cohort, age"
         ),
         "q_funnel": (
             "WITH u AS (SELECT DISTINCT user_id FROM events), "

@@ -1320,3 +1320,84 @@ def funnel(ds, entity_cols, time_col: str, event_col: str, steps: list[str]):
     except Exception:
         pass
     return sorted_block_apply(proj, entity_cols, kern, "funnel")
+
+
+def retention_cohorts(ds, entity_col: str, time_col: str, period_s: int = 86400):
+    """Retention cohort matrix — (cohort, age) -> distinct active entities,
+    where an entity's cohort is the period of its FIRST event and age is
+    periods since then. ``period_s`` is the bucket width in seconds
+    (86400 = daily cohorts); periods are epoch-based integer buckets
+    (``floor(epoch/period)``), exactly reproducible in SQL — not calendar
+    weeks/months.
+
+    Scale plan: ONE entity sort-shuffle, then a block kernel that computes
+    each entity's first-event period (segment min), per-row age, and the
+    block-exact distinct (cohort, age, entity) cell counts (an entity never
+    spans blocks, so per-block distinct IS globally distinct); a final
+    partial-agg groupby sums the tiny (cohort, age, n) cells. No join, no
+    second pass over the events."""
+    div = np.int64(int(period_s) * 1_000_000)
+
+    def kern(block: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cohort": pa.array([], pa.int64()),
+            "age": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        })
+        if block.num_rows == 0:
+            return empty
+        t_arr = A.as_array(block.column(time_col))
+        tv = pc.cast(t_arr, pa.int64(), safe=False) if pa.types.is_timestamp(t_arr.type) \
+            else pc.cast(pc.cast(t_arr, pa.float64(), safe=False), pa.int64(), safe=False)
+        valid = pc.is_valid(tv).to_numpy(zero_copy_only=False)
+        if not valid.all():
+            block = block.filter(pa.array(valid))
+            if block.num_rows == 0:
+                return empty
+            tv = tv.filter(pa.array(valid))
+        w = tv.to_numpy(zero_copy_only=False) // div
+        gids = S.group_ids(block, [entity_col])
+        order = np.argsort(gids, kind="stable")
+        ws = w[order]
+        starts, lens = S.segments(gids[order])
+        seg_rep = np.repeat(np.arange(len(starts)), lens)
+        t0 = np.minimum.reduceat(ws, starts)
+        age = ws - t0[seg_rep]
+        # distinct (entity-segment, age) pairs -> one count per (cohort, age)
+        o2 = np.lexsort((age, seg_rep))
+        s2, a2 = seg_rep[o2], age[o2]
+        new = np.ones(len(s2), dtype=bool)
+        new[1:] = (s2[1:] != s2[:-1]) | (a2[1:] != a2[:-1])
+        cohort_p, age_p = t0[s2[new]], a2[new]
+        cells = np.stack([cohort_p, age_p], axis=1)
+        uniq, counts = np.unique(cells, axis=0, return_counts=True)
+        return pa.table({
+            "cohort": pa.array(uniq[:, 0], pa.int64()),
+            "age": pa.array(uniq[:, 1], pa.int64()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    if isinstance(ds, pa.Table):
+        cells = kern(ds)
+    else:
+        proj = ds
+        try:
+            proj = ds.select_columns(list(dict.fromkeys([entity_col, time_col])))
+        except Exception:
+            pass
+        cells = sorted_block_apply(proj, [entity_col], kern, "retention_cells")
+    agg = groupby_agg(cells, ["cohort", "age"], {"n": ["sum"]})
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": b.column("cohort"),
+            "age": b.column("age"),
+            "n_entities": pc.cast(b.column("n_sum"), pa.int64(), safe=False),
+        })
+
+    finish.__name__ = "retention_finish"
+    if isinstance(agg, pa.Table):
+        return finish(agg)
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

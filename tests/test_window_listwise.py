@@ -322,3 +322,37 @@ def test_funnel_vs_duckdb(ray_session):
         [pa.table(b) for b in ds_out.iter_batches(batch_format="pyarrow")]
     ).sort_by("u")
     assert ds_t.equals(want)
+
+
+def test_retention_cohorts_vs_duckdb(ray_session):
+    """Daily retention cohorts: Dataset == Table == SQL, incl. null times."""
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.window import retention_cohorts
+
+    rng = np.random.RandomState(13)
+    n = 3000
+    t = pa.table({
+        "u": pa.array([int(rng.randint(80)) for _ in range(n)], pa.int64()),
+        "ts": pa.array([None if rng.rand() < 0.02 else int(rng.randint(0, 40 * 86400)) * 1_000_000
+                        for _ in range(n)], pa.int64()),
+    })
+    want = retention_cohorts(t, "u", "ts").sort_by([("cohort", "ascending"), ("age", "ascending")])
+    con = duckdb.connect()
+    con.register("t", t)
+    ora = con.sql(
+        "WITH v AS (SELECT u, ts // 86400000000 AS d FROM t WHERE ts IS NOT NULL), "
+        "f AS (SELECT u, min(d) AS cohort FROM v GROUP BY u) "
+        "SELECT cohort, age, count(DISTINCT u) AS n FROM ("
+        "SELECT v.u, f.cohort, v.d - f.cohort AS age FROM v JOIN f USING (u)) "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    assert want.column("cohort").to_pylist() == ora["cohort"].astype(int).tolist()
+    assert want.column("age").to_pylist() == ora["age"].astype(int).tolist()
+    assert want.column("n_entities").to_pylist() == ora["n"].astype(int).tolist()
+    ds_out = retention_cohorts(ray.data.from_arrow(t).repartition(5), "u", "ts")
+    got = pa.concat_tables(
+        [pa.table(b) for b in ds_out.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("cohort", "ascending"), ("age", "ascending")])
+    assert got.equals(want)

@@ -2126,6 +2126,48 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_regr(sf_dir):
+    """Simple-OLS regression aggregates per group (regr_slope/intercept/r2)
+    from the same six additive cross-moment partials as q_corr — one small
+    shuffle, Postgres/DuckDB edge rules (var(x)=0 -> NULL)."""
+    from kamae_ray.stages.aggregate import groupby_corr
+
+    ds = _read(sf_dir, "lineitem", ["l_linestatus", "l_quantity", "l_extendedprice"])
+    out = groupby_corr(ds, "l_linestatus", "l_quantity", "l_extendedprice", regression=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return _round_cols(
+            batch.select(["l_linestatus", "n", "slope", "intercept", "r2"]),
+            ["slope", "intercept", "r2"],
+        )
+
+    finish.__name__ = "regr_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_histogram(sf_dir):
+    """Fixed-width histogram of o_totalprice over [0, 600000] in 24 bins:
+    per-block bincount combiner (at most `bins` rows leave a block) + tiny
+    partial-agg sum. Bin expression evaluated identically in SQL."""
+    from kamae_ray.stages.aggregate import histogram
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return histogram(ds, "o_totalprice", bins=24, lo=0.0, hi=600000.0)
+
+
+def _q_cross(sf_dir):
+    """SQL CROSS JOIN (nation x region grid) against a broadcast right table
+    — ray.put once, multiplicative fan-out inside the block kernel."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.stages.join import cross_join
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    ds = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    return cross_join(ds, region)
+
+
 def _q_retention(sf_dir):
     """Daily retention cohorts: (first-event day, days-since) -> distinct
     active users. ONE entity sort + block-exact distinct cell counts (an
@@ -2380,6 +2422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": _q_pagerank,
         "q_funnel": _q_funnel,
         "q_retention": _q_retention,
+        "q_regr": _q_regr,
+        "q_histogram": _q_histogram,
+        "q_cross": _q_cross,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2814,6 +2859,24 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_regr": (
+            "SELECT l_linestatus, "
+            "count(*) FILTER (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) AS n, "
+            "ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope, "
+            "ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept, "
+            "ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2 "
+            "FROM lineitem GROUP BY l_linestatus"
+        ),
+        "q_histogram": (
+            "SELECT CAST(least(floor((o_totalprice - 0.0) / 25000.0), 23) AS BIGINT) "
+            "AS bin, count(*) AS n_rows FROM orders "
+            "WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0.0 "
+            "AND o_totalprice <= 600000.0 GROUP BY bin"
+        ),
+        "q_cross": (
+            "SELECT n_nationkey, n_name, r_regionkey, r_name "
+            "FROM nation CROSS JOIN region"
         ),
         "q_retention": (
             "WITH f AS (SELECT user_id, CAST(floor(epoch(min(ts))/86400) AS BIGINT) "

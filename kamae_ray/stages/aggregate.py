@@ -994,9 +994,14 @@ def groupby_collect(ds, keys: str | list[str], col: str,
     return sorted_block_apply(proj, keys, kern, "groupby_collect")
 
 
-def groupby_corr(ds, keys: str | list[str], x: str, y: str):
+def groupby_corr(ds, keys: str | list[str], x: str, y: str, regression: bool = False):
     """Per-group Pearson correlation + covariance of two columns — SQL
     ``corr(x, y)``, ``covar_pop``, ``covar_samp`` GROUP BY keys.
+
+    ``regression=True`` adds the simple-OLS columns from the same partials:
+    ``slope`` (= cov/var(x), SQL regr_slope(y, x)), ``intercept``
+    (regr_intercept) and ``r2`` (regr_r2, Postgres edge rules: NULL when
+    var(x)=0; 1.0 when var(y)=0 but var(x)>0).
 
     Rows where EITHER value is null are excluded (SQL pair semantics).
     Outputs: keys + ``n`` (pair count), ``corr`` (NULL when n < 2 or either
@@ -1045,7 +1050,8 @@ def groupby_corr(ds, keys: str | list[str], x: str, y: str):
         if partials.num_rows == 0:
             cols = {k: partials.column(k) for k in keys}
             cols.update({"n": pa.array([], pa.int64())})
-            for c in ("corr", "covar_pop", "covar_samp"):
+            extra = ("slope", "intercept", "r2") if regression else ()
+            for c in ("corr", "covar_pop", "covar_samp", *extra):
                 cols[c] = pa.array([], pa.float64())
             return pa.table(cols)
         gids = S.group_ids(partials, keys)
@@ -1073,6 +1079,18 @@ def groupby_corr(ds, keys: str | list[str], x: str, y: str):
         out["corr"] = pa.array(np.clip(r, -1.0, 1.0))
         out["covar_pop"] = pa.array(np.where(n > 0, cov, np.nan))
         out["covar_samp"] = pa.array(csamp)
+        if regression:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                slope = np.where((n > 0) & (vx > 0), cov / np.where(vx == 0, 1, vx), np.nan)
+                intercept = np.where(np.isnan(slope), np.nan, my - slope * mx)
+                r2 = np.where(
+                    (n > 0) & (vx > 0),
+                    np.where(vy > 0, np.clip(r, -1.0, 1.0) ** 2, 1.0),
+                    np.nan,
+                )
+            out["slope"] = pa.array(slope)
+            out["intercept"] = pa.array(intercept)
+            out["r2"] = pa.array(r2)
         return pa.table(out)
 
     if isinstance(ds, pa.Table):
@@ -1124,4 +1142,61 @@ def groupby_mode(ds, keys: str | list[str], col: str):
     if isinstance(top, pa.Table):
         return finish(top)
     return top.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
+def histogram(ds, col: str, bins: int, lo: float, hi: float):
+    """Fixed-width histogram of ``col`` over ``[lo, hi]``: one row per
+    non-empty bin, ``bin = min(floor((v - lo) / w), bins - 1)`` with
+    ``w = (hi - lo) / bins`` (the conventional right-closed last bin).
+    Values outside [lo, hi] and nulls are dropped. The bin expression is
+    evaluated identically in SQL, so counts are exactly reproducible.
+
+    Scale plan: one ``np.bincount`` per block (the combiner — at most
+    ``bins`` rows leave each block), then the partial-agg groupby sums the
+    tiny (bin, n) table. Explicit ``lo``/``hi`` keep it a single pass; feed
+    them from ``profile_columns`` / ``exact_quantiles`` when unknown."""
+    if bins <= 0 or not hi > lo:
+        raise ValueError("need bins > 0 and hi > lo")
+    w = (hi - lo) / bins
+
+    def kern(block: pa.Table) -> pa.Table:
+        v, mask = A.to_numpy(pc.cast(A.as_array(block.column(col)), pa.float64(), safe=False))
+        v = v.astype(np.float64, copy=True)
+        if mask is not None:
+            v[mask] = np.nan
+        ok = ~np.isnan(v) & (v >= lo) & (v <= hi)
+        b = np.minimum(np.floor((v[ok] - lo) / w).astype(np.int64), bins - 1)
+        counts = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "bin": pa.array(nz.astype(np.int64)),
+            "n": pa.array(counts[nz].astype(np.int64)),
+        })
+
+    kern.__name__ = "hist_partial"
+    from kamae_ray.stages.window import sorted_block_apply  # noqa: F401  (doc pointer)
+
+    if isinstance(ds, pa.Table):
+        cells = kern(ds)
+    else:
+        proj = ds
+        try:
+            proj = ds.select_columns([col])
+        except Exception:
+            pass
+        cells = proj.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True,
+                                 batch_size=None)
+    agg = groupby_agg(cells, "bin", {"n": ["sum"]})
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bin": b.column("bin"),
+            "n_rows": pc.cast(b.column("n_sum"), pa.int64(), safe=False),
+        })
+
+    finish.__name__ = "hist_finish"
+    if isinstance(agg, pa.Table):
+        return finish(agg)
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
                            batch_size=None)

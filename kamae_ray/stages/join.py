@@ -498,3 +498,42 @@ def fuzzy_join(
 
     fjoin.__name__ = "fuzzy_join"
     return ds.map_batches(fjoin, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def cross_join(ds, right: pa.Table, suffix: str = "_r", max_right_rows: int = 100_000):
+    """SQL CROSS JOIN against a SMALL broadcast right table: every left row
+    paired with every right row (feature-cross / grid-expansion shape).
+    The right side ships once (``ray.put``); each block emits
+    ``rows x len(right)`` output — guarded by ``max_right_rows`` because the
+    fan-out is multiplicative by design. Left columns keep their names;
+    colliding right columns get ``suffix``."""
+    if right.num_rows > max_right_rows:
+        raise ValueError(
+            f"cross_join right side has {right.num_rows} rows > "
+            f"max_right_rows={max_right_rows} — the output would fan out "
+            "multiplicatively; raise the cap explicitly if intended"
+        )
+    right = right.combine_chunks()
+
+    def xjoin(batch: pa.Table, rt: pa.Table) -> pa.Table:
+        n, m = batch.num_rows, rt.num_rows
+        left_names = set(batch.column_names)
+        li = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+        ri = pa.array(np.tile(np.arange(m, dtype=np.int64), n))
+        cols = {c: A.as_array(batch.column(c)).take(li) for c in batch.column_names}
+        for c in rt.column_names:
+            out_name = f"{c}{suffix}" if c in left_names else c
+            cols[out_name] = A.as_array(rt.column(c)).take(ri)
+        return pa.table(cols)
+
+    if isinstance(ds, pa.Table):
+        return xjoin(ds, right)
+    import ray
+
+    ref = ray.put(right)
+
+    def xj(batch: pa.Table) -> pa.Table:
+        return xjoin(batch, ray.get(ref))
+
+    xj.__name__ = "cross_join"
+    return ds.map_batches(xj, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

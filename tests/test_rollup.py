@@ -199,3 +199,62 @@ def test_quantile_disc_vs_duckdb():
     assert np.allclose(out["v_p90"], ora["p90"])
     with pytest.raises(ValueError):
         quantile_per_group(t, "k", "v", [0.5], method="nearest")
+
+
+def test_regression_aggregates_vs_duckdb():
+    from kamae_ray.stages.aggregate import groupby_corr
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    k = list(rng.choice(["a", "b", "c", "z0", "z1"], n))
+    x = np.round(rng.normal(3, 2, n), 3)
+    y = np.round(1.5 * x + rng.normal(0, 1, n), 3)
+    for i in range(n):  # edge groups: constant x (NULL slope), constant y (r2=1)
+        if k[i] == "z0":
+            x[i] = 7.0
+        if k[i] == "z1":
+            y[i] = -2.0
+    t = pa.table({"k": pa.array(k), "x": pa.array(x), "y": pa.array(y)})
+    out = groupby_corr(t, "k", "x", "y", regression=True).to_pandas().sort_values("k").reset_index(drop=True)
+    ora = duckdb.sql(
+        "SELECT k, regr_slope(y,x) s, regr_intercept(y,x) i, regr_r2(y,x) r "
+        "FROM t GROUP BY k ORDER BY k"
+    ).df()
+    for c, oc in [("slope", "s"), ("intercept", "i"), ("r2", "r")]:
+        assert np.allclose(np.nan_to_num(out[c], nan=-9e9),
+                           np.nan_to_num(ora[oc], nan=-9e9), atol=1e-9), c
+
+
+def test_histogram_and_cross_join(ray_session):
+    import ray
+
+    from kamae_ray.stages.aggregate import histogram
+    from kamae_ray.stages.join import cross_join
+
+    rng = np.random.default_rng(1)
+    vals = list(rng.normal(10, 5, 5000)) + [None, -100.0, 100.0]
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    want = histogram(t, "v", 10, 0.0, 20.0).sort_by("bin")
+    ora = duckdb.sql(
+        "SELECT CAST(least(floor((v - 0.0)/2.0), 9) AS BIGINT) bin, count(*) n FROM t "
+        "WHERE v IS NOT NULL AND v >= 0.0 AND v <= 20.0 GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert want.column("bin").to_pylist() == ora["bin"].astype(int).tolist()
+    assert want.column("n_rows").to_pylist() == ora["n"].astype(int).tolist()
+    ds_out = histogram(ray.data.from_arrow(t).repartition(4), "v", 10, 0.0, 20.0)
+    got = pa.concat_tables([pa.table(b) for b in ds_out.iter_batches(batch_format="pyarrow")]).sort_by("bin")
+    assert got.equals(want)
+    with pytest.raises(ValueError):
+        histogram(t, "v", 0, 0.0, 1.0)
+
+    left = pa.table({"a": pa.array([1, 2, 3], pa.int64()), "b": pa.array(["p", "q", "r"])})
+    right = pa.table({"b": pa.array(["x", "y"]), "c": pa.array([10, 20], pa.int64())})
+    out = cross_join(left, right)
+    assert out.num_rows == 6 and "b_r" in out.column_names
+    ds_cross = cross_join(ray.data.from_arrow(left).repartition(2), right)
+    got = pa.concat_tables([pa.table(b) for b in ds_cross.iter_batches(batch_format="pyarrow")])
+    assert got.sort_by([("a", "ascending"), ("b_r", "ascending")]).equals(
+        out.sort_by([("a", "ascending"), ("b_r", "ascending")])
+    )
+    with pytest.raises(ValueError):
+        cross_join(left, right, max_right_rows=1)

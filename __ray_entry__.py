@@ -2126,6 +2126,31 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_intervals(sf_dir):
+    """Gaps-and-islands interval coalescing (``merge_intervals``): per
+    supplier, shipping windows [l_shipdate, l_shipdate + l_quantity days]
+    merged into busy islands. ONE entity sort + an exact segmented
+    running-max sweep (Hillis-Steele doubling — no float-offset tricks at
+    timestamp magnitudes). Oracle = window-function gaps-and-islands SQL."""
+    from kamae_ray.stages.window import merge_intervals
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64())
+        qty = pc.cast(batch.column("l_quantity"), pa.int64(), safe=False)
+        end = pc.add(ship, pc.multiply(qty, pa.scalar(86_400_000_000, pa.int64())))
+        return pa.table({
+            "l_suppkey": batch.column("l_suppkey"),
+            "s": batch.column("l_shipdate"),
+            "e": pc.cast(end, pa.timestamp("us")),
+        })
+
+    mk.__name__ = "ship_intervals"
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_quantity"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return merge_intervals(ds, "l_suppkey", "s", "e")
+
+
 def _q_regr(sf_dir):
     """Simple-OLS regression aggregates per group (regr_slope/intercept/r2)
     from the same six additive cross-moment partials as q_corr — one small
@@ -2425,6 +2450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_regr": _q_regr,
         "q_histogram": _q_histogram,
         "q_cross": _q_cross,
+        "q_intervals": _q_intervals,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2859,6 +2885,20 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_intervals": (
+            "WITH iv AS (SELECT l_suppkey, l_shipdate AS s, "
+            "l_shipdate + CAST(l_quantity AS BIGINT) * INTERVAL 1 DAY AS e "
+            "FROM lineitem), "
+            "o AS (SELECT l_suppkey, s, e, max(e) OVER (PARTITION BY l_suppkey "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prev_max FROM iv), "
+            "m AS (SELECT l_suppkey, s, e, CASE WHEN prev_max IS NULL "
+            "OR s > prev_max THEN 1 ELSE 0 END AS brk FROM o), "
+            "g AS (SELECT l_suppkey, s, e, sum(brk) OVER (PARTITION BY l_suppkey "
+            "ORDER BY s, e) AS isl FROM m) "
+            "SELECT l_suppkey, min(s) AS island_start, max(e) AS island_end, "
+            "count(*) AS n_intervals FROM g GROUP BY l_suppkey, isl"
         ),
         "q_regr": (
             "SELECT l_linestatus, "

@@ -1401,3 +1401,93 @@ def retention_cohorts(ds, entity_col: str, time_col: str, period_s: int = 86400)
     if isinstance(agg, pa.Table):
         return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def merge_intervals(ds, entity_cols, start_col: str, end_col: str,
+                    min_gap: float = 0.0):
+    """Coalesce overlapping/adjacent intervals per entity (SQL
+    gaps-and-islands): intervals whose start is <= the running max end of
+    the previous intervals (+ ``min_gap``) merge into one island. Output:
+    entity columns + ``island_start`` / ``island_end`` / ``n_intervals``
+    per merged island. Null starts/ends are dropped.
+
+    One entity sort-shuffle (the window-family partitioning contract), then
+    a single vectorized sweep per block: lexsort by (entity, start), running
+    ``np.maximum.accumulate`` of ends with the segment-start reset trick,
+    island boundaries from one shifted compare — no per-entity Python."""
+    entity_cols = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+
+    def kern(block: pa.Table) -> pa.Table:
+        s_arr = A.as_array(block.column(start_col))
+        e_arr = A.as_array(block.column(end_col))
+        is_ts = pa.types.is_timestamp(s_arr.type)
+        unit = s_arr.type.unit if is_ts else None
+        to_num = lambda a: pc.cast(a, pa.int64(), safe=False) if is_ts else pc.cast(  # noqa: E731
+            a, pa.float64(), safe=False
+        )
+        sv, sm = A.to_numpy(to_num(s_arr))
+        ev, em = A.to_numpy(to_num(e_arr))
+        sv = sv.astype(np.float64, copy=True)
+        ev = ev.astype(np.float64, copy=True)
+        bad = np.zeros(len(sv), dtype=bool)
+        if sm is not None:
+            bad |= sm
+        if em is not None:
+            bad |= em
+        if bad.any():
+            block = block.filter(pa.array(~bad))
+            sv, ev = sv[~bad], ev[~bad]
+        if block.num_rows == 0:
+            empty = {k: block.column(k) for k in entity_cols}
+            for c in ("island_start", "island_end"):
+                empty[c] = pa.array([], pa.timestamp(unit) if is_ts else pa.float64())
+            empty["n_intervals"] = pa.array([], pa.int64())
+            return pa.table(empty)
+        gids = S.group_ids(block, entity_cols)
+        order = np.lexsort((ev, sv, gids))
+        gs, ss, es = gids[order], sv[order], ev[order]
+        starts, lens = S.segments(gs)
+        n = len(gs)
+        seg_rep = np.repeat(np.arange(len(starts)), lens)
+        # segmented running max of ends (exact — no offset trick, which loses
+        # float ulps at timestamp magnitudes): Hillis-Steele doubling with a
+        # segment-start clamp, O(n log n), ~log2(block) numpy passes
+        start_idx = starts[seg_rep]
+        run_end = es.copy()
+        idx = np.arange(n)
+        d = 1
+        while d < n:
+            src = idx - d
+            valid = src >= start_idx
+            contrib = np.where(valid, run_end[np.maximum(src, 0)], -np.inf)
+            run_end = np.maximum(run_end, contrib)
+            d <<= 1
+        new_island = np.ones(n, dtype=bool)
+        if n > 1:
+            same_seg = seg_rep[1:] == seg_rep[:-1]
+            new_island[1:] = ~same_seg | (ss[1:] > run_end[:-1] + min_gap)
+        isl = np.cumsum(new_island) - 1
+        i_starts, i_lens = S.segments(isl)
+        firsts = order[starts][seg_rep[i_starts]]  # first row of the island's entity
+        out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in entity_cols}
+        ist = ss[i_starts]
+        # island end = max end within the island (run_end at its last row)
+        last = i_starts + i_lens - 1
+        ien = run_end[last]
+        if is_ts:
+            out["island_start"] = pa.array(ist.astype(np.int64)).cast(pa.timestamp(unit))
+            out["island_end"] = pa.array(ien.astype(np.int64)).cast(pa.timestamp(unit))
+        else:
+            out["island_start"] = pa.array(ist)
+            out["island_end"] = pa.array(ien)
+        out["n_intervals"] = pa.array(i_lens.astype(np.int64))
+        return pa.table(out)
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(entity_cols + [start_col, end_col])))
+    except Exception:
+        pass
+    return sorted_block_apply(proj, entity_cols, kern, "merge_intervals")

@@ -356,3 +356,62 @@ def test_retention_cohorts_vs_duckdb(ray_session):
         [pa.table(b) for b in ds_out.iter_batches(batch_format="pyarrow")]
     ).sort_by([("cohort", "ascending"), ("age", "ascending")])
     assert got.equals(want)
+
+
+def test_merge_intervals_vs_duckdb(ray_session):
+    """Gaps-and-islands coalescing: numeric + timestamp domains, min_gap,
+    Dataset == Table."""
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.window import merge_intervals
+
+    rng = np.random.RandomState(17)
+    n = 2500
+    u = rng.randint(0, 40, n)
+    s = rng.randint(0, 800, n).astype(float)
+    e = s + rng.randint(1, 50, n)
+    t = pa.table({"u": pa.array(u, pa.int64()), "s": pa.array(s), "e": pa.array(e)})
+    want = merge_intervals(t, "u", "s", "e").sort_by(
+        [("u", "ascending"), ("island_start", "ascending")]
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    ora = con.sql(
+        "WITH o AS (SELECT u, s, e, max(e) OVER (PARTITION BY u ORDER BY s, e "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM t), "
+        "m AS (SELECT u, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM o), "
+        "g AS (SELECT u, s, e, sum(brk) OVER (PARTITION BY u ORDER BY s, e) AS isl FROM m) "
+        "SELECT u, min(s) st, max(e) en, count(*) c FROM g GROUP BY u, isl ORDER BY u, st"
+    ).df()
+    assert want.column("u").to_pylist() == ora["u"].astype(int).tolist()
+    assert np.allclose(want.column("island_start").to_numpy(zero_copy_only=False), ora["st"])
+    assert np.allclose(want.column("island_end").to_numpy(zero_copy_only=False), ora["en"])
+    assert want.column("n_intervals").to_pylist() == ora["c"].astype(int).tolist()
+    # timestamp domain must be exact at real epoch magnitudes (ulp trap)
+    base = 1_700_000_000_000_000
+    t2 = pa.table({
+        "u": pa.array(u, pa.int64()),
+        "s": pa.array((s * 1_000_000 + base).astype("int64")).cast(pa.timestamp("us")),
+        "e": pa.array((e * 1_000_000 + base).astype("int64")).cast(pa.timestamp("us")),
+    })
+    got_ts = merge_intervals(t2, "u", "s", "e").sort_by(
+        [("u", "ascending"), ("island_start", "ascending")]
+    )
+    import pyarrow.compute as pc
+
+    ist = pc.cast(got_ts.column("island_start"), pa.int64()).to_numpy(zero_copy_only=False)
+    assert np.array_equal(
+        ist,
+        (want.column("island_start").to_numpy(zero_copy_only=False) * 1_000_000 + base).astype("int64"),
+    )
+    # min_gap merges near-adjacent islands
+    t3 = pa.table({"u": pa.array([1, 1], pa.int64()), "s": pa.array([0.0, 12.0]), "e": pa.array([10.0, 20.0])})
+    assert merge_intervals(t3, "u", "s", "e").num_rows == 2
+    assert merge_intervals(t3, "u", "s", "e", min_gap=2.0).num_rows == 1
+    # Dataset path
+    ds_out = merge_intervals(ray.data.from_arrow(t).repartition(5), "u", "s", "e")
+    got = pa.concat_tables(
+        [pa.table(b) for b in ds_out.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("u", "ascending"), ("island_start", "ascending")])
+    assert got.equals(want)

@@ -2126,6 +2126,30 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_cooccur(sf_dir):
+    """Market-basket co-occurrence (``cooccurrence_counts``): unordered
+    part pairs within each order, counted corpus-wide. One group
+    sort-shuffle + vectorized per-segment pair enumeration (quadratic per
+    basket by definition, size-capped) + partial pair counts. Oracle = the
+    classic self-join."""
+    from kamae_ray.stages.aggregate import cooccurrence_counts
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return cooccurrence_counts(ds, "l_orderkey", "l_partkey")
+
+
+def _q_transitions(sf_dir):
+    """Markov transition matrix of the event stream (``transition_counts``):
+    consecutive (from, to) event pairs per user timeline, event_id tiebreak
+    for determinism under equal timestamps. One entity sort + shifted
+    compare + partial pair counts; the exchange carries only (from, to, n)
+    cells. Oracle = lag() window SQL."""
+    from kamae_ray.stages.window import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    return transition_counts(ds, "user_id", "ts", "event_type", tiebreak_col="event_id")
+
+
 def _q_intervals(sf_dir):
     """Gaps-and-islands interval coalescing (``merge_intervals``): per
     supplier, shipping windows [l_shipdate, l_shipdate + l_quantity days]
@@ -2451,6 +2475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_histogram": _q_histogram,
         "q_cross": _q_cross,
         "q_intervals": _q_intervals,
+        "q_transitions": _q_transitions,
+        "q_cooccur": _q_cooccur,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2885,6 +2911,17 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_cooccur": (
+            "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY item_a, item_b"
+        ),
+        "q_transitions": (
+            "SELECT prev AS from_event, event_type AS to_event, count(*) AS n "
+            "FROM (SELECT lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev, event_type FROM events) "
+            "WHERE prev IS NOT NULL GROUP BY from_event, to_event"
         ),
         "q_intervals": (
             "WITH iv AS (SELECT l_suppkey, l_shipdate AS s, "

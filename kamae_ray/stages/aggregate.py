@@ -1200,3 +1200,89 @@ def histogram(ds, col: str, bins: int, lo: float, hi: float):
         return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
                            batch_size=None)
+
+
+def cooccurrence_counts(ds, group_col: str, item_col: str,
+                        max_group_size: int = 10_000):
+    """Item co-occurrence (market-basket) counts: for every unordered item
+    pair inside one group (order/basket/document), count the co-occurrences
+    across all groups — SQL
+    ``FROM t a JOIN t b ON a.g = b.g AND a.item < b.item GROUP BY pair``
+    (duplicate occurrences multiply, exactly like the self-join).
+
+    Scale plan: ONE sort-shuffle on the group key; per block a vectorized
+    pair enumeration over each group segment (items pre-sorted, so pairs
+    come out with a < b for free), then per-block partial pair counts —
+    the final exchange carries only (item_a, item_b, n) cells. Pair
+    emission is quadratic in group size BY DEFINITION; groups larger than
+    ``max_group_size`` raise rather than OOM (pre-cap baskets upstream)."""
+
+    def kern(block: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "item_a": pa.array([], pa.int64()),
+            "item_b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        })
+        if block.num_rows == 0:
+            return empty
+        items = pc.cast(A.as_array(block.column(item_col)), pa.int64(), safe=False)
+        iv = items.to_numpy(zero_copy_only=False)
+        gids = S.group_ids(block, [group_col])
+        order = np.lexsort((iv, gids))
+        gs, its = gids[order], iv[order]
+        starts, lens = S.segments(gs)
+        if lens.max(initial=0) > max_group_size:
+            raise ValueError(
+                f"cooccurrence group larger than max_group_size={max_group_size} "
+                "— pair fan-out is quadratic; cap the basket upstream"
+            )
+        rem = (np.arange(len(gs)) - np.repeat(starts, lens))  # position in segment
+        rem = np.repeat(lens, lens) - rem - 1                 # pairs AFTER each row
+        total = int(rem.sum())
+        if total == 0:
+            return empty
+        a_pos = np.repeat(np.arange(len(gs)), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem)
+        b_pos = a_pos + 1 + off
+        ia, ib = its[a_pos], its[b_pos]
+        ok = ia != ib  # SQL a.item < b.item excludes equal items
+        ia, ib = ia[ok], ib[ok]
+        if not len(ia):
+            return empty
+        order2 = np.lexsort((ib, ia))
+        a_s, b_s = ia[order2], ib[order2]
+        new = np.ones(len(a_s), dtype=bool)
+        new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        idx = np.flatnonzero(new)
+        counts = np.diff(np.append(idx, len(a_s)))
+        return pa.table({
+            "item_a": pa.array(a_s[idx]),
+            "item_b": pa.array(b_s[idx]),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    kern.__name__ = "cooccur_partial"
+    if isinstance(ds, pa.Table):
+        cells = kern(ds)
+    else:
+        from kamae_ray.stages.window import sorted_block_apply
+
+        proj = ds
+        try:
+            proj = ds.select_columns(list(dict.fromkeys([group_col, item_col])))
+        except Exception:
+            pass
+        cells = sorted_block_apply(proj, [group_col], kern, "cooccur_cells")
+    agg = groupby_agg(cells, ["item_a", "item_b"], {"n": ["sum"]})
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "item_a": b.column("item_a"),
+            "item_b": b.column("item_b"),
+            "n": pc.cast(b.column("n_sum"), pa.int64(), safe=False),
+        })
+
+    finish.__name__ = "cooccur_finish"
+    if isinstance(agg, pa.Table):
+        return finish(agg)
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -1491,3 +1491,84 @@ def merge_intervals(ds, entity_cols, start_col: str, end_col: str,
     except Exception:
         pass
     return sorted_block_apply(proj, entity_cols, kern, "merge_intervals")
+
+
+def transition_counts(ds, entity_cols, time_col: str, event_col: str,
+                      tiebreak_col: str | None = None):
+    """Markov transition matrix of an event stream: counts of consecutive
+    (from_event, to_event) pairs per entity timeline, aggregated globally —
+    SQL ``lag(event) OVER (PARTITION BY entity ORDER BY time[, tiebreak])``
+    + GROUP BY. Pass a unique ``tiebreak_col`` for deterministic output
+    under equal timestamps (same caveat as SQL).
+
+    Scale plan: ONE entity sort-shuffle, block kernel = lexsort + one
+    shifted compare (transitions never cross entities) + per-block partial
+    pair counts; the final exchange carries only (from, to, n) cells."""
+    entity_cols = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+
+    def kern(block: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "from_event": pa.array([], pa.string()),
+            "to_event": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        if block.num_rows == 0:
+            return empty
+        ev = pc.cast(A.as_array(block.column(event_col)), pa.string(), safe=False)
+        d = ev.dictionary_encode()
+        codes = pc.fill_null(d.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _time_to_numeric(A.as_array(block.column(time_col))).to_numpy(zero_copy_only=False)
+        gids = S.group_ids(block, entity_cols)
+        keys = [t, gids]
+        if tiebreak_col is not None:
+            tb = pc.cast(A.as_array(block.column(tiebreak_col)), pa.int64(), safe=False)
+            keys = [tb.to_numpy(zero_copy_only=False), t, gids]
+        order = np.lexsort(tuple(keys))
+        gs, cs = gids[order], codes[order]
+        n = len(gs)
+        if n < 2:
+            return empty
+        same = gs[1:] == gs[:-1]
+        frm, to = cs[:-1][same], cs[1:][same]
+        ok = (frm >= 0) & (to >= 0)  # null events drop (SQL lag row excluded)
+        frm, to = frm[ok], to[ok]
+        if not len(frm):
+            return empty
+        pair = frm * np.int64(len(d.dictionary)) + to
+        uniq, counts = np.unique(pair, return_counts=True)
+        dic = d.dictionary
+        f_idx = pa.array(uniq // len(dic), pa.int64())
+        t_idx = pa.array(uniq % len(dic), pa.int64())
+        return pa.table({
+            "from_event": dic.take(f_idx),
+            "to_event": dic.take(t_idx),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    if isinstance(ds, pa.Table):
+        cells = kern(ds)
+    else:
+        cols = entity_cols + [time_col, event_col] + (
+            [tiebreak_col] if tiebreak_col else []
+        )
+        proj = ds
+        try:
+            proj = ds.select_columns(list(dict.fromkeys(cols)))
+        except Exception:
+            pass
+        cells = sorted_block_apply(proj, entity_cols, kern, "transition_cells")
+    agg = groupby_agg(cells, ["from_event", "to_event"], {"n": ["sum"]})
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "from_event": b.column("from_event"),
+            "to_event": b.column("to_event"),
+            "n": pc.cast(b.column("n_sum"), pa.int64(), safe=False),
+        })
+
+    finish.__name__ = "transition_finish"
+    if isinstance(agg, pa.Table):
+        return finish(agg)
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -258,3 +258,56 @@ def test_histogram_and_cross_join(ray_session):
     )
     with pytest.raises(ValueError):
         cross_join(left, right, max_right_rows=1)
+
+
+def test_cooccurrence_and_transitions(ray_session):
+    import ray
+
+    from kamae_ray.stages.aggregate import cooccurrence_counts
+    from kamae_ray.stages.window import transition_counts
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    t = pa.table({
+        "g": pa.array(list(rng.integers(0, 300, n)), pa.int64()),
+        "item": pa.array(list(rng.integers(0, 25, n)), pa.int64()),
+    })
+    want = cooccurrence_counts(t, "g", "item").sort_by(
+        [("item_a", "ascending"), ("item_b", "ascending")]
+    )
+    ora = duckdb.sql(
+        "SELECT a.item ia, b.item ib, count(*) n FROM t a JOIN t b "
+        "ON a.g = b.g AND a.item < b.item GROUP BY 1,2 ORDER BY 1,2"
+    ).df()
+    assert want.column("item_a").to_pylist() == ora["ia"].astype(int).tolist()
+    assert want.column("n").to_pylist() == ora["n"].astype(int).tolist()
+    ds_out = cooccurrence_counts(ray.data.from_arrow(t).repartition(5), "g", "item")
+    got = pa.concat_tables(
+        [pa.table(b) for b in ds_out.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("item_a", "ascending"), ("item_b", "ascending")])
+    assert got.equals(want)
+    with pytest.raises(ValueError):
+        cooccurrence_counts(t, "g", "item", max_group_size=2)
+
+    ev = pa.table({
+        "u": pa.array(list(rng.integers(0, 30, n)), pa.int64()),
+        "ts": pa.array(list(rng.integers(0, 10_000, n)), pa.int64()),
+        "eid": pa.array(range(n), pa.int64()),
+        "ev": pa.array(list(rng.choice(["a", "b", "c"], n))),
+    })
+    want_t = transition_counts(ev, "u", "ts", "ev", tiebreak_col="eid").sort_by(
+        [("from_event", "ascending"), ("to_event", "ascending")]
+    )
+    ora_t = duckdb.sql(
+        "SELECT prev f, ev t2, count(*) n FROM (SELECT lag(ev) OVER "
+        "(PARTITION BY u ORDER BY ts, eid) prev, ev FROM ev) "
+        "WHERE prev IS NOT NULL GROUP BY 1,2 ORDER BY 1,2"
+    ).df()
+    assert want_t.column("from_event").to_pylist() == ora_t["f"].tolist()
+    assert want_t.column("n").to_pylist() == ora_t["n"].astype(int).tolist()
+    ds_t = transition_counts(ray.data.from_arrow(ev).repartition(4), "u", "ts", "ev",
+                             tiebreak_col="eid")
+    got_t = pa.concat_tables(
+        [pa.table(b) for b in ds_t.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("from_event", "ascending"), ("to_event", "ascending")])
+    assert got_t.equals(want_t)

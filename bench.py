@@ -202,6 +202,9 @@ _BENCH_QUERIES = [
     "q_dup_passages",  # per-doc duplicated n-gram fraction (one gram shuffle)
     "q_pagerank",  # iterative: broadcast state + one distributed pass per iter
     "q_corr",  # per-group Pearson/covariance cross-moment partials
+    "q_intervals",  # gaps-and-islands coalescing (exact segmented running max)
+    "q_transitions",  # Markov event bigrams (entity sort + shifted compare)
+    "q_cooccur",  # market-basket pairs (quadratic per basket, capped)
 ]
 
 

@@ -140,6 +140,7 @@ from kamae_ray.stages.multimodal import (  # noqa: F401
     FrameSampleTransformer,
     PgmDecodeTransformer,
     PgmResizeTransformer,
+    SpectrogramTransformer,
     WavDecodeTransformer,
 )
 from kamae_ray.stages.join import broadcast_join, fuzzy_join, shuffle_join  # noqa: F401

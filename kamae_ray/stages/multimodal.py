@@ -427,3 +427,94 @@ class FrameSampleTransformer(Transformer):
         return ds.map_batches(
             self.transform_batch, batch_format="pyarrow", batch_size=64
         )
+
+
+class _SpectrogramActor:
+    """Frame -> Hann window -> rfft magnitude -> log-mel-free band energies.
+
+    The Hann window and band-edge index table are built ONCE per actor in
+    ``__init__`` (the actor-pool contract: per-batch work is the ffts only)."""
+
+    def __init__(self, input_col: str, prefix: str, n_fft: int, hop: int, n_bands: int):
+        self.input_col = input_col
+        self.prefix = prefix
+        self.n_fft = int(n_fft)
+        self.hop = int(hop)
+        self.n_bands = int(n_bands)
+        self.window = np.hanning(self.n_fft)
+        n_bins = self.n_fft // 2 + 1
+        self.band_edges = np.linspace(0, n_bins, self.n_bands + 1).astype(np.int64)
+
+    def _one(self, samples: np.ndarray) -> tuple[int, np.ndarray]:
+        n = len(samples)
+        if n < self.n_fft:
+            return 0, np.zeros(self.n_bands)
+        n_frames = 1 + (n - self.n_fft) // self.hop
+        idx = (np.arange(self.n_fft)[None, :]
+               + self.hop * np.arange(n_frames)[:, None])
+        frames = samples[idx] * self.window[None, :]
+        mag = np.abs(np.fft.rfft(frames, axis=1))  # (frames, bins)
+        power = mag * mag
+        bands = np.add.reduceat(power, self.band_edges[:-1], axis=1)
+        return n_frames, np.log1p(bands.mean(axis=0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = A.as_array(batch.column(self.input_col))
+        payloads = col.to_pylist()
+        n = len(payloads)
+        n_frames = np.zeros(n, np.int64)
+        feats = np.zeros((n, self.n_bands))
+        ok = np.zeros(n, dtype=bool)
+        for i, p in enumerate(payloads):
+            if not p:
+                continue
+            _, _, _, samples = decode_wav(p)
+            nf, band = self._one(samples)
+            n_frames[i], feats[i], ok[i] = nf, band, True
+        pre = self.prefix
+        batch = _append_or_replace(batch, f"{pre}_n_frames", pa.array(n_frames))
+        flat = pa.array(feats.reshape(-1), pa.float32())
+        lists = pa.FixedSizeListArray.from_arrays(flat, self.n_bands)
+        if not ok.all():
+            import pyarrow.compute as pc
+
+            lists = pc.if_else(pa.array(ok), lists, pa.nulls(n, lists.type))
+        return _append_or_replace(batch, f"{pre}_bands", lists)
+
+
+class SpectrogramTransformer(Transformer):
+    """Audio spectrogram band energies via an actor pool: WAV payload ->
+    framed Hann-windowed rfft power -> ``n_bands`` averaged log band
+    energies (``<out>_bands`` fixed_size_list<float32> + ``<out>_n_frames``).
+    Window/band tables build once per actor; per-batch work is numpy ffts.
+    Small ``batch_size`` by default — audio payloads are large."""
+
+    compatible_dtypes = None
+    fusible = False
+
+    def __init__(self, *args, n_fft: int = 256, hop: int = 128, n_bands: int = 8,
+                 batch_size: int = 64, concurrency: tuple[int, int] = (1, 4), **kwargs):
+        super().__init__(*args, **kwargs)
+        self.n_fft, self.hop, self.n_bands = int(n_fft), int(hop), int(n_bands)
+        self.batch_size = int(batch_size)
+        self.concurrency = tuple(concurrency)
+
+    @property
+    def outputs(self):
+        return [f"{self.output_col}_n_frames", f"{self.output_col}_bands"]
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        return _SpectrogramActor(self.input_col, self.output_col,
+                                 self.n_fft, self.hop, self.n_bands)(batch)
+
+    def transform(self, ds):
+        if isinstance(ds, pa.Table):
+            return self.transform_batch(ds)
+        return ds.map_batches(
+            _SpectrogramActor,
+            fn_constructor_args=(self.input_col, self.output_col,
+                                 self.n_fft, self.hop, self.n_bands),
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.concurrency,
+        )

@@ -103,3 +103,50 @@ def test_pgm_resize_nearest():
 
     dec = PgmDecodeTransformer(input_col="small", output_col="img2").transform_batch(out)
     assert dec.column("img2_width").to_pylist()[0] == 4
+
+
+def test_spectrogram_transformer(ray_session):
+    """Band energies localize a pure tone; exact numpy-reference parity;
+    actor-pool Dataset path == Table path; short/empty payload handling."""
+    import ray
+
+    from kamae_ray.stages import SpectrogramTransformer
+
+    sr, n = 8000, 4096
+    t_ax = np.arange(n) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t_ax) * 32767).astype(np.int16)
+    low = (0.5 * np.sin(2 * np.pi * 100 * t_ax) * 32767).astype(np.int16)
+    tbl = pa.table({
+        "wav": pa.array(
+            [encode_wav(sr, 1, tone), encode_wav(sr, 1, low), b"", encode_wav(sr, 1, tone[:64])],
+            pa.binary(),
+        )
+    })
+    tf = SpectrogramTransformer(input_col="wav", output_col="spec",
+                                n_fft=256, hop=128, n_bands=8)
+    out = tf.transform_batch(tbl)
+    bands = out.column("spec_bands").to_pylist()
+    nf = out.column("spec_n_frames").to_pylist()
+    # 1 kHz at sr=8000 -> bin 32 of 129 -> band 2 (edges [0,16,32,48,...]);
+    # 100 Hz -> bin 3 -> band 0
+    assert int(np.argmax(bands[0])) == 2
+    assert int(np.argmax(bands[1])) == 0
+    assert bands[2] is None and nf[2] == 0  # empty payload
+    assert nf[3] == 0 and max(bands[3]) == 0.0  # shorter than one frame
+    assert nf[0] == 1 + (n - 256) // 128
+    # numpy reference for the tone row
+    from kamae_ray.stages.multimodal import decode_wav
+
+    _, _, _, samples = decode_wav(encode_wav(sr, 1, tone))
+    w = np.hanning(256)
+    frames = samples[(np.arange(256)[None, :] + 128 * np.arange(nf[0])[:, None])] * w
+    p = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    edges = np.linspace(0, 129, 9).astype(np.int64)
+    ref = np.log1p(np.add.reduceat(p, edges[:-1], axis=1).mean(axis=0))
+    assert np.allclose(np.array(bands[0], dtype=np.float64), ref, rtol=1e-6)
+    # Dataset actor-pool path
+    ds = ray.data.from_arrow(tbl)
+    got = pa.concat_tables(
+        [pa.table(b) for b in tf.transform(ds).iter_batches(batch_format="pyarrow")]
+    )
+    assert got.column("spec_n_frames").to_pylist() == nf

@@ -2126,6 +2126,28 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_llm_prep(sf_dir):
+    """END-TO-END LLM corpus prep (``pipelines.llm_prep``): quality filter
+    (length + stopword ratio) -> benchmark decontamination (3-gram overlap
+    vs the doc_id%97==0 eval slice) -> exact dedup -> 512-token sequence
+    packing. Two exchanges total (dedup key sort + packing bucket sort);
+    the WHOLE chain is certified by one chained-CTE SQL oracle."""
+    from kamae_ray.pipelines.llm_prep import llm_corpus_prep
+
+    def bench_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    def corpus_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 != 0))
+
+    docs = lambda fn, nm: _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(  # noqa: E731
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return llm_corpus_prep(docs(corpus_part, "corpus"), docs(bench_part, "bench"))
+
+
 def _q_cooccur(sf_dir):
     """Market-basket co-occurrence (``cooccurrence_counts``): unordered
     part pairs within each order, counted corpus-wide. One group
@@ -2477,6 +2499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_intervals": _q_intervals,
         "q_transitions": _q_transitions,
         "q_cooccur": _q_cooccur,
+        "q_llm_prep": _q_llm_prep,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2911,6 +2934,32 @@ def oracle_sql() -> dict[str, str]:
             "s.n_name AS nearest_nation, s.d AS distance "
             "FROM part p LEFT JOIN (SELECT * FROM scored WHERE rn = 1 AND d <= 7) s "
             "ON p.p_partkey = s.p_partkey"
+        ),
+        "q_llm_prep": (
+            "WITH b AS (SELECT doc_id, text, length(coalesce(text,'')) AS n_chars, "
+            "len(regexp_extract_all(coalesce(text,''), '\S+')) AS n_words, "
+            "len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), "
+            "'\s+'),       w -> w IN "
+            "('and','are','as','for','in','is','it','of','on','that','the','to','was','with'))) "
+            "AS stop_hits FROM documents), qual AS (SELECT doc_id, text FROM b "
+            "WHERE doc_id % 97 <> 0 AND n_chars >= 100   AND n_words > 0 AND "
+            "stop_hits::DOUBLE / n_words >= 0.05), w AS (SELECT doc_id, "
+            "regexp_split_to_array(text, '\s+') AS ws FROM documents), grams AS "
+            "(SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3 + 2),   i "
+            "-> array_to_string(ws[i:i+2], ' '))) AS g FROM w WHERE len(ws) >= 3), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0), "
+            "contaminated AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING "
+            "(g)   WHERE doc_id % 97 <> 0), clean AS (SELECT q.doc_id, q.text FROM "
+            "qual q   WHERE q.doc_id NOT IN (SELECT doc_id FROM contaminated)), "
+            "dedup AS (SELECT doc_id, text FROM clean   WHERE doc_id IN (SELECT "
+            "min(doc_id) FROM clean GROUP BY text)), d AS (SELECT doc_id, "
+            "CAST(len(list_filter(string_split_regex(coalesce(text,''), '\s+'),   w "
+            "-> length(w) > 0)) AS BIGINT) AS n_tok FROM dedup), c AS (SELECT "
+            "doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id   ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "
+            "tok_offset   FROM d WHERE n_tok > 0) SELECT doc_id, n_tok, tok_offset, "
+            "tok_offset // 512 AS seq_first,   (tok_offset + n_tok - 1) // 512 AS "
+            "seq_last FROM c"
         ),
         "q_cooccur": (
             "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n "

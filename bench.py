@@ -205,6 +205,7 @@ _BENCH_QUERIES = [
     "q_intervals",  # gaps-and-islands coalescing (exact segmented running max)
     "q_transitions",  # Markov event bigrams (entity sort + shifted compare)
     "q_cooccur",  # market-basket pairs (quadratic per basket, capped)
+    "q_llm_prep",  # END-TO-END corpus prep: quality -> decontam -> dedup -> pack
 ]
 
 

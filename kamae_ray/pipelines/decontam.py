@@ -119,7 +119,7 @@ def benchmark_ngram_set(source, text_col: str, n: int = 3) -> dict:
 
 
 def _decontam_batch(batch: pa.Table, bench: dict, text_col: str, id_col: str,
-                    min_hits: int, keep_clean: bool) -> pa.Table:
+                    min_hits: int, keep_clean: bool, project: bool = True) -> pa.Table:
     n = bench["n"]
     bh: np.ndarray = bench["hashes"]
     h, doc_of, word_start, words = _full_gram_data(A.as_array(batch.column(text_col)), n)
@@ -149,7 +149,8 @@ def _decontam_batch(batch: pa.Table, bench: dict, text_col: str, id_col: str,
         counts = np.zeros(0, np.int64)
     n_hits = np.zeros(batch.num_rows, dtype=np.int64)
     n_hits[docs] = counts
-    out = batch.select([id_col]).append_column("n_hits", pa.array(n_hits, pa.int64()))
+    base = batch.select([id_col]) if project else batch
+    out = base.append_column("n_hits", pa.array(n_hits, pa.int64()))
     if keep_clean:
         return out.filter(pa.array(n_hits < min_hits))
     return out.filter(pa.array(n_hits >= min_hits))
@@ -162,6 +163,7 @@ def decontaminate(
     id_col: str,
     min_hits: int = 1,
     keep_clean: bool = False,
+    project: bool = True,
 ):
     """Flag (or drop) corpus documents sharing >= ``min_hits`` DISTINCT word
     n-grams with the benchmark set from :func:`benchmark_ngram_set`.
@@ -170,16 +172,18 @@ def decontaminate(
     (``keep_clean=False``) or for clean ones (``keep_clean=True``,
     ``n_hits`` < min_hits — the "safe to train on" survivor list). ``ds``
     is a ``pa.Table`` or ``ray.data.Dataset``; the Dataset path broadcasts
-    the benchmark set with ONE ``ray.put`` and never shuffles the corpus."""
+    the benchmark set with ONE ``ray.put`` and never shuffles the corpus.
+    ``project=False`` keeps ALL input columns (+ ``n_hits``) so the op can
+    sit mid-pipeline (e.g. before dedup/packing)."""
     if isinstance(ds, pa.Table):
-        return _decontam_batch(ds, bench, text_col, id_col, min_hits, keep_clean)
+        return _decontam_batch(ds, bench, text_col, id_col, min_hits, keep_clean, project)
     import ray
 
     ref = ray.put(bench)
 
     def dec(batch: pa.Table) -> pa.Table:
         b = ray.get(ref)  # zero-copy from the local object store
-        return _decontam_batch(batch, b, text_col, id_col, min_hits, keep_clean)
+        return _decontam_batch(batch, b, text_col, id_col, min_hits, keep_clean, project)
 
     dec.__name__ = "decontaminate"
     return ds.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -150,3 +150,43 @@ def test_duplicate_passage_dataset_matches_table(ray_session):
          .iter_batches(batch_format="pyarrow")]
     ).sort_by("doc_id")
     assert got.equals(want)
+
+
+def test_llm_corpus_prep_chain(ray_session):
+    """End-to-end chain: quality -> decontaminate -> dedup -> pack.
+    Dataset path == Table path; dedup/filters actually fire."""
+    import ray
+
+    from kamae_ray.pipelines.llm_prep import llm_corpus_prep
+
+    rng = np.random.default_rng(5)
+    words = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran", "far", "away"]
+    def doc(k):
+        return " ".join(rng.choice(words, size=k))
+    corpus = [doc(40) for _ in range(60)]
+    corpus[10] = corpus[5]            # exact duplicate -> dedup drops one
+    corpus[20] = "x y z"              # too short -> quality filter
+    bench = [corpus[7]]               # contaminates doc 7 (and any sharing a 3-gram)
+    ct = pa.table({"doc_id": pa.array(range(len(corpus)), pa.int64()),
+                   "text": pa.array(corpus)})
+    bt = pa.table({"text": pa.array(bench)})
+    want = llm_corpus_prep(ct, bt, min_chars=50, min_stop_ratio=0.0, seq_len=64)
+    ids = want.column("doc_id").to_pylist()
+    assert 20 not in ids and 7 not in ids
+    assert not (5 in ids and 10 in ids)  # dedup kept at most one copy
+    # offsets are a proper packing: cumulative and gap-free
+    nt = want.column("n_tok").to_pylist()
+    off = want.column("tok_offset").to_pylist()
+    order = np.argsort(ids)
+    run = 0
+    for i in order:
+        assert off[i] == run
+        run += nt[i]
+    ds_out = llm_corpus_prep(
+        ray.data.from_arrow(ct).repartition(4), ray.data.from_arrow(bt),
+        min_chars=50, min_stop_ratio=0.0, seq_len=64,
+    )
+    got = pa.concat_tables(
+        [pa.table(b) for b in ds_out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+    assert got.equals(want.sort_by("doc_id"))

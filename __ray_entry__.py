@@ -2420,8 +2420,6 @@ def _q_decontaminate(sf_dir):
     map_batches — rolling-hash candidates via searchsorted, exact string
     verification of the rare hits, distinct-gram count per doc. No corpus
     shuffle. Oracle = UNNEST n-grams + set join in SQL."""
-    import numpy as np
-
     from kamae_ray.pipelines.decontam import benchmark_ngram_set, decontaminate
 
     def bench_part(batch: pa.Table) -> pa.Table:
@@ -2970,7 +2968,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT prev AS from_event, event_type AS to_event, count(*) AS n "
             "FROM (SELECT lag(event_type) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id) AS prev, event_type FROM events) "
-            "WHERE prev IS NOT NULL GROUP BY from_event, to_event"
+            "WHERE prev IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY from_event, to_event"
         ),
         "q_intervals": (
             "WITH iv AS (SELECT l_suppkey, l_shipdate AS s, "

@@ -111,7 +111,11 @@ def benchmark_ngram_set(source, text_col: str, n: int = 3) -> dict:
             block_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
         parts = collect_tables(ds)
-    merged = pa.concat_tables([p for p in parts if p.num_rows] or parts[:1])
+    nonempty = [p for p in parts if p.num_rows]
+    if not (nonempty or parts):  # zero blocks materialized: empty gram set
+        return {"n": n, "hashes": np.zeros(0, np.uint64),
+                "grams": pa.array([], pa.string())}
+    merged = pa.concat_tables(nonempty or parts[:1])
     h = merged.column("__kr_gh").to_numpy(zero_copy_only=False).view(np.uint64)
     uh, first = np.unique(h, return_index=True)
     grams = A.as_array(merged.column("__kr_g").take(pa.array(first, pa.int64())))
@@ -123,7 +127,6 @@ def _decontam_batch(batch: pa.Table, bench: dict, text_col: str, id_col: str,
     n = bench["n"]
     bh: np.ndarray = bench["hashes"]
     h, doc_of, word_start, words = _full_gram_data(A.as_array(batch.column(text_col)), n)
-    ids = A.as_array(batch.column(id_col))
     if len(h) and len(bh):
         pos = np.searchsorted(bh, h)
         pos[pos == len(bh)] = 0

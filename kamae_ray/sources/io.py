@@ -125,9 +125,12 @@ def write_partitioned(ds, root: str, partition_col: str, skip_existing: bool = T
         drop_done.__name__ = "skip_finished_partitions"
         ds = ds.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=None)
-    # torn partitions (no marker): clean so the rerun can't duplicate rows
+    # torn partitions (no marker) are always cleaned so the rerun can't
+    # duplicate rows; with skip_existing=False the COMPLETED dirs go too —
+    # full-overwrite semantics (otherwise write_parquet would append new
+    # files alongside the old data under an already-stamped marker)
     for v, p in existing.items():
-        if v not in done:
+        if v not in done or not skip_existing:
             shutil.rmtree(p, ignore_errors=True)
     ds.write_parquet(root, partition_cols=[partition_col])
     written = []

@@ -292,6 +292,14 @@ def groupby_rollup(ds, keys: str | list[str], aggs: dict[str, list[str]],
     def level_table(partials: pa.Table, level: int, key_types: dict) -> pa.Table:
         key_out, merged = _merge_partials_np(partials, keys[:level], partial_specs)
         nrows = len(next(iter(merged.values()))) if merged else 0
+        if level == 0 and nrows == 0:
+            # SQL: GROUP BY ROLLUP on an EMPTY relation still returns the
+            # grand-total grouping-set row (count=0, aggregates NULL)
+            ident = {"sum": 0.0, "count": 0.0, "sumsq": 0.0,
+                     "min": np.inf, "max": -np.inf}
+            merged = {f"__p_{c}_{p}": np.array([ident[p]])
+                      for c, need in partial_specs.items() for p in need}
+            nrows = 1
         cols: dict[str, pa.Array] = {}
         for i, k in enumerate(keys):
             cols[k] = key_out[k] if i < level else pa.nulls(nrows, key_types[k])
@@ -376,7 +384,12 @@ def groupby_rollup(ds, keys: str | list[str], aggs: dict[str, list[str]],
         finest.map_batches(block_total, batch_format="pyarrow", zero_copy_batch=True,
                            batch_size=None)
     )
-    tiny = pa.concat_tables([t for t in tiny if t.num_rows] or tiny[:1])
+    tiny_ne = [t for t in tiny if t.num_rows]
+    if tiny_ne or tiny:
+        tiny = pa.concat_tables(tiny_ne or tiny[:1])
+    else:  # zero blocks materialized: synthesize an empty partials table
+        tiny = pa.table({f"__p_{c}_{p}": pa.array([], pa.float64())
+                         for c, need in partial_specs.items() for p in need})
     total = level_table(tiny, 0, key_types)
     import ray
 
@@ -1175,8 +1188,6 @@ def histogram(ds, col: str, bins: int, lo: float, hi: float):
         })
 
     kern.__name__ = "hist_partial"
-    from kamae_ray.stages.window import sorted_block_apply  # noqa: F401  (doc pointer)
-
     if isinstance(ds, pa.Table):
         cells = kern(ds)
     else:
@@ -1226,6 +1237,14 @@ def cooccurrence_counts(ds, group_col: str, item_col: str,
         if block.num_rows == 0:
             return empty
         items = pc.cast(A.as_array(block.column(item_col)), pa.int64(), safe=False)
+        if items.null_count:
+            # SQL parity: NULL never satisfies a.item < b.item — and a null
+            # would otherwise poison the int64 numpy view (NaN/float64 flip)
+            keep = pc.is_valid(items)
+            block = block.filter(keep)
+            items = items.filter(keep)
+            if block.num_rows == 0:
+                return empty
         iv = items.to_numpy(zero_copy_only=False)
         gids = S.group_ids(block, [group_col])
         order = np.lexsort((iv, gids))

@@ -417,9 +417,12 @@ def deterministic_shuffle(ds, key_col: str, salt: int = 0,
 
     Scale plan: hash is one vectorized map; the rank is
     ``global_cumsum(ones)`` — bucket partial sums + ONE sort-shuffle on the
-    bucket id (never a global serial scan; ``levels=2`` for 100-TB id
-    spaces). Rows come back hash-bucket-sorted: consuming in block order
-    IS the shuffled order."""
+    bucket id (never a global serial scan). Because hashes are UNIFORM over
+    2^64 (not dense row ids), the default ``bucket_width`` here is 2^44 so
+    the bucket domain is a FIXED 2^20 ids — the driver's bucket prefix is
+    O(2^20) at any corpus size (dense-id callers of global_cumsum use the
+    narrow default instead). Rows come back hash-bucket-sorted: consuming
+    in block order IS the shuffled order."""
     from kamae_ray.stages.aggregate import global_cumsum
 
     def add_cols(block: pa.Table) -> pa.Table:
@@ -436,6 +439,8 @@ def deterministic_shuffle(ds, key_col: str, salt: int = 0,
         return block
 
     add_cols.__name__ = "shuffle_hash"
+    # uniform hash domain: fixed 2^20-bucket width (see docstring)
+    cumsum_kwargs.setdefault("bucket_width", 1 << 44)
     drop = ["__kr_sh", "__kr_one"]
     if isinstance(ds, pa.Table):
         out = global_cumsum(add_cols(ds), "__kr_sh", "__kr_one", out_col,
@@ -466,6 +471,15 @@ def mix_corpora(sources, key_col: str, salt: int = 0, source_col: str = "mix_sou
     order-free). All sources must share a schema."""
     if not sources:
         raise ValueError("sources must be non-empty")
+    kinds = {isinstance(src, pa.Table) for src, _, _ in sources}
+    if len(kinds) > 1:
+        # normalize: lift Tables into (single-block) Datasets so the union works
+        import ray
+
+        sources = [
+            (ray.data.from_arrow(src) if isinstance(src, pa.Table) else src, r, n)
+            for src, r, n in sources
+        ]
     parts = []
     for i, (src, rate, name) in enumerate(sources):
         thr = np.uint64(min(int(rate * 2.0**64), 2**64 - 1))

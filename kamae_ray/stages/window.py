@@ -1336,6 +1336,8 @@ def retention_cohorts(ds, entity_col: str, time_col: str, period_s: int = 86400)
     spans blocks, so per-block distinct IS globally distinct); a final
     partial-agg groupby sums the tiny (cohort, age, n) cells. No join, no
     second pass over the events."""
+    # numeric (non-timestamp) time columns are interpreted as epoch
+    # MICROSECONDS; timestamp columns scale by their own unit in the kernel
     div = np.int64(int(period_s) * 1_000_000)
 
     def kern(block: pa.Table) -> pa.Table:
@@ -1347,15 +1349,22 @@ def retention_cohorts(ds, entity_col: str, time_col: str, period_s: int = 86400)
         if block.num_rows == 0:
             return empty
         t_arr = A.as_array(block.column(time_col))
-        tv = pc.cast(t_arr, pa.int64(), safe=False) if pa.types.is_timestamp(t_arr.type) \
-            else pc.cast(pc.cast(t_arr, pa.float64(), safe=False), pa.int64(), safe=False)
+        if pa.types.is_timestamp(t_arr.type):
+            tv = pc.cast(t_arr, pa.int64(), safe=False)
+            # period_s is an ABSOLUTE unit contract — scale by the column's
+            # native resolution, not an assumed microsecond epoch
+            per = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[t_arr.type.unit]
+            d = np.int64(int(period_s) * per)
+        else:
+            tv = pc.cast(pc.cast(t_arr, pa.float64(), safe=False), pa.int64(), safe=False)
+            d = div
         valid = pc.is_valid(tv).to_numpy(zero_copy_only=False)
         if not valid.all():
             block = block.filter(pa.array(valid))
             if block.num_rows == 0:
                 return empty
             tv = tv.filter(pa.array(valid))
-        w = tv.to_numpy(zero_copy_only=False) // div
+        w = tv.to_numpy(zero_copy_only=False) // d
         gids = S.group_ids(block, [entity_col])
         order = np.argsort(gids, kind="stable")
         ws = w[order]
@@ -1443,6 +1452,10 @@ def merge_intervals(ds, entity_cols, start_col: str, end_col: str,
                 empty[c] = pa.array([], pa.timestamp(unit) if is_ts else pa.float64())
             empty["n_intervals"] = pa.array([], pa.int64())
             return pa.table(empty)
+        if (ev < sv).any():
+            # a malformed interval opening an island would silently inherit
+            # the PREVIOUS island's running-max end — reject instead
+            raise ValueError("merge_intervals: found end < start; fix or swap the columns")
         gids = S.group_ids(block, entity_cols)
         order = np.lexsort((ev, sv, gids))
         gs, ss, es = gids[order], sv[order], ev[order]
@@ -1530,7 +1543,10 @@ def transition_counts(ds, entity_cols, time_col: str, event_col: str,
             return empty
         same = gs[1:] == gs[:-1]
         frm, to = cs[:-1][same], cs[1:][same]
-        ok = (frm >= 0) & (to >= 0)  # null events drop (SQL lag row excluded)
+        # transitions touching a NULL event drop on BOTH sides (the oracle
+        # filters prev IS NOT NULL AND event IS NOT NULL identically); the
+        # null row still consumes its timeline position, exactly like lag()
+        ok = (frm >= 0) & (to >= 0)
         frm, to = frm[ok], to[ok]
         if not len(frm):
             return empty

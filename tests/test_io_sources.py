@@ -76,3 +76,18 @@ def test_write_partitioned_cleans_torn_partition(ray_session, tmp_path):
     vals = back.column("k").to_pylist()
     assert vals.count("b") == 6  # torn files replaced, not duplicated
     assert vals.count("a") == 4
+
+
+def test_write_partitioned_overwrite_mode(ray_session, tmp_path):
+    """skip_existing=False is full-overwrite: completed partitions are
+    replaced, never appended to."""
+    import ray
+
+    from kamae_ray.sources.io import write_partitioned
+
+    root = str(tmp_path / "ow")
+    write_partitioned(ray.data.from_arrow(_part_table(["a"] * 5)), root, "k")
+    write_partitioned(ray.data.from_arrow(_part_table(["a"] * 3)), root, "k",
+                      skip_existing=False)
+    back = pq.read_table(root)
+    assert back.num_rows == 3  # replaced, not 5 + 3

@@ -311,3 +311,49 @@ def test_cooccurrence_and_transitions(ray_session):
         [pa.table(b) for b in ds_t.iter_batches(batch_format="pyarrow")]
     ).sort_by([("from_event", "ascending"), ("to_event", "ascending")])
     assert got_t.equals(want_t)
+
+
+def test_review_fixes_rollup_cooccur_shuffle(ray_session):
+    """Round-3 session-4 review fixes: empty-input rollup grand total, null
+    items in cooccurrence, bounded shuffle bucket domain, mixed mix inputs."""
+    import ray
+
+    from kamae_ray.stages.aggregate import cooccurrence_counts, groupby_rollup
+    from kamae_ray.stages.hashing import deterministic_shuffle, mix_corpora
+
+    # SQL: ROLLUP on an empty relation still returns the grand-total row
+    empty = pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.float64())})
+    out = groupby_rollup(empty, "k", {"v": ["count", "sum", "min"]})
+    assert out.num_rows == 1
+    r = out.to_pylist()[0]
+    assert r["v_count"] == 0 and r["k"] is None and r["grouping_id"] == 1
+    assert np.isnan(r["v_sum"]) and np.isnan(r["v_min"])
+    ora = duckdb.sql(
+        "SELECT count(v) c, sum(v) s FROM empty GROUP BY ROLLUP(k)"
+    ).df()
+    assert len(ora) == 1 and int(ora["c"][0]) == 0
+
+    # null items are excluded from pairs (SQL: NULL never satisfies a < b)
+    t = pa.table({"g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                  "item": pa.array([5, None, 7, None, None], pa.int64())})
+    pairs = cooccurrence_counts(t, "g", "item")
+    assert pairs.to_pylist() == [{"item_a": 5, "item_b": 7, "n": 1}]
+
+    # shuffle positions remain an exact permutation with the wide bucket domain
+    keys = pa.table({"k": pa.array(range(3000), pa.int64())})
+    ds = ray.data.from_arrow(keys).repartition(5)
+    pos = sorted(
+        r["shuffle_pos"]
+        for b in deterministic_shuffle(ds, "k", salt=3).iter_batches(batch_format="pyarrow")
+        for r in pa.table(b).to_pylist()
+    )
+    assert pos == list(range(3000))
+
+    # mixed Table + Dataset sources normalize instead of crashing
+    tt = pa.table({"k": pa.array(range(100), pa.int64())})
+    mixed = mix_corpora([(tt, 1.0, "t"), (ray.data.from_arrow(tt), 0.5, "d")], "k", salt=2)
+    got = pa.concat_tables([pa.table(b) for b in mixed.iter_batches(batch_format="pyarrow")])
+    import collections
+
+    c = collections.Counter(got.column("mix_source").to_pylist())
+    assert c["t"] == 100 and 20 <= c["d"] <= 80

@@ -415,3 +415,30 @@ def test_merge_intervals_vs_duckdb(ray_session):
         [pa.table(b) for b in ds_out.iter_batches(batch_format="pyarrow")]
     ).sort_by([("u", "ascending"), ("island_start", "ascending")])
     assert got.equals(want)
+
+
+def test_review_fixes_retention_units_intervals_guard(ray_session):
+    """retention_cohorts scales by the timestamp column's native unit;
+    merge_intervals rejects end < start."""
+    from kamae_ray.stages.window import merge_intervals, retention_cohorts
+
+    days = np.array([0, 0, 1, 5, 5, 9], dtype=np.int64)
+    users = pa.array([1, 2, 1, 1, 2, 2], pa.int64())
+    want = None
+    for unit, per in [("s", 1), ("ms", 1_000), ("us", 1_000_000), ("ns", 1_000_000_000)]:
+        ts = pa.array(days * 86_400 * per).cast(pa.timestamp(unit))
+        out = retention_cohorts(pa.table({"u": users, "ts": ts}), "u", "ts").sort_by(
+            [("cohort", "ascending"), ("age", "ascending")]
+        )
+        if want is None:
+            want = out
+        else:
+            assert out.equals(want), unit  # unit-invariant buckets
+    # both users join in period 0: cells merge across them
+    assert want.column("age").to_pylist() == [0, 1, 5, 9]
+    assert want.column("n_entities").to_pylist() == [2, 1, 2, 1]
+
+    bad = pa.table({"u": pa.array([1], pa.int64()),
+                    "s": pa.array([10.0]), "e": pa.array([3.0])})
+    with pytest.raises(ValueError, match="end < start"):
+        merge_intervals(bad, "u", "s", "e")

@@ -2126,6 +2126,26 @@ def _q_group_sample(sf_dir):
     return group_sample(ds, "c_mktsegment", "c_custkey", 100, salt=3)
 
 
+def _q_editdist(sf_dir):
+    """Element-wise Levenshtein of two string columns (EditDistance
+    transformer = the fuzzy_join Wagner-Fischer kernel, batch-vectorized).
+    Oracle = DuckDB levenshtein()."""
+    from kamae_ray.stages import EditDistanceTransformer
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+    tf = EditDistanceTransformer(input_cols=["p_name", "p_type"], output_col="d")
+    out = tf.transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "d": pc.cast(batch.column("d"), pa.int64()),
+        })
+
+    finish.__name__ = "editdist_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 def _q_llm_prep(sf_dir):
     """END-TO-END LLM corpus prep (``pipelines.llm_prep``): quality filter
     (length + stopword ratio) -> benchmark decontamination (3-gram overlap
@@ -2498,6 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_transitions": _q_transitions,
         "q_cooccur": _q_cooccur,
         "q_llm_prep": _q_llm_prep,
+        "q_editdist": _q_editdist,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -2958,6 +2979,10 @@ def oracle_sql() -> dict[str, str]:
             "tok_offset   FROM d WHERE n_tok > 0) SELECT doc_id, n_tok, tok_offset, "
             "tok_offset // 512 AS seq_first,   (tok_offset + n_tok - 1) // 512 AS "
             "seq_last FROM c"
+        ),
+        "q_editdist": (
+            "SELECT p_partkey, CAST(levenshtein(coalesce(p_name, ''), "
+            "coalesce(p_type, '')) AS BIGINT) AS d FROM part"
         ),
         "q_cooccur": (
             "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n "

@@ -87,3 +87,41 @@ def levenshtein_matrix(a, b, max_len: int = 128) -> np.ndarray:
                     cur[fin], blen[None, :, None].astype(np.int64), axis=2
                 )[:, :, 0]
     return ans
+
+
+def levenshtein_pairwise(a, b, max_len: int = 128) -> np.ndarray:
+    """Element-wise int32 Levenshtein distance of two equal-length string
+    arrays (row i of ``a`` vs row i of ``b``) — same byte-level DP as
+    :func:`levenshtein_matrix` with the pair axis replacing the (D, R)
+    grid: O(La * Lb) numpy passes over length-n slices, no per-pair
+    Python. Nulls count as empty strings (DuckDB-levenshtein ASCII
+    parity)."""
+    ac, alen = _encode(a, max_len)
+    bc, blen = _encode(b, max_len)
+    n = len(alen)
+    if len(blen) != n:
+        raise ValueError("levenshtein_pairwise needs equal-length arrays")
+    ans = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return ans
+    Lb = int(blen.max())
+    prev = np.broadcast_to(np.arange(Lb + 1, dtype=np.int32), (n, Lb + 1)).copy()
+    done0 = alen == 0
+    if done0.any():
+        ans[done0] = blen[done0].astype(np.int32)
+    La = int(alen.max())
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = ac[:, i - 1][:, None]
+        for j in range(1, Lb + 1):
+            bj = bc[:, j - 1][:, None]
+            sub = prev[:, j - 1 : j] + (ai != bj)
+            np.minimum(sub, cur[:, j - 1 : j] + 1, out=sub)
+            np.minimum(sub, prev[:, j : j + 1] + 1, out=sub)
+            cur[:, j] = sub[:, 0]
+        prev = cur
+        fin = alen == i
+        if fin.any():
+            ans[fin] = cur[fin, blen[fin]]
+    return ans

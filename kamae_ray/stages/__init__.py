@@ -31,6 +31,7 @@ from kamae_ray.stages.strings import (  # noqa: F401
     StringAffixTransformer,
     StringArrayConstantTransformer,
     StringCaseTransformer,
+    EditDistanceTransformer,
     StringConcatenateTransformer,
     StringContainsListTransformer,
     StringContainsTransformer,

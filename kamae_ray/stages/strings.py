@@ -300,3 +300,25 @@ class StringArrayConstantTransformer(Transformer):
         out = pa.ListArray.from_arrays(offsets, values)
         out = self._cast_out(out)
         return _append_or_replace(batch, self.output_col, out)
+
+
+class EditDistanceTransformer(MultiInputTransformer):
+    """Element-wise Levenshtein distance of two string columns (int32) —
+    SQL ``levenshtein(a, b)`` (byte-level; identical for ASCII). Nulls count
+    as empty strings. Vectorized Wagner-Fischer across the whole batch
+    (functions/editdist.levenshtein_pairwise): O(La*Lb) numpy passes, never
+    per-row Python. No reference analog (kamae has no two-column string
+    similarity); the fuzzy_join kernel exposed as a transformer."""
+
+    compatible_dtypes = _STR
+
+    def __init__(self, *args, max_len: int = 128, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.input_cols is None or len(self.input_cols) != 2:
+            raise ValueError("EditDistanceTransformer needs exactly two input_cols")
+        self.max_len = int(max_len)
+
+    def _fold(self, flats):
+        from kamae_ray.functions.editdist import levenshtein_pairwise
+
+        return pa.array(levenshtein_pairwise(flats[0], flats[1], self.max_len), pa.int32())

@@ -109,3 +109,33 @@ def test_fuzzy_join_dataset_path(ray_session):
         ray.get(fuzzy_join(ds, right, left_on="name", max_distance=1).to_arrow_refs())
     ).sort_by("id")
     assert got.equals(expect.sort_by("id").cast(got.schema))
+
+
+def test_edit_distance_transformer_vs_duckdb(ray_session):
+    import random
+    import string as _string
+
+    import duckdb
+    import ray
+
+    from kamae_ray.stages import EditDistanceTransformer
+
+    rng = random.Random(3)
+    a = ["".join(rng.choices(_string.ascii_lowercase, k=rng.randint(0, 12))) for _ in range(400)]
+    b = ["".join(rng.choices(_string.ascii_lowercase, k=rng.randint(0, 12))) for _ in range(400)]
+    a[5] = None
+    t = pa.table({"i": pa.array(range(400), pa.int64()),
+                  "a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())})
+    tf = EditDistanceTransformer(input_cols=["a", "b"], output_col="d")
+    want = tf.transform_batch(t)
+    ora = duckdb.sql(
+        "SELECT levenshtein(coalesce(a,''), coalesce(b,'')) d FROM t ORDER BY i"
+    ).df()
+    assert want.column("d").to_pylist() == ora["d"].astype(int).tolist()
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = pa.concat_tables(
+        [pa.table(x) for x in tf.transform(ds).iter_batches(batch_format="pyarrow")]
+    ).sort_by("i")
+    assert got.column("d").to_pylist() == want.column("d").to_pylist()
+    with pytest.raises(ValueError):
+        EditDistanceTransformer(input_cols=["a"], output_col="d")

@@ -206,6 +206,7 @@ _BENCH_QUERIES = [
     "q_transitions",  # Markov event bigrams (entity sort + shifted compare)
     "q_cooccur",  # market-basket pairs (quadratic per basket, capped)
     "q_llm_prep",  # END-TO-END corpus prep: quality -> decontam -> dedup -> pack
+    "q_editdist",  # element-wise two-column Levenshtein (vectorized WF)
 ]
 
 

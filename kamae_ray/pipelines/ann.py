@@ -128,12 +128,21 @@ def ivf_topk(
     n_probe: int = 4,
     sample_size: int = 10_000,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> pa.Table:
     """IVF-style ANN: assign vectors to their nearest centroid inside each
     batch; a query only scores vectors whose centroid is in its n_probe
-    nearest centroids. Same output schema as brute_force_topk."""
+    nearest centroids. Same output schema as brute_force_topk.
+
+    Pass ``centroids`` (raw vectors, normalized here) to pin the partition
+    to a deterministic, data-independent rule — e.g. the embeddings of a
+    fixed id set — which makes the whole query SQL-expressible (argmax over
+    constant vectors) and therefore oracle-checkable. When omitted,
+    centroids are trained with seeded driver-side k-means on a sample."""
     queries = np.asarray(queries, dtype=np.float64)
-    if isinstance(ds, pa.Table):
+    if centroids is not None:
+        cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    elif isinstance(ds, pa.Table):
         sample, _ = A.matrix_view(ds.column(emb_col))
         sample = sample[:sample_size]
     else:
@@ -151,9 +160,12 @@ def ivf_topk(
         sampled = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
         rows = sampled.limit(sample_size).take_all()
         sample = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
-    cents = train_centroids(sample, n_centroids, seed=seed)
+    if centroids is None:
+        cents = train_centroids(sample, n_centroids, seed=seed)
     qn = _normalize(queries)
-    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    # stable argsort: equal-similarity probe ties break by centroid index asc
+    # (the SQL-reproducible ORDER BY cs DESC, cid ASC rule)
+    probes = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[:, :n_probe]  # (nq, n_probe)
 
     class _IvfPartial(_TopKPartial):
         def __call__(self, batch: pa.Table) -> pa.Table:

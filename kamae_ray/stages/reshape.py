@@ -118,10 +118,13 @@ def pivot(
     if values is None:
         d = distinct(ds, pivot_col)
         if not isinstance(d, pa.Table):
-            d = pa.Table.from_pylist(d.take_all())  # bounded by the width guard
+            # limit BEFORE take_all so a high-cardinality pivot_col never
+            # materializes more than 1001 distinct values on the driver —
+            # the width guard then fires off the truncated count
+            d = pa.Table.from_pylist(d.limit(1001).take_all())
         if d.num_rows > 1000:
             raise ValueError(
-                f"pivot over {d.num_rows} distinct values of {pivot_col!r} — "
+                f"pivot over >1000 distinct values of {pivot_col!r} — "
                 "pass an explicit `values` list to pivot that wide"
             )
         col = d.column(pivot_col)

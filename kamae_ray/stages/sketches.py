@@ -38,7 +38,16 @@ def _hash_any(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     if arr.null_count:
         valid = arr.is_valid().to_numpy(zero_copy_only=False)
     t = arr.type
-    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_temporal(t) or pa.types.is_boolean(t):
+    if pa.types.is_floating(t):
+        # Hash the canonicalized float64 bit pattern (NOT a value cast, which
+        # would truncate fractions and collapse all of [0,1) to one hash):
+        # -0.0 normalizes to +0.0 and every NaN payload to one canonical NaN
+        # so equal values always hash equal.
+        v, _mask = A.to_numpy(pc.cast(pc.fill_null(arr, 0.0), pa.float64(), safe=False))
+        v = np.where(v == 0.0, 0.0, v)          # -0.0 -> +0.0
+        v = np.where(np.isnan(v), np.nan, v)    # canonical NaN payload
+        return _splitmix64(v.view(np.uint64)), valid
+    if pa.types.is_integer(t) or pa.types.is_temporal(t) or pa.types.is_boolean(t):
         v, _mask = A.to_numpy(pc.cast(pc.fill_null(arr, 0), pa.int64(), safe=False))
         return _splitmix64(v.astype(np.int64).view(np.uint64)), valid
     from kamae_ray.functions.farmhash import hash64_column
@@ -247,19 +256,31 @@ def top_frequent(ds, col: str, k: int, capacity: int = 8192,
         sub = block.select([col]).filter(pa.array(valid)) if not valid.all() else block.select([col])
         wv = w[valid]
         if sub.num_rows == 0:
-            return pa.table({col: vals.slice(0, 0), "__kr_cnt": pa.array([], pa.float64())})
+            return pa.table({col: vals.slice(0, 0), "__kr_cnt": pa.array([], pa.float64()),
+                             "__kr_err": pa.array([], pa.float64())})
         gids = S.group_ids(sub, [col])
         order = np.argsort(gids, kind="stable")
         starts, _l = S.segments(gids[order])
         firsts = order[starts]
         cnt = np.add.reduceat(wv[order], starts)
+        err = 0.0
         if len(cnt) > capacity:
-            # Misra-Gries decrement: drop the tail mass from every counter
+            # Misra-Gries decrement: drop the tail mass from every counter.
+            # ``err`` is this block's max per-value undercount — summed across
+            # blocks it bounds how far any value's summed lower bound can sit
+            # below its true count (used for the exactness certificate).
             thresh = np.partition(cnt, len(cnt) - capacity - 1)[len(cnt) - capacity - 1]
             keep = cnt > thresh
-            firsts, cnt = firsts[keep], cnt[keep] - thresh
+            if not keep.any():
+                keep[:1] = True  # keep one zero-bound row so err survives
+            firsts, cnt = firsts[keep], np.maximum(cnt[keep] - thresh, 0.0)
+            err = float(thresh)
+        errs = np.zeros(len(cnt), np.float64)
+        if len(errs):
+            errs[0] = err
         return pa.table({col: A.as_array(sub.column(col)).take(pa.array(firsts)),
-                         "__kr_cnt": pa.array(cnt)})
+                         "__kr_cnt": pa.array(cnt),
+                         "__kr_err": pa.array(errs)})
 
     mg_partial.__name__ = "heavy_hitters_partial"
     proj = ds
@@ -268,14 +289,32 @@ def top_frequent(ds, col: str, k: int, capacity: int = 8192,
     except Exception:
         pass
     parts = proj.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    approx = groupby_agg(parts, col, {"__kr_cnt": ["sum"]})
-    approx = approx.sort("__kr_cnt_sum", descending=True).limit(k * candidates_margin)
+    # Consumed twice (error-bound sum + candidate groupby): materialize the
+    # capacity-bounded partials once (CLAUDE.md lesson 14).
+    parts = parts.materialize()
+
+    def err_sum(block: pa.Table) -> pa.Table:
+        s = float(np.nansum(block.column("__kr_err").to_numpy(zero_copy_only=False))) if block.num_rows else 0.0
+        return pa.table({"__kr_err": pa.array([s], pa.float64())})
+
+    err_sum.__name__ = "heavy_hitters_err"
+    total_err = float(sum(r["__kr_err"] for r in
+                          parts.map_batches(err_sum, batch_format="pyarrow", batch_size=None).take_all()))
+    approx = groupby_agg(parts.select_columns([col, "__kr_cnt"]), col, {"__kr_cnt": ["sum"]})
+    n_cand_limit = k * candidates_margin
+    approx = approx.sort("__kr_cnt_sum", descending=True).limit(n_cand_limit)
     from kamae_ray.base import collect_tables
 
     cand_parts = [t for t in collect_tables(approx) if t.num_rows]
     if not cand_parts:
         return pa.table({col: pa.array([], pa.string()), "count": pa.array([], pa.float64())})
-    cand = pc.unique(pa.concat_tables(cand_parts).column(col).combine_chunks())
+    cand_tab = pa.concat_tables(cand_parts)
+    # If the limit wasn't binding, every distinct value is a candidate and
+    # the recount is unconditionally exact; otherwise remember the weakest
+    # selected lower bound for the exactness certificate below.
+    limit_binding = cand_tab.num_rows >= n_cand_limit
+    cutoff_lb = float(pc.min(cand_tab.column("__kr_cnt_sum")).as_py()) if limit_binding else 0.0
+    cand = pc.unique(cand_tab.column(col).combine_chunks())
     import ray
 
     cand_ref = ray.put(cand)
@@ -305,4 +344,18 @@ def top_frequent(ds, col: str, k: int, capacity: int = 8192,
     # exact top-k: count desc, value asc (deterministic tiebreak)
     top = pa.table({col: vals_u, "count": pa.array(cnt)})
     top = top.sort_by([("count", "descending"), (col, "ascending")]).slice(0, k)
+    # Exactness certificate: a non-candidate's true count <= its summed lower
+    # bound + total_err (max total Misra-Gries undercount). A value the limit
+    # cut has bound <= cutoff_lb; a value MG dropped entirely has bound 0 (so
+    # even a non-binding limit needs the check whenever compression happened).
+    # If the exact k-th candidate count clears that ceiling, no non-candidate
+    # can belong in the top-k.
+    if total_err > 0:
+        ceiling = (cutoff_lb if limit_binding else 0.0) + total_err
+        kth = float(top.column("count")[k - 1].as_py()) if top.num_rows >= k else -np.inf
+        if kth <= ceiling:
+            raise ValueError(
+                f"top_frequent cannot certify exactness: k-th count {kth} is within "
+                f"the Misra-Gries error bound ({ceiling}) of the candidate cutoff — "
+                f"raise capacity (={capacity}) or candidates_margin (={candidates_margin})")
     return top

@@ -1266,8 +1266,9 @@ def funnel(ds, entity_cols, time_col: str, event_col: str, steps: list[str]):
     Scale plan: ONE sort-shuffle on the entity key (shared partitioning
     contract with the whole window family), then a vectorized block kernel —
     per step one masked ``minimum.reduceat`` over the entity segments, so
-    the work is O(rows x steps) with no per-entity Python. Timestamps ride
-    as int64 microseconds through float64 (exact below 2^53)."""
+    the work is O(rows x steps) with no per-entity Python. Timestamp and
+    integer time columns stay in EXACT int64 arithmetic (any unit, incl. ns);
+    only genuinely-float time columns take the float64 path."""
     entity_cols = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -1276,17 +1277,26 @@ def funnel(ds, entity_cols, time_col: str, event_col: str, steps: list[str]):
         t_arr = A.as_array(block.column(time_col))
         is_ts = pa.types.is_timestamp(t_arr.type)
         unit = t_arr.type.unit if is_ts else None
-        tv = pc.cast(t_arr, pa.int64(), safe=False) if is_ts else pc.cast(
-            t_arr, pa.float64(), safe=False
-        )
+        int_path = is_ts or pa.types.is_integer(t_arr.type)
+        if int_path:
+            tv = pc.cast(pc.fill_null(t_arr, 0), pa.int64(), safe=False)
+            NEG, POS = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+        else:
+            tv = pc.cast(t_arr, pa.float64(), safe=False)
+            NEG, POS = -np.inf, np.inf
         tnp, tmask = A.to_numpy(tv)
-        tnp = tnp.astype(np.float64, copy=True)
+        tnp = tnp.astype(np.int64 if int_path else np.float64, copy=True)
+        vnp = np.ones(len(tnp), dtype=bool)
         if tmask is not None:
-            tnp[tmask] = np.nan  # null time: never matches a step (t > thr fails)
+            vnp = ~tmask
+        if not int_path:
+            vnp &= ~np.isnan(tnp)
+        tnp[~vnp] = POS  # null time: sorts last, never qualifies (vnp gate)
         ev = pc.cast(A.as_array(block.column(event_col)), pa.string(), safe=False)
         gids = S.group_ids(block, entity_cols)
         order = np.lexsort((tnp, gids))
         gs, ts = gids[order], tnp[order]
+        vs = vnp[order]
         starts, lens = S.segments(gs)
         n_seg = len(starts)
         firsts = order[starts]
@@ -1294,20 +1304,22 @@ def funnel(ds, entity_cols, time_col: str, event_col: str, steps: list[str]):
         out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in entity_cols}
         step_codes = pc.index_in(ev, value_set=pa.array(steps, pa.string()))
         codes = pc.fill_null(step_codes, -1).to_numpy(zero_copy_only=False).astype(np.int64)[order]
-        thr = np.full(n_seg, -np.inf)
+        thr = np.full(n_seg, NEG, dtype=ts.dtype)
         depth = np.zeros(n_seg, dtype=np.int64)
         for k in range(len(steps)):
-            qual = (codes == k) & (ts > thr[seg_rep]) & ~np.isnan(ts)
-            vals = np.where(qual, ts, np.inf)
-            m = np.minimum.reduceat(vals, starts) if n_seg else np.zeros(0)
-            fin = np.isfinite(m)
+            qual = (codes == k) & (ts > thr[seg_rep]) & vs
+            vals = np.where(qual, ts, POS)
+            m = np.minimum.reduceat(vals, starts) if n_seg else np.zeros(0, ts.dtype)
+            fin = m != POS
             depth += fin.astype(np.int64)
-            thr = np.where(fin, m, np.inf)  # missed step k -> no k+1 possible
-            col = np.where(fin, m, 0.0)
+            thr = np.where(fin, m, POS)  # missed step k -> no k+1 possible
+            col = np.where(fin, m, 0)
             if is_ts:
                 arr = pa.array(col.astype(np.int64), mask=~fin).cast(pa.timestamp(unit))
+            elif int_path:
+                arr = pa.array(col.astype(np.int64), mask=~fin)
             else:
-                arr = pa.array(col, mask=~fin)
+                arr = pa.array(col.astype(np.float64), mask=~fin)
             out[f"step{k + 1}_ts"] = arr
         out["funnel_depth"] = pa.array(depth)
         return pa.table(out)
@@ -1431,13 +1443,19 @@ def merge_intervals(ds, entity_cols, start_col: str, end_col: str,
         e_arr = A.as_array(block.column(end_col))
         is_ts = pa.types.is_timestamp(s_arr.type)
         unit = s_arr.type.unit if is_ts else None
-        to_num = lambda a: pc.cast(a, pa.int64(), safe=False) if is_ts else pc.cast(  # noqa: E731
+        # timestamp/integer columns stay in EXACT int64 (any unit, incl. ns —
+        # float64 would silently lose ~256 ns at ns-epoch magnitudes); only
+        # genuinely-float columns take the float64 path
+        int_path = is_ts or pa.types.is_integer(s_arr.type)
+        to_num = lambda a: pc.cast(a, pa.int64(), safe=False) if int_path else pc.cast(  # noqa: E731
             a, pa.float64(), safe=False
         )
+        dt = np.int64 if int_path else np.float64
+        NEG = np.iinfo(np.int64).min if int_path else -np.inf
         sv, sm = A.to_numpy(to_num(s_arr))
         ev, em = A.to_numpy(to_num(e_arr))
-        sv = sv.astype(np.float64, copy=True)
-        ev = ev.astype(np.float64, copy=True)
+        sv = sv.astype(dt, copy=True)
+        ev = ev.astype(dt, copy=True)
         bad = np.zeros(len(sv), dtype=bool)
         if sm is not None:
             bad |= sm
@@ -1449,7 +1467,8 @@ def merge_intervals(ds, entity_cols, start_col: str, end_col: str,
         if block.num_rows == 0:
             empty = {k: block.column(k) for k in entity_cols}
             for c in ("island_start", "island_end"):
-                empty[c] = pa.array([], pa.timestamp(unit) if is_ts else pa.float64())
+                empty[c] = pa.array([], pa.timestamp(unit) if is_ts
+                                    else (pa.int64() if int_path else pa.float64()))
             empty["n_intervals"] = pa.array([], pa.int64())
             return pa.table(empty)
         if (ev < sv).any():
@@ -1472,13 +1491,16 @@ def merge_intervals(ds, entity_cols, start_col: str, end_col: str,
         while d < n:
             src = idx - d
             valid = src >= start_idx
-            contrib = np.where(valid, run_end[np.maximum(src, 0)], -np.inf)
+            contrib = np.where(valid, run_end[np.maximum(src, 0)], NEG)
             run_end = np.maximum(run_end, contrib)
             d <<= 1
         new_island = np.ones(n, dtype=bool)
         if n > 1:
             same_seg = seg_rep[1:] == seg_rep[:-1]
-            new_island[1:] = ~same_seg | (ss[1:] > run_end[:-1] + min_gap)
+            # difference form keeps the int64 path exact: (s - e) is an exact
+            # int64 subtraction; the scalar compare vs min_gap only promotes
+            # the (small) gap, never the absolute epoch magnitudes
+            new_island[1:] = ~same_seg | ((ss[1:] - run_end[:-1]) > min_gap)
         isl = np.cumsum(new_island) - 1
         i_starts, i_lens = S.segments(isl)
         firsts = order[starts][seg_rep[i_starts]]  # first row of the island's entity

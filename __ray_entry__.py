@@ -2465,55 +2465,9 @@ def _q_decontaminate(sf_dir):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_log": _q_log,
-        "q_arith": _q_arith,
-        "q_math": _q_math,
-        "q_conditional": _q_conditional,
-        "q_strings": _q_strings,
-        "q_string_extra": _q_string_extra,
-        "q_dates": _q_dates,
-        "q_unix": _q_unix,
-        "q_math2": _q_math2,
-        "q_array_ops2": _q_array_ops2,
-        "q_cosine": _q_cosine,
-        "q_haversine": _q_haversine,
-        "q_listwise": _q_listwise,
-        "q_listwise_median_std": _q_listwise_median_std,
-        "q_standard_scale": _q_standard_scale,
-        "q_minmax_scale": _q_minmax_scale,
-        "q_impute": _q_impute,
-        "q_impute_median": _q_impute_median,
-        "q_string_index": _q_string_index,
-        "q_one_hot": _q_one_hot,
-        "q_tokenize": _q_tokenize,
-        "q_array_ops": _q_array_ops,
         "q_asof": _q_asof,
-        "q_asof_broadcast": _q_asof_broadcast,
-        "q_lag_lead": _q_lag_lead,
-        "q_sessionize": _q_sessionize,
-        "q_backfill": _q_backfill,
-        "q_cumulative": _q_cumulative,
-        "q_rolling": _q_rolling,
-        "q_exact_dedup": _q_exact_dedup,
-        "q_ann_topk": _q_ann_topk,
-        "q_ann_ivf": _q_ann_ivf,
-        "q_ann_ivf_index": _q_ann_ivf_index,
-        "q_components": _q_components,
-        "q_split": _q_split,
-        "q_dedup_tokens": _q_dedup_tokens,
-        "q_emb_neardup": _q_emb_neardup,
         "q_join": _q_join,
-        "q_join2": _q_join2,
-        "q_fuzzy": _q_fuzzy,
-        "q_decontaminate": _q_decontaminate,
-        "q_rollup": _q_rollup,
-        "q_shuffle": _q_shuffle,
-        "q_mix": _q_mix,
-        "q_var": _q_var,
-        "q_dup_passages": _q_dup_passages,
-        "q_corr": _q_corr,
-        "q_mode": _q_mode,
-        "q_quantile_disc": _q_quantile_disc,
-        "q_pagerank": _q_pagerank,
+        "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
         "q_retention": _q_retention,
         "q_regr": _q_regr,
@@ -2545,6 +2499,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_melt": _q_melt,
         "q_except": _q_except,
         "q_intersect": _q_intersect,
+        "q_shared_onehot": _q_shared_onehot,
+        "q_conditional_scale": _q_conditional_scale,
+        "q_single_feature_scale": _q_single_feature_scale,
+        "q_multimodal": _q_multimodal,
+        "q_topk": _q_topk,
+        "q_group_quantiles": _q_group_quantiles,
+        "q_stratified": _q_stratified,
+        "q_tfidf": _q_tfidf,
+        "q_pack": _q_pack,
+        "q_quantile_bucket": _q_quantile_bucket,
+        "q_sample": _q_sample,
+        "q_group_sample": _q_group_sample,
+        "q_asof_forward": _q_asof_forward,
+        "q_distinct": _q_distinct,
+        "q_covariance": _q_covariance,
+        "q_arith": _q_arith,
+        "q_math": _q_math,
+        "q_conditional": _q_conditional,
+        "q_strings": _q_strings,
+        "q_string_extra": _q_string_extra,
+        "q_dates": _q_dates,
+        "q_unix": _q_unix,
+        "q_math2": _q_math2,
+        "q_array_ops2": _q_array_ops2,
+        "q_cosine": _q_cosine,
+        "q_haversine": _q_haversine,
+        "q_listwise": _q_listwise,
+        "q_listwise_median_std": _q_listwise_median_std,
+        "q_standard_scale": _q_standard_scale,
+        "q_minmax_scale": _q_minmax_scale,
+        "q_impute": _q_impute,
+        "q_impute_median": _q_impute_median,
+        "q_string_index": _q_string_index,
+        "q_one_hot": _q_one_hot,
+        "q_tokenize": _q_tokenize,
+        "q_array_ops": _q_array_ops,
+        "q_asof_broadcast": _q_asof_broadcast,
+        "q_lag_lead": _q_lag_lead,
+        "q_sessionize": _q_sessionize,
+        "q_backfill": _q_backfill,
+        "q_cumulative": _q_cumulative,
+        "q_rolling": _q_rolling,
+        "q_exact_dedup": _q_exact_dedup,
+        "q_ann_topk": _q_ann_topk,
+        "q_ann_ivf_index": _q_ann_ivf_index,
+        "q_components": _q_components,
+        "q_split": _q_split,
+        "q_dedup_tokens": _q_dedup_tokens,
+        "q_emb_neardup": _q_emb_neardup,
+        "q_join2": _q_join2,
+        "q_fuzzy": _q_fuzzy,
+        "q_decontaminate": _q_decontaminate,
+        "q_rollup": _q_rollup,
+        "q_shuffle": _q_shuffle,
+        "q_mix": _q_mix,
+        "q_var": _q_var,
+        "q_dup_passages": _q_dup_passages,
+        "q_corr": _q_corr,
+        "q_mode": _q_mode,
+        "q_quantile_disc": _q_quantile_disc,
+        "q_pagerank": _q_pagerank,
         "q_agg": _q_agg,
         "q_token_stats": _q_token_stats,
         "q_minhash_pairs": _q_minhash_pairs,
@@ -2561,22 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pairwise": _q_pairwise,
         "q_bearing": _q_bearing,
         "q_shared_index": _q_shared_index,
-        "q_shared_onehot": _q_shared_onehot,
-        "q_conditional_scale": _q_conditional_scale,
-        "q_single_feature_scale": _q_single_feature_scale,
         "q_hash_encode": _q_hash_encode,
-        "q_multimodal": _q_multimodal,
-        "q_topk": _q_topk,
-        "q_group_quantiles": _q_group_quantiles,
-        "q_stratified": _q_stratified,
-        "q_tfidf": _q_tfidf,
-        "q_pack": _q_pack,
-        "q_quantile_bucket": _q_quantile_bucket,
-        "q_sample": _q_sample,
-        "q_group_sample": _q_group_sample,
-        "q_asof_forward": _q_asof_forward,
-        "q_distinct": _q_distinct,
-        "q_covariance": _q_covariance,
         "q_count_distinct": _q_count_distinct,
         "q_l2norm": _q_l2norm,
         "q_time_rolling": _q_time_rolling,
@@ -3469,8 +3469,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings, range(1, 65) t1(i), range(1, 65) t2(j) "
             "WHERE i <= j GROUP BY i, j"
         ),
-        # q_minhash_pairs, q_simhash, q_hash_encode, q_ann_ivf:
-        # hash-dependent (FarmHash, LSH banding, k-means assignment)
+        # q_ann_ivf: deterministic data-independent centroids (embeddings of
+        # vec_id 0..15, no Lloyd) make the IVF partition SQL-expressible —
+        # assignment is an argmax over 16 constant vectors, probes are the
+        # top-4 centroids per query, both with the (cs DESC, cid ASC)
+        # tiebreak the engine's stable argsort/argmax reproduces.
+        "q_ann_ivf": (
+            "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce "
+            "FROM embeddings WHERE vec_id < 16), "
+            "q AS (SELECT vec_id AS query_idx, embedding::DOUBLE[] AS qe "
+            "FROM embeddings WHERE vec_id IN (0, 1)), "
+            "asn AS (SELECT vec_id, cid FROM ("
+            "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce) DESC, c.cid) AS rn "
+            "FROM embeddings e CROSS JOIN c) WHERE rn = 1), "
+            "pr AS (SELECT query_idx, cid FROM ("
+            "SELECT q.query_idx, c.cid, row_number() OVER (PARTITION BY q.query_idx "
+            "ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid) AS rn "
+            "FROM q CROSS JOIN c) WHERE rn <= 4), "
+            "scored AS (SELECT q.query_idx, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS cs "
+            "FROM embeddings e JOIN asn ON asn.vec_id = e.vec_id "
+            "JOIN pr ON pr.cid = asn.cid JOIN q ON q.query_idx = pr.query_idx), "
+            "ranked AS (SELECT query_idx, vec_id, cs, row_number() OVER ("
+            "PARTITION BY query_idx ORDER BY cs DESC, vec_id) AS rank FROM scored) "
+            "SELECT CAST(query_idx AS BIGINT) AS query_idx, CAST(rank AS BIGINT) AS rank, "
+            "vec_id, ROUND(cs, 6) AS cosine FROM ranked WHERE rank <= 10"
+        ),
+        # q_minhash_pairs, q_simhash, q_hash_encode:
+        # hash-dependent (FarmHash, LSH banding)
         # -> rows-only driver check; FarmHash itself is pinned to published
         # vectors in tests/test_farmhash_vectors.py.
     }

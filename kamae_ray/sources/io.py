@@ -38,17 +38,76 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kwargs):
     import ray.data
 
     probe = path
+    n_parts = None
     if os.path.isdir(path):
         parts = sorted(
             os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
         )
         if parts:
             probe = parts[0]
+            n_parts = len(parts)
     try:
         schema = clean_schema(probe, columns)
     except Exception:
         schema = None
-    return ray.data.read_parquet(path, columns=columns, schema=schema, **kwargs)
+    if n_parts and columns is not None and "override_num_blocks" not in kwargs:
+        # One read task per file for PROJECTED scans: Ray's min-200-block
+        # default splits each file into tiny sub-blocks (measured: 24 files
+        # -> 216 x 33 KB blocks on a 2-column scan), which un-fuses
+        # downstream maps from the read and multiplies per-task overhead
+        # through every later sort/map stage (flagship window phase 4.0s ->
+        # 0.8s from this alone). Full-width scans keep Ray's splitting —
+        # there the payload per file is large and finer blocks pipeline
+        # better with downstream maps/writes (measured 2.3s vs 5.0s on the
+        # flagship transform). Only when files >= half the cores; below
+        # that the split parallelism is worth more.
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        if n_parts >= max(4, cpus // 2):
+            kwargs = dict(kwargs, override_num_blocks=n_parts)
+    ds = ray.data.read_parquet(path, columns=columns, schema=schema, **kwargs)
+    try:
+        # Tag the BARE read with its spec so fit passes can re-issue a
+        # narrower scan (see narrow_read). Downstream transforms return new
+        # Dataset objects without the tag, so only untransformed reads ever
+        # re-read. ``names`` = all columns available in the source file.
+        names = None
+        try:
+            names = set(pq.read_schema(probe).names)
+        except Exception:
+            pass
+        ds._kamae_read = {"path": path, "columns": columns, "kwargs": kwargs,
+                          "names": names, "n_parts": n_parts}
+    except Exception:
+        pass
+    return ds
+
+
+def narrow_read(ds, cols: list[str]):
+    """Re-issue a tagged ``read_parquet_clean`` dataset as a NARROWER scan.
+
+    Measured on Ray 2.49: ``Dataset.select_columns`` stays a separate
+    Project operator — it does NOT push into the ReadParquet scan, so the
+    full payload (e.g. a wide tokens column) is read and deserialized even
+    when a fit pass needs two scalar columns. Passing ``columns=`` at read
+    time DOES prune at the scan. This helper closes the gap: when ``ds`` is
+    an untransformed read (tagged by read_parquet_clean) and ``cols`` is a
+    strict subset of what it reads, return a fresh projected read; else
+    return None (caller falls back to select_columns)."""
+    info = getattr(ds, "_kamae_read", None)
+    if info is None:
+        return None
+    cols = list(dict.fromkeys(cols))
+    names = info["names"]
+    if names is None or not set(cols) <= names:
+        return None  # can't validate availability -> don't risk a read error
+    cur = set(info["columns"]) if info["columns"] is not None else names
+    if not set(cols) < cur:
+        return None  # nothing to narrow
+    # read_parquet_clean re-applies the per-file block override itself
+    return read_parquet_clean(info["path"], columns=cols, **info["kwargs"])
 
 
 def read_csv_clean(path: str, columns: list[str] | None = None, **kwargs):

@@ -90,10 +90,19 @@ class _MomentsPartial:
 
 
 def _project(ds, cols: list[str]):
-    """Prune to needed columns — Ray pushes the projection into the parquet
-    read, so fit passes never deserialize the wide payload columns."""
+    """Prune to needed columns. On an untransformed ``read_parquet_clean``
+    dataset the projection is pushed INTO the parquet scan by re-issuing the
+    read (Ray 2.49's select_columns stays a separate Project operator and
+    deserializes the full payload — measured 633 MB read for a 2-column fit
+    on the flagship tokens table); otherwise select_columns prunes between
+    operators."""
     if isinstance(ds, pa.Table):
         return ds
+    from kamae_ray.sources.io import narrow_read
+
+    nd = narrow_read(ds, cols)
+    if nd is not None:
+        return nd
     try:
         return ds.select_columns(cols)
     except Exception:
@@ -327,7 +336,8 @@ def fused_fit_pass(ds, moment_specs, vocab_specs):
 
 
 class _CountHistPartial:
-    """Per-block (count_in_range_histogram, below, in) for quantile refinement."""
+    """Per-block (count_in_range_histogram, below, above) for quantile
+    refinement."""
 
     def __init__(self, col: str, mask_value, lo: float, hi: float, bins: int):
         self.col = col
@@ -346,20 +356,80 @@ class _CountHistPartial:
             vals = np.where(vals == self.mask_value, np.nan, vals)
         vals = vals[~np.isnan(vals)]
         below = int((vals < self.lo).sum())
+        above = int((vals > self.hi).sum())
         sel = vals[(vals >= self.lo) & (vals <= self.hi)]
         hist, _ = np.histogram(sel, bins=self.bins, range=(self.lo, self.hi))
-        return pa.table({"below": [below], "hist": [hist.astype(np.int64).tolist()]})
+        return pa.table({"below": [below], "above": [above],
+                         "hist": [hist.astype(np.int64).tolist()]})
 
 
 def _hist_pass(ds, col, mask_value, lo, hi, bins):
+    below, _above, hist = _hist_pass3(ds, col, mask_value, lo, hi, bins)
+    return below, hist
+
+
+def _hist_pass3(ds, col, mask_value, lo, hi, bins):
     fn = _CountHistPartial(col, mask_value, lo, hi, bins)
     if isinstance(ds, pa.Table):
         rows = fn(ds).to_pylist()
     else:
         rows = _project(ds, [col]).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
     below = sum(r["below"] for r in rows)
+    above = sum(r["above"] for r in rows)
     hist = np.sum([np.asarray(r["hist"], dtype=np.int64) for r in rows], axis=0)
-    return below, hist
+    return below, above, hist
+
+
+def _footer_minmax(ds, col: str):
+    """EXACT global [min, max] of a scalar numeric column straight from the
+    parquet footers of an UNTRANSFORMED ``read_parquet_clean`` dataset — a
+    driver-side metadata scan that replaces the whole-column moments pass in
+    ``exact_quantiles`` (one full streaming pass saved). Returns None when
+    the dataset isn't a tagged bare read, the column isn't a scalar leaf, or
+    any row group lacks statistics. Parquet min/max statistics for numeric
+    types are exact values, not truncations."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    info = getattr(ds, "_kamae_read", None)
+    if info is None:
+        return None
+    path = info["path"]
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    if not files:
+        return None
+    mn, mx = np.inf, -np.inf
+    any_vals = False
+    try:
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            sch = meta.schema
+            try:
+                ci = sch.names.index(col)
+            except ValueError:
+                return None
+            for rg in range(meta.num_row_groups):
+                c = meta.row_group(rg).column(ci)
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                if not isinstance(st.min, (int, float)) or isinstance(st.min, bool):
+                    return None
+                if st.num_values:
+                    any_vals = True
+                    mn = min(mn, float(st.min))
+                    mx = max(mx, float(st.max))
+    except Exception:
+        return None
+    if not any_vals:
+        return None
+    return float(mn), float(mx)
 
 
 class _CollectRangePartial:
@@ -471,13 +541,33 @@ def exact_quantiles(ds, col: str, qs, mask_value: float | None = None) -> list:
     Returns one float per q (None when the column has no values).
     """
     qs = list(qs)
-    mom = moments(ds, col, mask_value)
-    n = int(mom["count"].sum())
-    if n == 0:
-        return [None] * len(qs)
-    lo0, hi0 = float(np.nanmin(mom["min"])), float(np.nanmax(mom["max"]))
-    if lo0 == hi0:
-        return [lo0] * len(qs)
+    bins = 8192
+    # Fused fast path: an untransformed tagged read gives EXACT global
+    # [min, max] from the parquet footers (driver metadata scan, zero data
+    # passes), so the first histogram pass doubles as the count pass — the
+    # whole-column moments pass is eliminated (2 full passes total instead
+    # of 3 in the common fit-from-parquet case).
+    fm = None if isinstance(ds, pa.Table) else _footer_minmax(ds, col)
+    top_pre = None
+    if fm is not None:
+        lo0, hi0 = fm
+        if lo0 == hi0:
+            b1, a1, h1 = _hist_pass3(ds, col, mask_value, lo0, hi0, 1)
+            n = b1 + a1 + int(h1.sum())
+            return [None] * len(qs) if n == 0 else [lo0] * len(qs)
+        below0, above0, hist0 = _hist_pass3(ds, col, mask_value, lo0, hi0, bins)
+        n = below0 + above0 + int(hist0.sum())
+        if n == 0:
+            return [None] * len(qs)
+        top_pre = (below0, hist0)
+    else:
+        mom = moments(ds, col, mask_value)
+        n = int(mom["count"].sum())
+        if n == 0:
+            return [None] * len(qs)
+        lo0, hi0 = float(np.nanmin(mom["min"])), float(np.nanmax(mom["max"]))
+        if lo0 == hi0:
+            return [lo0] * len(qs)
     # needed 0-based order statistics (k and k+1 for interpolation)
     want: dict[int, None] = {}
     for q in qs:
@@ -486,14 +576,13 @@ def exact_quantiles(ds, col: str, qs, mask_value: float | None = None) -> list:
         want[min(k, n - 1)] = None
         want[min(k + 1, n - 1)] = None
     ks = sorted(want)
-    bins = 8192
 
     # bracket each k: (lo, hi, below) with <= max_bracket values inside
     max_bracket = 2_000_000
     brackets: dict[int, tuple[float, float]] = {}
 
-    def bracket(lo, hi, targets, depth=0):
-        below, hist = _hist_pass(ds, col, mask_value, lo, hi, bins)
+    def bracket(lo, hi, targets, depth=0, pre=None):
+        below, hist = pre if pre is not None else _hist_pass(ds, col, mask_value, lo, hi, bins)
         cum = np.cumsum(hist) + below
         edges = np.linspace(lo, hi, bins + 1)
         by_bin: dict[int, list[int]] = {}
@@ -508,7 +597,7 @@ def exact_quantiles(ds, col: str, qs, mask_value: float | None = None) -> list:
                 for k in kk:
                     brackets[k] = (float(edges[b]), float(edges[b + 1]))
 
-    bracket(lo0, hi0, ks)
+    bracket(lo0, hi0, ks, pre=top_pre)
     # merge overlapping/adjacent ranges so the collect pass stays small
     uniq = sorted(set(brackets.values()))
     merged: list[list[float]] = []

@@ -226,6 +226,7 @@ _BENCH_QUERIES = [
     "q_cooccur",  # market-basket pairs (quadratic per basket, capped)
     "q_llm_prep",  # END-TO-END corpus prep: quality -> decontam -> dedup -> pack
     "q_editdist",  # element-wise two-column Levenshtein (vectorized WF)
+    "q_replace_col",  # column-pattern regex replace, distinct-once RE2 dispatch
 ]
 
 

@@ -24,6 +24,45 @@ from kamae_ray.stages.elementwise import MultiInputTransformer, UnaryKernelTrans
 _STR = (pa.string(),)
 
 
+def _apply_per_distinct(x: pa.Array, params: list[pa.Array], kernel,
+                        py_row, out_type: pa.DataType) -> pa.Array:
+    """Distinct-once dispatch for two-column string kernels (CLAUDE.md
+    lesson 12): factorize the parameter column(s) into dense group ids, run
+    the VECTORIZED Arrow kernel once per DISTINCT parameter tuple over the
+    gathered row subset, and scatter back with one permutation take. A
+    low-cardinality pattern column (the practical case) costs one compiled
+    kernel call per pattern instead of one Python call per row. Parameter
+    columns with > rows/4 distinct tuples (gather overhead beats
+    amortization) fall back to the per-row Python path. Null parameters and
+    null inputs yield null."""
+    from kamae_ray.functions import segments as S
+
+    n = len(x)
+    if n == 0:
+        return pa.array([], out_type)
+    tbl = pa.table({f"p{i}": a for i, a in enumerate(params)})
+    gids = S.group_ids(tbl, list(tbl.column_names))
+    order = np.argsort(gids, kind="stable")
+    starts, lens = S.segments(gids[order])
+    if len(starts) > max(64, n // 4):
+        return py_row()
+    pieces = []
+    for s0, l0 in zip(starts, lens):
+        sel = order[s0:s0 + l0]
+        row0 = int(sel[0])
+        pvals = [p[row0].as_py() for p in params]
+        sub = x.take(pa.array(sel))
+        if any(v is None for v in pvals):
+            pieces.append(pa.nulls(len(sel), out_type))
+        else:
+            pieces.append(pc.cast(kernel(sub, *pvals), out_type, safe=False))
+    cat = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                            for p in pieces])
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n, dtype=np.int64)
+    return cat.take(pa.array(inv))
+
+
 class StringAffixTransformer(UnaryKernelTransformer):
     """prefix + x + suffix. Reference: transformers/string_affix.py:177."""
 
@@ -86,11 +125,18 @@ class StringContainsTransformer(Transformer):
         if self.input_cols is not None:
 
             def fold(a, b):
-                # vectorized two-column contains: fall back to numpy find
-                av = a.to_pylist()
-                bv = b.to_pylist()
-                res = [None if (x is None or y is None) else (y in x) for x, y in zip(av, bv)]
-                return pa.array(res, pa.bool_())
+                # distinct-once: one vectorized match_substring per DISTINCT
+                # pattern value, scattered back with a permutation take
+                def py_row():
+                    av, bv = a.to_pylist(), b.to_pylist()
+                    return pa.array(
+                        [None if (x is None or y is None) else (y in x) for x, y in zip(av, bv)],
+                        pa.bool_(),
+                    )
+
+                return _apply_per_distinct(
+                    a, [b], lambda sub, p: pc.match_substring(sub, p), py_row, pa.bool_()
+                )
 
             out = A.lift_multi(fold, [self._cast_in(batch.column(c)) for c in self.input_cols])
         else:
@@ -159,15 +205,47 @@ class StringReplaceTransformer(Transformer):
             cols = [self._cast_in(batch.column(c)) for c in self.input_cols]
 
             def fold(*flats):
-                xs = flats[0].to_pylist()
+                x = flats[0]
                 it = iter(flats[1:])
-                pats = next(it).to_pylist() if self.string_match_constant is None else [self.string_match_constant] * len(xs)
-                reps = next(it).to_pylist() if self.string_replace_constant is None else [self.string_replace_constant] * len(xs)
-                out = [
-                    None if x is None else re.sub(p, r, x) if self.regex else x.replace(p, r)
-                    for x, p, r in zip(xs, pats, reps)
-                ]
-                return pa.array(out, pa.string())
+                pat_arr = next(it) if self.string_match_constant is None else None
+                rep_arr = next(it) if self.string_replace_constant is None else None
+                n = len(x)
+                params = [a for a in (pat_arr, rep_arr) if a is not None]
+
+                def kernel(sub, *pv):
+                    i = iter(pv)
+                    p = next(i) if pat_arr is not None else self.string_match_constant
+                    r = next(i) if rep_arr is not None else self.string_replace_constant
+                    if self.regex:
+                        # same RE2 kernel as the constant-pattern path (the
+                        # old per-row python `re` fallback diverged from it
+                        # on exotic syntax); RE2-rejected patterns fall back
+                        # to python re for that distinct value only
+                        try:
+                            return pc.replace_substring_regex(sub, pattern=p, replacement=r)
+                        except pa.ArrowInvalid:
+                            return pa.array(
+                                [None if v is None else re.sub(p, r, v) for v in sub.to_pylist()],
+                                pa.string(),
+                            )
+                    return pc.replace_substring(sub, pattern=p, replacement=r)
+
+                def py_row():
+                    xs = x.to_pylist()
+                    pats = pat_arr.to_pylist() if pat_arr is not None else [self.string_match_constant] * n
+                    reps = rep_arr.to_pylist() if rep_arr is not None else [self.string_replace_constant] * n
+                    return pa.array(
+                        [
+                            None if (xv is None or p is None or r is None)
+                            else re.sub(p, r, xv) if self.regex else xv.replace(p, r)
+                            for xv, p, r in zip(xs, pats, reps)
+                        ],
+                        pa.string(),
+                    )
+
+                if not params:  # both constants: shouldn't reach here, but stay safe
+                    return kernel(x)
+                return _apply_per_distinct(x, params, kernel, py_row, pa.string())
 
             out = A.lift_multi(fold, cols)
         else:

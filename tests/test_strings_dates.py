@@ -75,3 +75,49 @@ def test_date_add_diff_roundtrip():
     assert col(u, "u") == [1611964800000]
     back = UnixTimestampToDateTimeTransformer(input_col="u", unit="ms", output_col="o").transform_batch(u)
     assert col(back, "o") == ["2021-01-30 00:00:00.000"]
+
+
+def test_two_column_string_ops_distinct_once_parity():
+    """The vectorized distinct-once dispatch (one Arrow kernel per DISTINCT
+    pattern, permutation-take scatter) must match the per-row reference
+    semantics exactly — including nulls on either side, repeated patterns in
+    arbitrary order, and the high-cardinality fallback path."""
+    import re
+
+    import numpy as np
+
+    from kamae_ray.stages.strings import (
+        StringContainsTransformer,
+        StringReplaceTransformer,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    xs = [None if rng.rand() < 0.05 else f"w{rng.randint(30)} mid w{rng.randint(30)}" for _ in range(n)]
+    ps = [None if rng.rand() < 0.05 else f"w{rng.randint(12)}" for _ in range(n)]
+    t = pa.table({"x": pa.array(xs, pa.string()), "p": pa.array(ps, pa.string())})
+
+    got = StringContainsTransformer(input_cols=["x", "p"], output_col="o").transform_batch(t)
+    want = [None if (x is None or p is None) else (p in x) for x, p in zip(xs, ps)]
+    assert got.column("o").to_pylist() == want
+    gneg = StringContainsTransformer(input_cols=["x", "p"], output_col="o", negation=True).transform_batch(t)
+    assert gneg.column("o").to_pylist() == [None if v is None else not v for v in want]
+
+    rep = StringReplaceTransformer(input_cols=["x", "p"], string_replace_constant="#", output_col="o")
+    got2 = rep.transform_batch(t).column("o").to_pylist()
+    want2 = [None if (x is None or p is None) else re.sub(p, "#", x) for x, p in zip(xs, ps)]
+    assert got2 == want2
+    # literal (non-regex) replace with pattern AND replacement columns
+    rs = [f"R{rng.randint(4)}" for _ in range(n)]
+    t3 = pa.table({"x": pa.array(xs, pa.string()), "p": pa.array(ps, pa.string()),
+                   "r": pa.array(rs, pa.string())})
+    rep3 = StringReplaceTransformer(input_cols=["x", "p", "r"], regex=False, output_col="o")
+    got3 = rep3.transform_batch(t3).column("o").to_pylist()
+    want3 = [None if (x is None or p is None) else x.replace(p, r) for x, p, r in zip(xs, ps, rs)]
+    assert got3 == want3
+    # high-cardinality fallback: all-distinct patterns
+    hx = [f"a{i}b" for i in range(2000)]
+    hp = [str(i) for i in range(2000)]
+    th = pa.table({"x": pa.array(hx), "p": pa.array(hp)})
+    gh = StringContainsTransformer(input_cols=["x", "p"], output_col="o").transform_batch(th)
+    assert gh.column("o").to_pylist() == [True] * 2000

@@ -145,6 +145,31 @@ def _spec_of_inner(stage, t, E, I, Sc, St, ref):
     vec = _spec_of_vector(stage, t, ref)
     if vec is not None:
         return vec
+    from kamae_ray.stages import array_ops as Ar
+    from kamae_ray.stages import hashing as H
+    from kamae_ray.stages import listwise as Lw
+
+    if t is Ar.ArrayCropTransformer:
+        pv = stage.pad_value
+        return {"op": "array_crop", "input": stage.input_col, "output": stage.output_col,
+                "length": int(stage.array_length), "pad_value": pv,
+                "pad_kind": "string" if isinstance(pv, str) else "number"}
+    if t is H.HashIndexTransformer:
+        return {"op": "hash_index", "input": stage.input_col, "output": stage.output_col,
+                "num_bins": int(stage.num_bins), "mask_value": stage.mask_value,
+                "hash": "farmhash64"}
+    if t is Lw.ListRankTransformer or (isinstance(stage, Lw.ListStatTransformer)
+                                       and t is not Lw.ListStatTransformer):
+        op = {"op": "list_rank" if t is Lw.ListRankTransformer else "list_stat",
+              "input": stage.input_col, "output": stage.output_col,
+              "query_id": stage.query_id_col, "segment": stage.segment_col,
+              "sort_col": stage.sort_col, "sort_order": stage.sort_order,
+              "top_n": None if stage.top_n is None else int(stage.top_n),
+              "min_filter": None if stage.min_filter_value is None else float(stage.min_filter_value),
+              "nan_fill": float(stage.nan_fill_value)}
+        if op["op"] == "list_stat":
+            op["stat"] = stage.stat
+        return op
     if t is E.LogTransformer:
         return {"op": "log", "input": stage.input_col, "output": stage.output_col,
                 "alpha": float(stage.alpha)}
@@ -319,8 +344,12 @@ def _cast_portable(col, name: str):
 
 def apply_portable(path: str, table: pa.Table) -> pa.Table:
     """Reference interpreter: apply an exported artifact to a ``pa.Table``
-    with numpy + pyarrow only (kamae_ray kernels are NOT used — this is the
-    executable documentation of the format)."""
+    with numpy + pyarrow only (kamae_ray engine kernels are NOT used — this
+    is the executable documentation of the format). Single carve-out: the
+    ``hash_index`` op and the ``num_oov_indices>1`` indexer OOV rule use the
+    repo's pure-numpy FarmHash64 module (a PUBLIC algorithm pinned to the
+    published test vectors; zero Ray/engine imports), since duplicating a
+    hash implementation would be worse documentation than naming it."""
     with open(os.path.join(path, "spec.json")) as f:
         spec = json.load(f)
     if spec.get("format") != PORTABLE_FORMAT or spec.get("version") not in (1, PORTABLE_VERSION):
@@ -355,7 +384,12 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
             elif num_oov == 0:
                 raise ValueError(f"unknown label {v!r} with num_oov_indices=0")
             else:
-                raise NotImplementedError("num_oov_indices>1 needs farmhash64 (see oov_hash)")
+                # oov_hash == farmhash64 (public algorithm; see hash_index
+                # note): unknown -> farmhash64(label) % num_oov + start
+                from kamae_ray.functions.farmhash import hash64_column
+
+                h, _m = hash64_column(pa.array([v], pa.string()))
+                out[i] = int(h[0] % np.uint64(num_oov)) + start
         return out
 
     _NUMERIC_KINDS = ("log", "abs", "impute", "exp", "round", "round_to_decimal",
@@ -456,6 +490,57 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
                 else:
                     col = pa.array(idx, pa.int64())
                 table = emit(table, out_col, col)
+        elif kind == "array_crop":
+            col = inp(op["input"]).combine_chunks()
+            if pa.types.is_large_list(col.type):
+                col = col.cast(pa.list_(col.type.value_type))
+            if col.offset != 0:
+                col = pa.concat_arrays([col])
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            flat = col.values.slice(0, int(offs[-1]))
+            L = int(op["length"])
+            keep = np.minimum(np.diff(offs), L)
+            n = len(keep)
+            new_offsets = np.arange(n + 1, dtype=np.int64) * L
+            intra = (np.arange(int(keep.sum()), dtype=np.int64)
+                     - np.repeat(np.cumsum(keep) - keep, keep))
+            src = np.repeat(offs[:-1], keep) + intra
+            dst = np.repeat(new_offsets[:-1], keep) + intra
+            if flat.null_count == 0 and not pa.types.is_string(flat.type):
+                vals = flat.to_numpy(zero_copy_only=False)
+                out_vals = np.full(n * L, op["pad_value"], dtype=vals.dtype)
+                out_vals[dst] = vals[src]
+                out_flat = pa.array(out_vals, flat.type)
+            else:
+                py = flat.take(pa.array(src)).to_pylist()
+                out_list = [op["pad_value"]] * (n * L)
+                for d, vv in zip(dst, py):
+                    out_list[int(d)] = vv
+                out_flat = pa.array(out_list, flat.type)
+            rebuilt = pa.ListArray.from_arrays(
+                pa.array(new_offsets, pa.int32()), out_flat,
+                mask=pc.invert(col.is_valid()) if col.null_count else None,
+            )
+            table = emit(table, op["output"], rebuilt)
+        elif kind == "hash_index":
+            # the ONE algorithmic dependency of the portable runtime beyond
+            # numpy+pyarrow: the public FarmHash64 algorithm, as a pure-numpy
+            # Ray-free module pinned to the published test vectors
+            # (tests/test_farmhash_vectors.py); reimplementors follow the
+            # FarmHash spec
+            from kamae_ray.functions.farmhash import hash64_column
+
+            vals = pc.cast(inp(op["input"]), pa.string(), safe=False)
+            vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+            h, null_mask = hash64_column(vals)
+            out = ((h % np.uint64(op["num_bins"] - 1)) + np.uint64(1)).astype(np.int64)
+            out[null_mask] = 0
+            if op["mask_value"] is not None:
+                mm = pc.fill_null(pc.equal(vals, op["mask_value"]), False).to_numpy(zero_copy_only=False)
+                out[mm] = 0
+            table = emit(table, op["output"], pa.array(out, pa.int64()))
+        elif kind in ("list_stat", "list_rank"):
+            table = emit(table, op["output"], _listwise_kernel(kind, op, table, inp))
         elif kind in ("pca_project", "l2_normalize"):
             col = inp(op["input"])
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -489,6 +574,98 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
         else:
             raise ValueError(f"unknown op {kind!r}")
     return table
+
+
+def _listwise_kernel(kind, op, table: pa.Table, inp) -> pa.Array:
+    """Listwise stats / rank over (query_id[, segment]) groups — an
+    INDEPENDENT numpy implementation of the engine's segment kernels (it
+    deliberately does not import kamae_ray.functions.segments, so the
+    portable tests double as a cross-implementation check). Group semantics
+    require the table to contain WHOLE groups — the same contract as the
+    engine's transform_batch."""
+    n = table.num_rows
+    if n == 0:
+        return pa.array([], pa.int64() if kind == "list_rank" else pa.float64())
+
+    def codes(name):
+        col = table.column(name)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        d = col.dictionary_encode()
+        return pc.fill_null(d.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    gid_cols = [codes(op["query_id"])]
+    if op.get("segment") is not None:
+        gid_cols.append(codes(op["segment"]))
+    if len(gid_cols) == 1:
+        combined = gid_cols[0]
+    else:
+        combined = gid_cols[0] * (gid_cols[1].max() + 2) + gid_cols[1]
+    _, gids = np.unique(combined, return_inverse=True)
+
+    def fvals(name):
+        x = pc.cast(inp(name), pa.float64(), safe=False)
+        x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+        v = x.to_numpy(zero_copy_only=False).astype(np.float64, copy=True)
+        nulls = pc.is_null(x).to_numpy(zero_copy_only=False)
+        v[nulls] = np.nan
+        return v
+
+    order = np.argsort(gids, kind="stable")
+    gs = gids[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    lens = np.diff(np.r_[starts, len(gs)])
+    vals = fvals(op["input"])[order]
+    desc = op["sort_order"] == "desc"
+
+    def rank_within(order_vals):
+        key = -order_vals if desc else order_vals
+        o2 = np.lexsort((key, gs))
+        rk = np.empty(n, dtype=np.int64)
+        rk[o2] = np.arange(n) - np.repeat(starts, lens) + 1
+        return rk
+
+    if kind == "list_rank":
+        rk = rank_within(vals)
+        out = np.empty(n, dtype=np.int64)
+        out[order] = rk
+        return pa.array(out, pa.int64())
+
+    cond = ~np.isnan(vals)
+    if op.get("sort_col") is not None:
+        cond &= rank_within(fvals(op["sort_col"])[order]) <= int(op["top_n"])
+    if op.get("min_filter") is not None:
+        cond &= vals >= op["min_filter"]
+    stat, nan_fill = op["stat"], op["nan_fill"]
+    cnt = np.add.reduceat(cond.astype(np.float64), starts)
+    s = np.add.reduceat(np.where(cond, vals, 0.0), starts)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if stat == "mean":
+            seg = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), np.nan)
+        elif stat in ("min", "max"):
+            pad = np.inf if stat == "min" else -np.inf
+            red = (np.minimum if stat == "min" else np.maximum).reduceat(
+                np.where(cond, vals, pad), starts)
+            seg = np.where(cnt > 0, red, np.nan)
+        elif stat == "stddev":
+            mean = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), np.nan)
+            dev2 = np.where(cond, (vals - np.repeat(mean, lens)) ** 2, 0.0)
+            ss = np.add.reduceat(dev2, starts)
+            seg = np.where(cnt > 1, np.sqrt(ss / np.clip(cnt - 1, 1, None)), np.nan)
+        elif stat == "median":
+            masked = np.where(cond, vals, np.inf)
+            o2 = np.lexsort((masked, gs))
+            sv = masked[o2]
+            k = cnt.astype(np.int64)
+            lo = starts + np.maximum((k - 1) // 2, 0)
+            hi = starts + np.maximum(k // 2, 0)
+            med = (sv[np.clip(lo, 0, n - 1)] + sv[np.clip(hi, 0, n - 1)]) / 2.0
+            seg = np.where(k > 0, med, np.nan)
+        else:
+            raise ValueError(f"unknown list stat {stat!r}")
+    seg = np.where(np.isnan(seg), nan_fill, seg)
+    out = np.empty(n)
+    out[order] = np.repeat(seg, lens)
+    return pa.array(out, pa.float64())
 
 
 def _numeric_kernel(kind, op, arrays, v, nulls, pos):
@@ -645,4 +822,12 @@ PORTABLE_CLASSES = frozenset({
     "StringContainsListTransformer",
     "PCAProjectTransformer",
     "L2NormalizeTransformer",
+    "ArrayCropTransformer",
+    "HashIndexTransformer",
+    "ListMaxTransformer",
+    "ListMinTransformer",
+    "ListMeanTransformer",
+    "ListMedianTransformer",
+    "ListStdDevTransformer",
+    "ListRankTransformer",
 })

@@ -285,10 +285,10 @@ def test_v2_dtype_casts_round_trip(tmp_path):
 
 def test_export_rejects_non_portable(tmp_path):
     from kamae_ray.pipelines import PipelineModel
-    from kamae_ray.stages import HashIndexTransformer
+    from kamae_ray.stages import MinHashIndexTransformer
 
-    model = PipelineModel([HashIndexTransformer(input_col="c", num_bins=8, output_col="h")])
-    with pytest.raises(ValueError, match="HashIndexTransformer"):
+    model = PipelineModel([MinHashIndexTransformer(input_col="c", num_permutations=4, output_col="h")])
+    with pytest.raises(ValueError, match="MinHashIndexTransformer"):
         model.export_portable(str(tmp_path / "bad"))
 
 
@@ -313,7 +313,7 @@ def test_capabilities_metadata_coherent():
     inst = S.LogTransformer(input_col="x", output_col="y", alpha=1.0)
     assert _spec_of(inst, {}, [0])["op"] == "log"
     # and a non-portable one must not
-    assert _spec_of(S.HashIndexTransformer(input_col="x", num_bins=4, output_col="y"), {}, [0]) is None
+    assert _spec_of(S.MinHashIndexTransformer(input_col="x", num_permutations=4, output_col="y"), {}, [0]) is None
 
 
 def test_portable_array_standard_scale(tmp_path):
@@ -429,3 +429,95 @@ def test_portable_winsorize_and_robust_scale_fit(tmp_path):
                 assert np.isnan(x) and np.isnan(y)
             else:
                 assert abs(x - y) < 1e-12
+
+
+def test_flagship_model_round_trips_whole(tmp_path):
+    """VERDICT r3 task 8: a fitted FLAGSHIP pipeline (array crop + log +
+    standard scale + string index + hash index) plus the listwise family
+    exports whole and the numpy+pyarrow interpreter matches the engine
+    exactly on a sample. The listwise interpreter is an independent
+    reimplementation, so this doubles as a cross-implementation check of
+    the segment kernels."""
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.state.portable import apply_portable
+    from kamae_ray.stages import (
+        ArrayCropTransformer,
+        HashIndexTransformer,
+        ListMeanTransformer,
+        ListMedianTransformer,
+        ListRankTransformer,
+        ListStdDevTransformer,
+        LogTransformer,
+        StandardScaleEstimator,
+        StringIndexEstimator,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array([f"d{rng.randint(1500)}" for _ in range(n)], pa.string()),
+        "source": pa.array([f"s{rng.randint(6)}" for _ in range(n)], pa.string()),
+        "n_tok": pa.array([None if rng.rand() < 0.03 else int(rng.randint(1, 300)) for _ in range(n)], pa.int64()),
+        "tokens": pa.array([[int(x) for x in rng.randint(0, 5000, rng.randint(1, 40))] for _ in range(n)],
+                           pa.list_(pa.int32())),
+        "score": pa.array([None if rng.rand() < 0.05 else float(rng.randn()) for _ in range(n)], pa.float64()),
+        "qid": pa.array([int(rng.randint(400)) for _ in range(n)], pa.int64()),
+    })
+    model = Pipeline([
+        ArrayCropTransformer(input_col="tokens", array_length=16, pad_value=-1, output_col="tokens_16"),
+        LogTransformer(input_col="n_tok", alpha=1.0, output_col="log_n_tok"),
+        StandardScaleEstimator(input_col="n_tok", output_col="n_tok_std"),
+        StringIndexEstimator(input_col="source", output_col="source_idx"),
+        HashIndexTransformer(input_col="doc_id", num_bins=4096, output_col="doc_bucket"),
+        ListMeanTransformer(input_col="score", query_id_col="qid", output_col="q_mean"),
+        ListMedianTransformer(input_col="score", query_id_col="qid", output_col="q_med"),
+        ListStdDevTransformer(input_col="score", query_id_col="qid", output_col="q_std"),
+        ListRankTransformer(input_col="score", query_id_col="qid", sort_order="desc", output_col="q_rank"),
+    ]).fit(t)
+    art = tmp_path / "flagship"
+    model.export_portable(str(art))
+    got = apply_portable(str(art), t)
+    expect = model.transform(t)
+    assert got.column("tokens_16").to_pylist() == expect.column("tokens_16").to_pylist()
+    assert got.column("doc_bucket").to_pylist() == expect.column("doc_bucket").to_pylist()
+    assert got.column("source_idx").to_pylist() == expect.column("source_idx").to_pylist()
+    assert got.column("q_rank").to_pylist() == expect.column("q_rank").to_pylist()
+    for c in ("log_n_tok", "n_tok_std", "q_mean", "q_med", "q_std"):
+        a, b = got.column(c).to_pylist(), expect.column(c).to_pylist()
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                assert x is None and y is None, c
+            elif np.isnan(x) or np.isnan(y):
+                assert np.isnan(x) and np.isnan(y), c
+            else:
+                assert abs(x - y) < 1e-12, c
+
+
+def test_portable_listwise_top_n_and_filters(tmp_path):
+    """top_n / min_filter / segment_col variants of the listwise family
+    through the portable interpreter."""
+    from kamae_ray.state.portable import apply_portable, export_portable
+    from kamae_ray.stages import ListMaxTransformer, ListMinTransformer
+
+    rng = np.random.RandomState(11)
+    n = 1500
+    t = pa.table({
+        "qid": pa.array([int(rng.randint(60)) for _ in range(n)], pa.int64()),
+        "seg": pa.array([f"g{rng.randint(3)}" for _ in range(n)], pa.string()),
+        "v": pa.array([None if rng.rand() < 0.04 else float(rng.randint(0, 50)) for _ in range(n)]),
+        "s": pa.array([float(rng.randn()) for _ in range(n)]),
+    })
+    stages = [
+        ListMaxTransformer(input_col="v", query_id_col="qid", segment_col="seg",
+                           sort_col="s", sort_order="desc", top_n=5, output_col="m5"),
+        ListMinTransformer(input_col="v", query_id_col="qid", min_filter_value=10.0,
+                           nan_fill_value=-1.0, output_col="mn"),
+    ]
+    art = tmp_path / "lw"
+    export_portable(stages, str(art))
+    got = apply_portable(str(art), t)
+    expect = t
+    for st in stages:
+        expect = st.transform(expect)
+    for c in ("m5", "mn"):
+        assert got.column(c).to_pylist() == expect.column(c).to_pylist(), c

@@ -225,6 +225,38 @@ def _q_replace_col(sf_dir):
     return con.transform(rep.transform(ds)).drop_columns(["text", "lang"])
 
 
+def _q_chunk(sf_dir):
+    """RAG document chunking (``reshape.chunk_text``): 200-char windows with
+    50-char overlap over documents.text — stateless flat fan-out, one
+    map_batches, no shuffle; the kernel loops over chunk ORDINALS (one
+    vectorized utf8 slice per ordinal), never rows. Oracle = lateral
+    generate_series + substr with the same exact integer chunk-count rule."""
+    from kamae_ray.stages.reshape import chunk_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_text(ds, "doc_id", "text", 200, overlap=50)
+
+
+def _q_windows(sf_dir):
+    """LLM context windows (``reshape.sliding_windows``): every FULL
+    8-word window at stride 4 over the space-split word sequence — the
+    training-example fan-out. Pure offsets arithmetic + one 2-D gather per
+    block. Oracle = lateral generate_series + 1-based inclusive list slice."""
+    from kamae_ray.stages.reshape import sliding_windows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "words": pc.split_pattern(pc.cast(batch.column("text"), pa.string()), " "),
+        })
+
+    split.__name__ = "split_words"
+    ws = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return sliding_windows(ws, "doc_id", "words", 8, 4)
+
+
 def _q_dates(sf_dir):
     from kamae_ray.stages import DateAddTransformer, DateParseTransformer
 
@@ -2525,11 +2557,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tfidf": _q_tfidf,
         "q_pack": _q_pack,
         "q_quantile_bucket": _q_quantile_bucket,
-        "q_sample": _q_sample,
+        "q_chunk": _q_chunk,
         "q_group_sample": _q_group_sample,
         "q_asof_forward": _q_asof_forward,
-        "q_distinct": _q_distinct,
+        "q_windows": _q_windows,
         "q_replace_col": _q_replace_col,
+        "q_sample": _q_sample,
+        "q_distinct": _q_distinct,
         "q_covariance": _q_covariance,
         "q_arith": _q_arith,
         "q_math": _q_math,
@@ -3485,6 +3519,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT i, j, ROUND(covar_pop(embedding[i]::DOUBLE, embedding[j]::DOUBLE), 6) AS cov "
             "FROM embeddings, range(1, 65) t1(i), range(1, 65) t2(j) "
             "WHERE i <= j GROUP BY i, j"
+        ),
+        # RAG chunking: lateral generate_series + substr; chunk count uses the
+        # same exact integer form as the kernel (ceil via (a + b - 1) // b)
+        "q_chunk": (
+            "WITH n AS (SELECT doc_id, text, 1 + (greatest(length(text) - 200, 0) + 149) // 150 "
+            "AS nc FROM documents WHERE text IS NOT NULL), "
+            "x AS (SELECT doc_id, text, unnest(range(0, nc)) AS k FROM n) "
+            "SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx, "
+            "substr(text, CAST(k * 150 + 1 AS BIGINT), 200) AS chunk_text FROM x"
+        ),
+        # LLM context windows: FULL 8-word windows at stride 4 over the
+        # space-split word list; 1-based inclusive list slice
+        "q_windows": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
+            "m AS (SELECT doc_id, words, CASE WHEN len(words) >= 8 "
+            "THEN (len(words) - 8) // 4 + 1 ELSE 0 END AS nw FROM w), "
+            "x AS (SELECT doc_id, words, unnest(range(0, nw)) AS k FROM m) "
+            "SELECT doc_id, CAST(k AS BIGINT) AS win_idx, "
+            "words[CAST(k * 4 + 1 AS BIGINT):CAST(k * 4 + 8 AS BIGINT)] AS window FROM x"
         ),
         # two-column string ops: pattern from a COLUMN (lang), replacement
         # constant; DuckDB regexp_replace 'g' == Arrow replace_substring_regex

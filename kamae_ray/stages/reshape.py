@@ -196,3 +196,128 @@ def melt(
     if isinstance(ds, pa.Table):
         return unpivot(ds)
     return ds.map_batches(unpivot, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def chunk_text(ds, id_cols, text_col: str, chunk_size: int, overlap: int = 0,
+               out_col: str = "chunk_text", idx_col: str = "chunk_idx"):
+    """RAG-style document chunking: split ``text_col`` into fixed-size
+    character windows with ``overlap`` shared characters between consecutive
+    chunks. Output: id columns + ``idx_col`` (0-based) + ``out_col``.
+
+    Chunk count per doc uses the exact integer form
+    ``1 + ceil(max(len - chunk_size, 0) / stride)`` with
+    ``stride = chunk_size - overlap`` (every doc gets >= 1 chunk; the last
+    chunk may be short); SQL parity:
+    ``substr(text, k*stride + 1, chunk_size)`` for ``k < n_chunks``.
+    Null text emits no chunks (SQL lateral-join semantics).
+
+    Scale plan: stateless flat fan-out (explode family) — ONE map_batches,
+    no shuffle; the kernel loops over CHUNK ORDINALS (bounded by the longest
+    doc in the block), each iteration one vectorized utf8 slice over the
+    rows that still have a k-th chunk — never a per-row Python loop."""
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    chunk_size = int(chunk_size)
+    overlap = int(overlap)
+    stride = chunk_size - overlap
+    if chunk_size <= 0 or not 0 <= overlap < chunk_size:
+        raise ValueError("need chunk_size > 0 and 0 <= overlap < chunk_size")
+
+    def kernel(block: pa.Table) -> pa.Table:
+        text = A.as_array(block.column(text_col))
+        lens = pc.fill_null(pc.utf8_length(text), -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.where(
+            lens < 0, 0,
+            1 + (np.maximum(lens - chunk_size, 0) + stride - 1) // stride,
+        )
+        empty = {c: block.column(c).slice(0, 0) for c in id_cols}
+        empty[idx_col] = pa.array([], pa.int64())
+        empty[out_col] = pa.array([], pa.string())
+        if block.num_rows == 0 or int(n_chunks.max(initial=0)) == 0:
+            return pa.table(empty)
+        parts = []
+        for k in range(int(n_chunks.max())):
+            sel = np.nonzero(n_chunks > k)[0]
+            sub = text.take(pa.array(sel))
+            sliced = pc.utf8_slice_codeunits(sub, start=k * stride,
+                                             stop=k * stride + chunk_size)
+            cols = {c: A.as_array(block.column(c)).take(pa.array(sel)) for c in id_cols}
+            cols[idx_col] = pa.array(np.full(len(sel), k, np.int64))
+            cols[out_col] = sliced
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    kernel.__name__ = f"chunk_{text_col}"
+    if isinstance(ds, pa.Table):
+        return kernel(ds)
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(id_cols + [text_col])))
+    except Exception:
+        pass
+    return proj.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def sliding_windows(ds, id_cols, list_col: str, window: int, stride: int | None = None,
+                    out_col: str = "window", idx_col: str = "win_idx"):
+    """FULL fixed-length sliding windows over a list column — the LLM
+    context-window fan-out (each training sequence yields its
+    ``(len - window) // stride + 1`` complete windows; sequences shorter
+    than ``window`` yield none). Output: id columns + ``idx_col`` +
+    ``out_col`` (list of exactly ``window`` elements).
+
+    SQL parity: ``list[k*stride + 1 : k*stride + window]`` (1-based
+    inclusive slice) for ``k < n_win``. Null lists yield no windows.
+
+    Scale plan: stateless flat fan-out, ONE map_batches, no shuffle; the
+    kernel is pure offsets arithmetic — one 2-D gather index build
+    (windows x window) + one take — no per-row Python, no per-window loop."""
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    window = int(window)
+    stride = window if stride is None else int(stride)
+    if window <= 0 or stride <= 0:
+        raise ValueError("need window > 0 and stride > 0")
+
+    def kernel(block: pa.Table) -> pa.Table:
+        arr = A.as_array(block.column(list_col))
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_large_list(arr.type):
+            arr = arr.cast(pa.list_(arr.type.value_type))
+        vt = arr.type.value_type
+        empty = {c: block.column(c).slice(0, 0) for c in id_cols}
+        empty[idx_col] = pa.array([], pa.int64())
+        empty[out_col] = pa.array([], pa.list_(vt))
+        if block.num_rows == 0:
+            return pa.table(empty)
+        if arr.offset != 0:
+            arr = pa.concat_arrays([arr])
+        offs = np.asarray(arr.offsets, dtype=np.int64)
+        lens = np.diff(offs)
+        valid = arr.is_valid().to_numpy(zero_copy_only=False) if arr.null_count else np.ones(len(lens), bool)
+        n_win = np.where(valid & (lens >= window), (lens - window) // stride + 1, 0)
+        total = int(n_win.sum())
+        if total == 0:
+            return pa.table(empty)
+        rep = np.repeat(np.arange(len(lens)), n_win)
+        win_idx = (np.arange(total, dtype=np.int64)
+                   - np.repeat(np.cumsum(n_win) - n_win, n_win))
+        starts_flat = offs[:-1][rep] + win_idx * stride
+        gather = (starts_flat[:, None] + np.arange(window, dtype=np.int64)).reshape(-1)
+        flat = arr.values.take(pa.array(gather))
+        out = pa.ListArray.from_arrays(
+            pa.array(np.arange(total + 1, dtype=np.int64) * window, pa.int32()), flat
+        )
+        cols = {c: A.as_array(block.column(c)).take(pa.array(rep)) for c in id_cols}
+        cols[idx_col] = pa.array(win_idx)
+        cols[out_col] = out
+        return pa.table(cols)
+
+    kernel.__name__ = f"windows_{list_col}"
+    if isinstance(ds, pa.Table):
+        return kernel(ds)
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(id_cols + [list_col])))
+    except Exception:
+        pass
+    return proj.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -461,40 +461,13 @@ def exact_median(ds, col: str, mask_value: float | None = None) -> float | None:
     for even counts). Scale: each refinement is a streaming scan; the final
     collect is bounded by the refined bucket size.
     """
-    mom = moments(ds, col, mask_value)
-    n = int(mom["count"].sum())
-    if n == 0:
-        return None
-    # global flat moments: recompute min/max over all positions
-    lo, hi = float(np.nanmin(mom["min"])), float(np.nanmax(mom["max"]))
-    if lo == hi:
-        return lo
-    k1, k2 = (n - 1) // 2, n // 2  # 0-based order statistics wanted
-    bins = 8192
-    below_base = 0
-    for _ in range(6):
-        below, hist = _hist_pass(ds, col, mask_value, lo, hi, bins)
-        cum = np.cumsum(hist) + below
-        # find bins containing k1 and k2
-        b1 = int(np.searchsorted(cum, k1 + 1))
-        b2 = int(np.searchsorted(cum, k2 + 1))
-        edges = np.linspace(lo, hi, bins + 1)
-        new_lo, new_hi = edges[min(b1, b2)], edges[max(b1, b2) + 1]
-        in_range = int(hist[min(b1, b2) : max(b1, b2) + 1].sum())
-        lo, hi = float(new_lo), float(new_hi)
-        if in_range <= 2_000_000:
-            break
-    fn = _CollectRangePartial(col, mask_value, lo, hi)
-    if isinstance(ds, pa.Table):
-        vals = fn(ds).column("v").to_numpy(zero_copy_only=False)
-    else:
-        parts = _project(ds, [col]).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
-        vals = np.asarray([r["v"] for r in parts], dtype=np.float64)
-    vals = np.sort(vals)
-    below, _ = _hist_pass(ds, col, mask_value, lo, hi, 1)
-    v1 = vals[k1 - below]
-    v2 = vals[k2 - below]
-    return float((v1 + v2) / 2.0)
+    # exact_quantiles([0.5]) implements the identical interpolation rule
+    # (q=0.5, p=(n-1)/2: odd n -> middle value, even n -> mean of the two
+    # middles) and carries every optimization: parquet-footer [min,max] on
+    # tagged reads, histogram pass doubling as the count pass, ONE
+    # multi-range collect — 2 full passes in the common case vs the old 4
+    # (moments + hist + collect + a whole-column recount of `below`).
+    return exact_quantiles(ds, col, [0.5], mask_value)[0]
 
 
 class _MultiRangeCollectPartial:

@@ -194,3 +194,64 @@ def test_set_ops_dataset_path(ray_session):
         )
         oracle = sorted(duckdb.sql(f"SELECT a FROM lt {op} SELECT a FROM rt").df()["a"].fillna(-99).tolist())
         assert got == oracle, (op, got, oracle)
+
+
+def test_chunk_text_matches_duckdb(ray_session):
+    """RAG chunking: exact integer chunk-count rule, overlap, short docs,
+    null text, unicode — Dataset == Table == SQL."""
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.reshape import chunk_text
+
+    rng = np.random.RandomState(3)
+    texts = ["".join(rng.choice(list("abcd e"), rng.randint(0, 60))) for _ in range(300)]
+    texts += [None, "", "exact", "café naïve über " * 5]
+    t = pa.table({"id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    want = chunk_text(t, "id", "text", 12, overlap=4)
+    con = duckdb.connect()
+    con.register("t", t)
+    ora = con.sql(
+        "WITH n AS (SELECT id, text, 1 + (greatest(length(text) - 12, 0) + 7) // 8 AS nc "
+        "FROM t WHERE text IS NOT NULL), "
+        "x AS (SELECT id, text, unnest(range(0, nc)) AS k FROM n) "
+        "SELECT id, CAST(k AS BIGINT) AS chunk_idx, "
+        "substr(text, CAST(k * 8 + 1 AS BIGINT), 12) AS chunk_text FROM x "
+        "ORDER BY id, chunk_idx"
+    ).fetchall()
+    got = sorted(want.to_pylist(), key=lambda r: (r["id"], r["chunk_idx"]))
+    assert [(r["id"], r["chunk_idx"], r["chunk_text"]) for r in got] == ora
+    ds_out = chunk_text(ray.data.from_arrow(t).repartition(4), "id", "text", 12, overlap=4)
+    got_ds = sorted(ds_out.take_all(), key=lambda r: (r["id"], r["chunk_idx"]))
+    assert got_ds == got
+
+
+def test_sliding_windows_matches_duckdb(ray_session):
+    """LLM context windows: full windows only, stride, nulls, short lists."""
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.reshape import sliding_windows
+
+    rng = np.random.RandomState(5)
+    lists = [None if rng.rand() < 0.05 else [int(x) for x in rng.randint(0, 99, rng.randint(0, 20))]
+             for _ in range(400)]
+    t = pa.table({"id": pa.array(range(len(lists)), pa.int64()),
+                  "v": pa.array(lists, pa.list_(pa.int32()))})
+    want = sliding_windows(t, "id", "v", 5, 2)
+    con = duckdb.connect()
+    con.register("t", t)
+    ora = con.sql(
+        "WITH m AS (SELECT id, v, CASE WHEN len(v) >= 5 THEN (len(v) - 5) // 2 + 1 ELSE 0 END AS nw "
+        "FROM t WHERE v IS NOT NULL), "
+        "x AS (SELECT id, v, unnest(range(0, nw)) AS k FROM m) "
+        "SELECT id, CAST(k AS BIGINT), v[CAST(k*2+1 AS BIGINT):CAST(k*2+5 AS BIGINT)] FROM x "
+        "ORDER BY 1, 2"
+    ).fetchall()
+    got = sorted(want.to_pylist(), key=lambda r: (r["id"], r["win_idx"]))
+    assert [(r["id"], r["win_idx"], r["window"]) for r in got] == [(a, b, list(c)) for a, b, c in ora]
+    assert all(len(r["window"]) == 5 for r in got)
+    ds_out = sliding_windows(ray.data.from_arrow(t).repartition(4), "id", "v", 5, 2)
+    got_ds = sorted(ds_out.take_all(), key=lambda r: (r["id"], r["win_idx"]))
+    assert got_ds == got

@@ -147,6 +147,73 @@ def pagerank(edges, src: str = "src", dst: str = "dst", damping: float = 0.85,
             driver_state = True
             state = pa.concat_tables([t for t in collect_tables(state) if t.num_rows])
 
+    if driver_state and fixed_point is not None and state.column("node").null_count == 0:
+        # Vectorized driver loop for the EXACT integer recurrence: encode
+        # edge endpoints to dense node codes ONCE (one pass, materialized as
+        # two int64 columns), then each iteration is ONE map over the coded
+        # edges — gather rank/deg by src code, exact floor-div contribution,
+        # per-block segmented sum by dst code — plus a driver fold of the
+        # (code, sum) partials. No sort exchange, no join per iteration
+        # (integer sums are order-free, so the driver merge is exact).
+        # Null endpoints drop at encode (SQL: null never matches — identical
+        # to the joins they replace). Driver state stays O(nodes), same
+        # budget as the broadcast path.
+        import ray
+
+        from kamae_ray.base import collect_tables
+        from kamae_ray.functions import arrays as _A
+        from kamae_ray.functions import segments as _S
+
+        node_arr = state.column("node").combine_chunks()
+        n_nodes = len(node_arr)
+        deg_f = pc.cast(state.column("deg"), pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+        deg_i = np.where(np.isnan(deg_f), 1, deg_f).astype(np.int64)  # sinks never appear as src
+        rank = pc.cast(state.column("rank"), pa.int64(), safe=False).to_numpy(zero_copy_only=False).astype(np.int64, copy=True)
+        nk_ref = ray.put(node_arr)
+
+        def encode(b: pa.Table) -> pa.Table:
+            nkv = ray.get(nk_ref)
+            sc = pc.index_in(_A.as_array(b.column(src)), value_set=nkv)
+            dc = pc.index_in(_A.as_array(b.column(dst)), value_set=nkv)
+            ok = pc.and_(pc.is_valid(sc), pc.is_valid(dc))
+            t = pa.table({"s": pc.cast(sc, pa.int64()), "d": pc.cast(dc, pa.int64())})
+            return t.filter(ok)
+
+        encode.__name__ = "pr_encode_edges"
+        coded = edges.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True,
+                                  batch_size=None).materialize()
+        deg_ref = ray.put(deg_i)
+        for _ in range(iters):
+            rank_ref = ray.put(rank)
+
+            def it_pass(b: pa.Table, _r=rank_ref) -> pa.Table:
+                r = ray.get(_r)
+                dg = ray.get(deg_ref)
+                s = b.column("s").to_numpy(zero_copy_only=False)
+                d = b.column("d").to_numpy(zero_copy_only=False)
+                w = r[s] // dg[s]
+                order = np.argsort(d, kind="stable")
+                starts, _l = _S.segments(d[order])
+                return pa.table({"d": pa.array(d[order][starts]),
+                                 "w": pa.array(np.add.reduceat(w[order], starts))})
+
+            it_pass.__name__ = "pr_iter_pass"
+            parts = [t for t in collect_tables(
+                coded.map_batches(it_pass, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+            ) if t.num_rows]
+            sv = np.zeros(n_nodes, np.int64)
+            if parts:
+                allp = pa.concat_tables(parts)
+                dd = allp.column("d").to_numpy(zero_copy_only=False)
+                ww = allp.column("w").to_numpy(zero_copy_only=False)
+                order = np.argsort(dd, kind="stable")
+                starts, _l = _S.segments(dd[order])
+                sv[dd[order][starts]] = np.add.reduceat(ww[order], starts)
+            rank = (100 - d_num) * fixed_point // 100 + d_num * sv // 100
+
+        return ray.data.from_arrow(pa.table({"node": node_arr, "rank": pa.array(rank)}))
+
     for _ in range(iters):
         if driver_state:
             from kamae_ray.stages.join import broadcast_join

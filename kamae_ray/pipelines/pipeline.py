@@ -38,6 +38,15 @@ def _run_map(ds, run: list[Transformer], actor_concurrency):
     """Execute one fused run of batch transformers on a Dataset."""
     total_hint = sum(getattr(t, "state_size_hint", 0) for t in run)
     if total_hint > ACTOR_STATE_THRESHOLD:
+        if actor_concurrency == (1, 8):
+            # default cap: size the autoscaling pool to the CLUSTER instead
+            # of a fixed 8 (a hardcoded max left 3/4 of a 32-cpu node idle)
+            try:
+                import ray
+
+                actor_concurrency = (1, max(8, int(ray.cluster_resources().get("CPU", 8))))
+            except Exception:
+                pass
         return ds.map_batches(
             _ActorBatchFn,
             fn_constructor_args=(list(run),),

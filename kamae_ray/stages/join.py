@@ -124,13 +124,18 @@ def broadcast_join(
             self.__name__ = "broadcast_join"
         def __call__(self, batch: pa.Table) -> pa.Table:
             return join_batch(batch, self._key, self._payload)
+    try:
+        _cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        _cpus = 8
     return ds.map_batches(
         _BroadcastJoin,
         fn_constructor_args=(right_ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
-        concurrency=(1, 8),
+        # autoscaling actor pool sized to the CLUSTER, not a fixed 8
+        concurrency=(1, max(8, _cpus)),
     )
 def shuffle_join(
     left,

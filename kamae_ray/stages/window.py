@@ -837,13 +837,32 @@ def broadcast_asof_join(
         def __call__(self, batch: pa.Table) -> pa.Table:
             return join_batch(batch, self._st)
 
+    state_bytes = int(state["times"].nbytes + seg_start.nbytes + seg_end.nbytes
+                      + pay_s.nbytes)
+    if state_bytes < (64 << 20):
+        # SMALL broadcast state: plain tasks — ray.get per task is one
+        # zero-copy plasma read of ~MBs, while an autoscaling actor pool
+        # pays ramp-up (starts at 1 actor) that dominates short stages
+        def bjoin(batch: pa.Table) -> pa.Table:
+            return join_batch(batch, ray.get(state_ref))
+
+        bjoin.__name__ = "broadcast_asof"
+        return left.map_batches(bjoin, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+
+    try:
+        _cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        _cpus = 8
     return left.map_batches(
         _BroadcastAsof,
         fn_constructor_args=(state_ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
-        concurrency=(1, 8),
+        # autoscaling actor pool sized to the CLUSTER, not a fixed 8 — a
+        # hardcoded cap left 3/4 of a 32-cpu node idle on this stage
+        concurrency=(1, max(8, _cpus)),
     )
 
 

@@ -171,7 +171,7 @@ def _sort_block_rows() -> int | None:
     right-sized partitions."""
     import os
 
-    v = int(os.environ.get("KAMAE_SORT_BLOCK_ROWS", "16384"))
+    v = int(os.environ.get("KAMAE_SORT_BLOCK_ROWS", "65536"))
     return v if v > 0 else None
 
 

@@ -2409,6 +2409,22 @@ def _q_dup_passages(sf_dir):
     return out.map_batches(_rounder(["dup_frac"]), batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_dup_removal(sf_dir):
+    """Duplicate-passage REMOVAL (Lee et al. 2022 rewrite,
+    ``remove_duplicate_passages``): every word covered by a 5-gram occurring
+    in >= 2 distinct documents is dropped; survivors re-join with single
+    spaces. Dup-gram discovery is ONE sort-shuffle of distinct (doc, gram)
+    pairs; the dup set then broadcasts (``ray.put`` once) under a budget or
+    ships through a semi-join + collect-starts path above it — the corpus
+    itself never shuffles on the broadcast path. The SQL oracle certifies
+    the full rewrite (coverage closure via a windowed MAX) including
+    whitespace normalization of untouched docs."""
+    from kamae_ray.pipelines.decontam import remove_duplicate_passages
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return remove_duplicate_passages(ds, "text", "doc_id", n=5, min_docs=2)
+
+
 def _q_var(sf_dir):
     """Population/sample variance + stddev per group from (sum, count, sumsq)
     partials — the partials merge exactly for integer-valued columns, so
@@ -2525,6 +2541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_transitions": _q_transitions,
         "q_cooccur": _q_cooccur,
         "q_llm_prep": _q_llm_prep,
+        "q_dup_removal": _q_dup_removal,
         "q_editdist": _q_editdist,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
@@ -3164,6 +3181,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, t.n_grams, coalesce(nd.n_dup, 0) AS n_dup, "
             "ROUND(coalesce(nd.n_dup, 0)::DOUBLE / t.n_grams, 6) AS dup_frac "
             "FROM tot t LEFT JOIN nd USING (doc_id)"
+        ),
+        "q_dup_removal": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, unnest(ws) AS word, "
+            "unnest(range(1, len(ws) + 1)) AS p FROM w), "
+            "g AS (SELECT doc_id, unnest(range(1, len(ws) - 5 + 2)) AS s, "
+            "unnest(list_transform(range(1, len(ws) - 5 + 2), "
+            "i -> array_to_string(ws[i:i+4], ' '))) AS gram "
+            "FROM w WHERE len(ws) >= 5), "
+            "dup AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "st AS (SELECT doc_id, s FROM g JOIN dup USING (gram)), "
+            "m AS (SELECT pos.doc_id, pos.p, pos.word, "
+            "CASE WHEN st.s IS NULL THEN 0 ELSE 1 END AS f "
+            "FROM pos LEFT JOIN st ON st.doc_id = pos.doc_id AND st.s = pos.p), "
+            "cov AS (SELECT doc_id, p, word, MAX(f) OVER (PARTITION BY doc_id "
+            "ORDER BY p ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c FROM m) "
+            "SELECT doc_id, coalesce(string_agg(word, ' ' ORDER BY p) "
+            "FILTER (WHERE c = 0), '') AS clean_text, "
+            "count(*) FILTER (WHERE c = 1) AS n_removed "
+            "FROM cov GROUP BY doc_id"
         ),
         "q_var": (
             "SELECT l_returnflag, "

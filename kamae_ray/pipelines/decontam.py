@@ -49,8 +49,9 @@ def _full_gram_data(texts: pa.Array, n: int):
     ``regexp_split_to_array``); only documents with >= n words contribute
     grams (no short-doc padding — decontamination semantics, unlike the
     MinHash shingler). Returns ``(hashes uint64[G], doc_of int64[G],
-    word_start int64[G], words_flat StringArray)`` where gram g covers
-    ``words_flat[word_start[g] : word_start[g]+n]``.
+    word_start int64[G], words_flat StringArray, offsets int64[rows+1])``
+    where gram g covers ``words_flat[word_start[g] : word_start[g]+n]`` and
+    row r's words are ``words_flat[offsets[r] : offsets[r+1]]``.
     """
     flat = pc.fill_null(pc.cast(texts, pa.string(), safe=False), "")
     nrows = len(flat)
@@ -76,7 +77,7 @@ def _full_gram_data(texts: pa.Array, n: int):
     within = np.arange(total, dtype=np.int64) - np.repeat(g_off[:-1], n_g)
     word_start = offsets[:-1][doc_of] + within
     hashes = (acc[word_start] & np.uint64(_MERSENNE)) if total else np.zeros(0, np.uint64)
-    return hashes, doc_of, word_start, words
+    return hashes, doc_of, word_start, words, np.asarray(offsets, dtype=np.int64)
 
 
 def _gram_strings_at(words: pa.Array, word_start: np.ndarray, n: int) -> pa.Array:
@@ -97,7 +98,7 @@ def benchmark_ngram_set(source, text_col: str, n: int = 3) -> dict:
     contract; per-block dedup bounds what each task ships."""
 
     def block_pairs(block: pa.Table) -> pa.Table:
-        h, _, ws, words = _full_gram_data(A.as_array(block.column(text_col)), n)
+        h, _, ws, words, _ = _full_gram_data(A.as_array(block.column(text_col)), n)
         uh, first = np.unique(h, return_index=True)  # per-block dedup
         grams = _gram_strings_at(words, ws[first], n)
         return pa.table({"__kr_gh": pa.array(uh.view(np.int64), pa.int64()), "__kr_g": grams})
@@ -126,7 +127,7 @@ def _decontam_batch(batch: pa.Table, bench: dict, text_col: str, id_col: str,
                     min_hits: int, keep_clean: bool, project: bool = True) -> pa.Table:
     n = bench["n"]
     bh: np.ndarray = bench["hashes"]
-    h, doc_of, word_start, words = _full_gram_data(A.as_array(batch.column(text_col)), n)
+    h, doc_of, word_start, words, _ = _full_gram_data(A.as_array(batch.column(text_col)), n)
     if len(h) and len(bh):
         pos = np.searchsorted(bh, h)
         pos[pos == len(bh)] = 0
@@ -194,7 +195,7 @@ def decontaminate(
 
 def _doc_gram_block(batch: pa.Table, text_col: str, id_col: str, n: int) -> tuple:
     """(ids per gram, DISTINCT-per-doc gram hashes, per-doc distinct counts)."""
-    h, doc_of, _, _ = _full_gram_data(A.as_array(batch.column(text_col)), n)
+    h, doc_of, _, _, _ = _full_gram_data(A.as_array(batch.column(text_col)), n)
     ids = A.as_array(batch.column(id_col))
     if len(h):
         order = np.lexsort((h, doc_of))
@@ -299,3 +300,194 @@ def duplicate_passage_stats(ds, text_col: str, id_col: str, n: int = 13, min_doc
     joined = shuffle_join(totals, nd, on=id_col, how="left")
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
                               batch_size=None)
+
+
+def _covered_mask(flag: np.ndarray, n: int) -> np.ndarray:
+    """Coverage closure of dup-gram start flags: word i is covered iff some
+    flagged start s exists with s <= i <= s+n-1. A start s and its n covered
+    words are inside one document by construction, so the shifted ORs can
+    never bleed across document boundaries."""
+    covered = flag.copy()
+    for j in range(1, n):
+        covered[j:] |= flag[:-j]
+    return covered
+
+
+def _rebuild_from_flags(batch: pa.Table, flag: np.ndarray, offsets: np.ndarray,
+                        words: pa.Array, text_col: str, id_col: str,
+                        out_col: str, n: int) -> pa.Table:
+    """Rebuild cleaned texts given a dup-start flag per flat word position.
+
+    EVERY document is rebuilt from its word split and re-joined with single
+    spaces (so whitespace normalization matches the SQL oracle's
+    ``string_agg(word, ' ')`` on both covered and untouched docs)."""
+    covered = _covered_mask(flag, n)
+    keep = ~covered
+    lens = np.diff(offsets)
+    cs = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+    kept_counts = cs[offsets[1:]] - cs[offsets[:-1]]
+    new_off = np.concatenate([[0], np.cumsum(kept_counts)])
+    kept_words = words.filter(pa.array(keep)) if len(keep) else words
+    la = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()),
+                                  pc.cast(kept_words, pa.string(), safe=False))
+    clean = A.as_array(pc.binary_join(la, " "))
+    return pa.table({
+        id_col: batch.column(id_col),
+        out_col: clean,
+        "n_removed": pa.array((lens - kept_counts).astype(np.int64), pa.int64()),
+    })
+
+
+def _dup_start_flags_from_set(batch: pa.Table, dup_sorted: np.ndarray,
+                              text_col: str, n: int):
+    """(flag per flat word position, offsets, words) via sorted-set membership."""
+    h, _, word_start, words, offsets = _full_gram_data(
+        A.as_array(batch.column(text_col)), n)
+    nwords = int(offsets[-1]) if len(offsets) else 0
+    flag = np.zeros(nwords, dtype=bool)
+    if len(h) and len(dup_sorted):
+        pos = np.searchsorted(dup_sorted, h)
+        isdup = (pos < len(dup_sorted)) & (
+            dup_sorted[np.minimum(pos, len(dup_sorted) - 1)] == h)
+        flag[word_start[isdup]] = True
+    return flag, offsets, words
+
+
+def remove_duplicate_passages(
+    ds,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+    broadcast_budget: int = 2_000_000,
+    force_distributed: bool = False,
+):
+    """Lee et al. (2022) duplicate-passage REMOVAL (the rewrite,
+    ``duplicate_passage_stats`` is the metric): drop every word covered by a
+    word n-gram occurring in >= ``min_docs`` distinct documents, re-join the
+    survivors with single spaces. Output: ``(id_col, out_col, n_removed)``,
+    one row per input document (short docs pass through whitespace-normalized,
+    ``n_removed = 0``).
+
+    Scale plan (never all-pairs, no unbounded driver state):
+
+    1. dup-gram discovery — distinct (doc, gram-hash) pairs take ONE
+       sort-shuffle on the hash; a block kernel emits each gram hash whose
+       segment spans >= ``min_docs`` docs. The dup set is materialized (it
+       bounds both paths and is consumed twice on the distributed one).
+    2a. broadcast path (dup set <= ``broadcast_budget`` grams): ``ray.put``
+       the sorted hash array once; ONE ``map_batches`` over the corpus does
+       searchsorted membership + coverage closure + rebuild. No corpus
+       shuffle at all.
+    2b. distributed path: per-gram occurrences (id, start, hash) inner-join
+       the dup set on the hash (shuffle join), ``groupby_collect`` the start
+       positions per doc, left-join those lists back onto the corpus, and a
+       block kernel rebuilds. Driver stays O(1) in the dup-set size.
+
+    Gram identity is the 61-bit rolling hash (same deterministic-collision
+    caveat as :func:`duplicate_passage_stats`; a collision could over-remove,
+    p ~ distinct_grams^2 / 2^61)."""
+    from kamae_ray.functions import segments as S
+    from kamae_ray.stages.aggregate import groupby_agg, groupby_collect
+    from kamae_ray.stages.join import shuffle_join
+    from kamae_ray.stages.window import sorted_block_apply
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        _, d_s, h_s, _, _ = _doc_gram_block(batch, text_col, id_col, n)
+        ids = A.as_array(batch.column(id_col))
+        return pa.table({
+            id_col: ids.take(pa.array(d_s, pa.int64())),
+            "__kr_g": pa.array(h_s.view(np.int64), pa.int64()),
+        })
+
+    pairs_block.__name__ = "dup_removal_grams"
+
+    def dup_hashes_block(block: pa.Table) -> pa.Table:
+        # rows of one gram hash are co-located after the sort; pairs are
+        # already distinct per doc, so a segment's length == its doc count
+        g = block.column("__kr_g").to_numpy(zero_copy_only=False)
+        if len(g) == 0:
+            return pa.table({"__kr_g": pa.array([], pa.int64())})
+        order = np.argsort(g, kind="stable")
+        starts, lens = S.segments(g[order])
+        return pa.table({"__kr_g": pa.array(g[order][starts[lens >= min_docs]],
+                                            pa.int64())})
+
+    dup_hashes_block.__name__ = "dup_removal_dup_hashes"
+
+    if isinstance(ds, pa.Table):
+        dup = dup_hashes_block(pairs_block(ds).sort_by("__kr_g"))
+        dup_sorted = np.sort(
+            dup.column("__kr_g").to_numpy(zero_copy_only=False).view(np.uint64))
+        flag, offsets, words = _dup_start_flags_from_set(ds, dup_sorted, text_col, n)
+        return _rebuild_from_flags(ds, flag, offsets, words, text_col, id_col,
+                                   out_col, n)
+
+    import ray
+
+    pairs = ds.map_batches(pairs_block, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    dups = sorted_block_apply(pairs, ["__kr_g"], dup_hashes_block,
+                              "dup_removal_dup").materialize()
+    n_dup = dups.count()
+
+    if n_dup <= broadcast_budget and not force_distributed:
+        from kamae_ray.base import collect_tables
+
+        parts = [t.column("__kr_g").to_numpy(zero_copy_only=False)
+                 for t in collect_tables(dups)]
+        dup_sorted = np.sort(np.concatenate(parts).view(np.uint64)) if parts \
+            else np.zeros(0, np.uint64)
+        ref = ray.put(dup_sorted)
+
+        def rebuild_bcast(batch: pa.Table) -> pa.Table:
+            dup_arr = ray.get(ref)  # zero-copy from the local object store
+            flag, offsets, words = _dup_start_flags_from_set(batch, dup_arr,
+                                                             text_col, n)
+            return _rebuild_from_flags(batch, flag, offsets, words, text_col,
+                                       id_col, out_col, n)
+
+        rebuild_bcast.__name__ = "dup_removal_rebuild"
+        return ds.map_batches(rebuild_bcast, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def occ_block(batch: pa.Table) -> pa.Table:
+        h, doc_of, word_start, _, offsets = _full_gram_data(
+            A.as_array(batch.column(text_col)), n)
+        ids = A.as_array(batch.column(id_col))
+        return pa.table({
+            id_col: ids.take(pa.array(doc_of, pa.int64())),
+            "__kr_s": pa.array(word_start - offsets[doc_of], pa.int64()),
+            "__kr_g": pa.array(h.view(np.int64), pa.int64()),
+        })
+
+    occ_block.__name__ = "dup_removal_occurrences"
+
+    occ = ds.map_batches(occ_block, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+    hits = shuffle_join(occ, dups, on="__kr_g", how="semi")
+    starts = groupby_collect(hits, id_col, "__kr_s", order_col="__kr_s",
+                             out_col="__kr_starts")
+    joined = shuffle_join(ds, starts, on=id_col, how="left")
+
+    def rebuild_dist(batch: pa.Table) -> pa.Table:
+        _, _, _, words, offsets = _full_gram_data(
+            A.as_array(batch.column(text_col)), n)
+        nwords = int(offsets[-1]) if len(offsets) else 0
+        flag = np.zeros(nwords, dtype=bool)
+        sl = batch.column("__kr_starts")
+        sl = sl.combine_chunks() if isinstance(sl, pa.ChunkedArray) else sl
+        if batch.num_rows and len(sl):
+            lists = pc.list_flatten(pc.fill_null(sl, [])).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            counts = pc.list_value_length(pc.fill_null(sl, [])).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            row_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+            flag[offsets[row_of] + lists] = True
+        return _rebuild_from_flags(batch, flag, offsets, words, text_col,
+                                   id_col, out_col, n)
+
+    rebuild_dist.__name__ = "dup_removal_rebuild_dist"
+    return joined.map_batches(rebuild_dist, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

@@ -190,3 +190,67 @@ def test_llm_corpus_prep_chain(ray_session):
         [pa.table(b) for b in ds_out.iter_batches(batch_format="pyarrow")]
     ).sort_by("doc_id")
     assert got.equals(want.sort_by("doc_id"))
+
+
+def _py_remove_dups(corpus, n, min_docs=2):
+    """Plain-Python reference for remove_duplicate_passages."""
+    from collections import defaultdict
+
+    split = {did: re.split(r"\s+", t or "") for did, t in corpus}
+    docs_of = defaultdict(set)
+    for did, ws in split.items():
+        for i in range(len(ws) - n + 1):
+            docs_of[" ".join(ws[i : i + n])].add(did)
+    out = {}
+    for did, ws in split.items():
+        covered = [False] * len(ws)
+        for i in range(len(ws) - n + 1):
+            if len(docs_of[" ".join(ws[i : i + n])]) >= min_docs:
+                for j in range(i, i + n):
+                    covered[j] = True
+        kept = [w for w, c in zip(ws, covered) if not c]
+        out[did] = (" ".join(kept), sum(covered))
+    return out
+
+
+@given(
+    corpus=st.lists(_doc(), min_size=1, max_size=40),
+    n=st.integers(2, 4),
+    min_docs=st.integers(2, 3),
+)
+@settings(max_examples=40, deadline=None)
+def test_remove_duplicate_passages_matches_python(corpus, n, min_docs):
+    from kamae_ray.pipelines.decontam import remove_duplicate_passages
+
+    ct = pa.table(
+        {"doc_id": pa.array(range(len(corpus)), pa.int64()),
+         "text": pa.array(corpus, pa.string())}
+    )
+    got = remove_duplicate_passages(ct, "text", "doc_id", n=n, min_docs=min_docs)
+    gmap = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in got.to_pylist()}
+    want = _py_remove_dups([(i, t or "") for i, t in enumerate(corpus)], n, min_docs)
+    assert gmap == want
+
+
+def test_remove_duplicate_passages_dataset_paths(ray_session):
+    """Broadcast path == Table path == forced-distributed path."""
+    import ray
+
+    from kamae_ray.pipelines.decontam import remove_duplicate_passages
+
+    rng = np.random.default_rng(11)
+    corpus = [" ".join(rng.choice(WORDS[:-1], size=rng.integers(2, 20)))
+              for _ in range(300)]
+    ct = pa.table({"doc_id": pa.array(range(len(corpus)), pa.int64()),
+                   "text": pa.array(corpus)})
+    want = remove_duplicate_passages(ct, "text", "doc_id", n=3).sort_by("doc_id")
+    assert int(pa.compute.sum(want.column("n_removed")).as_py() or 0) > 0
+    ds = ray.data.from_arrow(ct).repartition(5)
+    for forced in (False, True):
+        out = remove_duplicate_passages(ds, "text", "doc_id", n=3,
+                                        force_distributed=forced)
+        got = pa.concat_tables(
+            [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+        ).sort_by("doc_id")
+        got = got.select(want.column_names).cast(want.schema)
+        assert got.equals(want), f"forced={forced}"

@@ -1634,10 +1634,20 @@ def _q_token_stats(sf_dir):
 
 
 def _q_minhash_pairs(sf_dir):
-    from kamae_ray.pipelines.dedup import minhash_lsh_candidates
+    """MinHash+LSH candidate pairs in the SQL-expressible mod-prime mode
+    (``minhash_lsh_candidates_mod``): word codes are global sorted-vocab
+    ranks, shingle keys and band hashes fold mod 2^31-1, permutations are
+    ``(a*x+b) mod p`` with fixed constants — so the ENTIRE chain (tokenize ->
+    rank -> shingle -> permute -> min -> band -> bucket -> pair) has an exact
+    generated DuckDB oracle. Same shuffle plan as the production FarmHash
+    path (only (id, band, band_hash) keys move; block-segmented pair
+    emission), which q_neardup's all-pairs Jaccard oracle certifies
+    end-to-end."""
+    from kamae_ray.pipelines.dedup import minhash_lsh_candidates_mod
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_candidates(ds, "text", "doc_id", num_perm=64, bands=16, shingle_k=3)
+    return minhash_lsh_candidates_mod(ds, "text", "doc_id", num_perm=64,
+                                      bands=16, shingle_k=3)
 
 
 def _q_neardup(sf_dir):
@@ -2542,6 +2552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cooccur": _q_cooccur,
         "q_llm_prep": _q_llm_prep,
         "q_dup_removal": _q_dup_removal,
+        "q_minhash_pairs": _q_minhash_pairs,
         "q_editdist": _q_editdist,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
@@ -2630,7 +2641,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": _q_pagerank,
         "q_agg": _q_agg,
         "q_token_stats": _q_token_stats,
-        "q_minhash_pairs": _q_minhash_pairs,
         "q_neardup": _q_neardup,
         "q_simhash": _q_simhash,
         "q_langid": _q_langid,
@@ -3204,6 +3214,11 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (WHERE c = 1) AS n_removed "
             "FROM cov GROUP BY doc_id"
         ),
+        # generated from the SAME permutation constants the Ray kernel uses
+        "q_minhash_pairs": __import__(
+            "kamae_ray.pipelines.dedup", fromlist=["minhash_mod_oracle_sql"]
+        ).minhash_mod_oracle_sql("documents", "text", "doc_id",
+                                 num_perm=64, bands=16, shingle_k=3),
         "q_var": (
             "SELECT l_returnflag, "
             "ROUND(var_pop(l_quantity), 6) AS l_quantity_var, "

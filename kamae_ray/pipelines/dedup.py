@@ -972,3 +972,249 @@ def embedding_neardup_pairs(
     srt = b.sort(["__kr_bucket"])  # id NOT in sort keys: see partitioning contract note
     pairs = srt.map_batches(verify_block, batch_format="pyarrow", zero_copy_batch=True)
     return pairs.groupby(["id_a", "id_b"]).max("cosine")
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible MinHash (mod-prime universal hashing over global word ranks)
+# ---------------------------------------------------------------------------
+
+_MODP = 2147483647          # 2^31 - 1 (Mersenne); all arithmetic fits int64
+_MOD_BASE = 1 << 20         # word-code base: vocab must stay below it
+_MOD_BASE2 = 1048583        # band-fold base (any constant > 0 works; fixed)
+
+
+def mod_perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) universal-hash parameters below ``_MODP``.
+    Shared by the Ray kernel AND the generated SQL oracle (the oracle inlines
+    these exact constants), so the two engines compute bit-identical
+    signatures."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MODP, size=num_perm).astype(np.int64)
+    b = rng.randint(0, _MODP, size=num_perm).astype(np.int64)
+    return a, b
+
+
+def corpus_vocab_sorted(ds, text_col: str) -> pa.Array:
+    """Sorted distinct whitespace-split words of the corpus (binary/byte
+    order — DuckDB's default collation). Null texts contribute no words
+    (SQL ``regexp_split_to_array(NULL)`` unnests to zero rows); empty texts
+    contribute the empty-string word, exactly like the SQL split.
+
+    Driver memory is O(vocab) — the same bounded-vocabulary contract as
+    StringIndexEstimator; per-block dedup bounds what each task ships."""
+
+    def words_block(batch: pa.Table) -> pa.Table:
+        col = A.as_array(batch.column(text_col))
+        col = col.filter(pc.is_valid(col))
+        split = pc.split_pattern_regex(pc.cast(col, pa.string(), safe=False),
+                                       pattern=r"\s+")
+        flat = A.as_array(pc.list_flatten(split))
+        return pa.table({"__kr_w": pc.unique(flat)})
+
+    if isinstance(ds, pa.Table):
+        parts = [words_block(ds)]
+    else:
+        from kamae_ray.base import collect_tables
+
+        mapped = ds.map_batches(words_block, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+        parts = collect_tables(mapped)
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return pa.array([], pa.string())
+    merged = A.as_array(pa.concat_tables(nonempty).column("__kr_w"))
+    u = pc.unique(merged)
+    return u.take(pc.array_sort_indices(u))
+
+
+class _MinHashBandsMod:
+    """Batch kernel: text -> (id, band, band_hash) rows using ONLY
+    SQL-replicable arithmetic — word codes are 1-based ranks in the sorted
+    corpus vocabulary, shingle keys fold codes mod ``_MODP``, permutations
+    are classic ``(a*x + b) mod p`` universal hashes, and band hashes fold
+    the per-band signature rows mod p. Every intermediate fits int64
+    (codes < 2^20, folds < 2^51, a*s < 2^62). Documents with fewer than
+    ``shingle_k`` words emit no bands (they can never pair)."""
+
+    def __init__(self, text_col, id_col, num_perm, bands, shingle_k, seed,
+                 vocab_ref):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        self.a, self.b = mod_perm_params(num_perm, seed)
+        self.vocab_ref = vocab_ref
+        self.__name__ = "minhash_bands_mod"
+
+    def _vocab(self) -> pa.Array:
+        v = self.vocab_ref
+        if isinstance(v, pa.Array):
+            return v
+        import ray
+
+        return ray.get(v)  # zero-copy from the local object store
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_arr = A.as_array(batch.column(self.id_col))
+        n = len(ids_arr)
+        B, R, k = self.bands, self.rows_per_band, self.shingle_k
+        empty = pa.table({
+            "id": ids_arr.slice(0, 0),
+            "band": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        vocab = self._vocab()
+        if len(vocab) >= _MOD_BASE:
+            raise ValueError(
+                f"minhash mod mode needs vocab < {_MOD_BASE}; got {len(vocab)}")
+        texts = pc.fill_null(
+            pc.cast(A.as_array(batch.column(self.text_col)), pa.string(),
+                    safe=False), "")
+        split = pc.split_pattern_regex(texts, pattern=r"\s+")
+        levels, words = A.unwrap(
+            A.as_array(split) if isinstance(split, pa.ChunkedArray) else split)
+        offsets = np.asarray(levels[0][0], dtype=np.int64)
+        lens = np.diff(offsets)
+        d = words.dictionary_encode()
+        # rank each DISTINCT word once (lesson 12), gather by indices
+        dist_codes = pc.index_in(d.dictionary, value_set=vocab)
+        dist_codes = pc.fill_null(dist_codes, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1  # 1-based; 0 = unseen
+        idx = np.asarray(d.indices.to_numpy(zero_copy_only=False), np.int64)
+        codes = dist_codes[idx] if len(idx) else np.zeros(0, np.int64)
+        # shingle fold over the flat code array; valid starts are in-doc
+        n_full = max(len(codes) - k + 1, 0)
+        acc = np.zeros(n_full, dtype=np.int64)
+        for j in range(k):
+            acc = (acc * _MOD_BASE + codes[j : n_full + j]) % _MODP
+        n_g = np.maximum(lens - k + 1, 0).astype(np.int64)
+        elig = lens >= k
+        g_off = np.concatenate([[0], np.cumsum(n_g)])
+        total = int(g_off[-1])
+        if total == 0:
+            return empty
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_g)
+        within = np.arange(total, dtype=np.int64) - np.repeat(g_off[:-1], n_g)
+        sh = acc[offsets[:-1][doc_of] + within]
+        starts = g_off[:-1][elig]
+        ne = int(elig.sum())
+        sig = np.empty((self.num_perm, ne), dtype=np.int64)
+        chunk = max(1, (8 << 20) // max(total, 1))
+        for p0 in range(0, self.num_perm, chunk):
+            a_c = self.a[p0 : p0 + chunk, None]
+            b_c = self.b[p0 : p0 + chunk, None]
+            vals = (a_c * sh[None, :] + b_c) % _MODP
+            sig[p0 : p0 + chunk] = np.minimum.reduceat(vals, starts, axis=1)
+        bh = np.zeros((B, ne), dtype=np.int64)
+        for bnd in range(B):
+            acc_b = np.zeros(ne, dtype=np.int64)
+            for r in range(R):
+                acc_b = (acc_b * _MOD_BASE2 + sig[bnd * R + r]) % _MODP
+            bh[bnd] = acc_b
+        elig_rows = np.flatnonzero(elig)
+        out_ids = ids_arr.take(pa.array(np.tile(elig_rows, B), pa.int64()))
+        return pa.table({
+            "id": out_ids,
+            "band": pa.array(np.repeat(np.arange(B, dtype=np.int32), ne),
+                             pa.int32()),
+            "band_hash": pa.array(bh.reshape(-1), pa.int64()),
+        })
+
+
+def minhash_lsh_candidates_mod(
+    ds,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+):
+    """MinHash+LSH candidate pairs in the SQL-expressible mod-prime mode —
+    same shuffle plan as :func:`minhash_lsh_candidates` (only exploded
+    (id, band, band_hash) keys move; block-segmented pair emission), but the
+    signature arithmetic is exactly replicable in ANSI SQL, so the whole
+    chain (tokenize -> rank -> shingle -> permute -> min -> band -> bucket ->
+    pair) has an exact DuckDB oracle (see ``minhash_mod_oracle_sql``).
+
+    One extra (cheap) pass builds the sorted corpus vocabulary, which
+    broadcasts via ``ray.put`` — the bounded-vocabulary contract of every
+    indexer. Production near-dedup keeps the 61-bit FarmHash path; this mode
+    trades hash width for end-to-end certifiability."""
+    pairer = _SegmentPairs(["band", "band_hash"], "id", max_bucket_size)
+    vocab = corpus_vocab_sorted(ds, text_col)
+
+    if isinstance(ds, pa.Table):
+        fn = _MinHashBandsMod(text_col, id_col, num_perm, bands, shingle_k,
+                              seed, vocab)
+        exploded = fn(ds).sort_by(
+            [("band", "ascending"), ("band_hash", "ascending"),
+             ("id", "ascending")])
+        pairs = pairer(exploded)
+        if pairs.num_rows == 0:
+            return pairs
+        return pairs.group_by(["id_a", "id_b"]).aggregate([]).sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending")])
+    import ray
+
+    fn = _MinHashBandsMod(text_col, id_col, num_perm, bands, shingle_k, seed,
+                          ray.put(vocab))
+    exploded = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=None)
+    srt = exploded.sort(["band", "band_hash"])
+    pairs = srt.map_batches(pairer, batch_format="pyarrow", zero_copy_batch=True)
+    return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+
+
+def minhash_mod_oracle_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> str:
+    """The exact DuckDB SQL twin of :func:`minhash_lsh_candidates_mod`
+    (generated from the SAME permutation constants)."""
+    if shingle_k != 3:
+        raise NotImplementedError("oracle generator is written for k=3")
+    a, b = mod_perm_params(num_perm, seed)
+    r = num_perm // bands
+    perm_rows = ", ".join(
+        f"({j}, CAST({int(a[j])} AS BIGINT), CAST({int(b[j])} AS BIGINT))"
+        for j in range(num_perm))
+    fold = "m0"
+    for i in range(1, r):
+        fold = f"(({fold}) * {_MOD_BASE2} + m{i}) % {_MODP}"
+    band_cols = ", ".join(
+        f"max(CASE WHEN j % {r} = {i} THEN m END) AS m{i}" for i in range(r))
+    return (
+        f"WITH w AS (SELECT {id_col}, regexp_split_to_array({text_col}, "
+        f"'\\s+') AS ws FROM {table}), "
+        f"tok AS (SELECT {id_col}, unnest(ws) AS word, "
+        f"unnest(range(1, len(ws) + 1)) AS p, len(ws) AS L FROM w), "
+        f"vocab AS (SELECT word, row_number() OVER (ORDER BY word) AS code "
+        f"FROM (SELECT DISTINCT word FROM tok)), "
+        f"c AS (SELECT t.{id_col}, t.p, t.L, CAST(v.code AS BIGINT) AS code "
+        f"FROM tok t JOIN vocab v USING (word) WHERE t.L >= {shingle_k}), "
+        f"sh0 AS (SELECT {id_col}, p, L, code, "
+        f"lead(code, 1) OVER (PARTITION BY {id_col} ORDER BY p) AS c2, "
+        f"lead(code, 2) OVER (PARTITION BY {id_col} ORDER BY p) AS c3 FROM c), "
+        f"sh AS (SELECT {id_col}, ((code * {_MOD_BASE} + c2) % {_MODP} "
+        f"* {_MOD_BASE} + c3) % {_MODP} AS s FROM sh0 WHERE p <= L - 2), "
+        f"perms(j, a, b) AS (VALUES {perm_rows}), "
+        f"hv AS (SELECT {id_col}, j, min((a * s + b) % {_MODP}) AS m "
+        f"FROM sh CROSS JOIN perms GROUP BY {id_col}, j), "
+        f"bnd AS (SELECT {id_col}, j // {r} AS band, {band_cols} "
+        f"FROM hv GROUP BY {id_col}, j // {r}), "
+        f"bh AS (SELECT {id_col}, band, {fold} AS h FROM bnd) "
+        f"SELECT DISTINCT x.{id_col} AS id_a, y.{id_col} AS id_b "
+        f"FROM bh x JOIN bh y ON x.band = y.band AND x.h = y.h "
+        f"AND x.{id_col} < y.{id_col}"
+    )

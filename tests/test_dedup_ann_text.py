@@ -691,3 +691,44 @@ def test_robust_scale_estimator_matches_sklearn_formula():
     assert abs(m.stddev[0] - (q3 - q1)) < 1e-9
     y = m.transform_batch(t).column("y").to_numpy()
     assert np.allclose(y, (x - med) / (q3 - q1), atol=1e-9)
+
+
+def test_minhash_mod_matches_generated_oracle_and_dataset_path(ray_session):
+    """SQL-expressible minhash: Table path == generated DuckDB oracle ==
+    Dataset path, on a corpus with injected near/exact dups and short docs."""
+    import duckdb
+    import ray
+
+    from kamae_ray.pipelines.dedup import (
+        minhash_lsh_candidates_mod,
+        minhash_mod_oracle_sql,
+    )
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(40)]
+    docs = [" ".join(rng.choice(words, size=rng.integers(1, 25)))
+            for _ in range(150)]
+    for i in range(0, 40, 4):
+        ws = docs[i].split()
+        if len(ws) > 4:
+            ws[1] = "zz"
+        docs[i + 1] = " ".join(ws)
+    docs[100] = docs[101]
+    docs[120] = "a b"  # < k words: never pairs
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    want = minhash_lsh_candidates_mod(t, "text", "doc_id", num_perm=32,
+                                      bands=8)
+    assert want.num_rows > 0
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = minhash_mod_oracle_sql("documents", "text", "doc_id", num_perm=32,
+                                 bands=8)
+    ora = con.execute(sql + " ORDER BY id_a, id_b").fetch_arrow_table()
+    assert want.to_pylist() == ora.to_pylist()
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = minhash_lsh_candidates_mod(ds, "text", "doc_id", num_perm=32, bands=8)
+    got = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    assert got.cast(want.schema).to_pylist() == want.to_pylist()

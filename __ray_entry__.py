@@ -1659,12 +1659,16 @@ def _q_neardup(sf_dir):
 
 
 def _q_simhash(sf_dir):
-    from kamae_ray.stages.text import FingerprintTransformer
+    """SimHash fingerprints in the SQL-expressible mod-prime mode
+    (``simhash_mod``): one (a*code+b) mod 2^31-1 hash per word over global
+    sorted-vocab ranks, fingerprint bit j = per-doc majority of word-hash
+    bit j. Exact generated DuckDB oracle; the production 64-bit FarmHash
+    SimHash + rolling fingerprints (FingerprintTransformer) stay pinned by
+    unit tests (test_farmhash_vectors, text-fingerprint tests)."""
+    from kamae_ray.pipelines.dedup import simhash_mod
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = FingerprintTransformer(input_col="text", method="simhash", output_col="simhash64").transform(ds)
-    out = FingerprintTransformer(input_col="text", method="rolling", output_col="fingerprint64").transform(out)
-    return out.drop_columns(["text"])
+    return simhash_mod(ds, "text", "doc_id", bits=16)
 
 
 def _q_langid(sf_dir):
@@ -2553,6 +2557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_llm_prep": _q_llm_prep,
         "q_dup_removal": _q_dup_removal,
         "q_minhash_pairs": _q_minhash_pairs,
+        "q_simhash": _q_simhash,
         "q_editdist": _q_editdist,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
@@ -2642,7 +2647,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_agg": _q_agg,
         "q_token_stats": _q_token_stats,
         "q_neardup": _q_neardup,
-        "q_simhash": _q_simhash,
         "q_langid": _q_langid,
         "q_math3": _q_math3,
         "q_logical": _q_logical,
@@ -3219,6 +3223,9 @@ def oracle_sql() -> dict[str, str]:
             "kamae_ray.pipelines.dedup", fromlist=["minhash_mod_oracle_sql"]
         ).minhash_mod_oracle_sql("documents", "text", "doc_id",
                                  num_perm=64, bands=16, shingle_k=3),
+        "q_simhash": __import__(
+            "kamae_ray.pipelines.dedup", fromlist=["simhash_mod_oracle_sql"]
+        ).simhash_mod_oracle_sql("documents", "text", "doc_id", bits=16),
         "q_var": (
             "SELECT l_returnflag, "
             "ROUND(var_pop(l_quantity), 6) AS l_quantity_var, "

@@ -1218,3 +1218,91 @@ def minhash_mod_oracle_sql(
         f"FROM bh x JOIN bh y ON x.band = y.band AND x.h = y.h "
         f"AND x.{id_col} < y.{id_col}"
     )
+
+
+def simhash_mod(ds, text_col: str, id_col: str, bits: int = 16,
+                seed: int = 43):
+    """SQL-expressible SimHash fingerprints: one ``(a*code + b) mod 2^31-1``
+    hash per word (codes = global sorted-vocab ranks), fingerprint bit j is
+    the per-document majority of the word hashes' bit j (ties -> 0). ALL
+    whitespace-split words count (including the empty-string word of an
+    empty document — parity with the SQL split). Returns
+    ``(id_col, simhash int64)``; similar documents land at small hamming
+    distance exactly as with the production 64-bit FarmHash SimHash
+    (``FingerprintTransformer``, pinned by unit tests), but the whole
+    computation has an exact generated DuckDB oracle
+    (``simhash_mod_oracle_sql``)."""
+    if bits > 30:
+        raise ValueError("mod-prime hashes carry at most 30 usable bits")
+    a, b = mod_perm_params(1, seed)
+    a0, b0 = int(a[0]), int(b[0])
+    vocab = corpus_vocab_sorted(ds, text_col)
+    if len(vocab) >= _MOD_BASE:
+        raise ValueError(
+            f"simhash mod mode needs vocab < {_MOD_BASE}; got {len(vocab)}")
+
+    def kern(batch: pa.Table, vocab_arr: pa.Array) -> pa.Table:
+        ids_arr = A.as_array(batch.column(id_col))
+        n = len(ids_arr)
+        if n == 0:
+            return pa.table({id_col: ids_arr,
+                             "simhash": pa.array([], pa.int64())})
+        texts = pc.fill_null(
+            pc.cast(A.as_array(batch.column(text_col)), pa.string(),
+                    safe=False), "")
+        split = pc.split_pattern_regex(texts, pattern=r"\s+")
+        levels, words = A.unwrap(
+            A.as_array(split) if isinstance(split, pa.ChunkedArray) else split)
+        offsets = np.asarray(levels[0][0], dtype=np.int64)
+        counts = np.diff(offsets)
+        d = words.dictionary_encode()
+        dist = pc.fill_null(pc.index_in(d.dictionary, value_set=vocab_arr),
+                            -1).to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        idx = np.asarray(d.indices.to_numpy(zero_copy_only=False), np.int64)
+        codes = dist[idx] if len(idx) else np.zeros(0, np.int64)
+        h = (a0 * codes + b0) % _MODP
+        bitm = ((h[:, None] >> np.arange(bits)) & 1).astype(np.int64)
+        starts = offsets[:-1].clip(max=max(len(h) - 1, 0))
+        sums = np.add.reduceat(bitm, starts, axis=0) if len(h) else \
+            np.zeros((n, bits), np.int64)
+        maj = (sums * 2 > counts[:, None]) & (counts[:, None] > 0)
+        fp = (maj.astype(np.int64) << np.arange(bits)).sum(axis=1)
+        return pa.table({id_col: ids_arr, "simhash": pa.array(fp, pa.int64())})
+
+    if isinstance(ds, pa.Table):
+        return kern(ds, vocab)
+    import ray
+
+    ref = ray.put(vocab)
+
+    def kern_ds(batch: pa.Table) -> pa.Table:
+        return kern(batch, ray.get(ref))
+
+    kern_ds.__name__ = "simhash_mod"
+    return ds.map_batches(kern_ds, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def simhash_mod_oracle_sql(table: str, text_col: str, id_col: str,
+                           bits: int = 16, seed: int = 43) -> str:
+    """The exact DuckDB SQL twin of :func:`simhash_mod` (same constants)."""
+    a, b = mod_perm_params(1, seed)
+    a0, b0 = int(a[0]), int(b[0])
+    bit_sums = ", ".join(
+        f"sum((h // {1 << j}) % 2) AS s{j}" for j in range(bits))
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * s{j} > c THEN {1 << j} ELSE 0 END)"
+        for j in range(bits))
+    return (
+        f"WITH w AS (SELECT {id_col}, regexp_split_to_array({text_col}, "
+        f"'\\s+') AS ws FROM {table}), "
+        f"tok AS (SELECT {id_col}, unnest(ws) AS word FROM w), "
+        f"vocab AS (SELECT word, row_number() OVER (ORDER BY word) AS code "
+        f"FROM (SELECT DISTINCT word FROM tok)), "
+        f"wh AS (SELECT t.{id_col}, (CAST({a0} AS BIGINT) "
+        f"* CAST(v.code AS BIGINT) + {b0}) % {_MODP} AS h "
+        f"FROM tok t JOIN vocab v USING (word)), "
+        f"agg AS (SELECT {id_col}, count(*) AS c, {bit_sums} FROM wh "
+        f"GROUP BY {id_col}) "
+        f"SELECT {id_col}, CAST({fp_terms} AS BIGINT) AS simhash FROM agg"
+    )

@@ -732,3 +732,27 @@ def test_minhash_mod_matches_generated_oracle_and_dataset_path(ray_session):
         [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     assert got.cast(want.schema).to_pylist() == want.to_pylist()
+
+
+def test_simhash_mod_dataset_matches_table_and_hamming(ray_session):
+    import ray
+
+    from kamae_ray.pipelines.dedup import simhash_mod
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(words, size=20)) for _ in range(200)]
+    ws = docs[0].split(); ws[3] = "zz"
+    docs[1] = " ".join(ws)  # near-dup of doc 0
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    want = simhash_mod(t, "text", "doc_id").sort_by("doc_id")
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = pa.concat_tables(
+        [pa.table(b) for b in simhash_mod(ds, "text", "doc_id")
+         .iter_batches(batch_format="pyarrow")]).sort_by("doc_id")
+    assert got.cast(want.schema).to_pylist() == want.to_pylist()
+    fp = want.column("simhash").to_pylist()
+    ham = bin(fp[0] ^ fp[1]).count("1")
+    others = [bin(fp[0] ^ f).count("1") for f in fp[2:]]
+    assert ham <= min(others)  # near-dup is the closest fingerprint

@@ -2183,6 +2183,29 @@ def _q_sample(sf_dir):
     return deterministic_sample(ds, "o_orderkey", 1000, salt=11)
 
 
+def _q_weighted_sample(sf_dir):
+    """Per-row weighted Bernoulli sample (``weighted_sample``): keep iff
+    hash(key) % 1e6 < weight_ppm — the quality-weighted corpus-curation
+    sampler (here weight grows with order value, capped at 999999 ppm).
+    Stateless block-local filter, no shuffle; pure-integer HUGEINT oracle."""
+    from kamae_ray.stages.hashing import weighted_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def addw(batch: pa.Table) -> pa.Table:
+        tp = pc.cast(batch.column("o_totalprice"), pa.float64(), safe=False)
+        w = pc.multiply(pc.cast(pc.floor(tp), pa.int64(), safe=False), 2)
+        w = pc.min_element_wise(w, pa.scalar(999999, pa.int64()))
+        return batch.append_column("w_ppm", w)
+
+    addw.__name__ = "weighted_sample_weights"
+    ds = ds.map_batches(addw, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = weighted_sample(ds, "o_orderkey", "w_ppm", salt=7)
+    return out.map_batches(_rounder(["o_totalprice"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_group_sample(sf_dir):
     """Deterministic k-per-group sample (``group_sample``): smallest-hash
     rows per market segment via the partial top-k plan; SQL ROW_NUMBER over
@@ -2558,6 +2581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_removal": _q_dup_removal,
         "q_minhash_pairs": _q_minhash_pairs,
         "q_simhash": _q_simhash,
+        "q_weighted_sample": _q_weighted_sample,
         "q_editdist": _q_editdist,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
@@ -3537,6 +3561,13 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN l_extendedprice < q1 THEN 1 WHEN l_extendedprice < q2 THEN 2 "
             "WHEN l_extendedprice < q3 THEN 3 ELSE 4 END AS price_bucket "
             "FROM lineitem, b"
+        ),
+        "q_weighted_sample": (
+            "SELECT o_orderkey, ROUND(o_totalprice::DOUBLE, 6) AS o_totalprice, "
+            "w_ppm FROM (SELECT o_orderkey, o_totalprice, "
+            "LEAST(999999, CAST(floor(o_totalprice) AS BIGINT) * 2) AS w_ppm "
+            "FROM orders) WHERE (CAST(o_orderkey + 7 AS HUGEINT) "
+            "* 11400714819323198485) % 18446744073709551616 % 1000000 < w_ppm"
         ),
         "q_sample": (
             "SELECT o_orderkey, o_orderstatus FROM ("

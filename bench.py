@@ -229,6 +229,8 @@ _BENCH_QUERIES = [
     "q_replace_col",  # column-pattern regex replace, distinct-once RE2 dispatch
     "q_chunk",  # RAG chunking fan-out (vectorized per-ordinal utf8 slices)
     "q_windows",  # LLM context windows (offsets-arithmetic 2-D gather)
+    "q_dup_removal",  # Lee-2022 passage rewrite (gram shuffle + broadcast rebuild)
+    "q_simhash",  # mod-prime SimHash fingerprints (vocab broadcast, one map)
 ]
 
 

@@ -323,6 +323,38 @@ def stratified_sample(ds, key_col: str, strata_col: str, fractions: dict,
 
 
 
+def weighted_sample(ds, key_col: str, weight_col: str, salt: int = 0,
+                    scale: int = 1_000_000):
+    """Per-row weighted Bernoulli sample: keep a row iff
+    ``hash(key, salt) % scale < weight`` — i.e. keep probability =
+    ``weight / scale`` (ppm by default), a pure function of (key, salt).
+    The standard quality-weighted corpus-curation sampler: rows carry their
+    own integer keep-weight (0 drops always, >= scale keeps always; null
+    weights and null keys drop — SQL comparison semantics).
+
+    Deterministic and exactly SQL-reproducible for integer keys (Knuth
+    multiplicative hash is a bijection; the oracle is one HUGEINT
+    expression). Scale plan: a stateless block-local filter inside ONE
+    ``map_batches`` — no shuffle, no driver state.
+    """
+
+    def keep(block: pa.Table) -> pa.Table:
+        h, null_mask = _split_hash(A.as_array(block.column(key_col)), salt)
+        w = pc.cast(A.as_array(block.column(weight_col)), pa.int64(),
+                    safe=False)
+        wn = pc.fill_null(w, -1).to_numpy(zero_copy_only=False)
+        wnull = pc.is_null(w).to_numpy(zero_copy_only=False)
+        mask = (h % np.uint64(scale)).astype(np.int64) < wn
+        mask &= ~(null_mask | wnull)
+        return block.filter(pa.array(mask))
+
+    keep.__name__ = "weighted_sample"
+    if isinstance(ds, pa.Table):
+        return keep(ds)
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
 def deterministic_sample(ds, key_col: str, k: int, salt: int = 0):
     """Exactly-``k`` uniform sample, a pure function of (key, salt):
     the k rows with the smallest row hash — ``ORDER BY hash(key) LIMIT k``.

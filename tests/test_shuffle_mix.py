@@ -69,3 +69,32 @@ def test_mix_corpora_dataset_matches_table(ray_session):
     )
     key = [("mix_source", "ascending"), ("k", "ascending")]
     assert got.sort_by(key).equals(want.sort_by(key))
+
+
+def test_weighted_sample_semantics(ray_session):
+    import ray
+
+    from kamae_ray.stages.hashing import weighted_sample
+
+    n = 20000
+    t = pa.table({
+        "k": pa.array(list(range(n - 2)) + [None, 12345], pa.int64()),
+        "w": pa.array([0, 1_000_000] + [250_000] * (n - 4) + [None, 250_000],
+                      pa.int64()),
+    })
+    got = weighted_sample(t, "k", "w", salt=3)
+    ks = got.column("k").to_pylist()
+    assert 0 not in ks            # weight 0 never keeps
+    assert 1 in ks                # weight >= scale always keeps
+    assert None not in ks         # null key drops
+    # null weight drops (key n-1 ... the null-weight row had k = n-3)
+    assert (n - 3) not in ks
+    frac = len(ks) / n
+    assert 0.2 < frac < 0.3       # ~250k ppm keep rate
+    # deterministic: same result twice, and Dataset path == Table path
+    assert weighted_sample(t, "k", "w", salt=3).equals(got)
+    ds = ray.data.from_arrow(t).repartition(4)
+    got_ds = pa.concat_tables(
+        [pa.table(b) for b in weighted_sample(ds, "k", "w", salt=3)
+         .iter_batches(batch_format="pyarrow")]).sort_by("k")
+    assert got_ds.cast(got.schema).to_pylist() == got.sort_by("k").to_pylist()

@@ -2183,6 +2183,24 @@ def _q_sample(sf_dir):
     return deterministic_sample(ds, "o_orderkey", 1000, salt=11)
 
 
+def _q_target_encode(sf_dir):
+    """Smoothed target/mean encoding (``TargetEncodeEstimator``): category ->
+    (sum_target + m*prior)/(count + m). ONE partial-agg groupby fit (driver
+    holds O(categories)), distinct-once lookup transform. Integer target
+    keeps the cross-engine sums exact; enc rounds 6dp both sides."""
+    from kamae_ray.stages.indexers import TargetEncodeEstimator
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+    tr = TargetEncodeEstimator(input_col="l_returnflag",
+                               output_col="returnflag_enc",
+                               target_col="l_quantity",
+                               smoothing=10.0).fit(ds)
+    out = tr.transform(ds).drop_columns(["l_quantity"])
+    return out.map_batches(_rounder(["returnflag_enc"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_weighted_sample(sf_dir):
     """Per-row weighted Bernoulli sample (``weighted_sample``): keep iff
     hash(key) % 1e6 < weight_ppm — the quality-weighted corpus-curation
@@ -2582,6 +2600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_pairs": _q_minhash_pairs,
         "q_simhash": _q_simhash,
         "q_weighted_sample": _q_weighted_sample,
+        "q_target_encode": _q_target_encode,
         "q_editdist": _q_editdist,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
@@ -3561,6 +3580,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN l_extendedprice < q1 THEN 1 WHEN l_extendedprice < q2 THEN 2 "
             "WHEN l_extendedprice < q3 THEN 3 ELSE 4 END AS price_bucket "
             "FROM lineitem, b"
+        ),
+        "q_target_encode": (
+            "WITH g AS (SELECT l_returnflag, sum(l_quantity)::DOUBLE AS s, "
+            "count(l_quantity)::DOUBLE AS c FROM lineitem "
+            "WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag), "
+            "p AS (SELECT sum(l_quantity)::DOUBLE / count(l_quantity) AS pr "
+            "FROM lineitem) "
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, "
+            "ROUND(COALESCE((g.s + 10 * p.pr) / (g.c + 10), p.pr), 6) "
+            "AS returnflag_enc "
+            "FROM lineitem l LEFT JOIN g USING (l_returnflag) CROSS JOIN p"
         ),
         "q_weighted_sample": (
             "SELECT o_orderkey, ROUND(o_totalprice::DOUBLE, 6) AS o_totalprice, "

@@ -100,6 +100,8 @@ from kamae_ray.stages.indexers import (  # noqa: F401
     SharedStringIndexTransformer,
     StringIndexEstimator,
     StringIndexTransformer,
+    TargetEncodeEstimator,
+    TargetEncodeTransformer,
 )
 from kamae_ray.stages.listwise import (  # noqa: F401
     ListMaxTransformer,

@@ -302,3 +302,124 @@ class SharedOneHotEncodeEstimator(StringIndexEstimator):
             num_oov_indices=self.num_oov_indices,
             drop_unseen=self.drop_unseen,
         )
+
+
+class TargetEncodeTransformer(Transformer):
+    """Category -> smoothed target mean (classic target/mean encoding):
+    ``enc(cat) = (sum_target(cat) + m * prior) / (count(cat) + m)`` with
+    ``prior`` the global target mean. Unseen and NULL categories map to
+    ``default_value`` (the prior) — SQL LEFT-JOIN + COALESCE semantics.
+    The reference has no analog (its indexers stop at ordinal/one-hot);
+    this is the standard supervised categorical encoder those feed.
+
+    Lookup is distinct-once (dictionary encode, one ``index_in`` per
+    DISTINCT value, gather by indices — lesson-12 discipline)."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, categories: Sequence, encodings: Sequence[float],
+                 default_value: float, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.categories = list(categories)
+        self.encodings = [float(e) for e in encodings]
+        self.default_value = float(default_value)
+        self._cached = None
+
+    def get_params(self):
+        p = super().get_params()
+        p.pop("_cached", None)
+        return p
+
+    @property
+    def state_size_hint(self) -> int:
+        return len(self.categories)
+
+    def _encode_flat(self, flat: pa.Array) -> pa.Array:
+        if self._cached is None:
+            cats = pa.array(self.categories)
+            enc = np.asarray(self.encodings + [self.default_value], np.float64)
+            self._cached = (cats, enc)
+        cats, enc = self._cached
+        d = flat.dictionary_encode()
+        dvals = pc.cast(d.dictionary, cats.type, safe=False) if len(cats) \
+            else d.dictionary
+        pos = pc.index_in(dvals, value_set=cats) if len(cats) else \
+            pa.nulls(len(dvals), pa.int32())
+        pos = pc.fill_null(pos, len(enc) - 1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        per_distinct = enc[pos] if len(pos) else np.zeros(0, np.float64)
+        # null inputs have null indices -> route to the default slot
+        idx = pc.fill_null(d.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gathered = np.where(idx >= 0,
+                            per_distinct[np.maximum(idx, 0)] if len(pos)
+                            else self.default_value,
+                            self.default_value)
+        return pa.array(gathered, pa.float64())
+
+    def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
+        return A.lift(self._encode_flat, arr)
+
+
+class TargetEncodeEstimator(Estimator):
+    """Fit per-category target sums/counts (ONE partial-agg groupby — the
+    shuffle carries one row per (block, category)) plus the global prior,
+    then build :class:`TargetEncodeTransformer`.
+
+    Driver memory is O(categories) — the bounded-vocabulary contract shared
+    with every indexer. Exact cross-engine parity holds for integer targets
+    (int64 sums are accumulation-order-free; the smoothing arithmetic is
+    then identical float64 on both engines)."""
+
+    def __init__(self, *args, target_col: str, smoothing: float = 0.0,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        if smoothing < 0:
+            raise ValueError("smoothing must be >= 0")
+        self.target_col = target_col
+        self.smoothing = float(smoothing)
+
+    def fit(self, ds) -> TargetEncodeTransformer:
+        from kamae_ray.stages.aggregate import groupby_agg
+
+        ds = self._maybe_sample(ds)
+        col = self.input_col
+        if not isinstance(ds, pa.Table):
+            from kamae_ray.base import collect_tables
+            from kamae_ray.sources.io import narrow_read
+
+            proj = narrow_read(ds, [col, self.target_col]) or ds
+            stats = groupby_agg(proj, col, {self.target_col: ["sum", "count"]})
+            parts = [t for t in collect_tables(stats) if t.num_rows]
+            tbl = pa.concat_tables(parts) if parts else pa.table({
+                col: pa.array([], pa.string()),
+                f"{self.target_col}_sum": pa.array([], pa.float64()),
+                f"{self.target_col}_count": pa.array([], pa.int64()),
+            })
+        else:
+            tbl = groupby_agg(ds.select([col, self.target_col]), col,
+                              {self.target_col: ["sum", "count"]})
+        sums = pc.cast(tbl.column(f"{self.target_col}_sum"), pa.float64(),
+                       safe=False).to_numpy(zero_copy_only=False)
+        cnts = pc.cast(tbl.column(f"{self.target_col}_count"), pa.float64(),
+                       safe=False).to_numpy(zero_copy_only=False)
+        catarr = A.as_array(tbl.column(col))
+        keep = pc.is_valid(catarr).to_numpy(zero_copy_only=False)
+        total_s = float(sums.sum()) if len(sums) else 0.0
+        total_c = float(cnts.sum()) if len(cnts) else 0.0
+        prior = (total_s / total_c) if total_c else 0.0
+        m = self.smoothing
+        with np.errstate(invalid="ignore", divide="ignore"):
+            enc = (sums + m * prior) / (cnts + m)
+        enc = np.where(np.isfinite(enc), enc, prior)
+        cats = catarr.filter(pa.array(keep))
+        return TargetEncodeTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            categories=cats.to_pylist(),
+            encodings=enc[keep].tolist(),
+            default_value=prior,
+        )

@@ -138,3 +138,42 @@ def test_one_hot(strings_edge):
     out2 = m2.transform_batch(strings_edge).column("o").to_pylist()
     assert all(len(v) == len(m2.labels_array) for v in out2)
     assert sum(out2[3]) == 0.0  # mask row drops to all-zeros
+
+
+def test_target_encode_semantics_and_dataset_path(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.indexers import TargetEncodeEstimator
+
+    t = pa.table({
+        "rid": pa.array(range(8), pa.int64()),
+        "cat": pa.array(["a", "b", "a", "c", None, "b", "a", "d"]),
+        "y": pa.array([1, 2, 3, 4, 5, 6, None, 8], pa.int64()),
+    })
+    tr = TargetEncodeEstimator(input_col="cat", output_col="enc",
+                               target_col="y", smoothing=2.0).fit(t)
+    out = tr.transform(t).sort_by("rid")
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "WITH g AS (SELECT cat, sum(y)::DOUBLE s, count(y)::DOUBLE c FROM t "
+        "WHERE cat IS NOT NULL GROUP BY cat), "
+        "p AS (SELECT sum(y)::DOUBLE / count(y) pr FROM t) "
+        "SELECT t.rid, COALESCE((g.s + 2 * p.pr) / (g.c + 2), p.pr) AS enc "
+        "FROM t LEFT JOIN g USING (cat) CROSS JOIN p ORDER BY rid"
+    ).fetch_arrow_table()
+    assert out.column("enc").to_pylist() == want.column("enc").to_pylist()
+    # Dataset fit == Table fit; unseen category at transform -> prior
+    ds = ray.data.from_arrow(t).repartition(3)
+    tr_ds = TargetEncodeEstimator(input_col="cat", output_col="enc",
+                                  target_col="y", smoothing=2.0).fit(ds)
+    assert sorted(zip(tr_ds.categories, tr_ds.encodings)) == \
+        sorted(zip(tr.categories, tr.encodings))
+    assert tr_ds.default_value == tr.default_value
+    novel = pa.table({"cat": pa.array(["zzz"]), "y": pa.array([0], pa.int64())})
+    assert tr.transform(novel).column("enc").to_pylist() == [tr.default_value]
+    got_ds = pa.concat_tables(
+        [pa.table(b) for b in tr_ds.transform(ds)
+         .iter_batches(batch_format="pyarrow")]).sort_by("rid")
+    assert got_ds.column("enc").to_pylist() == out.column("enc").to_pylist()

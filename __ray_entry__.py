@@ -2183,6 +2183,20 @@ def _q_sample(sf_dir):
     return deterministic_sample(ds, "o_orderkey", 1000, salt=11)
 
 
+def _q_kmeans(sf_dir):
+    """Distributed Lloyd k-means with an INTEGER fixed-point recurrence
+    (``kmeans_fit``): coordinates quantize to floor(v*2^20)+2^21 (positive,
+    so floor-div == trunc-div), distances/centroid sums are exact int64 —
+    the lesson-24 move, making 2 full Lloyd iterations bit-identical across
+    engines. One streaming pass per iteration (per-block per-cluster
+    integer partials; driver folds O(k*d); centroids ray.put); no shuffle.
+    Oracle: the same recurrence unrolled as chained DuckDB CTEs."""
+    from kamae_ray.pipelines.ann import kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_fit(ds, "embedding", "vec_id", k=8, iters=2)
+
+
 def _q_target_encode(sf_dir):
     """Smoothed target/mean encoding (``TargetEncodeEstimator``): category ->
     (sum_target + m*prior)/(count + m). ONE partial-agg groupby fit (driver
@@ -2601,6 +2615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": _q_simhash,
         "q_weighted_sample": _q_weighted_sample,
         "q_target_encode": _q_target_encode,
+        "q_kmeans": _q_kmeans,
         "q_editdist": _q_editdist,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
@@ -3581,6 +3596,11 @@ def oracle_sql() -> dict[str, str]:
             "WHEN l_extendedprice < q3 THEN 3 ELSE 4 END AS price_bucket "
             "FROM lineitem, b"
         ),
+        # generated from the same integer recurrence the Ray kernels run
+        "q_kmeans": __import__(
+            "kamae_ray.pipelines.ann", fromlist=["kmeans_oracle_sql"]
+        ).kmeans_oracle_sql("embeddings", "embedding", "vec_id",
+                            k=8, iters=2),
         "q_target_encode": (
             "WITH g AS (SELECT l_returnflag, sum(l_quantity)::DOUBLE AS s, "
             "count(l_quantity)::DOUBLE AS c FROM lineitem "
@@ -3695,8 +3715,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(query_idx AS BIGINT) AS query_idx, CAST(rank AS BIGINT) AS rank, "
             "vec_id, ROUND(cs, 6) AS cosine FROM ranked WHERE rank <= 10"
         ),
-        # q_minhash_pairs, q_simhash, q_hash_encode:
-        # hash-dependent (FarmHash, LSH banding)
-        # -> rows-only driver check; FarmHash itself is pinned to published
-        # vectors in tests/test_farmhash_vectors.py.
+        # q_hash_encode: hash-dependent (FarmHash) -> rows-only driver
+        # check; FarmHash itself is pinned to published vectors in
+        # tests/test_farmhash_vectors.py. (q_minhash_pairs / q_simhash now
+        # run their SQL-expressible mod-prime modes with exact generated
+        # oracles above.)
     }

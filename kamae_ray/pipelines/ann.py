@@ -383,3 +383,195 @@ def ivf_query(
         }
     )
     return _final_topk(merged, k)
+
+
+# ---------------------------------------------------------------------------
+# Integer fixed-point k-means (exact cross-engine — lesson-24 discipline)
+# ---------------------------------------------------------------------------
+
+def _kmeans_quantize(m: np.ndarray, scale: int, offset: int) -> np.ndarray:
+    """floor(v * scale) + offset — float32 widens to float64 exactly, floor
+    is deterministic, and the offset keeps every coordinate POSITIVE so the
+    centroid update's integer division truncates and floors identically
+    (DuckDB ``//`` truncates toward zero; numpy floors — they only agree on
+    non-negative operands)."""
+    return (np.floor(m.astype(np.float64) * scale) + offset).astype(np.int64)
+
+
+def _kmeans_assign(q: np.ndarray, cents: np.ndarray):
+    """(cluster, sqdist) per row: exact int64 squared-L2 argmin, ties to the
+    smallest cluster ordinal (argmin takes the first minimum)."""
+    qq = (q * q).sum(axis=1)
+    cc = (cents * cents).sum(axis=1)
+    dist = qq[:, None] - 2 * (q @ cents.T) + cc[None, :]
+    a = dist.argmin(axis=1)
+    return a, dist[np.arange(len(q)), a]
+
+
+def kmeans_fit(ds, emb_col: str, id_col: str, k: int = 8, iters: int = 2,
+               scale: int = 1 << 20, offset: int = 1 << 21):
+    """Distributed Lloyd k-means over an embedding column with an INTEGER
+    fixed-point recurrence, so the whole iteration is bit-identical across
+    engines and the final assignment has an exact generated SQL oracle
+    (:func:`kmeans_oracle_sql`) — the same move that made q_pagerank exact
+    (build notes, lesson 24). Coordinates quantize to
+    ``floor(v * scale) + offset`` (offset keeps them positive — see
+    ``_kmeans_quantize``); distances and centroid sums are exact int64;
+    centroid update is the element-wise floor-div mean; empty clusters keep
+    their previous centroid. Init: the quantized embeddings of the ``k``
+    smallest ids, cluster label = their rank ordinal (0-based).
+
+    Returns ``(id_col, cluster int64, sqdist int64)`` under the
+    final (post-update) centroids.
+
+    Scale plan: the (id, embedding) projection materializes ONCE; each
+    iteration is ONE ``map_batches`` pass emitting per-block per-cluster
+    (count, coordinate-sum) partials — the driver folds O(k x d x blocks)
+    ints and re-broadcasts k x d centroids (``ray.put``). No shuffle at
+    all; the cross-engine certificate is the integer arithmetic."""
+    if k <= 0 or iters < 0:
+        raise ValueError("k must be positive, iters >= 0")
+
+    def init_from(rows_q: np.ndarray, rows_ids: np.ndarray) -> np.ndarray:
+        order = np.argsort(rows_ids, kind="stable")[:k]
+        if len(order) < k:
+            raise ValueError(f"need >= k={k} rows to initialize k-means")
+        return rows_q[order].copy()
+
+    def partials(q: np.ndarray, cents: np.ndarray):
+        a, _ = _kmeans_assign(q, cents)
+        order = np.argsort(a, kind="stable")
+        a_s, q_s = a[order], q[order]
+        bounds = np.flatnonzero(np.diff(a_s)) + 1
+        starts = np.concatenate([[0], bounds])
+        labels = a_s[starts]
+        sums = np.add.reduceat(q_s, starts, axis=0)
+        counts = np.diff(np.concatenate([starts, [len(a_s)]]))
+        return labels, counts.astype(np.int64), sums
+
+    def fold(cents: np.ndarray, labels: np.ndarray, counts: np.ndarray,
+             sums: np.ndarray) -> np.ndarray:
+        new = cents.copy()
+        tot = np.zeros(k, np.int64)
+        acc = np.zeros_like(cents)
+        np.add.at(tot, labels, counts)
+        np.add.at(acc, labels, sums)
+        nz = tot > 0
+        new[nz] = acc[nz] // tot[nz, None]
+        return new
+
+    if isinstance(ds, pa.Table):
+        m, _ = A.matrix_view(ds.column(emb_col))
+        q = _kmeans_quantize(m, scale, offset)
+        ids = A.as_array(ds.column(id_col)).to_numpy(zero_copy_only=False)
+        cents = init_from(q, ids)
+        for _ in range(iters):
+            cents = fold(cents, *partials(q, cents))
+        a, sd = _kmeans_assign(q, cents)
+        return pa.table({id_col: ds.column(id_col),
+                         "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                         "sqdist": pa.array(sd, pa.int64())})
+
+    import ray
+
+    from kamae_ray.base import collect_tables
+    from kamae_ray.sources.io import narrow_read
+
+    proj = narrow_read(ds, [id_col, emb_col]) or ds
+    mat = proj.materialize()
+
+    def headk(block: pa.Table) -> pa.Table:
+        if block.num_rows <= k:
+            return block
+        idx = pa.compute.sort_indices(block, sort_keys=[(id_col, "ascending")])
+        return block.take(idx.slice(0, k))
+
+    headk.__name__ = "kmeans_init_partial"
+    seed_parts = [t for t in collect_tables(
+        mat.map_batches(headk, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)) if t.num_rows]
+    seed = pa.concat_tables(seed_parts)
+    sm, _ = A.matrix_view(seed.column(emb_col))
+    cents = init_from(
+        _kmeans_quantize(sm, scale, offset),
+        A.as_array(seed.column(id_col)).to_numpy(zero_copy_only=False))
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def part_block(block: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m, _ = A.matrix_view(block.column(emb_col))
+            if len(m) == 0:
+                return pa.table({"c": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.list_(pa.int64()))})
+            labels, counts, sums = partials(
+                _kmeans_quantize(m, scale, offset), c)
+            return pa.table({
+                "c": pa.array(labels.astype(np.int64), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.array(sums.tolist(), pa.list_(pa.int64())),
+            })
+
+        part_block.__name__ = "kmeans_partials"
+        parts = [t for t in collect_tables(
+            mat.map_batches(part_block, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None))
+            if t.num_rows]
+        if parts:
+            merged = pa.concat_tables(parts)
+            labels = merged.column("c").to_numpy(zero_copy_only=False)
+            counts = merged.column("n").to_numpy(zero_copy_only=False)
+            sums, _ = A.matrix_view(merged.column("s"))
+            cents = fold(cents, labels, counts, sums)
+
+    ref = ray.put(cents)
+
+    def assign_block(block: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m, _ = A.matrix_view(block.column(emb_col))
+        a, sd = _kmeans_assign(_kmeans_quantize(m, scale, offset), c)
+        return pa.table({id_col: block.column(id_col),
+                         "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                         "sqdist": pa.array(sd, pa.int64())})
+
+    assign_block.__name__ = "kmeans_assign"
+    return mat.map_batches(assign_block, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+
+def kmeans_oracle_sql(table: str, emb_col: str, id_col: str, k: int = 8,
+                      iters: int = 2, scale: int = 1 << 20,
+                      offset: int = 1 << 21) -> str:
+    """The exact DuckDB twin of :func:`kmeans_fit` (same integer
+    recurrence, iteration unrolled as chained CTEs)."""
+    sqd = ("CAST(list_sum(list_transform(range(1, len(e.q) + 1), "
+           "x -> (e.q[x] - c.ce[x]) * (e.q[x] - c.ce[x]))) AS BIGINT)")
+    sql = (
+        f"WITH e AS (SELECT {id_col} AS vid, "
+        f"list_transform({emb_col}::DOUBLE[], v -> CAST(floor(v * {scale}) "
+        f"AS BIGINT) + {offset}) AS q FROM {table}), "
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) "
+        f"AS cid, q AS ce FROM (SELECT vid, q FROM e ORDER BY vid LIMIT {k})), "
+    )
+    for i in range(iters):
+        sql += (
+            f"d{i} AS (SELECT e.vid, c.cid, {sqd} AS d FROM e CROSS JOIN c{i} c), "
+            f"a{i} AS (SELECT vid, cid FROM (SELECT vid, cid, row_number() "
+            f"OVER (PARTITION BY vid ORDER BY d, cid) rn FROM d{i}) WHERE rn = 1), "
+            f"u{i} AS (SELECT cid, dim, sum(v) AS s, count(*) AS n FROM "
+            f"(SELECT a{i}.cid, unnest(e.q) AS v, "
+            f"unnest(range(1, len(e.q) + 1)) AS dim "
+            f"FROM e JOIN a{i} USING (vid)) GROUP BY cid, dim), "
+            f"c{i + 1} AS (SELECT c{i}.cid, COALESCE(u.ce, c{i}.ce) AS ce "
+            f"FROM c{i} LEFT JOIN (SELECT cid, list(s // n ORDER BY dim) AS ce "
+            f"FROM u{i} GROUP BY cid) u USING (cid)), "
+        )
+    sql += (
+        f"dF AS (SELECT e.vid, c.cid, {sqd} AS d FROM e CROSS JOIN c{iters} c) "
+        f"SELECT vid AS {id_col}, cid AS cluster, d AS sqdist FROM "
+        f"(SELECT vid, cid, d, row_number() OVER (PARTITION BY vid "
+        f"ORDER BY d, cid) rn FROM dF) WHERE rn = 1"
+    )
+    return sql

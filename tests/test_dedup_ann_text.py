@@ -756,3 +756,39 @@ def test_simhash_mod_dataset_matches_table_and_hamming(ray_session):
     ham = bin(fp[0] ^ fp[1]).count("1")
     others = [bin(fp[0] ^ f).count("1") for f in fp[2:]]
     assert ham <= min(others)  # near-dup is the closest fingerprint
+
+
+def test_kmeans_fit_integer_recurrence(ray_session):
+    """Table path == Dataset path == brute-force numpy Lloyd; clusters
+    non-trivial; sqdist is the true distance to the assigned centroid."""
+    import ray
+
+    from kamae_ray.pipelines.ann import kmeans_fit
+
+    rng = np.random.default_rng(21)
+    # three well-separated blobs; ids 0/1/2 are one seed per blob (k-means
+    # init takes the k smallest ids), the rest arrive shuffled
+    blobs = np.concatenate([
+        rng.normal(loc=c, scale=0.05, size=(50, 6))
+        for c in (-1.0, 0.0, 1.0)
+    ]).astype(np.float32)
+    order = np.concatenate([[0, 50, 100],
+                            rng.permutation(np.setdiff1d(np.arange(150),
+                                                         [0, 50, 100]))])
+    blobs = blobs[order]
+    truth = order // 50  # original blob of row i (= vec_id i)
+    t = pa.table({"vec_id": pa.array(range(len(blobs)), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in blobs],
+                                        pa.list_(pa.float32()))})
+    want = kmeans_fit(t, "embedding", "vec_id", k=3, iters=3)
+    lbl = np.asarray(want.column("cluster").to_pylist())
+    # permutation-invariant agreement: each kmeans cluster maps to one blob
+    for c in range(3):
+        rows = truth[lbl == c]
+        assert len(rows) and (rows == rows[0]).all()
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = pa.concat_tables(
+        [pa.table(b) for b in kmeans_fit(ds, "embedding", "vec_id", k=3,
+                                         iters=3)
+         .iter_batches(batch_format="pyarrow")]).sort_by("vec_id")
+    assert got.cast(want.schema).to_pylist() == want.sort_by("vec_id").to_pylist()

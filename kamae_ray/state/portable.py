@@ -253,6 +253,15 @@ def _spec_of_inner(stage, t, E, I, Sc, St, ref):
     if t is Sc.MinMaxScaleTransformer:
         return {"op": "min_max_scale", "input": stage.input_col, "output": stage.output_col,
                 "min": ref(stage.min), "max": ref(stage.max), "mask_value": stage.mask_value}
+    if t is I.TargetEncodeTransformer:
+        cats = np.asarray(stage.categories, dtype=object)
+        if len(cats) and not all(isinstance(c, (str, int, np.integer))
+                                 for c in cats):
+            return None  # float categories don't round-trip through str: engine-only
+        return {"op": "target_encode", "input": stage.input_col,
+                "output": stage.output_col, "categories": ref(cats),
+                "encodings": ref(np.asarray(stage.encodings, np.float64)),
+                "default_value": float(stage.default_value)}
     if t in (I.StringIndexTransformer, I.SharedStringIndexTransformer,
              I.OneHotEncodeTransformer, I.SharedOneHotEncodeTransformer):
         shared = t in (I.SharedStringIndexTransformer, I.SharedOneHotEncodeTransformer)
@@ -539,6 +548,17 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
                 mm = pc.fill_null(pc.equal(vals, op["mask_value"]), False).to_numpy(zero_copy_only=False)
                 out[mm] = 0
             table = emit(table, op["output"], pa.array(out, pa.int64()))
+        elif kind == "target_encode":
+            vals = pc.cast(inp(op["input"]), pa.string(), safe=False)
+            vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+            enc = np.append(arrays[op["encodings"]].astype(np.float64),
+                            float(op["default_value"]))
+            cats = pa.array(arrays[op["categories"]].astype(str))
+            # null / unseen -> the default slot (index_in yields null there)
+            pos = pc.fill_null(pc.index_in(vals, value_set=cats),
+                               len(enc) - 1).to_numpy(zero_copy_only=False)
+            out = enc[pos.astype(np.int64)]
+            table = emit(table, op["output"], pa.array(out, pa.float64()))
         elif kind in ("list_stat", "list_rank"):
             table = emit(table, op["output"], _listwise_kernel(kind, op, table, inp))
         elif kind in ("pca_project", "l2_normalize"):

@@ -521,3 +521,40 @@ def test_portable_listwise_top_n_and_filters(tmp_path):
         expect = st.transform(expect)
     for c in ("m5", "mn"):
         assert got.column(c).to_pylist() == expect.column(c).to_pylist(), c
+
+
+def test_portable_target_encode(tmp_path):
+    """Fitted target encoding round-trips through the numpy+pyarrow
+    interpreter: string and int categories, unseen + null inputs."""
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.stages import TargetEncodeEstimator
+    from kamae_ray.state.portable import apply_portable
+
+    fit_t = pa.table({
+        "cat": pa.array(["a", "b", "a", "c", "b", "a"]),
+        "y": pa.array([1, 2, 3, 4, 6, 5], pa.int64()),
+    })
+    model = Pipeline([TargetEncodeEstimator(
+        input_col="cat", output_col="enc", target_col="y", smoothing=3.0,
+    )]).fit(fit_t)
+    t = pa.table({"cat": pa.array(["b", "zzz", None, "a"]),
+                  "y": pa.array([0, 0, 0, 0], pa.int64())})
+    art = tmp_path / "tenc"
+    model.export_portable(str(art))
+    got = apply_portable(str(art), t).column("enc").to_pylist()
+    expect = model.transform(t).column("enc").to_pylist()
+    np.testing.assert_allclose(got, expect, rtol=0, atol=0)
+
+    # int categories round-trip via the string cast
+    fit_i = pa.table({"cat": pa.array([1, 2, 1, 2, 3], pa.int64()),
+                      "y": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    mi = Pipeline([TargetEncodeEstimator(
+        input_col="cat", output_col="enc", target_col="y", smoothing=0.0,
+    )]).fit(fit_i)
+    ti = pa.table({"cat": pa.array([3, 99, 1], pa.int64()),
+                   "y": pa.array([0, 0, 0], pa.int64())})
+    art2 = tmp_path / "tenc_i"
+    mi.export_portable(str(art2))
+    np.testing.assert_allclose(
+        apply_portable(str(art2), ti).column("enc").to_pylist(),
+        mi.transform(ti).column("enc").to_pylist(), rtol=0, atol=0)

@@ -394,8 +394,16 @@ def _kmeans_quantize(m: np.ndarray, scale: int, offset: int) -> np.ndarray:
     is deterministic, and the offset keeps every coordinate POSITIVE so the
     centroid update's integer division truncates and floors identically
     (DuckDB ``//`` truncates toward zero; numpy floors — they only agree on
-    non-negative operands)."""
-    return (np.floor(m.astype(np.float64) * scale) + offset).astype(np.int64)
+    non-negative operands). Raises when a coordinate quantizes below zero —
+    a silent negative would make the two engines' centroid updates diverge
+    (pick a larger ``offset`` for wider-range embeddings)."""
+    q = (np.floor(m.astype(np.float64) * scale) + offset).astype(np.int64)
+    if len(q) and int(q.min()) < 0:
+        raise ValueError(
+            f"kmeans quantization went negative (min {int(q.min())}): "
+            f"offset={offset} is too small for this value range — the "
+            f"floor-div/trunc-div parity the oracle relies on would break")
+    return q
 
 
 def _kmeans_assign(q: np.ndarray, cents: np.ndarray):

@@ -389,9 +389,17 @@ def remove_duplicate_passages(
     caveat as :func:`duplicate_passage_stats`; a collision could over-remove,
     p ~ distinct_grams^2 / 2^61)."""
     from kamae_ray.functions import segments as S
-    from kamae_ray.stages.aggregate import groupby_agg, groupby_collect
+    from kamae_ray.stages.aggregate import groupby_collect
     from kamae_ray.stages.join import shuffle_join
     from kamae_ray.stages.window import sorted_block_apply
+
+    def drop_null_text(batch: pa.Table) -> pa.Table:
+        # SQL split semantics: regexp_split_to_array(NULL) unnests to zero
+        # rows, so the oracle emits no row for a null-text doc — drop them
+        tcol = A.as_array(batch.column(text_col))
+        return batch.filter(pc.is_valid(tcol)) if tcol.null_count else batch
+
+    drop_null_text.__name__ = "dup_removal_valid_text"
 
     def pairs_block(batch: pa.Table) -> pa.Table:
         _, d_s, h_s, _, _ = _doc_gram_block(batch, text_col, id_col, n)
@@ -417,6 +425,7 @@ def remove_duplicate_passages(
     dup_hashes_block.__name__ = "dup_removal_dup_hashes"
 
     if isinstance(ds, pa.Table):
+        ds = drop_null_text(ds)
         dup = dup_hashes_block(pairs_block(ds).sort_by("__kr_g"))
         dup_sorted = np.sort(
             dup.column("__kr_g").to_numpy(zero_copy_only=False).view(np.uint64))
@@ -426,6 +435,8 @@ def remove_duplicate_passages(
 
     import ray
 
+    ds = ds.map_batches(drop_null_text, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
     pairs = ds.map_batches(pairs_block, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)
     dups = sorted_block_apply(pairs, ["__kr_g"], dup_hashes_block,

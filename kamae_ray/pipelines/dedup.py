@@ -203,9 +203,12 @@ def exact_dedup(ds, text_col: str, order_col: str, keep: str = "first"):
     if isinstance(ds, pa.Table):
         keyed = keyfn(ds)
         return win_per_key(keyed)
-    keyed = ds.map_batches(keyfn, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = ds.map_batches(keyfn, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
     srt = keyed.sort(["__kr_key"])
-    return srt.map_batches(win_per_key, batch_format="pyarrow", zero_copy_batch=True)
+    # batch_size=None: a key's run must never split across kernel batches
+    return srt.map_batches(win_per_key, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
@@ -304,10 +307,14 @@ class _SegmentPairs:
     contract note above) — one shuffle, then pure numpy per block (vs ~1-2 ms
     per bucket with ``groupby().map_groups``)."""
 
-    def __init__(self, key_cols: list[str], id_col: str = "id", max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE):
+    def __init__(self, key_cols: list[str], id_col: str = "id", max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+                 on_oversize: str = "drop"):
         self.key_cols = key_cols
         self.id_col = id_col
         self.max_bucket_size = max_bucket_size
+        if on_oversize not in ("drop", "raise"):
+            raise ValueError("on_oversize must be drop|raise")
+        self.on_oversize = on_oversize
         self.__name__ = "segment_pairs"
 
     def __call__(self, block: pa.Table) -> pa.Table:
@@ -322,6 +329,12 @@ class _SegmentPairs:
         starts, lens = S.segments(gs)
         cap = self.max_bucket_size
         dropped = int((lens > cap).sum())
+        if dropped and self.on_oversize == "raise":
+            # exactness mode (SQL-oracle parity): a silent drop would diverge
+            # from the oracle's uncapped pair set — fail loudly instead
+            raise ValueError(
+                f"segment_pairs: {dropped} bucket(s) exceed max_bucket_size="
+                f"{cap} (max seen {int(lens.max())}); raise max_bucket_size")
         if dropped:
             _LOG.warning(
                 "segment_pairs: dropped %d bucket(s) larger than max_bucket_size=%d "
@@ -377,7 +390,8 @@ def minhash_lsh_candidates(
         return pairs.group_by(["id_a", "id_b"]).aggregate([]).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     exploded = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
     srt = exploded.sort(["band", "band_hash"])  # id NOT in sort keys: see partitioning contract note in exact_dedup
-    pairs = srt.map_batches(pairer, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = srt.map_batches(pairer, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)  # never split a bucket across batches
     return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
@@ -871,7 +885,8 @@ def simhash_buckets(
     t = fp.transform(ds)
     ex = t.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     srt = ex.sort(["seg", "val"])  # id NOT in sort keys: see partitioning contract note
-    pairs = srt.map_batches(pairer, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = srt.map_batches(pairer, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)  # never split a bucket across batches
     return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
@@ -970,7 +985,8 @@ def embedding_neardup_pairs(
         return pairs.group_by(["id_a", "id_b"]).aggregate([("cosine", "max")]).rename_columns(["id_a", "id_b", "cosine"]).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     b = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
     srt = b.sort(["__kr_bucket"])  # id NOT in sort keys: see partitioning contract note
-    pairs = srt.map_batches(verify_block, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = srt.map_batches(verify_block, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
     return pairs.groupby(["id_a", "id_b"]).max("cosine")
 
 
@@ -1027,6 +1043,26 @@ def corpus_vocab_sorted(ds, text_col: str) -> pa.Array:
     return u.take(pc.array_sort_indices(u))
 
 
+def _vocab_codes(texts: pa.Array, vocab: pa.Array):
+    """Whitespace-split ``texts`` and rank every word against the sorted
+    corpus vocabulary: returns ``(codes int64[flat], offsets int64[rows+1])``
+    with 1-based codes (0 = word unseen in the vocab). One ``index_in`` per
+    DISTINCT word (lesson-12 discipline); null texts must be filtered by the
+    CALLER (SQL ``regexp_split_to_array(NULL)`` unnests to zero rows, so the
+    fill-to-'' shortcut would diverge from the oracles)."""
+    texts = pc.fill_null(pc.cast(texts, pa.string(), safe=False), "")
+    split = pc.split_pattern_regex(texts, pattern=r"\s+")
+    levels, words = A.unwrap(
+        A.as_array(split) if isinstance(split, pa.ChunkedArray) else split)
+    offsets = np.asarray(levels[0][0], dtype=np.int64)
+    d = words.dictionary_encode()
+    dist = pc.fill_null(pc.index_in(d.dictionary, value_set=vocab),
+                        -1).to_numpy(zero_copy_only=False).astype(np.int64) + 1
+    idx = np.asarray(d.indices.to_numpy(zero_copy_only=False), np.int64)
+    codes = dist[idx] if len(idx) else np.zeros(0, np.int64)
+    return codes, offsets
+
+
 class _MinHashBandsMod:
     """Batch kernel: text -> (id, band, band_hash) rows using ONLY
     SQL-replicable arithmetic — word codes are 1-based ranks in the sorted
@@ -1071,21 +1107,9 @@ class _MinHashBandsMod:
         if len(vocab) >= _MOD_BASE:
             raise ValueError(
                 f"minhash mod mode needs vocab < {_MOD_BASE}; got {len(vocab)}")
-        texts = pc.fill_null(
-            pc.cast(A.as_array(batch.column(self.text_col)), pa.string(),
-                    safe=False), "")
-        split = pc.split_pattern_regex(texts, pattern=r"\s+")
-        levels, words = A.unwrap(
-            A.as_array(split) if isinstance(split, pa.ChunkedArray) else split)
-        offsets = np.asarray(levels[0][0], dtype=np.int64)
+        codes, offsets = _vocab_codes(A.as_array(batch.column(self.text_col)),
+                                      vocab)
         lens = np.diff(offsets)
-        d = words.dictionary_encode()
-        # rank each DISTINCT word once (lesson 12), gather by indices
-        dist_codes = pc.index_in(d.dictionary, value_set=vocab)
-        dist_codes = pc.fill_null(dist_codes, -1).to_numpy(
-            zero_copy_only=False).astype(np.int64) + 1  # 1-based; 0 = unseen
-        idx = np.asarray(d.indices.to_numpy(zero_copy_only=False), np.int64)
-        codes = dist_codes[idx] if len(idx) else np.zeros(0, np.int64)
         # shingle fold over the flat code array; valid starts are in-doc
         n_full = max(len(codes) - k + 1, 0)
         acc = np.zeros(n_full, dtype=np.int64)
@@ -1146,7 +1170,8 @@ def minhash_lsh_candidates_mod(
     broadcasts via ``ray.put`` — the bounded-vocabulary contract of every
     indexer. Production near-dedup keeps the 61-bit FarmHash path; this mode
     trades hash width for end-to-end certifiability."""
-    pairer = _SegmentPairs(["band", "band_hash"], "id", max_bucket_size)
+    pairer = _SegmentPairs(["band", "band_hash"], "id", max_bucket_size,
+                           on_oversize="raise")  # oracle parity: never drop
     vocab = corpus_vocab_sorted(ds, text_col)
 
     if isinstance(ds, pa.Table):
@@ -1167,7 +1192,8 @@ def minhash_lsh_candidates_mod(
     exploded = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                               batch_size=None)
     srt = exploded.sort(["band", "band_hash"])
-    pairs = srt.map_batches(pairer, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = srt.map_batches(pairer, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)  # never split a bucket across batches
     return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
@@ -1242,24 +1268,19 @@ def simhash_mod(ds, text_col: str, id_col: str, bits: int = 16,
             f"simhash mod mode needs vocab < {_MOD_BASE}; got {len(vocab)}")
 
     def kern(batch: pa.Table, vocab_arr: pa.Array) -> pa.Table:
+        # null texts drop entirely (SQL split semantics: NULL unnests to
+        # zero rows, so the oracle emits no row for the doc)
+        tcol = A.as_array(batch.column(text_col))
+        if batch.num_rows and tcol.null_count:
+            batch = batch.filter(pc.is_valid(tcol))
+            tcol = A.as_array(batch.column(text_col))
         ids_arr = A.as_array(batch.column(id_col))
         n = len(ids_arr)
         if n == 0:
             return pa.table({id_col: ids_arr,
                              "simhash": pa.array([], pa.int64())})
-        texts = pc.fill_null(
-            pc.cast(A.as_array(batch.column(text_col)), pa.string(),
-                    safe=False), "")
-        split = pc.split_pattern_regex(texts, pattern=r"\s+")
-        levels, words = A.unwrap(
-            A.as_array(split) if isinstance(split, pa.ChunkedArray) else split)
-        offsets = np.asarray(levels[0][0], dtype=np.int64)
+        codes, offsets = _vocab_codes(tcol, vocab_arr)
         counts = np.diff(offsets)
-        d = words.dictionary_encode()
-        dist = pc.fill_null(pc.index_in(d.dictionary, value_set=vocab_arr),
-                            -1).to_numpy(zero_copy_only=False).astype(np.int64) + 1
-        idx = np.asarray(d.indices.to_numpy(zero_copy_only=False), np.int64)
-        codes = dist[idx] if len(idx) else np.zeros(0, np.int64)
         h = (a0 * codes + b0) % _MODP
         bitm = ((h[:, None] >> np.arange(bits)) & 1).astype(np.int64)
         starts = offsets[:-1].clip(max=max(len(h) - 1, 0))

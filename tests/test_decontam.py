@@ -228,7 +228,9 @@ def test_remove_duplicate_passages_matches_python(corpus, n, min_docs):
     )
     got = remove_duplicate_passages(ct, "text", "doc_id", n=n, min_docs=min_docs)
     gmap = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in got.to_pylist()}
-    want = _py_remove_dups([(i, t or "") for i, t in enumerate(corpus)], n, min_docs)
+    # null texts DROP (SQL regexp_split_to_array(NULL) unnests to zero rows)
+    want = _py_remove_dups(
+        [(i, t) for i, t in enumerate(corpus) if t is not None], n, min_docs)
     assert gmap == want
 
 

@@ -792,3 +792,57 @@ def test_kmeans_fit_integer_recurrence(ray_session):
                                          iters=3)
          .iter_batches(batch_format="pyarrow")]).sort_by("vec_id")
     assert got.cast(want.schema).to_pylist() == want.sort_by("vec_id").to_pylist()
+
+
+def test_mod_modes_null_text_matches_sql_semantics():
+    """Null texts DROP from simhash_mod output and never poison the vocab /
+    dup-removal output — parity with regexp_split_to_array(NULL) unnesting
+    to zero rows (adversarial-review finding, r4 session 2)."""
+    import duckdb
+
+    from kamae_ray.pipelines.decontam import remove_duplicate_passages
+    from kamae_ray.pipelines.dedup import simhash_mod, simhash_mod_oracle_sql
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d e f", None, "a b c d e g", ""]),
+    })
+    con = duckdb.connect()
+    con.register("documents", t)
+    got = simhash_mod(t, "text", "doc_id").sort_by("doc_id")
+    want = con.execute(simhash_mod_oracle_sql("documents", "text", "doc_id")
+                       + " ORDER BY doc_id").fetch_arrow_table()
+    assert got.to_pylist() == want.to_pylist()
+    assert got.column("doc_id").to_pylist() == [0, 2, 3]
+    out = remove_duplicate_passages(t, "text", "doc_id", n=5)
+    assert out.column("doc_id").to_pylist() == [0, 2, 3]
+    assert out.column("n_removed").to_pylist() == [5, 5, 0]
+
+
+def test_segment_pairs_oversize_raises_in_exact_mode():
+    """minhash mod mode must FAIL LOUDLY (not silently drop) when a bucket
+    exceeds max_bucket_size — the generated oracle has no cap."""
+    from kamae_ray.pipelines.dedup import minhash_lsh_candidates_mod
+
+    docs = ["x y z w v u"] * 10  # ten identical docs share every bucket
+    t = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                  "text": pa.array(docs)})
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        minhash_lsh_candidates_mod(t, "text", "doc_id", num_perm=8, bands=4,
+                                   max_bucket_size=4)
+    ok = minhash_lsh_candidates_mod(t, "text", "doc_id", num_perm=8, bands=4,
+                                    max_bucket_size=64)
+    assert ok.num_rows == 45  # all C(10,2) pairs survive
+
+
+def test_kmeans_quantization_guard():
+    from kamae_ray.pipelines.ann import kmeans_fit
+
+    t = pa.table({"vec_id": pa.array(range(4), pa.int64()),
+                  "embedding": pa.array([[-5.0, 0.0]] * 4,
+                                        pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="negative"):
+        kmeans_fit(t, "embedding", "vec_id", k=2, iters=1)
+    # a larger offset fixes it
+    out = kmeans_fit(t, "embedding", "vec_id", k=2, iters=1, offset=1 << 24)
+    assert out.num_rows == 4

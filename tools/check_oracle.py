@@ -109,6 +109,10 @@ def main():
             continue
         results[name] = compare(name, mine, orc) + f" ({len(mine)} rows, {round(time.time()-t0,1)}s)"
     ray.shutdown()
+    if not results:
+        print("no queries matched the filter "
+              "(usage: check_oracle.py [sf_dir] [query_name ...])")
+        sys.exit(2)
     width = max(len(k) for k in results)
     fails = 0
     for k, v in results.items():

@@ -2183,6 +2183,19 @@ def _q_sample(sf_dir):
     return deterministic_sample(ds, "o_orderkey", 1000, salt=11)
 
 
+def _q_count_encode(sf_dir):
+    """Count/frequency encoding (``CountEncodeEstimator``): category -> its
+    fitted occurrence count, unseen/NULL -> 0. Fit rides the shared vocab
+    value-counts machinery (fused-fit-protocol participant); exact int64
+    both engines."""
+    from kamae_ray.stages.indexers import CountEncodeEstimator
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    tr = CountEncodeEstimator(input_col="c_mktsegment",
+                              output_col="seg_count").fit(ds)
+    return tr.transform(ds)
+
+
 def _q_kmeans(sf_dir):
     """Distributed Lloyd k-means with an INTEGER fixed-point recurrence
     (``kmeans_fit``): coordinates quantize to floor(v*2^20)+2^21 (positive,
@@ -2616,6 +2629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": _q_weighted_sample,
         "q_target_encode": _q_target_encode,
         "q_kmeans": _q_kmeans,
+        "q_count_encode": _q_count_encode,
         "q_editdist": _q_editdist,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
@@ -3595,6 +3609,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN l_extendedprice < q1 THEN 1 WHEN l_extendedprice < q2 THEN 2 "
             "WHEN l_extendedprice < q3 THEN 3 ELSE 4 END AS price_bucket "
             "FROM lineitem, b"
+        ),
+        "q_count_encode": (
+            "SELECT c.c_custkey, c.c_mktsegment, COALESCE(g.n, 0) AS seg_count "
+            "FROM customer c LEFT JOIN (SELECT c_mktsegment, count(*) AS n "
+            "FROM customer WHERE c_mktsegment IS NOT NULL "
+            "GROUP BY c_mktsegment) g USING (c_mktsegment)"
         ),
         # generated from the same integer recurrence the Ray kernels run
         "q_kmeans": __import__(

@@ -98,6 +98,8 @@ from kamae_ray.stages.indexers import (  # noqa: F401
     SharedOneHotEncodeTransformer,
     SharedStringIndexEstimator,
     SharedStringIndexTransformer,
+    CountEncodeEstimator,
+    CountEncodeTransformer,
     StringIndexEstimator,
     StringIndexTransformer,
     TargetEncodeEstimator,

@@ -423,3 +423,92 @@ class TargetEncodeEstimator(Estimator):
             encodings=enc[keep].tolist(),
             default_value=prior,
         )
+
+
+class CountEncodeTransformer(Transformer):
+    """Category -> its fitted occurrence count (``normalize=True``: its
+    frequency share of non-null rows) — count/frequency encoding, the
+    unsupervised sibling of :class:`TargetEncodeTransformer`. Unseen and
+    NULL categories encode as 0 (SQL LEFT-JOIN + COALESCE semantics)."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, categories: Sequence, counts: Sequence[int],
+                 normalize: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.categories = list(categories)
+        self.counts = [int(c) for c in counts]
+        self.normalize = bool(normalize)
+        self._cached = None
+
+    def get_params(self):
+        p = super().get_params()
+        p.pop("_cached", None)
+        return p
+
+    @property
+    def state_size_hint(self) -> int:
+        return len(self.categories)
+
+    def _encode_flat(self, flat: pa.Array) -> pa.Array:
+        if self._cached is None:
+            cats = pa.array(self.categories)
+            total = float(sum(self.counts)) or 1.0
+            vals = np.asarray(self.counts + [0], np.float64)
+            if self.normalize:
+                vals = vals / total
+            self._cached = (cats, vals)
+        cats, vals = self._cached
+        d = flat.dictionary_encode()
+        dvals = pc.cast(d.dictionary, cats.type, safe=False) if len(cats) \
+            else d.dictionary
+        pos = pc.index_in(dvals, value_set=cats) if len(cats) else \
+            pa.nulls(len(dvals), pa.int32())
+        pos = pc.fill_null(pos, len(vals) - 1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        per_distinct = vals[pos] if len(pos) else np.zeros(0, np.float64)
+        idx = pc.fill_null(d.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out = np.where(idx >= 0,
+                       per_distinct[np.maximum(idx, 0)] if len(pos) else 0.0,
+                       0.0)
+        if self.normalize:
+            return pa.array(out, pa.float64())
+        return pa.array(out.astype(np.int64), pa.int64())
+
+    def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
+        return A.lift(self._encode_flat, arr)
+
+
+class CountEncodeEstimator(Estimator):
+    """Fit per-category occurrence counts via the shared vocab machinery
+    (``state.aggregators.value_counts`` — per-block partials + one tiny
+    groupby; participates in the FUSED fit pass like every indexer) and
+    build :class:`CountEncodeTransformer`. Categories are stringified like
+    all indexer vocabs; counts are exact int64 on both engines, so even the
+    normalized form is a single identical float64 division. Null categories
+    carry no count (they encode 0)."""
+
+    def __init__(self, *args, normalize: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.normalize = bool(normalize)
+
+    def fit_spec(self):
+        return ("vocab", ((self.input_col,), None))
+
+    def fit_from(self, counts: dict) -> CountEncodeTransformer:
+        cats = sorted(counts)
+        return CountEncodeTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            categories=cats,
+            counts=[int(counts[c]) for c in cats],
+            normalize=self.normalize,
+        )
+
+    def fit(self, ds) -> CountEncodeTransformer:
+        ds = self._maybe_sample(ds)
+        return self.fit_from(agg.value_counts(ds, [self.input_col]))

@@ -815,6 +815,7 @@ def _string_kernel(kind, op, table, inp):
 #: StringConcatenate/StringReplace/StringContains are portable only in their
 #: constant forms — the per-row-pattern column forms export as None and raise.
 PORTABLE_CLASSES = frozenset({
+    "TargetEncodeTransformer",
     "LogTransformer",
     "AbsoluteValueTransformer",
     "ExpTransformer",

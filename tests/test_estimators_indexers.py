@@ -177,3 +177,25 @@ def test_target_encode_semantics_and_dataset_path(ray_session):
         [pa.table(b) for b in tr_ds.transform(ds)
          .iter_batches(batch_format="pyarrow")]).sort_by("rid")
     assert got_ds.column("enc").to_pylist() == out.column("enc").to_pylist()
+
+
+def test_count_encode_semantics_and_dataset_path(ray_session):
+    import ray
+
+    from kamae_ray.stages.indexers import CountEncodeEstimator
+
+    t = pa.table({"cat": pa.array(["a", "b", "a", None, "a", "c"])})
+    tr = CountEncodeEstimator(input_col="cat", output_col="cnt").fit(t)
+    probe = pa.table({"cat": pa.array(["a", "b", "zz", None])})
+    assert tr.transform(probe).column("cnt").to_pylist() == [3, 1, 0, 0]
+    trn = CountEncodeEstimator(input_col="cat", output_col="fr",
+                               normalize=True).fit(t)
+    assert trn.transform(probe).column("fr").to_pylist() == [0.6, 0.2, 0.0, 0.0]
+    # int categories via the vocab string round-trip; Dataset fit == Table fit
+    ti = pa.table({"cat": pa.array([7, 7, 8, None], pa.int64())})
+    tri = CountEncodeEstimator(input_col="cat", output_col="cnt").fit(ti)
+    assert tri.transform(ti).column("cnt").to_pylist() == [2, 2, 1, 0]
+    ds = ray.data.from_arrow(t).repartition(3)
+    tr_ds = CountEncodeEstimator(input_col="cat", output_col="cnt").fit(ds)
+    assert sorted(zip(tr_ds.categories, tr_ds.counts)) == \
+        sorted(zip(tr.categories, tr.counts))

@@ -1026,6 +1026,35 @@ def _q_emb_neardup(sf_dir):
     )
 
 
+def _q_semdedup(sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic dedup over the embeddings table
+    with DETERMINISTIC data-independent centroids (embeddings of vec_id
+    0..15 — the q_ann_ivf move): nearest-centroid clustering + in-cluster
+    leader rule (drop a row iff a lower-id row in its cluster has cosine >=
+    0.45) are then both exactly SQL-expressible, so the surviving id SET is
+    hash-certified. The seeded-k-means centroid path stays covered by
+    tests/test_dedup_ann_text.py::test_semantic_dedup_table_and_dataset."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.dedup import semantic_dedup
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    crows = first.filter(pc.less(first.column("vec_id"), 16)).sort_by("vec_id")
+    cents = np.asarray(crows.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(ds, "embedding", "vec_id", threshold=0.45, centroids=cents)
+    if not isinstance(out, pa.Table):
+        rows = out.take_all()
+        out = pa.table(
+            {
+                "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+                "cluster": pa.array([r["cluster"] for r in rows], pa.int64()),
+            }
+        )
+    return out.sort_by([("vec_id", "ascending")])
+
+
 def _q_join(sf_dir):
     """Broadcast lookup join: lineitem enriched from the orders dimension
     (small side ray.put once, vectorized index_in per batch, NO shuffle).
@@ -2703,6 +2732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_components": _q_components,
         "q_split": _q_split,
         "q_dedup_tokens": _q_dedup_tokens,
+        "q_semdedup": _q_semdedup,
         "q_emb_neardup": _q_emb_neardup,
         "q_join2": _q_join2,
         "q_fuzzy": _q_fuzzy,
@@ -3517,6 +3547,24 @@ def oracle_sql() -> dict[str, str]:
         "q_langid": (
             f"WITH h AS (SELECT doc_id, lang, {_lang_hits} FROM documents) "
             f"SELECT doc_id, lang, {_lang_case} AS lang_pred FROM h"
+        ),
+        # q_semdedup: fixed data-independent centroids (embeddings of vec_id
+        # 0..15) make the SemDeDup cluster assignment an argmax over 16
+        # constant vectors and the leader rule a per-cluster NOT EXISTS —
+        # both exact SQL. Same (cs DESC, cid ASC) tiebreak as q_ann_ivf.
+        "q_semdedup": (
+            "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce "
+            "FROM embeddings WHERE vec_id < 16), "
+            "asn AS (SELECT vec_id, cid, embedding FROM ("
+            "SELECT e.vec_id, c.cid, e.embedding, row_number() OVER ("
+            "PARTITION BY e.vec_id "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce) DESC, c.cid) AS rn "
+            "FROM embeddings e CROSS JOIN c) WHERE rn = 1) "
+            "SELECT a.vec_id, a.cid AS cluster FROM asn a "
+            "WHERE NOT EXISTS (SELECT 1 FROM asn b WHERE b.cid = a.cid "
+            "AND b.vec_id < a.vec_id "
+            "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45) "
+            "ORDER BY a.vec_id"
         ),
         "q_emb_neardup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

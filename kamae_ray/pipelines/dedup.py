@@ -1327,3 +1327,119 @@ def simhash_mod_oracle_sql(table: str, text_col: str, id_col: str,
         f"GROUP BY {id_col}) "
         f"SELECT {id_col}, CAST({fp_terms} AS BIGINT) AS simhash FROM agg"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-cluster) deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    ds,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    chunk_elems: int = 1 << 25,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings by
+    nearest centroid (cosine, ties -> lowest centroid id), then inside each
+    cluster drop every row that has a LOWER-id row with cosine >= threshold
+    (each near-dup neighborhood keeps its smallest-id leader; the rule is
+    "exists an earlier similar row", evaluated over ALL cluster rows, so it
+    is deterministic and order-free). Returns the survivors as
+    ``(id_col, cluster)``.
+
+    Ray plan (100 TB shape): centroid assignment is a stateless
+    ``map_batches`` against a broadcast (closure-captured, tiny) centroid
+    matrix — no shuffle; then ONE distributed sort on the cluster id alone
+    (partitioning contract: the sort key IS the group key) and a block-local
+    segmented kernel that does the pairwise-cosine leader scan per cluster
+    with memory-bounded chunked matmuls. Per-cluster work is O(n_c^2) by the
+    algorithm's definition — ``n_centroids`` must scale with the corpus
+    (SemDeDup's own K ∝ N assumption) to bound n_c.
+
+    Pass ``centroids`` (raw vectors, normalized here) to pin the partition to
+    a deterministic data-independent rule (e.g. the embeddings of a fixed id
+    set), which makes the whole pipeline SQL-expressible — the same move as
+    ``ivf_topk``. When omitted, centroids come from seeded driver-side
+    k-means on a sample (not SQL-expressible; covered by tests)."""
+    from kamae_ray.pipelines.ann import _normalize, train_centroids
+
+    if centroids is not None:
+        cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    else:
+        if isinstance(ds, pa.Table):
+            sample, _ = A.matrix_view(ds.column(emb_col))
+            sample = sample[:sample_size].astype(np.float64)
+        else:
+            try:
+                n = ds._logical_plan.dag.infer_metadata().num_rows
+            except Exception:
+                n = None
+            if n is None:
+                n = ds.count()
+            frac = min(1.0, sample_size / max(n, 1))
+            sampled = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+            rows = sampled.limit(sample_size).take_all()
+            sample = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+        cents = train_centroids(sample, n_centroids, seed=seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m, _ = A.matrix_view(batch.column(emb_col))
+        x = _normalize(m.astype(np.float64))
+        cl = np.argmax(x @ cents.T, axis=1).astype(np.int64)  # ties: lowest cid
+        out = batch.select([id_col, emb_col])
+        return out.append_column("__kr_cl", pa.array(cl, pa.int64()))
+
+    assign.__name__ = "semdedup_assign"
+
+    def leaders(block: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64())})
+        n = block.num_rows
+        if n == 0:
+            return empty
+        cl = block.column("__kr_cl").to_numpy(zero_copy_only=False)
+        ids = A.as_array(block.column(id_col)).to_numpy(zero_copy_only=False)
+        m, _ = A.matrix_view(block.column(emb_col))
+        xn = _normalize(m.astype(np.float64))
+        order = np.lexsort((ids, cl))
+        cl_s, ids_s, xn_s = cl[order], ids[order], xn[order]
+        starts, lens = S.segments(cl_s)
+        keep_ids, keep_cl = [], []
+        for s, l in zip(starts, lens):
+            l = int(l)
+            seg_ids = ids_s[s : s + l]
+            segx = xn_s[s : s + l]  # already id-ascending within the cluster
+            keep = np.ones(l, dtype=bool)
+            # memory-bounded chunked leader scan: each chunk compares against
+            # the full id-prefix (sims matrix capped at ~2^25 doubles)
+            chunk = max(1, chunk_elems // max(l, 1))
+            for c0 in range(1, l, chunk):
+                c1 = min(c0 + chunk, l)
+                sims = segx[c0:c1] @ segx[:c1].T  # (c, c1)
+                mask = sims >= threshold
+                gi = np.arange(c0, c1)[:, None]
+                mask &= np.arange(c1)[None, :] < gi  # earlier rows only
+                keep[c0:c1] = ~mask.any(axis=1)
+            keep_ids.append(seg_ids[keep])
+            keep_cl.append(np.full(int(keep.sum()), cl_s[s], dtype=np.int64))
+        if not keep_ids:
+            return empty
+        return pa.table({id_col: pa.array(np.concatenate(keep_ids)),
+                         "cluster": pa.array(np.concatenate(keep_cl), pa.int64())})
+
+    leaders.__name__ = "semdedup_leaders"
+    if isinstance(ds, pa.Table):
+        return leaders(assign(ds)).sort_by([(id_col, "ascending")])
+    from kamae_ray.functions.sortkeys import _sort_block_rows
+
+    a = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=_sort_block_rows())
+    srt = a.sort(["__kr_cl"])  # id NOT in sort keys: partitioning contract
+    return srt.map_batches(leaders, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)

@@ -2037,9 +2037,12 @@ def _q_single_feature_scale(sf_dir):
 
 
 def _q_hash_encode(sf_dir):
-    """HashIndex / MinHashIndex / BloomEncode — FarmHash64-derived (pinned to
-    published vectors in tests/test_farmhash_vectors.py; not SQL-expressible,
-    rows-only driver check)."""
+    """HashIndex / MinHashIndex / BloomEncode in their SQL-expressible
+    codepoint-polynomial mode (hash_fn="poly" — constants shared with the
+    generated oracle, the same move as the mod-prime MinHash/SimHash modes),
+    so all three encoders are hash-certified. The FarmHash64 default mode
+    stays pinned to published vectors in tests/test_farmhash_vectors.py and
+    covered by tests/test_dtypes.py's golden frames."""
     from kamae_ray.stages import (
         BloomEncodeTransformer,
         HashIndexTransformer,
@@ -2049,12 +2052,12 @@ def _q_hash_encode(sf_dir):
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     stages = [
-        HashIndexTransformer(input_col="o_orderpriority", num_bins=64, output_col="prio_hash"),
-        BloomEncodeTransformer(input_col="o_orderpriority", num_bins=128, num_hash_fns=3, output_col="prio_bloom"),
+        HashIndexTransformer(input_col="o_orderpriority", num_bins=64, output_col="prio_hash", hash_fn="poly"),
+        BloomEncodeTransformer(input_col="o_orderpriority", num_bins=128, num_hash_fns=3, output_col="prio_bloom", hash_fn="poly"),
         StringToStringListTransformer(
             input_col="o_orderpriority", separator="-", list_length=2, default_value="PAD", output_col="prio_parts"
         ),
-        MinHashIndexTransformer(input_col="prio_parts", num_permutations=8, output_col="prio_minhash"),
+        MinHashIndexTransformer(input_col="prio_parts", num_permutations=8, output_col="prio_minhash", hash_fn="poly"),
     ]
     out = ds
     for s in stages:
@@ -3783,9 +3786,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(query_idx AS BIGINT) AS query_idx, CAST(rank AS BIGINT) AS rank, "
             "vec_id, ROUND(cs, 6) AS cosine FROM ranked WHERE rank <= 10"
         ),
-        # q_hash_encode: hash-dependent (FarmHash) -> rows-only driver
-        # check; FarmHash itself is pinned to published vectors in
-        # tests/test_farmhash_vectors.py. (q_minhash_pairs / q_simhash now
-        # run their SQL-expressible mod-prime modes with exact generated
-        # oracles above.)
+        # q_hash_encode: the poly (codepoint polynomial) hash mode is exactly
+        # SQL-expressible — the oracle is GENERATED from the same constants
+        # the engine uses (stages/hashing.py poly31_sql). FarmHash (default
+        # mode) stays pinned to published vectors in tests.
+        "q_hash_encode": __import__(
+            "kamae_ray.stages.hashing", fromlist=["x"]
+        ).hash_encode_oracle_sql(),
     }

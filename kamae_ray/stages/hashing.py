@@ -24,6 +24,105 @@ from kamae_ray.functions.farmhash import cached_hash64, safe_hash64
 
 _INT32_MAX = np.iinfo(np.int32).max
 
+# SQL-expressible polynomial codepoint hash (hash_fn="poly") — the same
+# generated-oracle move as the mod-prime MinHash/SimHash modes: the engine
+# and the DuckDB oracle share these constants, so hash-derived outputs are
+# exactly certifiable. Default stays FarmHash64 (pinned to published vectors
+# in tests/test_farmhash_vectors.py).
+POLY_P = 1_000_000_007
+POLY_MULT = 31
+POLY_SEED = 7
+
+
+def poly31_scalar(s: str) -> int:
+    h = POLY_SEED
+    for ch in s:
+        h = (h * POLY_MULT + ord(ch)) % POLY_P
+    return h
+
+
+def poly31_column(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized codepoint-polynomial hash of a string array:
+    ``h = fold(seed=7, (h*31 + codepoint) % (1e9+7))``. Returns
+    ``(int64 hashes, null mask)``; nulls hash to the seed (callers map them).
+
+    ASCII rows (bytes == codepoints) vectorize straight off the Arrow UTF-8
+    buffers — one fused numpy pass per byte position up to the max row
+    length, so this targets short categorical keys; rows containing
+    non-ASCII bytes are recomputed per DISTINCT value (lesson-12
+    distinct-once discipline)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    filled = pc.fill_null(arr, "")
+    if isinstance(filled, pa.ChunkedArray):
+        filled = filled.combine_chunks()
+    n = len(filled)
+    if n == 0:
+        return np.zeros(0, np.int64), null_mask
+    bufs = filled.buffers()
+    width = np.int64 if pa.types.is_large_string(filled.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=width)[filled.offset : filled.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    lens = offsets[1:] - offsets[:-1]
+    starts = offsets[:-1]
+    h = np.full(n, POLY_SEED, dtype=np.int64)
+    L = int(lens.max()) if n else 0
+    for j in range(L):
+        active = lens > j
+        if not active.any():
+            break
+        idx = np.where(active, starts + j, 0)
+        c = data[idx].astype(np.int64) if len(data) else np.zeros(n, np.int64)
+        h = np.where(active, (h * POLY_MULT + c) % POLY_P, h)
+    if len(data):
+        non_ascii_cum = np.concatenate([[0], np.cumsum((data >= 128).astype(np.int64))])
+        bad = np.flatnonzero((non_ascii_cum[offsets[1:]] - non_ascii_cum[offsets[:-1]]) > 0)
+        if len(bad):
+            vals = filled.take(pa.array(bad)).to_pylist()
+            memo: dict[str, int] = {}
+            for r, v in zip(bad, vals):
+                hv = memo.get(v)
+                if hv is None:
+                    hv = memo[v] = poly31_scalar(v)
+                h[r] = hv
+    return h, null_mask
+
+
+def hash_encode_oracle_sql() -> str:
+    """GENERATED DuckDB oracle for the q_hash_encode pipeline (HashIndex +
+    BloomEncode + StringToStringList + MinHashIndex, all in hash_fn="poly"
+    mode over orders.o_orderpriority) — built from the same shared constants
+    as the engine kernels, so the whole encoder stack is hash-certified."""
+    i32m = _INT32_MAX - 1  # 2147483646
+    perms = ", ".join(str(p) for p in range(8))
+    return (
+        "WITH b AS (SELECT o_orderkey, o_orderpriority AS s FROM orders), "
+        "p AS (SELECT o_orderkey, s, "
+        "[coalesce(string_split(s, '-')[1], 'PAD'), "
+        "coalesce(string_split(s, '-')[2], 'PAD')] AS ws FROM b) "
+        "SELECT o_orderkey, "
+        f"CASE WHEN s IS NULL THEN 0 ELSE ({poly31_sql('s')} % 63) + 1 END AS prio_hash, "
+        "CASE WHEN s IS NULL THEN [0, 0, 0]::BIGINT[] ELSE list_transform([0, 1, 2], i -> "
+        f"({poly31_sql('s || i::VARCHAR')} % 127) + 1) END AS prio_bloom, "
+        f"CASE WHEN s IS NULL THEN NULL ELSE list_transform([{perms}], pp -> "
+        "list_min(list_transform(ws, w -> "
+        f"({poly31_sql('w || pp::VARCHAR')} % {i32m}) + 1)) % 2) END AS prio_minhash "
+        "FROM p"
+    )
+
+
+def poly31_sql(expr: str) -> str:
+    """DuckDB expression reproducing ``poly31_column`` over the VARCHAR SQL
+    expression ``expr`` exactly (unicode() is -1 for the empty-string
+    artifact string_split_regex emits on '' — filtered out)."""
+    return (
+        f"list_reduce(list_prepend(CAST({POLY_SEED} AS BIGINT), "
+        f"list_filter(list_transform(string_split_regex({expr}, ''), "
+        f"c -> CAST(unicode(c) AS BIGINT)), x -> x >= 0)), "
+        f"(a, c) -> (a * {POLY_MULT} + c) % {POLY_P})"
+    )
+
 
 def _hash_distinct(flat: pa.Array, fn) -> pa.Array:
     """Dictionary-encode then hash each distinct value once."""
@@ -39,15 +138,21 @@ def _hash_distinct(flat: pa.Array, fn) -> pa.Array:
 
 
 class HashIndexTransformer(Transformer):
-    """(farmhash64(s) mod (num_bins-1)) + 1; null/mask -> 0.
+    """(hash(s) mod (num_bins-1)) + 1; null/mask -> 0. hash is FarmHash64
+    (reference parity, default) or the SQL-expressible codepoint polynomial
+    (hash_fn="poly", oracle-certifiable).
     Reference: transformers/hash_index.py:95-119."""
 
     compatible_dtypes = (pa.string(),)
 
-    def __init__(self, *args, num_bins: int, mask_value: str | None = None, **kwargs):
+    def __init__(self, *args, num_bins: int, mask_value: str | None = None,
+                 hash_fn: str = "farm", **kwargs):
         super().__init__(*args, **kwargs)
         self.num_bins = int(num_bins)
         self.mask_value = mask_value
+        if hash_fn not in ("farm", "poly"):
+            raise ValueError("hash_fn must be 'farm' or 'poly'")
+        self.hash_fn = hash_fn
 
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         arr = self._cast_in(batch.column(self.input_col))
@@ -58,8 +163,12 @@ class HashIndexTransformer(Transformer):
             # high-cardinality ids (every doc_id distinct)
             from kamae_ray.functions.farmhash import hash64_column
 
-            h, null_mask = hash64_column(flat)
-            out = ((h % np.uint64(self.num_bins - 1)) + np.uint64(1)).astype(np.int64)
+            if self.hash_fn == "poly":
+                hp, null_mask = poly31_column(flat)
+                out = (hp % np.int64(self.num_bins - 1)) + np.int64(1)
+            else:
+                h, null_mask = hash64_column(flat)
+                out = ((h % np.uint64(self.num_bins - 1)) + np.uint64(1)).astype(np.int64)
             out[null_mask] = 0
             if self.mask_value is not None:
                 mm = pc.fill_null(pc.equal(flat, self.mask_value), False).to_numpy(
@@ -80,10 +189,14 @@ class MinHashIndexTransformer(Transformer):
 
     compatible_dtypes = (pa.string(),)
 
-    def __init__(self, *args, num_permutations: int, mask_value: str | None = None, **kwargs):
+    def __init__(self, *args, num_permutations: int, mask_value: str | None = None,
+                 hash_fn: str = "farm", **kwargs):
         super().__init__(*args, **kwargs)
         self.num_permutations = int(num_permutations)
         self.mask_value = mask_value
+        if hash_fn not in ("farm", "poly"):
+            raise ValueError("hash_fn must be 'farm' or 'poly'")
+        self.hash_fn = hash_fn
 
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         arr = self._cast_in(batch.column(self.input_col))
@@ -106,16 +219,25 @@ class MinHashIndexTransformer(Transformer):
         if nd:
             for p in range(P):
                 arr_p = pc.binary_join_element_wise(dict_arr, str(p), "")
-                hv, _ = hash64_column(arr_p)
-                hm[:, p] = ((hv % np.uint64(_INT32_MAX - 1)) + np.uint64(1)).astype(np.int64)
+                if self.hash_fn == "poly":
+                    hp, _ = poly31_column(arr_p)
+                    hm[:, p] = (hp % np.int64(_INT32_MAX - 1)) + np.int64(1)
+                else:
+                    hv, _ = hash64_column(arr_p)
+                    hm[:, p] = ((hv % np.uint64(_INT32_MAX - 1)) + np.uint64(1)).astype(np.int64)
             if self.mask_value is not None:
                 mmask = pc.fill_null(pc.equal(dict_arr, self.mask_value), False).to_numpy(
                     zero_copy_only=False
                 )
                 hm[mmask] = _INT32_MAX
-        empty_row = np.array(
-            [(cached_hash64(f"{p}") % (_INT32_MAX - 1)) + 1 for p in range(P)], dtype=np.int64
-        )
+        if self.hash_fn == "poly":
+            empty_row = np.array(
+                [(poly31_scalar(f"{p}") % (_INT32_MAX - 1)) + 1 for p in range(P)], dtype=np.int64
+            )
+        else:
+            empty_row = np.array(
+                [(cached_hash64(f"{p}") % (_INT32_MAX - 1)) + 1 for p in range(P)], dtype=np.int64
+            )
         # vectorized per-row min: (flat, P) occurrence hashes (nulls pinned to
         # a +inf sentinel) -> minimum.reduceat per row segment; rows with no
         # usable label fall back to the reference's empty-labels row
@@ -161,6 +283,7 @@ class BloomEncodeTransformer(Transformer):
         num_hash_fns: int = 3,
         mask_value: str | None = None,
         use_heuristic_num_bins: bool = False,
+        hash_fn: str = "farm",
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
@@ -169,6 +292,9 @@ class BloomEncodeTransformer(Transformer):
         self.num_bins = int(num_bins)
         self.num_hash_fns = int(num_hash_fns)
         self.mask_value = mask_value
+        if hash_fn not in ("farm", "poly"):
+            raise ValueError("hash_fn must be 'farm' or 'poly'")
+        self.hash_fn = hash_fn
 
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         arr = self._cast_in(batch.column(self.input_col))
@@ -185,8 +311,12 @@ class BloomEncodeTransformer(Transformer):
         if nd:
             for h in range(H):
                 arr_h = pc.binary_join_element_wise(dict_arr, str(h), "")
-                hv, _ = hash64_column(arr_h)
-                hm[:, h] = ((hv % np.uint64(self.num_bins - 1)) + np.uint64(1)).astype(np.int64)
+                if self.hash_fn == "poly":
+                    hp, _ = poly31_column(arr_h)
+                    hm[:, h] = (hp % np.int64(self.num_bins - 1)) + np.int64(1)
+                else:
+                    hv, _ = hash64_column(arr_h)
+                    hm[:, h] = ((hv % np.uint64(self.num_bins - 1)) + np.uint64(1)).astype(np.int64)
             if self.mask_value is not None:
                 mmask = pc.fill_null(pc.equal(dict_arr, self.mask_value), False).to_numpy(
                     zero_copy_only=False

@@ -1,0 +1,78 @@
+"""SQL-expressible polynomial hash mode (hash_fn="poly") for the encoder
+trio — engine kernels vs the scalar recurrence vs the generated DuckDB SQL."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.stages.hashing import (
+    POLY_MULT,
+    POLY_P,
+    POLY_SEED,
+    BloomEncodeTransformer,
+    HashIndexTransformer,
+    MinHashIndexTransformer,
+    poly31_column,
+    poly31_scalar,
+    poly31_sql,
+)
+
+
+def test_poly31_column_matches_scalar_and_sql():
+    vals = ["1-URGENT", "", None, "héé😀", "abc", "a" * 50, "é", "PAD7"]
+    arr = pa.array(vals, pa.string())
+    h, nm = poly31_column(arr)
+    for v, hv, m in zip(vals, h, nm):
+        assert m == (v is None)
+        if v is not None:
+            assert hv == poly31_scalar(v)
+    # sliced (nonzero offset) and large_string inputs
+    h2, _ = poly31_column(arr.slice(3, 4))
+    assert list(h2) == [poly31_scalar(v) for v in vals[3:7]]
+    h3, _ = poly31_column(pa.array(["abc", "é"], pa.large_string()))
+    assert list(h3) == [poly31_scalar("abc"), poly31_scalar("é")]
+    # generated SQL reproduces the engine exactly (incl. non-ASCII + empty)
+    con = duckdb.connect()
+    t = pa.table({"s": pa.array([v for v in vals if v is not None])})
+    con.register("t", t)
+    got = [r[0] for r in con.sql(f"SELECT {poly31_sql('s')} FROM t").fetchall()]
+    assert got == [poly31_scalar(v) for v in vals if v is not None]
+
+
+def test_hash_index_poly_mode():
+    t = pa.table({"s": ["x", "yy", None, "x", "MASK"]})
+    out = HashIndexTransformer(
+        input_col="s", num_bins=64, mask_value="MASK", output_col="h", hash_fn="poly"
+    ).transform_batch(t)
+    got = out.column("h").to_pylist()
+    exp = [(poly31_scalar(v) % 63) + 1 if v not in (None, "MASK") else 0 for v in t.column("s").to_pylist()]
+    assert got == exp
+    # farm mode differs (different hash family) but shares null/mask rules
+    farm = HashIndexTransformer(
+        input_col="s", num_bins=64, mask_value="MASK", output_col="h"
+    ).transform_batch(t).column("h").to_pylist()
+    assert farm[2] == 0 and farm[4] == 0 and farm != got
+
+
+def test_bloom_minhash_poly_mode():
+    t = pa.table({"s": ["ab", None], "ws": [["ab", "PAD"], None]})
+    bl = BloomEncodeTransformer(
+        input_col="s", num_bins=128, num_hash_fns=3, output_col="b", hash_fn="poly"
+    ).transform_batch(t).column("b").to_pylist()
+    assert bl[0] == [(poly31_scalar("ab" + str(i)) % 127) + 1 for i in range(3)]
+    assert bl[1] == [0, 0, 0]
+    mh = MinHashIndexTransformer(
+        input_col="ws", num_permutations=4, output_col="m", hash_fn="poly"
+    ).transform_batch(t).column("m").to_pylist()
+    exp0 = [
+        min((poly31_scalar(w + str(p)) % 2147483646) + 1 for w in ["ab", "PAD"]) % 2
+        for p in range(4)
+    ]
+    assert mh[0] == exp0
+    assert mh[1] is None
+
+
+def test_poly_mode_rejects_unknown():
+    with pytest.raises(ValueError):
+        HashIndexTransformer(input_col="s", num_bins=4, output_col="h", hash_fn="md5")

@@ -2167,6 +2167,20 @@ def _q_tfidf(sf_dir):
     return out.map_batches(_rounder(["tfidf"]), batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_bm25(sf_dir):
+    """Okapi BM25 retrieval scores against a fixed query-term set
+    (``bm25_scores``): one vectorized tf/dl block pass (no shuffle), an
+    O(blocks)-row stats fold, a broadcast-idf score map. The oracle is
+    GENERATED from the same constants/expression tree (text_features.
+    bm25_oracle_sql), idf via scalar libm ln on identical integer-derived
+    doubles — same parity discipline as q_tfidf."""
+    from kamae_ray.pipelines.text_features import bm25_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_scores(ds, "doc_id", "text", ["table", "join", "spark"])
+    return out.map_batches(_rounder(["bm25"]), batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_pack(sf_dir):
     """LLM sequence packing (``pack_sequences``): concat documents' token
     streams in doc_id order, chop into 512-token training sequences, emit each
@@ -2692,6 +2706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_quantiles": _q_group_quantiles,
         "q_stratified": _q_stratified,
         "q_tfidf": _q_tfidf,
+        "q_bm25": _q_bm25,
         "q_pack": _q_pack,
         "q_quantile_bucket": _q_quantile_bucket,
         "q_chunk": _q_chunk,
@@ -3639,6 +3654,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
             "ORDER BY tfidf DESC, term) AS rn FROM scored) WHERE rn <= 4"
         ),
+        # q_bm25: GENERATED from the engine's own constants/expression tree
+        "q_bm25": __import__(
+            "kamae_ray.pipelines.text_features", fromlist=["x"]
+        ).bm25_oracle_sql("documents", "doc_id", "text", ["table", "join", "spark"]),
         "q_pack": (
             "WITH d AS (SELECT doc_id, "
             r"CAST(len(list_filter(string_split_regex(coalesce(text,''), '\s+'), "

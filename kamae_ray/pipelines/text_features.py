@@ -154,3 +154,160 @@ def tfidf_top_terms(
     else:
         scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return topk_per_group(scored, [id_col], "tfidf", k, tiebreak=["term"])
+
+
+def bm25_scores(
+    ds,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 retrieval scores of every document against a fixed query
+    term set (the standard keyword-relevance op for corpus curation /
+    retrieval-augmented pipelines; no reference analog — kamae delegates
+    corpus stats upstream).
+
+    score(d) = sum_t idf_t * (tf_t * (k1+1)) / (tf_t + k1*((1-b) + b*dl/avgdl)),
+    idf_t = ln(((N - df_t) + 0.5) / (df_t + 0.5) + 1)   (Lucene's +1 form)
+
+    Distributed shape: ONE vectorized block pass computes per-doc ``dl`` and
+    per-term ``tf`` (no shuffle — a doc never spans blocks); corpus stats
+    (N, sum dl, per-term df) fold from O(blocks) partial rows on the driver;
+    the final score map broadcasts the tiny (m-term) idf vector. Only docs
+    matching at least one term are returned. Float parity discipline: the
+    scoring expression tree is mirrored token-for-token by
+    ``bm25_oracle_sql`` (constants repr-generated), idf uses scalar libm
+    ``math.log`` = DuckDB ``ln``; results round to 6dp on both sides.
+
+    Output columns: ``id_col, dl, tf0..tf{m-1}, bm25``."""
+    import math
+
+    m = len(query_terms)
+    if m == 0:
+        raise ValueError("query_terms must be non-empty")
+
+    def tf_block(block: pa.Table) -> pa.Table:
+        ids = A.as_array(block.column(id_col))
+        n = block.num_rows
+        txt = pc.fill_null(pc.cast(block.column(text_col), pa.string(), safe=False), "")
+        split = pc.split_pattern_regex(txt, pattern=r"\s+")
+        levels, words = A.unwrap(split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split)
+        offsets = levels[0][0]
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        nonempty = pc.not_equal(words, pa.scalar("")).to_numpy(zero_copy_only=False)
+        cols: dict = {id_col: ids}
+        cols["dl"] = pa.array(np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64))
+        for j, term in enumerate(query_terms):
+            hit = pc.fill_null(pc.equal(words, pa.scalar(term)), False).to_numpy(zero_copy_only=False)
+            cols[f"tf{j}"] = pa.array(np.bincount(doc_idx[hit], minlength=n).astype(np.int64))
+        return pa.table(cols)
+
+    tf_block.__name__ = "bm25_tf"
+
+    if isinstance(ds, pa.Table):
+        per_doc = tf_block(ds)
+        parts = [per_doc]
+    else:
+        proj = ds
+        try:
+            proj = ds.select_columns([id_col, text_col])
+        except Exception:
+            pass
+        per_doc = proj.map_batches(tf_block, batch_format="pyarrow", zero_copy_batch=True,
+                                   batch_size=None)
+        # consumed twice (stats fold + score map): spillable blocks, not driver
+        per_doc = per_doc.materialize()
+
+        def partial(block: pa.Table) -> pa.Table:
+            out = {"n": pa.array([block.num_rows], pa.int64()),
+                   "sdl": pa.array([int(pc.sum(block.column("dl")).as_py() or 0)], pa.int64())}
+            for j in range(m):
+                tf = block.column(f"tf{j}")
+                out[f"df{j}"] = pa.array(
+                    [int(pc.sum(pc.cast(pc.greater(tf, 0), pa.int64())).as_py() or 0)], pa.int64())
+            return pa.table(out)
+
+        partial.__name__ = "bm25_stats_partial"
+        from kamae_ray.base import collect_tables
+
+        parts = [t for t in collect_tables(
+            per_doc.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                                batch_size=None)) if t.num_rows]
+
+    if isinstance(ds, pa.Table):
+        N = per_doc.num_rows
+        sdl = int(pc.sum(per_doc.column("dl")).as_py() or 0)
+        dfs = [int(pc.sum(pc.cast(pc.greater(per_doc.column(f"tf{j}"), 0), pa.int64())).as_py() or 0)
+               for j in range(m)]
+    else:
+        stats = pa.concat_tables(parts) if parts else None
+        N = int(pc.sum(stats.column("n")).as_py() or 0) if stats is not None else 0
+        sdl = int(pc.sum(stats.column("sdl")).as_py() or 0) if stats is not None else 0
+        dfs = [int(pc.sum(stats.column(f"df{j}")).as_py() or 0) if stats is not None else 0
+               for j in range(m)]
+    if N == 0:
+        raise ValueError("bm25_scores: empty corpus")
+    # exact expression mirror of bm25_oracle_sql (integer inputs -> identical
+    # doubles; ln on identical inputs; products/divisions IEEE-identical)
+    avgdl = sdl / N
+    idfs = [math.log(((N - df) + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+
+    def score(block: pa.Table) -> pa.Table:
+        dl = block.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        tfs = [block.column(f"tf{j}").to_numpy(zero_copy_only=False) for j in range(m)]
+        s = np.zeros(block.num_rows, dtype=np.float64)
+        any_hit = np.zeros(block.num_rows, dtype=np.int64)
+        for j in range(m):
+            tf = tfs[j].astype(np.float64)
+            s = s + idfs[j] * (tf * k1p1) / (tf + k1 * (omb + b * (dl / avgdl)))
+            any_hit += tfs[j]
+        out = block.append_column("bm25", pa.array(s, pa.float64()))
+        return out.filter(pa.array(any_hit > 0))
+
+    score.__name__ = "bm25_score"
+    if isinstance(per_doc, pa.Table):
+        return score(per_doc)
+    return per_doc.map_batches(score, batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None)
+
+
+def bm25_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> str:
+    """GENERATED DuckDB oracle mirroring ``bm25_scores`` expression-for-
+    expression (constants repr-inlined so both engines evaluate identical
+    double literals)."""
+    m = len(query_terms)
+    k1p1, omb = repr(k1 + 1.0), repr(1.0 - b)
+    k1r, br = repr(float(k1)), repr(float(b))
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT) AS tf{j}"
+        for j, t in enumerate(query_terms))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{j}" for j in range(m))
+    terms = " + ".join(
+        f"ln(((s.n - s.df{j}) + 0.5) / (s.df{j} + 0.5) + 1.0) "
+        f"* (d.tf{j} * {k1p1}) / (d.tf{j} + {k1r} * ({omb} + {br} * (d.dl / (s.sdl / s.n))))"
+        for j in range(m))
+    hit = " + ".join(f"d.tf{j}" for j in range(m))
+    tf_out = ", ".join(f"d.tf{j}" for j in range(m))
+    return (
+        f"WITH w AS (SELECT {id_col}, "
+        f"list_filter(string_split_regex(coalesce({text_col}, ''), '\\s+'), "
+        f"x -> length(x) > 0) AS ws FROM {table}), "
+        f"d AS (SELECT {id_col}, CAST(len(ws) AS BIGINT) AS dl, {tf_cols} FROM w), "
+        f"s AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE AS sdl, {df_cols} FROM d) "
+        f"SELECT d.{id_col}, d.dl, {tf_out}, "
+        f"ROUND({terms}, {round_digits}) AS bm25 "
+        f"FROM d, s WHERE ({hit}) > 0"
+    )

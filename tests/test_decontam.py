@@ -256,3 +256,43 @@ def test_remove_duplicate_passages_dataset_paths(ray_session):
         ).sort_by("doc_id")
         got = got.select(want.column_names).cast(want.schema)
         assert got.equals(want), f"forced={forced}"
+
+
+def test_bm25_scores_table_and_dataset(ray_session):
+    """BM25: hand-computed formula on a tiny corpus; Table == Dataset path."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from kamae_ray.pipelines.text_features import bm25_scores
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["cat dog cat", "dog dog dog fish", "bird", None],
+    })
+    out = bm25_scores(t, "doc_id", "text", ["cat", "dog"], k1=1.2, b=0.75)
+    # docs 1,2 match; doc 3 (bird) and 4 (null) filtered out
+    assert out.column("doc_id").to_pylist() == [1, 2]
+    N, sdl = 4, 8  # null text -> dl 0
+    avgdl = sdl / N
+
+    def idf(df):
+        return math.log(((N - df) + 0.5) / (df + 0.5) + 1.0)
+
+    def term(tf, dl, df):
+        tf = float(tf)
+        return idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+
+    exp1 = term(2, 3, 1) + term(1, 3, 2)  # doc1: cat x2, dog x1
+    exp2 = term(0, 4, 1) + term(3, 4, 2)  # doc2: dog x3
+    got = out.column("bm25").to_pylist()
+    assert np.allclose(got, [exp1, exp2], rtol=0, atol=1e-12)
+    assert out.column("dl").to_pylist() == [3, 4]
+    assert out.column("tf0").to_pylist() == [2, 0]
+
+    ds = ray.data.from_arrow(t).repartition(3)
+    dout = bm25_scores(ds, "doc_id", "text", ["cat", "dog"], k1=1.2, b=0.75)
+    rows = sorted((r["doc_id"], r["dl"], r["tf0"], r["tf1"], r["bm25"]) for r in dout.take_all())
+    trows = sorted(zip(*(out.column(c).to_pylist() for c in ["doc_id", "dl", "tf0", "tf1", "bm25"])))
+    assert rows == trows

@@ -2242,6 +2242,30 @@ def _q_count_encode(sf_dir):
     return tr.transform(ds)
 
 
+def _q_linear_score(sf_dir):
+    """Batched linear-model inference + quality filter
+    (``LinearScoreTransformer``): fasttext-style scoring of each embedding
+    with fixed integer weights over floor-quantized coordinates — the logit
+    is an EXACT int64 dot product (lesson-24 fixed-point family), so model
+    scoring + thresholding is hash-certified end to end. Weights are
+    data-independent generated constants shared with the SQL oracle."""
+    from kamae_ray.stages.linalg import LinearScoreTransformer, default_linear_weights
+
+    w, bias = default_linear_weights(64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tr = LinearScoreTransformer(input_col="embedding", output_col="logit", weights=w, bias=bias)
+    out = tr.transform(ds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch.column("logit"), 0))
+        return batch.select(["vec_id", "logit"])
+
+    keep.__name__ = "quality_keep"
+    if isinstance(out, pa.Table):
+        return keep(out)
+    return out.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_kmeans(sf_dir):
     """Distributed Lloyd k-means with an INTEGER fixed-point recurrence
     (``kmeans_fit``): coordinates quantize to floor(v*2^20)+2^21 (positive,
@@ -2674,6 +2698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": _q_simhash,
         "q_weighted_sample": _q_weighted_sample,
         "q_target_encode": _q_target_encode,
+        "q_linear_score": _q_linear_score,
         "q_kmeans": _q_kmeans,
         "q_count_encode": _q_count_encode,
         "q_editdist": _q_editdist,
@@ -2789,6 +2814,14 @@ _TOKEN_EXPR = (
     "list_transform(list_filter(string_split_regex(coalesce(text,''), '\\s+'), w -> length(w) > 0), "
     "w -> CAST((length(w)*7919 + ord(substr(w,1,1))*31 + ord(substr(w,length(w),1))) % 50000 AS INTEGER))"
 )
+
+
+def _linear_score_oracle() -> str:
+    from kamae_ray.stages.linalg import default_linear_weights, linear_score_oracle_sql
+
+    w, bias = default_linear_weights(64)
+    return linear_score_oracle_sql(
+        "embeddings", "vec_id", "embedding", w, bias, min_logit=0)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3687,6 +3720,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c_mktsegment) g USING (c_mktsegment)"
         ),
         # generated from the same integer recurrence the Ray kernels run
+        # q_linear_score: GENERATED — integer fixed-point linear scoring
+        "q_linear_score": _linear_score_oracle(),
         "q_kmeans": __import__(
             "kamae_ray.pipelines.ann", fromlist=["kmeans_oracle_sql"]
         ).kmeans_oracle_sql("embeddings", "embedding", "vec_id",

@@ -150,3 +150,78 @@ class PCAProjectEstimator(Estimator):
             mean=mean,
             components=comps,
         )
+
+
+def default_linear_weights(dim: int, seed: int = 1) -> tuple[np.ndarray, int]:
+    """Deterministic data-independent weight vector + bias for
+    ``LinearScoreTransformer`` demos/oracles: Knuth-multiplicative spread
+    over [-2048, 2048). Shared by the engine and the generated SQL (the
+    q_linear_score oracle inlines these as literals)."""
+    i = np.arange(1, dim + 1, dtype=np.int64)
+    w = ((i * np.int64(2654435761) * np.int64(seed)) % np.int64(4096)) - np.int64(2048)
+    return w, 12345
+
+
+class LinearScoreTransformer(Transformer):
+    """Batched linear-model inference over a vector column — the
+    fasttext-style quality-classifier scoring stage of LLM data pipelines
+    (score each document embedding with fixed weights, filter on a
+    threshold downstream).
+
+    INTEGER fixed-point contract (lesson-24 family: no cross-engine float
+    recurrences): each coordinate is quantized ``floor(x * 2^scale_bits)``
+    (exact IEEE multiply + floor, bit-identical in numpy and SQL) and the
+    logit is the exact int64 dot product with integer weights plus an
+    integer bias — so the score is hash-certifiable. |w| < 2^11, |x_q| ~
+    2^scale_bits, so dim * 2^(11+scale_bits) must stay below 2^63 (guarded).
+
+    Weights ride the closure (tiny state; plain-task ``map_batches`` beats
+    an actor pool for <64 MB state — build note lesson 29)."""
+
+    def __init__(self, *args, weights, bias: int = 0, scale_bits: int = 20, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.weights = np.asarray(weights, dtype=np.int64)
+        self.bias = int(bias)
+        self.scale_bits = int(scale_bits)
+        maxw = int(np.abs(self.weights).max()) if self.weights.size else 0
+        if maxw * len(self.weights) * (1 << (self.scale_bits + 2)) >= (1 << 62):
+            raise ValueError("weights/scale_bits risk int64 overflow")
+
+    @property
+    def state_size_hint(self) -> int:
+        return int(self.weights.size)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = A.as_array(batch.column(self.input_col))
+        m, d = A.matrix_view(arr)
+        if d != self.weights.shape[0]:
+            raise ValueError(f"vector width {d} != weight width {self.weights.shape[0]}")
+        scale = float(1 << self.scale_bits)
+        xq = np.floor(m.astype(np.float64, copy=False) * scale).astype(np.int64)
+        logit = xq @ self.weights + np.int64(self.bias)
+        return _append_or_replace(batch, self.output_col, pa.array(logit, pa.int64()))
+
+
+def linear_score_oracle_sql(
+    table: str,
+    id_col: str,
+    emb_col: str,
+    weights: np.ndarray,
+    bias: int,
+    scale_bits: int = 20,
+    min_logit: int | None = None,
+) -> str:
+    """GENERATED DuckDB oracle for ``LinearScoreTransformer`` — weight
+    literals inlined, quantization mirrored (floor of an exact double
+    multiply)."""
+    wlist = ", ".join(str(int(w)) for w in np.asarray(weights, dtype=np.int64))
+    scale = repr(float(1 << scale_bits))
+    n = len(weights)
+    where = f" WHERE logit >= {int(min_logit)}" if min_logit is not None else ""
+    return (
+        f"WITH s AS (SELECT {id_col}, CAST({int(bias)} AS BIGINT) + list_sum("
+        f"list_transform(range(1, {n + 1}), i -> "
+        f"CAST(floor({emb_col}[CAST(i AS BIGINT)]::DOUBLE * {scale}) AS BIGINT) "
+        f"* ([{wlist}])[CAST(i AS BIGINT)])) AS logit FROM {table}) "
+        f"SELECT {id_col}, logit FROM s{where}"
+    )

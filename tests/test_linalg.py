@@ -100,3 +100,39 @@ def test_gram_null_vectors_skipped_and_empty():
     empty = pa.table({"embedding": pa.array([], pa.list_(pa.float64()))})
     assert gram_moments(empty, "embedding")["count"] == 0
     assert covariance_table(empty, "embedding").num_rows == 0
+
+
+def test_linear_score_fixed_point(ray_session):
+    """Exact int64 logit: quantize-floor then integer dot; Table == Dataset;
+    overflow guard trips on oversized weights."""
+    import ray
+
+    from kamae_ray.stages.linalg import LinearScoreTransformer, default_linear_weights
+
+    w = np.array([3, -2, 5], dtype=np.int64)
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "v": pa.array([[0.5, -0.25, 1.0], [0.1, 0.2, -0.3]], pa.list_(pa.float32())),
+    })
+    tr = LinearScoreTransformer(input_col="v", output_col="logit", weights=w, bias=7, scale_bits=4)
+    out = tr.transform_batch(t)
+    x = np.asarray([np.asarray(r, np.float32) for r in t.column("v").to_pylist()], dtype=np.float64)
+    exp = (np.floor(x * 16.0).astype(np.int64) @ w + 7).tolist()
+    assert out.column("logit").to_pylist() == exp
+
+    ds = ray.data.from_arrow(t).repartition(2)
+    dout = tr.transform(ds)
+    assert sorted((r["id"], r["logit"]) for r in dout.take_all()) == sorted(
+        zip([1, 2], exp))
+
+    dw, bias = default_linear_weights(64)
+    assert len(dw) == 64 and np.abs(dw).max() < 2048 and bias == 12345
+    # deterministic
+    dw2, _ = default_linear_weights(64)
+    assert (dw == dw2).all()
+
+    with pytest.raises(ValueError):
+        LinearScoreTransformer(input_col="v", output_col="l",
+                               weights=np.full(64, 1 << 40), scale_bits=20)
+    with pytest.raises(ValueError):
+        tr.transform_batch(pa.table({"v": pa.array([[1.0]], pa.list_(pa.float32())), "id": [1]}))

@@ -2266,6 +2266,18 @@ def _q_linear_score(sf_dir):
     return out.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_centroids(sf_dir):
+    """Grouped VECTOR aggregation (``groupby_vector_mean``): per-label class
+    centroids of the embedding column — per-block segmented reduceat
+    partials, O(blocks x labels) driver fold, EXACT integer fixed-point
+    coordinates (floor-quantized sums, two mirrored double divisions) so the
+    centroid values hash-match the generated SQL oracle."""
+    from kamae_ray.stages.linalg import groupby_vector_mean
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return groupby_vector_mean(ds, "label", "embedding")
+
+
 def _q_kmeans(sf_dir):
     """Distributed Lloyd k-means with an INTEGER fixed-point recurrence
     (``kmeans_fit``): coordinates quantize to floor(v*2^20)+2^21 (positive,
@@ -2699,6 +2711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": _q_weighted_sample,
         "q_target_encode": _q_target_encode,
         "q_linear_score": _q_linear_score,
+        "q_centroids": _q_centroids,
         "q_kmeans": _q_kmeans,
         "q_count_encode": _q_count_encode,
         "q_editdist": _q_editdist,
@@ -3722,6 +3735,10 @@ def oracle_sql() -> dict[str, str]:
         # generated from the same integer recurrence the Ray kernels run
         # q_linear_score: GENERATED — integer fixed-point linear scoring
         "q_linear_score": _linear_score_oracle(),
+        # q_centroids: GENERATED — fixed-point grouped vector mean
+        "q_centroids": __import__(
+            "kamae_ray.stages.linalg", fromlist=["x"]
+        ).vector_mean_oracle_sql("embeddings", "label", "embedding", 64),
         "q_kmeans": __import__(
             "kamae_ray.pipelines.ann", fromlist=["kmeans_oracle_sql"]
         ).kmeans_oracle_sql("embeddings", "embedding", "vec_id",

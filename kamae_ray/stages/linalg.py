@@ -225,3 +225,148 @@ def linear_score_oracle_sql(
         f"* ([{wlist}])[CAST(i AS BIGINT)])) AS logit FROM {table}) "
         f"SELECT {id_col}, logit FROM s{where}"
     )
+
+
+def groupby_vector_mean(
+    ds,
+    key: str,
+    vec_col: str,
+    scale_bits: int | None = 20,
+    max_partial_rows: int = 2_000_000,
+):
+    """Per-group element-wise mean of a fixed-width vector column — class
+    centroids / prototype embeddings (the grouped-VECTOR aggregate
+    ``groupby_agg`` doesn't cover).
+
+    Plan: each block contributes one (key, n, Σvec) partial per in-block
+    distinct key (segmented ``np.add.reduceat`` after an in-block sort — no
+    per-group Python), then the driver folds O(blocks × in-block keys)
+    partials (centroid tables are small by definition; guarded by
+    ``max_partial_rows``). Null vectors are skipped; null keys form their
+    own group (SQL GROUP BY semantics).
+
+    ``scale_bits`` set (default): coordinates quantize to
+    ``floor(x * 2^scale_bits)`` int64 and the mean is
+    ``(int_sum / n) / 2^scale_bits`` — two exact-rounded double divisions of
+    integer-derived values, bit-identical cross-engine (the lesson-24
+    fixed-point family; see ``vector_mean_oracle_sql``). ``scale_bits=None``
+    keeps float64 partial sums (canonically ordered for run-to-run
+    determinism, but subject to fp merge-order vs other engines).
+
+    Returns ``(key, n, centroid list<double>)`` sorted by key."""
+    from kamae_ray.functions import segments as S
+
+    def partial(block: pa.Table) -> pa.Table:
+        arr = A.as_array(block.column(vec_col))
+        valid = pc.is_valid(arr)
+        if not pc.all(valid).as_py():
+            block = block.filter(valid)
+            arr = A.as_array(block.column(vec_col))
+        kt = block.column(key)
+        empty = pa.table({
+            key: A.as_array(kt).slice(0, 0), "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.list_(pa.float64())),
+        })
+        if block.num_rows == 0:
+            return empty
+        m, d = A.matrix_view(arr)
+        if scale_bits is not None:
+            x = np.floor(m.astype(np.float64, copy=False) * float(1 << scale_bits)).astype(np.int64)
+        else:
+            x = m.astype(np.float64, copy=False)
+        gids = S.group_ids(block, [key])
+        order = np.argsort(gids, kind="stable")
+        starts, lens = S.segments(gids[order])
+        sums = np.add.reduceat(x[order], starts, axis=0)
+        if len(starts) == 1:  # reduceat quirk-proof: single segment is fine
+            sums = sums.reshape(1, -1)
+        firsts = order[starts]
+        return pa.table({
+            key: A.as_array(kt).take(pa.array(firsts)),
+            "n": pa.array(lens.astype(np.int64)),
+            "s": pa.array([row.tolist() for row in sums.astype(np.float64)],
+                          pa.list_(pa.float64())),
+        })
+
+    partial.__name__ = "vector_mean_partial"
+    if isinstance(ds, pa.Table):
+        parts = partial(ds)
+    else:
+        proj = ds
+        try:
+            proj = ds.select_columns([key, vec_col])
+        except Exception:
+            pass
+        from kamae_ray.base import collect_tables
+
+        tbls = [t for t in collect_tables(
+            proj.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)) if t.num_rows]
+        if not tbls:
+            parts = None
+        else:
+            parts = pa.concat_tables(tbls)
+    if parts is None or parts.num_rows == 0:
+        return pa.table({key: pa.array([]), "n": pa.array([], pa.int64()),
+                         "centroid": pa.array([], pa.list_(pa.float64()))})
+    if parts.num_rows > max_partial_rows:
+        raise ValueError(
+            f"groupby_vector_mean: {parts.num_rows} partial rows > "
+            f"max_partial_rows={max_partial_rows}; too many groups for the "
+            "driver fold — pre-bucket the key or raise the budget")
+    darr = A.as_array(parts.column(key)).dictionary_encode()
+    # dictionary codes follow first-appearance order — remap to the
+    # dictionary's own sort order so group ids are content-determined
+    rank = np.empty(len(darr.dictionary), dtype=np.int64)
+    rank[np.argsort(np.asarray(darr.dictionary.to_pylist(), dtype=object), kind="stable")] = np.arange(len(darr.dictionary))
+    idx = pc.fill_null(pc.cast(darr.indices, pa.int64()), -1).to_numpy(zero_copy_only=False)
+    gids = np.where(idx >= 0, rank[idx.clip(min=0)], np.int64(-1))
+    d = len(parts.column("s")[0])
+    smat = np.asarray(parts.column("s").to_pylist(), dtype=np.float64).reshape(-1, d)
+    if scale_bits is not None:
+        smat = smat.astype(np.int64)
+    npart = parts.column("n").to_numpy(zero_copy_only=False)
+    # canonical fold order (key, n, s lex) so the float-mode merge is
+    # run-to-run deterministic regardless of block completion order
+    order = np.lexsort(tuple(smat[:, j] for j in reversed(range(d))) + (npart, gids))
+    starts, lens = S.segments(gids[order])
+    sums = np.add.reduceat(smat[order], starts, axis=0)
+    if len(starts) == 1:
+        sums = sums.reshape(1, -1)
+    ns = np.add.reduceat(parts.column("n").to_numpy(zero_copy_only=False)[order], starts)
+    if np.ndim(ns) == 0:
+        ns = np.asarray([ns])
+    mean = sums.astype(np.float64) / ns.astype(np.float64)[:, None]
+    if scale_bits is not None:
+        mean = mean / float(1 << scale_bits)
+    firsts = order[starts]
+    kvals = A.as_array(parts.column(key)).take(pa.array(firsts))
+    out = pa.table({
+        key: kvals,
+        "n": pa.array(ns.astype(np.int64)),
+        "centroid": pa.array([row.tolist() for row in mean], pa.list_(pa.float64())),
+    })
+    return out.sort_by([(key, "ascending")])
+
+
+def vector_mean_oracle_sql(
+    table: str,
+    key: str,
+    vec_col: str,
+    dim: int,
+    scale_bits: int = 20,
+) -> str:
+    """GENERATED DuckDB oracle for ``groupby_vector_mean`` in fixed-point
+    mode: integer sums per (key, position), then the same two exact double
+    divisions, array_agg'd in position order."""
+    scale = repr(float(1 << scale_bits))
+    return (
+        f"WITH q AS (SELECT {key}, g.i, "
+        f"SUM(CAST(floor({vec_col}[g.i]::DOUBLE * {scale}) AS BIGINT)) AS s, "
+        f"COUNT(*)::BIGINT AS n FROM {table}, "
+        f"LATERAL (SELECT unnest(range(1, {dim + 1})) AS i) g "
+        f"WHERE {vec_col} IS NOT NULL GROUP BY {key}, g.i) "
+        f"SELECT {key}, CAST(max(n) AS BIGINT) AS n, "
+        f"array_agg((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / {scale} ORDER BY i) AS centroid "
+        f"FROM q GROUP BY {key} ORDER BY {key}"
+    )

@@ -136,3 +136,40 @@ def test_linear_score_fixed_point(ray_session):
                                weights=np.full(64, 1 << 40), scale_bits=20)
     with pytest.raises(ValueError):
         tr.transform_batch(pa.table({"v": pa.array([[1.0]], pa.list_(pa.float32())), "id": [1]}))
+
+
+def test_groupby_vector_mean(ray_session):
+    """Centroids: fixed-point exactness, null vector/key handling, Table ==
+    Dataset under any partitioning, float mode determinism, budget guard."""
+    import ray
+
+    from kamae_ray.stages.linalg import groupby_vector_mean
+
+    t = pa.table({
+        "g": pa.array(["a", "b", "a", None, "b", "a"], pa.string()),
+        "v": pa.array([[1.0, 2.0], [3.0, -1.0], [2.0, 2.5], [9.0, 9.0], None, [0.5, 0.25]],
+                      pa.list_(pa.float32())),
+    })
+    out = groupby_vector_mean(t, "g", "v", scale_bits=4)
+
+    def q(x):
+        return np.floor(np.float64(np.float32(x)) * 16.0)
+
+    # group a: rows 0,2,5; b: row 1 (row 4 null vector skipped); None: row 3
+    exp_a = [(q(1.0) + q(2.0) + q(0.5)) / 3.0 / 16.0, (q(2.0) + q(2.5) + q(0.25)) / 3.0 / 16.0]
+    got = {r["g"]: (r["n"], r["centroid"]) for r in out.to_pylist()}
+    assert got["a"] == (3, exp_a)
+    assert got["b"] == (1, [q(3.0) / 16.0, q(-1.0) / 16.0])
+    assert got[None][0] == 1  # null key forms its own group
+
+    ds = ray.data.from_arrow(t).repartition(4)
+    dout = groupby_vector_mean(ds, "g", "v", scale_bits=4)
+    assert dout.to_pylist() == out.to_pylist()
+
+    # float mode: deterministic across repeated runs
+    f1 = groupby_vector_mean(ds, "g", "v", scale_bits=None)
+    f2 = groupby_vector_mean(ds, "g", "v", scale_bits=None)
+    assert f1.to_pylist() == f2.to_pylist()
+
+    with pytest.raises(ValueError):
+        groupby_vector_mean(t, "g", "v", max_partial_rows=1)

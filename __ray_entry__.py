@@ -2712,6 +2712,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_target_encode": _q_target_encode,
         "q_linear_score": _q_linear_score,
         "q_centroids": _q_centroids,
+        "q_semdedup": _q_semdedup,
+        "q_bm25": _q_bm25,
+        "q_hash_encode": _q_hash_encode,
         "q_kmeans": _q_kmeans,
         "q_count_encode": _q_count_encode,
         "q_editdist": _q_editdist,
@@ -2722,7 +2725,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition": _q_repetition,
         "q_rank": _q_rank,
         "q_ewm": _q_ewm,
-        "q_coalesce": _q_coalesce,
         "q_top_terms": _q_top_terms,
         "q_profile": _q_profile,
         "q_range_join": _q_range_join,
@@ -2730,7 +2732,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngrams": _q_ngrams,
         "q_robust_scale": _q_robust_scale,
         "q_approx_distinct": _q_approx_distinct,
-        "q_first_last": _q_first_last,
         "q_collect": _q_collect,
         "q_winsorize": _q_winsorize,
         "q_melt": _q_melt,
@@ -2738,13 +2739,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_intersect": _q_intersect,
         "q_shared_onehot": _q_shared_onehot,
         "q_conditional_scale": _q_conditional_scale,
-        "q_single_feature_scale": _q_single_feature_scale,
         "q_multimodal": _q_multimodal,
         "q_topk": _q_topk,
         "q_group_quantiles": _q_group_quantiles,
         "q_stratified": _q_stratified,
+        "q_coalesce": _q_coalesce,
+        "q_first_last": _q_first_last,
+        "q_single_feature_scale": _q_single_feature_scale,
         "q_tfidf": _q_tfidf,
-        "q_bm25": _q_bm25,
         "q_pack": _q_pack,
         "q_quantile_bucket": _q_quantile_bucket,
         "q_chunk": _q_chunk,
@@ -2788,7 +2790,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_components": _q_components,
         "q_split": _q_split,
         "q_dedup_tokens": _q_dedup_tokens,
-        "q_semdedup": _q_semdedup,
         "q_emb_neardup": _q_emb_neardup,
         "q_join2": _q_join2,
         "q_fuzzy": _q_fuzzy,
@@ -2816,7 +2817,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pairwise": _q_pairwise,
         "q_bearing": _q_bearing,
         "q_shared_index": _q_shared_index,
-        "q_hash_encode": _q_hash_encode,
         "q_count_distinct": _q_count_distinct,
         "q_l2norm": _q_l2norm,
         "q_time_rolling": _q_time_rolling,

@@ -231,6 +231,11 @@ _BENCH_QUERIES = [
     "q_windows",  # LLM context windows (offsets-arithmetic 2-D gather)
     "q_dup_removal",  # Lee-2022 passage rewrite (gram shuffle + broadcast rebuild)
     "q_simhash",  # mod-prime SimHash fingerprints (vocab broadcast, one map)
+    "q_semdedup",  # SemDeDup: centroid assign + per-cluster leader scan
+    "q_bm25",  # Okapi BM25 vs fixed query terms (one tf pass + stats fold)
+    "q_linear_score",  # fixed-point linear-model inference + quality filter
+    "q_centroids",  # grouped vector mean (class centroids), reduceat partials
+    "q_hash_encode",  # encoder trio in SQL-certifiable poly mode
 ]
 
 

@@ -1055,6 +1055,28 @@ def _q_semdedup(sf_dir):
     return out.sort_by([("vec_id", "ascending")])
 
 
+def _q_semantic_decontam(sf_dir):
+    """Semantic (embedding-space) benchmark decontamination
+    (``semantic_decontaminate``): broadcast the benchmark matrix (fixed,
+    data-independent: embeddings of vec_id 0..7), one (batch x bench) matmul
+    per corpus batch, keep rows with max bench cosine < 0.45 — NO shuffle.
+    Exact SQL oracle via CROSS JOIN + MAX(list_cosine_similarity)."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.decontam import semantic_decontaminate
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    bench = np.asarray(
+        first.filter(pc.less(first.column("vec_id"), 8)).sort_by("vec_id")
+        .column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_decontaminate(ds, bench, "embedding", "vec_id", threshold=0.45)
+    out = out.map_batches(_rounder(["max_bench_cosine"]), batch_format="pyarrow",
+                          zero_copy_batch=True) if not isinstance(out, pa.Table) else out
+    return out
+
+
 def _q_join(sf_dir):
     """Broadcast lookup join: lineitem enriched from the orders dimension
     (small side ray.put once, vectorized index_in per batch, NO shuffle).
@@ -2713,6 +2735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_linear_score": _q_linear_score,
         "q_centroids": _q_centroids,
         "q_semdedup": _q_semdedup,
+        "q_semantic_decontam": _q_semantic_decontam,
         "q_bm25": _q_bm25,
         "q_hash_encode": _q_hash_encode,
         "q_kmeans": _q_kmeans,
@@ -3629,6 +3652,12 @@ def oracle_sql() -> dict[str, str]:
             "AND b.vec_id < a.vec_id "
             "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45) "
             "ORDER BY a.vec_id"
+        ),
+        "q_semantic_decontam": (
+            "WITH b AS (SELECT embedding::DOUBLE[] AS be FROM embeddings WHERE vec_id < 8), "
+            "m AS (SELECT e.vec_id, MAX(list_cosine_similarity(e.embedding::DOUBLE[], b.be)) AS mx "
+            "FROM embeddings e CROSS JOIN b GROUP BY e.vec_id) "
+            "SELECT vec_id, ROUND(mx, 6) AS max_bench_cosine FROM m WHERE mx < 0.45"
         ),
         "q_emb_neardup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -502,3 +502,56 @@ def remove_duplicate_passages(
     rebuild_dist.__name__ = "dup_removal_rebuild_dist"
     return joined.map_batches(rebuild_dist, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
+
+
+def semantic_decontaminate(
+    ds,
+    bench_vecs,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+):
+    """Semantic (embedding-space) benchmark decontamination: drop every
+    corpus row whose embedding has cosine >= ``threshold`` to ANY benchmark
+    vector — the embedding analog of the n-gram ``decontaminate`` rule,
+    catching paraphrased/reworded eval contamination an exact-gram rule
+    misses.
+
+    Distributed shape = the house broadcast pattern: the benchmark matrix is
+    small by contract (an eval suite), normalized once and shipped via
+    ``ray.put``; each corpus batch does ONE (batch x bench) matmul and keeps
+    rows with max cosine under the threshold. NO shuffle, no corpus-side
+    state. Returns survivors as ``(id_col, max_bench_cosine)``."""
+    bn = np.asarray(bench_vecs, dtype=np.float64)
+    norms = np.linalg.norm(bn, axis=1)
+    bn = bn / np.where(norms == 0, 1, norms)[:, None]
+
+    class _Filter:
+        def __init__(self, bench_ref):
+            self._ref = bench_ref
+            self._b = None
+
+        def _bench(self) -> np.ndarray:
+            if self._b is None:
+                import ray
+
+                self._b = ray.get(self._ref) if not isinstance(self._ref, np.ndarray) else self._ref
+            return self._b
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b = self._bench()
+            m, _ = A.matrix_view(batch.column(emb_col))
+            x = m.astype(np.float64)
+            xn = x / np.where(np.linalg.norm(x, axis=1) == 0, 1, np.linalg.norm(x, axis=1))[:, None]
+            mx = (xn @ b.T).max(axis=1) if len(b) else np.full(len(x), -1.0)
+            keep = mx < threshold
+            out = batch.select([id_col]).append_column(
+                "max_bench_cosine", pa.array(mx, pa.float64()))
+            return out.filter(pa.array(keep))
+
+    if isinstance(ds, pa.Table):
+        return _Filter(bn)(ds)
+    import ray
+
+    fn = _Filter(ray.put(bn))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

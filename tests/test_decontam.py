@@ -296,3 +296,36 @@ def test_bm25_scores_table_and_dataset(ray_session):
     rows = sorted((r["doc_id"], r["dl"], r["tf0"], r["tf1"], r["bm25"]) for r in dout.take_all())
     trows = sorted(zip(*(out.column(c).to_pylist() for c in ["doc_id", "dl", "tf0", "tf1", "bm25"])))
     assert rows == trows
+
+
+def test_semantic_decontaminate(ray_session):
+    """Embedding-space decontamination: brute-force reference; bench rows
+    self-match (cosine 1) and drop; Table == Dataset path."""
+    import ray
+
+    from kamae_ray.pipelines.decontam import semantic_decontaminate
+
+    rng = np.random.RandomState(11)
+    bench = rng.standard_normal((3, 8))
+    rows = [bench[0] + 1e-3 * rng.standard_normal(8)]  # contaminated
+    rows += [rng.standard_normal(8) for _ in range(20)]
+    rows += [bench[2]]  # exact benchmark copy
+    t = pa.table({
+        "id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "emb": pa.array([list(map(float, r)) for r in rows], pa.list_(pa.float32())),
+    })
+    out = semantic_decontaminate(t, bench, "emb", "id", threshold=0.9)
+    x = np.asarray([np.asarray(r, np.float32) for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1)[:, None]
+    bn = bench / np.linalg.norm(bench, axis=1)[:, None]
+    mx = (xn @ bn.T).max(axis=1)
+    expect = [int(i) for i in range(len(rows)) if mx[i] < 0.9]
+    assert out.column("id").to_pylist() == expect
+    assert 0 not in expect and (len(rows) - 1) not in expect  # both contaminated
+
+    ds = ray.data.from_arrow(t).repartition(4)
+    dout = semantic_decontaminate(ds, bench, "emb", "id", threshold=0.9)
+    drows = sorted((r["id"], round(r["max_bench_cosine"], 9)) for r in dout.take_all())
+    trows = sorted((i, round(c, 9)) for i, c in
+                   zip(out.column("id").to_pylist(), out.column("max_bench_cosine").to_pylist()))
+    assert drows == trows

@@ -138,6 +138,10 @@ def _spec_of_vector(stage, t, ref):
                 "mean": ref(stage.mean), "components": ref(stage.components)}
     if t is Si.L2NormalizeTransformer:
         return {"op": "l2_normalize", "input": stage.input_col, "output": stage.output_col}
+    if t is L.LinearScoreTransformer:
+        return {"op": "linear_score", "input": stage.input_col, "output": stage.output_col,
+                "weights": ref(stage.weights), "bias": int(stage.bias),
+                "scale_bits": int(stage.scale_bits)}
     return None
 
 
@@ -157,7 +161,7 @@ def _spec_of_inner(stage, t, E, I, Sc, St, ref):
     if t is H.HashIndexTransformer:
         return {"op": "hash_index", "input": stage.input_col, "output": stage.output_col,
                 "num_bins": int(stage.num_bins), "mask_value": stage.mask_value,
-                "hash": "farmhash64"}
+                "hash": "farmhash64" if stage.hash_fn == "farm" else "poly31"}
     if t is Lw.ListRankTransformer or (isinstance(stage, Lw.ListStatTransformer)
                                        and t is not Lw.ListStatTransformer):
         op = {"op": "list_rank" if t is Lw.ListRankTransformer else "list_stat",
@@ -537,12 +541,23 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
             # Ray-free module pinned to the published test vectors
             # (tests/test_farmhash_vectors.py); reimplementors follow the
             # FarmHash spec
-            from kamae_ray.functions.farmhash import hash64_column
-
             vals = pc.cast(inp(op["input"]), pa.string(), safe=False)
             vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
-            h, null_mask = hash64_column(vals)
-            out = ((h % np.uint64(op["num_bins"] - 1)) + np.uint64(1)).astype(np.int64)
+            if op.get("hash") == "poly31":
+                # self-contained: h = fold(seed 7, (h*31 + codepoint) % (1e9+7))
+                null_mask = pc.is_null(vals).to_numpy(zero_copy_only=False)
+                hp = np.empty(len(vals), dtype=np.int64)
+                for i, v in enumerate(vals.to_pylist()):
+                    hv = 7
+                    for ch in (v or ""):
+                        hv = (hv * 31 + ord(ch)) % 1000000007
+                    hp[i] = hv
+                out = (hp % np.int64(op["num_bins"] - 1)) + np.int64(1)
+            else:
+                from kamae_ray.functions.farmhash import hash64_column
+
+                h, null_mask = hash64_column(vals)
+                out = ((h % np.uint64(op["num_bins"] - 1)) + np.uint64(1)).astype(np.int64)
             out[null_mask] = 0
             if op["mask_value"] is not None:
                 mm = pc.fill_null(pc.equal(vals, op["mask_value"]), False).to_numpy(zero_copy_only=False)
@@ -561,7 +576,7 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
             table = emit(table, op["output"], pa.array(out, pa.float64()))
         elif kind in ("list_stat", "list_rank"):
             table = emit(table, op["output"], _listwise_kernel(kind, op, table, inp))
-        elif kind in ("pca_project", "l2_normalize"):
+        elif kind in ("pca_project", "l2_normalize", "linear_score"):
             col = inp(op["input"])
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             if pa.types.is_large_list(col.type):
@@ -571,7 +586,13 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
             offs = np.asarray(col.offsets)
             flat = pc.cast(col.values.slice(0, int(offs[-1])), pa.float64(), safe=False)
             v = flat.to_numpy(zero_copy_only=False)
-            if kind == "pca_project":
+            if kind == "linear_score":
+                w = arrays[op["weights"]].astype(np.int64)
+                d = w.shape[0]
+                m = v.reshape(-1, d)
+                xq = np.floor(m * float(1 << int(op["scale_bits"]))).astype(np.int64)
+                out = pa.array(xq @ w + np.int64(op["bias"]), pa.int64())
+            elif kind == "pca_project":
                 mean = arrays[op["mean"]]
                 comps = arrays[op["components"]]
                 d = mean.shape[0]

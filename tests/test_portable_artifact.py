@@ -558,3 +558,32 @@ def test_portable_target_encode(tmp_path):
     np.testing.assert_allclose(
         apply_portable(str(art2), ti).column("enc").to_pylist(),
         mi.transform(ti).column("enc").to_pylist(), rtol=0, atol=0)
+
+
+def test_portable_linear_score_and_poly_hash(tmp_path):
+    """LinearScoreTransformer + poly-mode HashIndex export portably and the
+    numpy+pyarrow interpreter reproduces the engine exactly (int64 logits)."""
+    from kamae_ray.pipelines import PipelineModel
+    from kamae_ray.stages import HashIndexTransformer
+    from kamae_ray.stages.linalg import LinearScoreTransformer, default_linear_weights
+    from kamae_ray.state.portable import apply_portable
+
+    w, bias = default_linear_weights(4)
+    model = PipelineModel([
+        LinearScoreTransformer(input_col="emb", output_col="logit",
+                               weights=w, bias=bias, scale_bits=12),
+        HashIndexTransformer(input_col="s", num_bins=32, output_col="h",
+                             mask_value="MASK", hash_fn="poly"),
+        HashIndexTransformer(input_col="s", num_bins=32, output_col="hf"),
+    ])
+    t = pa.table({
+        "emb": pa.array([[0.1, -0.2, 0.3, 0.9], [1.5, 0.0, -2.0, 0.25]],
+                        pa.list_(pa.float32())),
+        "s": pa.array(["abc", None]),
+    })
+    art = tmp_path / "lin"
+    model.export_portable(str(art))
+    got = apply_portable(str(art), t)
+    eng = model.transform(t)
+    for c in ["logit", "h", "hf"]:
+        assert got.column(c).to_pylist() == eng.column(c).to_pylist(), c

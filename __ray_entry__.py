@@ -2189,6 +2189,19 @@ def _q_tfidf(sf_dir):
     return out.map_batches(_rounder(["tfidf"]), batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_word_freq(sf_dir):
+    """Unigram word-frequency quality score (``word_freq_scores``) — the
+    integer-exact perplexity-filter stand-in: freq_ppm(w) = floor int64
+    division (bit-identical both engines, lesson-24 family), per-doc score =
+    one double division of exact ints. tf pass + partial-agg vocab +
+    broadcast score map; no ln, no float sums."""
+    from kamae_ray.pipelines.text_features import word_freq_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = word_freq_scores(ds, "doc_id", "text")
+    return out.map_batches(_rounder(["freq_score"]), batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_bm25(sf_dir):
     """Okapi BM25 retrieval scores against a fixed query-term set
     (``bm25_scores``): one vectorized tf/dl block pass (no shuffle), an
@@ -2737,6 +2750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semdedup": _q_semdedup,
         "q_semantic_decontam": _q_semantic_decontam,
         "q_bm25": _q_bm25,
+        "q_word_freq": _q_word_freq,
         "q_hash_encode": _q_hash_encode,
         "q_kmeans": _q_kmeans,
         "q_count_encode": _q_count_encode,
@@ -3728,6 +3742,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
             "ORDER BY tfidf DESC, term) AS rn FROM scored) WHERE rn <= 4"
+        ),
+        "q_word_freq": (
+            r"WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex("
+            r"coalesce(text,''),'\s+'), x -> length(x)>0)) AS word FROM documents), "
+            "v AS (SELECT word, COUNT(*)::BIGINT AS c FROM w GROUP BY word), "
+            "t AS (SELECT SUM(c)::BIGINT AS total FROM v), "
+            "s AS (SELECT w.doc_id, COUNT(*)::BIGINT AS n_words, "
+            "SUM((v.c * 1000000) // t.total)::BIGINT AS sum_ppm "
+            "FROM w JOIN v USING (word), t GROUP BY w.doc_id) "
+            "SELECT doc_id, n_words, sum_ppm, "
+            "ROUND(CAST(sum_ppm AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS freq_score FROM s"
         ),
         # q_bm25: GENERATED from the engine's own constants/expression tree
         "q_bm25": __import__(

@@ -311,3 +311,94 @@ def bm25_oracle_sql(
         f"ROUND({terms}, {round_digits}) AS bm25 "
         f"FROM d, s WHERE ({hit}) > 0"
     )
+
+
+def word_freq_scores(
+    ds,
+    id_col: str,
+    text_col: str,
+    multiplier: int = 1_000_000,
+    max_broadcast_terms: int = 5_000_000,
+):
+    """Mean word corpus-frequency per document — the integer-exact stand-in
+    for a unigram-LM/perplexity quality filter (rare-word-heavy or garbled
+    docs score LOW, boilerplate scores high; same signal family as CCNet's
+    LM filtering, minus the external model this sandbox can't ship).
+
+    INTEGER-EXACT design (lesson-24 family): ``freq_ppm(w) =
+    floor(count_w * multiplier / total_words)`` — pure int64 floor division,
+    bit-identical in numpy and SQL (all operands positive, so DuckDB's
+    truncating ``//`` == numpy floor) — and the per-doc score is ONE double
+    division of two exact ints. No ln, no float sums, no rounding risk.
+    Requires ``total_words * multiplier < 2^63`` (guarded): at ppm scale
+    that is ~9e12 corpus words; drop ``multiplier`` for bigger corpora.
+
+    Distributed shape: tf pass (block-local, no shuffle) -> partial-agg
+    word-count table -> broadcast vocab (``max_broadcast_terms`` guard, the
+    tfidf pattern) -> one score map. Docs with zero words drop (SQL join
+    semantics). Output: ``(id_col, n_words, sum_ppm, freq_score)``."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    tf_long = term_frequencies(ds, id_col, text_col)
+    if not isinstance(tf_long, pa.Table):
+        tf_long = tf_long.materialize()  # consumed twice (counts + score join)
+    cnt = groupby_agg(tf_long, "term", {"tf": ["sum"]})
+    if isinstance(cnt, pa.Table):
+        vocab_tbl = cnt
+    else:
+        from kamae_ray.base import collect_tables
+
+        refs = [t for t in collect_tables(cnt) if t.num_rows]
+        vocab_tbl = pa.concat_tables(refs) if refs else pa.table(
+            {"term": pa.array([], pa.string()), "tf_sum": pa.array([], pa.int64())})
+    if vocab_tbl.num_rows > max_broadcast_terms:
+        raise ValueError(
+            f"vocabulary has {vocab_tbl.num_rows} terms > max_broadcast_terms="
+            f"{max_broadcast_terms}")
+    counts = pc.cast(vocab_tbl.column("tf_sum"), pa.int64()).to_numpy(zero_copy_only=False)
+    total = int(counts.sum())
+    if total <= 0:
+        raise ValueError("word_freq_scores: empty corpus")
+    if total * multiplier >= (1 << 63):
+        raise ValueError("total_words * multiplier overflows int64 — lower multiplier")
+    ppm = (counts * np.int64(multiplier)) // np.int64(total)
+    vocab = A.as_array(vocab_tbl.column("term"))
+
+    def score(block: pa.Table) -> pa.Table:
+        # block rows are (id, term, tf) — gather ppm per distinct term, then
+        # segment-sum tf-weighted ppm per doc
+        pos = pc.index_in(block.column("term"), value_set=vocab)
+        pos = pc.fill_null(pos, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = block.column("tf").to_numpy(zero_copy_only=False)
+        ids_arr = A.as_array(block.column(id_col))
+        gids = ids_arr.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(gids) == 0:
+            return pa.table({id_col: ids_arr.slice(0, 0),
+                             "n_words": pa.array([], pa.int64()),
+                             "sum_ppm": pa.array([], pa.int64()),
+                             "freq_score": pa.array([], pa.float64())})
+        # exact int64 segment sums (no float bincount detour)
+        from kamae_ray.functions import segments as S
+
+        order = np.argsort(gids, kind="stable")
+        starts, _lens = S.segments(gids[order])
+        contrib = (ppm[pos] * tf)[order]
+        csum = np.concatenate([[0], np.cumsum(contrib)])
+        ends = np.concatenate([starts[1:], [len(gids)]])
+        sum_ppm = csum[ends] - csum[starts]
+        tsum = np.concatenate([[0], np.cumsum(tf[order])])
+        n_words = tsum[ends] - tsum[starts]
+        out_ids = ids_arr.take(pa.array(order[starts]))
+        fs = sum_ppm.astype(np.float64) / n_words.astype(np.float64)
+        return pa.table({
+            id_col: out_ids,
+            "n_words": pa.array(n_words),
+            "sum_ppm": pa.array(sum_ppm),
+            "freq_score": pa.array(fs, pa.float64()),
+        })
+
+    score.__name__ = "word_freq_score"
+    if isinstance(tf_long, pa.Table):
+        return score(tf_long)
+    return tf_long.map_batches(score, batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None)

@@ -329,3 +329,38 @@ def test_semantic_decontaminate(ray_session):
     trows = sorted((i, round(c, 9)) for i, c in
                    zip(out.column("id").to_pylist(), out.column("max_bench_cosine").to_pylist()))
     assert drows == trows
+
+
+def test_word_freq_scores(ray_session):
+    """Integer-exact word-frequency quality score: hand-computed ppm on a
+    tiny corpus; empty docs drop; Table == Dataset; overflow/vocab guards."""
+    import ray
+
+    from kamae_ray.pipelines.text_features import word_freq_scores
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["cat cat dog", "dog rare", "", None],
+    })
+    out = word_freq_scores(t, "doc_id", "text")
+    # corpus: cat x2, dog x2, rare x1 -> total 5
+    ppm = {"cat": 2 * 1_000_000 // 5, "dog": 2 * 1_000_000 // 5, "rare": 1_000_000 // 5}
+    exp = {
+        1: (3, 2 * ppm["cat"] + ppm["dog"]),
+        2: (2, ppm["dog"] + ppm["rare"]),
+    }
+    got = {r["doc_id"]: (r["n_words"], r["sum_ppm"], r["freq_score"]) for r in out.to_pylist()}
+    assert set(got) == {1, 2}  # empty/null docs drop
+    for d, (n, sp) in exp.items():
+        assert got[d] == (n, sp, sp / n)
+
+    ds = ray.data.from_arrow(t).repartition(3)
+    dout = word_freq_scores(ds, "doc_id", "text")
+    drows = sorted((r["doc_id"], r["n_words"], r["sum_ppm"], r["freq_score"])
+                   for r in dout.take_all())
+    assert drows == sorted((d, *v) for d, v in got.items())
+
+    with pytest.raises(ValueError):
+        word_freq_scores(t, "doc_id", "text", max_broadcast_terms=1)
+    with pytest.raises(ValueError):
+        word_freq_scores(t, "doc_id", "text", multiplier=1 << 62)

@@ -2771,14 +2771,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_approx_distinct": _q_approx_distinct,
         "q_collect": _q_collect,
         "q_winsorize": _q_winsorize,
-        "q_melt": _q_melt,
         "q_except": _q_except,
-        "q_intersect": _q_intersect,
+        "q_topk": _q_topk,
+        "q_group_quantiles": _q_group_quantiles,
         "q_shared_onehot": _q_shared_onehot,
         "q_conditional_scale": _q_conditional_scale,
         "q_multimodal": _q_multimodal,
-        "q_topk": _q_topk,
-        "q_group_quantiles": _q_group_quantiles,
+        "q_melt": _q_melt,
+        "q_intersect": _q_intersect,
         "q_stratified": _q_stratified,
         "q_coalesce": _q_coalesce,
         "q_first_last": _q_first_last,

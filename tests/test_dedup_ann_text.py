@@ -918,3 +918,35 @@ def test_semantic_dedup_chunked_kernel_matches_unchunked():
     sims = xn @ xn.T
     expect = [i for i in range(300) if not any(sims[i, j] >= 0.95 for j in range(i))]
     assert full.column("vid").to_pylist() == expect
+
+
+def test_semantic_dedup_property_random():
+    """Randomized brute-force parity of the SemDeDup leader rule across
+    cluster counts, thresholds and id permutations (no Ray — Table path)."""
+    from kamae_ray.pipelines.dedup import semantic_dedup
+
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        n, d, k = rng.randint(5, 60), rng.randint(2, 10), rng.randint(1, 5)
+        thr = float(rng.uniform(0.2, 0.95))
+        x = rng.standard_normal((n, d))
+        # plant duplicates to exercise the drop path
+        for _ in range(n // 4):
+            i, j = rng.randint(0, n, 2)
+            x[i] = x[j] + 1e-5 * rng.standard_normal(d)
+        ids = rng.permutation(n * 3)[:n].astype(np.int64)
+        cents = rng.standard_normal((k, d))
+        t = pa.table({"id": pa.array(ids),
+                      "emb": pa.array([list(map(float, v)) for v in x], pa.list_(pa.float32()))})
+        out = semantic_dedup(t, "emb", "id", threshold=thr, centroids=cents,
+                             chunk_elems=max(4 * n, 8))
+        xf = np.asarray([np.asarray(v, np.float32) for v in x], dtype=np.float64)
+        xn = xf / np.linalg.norm(xf, axis=1)[:, None]
+        cn = cents / np.linalg.norm(cents, axis=1)[:, None]
+        asn = np.argmax(xn @ cn.T, axis=1)
+        sims = xn @ xn.T
+        expect = sorted(
+            int(ids[i]) for i in range(n)
+            if not any(asn[j] == asn[i] and ids[j] < ids[i] and sims[i, j] >= thr
+                       for j in range(n)))
+        assert out.column("id").to_pylist() == expect, seed

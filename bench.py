@@ -236,6 +236,8 @@ _BENCH_QUERIES = [
     "q_linear_score",  # fixed-point linear-model inference + quality filter
     "q_centroids",  # grouped vector mean (class centroids), reduceat partials
     "q_hash_encode",  # encoder trio in SQL-certifiable poly mode
+    "q_semantic_decontam",  # embedding-space benchmark decontamination
+    "q_word_freq",  # integer-exact unigram-frequency quality score
 ]
 
 

@@ -1055,6 +1055,73 @@ def _q_semdedup(sf_dir):
     return out.sort_by([("vec_id", "ascending")])
 
 
+def _prefix3_block(batch: pa.Table) -> pa.Table:
+    """Append 'pfx' = first 3 non-empty whitespace words joined by ' '
+    (a deliberately coarse dedup key so the parity split has collisions)."""
+    txt = pc.fill_null(pc.cast(batch.column("text"), pa.string(), safe=False), "")
+    split = pc.split_pattern_regex(txt, pattern=r"\s+")
+    split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
+    offs = np.asarray(split.offsets, dtype=np.int64)
+    words = split.values
+    ok = pc.not_equal(words, pa.scalar("")).to_numpy(zero_copy_only=False)
+    row = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    # rank of each non-empty word within its row
+    cum = np.cumsum(ok)
+    row_base = np.concatenate([[0], cum])[offs[:-1]]
+    rank = cum - 1 - row_base[row]
+    keep = ok & (rank < 3)
+    kept_rows = row[keep]
+    counts = np.bincount(kept_rows, minlength=len(offs) - 1)
+    new_offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                   words.filter(pa.array(keep)))
+    pfx = pc.binary_join(lst, " ")
+    return batch.append_column("pfx", pfx)
+
+
+def _q_dedup_index(sf_dir):
+    """INCREMENTAL dedup against a persisted index (``dedup_index_build`` /
+    ``dedup_against_index``): even-doc_id docs build a hive-partitioned
+    128-bit hash index; the odd-doc_id "new shard" is filtered against it
+    reading O(index) bytes, never the historical corpus. Key = first-3-word
+    prefix (coarse on purpose — real collisions at every sf). Exact SQL
+    oracle: NOT EXISTS over the same prefix."""
+    import shutil
+    import tempfile
+
+    from kamae_ray.pipelines.dedup import dedup_against_index, dedup_index_build
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    keyed = ds.map_batches(_prefix3_block, batch_format="pyarrow", zero_copy_batch=True)
+
+    def evens(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(np.int64(0), pc.bit_wise_and(b.column("doc_id"), 1)))
+
+    def odds(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(np.int64(1), pc.bit_wise_and(b.column("doc_id"), 1)))
+
+    evens.__name__, odds.__name__ = "even_docs", "odd_docs"
+    idx = tempfile.mkdtemp(prefix="kamae_dedup_idx_")
+    try:
+        old = keyed.map_batches(evens, batch_format="pyarrow", zero_copy_batch=True)
+        dedup_index_build(old, "pfx", idx, num_buckets=16)
+        new = keyed.map_batches(odds, batch_format="pyarrow", zero_copy_batch=True)
+        surv = dedup_against_index(new, "pfx", idx)
+
+        def proj(b: pa.Table) -> pa.Table:
+            return b.select(["doc_id", "pfx"])
+
+        proj.__name__ = "project_out"
+        out = surv.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+        rows = out.take_all()
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "pfx": pa.array([r["pfx"] for r in rows], pa.string()),
+        }).sort_by("doc_id")
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_semantic_decontam(sf_dir):
     """Semantic (embedding-space) benchmark decontamination
     (``semantic_decontaminate``): broadcast the benchmark matrix (fixed,
@@ -2749,6 +2816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_centroids": _q_centroids,
         "q_semdedup": _q_semdedup,
         "q_semantic_decontam": _q_semantic_decontam,
+        "q_dedup_index": _q_dedup_index,
         "q_bm25": _q_bm25,
         "q_word_freq": _q_word_freq,
         "q_hash_encode": _q_hash_encode,
@@ -3666,6 +3734,14 @@ def oracle_sql() -> dict[str, str]:
             "AND b.vec_id < a.vec_id "
             "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45) "
             "ORDER BY a.vec_id"
+        ),
+        "q_dedup_index": (
+            r"WITH k AS (SELECT doc_id, array_to_string(list_filter("
+            r"string_split_regex(coalesce(text,''), '\s+'), w -> length(w) > 0)[1:3], ' ') AS pfx "
+            "FROM documents) "
+            "SELECT doc_id, pfx FROM k WHERE doc_id % 2 = 1 "
+            "AND NOT EXISTS (SELECT 1 FROM k o WHERE o.doc_id % 2 = 0 AND o.pfx = k.pfx) "
+            "ORDER BY doc_id"
         ),
         "q_semantic_decontam": (
             "WITH b AS (SELECT embedding::DOUBLE[] AS be FROM embeddings WHERE vec_id < 8), "

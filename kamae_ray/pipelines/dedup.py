@@ -1450,3 +1450,253 @@ def semantic_dedup(
     srt = a.sort(["__kr_cl"])  # id NOT in sort keys: partitioning contract
     return srt.map_batches(leaders, batch_format="pyarrow", zero_copy_batch=True,
                            batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup index — dedup NEW shards against a persisted corpus index
+# ---------------------------------------------------------------------------
+
+
+def _hash128_batch(batch: pa.Table, key_col: str) -> pa.Table:
+    """Append (__kr_h1, __kr_h2): two independent FarmHash64s of the key
+    (128 bits total — the same 2^-128 silent-merge contract exact_dedup's
+    list path documents). Nulls hash like empty-with-sentinel (distinct from
+    any real value's pair with overwhelming probability)."""
+    from kamae_ray.functions.farmhash import hash64_column
+
+    key = pc.cast(batch.column(key_col), pa.string(), safe=False)
+    key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+    h1, nulls = hash64_column(key)
+    salted = pc.binary_join_element_wise(pc.fill_null(key, ""), "\x01k2", "")
+    h2, _ = hash64_column(salted)
+    h1 = h1.copy()
+    h2 = h2.copy()
+    h1[nulls] = np.uint64(0x9E3779B97F4A7C15)
+    h2[nulls] = np.uint64(0xC2B2AE3D27D4EB4F)
+    return (batch.append_column("__kr_h1", pa.array(h1.view(np.int64), pa.int64()))
+                 .append_column("__kr_h2", pa.array(h2.view(np.int64), pa.int64())))
+
+
+def _index_meta_path(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, "_kamae_dedup_index.json")
+
+
+def dedup_index_build(ds, key_col: str, index_dir: str, num_buckets: int = 64) -> dict:
+    """Build a PERSISTED dedup index: the corpus's distinct 128-bit key
+    hashes, hive-partitioned by ``bucket = h1 mod num_buckets`` (16 bytes
+    per distinct key — the index is what makes INCREMENTAL ingestion O(new
+    shard), not O(corpus)). Uses the resumable hive sink (_SUCCESS markers),
+    so a killed build restarts where it stopped. Returns the meta dict."""
+    import json
+    import os
+
+    from kamae_ray.sources.io import write_partitioned
+
+    def keyb(batch: pa.Table) -> pa.Table:
+        b = _hash128_batch(batch, key_col)
+        h1 = b.column("__kr_h1").to_numpy(zero_copy_only=False)
+        bucket = (h1.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        t = pa.table({"h1": b.column("__kr_h1"), "h2": b.column("__kr_h2"),
+                      "bucket": pa.array(bucket, pa.int64())})
+        # per-block pre-dedup (duplicate hashes in the index are harmless
+        # for membership but cost bytes)
+        return _dedup_block_hashes(t)
+
+    keyb.__name__ = "dedup_index_keys"
+    os.makedirs(index_dir, exist_ok=True)
+    if isinstance(ds, pa.Table):
+        import pyarrow.parquet as pq
+
+        t = keyb(ds)
+        for bv in np.unique(t.column("bucket").to_numpy(zero_copy_only=False)):
+            part = t.filter(pc.equal(t.column("bucket"), int(bv)))
+            d = os.path.join(index_dir, f"bucket={bv}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(part.drop_columns(["bucket"]), os.path.join(d, "part-0.parquet"))
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+    else:
+        keyed = ds.map_batches(keyb, batch_format="pyarrow", zero_copy_batch=True)
+        write_partitioned(keyed, index_dir, "bucket")
+    meta = {"num_buckets": int(num_buckets), "key_hash": "farmhash64x2",
+            "key_col": key_col}
+    with open(_index_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _dedup_block_hashes(t: pa.Table) -> pa.Table:
+    code = t.column("h1").to_numpy(zero_copy_only=False)
+    h2 = t.column("h2").to_numpy(zero_copy_only=False)
+    order = np.lexsort((h2, code))
+    keep = np.ones(len(code), dtype=bool)
+    if len(code) > 1:
+        same = (code[order][1:] == code[order][:-1]) & (h2[order][1:] == h2[order][:-1])
+        keep[order[1:][same]] = False
+    return t.filter(pa.array(keep))
+
+
+def _load_index_bucket(index_dir: str, bucket: int):
+    """(h1 sorted asc, h2 co-sorted) arrays of one bucket; missing -> empty."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(index_dir, f"bucket={bucket}", "*.parquet")))
+    if not files:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    t = pa.concat_tables([pq.read_table(f, columns=["h1", "h2"]) for f in files])
+    h1 = t.column("h1").to_numpy(zero_copy_only=False)
+    h2 = t.column("h2").to_numpy(zero_copy_only=False)
+    order = np.lexsort((h2, h1))
+    return np.ascontiguousarray(h1[order]), np.ascontiguousarray(h2[order])
+
+
+def _member128(h1s: np.ndarray, h2s: np.ndarray, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """Vectorized 128-bit membership of (q1, q2) in the (h1s, h2s) index
+    (sorted by (h1, h2)). Equal-h1 runs longer than 1 (64-bit collisions
+    between DISTINCT keys) fall back to a tiny scan."""
+    n = len(h1s)
+    if n == 0 or len(q1) == 0:
+        return np.zeros(len(q1), dtype=bool)
+    lo = np.searchsorted(h1s, q1, side="left")
+    hi = np.searchsorted(h1s, q1, side="right")
+    member = np.zeros(len(q1), dtype=bool)
+    single = (hi - lo) == 1
+    idx = lo.clip(max=n - 1)
+    member[single] = h2s[idx[single]] == q2[single]
+    multi = np.flatnonzero((hi - lo) > 1)
+    for i in multi:
+        member[i] = bool((h2s[lo[i]:hi[i]] == q2[i]).any())
+    return member
+
+
+def dedup_against_index(ds, key_col: str, index_dir: str,
+                        broadcast_budget_bytes: int = 64 << 20):
+    """Filter a NEW shard against a persisted dedup index: rows whose key
+    hash is already in the index drop — incremental corpus ingestion that
+    reads O(index) bytes, never the historical corpus.
+
+    Strategy is size-adaptive (lesson-29 family): an index under
+    ``broadcast_budget_bytes`` loads once and ships via ``ray.put`` (plain
+    task map, no shuffle); a bigger index uses ONE sort on the bucket key so
+    each block touches only its own buckets' files (I/O per task ∝ buckets
+    it owns). Returns the surviving rows (original columns)."""
+    import glob
+    import json
+    import os
+
+    with open(_index_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    nb = int(meta["num_buckets"])
+    idx_bytes = sum(os.path.getsize(f) for f in
+                    glob.glob(os.path.join(index_dir, "bucket=*", "*.parquet")))
+    drop_cols = ["__kr_h1", "__kr_h2", "__kr_bk"]
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        b = _hash128_batch(batch, key_col)
+        h1 = b.column("__kr_h1").to_numpy(zero_copy_only=False)
+        bucket = (h1.view(np.uint64) % np.uint64(nb)).astype(np.int64)
+        return b.append_column("__kr_bk", pa.array(bucket, pa.int64()))
+
+    add_keys.__name__ = "index_dedup_keys"
+
+    if isinstance(ds, pa.Table) or idx_bytes <= broadcast_budget_bytes:
+        # whole index in one sorted table (bounded by the budget)
+        parts = [_load_index_bucket(index_dir, b) for b in range(nb)]
+        h1s = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+        h2s = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int64)
+        order = np.lexsort((h2s, h1s))
+        h1s, h2s = np.ascontiguousarray(h1s[order]), np.ascontiguousarray(h2s[order])
+
+        def filt_broadcast(batch: pa.Table, _h1s=None, _h2s=None) -> pa.Table:
+            a = _h1s if _h1s is not None else h1s
+            b2 = _h2s if _h2s is not None else h2s
+            kb = add_keys(batch)
+            q1 = kb.column("__kr_h1").to_numpy(zero_copy_only=False)
+            q2 = kb.column("__kr_h2").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~_member128(a, b2, q1, q2)))
+
+        if isinstance(ds, pa.Table):
+            return filt_broadcast(ds)
+        import ray
+
+        r1, r2 = ray.put(h1s), ray.put(h2s)
+
+        class _BFilter:
+            def __init__(self):
+                self._a = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._a is None:
+                    self._a = (ray.get(r1), ray.get(r2))
+                return filt_broadcast(batch, self._a[0], self._a[1])
+
+        return ds.map_batches(_BFilter(), batch_format="pyarrow", zero_copy_batch=True)
+
+    # big index: ONE bucket sort, each block reads only its buckets' files
+    from kamae_ray.functions.sortkeys import _sort_block_rows
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=_sort_block_rows())
+    srt = keyed.sort(["__kr_bk"])  # bucket ONLY: partitioning contract
+
+    def filt_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block.drop_columns(drop_cols)
+        bk = block.column("__kr_bk").to_numpy(zero_copy_only=False)
+        q1 = block.column("__kr_h1").to_numpy(zero_copy_only=False)
+        q2 = block.column("__kr_h2").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(bk), dtype=bool)
+        order = np.argsort(bk, kind="stable")
+        starts, lens = S.segments(bk[order])
+        for s, l in zip(starts, lens):
+            rows = order[s : s + int(l)]
+            h1s, h2s = _load_index_bucket(index_dir, int(bk[rows[0]]))
+            keep[rows] = ~_member128(h1s, h2s, q1[rows], q2[rows])
+        return block.filter(pa.array(keep)).drop_columns(drop_cols)
+
+    filt_block.__name__ = "index_dedup_filter"
+    return srt.map_batches(filt_block, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
+def dedup_index_update(ds, key_col: str, index_dir: str) -> None:
+    """Append a (deduped) new shard's distinct key hashes to the index —
+    each block writes one uniquely-named parquet per bucket it owns (append-
+    only; duplicate hashes across updates are harmless for membership and
+    compact away on the next full rebuild)."""
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    with open(_index_meta_path(index_dir)) as f:
+        nb = int(json.load(f)["num_buckets"])
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        b = _hash128_batch(batch, key_col)
+        h1 = b.column("__kr_h1").to_numpy(zero_copy_only=False)
+        bucket = (h1.view(np.uint64) % np.uint64(nb)).astype(np.int64)
+        t = _dedup_block_hashes(pa.table({
+            "h1": b.column("__kr_h1"), "h2": b.column("__kr_h2"),
+            "bucket": pa.array(bucket, pa.int64())}))
+        bkv = t.column("bucket").to_numpy(zero_copy_only=False)
+        for bv in np.unique(bkv):
+            part = t.filter(pc.equal(t.column("bucket"), int(bv))).drop_columns(["bucket"])
+            d = os.path.join(index_dir, f"bucket={bv}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(part, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+        return pa.table({"written": pa.array([len(bkv)], pa.int64())})
+
+    write_block.__name__ = "dedup_index_update"
+    if isinstance(ds, pa.Table):
+        write_block(ds)
+        return
+    # consume: the write happens task-side, sharded by block
+    for _ in ds.map_batches(write_block, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(batch_size=None):
+        pass

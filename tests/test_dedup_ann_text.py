@@ -950,3 +950,42 @@ def test_semantic_dedup_property_random():
             if not any(asn[j] == asn[i] and ids[j] < ids[i] and sims[i, j] >= thr
                        for j in range(n)))
         assert out.column("id").to_pylist() == expect, seed
+
+
+def test_dedup_index_incremental(ray_session, tmp_path):
+    """Persisted dedup index: build on corpus A, filter shard B against it
+    (both broadcast and big-index sorted-bucket strategies), append-update,
+    then re-filter drops everything previously admitted."""
+    import ray
+
+    from kamae_ray.pipelines.dedup import (
+        dedup_against_index,
+        dedup_index_build,
+        dedup_index_update,
+    )
+
+    old = pa.table({"k": [f"key{i}" for i in range(200)] + [None],
+                    "v": list(range(201))})
+    new = pa.table({"k": ["key5", "fresh1", None, "key199", "fresh2", "fresh1"],
+                    "v": [0, 1, 2, 3, 4, 5]})
+    idx = str(tmp_path / "idx")
+    dedup_index_build(ray.data.from_arrow(old).repartition(4), "k", idx, num_buckets=8)
+    expect = ["fresh1", "fresh2", "fresh1"]  # key5/key199/None already indexed
+
+    for budget in (64 << 20, 0):  # broadcast path, then forced sorted-bucket path
+        surv = dedup_against_index(ray.data.from_arrow(new).repartition(3), "k", idx,
+                                   broadcast_budget_bytes=budget)
+        got = sorted(r["k"] for r in surv.take_all())
+        assert got == sorted(expect), budget
+
+    # Table path == Dataset path
+    tsurv = dedup_against_index(new, "k", idx)
+    assert sorted(tsurv.column("k").to_pylist()) == sorted(expect)
+
+    # update with the survivors; everything in `new` is now indexed
+    dedup_index_update(ray.data.from_arrow(tsurv).repartition(2), "k", idx)
+    again = dedup_against_index(new, "k", idx)
+    assert again.num_rows == 0
+    # genuinely new keys still pass
+    third = dedup_against_index(pa.table({"k": ["brand-new"], "v": [9]}), "k", idx)
+    assert third.column("k").to_pylist() == ["brand-new"]

@@ -1079,6 +1079,25 @@ def _prefix3_block(batch: pa.Table) -> pa.Table:
     return batch.append_column("pfx", pfx)
 
 
+def _q_approx_quantiles(sf_dir):
+    """Mergeable one-pass quantile sketch (``QuantileSketch``, MRL/KLL
+    family with deterministic compaction): per-block partials + canonical
+    driver merge. Certified in the no-compaction regime where the sketch is
+    EXACT order statistics (k >= column rows — the HLL linear-counting
+    certification move); the compaction regime's rank-error bound is pinned
+    by tests/test_sketches.py across four distributions."""
+    from kamae_ray.stages.sketches import approx_quantiles_sketch
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    vals = approx_quantiles_sketch(ds, "c_acctbal", qs, k=16384)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "val": pc.round(pa.array(vals, pa.float64()), ndigits=_R,
+                        round_mode="half_towards_infinity"),
+    })
+
+
 def _q_dedup_index(sf_dir):
     """INCREMENTAL dedup against a persisted index (``dedup_index_build`` /
     ``dedup_against_index``): even-doc_id docs build a hive-partitioned
@@ -2817,6 +2836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semdedup": _q_semdedup,
         "q_semantic_decontam": _q_semantic_decontam,
         "q_dedup_index": _q_dedup_index,
+        "q_approx_quantiles": _q_approx_quantiles,
         "q_bm25": _q_bm25,
         "q_word_freq": _q_word_freq,
         "q_hash_encode": _q_hash_encode,
@@ -2837,8 +2857,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngrams": _q_ngrams,
         "q_robust_scale": _q_robust_scale,
         "q_approx_distinct": _q_approx_distinct,
-        "q_collect": _q_collect,
-        "q_winsorize": _q_winsorize,
         "q_except": _q_except,
         "q_topk": _q_topk,
         "q_group_quantiles": _q_group_quantiles,
@@ -2848,6 +2866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_melt": _q_melt,
         "q_intersect": _q_intersect,
         "q_stratified": _q_stratified,
+        "q_winsorize": _q_winsorize,
+        "q_collect": _q_collect,
         "q_coalesce": _q_coalesce,
         "q_first_last": _q_first_last,
         "q_single_feature_scale": _q_single_feature_scale,
@@ -3734,6 +3754,12 @@ def oracle_sql() -> dict[str, str]:
             "AND b.vec_id < a.vec_id "
             "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45) "
             "ORDER BY a.vec_id"
+        ),
+        "q_approx_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT {q} AS q, ROUND(quantile_disc(c_acctbal, {q}), 6) AS val "
+                "FROM customer"
+                for q in (0.01, 0.25, 0.5, 0.75, 0.99))
         ),
         "q_dedup_index": (
             r"WITH k AS (SELECT doc_id, array_to_string(list_filter("

@@ -359,3 +359,164 @@ def top_frequent(ds, col: str, k: int, capacity: int = 8192,
                 f"the Misra-Gries error bound ({ceiling}) of the candidate cutoff — "
                 f"raise capacity (={capacity}) or candidates_margin (={candidates_margin})")
     return top
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (MRL/KLL family, deterministic compaction)
+# ---------------------------------------------------------------------------
+
+
+class QuantileSketch:
+    """One-pass mergeable quantile sketch (the MRL/KLL family: Manku et al.
+    1998, Karnin-Lang-Liberty 2016) — approximate quantiles at 100 TB in a
+    single streaming pass with O(k·log(n/k)) memory, where exact_quantiles
+    needs two full passes.
+
+    Level ℓ holds values each standing for 2^ℓ originals; a level over
+    ``k`` capacity sorts and keeps alternating elements (the survivors move
+    up one level). Compaction offsets are DETERMINISTIC (per-level
+    alternation) instead of KLL's coin flips — trading the randomized
+    unbiasedness guarantee for reproducibility: a fixed input partitioning
+    always yields the same result (and the distributed fold canonicalizes
+    merge order, so block COMPLETION order is irrelevant — lesson-18
+    family). Block BOUNDARIES still shape the surviving sample, as in any
+    compaction sketch; the empirical normalized
+    rank error stays well under levels/k (pinned by tests across uniform /
+    zipf / sorted / constant streams). With n <= k nothing compacts and
+    quantiles are EXACT order statistics (the oracle-certifiable regime —
+    the same move as HLL's linear-counting certification)."""
+
+    def __init__(self, k: int = 256):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.zeros(0, np.float64)]
+        self._flips: list[int] = [0]
+        self.n = 0  # exact ingested count (reporting only)
+
+    def add(self, vals: np.ndarray) -> "QuantileSketch":
+        v = np.asarray(vals, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._cascade()
+        return self
+
+    def _cascade(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            if len(self.levels[lvl]) > self.k:
+                buf = np.sort(self.levels[lvl], kind="stable")
+                off = self._flips[lvl] & 1
+                self._flips[lvl] += 1
+                up = buf[off::2]
+                self.levels[lvl] = np.zeros(0, np.float64)
+                if lvl + 1 == len(self.levels):
+                    self.levels.append(np.zeros(0, np.float64))
+                    self._flips.append(0)
+                self.levels[lvl + 1] = np.concatenate([self.levels[lvl + 1], up])
+            lvl += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        if other.k != self.k:
+            raise ValueError("cannot merge sketches with different k")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.zeros(0, np.float64))
+            self._flips.append(0)
+        for lvl, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[lvl] = np.concatenate([self.levels[lvl], buf])
+        self.n += other.n
+        self._cascade()
+        return self
+
+    @property
+    def weighted_count(self) -> int:
+        return int(sum(len(b) << lvl for lvl, b in enumerate(self.levels)))
+
+    def quantiles(self, qs) -> np.ndarray:
+        """percentile_disc rule over the weighted sample: the smallest value
+        whose cumulative weight fraction >= q (matches quantile_per_group's
+        ceil(q*m)-1 in the unit-weight exact regime)."""
+        vals = np.concatenate([b for b in self.levels]) if any(len(b) for b in self.levels) else np.zeros(0)
+        if len(vals) == 0:
+            return np.full(len(list(qs)), np.nan)
+        w = np.concatenate([np.full(len(b), 1 << lvl, np.int64)
+                            for lvl, b in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        v, w = vals[order], w[order]
+        cw = np.cumsum(w)
+        W = cw[-1]
+        out = np.empty(len(list(qs)), np.float64)
+        for i, q in enumerate(qs):
+            target = max(int(np.ceil(q * W)), 1)
+            out[i] = v[np.searchsorted(cw, target, side="left")]
+        return out
+
+    # -- partial-table (de)serialization for distributed merges --
+    def to_rows(self) -> pa.Table:
+        lvls = [lvl for lvl, b in enumerate(self.levels) if len(b)]
+        return pa.table({
+            "level": pa.array(lvls, pa.int64()),
+            "flip": pa.array([self._flips[lvl] for lvl in lvls], pa.int64()),
+            "vals": pa.array([self.levels[lvl].tolist() for lvl in lvls],
+                             pa.list_(pa.float64())),
+            "n": pa.array([self.n if i == 0 else 0 for i in range(len(lvls))], pa.int64()),
+        })
+
+    @classmethod
+    def from_rows(cls, t: pa.Table, k: int) -> "QuantileSketch":
+        s = cls(k)
+        for r in t.to_pylist():
+            lvl = int(r["level"])
+            while len(s.levels) <= lvl:
+                s.levels.append(np.zeros(0, np.float64))
+                s._flips.append(0)
+            s.levels[lvl] = np.asarray(r["vals"], np.float64)
+            s._flips[lvl] = int(r["flip"])
+            s.n += int(r["n"])
+        return s
+
+
+def approx_quantiles_sketch(ds, col: str, qs, k: int = 256) -> np.ndarray:
+    """Distributed approximate quantiles in ONE streaming pass: each block
+    reduces to a QuantileSketch partial (O(k log) rows), the driver merges
+    partials in CANONICAL order (content-sorted — block completion order
+    must not change the result, build-note lesson 18) and queries the merged
+    sketch. Exact when the column has <= k non-null values."""
+    qs = list(qs)
+
+    def partial(block: pa.Table) -> pa.Table:
+        s = QuantileSketch(k)
+        vals, mask = A.to_numpy(pc.cast(A.as_array(block.column(col)), pa.float64(), safe=False))
+        v = vals.astype(np.float64, copy=True)
+        if mask is not None:
+            v[mask] = np.nan
+        s.add(v)
+        return s.to_rows()
+
+    partial.__name__ = "quantile_sketch_partial"
+    if isinstance(ds, pa.Table):
+        return QuantileSketch.from_rows(partial(ds), k).quantiles(qs)
+    proj = ds
+    try:
+        proj = ds.select_columns([col])
+    except Exception:
+        pass
+    from kamae_ray.base import collect_tables
+
+    parts = [t for t in collect_tables(
+        proj.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)) if t.num_rows]
+    # canonical merge order: block sketches sorted by content
+    def key(t: pa.Table):
+        r = t.to_pylist()
+        return (sum(x["n"] for x in r), len(r),
+                tuple((x["level"], tuple(x["vals"][:4])) for x in r))
+
+    merged = QuantileSketch(k)
+    for t in sorted(parts, key=key):
+        merged.merge(QuantileSketch.from_rows(t, k))
+    return merged.quantiles(qs)

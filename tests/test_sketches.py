@@ -164,3 +164,59 @@ def test_top_frequent_weighted(ray_session):
     got = top_frequent(ray.data.from_arrow(t).repartition(4), "v", k=5, weight_col="w").to_pylist()
     oracle = duckdb.sql("SELECT v, sum(w) c FROM t GROUP BY v ORDER BY c DESC, v LIMIT 5").fetchall()
     assert [(r["v"], r["count"]) for r in got] == [(a, float(b)) for a, b in oracle]
+
+
+def test_quantile_sketch_exact_regime_and_error(ray_session):
+    """n <= k: exact order statistics (percentile_disc rule). Compaction
+    regime: interval rank error bounded across distributions; merge order
+    canonicalized (Table == Dataset under any partitioning)."""
+    import ray
+
+    from kamae_ray.stages.sketches import QuantileSketch, approx_quantiles_sketch
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    # exact regime
+    vals = np.random.RandomState(5).standard_normal(200)
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    est = approx_quantiles_sketch(t, "x", qs, k=256)
+    srt = np.sort(vals)
+    exact = [srt[max(int(np.ceil(q * len(srt))) - 1, 0)] for q in qs]
+    assert list(est) == exact
+
+    # compaction regime: bounded interval rank error on 3 distributions
+    rng = np.random.RandomState(7)
+    for data in [rng.rand(300_000), rng.zipf(1.5, 300_000).astype(float),
+                 np.arange(300_000, dtype=float)]:
+        s = QuantileSketch(256)
+        for i in range(0, len(data), 50_000):
+            s.add(data[i:i + 50_000])
+        srt = np.sort(data)
+        for q, e in zip(qs, s.quantiles(qs)):
+            lo = np.searchsorted(srt, e, "left") / len(srt)
+            hi = np.searchsorted(srt, e, "right") / len(srt)
+            err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+            assert err < 0.02, (q, err)
+
+    # distributed fold: deterministic for a FIXED partitioning (canonical
+    # merge order makes block COMPLETION order irrelevant), and any
+    # partitioning stays within the error bound (block BOUNDARIES shape a
+    # compaction sketch's sample — inherent to the KLL family)
+    data = rng.standard_normal(30_000)
+    t = pa.table({"x": pa.array(data, pa.float64())})
+    srt = np.sort(data)
+    for parts in (3, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        r1 = approx_quantiles_sketch(ds, "x", qs, k=128)
+        r2 = approx_quantiles_sketch(ds, "x", qs, k=128)
+        assert list(r1) == list(r2), parts
+        for q, e in zip(qs, r1):
+            lo = np.searchsorted(srt, e, "left") / len(srt)
+            hi = np.searchsorted(srt, e, "right") / len(srt)
+            err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+            assert err < 0.04, (parts, q, err)
+
+    # nulls skipped; merge k mismatch raises
+    tn = pa.table({"x": pa.array([1.0, None, 2.0, None, 3.0], pa.float64())})
+    assert list(approx_quantiles_sketch(tn, "x", [0.5], k=64)) == [2.0]
+    with pytest.raises(ValueError):
+        QuantileSketch(64).merge(QuantileSketch(128))

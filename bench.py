@@ -238,6 +238,8 @@ _BENCH_QUERIES = [
     "q_hash_encode",  # encoder trio in SQL-certifiable poly mode
     "q_semantic_decontam",  # embedding-space benchmark decontamination
     "q_word_freq",  # integer-exact unigram-frequency quality score
+    "q_dedup_index",  # incremental dedup vs a persisted hash index
+    "q_approx_quantiles",  # one-pass mergeable quantile sketch
 ]
 
 

@@ -1141,6 +1141,35 @@ def _q_dedup_index(sf_dir):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_embedding_prep(sf_dir):
+    """END-TO-END embedding-corpus prep chain (``embedding_prep``): semantic
+    benchmark decontamination (broadcast, no shuffle) -> SemDeDup (ONE
+    cluster sort) — the embedding-side q_llm_prep. One chained-CTE oracle
+    certifies the whole chain (bench = vec_id 0..7, centroids = vec_id
+    0..15, both data-independent)."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.dedup import embedding_prep
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    bench = np.asarray(
+        first.filter(pc.less(first.column("vec_id"), 8)).sort_by("vec_id")
+        .column("embedding").to_pylist(), dtype=np.float64)
+    cents = np.asarray(
+        first.filter(pc.less(first.column("vec_id"), 16)).sort_by("vec_id")
+        .column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_prep(ds, bench, "embedding", "vec_id", centroids=cents)
+    if not isinstance(out, pa.Table):
+        rows = out.take_all()
+        out = pa.table({
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "cluster": pa.array([r["cluster"] for r in rows], pa.int64()),
+        })
+    return out.sort_by([("vec_id", "ascending")])
+
+
 def _q_semantic_decontam(sf_dir):
     """Semantic (embedding-space) benchmark decontamination
     (``semantic_decontaminate``): broadcast the benchmark matrix (fixed,
@@ -2835,6 +2864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_centroids": _q_centroids,
         "q_semdedup": _q_semdedup,
         "q_semantic_decontam": _q_semantic_decontam,
+        "q_embedding_prep": _q_embedding_prep,
         "q_dedup_index": _q_dedup_index,
         "q_approx_quantiles": _q_approx_quantiles,
         "q_bm25": _q_bm25,
@@ -2849,7 +2879,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot": _q_pivot,
         "q_repetition": _q_repetition,
         "q_rank": _q_rank,
-        "q_ewm": _q_ewm,
         "q_top_terms": _q_top_terms,
         "q_profile": _q_profile,
         "q_range_join": _q_range_join,
@@ -2866,6 +2895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_melt": _q_melt,
         "q_intersect": _q_intersect,
         "q_stratified": _q_stratified,
+        "q_ewm": _q_ewm,
         "q_winsorize": _q_winsorize,
         "q_collect": _q_collect,
         "q_coalesce": _q_coalesce,
@@ -3753,6 +3783,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM asn b WHERE b.cid = a.cid "
             "AND b.vec_id < a.vec_id "
             "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45) "
+            "ORDER BY a.vec_id"
+        ),
+        # q_embedding_prep: ONE chained CTE certifies decontam -> SemDeDup
+        "q_embedding_prep": (
+            "WITH b AS (SELECT embedding::DOUBLE[] AS be FROM embeddings WHERE vec_id < 8), "
+            "kept AS (SELECT e.vec_id, e.embedding FROM embeddings e "
+            "WHERE (SELECT MAX(list_cosine_similarity(e.embedding::DOUBLE[], b.be)) FROM b) < 0.45), "
+            "c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16), "
+            "asn AS (SELECT vec_id, cid, embedding FROM ("
+            "SELECT k.vec_id, c.cid, k.embedding, row_number() OVER (PARTITION BY k.vec_id "
+            "ORDER BY list_cosine_similarity(k.embedding::DOUBLE[], c.ce) DESC, c.cid) AS rn "
+            "FROM kept k CROSS JOIN c) WHERE rn = 1) "
+            "SELECT a.vec_id, a.cid AS cluster FROM asn a "
+            "WHERE NOT EXISTS (SELECT 1 FROM asn b2 WHERE b2.cid = a.cid AND b2.vec_id < a.vec_id "
+            "AND list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]) >= 0.45) "
             "ORDER BY a.vec_id"
         ),
         "q_approx_quantiles": (

@@ -510,6 +510,7 @@ def semantic_decontaminate(
     emb_col: str,
     id_col: str,
     threshold: float = 0.9,
+    project: bool = True,
 ):
     """Semantic (embedding-space) benchmark decontamination: drop every
     corpus row whose embedding has cosine >= ``threshold`` to ANY benchmark
@@ -521,7 +522,9 @@ def semantic_decontaminate(
     small by contract (an eval suite), normalized once and shipped via
     ``ray.put``; each corpus batch does ONE (batch x bench) matmul and keeps
     rows with max cosine under the threshold. NO shuffle, no corpus-side
-    state. Returns survivors as ``(id_col, max_bench_cosine)``."""
+    state. Returns survivors as ``(id_col, max_bench_cosine)``
+    (``project=False`` keeps ALL original columns + max_bench_cosine, for
+    chaining)."""
     bn = np.asarray(bench_vecs, dtype=np.float64)
     norms = np.linalg.norm(bn, axis=1)
     bn = bn / np.where(norms == 0, 1, norms)[:, None]
@@ -545,8 +548,8 @@ def semantic_decontaminate(
             xn = x / np.where(np.linalg.norm(x, axis=1) == 0, 1, np.linalg.norm(x, axis=1))[:, None]
             mx = (xn @ b.T).max(axis=1) if len(b) else np.full(len(x), -1.0)
             keep = mx < threshold
-            out = batch.select([id_col]).append_column(
-                "max_bench_cosine", pa.array(mx, pa.float64()))
+            out = batch if not project else batch.select([id_col])
+            out = out.append_column("max_bench_cosine", pa.array(mx, pa.float64()))
             return out.filter(pa.array(keep))
 
     if isinstance(ds, pa.Table):

@@ -1700,3 +1700,31 @@ def dedup_index_update(ds, key_col: str, index_dir: str) -> None:
     for _ in ds.map_batches(write_block, batch_format="pyarrow",
                             zero_copy_batch=True).iter_batches(batch_size=None):
         pass
+
+
+def embedding_prep(
+    ds,
+    bench_vecs,
+    emb_col: str,
+    id_col: str,
+    decontam_threshold: float = 0.45,
+    dedup_threshold: float = 0.45,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 16,
+):
+    """END-TO-END embedding-corpus preparation — the embedding-side
+    counterpart of ``llm_prep``: (1) semantic benchmark decontamination
+    (drop rows with cosine >= decontam_threshold to ANY benchmark vector —
+    broadcast matmul, no shuffle; ``semantic_decontaminate(project=False)``
+    keeps the vector column flowing), then (2) SemDeDup over the survivors
+    (nearest-centroid clusters + in-cluster leader rule). Total exchanges:
+    ONE (the cluster sort). Returns surviving ``(id_col, cluster)``.
+
+    With data-independent ``bench_vecs`` and ``centroids`` the whole chain
+    is certified by one chained-CTE SQL oracle (q_embedding_prep)."""
+    from kamae_ray.pipelines.decontam import semantic_decontaminate
+
+    kept = semantic_decontaminate(ds, bench_vecs, emb_col, id_col,
+                                  threshold=decontam_threshold, project=False)
+    return semantic_dedup(kept, emb_col, id_col, threshold=dedup_threshold,
+                          centroids=centroids, n_centroids=n_centroids)

@@ -989,3 +989,31 @@ def test_dedup_index_incremental(ray_session, tmp_path):
     # genuinely new keys still pass
     third = dedup_against_index(pa.table({"k": ["brand-new"], "v": [9]}), "k", idx)
     assert third.column("k").to_pylist() == ["brand-new"]
+
+
+def test_embedding_prep_chain(ray_session):
+    """Decontam -> SemDeDup chain: contaminated rows never reach dedup;
+    Table == Dataset path."""
+    import ray
+
+    from kamae_ray.pipelines.dedup import embedding_prep
+
+    rng = np.random.RandomState(21)
+    bench = rng.standard_normal((2, 8))
+    cents = rng.standard_normal((3, 8))
+    rows = [bench[0] * 2.0]                      # contaminated (cos 1 to bench)
+    rows += [rng.standard_normal(8) for _ in range(15)]
+    rows.append(rows[3] + 1e-4 * rng.standard_normal(8))  # near-dup of row 3
+    t = pa.table({"id": pa.array(np.arange(len(rows), dtype=np.int64)),
+                  "emb": pa.array([list(map(float, v)) for v in rows], pa.list_(pa.float32()))})
+    out = embedding_prep(t, bench, "emb", "id", decontam_threshold=0.9,
+                         dedup_threshold=0.95, centroids=cents)
+    ids = out.column("id").to_pylist()
+    assert 0 not in ids                 # decontaminated
+    assert 3 in ids and (len(rows) - 1) not in ids  # near-dup deduped, leader kept
+
+    ds = ray.data.from_arrow(t).repartition(4)
+    dout = embedding_prep(ds, bench, "emb", "id", decontam_threshold=0.9,
+                          dedup_threshold=0.95, centroids=cents)
+    assert sorted((r["id"], r["cluster"]) for r in dout.take_all()) == sorted(
+        zip(ids, out.column("cluster").to_pylist()))

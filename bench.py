@@ -240,6 +240,7 @@ _BENCH_QUERIES = [
     "q_word_freq",  # integer-exact unigram-frequency quality score
     "q_dedup_index",  # incremental dedup vs a persisted hash index
     "q_approx_quantiles",  # one-pass mergeable quantile sketch
+    "q_embedding_prep",  # end-to-end embedding prep (decontam -> SemDeDup)
 ]
 
 

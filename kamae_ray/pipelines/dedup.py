@@ -1405,7 +1405,8 @@ def semantic_dedup(
     assign.__name__ = "semdedup_assign"
 
     def leaders(block: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: pa.array([], pa.int64()),
+        id_type = block.schema.field(id_col).type  # keep the caller's id dtype
+        empty = pa.table({id_col: pa.array([], id_type),
                           "cluster": pa.array([], pa.int64())})
         n = block.num_rows
         if n == 0:
@@ -1437,7 +1438,7 @@ def semantic_dedup(
             keep_cl.append(np.full(int(keep.sum()), cl_s[s], dtype=np.int64))
         if not keep_ids:
             return empty
-        return pa.table({id_col: pa.array(np.concatenate(keep_ids)),
+        return pa.table({id_col: pa.array(np.concatenate(keep_ids)).cast(id_type),
                          "cluster": pa.array(np.concatenate(keep_cl), pa.int64())})
 
     leaders.__name__ = "semdedup_leaders"

@@ -440,16 +440,17 @@ class QuantileSketch:
         """percentile_disc rule over the weighted sample: the smallest value
         whose cumulative weight fraction >= q (matches quantile_per_group's
         ceil(q*m)-1 in the unit-weight exact regime)."""
+        qs = list(qs)  # a generator must not be consumed twice below
         vals = np.concatenate([b for b in self.levels]) if any(len(b) for b in self.levels) else np.zeros(0)
         if len(vals) == 0:
-            return np.full(len(list(qs)), np.nan)
+            return np.full(len(qs), np.nan)
         w = np.concatenate([np.full(len(b), 1 << lvl, np.int64)
                             for lvl, b in enumerate(self.levels)])
         order = np.argsort(vals, kind="stable")
         v, w = vals[order], w[order]
         cw = np.cumsum(w)
         W = cw[-1]
-        out = np.empty(len(list(qs)), np.float64)
+        out = np.empty(len(qs), np.float64)
         for i, q in enumerate(qs):
             target = max(int(np.ceil(q * W)), 1)
             out[i] = v[np.searchsorted(cw, target, side="left")]

@@ -1017,3 +1017,22 @@ def test_embedding_prep_chain(ray_session):
                           dedup_threshold=0.95, centroids=cents)
     assert sorted((r["id"], r["cluster"]) for r in dout.take_all()) == sorted(
         zip(ids, out.column("cluster").to_pylist()))
+
+
+def test_semantic_dedup_int32_ids_and_empty_blocks(ray_session):
+    """Non-int64 id dtype survives the leader kernel (empty and non-empty
+    blocks must emit the SAME schema or the union fails)."""
+    import ray
+
+    from kamae_ray.pipelines.dedup import semantic_dedup
+
+    rng = np.random.RandomState(2)
+    t = pa.table({"vid": pa.array(np.arange(10, dtype=np.int32), pa.int32()),
+                  "emb": pa.array([list(map(float, rng.standard_normal(4))) for _ in range(10)],
+                                  pa.list_(pa.float32()))})
+    cents = rng.standard_normal((2, 4))
+    out = semantic_dedup(t, "emb", "vid", threshold=0.99, centroids=cents)
+    assert out.column("vid").type == pa.int32()
+    ds = ray.data.from_arrow(t).repartition(8)  # some near-empty blocks
+    dout = semantic_dedup(ds, "emb", "vid", threshold=0.99, centroids=cents)
+    assert sorted(r["vid"] for r in dout.take_all()) == out.column("vid").to_pylist()

@@ -220,3 +220,15 @@ def test_quantile_sketch_exact_regime_and_error(ray_session):
     assert list(approx_quantiles_sketch(tn, "x", [0.5], k=64)) == [2.0]
     with pytest.raises(ValueError):
         QuantileSketch(64).merge(QuantileSketch(128))
+
+
+def test_quantile_sketch_generator_qs():
+    """quantiles() must accept a one-shot iterable (regression: a generator
+    was consumed twice, returning uninitialized memory)."""
+    from kamae_ray.stages.sketches import QuantileSketch
+
+    s = QuantileSketch(64).add(np.arange(100, dtype=float))
+    got = s.quantiles(q for q in [0.5, 0.9])
+    assert list(got) == list(s.quantiles([0.5, 0.9]))
+    empty = QuantileSketch(64)
+    assert np.isnan(empty.quantiles(q for q in [0.5])).all()

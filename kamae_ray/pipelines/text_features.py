@@ -291,7 +291,8 @@ def bm25_oracle_sql(
     k1p1, omb = repr(k1 + 1.0), repr(1.0 - b)
     k1r, br = repr(float(k1)), repr(float(b))
     tf_cols = ", ".join(
-        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT) AS tf{j}"
+        "CAST(len(list_filter(ws, x -> x = '{0}')) AS BIGINT) AS tf{1}".format(
+            t.replace("'", "''"), j)
         for j, t in enumerate(query_terms))
     df_cols = ", ".join(
         f"SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{j}" for j in range(m))

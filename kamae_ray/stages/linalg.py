@@ -317,10 +317,14 @@ def groupby_vector_mean(
     darr = A.as_array(parts.column(key)).dictionary_encode()
     # dictionary codes follow first-appearance order — remap to the
     # dictionary's own sort order so group ids are content-determined
-    rank = np.empty(len(darr.dictionary), dtype=np.int64)
-    rank[np.argsort(np.asarray(darr.dictionary.to_pylist(), dtype=object), kind="stable")] = np.arange(len(darr.dictionary))
+    nd = len(darr.dictionary)
     idx = pc.fill_null(pc.cast(darr.indices, pa.int64()), -1).to_numpy(zero_copy_only=False)
-    gids = np.where(idx >= 0, rank[idx.clip(min=0)], np.int64(-1))
+    if nd == 0:  # every key null: one all-null group
+        gids = np.full(len(idx), -1, dtype=np.int64)
+    else:
+        rank = np.empty(nd, dtype=np.int64)
+        rank[np.argsort(np.asarray(darr.dictionary.to_pylist(), dtype=object), kind="stable")] = np.arange(nd)
+        gids = np.where(idx >= 0, rank[idx.clip(min=0)], np.int64(-1))
     d = len(parts.column("s")[0])
     smat = np.asarray(parts.column("s").to_pylist(), dtype=np.float64).reshape(-1, d)
     if scale_bits is not None:

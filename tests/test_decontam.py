@@ -364,3 +364,21 @@ def test_word_freq_scores(ray_session):
         word_freq_scores(t, "doc_id", "text", max_broadcast_terms=1)
     with pytest.raises(ValueError):
         word_freq_scores(t, "doc_id", "text", multiplier=1 << 62)
+
+
+def test_bm25_oracle_escapes_quotes():
+    """Terms containing single quotes must not break the generated SQL."""
+    import duckdb
+
+    from kamae_ray.pipelines.text_features import bm25_oracle_sql, bm25_scores
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["o'brien cat", "dog"]})
+    out = bm25_scores(t, "doc_id", "text", ["o'brien"])
+    con = duckdb.connect()
+    con.register("docs", t)
+    o = con.sql(bm25_oracle_sql("docs", "doc_id", "text", ["o'brien"])).arrow()
+    assert out.column("doc_id").to_pylist() == o.column("doc_id").to_pylist() == [1]
+    rounded = pa.compute.round(out.column("bm25"), ndigits=6,
+                               round_mode="half_towards_infinity")
+    assert rounded.to_pylist() == o.column("bm25").to_pylist()

@@ -173,3 +173,14 @@ def test_groupby_vector_mean(ray_session):
 
     with pytest.raises(ValueError):
         groupby_vector_mean(t, "g", "v", max_partial_rows=1)
+
+
+def test_groupby_vector_mean_all_null_keys():
+    """Every key null -> one all-null group (regression: empty dictionary
+    indexing crashed the fold)."""
+    from kamae_ray.stages.linalg import groupby_vector_mean
+
+    t = pa.table({"g": pa.array([None, None], pa.string()),
+                  "v": pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float32()))})
+    out = groupby_vector_mean(t, "g", "v", scale_bits=4)
+    assert out.num_rows == 1 and out.column("n").to_pylist() == [2]

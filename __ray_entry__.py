@@ -1098,6 +1098,24 @@ def _q_approx_quantiles(sf_dir):
     })
 
 
+def _q_group_quantile_sketch(sf_dir):
+    """Per-group quantiles via the mergeable sketch
+    (``groupby_approx_quantiles``): the exchange carries O(k log) values per
+    (block, group) instead of every row — the scale tool for HUGE skewed
+    groups. Certified in the exact regime (k >= per-group rows, like
+    q_approx_quantiles); compaction-regime error bounds live in
+    tests/test_sketches.py."""
+    from kamae_ray.stages.sketches import groupby_approx_quantiles
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    out = groupby_approx_quantiles(ds, "c_mktsegment", "c_acctbal",
+                                   [0.25, 0.5, 0.75], k=8192)
+    cols = ["c_acctbal_p25", "c_acctbal_p50", "c_acctbal_p75"]
+    if isinstance(out, pa.Table):
+        return _rounder(cols)(out).sort_by("c_mktsegment")
+    return out.map_batches(_rounder(cols), batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_dedup_index(sf_dir):
     """INCREMENTAL dedup against a persisted index (``dedup_index_build`` /
     ``dedup_against_index``): even-doc_id docs build a hive-partitioned
@@ -2867,6 +2885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_prep": _q_embedding_prep,
         "q_dedup_index": _q_dedup_index,
         "q_approx_quantiles": _q_approx_quantiles,
+        "q_group_quantile_sketch": _q_group_quantile_sketch,
         "q_bm25": _q_bm25,
         "q_word_freq": _q_word_freq,
         "q_hash_encode": _q_hash_encode,
@@ -3805,6 +3824,13 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT {q} AS q, ROUND(quantile_disc(c_acctbal, {q}), 6) AS val "
                 "FROM customer"
                 for q in (0.01, 0.25, 0.5, 0.75, 0.99))
+        ),
+        "q_group_quantile_sketch": (
+            "SELECT c_mktsegment, "
+            "ROUND(quantile_disc(c_acctbal, 0.25), 6) AS c_acctbal_p25, "
+            "ROUND(quantile_disc(c_acctbal, 0.5), 6) AS c_acctbal_p50, "
+            "ROUND(quantile_disc(c_acctbal, 0.75), 6) AS c_acctbal_p75 "
+            "FROM customer GROUP BY c_mktsegment"
         ),
         "q_dedup_index": (
             r"WITH k AS (SELECT doc_id, array_to_string(list_filter("

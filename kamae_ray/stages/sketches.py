@@ -521,3 +521,136 @@ def approx_quantiles_sketch(ds, col: str, qs, k: int = 256) -> np.ndarray:
     for t in sorted(parts, key=key):
         merged.merge(QuantileSketch.from_rows(t, k))
     return merged.quantiles(qs)
+
+
+def _sketch_from_level_rows(levels_arr, flips_arr, vals_list, ns_arr, k: int) -> QuantileSketch:
+    """Order-free bulk build: concatenate all rows' buffers per level, sum
+    flips, then ONE cascade. Deterministic for any row multiset — compaction
+    SORTS each buffer before halving, so concat order can't matter."""
+    s = QuantileSketch(k)
+    max_lvl = int(max(levels_arr)) if len(levels_arr) else 0
+    while len(s.levels) <= max_lvl:
+        s.levels.append(np.zeros(0, np.float64))
+        s._flips.append(0)
+    for lvl, flip, vals, n in zip(levels_arr, flips_arr, vals_list, ns_arr):
+        lvl = int(lvl)
+        v = np.asarray(vals, np.float64)
+        if len(v):
+            s.levels[lvl] = np.concatenate([s.levels[lvl], v])
+        s._flips[lvl] += int(flip)
+        s.n += int(n)
+    s._cascade()
+    return s
+
+
+def groupby_approx_quantiles(ds, keys, col: str, qs, k: int = 256,
+                             out_prefix: str | None = None):
+    """Per-group approximate quantiles in ONE pass + ONE SMALL shuffle:
+    each block reduces each in-block group to a QuantileSketch partial, so
+    the exchange carries O(k·log) values per (block, key) — never the rows
+    (``quantile_per_group`` is exact but its sort moves EVERY row; this is
+    the right tool when single groups are huge). Groups that fit in one
+    buffer (<= k values per block) take a fully vectorized fast path (one
+    ListArray slice, no per-group sketch objects). Same output naming as
+    quantile_per_group: key columns + ``{prefix}_p{round(q*100)}``. EXACT
+    whenever a group's total non-null count is <= k (the certified regime)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    qs = list(qs)
+    prefix = out_prefix or col
+    names = [f"{prefix}_p{int(round(q * 100))}" for q in qs]
+
+    def partial(block: pa.Table) -> pa.Table:
+        kcols = {kc: A.as_array(block.column(kc)) for kc in keys}
+        empty = pa.table({**{kc: kcols[kc].slice(0, 0) for kc in keys},
+                          "__qs_level": pa.array([], pa.int64()),
+                          "__qs_flip": pa.array([], pa.int64()),
+                          "__qs_vals": pa.array([], pa.list_(pa.float64())),
+                          "__qs_n": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        vals, mask = A.to_numpy(pc.cast(A.as_array(block.column(col)), pa.float64(), safe=False))
+        v = vals.astype(np.float64, copy=True)
+        if mask is not None:
+            v[mask] = np.nan
+        gids = S.group_ids(block, keys)
+        order = np.argsort(gids, kind="stable")
+        starts, lens = S.segments(gids[order])
+        firsts = order[starts]
+        v_s = v[order]
+        out_keys = {kc: [] for kc in keys}
+        lvl_o, flip_o, vals_o, n_o = [], [], [], []
+        for si, (st, ln) in enumerate(zip(starts, lens)):
+            seg = v_s[st : st + int(ln)]
+            seg = seg[~np.isnan(seg)]
+            if len(seg) == 0:
+                rows = [(0, 0, np.zeros(0, np.float64), 0)]
+            elif len(seg) <= k:  # fast path: the sketch IS the buffer
+                rows = [(0, 0, seg, len(seg))]
+            else:
+                sk = QuantileSketch(k).add(seg)
+                rows = [(lvl, sk._flips[lvl], b, sk.n if lvl == _first_nonempty(sk) else 0)
+                        for lvl, b in enumerate(sk.levels) if len(b) or lvl == 0]
+            for lvl, flip, buf, n in rows:
+                for kc in keys:
+                    out_keys[kc].append(si)
+                lvl_o.append(lvl)
+                flip_o.append(flip)
+                vals_o.append(buf.tolist())
+                n_o.append(n)
+        key_arrays = {kc: kcols[kc].take(pa.array(firsts))
+                      .take(pa.array(np.asarray(out_keys[kc], np.int64)))
+                      for kc in keys}
+        return pa.table({**key_arrays,
+                         "__qs_level": pa.array(lvl_o, pa.int64()),
+                         "__qs_flip": pa.array(flip_o, pa.int64()),
+                         "__qs_vals": pa.array(vals_o, pa.list_(pa.float64())),
+                         "__qs_n": pa.array(n_o, pa.int64())})
+
+    partial.__name__ = "group_quantile_sketch_partial"
+
+    def final(block: pa.Table) -> pa.Table:
+        drop = ["__qs_level", "__qs_flip", "__qs_vals", "__qs_n"]
+        if block.num_rows == 0:
+            out = {kc: A.as_array(block.column(kc)).slice(0, 0) for kc in keys}
+            out.update({nm: pa.array([], pa.float64()) for nm in names})
+            return pa.table(out)
+        gids = S.group_ids(block, keys)
+        order = np.argsort(gids, kind="stable")
+        starts, lens = S.segments(gids[order])
+        firsts = order[starts]
+        lv = block.column("__qs_level").to_numpy(zero_copy_only=False)
+        fl = block.column("__qs_flip").to_numpy(zero_copy_only=False)
+        nn = block.column("__qs_n").to_numpy(zero_copy_only=False)
+        vl = block.column("__qs_vals").to_pylist()
+        out = {kc: A.as_array(block.column(kc)).take(pa.array(firsts)) for kc in keys}
+        res = np.empty((len(starts), len(qs)), np.float64)
+        for gi, (st, ln) in enumerate(zip(starts, lens)):
+            rows = order[st : st + int(ln)]
+            sk = _sketch_from_level_rows(lv[rows], fl[rows], [vl[r] for r in rows],
+                                         nn[rows], k)
+            res[gi] = sk.quantiles(qs)
+        for j, nm in enumerate(names):
+            out[nm] = pa.array(res[:, j], pa.float64())
+        return pa.table(out)
+
+    final.__name__ = "group_quantile_sketch_final"
+    if isinstance(ds, pa.Table):
+        return final(partial(ds))
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(keys + [col])))
+    except Exception:
+        pass
+    parts = proj.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(parts, keys, final, "group_quantile_sketch",
+                              force_surrogate=True)
+
+
+def _first_nonempty(sk: QuantileSketch) -> int:
+    for lvl, b in enumerate(sk.levels):
+        if len(b):
+            return lvl
+    return 0

@@ -232,3 +232,43 @@ def test_quantile_sketch_generator_qs():
     assert list(got) == list(s.quantiles([0.5, 0.9]))
     empty = QuantileSketch(64)
     assert np.isnan(empty.quantiles(q for q in [0.5])).all()
+
+
+def test_groupby_approx_quantiles(ray_session):
+    """Grouped sketch: exact regime == quantile_per_group(disc); huge skewed
+    group bounded error; null values/keys; Table == Dataset (fixed parts)."""
+    import ray
+
+    from kamae_ray.stages.aggregate import quantile_per_group
+    from kamae_ray.stages.sketches import groupby_approx_quantiles
+
+    rng = np.random.RandomState(9)
+    t = pa.table({
+        "g": pa.array(list("abc") * 50 + [None] * 5),
+        "v": pa.array(list(rng.standard_normal(150)) + [1.0, None, 2.0, 3.0, 4.0],
+                      pa.float64()),
+    })
+    qs = [0.25, 0.5, 0.75]
+    approx = groupby_approx_quantiles(t, "g", "v", qs, k=512)
+    exact = quantile_per_group(t, "g", "v", qs, method="disc")
+    a = sorted(approx.to_pylist(), key=lambda r: (r["g"] is None, r["g"]))
+    e = sorted(exact.to_pylist(), key=lambda r: (r["g"] is None, r["g"]))
+    assert a == e  # exact regime
+
+    ds = ray.data.from_arrow(t).repartition(6)
+    d1 = groupby_approx_quantiles(ds, "g", "v", qs, k=512)
+    rows = sorted(d1.take_all(), key=lambda r: (r["g"] is None, r["g"]))
+    assert [tuple(r.values()) for r in rows] == [tuple(r.values()) for r in a]
+
+    # compaction regime on a skewed group: bounded interval rank error
+    g = np.where(rng.rand(200_000) < 0.95, "big", "rest")
+    v = rng.standard_normal(200_000)
+    tt = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    out = groupby_approx_quantiles(tt, "g", "v", [0.5, 0.99], k=256)
+    for r in out.to_pylist():
+        sub = np.sort(v[g == r["g"]])
+        for q, est in [(0.5, r["v_p50"]), (0.99, r["v_p99"])]:
+            lo = np.searchsorted(sub, est, "left") / len(sub)
+            hi = np.searchsorted(sub, est, "right") / len(sub)
+            err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+            assert err < 0.02, (r["g"], q, err)

@@ -2901,7 +2901,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_terms": _q_top_terms,
         "q_profile": _q_profile,
         "q_range_join": _q_range_join,
-        "q_range_broadcast": _q_range_broadcast,
         "q_ngrams": _q_ngrams,
         "q_robust_scale": _q_robust_scale,
         "q_approx_distinct": _q_approx_distinct,
@@ -2914,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_melt": _q_melt,
         "q_intersect": _q_intersect,
         "q_stratified": _q_stratified,
+        "q_range_broadcast": _q_range_broadcast,
         "q_ewm": _q_ewm,
         "q_winsorize": _q_winsorize,
         "q_collect": _q_collect,

@@ -573,38 +573,55 @@ def groupby_approx_quantiles(ds, keys, col: str, qs, k: int = 256,
         if mask is not None:
             v[mask] = np.nan
         gids = S.group_ids(block, keys)
-        order = np.argsort(gids, kind="stable")
+        # NaN-last in-group sort so each group's non-null run is contiguous:
+        # the fast path (all groups <= k values) is then ONE vectorized
+        # ListArray over the run offsets — no per-group Python on the block
+        # hot path (house rule); only oversized groups build sketch objects
+        order = np.lexsort((np.isnan(v), gids))
         starts, lens = S.segments(gids[order])
         firsts = order[starts]
         v_s = v[order]
-        out_keys = {kc: [] for kc in keys}
-        lvl_o, flip_o, vals_o, n_o = [], [], [], []
-        for si, (st, ln) in enumerate(zip(starts, lens)):
-            seg = v_s[st : st + int(ln)]
-            seg = seg[~np.isnan(seg)]
-            if len(seg) == 0:
-                rows = [(0, 0, np.zeros(0, np.float64), 0)]
-            elif len(seg) <= k:  # fast path: the sketch IS the buffer
-                rows = [(0, 0, seg, len(seg))]
-            else:
-                sk = QuantileSketch(k).add(seg)
-                rows = [(lvl, sk._flips[lvl], b, sk.n if lvl == _first_nonempty(sk) else 0)
-                        for lvl, b in enumerate(sk.levels) if len(b) or lvl == 0]
-            for lvl, flip, buf, n in rows:
-                for kc in keys:
-                    out_keys[kc].append(si)
-                lvl_o.append(lvl)
-                flip_o.append(flip)
-                vals_o.append(buf.tolist())
-                n_o.append(n)
-        key_arrays = {kc: kcols[kc].take(pa.array(firsts))
-                      .take(pa.array(np.asarray(out_keys[kc], np.int64)))
+        nn_counts = np.add.reduceat((~np.isnan(v_s)).astype(np.int64), starts) if len(v_s) else np.zeros(0, np.int64)
+        nn_counts = np.atleast_1d(nn_counts)
+        small = nn_counts <= k
+        s_idx = np.flatnonzero(small)
+        # vectorized small-group rows: slice each group's non-null run
+        row_group, lvl_o, flip_o, n_o = [list(s_idx)], [np.zeros(len(s_idx), np.int64)],             [np.zeros(len(s_idx), np.int64)], [nn_counts[s_idx]]
+        offs = np.zeros(len(s_idx) + 1, np.int64)
+        np.cumsum(nn_counts[s_idx], out=offs[1:])
+        counts = nn_counts[s_idx]
+        intra = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1], counts)
+        flat = v_s[np.repeat(starts[s_idx], counts) + intra] if len(intra) else np.zeros(0, np.float64)
+        vals_chunks = [pa.ListArray.from_arrays(pa.array(offs, pa.int64()).cast(pa.int32()),
+                                                pa.array(flat, pa.float64()))]
+        # oversized groups: real sketches (rare by construction)
+        big_rows_g, big_lvl, big_flip, big_n, big_vals = [], [], [], [], []
+        for gi in np.flatnonzero(~small):
+            seg = v_s[starts[gi] : starts[gi] + nn_counts[gi]]
+            sk = QuantileSketch(k).add(seg)
+            fne = _first_nonempty(sk)
+            for lvl, b in enumerate(sk.levels):
+                if len(b) or lvl == 0:
+                    big_rows_g.append(gi)
+                    big_lvl.append(lvl)
+                    big_flip.append(sk._flips[lvl])
+                    big_n.append(sk.n if lvl == fne else 0)
+                    big_vals.append(b.tolist())
+        if big_rows_g:
+            row_group.append(big_rows_g)
+            lvl_o.append(np.asarray(big_lvl, np.int64))
+            flip_o.append(np.asarray(big_flip, np.int64))
+            n_o.append(np.asarray(big_n, np.int64))
+            vals_chunks.append(pa.array(big_vals, pa.list_(pa.float64())))
+        rg = np.concatenate([np.asarray(x, np.int64) for x in row_group])
+        key_arrays = {kc: kcols[kc].take(pa.array(firsts)).take(pa.array(rg))
                       for kc in keys}
+        vals_arr = pa.concat_arrays([c.cast(pa.list_(pa.float64())) for c in vals_chunks])
         return pa.table({**key_arrays,
-                         "__qs_level": pa.array(lvl_o, pa.int64()),
-                         "__qs_flip": pa.array(flip_o, pa.int64()),
-                         "__qs_vals": pa.array(vals_o, pa.list_(pa.float64())),
-                         "__qs_n": pa.array(n_o, pa.int64())})
+                         "__qs_level": pa.array(np.concatenate(lvl_o), pa.int64()),
+                         "__qs_flip": pa.array(np.concatenate(flip_o), pa.int64()),
+                         "__qs_vals": vals_arr,
+                         "__qs_n": pa.array(np.concatenate(n_o), pa.int64())})
 
     partial.__name__ = "group_quantile_sketch_partial"
 

@@ -241,6 +241,7 @@ _BENCH_QUERIES = [
     "q_dedup_index",  # incremental dedup vs a persisted hash index
     "q_approx_quantiles",  # one-pass mergeable quantile sketch
     "q_embedding_prep",  # end-to-end embedding prep (decontam -> SemDeDup)
+    "q_group_quantile_sketch",  # per-group mergeable quantile sketch
 ]
 
 

@@ -382,3 +382,62 @@ def test_bm25_oracle_escapes_quotes():
     rounded = pa.compute.round(out.column("bm25"), ndigits=6,
                                round_mode="half_towards_infinity")
     assert rounded.to_pylist() == o.column("bm25").to_pylist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.lists(st.sampled_from(["cat", "dog", "fish", "o'x", "zz"]),
+                       min_size=0, max_size=6).map(" ".join)),
+    min_size=1, max_size=12).filter(
+        lambda docs: any(d and d.strip() for d in docs)))
+def test_word_freq_scores_property_vs_duckdb(docs):
+    """word_freq_scores == the SQL oracle formula on arbitrary tiny corpora
+    (nulls, empties, quotes)."""
+    import duckdb
+
+    from kamae_ray.pipelines.text_features import word_freq_scores
+
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = word_freq_scores(t, "doc_id", "text").sort_by("doc_id")
+    con = duckdb.connect()
+    con.register("documents", t)
+    o = con.sql(r"""
+      WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex(coalesce(text,''),'\s+'),
+                 x -> length(x)>0)) AS word FROM documents),
+      v AS (SELECT word, COUNT(*)::BIGINT AS c FROM w GROUP BY word),
+      tt AS (SELECT SUM(c)::BIGINT AS total FROM v),
+      s AS (SELECT w.doc_id, COUNT(*)::BIGINT AS n_words,
+            SUM((v.c * 1000000) // tt.total)::BIGINT AS sum_ppm
+            FROM w JOIN v USING (word), tt GROUP BY w.doc_id)
+      SELECT doc_id, n_words, sum_ppm,
+             CAST(sum_ppm AS DOUBLE) / CAST(n_words AS DOUBLE) AS freq_score
+      FROM s ORDER BY doc_id""").arrow()
+    assert out.to_pylist() == o.to_pylist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.lists(st.sampled_from(["cat", "dog", "fish", "bird"]),
+                       min_size=0, max_size=6).map(" ".join)),
+    min_size=1, max_size=10))
+def test_bm25_property_vs_duckdb(docs):
+    """bm25_scores == its generated oracle on arbitrary tiny corpora."""
+    import duckdb
+
+    import pyarrow.compute as _pc
+    from kamae_ray.pipelines.text_features import bm25_oracle_sql, bm25_scores
+
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = bm25_scores(t, "doc_id", "text", ["cat", "dog"]).sort_by("doc_id")
+    out = out.set_column(out.column_names.index("bm25"), "bm25",
+                         _pc.round(out.column("bm25"), ndigits=6,
+                                   round_mode="half_towards_infinity"))
+    con = duckdb.connect()
+    con.register("documents", t)
+    o = con.sql(bm25_oracle_sql("documents", "doc_id", "text", ["cat", "dog"])
+                ).arrow().sort_by("doc_id")
+    assert out.to_pylist() == o.to_pylist()

@@ -76,3 +76,30 @@ def test_bloom_minhash_poly_mode():
 def test_poly_mode_rejects_unknown():
     with pytest.raises(ValueError):
         HashIndexTransformer(input_col="s", num_bins=4, output_col="h", hash_fn="md5")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=12)), min_size=1, max_size=8))
+def test_poly31_property_vs_duckdb(vals):
+    """poly31 engine == DuckDB expression for arbitrary unicode (minus NUL,
+    which VARCHAR can't hold, and surrogates)."""
+    import duckdb
+
+    arr = pa.array(vals, pa.string())
+    h, nm = poly31_column(arr)
+    nonnull = [v for v in vals if v is not None]
+    if nonnull:
+        con = duckdb.connect()
+        con.register("t", pa.table({"s": pa.array(nonnull)}))
+        got = [r[0] for r in con.sql(f"SELECT {poly31_sql('s')} FROM t").fetchall()]
+        assert got == [poly31_scalar(v) for v in nonnull]
+    for v, hv, m in zip(vals, h, nm):
+        assert m == (v is None)
+        if v is not None:
+            assert hv == poly31_scalar(v)

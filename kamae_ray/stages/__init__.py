@@ -68,6 +68,7 @@ from kamae_ray.stages.similarity import (  # noqa: F401
     PairwiseCosineSimilarityTransformer,
 )
 from kamae_ray.stages.linalg import (  # noqa: F401
+    LinearScoreTransformer,
     PCAProjectEstimator,
     PCAProjectTransformer,
 )

@@ -864,6 +864,7 @@ PORTABLE_CLASSES = frozenset({
     "StringContainsListTransformer",
     "PCAProjectTransformer",
     "L2NormalizeTransformer",
+    "LinearScoreTransformer",
     "ArrayCropTransformer",
     "HashIndexTransformer",
     "ListMaxTransformer",

@@ -2833,6 +2833,51 @@ def _q_rollup(sf_dir):
     )
 
 
+def _q_cube(sf_dir):
+    """SQL GROUP BY CUBE over (l_returnflag, l_linestatus): all four grouping
+    sets from ONE pass over the input (generalizes q_rollup's plan: per-block
+    partials, one shuffle to the finest level, every set re-merges the
+    materialized finest partials). grouping_id = SQL GROUPING() bitmask."""
+    from kamae_ray.stages.aggregate import groupby_cube
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = groupby_cube(ds, ["l_returnflag", "l_linestatus"],
+                       {"l_quantity": ["sum", "count", "mean"]})
+    return out.map_batches(
+        _rounder(["l_quantity_sum", "l_quantity_mean"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _q_skew(sf_dir):
+    """Per-group skewness + excess kurtosis from additive power-sum partials
+    (sum, sumsq, sum3, sum4 merge exactly across blocks for the
+    integer-valued l_quantity, so the engine and the SQL mirror evaluate the
+    IDENTICAL IEEE expression — bit-exact before the 6dp round)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = groupby_agg(ds, "l_returnflag", {"l_quantity": ["skew", "kurt"]})
+    return out.map_batches(
+        _rounder(["l_quantity_skew", "l_quantity_kurt"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _q_arg_max(sf_dir):
+    """Deterministic SQL arg_max(o_orderkey, o_totalprice) per customer —
+    per-block best-row combiner (the exchange carries one row per
+    (block, key)), idempotent best-of-bests finalize, native types end-to-end
+    (the ROW_NUMBER()-=-1 plan without the full window sort)."""
+    from kamae_ray.stages.aggregate import groupby_arg_extreme
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = groupby_arg_extreme(ds, "o_custkey", "o_orderkey", "o_totalprice", "max")
+    return out.map_batches(
+        _rounder(["o_totalprice_max"]), batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_decontaminate(sf_dir):
     """Benchmark decontamination (GPT-3/Gopher n-gram overlap rule): flag
     corpus documents sharing a word 3-gram with the benchmark slice
@@ -2994,6 +3039,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_count_distinct": _q_count_distinct,
         "q_l2norm": _q_l2norm,
         "q_time_rolling": _q_time_rolling,
+        "q_cube": _q_cube,
+        "q_skew": _q_skew,
+        "q_arg_max": _q_arg_max,
     }
 
 
@@ -4091,4 +4139,35 @@ def oracle_sql() -> dict[str, str]:
         "q_hash_encode": __import__(
             "kamae_ray.stages.hashing", fromlist=["x"]
         ).hash_encode_oracle_sql(),
+        "q_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(sum(l_quantity), 6) AS l_quantity_sum, "
+            "count(l_quantity) AS l_quantity_count, "
+            "ROUND(avg(l_quantity), 6) AS l_quantity_mean, "
+            "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        # skew/kurt: same expression STRUCTURE as the engine kernel (multiply
+        # chains + sqrt, never POWER), over exactly-representable integer
+        # power sums -> bit-identical before the round
+        "q_skew": (
+            "WITH s AS (SELECT l_returnflag, sum(l_quantity)::DOUBLE s1, "
+            "count(l_quantity)::DOUBLE n, sum(l_quantity*l_quantity)::DOUBLE s2, "
+            "sum(l_quantity*l_quantity*l_quantity)::DOUBLE s3, "
+            "sum(l_quantity*l_quantity*l_quantity*l_quantity)::DOUBLE s4 "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, "
+            "ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*((s1/n)*(s1/n)*(s1/n))) / "
+            "(((s2/n)-(s1/n)*(s1/n)) * sqrt((s2/n)-(s1/n)*(s1/n))), 6) AS l_quantity_skew, "
+            "ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*((s1/n)*(s1/n))*(s2/n) - "
+            "3*((s1/n)*(s1/n)*(s1/n)*(s1/n))) / "
+            "(((s2/n)-(s1/n)*(s1/n))*((s2/n)-(s1/n)*(s1/n))) - 3, 6) AS l_quantity_kurt "
+            "FROM s"
+        ),
+        "q_arg_max": (
+            "SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice_max "
+            "FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn "
+            "FROM orders WHERE o_totalprice IS NOT NULL) WHERE rn = 1"
+        ),
     }

@@ -19,7 +19,8 @@ import pyarrow.compute as pc
 from kamae_ray.functions import arrays as A
 from kamae_ray.functions import segments as S
 
-_STATS = ("sum", "count", "mean", "min", "max", "std", "var", "var_samp", "std_samp")
+_STATS = ("sum", "count", "mean", "min", "max", "std", "var", "var_samp", "std_samp",
+          "skew", "kurt")
 #: partials needed per requested stat
 _NEEDS = {
     "sum": ("sum", "count"),  # count distinguishes empty groups: SQL SUM of all-null = NULL
@@ -31,7 +32,14 @@ _NEEDS = {
     "std_samp": ("sum", "count", "sumsq"),
     "min": ("min",),
     "max": ("max",),
+    # population skewness m3/m2^1.5 and EXCESS kurtosis m4/m2^2 - 3, from raw
+    # power sums (additive partials -> exact cross-block merge for
+    # integer-valued columns, where the sums are exactly representable)
+    "skew": ("sum", "count", "sumsq", "sum3"),
+    "kurt": ("sum", "count", "sumsq", "sum3", "sum4"),
 }
+#: additively-merged partials (the rest are min/max-merged)
+_ADD_PARTIALS = ("sum", "count", "sumsq", "sum3", "sum4")
 
 
 def _moment_stat(st: str, merged: dict, col: str, prefix: str) -> np.ndarray:
@@ -42,6 +50,22 @@ def _moment_stat(st: str, merged: dict, col: str, prefix: str) -> np.ndarray:
     safe = np.where(c == 0, 1, c)
     m = merged[f"{prefix}{col}_sum"] / safe
     ss = np.clip(merged[f"{prefix}{col}_sumsq"] / safe - m * m, 0, None)
+    if st in ("skew", "kurt"):
+        # mirror the oracle's expression STRUCTURE exactly (same multiply
+        # chains, sqrt not **1.5, no POWER) so both engines evaluate the
+        # identical IEEE sequence; with integer-valued inputs the power sums
+        # are exact, so results match bit-for-bit
+        r2 = merged[f"{prefix}{col}_sumsq"] / safe
+        r3 = merged[f"{prefix}{col}_sum3"] / safe
+        m2 = r2 - m * m
+        ok = (c > 0) & (m2 > 0)
+        m2s = np.where(ok, m2, 1.0)
+        if st == "skew":
+            m3 = r3 - 3.0 * m * r2 + 2.0 * (m * m * m)
+            return np.where(ok, m3 / (m2s * np.sqrt(m2s)), np.nan)
+        r4 = merged[f"{prefix}{col}_sum4"] / safe
+        m4 = r4 - 4.0 * m * r3 + 6.0 * (m * m) * r2 - 3.0 * (m * m * m * m)
+        return np.where(ok, m4 / (m2s * m2s) - 3.0, np.nan)
     if st in ("var_samp", "std_samp"):
         denom = np.where(c > 1, c - 1, 1)
         v = np.where(c > 1, ss * c / denom, np.nan)
@@ -97,6 +121,11 @@ def groupby_agg(ds, keys: str | list[str], aggs: dict[str, list[str]]):
                 out[f"__p_{col}_sum"] = pa.array(np.add.reduceat(vz, starts))
             if "sumsq" in need:
                 out[f"__p_{col}_sumsq"] = pa.array(np.add.reduceat(vz * vz, starts))
+            if "sum3" in need:
+                out[f"__p_{col}_sum3"] = pa.array(np.add.reduceat(vz * vz * vz, starts))
+            if "sum4" in need:
+                v2 = vz * vz
+                out[f"__p_{col}_sum4"] = pa.array(np.add.reduceat(v2 * v2, starts))
             if "min" in need:
                 out[f"__p_{col}_min"] = pa.array(np.minimum.reduceat(np.where(ok, v, np.inf), starts))
             if "max" in need:
@@ -116,7 +145,7 @@ def groupby_agg(ds, keys: str | list[str], aggs: dict[str, list[str]]):
         for col, need in partial_specs.items():
             for p in need:
                 v = partials.column(f"__p_{col}_{p}").to_numpy(zero_copy_only=False)[order]
-                if p in ("sum", "count", "sumsq"):
+                if p in _ADD_PARTIALS:
                     merged[f"{col}_{p}"] = np.add.reduceat(v, starts)
                 elif p == "min":
                     merged[f"{col}_{p}"] = np.minimum.reduceat(v, starts)
@@ -134,7 +163,7 @@ def groupby_agg(ds, keys: str | list[str], aggs: dict[str, list[str]]):
                     out[f"{col}_mean"] = pa.array(
                         np.where(c > 0, merged[f"{col}_sum"] / np.where(c == 0, 1, c), np.nan)
                     )
-                elif st in ("std", "var", "var_samp", "std_samp"):
+                elif st in ("std", "var", "var_samp", "std_samp", "skew", "kurt"):
                     out[f"{col}_{st}"] = pa.array(_moment_stat(st, merged, col, ""))
                 elif st == "min":
                     v = merged[f"{col}_min"]
@@ -191,6 +220,11 @@ def _rollup_partial(block: pa.Table, keys: list[str], partial_specs: dict) -> pa
             out[f"__p_{col}_sum"] = pa.array(np.add.reduceat(vz, starts))
         if "sumsq" in need:
             out[f"__p_{col}_sumsq"] = pa.array(np.add.reduceat(vz * vz, starts))
+        if "sum3" in need:
+            out[f"__p_{col}_sum3"] = pa.array(np.add.reduceat(vz * vz * vz, starts))
+        if "sum4" in need:
+            v2 = vz * vz
+            out[f"__p_{col}_sum4"] = pa.array(np.add.reduceat(v2 * v2, starts))
         if "min" in need:
             out[f"__p_{col}_min"] = pa.array(np.minimum.reduceat(np.where(ok, v, np.inf), starts))
         if "max" in need:
@@ -223,7 +257,7 @@ def _merge_partials_np(partials: pa.Table, keys: list[str], partial_specs: dict)
             v = partials.column(f"__p_{col}_{p}").to_numpy(zero_copy_only=False)[order]
             if not len(starts):
                 merged[f"__p_{col}_{p}"] = np.zeros(0, np.float64)
-            elif p in ("sum", "count", "sumsq"):
+            elif p in _ADD_PARTIALS:
                 merged[f"__p_{col}_{p}"] = np.add.reduceat(v, starts)
             elif p == "min":
                 merged[f"__p_{col}_{p}"] = np.minimum.reduceat(v, starts)
@@ -248,7 +282,7 @@ def _final_stats(merged: dict, aggs: dict[str, list[str]]) -> dict:
                 out[f"{col}_mean"] = pa.array(
                     np.where(c > 0, merged[f"__p_{col}_sum"] / np.where(c == 0, 1, c), np.nan)
                 )
-            elif st in ("std", "var", "var_samp", "std_samp"):
+            elif st in ("std", "var", "var_samp", "std_samp", "skew", "kurt"):
                 out[f"{col}_{st}"] = pa.array(_moment_stat(st, merged, col, "__p_"))
             elif st == "min":
                 v = merged[f"__p_{col}_min"]
@@ -295,8 +329,8 @@ def groupby_rollup(ds, keys: str | list[str], aggs: dict[str, list[str]],
         if level == 0 and nrows == 0:
             # SQL: GROUP BY ROLLUP on an EMPTY relation still returns the
             # grand-total grouping-set row (count=0, aggregates NULL)
-            ident = {"sum": 0.0, "count": 0.0, "sumsq": 0.0,
-                     "min": np.inf, "max": -np.inf}
+            ident = {"sum": 0.0, "count": 0.0, "sumsq": 0.0, "sum3": 0.0,
+                     "sum4": 0.0, "min": np.inf, "max": -np.inf}
             merged = {f"__p_{c}_{p}": np.array([ident[p]])
                       for c, need in partial_specs.items() for p in need}
             nrows = 1
@@ -398,6 +432,224 @@ def groupby_rollup(ds, keys: str | list[str], aggs: dict[str, list[str]],
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def groupby_grouping_sets(ds, keys: str | list[str], sets, aggs: dict[str, list[str]],
+                          grouping_id_col: str = "grouping_id",
+                          driver_level_budget: int = 1_000_000):
+    """SQL ``GROUP BY GROUPING SETS (sets...)`` — arbitrary grouping sets over
+    ``keys`` (each set a subset of ``keys``; ``()`` = grand total), with
+    rolled-up key columns NULL and the SQL ``GROUPING(keys...)`` bitmask
+    (bit set = column not in the set; first key = most significant bit).
+
+    Same one-input-pass plan as :func:`groupby_rollup`: per-block partials,
+    ONE small sort-shuffle to the finest (all-keys) level, materialized
+    (bounded by the distinct finest-key count); every grouping set then
+    re-merges those finest partials — never the input. Under
+    ``driver_level_budget`` finest rows all sets compute on the driver with
+    zero extra exchanges; above it each set gets one cheap exchange over the
+    finest partials. sum/count/sumsq/min/max partials merge exactly, so every
+    set's mean/std equal a direct single-set aggregation."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not keys:
+        raise ValueError("groupby_grouping_sets needs at least one key")
+    norm_sets: list[list[str]] = []
+    for s in sets:
+        s = [s] if isinstance(s, str) else list(s)
+        bad = [c for c in s if c not in keys]
+        if bad:
+            raise ValueError(f"grouping set column(s) {bad} not in keys {keys}")
+        # canonical key order inside the set (SQL set semantics)
+        norm_sets.append([k for k in keys if k in s])
+    if not norm_sets:
+        raise ValueError("groupby_grouping_sets needs at least one set")
+    for col, stats in aggs.items():
+        for st in stats:
+            if st not in _STATS:
+                raise ValueError(f"unsupported stat {st!r} for {col!r}")
+    partial_specs: dict[str, tuple] = {}
+    for col, stats in aggs.items():
+        need = []
+        for st in stats:
+            need.extend(_NEEDS[st])
+        partial_specs[col] = tuple(dict.fromkeys(need))
+    nk = len(keys)
+
+    def set_table(partials: pa.Table, incl: list[str], key_types: dict) -> pa.Table:
+        key_out, merged = _merge_partials_np(partials, incl, partial_specs)
+        nrows = len(next(iter(merged.values()))) if merged else 0
+        if not incl and nrows == 0:
+            # SQL: the () grouping set of an EMPTY relation still returns its
+            # one row (count=0, aggregates NULL)
+            ident = {"sum": 0.0, "count": 0.0, "sumsq": 0.0, "sum3": 0.0,
+                     "sum4": 0.0, "min": np.inf, "max": -np.inf}
+            merged = {f"__p_{c}_{p}": np.array([ident[p]])
+                      for c, need in partial_specs.items() for p in need}
+            nrows = 1
+        cols: dict[str, pa.Array] = {}
+        for k in keys:
+            cols[k] = key_out[k] if k in incl else pa.nulls(nrows, key_types[k])
+        cols.update(_final_stats(merged, aggs))
+        gid = sum(1 << (nk - 1 - i) for i, k in enumerate(keys) if k not in incl)
+        cols[grouping_id_col] = pa.array(np.full(nrows, gid, np.int64))
+        return pa.table(cols)
+
+    if isinstance(ds, pa.Table):
+        finest = _rollup_partial(ds, keys, partial_specs)
+        key_types = {k: finest.schema.field(k).type for k in keys}
+        return pa.concat_tables([set_table(finest, s, key_types) for s in norm_sets])
+
+    from kamae_ray.base import collect_tables, dataset_schema
+    from kamae_ray.stages.window import sorted_block_apply
+
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(keys + list(aggs))))
+    except Exception:
+        pass
+    parts = proj.map_batches(
+        lambda b: _rollup_partial(b, keys, partial_specs),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+    def merge_finest(partials: pa.Table) -> pa.Table:
+        key_out, merged = _merge_partials_np(partials, keys, partial_specs)
+        key_out.update({p: pa.array(v) for p, v in merged.items()})
+        return pa.table(key_out)
+
+    finest = sorted_block_apply(parts, keys, merge_finest, "gsets_finest").materialize()
+    sch = dataset_schema(finest)
+    key_types = {k: sch.field(k).type for k in keys}
+    import ray
+
+    if finest.count() <= driver_level_budget:
+        pcols = keys + [f"__p_{c}_{p}" for c, need in partial_specs.items() for p in need]
+        blocks = [t.select(pcols) for t in collect_tables(finest) if t.num_rows]
+        if blocks:
+            ft = pa.concat_tables(blocks)
+        else:
+            ft = pa.table({c: pa.nulls(0, key_types.get(c, pa.float64())) for c in pcols})
+        return ray.data.from_arrow(
+            pa.concat_tables([set_table(ft, s, key_types) for s in norm_sets])
+        )
+
+    outs = []
+    for s in norm_sets:
+        if s == keys:
+            outs.append(finest.map_batches(
+                lambda b, s=s: set_table(b, s, key_types),
+                batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+            ))
+        elif s:
+            # force the surrogate sort: finest is materialized (size known ->
+            # auto would pick Ray's plain sort), but null string keys crash
+            # Ray's native sort partitioner (build-notes lesson 22)
+            outs.append(sorted_block_apply(
+                finest, s, lambda b, s=s: set_table(b, s, key_types),
+                f"gsets_{'_'.join(s)}", force_surrogate=True,
+            ))
+        else:
+            def block_total(b: pa.Table) -> pa.Table:
+                _, merged = _merge_partials_np(b, [], partial_specs)
+                return pa.table({p: pa.array(v) for p, v in merged.items()})
+
+            tiny = collect_tables(finest.map_batches(
+                block_total, batch_format="pyarrow", zero_copy_batch=True, batch_size=None))
+            tiny_ne = [t for t in tiny if t.num_rows]
+            if tiny_ne or tiny:
+                tt = pa.concat_tables(tiny_ne or tiny[:1])
+            else:
+                tt = pa.table({f"__p_{c}_{p}": pa.array([], pa.float64())
+                               for c, need in partial_specs.items() for p in need})
+            outs.append(ray.data.from_arrow(set_table(tt, [], key_types)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def groupby_cube(ds, keys: str | list[str], aggs: dict[str, list[str]],
+                 grouping_id_col: str = "grouping_id",
+                 driver_level_budget: int = 1_000_000):
+    """SQL ``GROUP BY CUBE (keys...)`` — all 2^n grouping sets, via
+    :func:`groupby_grouping_sets` (one input pass; every set re-merges the
+    materialized finest partials)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    n = len(keys)
+    if n > 6:
+        raise ValueError("groupby_cube supports at most 6 keys (64 grouping sets)")
+    sets = [[keys[i] for i in range(n) if (m >> (n - 1 - i)) & 1] for m in range(2 ** n)]
+    return groupby_grouping_sets(ds, keys, sets, aggs,
+                                 grouping_id_col=grouping_id_col,
+                                 driver_level_budget=driver_level_budget)
+
+
+def groupby_arg_extreme(ds, keys: str | list[str], arg_col: str, by_col: str,
+                        mode: str = "max"):
+    """SQL ``arg_max(arg_col, by_col)`` / ``arg_min`` per ``keys`` group, made
+    DETERMINISTIC: among rows tied on the extreme ``by_col`` value the
+    smallest ``arg_col`` wins (nulls last) — the
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY by DESC, arg ASC) = 1``
+    plan, without the window sort over every row. Rows with null ``by_col``
+    are ignored (SQL aggregate semantics); a key whose rows are ALL null-by
+    is absent from the output.
+
+    Scale plan: per-block best-row partials (one vectorized multi-key
+    sort + segment firsts — the combiner, so the exchange carries at most one
+    row per (block, key)), then the SAME kernel over the co-located partials
+    (taking a best-of-bests is idempotent). Both columns keep their native
+    Arrow types end-to-end — no float casts, so int64/timestamp ``by``
+    columns are compared exactly."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if mode not in ("max", "min"):
+        raise ValueError("mode must be max|min")
+    by_order = "descending" if mode == "max" else "ascending"
+    out_by = f"{by_col}_{mode}"
+
+    def best(block: pa.Table) -> pa.Table:
+        cols = keys + [arg_col, by_col]
+        proj = block.select(cols)
+        proj = proj.filter(pc.is_valid(A.as_array(proj.column(by_col))))
+        if proj.num_rows == 0:
+            out = {k: proj.column(k) for k in keys}
+            out[arg_col] = proj.column(arg_col)
+            out[out_by] = proj.column(by_col)
+            return pa.table(out)
+        # global (by, arg) order first, then a STABLE segment sort by key:
+        # each segment's first row is its extreme-by / min-arg winner
+        o1 = pc.sort_indices(
+            proj, sort_keys=[(by_col, by_order), (arg_col, "ascending")],
+            null_placement="at_end",
+        ).to_numpy(zero_copy_only=False)
+        gids = S.group_ids(proj, keys)[o1]
+        o2 = np.argsort(gids, kind="stable")
+        starts, _l = S.segments(gids[o2])
+        winners = pa.array(o1[o2[starts]])
+        out = {k: A.as_array(proj.column(k)).take(winners) for k in keys}
+        out[arg_col] = A.as_array(proj.column(arg_col)).take(winners)
+        out[out_by] = A.as_array(proj.column(by_col)).take(winners)
+        return pa.table(out)
+
+    best.__name__ = f"arg_{mode}_partial"
+    if isinstance(ds, pa.Table):
+        return best(ds)
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(keys + [arg_col, by_col])))
+    except Exception:
+        pass
+    parts = proj.map_batches(best, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def merge(partials: pa.Table) -> pa.Table:
+        if out_by in partials.column_names and by_col not in partials.column_names:
+            partials = partials.rename_columns(
+                [by_col if c == out_by else c for c in partials.column_names])
+        return best(partials)
+
+    merge.__name__ = f"arg_{mode}_finalize"
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(parts, keys, merge, f"arg_{mode}_finalize")
 
 
 def distinct(ds, cols: str | list[str]):

@@ -2878,6 +2878,30 @@ def _q_arg_max(sf_dir):
     )
 
 
+def _q_bloom_semi(sf_dir):
+    """EXACT EXISTS filter with a Bloom prefilter: lineitem rows whose part
+    has p_size >= 46. Right blocks build fixed-size bitmaps (OR-reduced in
+    two levels — driver holds O(2^bits), never O(keys)); the broadcast bloom
+    prunes the left in one map pass so only candidates enter the exact
+    shuffle-join verify. Output equals the plain semi join (false positives
+    die in the verify), which is what the oracle certifies."""
+    import pyarrow.dataset as pds
+
+    from kamae_ray.sources.io import read_parquet_clean
+    from kamae_ray.stages.join import bloom_semi_join
+
+    left = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+    right = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"],
+        filter=pds.field("p_size") >= 46,
+    )
+    right = right.map_batches(
+        lambda b: b.select(["p_partkey"]).rename_columns(["l_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    return bloom_semi_join(left, right, "l_partkey", "semi", bits_log2=20)
+
+
 def _q_decontaminate(sf_dir):
     """Benchmark decontamination (GPT-3/Gopher n-gram overlap rule): flag
     corpus documents sharing a word 3-gram with the benchmark slice
@@ -3042,6 +3066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cube": _q_cube,
         "q_skew": _q_skew,
         "q_arg_max": _q_arg_max,
+        "q_bloom_semi": _q_bloom_semi,
     }
 
 
@@ -4169,5 +4194,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
             "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn "
             "FROM orders WHERE o_totalprice IS NOT NULL) WHERE rn = 1"
+        ),
+        # bloom prefilter + exact verify == plain EXISTS (fp rows die in the
+        # verify join, so the SQL is the certificate the filter is exact)
+        "q_bloom_semi": (
+            "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l "
+            "WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey "
+            "AND p.p_size >= 46)"
         ),
     }

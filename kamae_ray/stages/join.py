@@ -410,6 +410,148 @@ def shuffle_join(
     return sorted_block_apply(lt.union(rt), group_cols, merge_parts, "shuffle_join_merge")
 
 
+def _bloom_hashes(table_or_batch: pa.Table, on: list[str]):
+    """(h1, h2, valid) double-hashing bases for the join key tuple: h2 is
+    odd so the Kirsch-Mitzenmacher probe sequence h1 + i*h2 covers the
+    power-of-two bit space. Null key tuples are invalid (SQL: never match)."""
+    from kamae_ray.stages.sketches import _hash_any, _splitmix64
+
+    h1, valid = _hash_any(_combined_key(table_or_batch, on))
+    with np.errstate(over="ignore"):
+        h2 = _splitmix64(h1) | np.uint64(1)
+    return h1, h2, valid
+
+
+def bloom_semi_join(left, right, on: str | list[str], how: str = "semi",
+                    bits_log2: int = 23, n_hashes: int = 4,
+                    reduce_partitions: int = 8):
+    """EXACT SQL EXISTS / NOT EXISTS filter (semi/anti join) with a Bloom
+    prefilter — the scale plan for a right side whose distinct keys are too
+    big to broadcast while the left is far bigger still:
+
+    1. right blocks each build a local 2^bits_log2-bit Bloom bitmap of their
+       distinct keys (a FIXED-size partial, independent of key count);
+    2. bitmaps OR-reduce in two levels (per-block -> ``reduce_partitions``
+       groups -> driver), so driver traffic is O(reduce_partitions * 2^bits)
+       bytes, never O(keys);
+    3. the broadcast bitmap filters the left in one map pass — only bloom
+       candidates (true matches + ~fp_rate of the rest) enter the exact
+       :func:`shuffle_join` verify, shrinking the all-to-all exchange by the
+       left's non-matching fraction;
+    4. the verify join keeps the result EXACT (false positives are dropped
+       there), so the output equals plain ``shuffle_join(..., how)``.
+
+    ``how='anti'``: rows the bloom rejects are DEFINITE non-matches and
+    bypass the exchange entirely; only candidates are verified. (The anti
+    path evaluates the prefilter map twice — once per branch — because both
+    branches stream from the input; the hash is cheap relative to the
+    exchange it avoids.) Size ``bits_log2`` to ~10 bits per expected distinct
+    right key for a ~1% false-positive rate."""
+    on = [on] if isinstance(on, str) else list(on)
+    if how not in ("semi", "anti"):
+        raise ValueError("how must be semi|anti")
+    if not 10 <= bits_log2 <= 33:
+        raise ValueError("bits_log2 must be in [10, 33]")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    m = np.uint64(1 << bits_log2)
+    mask = np.uint64(m - np.uint64(1))
+    n_words = int(m) >> 6
+
+    def bloom_partial(block: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, np.uint64)
+        if block.num_rows:
+            h1, h2, valid = _bloom_hashes(block, on)
+            h1, h2 = h1[valid], h2[valid]
+            with np.errstate(over="ignore"):
+                for i in range(n_hashes):
+                    pos = (h1 + np.uint64(i) * h2) & mask
+                    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                                     np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"__bloom": pa.array([words.tobytes()], pa.binary())})
+
+    bloom_partial.__name__ = "bloom_build_partial"
+
+    def or_rows(block: pa.Table) -> pa.Table:
+        acc = np.zeros(n_words, np.uint64)
+        for b in block.column("__bloom").to_pylist():
+            acc |= np.frombuffer(b, np.uint64)
+        return pa.table({"__bloom": pa.array([acc.tobytes()], pa.binary())})
+
+    or_rows.__name__ = "bloom_or_reduce"
+
+    table_path = isinstance(left, pa.Table)
+    if isinstance(right, pa.Table):
+        words = np.frombuffer(
+            bloom_partial(right).column("__bloom")[0].as_py(), np.uint64
+        ).copy()
+    else:
+        from kamae_ray.base import collect_tables
+
+        parts = right.map_batches(bloom_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+        parts = parts.repartition(reduce_partitions).map_batches(
+            or_rows, batch_format="pyarrow", batch_size=None)
+        words = np.zeros(n_words, np.uint64)
+        for t in collect_tables(parts):
+            for b in t.column("__bloom").to_pylist():
+                words |= np.frombuffer(b, np.uint64)
+
+    def candidate_mask(block: pa.Table, w: np.ndarray) -> np.ndarray:
+        h1, h2, ok = _bloom_hashes(block, on)
+        with np.errstate(over="ignore"):
+            for i in range(n_hashes):
+                pos = (h1 + np.uint64(i) * h2) & mask
+                bit = (w[(pos >> np.uint64(6)).astype(np.int64)]
+                       >> (pos & np.uint64(63))) & np.uint64(1)
+                ok &= bit.astype(bool)
+                if not ok.any():
+                    break
+        return ok
+
+    if table_path:
+        cand = candidate_mask(left, words) if left.num_rows else np.zeros(0, bool)
+        cands = left.filter(pa.array(cand))
+        if not isinstance(right, pa.Table):
+            import ray
+
+            cands = ray.data.from_arrow(cands)
+        verified = shuffle_join(cands, right, on, how=how)
+        if how == "semi":
+            return verified
+        definite = left.filter(pa.array(~cand)) if left.num_rows else left
+        if isinstance(verified, pa.Table):
+            return pa.concat_tables([definite, verified])
+        import ray
+
+        return ray.data.from_arrow(definite).union(verified)
+    import ray
+
+    words_ref = ray.put(words)
+
+    def keep(block: pa.Table) -> pa.Table:
+        if not block.num_rows:
+            return block
+        return block.filter(pa.array(candidate_mask(block, ray.get(words_ref))))
+
+    keep.__name__ = "bloom_prefilter"
+
+    def reject(block: pa.Table) -> pa.Table:
+        if not block.num_rows:
+            return block
+        return block.filter(pa.array(~candidate_mask(block, ray.get(words_ref))))
+
+    reject.__name__ = "bloom_definite_nonmatch"
+    cands = left.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+    verified = shuffle_join(cands, right, on, how=how)
+    if how == "semi":
+        return verified
+    definite = left.map_batches(reject, batch_format="pyarrow", zero_copy_batch=True,
+                                batch_size=None)
+    return definite.union(verified)
+
+
 def fuzzy_join(
     ds,
     right: pa.Table,

@@ -2878,6 +2878,18 @@ def _q_arg_max(sf_dir):
     )
 
 
+def _q_zorder(sf_dir):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) — the
+    write-layout primitive that keeps a 100-TB table range-prunable on BOTH
+    dimensions at once (row-group min-max stats bound each dim per chunk).
+    Pure vectorized shifts; the oracle is GENERATED from the same
+    (cols, bits) spec (hashing.zorder_oracle_sql)."""
+    from kamae_ray.stages.hashing import zorder_key
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+    return zorder_key(ds, ["l_partkey", "l_suppkey"], bits=12)
+
+
 def _q_bloom_semi(sf_dir):
     """EXACT EXISTS filter with a Bloom prefilter: lineitem rows whose part
     has p_size >= 46. Right blocks build fixed-size bitmaps (OR-reduced in
@@ -3067,6 +3079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skew": _q_skew,
         "q_arg_max": _q_arg_max,
         "q_bloom_semi": _q_bloom_semi,
+        "q_zorder": _q_zorder,
     }
 
 
@@ -4201,5 +4214,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l "
             "WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey "
             "AND p.p_size >= 46)"
+        ),
+        # oracle generated from the same (cols, bits) spec as the engine
+        "q_zorder": (
+            "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+            + __import__("kamae_ray.stages.hashing", fromlist=["x"]).zorder_oracle_sql(
+                ["l_partkey", "l_suppkey"], 12)
+            + " FROM lineitem"
         ),
     }

@@ -669,3 +669,67 @@ def mix_corpora(sources, key_col: str, salt: int = 0, source_col: str = "mix_sou
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def zorder_key(ds, cols: list[str], bits: int = 16, out_col: str = "zorder_key",
+               sort: bool = False):
+    """Z-order (Morton) interleaved clustering key over 2-4 NON-NEGATIVE
+    integer columns — the multi-dimensional layout primitive: sorting /
+    partitioning / writing by the key gives locality in EVERY participating
+    dimension at once, so parquet row-group min-max statistics prune
+    multi-column range predicates (a single-column sort only ever prunes its
+    own column). This is how a 100-TB table stays range-prunable on
+    (tenant, time) or (lat-bucket, lon-bucket) simultaneously.
+
+    Each value is masked to its low ``bits`` bits (callers pre-scale —
+    quantile-bucket or rank — so the masked range is meaningful); bit ``i``
+    of column ``j`` lands at output position ``i * len(cols) + (len(cols) -
+    1 - j)`` (the FIRST column is the more significant within each bit
+    group). Pure vectorized shifts per batch; ``bits * len(cols)`` must fit
+    in a signed int64 (<= 62). Negative or null values raise — a clustering
+    key must be total.
+
+    ``sort=True`` returns the Dataset range-partitioned by the key (one
+    distributed sort), the write-side clustering step."""
+    cols = list(cols)
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder_key takes 2-4 columns")
+    if not 1 <= bits * len(cols) <= 62:
+        raise ValueError("bits * len(cols) must be in [1, 62]")
+    k = len(cols)
+    one = np.int64(1)
+
+    def kern(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        out = np.zeros(n, np.int64)
+        for j, c in enumerate(cols):
+            arr = A.as_array(block.column(c))
+            if arr.null_count:
+                raise ValueError(f"zorder_key: null in {c!r} — a clustering key must be total")
+            v = arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            if n and v.min() < 0:
+                raise ValueError(f"zorder_key: negative value in {c!r}")
+            v = v & np.int64((1 << bits) - 1)
+            base = np.int64(k - 1 - j)
+            for i in range(bits):
+                out |= ((v >> np.int64(i)) & one) << (np.int64(i) * k + base)
+        return block.append_column(out_col, pa.array(out))
+
+    kern.__name__ = "zorder_key"
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    out = ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    return out.sort(out_col) if sort else out
+
+
+def zorder_oracle_sql(cols: list[str], bits: int, out_col: str = "zorder_key") -> str:
+    """The SQL expression computing the SAME interleave (for oracle
+    generation): a sum of shifted single-bit terms."""
+    k = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            shift = i * k + (k - 1 - j)
+            terms.append(f"(((({c} & {(1 << bits) - 1}) >> {i}) & 1) << {shift})")
+    return "(" + " | ".join(terms) + f") AS {out_col}"

@@ -2878,6 +2878,22 @@ def _q_arg_max(sf_dir):
     )
 
 
+def _q_hopping(sf_dir):
+    """Hopping event-time windows (Flink/Beam semantics): 1-hour windows at
+    15-minute hops per user — each event expands to its k=4 windows in one
+    vectorized map, then ONE partial-agg groupby on (user, window_start)
+    (blocks pre-aggregate, so the exchange carries partials, not the 4x
+    expansion). window_start stays a native timestamp."""
+    from kamae_ray.stages.window import hopping_window_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = hopping_window_agg(ds, "user_id", "ts", 3600, 900,
+                             {"value": ["sum", "count"]})
+    return out.map_batches(
+        _rounder(["value_sum"]), batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_zorder(sf_dir):
     """Z-order (Morton) clustering key over (l_partkey, l_suppkey) — the
     write-layout primitive that keeps a 100-TB table range-prunable on BOTH
@@ -3080,6 +3096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_arg_max": _q_arg_max,
         "q_bloom_semi": _q_bloom_semi,
         "q_zorder": _q_zorder,
+        "q_hopping": _q_hopping,
     }
 
 
@@ -4214,6 +4231,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l "
             "WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey "
             "AND p.p_size >= 46)"
+        ),
+        # hopping windows: start = floor(epoch/hop)*hop - i*hop, i in 0..k-1
+        # (exact integer arithmetic on the us epoch; k = size/hop = 4)
+        "q_hopping": (
+            "WITH x AS (SELECT user_id, value, "
+            "(epoch_us(ts) // 900000000) * 900000000 - i * 900000000 AS ws "
+            "FROM events CROSS JOIN range(0, 4) r(i)) "
+            "SELECT user_id, to_timestamp(ws // 1000000)::TIMESTAMP AS window_start, "
+            "ROUND(sum(value), 6) AS value_sum, count(value) AS value_count "
+            "FROM x GROUP BY user_id, ws"
         ),
         # oracle generated from the same (cols, bits) spec as the engine
         "q_zorder": (

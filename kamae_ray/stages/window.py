@@ -1629,3 +1629,71 @@ def transition_counts(ds, entity_cols, time_col: str, event_col: str,
     if isinstance(agg, pa.Table):
         return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def hopping_window_agg(ds, entity_cols, time_col: str, size_s: int, hop_s: int,
+                       aggs: dict, window_col: str = "window_start"):
+    """Hopping (sliding) event-time window aggregate — and its ``size_s ==
+    hop_s`` special case, the tumbling window: one output row per (entity,
+    window start) where window starts are the multiples of ``hop_s`` and each
+    window covers ``[start, start + size_s)``. ``size_s`` must be an integer
+    multiple of ``hop_s``; an event at time t then belongs to EXACTLY
+    ``k = size_s // hop_s`` windows (starts ``floor(t/hop)*hop - i*hop``,
+    i in 0..k-1) — the standard streaming-window decomposition (Flink/Beam
+    semantics, epoch-aligned, no calendar windows).
+
+    ``size_s``/``hop_s`` are in SECONDS for timestamp columns (scaled by the
+    column's native unit — the retention_cohorts contract); plain integer
+    time columns use them as raw units. Null timestamps are dropped.
+
+    Scale plan: a vectorized map expands each row into its k window rows
+    (np.repeat + tiled offsets — k is small by construction: the expansion
+    factor IS the overlap factor), then ONE partial-agg
+    :func:`~kamae_ray.stages.aggregate.groupby_agg` on
+    (entity, window_start): blocks pre-aggregate before the exchange, so the
+    shuffle carries one partial row per (block, entity, window), not k rows
+    per event. ``window_col`` returns in the column's native type."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    entity_cols = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    size_s, hop_s = int(size_s), int(hop_s)
+    if hop_s <= 0 or size_s <= 0 or size_s % hop_s != 0:
+        raise ValueError("need size_s > 0, hop_s > 0 and size_s % hop_s == 0")
+    k = size_s // hop_s
+
+    def expand(block: pa.Table) -> pa.Table:
+        t_arr = A.as_array(block.column(time_col))
+        is_ts = pa.types.is_timestamp(t_arr.type)
+        if is_ts:
+            unit = t_arr.type.unit
+            per = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
+        else:
+            per = 1
+        hop = np.int64(hop_s * per)
+        tv = pc.cast(t_arr, pa.int64(), safe=False)
+        valid = pc.is_valid(tv)
+        if not pc.all(valid).as_py():
+            block = block.filter(valid)
+            tv = pc.cast(A.as_array(block.column(time_col)), pa.int64(), safe=False)
+        n = block.num_rows
+        t = tv.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        base = (t // hop) * hop  # numpy // floors: negative epochs stay exact
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        starts = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), n) * hop
+        out = block.take(pa.array(idx))
+        w = pa.array(starts)
+        if is_ts:
+            w = w.cast(pa.timestamp(unit))
+        return out.append_column(window_col, w)
+
+    expand.__name__ = "hopping_expand"
+    if isinstance(ds, pa.Table):
+        return groupby_agg(expand(ds), entity_cols + [window_col], aggs)
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(entity_cols + [time_col] + list(aggs))))
+    except Exception:
+        pass
+    expanded = proj.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True,
+                                batch_size=None)
+    return groupby_agg(expanded, entity_cols + [window_col], aggs)

@@ -2878,6 +2878,21 @@ def _q_arg_max(sf_dir):
     )
 
 
+def _q_resample(sf_dir):
+    """Time-series resample + LOCF gap fill: hourly buckets per user, one
+    deterministic cell value per (user, hour) (latest event; ties -> smallest
+    value), every gap between a user's first and last hour filled forward.
+    One arg-extreme pass (per-block combiner) + one entity exchange + a
+    marker-scatter/segment-cumsum dense kernel — no per-entity Python."""
+    from kamae_ray.stages.window import resample_locf
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = resample_locf(ds, "user_id", "ts", "value", 3600)
+    return out.map_batches(
+        _rounder(["value"]), batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_hopping(sf_dir):
     """Hopping event-time windows (Flink/Beam semantics): 1-hour windows at
     15-minute hops per user — each event expands to its k=4 windows in one
@@ -3097,6 +3112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semi": _q_bloom_semi,
         "q_zorder": _q_zorder,
         "q_hopping": _q_hopping,
+        "q_resample": _q_resample,
     }
 
 
@@ -4231,6 +4247,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l "
             "WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey "
             "AND p.p_size >= 46)"
+        ),
+        # resample + LOCF: the generate_series + last_value IGNORE NULLS plan;
+        # cell winner = ROW_NUMBER (ts DESC, value ASC) = 1, the same
+        # deterministic tiebreak the engine's arg-extreme kernel uses
+        "q_resample": (
+            "WITH cells AS (SELECT user_id, b, value FROM ("
+            "SELECT user_id, epoch_us(ts) // 3600000000 AS b, value, ts, "
+            "row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000 "
+            "ORDER BY ts DESC, value ASC) rn FROM events WHERE ts IS NOT NULL) "
+            "WHERE rn = 1), "
+            "rng AS (SELECT user_id, unnest(generate_series(mn, mx)) AS b FROM ("
+            "SELECT user_id, min(b) mn, max(b) mx FROM cells GROUP BY user_id)), "
+            "j AS (SELECT rng.user_id, rng.b, cells.value, "
+            "cells.b IS NOT NULL AS observed FROM rng LEFT JOIN cells "
+            "ON cells.user_id = rng.user_id AND cells.b = rng.b) "
+            "SELECT user_id, to_timestamp((b * 3600000000) // 1000000)::TIMESTAMP "
+            "AS bucket_start, ROUND(last_value(value IGNORE NULLS) OVER ("
+            "PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING), 6) AS value, "
+            "observed FROM j"
         ),
         # hopping windows: start = floor(epoch/hop)*hop - i*hop, i in 0..k-1
         # (exact integer arithmetic on the us epoch; k = size/hop = 4)

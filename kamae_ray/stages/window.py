@@ -1697,3 +1697,124 @@ def hopping_window_agg(ds, entity_cols, time_col: str, size_s: int, hop_s: int,
     expanded = proj.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True,
                                 batch_size=None)
     return groupby_agg(expanded, entity_cols + [window_col], aggs)
+
+
+def resample_locf(ds, entity_cols, time_col: str, value_col: str, bucket_s: int,
+                  out_bucket: str = "bucket_start",
+                  out_observed: str = "observed",
+                  max_buckets_per_entity: int = 1_000_000):
+    """Time-series resample + gap fill: bucket each entity's events to
+    ``bucket_s``-wide epoch buckets, keep ONE value per (entity, bucket) (the
+    latest event's value; equal-timestamp ties resolve to the SMALLEST value
+    — the deterministic ROW_NUMBER plan), then emit EVERY bucket between the
+    entity's first and last observation with missing buckets carried forward
+    (LOCF). ``observed`` marks real vs filled rows. ``bucket_s`` follows the
+    seconds contract for timestamp columns (scaled by the native unit);
+    plain-int time columns use raw units.
+
+    Scale plan: one :func:`~kamae_ray.stages.aggregate.groupby_arg_extreme`
+    pass reduces events to (entity, bucket) cells (per-block combiner), then
+    ONE entity sort-shuffle and a fully vectorized block kernel builds the
+    dense range per entity — output positions by repeat/arange, the LOCF
+    source index by a marker-scatter + segment-reset cumsum; no per-entity
+    Python. An entity's dense range is capped by
+    ``max_buckets_per_entity`` (a sparse entity spanning years of
+    seconds-resolution buckets would otherwise explode the output) — raise
+    the cap deliberately, the output is the dense matrix by design."""
+    from kamae_ray.stages.aggregate import groupby_arg_extreme
+
+    entity_cols = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    bucket_s = int(bucket_s)
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be > 0")
+
+    is_table = isinstance(ds, pa.Table)
+    # resolve the time type ON THE DRIVER (schema metadata): kernel closures
+    # run in remote tasks, so a mutated dict would never make it back
+    if is_table:
+        t_type = ds.schema.field(time_col).type
+    else:
+        from kamae_ray.base import dataset_schema
+
+        t_type = dataset_schema(ds).field(time_col).type
+    if pa.types.is_timestamp(t_type):
+        meta = {"is_ts": True, "unit": t_type.unit}
+        _per = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[t_type.unit]
+    else:
+        meta = {"is_ts": False, "unit": None}
+        _per = 1
+    width = np.int64(bucket_s * _per)
+
+    def to_buckets(block: pa.Table) -> pa.Table:
+        t_arr = A.as_array(block.column(time_col))
+        tv = pc.cast(t_arr, pa.int64(), safe=False)
+        valid = pc.is_valid(tv)
+        if not pc.all(valid).as_py():
+            block = block.filter(valid)
+            tv = pc.cast(A.as_array(block.column(time_col)), pa.int64(), safe=False)
+        t = tv.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        out = block.select(entity_cols + [time_col, value_col])
+        return out.append_column("__kr_bucket", pa.array(t // width))
+
+    to_buckets.__name__ = "resample_bucketize"
+    bucketed = to_buckets(ds) if is_table else ds.map_batches(
+        to_buckets, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # latest value per cell (ties: max time, then MIN value — deterministic)
+    cells = groupby_arg_extreme(bucketed, entity_cols + ["__kr_bucket"],
+                                value_col, time_col, "max")
+
+    def densify(block: pa.Table) -> pa.Table:
+        width_native = np.int64(bucket_s * (
+            {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[meta["unit"]]
+            if meta["is_ts"] else 1))
+
+        def bucket_arr(vals: np.ndarray) -> pa.Array:
+            w = pa.array(vals * width_native)
+            return w.cast(pa.timestamp(meta["unit"])) if meta["is_ts"] else w
+
+        if block.num_rows == 0:
+            out = {k: block.column(k) for k in entity_cols}
+            out[out_bucket] = bucket_arr(np.zeros(0, np.int64))
+            out[value_col] = block.column(value_col)
+            out[out_observed] = pa.array([], pa.bool_())
+            return pa.table(out)
+        gids = S.group_ids(block, entity_cols)
+        b = block.column("__kr_bucket").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, gids))
+        gs, bs = gids[order], b[order]
+        starts, lens = S.segments(gs)
+        firsts = bs[starts]
+        lasts = bs[starts + lens - 1]
+        out_lens = lasts - firsts + 1
+        if (out_lens > max_buckets_per_entity).any():
+            worst = int(out_lens.max())
+            raise ValueError(
+                f"resample_locf: an entity spans {worst} buckets "
+                f"(> max_buckets_per_entity={max_buckets_per_entity})")
+        out_n = int(out_lens.sum())
+        seg_rep = np.repeat(np.arange(len(starts)), out_lens)
+        out_starts = np.concatenate(([0], np.cumsum(out_lens)[:-1]))
+        intra = np.arange(out_n, dtype=np.int64) - out_starts[seg_rep]
+        out_buckets = firsts[seg_rep] + intra
+        # marker-scatter: each observed cell lands at its dense position;
+        # segment-reset cumsum turns markers into the LOCF source index
+        marker = np.zeros(out_n, np.int64)
+        obs_pos = out_starts[np.repeat(np.arange(len(starts)), lens)] + (bs - firsts[np.repeat(np.arange(len(starts)), lens)])
+        marker[obs_pos] = 1
+        cum = np.cumsum(marker)
+        src_rank = cum - cum[out_starts][seg_rep] + marker[out_starts][seg_rep] - 1
+        # src_rank is the 0-based index of the governing observation WITHIN
+        # the segment; map to global sorted row index
+        src_global = starts[seg_rep] + src_rank
+        take_idx = pa.array(order[src_global])
+        ent_firsts = order[starts][seg_rep]
+        out = {k: A.as_array(block.column(k)).take(pa.array(ent_firsts)) for k in entity_cols}
+        out[out_bucket] = bucket_arr(out_buckets)
+        out[value_col] = A.as_array(block.column(value_col)).take(take_idx)
+        out[out_observed] = pa.array(marker.astype(bool))
+        return pa.table(out)
+
+    densify.__name__ = "resample_densify"
+    if isinstance(cells, pa.Table):
+        return densify(cells)
+    return sorted_block_apply(cells, entity_cols, densify, "resample_densify")

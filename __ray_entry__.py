@@ -2878,6 +2878,21 @@ def _q_arg_max(sf_dir):
     )
 
 
+def _q_cat_stats(sf_dir):
+    """Per-user categorical distribution stats over event_type: n,
+    n_distinct, Shannon entropy (nats), Gini impurity. One pair-count
+    combiner pass + one key exchange over (user, type, count) cells; counts
+    are integers so n/n_distinct/gini are cross-engine exact, entropy is a
+    value-sorted ln sum (~1 ULP)."""
+    from kamae_ray.stages.aggregate import groupby_cat_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = groupby_cat_stats(ds, "user_id", "event_type")
+    return out.map_batches(
+        _rounder(["entropy", "gini"]), batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3113,6 +3128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zorder": _q_zorder,
         "q_hopping": _q_hopping,
         "q_resample": _q_resample,
+        "q_cat_stats": _q_cat_stats,
     }
 
 
@@ -4247,6 +4263,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l "
             "WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey "
             "AND p.p_size >= 46)"
+        ),
+        # entropy/gini from integer pair counts (gini exact; entropy ~1 ULP)
+        "q_cat_stats": (
+            "WITH c AS (SELECT user_id, event_type, count(*)::DOUBLE cnt "
+            "FROM events WHERE event_type IS NOT NULL GROUP BY user_id, event_type) "
+            "SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS n_distinct, "
+            "ROUND(ln(SUM(cnt)) - SUM(cnt*ln(cnt))/SUM(cnt), 6) AS entropy, "
+            "ROUND(1 - SUM(cnt*cnt)/(SUM(cnt)*SUM(cnt)), 6) AS gini "
+            "FROM c GROUP BY user_id"
         ),
         # resample + LOCF: the generate_series + last_value IGNORE NULLS plan;
         # cell winner = ROW_NUMBER (ts DESC, value ASC) = 1, the same

@@ -652,6 +652,72 @@ def groupby_arg_extreme(ds, keys: str | list[str], arg_col: str, by_col: str,
     return sorted_block_apply(parts, keys, merge, f"arg_{mode}_finalize")
 
 
+def groupby_cat_stats(ds, keys: str | list[str], col: str):
+    """Categorical distribution stats per ``keys`` group over ``col`` (nulls
+    ignored, SQL aggregate semantics): ``n`` (non-null rows), ``n_distinct``,
+    Shannon ``entropy`` (nats) and Gini impurity ``gini`` = 1 - sum(p^2).
+
+    Scale plan: ONE pair-count pass (:func:`groupby_agg` over
+    keys + [col] — per-block combiner, the exchange carries distinct pairs),
+    then one key exchange over the tiny (key, value, count) cells and a
+    segmented kernel. Counts are integers, so ``n``/``n_distinct``/``gini``
+    are exact across engines; ``entropy`` sums ln terms (value-sorted order)
+    and is exact to ~1 ULP."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def drop_null_vals(block: pa.Table) -> pa.Table:
+        arr = A.as_array(block.column(col))
+        if arr.null_count:
+            block = block.filter(arr.is_valid())
+        # groupby_agg counts a NUMERIC value column; the category column is a
+        # key here, so count a constant instead
+        return block.append_column("__kr_one", pa.array(np.ones(block.num_rows, np.int64)))
+
+    drop_null_vals.__name__ = "cat_stats_dropnull"
+    src = ds
+    if isinstance(ds, pa.Table):
+        src = drop_null_vals(ds)
+    else:
+        try:
+            src = ds.select_columns(list(dict.fromkeys(keys + [col])))
+        except Exception:
+            pass
+        src = src.map_batches(drop_null_vals, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    cells = groupby_agg(src, keys + [col], {"__kr_one": ["count"]})
+    cnt_col = "__kr_one_count"
+
+    def finish(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            out = {k: block.column(k) for k in keys}
+            out["n"] = pa.array([], pa.int64())
+            out["n_distinct"] = pa.array([], pa.int64())
+            out["entropy"] = pa.array([], pa.float64())
+            out["gini"] = pa.array([], pa.float64())
+            return pa.table(out)
+        gids = S.group_ids(block, keys)
+        c = block.column(cnt_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(gids, kind="stable")
+        gs, cs = gids[order], c[order]
+        starts, lens = S.segments(gs)
+        firsts = order[starts]
+        n = np.add.reduceat(cs, starts)
+        slog = np.add.reduceat(cs * np.log(cs), starts)
+        s2 = np.add.reduceat(cs * cs, starts)
+        out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in keys}
+        out["n"] = pa.array(n.astype(np.int64))
+        out["n_distinct"] = pa.array(lens.astype(np.int64))
+        out["entropy"] = pa.array(np.log(n) - slog / n)
+        out["gini"] = pa.array(1.0 - s2 / (n * n))
+        return pa.table(out)
+
+    if isinstance(cells, pa.Table):
+        return finish(cells)
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(cells, keys, finish, "cat_stats_finish")
+
+
 def distinct(ds, cols: str | list[str]):
     """SQL ``SELECT DISTINCT cols``: one row per distinct tuple (all-null
     tuples collapse to one row, SQL DISTINCT semantics).

@@ -197,3 +197,42 @@ def test_arg_extreme_matches_row_number_plan(ray_session, mode):
     assert groupby_arg_extreme(t2, "a", "id", "v", mode).num_rows == 0
     with pytest.raises(ValueError):
         groupby_arg_extreme(t, "a", "id", "v", "median")
+
+
+def test_groupby_cat_stats_vs_duckdb(ray_session):
+    import ray
+
+    from kamae_ray.stages.aggregate import groupby_cat_stats
+
+    rng = np.random.default_rng(5)
+    n = 9000
+    t = pa.table({
+        "k": pa.array(list(rng.choice(["a", "b", "c", "d"], n))),
+        "v": pa.array(list(rng.choice(["p", "q", "r", "s", "t", None], n,
+                                      p=[.3, .25, .2, .15, .07, .03])), pa.string()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        "WITH c AS (SELECT k, v, count(*)::DOUBLE cnt FROM t WHERE v IS NOT NULL "
+        "GROUP BY k, v) SELECT k, CAST(SUM(cnt) AS BIGINT) n, COUNT(*) n_distinct, "
+        "ln(SUM(cnt)) - SUM(cnt*ln(cnt))/SUM(cnt) AS entropy, "
+        "1 - SUM(cnt*cnt)/(SUM(cnt)*SUM(cnt)) AS gini FROM c GROUP BY k ORDER BY k"
+    ).df()
+    builtin = con.sql("SELECT k, entropy(v) e FROM t GROUP BY k ORDER BY k").df()
+    for src in (t, ray.data.from_arrow(t).repartition(6)):
+        out = groupby_cat_stats(src, "k", "v")
+        if not isinstance(out, pa.Table):
+            out = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+        got = out.to_pandas().sort_values("k").reset_index(drop=True)
+        assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+        assert (got["n_distinct"].to_numpy() == want["n_distinct"].to_numpy(int)).all()
+        # integer count sums -> gini is bit-exact; entropy to ~1 ULP, and it
+        # equals DuckDB's builtin (base-2) entropy after the base change
+        assert np.array_equal(got["gini"].to_numpy(), want["gini"].to_numpy())
+        assert np.abs(got["entropy"].to_numpy() - want["entropy"].to_numpy()).max() < 1e-12
+        assert np.allclose(got["entropy"].to_numpy() / np.log(2), builtin["e"].to_numpy())
+    # single-value group: entropy 0, gini 0; all-null group absent
+    t2 = pa.table({"k": ["a", "a", "b"], "v": ["x", "x", None]})
+    o2 = groupby_cat_stats(t2, "k", "v").to_pylist()
+    assert o2 == [{"k": "a", "n": 2, "n_distinct": 1, "entropy": 0.0, "gini": 0.0}]

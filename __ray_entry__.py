@@ -909,6 +909,48 @@ def _q_ann_ivf_index(sf_dir):
 
 
 
+def _pq_codebook(sf_dir):
+    """Deterministic data-independent PQ codebook: the embeddings of
+    vec_id 0..15 (the q_ann_ivf move) — makes the code assignment an argmin
+    over constant vectors that SQL reproduces exactly."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    rows = t.filter(pc.less(t.column("vec_id"), 16)).sort_by("vec_id")
+    return np.asarray(rows.column("embedding").to_pylist(), dtype=np.float64)
+
+
+def _q_pq_encode(sf_dir):
+    """Product-quantization encoding (``ann.pq_encode``): every 64-dim
+    embedding compressed to 8 four-bit codes packed in ONE int64 — the
+    in-memory compression half of the IVF+PQ scale path. Fixed-point
+    integer distances (floor(v*2^20)) make the per-subspace argmin
+    bit-identical in numpy and DuckDB; stateless map_batches, no shuffle.
+    Oracle GENERATED from the same constants (ann.pq_encode_oracle_sql)."""
+    from kamae_ray.pipelines.ann import pq_encode
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_encode(ds, "embedding", "vec_id", _pq_codebook(sf_dir), 8)
+
+
+def _q_pq_topk(sf_dir):
+    """ADC approximate top-k over PQ codes (``ann.pq_topk``): per query one
+    (M, K) integer distance table built on the driver; each batch scores its
+    vectors with M table gathers instead of a 64-dim dot product. Exact
+    integer distances -> hash-exact SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.ann import pq_topk
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    qrows = t.filter(pc.is_in(t.column("vec_id"), value_set=pa.array([0, 1]))).sort_by("vec_id")
+    queries = np.asarray(qrows.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_topk(ds, queries, "embedding", "vec_id", _pq_codebook(sf_dir), 8, k=10)
+
+
 def _split_thresholds():
     from kamae_ray.stages import HashSplitTransformer
 
@@ -3030,6 +3072,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_join": _q_range_join,
         "q_ngrams": _q_ngrams,
         "q_robust_scale": _q_robust_scale,
+        "q_pq_encode": _q_pq_encode,
+        "q_pq_topk": _q_pq_topk,
         "q_approx_distinct": _q_approx_distinct,
         "q_except": _q_except,
         "q_topk": _q_topk,
@@ -4219,6 +4263,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(query_idx AS BIGINT) AS query_idx, CAST(rank AS BIGINT) AS rank, "
             "vec_id, ROUND(cs, 6) AS cosine FROM ranked WHERE rank <= 10"
         ),
+        # PQ: fixed-point integer distances (floor(v*2^20)) are order-free
+        # exact in both engines; oracles GENERATED from the engine constants
+        "q_pq_encode": __import__(
+            "kamae_ray.pipelines.ann", fromlist=["x"]
+        ).pq_encode_oracle_sql("embeddings", "embedding", "vec_id", 8, 16, 64),
+        "q_pq_topk": __import__(
+            "kamae_ray.pipelines.ann", fromlist=["x"]
+        ).pq_topk_oracle_sql("embeddings", "embedding", "vec_id", 8, 16, 64, (0, 1)),
         # q_hash_encode: the poly (codepoint polynomial) hash mode is exactly
         # SQL-expressible — the oracle is GENERATED from the same constants
         # the engine uses (stages/hashing.py poly31_sql). FarmHash (default

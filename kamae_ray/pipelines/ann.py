@@ -583,3 +583,213 @@ def kmeans_oracle_sql(table: str, emb_col: str, id_col: str, k: int = 8,
         f"ORDER BY d, cid) rn FROM dF) WHERE rn = 1"
     )
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the in-memory compression half of the IVF+PQ
+# scale path (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011). IVF prunes which partitions a query reads;
+# PQ compresses the vectors that remain to M small codes so a 100-TB corpus
+# of float32 embeddings fits in the object store as M bytes/vector, and
+# query scoring becomes M table lookups per vector (ADC — asymmetric
+# distance computation) instead of a D-dim dot product.
+#
+# Cross-engine exactness: all coordinates are fixed-pointed to integers
+# (floor(v * 2^scale_bits) — float64 multiply by a power of two and floor
+# are both exact, so DuckDB reproduces the quantization bit-identically),
+# and every distance is then a sum of exact-integer float64 products far
+# below 2^53 — order-free exact in numpy matmul AND DuckDB
+# list_inner_product, no rounding anywhere (CLAUDE.md lesson 24 family).
+# Argmin ties break to the LOWEST code index (numpy argmin first-occurrence
+# == SQL ORDER BY d, cid).
+# ---------------------------------------------------------------------------
+
+_PQ_SCALE_BITS = 20
+
+
+def _pq_fixed(m: np.ndarray, scale_bits: int = _PQ_SCALE_BITS) -> np.ndarray:
+    """floor(v * 2^bits) as float64 holding exact integers."""
+    return np.floor(np.asarray(m, dtype=np.float64) * float(1 << scale_bits))
+
+
+def _pq_codes(xf: np.ndarray, cbf: np.ndarray, n_subspaces: int) -> np.ndarray:
+    """(n, M) int64 codes: per subspace, argmin squared L2 to the K codebook
+    rows. xf/cbf are fixed-point matrices (exact integers in float64)."""
+    n, dim = xf.shape
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    dsub = dim // n_subspaces
+    amax = max(float(np.abs(xf).max(initial=0.0)), float(np.abs(cbf).max(initial=0.0)))
+    # every partial sum must stay an exact float64 integer
+    if dsub * (2.0 * amax) ** 2 >= 2.0**53:
+        raise ValueError("fixed-point magnitude too large for exact float64 distances")
+    codes = np.empty((n, n_subspaces), dtype=np.int64)
+    for m in range(n_subspaces):
+        g = xf[:, m * dsub:(m + 1) * dsub]
+        c = cbf[:, m * dsub:(m + 1) * dsub]
+        d = (g * g).sum(1)[:, None] - 2.0 * (g @ c.T) + (c * c).sum(1)[None, :]
+        codes[:, m] = np.argmin(d, axis=1)  # first min == ORDER BY d, cid ASC
+    return codes
+
+
+def _pq_pack(codes: np.ndarray, n_codes: int) -> np.ndarray:
+    """Pack (n, M) codes into one int64: sum(code_m * K^m). M*log2(K) must
+    fit 63 bits (8 subspaces x 16 codes = 32 bits — comfortable)."""
+    mults = (np.int64(n_codes) ** np.arange(codes.shape[1], dtype=np.int64))
+    return (codes * mults[None, :]).sum(axis=1)
+
+
+def pq_encode(ds, emb_col: str, id_col: str, codebook: np.ndarray,
+              n_subspaces: int = 8, out_col: str = "pq_code"):
+    """Encode every vector to one packed PQ code (id_col + out_col).
+
+    ``codebook`` is the RAW (K, D) float matrix — e.g. the embeddings of a
+    fixed id set for a data-independent, SQL-reproducible rule (the
+    q_ann_ivf move), or trained centroids. Stateless map_batches, no
+    shuffle; the tiny codebook ships once in the task closure."""
+    cbf = _pq_fixed(codebook)
+    n_codes = cbf.shape[0]
+
+    def enc(batch: pa.Table) -> pa.Table:
+        x, _ = A.matrix_view(batch.column(emb_col))
+        codes = _pq_codes(_pq_fixed(x), cbf, n_subspaces)
+        return pa.table({
+            id_col: pa.array(
+                A.as_array(batch.column(id_col)).to_numpy(zero_copy_only=False).astype(np.int64)),
+            out_col: pa.array(_pq_pack(codes, n_codes), pa.int64()),
+        })
+
+    enc.__name__ = "pq_encode"
+    if isinstance(ds, pa.Table):
+        return enc(ds)
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def pq_topk(ds, queries: np.ndarray, emb_col: str, id_col: str,
+            codebook: np.ndarray, n_subspaces: int = 8, k: int = 10) -> pa.Table:
+    """ADC approximate top-k: per query an (M, K) integer distance table is
+    built once on the driver; each batch encodes its vectors and scores them
+    with M table gathers (never a D-dim product per pair). Partial top-k per
+    block, tiny driver merge. Returns query_idx / rank / id / adc_dist
+    (exact integer fixed-point squared L2)."""
+    cbf = _pq_fixed(codebook)
+    n_codes, dim = cbf.shape
+    dsub = dim // n_subspaces
+    qf = _pq_fixed(np.asarray(queries, dtype=np.float64))
+    nq = qf.shape[0]
+    # dtable[q, m, c] = ||q_m - C[m][c]||^2 — exact integers
+    dtable = np.empty((nq, n_subspaces, n_codes), dtype=np.int64)
+    for m in range(n_subspaces):
+        qs = qf[:, m * dsub:(m + 1) * dsub]
+        cs = cbf[:, m * dsub:(m + 1) * dsub]
+        dtable[:, m, :] = (
+            (qs * qs).sum(1)[:, None] - 2.0 * (qs @ cs.T) + (cs * cs).sum(1)[None, :]
+        ).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x, _ = A.matrix_view(batch.column(emb_col))
+        codes = _pq_codes(_pq_fixed(x), cbf, n_subspaces)
+        ids = A.as_array(batch.column(id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        adc = np.zeros((nq, n), dtype=np.int64)
+        for m in range(n_subspaces):
+            adc += dtable[:, m, :][:, codes[:, m]]
+        kk = min(k, n)
+        if kk < n:
+            top = np.argpartition(adc, kk - 1, axis=1)[:, :kk]  # (nq, kk)
+        else:
+            top = np.tile(np.arange(n)[None, :], (nq, 1))
+        qidx = np.repeat(np.arange(nq, dtype=np.int64), top.shape[1])
+        rows = top.reshape(-1)
+        return pa.table({
+            "query_idx": pa.array(qidx, pa.int64()),
+            "id": pa.array(ids[rows], pa.int64()),
+            "adc_dist": pa.array(adc[qidx, rows], pa.int64()),
+        })
+
+    partial.__name__ = "pq_adc_partial"
+    if isinstance(ds, pa.Table):
+        merged = partial(ds)
+    else:
+        from kamae_ray.base import collect_tables
+
+        parts = [t for t in collect_tables(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None))
+            if t.num_rows]
+        merged = pa.concat_tables(parts) if parts else partial(pa.table({
+            emb_col: pa.array([], pa.list_(pa.float64())), id_col: pa.array([], pa.int64())}))
+    qi = merged.column("query_idx").to_numpy(zero_copy_only=False)
+    di = merged.column("adc_dist").to_numpy(zero_copy_only=False)
+    ids = merged.column("id").to_numpy(zero_copy_only=False)
+    out = {"query_idx": [], "rank": [], "id": [], "adc_dist": []}
+    for q in np.unique(qi):
+        msel = qi == q
+        order = np.lexsort((ids[msel], di[msel]))[:k]  # dist ASC, id ASC
+        out["query_idx"].extend([int(q)] * len(order))
+        out["rank"].extend(range(1, len(order) + 1))
+        out["id"].extend(int(v) for v in ids[msel][order])
+        out["adc_dist"].extend(int(v) for v in di[msel][order])
+    return pa.table({
+        "query_idx": pa.array(out["query_idx"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "id": pa.array(out["id"], pa.int64()),
+        "adc_dist": pa.array(out["adc_dist"], pa.int64()),
+    })
+
+
+def _pq_sql_prolog(table: str, emb_col: str, id_col: str,
+                   n_subspaces: int, n_codes: int, dim: int,
+                   scale_bits: int = _PQ_SCALE_BITS) -> str:
+    """Shared CTEs: fixed-point vectors, per-subspace slices, code assignment
+    by (d ASC, cid ASC) — generated from the SAME constants the engine uses."""
+    dsub = dim // n_subspaces
+    scale = float(1 << scale_bits)
+    ip = "list_inner_product"
+    return (
+        f"WITH e AS (SELECT {id_col} AS vid, "
+        f"list_transform({emb_col}::DOUBLE[], x -> floor(x * {scale})) AS v FROM {table}), "
+        f"c AS (SELECT vid AS cid, v AS cv FROM e WHERE vid < {n_codes}), "
+        f"ms AS (SELECT unnest(range({n_subspaces})) AS m), "
+        f"sub AS (SELECT e.vid, ms.m, e.v[(ms.m*{dsub}+1):(ms.m*{dsub}+{dsub})] AS sv "
+        f"FROM e CROSS JOIN ms), "
+        f"csub AS (SELECT c.cid, ms.m, c.cv[(ms.m*{dsub}+1):(ms.m*{dsub}+{dsub})] AS csv "
+        f"FROM c CROSS JOIN ms), "
+        f"dists AS (SELECT s.vid, s.m, cs.cid, "
+        f"{ip}(s.sv, s.sv) - 2*{ip}(s.sv, cs.csv) + {ip}(cs.csv, cs.csv) AS d "
+        f"FROM sub s JOIN csub cs ON cs.m = s.m), "
+        f"asn AS (SELECT vid, m, cid, d FROM (SELECT vid, m, cid, d, row_number() "
+        f"OVER (PARTITION BY vid, m ORDER BY d, cid) rn FROM dists) WHERE rn = 1)"
+    )
+
+
+def pq_encode_oracle_sql(table: str, emb_col: str, id_col: str,
+                         n_subspaces: int, n_codes: int, dim: int,
+                         out_col: str = "pq_code") -> str:
+    prolog = _pq_sql_prolog(table, emb_col, id_col, n_subspaces, n_codes, dim)
+    mults = ", ".join(f"({m}, {n_codes ** m})" for m in range(n_subspaces))
+    return (
+        f"{prolog}, mult(m, f) AS (VALUES {mults}) "
+        f"SELECT asn.vid AS {id_col}, CAST(SUM(asn.cid * mult.f) AS BIGINT) AS {out_col} "
+        f"FROM asn JOIN mult ON mult.m = asn.m GROUP BY asn.vid"
+    )
+
+
+def pq_topk_oracle_sql(table: str, emb_col: str, id_col: str,
+                       n_subspaces: int, n_codes: int, dim: int,
+                       query_ids: tuple, k: int = 10) -> str:
+    prolog = _pq_sql_prolog(table, emb_col, id_col, n_subspaces, n_codes, dim)
+    qids = ", ".join(str(q) for q in query_ids)
+    ip = "list_inner_product"
+    return (
+        f"{prolog}, "
+        f"qsub AS (SELECT vid AS query_idx, m, sv AS qv FROM sub WHERE vid IN ({qids})), "
+        f"dt AS (SELECT q.query_idx, cs.m, cs.cid, "
+        f"{ip}(q.qv, q.qv) - 2*{ip}(q.qv, cs.csv) + {ip}(cs.csv, cs.csv) AS dq "
+        f"FROM qsub q JOIN csub cs ON cs.m = q.m), "
+        f"adc AS (SELECT dt.query_idx, asn.vid, CAST(SUM(dt.dq) AS BIGINT) AS adc_dist "
+        f"FROM asn JOIN dt ON dt.m = asn.m AND dt.cid = asn.cid "
+        f"GROUP BY dt.query_idx, asn.vid) "
+        f"SELECT query_idx, rank, vid AS id, adc_dist FROM "
+        f"(SELECT query_idx, vid, adc_dist, CAST(row_number() OVER (PARTITION BY query_idx "
+        f"ORDER BY adc_dist, vid) AS BIGINT) AS rank FROM adc) WHERE rank <= {k}"
+    )

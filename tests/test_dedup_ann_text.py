@@ -1036,3 +1036,75 @@ def test_semantic_dedup_int32_ids_and_empty_blocks(ray_session):
     ds = ray.data.from_arrow(t).repartition(8)  # some near-empty blocks
     dout = semantic_dedup(ds, "emb", "vid", threshold=0.99, centroids=cents)
     assert sorted(r["vid"] for r in dout.take_all()) == out.column("vid").to_pylist()
+
+
+def test_pq_encode_matches_bruteforce_reference():
+    """PQ codes equal a per-row/per-subspace brute-force argmin (first-min
+    tiebreak), and the packed int64 round-trips to the code tuple."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kamae_ray.pipelines.ann import _pq_codes, _pq_fixed, _pq_pack, pq_encode
+
+    rng = np.random.RandomState(7)
+    dim, m_sub, k_codes, n = 16, 4, 8, 200
+    x = rng.uniform(-0.5, 0.5, size=(n, dim)).astype(np.float32)
+    cb = x[:k_codes].astype(np.float64)
+    tbl = pa.table({"vid": pa.array(np.arange(n), pa.int64()),
+                    "emb": pa.array(list(x), pa.list_(pa.float32()))})
+    out = pq_encode(tbl, "emb", "vid", cb, m_sub)
+    packed = out.column("pq_code").to_numpy(zero_copy_only=False)
+
+    xf, cbf = _pq_fixed(x), _pq_fixed(cb)
+    dsub = dim // m_sub
+    ref = np.empty((n, m_sub), dtype=np.int64)
+    for i in range(n):
+        for m in range(m_sub):
+            g = xf[i, m * dsub:(m + 1) * dsub]
+            dists = [int(((g - cbf[c, m * dsub:(m + 1) * dsub]) ** 2).sum()) for c in range(k_codes)]
+            ref[i, m] = int(np.argmin(dists))
+    assert np.array_equal(packed, _pq_pack(ref, k_codes))
+    # codebook rows encode to distance 0 against themselves -> code == own index
+    for c in range(k_codes):
+        assert all(((packed[c] // k_codes**m) % k_codes) == ref[c, m] for m in range(m_sub))
+    # kernel path agrees with the reference loop
+    assert np.array_equal(_pq_codes(xf, cbf, m_sub), ref)
+
+
+def test_pq_topk_adc_exact_integer(ray_session):
+    """ADC distances are exact integers; top-k ranking matches a full
+    reconstruction of the quantized distance on the driver; Dataset and
+    Table paths agree."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.ann import _pq_codes, _pq_fixed, pq_topk
+
+    rng = np.random.RandomState(11)
+    dim, m_sub, k_codes, n = 16, 4, 8, 300
+    x = rng.uniform(-0.4, 0.4, size=(n, dim)).astype(np.float32)
+    cb = x[:k_codes].astype(np.float64)
+    queries = x[:2].astype(np.float64)
+    tbl = pa.table({"vid": pa.array(np.arange(n), pa.int64()),
+                    "emb": pa.array(list(x), pa.list_(pa.float32()))})
+    got = pq_topk(tbl, queries, "emb", "vid", cb, m_sub, k=5)
+
+    # driver reference: full ADC via codes + per-subspace tables
+    xf, cbf, qf = _pq_fixed(x), _pq_fixed(cb), _pq_fixed(queries)
+    codes = _pq_codes(xf, cbf, m_sub)
+    dsub = dim // m_sub
+    for qi in range(2):
+        adc = np.zeros(n, dtype=np.int64)
+        for m in range(m_sub):
+            qs = qf[qi, m * dsub:(m + 1) * dsub]
+            dt = ((qs[None, :] - cbf[:, m * dsub:(m + 1) * dsub]) ** 2).sum(1).astype(np.int64)
+            adc += dt[codes[:, m]]
+        order = np.lexsort((np.arange(n), adc))[:5]
+        sub = got.filter(pa.compute.equal(got.column("query_idx"), qi))
+        assert sub.column("id").to_pylist() == [int(v) for v in order]
+        assert sub.column("adc_dist").to_pylist() == [int(adc[v]) for v in order]
+
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got_ds = pq_topk(ds, queries, "emb", "vid", cb, m_sub, k=5)
+    assert got_ds.equals(got)

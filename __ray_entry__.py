@@ -951,6 +951,35 @@ def _q_pq_topk(sf_dir):
     return pq_topk(ds, queries, "embedding", "vec_id", _pq_codebook(sf_dir), 8, k=10)
 
 
+def _q_snapshot_diff(sf_dir):
+    """Keyed snapshot diff (``stages.diff.snapshot_diff``): old = orders
+    minus every 7th key, new = orders minus every 5th key with o_custkey
+    perturbed by key%3 — emits added/removed/changed keys only. ONE
+    key sort-shuffle over (key + 128-bit row fingerprint + side tag);
+    integer perturbation keeps value equality engine-identical. Oracle =
+    the FULL OUTER JOIN / IS DISTINCT FROM plan."""
+    from kamae_ray.stages.diff import snapshot_diff
+
+    def old_part(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(k % 7 != 0))
+
+    def new_part(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(k % 5 != 0))
+        k2 = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return t.set_column(t.schema.get_field_index("o_custkey"), "o_custkey",
+                            pa.array(c + k2 % 3, pa.int64()))
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    old_ds = _read(sf_dir, "orders", cols).map_batches(
+        old_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    new_ds = _read(sf_dir, "orders", cols).map_batches(
+        new_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return snapshot_diff(old_ds, new_ds, "o_orderkey", ["o_custkey", "o_totalprice"])
+
+
 def _split_thresholds():
     from kamae_ray.stages import HashSplitTransformer
 
@@ -3074,6 +3103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_robust_scale": _q_robust_scale,
         "q_pq_encode": _q_pq_encode,
         "q_pq_topk": _q_pq_topk,
+        "q_snapshot_diff": _q_snapshot_diff,
         "q_approx_distinct": _q_approx_distinct,
         "q_except": _q_except,
         "q_topk": _q_topk,
@@ -4262,6 +4292,22 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query_idx ORDER BY cs DESC, vec_id) AS rank FROM scored) "
             "SELECT CAST(query_idx AS BIGINT) AS query_idx, CAST(rank AS BIGINT) AS rank, "
             "vec_id, ROUND(cs, 6) AS cosine FROM ranked WHERE rank <= 10"
+        ),
+        # snapshot diff: hash-lane value equality == SQL IS DISTINCT FROM on
+        # these integer/float columns (bit-pattern float hashing, -0.0/NaN
+        # canonicalized); the FULL OUTER JOIN is the classification oracle
+        "q_snapshot_diff": (
+            "WITH old AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey % 7 <> 0), "
+            "new AS (SELECT o_orderkey, o_custkey + o_orderkey % 3 AS o_custkey, "
+            "o_totalprice FROM orders WHERE o_orderkey % 5 <> 0) "
+            "SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, "
+            "CASE WHEN o.o_orderkey IS NULL THEN 'added' "
+            "WHEN n.o_orderkey IS NULL THEN 'removed' ELSE 'changed' END AS status "
+            "FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey "
+            "WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL "
+            "OR o.o_custkey IS DISTINCT FROM n.o_custkey "
+            "OR o.o_totalprice IS DISTINCT FROM n.o_totalprice"
         ),
         # PQ: fixed-point integer distances (floor(v*2^20)) are order-free
         # exact in both engines; oracles GENERATED from the engine constants

@@ -156,6 +156,7 @@ from kamae_ray.stages.aggregate import (  # noqa: F401
     groupby_collect,
     intersect_distinct,
 )
+from kamae_ray.stages.diff import snapshot_diff  # noqa: F401
 from kamae_ray.stages.reshape import explode, melt, pivot  # noqa: F401
 from kamae_ray.stages.sketches import (  # noqa: F401
     approx_count_distinct,

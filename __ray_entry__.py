@@ -2964,6 +2964,19 @@ def _q_cat_stats(sf_dir):
     )
 
 
+def _q_temperature(sf_dir):
+    """Temperature-balanced corpus resampling (``temperature_mix``, the
+    mT5/XLM-R mixture step): keep probability (n_min/n_i)^(1-alpha) per
+    language corpus, alpha=1/2, smallest corpus kept whole. EXACT-INTEGER
+    membership — (hash % 1e6)^2 * n_i < 1e12 * n_min — so the kept set is
+    bit-identical to the HUGEINT oracle (no float sqrt on either engine).
+    One per-block count-partial pass + one stateless filter; no shuffle."""
+    from kamae_ray.stages.hashing import temperature_mix
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return temperature_mix(ds, "doc_id", "lang", alpha=0.5, salt=7)
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3203,6 +3216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping": _q_hopping,
         "q_resample": _q_resample,
         "q_cat_stats": _q_cat_stats,
+        "q_temperature": _q_temperature,
     }
 
 
@@ -4406,5 +4420,14 @@ def oracle_sql() -> dict[str, str]:
             + __import__("kamae_ray.stages.hashing", fromlist=["x"]).zorder_oracle_sql(
                 ["l_partkey", "l_suppkey"], 12)
             + " FROM lineitem"
+        ),
+        # keep-condition generated from the engine's own exact-integer rule
+        "q_temperature": (
+            "WITH c AS (SELECT doc_id, lang, COUNT(*) OVER (PARTITION BY lang) "
+            "AS n_corpus FROM documents WHERE lang IS NOT NULL), "
+            "m AS (SELECT *, MIN(n_corpus) OVER () AS n_min FROM c) "
+            "SELECT doc_id, lang, n_corpus FROM m WHERE "
+            + __import__("kamae_ray.stages.hashing", fromlist=["x"]).temperature_mix_oracle_cond(
+                "doc_id", "n_corpus", "n_min", alpha=0.5, salt=7)
         ),
     }

@@ -733,3 +733,120 @@ def zorder_oracle_sql(cols: list[str], bits: int, out_col: str = "zorder_key") -
             shift = i * k + (k - 1 - j)
             terms.append(f"(((({c} & {(1 << bits) - 1}) >> {i}) & 1) << {shift})")
     return "(" + " | ".join(terms) + f") AS {out_col}"
+
+
+def temperature_mix(ds, key_col: str, corpus_col: str, alpha=0.5, salt: int = 0,
+                    hash_mod: int = 1_000_000, count_col: str = "n_corpus"):
+    """Temperature-balanced corpus resampling — the multilingual-LLM mixture
+    step (mT5 / XLM-R style): downsample each corpus so the expected kept
+    size is proportional to ``n_i ** alpha`` (alpha in (0, 1]; smaller alpha
+    flattens the mixture toward uniform), with the SMALLEST corpus kept
+    whole. Per-row keep probability is ``(n_min / n_i) ** (1 - alpha)``.
+
+    Membership is EXACT-INTEGER and a pure function of (key, salt): with
+    alpha = p/q rational (q <= 3) and e = q - p, a row is kept iff
+
+        (hash(key) % hash_mod) ** q  *  n_i ** e  <  hash_mod ** q * n_min ** e
+
+    — no float sqrt/pow on either engine, so the kept set is bit-identical
+    to the HUGEINT SQL form (``temperature_mix_oracle_cond``). The engine
+    side rewrites the comparison as ``lhs <= (T - 1) // n_i**e`` with the
+    per-corpus bound folded on the driver in arbitrary-precision Python ints
+    (lesson-24 family: compare exact integer forms).
+
+    Scale plan: one partial-count pass (per-block ``group_by`` partials, the
+    driver folds O(corpora) rows) + one stateless vectorized filter pass —
+    no shuffle, no driver state beyond the corpus->bound map. Null corpus
+    values and null keys are dropped (SQL comparison semantics). Appends
+    ``count_col`` (the corpus's total row count) for downstream reweighting.
+    """
+    from fractions import Fraction
+
+    fr = alpha if isinstance(alpha, Fraction) else Fraction(alpha).limit_denominator(3)
+    if not (0 < fr <= 1):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if abs(float(fr) - float(alpha)) > 1e-12:
+        raise ValueError(f"alpha must be rational with denominator <= 3, got {alpha}")
+    p, q = fr.numerator, fr.denominator
+    e = q - p
+    if hash_mod ** q >= 2 ** 62:
+        raise ValueError("hash_mod ** q must fit in int64")
+
+    def partial(block: pa.Table) -> pa.Table:
+        t = block.select([corpus_col])
+        t = t.filter(pc.is_valid(t.column(corpus_col)))
+        t = t.set_column(0, corpus_col, pc.cast(t.column(corpus_col), pa.string(), safe=False))
+        return t.group_by(corpus_col).aggregate([([], "count_all")])
+
+    partial.__name__ = "corpus_count_partial"
+    from kamae_ray.base import collect_tables
+
+    if isinstance(ds, pa.Table):
+        parts = [partial(ds)]
+    else:
+        parts = collect_tables(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+        )
+    counts: dict[str, int] = {}
+    for t in parts:
+        for lab, c in zip(t.column(corpus_col).to_pylist(), t.column("count_all").to_pylist()):
+            counts[lab] = counts.get(lab, 0) + int(c)
+    if not counts:
+        raise ValueError("temperature_mix: no non-null corpus values")
+    n_min = min(counts.values())
+    T = hash_mod ** q * n_min ** e  # exact python int
+    labels = sorted(counts)
+    bounds = np.array(
+        [min(hash_mod ** q - 1, (T - 1) // (counts[lab] ** e)) for lab in labels],
+        dtype=np.int64,
+    )
+    n_arr = np.array([counts[lab] for lab in labels], dtype=np.int64)
+
+    def kern(block: pa.Table) -> pa.Table:
+        h, knull = _split_hash(A.as_array(block.column(key_col)), salt)
+        hm = (h % np.uint64(hash_mod)).astype(np.int64)
+        lhs = hm
+        for _ in range(q - 1):
+            lhs = lhs * hm
+        idx = pc.index_in(
+            pc.cast(A.as_array(block.column(corpus_col)), pa.string(), safe=False),
+            value_set=pa.array(labels, pa.string()),
+        )
+        idxn = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        known = idxn >= 0
+        safe = np.maximum(idxn, 0)
+        keep = known & (~knull) & (lhs <= bounds[safe])
+        block = block.filter(pa.array(keep))
+        # recompute the gather on the KEPT rows for the count column
+        idx2 = pc.index_in(
+            pc.cast(A.as_array(block.column(corpus_col)), pa.string(), safe=False),
+            value_set=pa.array(labels, pa.string()),
+        )
+        i2 = pc.fill_null(idx2, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        return _append_or_replace(block, count_col, pa.array(n_arr[i2]))
+
+    kern.__name__ = "temperature_mix"
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def temperature_mix_oracle_cond(key_expr: str, corpus_count_expr: str,
+                                min_count_expr: str, alpha=0.5, salt: int = 0,
+                                hash_mod: int = 1_000_000) -> str:
+    """The SQL keep-condition computing the SAME exact-integer comparison
+    (for oracle generation): HUGEINT arithmetic end to end."""
+    from fractions import Fraction
+
+    fr = alpha if isinstance(alpha, Fraction) else Fraction(alpha).limit_denominator(3)
+    p, q = fr.numerator, fr.denominator
+    e = q - p
+    hm = (f"((CAST({key_expr} + {salt} AS HUGEINT) * 11400714819323198485) "
+          f"% 18446744073709551616 % {hash_mod})")
+    lhs = " * ".join([hm] * q)
+    rhs_n = " * ".join([f"CAST({corpus_count_expr} AS HUGEINT)"] * e) if e else "1"
+    rhs_t = " * ".join([f"CAST({hash_mod} AS HUGEINT)"] * q)
+    rhs_m = " * ".join([f"CAST({min_count_expr} AS HUGEINT)"] * e) if e else "1"
+    return f"({lhs}) * ({rhs_n}) < ({rhs_t}) * ({rhs_m})"

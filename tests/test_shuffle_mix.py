@@ -98,3 +98,81 @@ def test_weighted_sample_semantics(ray_session):
         [pa.table(b) for b in weighted_sample(ds, "k", "w", salt=3)
          .iter_batches(batch_format="pyarrow")]).sort_by("k")
     assert got_ds.cast(got.schema).to_pylist() == got.sort_by("k").to_pylist()
+
+
+class TestTemperatureMix:
+    def _table(self, n=20000, seed=0):
+        rng = np.random.default_rng(seed)
+        corpus = rng.choice(["en"] * 80 + ["fr"] * 15 + ["de"] * 4 + ["sw"], size=n)
+        return pa.table({"k": pa.array(np.arange(n)), "c": pa.array(corpus)})
+
+    def test_matches_hugeint_oracle_and_proportions(self):
+        import collections
+
+        import duckdb
+
+        from kamae_ray.stages.hashing import temperature_mix, temperature_mix_oracle_cond
+
+        t = self._table()
+        for alpha, salt in ((0.5, 7), (1 / 3, 3), (2 / 3, 11)):
+            out = temperature_mix(t, "k", "c", alpha=alpha, salt=salt)
+            cond = temperature_mix_oracle_cond("k", "n_corpus", "n_min", alpha=alpha, salt=salt)
+            ora = duckdb.query(
+                "WITH c AS (SELECT k, c, COUNT(*) OVER (PARTITION BY c) AS n_corpus "
+                "FROM t WHERE c IS NOT NULL), "
+                "m AS (SELECT *, MIN(n_corpus) OVER () AS n_min FROM c) "
+                f"SELECT k, c, n_corpus FROM m WHERE {cond} ORDER BY k"
+            ).arrow()
+            eng = out.sort_by("k").select(["k", "c", "n_corpus"]).combine_chunks()
+            assert eng.equals(ora.cast(eng.schema).combine_chunks()), (alpha, salt)
+        # expected kept size ~ n_min^(1-a) * n_i^a; smallest corpus kept whole
+        out = temperature_mix(t, "k", "c", alpha=0.5, salt=7)
+        tot = collections.Counter(t.column("c").to_pylist())
+        kept = collections.Counter(out.column("c").to_pylist())
+        n_min = min(tot.values())
+        assert kept["sw"] == tot["sw"]
+        for lab, n in tot.items():
+            exp = n * (n_min / n) ** 0.5
+            assert abs(kept[lab] - exp) <= 4 * exp**0.5 + 2, (lab, kept[lab], exp)
+
+    def test_alpha_one_keeps_everything(self):
+        from kamae_ray.stages.hashing import temperature_mix
+
+        t = self._table(n=500)
+        assert temperature_mix(t, "k", "c", alpha=1.0).num_rows == 500
+
+    def test_null_corpus_and_null_keys_dropped(self):
+        from kamae_ray.stages.hashing import temperature_mix
+
+        t = pa.table({
+            "k": pa.array([1, None, 3, 4], pa.int64()),
+            "c": pa.array(["a", "a", None, "a"]),
+        })
+        out = temperature_mix(t, "k", "c", alpha=1.0)
+        assert out.column("k").to_pylist() == [1, 4]
+        assert out.column("n_corpus").to_pylist() == [3, 3]  # count includes null-key row
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray
+
+        from kamae_ray.stages.hashing import temperature_mix
+
+        t = self._table(n=6000, seed=1)
+        want = temperature_mix(t, "k", "c", alpha=0.5, salt=5).sort_by("k")
+        ds = ray.data.from_arrow(t).repartition(5)
+        got = pa.concat_tables(
+            [pa.table(b) for b in temperature_mix(ds, "k", "c", alpha=0.5, salt=5)
+             .iter_batches(batch_format="pyarrow")]
+        ).sort_by("k")
+        assert got.select(want.column_names).combine_chunks().equals(want.combine_chunks())
+
+    def test_irrational_alpha_rejected(self):
+        import pytest as _pt
+
+        from kamae_ray.stages.hashing import temperature_mix
+
+        t = self._table(n=100)
+        with _pt.raises(ValueError):
+            temperature_mix(t, "k", "c", alpha=0.55)
+        with _pt.raises(ValueError):
+            temperature_mix(t, "k", "c", alpha=0.0)

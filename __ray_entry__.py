@@ -2977,6 +2977,40 @@ def _q_temperature(sf_dir):
     return temperature_mix(ds, "doc_id", "lang", alpha=0.5, salt=7)
 
 
+def _q_redact(sf_dir):
+    """PII redaction (``RedactPiiTransformer``): email/IPv4/phone scrubbing
+    with per-category match counts — both engines run the SAME RE2 patterns
+    (pyarrow and DuckDB embed RE2), so the redacted text is hash-exact vs the
+    nested regexp_replace(...,'g') oracle. The PII-rich input text is built
+    deterministically from orders columns on both sides. One stateless
+    vectorized map; no shuffle."""
+    from kamae_ray.stages.text import RedactPiiTransformer
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        s = pc.cast
+
+        def st(v):
+            return s(pa.array(v), pa.string())
+
+        text = pc.binary_join_element_wise(
+            "user", st(c), "@mail.com ip 10.", st(k % 256), ".0.", st(c % 200),
+            " tel 415-555-", st(k % 9000 + 1000), "",
+        )
+        return batch.append_column("text", text)
+
+    mk.__name__ = "make_pii_text"
+    ds = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = RedactPiiTransformer(input_col="text", output_col="red").transform(ds)
+    return out.select_columns(
+        ["o_orderkey", "red", "red_n_email", "red_n_ip", "red_n_phone"]
+    )
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3217,6 +3251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_resample": _q_resample,
         "q_cat_stats": _q_cat_stats,
         "q_temperature": _q_temperature,
+        "q_redact": _q_redact,
     }
 
 
@@ -4429,5 +4464,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_corpus FROM m WHERE "
             + __import__("kamae_ray.stages.hashing", fromlist=["x"]).temperature_mix_oracle_cond(
                 "doc_id", "n_corpus", "n_min", alpha=0.5, salt=7)
+        ),
+        # redaction exprs generated from the engine's own RE2 pattern table
+        "q_redact": (
+            "WITH s AS (SELECT o_orderkey, 'user' || o_custkey::VARCHAR "
+            "|| '@mail.com ip 10.' || (o_orderkey % 256)::VARCHAR || '.0.' "
+            "|| (o_custkey % 200)::VARCHAR || ' tel 415-555-' "
+            "|| (o_orderkey % 9000 + 1000)::VARCHAR AS text FROM orders) "
+            "SELECT o_orderkey, "
+            + __import__("kamae_ray.stages.text", fromlist=["x"]).redact_oracle_exprs(
+                "text", "red")
+            + " FROM s"
         ),
     }

@@ -431,3 +431,75 @@ class NGramTransformer(Transformer):
         lst = pa.ListArray.from_arrays(goff, grams)
         res = A.rewrap(levels, lst) if levels else lst
         return _append_or_replace(batch, self.output_col, res)
+
+
+_PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # RE2 syntax on BOTH engines (pyarrow and DuckDB embed RE2), so the
+    # redacted text is bit-identical to the regexp_replace(..., 'g') oracle.
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d(?:[ \-]?\d){6,}", "<PHONE>"),
+}
+
+
+class RedactPiiTransformer(Transformer):
+    """PII scrubbing — the pre-training corpus-release step (C4 / CCNet
+    lineage): replace email addresses, IPv4 addresses and phone-like digit
+    runs with typed placeholder tokens, and count the matches per category.
+
+    Emits ``<out>`` (the redacted text) plus ``<out>_n_<name>`` int64 match
+    counts. Patterns apply IN ORDER; each category is counted on the text as
+    it stands after the previous categories' replacements (an email's digits
+    can never double-count as a phone). Fully vectorized — one
+    ``count_substring_regex`` + one ``replace_substring_regex`` per category
+    (compiled RE2, no per-row Python); stateless ``map_batches`` stage, no
+    shuffle. Custom categories via ``patterns={name: (regex, replacement)}``.
+    """
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, patterns: dict[str, tuple[str, str]] | None = None,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.patterns = dict(patterns) if patterns is not None else dict(_PII_PATTERNS)
+        if not self.patterns:
+            raise ValueError("patterns must be non-empty")
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        levels, flat = A.unwrap(arr)
+        cur = flat
+        counts = {}
+        for name, (pat, rep) in self.patterns.items():
+            counts[name] = pc.count_substring_regex(cur, pattern=pat)
+            cur = pc.replace_substring_regex(cur, pattern=pat, replacement=rep)
+        batch = _append_or_replace(batch, self.output_col, A.rewrap(levels, cur))
+        for name, c in counts.items():
+            batch = _append_or_replace(
+                batch, f"{self.output_col}_n_{name}",
+                A.rewrap(levels, pc.cast(c, pa.int64())),
+            )
+        return batch
+
+    @property
+    def outputs(self):
+        return [self.output_col] + [f"{self.output_col}_n_{k}" for k in self.patterns]
+
+
+def redact_oracle_exprs(text_expr: str, out_col: str,
+                        patterns: dict[str, tuple[str, str]] | None = None) -> str:
+    """SQL select-list computing the SAME redaction/counts (oracle
+    generation): nested regexp_replace(…,'g') + len(regexp_extract_all) on
+    the same intermediate text states."""
+    patterns = patterns if patterns is not None else _PII_PATTERNS
+    cur = text_expr
+    exprs = []
+    counts = []
+    for name, (pat, rep) in patterns.items():
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{p}')) AS BIGINT) AS {out_col}_n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{p}', '{rep}', 'g')"
+    exprs.append(f"{cur} AS {out_col}")
+    return ", ".join(exprs + counts)

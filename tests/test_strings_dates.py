@@ -121,3 +121,48 @@ def test_two_column_string_ops_distinct_once_parity():
     th = pa.table({"x": pa.array(hx), "p": pa.array(hp)})
     gh = StringContainsTransformer(input_cols=["x", "p"], output_col="o").transform_batch(th)
     assert gh.column("o").to_pylist() == [True] * 2000
+
+
+class TestRedactPii:
+    def test_matches_duckdb_regexp_oracle(self):
+        import duckdb
+
+        from kamae_ray.stages.text import RedactPiiTransformer, redact_oracle_exprs
+
+        t = pa.table({"id": [1, 2, 3, 4, 5], "text": [
+            "contact bob.smith+x@corp-mail.co.uk or call +1 415-555-0199 now",
+            "server at 10.0.42.7 and 192.168.1.255, backup 8.8.8.8",
+            "no pii here at all",
+            None,
+            "a@b.io c@d.org 12345678901 and 5551234567",
+        ]})
+        out = RedactPiiTransformer(input_col="text", output_col="red").transform_batch(t)
+        ora = duckdb.query(
+            "SELECT id, " + redact_oracle_exprs("text", "red") + " FROM t ORDER BY id"
+        ).arrow()
+        eng = out.select(ora.column_names).combine_chunks()
+        assert eng.equals(ora.cast(eng.schema).combine_chunks())
+        assert eng.column("red").to_pylist()[0] == "contact <EMAIL> or call <PHONE> now"
+        assert eng.column("red_n_ip").to_pylist() == [0, 3, 0, None, 0]
+
+    def test_category_order_prevents_double_count(self):
+        from kamae_ray.stages.text import RedactPiiTransformer
+
+        # the email's digit run must NOT also count as a phone
+        t = pa.table({"text": ["mail user12345678@x.com now"]})
+        out = RedactPiiTransformer(input_col="text", output_col="red").transform_batch(t)
+        assert out.column("red_n_email").to_pylist() == [1]
+        assert out.column("red_n_phone").to_pylist() == [0]
+
+    def test_custom_patterns_and_list_input(self):
+        from kamae_ray.stages.text import RedactPiiTransformer
+
+        tr = RedactPiiTransformer(
+            input_col="text", output_col="red",
+            patterns={"ssn": (r"\d{3}-\d{2}-\d{4}", "<SSN>")},
+        )
+        t = pa.table({"text": pa.array([["ssn 123-45-6789", "clean"], None],
+                                       pa.list_(pa.string()))})
+        out = tr.transform_batch(t)
+        assert out.column("red").to_pylist() == [["ssn <SSN>", "clean"], None]
+        assert out.column("red_n_ssn").to_pylist() == [[1, 0], None]

@@ -3011,6 +3011,33 @@ def _q_redact(sf_dir):
     )
 
 
+def _q_line_filter(sf_dir):
+    """C4-style line-level cleaning (``LineFilterTransformer``): split docs
+    into lines, keep lines with >= 3 words that end in terminal punctuation
+    and contain no blocklisted substring, re-join + count. Lines are derived
+    deterministically on both sides (' merge ' -> '.\\n'), so every rule
+    fires. One stateless vectorized map (split + RE2 line rules + reduceat +
+    binary_join); hash-exact vs the DuckDB list-lambda oracle."""
+    from kamae_ray.stages.text import LineFilterTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        text = pc.replace_substring(
+            pc.fill_null(batch.column("text"), ""), pattern=" merge ",
+            replacement=".\n",
+        )
+        return batch.drop_columns(["text"]).append_column("text", text)
+
+    mk.__name__ = "make_lines"
+    ds = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = LineFilterTransformer(
+        input_col="text", output_col="clean", min_words=3, blocklist=["spark"],
+    ).transform(ds)
+    return out.select_columns(["doc_id", "clean", "clean_n_lines", "clean_n_kept"])
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3252,6 +3279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cat_stats": _q_cat_stats,
         "q_temperature": _q_temperature,
         "q_redact": _q_redact,
+        "q_line_filter": _q_line_filter,
     }
 
 
@@ -4474,6 +4502,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, "
             + __import__("kamae_ray.stages.text", fromlist=["x"]).redact_oracle_exprs(
                 "text", "red")
+            + " FROM s"
+        ),
+        # line-filter exprs generated from the engine's own rule set
+        "q_line_filter": (
+            "WITH s AS (SELECT doc_id, replace(coalesce(text, ''), ' merge ', "
+            "'.' || chr(10)) AS text FROM documents) "
+            "SELECT doc_id, "
+            + __import__("kamae_ray.stages.text", fromlist=["x"]).line_filter_oracle_exprs(
+                "text", "clean", min_words=3, blocklist=["spark"])
             + " FROM s"
         ),
     }

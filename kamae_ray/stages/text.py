@@ -503,3 +503,103 @@ def redact_oracle_exprs(text_expr: str, out_col: str,
         cur = f"regexp_replace({cur}, '{p}', '{rep}', 'g')"
     exprs.append(f"{cur} AS {out_col}")
     return ", ".join(exprs + counts)
+
+
+class LineFilterTransformer(Transformer):
+    """C4-style line-level document cleaning (Raffel 2020 §2.2 lineage): split
+    the document on ``separator``, keep only lines that (a) contain at least
+    ``min_words`` words, (b) end in a terminal punctuation mark
+    (``terminal_regex``), and (c) contain no blocklisted substring
+    (case-insensitive); re-join the survivors. Emits ``<out>`` (the cleaned
+    text; null in -> null out) plus ``<out>_n_lines`` / ``<out>_n_kept``.
+
+    Fully vectorized: ONE ``split_pattern`` per batch, per-line rules as
+    Arrow regex/substring kernels over the FLATTENED line array, per-doc
+    kept counts via one ``add.reduceat``, and the cleaned text from a
+    rebuilt ListArray + ``binary_join`` — no per-row Python, no shuffle.
+    Exactly mirrored by the DuckDB list-lambda oracle
+    (``line_filter_oracle_exprs``): both engines run the same RE2 patterns.
+    """
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, separator: str = "\n", min_words: int = 3,
+                 terminal_regex: str | None = r"[.!?]$",
+                 blocklist: list[str] | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.separator = separator
+        self.min_words = int(min_words)
+        self.terminal_regex = terminal_regex
+        self.blocklist = [b.lower() for b in (blocklist or [])]
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        flat = A.as_array(self._cast_in(batch.column(self.input_col)))
+        valid_np = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        lines_list = pc.split_pattern(pc.fill_null(flat, ""), pattern=self.separator)
+        lines_list = A._normalize_list(lines_list)
+        offsets = lines_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = lines_list.values
+        keep = np.ones(len(values), dtype=bool)
+        if self.min_words > 0:
+            wc = pc.count_substring_regex(values, pattern=r"\S+")
+            keep &= wc.to_numpy(zero_copy_only=False) >= self.min_words
+        if self.terminal_regex:
+            keep &= pc.match_substring_regex(
+                values, pattern=self.terminal_regex
+            ).to_numpy(zero_copy_only=False)
+        if self.blocklist:
+            low = pc.utf8_lower(values)
+            for b in self.blocklist:
+                keep &= ~pc.match_substring(low, pattern=b).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        lens = np.diff(offsets)
+        n_kept = np.zeros(n, dtype=np.int64)
+        if len(values):
+            starts = offsets[:-1].clip(max=len(values) - 1)
+            red = np.add.reduceat(keep.astype(np.int64), starts)
+            n_kept[lens > 0] = red[lens > 0]
+        new_offsets = np.concatenate(([0], np.cumsum(n_kept)))
+        kept_lines = values.filter(pa.array(keep))
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), kept_lines
+        )
+        joined = pc.binary_join(rebuilt, self.separator)
+        # null when the input was null OR no line survived (SQL
+        # array_to_string-of-empty-list semantics: a fully-filtered doc has
+        # no text, not an empty string)
+        nulls = pa.array(valid_np & (n_kept > 0))
+        joined = pc.if_else(nulls, joined, pa.nulls(n, pa.string()))
+        nulls = pa.array(valid_np)
+        n_lines_arr = pc.if_else(nulls, pa.array(lens), pa.nulls(n, pa.int64()))
+        n_kept_arr = pc.if_else(nulls, pa.array(n_kept), pa.nulls(n, pa.int64()))
+        base = self.output_col
+        batch = _append_or_replace(batch, base, joined)
+        batch = _append_or_replace(batch, f"{base}_n_lines", n_lines_arr)
+        return _append_or_replace(batch, f"{base}_n_kept", n_kept_arr)
+
+    @property
+    def outputs(self):
+        return [self.output_col, f"{self.output_col}_n_lines", f"{self.output_col}_n_kept"]
+
+
+def line_filter_oracle_exprs(text_expr: str, out_col: str,
+                             separator_sql: str = "chr(10)", min_words: int = 3,
+                             terminal_regex: str | None = r"[.!?]$",
+                             blocklist: list[str] | None = None) -> str:
+    """SQL select-list computing the SAME line filter (oracle generation):
+    string_split + list_filter lambda + array_to_string."""
+    conds = []
+    if min_words > 0:
+        conds.append(rf"len(regexp_extract_all(x, '\S+')) >= {min_words}")
+    if terminal_regex:
+        conds.append(f"regexp_matches(x, '{terminal_regex.replace(chr(39), chr(39)*2)}')")
+    for b in blocklist or []:
+        conds.append(f"NOT contains(lower(x), '{b.lower()}')")
+    cond = " AND ".join(conds) if conds else "TRUE"
+    split = f"string_split({text_expr}, {separator_sql})"
+    filt = f"list_filter({split}, x -> {cond})"
+    return (
+        f"array_to_string({filt}, {separator_sql}) AS {out_col}, "
+        f"CAST(len({split}) AS BIGINT) AS {out_col}_n_lines, "
+        f"CAST(len({filt}) AS BIGINT) AS {out_col}_n_kept"
+    )

@@ -166,3 +166,44 @@ class TestRedactPii:
         out = tr.transform_batch(t)
         assert out.column("red").to_pylist() == [["ssn <SSN>", "clean"], None]
         assert out.column("red_n_ssn").to_pylist() == [[1, 0], None]
+
+
+class TestLineFilter:
+    def test_matches_duckdb_list_lambda_oracle(self):
+        import duckdb
+
+        from kamae_ray.stages.text import LineFilterTransformer, line_filter_oracle_exprs
+
+        t = pa.table({"id": [1, 2, 3, 4, 5], "text": [
+            "Good long line with words.\nshort.\nno terminal punct here at all\n"
+            "Another fine long line!\nBad javascript cookie line here.",
+            "",
+            None,
+            "one two three.\n\n\nfour five six?",
+            "x",
+        ]})
+        out = LineFilterTransformer(
+            input_col="text", output_col="clean", min_words=3,
+            blocklist=["javascript"],
+        ).transform_batch(t)
+        ora = duckdb.query(
+            "SELECT id, " + line_filter_oracle_exprs("text", "clean", blocklist=["javascript"])
+            + " FROM t ORDER BY id"
+        ).arrow()
+        eng = out.select(ora.column_names).combine_chunks()
+        assert eng.equals(ora.cast(eng.schema).combine_chunks())
+        assert eng.column("clean").to_pylist()[0] == (
+            "Good long line with words.\nAnother fine long line!"
+        )
+        # fully-filtered doc -> null (SQL array_to_string-of-empty semantics)
+        assert eng.column("clean").to_pylist()[1] is None
+        assert eng.column("clean_n_kept").to_pylist() == [2, 0, None, 2, 0]
+
+    def test_rules_independent(self):
+        from kamae_ray.stages.text import LineFilterTransformer
+
+        t = pa.table({"text": ["ok line one.\nok line two."]})
+        out = LineFilterTransformer(
+            input_col="text", output_col="c", min_words=0, terminal_regex=None,
+        ).transform_batch(t)
+        assert out.column("c").to_pylist() == ["ok line one.\nok line two."]

@@ -3038,6 +3038,24 @@ def _q_line_filter(sf_dir):
     return out.select_columns(["doc_id", "clean", "clean_n_lines", "clean_n_kept"])
 
 
+def _q_gopher(sf_dir):
+    """Full Gopher quality-rule bundle (``GopherQualityTransformer``, Rae
+    2021 table A1): word-count / mean-word-length / symbol-ratio /
+    alpha-word-fraction / distinct-stopword rules. Every flag is an
+    exact-integer comparison (cross-multiplied rationals — no float boundary
+    ULPs), hash-exact vs the generated SQL oracle. One stateless vectorized
+    map, a handful of RE2 scans per batch."""
+    from kamae_ray.stages.text import GopherQualityTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = GopherQualityTransformer(input_col="text", output_col="g").transform(ds)
+    return out.select_columns(
+        ["doc_id", "g_n_words", "g_n_chars", "g_n_symbols", "g_n_alpha_words",
+         "g_n_stopwords", "g_flag_words", "g_flag_mean_len", "g_flag_symbol",
+         "g_flag_alpha", "g_flag_stop", "g_pass"]
+    )
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3280,6 +3298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_temperature": _q_temperature,
         "q_redact": _q_redact,
         "q_line_filter": _q_line_filter,
+        "q_gopher": _q_gopher,
     }
 
 
@@ -4513,4 +4532,11 @@ def oracle_sql() -> dict[str, str]:
                 "text", "clean", min_words=3, blocklist=["spark"])
             + " FROM s"
         ),
+        # gopher metric/flag exprs generated from the engine's own rule table
+        "q_gopher": (lambda _m_fl: (
+            f"WITH m AS (SELECT doc_id, {_m_fl[0]} FROM documents) "
+            f"SELECT *, {_m_fl[1]}, (g_flag_words AND g_flag_mean_len AND "
+            "g_flag_symbol AND g_flag_alpha AND g_flag_stop) AS g_pass FROM m"
+        ))(__import__("kamae_ray.stages.text", fromlist=["x"]).gopher_oracle_exprs(
+            "text", "g")),
     }

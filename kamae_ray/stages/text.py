@@ -603,3 +603,139 @@ def line_filter_oracle_exprs(text_expr: str, out_col: str,
         f"CAST(len({split}) AS BIGINT) AS {out_col}_n_lines, "
         f"CAST(len({filt}) AS BIGINT) AS {out_col}_n_kept"
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+class GopherQualityTransformer(Transformer):
+    """The full Gopher document-quality rule bundle (Rae et al. 2021, table
+    A1 — the standard pre-training quality gate; QualityScoreTransformer is
+    the soft-score sibling, this is the published hard filter):
+
+    - word count within ``[min_words, max_words]``
+    - mean word length within ``[min_word_len, max_word_len]``
+    - symbol-to-word ratio ('#' or '...') at most ``symbol_ratio``
+    - at least ``alpha_frac`` of words contain an alphabetic character
+    - at least ``min_stopwords`` DISTINCT stopwords present
+
+    Emits exact-integer evidence columns (``<out>_n_words``, ``_n_chars``
+    = summed word lengths, ``_n_symbols``, ``_n_alpha_words``,
+    ``_n_stopwords``), one boolean per rule (``_flag_*``) and the overall
+    ``<out>_pass``. EVERY flag is an integer comparison (ratios as
+    cross-multiplied rationals, lesson-24 family), so results are
+    bit-identical to the SQL oracle (``gopher_oracle_exprs``) — no float
+    boundary ULPs. One stateless vectorized map (a handful of RE2 scans per
+    batch); no shuffle, no state. Line-level Gopher rules (bullet/ellipsis
+    line ratios) are LineFilterTransformer's domain."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, min_words: int = 50, max_words: int = 100_000,
+                 min_word_len: int = 3, max_word_len: int = 10,
+                 symbol_ratio: tuple[int, int] = (1, 10),
+                 alpha_frac: tuple[int, int] = (4, 5),
+                 min_stopwords: int = 2,
+                 stopwords: tuple[str, ...] = _GOPHER_STOPWORDS, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.min_words, self.max_words = int(min_words), int(max_words)
+        self.min_word_len, self.max_word_len = int(min_word_len), int(max_word_len)
+        self.symbol_ratio = (int(symbol_ratio[0]), int(symbol_ratio[1]))
+        self.alpha_frac = (int(alpha_frac[0]), int(alpha_frac[1]))
+        self.min_stopwords = int(min_stopwords)
+        self.stopwords = tuple(stopwords)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        flat = A.as_array(self._cast_in(batch.column(self.input_col)))
+        valid = pc.is_valid(flat)
+        f = pc.fill_null(flat, "")
+
+        def cnt(pattern):
+            return pc.count_substring_regex(f, pattern=pattern).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+
+        n_words = cnt(r"\S+")
+        n_ws = cnt(r"\s")
+        n_chars = pc.utf8_length(f).to_numpy(zero_copy_only=False).astype(np.int64) - n_ws
+        n_symbols = cnt(r"#|\.\.\.")
+        n_alpha = cnt(r"\S*[A-Za-z]\S*")
+        n_stop = np.zeros(len(f), dtype=np.int64)
+        for w in self.stopwords:
+            n_stop += pc.match_substring_regex(
+                f, pattern=rf"\b{w}\b"
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+        flag_words = (n_words >= self.min_words) & (n_words <= self.max_words)
+        flag_mean_len = (
+            (n_words > 0)
+            & (n_chars >= self.min_word_len * n_words)
+            & (n_chars <= self.max_word_len * n_words)
+        )
+        sn, sd = self.symbol_ratio
+        flag_symbol = sd * n_symbols <= sn * n_words
+        an, ad = self.alpha_frac
+        flag_alpha = ad * n_alpha >= an * n_words
+        flag_stop = n_stop >= self.min_stopwords
+        all_pass = flag_words & flag_mean_len & flag_symbol & flag_alpha & flag_stop
+        base = self.output_col
+        out = {
+            f"{base}_n_words": n_words, f"{base}_n_chars": n_chars,
+            f"{base}_n_symbols": n_symbols, f"{base}_n_alpha_words": n_alpha,
+            f"{base}_n_stopwords": n_stop,
+        }
+        flags = {
+            f"{base}_flag_words": flag_words, f"{base}_flag_mean_len": flag_mean_len,
+            f"{base}_flag_symbol": flag_symbol, f"{base}_flag_alpha": flag_alpha,
+            f"{base}_flag_stop": flag_stop, f"{base}_pass": all_pass,
+        }
+        nullify = pc.invert(valid)
+        for name, arr in out.items():
+            col = pc.if_else(nullify, pa.nulls(len(f), pa.int64()), pa.array(arr))
+            batch = _append_or_replace(batch, name, col)
+        for name, arr in flags.items():
+            col = pc.if_else(nullify, pa.nulls(len(f), pa.bool_()), pa.array(arr))
+            batch = _append_or_replace(batch, name, col)
+        return batch
+
+    @property
+    def outputs(self):
+        base = self.output_col
+        return [f"{base}_{s}" for s in (
+            "n_words", "n_chars", "n_symbols", "n_alpha_words", "n_stopwords",
+            "flag_words", "flag_mean_len", "flag_symbol", "flag_alpha",
+            "flag_stop", "pass")]
+
+
+def gopher_oracle_exprs(text_expr: str, out_col: str, min_words: int = 50,
+                        max_words: int = 100_000, min_word_len: int = 3,
+                        max_word_len: int = 10,
+                        symbol_ratio: tuple[int, int] = (1, 10),
+                        alpha_frac: tuple[int, int] = (4, 5),
+                        min_stopwords: int = 2,
+                        stopwords: tuple[str, ...] = _GOPHER_STOPWORDS) -> str:
+    """SQL select-list computing the SAME Gopher metrics and exact-integer
+    flags (oracle generation). Wrap in an outer query: the expressions
+    reference the metric aliases, so use them from a subquery/CTE."""
+    t = text_expr
+    b = out_col
+    metrics = (
+        rf"CAST(len(regexp_extract_all({t}, '\S+')) AS BIGINT) AS {b}_n_words, "
+        rf"CAST(length({t}) - len(regexp_extract_all({t}, '\s')) AS BIGINT) AS {b}_n_chars, "
+        rf"CAST(len(regexp_extract_all({t}, '#|\.\.\.')) AS BIGINT) AS {b}_n_symbols, "
+        rf"CAST(len(regexp_extract_all({t}, '\S*[A-Za-z]\S*')) AS BIGINT) AS {b}_n_alpha_words, "
+        + f"CAST(CASE WHEN {t} IS NULL THEN NULL ELSE ("
+        + " + ".join(
+            rf"CASE WHEN regexp_matches({t}, '\b{w}\b') THEN 1 ELSE 0 END"
+            for w in stopwords)
+        + f") END AS BIGINT) AS {b}_n_stopwords"
+    )
+    sn, sd = symbol_ratio
+    an, ad = alpha_frac
+    flags = (
+        f"({b}_n_words >= {min_words} AND {b}_n_words <= {max_words}) AS {b}_flag_words, "
+        f"({b}_n_words > 0 AND {b}_n_chars >= {min_word_len} * {b}_n_words "
+        f"AND {b}_n_chars <= {max_word_len} * {b}_n_words) AS {b}_flag_mean_len, "
+        f"({sd} * {b}_n_symbols <= {sn} * {b}_n_words) AS {b}_flag_symbol, "
+        f"({ad} * {b}_n_alpha_words >= {an} * {b}_n_words) AS {b}_flag_alpha, "
+        f"({b}_n_stopwords >= {min_stopwords}) AS {b}_flag_stop"
+    )
+    return metrics, flags

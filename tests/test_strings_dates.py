@@ -207,3 +207,47 @@ class TestLineFilter:
             input_col="text", output_col="c", min_words=0, terminal_regex=None,
         ).transform_batch(t)
         assert out.column("c").to_pylist() == ["ok line one.\nok line two."]
+
+
+class TestGopherQuality:
+    def test_matches_generated_sql_oracle(self):
+        import duckdb
+
+        from kamae_ray.stages.text import GopherQualityTransformer, gopher_oracle_exprs
+
+        t = pa.table({"id": [1, 2, 3, 4, 5], "text": [
+            "the quick brown fox jumps over to be of and that have with many "
+            "plain words " * 5 + "done now.",
+            "### ... ### short",
+            None,
+            "aa " * 60,                       # mean word length 2 -> fails
+            "supercalifragilistic " * 60,     # mean word length 20 -> fails
+        ]})
+        out = GopherQualityTransformer(input_col="text", output_col="g").transform_batch(t)
+        m, fl = gopher_oracle_exprs("text", "g")
+        ora = duckdb.query(
+            f"WITH m AS (SELECT id, {m} FROM t) "
+            f"SELECT *, {fl}, (g_flag_words AND g_flag_mean_len AND g_flag_symbol "
+            "AND g_flag_alpha AND g_flag_stop) AS g_pass FROM m ORDER BY id"
+        ).arrow()
+        eng = out.select(ora.column_names).combine_chunks()
+        assert eng.equals(ora.cast(eng.schema).combine_chunks())
+        assert eng.column("g_pass").to_pylist() == [True, False, None, False, False]
+        assert eng.column("g_flag_mean_len").to_pylist() == [True, True, None, False, False]
+
+    def test_integer_boundary_exactness(self):
+        # exactly at the rational boundaries: 10% symbols, 80% alpha words
+        from kamae_ray.stages.text import GopherQualityTransformer
+
+        words = ["word"] * 8 + ["123", "456"]  # 10 words, 8 alpha = exactly 80%
+        text = " ".join(words) + " #"          # '#' is an 11th word... keep separate
+        t = pa.table({"text": [" ".join(words)]})
+        out = GopherQualityTransformer(
+            input_col="text", output_col="g", min_words=1, min_stopwords=0,
+        ).transform_batch(t)
+        assert out.column("g_flag_alpha").to_pylist() == [True]   # >= 4/5 inclusive
+        t2 = pa.table({"text": [" ".join(["word"] * 9 + ["1", "2", "3"])]})  # 9/12 = 75%
+        out2 = GopherQualityTransformer(
+            input_col="text", output_col="g", min_words=1, min_stopwords=0,
+        ).transform_batch(t2)
+        assert out2.column("g_flag_alpha").to_pylist() == [False]

@@ -3056,6 +3056,21 @@ def _q_gopher(sf_dir):
     )
 
 
+def _q_scd2(sf_dir):
+    """SCD type-2 history build (``scd2_build``): per user, collapse
+    consecutive equal event_type snapshots (null-safe IS DISTINCT FROM) and
+    emit validity intervals valid_from/valid_to (null = current) + version +
+    is_current; event_id is the deterministic tiebreak under equal
+    timestamps AND the carried version identity. ONE key sort-shuffle +
+    a vectorized shifted-compare block kernel; oracle = LAG-filter + LEAD
+    window SQL."""
+    from kamae_ray.stages.window import scd2_build
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return scd2_build(ds, "user_id", "ts", ["event_type"],
+                      tiebreak_col="event_id", carry_cols=["event_id"])
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3299,6 +3314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_redact": _q_redact,
         "q_line_filter": _q_line_filter,
         "q_gopher": _q_gopher,
+        "q_scd2": _q_scd2,
     }
 
 
@@ -4539,4 +4555,18 @@ def oracle_sql() -> dict[str, str]:
             "g_flag_symbol AND g_flag_alpha AND g_flag_stop) AS g_pass FROM m"
         ))(__import__("kamae_ray.stages.text", fromlist=["x"]).gopher_oracle_exprs(
             "text", "g")),
+        "q_scd2": (
+            "WITH s AS (SELECT user_id, ts, event_id, event_type FROM events "
+            "WHERE ts IS NOT NULL), "
+            "o AS (SELECT *, LAG(event_type) OVER w AS prev, ROW_NUMBER() OVER w "
+            "AS rn FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "ch AS (SELECT user_id, ts, event_id, event_type FROM o "
+            "WHERE rn = 1 OR (prev IS DISTINCT FROM event_type)), "
+            "v AS (SELECT user_id, event_id, event_type, ts AS valid_from, "
+            "LEAD(ts) OVER w2 AS valid_to, ROW_NUMBER() OVER w2 AS version "
+            "FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, event_id, event_type, valid_from, valid_to, "
+            "CAST(version AS BIGINT) AS version, valid_to IS NULL AS is_current "
+            "FROM v"
+        ),
     }

@@ -1818,3 +1818,104 @@ def resample_locf(ds, entity_cols, time_col: str, value_col: str, bucket_s: int,
     if isinstance(cells, pa.Table):
         return densify(cells)
     return sorted_block_apply(cells, entity_cols, densify, "resample_densify")
+
+
+def scd2_build(ds, key_cols, time_col: str, attr_cols, tiebreak_col: str | None = None,
+               carry_cols: list[str] | None = None):
+    """Build a slowly-changing-dimension type-2 history from snapshot/CDC
+    rows — the warehouse staple the reference delegates upstream: per key,
+    order rows by (time[, tiebreak]), collapse consecutive rows whose
+    tracked ``attr_cols`` are all unchanged (null-safe IS DISTINCT FROM
+    semantics), and emit one row per surviving VERSION with
+    ``valid_from`` / ``valid_to`` (null = current), a 1-based ``version``
+    number and ``is_current``. ``carry_cols`` pass through the version's
+    FIRST row (e.g. a unique event id — also the deterministic identity
+    under equal timestamps when used as ``tiebreak_col``). Null times are
+    dropped (no ordering identity).
+
+    Scale plan: ONE distributed sort on the key (the window-family
+    partitioning contract — lesson 9: sort keys are exactly the group key;
+    time ordering happens inside the block kernel), then a single vectorized
+    sweep per block: lexsort, one shifted null-safe compare per tracked
+    attr, segment bookkeeping via cumsums — no per-key Python."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    attr_cols = [attr_cols] if isinstance(attr_cols, str) else list(attr_cols)
+    carry_cols = list(carry_cols or [])
+
+    def kern(block: pa.Table) -> pa.Table:
+        t_arr = A.as_array(block.column(time_col))
+        if t_arr.null_count:
+            block = block.filter(pc.is_valid(block.column(time_col)))
+            t_arr = A.as_array(block.column(time_col))
+        is_ts = pa.types.is_timestamp(t_arr.type)
+        unit = t_arr.type.unit if is_ts else None
+        int_path = is_ts or pa.types.is_integer(t_arr.type)
+        tv = pc.cast(t_arr, pa.int64() if int_path else pa.float64(), safe=False)
+        t = tv.to_numpy(zero_copy_only=False)
+        n = block.num_rows
+        gids = S.group_ids(block, key_cols)
+        if tiebreak_col is not None:
+            tb_arr = A.as_array(block.column(tiebreak_col))
+            tb = pc.rank(tb_arr, sort_keys="ascending", null_placement="at_end",
+                         tiebreaker="first").to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, t, gids))
+        else:
+            order = np.lexsort((t, gids))
+        gs, ts = gids[order], t[order]
+        starts, lens = S.segments(gs)
+        seg_rep = np.repeat(np.arange(len(starts)), lens)
+        changed = np.zeros(n, dtype=bool)
+        changed[starts] = True
+        oidx = pa.array(order)
+        for c in attr_cols:
+            a = A.as_array(block.column(c)).take(oidx)
+            if n > 1:
+                cur, prev = a.slice(1), a.slice(0, n - 1)
+                neq = pc.fill_null(pc.not_equal(cur, prev), False).to_numpy(
+                    zero_copy_only=False)
+                ncur = pc.is_null(cur).to_numpy(zero_copy_only=False)
+                nprev = pc.is_null(prev).to_numpy(zero_copy_only=False)
+                changed[1:] |= neq | (ncur != nprev)
+        ki = np.flatnonzero(changed)
+        seg_k = seg_rep[ki]
+        kstarts, klens = S.segments(seg_k)
+        krep = np.repeat(np.arange(len(kstarts)), klens)
+        version = (np.arange(len(ki)) - kstarts[krep] + 1).astype(np.int64)
+        has_next = np.zeros(len(ki), dtype=bool)
+        if len(ki) > 1:
+            has_next[:-1] = seg_k[1:] == seg_k[:-1]
+        vt = np.zeros(len(ki), dtype=ts.dtype)
+        if len(ki) > 1:
+            vt[:-1] = ts[ki[1:]]
+        take_idx = pa.array(order[ki])
+        out = {c: A.as_array(block.column(c)).take(take_idx)
+               for c in key_cols + carry_cols + attr_cols}
+
+        def t_out(vals, mask=None):
+            arr = pa.array(vals, pa.int64() if int_path else pa.float64(),
+                           mask=mask)
+            if is_ts:
+                arr = arr.cast(pa.timestamp(unit))
+            elif int_path and not pa.types.is_timestamp(t_arr.type):
+                arr = arr.cast(t_arr.type)
+            else:
+                arr = arr.cast(t_arr.type)
+            return arr
+
+        out["valid_from"] = t_out(ts[ki].astype(np.int64) if int_path else ts[ki])
+        out["valid_to"] = t_out(vt.astype(np.int64) if int_path else vt,
+                                mask=~has_next)
+        out["version"] = pa.array(version)
+        out["is_current"] = pa.array(~has_next)
+        return pa.table(out)
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    need = list(dict.fromkeys(
+        key_cols + [time_col] + attr_cols + carry_cols
+        + ([tiebreak_col] if tiebreak_col else [])))
+    try:
+        ds = ds.select_columns(need)
+    except Exception:
+        pass
+    return sorted_block_apply(ds, key_cols, kern, "scd2_build")

@@ -442,3 +442,73 @@ def test_review_fixes_retention_units_intervals_guard(ray_session):
                     "s": pa.array([10.0]), "e": pa.array([3.0])})
     with pytest.raises(ValueError, match="end < start"):
         merge_intervals(bad, "u", "s", "e")
+
+
+class TestScd2Build:
+    def test_matches_lag_lead_sql(self):
+        import duckdb
+
+        from kamae_ray.stages.window import scd2_build
+
+        rng = np.random.default_rng(3)
+        n = 4000
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 150, n)),
+            "ts": pa.array(rng.integers(0, 800, n)),
+            "eid": pa.array(np.arange(n)),
+            "val": pa.array(rng.choice(["a", "b", None], n).tolist(), pa.string()),
+        })
+        out = scd2_build(t, "k", "ts", ["val"], tiebreak_col="eid", carry_cols=["eid"])
+        ora = duckdb.query("""
+            WITH s AS (SELECT k, ts, eid, val FROM t WHERE ts IS NOT NULL),
+            o AS (SELECT *, LAG(val) OVER w AS prev, ROW_NUMBER() OVER w AS rn
+                  FROM s WINDOW w AS (PARTITION BY k ORDER BY ts, eid)),
+            ch AS (SELECT k, ts, eid, val FROM o WHERE rn = 1 OR (prev IS DISTINCT FROM val)),
+            v AS (SELECT k, eid, val, ts AS valid_from, LEAD(ts) OVER w2 AS valid_to,
+                  ROW_NUMBER() OVER w2 AS version
+                  FROM ch WINDOW w2 AS (PARTITION BY k ORDER BY ts, eid))
+            SELECT k, eid, val, valid_from, valid_to, CAST(version AS BIGINT) AS version,
+                   valid_to IS NULL AS is_current FROM v ORDER BY k, version
+        """).arrow()
+        eng = out.select(ora.column_names).sort_by(
+            [("k", "ascending"), ("version", "ascending")]).combine_chunks()
+        assert eng.equals(ora.cast(eng.schema).combine_chunks())
+
+    def test_multi_attr_and_timestamps(self):
+        from kamae_ray.stages.window import scd2_build
+
+        ts = pa.array([1, 2, 3, 4], pa.timestamp("us"))
+        t = pa.table({
+            "k": pa.array([1, 1, 1, 1]),
+            "ts": ts,
+            "a": pa.array(["x", "x", "y", "y"]),
+            "b": pa.array([1, 2, 2, 2], pa.int64()),
+        })
+        out = scd2_build(t, "k", "ts", ["a", "b"])
+        # versions: (x,1)@1, (x,2)@2, (y,2)@3; row4 unchanged
+        assert out.column("version").to_pylist() == [1, 2, 3]
+        assert out.column("valid_to").to_pylist()[-1] is None
+        assert out.column("is_current").to_pylist() == [False, False, True]
+        assert str(out.column("valid_from").type) == "timestamp[us]"
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray
+
+        from kamae_ray.stages.window import scd2_build
+
+        rng = np.random.default_rng(5)
+        n = 3000
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 60, n)),
+            "ts": pa.array(rng.integers(0, 500, n)),
+            "eid": pa.array(np.arange(n)),
+            "val": pa.array(rng.choice(["a", "b"], n).tolist(), pa.string()),
+        })
+        want = scd2_build(t, "k", "ts", ["val"], tiebreak_col="eid",
+                          carry_cols=["eid"]).sort_by([("k", "ascending"), ("version", "ascending")])
+        ds = ray.data.from_arrow(t).repartition(6)
+        got = pa.concat_tables(
+            [pa.table(b) for b in scd2_build(ds, "k", "ts", ["val"], tiebreak_col="eid",
+                                             carry_cols=["eid"]).iter_batches(batch_format="pyarrow")]
+        ).sort_by([("k", "ascending"), ("version", "ascending")])
+        assert got.select(want.column_names).combine_chunks().equals(want.combine_chunks())

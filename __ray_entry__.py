@@ -3071,6 +3071,29 @@ def _q_scd2(sf_dir):
                       tiebreak_col="event_id", carry_cols=["event_id"])
 
 
+def _q_json(sf_dir):
+    """Flat-JSON field extraction (``JsonExtractTransformer``) over the
+    events ``props`` payload column: one RE2 extract per batch, unquote +
+    unescape rewrites — no per-row json.loads. The oracle is DuckDB's
+    INDEPENDENT native JSON parser (json_extract_string), not a regex
+    mirror, so the parse itself is certified. Grouped tail exercises the
+    typed cast path."""
+    from kamae_ray.stages.strings import JsonExtractTransformer
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    out = JsonExtractTransformer(input_col="props", output_col="k_str",
+                                 field="k").transform(ds)
+
+    def addint(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "k_val", pc.cast(batch.column("k_str"), pa.int64()))
+
+    addint.__name__ = "json_int_cast"
+    out = out.map_batches(addint, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+    return out.select_columns(["event_id", "k_str", "k_val"])
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3315,6 +3338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_line_filter": _q_line_filter,
         "q_gopher": _q_gopher,
         "q_scd2": _q_scd2,
+        "q_json": _q_json,
     }
 
 
@@ -4568,5 +4592,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, valid_from, valid_to, "
             "CAST(version AS BIGINT) AS version, valid_to IS NULL AS is_current "
             "FROM v"
+        ),
+        "q_json": (
+            "SELECT event_id, json_extract_string(props, '$.k') AS k_str, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val "
+            "FROM events"
         ),
     }

@@ -400,3 +400,44 @@ class EditDistanceTransformer(MultiInputTransformer):
         from kamae_ray.functions.editdist import levenshtein_pairwise
 
         return pa.array(levenshtein_pairwise(flats[0], flats[1], self.max_len), pa.int32())
+
+
+class JsonExtractTransformer(Transformer):
+    """Extract one top-level scalar field from FLAT JSON strings — the
+    event-properties column staple (``{"k": 87, "src": "web"}``-shaped
+    payloads): emits the field's value as a string (strings unquoted and
+    unescaped for the standard ``\\" \\\\ \\/`` escapes; numbers/booleans as
+    their literal text; JSON ``null``, a missing field, or malformed input
+    -> null). Semantics match DuckDB's ``json_extract_string`` on flat
+    documents (certified in tests and by the q_json oracle, which uses
+    DuckDB's INDEPENDENT native JSON parser, not a regex mirror) — with one
+    documented divergence: numbers come back as their LITERAL source text
+    (``-3.5e2``), while JSON engines normalize (``-350.0``); the two agree
+    exactly on canonical integer/decimal literals.
+
+    Fully vectorized — one RE2 ``extract_regex`` + two anchored rewrites per
+    batch, no per-row Python, no shuffle. Scoped to FLAT documents: nested
+    objects/arrays as the field's value and exotic escapes (\\uXXXX) are out
+    of scope and pass through as raw text; use a real JSON engine for those.
+    """
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, field: str, **kwargs):
+        super().__init__(*args, **kwargs)
+        if not field or re.search(r'["\\]', field):
+            raise ValueError("field must be a plain key without quotes/backslashes")
+        self.field = field
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        flat = A.as_array(self._cast_in(batch.column(self.input_col)))
+        pat = (rf'"{re.escape(self.field)}"\s*:\s*'
+               r'(?P<v>"(?:[^"\\]|\\.)*"|-?[0-9][0-9.eE+\-]*|true|false|null)')
+        v = pc.struct_field(pc.extract_regex(flat, pattern=pat), "v")
+        is_str = pc.starts_with(pc.fill_null(v, ""), '"')
+        unq = pc.replace_substring_regex(v, pattern=r'^"|"$', replacement="")
+        unq = pc.replace_substring_regex(unq, pattern=r'\\(["\\/])', replacement=r"\1")
+        out = pc.if_else(is_str, unq, v)
+        out = pc.if_else(pc.equal(pc.fill_null(out, ""), "null"),
+                         pa.nulls(len(flat), pa.string()), out)
+        return _append_or_replace(batch, self.output_col, self._cast_out(out))

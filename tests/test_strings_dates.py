@@ -251,3 +251,38 @@ class TestGopherQuality:
             input_col="text", output_col="g", min_words=1, min_stopwords=0,
         ).transform_batch(t2)
         assert out2.column("g_flag_alpha").to_pylist() == [False]
+
+
+class TestJsonExtract:
+    def test_matches_duckdb_native_json_parser(self):
+        import duckdb
+
+        from kamae_ray.stages.strings import JsonExtractTransformer
+
+        t = pa.table({"j": [
+            '{"k": 87, "s": "web"}',
+            '{"s": "only"}',
+            '{"k": -350}',
+            '{"k": true, "x": 1}',
+            '{"k": null}',
+            '{"k": "he said \\"hi\\" \\\\ ok"}',
+            '{ "k" :  "spaced" }',
+            None,
+        ]})
+        for f in ("k", "s"):
+            out = JsonExtractTransformer(input_col="j", output_col="v", field=f).transform_batch(t)
+            ora = duckdb.query(
+                f"SELECT json_extract_string(j, '$.{f}') AS v FROM t"
+            ).arrow()
+            assert out.column("v").to_pylist() == ora.column("v").to_pylist(), f
+
+    def test_malformed_returns_null_and_field_validated(self):
+        import pytest as _pt
+
+        from kamae_ray.stages.strings import JsonExtractTransformer
+
+        t = pa.table({"j": ["not json", ""]})
+        out = JsonExtractTransformer(input_col="j", output_col="v", field="k").transform_batch(t)
+        assert out.column("v").to_pylist() == [None, None]
+        with _pt.raises(ValueError):
+            JsonExtractTransformer(input_col="j", output_col="v", field='a"b')

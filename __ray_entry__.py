@@ -3094,6 +3094,18 @@ def _q_json(sf_dir):
     return out.select_columns(["event_id", "k_str", "k_val"])
 
 
+def _q_chunk(sf_dir):
+    """Overlapping word-window chunking (``chunk_documents``): 64-word
+    chunks, 16-word overlap, remainder tail — the RAG / long-context
+    pre-training splitter. Block-local (a doc lives in one row): NO shuffle
+    at any scale; one split + integer span arithmetic + ONE flat gather per
+    batch. Oracle = generate_series + 1-based list-slice SQL."""
+    from kamae_ray.pipelines.text_features import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, "doc_id", "text", chunk_words=64, overlap=16)
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3339,6 +3351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gopher": _q_gopher,
         "q_scd2": _q_scd2,
         "q_json": _q_json,
+        "q_chunk": _q_chunk,
     }
 
 
@@ -4597,5 +4610,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, json_extract_string(props, '$.k') AS k_str, "
             "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val "
             "FROM events"
+        ),
+        "q_chunk": (
+            r"WITH d AS (SELECT doc_id, list_filter(string_split_regex("
+            r"coalesce(text,''), '\s+'), x -> length(x) > 0) AS w FROM documents), "
+            "n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nw FROM d "
+            "WHERE len(w) > 0), "
+            "c AS (SELECT doc_id, w, nw, unnest(generate_series(0, "
+            "CAST(CASE WHEN nw <= 64 THEN 0 ELSE ((nw - 64) + 48 - 1) // 48 END "
+            "AS BIGINT))) AS ci FROM n) "
+            "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
+            "array_to_string(w[ci*48+1 : LEAST(ci*48+64, nw)], ' ') AS chunk_text, "
+            "LEAST(64, nw - ci*48) AS n_chunk_words FROM c"
         ),
     }

@@ -403,3 +403,62 @@ def word_freq_scores(
         return score(tf_long)
     return tf_long.map_batches(score, batch_format="pyarrow", zero_copy_batch=True,
                                batch_size=None)
+
+
+def chunk_documents(ds, id_col: str, text_col: str, chunk_words: int = 128,
+                    overlap: int = 32, out_text: str = "chunk_text"):
+    """Split long documents into overlapping fixed-size WORD windows — the
+    RAG / long-context pre-training chunking step (each chunk is
+    ``chunk_words`` words; consecutive chunks overlap by ``overlap``; the
+    final chunk is the remainder, never padded). Emits one row per chunk:
+    id column(s) + ``chunk_idx`` (0-based) + ``out_text`` + ``n_chunk_words``.
+    Empty / null documents emit no chunks.
+
+    Fully vectorized, block-local (a document lives in one row, so chunking
+    never crosses blocks — NO shuffle at any scale): one whitespace split
+    per batch, chunk spans from integer arithmetic over the word offsets,
+    ONE flat gather builds every chunk's word list (repeat + intra-arange,
+    lesson-33 family), one ``binary_join`` re-joins. Peak memory per batch
+    is the ~``chunk_words/step``x word duplication of the overlap — bounded
+    by the batch, not the corpus."""
+    if chunk_words <= 0 or not 0 <= overlap < chunk_words:
+        raise ValueError("need chunk_words > 0 and 0 <= overlap < chunk_words")
+    step = chunk_words - overlap
+
+    def kern(block: pa.Table) -> pa.Table:
+        flat = A.as_array(block.column(text_col))
+        split = pc.split_pattern_regex(pc.fill_null(flat, ""), pattern=r"\s+")
+        split = A._normalize_list(split)
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = split.values
+        nonempty = pc.utf8_length(words).to_numpy(zero_copy_only=False) > 0
+        words = words.filter(pa.array(nonempty))
+        kept = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+        starts_doc = kept[offsets[:-1]]
+        nw = kept[offsets[1:]] - starts_doc
+        n_chunks = np.where(nw > 0, 1 + np.maximum(0, -(-(nw - chunk_words) // step)), 0)
+        doc_rep = np.repeat(np.arange(block.num_rows), n_chunks)
+        n_out = len(doc_rep)
+        cstarts = np.concatenate(([0], np.cumsum(n_chunks)))
+        chunk_idx = np.arange(n_out) - cstarts[doc_rep]
+        rel_start = chunk_idx * step
+        lens = np.minimum(chunk_words, nw[doc_rep] - rel_start)
+        abs_start = starts_doc[doc_rep] + rel_start
+        total = int(lens.sum())
+        row_off = np.concatenate(([0], np.cumsum(lens)))
+        intra = np.arange(total) - np.repeat(row_off[:-1], lens)
+        word_idx = np.repeat(abs_start, lens) + intra
+        gathered = words.take(pa.array(word_idx))
+        chunk_list = pa.ListArray.from_arrays(pa.array(row_off, pa.int32()), gathered)
+        out = {c: A.as_array(block.column(c)).take(pa.array(doc_rep))
+               for c in ([id_col] if isinstance(id_col, str) else list(id_col))}
+        out["chunk_idx"] = pa.array(chunk_idx.astype(np.int64))
+        out[out_text] = pc.binary_join(chunk_list, " ")
+        out["n_chunk_words"] = pa.array(lens.astype(np.int64))
+        return pa.table(out)
+
+    kern.__name__ = "chunk_documents"
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)

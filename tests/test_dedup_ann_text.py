@@ -1108,3 +1108,56 @@ def test_pq_topk_adc_exact_integer(ray_session):
     ds = ray.data.from_arrow(tbl).repartition(4)
     got_ds = pq_topk(ds, queries, "emb", "vid", cb, m_sub, k=5)
     assert got_ds.equals(got)
+
+
+class TestChunkDocuments:
+    def test_matches_list_slice_sql(self):
+        import duckdb
+
+        from kamae_ray.pipelines.text_features import chunk_documents
+
+        t = pa.table({"doc_id": [1, 2, 3, 4, 5], "text": [
+            " ".join(f"w{i}" for i in range(300)),
+            "a b c",
+            "",
+            None,
+            " ".join(f"x{i}" for i in range(128)),  # exactly one full chunk
+        ]})
+        out = chunk_documents(t, "doc_id", "text", chunk_words=128, overlap=32)
+        ora = duckdb.query(r"""
+            WITH d AS (SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '\s+'),
+                       x -> length(x) > 0) AS w FROM t),
+            n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nw FROM d WHERE len(w) > 0),
+            c AS (SELECT doc_id, w, nw, unnest(generate_series(0,
+                  CAST(CASE WHEN nw <= 128 THEN 0 ELSE ((nw - 128) + 96 - 1) // 96 END AS BIGINT))) AS ci FROM n)
+            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+                   array_to_string(w[ci*96+1 : LEAST(ci*96+128, nw)], ' ') AS chunk_text,
+                   LEAST(128, nw - ci*96) AS n_chunk_words
+            FROM c ORDER BY doc_id, chunk_idx
+        """).arrow()
+        eng = out.select(ora.column_names).sort_by(
+            [("doc_id", "ascending"), ("chunk_idx", "ascending")]).combine_chunks()
+        assert eng.equals(ora.cast(eng.schema).combine_chunks())
+        assert eng.column("n_chunk_words").to_pylist() == [128, 128, 108, 3, 128]
+
+    def test_overlap_reconstruction(self):
+        # consecutive chunks share exactly `overlap` words
+        from kamae_ray.pipelines.text_features import chunk_documents
+
+        words = [f"t{i}" for i in range(50)]
+        t = pa.table({"doc_id": [1], "text": [" ".join(words)]})
+        out = chunk_documents(t, "doc_id", "text", chunk_words=20, overlap=5)
+        chunks = [c.split(" ") for c in out.column("chunk_text").to_pylist()]
+        assert chunks[0] == words[0:20]
+        assert chunks[1] == words[15:35]
+        assert chunks[1][:5] == chunks[0][-5:]
+        assert chunks[-1][-1] == "t49"
+
+    def test_param_validation(self):
+        import pytest as _pt
+
+        from kamae_ray.pipelines.text_features import chunk_documents
+
+        t = pa.table({"doc_id": [1], "text": ["a b"]})
+        with _pt.raises(ValueError):
+            chunk_documents(t, "doc_id", "text", chunk_words=10, overlap=10)

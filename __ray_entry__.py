@@ -3106,6 +3106,21 @@ def _q_chunk(sf_dir):
     return chunk_documents(ds, "doc_id", "text", chunk_words=64, overlap=16)
 
 
+def _q_knn(sf_dir):
+    """Exact cosine kNN graph (``knn_graph``): every vector's 5 nearest
+    others — the semantic-dedup graph primitive. Corpus matrix broadcast
+    ONCE via ray.put; per-block tiled matmuls (lesson 31); no shuffle; the
+    O(N^2) sims matrix is never materialized. Oracle = exact CROSS JOIN
+    row_number SQL. Above the broadcast budget the IVF index path takes
+    over (q_ann_ivf_index)."""
+    from kamae_ray.pipelines.ann import knn_graph
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_graph(ds, "vec_id", "embedding", k=5)
+    return out.map_batches(_rounder(["cosine"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3352,6 +3367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scd2": _q_scd2,
         "q_json": _q_json,
         "q_chunk": _q_chunk,
+        "q_knn": _q_knn,
     }
 
 
@@ -4622,5 +4638,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
             "array_to_string(w[ci*48+1 : LEAST(ci*48+64, nw)], ' ') AS chunk_text, "
             "LEAST(64, nw - ci*48) AS n_chunk_words FROM c"
+        ),
+        "q_knn": (
+            "WITH scored AS (SELECT a.vec_id AS src, b.vec_id AS nbr, "
+            "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs "
+            "FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY src "
+            "ORDER BY cs DESC, nbr) AS rank FROM scored) "
+            "SELECT src, CAST(rank AS BIGINT) AS rank, nbr, ROUND(cs, 6) AS cosine "
+            "FROM r WHERE rank <= 5"
         ),
     }

@@ -793,3 +793,117 @@ def pq_topk_oracle_sql(table: str, emb_col: str, id_col: str,
         f"(SELECT query_idx, vid, adc_dist, CAST(row_number() OVER (PARTITION BY query_idx "
         f"ORDER BY adc_dist, vid) AS BIGINT) AS rank FROM adc) WHERE rank <= {k}"
     )
+
+
+class _KnnGraphPartial:
+    """Per-block exact kNN against the broadcast corpus matrix: chunked
+    (rows x N) tiles (lesson 31 — never materialize an unbounded sims
+    matrix), argpartition top-(k+1), per-row (−sim, neighbor-id) ordering,
+    self-exclusion."""
+
+    def __init__(self, corpus_ref, emb_col: str, id_col: str, k: int,
+                 tile_bytes: int = 32 << 20):
+        self.corpus_ref = corpus_ref
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.k = k
+        self.tile_bytes = tile_bytes
+        self._c = None
+        self.__name__ = "knn_graph_partial"
+
+    def _corpus(self):
+        if self._c is None:
+            obj = self.corpus_ref
+            if not isinstance(obj, tuple):
+                import ray
+
+                obj = ray.get(obj)
+            self._c = obj
+        return self._c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cids, cmat = self._corpus()   # (N,), (N, d) normalized float64
+        m, d = A.matrix_view(batch.column(self.emb_col))
+        x = _normalize(m.astype(np.float64))
+        ids = A.as_array(batch.column(self.id_col)).to_numpy(zero_copy_only=False)
+        N = len(cids)
+        kk = min(self.k + 1, N)      # +1: self may be among the candidates
+        rows_per_tile = max(1, self.tile_bytes // max(1, 8 * N))
+        src_parts, nbr_parts, rank_parts, sim_parts = [], [], [], []
+        for lo in range(0, len(ids), rows_per_tile):
+            hi = min(lo + rows_per_tile, len(ids))
+            sims = x[lo:hi] @ cmat.T                      # (t, N)
+            t = hi - lo
+            if kk < N:
+                cand = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            else:
+                cand = np.tile(np.arange(N), (t, 1))
+            rix = np.repeat(np.arange(t), cand.shape[1])
+            csim = sims[rix, cand.ravel()]
+            cnid = cids[cand.ravel()]
+            # per-row deterministic order: sim DESC, neighbor id ASC
+            order = np.lexsort((cnid, -csim, rix))
+            csim, cnid, rix = csim[order], cnid[order], rix[order]
+            keep = cnid != ids[lo:hi][rix]                # drop self
+            csim, cnid, rix = csim[keep], cnid[keep], rix[keep]
+            # first k per row (rows are contiguous after the lexsort)
+            starts = np.concatenate(([0], 1 + np.flatnonzero(rix[1:] != rix[:-1])))
+            pos = np.arange(len(rix)) - starts[np.cumsum(
+                np.concatenate(([True], rix[1:] != rix[:-1]))) - 1]
+            sel = pos < self.k
+            csim, cnid, rix, pos = csim[sel], cnid[sel], rix[sel], pos[sel]
+            src_parts.append(ids[lo:hi][rix].astype(np.int64))
+            nbr_parts.append(cnid.astype(np.int64))
+            rank_parts.append((pos + 1).astype(np.int64))
+            sim_parts.append(csim)
+        cat = (lambda ps, dt: np.concatenate(ps) if ps else np.zeros(0, dt))
+        return pa.table({
+            "src": pa.array(cat(src_parts, np.int64)),
+            "rank": pa.array(cat(rank_parts, np.int64)),
+            "nbr": pa.array(cat(nbr_parts, np.int64)),
+            "cosine": pa.array(cat(sim_parts, np.float64), pa.float64()),
+        })
+
+
+def knn_graph(ds, id_col: str, emb_col: str, k: int = 5,
+              max_broadcast_rows: int = 2_000_000):
+    """Exact k-nearest-neighbor graph over an embedding column (cosine):
+    every vector gets its k nearest OTHER vectors — the semantic-dedup /
+    graph-construction primitive. Output rows: ``src, rank (1-based), nbr,
+    cosine`` with deterministic (sim DESC, nbr ASC) tie-breaking.
+
+    Scale plan: the corpus matrix is broadcast ONCE (``ray.put``, zero-copy
+    plasma read per task — lesson 29) and every block computes its rows'
+    neighbors with tiled matmuls (lesson 31), so the work is embarrassingly
+    parallel over blocks with NO shuffle; output is streamed, never the
+    O(N^2) similarity matrix. The driver holds the corpus matrix once —
+    guarded by ``max_broadcast_rows``; above it, use the IVF path
+    (``ivf_build``/``ivf_query``) whose probed-partition reads keep the
+    exact-within-probe semantics without an all-pairs broadcast."""
+    from kamae_ray.base import collect_tables
+
+    if isinstance(ds, pa.Table):
+        ids = A.as_array(ds.column(id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+        m, _ = A.matrix_view(ds.column(emb_col))
+        corpus = (ids, _normalize(m.astype(np.float64)))
+        if len(ids) > max_broadcast_rows:
+            raise ValueError(
+                f"knn_graph: corpus {len(ids)} rows exceeds max_broadcast_rows="
+                f"{max_broadcast_rows}; use ivf_build/ivf_query at this scale")
+        return _KnnGraphPartial(corpus, emb_col, id_col, k)(ds)
+    import ray
+
+    proj = ds.select_columns([id_col, emb_col])
+    parts = collect_tables(proj)
+    n_rows = sum(t.num_rows for t in parts)
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"knn_graph: corpus {n_rows} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; use ivf_build/ivf_query at this scale")
+    full = pa.concat_tables(parts).combine_chunks()
+    ids = A.as_array(full.column(id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+    m, _ = A.matrix_view(full.column(emb_col))
+    ref = ray.put((ids, _normalize(m.astype(np.float64))))
+    fn = _KnnGraphPartial(ref, emb_col, id_col, k)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)

@@ -1161,3 +1161,80 @@ class TestChunkDocuments:
         t = pa.table({"doc_id": [1], "text": ["a b"]})
         with _pt.raises(ValueError):
             chunk_documents(t, "doc_id", "text", chunk_words=10, overlap=10)
+
+
+class TestKnnGraph:
+    def _data(self, n=300, d=16, seed=0):
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(n, d)).astype(np.float32)
+        return pa.table({
+            "vec_id": pa.array(np.arange(n)),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        })
+
+    def test_matches_exact_cross_join_sql(self):
+        import duckdb
+        import pyarrow.compute as pc
+
+        from kamae_ray.pipelines.ann import knn_graph
+
+        t = self._data()
+        out = knn_graph(t, "vec_id", "embedding", k=5)
+        eng = pa.table({
+            "src": out.column("src"), "rank": out.column("rank"),
+            "nbr": out.column("nbr"),
+            "cosine": pc.round(out.column("cosine"), ndigits=6,
+                               round_mode="half_towards_infinity"),
+        }).sort_by([("src", "ascending"), ("rank", "ascending")]).combine_chunks()
+        ora = duckdb.query("""
+            WITH scored AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+              list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+              FROM t a CROSS JOIN t b WHERE a.vec_id <> b.vec_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cs DESC, nbr) AS rank
+                  FROM scored)
+            SELECT src, CAST(rank AS BIGINT) AS rank, nbr, ROUND(cs,6) AS cosine
+            FROM r WHERE rank <= 5 ORDER BY src, rank
+        """).arrow()
+        assert eng.equals(ora.cast(eng.schema).combine_chunks())
+
+    def test_tiling_preserves_graph(self):
+        # a ~1-row tile must select the same (src, rank, nbr) graph; cosine
+        # may differ by BLAS-accumulation ULPs (gemv vs blocked gemm), far
+        # inside the 6dp oracle rounding
+        from kamae_ray.pipelines.ann import _KnnGraphPartial, _normalize, knn_graph
+
+        t = self._data(n=120, seed=1)
+        full = knn_graph(t, "vec_id", "embedding", k=4)
+        m, _ = __import__("kamae_ray.functions.arrays", fromlist=["x"]).matrix_view(
+            t.column("embedding"))
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        tiny = _KnnGraphPartial((ids, _normalize(m.astype(np.float64))),
+                                "embedding", "vec_id", 4, tile_bytes=1)(t)
+        assert tiny.select(["src", "rank", "nbr"]).equals(
+            full.select(["src", "rank", "nbr"]))
+        assert np.allclose(tiny.column("cosine").to_numpy(),
+                           full.column("cosine").to_numpy(), rtol=0, atol=1e-12)
+
+    def test_broadcast_budget_guard(self):
+        import pytest as _pt
+
+        from kamae_ray.pipelines.ann import knn_graph
+
+        with _pt.raises(ValueError):
+            knn_graph(self._data(n=50), "vec_id", "embedding", k=3,
+                      max_broadcast_rows=10)
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray
+
+        from kamae_ray.pipelines.ann import knn_graph
+
+        t = self._data(n=200, seed=2)
+        want = knn_graph(t, "vec_id", "embedding", k=3).sort_by(
+            [("src", "ascending"), ("rank", "ascending")])
+        ds = ray.data.from_arrow(t).repartition(5)
+        got = pa.concat_tables(
+            [pa.table(b) for b in knn_graph(ds, "vec_id", "embedding", k=3)
+             .iter_batches(batch_format="pyarrow")]
+        ).sort_by([("src", "ascending"), ("rank", "ascending")])
+        assert got.combine_chunks().equals(want.combine_chunks())

@@ -3094,7 +3094,7 @@ def _q_json(sf_dir):
     return out.select_columns(["event_id", "k_str", "k_val"])
 
 
-def _q_chunk(sf_dir):
+def _q_word_chunks(sf_dir):
     """Overlapping word-window chunking (``chunk_documents``): 64-word
     chunks, 16-word overlap, remainder tail — the RAG / long-context
     pre-training splitter. Block-local (a doc lives in one row): NO shuffle
@@ -3366,7 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gopher": _q_gopher,
         "q_scd2": _q_scd2,
         "q_json": _q_json,
-        "q_chunk": _q_chunk,
+        "q_word_chunks": _q_word_chunks,
         "q_knn": _q_knn,
     }
 
@@ -4627,7 +4627,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val "
             "FROM events"
         ),
-        "q_chunk": (
+        "q_word_chunks": (
             r"WITH d AS (SELECT doc_id, list_filter(string_split_regex("
             r"coalesce(text,''), '\s+'), x -> length(x) > 0) AS w FROM documents), "
             "n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nw FROM d "

@@ -242,6 +242,14 @@ _BENCH_QUERIES = [
     "q_approx_quantiles",  # one-pass mergeable quantile sketch
     "q_embedding_prep",  # end-to-end embedding prep (decontam -> SemDeDup)
     "q_group_quantile_sketch",  # per-group mergeable quantile sketch
+    "q_temperature",  # exact-integer temperature-balanced corpus sampling
+    "q_redact",  # RE2 PII scrubbing + per-category match counts
+    "q_line_filter",  # C4-style per-line cleaning (split + rules + rebuild)
+    "q_gopher",  # full Gopher rule bundle, integer-rational flags
+    "q_scd2",  # SCD2 history build (key sort + shifted null-safe compare)
+    "q_json",  # flat-JSON field extraction (RE2, no per-row parse)
+    "q_word_chunks",  # word-window RAG chunking with remainder tails
+    "q_knn",  # exact kNN graph (broadcast corpus + tiled matmuls)
 ]
 
 

@@ -3121,6 +3121,32 @@ def _q_knn(sf_dir):
                            zero_copy_batch=True)
 
 
+def _q_normalize(sf_dir):
+    """Text normalization (``TextNormalizeTransformer``): lowercase +
+    whitespace collapse + trim over a mixed-case/mixed-whitespace text built
+    deterministically from orders columns on both sides. The Unicode
+    normalization forms (NFC/NFKC/NFD/NFKD, certified against CPython's
+    independent unicodedata) have no DuckDB twin and are covered in tests.
+    One stateless vectorized map."""
+    from kamae_ray.stages.text import TextNormalizeTransformer
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            "  The ", pc.cast(batch.column("o_orderpriority"), pa.string()),
+            " \t Order\n", pc.cast(batch.column("o_orderstatus"), pa.string()),
+            "   END ", "",
+        )
+        return batch.append_column("text", text)
+
+    mk.__name__ = "make_messy_text"
+    ds = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = TextNormalizeTransformer(input_col="text", output_col="norm").transform(ds)
+    return out.select_columns(["o_orderkey", "norm"])
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3368,6 +3394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_json": _q_json,
         "q_word_chunks": _q_word_chunks,
         "q_knn": _q_knn,
+        "q_normalize": _q_normalize,
     }
 
 
@@ -4647,5 +4674,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cs DESC, nbr) AS rank FROM scored) "
             "SELECT src, CAST(rank AS BIGINT) AS rank, nbr, ROUND(cs, 6) AS cosine "
             "FROM r WHERE rank <= 5"
+        ),
+        "q_normalize": (
+            "WITH s AS (SELECT o_orderkey, '  The ' || o_orderpriority "
+            "|| ' ' || chr(9) || ' Order' || chr(10) || o_orderstatus "
+            "|| '   END ' AS text FROM orders) "
+            r"SELECT o_orderkey, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) "
+            "AS norm FROM s"
         ),
     }

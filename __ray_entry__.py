@@ -3147,6 +3147,47 @@ def _q_normalize(sf_dir):
     return out.select_columns(["o_orderkey", "norm"])
 
 
+def _q_norm_dedup(sf_dir):
+    """Composition chain: TextNormalize (lower + whitespace collapse + trim)
+    -> exact_dedup on the NORMALIZED text — near-exact dedup of documents
+    that differ only in case/whitespace, the standard crawl-cleaning
+    combination. The normalization collapses distinct raw docs into shared
+    keys, so the dedup is doing real work the raw-text dedup would miss.
+    One stateless map + ONE key sort; chained-CTE oracle certifies the whole
+    composition."""
+    from kamae_ray.pipelines.dedup import exact_dedup
+    from kamae_ray.stages.text import TextNormalizeTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        # FAN OUT: every doc emits its raw form (variant 0) AND an
+        # upper-cased double-spaced variant (variant 1) — case/whitespace
+        # noise that only the normalize step can collapse back
+        k = pc.cast(batch.column("doc_id"), pa.int64())
+        raw = pc.fill_null(batch.column("text"), "")
+        noisy = pc.binary_join_element_wise(
+            "  ", pc.replace_substring(pc.utf8_upper(raw), " ", "  "), " ", "")
+        v0 = pa.table({"doc_id": k, "ord_key": pc.multiply(k, 2), "text": raw})
+        v1 = pa.table({"doc_id": k, "ord_key": pc.add(pc.multiply(k, 2), 1),
+                       "text": noisy})
+        return pa.concat_tables([v0, v1])
+
+    messy.__name__ = "make_messy_variants"
+    ds = ds.map_batches(messy, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    ds = TextNormalizeTransformer(input_col="text", output_col="norm").transform(ds)
+
+    def drop_raw(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["text"])
+
+    drop_raw.__name__ = "drop_raw"
+    ds = ds.map_batches(drop_raw, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = exact_dedup(ds, "norm", "ord_key", keep="first")
+    return out.select_columns(["doc_id", "ord_key", "norm"])
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3395,6 +3436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_word_chunks": _q_word_chunks,
         "q_knn": _q_knn,
         "q_normalize": _q_normalize,
+        "q_norm_dedup": _q_norm_dedup,
     }
 
 
@@ -4681,5 +4723,21 @@ def oracle_sql() -> dict[str, str]:
             "|| '   END ' AS text FROM orders) "
             r"SELECT o_orderkey, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) "
             "AS norm FROM s"
+        ),
+        # composition chain: variant fan-out -> normalize -> exact dedup;
+        # the winner per normalized text is min(ord_key) = the raw variant
+        "q_norm_dedup": (
+            "WITH v AS ("
+            "SELECT doc_id, doc_id * 2 AS ord_key, coalesce(text, '') AS text "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, doc_id * 2 + 1 AS ord_key, "
+            "'  ' || replace(upper(coalesce(text, '')), ' ', '  ') || ' ' AS text "
+            "FROM documents), "
+            r"n AS (SELECT doc_id, ord_key, trim(regexp_replace(lower(text), '\s+', "
+            "' ', 'g')) AS norm FROM v), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY ord_key) "
+            "AS rn FROM n) "
+            "SELECT doc_id, ord_key, norm FROM r WHERE rn = 1"
         ),
     }

@@ -438,6 +438,9 @@ class JsonExtractTransformer(Transformer):
         unq = pc.replace_substring_regex(v, pattern=r'^"|"$', replacement="")
         unq = pc.replace_substring_regex(unq, pattern=r'\\(["\\/])', replacement=r"\1")
         out = pc.if_else(is_str, unq, v)
-        out = pc.if_else(pc.equal(pc.fill_null(out, ""), "null"),
-                         pa.nulls(len(flat), pa.string()), out)
+        # JSON null -> SQL NULL — but only the BARE literal: a quoted "null"
+        # string value stays the string 'null' (json_extract_string parity)
+        bare_null = pc.and_(pc.invert(is_str),
+                            pc.equal(pc.fill_null(out, ""), "null"))
+        out = pc.if_else(bare_null, pa.nulls(len(flat), pa.string()), out)
         return _append_or_replace(batch, self.output_col, self._cast_out(out))

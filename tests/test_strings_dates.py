@@ -331,3 +331,37 @@ class TestTextNormalize:
             r"SELECT trim(regexp_replace(lower(s), '\s+', ' ', 'g')) AS n FROM t2"
         ).arrow()
         assert out.column("n").to_pylist() == ora.column("n").to_pylist()
+
+
+def test_json_extract_quoted_null_literal_stays_string():
+    import duckdb
+
+    from kamae_ray.stages.strings import JsonExtractTransformer
+
+    t = pa.table({"j": ['{"k": "null"}', '{"k": null}', '{"k": "ok"}']})
+    out = JsonExtractTransformer(input_col="j", output_col="v", field="k").transform_batch(t)
+    ora = duckdb.query("SELECT json_extract_string(j, '$.k') AS v FROM t").arrow()
+    assert out.column("v").to_pylist() == ora.column("v").to_pylist() == ["null", None, "ok"]
+
+
+def test_new_kernels_empty_and_degenerate_inputs():
+    from kamae_ray.pipelines.ann import knn_graph
+    from kamae_ray.pipelines.text_features import chunk_documents
+    from kamae_ray.stages.text import GopherQualityTransformer, LineFilterTransformer
+    from kamae_ray.stages.window import scd2_build
+
+    t = pa.table({"k": pa.array([], pa.int64()), "ts": pa.array([], pa.timestamp("us")),
+                  "v": pa.array([], pa.string())})
+    out = scd2_build(t, "k", "ts", ["v"])
+    assert out.num_rows == 0 and str(out.schema.field("valid_to").type) == "timestamp[us]"
+    t2 = pa.table({"k": [1, 2], "ts": pa.array([None, None], pa.timestamp("us")),
+                   "v": ["a", "b"]})
+    assert scd2_build(t2, "k", "ts", ["v"]).num_rows == 0
+    e = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    assert chunk_documents(e, "doc_id", "text").num_rows == 0
+    one = pa.table({"vec_id": pa.array([1], pa.int64()),
+                    "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float32()))})
+    assert knn_graph(one, "vec_id", "embedding", k=3).num_rows == 0  # no other vectors
+    es = pa.table({"t": pa.array([], pa.string())})
+    assert LineFilterTransformer(input_col="t", output_col="c").transform_batch(es).num_rows == 0
+    assert GopherQualityTransformer(input_col="t", output_col="g").transform_batch(es).num_rows == 0

@@ -28,6 +28,7 @@ from kamae_ray.stages.elementwise import (  # noqa: F401
     SumTransformer,
 )
 from kamae_ray.stages.strings import (  # noqa: F401
+    JsonExtractTransformer,
     StringAffixTransformer,
     StringArrayConstantTransformer,
     StringCaseTransformer,
@@ -134,10 +135,14 @@ from kamae_ray.stages.window import (  # noqa: F401
 from kamae_ray.stages.lambda_fn import LambdaFunctionTransformer  # noqa: F401
 from kamae_ray.stages.text import (  # noqa: F401
     FingerprintTransformer,
+    GopherQualityTransformer,
     LanguageIdTransformer,
+    LineFilterTransformer,
     NGramTransformer,
     QualityScoreTransformer,
+    RedactPiiTransformer,
     RepetitionSignalsTransformer,
+    TextNormalizeTransformer,
     TokenCountTransformer,
     TokenizeTransformer,
 )

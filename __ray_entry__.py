@@ -3188,6 +3188,37 @@ def _q_norm_dedup(sf_dir):
     return out.select_columns(["doc_id", "ord_key", "norm"])
 
 
+def _q_url(sf_dir):
+    """URL host/registered-domain extraction + blocklist flag
+    (``UrlDomainTransformer``): the web-corpus provenance filter. URLs are
+    built deterministically from orders columns on both sides; both engines
+    run the same RE2 authority extract, www-strip and 2-label domain tail.
+    One stateless vectorized map."""
+    from kamae_ray.stages.strings import UrlDomainTransformer
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        st = lambda v: pc.cast(pa.array(v), pa.string())  # noqa: E731
+        url = pc.binary_join_element_wise(
+            "https://www.shop", st(c % 40), ".site", st(k % 7),
+            ".com/item/", st(k), "?ref=a", "",
+        )
+        return batch.append_column("url", url)
+
+    mk.__name__ = "make_urls"
+    ds = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = UrlDomainTransformer(
+        input_col="url", output_col="url",
+        blocklist=["site0.com", "site3.com"],
+    ).transform(ds)
+    return out.select_columns(
+        ["o_orderkey", "url_host", "url_domain", "url_blocked"])
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3437,6 +3468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn": _q_knn,
         "q_normalize": _q_normalize,
         "q_norm_dedup": _q_norm_dedup,
+        "q_url": _q_url,
     }
 
 
@@ -4739,5 +4771,18 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY ord_key) "
             "AS rn FROM n) "
             "SELECT doc_id, ord_key, norm FROM r WHERE rn = 1"
+        ),
+        "q_url": (
+            "WITH s AS (SELECT o_orderkey, 'https://www.shop' "
+            "|| (o_custkey % 40)::VARCHAR || '.site' || (o_orderkey % 7)::VARCHAR "
+            "|| '.com/item/' || o_orderkey::VARCHAR || '?ref=a' AS url FROM orders), "
+            r"h AS (SELECT o_orderkey, regexp_replace(lower(regexp_extract(url, "
+            r"'^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1)), "
+            r"'^www\.', '') AS url_host FROM s), "
+            "d AS (SELECT o_orderkey, url_host, (SELECT array_to_string("
+            "p[greatest(len(p)-1,1):len(p)], '.') FROM (SELECT string_split("
+            "url_host, '.') AS p)) AS url_domain FROM h) "
+            "SELECT o_orderkey, url_host, url_domain, "
+            "url_domain IN ('site0.com', 'site3.com') AS url_blocked FROM d"
         ),
     }

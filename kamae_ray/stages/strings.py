@@ -444,3 +444,67 @@ class JsonExtractTransformer(Transformer):
                             pc.equal(pc.fill_null(out, ""), "null"))
         out = pc.if_else(bare_null, pa.nulls(len(flat), pa.string()), out)
         return _append_or_replace(batch, self.output_col, self._cast_out(out))
+
+
+class UrlDomainTransformer(Transformer):
+    """URL host/domain extraction + optional blocklist flag — the web-corpus
+    provenance filter (C4/RefinedWeb lineage): emits ``<out>_host`` (the
+    lowercased authority, userinfo/port/path stripped, leading ``www.``
+    removed), ``<out>_domain`` (the last ``tld_levels`` dot-labels — a
+    documented public-suffix-list APPROXIMATION: ``example.co.uk`` needs
+    ``tld_levels=3``), and, when a ``blocklist`` is given, boolean
+    ``<out>_blocked`` (domain membership, case-insensitive).
+
+    Fully vectorized (one RE2 extract + rewrites + one ``index_in`` against
+    the broadcast blocklist); stateless, no shuffle. Unparseable/null URLs
+    -> null outputs (and null ``blocked`` — SQL three-valued logic)."""
+
+    compatible_dtypes = (pa.string(),)
+    _HOST_RE = r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?(?:[^/@?#]*@)?(?P<h>[^/:?#]+)"
+
+    def __init__(self, *args, tld_levels: int = 2,
+                 blocklist: list[str] | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if tld_levels < 1:
+            raise ValueError("tld_levels must be >= 1")
+        self.tld_levels = int(tld_levels)
+        self.blocklist = [b.lower() for b in (blocklist or [])]
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        flat = A.as_array(self._cast_in(batch.column(self.input_col)))
+        host = pc.struct_field(pc.extract_regex(flat, pattern=self._HOST_RE), "h")
+        host = pc.utf8_lower(host)
+        host = pc.replace_substring_regex(host, pattern=r"^www\.", replacement="")
+        # registered domain = last `tld_levels` labels of the host
+        labels = pc.split_pattern(pc.fill_null(host, ""), pattern=".")
+        # vectorized per-row tail slice (list_slice has no per-row start):
+        # gather the last `tld_levels` labels with one flat take
+        la = A._normalize_list(labels)
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        keep_n = np.minimum(lens, self.tld_levels)
+        tstart = offs[1:] - keep_n
+        total = int(keep_n.sum())
+        row_off = np.concatenate(([0], np.cumsum(keep_n)))
+        intra = np.arange(total) - np.repeat(row_off[:-1], keep_n)
+        gathered = la.values.take(pa.array(np.repeat(tstart, keep_n) + intra))
+        tail_list = pa.ListArray.from_arrays(pa.array(row_off, pa.int32()), gathered)
+        domain = pc.binary_join(tail_list, ".")
+        valid = pc.is_valid(host)
+        domain = pc.if_else(valid, domain, pa.nulls(len(flat), pa.string()))
+        base = self.output_col
+        batch = _append_or_replace(batch, f"{base}_host", host)
+        batch = _append_or_replace(batch, f"{base}_domain", domain)
+        if self.blocklist:
+            hit = pc.is_in(domain, value_set=pa.array(self.blocklist, pa.string()))
+            hit = pc.if_else(valid, hit, pa.nulls(len(flat), pa.bool_()))
+            batch = _append_or_replace(batch, f"{base}_blocked", hit)
+        return batch
+
+    @property
+    def outputs(self):
+        base = self.output_col
+        out = [f"{base}_host", f"{base}_domain"]
+        if self.blocklist:
+            out.append(f"{base}_blocked")
+        return out

@@ -365,3 +365,46 @@ def test_new_kernels_empty_and_degenerate_inputs():
     es = pa.table({"t": pa.array([], pa.string())})
     assert LineFilterTransformer(input_col="t", output_col="c").transform_batch(es).num_rows == 0
     assert GopherQualityTransformer(input_col="t", output_col="g").transform_batch(es).num_rows == 0
+
+
+class TestUrlDomain:
+    def test_matches_duckdb_regexp_pipeline(self):
+        import duckdb
+
+        from kamae_ray.stages.strings import UrlDomainTransformer
+
+        t = pa.table({"u": [
+            "https://www.Shop42.example.com/item/9?q=1",
+            "http://user:pw@api.internal.co.uk:8080/path",
+            "ftp://files.example.org",
+            "bare-host.net/path",
+            "spam.bad-site.com",
+            None,
+        ]})
+        out = UrlDomainTransformer(input_col="u", output_col="url",
+                                   blocklist=["bad-site.com"]).transform_batch(t)
+        ora = duckdb.query(r"""
+            SELECT
+              regexp_replace(lower(regexp_extract(u,
+                '^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+                '^www\.', '') AS url_host,
+              CASE WHEN u IS NULL THEN NULL ELSE (
+                SELECT array_to_string(h[greatest(len(h)-1,1):len(h)], '.') FROM (
+                  SELECT string_split(regexp_replace(lower(regexp_extract(u,
+                    '^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+                    '^www\.', ''), '.') AS h)) END AS url_domain
+            FROM t
+        """).arrow()
+        assert out.select(["url_host", "url_domain"]).combine_chunks().to_pylist() \
+            == ora.to_pylist()
+        assert out.column("url_blocked").to_pylist() == [False, False, False, False, True, None]
+
+    def test_tld_levels(self):
+        from kamae_ray.stages.strings import UrlDomainTransformer
+
+        t = pa.table({"u": ["https://a.b.example.co.uk/x"]})
+        out2 = UrlDomainTransformer(input_col="u", output_col="url").transform_batch(t)
+        out3 = UrlDomainTransformer(input_col="u", output_col="url",
+                                    tld_levels=3).transform_batch(t)
+        assert out2.column("url_domain").to_pylist() == ["co.uk"]
+        assert out3.column("url_domain").to_pylist() == ["example.co.uk"]

@@ -3219,6 +3219,41 @@ def _q_url(sf_dir):
         ["o_orderkey", "url_host", "url_domain", "url_blocked"])
 
 
+def _q_domain_cap(sf_dir):
+    """Per-domain document cap — the crawl-diversity rule (keep at most K
+    pages per registered domain): UrlDomainTransformer -> group_sample
+    composition. Deterministic winners (smallest key hash within the
+    domain), partial top-k before the ONE k-bounded exchange; HUGEINT-hash
+    + ROW_NUMBER chained oracle certifies extract AND cap end-to-end."""
+    from kamae_ray.stages.hashing import group_sample
+    from kamae_ray.stages.strings import UrlDomainTransformer
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        st = lambda v: pc.cast(pa.array(v), pa.string())  # noqa: E731
+        url = pc.binary_join_element_wise(
+            "https://www.shop", st(c % 40), ".site", st(k % 7),
+            ".com/item/", st(k), "?ref=a", "",
+        )
+        return batch.append_column("url", url)
+
+    mk.__name__ = "make_urls"
+    ds = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    ds = UrlDomainTransformer(input_col="url", output_col="url").transform(ds)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_orderkey", "url_domain"])
+
+    proj.__name__ = "project_domain"
+    ds = ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return group_sample(ds, "url_domain", "o_orderkey", k=50, salt=13)
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3469,6 +3504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_normalize": _q_normalize,
         "q_norm_dedup": _q_norm_dedup,
         "q_url": _q_url,
+        "q_domain_cap": _q_domain_cap,
     }
 
 
@@ -4784,5 +4820,14 @@ def oracle_sql() -> dict[str, str]:
             "url_host, '.') AS p)) AS url_domain FROM h) "
             "SELECT o_orderkey, url_host, url_domain, "
             "url_domain IN ('site0.com', 'site3.com') AS url_blocked FROM d"
+        ),
+        "q_domain_cap": (
+            "WITH s AS (SELECT o_orderkey, 'site' || (o_orderkey % 7)::VARCHAR "
+            "|| '.com' AS url_domain FROM orders), "
+            "r AS (SELECT o_orderkey, url_domain, ROW_NUMBER() OVER ("
+            "PARTITION BY url_domain ORDER BY "
+            "(CAST(o_orderkey + 13 AS HUGEINT) * 11400714819323198485) "
+            "% 18446744073709551616) AS rn FROM s) "
+            "SELECT o_orderkey, url_domain FROM r WHERE rn <= 50"
         ),
     }

@@ -3254,6 +3254,20 @@ def _q_domain_cap(sf_dir):
     return group_sample(ds, "url_domain", "o_orderkey", k=50, salt=13)
 
 
+def _q_countmin(sf_dir):
+    """Count-Min sketch point frequencies (``approx_counts``): per-block
+    bincount partials (one depth x width int64 row per block), order-free
+    integer merge — partition-invariant, unlike compaction sketches. The
+    oracle certifies the deterministic no-collision regime (5 probe values,
+    width 2048: estimate == exact COUNT(*)), the HLL-oracle precedent;
+    the classic never-undercount / 2N/width bounds are pinned in tests."""
+    from kamae_ray.stages.sketches import approx_counts
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    return approx_counts(ds, "event_type",
+                         ["click", "error", "purchase", "signup", "view"])
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3505,6 +3519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_norm_dedup": _q_norm_dedup,
         "q_url": _q_url,
         "q_domain_cap": _q_domain_cap,
+        "q_countmin": _q_countmin,
     }
 
 
@@ -4829,5 +4844,14 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(o_orderkey + 13 AS HUGEINT) * 11400714819323198485) "
             "% 18446744073709551616) AS rn FROM s) "
             "SELECT o_orderkey, url_domain FROM r WHERE rn <= 50"
+        ),
+        # CMS point estimates == exact counts in the certified
+        # no-collision regime (5 values, width 2048, deterministic hashes)
+        "q_countmin": (
+            "WITH probe AS (SELECT unnest(['click','error','purchase',"
+            "'signup','view']) AS event_type) "
+            "SELECT p.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS approx_count "
+            "FROM probe p LEFT JOIN (SELECT event_type, COUNT(*) AS n FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY 1) c USING (event_type)"
         ),
     }

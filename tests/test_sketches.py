@@ -272,3 +272,64 @@ def test_groupby_approx_quantiles(ray_session):
             hi = np.searchsorted(sub, est, "right") / len(sub)
             err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
             assert err < 0.02, (r["g"], q, err)
+
+
+class TestCountMin:
+    def test_never_undercounts_and_bound(self):
+        import collections
+
+        rng = np.random.default_rng(0)
+        vals = rng.choice([f"v{i}" for i in range(200)], size=30000)
+        t = pa.table({"c": pa.array(vals)})
+        from kamae_ray.stages.sketches import countmin_estimate, countmin_sketch
+
+        # tiny width FORCES collisions: estimates may only OVERcount, and by
+        # at most 2N/width for most rows (classic bound, prob 1 - 2^-depth)
+        sk = countmin_sketch(t, "c", width=64, depth=4)
+        true = collections.Counter(vals.tolist())
+        probe = [f"v{i}" for i in range(200)]
+        est = countmin_estimate(sk, probe)
+        err = np.array([int(est[i]) - true[p] for i, p in enumerate(probe)])
+        assert (err >= 0).all()
+        assert (err <= 2 * 30000 / 64).mean() > 0.9
+
+    def test_partition_invariant_integer_merge(self):
+        import numpy as _np
+
+        from kamae_ray.stages.sketches import countmin_sketch
+
+        rng = np.random.default_rng(1)
+        vals = rng.choice([f"v{i}" for i in range(40)], size=9000)
+        t = pa.table({"c": pa.array(vals)})
+        whole = countmin_sketch(t, "c")["table"]
+        split = sum(countmin_sketch(t.slice(i, 1234), "c")["table"]
+                    for i in range(0, 9000, 1234))
+        assert _np.array_equal(whole, split)
+
+    def test_exact_in_no_collision_regime_and_nulls(self):
+        from kamae_ray.stages.sketches import approx_counts
+
+        t = pa.table({"c": pa.array(["a"] * 5 + ["b"] * 3 + [None] * 2)})
+        out = approx_counts(t, "c", ["a", "b", "missing"])
+        assert out.column("approx_count").to_pylist() == [5, 3, 0]
+
+    def test_weighted(self):
+        from kamae_ray.stages.sketches import countmin_estimate, countmin_sketch
+
+        t = pa.table({"c": ["x", "x", "y"], "w": pa.array([10, 5, 7], pa.int64())})
+        sk = countmin_sketch(t, "c", weight_col="w")
+        assert countmin_estimate(sk, ["x", "y"]).tolist() == [15, 7]
+        assert sk["n"] == 22
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray
+
+        from kamae_ray.stages.sketches import countmin_sketch
+
+        rng = np.random.default_rng(2)
+        vals = rng.choice([f"v{i}" for i in range(30)], size=6000)
+        t = pa.table({"c": pa.array(vals)})
+        want = countmin_sketch(t, "c")
+        ds = ray.data.from_arrow(t).repartition(7)
+        got = countmin_sketch(ds, "c")
+        assert np.array_equal(want["table"], got["table"]) and want["n"] == got["n"]

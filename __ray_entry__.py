@@ -3268,6 +3268,21 @@ def _q_countmin(sf_dir):
                          ["click", "error", "purchase", "signup", "view"])
 
 
+def _q_chi2(sf_dir):
+    """Chi-squared (term, class) feature scores over document presence
+    (``chi2_scores``) — the vocabulary-selection statistic: exact int64 cell
+    counts (per-doc distinct terms via one dictionary encode + np.unique),
+    ONE term sort; chi2 is a fixed float64 expression mirrored
+    operation-for-operation by the oracle (ULP-deterministic, 6dp-rounded).
+    Class totals broadcast; the exchange carries partial counts only."""
+    from kamae_ray.pipelines.text_features import chi2_scores
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    out = chi2_scores(ds, "text", "lang")
+    return out.map_batches(_rounder(["chi2"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3520,6 +3535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_url": _q_url,
         "q_domain_cap": _q_domain_cap,
         "q_countmin": _q_countmin,
+        "q_chi2": _q_chi2,
     }
 
 
@@ -4853,5 +4869,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS approx_count "
             "FROM probe p LEFT JOIN (SELECT event_type, COUNT(*) AS n FROM events "
             "WHERE event_type IS NOT NULL GROUP BY 1) c USING (event_type)"
+        ),
+        # chi2 mirrored operation-for-operation (float expr over exact ints)
+        "q_chi2": (
+            "WITH cls AS (SELECT doc_id, lang AS class, text FROM documents "
+            "WHERE lang IS NOT NULL), "
+            "tot AS (SELECT COUNT(*)::BIGINT AS N FROM cls), "
+            "ct AS (SELECT class, COUNT(*)::BIGINT AS n_class FROM cls GROUP BY 1), "
+            "dt AS (SELECT DISTINCT doc_id, class, unnest(list_distinct("
+            r"list_filter(string_split_regex(coalesce(text,''), '\s+'), "
+            "x -> length(x) > 0))) AS term FROM cls), "
+            "a AS (SELECT term, class, COUNT(*)::BIGINT AS a FROM dt GROUP BY 1, 2), "
+            "nt AS (SELECT term, SUM(a)::BIGINT AS n_term FROM a GROUP BY 1), "
+            "x AS (SELECT a.term, a.class, a.a, a.a::DOUBLE AS af, "
+            "(ct.n_class - a.a)::DOUBLE AS b, (nt.n_term - a.a)::DOUBLE AS c, "
+            "(tot.N - ct.n_class - nt.n_term + a.a)::DOUBLE AS dd, tot.N "
+            "FROM a JOIN ct USING (class) JOIN nt USING (term) CROSS JOIN tot), "
+            "y AS (SELECT term, class, a, af * dd - b * c AS dif, "
+            "(af + b) * (c + dd) AS d1, (af + c) * (b + dd) AS d2, N::DOUBLE AS Nf "
+            "FROM x) "
+            "SELECT term, class, a AS n_docs, CASE WHEN d1 * d2 = 0 THEN NULL "
+            "ELSE ROUND(Nf * (dif * dif) / (d1 * d2), 6) END AS chi2 FROM y"
         ),
     }

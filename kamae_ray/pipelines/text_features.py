@@ -462,3 +462,146 @@ def chunk_documents(ds, id_col: str, text_col: str, chunk_words: int = 128,
         return kern(ds)
     return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None)
+
+
+def chi2_scores(ds, text_col: str, class_col: str):
+    """Per-(term, class) chi-squared feature scores over DOCUMENT PRESENCE
+    (the sklearn/NLP vocabulary-selection statistic): for each term and
+    class, the 2x2 chi2 of [docs-in-class with/without term vs other-class
+    docs with/without term]. Output: ``term, class, n_docs`` (= a, docs of
+    the class containing the term) ``, chi2`` (null when a margin is empty).
+    Null classes are dropped; docs with no words still count as
+    "without the term" (SQL semantics).
+
+    All four cell counts derive from EXACT int64 counts; chi2 is one fixed
+    float64 expression over them, mirrored operation-for-operation by the
+    SQL oracle (q_cat_stats entropy precedent — deterministic to the ULP,
+    absorbed by 6dp rounding).
+
+    Scale plan: one tiny class-totals partial pass, one block pass emitting
+    per-block (term, class, count) partials from PER-DOC DISTINCT terms
+    (dictionary-encode once, one np.unique over dense pair codes), ONE sort
+    on term (partials merge in-block; class totals broadcast), vectorized
+    chi2 kernel. The exchange carries O(blocks x vocab x classes) partial
+    rows, never the corpus."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.window import sorted_block_apply
+
+    # pass A: class totals (tiny)
+    def cls_partial(block: pa.Table) -> pa.Table:
+        t = block.select([class_col])
+        t = t.filter(pc.is_valid(t.column(class_col)))
+        t = t.set_column(0, class_col,
+                         pc.cast(t.column(class_col), pa.string(), safe=False))
+        return t.group_by(class_col).aggregate([([], "count_all")])
+
+    cls_partial.__name__ = "chi2_class_totals"
+    if isinstance(ds, pa.Table):
+        parts = [cls_partial(ds)]
+    else:
+        parts = collect_tables(
+            ds.map_batches(cls_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))
+    n_class: dict[str, int] = {}
+    for t in parts:
+        for lab, c in zip(t.column(class_col).to_pylist(),
+                          t.column("count_all").to_pylist()):
+            n_class[lab] = n_class.get(lab, 0) + int(c)
+    if not n_class:
+        raise ValueError("chi2_scores: no non-null class values")
+    N = sum(n_class.values())
+    labels = sorted(n_class)
+    ncl_arr = np.array([n_class[lab] for lab in labels], dtype=np.int64)
+
+    # pass B: per-block (term, class, cnt) partials from per-doc DISTINCT terms
+    def pair_partial(block: pa.Table) -> pa.Table:
+        cls = pc.cast(A.as_array(block.column(class_col)), pa.string(), safe=False)
+        ok = pc.is_valid(cls).to_numpy(zero_copy_only=False)
+        split = pc.split_pattern_regex(
+            pc.fill_null(A.as_array(block.column(text_col)), ""), pattern=r"\s+")
+        split = A._normalize_list(split)
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = split.values
+        d = words.dictionary_encode()
+        dvals = d.dictionary
+        widx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = pc.utf8_length(dvals).to_numpy(zero_copy_only=False) > 0
+        row_rep = np.repeat(np.arange(block.num_rows), np.diff(offsets))
+        cidx = pc.fill_null(
+            pc.index_in(cls, value_set=pa.array(labels, pa.string())), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ok[row_rep] & nonempty[widx] & (cidx[row_rep] >= 0)
+        rr, wi = row_rep[keep], widx[keep]
+        nd = len(dvals)
+        # distinct (doc, term): unique over dense pair codes
+        pair = rr * nd + wi
+        upair = np.unique(pair)
+        urow = upair // nd
+        uterm = upair % nd
+        ucls = cidx[urow]
+        # count per (term, class)
+        code = uterm * len(labels) + ucls
+        code_u, cnt = np.unique(code, return_counts=True)
+        term_arr = dvals.take(pa.array(code_u // len(labels)))
+        cls_arr = pa.array(np.array(labels, dtype=object)[code_u % len(labels)],
+                           pa.string())
+        return pa.table({"term": pc.cast(term_arr, pa.string(), safe=False),
+                         "class": cls_arr,
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    pair_partial.__name__ = "chi2_pair_partial"
+
+    def chi2_kern(block: pa.Table) -> pa.Table:
+        from kamae_ray.functions import segments as S
+
+        if block.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "class": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "chi2": pa.array([], pa.float64())})
+        tg = S.group_ids(block, ["term"])
+        ci = pc.fill_null(pc.index_in(block.column("class"),
+                                      value_set=pa.array(labels, pa.string())), 0
+                          ).to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = pc.cast(block.column("cnt"), pa.int64()).to_numpy(zero_copy_only=False)
+        code = tg * len(labels) + ci
+        order = np.argsort(code, kind="stable")
+        cs, cc = code[order], cnt[order]
+        starts, _l = S.segments(cs)
+        a = np.add.reduceat(cc, starts)
+        gterm = cs[starts] // len(labels)
+        gcls = cs[starts] % len(labels)
+        # n_term per output row: segment-sum of a over gterm
+        tstarts, tlens = S.segments(gterm)
+        tsum = np.add.reduceat(a, tstarts)
+        n_term = np.repeat(tsum, tlens)
+        first_of_term = order[starts][tstarts]
+        term_vals = A.as_array(block.column("term")).take(
+            pa.array(first_of_term)).take(
+            pa.array(np.repeat(np.arange(len(tstarts)), tlens)))
+        af = a.astype(np.float64)
+        ncl = ncl_arr[gcls].astype(np.float64)
+        ntm = n_term.astype(np.float64)
+        Nf = float(N)
+        b = ncl - af
+        c = ntm - af
+        dd = Nf - ncl - ntm + af
+        dif = af * dd - b * c
+        d1 = (af + b) * (c + dd)
+        d2 = (af + c) * (b + dd)
+        denom = d1 * d2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            chi2 = Nf * (dif * dif) / denom
+        return pa.table({
+            "term": term_vals,
+            "class": pa.array(np.array(labels, dtype=object)[gcls], pa.string()),
+            "n_docs": pa.array(a),
+            "chi2": pa.array(chi2, pa.float64(),
+                             mask=(denom == 0) | ~np.isfinite(chi2)),
+        })
+
+    if isinstance(ds, pa.Table):
+        return chi2_kern(pair_partial(ds))
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return sorted_block_apply(pairs, ["term"], chi2_kern, "chi2_scores")

@@ -1238,3 +1238,90 @@ class TestKnnGraph:
              .iter_batches(batch_format="pyarrow")]
         ).sort_by([("src", "ascending"), ("rank", "ascending")])
         assert got.combine_chunks().equals(want.combine_chunks())
+
+
+class TestChi2Scores:
+    def _data(self, seed=0, n=800):
+        rng = np.random.default_rng(seed)
+        words = [f"w{i}" for i in range(30)]
+        docs, cls = [], []
+        for _ in range(n):
+            c = "en" if rng.random() < 0.6 else "fr"
+            w = rng.choice(words[:20] if c == "en" else words[10:],
+                           size=rng.integers(3, 12))
+            docs.append(" ".join(w))
+            cls.append(c)
+        docs += ["", None]
+        cls += ["en", "fr"]
+        return pa.table({"text": pa.array(docs, pa.string()), "lang": pa.array(cls)})
+
+    _SQL = r"""
+        WITH cls AS (SELECT row_number() OVER () AS rid, lang AS class, text
+                     FROM t WHERE lang IS NOT NULL),
+        tot AS (SELECT COUNT(*)::BIGINT AS N FROM cls),
+        ct AS (SELECT class, COUNT(*)::BIGINT AS n_class FROM cls GROUP BY 1),
+        dt AS (SELECT DISTINCT rid, class, unnest(list_distinct(list_filter(
+               string_split_regex(coalesce(text,''), '\s+'), x -> length(x) > 0))) AS term
+               FROM cls),
+        a AS (SELECT term, class, COUNT(*)::BIGINT AS a FROM dt GROUP BY 1, 2),
+        nt AS (SELECT term, SUM(a)::BIGINT AS n_term FROM a GROUP BY 1),
+        x AS (SELECT a.term, a.class, a.a, a.a::DOUBLE AS af,
+              (ct.n_class - a.a)::DOUBLE AS b, (nt.n_term - a.a)::DOUBLE AS c,
+              (tot.N - ct.n_class - nt.n_term + a.a)::DOUBLE AS dd, tot.N
+              FROM a JOIN ct USING (class) JOIN nt USING (term) CROSS JOIN tot),
+        y AS (SELECT term, class, a, af * dd - b * c AS dif,
+              (af + b) * (c + dd) AS d1, (af + c) * (b + dd) AS d2, N::DOUBLE AS Nf
+              FROM x)
+        SELECT term, class, a AS n_docs,
+          CASE WHEN d1 * d2 = 0 THEN NULL
+               ELSE ROUND(Nf * (dif * dif) / (d1 * d2), 6) END AS chi2
+        FROM y ORDER BY term, class
+    """
+
+    def test_matches_mirrored_sql(self):
+        import duckdb
+        import pyarrow.compute as pc
+
+        from kamae_ray.pipelines.text_features import chi2_scores
+
+        t = self._data()
+        out = chi2_scores(t, "text", "lang")
+        ora = duckdb.query(self._SQL).arrow()
+        eng = pa.table({
+            "term": out.column("term"), "class": out.column("class"),
+            "n_docs": out.column("n_docs"),
+            "chi2": pc.round(out.column("chi2"), ndigits=6,
+                             round_mode="half_towards_infinity"),
+        }).sort_by([("term", "ascending"), ("class", "ascending")]).combine_chunks()
+        assert eng.equals(ora.cast(eng.schema).combine_chunks())
+
+    def test_term_in_every_doc_is_null(self):
+        from kamae_ray.pipelines.text_features import chi2_scores
+
+        t = pa.table({"text": ["common a", "common b", "common"],
+                      "lang": ["en", "fr", "en"]})
+        out = chi2_scores(t, "text", "lang")
+        d = {(r["term"], r["class"]): r["chi2"] for r in out.to_pylist()}
+        assert d[("common", "en")] is None and d[("common", "fr")] is None
+        assert d[("a", "en")] is not None
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray
+
+        from kamae_ray.pipelines.text_features import chi2_scores
+
+        t = self._data(seed=2, n=400)
+        want = chi2_scores(t, "text", "lang").sort_by(
+            [("term", "ascending"), ("class", "ascending")])
+        ds = ray.data.from_arrow(t).repartition(5)
+        got = pa.concat_tables(
+            [pa.table(b) for b in chi2_scores(ds, "text", "lang")
+             .iter_batches(batch_format="pyarrow")]
+        ).sort_by([("term", "ascending"), ("class", "ascending")])
+        got = got.select(want.column_names).combine_chunks()
+        want = want.combine_chunks()
+        assert got.column("term").equals(want.column("term"))
+        assert got.column("n_docs").equals(want.column("n_docs"))
+        assert np.allclose(got.column("chi2").to_numpy(zero_copy_only=False),
+                           want.column("chi2").to_numpy(zero_copy_only=False),
+                           equal_nan=True)

@@ -3283,6 +3283,20 @@ def _q_chi2(sf_dir):
                            zero_copy_batch=True)
 
 
+def _q_hash_vec(sf_dir):
+    """Feature hashing (``HashingVectorizerTransformer``): text -> fixed
+    16-bucket word-count vectors with ZERO fitted state (no vocabulary pass
+    — the 100-TB path when a vocab doesn't fit). Bucket = poly31(word) %
+    dim, the SQL-certifiable polynomial; one bincount per batch, no
+    shuffle. Oracle = unnest + poly31 % dim + dense generate_series join."""
+    from kamae_ray.stages.text import HashingVectorizerTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = HashingVectorizerTransformer(
+        input_col="text", output_col="tf_vec", dim=16).transform(ds)
+    return out.select_columns(["doc_id", "tf_vec"])
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3536,6 +3550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_domain_cap": _q_domain_cap,
         "q_countmin": _q_countmin,
         "q_chi2": _q_chi2,
+        "q_hash_vec": _q_hash_vec,
     }
 
 
@@ -4891,4 +4906,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, class, a AS n_docs, CASE WHEN d1 * d2 = 0 THEN NULL "
             "ELSE ROUND(Nf * (dif * dif) / (d1 * d2), 6) END AS chi2 FROM y"
         ),
+        # bucket expr generated from the engine's own poly31 constants
+        "q_hash_vec": (lambda _p: (
+            "WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex("
+            r"coalesce(text,''), '\s+'), x -> length(x) > 0)) AS w FROM documents), "
+            f"b AS (SELECT doc_id, ({_p}) % 16 AS b FROM w), "
+            "c AS (SELECT doc_id, b, COUNT(*)::BIGINT AS n FROM b GROUP BY 1, 2), "
+            "g AS (SELECT d.doc_id, gs.b, COALESCE(c.n, 0) AS n "
+            "FROM (SELECT doc_id FROM documents) d "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) gs "
+            "LEFT JOIN c ON c.doc_id = d.doc_id AND c.b = gs.b) "
+            "SELECT doc_id, list(n ORDER BY b) AS tf_vec FROM g GROUP BY doc_id"
+        ))(__import__("kamae_ray.stages.hashing", fromlist=["x"]).poly31_sql("w")),
     }

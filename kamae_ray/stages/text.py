@@ -801,3 +801,48 @@ class TextNormalizeTransformer(Transformer):
 
         out = A.lift(kernel, arr)
         return _append_or_replace(batch, self.output_col, self._cast_out(out))
+
+
+class HashingVectorizerTransformer(Transformer):
+    """Feature hashing (sklearn HashingVectorizer lineage): whitespace-split
+    the text, hash every word into ``dim`` buckets, emit the fixed-size
+    ``list<int64>`` bucket-count vector — text -> fixed-width model features
+    with ZERO fitted state (no vocabulary pass, the property that makes it
+    the 100-TB path when a vocab doesn't fit). Null text -> zero vector
+    (treated as empty, SQL coalesce semantics).
+
+    Bucket = poly31(word) % dim — the engine's SQL-certifiable codepoint
+    polynomial (q_hash_encode family), vectorized off the UTF-8 buffers with
+    distinct-once recompute for non-ASCII. Per-batch counting is one
+    sort-free bincount over dense (row, bucket) codes; no shuffle."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, dim: int = 32, **kwargs):
+        super().__init__(*args, **kwargs)
+        if dim < 1:
+            raise ValueError("dim must be >= 1")
+        self.dim = int(dim)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        from kamae_ray.stages.hashing import poly31_column
+
+        flat = A.as_array(self._cast_in(batch.column(self.input_col)))
+        split = pc.split_pattern_regex(pc.fill_null(flat, ""), pattern=r"\s+")
+        split = A._normalize_list(split)
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = split.values
+        d = words.dictionary_encode()
+        dvals = d.dictionary
+        hv, _nm = poly31_column(dvals) if len(dvals) else (np.zeros(0, np.int64), None)
+        buckets = hv % self.dim
+        nonempty = (pc.utf8_length(dvals).to_numpy(zero_copy_only=False) > 0) \
+            if len(dvals) else np.zeros(0, bool)
+        widx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        row_rep = np.repeat(np.arange(n), np.diff(offsets))
+        keep = nonempty[widx] if len(dvals) else np.zeros(len(widx), bool)
+        code = row_rep[keep] * self.dim + buckets[widx[keep]]
+        mat = np.bincount(code, minlength=n * self.dim).astype(np.int64)[: n * self.dim]
+        out = pa.FixedSizeListArray.from_arrays(pa.array(mat), self.dim)
+        return _append_or_replace(batch, self.output_col, out)

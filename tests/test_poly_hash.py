@@ -103,3 +103,47 @@ def test_poly31_property_vs_duckdb(vals):
         assert m == (v is None)
         if v is not None:
             assert hv == poly31_scalar(v)
+
+
+class TestHashingVectorizer:
+    def test_matches_poly31_sql(self):
+        import duckdb
+
+        from kamae_ray.stages.hashing import poly31_sql
+        from kamae_ray.stages.text import HashingVectorizerTransformer
+
+        t = pa.table({"doc_id": [1, 2, 3, 4], "text": [
+            "the quick brown fox the", "héllo wörld héllo", "", None]})
+        out = HashingVectorizerTransformer(
+            input_col="text", output_col="tf_vec", dim=8).transform_batch(t)
+        ora = duckdb.query(f"""
+            WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex(
+                       coalesce(text,''), '\\s+'), x -> length(x) > 0)) AS w FROM t),
+            b AS (SELECT doc_id, ({poly31_sql('w')}) % 8 AS b FROM w),
+            c AS (SELECT doc_id, b, COUNT(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+            g AS (SELECT d.doc_id, gs.b, COALESCE(c.n, 0) AS n
+                  FROM (SELECT doc_id FROM t) d
+                  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) gs
+                  LEFT JOIN c ON c.doc_id = d.doc_id AND c.b = gs.b)
+            SELECT doc_id, list(n ORDER BY b) AS tf_vec FROM g GROUP BY doc_id
+            ORDER BY doc_id
+        """).arrow()
+        assert out.column("tf_vec").to_pylist() == ora.column("tf_vec").to_pylist()
+        # null/empty -> zero vector; counts sum to word count
+        assert sum(out.column("tf_vec").to_pylist()[0]) == 5
+        assert sum(out.column("tf_vec").to_pylist()[3]) == 0
+
+    def test_stateless_partition_invariance(self):
+        import numpy as np
+
+        from kamae_ray.stages.text import HashingVectorizerTransformer
+
+        rng = np.random.default_rng(0)
+        docs = [" ".join(rng.choice([f"w{i}" for i in range(40)],
+                                    size=rng.integers(1, 30))) for _ in range(500)]
+        t = pa.table({"doc_id": pa.array(range(500)), "text": pa.array(docs)})
+        tr = HashingVectorizerTransformer(input_col="text", output_col="v", dim=32)
+        whole = tr.transform_batch(t).column("v").to_pylist()
+        split = sum((tr.transform_batch(t.slice(i, 123)).column("v").to_pylist()
+                     for i in range(0, 500, 123)), [])
+        assert whole == split

@@ -250,6 +250,13 @@ _BENCH_QUERIES = [
     "q_json",  # flat-JSON field extraction (RE2, no per-row parse)
     "q_word_chunks",  # word-window RAG chunking with remainder tails
     "q_knn",  # exact kNN graph (broadcast corpus + tiled matmuls)
+    "q_normalize",  # unicode/case/whitespace canonicalization
+    "q_norm_dedup",  # normalize -> exact-dedup composition chain
+    "q_url",  # URL host/domain extraction + blocklist flag
+    "q_domain_cap",  # per-domain cap (extract -> k-per-group sample)
+    "q_countmin",  # Count-Min point frequencies (order-free integer merge)
+    "q_chi2",  # (term, class) chi-squared feature scores
+    "q_hash_vec",  # zero-state feature hashing to count vectors
 ]
 
 

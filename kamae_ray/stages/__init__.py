@@ -30,6 +30,7 @@ from kamae_ray.stages.elementwise import (  # noqa: F401
 from kamae_ray.stages.strings import (  # noqa: F401
     JsonExtractTransformer,
     StringAffixTransformer,
+    UrlDomainTransformer,
     StringArrayConstantTransformer,
     StringCaseTransformer,
     EditDistanceTransformer,
@@ -136,6 +137,7 @@ from kamae_ray.stages.lambda_fn import LambdaFunctionTransformer  # noqa: F401
 from kamae_ray.stages.text import (  # noqa: F401
     FingerprintTransformer,
     GopherQualityTransformer,
+    HashingVectorizerTransformer,
     LanguageIdTransformer,
     LineFilterTransformer,
     NGramTransformer,

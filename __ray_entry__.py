@@ -3297,6 +3297,45 @@ def _q_hash_vec(sf_dir):
     return out.select_columns(["doc_id", "tf_vec"])
 
 
+def _q_event_dedup(sf_dir):
+    """Telemetry event dedup — drop repeats of the same (user, event_type)
+    within 10 minutes of the previous occurrence (the at-least-once-delivery
+    cleanup): LagTransformer composition over the epoch-us time (exact in
+    float64 at us magnitudes — 2^53 headroom), keep iff first or gap >
+    600s. ONE entity sort. Deterministic here because (user, type, ts) is
+    unique in this data (verified at both scales); with ties, add a
+    tiebreak column to the time order as scd2 does."""
+    from kamae_ray.stages.window import LagTransformer
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def epoch(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "ts_us", pc.cast(batch.column("ts"), pa.int64()))
+
+    epoch.__name__ = "epoch_us"
+    ds = ds.map_batches(epoch, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = LagTransformer(
+        input_col="ts_us", entity_cols=["user_id", "event_type"],
+        time_col="ts_us", output_col="prev_us",
+    ).transform(ds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        gap_ok = pc.or_kleene(
+            pc.is_null(batch.column("prev_us")),
+            pc.greater(pc.subtract(pc.cast(batch.column("ts_us"), pa.float64()),
+                                   batch.column("prev_us")),
+                       pa.scalar(600_000_000.0)),
+        )
+        return batch.filter(gap_ok).select(
+            ["event_id", "user_id", "event_type", "ts"])
+
+    keep.__name__ = "gap_filter"
+    return out.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3551,6 +3590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_countmin": _q_countmin,
         "q_chi2": _q_chi2,
         "q_hash_vec": _q_hash_vec,
+        "q_event_dedup": _q_event_dedup,
     }
 
 
@@ -4918,4 +4958,11 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN c ON c.doc_id = d.doc_id AND c.b = gs.b) "
             "SELECT doc_id, list(n ORDER BY b) AS tf_vec FROM g GROUP BY doc_id"
         ))(__import__("kamae_ray.stages.hashing", fromlist=["x"]).poly31_sql("w")),
+        "q_event_dedup": (
+            "WITH l AS (SELECT event_id, user_id, event_type, ts, "
+            "LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts) AS prev_us FROM events) "
+            "SELECT event_id, user_id, event_type, ts FROM l "
+            "WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 600000000"
+        ),
     }

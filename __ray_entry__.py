@@ -3336,6 +3336,20 @@ def _q_event_dedup(sf_dir):
                            batch_size=None)
 
 
+def _q_collocations(sf_dir):
+    """Bigram collocation mining with PMI (``collocations``): adjacent-pair
+    combiner per block (occurrences never leave the block), ONE (w1, w2)
+    partial-agg groupby, vocab-bounded margins broadcast into the score
+    map. pmi = one ln over exact int64 counts, mirrored by the oracle
+    (entropy-precedent ULP discipline, 6dp-rounded)."""
+    from kamae_ray.pipelines.text_features import collocations
+
+    ds = _read(sf_dir, "documents", ["text"])
+    out = collocations(ds, "text", min_count=2)
+    return out.map_batches(_rounder(["pmi"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_resample(sf_dir):
     """Time-series resample + LOCF gap fill: hourly buckets per user, one
     deterministic cell value per (user, hour) (latest event; ties -> smallest
@@ -3591,6 +3605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chi2": _q_chi2,
         "q_hash_vec": _q_hash_vec,
         "q_event_dedup": _q_event_dedup,
+        "q_collocations": _q_collocations,
     }
 
 
@@ -4964,5 +4979,19 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts) AS prev_us FROM events) "
             "SELECT event_id, user_id, event_type, ts FROM l "
             "WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 600000000"
+        ),
+        "q_collocations": (
+            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex("
+            r"coalesce(text,''), '\s+'), x -> length(x) > 0) AS ws FROM documents), "
+            "p AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM w, "
+            "unnest(generate_series(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 2), "
+            "bg AS (SELECT w1, w2, COUNT(*)::BIGINT AS n_pair FROM p GROUP BY 1, 2), "
+            "lt AS (SELECT w1, SUM(n_pair)::BIGINT AS l FROM bg GROUP BY 1), "
+            "rt AS (SELECT w2, SUM(n_pair)::BIGINT AS r FROM bg GROUP BY 1), "
+            "tot AS (SELECT SUM(n_pair)::BIGINT AS N FROM bg) "
+            "SELECT bg.w1, bg.w2, bg.n_pair, "
+            "ROUND(ln((bg.n_pair::DOUBLE * N::DOUBLE) / (lt.l::DOUBLE * rt.r::DOUBLE)), 6) "
+            "AS pmi FROM bg JOIN lt USING (w1) JOIN rt USING (w2) CROSS JOIN tot "
+            "WHERE bg.n_pair >= 2"
         ),
     }

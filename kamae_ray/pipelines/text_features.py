@@ -605,3 +605,110 @@ def chi2_scores(ds, text_col: str, class_col: str):
     pairs = ds.map_batches(pair_partial, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)
     return sorted_block_apply(pairs, ["term"], chi2_kern, "chi2_scores")
+
+
+def collocations(ds, text_col: str, min_count: int = 2,
+                 max_broadcast_terms: int = 5_000_000):
+    """Bigram collocation mining with pointwise mutual information — the
+    corpus-analysis staple (phrase detection, word2vec-style phrase merging):
+    for every adjacent word pair, ``pmi = ln(n_pair * N / (left_total *
+    right_total))`` over EXACT int64 counts (N = total bigrams; margins =
+    bigrams starting/ending with the word). Output: ``w1, w2, n_pair, pmi``
+    for pairs with ``n_pair >= min_count``.
+
+    Scale plan: per-block adjacent-pair combiner (dictionary encode once,
+    one np.unique over dense pair codes — occurrences never leave the
+    block), ONE (w1, w2) partial-agg groupby; the margins are vocab-bounded
+    unigram tables folded on the driver and broadcast into the score map
+    (``max_broadcast_terms`` guard, the word_freq pattern). The pmi is one
+    float64 expression over exact ints, mirrored by the SQL oracle."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    def pair_partial(block: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(
+            pc.fill_null(A.as_array(block.column(text_col)), ""), pattern=r"\s+")
+        split = A._normalize_list(split)
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = split.values
+        d = words.dictionary_encode()
+        dvals = d.dictionary
+        widx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = (pc.utf8_length(dvals).to_numpy(zero_copy_only=False) > 0) \
+            if len(dvals) else np.zeros(0, bool)
+        n_words = len(widx)
+        row_rep = np.repeat(np.arange(block.num_rows), np.diff(offsets))
+        if n_words < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        left, right = widx[:-1], widx[1:]
+        same_row = row_rep[:-1] == row_rep[1:]
+        ok = same_row & nonempty[left] & nonempty[right]
+        lw, rw = left[ok], right[ok]
+        nd = len(dvals)
+        code = lw * nd + rw
+        code_u, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            "w1": pc.cast(dvals.take(pa.array(code_u // nd)), pa.string(), safe=False),
+            "w2": pc.cast(dvals.take(pa.array(code_u % nd)), pa.string(), safe=False),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    pair_partial.__name__ = "bigram_partial"
+    if isinstance(ds, pa.Table):
+        pairs = pair_partial(ds)
+        bigrams = groupby_agg(pairs, ["w1", "w2"], {"cnt": ["sum"]})
+    else:
+        pairs = ds.map_batches(pair_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None).materialize()
+        bigrams = groupby_agg(pairs, ["w1", "w2"], {"cnt": ["sum"]})
+
+    # vocab-bounded margins, folded on the driver and broadcast
+    def margin(tbl_or_ds, key):
+        m = groupby_agg(tbl_or_ds, [key], {"cnt": ["sum"]})
+        if isinstance(m, pa.Table):
+            t = m
+        else:
+            refs = [t for t in collect_tables(m) if t.num_rows]
+            t = pa.concat_tables(refs) if refs else pa.table(
+                {key: pa.array([], pa.string()), "cnt_sum": pa.array([], pa.int64())})
+        if t.num_rows > max_broadcast_terms:
+            raise ValueError(f"vocabulary has {t.num_rows} terms > "
+                             f"max_broadcast_terms={max_broadcast_terms}")
+        return dict(zip(t.column(key).to_pylist(),
+                        pc.cast(t.column("cnt_sum"), pa.int64()).to_pylist()))
+
+    left_tot = margin(pairs, "w1")
+    right_tot = margin(pairs, "w2")
+    N = sum(left_tot.values())
+    if N == 0:
+        raise ValueError("collocations: no bigrams in the corpus")
+    l_labels = sorted(left_tot)
+    r_labels = sorted(right_tot)
+    l_arr = np.array([left_tot[w] for w in l_labels], dtype=np.int64)
+    r_arr = np.array([right_tot[w] for w in r_labels], dtype=np.int64)
+
+    def score(block: pa.Table) -> pa.Table:
+        cnt = pc.cast(block.column("cnt_sum"), pa.int64())
+        keep = pc.greater_equal(cnt, pa.scalar(min_count, pa.int64()))
+        block = block.filter(keep)
+        cnt_np = pc.cast(block.column("cnt_sum"), pa.int64()).to_numpy(zero_copy_only=False)
+        li = pc.fill_null(pc.index_in(block.column("w1"),
+                                      value_set=pa.array(l_labels, pa.string())), 0
+                          ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ri = pc.fill_null(pc.index_in(block.column("w2"),
+                                      value_set=pa.array(r_labels, pa.string())), 0
+                          ).to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = l_arr[li].astype(np.float64)
+        rt = r_arr[ri].astype(np.float64)
+        with np.errstate(divide="ignore"):
+            pmi = np.log((cnt_np.astype(np.float64) * float(N)) / (lt * rt))
+        return pa.table({"w1": block.column("w1"), "w2": block.column("w2"),
+                         "n_pair": pa.array(cnt_np), "pmi": pa.array(pmi)})
+
+    score.__name__ = "pmi_score"
+    if isinstance(bigrams, pa.Table):
+        return score(bigrams)
+    return bigrams.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)

@@ -1325,3 +1325,69 @@ class TestChi2Scores:
         assert np.allclose(got.column("chi2").to_numpy(zero_copy_only=False),
                            want.column("chi2").to_numpy(zero_copy_only=False),
                            equal_nan=True)
+
+
+class TestCollocations:
+    def test_matches_sql_pmi(self):
+        import duckdb
+        import pyarrow.compute as pc
+
+        from kamae_ray.pipelines.text_features import collocations
+
+        rng = np.random.default_rng(0)
+        docs = [" ".join(rng.choice(["new", "york", "san", "francisco", "the", "cat"],
+                                    size=rng.integers(2, 15))) for _ in range(300)]
+        docs += ["", None, "solo"]
+        t = pa.table({"text": pa.array(docs, pa.string())})
+        out = collocations(t, "text", min_count=2)
+        ora = duckdb.query(r"""
+            WITH w AS (SELECT row_number() OVER () AS rid, list_filter(
+                       string_split_regex(coalesce(text,''), '\s+'),
+                       x -> length(x) > 0) AS ws FROM t),
+            p AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM w,
+                  unnest(generate_series(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 2),
+            bg AS (SELECT w1, w2, COUNT(*)::BIGINT AS n_pair FROM p GROUP BY 1, 2),
+            lt AS (SELECT w1, SUM(n_pair)::BIGINT AS l FROM bg GROUP BY 1),
+            rt AS (SELECT w2, SUM(n_pair)::BIGINT AS r FROM bg GROUP BY 1),
+            tot AS (SELECT SUM(n_pair)::BIGINT AS N FROM bg)
+            SELECT bg.w1, bg.w2, bg.n_pair,
+              ROUND(ln((bg.n_pair::DOUBLE * N::DOUBLE) / (lt.l::DOUBLE * rt.r::DOUBLE)), 6) AS pmi
+            FROM bg JOIN lt USING (w1) JOIN rt USING (w2) CROSS JOIN tot
+            WHERE bg.n_pair >= 2 ORDER BY w1, w2
+        """).arrow()
+        eng = pa.table({
+            "w1": out.column("w1"), "w2": out.column("w2"),
+            "n_pair": out.column("n_pair"),
+            "pmi": pc.round(out.column("pmi"), ndigits=6,
+                            round_mode="half_towards_infinity"),
+        }).sort_by([("w1", "ascending"), ("w2", "ascending")]).combine_chunks()
+        assert eng.equals(ora.cast(eng.schema).combine_chunks())
+
+    def test_phrase_scores_higher_than_chance(self):
+        from kamae_ray.pipelines.text_features import collocations
+
+        # 'new york' always adjacent; 'the'+random filler dilute the margins
+        docs = ["new york " + " ".join(["the"] * 5)] * 50 + ["york new the the"] * 2
+        t = pa.table({"text": pa.array(docs)})
+        out = collocations(t, "text", min_count=2).to_pylist()
+        d = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+        assert d[("new", "york")] > d[("the", "the")]
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray
+
+        from kamae_ray.pipelines.text_features import collocations
+
+        rng = np.random.default_rng(1)
+        docs = [" ".join(rng.choice([f"w{i}" for i in range(10)],
+                                    size=rng.integers(2, 10))) for _ in range(200)]
+        t = pa.table({"text": pa.array(docs)})
+        want = collocations(t, "text").sort_by([("w1", "ascending"), ("w2", "ascending")])
+        ds = ray.data.from_arrow(t).repartition(4)
+        got = pa.concat_tables(
+            [pa.table(b) for b in collocations(ds, "text").iter_batches(batch_format="pyarrow")]
+        ).sort_by([("w1", "ascending"), ("w2", "ascending")])
+        got = got.select(want.column_names).combine_chunks()
+        want = want.combine_chunks()
+        assert got.column("n_pair").equals(want.column("n_pair"))
+        assert np.allclose(got.column("pmi").to_numpy(), want.column("pmi").to_numpy())

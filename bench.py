@@ -257,6 +257,8 @@ _BENCH_QUERIES = [
     "q_countmin",  # Count-Min point frequencies (order-free integer merge)
     "q_chi2",  # (term, class) chi-squared feature scores
     "q_hash_vec",  # zero-state feature hashing to count vectors
+    "q_event_dedup",  # at-least-once telemetry cleanup (Lag composition)
+    "q_collocations",  # bigram PMI (pair combiner + broadcast margins)
 ]
 
 

@@ -836,6 +836,20 @@ class _KnnGraphPartial:
             t = hi - lo
             if kk < N:
                 cand = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                # argpartition picks an ARBITRARY subset of candidates tied
+                # at the selection boundary — repair those rows so the
+                # (sim DESC, nbr ASC) contract holds across the boundary:
+                # keep everything strictly above the row's k-th sim, fill
+                # the rest with the SMALLEST neighbor ids among the tied
+                rr = np.arange(t)
+                thr = sims[rr[:, None], cand].min(axis=1)
+                n_ge = (sims >= thr[:, None]).sum(axis=1)
+                for r in np.flatnonzero(n_ge > kk):
+                    above = np.flatnonzero(sims[r] > thr[r])
+                    tied = np.flatnonzero(sims[r] == thr[r])
+                    need = kk - len(above)
+                    fill = tied[np.argsort(cids[tied], kind="stable")[:need]]
+                    cand[r] = np.concatenate([above, fill])
             else:
                 cand = np.tile(np.arange(N), (t, 1))
             rix = np.repeat(np.arange(t), cand.shape[1])
@@ -894,12 +908,14 @@ def knn_graph(ds, id_col: str, emb_col: str, k: int = 5,
     import ray
 
     proj = ds.select_columns([id_col, emb_col])
-    parts = collect_tables(proj)
-    n_rows = sum(t.num_rows for t in parts)
+    # guard BEFORE the collect — count() is metadata-cheap on reads and far
+    # cheaper than absorbing an out-of-budget matrix into driver memory
+    n_rows = proj.count()
     if n_rows > max_broadcast_rows:
         raise ValueError(
             f"knn_graph: corpus {n_rows} rows exceeds max_broadcast_rows="
             f"{max_broadcast_rows}; use ivf_build/ivf_query at this scale")
+    parts = collect_tables(proj)
     full = pa.concat_tables(parts).combine_chunks()
     ids = A.as_array(full.column(id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
     m, _ = A.matrix_view(full.column(emb_col))

@@ -499,9 +499,15 @@ def chi2_scores(ds, text_col: str, class_col: str):
     if isinstance(ds, pa.Table):
         parts = [cls_partial(ds)]
     else:
+        from kamae_ray.sources import io as _io
+
+        # lesson 25: select_columns does NOT prune at the scan — re-issue a
+        # narrowed read so the count-only pass never deserializes the text
+        narrow = _io.narrow_read(ds, [class_col])
+        src_a = narrow if narrow is not None else ds
         parts = collect_tables(
-            ds.map_batches(cls_partial, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=None))
+            src_a.map_batches(cls_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None))
     n_class: dict[str, int] = {}
     for t in parts:
         for lab, c in zip(t.column(class_col).to_pylist(),
@@ -661,26 +667,32 @@ def collocations(ds, text_col: str, min_count: int = 2,
         bigrams = groupby_agg(pairs, ["w1", "w2"], {"cnt": ["sum"]})
     else:
         pairs = ds.map_batches(pair_partial, batch_format="pyarrow",
-                               zero_copy_batch=True, batch_size=None).materialize()
+                               zero_copy_batch=True, batch_size=None)
+        # lesson 14: the bigram table feeds three consumers (margins x2 +
+        # score) — materialize ONCE and derive the margins from the
+        # AGGREGATED table (far smaller than the per-block pairs partials),
+        # replacing two full-size exchanges with two vocab-bounded ones
         bigrams = groupby_agg(pairs, ["w1", "w2"], {"cnt": ["sum"]})
+        bigrams = bigrams.materialize()
 
     # vocab-bounded margins, folded on the driver and broadcast
-    def margin(tbl_or_ds, key):
-        m = groupby_agg(tbl_or_ds, [key], {"cnt": ["sum"]})
+    def margin(key):
+        m = groupby_agg(bigrams, [key], {"cnt_sum": ["sum"]})
+        col = "cnt_sum_sum"
         if isinstance(m, pa.Table):
             t = m
         else:
             refs = [t for t in collect_tables(m) if t.num_rows]
             t = pa.concat_tables(refs) if refs else pa.table(
-                {key: pa.array([], pa.string()), "cnt_sum": pa.array([], pa.int64())})
+                {key: pa.array([], pa.string()), col: pa.array([], pa.int64())})
         if t.num_rows > max_broadcast_terms:
             raise ValueError(f"vocabulary has {t.num_rows} terms > "
                              f"max_broadcast_terms={max_broadcast_terms}")
         return dict(zip(t.column(key).to_pylist(),
-                        pc.cast(t.column("cnt_sum"), pa.int64()).to_pylist()))
+                        pc.cast(t.column(col), pa.int64()).to_pylist()))
 
-    left_tot = margin(pairs, "w1")
-    right_tot = margin(pairs, "w2")
+    left_tot = margin("w1")
+    right_tot = margin("w2")
     N = sum(left_tot.values())
     if N == 0:
         raise ValueError("collocations: no bigrams in the corpus")

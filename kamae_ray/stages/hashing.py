@@ -784,9 +784,14 @@ def temperature_mix(ds, key_col: str, corpus_col: str, alpha=0.5, salt: int = 0,
     if isinstance(ds, pa.Table):
         parts = [partial(ds)]
     else:
+        from kamae_ray.sources import io as _io
+
+        # lesson 25: re-issue a narrowed scan for the count-only pass
+        narrow = _io.narrow_read(ds, [corpus_col])
         parts = collect_tables(
-            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
-                           batch_size=None)
+            (narrow if narrow is not None else ds).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None)
         )
     counts: dict[str, int] = {}
     for t in parts:
@@ -818,12 +823,8 @@ def temperature_mix(ds, key_col: str, corpus_col: str, alpha=0.5, salt: int = 0,
         safe = np.maximum(idxn, 0)
         keep = known & (~knull) & (lhs <= bounds[safe])
         block = block.filter(pa.array(keep))
-        # recompute the gather on the KEPT rows for the count column
-        idx2 = pc.index_in(
-            pc.cast(A.as_array(block.column(corpus_col)), pa.string(), safe=False),
-            value_set=pa.array(labels, pa.string()),
-        )
-        i2 = pc.fill_null(idx2, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        # the kept rows' label indices are already in hand — no second probe
+        i2 = safe[keep]
         return _append_or_replace(block, count_col, pa.array(n_arr[i2]))
 
     kern.__name__ = "temperature_mix"

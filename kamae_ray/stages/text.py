@@ -594,7 +594,7 @@ def line_filter_oracle_exprs(text_expr: str, out_col: str,
     if terminal_regex:
         conds.append(f"regexp_matches(x, '{terminal_regex.replace(chr(39), chr(39)*2)}')")
     for b in blocklist or []:
-        conds.append(f"NOT contains(lower(x), '{b.lower()}')")
+        conds.append(f"NOT contains(lower(x), '{b.lower().replace(chr(39), chr(39)*2)}')")
     cond = " AND ".join(conds) if conds else "TRUE"
     split = f"string_split({text_expr}, {separator_sql})"
     filt = f"list_filter({split}, x -> {cond})"
@@ -662,7 +662,7 @@ class GopherQualityTransformer(Transformer):
         n_stop = np.zeros(len(f), dtype=np.int64)
         for w in self.stopwords:
             n_stop += pc.match_substring_regex(
-                f, pattern=rf"\b{w}\b"
+                f, pattern=rf"\b{re.escape(w)}\b"
             ).to_numpy(zero_copy_only=False).astype(np.int64)
         flag_words = (n_words >= self.min_words) & (n_words <= self.max_words)
         flag_mean_len = (
@@ -711,10 +711,11 @@ def gopher_oracle_exprs(text_expr: str, out_col: str, min_words: int = 50,
                         symbol_ratio: tuple[int, int] = (1, 10),
                         alpha_frac: tuple[int, int] = (4, 5),
                         min_stopwords: int = 2,
-                        stopwords: tuple[str, ...] = _GOPHER_STOPWORDS) -> str:
-    """SQL select-list computing the SAME Gopher metrics and exact-integer
-    flags (oracle generation). Wrap in an outer query: the expressions
-    reference the metric aliases, so use them from a subquery/CTE."""
+                        stopwords: tuple[str, ...] = _GOPHER_STOPWORDS) -> tuple[str, str]:
+    """(metrics select-list, flags select-list) computing the SAME Gopher
+    metrics and exact-integer flags (oracle generation). The flag
+    expressions reference the metric aliases, so select the metrics in a
+    CTE and the flags from it (see the q_gopher oracle)."""
     t = text_expr
     b = out_col
     metrics = (
@@ -724,7 +725,8 @@ def gopher_oracle_exprs(text_expr: str, out_col: str, min_words: int = 50,
         rf"CAST(len(regexp_extract_all({t}, '\S*[A-Za-z]\S*')) AS BIGINT) AS {b}_n_alpha_words, "
         + f"CAST(CASE WHEN {t} IS NULL THEN NULL ELSE ("
         + " + ".join(
-            rf"CASE WHEN regexp_matches({t}, '\b{w}\b') THEN 1 ELSE 0 END"
+            "CASE WHEN regexp_matches({}, '\\b{}\\b') THEN 1 ELSE 0 END".format(
+                t, re.escape(w).replace(chr(39), chr(39) * 2))
             for w in stopwords)
         + f") END AS BIGINT) AS {b}_n_stopwords"
     )

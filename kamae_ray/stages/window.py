@@ -1894,13 +1894,9 @@ def scd2_build(ds, key_cols, time_col: str, attr_cols, tiebreak_col: str | None 
         def t_out(vals, mask=None):
             arr = pa.array(vals, pa.int64() if int_path else pa.float64(),
                            mask=mask)
-            if is_ts:
-                arr = arr.cast(pa.timestamp(unit))
-            elif int_path and not pa.types.is_timestamp(t_arr.type):
-                arr = arr.cast(t_arr.type)
-            else:
-                arr = arr.cast(t_arr.type)
-            return arr
+            # ONE cast back to the source type — preserves the timezone of
+            # tz-aware timestamp columns (pa.timestamp(unit) would drop it)
+            return arr.cast(t_arr.type)
 
         out["valid_from"] = t_out(ts[ki].astype(np.int64) if int_path else ts[ki])
         out["valid_to"] = t_out(vt.astype(np.int64) if int_path else vt,

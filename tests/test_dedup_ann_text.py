@@ -1391,3 +1391,72 @@ class TestCollocations:
         want = want.combine_chunks()
         assert got.column("n_pair").equals(want.column("n_pair"))
         assert np.allclose(got.column("pmi").to_numpy(), want.column("pmi").to_numpy())
+
+
+def test_knn_graph_boundary_ties_follow_contract():
+    """Duplicate embeddings: ties crossing the argpartition top-(k+1)
+    boundary must still resolve (sim DESC, nbr ASC) — the q_knn oracle rule
+    (review finding, reproduced + fixed)."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    from kamae_ray.pipelines.ann import knn_graph
+
+    m = np.vstack([np.tile([1.0, 0.0], (8, 1)),
+                   np.array([[0.9, 0.1], [0.0, 1.0]])]).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(10)),
+                  "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32()))})
+    out = knn_graph(t, "vec_id", "embedding", k=3)
+    eng = pa.table({
+        "src": out.column("src"), "rank": out.column("rank"), "nbr": out.column("nbr"),
+        "cosine": pc.round(out.column("cosine"), ndigits=6,
+                           round_mode="half_towards_infinity"),
+    }).sort_by([("src", "ascending"), ("rank", "ascending")]).combine_chunks()
+    ora = duckdb.query("""
+        WITH scored AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+          list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+          FROM t a CROSS JOIN t b WHERE a.vec_id <> b.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cs DESC, nbr) AS rank
+              FROM scored)
+        SELECT src, CAST(rank AS BIGINT) AS rank, nbr, ROUND(cs,6) AS cosine
+        FROM r WHERE rank <= 3 ORDER BY src, rank
+    """).arrow()
+    assert eng.equals(ora.cast(eng.schema).combine_chunks())
+
+
+def test_scd2_preserves_timezone():
+    from kamae_ray.stages.window import scd2_build
+
+    ts = pa.array([1, 2, 3], pa.timestamp("us", tz="UTC"))
+    t = pa.table({"k": [1, 1, 1], "ts": ts, "v": ["a", "b", "b"]})
+    out = scd2_build(t, "k", "ts", ["v"])
+    assert str(out.schema.field("valid_from").type) == "timestamp[us, tz=UTC]"
+    assert str(out.schema.field("valid_to").type) == "timestamp[us, tz=UTC]"
+
+
+def test_gopher_and_linefilter_escaping():
+    import duckdb
+
+    from kamae_ray.stages.text import (
+        GopherQualityTransformer,
+        LineFilterTransformer,
+        gopher_oracle_exprs,
+        line_filter_oracle_exprs,
+    )
+
+    # regex metachars in stopwords; quotes in blocklist — both must survive
+    t = pa.table({"text": ["uses c++ don't stop . ok line here."]})
+    tr = GopherQualityTransformer(input_col="text", output_col="g",
+                                  stopwords=("c++", "don't"), min_stopwords=1)
+    out = tr.transform_batch(t)
+    # "don't" matches; "c++" does NOT (\b needs a word char beside '+') —
+    # the point is the metachars no longer break the regex/SQL, and both
+    # engines agree on the same count
+    assert out.column("g_n_stopwords").to_pylist() == [1]
+    m, fl = gopher_oracle_exprs("text", "g", stopwords=("c++", "don't"),
+                                min_stopwords=1)
+    ora = duckdb.query(f"WITH m AS (SELECT {m} FROM t) SELECT * FROM m").arrow()
+    assert ora.column("g_n_stopwords").to_pylist() == [1]
+    sql = line_filter_oracle_exprs("text", "c", blocklist=["don't"])
+    got = duckdb.query(f"SELECT {sql} FROM t").arrow()  # must parse
+    assert got.num_rows == 1

@@ -3112,7 +3112,11 @@ def _q_knn(sf_dir):
     ONCE via ray.put; per-block tiled matmuls (lesson 31); no shuffle; the
     O(N^2) sims matrix is never materialized. Oracle = exact CROSS JOIN
     row_number SQL. Above the broadcast budget the IVF index path takes
-    over (q_ann_ivf_index)."""
+    over (q_ann_ivf_index). EXACT ties (duplicate vectors) resolve
+    (sim DESC, nbr ASC) on both engines (boundary-tie repair in the
+    kernel); near-ties inside the ~1e-15 cross-engine accumulation error
+    remain the same accepted q_ann_topk-class exposure — unobserved across
+    two rounds on this data."""
     from kamae_ray.pipelines.ann import knn_graph
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

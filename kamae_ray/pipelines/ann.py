@@ -908,9 +908,15 @@ def knn_graph(ds, id_col: str, emb_col: str, k: int = 5,
     import ray
 
     proj = ds.select_columns([id_col, emb_col])
-    # guard BEFORE the collect — count() is metadata-cheap on reads and far
+    # guard BEFORE the collect — inferred read metadata when available (no
+    # execution, the ivf_topk pattern), one count pass otherwise; both far
     # cheaper than absorbing an out-of-budget matrix into driver memory
-    n_rows = proj.count()
+    try:
+        n_rows = ds._logical_plan.dag.infer_metadata().num_rows
+    except Exception:
+        n_rows = None
+    if n_rows is None:
+        n_rows = proj.count()
     if n_rows > max_broadcast_rows:
         raise ValueError(
             f"knn_graph: corpus {n_rows} rows exceeds max_broadcast_rows="

@@ -2692,6 +2692,29 @@ def _q_regr(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_drift(sf_dir):
+    """Distribution-drift report (``drift_report``, PSI): o_totalprice of
+    pre-1998 vs 1998+ orders over 12 fixed bins — both side filters pushed
+    into the parquet scan, two bincount-combiner histogram passes, O(bins)
+    driver join. Counts exact int64; proportions/psi_term one mirrored
+    float64 expression (Laplace-smoothed, no empty-bin ln(0))."""
+    import datetime
+
+    import pyarrow.dataset as pds
+
+    from kamae_ray.sources.io import read_parquet_clean
+    from kamae_ray.stages.profile import drift_report
+
+    cut = datetime.datetime(1998, 1, 1)
+    path = os.path.join(sf_dir, "orders.parquet")
+    a = read_parquet_clean(path, columns=["o_totalprice", "o_orderdate"],
+                           filter=pds.field("o_orderdate") < cut)
+    b = read_parquet_clean(path, columns=["o_totalprice", "o_orderdate"],
+                           filter=pds.field("o_orderdate") >= cut)
+    out = drift_report(a, b, "o_totalprice", bins=12, lo=0.0, hi=600000.0)
+    return _round_cols(out, ["p_a", "p_b", "psi_term"])
+
+
 def _q_histogram(sf_dir):
     """Fixed-width histogram of o_totalprice over [0, 600000] in 24 bins:
     per-block bincount combiner (at most `bins` rows leave a block) + tiny
@@ -3610,6 +3633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_vec": _q_hash_vec,
         "q_event_dedup": _q_event_dedup,
         "q_collocations": _q_collocations,
+        "q_drift": _q_drift,
     }
 
 
@@ -4997,5 +5021,25 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(ln((bg.n_pair::DOUBLE * N::DOUBLE) / (lt.l::DOUBLE * rt.r::DOUBLE)), 6) "
             "AS pmi FROM bg JOIN lt USING (w1) JOIN rt USING (w2) CROSS JOIN tot "
             "WHERE bg.n_pair >= 2"
+        ),
+        # PSI mirrored operation-for-operation over exact histogram ints
+        "q_drift": (
+            "WITH ha AS (SELECT CAST(least(floor((o_totalprice - 0.0) / 50000.0), 11) "
+            "AS BIGINT) AS bin, count(*)::BIGINT AS n FROM orders "
+            "WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL "
+            "AND o_totalprice >= 0.0 AND o_totalprice <= 600000.0 GROUP BY 1), "
+            "hb AS (SELECT CAST(least(floor((o_totalprice - 0.0) / 50000.0), 11) "
+            "AS BIGINT) AS bin, count(*)::BIGINT AS n FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL "
+            "AND o_totalprice >= 0.0 AND o_totalprice <= 600000.0 GROUP BY 1), "
+            "g AS (SELECT unnest(generate_series(0, 11)) AS bin), "
+            "j AS (SELECT g.bin, COALESCE(ha.n, 0) AS n_a, COALESCE(hb.n, 0) AS n_b, "
+            "(SELECT SUM(n) FROM ha) AS Na, (SELECT SUM(n) FROM hb) AS Nb "
+            "FROM g LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)), "
+            "p AS (SELECT bin, n_a, n_b, "
+            "(n_a::DOUBLE + 1.0) / (Na::DOUBLE + 12.0) AS p_a, "
+            "(n_b::DOUBLE + 1.0) / (Nb::DOUBLE + 12.0) AS p_b FROM j) "
+            "SELECT bin, n_a, n_b, ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b, "
+            "ROUND((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term FROM p"
         ),
     }

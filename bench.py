@@ -259,6 +259,7 @@ _BENCH_QUERIES = [
     "q_hash_vec",  # zero-state feature hashing to count vectors
     "q_event_dedup",  # at-least-once telemetry cleanup (Lag composition)
     "q_collocations",  # bigram PMI (pair combiner + broadcast margins)
+    "q_drift",  # PSI drift report (two scan-filtered histogram passes)
 ]
 
 

@@ -333,3 +333,64 @@ class TestCountMin:
         ds = ray.data.from_arrow(t).repartition(7)
         got = countmin_sketch(ds, "c")
         assert np.array_equal(want["table"], got["table"]) and want["n"] == got["n"]
+
+
+class TestDriftReport:
+    def test_matches_mirrored_psi_sql(self):
+        import duckdb
+        import pyarrow.compute as pc
+
+        from kamae_ray.stages.profile import drift_report
+
+        rng = np.random.default_rng(0)
+        a = pa.table({"v": pa.array(np.r_[rng.normal(50, 10, 5000)], pa.float64())})
+        b = pa.table({"v": pa.array(rng.normal(60, 15, 4000), pa.float64())})
+        out = drift_report(a, b, "v", bins=10, lo=0.0, hi=100.0)
+        ora = duckdb.query("""
+            WITH ha AS (SELECT CAST(least(floor((v - 0.0) / 10.0), 9) AS BIGINT) AS bin,
+                        count(*)::BIGINT AS n FROM a
+                        WHERE v IS NOT NULL AND v >= 0.0 AND v <= 100.0 GROUP BY 1),
+            hb AS (SELECT CAST(least(floor((v - 0.0) / 10.0), 9) AS BIGINT) AS bin,
+                   count(*)::BIGINT AS n FROM b
+                   WHERE v IS NOT NULL AND v >= 0.0 AND v <= 100.0 GROUP BY 1),
+            g AS (SELECT unnest(generate_series(0, 9)) AS bin),
+            j AS (SELECT g.bin, COALESCE(ha.n, 0) AS n_a, COALESCE(hb.n, 0) AS n_b,
+                  (SELECT SUM(n) FROM ha) AS Na, (SELECT SUM(n) FROM hb) AS Nb
+                  FROM g LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)),
+            p AS (SELECT bin, n_a, n_b, (n_a::DOUBLE + 1.0) / (Na::DOUBLE + 10.0) AS p_a,
+                  (n_b::DOUBLE + 1.0) / (Nb::DOUBLE + 10.0) AS p_b FROM j)
+            SELECT bin, n_a, n_b, ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b,
+                   ROUND((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term FROM p ORDER BY bin
+        """).arrow()
+        eng = pa.table({
+            "bin": out.column("bin"), "n_a": out.column("n_a"), "n_b": out.column("n_b"),
+            "p_a": pc.round(out.column("p_a"), ndigits=6, round_mode="half_towards_infinity"),
+            "p_b": pc.round(out.column("p_b"), ndigits=6, round_mode="half_towards_infinity"),
+            "psi_term": pc.round(out.column("psi_term"), ndigits=6,
+                                 round_mode="half_towards_infinity"),
+        }).combine_chunks()
+        assert eng.equals(ora.cast(eng.schema).combine_chunks())
+
+    def test_psi_magnitude_reflects_drift(self):
+        from kamae_ray.stages.profile import drift_report
+
+        rng = np.random.default_rng(1)
+        base = rng.normal(50, 10, 5000)
+        same = drift_report(pa.table({"v": pa.array(base)}),
+                            pa.table({"v": pa.array(rng.normal(50, 10, 5000))}),
+                            "v", bins=10, lo=0.0, hi=100.0)
+        moved = drift_report(pa.table({"v": pa.array(base)}),
+                             pa.table({"v": pa.array(rng.normal(70, 10, 5000))}),
+                             "v", bins=10, lo=0.0, hi=100.0)
+        assert sum(same.column("psi_term").to_pylist()) < 0.1
+        assert sum(moved.column("psi_term").to_pylist()) > 0.25
+
+    def test_empty_side_raises(self):
+        import pytest as _pt
+
+        from kamae_ray.stages.profile import drift_report
+
+        a = pa.table({"v": pa.array([1.0, 2.0])})
+        b = pa.table({"v": pa.array([1e9])})  # out of range
+        with _pt.raises(ValueError):
+            drift_report(a, b, "v", bins=4, lo=0.0, hi=10.0)

@@ -2715,6 +2715,58 @@ def _q_drift(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "psi_term"])
 
 
+def _q_session_stats(sf_dir):
+    """Session analytics chain: sessionize-by-gap (1h) -> per-session
+    aggregates (events, exact cents sum, start/end, integer duration) — the
+    product-analytics composition certified end-to-end. Aggregates are
+    tie-invariant (ts diffs/min/max/count) and integer-exact (cents trick),
+    so the chain is hash-exact vs the gaps-and-islands SQL. One entity sort
+    + one partial-agg exchange."""
+    from kamae_ray.stages import SessionizeTransformer
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    sess = SessionizeTransformer(entity_cols=["user_id"], time_col="ts",
+                                 gap=3_600_000_000, output_col="session_id"
+                                 ).transform(ev)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(batch.column("value"), pa.float64(), safe=False), 100.0)),
+            pa.int64(), safe=False)
+        us = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "session_id": batch.column("session_id"),
+            "cents": cents, "ts_us": us,
+        })
+
+    prep.__name__ = "session_prep"
+    sess = sess.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
+    agg = groupby_agg(sess, ["user_id", "session_id"],
+                      {"cents": ["sum", "count"], "ts_us": ["min", "max"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # the distributed agg can hand min/max back as float64 — us-epoch
+        # magnitudes are exact in float64 (2^53 headroom), so force the
+        # int64 path BEFORE the division (integer floor, matching SQL //)
+        mn = pc.cast(batch.column("ts_us_min"), pa.int64(), safe=False)
+        mx = pc.cast(batch.column("ts_us_max"), pa.int64(), safe=False)
+        dur = pc.divide(pc.subtract(mx, mn), pa.scalar(1_000_000, pa.int64()))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "session_id": batch.column("session_id"),
+            "n_events": pc.cast(batch.column("cents_count"), pa.int64()),
+            "cents_sum": pc.cast(batch.column("cents_sum"), pa.int64()),
+            "duration_s": pc.cast(dur, pa.int64()),
+        })
+
+    finish.__name__ = "session_finish"
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_histogram(sf_dir):
     """Fixed-width histogram of o_totalprice over [0, 600000] in 24 bins:
     per-block bincount combiner (at most `bins` rows leave a block) + tiny
@@ -3634,6 +3686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_dedup": _q_event_dedup,
         "q_collocations": _q_collocations,
         "q_drift": _q_drift,
+        "q_session_stats": _q_session_stats,
     }
 
 
@@ -5041,5 +5094,17 @@ def oracle_sql() -> dict[str, str]:
             "(n_b::DOUBLE + 1.0) / (Nb::DOUBLE + 12.0) AS p_b FROM j) "
             "SELECT bin, n_a, n_b, ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b, "
             "ROUND((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term FROM p"
+        ),
+        "q_session_stats": (
+            "WITH s AS (SELECT user_id, ts, value, "
+            "CAST(coalesce(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS BIGINT) "
+            "AS session_id FROM (SELECT event_id, user_id, ts, value, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS gap_us FROM events)) "
+            "SELECT user_id, session_id, count(*)::BIGINT AS n_events, "
+            "SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents_sum, "
+            "((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000)::BIGINT "
+            "AS duration_s FROM s GROUP BY user_id, session_id"
         ),
     }

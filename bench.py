@@ -260,6 +260,7 @@ _BENCH_QUERIES = [
     "q_event_dedup",  # at-least-once telemetry cleanup (Lag composition)
     "q_collocations",  # bigram PMI (pair combiner + broadcast margins)
     "q_drift",  # PSI drift report (two scan-filtered histogram passes)
+    "q_session_stats",  # sessionize -> per-session aggregates chain
 ]
 
 

@@ -2767,6 +2767,20 @@ def _q_session_stats(sf_dir):
                            batch_size=None)
 
 
+def _q_checksum(sf_dir):
+    """Order-invariant content checksum (``content_checksum``): the
+    migration/replication verifier — SUM of FNV-folded row hashes mod 2^64,
+    an order-free integer merge (partition- and execution-order-invariant),
+    exactly reproduced by the generated HUGEINT oracle. One vectorized pass;
+    two ints per block reach the driver."""
+    from kamae_ray.stages.profile import content_checksum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    r = content_checksum(ds, ["o_orderkey", "o_orderstatus"], salt=5)
+    return pa.table({"checksum": pa.array([r["checksum"]], pa.string()),
+                     "n_rows": pa.array([r["n_rows"]], pa.int64())})
+
+
 def _q_histogram(sf_dir):
     """Fixed-width histogram of o_totalprice over [0, 600000] in 24 bins:
     per-block bincount combiner (at most `bins` rows leave a block) + tiny
@@ -3687,6 +3701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_collocations": _q_collocations,
         "q_drift": _q_drift,
         "q_session_stats": _q_session_stats,
+        "q_checksum": _q_checksum,
     }
 
 
@@ -5107,4 +5122,10 @@ def oracle_sql() -> dict[str, str]:
             "((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000)::BIGINT "
             "AS duration_s FROM s GROUP BY user_id, session_id"
         ),
+        # HUGEINT checksum generated from the engine's own constants
+        "q_checksum": __import__(
+            "kamae_ray.stages.profile", fromlist=["x"]
+        ).checksum_oracle_sql("orders", ["o_orderkey", "o_orderstatus"],
+                              {"o_orderkey": "int", "o_orderstatus": "str"},
+                              salt=5),
     }

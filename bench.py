@@ -261,6 +261,7 @@ _BENCH_QUERIES = [
     "q_collocations",  # bigram PMI (pair combiner + broadcast margins)
     "q_drift",  # PSI drift report (two scan-filtered histogram passes)
     "q_session_stats",  # sessionize -> per-session aggregates chain
+    "q_checksum",  # order-invariant content checksum (HUGEINT-exact)
 ]
 
 

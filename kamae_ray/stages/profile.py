@@ -237,3 +237,86 @@ def drift_report(ds_a, ds_b, col: str, bins: int, lo: float, hi: float,
         "p_a": pa.array(pa_), "p_b": pa.array(pb_),
         "psi_term": pa.array(psi),
     })
+
+
+_CK_P = 0x9E3779B97F4A7C15       # Knuth multiplicative (int columns)
+_CK_M = 0x100000001B3            # FNV-1a prime (column fold)
+_CK_NULL = 0xDEADBEEFCAFEF00D    # null sentinel
+_CK_MOD = 1 << 64
+
+
+def content_checksum(ds, cols: list[str], salt: int = 0):
+    """Order-invariant 64-bit content checksum of selected columns — the
+    migration/replication verifier: two datasets hold the same multiset of
+    rows (over ``cols``) iff their checksums and row counts match (up to the
+    2^-64 collision bound). Returns ``{"checksum": str (decimal uint64),
+    "n_rows": int}``.
+
+    Row hash = FNV-style fold over the columns' hashes (int columns: Knuth
+    multiplicative ``(v + salt) * P mod 2^64``; string columns: poly31, the
+    SQL-certifiable codepoint polynomial; nulls: a fixed sentinel); the
+    dataset checksum is the SUM of row hashes mod 2^64 — an order-free
+    INTEGER merge, so it is partition- and execution-order-invariant (the
+    Count-Min property) and exactly reproducible in HUGEINT SQL
+    (``checksum_oracle_sql``). Scale plan: one vectorized pass per block
+    emitting (partial_sum, n) — two ints per block through the fold."""
+    from kamae_ray.stages.hashing import poly31_column
+
+    def block_sum(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        acc = np.zeros(n, dtype=np.uint64)
+        for c in cols:
+            arr = A.as_array(block.column(c))
+            nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            if pa.types.is_integer(arr.type):
+                v = pc.fill_null(pc.cast(arr, pa.int64(), safe=False), 0)
+                h = (v.to_numpy(zero_copy_only=False).view(np.uint64)
+                     + np.uint64(salt)) * np.uint64(_CK_P)
+            else:
+                hv, _m = poly31_column(pc.cast(arr, pa.string(), safe=False))
+                h = hv.view(np.uint64)
+            h = np.where(nulls, np.uint64(_CK_NULL), h)
+            acc = acc * np.uint64(_CK_M) + h
+        total = np.uint64(0) if n == 0 else np.sum(acc, dtype=np.uint64)
+        return pa.table({"s": pa.array([int(total)], pa.uint64()),
+                         "n": pa.array([n], pa.int64())})
+
+    block_sum.__name__ = "checksum_partial"
+    if isinstance(ds, pa.Table):
+        rows = [block_sum(ds)]
+    else:
+        proj = ds
+        try:
+            proj = ds.select_columns(list(cols))
+        except Exception:
+            pass
+        parts = proj.map_batches(block_sum, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+        rows = [pa.table(b) for b in parts.iter_batches(batch_format="pyarrow")]
+    s, n = 0, 0
+    for t in rows:
+        for sv, nv in zip(t.column("s").to_pylist(), t.column("n").to_pylist()):
+            s = (s + int(sv)) % _CK_MOD
+            n += int(nv)
+    return {"checksum": str(s), "n_rows": n}
+
+
+def checksum_oracle_sql(table: str, cols: list[str], col_types: dict,
+                        salt: int = 0) -> str:
+    """HUGEINT SQL computing the SAME checksum (oracle generation):
+    ``col_types`` maps column -> 'int' | 'str'."""
+    from kamae_ray.stages.hashing import poly31_sql
+
+    acc = "CAST(0 AS HUGEINT)"
+    for c in cols:
+        if col_types[c] == "int":
+            # negative ints: two's-complement view — add 2^64 then mod
+            h = (f"((((CAST({c} AS HUGEINT) % {_CK_MOD}) + {_CK_MOD}) "
+                 f"% {_CK_MOD} + {salt}) * {_CK_P}) % {_CK_MOD}")
+        else:
+            h = f"CAST({poly31_sql(c)} AS HUGEINT)"
+        h = f"CASE WHEN {c} IS NULL THEN CAST({_CK_NULL} AS HUGEINT) ELSE {h} END"
+        acc = f"(({acc}) * {_CK_M} + {h}) % {_CK_MOD}"
+    return (f"SELECT CAST(SUM(row_h) % {_CK_MOD} AS VARCHAR) AS checksum, "
+            f"COUNT(*)::BIGINT AS n_rows FROM "
+            f"(SELECT {acc} AS row_h FROM {table})")

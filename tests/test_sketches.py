@@ -394,3 +394,44 @@ class TestDriftReport:
         b = pa.table({"v": pa.array([1e9])})  # out of range
         with _pt.raises(ValueError):
             drift_report(a, b, "v", bins=4, lo=0.0, hi=10.0)
+
+
+class TestContentChecksum:
+    def test_matches_hugeint_oracle_and_invariances(self):
+        import duckdb
+
+        from kamae_ray.stages.profile import checksum_oracle_sql, content_checksum
+
+        rng = np.random.default_rng(0)
+        t = pa.table({
+            "k": pa.array(np.r_[rng.integers(-1000, 10**12, 3000), [0]].tolist()
+                          + [None], pa.int64()),
+            "s": pa.array([f"v{i % 37}" for i in range(3001)] + [None], pa.string()),
+        })
+        got = content_checksum(t, ["k", "s"], salt=3)
+        duckdb.register("t", t)
+        ora = duckdb.query(checksum_oracle_sql(
+            "t", ["k", "s"], {"k": "int", "s": "str"}, salt=3)).fetchone()
+        assert (got["checksum"], got["n_rows"]) == ora
+        # multiset semantics: any permutation / partitioning yields the same value
+        perm = t.take(pa.array(np.random.default_rng(1).permutation(len(t))))
+        assert content_checksum(perm, ["k", "s"], salt=3) == got
+        split_sum = 0
+        for i in range(0, len(t), 701):
+            split_sum = (split_sum + int(content_checksum(
+                t.slice(i, 701), ["k", "s"], salt=3)["checksum"])) % (1 << 64)
+        assert str(split_sum) == got["checksum"]
+        # sensitivity: a single changed value changes the checksum
+        t2 = t.set_column(0, "k", pa.array([7] + t.column("k").to_pylist()[1:], pa.int64()))
+        assert content_checksum(t2, ["k", "s"], salt=3) != got
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray
+
+        from kamae_ray.stages.profile import content_checksum
+
+        t = pa.table({"k": pa.array(range(2000), pa.int64()),
+                      "s": pa.array([f"x{i % 9}" for i in range(2000)])})
+        want = content_checksum(t, ["k", "s"])
+        ds = ray.data.from_arrow(t).repartition(7)
+        assert content_checksum(ds, ["k", "s"]) == want

@@ -2781,6 +2781,25 @@ def _q_checksum(sf_dir):
                      "n_rows": pa.array([r["n_rows"]], pa.int64())})
 
 
+def _q_cat_drift(sf_dir):
+    """Categorical PSI drift (``categorical_drift``): documents.source
+    distribution, English vs non-English corpora (both side filters pushed
+    into the parquet scan). Exact int counts over the category union,
+    Laplace-smoothed mirrored proportions — the numeric q_drift's sibling."""
+    import pyarrow.dataset as pds
+
+    from kamae_ray.sources.io import read_parquet_clean
+    from kamae_ray.stages.profile import categorical_drift
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    a = read_parquet_clean(path, columns=["source", "lang"],
+                           filter=pds.field("lang") == "en")
+    b = read_parquet_clean(path, columns=["source", "lang"],
+                           filter=pds.field("lang") != "en")
+    out = categorical_drift(a, b, "source")
+    return _round_cols(out, ["p_a", "p_b", "psi_term"])
+
+
 def _q_histogram(sf_dir):
     """Fixed-width histogram of o_totalprice over [0, 600000] in 24 bins:
     per-block bincount combiner (at most `bins` rows leave a block) + tiny
@@ -3702,6 +3721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_drift": _q_drift,
         "q_session_stats": _q_session_stats,
         "q_checksum": _q_checksum,
+        "q_cat_drift": _q_cat_drift,
     }
 
 
@@ -5128,4 +5148,21 @@ def oracle_sql() -> dict[str, str]:
         ).checksum_oracle_sql("orders", ["o_orderkey", "o_orderstatus"],
                               {"o_orderkey": "int", "o_orderstatus": "str"},
                               salt=5),
+        "q_cat_drift": (
+            "WITH ca AS (SELECT source AS c, count(*)::BIGINT AS n FROM documents "
+            "WHERE lang = 'en' AND source IS NOT NULL GROUP BY 1), "
+            "cb AS (SELECT source AS c, count(*)::BIGINT AS n FROM documents "
+            "WHERE lang != 'en' AND source IS NOT NULL GROUP BY 1), "
+            "u AS (SELECT c FROM ca UNION SELECT c FROM cb), "
+            "k AS (SELECT COUNT(*)::BIGINT AS K FROM u), "
+            "j AS (SELECT u.c, COALESCE(ca.n, 0) AS n_a, COALESCE(cb.n, 0) AS n_b, "
+            "(SELECT SUM(n) FROM ca) AS Na, (SELECT SUM(n) FROM cb) AS Nb, k.K "
+            "FROM u LEFT JOIN ca USING (c) LEFT JOIN cb USING (c) CROSS JOIN k), "
+            "p AS (SELECT c, n_a, n_b, "
+            "(n_a::DOUBLE + 1.0) / (Na::DOUBLE + (1 * K)::DOUBLE) AS p_a, "
+            "(n_b::DOUBLE + 1.0) / (Nb::DOUBLE + (1 * K)::DOUBLE) AS p_b FROM j) "
+            "SELECT c AS source, n_a, n_b, ROUND(p_a, 6) AS p_a, "
+            "ROUND(p_b, 6) AS p_b, ROUND((p_a - p_b) * ln(p_a / p_b), 6) "
+            "AS psi_term FROM p"
+        ),
     }

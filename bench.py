@@ -262,6 +262,7 @@ _BENCH_QUERIES = [
     "q_drift",  # PSI drift report (two scan-filtered histogram passes)
     "q_session_stats",  # sessionize -> per-session aggregates chain
     "q_checksum",  # order-invariant content checksum (HUGEINT-exact)
+    "q_cat_drift",  # categorical PSI drift (value-count union)
 ]
 
 

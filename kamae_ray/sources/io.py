@@ -99,6 +99,12 @@ def narrow_read(ds, cols: list[str]):
     info = getattr(ds, "_kamae_read", None)
     if info is None:
         return None
+    if info["kwargs"].get("filter") is not None:
+        # a row filter may reference columns outside `cols`; re-issuing the
+        # read without them makes Ray's fragment sampler fail to bind the
+        # expression ("No match for FieldRef...") — don't narrow filtered
+        # reads (they are already scan-pruned)
+        return None
     cols = list(dict.fromkeys(cols))
     names = info["names"]
     if names is None or not set(cols) <= names:

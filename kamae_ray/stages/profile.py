@@ -320,3 +320,65 @@ def checksum_oracle_sql(table: str, cols: list[str], col_types: dict,
     return (f"SELECT CAST(SUM(row_h) % {_CK_MOD} AS VARCHAR) AS checksum, "
             f"COUNT(*)::BIGINT AS n_rows FROM "
             f"(SELECT {acc} AS row_h FROM {table})")
+
+
+def categorical_drift(ds_a, ds_b, col: str, smoothing: int = 1,
+                      max_broadcast_terms: int = 5_000_000) -> pa.Table:
+    """PSI drift between two snapshots of a CATEGORICAL column — the
+    numeric ``drift_report``'s sibling: value-count both sides, take the
+    union of observed categories, Laplace-smooth
+    (``p = (n + smoothing) / (N + smoothing * K)``, K = union size) and emit
+    per-category counts, proportions and psi_term (exact int counts, one
+    mirrored float expression). Nulls count as their own category is NOT
+    implemented — nulls are dropped (SQL GROUP BY semantics with a WHERE).
+
+    Scale plan: two per-block ``group_by`` count partials (vocab-bounded
+    driver folds, the temperature_mix pattern); driver state O(categories)
+    guarded by ``max_broadcast_terms``."""
+    from kamae_ray.base import collect_tables
+
+    def counts(ds):
+        def partial(block: pa.Table) -> pa.Table:
+            t = block.select([col])
+            t = t.filter(pc.is_valid(t.column(col)))
+            t = t.set_column(0, col, pc.cast(t.column(col), pa.string(), safe=False))
+            return t.group_by(col).aggregate([([], "count_all")])
+
+        partial.__name__ = "cat_drift_counts"
+        if isinstance(ds, pa.Table):
+            parts = [partial(ds)]
+        else:
+            from kamae_ray.sources import io as _io
+
+            narrow = _io.narrow_read(ds, [col])
+            parts = collect_tables(
+                (narrow if narrow is not None else ds).map_batches(
+                    partial, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None))
+        out: dict[str, int] = {}
+        for t in parts:
+            for lab, c in zip(t.column(col).to_pylist(),
+                              t.column("count_all").to_pylist()):
+                out[lab] = out.get(lab, 0) + int(c)
+        if len(out) > max_broadcast_terms:
+            raise ValueError(f"{len(out)} categories > max_broadcast_terms")
+        return out
+
+    ca, cb = counts(ds_a), counts(ds_b)
+    if not ca or not cb:
+        raise ValueError("categorical_drift: a side has no non-null values")
+    cats = sorted(set(ca) | set(cb))
+    K = len(cats)
+    na = np.array([ca.get(c, 0) for c in cats], dtype=np.int64)
+    nb = np.array([cb.get(c, 0) for c in cats], dtype=np.int64)
+    Na, Nb = int(na.sum()), int(nb.sum())
+    s = int(smoothing)
+    pa_ = (na.astype(np.float64) + float(s)) / (float(Na) + float(s * K))
+    pb_ = (nb.astype(np.float64) + float(s)) / (float(Nb) + float(s * K))
+    psi = (pa_ - pb_) * np.log(pa_ / pb_)
+    return pa.table({
+        col: pa.array(cats, pa.string()),
+        "n_a": pa.array(na), "n_b": pa.array(nb),
+        "p_a": pa.array(pa_), "p_b": pa.array(pb_),
+        "psi_term": pa.array(psi),
+    })

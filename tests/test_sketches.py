@@ -435,3 +435,58 @@ class TestContentChecksum:
         want = content_checksum(t, ["k", "s"])
         ds = ray.data.from_arrow(t).repartition(7)
         assert content_checksum(ds, ["k", "s"]) == want
+
+
+def test_categorical_drift_matches_sql(ray_session):
+    import duckdb
+    import pyarrow.compute as pc
+
+    from kamae_ray.stages.profile import categorical_drift
+
+    rng = np.random.default_rng(0)
+    a = pa.table({"c": pa.array(rng.choice(["x", "y", "z"], 4000, p=[.6, .3, .1]).tolist()
+                                + [None])})
+    b = pa.table({"c": pa.array(rng.choice(["x", "y", "w"], 3000, p=[.3, .5, .2]).tolist())})
+    out = categorical_drift(a, b, "c")
+    ora = duckdb.query("""
+        WITH ca AS (SELECT c, count(*)::BIGINT AS n FROM a WHERE c IS NOT NULL GROUP BY 1),
+        cb AS (SELECT c, count(*)::BIGINT AS n FROM b WHERE c IS NOT NULL GROUP BY 1),
+        u AS (SELECT c FROM ca UNION SELECT c FROM cb),
+        k AS (SELECT COUNT(*)::BIGINT AS K FROM u),
+        j AS (SELECT u.c, COALESCE(ca.n, 0) AS n_a, COALESCE(cb.n, 0) AS n_b,
+              (SELECT SUM(n) FROM ca) AS Na, (SELECT SUM(n) FROM cb) AS Nb, k.K
+              FROM u LEFT JOIN ca USING (c) LEFT JOIN cb USING (c) CROSS JOIN k),
+        p AS (SELECT c, n_a, n_b, (n_a::DOUBLE + 1.0) / (Na::DOUBLE + (1 * K)::DOUBLE) AS p_a,
+              (n_b::DOUBLE + 1.0) / (Nb::DOUBLE + (1 * K)::DOUBLE) AS p_b FROM j)
+        SELECT c, n_a, n_b, ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b,
+               ROUND((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term FROM p ORDER BY c
+    """).arrow()
+    eng = pa.table({
+        "c": out.column("c"), "n_a": out.column("n_a"), "n_b": out.column("n_b"),
+        "p_a": pc.round(out.column("p_a"), ndigits=6, round_mode="half_towards_infinity"),
+        "p_b": pc.round(out.column("p_b"), ndigits=6, round_mode="half_towards_infinity"),
+        "psi_term": pc.round(out.column("psi_term"), ndigits=6,
+                             round_mode="half_towards_infinity"),
+    }).combine_chunks()
+    assert eng.equals(ora.cast(eng.schema).combine_chunks())
+    # dataset path matches the table path
+    import ray
+
+    da = ray.data.from_arrow(a).repartition(3)
+    db = ray.data.from_arrow(b).repartition(2)
+    got = categorical_drift(da, db, "c")
+    assert got.equals(out)
+
+
+def test_narrow_read_declines_on_filtered_reads(ray_session):
+    import pyarrow.dataset as pds
+
+    from kamae_ray.sources.io import narrow_read, read_parquet_clean
+
+    ds = read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
+                            columns=["source", "lang"],
+                            filter=pds.field("lang") == "en")
+    assert narrow_read(ds, ["source"]) is None  # filter references lang
+    ds2 = read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
+                             columns=["source", "lang"])
+    assert narrow_read(ds2, ["source"]) is not None

@@ -909,6 +909,55 @@ def _q_ann_ivf_index(sf_dir):
 
 
 
+def _q_ann_ivf_update(sf_dir):
+    """INCREMENTAL persisted IVF index (``ivf_update``): build from the
+    first half of the corpus (fixed data-independent centroids = embeddings
+    of vec_id 0..15), APPEND the second half against the same stored
+    partition rule (hive append — base files never touched), then full-probe
+    query == exact top-k over the WHOLE corpus, so the hash match certifies
+    build + append + probed read end-to-end."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.ann import ivf_build, ivf_query, ivf_update
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    cents = np.asarray(
+        first.filter(pc.less(first.column("vec_id"), 16)).sort_by("vec_id")
+        .column("embedding").to_pylist(), dtype=np.float64)
+    qrows = first.filter(pc.is_in(first.column("vec_id"), value_set=pa.array([0, 1])))
+    queries = np.asarray(qrows.column("embedding").to_pylist(), dtype=np.float64)
+    n_total = first.num_rows
+    split = n_total // 2
+    import pyarrow.dataset as pds
+
+    from kamae_ray.sources.io import read_parquet_clean
+
+    base = read_parquet_clean(emb_path, columns=["vec_id", "embedding"],
+                              filter=pds.field("vec_id") < split)
+    extra = read_parquet_clean(emb_path, columns=["vec_id", "embedding"],
+                               filter=pds.field("vec_id") >= split)
+    idx = tempfile.mkdtemp(prefix="kamae_ivf_upd_")
+    try:
+        ivf_build(base, "embedding", "vec_id", idx, n_centroids=16,
+                  centroids=cents)
+        n_added = ivf_update(idx, extra)
+        assert n_added == n_total - split
+        top = ivf_query(idx, queries, k=10, n_probe=16)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return pa.table({
+        "query_idx": pc.cast(top.column("query_idx"), pa.int64()),
+        "rank": pc.cast(top.column("rank"), pa.int64()),
+        "vec_id": top.column("id"),
+        "cosine": pc.round(top.column("cosine"), ndigits=_R,
+                           round_mode="half_towards_infinity"),
+    })
+
+
 def _pq_codebook(sf_dir):
     """Deterministic data-independent PQ codebook: the embeddings of
     vec_id 0..15 (the q_ann_ivf move) — makes the code assignment an argmin
@@ -3722,6 +3771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_stats": _q_session_stats,
         "q_checksum": _q_checksum,
         "q_cat_drift": _q_cat_drift,
+        "q_ann_ivf_update": _q_ann_ivf_update,
     }
 
 
@@ -5164,5 +5214,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c AS source, n_a, n_b, ROUND(p_a, 6) AS p_a, "
             "ROUND(p_b, 6) AS p_b, ROUND((p_a - p_b) * ln(p_a / p_b), 6) "
             "AS psi_term FROM p"
+        ),
+        # full-probe query over build+append == exact top-k over the corpus
+        "q_ann_ivf_update": (
+            "WITH q AS (SELECT vec_id AS query_idx, embedding::DOUBLE[] AS qe "
+            "FROM embeddings WHERE vec_id IN (0, 1)), "
+            "scored AS (SELECT q.query_idx, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS cs "
+            "FROM embeddings e CROSS JOIN q), "
+            "ranked AS (SELECT query_idx, vec_id, cs, "
+            "row_number() OVER (PARTITION BY query_idx ORDER BY cs DESC, vec_id) "
+            "AS rank FROM scored) "
+            "SELECT CAST(query_idx AS BIGINT) AS query_idx, CAST(rank AS BIGINT) "
+            "AS rank, vec_id, ROUND(cs, 6) AS cosine FROM ranked WHERE rank <= 10"
         ),
     }

@@ -263,6 +263,7 @@ _BENCH_QUERIES = [
     "q_session_stats",  # sessionize -> per-session aggregates chain
     "q_checksum",  # order-invariant content checksum (HUGEINT-exact)
     "q_cat_drift",  # categorical PSI drift (value-count union)
+    "q_ann_ivf_update",  # incremental IVF index append + full-probe query
 ]
 
 

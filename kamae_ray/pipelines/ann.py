@@ -252,6 +252,7 @@ def ivf_build(
     n_centroids: int = 16,
     sample_size: int = 10_000,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Build a PERSISTED IVF index: spherical k-means centroids (seeded
     driver sample) + the corpus written as hive-partitioned parquet — ONE
@@ -264,17 +265,22 @@ def ivf_build(
 
     import ray  # noqa: F401
 
-    try:
-        n = ds._logical_plan.dag.infer_metadata().num_rows
-    except Exception:
-        n = None
-    if n is None:
-        n = ds.count()
-    frac = min(1.0, sample_size / max(n, 1))
-    sampled = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
-    rows = sampled.limit(sample_size).take_all()
-    sample = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
-    cents = train_centroids(sample, n_centroids, seed=seed)
+    if centroids is not None:
+        # pinned data-independent partition rule (the q_ann_ivf move):
+        # every later ivf_update assigns against the SAME centroids
+        cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    else:
+        try:
+            n = ds._logical_plan.dag.infer_metadata().num_rows
+        except Exception:
+            n = None
+        if n is None:
+            n = ds.count()
+        frac = min(1.0, sample_size / max(n, 1))
+        sampled = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+        rows = sampled.limit(sample_size).take_all()
+        sample = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+        cents = train_centroids(sample, n_centroids, seed=seed)
 
     def assign(batch: pa.Table) -> pa.Table:
         m, _ = A.matrix_view(batch.column(emb_col))
@@ -291,6 +297,43 @@ def ivf_build(
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"emb_col": emb_col, "id_col": id_col, "n_centroids": int(n_centroids)}, f)
     return cents
+
+
+def ivf_update(path: str, ds) -> int:
+    """Append new vectors to a PERSISTED IVF index — the incremental-index
+    maintenance step (the dedup_index_update analog for ANN): load the
+    stored centroids, assign the new batch against the SAME partition rule,
+    and write additional uniquely-named parquet parts into the existing
+    ``centroid=<i>/`` directories (hive append — existing files are never
+    touched, so a killed update re-run only duplicates its own unfinished
+    parts, never corrupts the base). ``ivf_query`` needs no changes: it
+    lists each probed directory. Returns the number of vectors appended.
+
+    Scale plan: one stateless assign map (centroids broadcast by closure)
+    + one partitioned write; no shuffle, no driver state."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cents = np.load(os.path.join(path, "centroids.npz"))["centroids"]
+    emb_col, id_col = meta["emb_col"], meta["id_col"]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m, _ = A.matrix_view(batch.column(emb_col))
+        x = _normalize(m.astype(np.float64))
+        a = np.argmax(x @ cents.T, axis=1).astype(np.int32)
+        return batch.select([id_col, emb_col]).append_column("centroid", pa.array(a))
+
+    assign.__name__ = "ivf_update_assign"
+    if isinstance(ds, pa.Table):
+        import ray
+
+        ds = ray.data.from_arrow(ds)
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    assigned = assigned.materialize()  # count + write without re-execution
+    assigned.write_parquet(path, partition_cols=["centroid"])
+    return assigned.count()
 
 
 def ivf_query(

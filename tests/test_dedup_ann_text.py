@@ -1460,3 +1460,41 @@ def test_gopher_and_linefilter_escaping():
     sql = line_filter_oracle_exprs("text", "c", blocklist=["don't"])
     got = duckdb.query(f"SELECT {sql} FROM t").arrow()  # must parse
     assert got.num_rows == 1
+
+
+def test_ivf_update_appends_without_touching_base(ray_session):
+    """Incremental IVF: base files unchanged after update; full-probe query
+    over build+append == brute force over the union; re-running an update
+    only adds its own parts."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    from kamae_ray.pipelines.ann import brute_force_topk, ivf_build, ivf_query, ivf_update
+
+    rng = np.random.default_rng(0)
+    d = 16
+    base_m = rng.normal(size=(200, d)).astype(np.float32)
+    extra_m = rng.normal(size=(100, d)).astype(np.float32)
+    mk = lambda m, off: pa.table({  # noqa: E731
+        "vec_id": pa.array(np.arange(len(m)) + off),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32()))})
+    base, extra = mk(base_m, 0), mk(extra_m, 200)
+    idx = tempfile.mkdtemp(prefix="kamae_ivf_test_")
+    try:
+        ivf_build(ray.data.from_arrow(base), "embedding", "vec_id", idx,
+                  n_centroids=4, centroids=base_m[:4].astype(np.float64))
+        before = {f for _, _, fs in os.walk(idx) for f in fs}
+        n = ivf_update(idx, extra)
+        assert n == 100
+        after = {f for _, _, fs in os.walk(idx) for f in fs}
+        assert before <= after and len(after) > len(before)  # pure append
+        q = np.asarray(base_m[:2], dtype=np.float64)
+        got = ivf_query(idx, q, k=5, n_probe=4)
+        want = brute_force_topk(pa.concat_tables([base, extra]), q,
+                                "embedding", "vec_id", k=5)
+        assert got.column("id").to_pylist() == want.column("id").to_pylist()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

@@ -409,9 +409,13 @@ class TestContentChecksum:
             "s": pa.array([f"v{i % 37}" for i in range(3001)] + [None], pa.string()),
         })
         got = content_checksum(t, ["k", "s"], salt=3)
-        duckdb.register("t", t)
-        ora = duckdb.query(checksum_oracle_sql(
+        # dedicated connection: register() on duckdb's DEFAULT connection
+        # would shadow every later test's replacement-scan of a local `t`
+        con = duckdb.connect()
+        con.register("t", t)
+        ora = con.execute(checksum_oracle_sql(
             "t", ["k", "s"], {"k": "int", "s": "str"}, salt=3)).fetchone()
+        con.close()
         assert (got["checksum"], got["n_rows"]) == ora
         # multiset semantics: any permutation / partitioning yields the same value
         perm = t.take(pa.array(np.random.default_rng(1).permutation(len(t))))

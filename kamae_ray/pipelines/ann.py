@@ -878,16 +878,22 @@ class _KnnGraphPartial:
             sims = x[lo:hi] @ cmat.T                      # (t, N)
             t = hi - lo
             if kk < N:
-                cand = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                # select the kk+1 LARGEST from the tail (no -sims copy —
+                # the negation alone cost ~25% of the matmul): after
+                # argpartition(kth=N-kk-1), position N-kk-1 is the
+                # (kk+1)-th largest = the BEST EXCLUDED candidate, giving
+                # an O(t) boundary-tie probe instead of a full sims re-scan
+                part = np.argpartition(sims, N - kk - 1, axis=1)[:, N - kk - 1:]
+                cand = part[:, 1:]
+                rr = np.arange(t)
+                thr = sims[rr[:, None], cand].min(axis=1)
+                next_best = sims[rr, part[:, 0]]
                 # argpartition picks an ARBITRARY subset of candidates tied
                 # at the selection boundary — repair those rows so the
                 # (sim DESC, nbr ASC) contract holds across the boundary:
                 # keep everything strictly above the row's k-th sim, fill
                 # the rest with the SMALLEST neighbor ids among the tied
-                rr = np.arange(t)
-                thr = sims[rr[:, None], cand].min(axis=1)
-                n_ge = (sims >= thr[:, None]).sum(axis=1)
-                for r in np.flatnonzero(n_ge > kk):
+                for r in np.flatnonzero(next_best >= thr):
                     above = np.flatnonzero(sims[r] > thr[r])
                     tied = np.flatnonzero(sims[r] == thr[r])
                     need = kk - len(above)

@@ -2849,6 +2849,44 @@ def _q_cat_drift(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "psi_term"])
 
 
+def _q_top_items(sf_dir):
+    """Grouped heavy hitters (top-2 event types per user) — the per-segment
+    frequency staple, as a pure composition: partial-agg pair counts ->
+    partial top-k per group (blocks pre-reduce to <= k rows per key before
+    the ONE k-bounded exchange). Deterministic (count DESC, type ASC);
+    ROW_NUMBER oracle."""
+    from kamae_ray.stages.aggregate import groupby_agg, topk_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("event_type")))
+
+    pre.__name__ = "drop_null_types"
+    ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column("one", pa.array(np.ones(batch.num_rows,
+                                                           np.int64)))
+
+    ones.__name__ = "add_ones"
+    ds = ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    counts = groupby_agg(ds, ["user_id", "event_type"], {"one": ["sum"]})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch.column("user_id"),
+                         "event_type": batch.column("event_type"),
+                         "n": pc.cast(batch.column("one_sum"), pa.int64())})
+
+    rename.__name__ = "rename_count"
+    counts = counts.map_batches(rename, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    return topk_per_group(counts, ["user_id"], "n", 2,
+                          tiebreak=["event_type"])
+
+
 def _q_histogram(sf_dir):
     """Fixed-width histogram of o_totalprice over [0, 600000] in 24 bins:
     per-block bincount combiner (at most `bins` rows leave a block) + tiny
@@ -3772,6 +3810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_checksum": _q_checksum,
         "q_cat_drift": _q_cat_drift,
         "q_ann_ivf_update": _q_ann_ivf_update,
+        "q_top_items": _q_top_items,
     }
 
 
@@ -5227,5 +5266,12 @@ def oracle_sql() -> dict[str, str]:
             "AS rank FROM scored) "
             "SELECT CAST(query_idx AS BIGINT) AS query_idx, CAST(rank AS BIGINT) "
             "AS rank, vec_id, ROUND(cs, 6) AS cosine FROM ranked WHERE rank <= 10"
+        ),
+        "q_top_items": (
+            "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n "
+            "FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY n DESC, event_type) AS rn FROM c) "
+            "SELECT user_id, event_type, n FROM r WHERE rn <= 2"
         ),
     }

@@ -2781,7 +2781,8 @@ def _q_session_stats(sf_dir):
 
     def prep(batch: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(
-            pc.cast(batch.column("value"), pa.float64(), safe=False), 100.0)),
+            pc.cast(batch.column("value"), pa.float64(), safe=False), 100.0),
+            round_mode="half_towards_infinity"),
             pa.int64(), safe=False)
         us = pc.cast(batch.column("ts"), pa.int64())
         return pa.table({
@@ -2793,8 +2794,10 @@ def _q_session_stats(sf_dir):
     prep.__name__ = "session_prep"
     sess = sess.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=None)
+    # count over ts_us (always present) — counting the value column would
+    # silently drop null-value events from n_events (review finding)
     agg = groupby_agg(sess, ["user_id", "session_id"],
-                      {"cents": ["sum", "count"], "ts_us": ["min", "max"]})
+                      {"cents": ["sum"], "ts_us": ["min", "max", "count"]})
 
     def finish(batch: pa.Table) -> pa.Table:
         # the distributed agg can hand min/max back as float64 — us-epoch
@@ -2806,7 +2809,7 @@ def _q_session_stats(sf_dir):
         return pa.table({
             "user_id": batch.column("user_id"),
             "session_id": batch.column("session_id"),
-            "n_events": pc.cast(batch.column("cents_count"), pa.int64()),
+            "n_events": pc.cast(batch.column("ts_us_count"), pa.int64()),
             "cents_sum": pc.cast(batch.column("cents_sum"), pa.int64()),
             "duration_s": pc.cast(dur, pa.int64()),
         })

@@ -299,25 +299,35 @@ def ivf_build(
     return cents
 
 
-def ivf_update(path: str, ds) -> int:
+def ivf_update(path: str, ds, update_id: str = "u1") -> int:
     """Append new vectors to a PERSISTED IVF index — the incremental-index
     maintenance step (the dedup_index_update analog for ANN): load the
     stored centroids, assign the new batch against the SAME partition rule,
-    and write additional uniquely-named parquet parts into the existing
-    ``centroid=<i>/`` directories (hive append — existing files are never
-    touched, so a killed update re-run only duplicates its own unfinished
-    parts, never corrupts the base). ``ivf_query`` needs no changes: it
-    lists each probed directory. Returns the number of vectors appended.
+    and write the batch as its OWN committed update directory
+    (``updates/<update_id>/centroid=<i>/`` + a ``_SUCCESS`` marker, the
+    write_partitioned resume discipline): base files are never touched, a
+    COMMITTED update re-run with the same id is a no-op (idempotent), and a
+    TORN update (no marker) is wiped and rewritten — a killed run can never
+    duplicate vectors (review finding: a raw hive append re-run duplicated
+    its own rows, corrupting top-k results). ``ivf_query`` reads the base
+    partitions plus every committed update's probed partitions. Returns the
+    number of vectors appended (0 when already committed).
 
     Scale plan: one stateless assign map (centroids broadcast by closure)
     + one partitioned write; no shuffle, no driver state."""
     import json
     import os
+    import shutil
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     cents = np.load(os.path.join(path, "centroids.npz"))["centroids"]
     emb_col, id_col = meta["emb_col"], meta["id_col"]
+    udir = os.path.join(path, "updates", str(update_id))
+    marker = os.path.join(udir, "_SUCCESS")
+    if os.path.exists(marker):
+        return 0  # committed — idempotent re-run
+    shutil.rmtree(udir, ignore_errors=True)  # torn previous attempt
 
     def assign(batch: pa.Table) -> pa.Table:
         m, _ = A.matrix_view(batch.column(emb_col))
@@ -330,10 +340,15 @@ def ivf_update(path: str, ds) -> int:
         import ray
 
         ds = ray.data.from_arrow(ds)
-    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=None)
     assigned = assigned.materialize()  # count + write without re-execution
-    assigned.write_parquet(path, partition_cols=["centroid"])
-    return assigned.count()
+    os.makedirs(udir, exist_ok=True)
+    assigned.write_parquet(udir, partition_cols=["centroid"])
+    n = assigned.count()
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return n
 
 
 def ivf_query(
@@ -359,7 +374,13 @@ def ivf_query(
     qn = _normalize(queries)
     probes = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     probed = sorted({int(c) for c in probes.reshape(-1)})
-    dirs = [os.path.join(path, f"centroid={c}") for c in probed]
+    roots = [path]
+    up = os.path.join(path, "updates")
+    if os.path.isdir(up):
+        # only COMMITTED updates (with _SUCCESS) are part of the index
+        roots += [os.path.join(up, u) for u in sorted(os.listdir(up))
+                  if os.path.exists(os.path.join(up, u, "_SUCCESS"))]
+    dirs = [os.path.join(r, f"centroid={c}") for r in roots for c in probed]
     dirs = [d for d in dirs if os.path.isdir(d)]
     if not dirs:
         return pa.table(

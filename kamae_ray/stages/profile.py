@@ -285,11 +285,16 @@ def content_checksum(ds, cols: list[str], salt: int = 0):
     if isinstance(ds, pa.Table):
         rows = [block_sum(ds)]
     else:
-        proj = ds
-        try:
-            proj = ds.select_columns(list(cols))
-        except Exception:
-            pass
+        from kamae_ray.sources import io as _io
+
+        # lesson 25: prune at the SCAN for bare tagged reads
+        proj = _io.narrow_read(ds, list(cols))
+        if proj is None:
+            proj = ds
+            try:
+                proj = ds.select_columns(list(cols))
+            except Exception:
+                pass
         parts = proj.map_batches(block_sum, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None)
         rows = [pa.table(b) for b in parts.iter_batches(batch_format="pyarrow")]
@@ -307,12 +312,22 @@ def checksum_oracle_sql(table: str, cols: list[str], col_types: dict,
     ``col_types`` maps column -> 'int' | 'str'."""
     from kamae_ray.stages.hashing import poly31_sql
 
+    # a * P mod 2^64 with a < 2^64 and P 63-bit would overflow INT128
+    # (a*P < 2^127 only when a < 2^63.9 — a two's-complement negative is
+    # ~2^64 and DuckDB raises 'Overflow in multiplication of INT128', found
+    # by review + pinned in tests). Split P = P_hi*2^32 + P_lo so every
+    # intermediate stays under 2^96:
+    #   a*P mod 2^64 = (a*P_lo mod 2^64 + ((a*P_hi) mod 2^32)*2^32) mod 2^64
+    p_hi, p_lo = _CK_P >> 32, _CK_P & 0xFFFFFFFF
+    two32 = 1 << 32
     acc = "CAST(0 AS HUGEINT)"
     for c in cols:
         if col_types[c] == "int":
             # negative ints: two's-complement view — add 2^64 then mod
-            h = (f"((((CAST({c} AS HUGEINT) % {_CK_MOD}) + {_CK_MOD}) "
-                 f"% {_CK_MOD} + {salt}) * {_CK_P}) % {_CK_MOD}")
+            a = (f"(((CAST({c} AS HUGEINT) % {_CK_MOD}) + {_CK_MOD} + {salt}) "
+                 f"% {_CK_MOD})")
+            h = (f"(({a} * {p_lo}) % {_CK_MOD} + "
+                 f"(({a} * {p_hi}) % {two32}) * {two32}) % {_CK_MOD}")
         else:
             h = f"CAST({poly31_sql(c)} AS HUGEINT)"
         h = f"CASE WHEN {c} IS NULL THEN CAST({_CK_NULL} AS HUGEINT) ELSE {h} END"
@@ -360,8 +375,11 @@ def categorical_drift(ds_a, ds_b, col: str, smoothing: int = 1,
             for lab, c in zip(t.column(col).to_pylist(),
                               t.column("count_all").to_pylist()):
                 out[lab] = out.get(lab, 0) + int(c)
-        if len(out) > max_broadcast_terms:
-            raise ValueError(f"{len(out)} categories > max_broadcast_terms")
+            # guard INSIDE the fold: a mistakenly-categorical unique-id
+            # column must fail before it absorbs the whole domain
+            if len(out) > max_broadcast_terms:
+                raise ValueError(f"> {max_broadcast_terms} categories "
+                                 "(max_broadcast_terms)")
         return out
 
     ca, cb = counts(ds_a), counts(ds_b)

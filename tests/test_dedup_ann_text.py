@@ -1496,5 +1496,14 @@ def test_ivf_update_appends_without_touching_base(ray_session):
         want = brute_force_topk(pa.concat_tables([base, extra]), q,
                                 "embedding", "vec_id", k=5)
         assert got.column("id").to_pylist() == want.column("id").to_pylist()
+        # COMMITTED re-run with the same id is a no-op (never duplicates)
+        assert ivf_update(idx, extra) == 0
+        again = ivf_query(idx, q, k=5, n_probe=4)
+        assert again.column("id").to_pylist() == want.column("id").to_pylist()
+        # TORN update (marker removed) is wiped and rewritten, not doubled
+        os.remove(os.path.join(idx, "updates", "u1", "_SUCCESS"))
+        assert ivf_update(idx, extra) == 100
+        rerun = ivf_query(idx, q, k=5, n_probe=4)
+        assert rerun.column("id").to_pylist() == want.column("id").to_pylist()
     finally:
         shutil.rmtree(idx, ignore_errors=True)

@@ -403,10 +403,14 @@ class TestContentChecksum:
         from kamae_ray.stages.profile import checksum_oracle_sql, content_checksum
 
         rng = np.random.default_rng(0)
+        # explicit negatives: rng.integers(-1000, 1e12) is negative with
+        # p ~ 1e-9 — the two's-complement SQL path needs REAL coverage
+        # (the HUGEINT overflow it hides was a review finding)
         t = pa.table({
-            "k": pa.array(np.r_[rng.integers(-1000, 10**12, 3000), [0]].tolist()
+            "k": pa.array(np.r_[rng.integers(-1000, 10**12, 3000),
+                                [0, -1, -1000, -3_000_000_000_000_000_000]].tolist()
                           + [None], pa.int64()),
-            "s": pa.array([f"v{i % 37}" for i in range(3001)] + [None], pa.string()),
+            "s": pa.array([f"v{i % 37}" for i in range(3004)] + [None], pa.string()),
         })
         got = content_checksum(t, ["k", "s"], salt=3)
         # dedicated connection: register() on duckdb's DEFAULT connection

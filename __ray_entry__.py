@@ -2890,6 +2890,21 @@ def _q_top_items(sf_dir):
                           tiebreak=["event_type"])
 
 
+def _q_twap(sf_dir):
+    """Time-weighted average per user (``time_weighted_avg``, TWAP): the
+    left-continuous step integral sum(dt*v)/sum(dt) — exact-integer terms
+    (us durations x fixed-point cents, int64 order-free sums), ONE double
+    division, HUGEINT LEAD oracle. ONE entity sort + a segmented cumsum
+    kernel. (user, ts) is unique in this data (verified both scales), so
+    the interval pairing is deterministic."""
+    from kamae_ray.stages.window import time_weighted_avg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = time_weighted_avg(ds, "user_id", "ts", "value")
+    return out.map_batches(_rounder(["twap"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_histogram(sf_dir):
     """Fixed-width histogram of o_totalprice over [0, 600000] in 24 bins:
     per-block bincount combiner (at most `bins` rows leave a block) + tiny
@@ -3814,6 +3829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cat_drift": _q_cat_drift,
         "q_ann_ivf_update": _q_ann_ivf_update,
         "q_top_items": _q_top_items,
+        "q_twap": _q_twap,
     }
 
 
@@ -5276,5 +5292,20 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
             "ORDER BY n DESC, event_type) AS rn FROM c) "
             "SELECT user_id, event_type, n FROM r WHERE rn <= 2"
+        ),
+        "q_twap": (
+            "WITH s AS (SELECT user_id, epoch_us(ts) AS tu, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE ts IS NOT NULL AND value IS NOT NULL), "
+            "d AS (SELECT user_id, tu, cents, LEAD(tu) OVER ("
+            "PARTITION BY user_id ORDER BY tu) AS nxt FROM s), "
+            "g AS (SELECT user_id, COUNT(*)::BIGINT AS n_obs, "
+            "SUM(CASE WHEN nxt IS NULL THEN 0 ELSE "
+            "CAST((nxt - tu) AS HUGEINT) * cents END) AS num, "
+            "SUM(CASE WHEN nxt IS NULL THEN 0 ELSE nxt - tu END)::BIGINT "
+            "AS duration_us FROM d GROUP BY user_id) "
+            "SELECT user_id, CASE WHEN duration_us = 0 THEN NULL ELSE "
+            "ROUND(CAST(num AS DOUBLE) / (CAST(duration_us AS DOUBLE) * 100), 6) "
+            "END AS twap, n_obs, COALESCE(duration_us, 0) AS duration_us FROM g"
         ),
     }

@@ -264,6 +264,8 @@ _BENCH_QUERIES = [
     "q_checksum",  # order-invariant content checksum (HUGEINT-exact)
     "q_cat_drift",  # categorical PSI drift (value-count union)
     "q_ann_ivf_update",  # incremental IVF index append + full-probe query
+    "q_top_items",  # grouped heavy hitters (counts -> partial top-k)
+    "q_twap",  # time-weighted average (integer step integral)
 ]
 
 

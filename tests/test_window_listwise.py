@@ -512,3 +512,72 @@ class TestScd2Build:
                                              carry_cols=["eid"]).iter_batches(batch_format="pyarrow")]
         ).sort_by([("k", "ascending"), ("version", "ascending")])
         assert got.select(want.column_names).combine_chunks().equals(want.combine_chunks())
+
+
+class TestTimeWeightedAvg:
+    def test_matches_hugeint_lead_sql(self):
+        import duckdb
+
+        from kamae_ray.stages.window import time_weighted_avg
+
+        rng = np.random.default_rng(0)
+        n = 6000
+        t = pa.table({
+            "u": pa.array(rng.integers(0, 150, n)),
+            "ts": pa.array(rng.integers(0, 10**9, n), pa.int64()).cast(pa.timestamp("us")),
+            "v": pa.array(np.round(rng.normal(50, 10, n), 2)),
+        })
+        out = time_weighted_avg(t, "u", "ts", "v")
+        ora = duckdb.query("""
+            WITH s AS (SELECT u, epoch_us(ts) AS tu, CAST(round(v * 100) AS BIGINT) AS cents
+                       FROM t WHERE ts IS NOT NULL AND v IS NOT NULL),
+            d AS (SELECT u, tu, cents, LEAD(tu) OVER (PARTITION BY u ORDER BY tu) AS nxt FROM s),
+            g AS (SELECT u, COUNT(*)::BIGINT AS n_obs,
+                  SUM(CASE WHEN nxt IS NULL THEN 0 ELSE CAST((nxt - tu) AS HUGEINT) * cents END) AS num,
+                  SUM(CASE WHEN nxt IS NULL THEN 0 ELSE nxt - tu END)::BIGINT AS duration_us
+                  FROM d GROUP BY u)
+            SELECT u, CASE WHEN duration_us = 0 THEN NULL
+                   ELSE ROUND(CAST(num AS DOUBLE) / (CAST(duration_us AS DOUBLE) * 100), 6) END AS twap,
+                   n_obs, COALESCE(duration_us, 0) AS duration_us FROM g ORDER BY u
+        """).arrow()
+        import pyarrow.compute as pc2
+
+        eng = pa.table({
+            "u": out.column("u"),
+            "twap": pc2.round(out.column("twap"), ndigits=6,
+                              round_mode="half_towards_infinity"),
+            "n_obs": out.column("n_obs"), "duration_us": out.column("duration_us"),
+        }).sort_by("u").combine_chunks()
+        assert eng.equals(ora.cast(eng.schema).combine_chunks())
+
+    def test_hand_computed_and_single_obs(self):
+        from kamae_ray.stages.window import time_weighted_avg
+
+        ts = pa.array([0, 10, 30], pa.int64()).cast(pa.timestamp("us"))
+        t = pa.table({"u": [1, 1, 1], "ts": ts, "v": [10.0, 40.0, 99.0]})
+        out = time_weighted_avg(t, "u", "ts", "v")
+        # (10us * 10 + 20us * 40) / 30us = 30.0 (the last value never counts)
+        assert out.column("twap").to_pylist() == [30.0]
+        one = pa.table({"u": [1], "ts": ts.slice(0, 1), "v": [5.0]})
+        out1 = time_weighted_avg(one, "u", "ts", "v")
+        assert out1.column("twap").to_pylist() == [None]
+        assert out1.column("n_obs").to_pylist() == [1]
+
+    def test_dataset_matches_table(self, ray_session):
+        import ray
+
+        from kamae_ray.stages.window import time_weighted_avg
+
+        rng = np.random.default_rng(1)
+        n = 3000
+        t = pa.table({
+            "u": pa.array(rng.integers(0, 50, n)),
+            "ts": pa.array(rng.integers(0, 10**8, n), pa.int64()).cast(pa.timestamp("us")),
+            "v": pa.array(np.round(rng.normal(0, 5, n), 2)),
+        })
+        want = time_weighted_avg(t, "u", "ts", "v").sort_by("u")
+        ds = ray.data.from_arrow(t).repartition(5)
+        got = pa.concat_tables(
+            [pa.table(b) for b in time_weighted_avg(ds, "u", "ts", "v")
+             .iter_batches(batch_format="pyarrow")]).sort_by("u")
+        assert got.select(want.column_names).combine_chunks().equals(want.combine_chunks())

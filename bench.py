@@ -334,7 +334,18 @@ def main_once(flagship_only: bool = False, warmup: bool = False):
         "tokens_per_s": h["tokens_per_s"],
         "phases": {"fit_s": h["fit_s"], "transform_s": h["transform_s"], "window_s": h["window_s"]},
     }
-    print(json.dumps(doc))
+    # the per-query dicts (82+ entries) outgrew the driver's tail capture in
+    # r4 ("parsed": null) — print the full doc on an EARLIER line and a
+    # compact headline (no per-query dicts) as the LAST line
+    if queries:
+        print(json.dumps(doc))
+        compact = {k: v for k, v in doc.items()
+                   if k not in ("queries", "queries_vs_prev_round")}
+        compact["queries_total_s"] = round(sum(queries.values()), 3)
+        compact["queries_n"] = len(queries)
+        print(json.dumps(compact))
+    else:
+        print(json.dumps(doc))
     import ray
 
     ray.shutdown()

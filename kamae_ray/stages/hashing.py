@@ -844,8 +844,12 @@ def temperature_mix_oracle_cond(key_expr: str, corpus_count_expr: str,
     fr = alpha if isinstance(alpha, Fraction) else Fraction(alpha).limit_denominator(3)
     p, q = fr.numerator, fr.denominator
     e = q - p
-    hm = (f"((CAST({key_expr} + {salt} AS HUGEINT) * 11400714819323198485) "
-          f"% 18446744073709551616 % {hash_mod})")
+    # normalize negatives: DuckDB % returns negative remainders for negative
+    # operands, while the engine hashes in two's-complement uint64 — fold the
+    # product into [0, 2^64) first (same pattern as checksum_oracle_sql)
+    m64 = 18446744073709551616
+    hm = (f"((((((CAST({key_expr} AS HUGEINT) + {salt}) * 11400714819323198485) "
+          f"% {m64}) + {m64}) % {m64}) % {hash_mod})")
     lhs = " * ".join([hm] * q)
     rhs_n = " * ".join([f"CAST({corpus_count_expr} AS HUGEINT)"] * e) if e else "1"
     rhs_t = " * ".join([f"CAST({hash_mod} AS HUGEINT)"] * q)

@@ -42,11 +42,11 @@ def gram_moments(ds, col: str) -> dict:
     if isinstance(ds, pa.Table):
         rows = partial(ds).to_pylist()
     else:
-        proj = ds
-        try:
-            proj = ds.select_columns([col])
-        except Exception:
-            pass
+        # scan-level projection (lesson 25: select_columns does NOT prune
+        # the parquet read — narrow_read re-issues a columns= scan)
+        from kamae_ray.state.aggregators import _project
+
+        proj = _project(ds, [col])
         rows = proj.map_batches(
             partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ).take_all()
@@ -219,10 +219,10 @@ def linear_score_oracle_sql(
     n = len(weights)
     where = f" WHERE logit >= {int(min_logit)}" if min_logit is not None else ""
     return (
-        f"WITH s AS (SELECT {id_col}, CAST({int(bias)} AS BIGINT) + list_sum("
+        f"WITH s AS (SELECT {id_col}, CAST(CAST({int(bias)} AS BIGINT) + list_sum("
         f"list_transform(range(1, {n + 1}), i -> "
         f"CAST(floor({emb_col}[CAST(i AS BIGINT)]::DOUBLE * {scale}) AS BIGINT) "
-        f"* ([{wlist}])[CAST(i AS BIGINT)])) AS logit FROM {table}) "
+        f"* ([{wlist}])[CAST(i AS BIGINT)])) AS BIGINT) AS logit FROM {table}) "
         f"SELECT {id_col}, logit FROM s{where}"
     )
 

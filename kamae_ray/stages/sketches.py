@@ -769,5 +769,8 @@ def approx_counts(ds, col: str, values: list, width: int = 2048,
     regime the q_countmin oracle certifies (HLL-oracle precedent)."""
     sk = countmin_sketch(ds, col, width=width, depth=depth, seed=seed)
     est = countmin_estimate(sk, values)
-    return pa.table({col: pa.array(values, pa.string()),
+    # let Arrow infer the probe column's type — hardcoding pa.string() would
+    # mistype (or fail on) integer probe values even though the sketch
+    # itself hashes any type
+    return pa.table({col: pa.array(values),
                      "approx_count": pa.array(est)})

@@ -1943,7 +1943,11 @@ def time_weighted_avg(ds, entity_cols, time_col: str, value_col: str,
             zero_copy_only=False).astype(np.int64, copy=False)
         v = pc.cast(A.as_array(block.column(value_col)), pa.float64(),
                     safe=False).to_numpy(zero_copy_only=False)
-        cents = np.rint(v * cents_scale)
+        # half-AWAY-from-zero, matching DuckDB round() in the generated
+        # oracle (np.rint is half-to-even — a v*scale landing exactly on .5,
+        # e.g. 0.005*100, would diverge engine-vs-oracle)
+        scaled = v * cents_scale
+        cents = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
         if len(cents) and np.abs(cents).max() >= 2 ** 52:
             raise ValueError("time_weighted_avg: values overflow the "
                              "fixed-point range; lower cents_scale")
@@ -1971,6 +1975,17 @@ def time_weighted_avg(ds, entity_cols, time_col: str, value_col: str,
             ends = starts + lens - 1
             num = csum_t[ends] - csum_t[starts]
             dur = csum_d[ends] - csum_d[starts]
+            # per-entity SUM guard: individual terms fitting int64 does not
+            # bound the numerator (the SQL oracle accumulates in HUGEINT).
+            # A wrapped GLOBAL cumsum is harmless — differences are exact
+            # mod 2^64 — but a per-entity sum >= 2^63 wraps `num` silently.
+            # Approximate per-entity sums in float64 (error ~n*ulp, far
+            # below the one-bit 2^62->2^63 margin) and raise, never wrap.
+            fcsum = np.concatenate(([0.0], np.cumsum(term, dtype=np.float64)))
+            fnum = fcsum[ends] - fcsum[starts]
+            if len(fnum) and np.abs(fnum).max() >= 2 ** 62:
+                raise ValueError("time_weighted_avg: per-entity dt*value "
+                                 "sum overflows int64; lower cents_scale")
         firsts = order[starts]
         out = {c: A.as_array(block.column(c)).take(pa.array(firsts))
                for c in entity_cols}

@@ -176,3 +176,31 @@ class TestTemperatureMix:
             temperature_mix(t, "k", "c", alpha=0.55)
         with _pt.raises(ValueError):
             temperature_mix(t, "k", "c", alpha=0.0)
+
+
+class TestTemperatureMixNegativeKeys:
+    def test_oracle_parity_with_negative_int_keys(self):
+        """DuckDB % returns negative remainders for negative operands; the
+        generated keep-condition folds into [0, 2^64) to match the engine's
+        two's-complement hashing (ADVICE r4)."""
+        import duckdb
+
+        from kamae_ray.stages.hashing import temperature_mix, temperature_mix_oracle_cond
+
+        rng = np.random.default_rng(3)
+        n = 8000
+        ks = rng.integers(-(2 ** 62), 2 ** 62, n)
+        corpus = rng.choice(["en"] * 9 + ["sw"], size=n)
+        t = pa.table({"k": pa.array(ks), "c": pa.array(corpus)})
+        for alpha, salt in ((0.5, 0), (0.5, 7), (1 / 3, 3)):
+            out = temperature_mix(t, "k", "c", alpha=alpha, salt=salt)
+            cond = temperature_mix_oracle_cond("k", "n_corpus", "n_min", alpha=alpha, salt=salt)
+            ora = duckdb.query(
+                "WITH c AS (SELECT k, c, COUNT(*) OVER (PARTITION BY c) AS n_corpus "
+                "FROM t WHERE c IS NOT NULL), "
+                "m AS (SELECT *, MIN(n_corpus) OVER () AS n_min FROM c) "
+                f"SELECT k, c, n_corpus FROM m WHERE {cond} ORDER BY k"
+            ).arrow()
+            eng = out.sort_by("k").select(["k", "c", "n_corpus"]).combine_chunks()
+            assert eng.equals(ora.cast(eng.schema).combine_chunks()), (alpha, salt)
+            assert 0 < out.num_rows < n  # both branches of the keep rule hit

@@ -498,3 +498,16 @@ def test_narrow_read_declines_on_filtered_reads(ray_session):
     ds2 = read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
                              columns=["source", "lang"])
     assert narrow_read(ds2, ["source"]) is not None
+
+
+class TestApproxCountsProbeTypes:
+    def test_integer_probe_values_keep_their_type(self):
+        """approx_counts must not hardcode string probe columns — integer
+        probes should come back as an int column with correct estimates
+        (ADVICE r4)."""
+        from kamae_ray.stages.sketches import approx_counts
+
+        t = pa.table({"x": pa.array([1, 2, 2, 3, 3, 3], pa.int64())})
+        out = approx_counts(t, "x", [2, 3, 99])
+        assert out.schema.field("x").type == pa.int64()
+        assert out.column("approx_count").to_pylist() == [2, 3, 0]

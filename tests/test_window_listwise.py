@@ -581,3 +581,41 @@ class TestTimeWeightedAvg:
             [pa.table(b) for b in time_weighted_avg(ds, "u", "ts", "v")
              .iter_batches(batch_format="pyarrow")]).sort_by("u")
         assert got.select(want.column_names).combine_chunks().equals(want.combine_chunks())
+
+
+class TestTwapAdviceFixes:
+    def test_half_boundary_rounds_away_from_zero(self):
+        """0.005*100 lands EXACTLY on 0.5 in float64 — the engine must round
+        half-away like DuckDB round(), not half-even (ADVICE r4)."""
+        import duckdb
+
+        from kamae_ray.stages.window import time_weighted_avg
+
+        ts = pa.array([0, 10, 20, 30, 40], pa.int64()).cast(pa.timestamp("us"))
+        vals = [0.005, 0.015, -0.005, 0.025, 1.0]  # all v*100 exactly on .5
+        t = pa.table({"u": [1] * 5, "ts": ts, "v": vals})
+        out = time_weighted_avg(t, "u", "ts", "v")
+        ora = duckdb.query(
+            "WITH s AS (SELECT CAST(round(v * 100) AS BIGINT) AS cents, "
+            "epoch_us(ts) tu FROM t), "
+            "d AS (SELECT cents, LEAD(tu) OVER (ORDER BY tu) - tu AS dt FROM s) "
+            "SELECT CAST(SUM(CAST(dt AS HUGEINT) * cents) AS DOUBLE) / "
+            "(SUM(dt) * 100.0) AS twap FROM d WHERE dt IS NOT NULL"
+        ).fetchone()[0]
+        assert out.column("twap").to_pylist() == [ora]
+        # duckdb round(0.5)=1, round(-0.5)=-1: (10*1 + 10*2 + 10*-1 + 10*3)/40/100
+        assert out.column("twap").to_pylist() == [(1 + 2 - 1 + 3) * 10 / 40 / 100]
+
+    def test_per_entity_sum_overflow_raises(self):
+        """Terms that each fit int64 but whose per-entity SUM exceeds 2^62
+        must raise, never silently wrap (ADVICE r4)."""
+        import pytest
+
+        from kamae_ray.stages.window import time_weighted_avg
+
+        dt = 2 ** 40
+        ts = pa.array([i * dt for i in range(6)], pa.int64()).cast(pa.timestamp("us"))
+        v = float(2 ** 21) / 100  # cents = 2^21 -> term = 2^61 each, sum = 5*2^61
+        t = pa.table({"u": [1] * 6, "ts": ts, "v": [v] * 6})
+        with pytest.raises(ValueError, match="overflows int64"):
+            time_weighted_avg(t, "u", "ts", "v")

@@ -49,11 +49,27 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the representation class the driver's
+    value hash is sensitive to: signed/unsigned ints render identically
+    (1234), but int vs float (1234 vs 1234.0) hash-differ — the exact
+    failure mode of r4's q_linear_score (HUGEINT oracle -> float64)."""
+    k = dtype.kind
+    return "i" if k == "u" else k
+
+
 def compare(name, mine: pd.DataFrame, orc: pd.DataFrame) -> str:
     if len(mine) != len(orc):
         return f"ROWS {len(mine)} vs {len(orc)}"
     if sorted(mine.columns) != sorted(orc.columns):
         return f"COLS {sorted(mine.columns)} vs {sorted(orc.columns)}"
+    # driver-strict: the driver hashes rendered values, so int64 1234 vs
+    # float64 1234.0 FAILS there even when values are equal — assert dtype
+    # kind equality before the (dtype-forgiving) value compare
+    for c in sorted(mine.columns):
+        ka, kb = _kind(mine[c].dtype), _kind(orc[c].dtype)
+        if ka != kb:
+            return f"DTYPE col {c}: {mine[c].dtype} vs {orc[c].dtype} (driver hash would differ)"
     a, b = normalize(mine), normalize(orc)
     for c in a.columns:
         av, bv = a[c], b[c]

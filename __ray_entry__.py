@@ -3661,9 +3661,60 @@ def _q_decontaminate(sf_dir):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # --- r5 driver window: 3 anchors + previously-red (q_linear_score/
+        # q_agg/q_neardup) + the last 3 uncertified SURVEY-2 surfaces + 44
+        # never-graded entries (driver grades the first 50) ---
         "q_log": _q_log,
         "q_asof": _q_asof,
         "q_join": _q_join,
+        "q_linear_score": _q_linear_score,
+        "q_agg": _q_agg,
+        "q_neardup": _q_neardup,
+        "q_shared_onehot": _q_shared_onehot,
+        "q_conditional_scale": _q_conditional_scale,
+        "q_single_feature_scale": _q_single_feature_scale,
+        "q_temperature": _q_temperature,
+        "q_redact": _q_redact,
+        "q_line_filter": _q_line_filter,
+        "q_gopher": _q_gopher,
+        "q_scd2": _q_scd2,
+        "q_json": _q_json,
+        "q_knn": _q_knn,
+        "q_word_chunks": _q_word_chunks,
+        "q_countmin": _q_countmin,
+        "q_chi2": _q_chi2,
+        "q_drift": _q_drift,
+        "q_session_stats": _q_session_stats,
+        "q_checksum": _q_checksum,
+        "q_top_items": _q_top_items,
+        "q_twap": _q_twap,
+        "q_stratified": _q_stratified,
+        "q_range_broadcast": _q_range_broadcast,
+        "q_ewm": _q_ewm,
+        "q_winsorize": _q_winsorize,
+        "q_collect": _q_collect,
+        "q_tfidf": _q_tfidf,
+        "q_pack": _q_pack,
+        "q_quantile_bucket": _q_quantile_bucket,
+        "q_group_sample": _q_group_sample,
+        "q_asof_forward": _q_asof_forward,
+        "q_windows": _q_windows,
+        "q_replace_col": _q_replace_col,
+        "q_distinct": _q_distinct,
+        "q_covariance": _q_covariance,
+        "q_count_distinct": _q_count_distinct,
+        "q_time_rolling": _q_time_rolling,
+        "q_bloom_semi": _q_bloom_semi,
+        "q_normalize": _q_normalize,
+        "q_norm_dedup": _q_norm_dedup,
+        "q_url": _q_url,
+        "q_domain_cap": _q_domain_cap,
+        "q_hash_vec": _q_hash_vec,
+        "q_event_dedup": _q_event_dedup,
+        "q_collocations": _q_collocations,
+        "q_cat_drift": _q_cat_drift,
+        "q_ann_ivf_update": _q_ann_ivf_update,
+        # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
         "q_retention": _q_retention,
@@ -3679,7 +3730,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": _q_simhash,
         "q_weighted_sample": _q_weighted_sample,
         "q_target_encode": _q_target_encode,
-        "q_linear_score": _q_linear_score,
         "q_centroids": _q_centroids,
         "q_semdedup": _q_semdedup,
         "q_semantic_decontam": _q_semantic_decontam,
@@ -3711,30 +3761,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_except": _q_except,
         "q_topk": _q_topk,
         "q_group_quantiles": _q_group_quantiles,
-        "q_shared_onehot": _q_shared_onehot,
-        "q_conditional_scale": _q_conditional_scale,
         "q_multimodal": _q_multimodal,
         "q_melt": _q_melt,
         "q_intersect": _q_intersect,
-        "q_stratified": _q_stratified,
-        "q_range_broadcast": _q_range_broadcast,
-        "q_ewm": _q_ewm,
-        "q_winsorize": _q_winsorize,
-        "q_collect": _q_collect,
         "q_coalesce": _q_coalesce,
         "q_first_last": _q_first_last,
-        "q_single_feature_scale": _q_single_feature_scale,
-        "q_tfidf": _q_tfidf,
-        "q_pack": _q_pack,
-        "q_quantile_bucket": _q_quantile_bucket,
         "q_chunk": _q_chunk,
-        "q_group_sample": _q_group_sample,
-        "q_asof_forward": _q_asof_forward,
-        "q_windows": _q_windows,
-        "q_replace_col": _q_replace_col,
         "q_sample": _q_sample,
-        "q_distinct": _q_distinct,
-        "q_covariance": _q_covariance,
         "q_arith": _q_arith,
         "q_math": _q_math,
         "q_conditional": _q_conditional,
@@ -3781,9 +3814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mode": _q_mode,
         "q_quantile_disc": _q_quantile_disc,
         "q_pagerank": _q_pagerank,
-        "q_agg": _q_agg,
         "q_token_stats": _q_token_stats,
-        "q_neardup": _q_neardup,
         "q_langid": _q_langid,
         "q_math3": _q_math3,
         "q_logical": _q_logical,
@@ -3795,41 +3826,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pairwise": _q_pairwise,
         "q_bearing": _q_bearing,
         "q_shared_index": _q_shared_index,
-        "q_count_distinct": _q_count_distinct,
         "q_l2norm": _q_l2norm,
-        "q_time_rolling": _q_time_rolling,
         "q_cube": _q_cube,
         "q_skew": _q_skew,
         "q_arg_max": _q_arg_max,
-        "q_bloom_semi": _q_bloom_semi,
         "q_zorder": _q_zorder,
         "q_hopping": _q_hopping,
         "q_resample": _q_resample,
         "q_cat_stats": _q_cat_stats,
-        "q_temperature": _q_temperature,
-        "q_redact": _q_redact,
-        "q_line_filter": _q_line_filter,
-        "q_gopher": _q_gopher,
-        "q_scd2": _q_scd2,
-        "q_json": _q_json,
-        "q_word_chunks": _q_word_chunks,
-        "q_knn": _q_knn,
-        "q_normalize": _q_normalize,
-        "q_norm_dedup": _q_norm_dedup,
-        "q_url": _q_url,
-        "q_domain_cap": _q_domain_cap,
-        "q_countmin": _q_countmin,
-        "q_chi2": _q_chi2,
-        "q_hash_vec": _q_hash_vec,
-        "q_event_dedup": _q_event_dedup,
-        "q_collocations": _q_collocations,
-        "q_drift": _q_drift,
-        "q_session_stats": _q_session_stats,
-        "q_checksum": _q_checksum,
-        "q_cat_drift": _q_cat_drift,
-        "q_ann_ivf_update": _q_ann_ivf_update,
-        "q_top_items": _q_top_items,
-        "q_twap": _q_twap,
     }
 
 

@@ -1,0 +1,123 @@
+"""Forced-fallback sweep (r4 verdict task 8): every budget-guarded pipeline
+must produce the SAME result with the driver budget forced past its limit —
+so the 100x-scale paths stay exercised as the surface grows.
+
+near_dedup's driver_pair_budget=0 twin is already asserted in
+tests/test_dedup_ann_text.py (kept there — it shares that file's corpus
+fixtures). This file sweeps the rest: pagerank, groupby_rollup, groupby_cube,
+dedup_against_index, plus the raise-type guards (knn_graph and
+groupby_vector_mean point to their scale path instead of degrading).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _canon(obj) -> list[tuple]:
+    """Any Dataset/Table result -> sorted list of row tuples (floats kept
+    exact: both paths promise bit-identical results, not approximate)."""
+    if not isinstance(obj, pa.Table):
+        obj = pa.concat_tables(
+            [pa.table(b) for b in obj.iter_batches(batch_format="pyarrow")]
+        ) if hasattr(obj, "iter_batches") else pa.table(obj)
+    cols = sorted(obj.column_names)
+
+    def freeze(v):
+        return tuple(v) if isinstance(v, (list, np.ndarray)) else v
+
+    rows = [tuple(freeze(r[c]) for c in cols) for r in obj.select(cols).to_pylist()]
+    return sorted(rows, key=repr)
+
+
+@pytest.fixture(scope="module")
+def edges_ds(ray_session):
+    import ray
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    t = pa.table({
+        "src": pa.array(rng.integers(0, 300, n)),
+        "dst": pa.array(rng.integers(0, 300, n)),
+    })
+    return ray.data.from_arrow(t).repartition(6)
+
+
+class TestBudgetFallbackEquality:
+    def test_pagerank_driver_vs_distributed(self, edges_ds):
+        from kamae_ray.pipelines.graph import pagerank
+
+        kw = dict(damping=0.85, iters=4, fixed_point=10**6)
+        fast = pagerank(edges_ds, driver_node_budget=2_000_000, **kw)
+        dist = pagerank(edges_ds, driver_node_budget=0, **kw)
+        assert _canon(fast) == _canon(dist)
+
+    @pytest.mark.parametrize("fn_name", ["groupby_rollup", "groupby_cube"])
+    def test_rollup_cube_driver_vs_distributed(self, ray_session, fn_name):
+        import ray
+
+        from kamae_ray.stages import aggregate as agg
+
+        rng = np.random.default_rng(5)
+        n = 5000
+        t = pa.table({
+            "a": pa.array(rng.choice(["x", "y", "z"], n)),
+            "b": pa.array(rng.integers(0, 7, n)),
+            "v": pa.array(rng.integers(0, 1000, n)),
+        })
+        ds = ray.data.from_arrow(t).repartition(5)
+        fn = getattr(agg, fn_name)
+        aggs = {"v": ["sum", "count", "min", "max"]}
+        fast = fn(ds, ["a", "b"], aggs, driver_level_budget=1_000_000)
+        dist = fn(ds, ["a", "b"], aggs, driver_level_budget=0)
+        assert _canon(fast) == _canon(dist)
+
+    def test_dedup_index_broadcast_vs_sorted_bucket(self, ray_session, tmp_path):
+        import ray
+
+        from kamae_ray.pipelines.dedup import dedup_against_index, dedup_index_build
+
+        rng = np.random.default_rng(7)
+        corpus = pa.table({"k": pa.array([f"doc-{i}" for i in rng.integers(0, 900, 2000)])})
+        dedup_index_build(ray.data.from_arrow(corpus).repartition(4), "k",
+                          str(tmp_path / "idx"), num_buckets=8)
+        shard = pa.table({
+            "k": pa.array([f"doc-{i}" for i in rng.integers(500, 1400, 1500)]),
+            "payload": pa.array(np.arange(1500)),
+        })
+        sh = ray.data.from_arrow(shard).repartition(3)
+        kept_b = dedup_against_index(sh, "k", str(tmp_path / "idx"),
+                                     broadcast_budget_bytes=64 << 20)
+        kept_s = dedup_against_index(sh, "k", str(tmp_path / "idx"),
+                                     broadcast_budget_bytes=0)
+        got_b, got_s = _canon(kept_b), _canon(kept_s)
+        assert got_b == got_s
+        assert 0 < len(got_b) < shard.num_rows  # both regimes actually filter
+
+
+class TestBudgetRaiseGuards:
+    """Guards with no degraded path must RAISE and name the scale path."""
+
+    def test_knn_graph_over_budget_raises(self):
+        from kamae_ray.pipelines.ann import knn_graph
+
+        rng = np.random.default_rng(0)
+        t = pa.table({
+            "id": pa.array(np.arange(50)),
+            "emb": pa.array(rng.normal(size=(50, 8)).tolist(),
+                            pa.list_(pa.float64())),
+        })
+        with pytest.raises(ValueError, match="ivf_build"):
+            knn_graph(t, "id", "emb", k=3, max_broadcast_rows=10)
+
+    def test_groupby_vector_mean_over_budget_raises(self):
+        from kamae_ray.stages.linalg import groupby_vector_mean
+
+        rng = np.random.default_rng(1)
+        t = pa.table({
+            "k": pa.array(np.arange(100)),  # 100 distinct groups
+            "emb": pa.array(rng.normal(size=(100, 4)).tolist(),
+                            pa.list_(pa.float64())),
+        })
+        with pytest.raises(ValueError, match="max_partial_rows"):
+            groupby_vector_mean(t, "k", "emb", max_partial_rows=10)

@@ -924,22 +924,31 @@ def _q_ann_ivf_update(sf_dir):
     from kamae_ray.pipelines.ann import ivf_build, ivf_query, ivf_update
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    cents = np.asarray(
-        first.filter(pc.less(first.column("vec_id"), 16)).sort_by("vec_id")
-        .column("embedding").to_pylist(), dtype=np.float64)
+    # driver fetches only the 16 constant rows (row-group-pruned filter read)
+    # and the row count from footer metadata — never the whole table
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", 16)])
+    cents = np.asarray(first.sort_by("vec_id").column("embedding").to_pylist(),
+                       dtype=np.float64)
     qrows = first.filter(pc.is_in(first.column("vec_id"), value_set=pa.array([0, 1])))
     queries = np.asarray(qrows.column("embedding").to_pylist(), dtype=np.float64)
-    n_total = first.num_rows
+    n_total = pq.ParquetFile(emb_path).metadata.num_rows
     split = n_total // 2
-    import pyarrow.dataset as pds
-
     from kamae_ray.sources.io import read_parquet_clean
 
-    base = read_parquet_clean(emb_path, columns=["vec_id", "embedding"],
-                              filter=pds.field("vec_id") < split)
-    extra = read_parquet_clean(emb_path, columns=["vec_id", "embedding"],
-                               filter=pds.field("vec_id") >= split)
+    # ONE projected scan feeds both the build half and the append half
+    # (lesson 30) — materialize, then branch with block-level filters
+    full = read_parquet_clean(emb_path, columns=["vec_id", "embedding"]).materialize()
+
+    def lt_split(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("vec_id"), split))
+
+    def ge_split(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("vec_id"), split))
+
+    lt_split.__name__, ge_split.__name__ = "base_half", "append_half"
+    base = full.map_batches(lt_split, batch_format="pyarrow", zero_copy_batch=True)
+    extra = full.map_batches(ge_split, batch_format="pyarrow", zero_copy_batch=True)
     idx = tempfile.mkdtemp(prefix="kamae_ivf_upd_")
     try:
         ivf_build(base, "embedding", "vec_id", idx, n_centroids=16,
@@ -1249,7 +1258,11 @@ def _q_dedup_index(sf_dir):
     from kamae_ray.pipelines.dedup import dedup_against_index, dedup_index_build
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    keyed = ds.map_batches(_prefix3_block, batch_format="pyarrow", zero_copy_batch=True)
+    # the keyed input feeds BOTH the index build (evens) and the shard
+    # filter (odds) — materialize ONCE so the read+prefix pass doesn't
+    # re-execute per consumer (lesson 30: multi-execution fixed cost)
+    keyed = ds.map_batches(_prefix3_block, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
 
     def evens(b: pa.Table) -> pa.Table:
         return b.filter(pc.equal(np.int64(0), pc.bit_wise_and(b.column("doc_id"), 1)))

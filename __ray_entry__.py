@@ -527,6 +527,45 @@ def _q_tokenize(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_bpe_pairs(sf_dir):
+    """BPE tokenizer-training inner step (``token_stats.bpe_pair_counts``):
+    adjacent token-pair frequencies across the corpus, pairs never spanning
+    rows — per-block np.unique over packed int64 pair codes, ONE pair-code
+    sort-shuffle, segment-sum merge (integer counts are order-free). Exact
+    SQL oracle: LATERAL range + GROUP BY with the same min_count."""
+    from kamae_ray.pipelines.token_stats import bpe_pair_counts
+    from kamae_ray.stages.text import TokenizeTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = TokenizeTransformer(input_col="text", vocab_size=VOCAB,
+                               output_col="toks").transform(ds)
+    return bpe_pair_counts(toks, "toks", min_count=3)
+
+
+def _q_oov(sf_dir):
+    """Vocabulary-coverage QA (``token_stats.oov_stats``): fit a top-500
+    vocabulary by global token frequency (ties -> smaller id, deterministic),
+    then per-doc n_tok / n_oov (exact int64) and oov_rate (one double
+    division) via broadcast sorted vocab + searchsorted — fit is a
+    vocab-bounded partial fold, apply has no shuffle."""
+    from kamae_ray.pipelines.token_stats import oov_stats
+    from kamae_ray.stages.text import TokenizeTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = TokenizeTransformer(input_col="text", vocab_size=VOCAB,
+                               output_col="toks").transform(ds)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "toks"])
+
+    proj.__name__ = "project_tokens"
+    # fit (token counts) and apply (scoring) both consume the tokenized
+    # input — materialize ONCE (lesson 30)
+    toks = toks.map_batches(proj, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    return oov_stats(toks, "doc_id", "toks", vocab_k=500)
+
+
 def _q_array_ops(sf_dir):
     from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
     from kamae_ray.stages.text import TokenizeTransformer
@@ -3727,6 +3766,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_collocations": _q_collocations,
         "q_cat_drift": _q_cat_drift,
         "q_ann_ivf_update": _q_ann_ivf_update,
+        # --- new in r5 (outside the graded window; local-oracle certified) ---
+        "q_bpe_pairs": _q_bpe_pairs,
+        "q_oov": _q_oov,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4004,6 +4046,26 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {_TOKEN_EXPR} AS tokens, "
             f"CAST(len(list_filter(string_split_regex(coalesce(text,''), '\\s+'), w -> length(w) > 0)) AS BIGINT) AS n_tok "
             "FROM documents"
+        ),
+        "q_bpe_pairs": (
+            f"WITH t AS (SELECT {_TOKEN_EXPR} AS toks FROM documents), "
+            "p AS (SELECT toks[i]::BIGINT AS a, toks[i+1]::BIGINT AS b "
+            "FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g) "
+            "SELECT a AS tok_a, b AS tok_b, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM p GROUP BY a, b HAVING COUNT(*) >= 3"
+        ),
+        "q_oov": (
+            f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents), "
+            "u AS (SELECT doc_id, unnest(toks)::BIGINT AS tok FROM t), "
+            "v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok) "
+            "ORDER BY c DESC, tok LIMIT 500), "
+            "per AS (SELECT u.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, "
+            "CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov "
+            "FROM u LEFT JOIN v ON u.tok = v.tok GROUP BY u.doc_id) "
+            "SELECT t.doc_id, COALESCE(per.n_tok, 0) AS n_tok, "
+            "COALESCE(per.n_oov, 0) AS n_oov, "
+            "ROUND(per.n_oov::DOUBLE / per.n_tok, 6) AS oov_rate "
+            "FROM t LEFT JOIN per ON t.doc_id = per.doc_id"
         ),
         "q_array_ops": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents) "

@@ -266,6 +266,8 @@ _BENCH_QUERIES = [
     "q_ann_ivf_update",  # incremental IVF index append + full-probe query
     "q_top_items",  # grouped heavy hitters (counts -> partial top-k)
     "q_twap",  # time-weighted average (integer step integral)
+    "q_bpe_pairs",  # BPE adjacent-pair counts over token arrays
+    "q_oov",  # OOV rate vs fitted top-K vocab
 ]
 
 

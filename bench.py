@@ -288,8 +288,17 @@ def _prev_round_queries() -> dict:
     try:
         with open(best) as fh:
             doc = json.load(fh)
-        return (doc.get("parsed") or doc).get("queries") or {}
-    except (OSError, json.JSONDecodeError, AttributeError):
+        q = (doc.get("parsed") or doc).get("queries") or {}
+        if q:
+            return q
+        # r4's record has parsed: null (the driver captured only the output
+        # tail) — recover per-query seconds from the tail fragment, taking
+        # only the portion before queries_vs_prev_round (those are ratios)
+        tail = doc.get("tail") or ""
+        tail = tail.split('"queries_vs_prev_round"')[0]
+        return {m.group(1): float(m.group(2)) for m in
+                re.finditer(r'"(q_\w+)": ([0-9.]+)', tail)}
+    except (OSError, json.JSONDecodeError, AttributeError, ValueError):
         return {}
 
 

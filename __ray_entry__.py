@@ -566,6 +566,35 @@ def _q_oov(sf_dir):
     return oov_stats(toks, "doc_id", "toks", vocab_k=500)
 
 
+def _q_outliers(sf_dir):
+    """Robust per-group outlier screen (``aggregate.robust_outliers``): flag
+    events whose |value - group median| > 3 * MAD — exact quantile_cont
+    medians via two projected sort-shuffles, group tables broadcast back (no
+    row-level shuffle join). Flag computed on UNROUNDED doubles (single-op
+    float chain, deterministic cross-engine); floats rounded 6dp for output
+    only. Oracle mirrors the chain with quantile_cont."""
+    from kamae_ray.stages.aggregate import robust_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = robust_outliers(ds, "event_type", "value", k=3.0)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "value": pc.round(b.column("value"), ndigits=_R,
+                              round_mode="half_towards_infinity"),
+            "grp_median": pc.round(b.column("grp_median"), ndigits=_R,
+                                   round_mode="half_towards_infinity"),
+            "grp_mad": pc.round(b.column("grp_mad"), ndigits=_R,
+                                round_mode="half_towards_infinity"),
+            "is_outlier": b.column("is_outlier"),
+        })
+
+    finish.__name__ = "outlier_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_array_ops(sf_dir):
     from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
     from kamae_ray.stages.text import TokenizeTransformer
@@ -3769,6 +3798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in r5 (outside the graded window; local-oracle certified) ---
         "q_bpe_pairs": _q_bpe_pairs,
         "q_oov": _q_oov,
+        "q_outliers": _q_outliers,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4053,6 +4083,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g) "
             "SELECT a AS tok_a, b AS tok_b, CAST(COUNT(*) AS BIGINT) AS cnt "
             "FROM p GROUP BY a, b HAVING COUNT(*) >= 3"
+        ),
+        "q_outliers": (
+            "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m "
+            "FROM events GROUP BY event_type), "
+            "d AS (SELECT e.event_id, e.event_type, e.value, med.m, "
+            "abs(e.value - med.m) AS ad FROM events e JOIN med USING (event_type)), "
+            "mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS md FROM d "
+            "GROUP BY event_type) "
+            "SELECT d.event_id, d.event_type, ROUND(d.value, 6) AS value, "
+            "ROUND(d.m, 6) AS grp_median, ROUND(mad.md, 6) AS grp_mad, "
+            "d.ad > 3.0 * mad.md AS is_outlier "
+            "FROM d JOIN mad USING (event_type)"
         ),
         "q_oov": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents), "

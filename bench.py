@@ -268,6 +268,7 @@ _BENCH_QUERIES = [
     "q_twap",  # time-weighted average (integer step integral)
     "q_bpe_pairs",  # BPE adjacent-pair counts over token arrays
     "q_oov",  # OOV rate vs fitted top-K vocab
+    "q_outliers",  # per-group MAD outlier screen
 ]
 
 

@@ -1623,3 +1623,84 @@ def cooccurrence_counts(ds, group_col: str, item_col: str,
     if isinstance(agg, pa.Table):
         return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def robust_outliers(ds, keys, col: str, k: float = 3.0,
+                    max_groups: int = 2_000_000):
+    """Per-group robust outlier flags via MAD (median absolute deviation):
+    a row is an outlier when ``|v - median(group)| > k * MAD(group)`` with
+    ``MAD = median(|v - median|)`` — the classic data-quality screen that,
+    unlike z-scores, is not itself corrupted by the outliers it hunts.
+
+    Exactness: medians are exact ``quantile_cont`` (one interpolation op);
+    the deviation, the multiply by ``k`` and the compare are each a single
+    float64 op over identical inputs on both engines, so the flag is
+    deterministic cross-engine (no accumulation order anywhere — the
+    lesson-24 family). Null values: never outliers (flag null), excluded
+    from both medians (SQL aggregate semantics).
+
+    Scale plan: two ``quantile_per_group`` sort-shuffles over the PROJECTED
+    (keys, value) columns; group-level tables (bounded by ``max_groups``,
+    guarded) broadcast back via ``broadcast_join`` — no row-level shuffle
+    joins. Output: input columns + ``grp_median, grp_mad, is_outlier``."""
+    from kamae_ray.stages.join import broadcast_join
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def _small(d):
+        if isinstance(d, pa.Table):
+            out = d if d.num_rows else None
+        else:
+            from kamae_ray.base import collect_tables
+
+            parts = [t for t in collect_tables(d) if t.num_rows]
+            out = (pa.concat_tables(parts).combine_chunks() if parts
+                   else None)
+        if out is not None and out.num_rows > max_groups:
+            raise ValueError(
+                f"robust_outliers: {out.num_rows} groups > max_groups="
+                f"{max_groups}; use a shuffle join for the merge at this "
+                "group cardinality")
+        return out
+
+    med = _small(quantile_per_group(ds, keys, col, [0.5], out_prefix="__med",
+                                    method="cont"))
+    if med is None or med.num_rows == 0:
+        empty_flag = pa.array([], pa.bool_())
+        base = ds if isinstance(ds, pa.Table) else None
+        if base is not None:
+            return (base.append_column("grp_median", pa.array([], pa.float64()))
+                    .append_column("grp_mad", pa.array([], pa.float64()))
+                    .append_column("is_outlier", empty_flag))
+        return ds
+    med = med.rename_columns(
+        [c if c != "__med_p50" else "grp_median" for c in med.column_names])
+    joined = broadcast_join(ds, med, on=keys)
+
+    def dev(block: pa.Table) -> pa.Table:
+        v = pc.cast(block.column(col), pa.float64(), safe=False)
+        m = block.column("grp_median")
+        return block.append_column("__absdev", pc.abs(pc.subtract(v, m)))
+
+    dev.__name__ = "mad_absdev"
+    devd = (dev(joined) if isinstance(joined, pa.Table)
+            else joined.map_batches(dev, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=None))
+    mad = _small(quantile_per_group(devd, keys, "__absdev",
+                                    [0.5], out_prefix="__mad", method="cont"))
+    mad = mad.rename_columns(
+        [c if c != "__mad_p50" else "grp_mad" for c in mad.column_names])
+    full = broadcast_join(devd, mad, on=keys)
+
+    def flag(block: pa.Table) -> pa.Table:
+        adev = block.column("__absdev")
+        thr = pc.multiply(pc.cast(block.column("grp_mad"), pa.float64()),
+                          pa.scalar(float(k), pa.float64()))
+        return (block.drop_columns(["__absdev"])
+                .append_column("is_outlier", pc.greater(adev, thr)))
+
+    flag.__name__ = "mad_flag"
+    if isinstance(full, pa.Table):
+        return flag(full)
+    return full.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)

@@ -121,3 +121,50 @@ class TestBudgetRaiseGuards:
         })
         with pytest.raises(ValueError, match="max_partial_rows"):
             groupby_vector_mean(t, "k", "emb", max_partial_rows=10)
+
+
+class TestRobustOutliers:
+    def test_matches_duckdb_and_dataset_path(self, ray_session):
+        import duckdb
+        import ray
+
+        from kamae_ray.stages.aggregate import robust_outliers
+
+        rng = np.random.default_rng(0)
+        n = 3000
+        vals = np.where(rng.random(n) < 0.02,
+                        rng.normal(500, 100, n), rng.normal(10, 2, n))
+        t = pa.table({
+            "g": pa.array(rng.choice(["a", "b", "c"], n)),
+            "id": pa.array(np.arange(n)),
+            "v": pa.array(vals),
+        })
+        want = robust_outliers(t, "g", "v", k=3.0)
+        con = duckdb.connect()
+        con.register("t", t)
+        ora = con.execute("""
+          WITH med AS (SELECT g, quantile_cont(v, 0.5) m FROM t GROUP BY g),
+          d AS (SELECT t.*, med.m grp_median, abs(t.v - med.m) ad
+                FROM t JOIN med USING (g)),
+          mad AS (SELECT g, quantile_cont(ad, 0.5) md FROM d GROUP BY g)
+          SELECT d.g, d.id, d.v, d.grp_median, mad.md grp_mad,
+                 d.ad > 3.0 * mad.md AS is_outlier
+          FROM d JOIN mad USING (g) ORDER BY id
+        """).arrow()
+        cols = ["g", "id", "v", "grp_median", "grp_mad", "is_outlier"]
+        eng = want.sort_by("id").select(cols).combine_chunks()
+        assert eng.equals(ora.cast(eng.schema).combine_chunks())
+        assert sum(1 for x in eng.column("is_outlier").to_pylist() if x) > 0
+        ds = ray.data.from_arrow(t).repartition(5)
+        got = pa.concat_tables(
+            [pa.table(b) for b in robust_outliers(ds, "g", "v", k=3.0)
+             .iter_batches(batch_format="pyarrow")]).sort_by("id")
+        assert got.select(cols).combine_chunks().equals(eng)
+
+    def test_group_budget_raise(self):
+        from kamae_ray.stages.aggregate import robust_outliers
+
+        t = pa.table({"g": pa.array([str(i) for i in range(50)]),
+                      "v": pa.array(np.arange(50.0))})
+        with pytest.raises(ValueError, match="max_groups"):
+            robust_outliers(t, "g", "v", max_groups=10)

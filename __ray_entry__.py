@@ -595,6 +595,59 @@ def _q_outliers(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_outer(sf_dir):
+    """FULL OUTER equi-join through the sort-shuffle plan (the one join type
+    never driver-certified): high-balance customers vs per-customer URGENT
+    order counts. Unmatched rows from BOTH sides survive with nulls; the key
+    column is carried by each side, so the engine's single key column equals
+    SQL COALESCE(l.key, r.key). Right side pre-aggregated to one row per key
+    before the exchange (count rides int64). Predicate pushed into the scan
+    (read_parquet_clean filter=)."""
+    import pyarrow.dataset as pads
+
+    from kamae_ray.sources.io import read_parquet_clean
+    from kamae_ray.stages import shuffle_join
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        filter=pads.field("c_acctbal") > 6000.0,
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderpriority"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    cnt = groupby_agg(orders, "o_custkey", {"o_orderkey": ["count"]})
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["c_custkey", "urgent_cnt"])
+
+    ren.__name__ = "rename_custkey"
+    right = cnt.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
+    out = shuffle_join(cust, right, on="c_custkey", how="outer")
+    return out.map_batches(_rounder(["c_acctbal"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_rolling_median(sf_dir):
+    """Rolling MEDIAN over the trailing 5 rows per entity
+    (``RollingAggTransformer(stat='median')``): exact selection (skiplist
+    kernel), no float accumulation — the robust streaming-feature twin of
+    q_rolling's mean. Oracle = SQL median() OVER (ROWS BETWEEN 4 PRECEDING
+    AND CURRENT ROW)."""
+    from kamae_ray.stages import RollingAggTransformer
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    r = RollingAggTransformer(
+        input_col="value", entity_cols=["user_id"], time_col="ts",
+        stat="median", window=5, min_periods=1, output_col="roll_med_5",
+    )
+    out = r.transform(ev)
+    return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
+
+
 def _q_array_ops(sf_dir):
     from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
     from kamae_ray.stages.text import TokenizeTransformer
@@ -3799,6 +3852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_pairs": _q_bpe_pairs,
         "q_oov": _q_oov,
         "q_outliers": _q_outliers,
+        "q_outer": _q_outer,
+        "q_rolling_median": _q_rolling_median,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4095,6 +4150,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(d.m, 6) AS grp_median, ROUND(mad.md, 6) AS grp_mad, "
             "d.ad > 3.0 * mad.md AS is_outlier "
             "FROM d JOIN mad USING (event_type)"
+        ),
+        "q_outer": (
+            "WITH l AS (SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_acctbal > 6000), "
+            "r AS (SELECT o_custkey AS c_custkey, "
+            "CAST(COUNT(o_orderkey) AS BIGINT) AS urgent_cnt FROM orders "
+            "WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) "
+            "SELECT COALESCE(l.c_custkey, r.c_custkey) AS c_custkey, l.c_name, "
+            "ROUND(l.c_acctbal, 6) AS c_acctbal, r.urgent_cnt "
+            "FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey"
+        ),
+        "q_rolling_median": (
+            "SELECT event_id, user_id, ts, ROUND(value, 6) AS value, "
+            "ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med_5 FROM events"
         ),
         "q_oov": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents), "

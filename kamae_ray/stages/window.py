@@ -668,15 +668,21 @@ class CumulativeAggTransformer(KeyedWindowTransformer):
         return out
 
 
+_ROLL_STATS = _CUM_STATS + ("median",)
+
+
 class RollingAggTransformer(KeyedWindowTransformer):
     """Rolling aggregate over the previous ``window`` rows (inclusive of the
     current row) in time order. sum/count/mean are O(n) via prefix sums;
-    min/max fall back to a per-segment accumulate."""
+    min/max/median fall back to pandas' C rolling kernels (median is the
+    O(n log w) skiplist selection — exact, NaN-skipping, no float
+    accumulation, so it is deterministic cross-engine like SQL
+    ``median(...) OVER (... ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``)."""
 
     def __init__(self, *args, stat: str = "mean", window: int = 3, min_periods: int = 1, **kwargs):
         super().__init__(*args, **kwargs)
-        if stat not in _CUM_STATS:
-            raise ValueError(f"stat must be one of {_CUM_STATS}")
+        if stat not in _ROLL_STATS:
+            raise ValueError(f"stat must be one of {_ROLL_STATS}")
         self.stat = stat
         self.window = int(window)
         self.min_periods = int(min_periods)

@@ -93,6 +93,30 @@ def test_rolling(events_t):
     assert out.column("o").to_pylist() == [1.0, 1.0, 3.0, 3.5, 5.0, 5.5]
 
 
+def test_rolling_median():
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table({
+        "u": rng.integers(0, 5, n),
+        "ts": rng.integers(0, 10_000, n).cumsum(),  # strictly increasing, no ties
+        "val": np.where(rng.random(n) < 0.1, np.nan, rng.normal(size=n)),
+    })
+    out = RollingAggTransformer(
+        input_col="val", entity_cols=["u"], time_col="ts", stat="median",
+        window=5, output_col="o",
+    ).transform(t)
+    df = t.to_pandas().sort_values(["u", "ts"], kind="stable")
+    ref = df.groupby("u")["val"].apply(
+        lambda s: s.rolling(5, min_periods=1).median()
+    ).reset_index(level=0, drop=True).sort_index()
+    got = np.asarray(out.column("o").to_pylist(), dtype=float)
+    exp = ref.to_numpy()
+    assert np.allclose(got, exp, equal_nan=True, atol=0)
+
+
 def test_asof_backward_strict_tolerance():
     left = pa.table({"u": [1, 1, 2, 3], "t": [15, 40, 7, 1], "x": [1.0, 2.0, 3.0, 4.0]})
     right = pa.table({"u": [1, 1, 2], "t": [10, 30, 7], "p": [100.0, 200.0, 300.0]})

@@ -648,6 +648,40 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_postings(sf_dir):
+    """Inverted-index build (``text_features.inverted_index``): term ->
+    (df, cf, ordered doc-id posting list), min_df=2. Block-local (doc, term,
+    tf) explode + ONE term sort-shuffle; postings sliced into ListArray
+    offsets (no per-group Python). Oracle = GROUP BY term with
+    list(doc_id ORDER BY doc_id) and a HAVING df filter."""
+    from kamae_ray.pipelines.text_features import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds, "doc_id", "text", min_df=2)
+
+
+def _q_shards(sf_dir):
+    """Weight-balanced training-shard assignment (``packing.balanced_shards``):
+    docs ranked by (word count DESC, id) snake-deal into 16 shards — balances
+    token TOTALS, not row counts. Rank = global_cumsum(ones) over a composite
+    (inverted-weight, id) order key; driver state O(distinct weights).
+    Oracle = ROW_NUMBER snake fold."""
+    from kamae_ray.pipelines.packing import balanced_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wc(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch.column("text"), pa.string(), safe=False), "")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pc.cast(pc.count_substring_regex(txt, pattern=r"\S+"), pa.int64()),
+        })
+
+    wc.__name__ = "word_count"
+    w = ds.map_batches(wc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return balanced_shards(w, "doc_id", "n_words", num_shards=16)
+
+
 def _q_array_ops(sf_dir):
     from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
     from kamae_ray.stages.text import TokenizeTransformer
@@ -3854,6 +3888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_outliers": _q_outliers,
         "q_outer": _q_outer,
         "q_rolling_median": _q_rolling_median,
+        "q_postings": _q_postings,
+        "q_shards": _q_shards,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4165,6 +4201,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ts, ROUND(value, 6) AS value, "
             "ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med_5 FROM events"
+        ),
+        "q_postings": (
+            "WITH words AS (SELECT doc_id, w AS term FROM ("
+            r"SELECT doc_id, unnest(regexp_split_to_array(coalesce(text,''), '\s+')) AS w "
+            "FROM documents) WHERE w <> ''), "
+            "tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM words GROUP BY 1, 2) "
+            "SELECT term, CAST(COUNT(*) AS BIGINT) AS df, "
+            "CAST(SUM(tf) AS BIGINT) AS cf, "
+            "list(doc_id ORDER BY doc_id) AS postings "
+            "FROM tf GROUP BY term HAVING COUNT(*) >= 2"
+        ),
+        "q_shards": (
+            r"WITH w AS (SELECT doc_id, CAST(len(list_filter(string_split_regex("
+            r"coalesce(text,''), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_words "
+            "FROM documents), "
+            "r AS (SELECT doc_id, n_words, "
+            "ROW_NUMBER() OVER (ORDER BY n_words DESC, doc_id) - 1 AS rk FROM w) "
+            "SELECT doc_id, n_words, CAST(CASE WHEN rk % 32 < 16 THEN rk % 32 "
+            "ELSE 31 - (rk % 32) END AS BIGINT) AS shard FROM r"
         ),
         "q_oov": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents), "

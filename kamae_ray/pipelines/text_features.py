@@ -80,6 +80,57 @@ def term_frequencies(ds, id_col: str, text_col: str):
     return proj.map_batches(tf_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def inverted_index(ds, id_col: str, text_col: str, min_df: int = 1):
+    """Inverted index (search/posting-list build): one row per distinct
+    whitespace word with ``df`` (document frequency), ``cf`` (collection
+    frequency — total occurrences), and ``postings`` (the doc-id list in
+    ascending id order).
+
+    Scale plan: ``term_frequencies`` explodes distinct (doc, term, tf) rows
+    block-locally (docs never span blocks), then ONE sort-shuffle on term
+    co-locates each term's postings; the block kernel lexsorts (term, id)
+    and slices ids into ListArray offsets — no per-group Python, no driver
+    state. A single term's postings must fit in a block (the listwise-op
+    contract); for web-scale corpora drop stopword-class terms upstream or
+    cap postings at the consumer. ``min_df`` filters inside the kernel
+    (each term's full group is co-located, so the filter is exact)."""
+    tf_long = term_frequencies(ds, id_col, text_col)
+
+    def kern(block: pa.Table) -> pa.Table:
+        ids_arr = A.as_array(block.column(id_col))
+        if block.num_rows == 0:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "cf": pa.array([], pa.int64()),
+                "postings": pa.array([], pa.list_(ids_arr.type)),
+            })
+        gids = S.group_ids(block, ["term"])
+        o = pc.cast(ids_arr, pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, gids))
+        starts, lens = S.segments(gids[order])
+        firsts = order[starts]
+        tf = block.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        cf = np.add.reduceat(tf[order], starts)
+        offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
+        out = pa.table({
+            "term": A.as_array(block.column("term")).take(pa.array(firsts)),
+            "df": pa.array(lens.astype(np.int64)),
+            "cf": pa.array(cf),
+            "postings": pa.ListArray.from_arrays(offsets, ids_arr.take(pa.array(order))),
+        })
+        if min_df > 1:
+            out = out.filter(pc.greater_equal(out.column("df"), min_df))
+        return out
+
+    kern.__name__ = "inverted_index"
+    if isinstance(tf_long, pa.Table):
+        return kern(tf_long)
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(tf_long, ["term"], kern, "inverted_index")
+
+
 def tfidf_top_terms(
     ds,
     id_col: str,

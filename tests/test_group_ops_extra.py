@@ -467,3 +467,40 @@ def test_clip_transformer_null_and_one_sided():
     t = pa.table({"x": pa.array([None, -5.0, 5.0], pa.float64())})
     got = ClipTransformer(input_col="x", min_value=0.0, output_col="y").transform_batch(t)
     assert got.column("y").to_pylist() == [None, 0.0, 5.0]
+
+
+def test_inverted_index_matches_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.pipelines.text_features import inverted_index
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["the cat sat", "the dog  ran", "cat cat dog", None],
+    })
+    got = inverted_index(docs, "doc_id", "text", min_df=2).to_pandas()
+    got = got.sort_values("term").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("docs", docs)
+    exp = con.execute(r"""
+        WITH words AS (SELECT doc_id, w AS term FROM (SELECT doc_id,
+          unnest(regexp_split_to_array(coalesce(text,''), '\s+')) AS w FROM docs)
+          WHERE w <> ''),
+        tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM words GROUP BY 1,2)
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+               list(doc_id ORDER BY doc_id) AS postings
+        FROM tf GROUP BY term HAVING COUNT(*) >= 2 ORDER BY term
+    """).fetchdf()
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["df"].tolist() == exp["df"].astype(int).tolist()
+    assert got["cf"].tolist() == exp["cf"].astype(int).tolist()
+    assert [list(p) for p in got["postings"]] == [list(p) for p in exp["postings"]]
+    # Dataset path agrees with the Table path
+    ds_out = inverted_index(ray.data.from_arrow(docs).repartition(3),
+                            "doc_id", "text", min_df=2)
+    rows = sorted((r["term"], r["df"], r["cf"], tuple(r["postings"]))
+                  for r in ds_out.take_all())
+    want = sorted(zip(got["term"], got["df"], got["cf"],
+                      (tuple(p) for p in got["postings"])))
+    assert rows == want

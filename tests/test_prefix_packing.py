@@ -218,3 +218,40 @@ def test_global_cumsum_two_level_driver_state_bounded(ray_session):
     want = global_cumsum(t, "rid", "v", out_col="c")
     wdf = want.to_pandas().sort_values("rid").reset_index(drop=True)
     assert got["c"].astype(int).tolist() == wdf["c"].astype(int).tolist()
+
+
+def test_balanced_shards_table_and_dataset(ray_session):
+    import ray
+
+    from kamae_ray.pipelines.packing import balanced_shards
+
+    rng = np.random.RandomState(11)
+    n, S = 503, 8
+    # heavy-tailed weights like doc token counts
+    w = (rng.pareto(1.5, n) * 50).astype(np.int64) + 1
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "w": pa.array(w, pa.int64())})
+    out = balanced_shards(t, "id", "w", S)
+    df = out.to_pandas().sort_values("id").reset_index(drop=True)
+    # reference: snake fold of ROW_NUMBER() OVER (ORDER BY w DESC, id)
+    order = np.lexsort((np.arange(n), -w))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    m = rank % (2 * S)
+    ref = np.where(m < S, m, 2 * S - 1 - m)
+    assert df["shard"].to_numpy().tolist() == ref.tolist()
+    # balance: every shard total within one max item of the mean
+    totals = df.groupby("shard")["w"].sum()
+    assert len(totals) == S
+    assert totals.max() - totals.min() <= w.max()
+    # Dataset path agrees with the Table path
+    got = balanced_shards(ray.data.from_arrow(t).repartition(6), "id", "w", S)
+    gdf = got.to_pandas().sort_values("id").reset_index(drop=True)
+    assert gdf["shard"].tolist() == df["shard"].tolist()
+    # guards: out-of-range weights/ids raise
+    bad = pa.table({"id": pa.array([0], pa.int64()), "w": pa.array([-1], pa.int64())})
+    with pytest.raises(ValueError):
+        balanced_shards(bad, "id", "w", S)
+    bad2 = pa.table({"id": pa.array([1 << 33], pa.int64()), "w": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        balanced_shards(bad2, "id", "w", S)

@@ -682,6 +682,39 @@ def _q_shards(sf_dir):
     return balanced_shards(w, "doc_id", "n_words", num_shards=16)
 
 
+def _q_fuzzy_decontam(sf_dir):
+    """Fuzzy (near-duplicate) benchmark decontamination
+    (``decontam.fuzzy_decontaminate``): corpus docs (doc_id % 17 != 0)
+    flagged when word-shingle Jaccard >= 0.7 against ANY bench doc
+    (doc_id % 17 == 0) — paraphrase-robust eval hygiene. Bench ids shift
+    above 2^32, both sides union, and the near_dedup banded-LSH + exact
+    distributed Jaccard verify runs cross-corpus. Oracle = exact all-pairs
+    shingle Jaccard across the split (q_neardup's certified construction)."""
+    from kamae_ray.pipelines.decontam import fuzzy_decontaminate
+
+    def _part(which):
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 17 == 0) if which == "bench" else (ids % 17 != 0)
+            return batch.filter(pa.array(m))
+
+        f.__name__ = f"keep_{which}"
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=None)
+
+    out = fuzzy_decontaminate(_part("corpus"), _part("bench"), "text", "doc_id",
+                              jaccard_threshold=0.7)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "contaminated"])
+
+    finish.__name__ = "decontam_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_array_ops(sf_dir):
     from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
     from kamae_ray.stages.text import TokenizeTransformer
@@ -3890,6 +3923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_median": _q_rolling_median,
         "q_postings": _q_postings,
         "q_shards": _q_shards,
+        "q_fuzzy_decontam": _q_fuzzy_decontam,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4220,6 +4254,24 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (ORDER BY n_words DESC, doc_id) - 1 AS rk FROM w) "
             "SELECT doc_id, n_words, CAST(CASE WHEN rk % 32 < 16 THEN rk % 32 "
             "ELSE 31 - (rk % 32) END AS BIGINT) AS shard FROM r"
+        ),
+        "q_fuzzy_decontam": (
+            r"WITH words AS (SELECT doc_id, "
+            r"list_filter(string_split_regex(coalesce(text,''), '\s+'), w -> length(w) > 0) AS ws "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, shingle FROM ("
+            "SELECT doc_id, CASE WHEN len(ws) >= 3 THEN ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] "
+            "ELSE array_to_string(ws, ' ') END AS shingle "
+            "FROM words, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS i) g)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id ida, b.doc_id idb, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle "
+            "AND a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0 GROUP BY 1, 2), "
+            "bad AS (SELECT DISTINCT ida FROM inter "
+            "JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb "
+            "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7) "
+            "SELECT doc_id, doc_id IN (SELECT ida FROM bad) AS contaminated "
+            "FROM documents WHERE doc_id % 17 <> 0"
         ),
         "q_oov": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents), "

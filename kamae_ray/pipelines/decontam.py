@@ -558,3 +558,190 @@ def semantic_decontaminate(
 
     fn = _Filter(ray.put(bn))
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fuzzy_decontaminate(
+    corpus,
+    bench,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+    id_offset: int = 1 << 32,
+    driver_id_budget: int = 2_000_000,
+    driver_pair_budget: int = 200_000,
+):
+    """Near-duplicate (fuzzy) benchmark decontamination: flag corpus docs
+    whose word-shingle Jaccard against ANY benchmark doc is >=
+    ``jaccard_threshold`` — the fuzzy companion of :func:`decontaminate`'s
+    exact n-gram rule, for eval material that was paraphrased or
+    reformatted rather than copied verbatim.
+
+    Scale plan (the ``near_dedup`` machinery, applied cross-corpus):
+    benchmark ids shift above ``id_offset`` and both sides UNION into one
+    stream, so the banded-LSH candidate pass (only (id, band, band_hash)
+    rows shuffle) and the distributed exact-Jaccard verification
+    (``verified_pairs_distributed``: candidate semi-join + shingle-list
+    joins + vectorized block Jaccard, driver O(1) in candidates) are shared
+    verbatim with near-dedup; only CROSS pairs (corpus x bench) verify.
+    The contaminated-id set is duplicate-bounded; it broadcasts under
+    ``driver_id_budget`` (one ``ray.put``, zero-copy per task) with a
+    distributed join tail above it. Returns the corpus (id, text …
+    projected to [id, text]) plus a ``contaminated`` bool column.
+
+    Corpus ids must lie in [0, ``id_offset``) and bench ids below
+    2^63 - id_offset (both raise per block when violated)."""
+    from kamae_ray.pipelines.dedup import (
+        _shingle_hash_flat,
+        minhash_lsh_candidates,
+        verified_pairs_distributed,
+    )
+
+    off = np.int64(id_offset)
+
+    def _check_corpus(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= int(off)):
+            raise ValueError(f"corpus ids outside [0, {int(off)}) — raise id_offset")
+        return batch.select([id_col, text_col])
+
+    def _shift_bench(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= (1 << 63) - int(off)):
+            raise ValueError("bench ids too large for id_offset shift")
+        shifted = pa.array(ids + off, pa.int64())
+        return pa.table({id_col: shifted, text_col: batch.column(text_col)})
+
+    _check_corpus.__name__ = "corpus_ids"
+    _shift_bench.__name__ = "shift_bench_ids"
+
+    if isinstance(corpus, pa.Table):
+        if not isinstance(bench, pa.Table):
+            raise TypeError("Table corpus requires a Table bench")
+        c = _check_corpus(corpus)
+        b = _shift_bench(bench)
+        union = pa.concat_tables([c, b])
+        pairs = minhash_lsh_candidates(union, text_col, id_col, num_perm,
+                                       bands, shingle_k, seed)
+        mask = pc.and_(pc.less(pairs.column("id_a"), pa.scalar(int(off))),
+                       pc.greater_equal(pairs.column("id_b"), pa.scalar(int(off))))
+        cross = pairs.filter(mask)
+        # exact Jaccard on the driver (Table path is small by definition)
+        ids_need = sorted({*cross.column("id_a").to_pylist(),
+                           *cross.column("id_b").to_pylist()})
+        sel = union.filter(pc.is_in(union.column(id_col), value_set=pa.array(ids_need)))
+        sh, o = _shingle_hash_flat(A.as_array(sel.column(text_col)), shingle_k)
+        sh_map = {i: np.unique(sh[o[j]:o[j + 1]])
+                  for j, i in enumerate(sel.column(id_col).to_pylist())}
+        bad = set()
+        for a_, b_ in zip(cross.column("id_a").to_pylist(), cross.column("id_b").to_pylist()):
+            sa, sb = sh_map[a_], sh_map[b_]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if inter / (sa.size + sb.size - inter) >= jaccard_threshold:
+                bad.add(a_)
+        flag = pc.is_in(c.column(id_col), value_set=pa.array(sorted(bad), pa.int64()))
+        return c.append_column("contaminated", pc.fill_null(flag, False))
+
+    c = corpus.map_batches(_check_corpus, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    b = bench.map_batches(_shift_bench, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    union = c.union(b).materialize()  # consumed twice (LSH + verify semi-join)
+
+    def _cross_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(
+            pc.less(batch.column("id_a"), pa.scalar(int(off))),
+            pc.greater_equal(batch.column("id_b"), pa.scalar(int(off)))))
+
+    _cross_only.__name__ = "cross_pairs"
+    pairs = minhash_lsh_candidates(union, text_col, id_col, num_perm, bands,
+                                   shingle_k, seed)
+    cross = pairs.map_batches(_cross_only, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None).materialize()
+
+    def _flag_broadcast(bad_arr: pa.Array):
+        import ray
+
+        bad_ref = ray.put(bad_arr)
+
+        class _Flag:
+            def __init__(self):
+                self._s = None
+                self.__name__ = "flag_contaminated"
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._s is None:
+                    self._s = ray.get(bad_ref)
+                f = pc.is_in(batch.column(id_col), value_set=self._s)
+                return batch.append_column("contaminated", pc.fill_null(f, False))
+
+        return c.map_batches(_Flag(), batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+
+    if cross.count() <= driver_pair_budget:
+        # candidate-bounded driver verify (same fast path as near_dedup):
+        # skips the 3-join distributed tail when duplicates are rare
+        rows = cross.take_all()
+        pair_rows = [(r["id_a"], r["id_b"]) for r in rows]
+        if not pair_rows:
+            return _flag_broadcast(pa.array([], pa.int64()))
+        cand_set = pa.array(sorted({i for p in pair_rows for i in p}), pa.int64())
+
+        def _keep_cand(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column(id_col), value_set=cand_set))
+
+        _keep_cand.__name__ = "filter_candidates"
+        sel = union.map_batches(_keep_cand, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        sh, o = _shingle_hash_flat(
+            pa.array([r[text_col] for r in sel], pa.string()), shingle_k)
+        sh_map = {r[id_col]: np.unique(sh[o[j]:o[j + 1]])
+                  for j, r in enumerate(sel)}
+        bad = set()
+        for a_, b_ in pair_rows:
+            sa, sb = sh_map[a_], sh_map[b_]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if inter / (sa.size + sb.size - inter) >= jaccard_threshold:
+                bad.add(a_)
+        return _flag_broadcast(pa.array(sorted(bad), pa.int64()))
+
+    verified = verified_pairs_distributed(
+        union, cross, text_col, id_col, jaccard_threshold, shingle_k)
+
+    def _flag_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id_a").to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(np.unique(ids), pa.int64())})
+
+    _flag_ids.__name__ = "contaminated_ids"
+    flagged = (verified.map_batches(_flag_ids, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+               .groupby(id_col).count().drop_columns(["count()"]).materialize())
+    if flagged.count() <= driver_id_budget:
+        from kamae_ray.base import collect_tables
+
+        tbls = [t for t in collect_tables(flagged) if t.num_rows]
+        bad_arr = (pa.concat_tables(tbls).column(id_col).combine_chunks()
+                   if tbls else pa.array([], pa.int64()))
+        return _flag_broadcast(bad_arr)
+    # scale tail: distributed flag join (left join against the flagged set)
+    from kamae_ray.stages.join import shuffle_join
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__kr_hit", pa.array(np.ones(batch.num_rows, dtype=bool)))
+
+    _tag.__name__ = "tag_flagged"
+    tagged = flagged.map_batches(_tag, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+    joined = shuffle_join(c, tagged, on=id_col, how="left")
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        f = pc.fill_null(batch.column("__kr_hit"), False)
+        return batch.drop_columns(["__kr_hit"]).append_column("contaminated", f)
+
+    _finish.__name__ = "finish_flag"
+    return joined.map_batches(_finish, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

@@ -168,3 +168,46 @@ class TestRobustOutliers:
                       "v": pa.array(np.arange(50.0))})
         with pytest.raises(ValueError, match="max_groups"):
             robust_outliers(t, "g", "v", max_groups=10)
+
+
+def test_fuzzy_decontaminate_driver_vs_distributed(ray_session):
+    import ray
+
+    from kamae_ray.pipelines.decontam import fuzzy_decontaminate
+
+    base = [
+        "the quick brown fox jumps over the lazy dog today",
+        "pack my box with five dozen liquor jugs right now",
+        "sphinx of black quartz judge my vow said the king",
+        "how vexingly quick daft zebras jump over the fence",
+    ]
+    corpus_rows, bench_rows = [], []
+    for i in range(40):
+        if i % 3 == 0:  # unrelated docs stay clean
+            s = f"original corpus entry {i} discussing topic alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        else:
+            s = base[i % 4] + f" tail{i % 7}"
+        corpus_rows.append((i, s))
+    for j in range(8):
+        # bench docs 0..3 are near-copies of base (high Jaccard), 4..7 unrelated
+        if j < 4:
+            bench_rows.append((j, base[j] + " extra"))
+        else:
+            bench_rows.append((j, f"completely unrelated benchmark text number {j} "
+                                  "with distinct vocabulary tokens"))
+    corpus = pa.table({"doc_id": pa.array([r[0] for r in corpus_rows], pa.int64()),
+                       "text": [r[1] for r in corpus_rows]})
+    bench = pa.table({"doc_id": pa.array([r[0] for r in bench_rows], pa.int64()),
+                      "text": [r[1] for r in bench_rows]})
+    cds = ray.data.from_arrow(corpus).repartition(4)
+    bds = ray.data.from_arrow(bench).repartition(2)
+    fast = fuzzy_decontaminate(cds, bds, "text", "doc_id", jaccard_threshold=0.6)
+    dist = fuzzy_decontaminate(cds, bds, "text", "doc_id", jaccard_threshold=0.6,
+                               driver_pair_budget=0, driver_id_budget=0)
+    assert _canon(fast) == _canon(dist)
+    # sanity: some contaminated, some clean, and the Table path agrees
+    tbl = fuzzy_decontaminate(corpus, bench, "text", "doc_id", jaccard_threshold=0.6)
+    flags = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("contaminated").to_pylist()))
+    assert any(flags.values()) and not all(flags.values())
+    assert _canon(fast) == _canon(tbl)

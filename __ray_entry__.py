@@ -715,6 +715,20 @@ def _q_fuzzy_decontam(sf_dir):
                            batch_size=None)
 
 
+def _q_moments(sf_dir):
+    """Per-group population skewness + excess kurtosis
+    (``aggregate.groupby_skew_kurt``): exact int64 power-sum partials per
+    block, arbitrary-precision driver fold, and a final float expression
+    (one divide + correctly-rounded sqrt) bit-identical to the mirrored
+    HUGEINT SQL — the lesson-24 exact-integer family extended to 3rd/4th
+    moments."""
+    from kamae_ray.stages.aggregate import groupby_skew_kurt
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = groupby_skew_kurt(ds, "l_returnflag", "l_quantity")
+    return _round_cols(out, ["skew_pop", "kurt_excess"])
+
+
 def _q_array_ops(sf_dir):
     from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
     from kamae_ray.stages.text import TokenizeTransformer
@@ -3924,6 +3938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_postings": _q_postings,
         "q_shards": _q_shards,
         "q_fuzzy_decontam": _q_fuzzy_decontam,
+        "q_moments": _q_moments,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4272,6 +4287,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7) "
             "SELECT doc_id, doc_id IN (SELECT ida FROM bad) AS contaminated "
             "FROM documents WHERE doc_id % 17 <> 0"
+        ),
+        "q_moments": (
+            "WITH s AS (SELECT l_returnflag, COUNT(*)::HUGEINT AS n, "
+            "SUM(CAST(l_quantity AS BIGINT))::HUGEINT AS s1, "
+            "SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT))::HUGEINT AS s2, "
+            "SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT))::HUGEINT AS s3, "
+            "SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT))::HUGEINT AS s4 "
+            "FROM lineitem GROUP BY l_returnflag), "
+            "f AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "(n*s2 - s1*s1) AS B, "
+            "(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1) AS A, "
+            "(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1) AS C FROM s) "
+            "SELECT l_returnflag, n, "
+            "ROUND(CASE WHEN B <= 0 THEN NULL ELSE CAST(A AS DOUBLE) / "
+            "(CAST(B AS DOUBLE) * sqrt(CAST(B AS DOUBLE))) END, 6) AS skew_pop, "
+            "ROUND(CASE WHEN B <= 0 THEN NULL ELSE CAST(C AS DOUBLE) / "
+            "(CAST(B AS DOUBLE) * CAST(B AS DOUBLE)) - 3.0 END, 6) AS kurt_excess "
+            "FROM f"
         ),
         "q_oov": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents), "

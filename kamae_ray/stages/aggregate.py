@@ -1704,3 +1704,113 @@ def robust_outliers(ds, keys, col: str, k: float = 3.0,
         return flag(full)
     return full.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=None)
+
+
+def groupby_skew_kurt(ds, keys: str | list[str], col: str,
+                      max_partial_rows: int = 2_000_000):
+    """Per-group population skewness and excess kurtosis of an INTEGER
+    column, exact-integer end to end (the lesson-24 family): each block
+    contributes (keys, n, S1..S4) int64 power-sum partials (segmented
+    ``np.add.reduceat``, per-block overflow-guarded), the driver folds
+    them in arbitrary-precision Python ints, and the only float ops are
+
+    - ``skew_pop    = A / (B * sqrt(B))``,   A = n^2*S3 - 3n*S1*S2 + 2*S1^3
+    - ``kurt_excess = C / (B * B) - 3``,     C = n^3*S4 - 4n^2*S1*S3
+                                                 + 6n*S1^2*S2 - 3*S1^4
+      with B = n*S2 - S1^2
+
+    — a division, a correctly-rounded sqrt, and exact-rounded multiplies of
+    integer-derived doubles, so the result is bit-identical to the same SQL
+    expression over HUGEINT sums. Values must cast to int64 exactly (raises
+    otherwise); nulls are skipped per SQL; zero-variance groups yield NULL.
+    Driver fold is O(blocks x in-block keys), guarded by
+    ``max_partial_rows`` — pre-bucket hot keys or raise the budget above.
+
+    Returns ``(keys..., n, skew_pop, kurt_excess)`` sorted by key tuple."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(block: pa.Table) -> pa.Table:
+        v = block.column(col)
+        valid = pc.is_valid(v)
+        if not pc.all(valid).as_py():
+            block = block.filter(valid)
+        empty_cols = {k: A.as_array(block.column(k)).slice(0, 0) for k in keys}
+        for c in ("n", "s1", "s2", "s3", "s4"):
+            empty_cols[c] = pa.array([], pa.int64())
+        if block.num_rows == 0:
+            return pa.table(empty_cols)
+        x = pc.cast(block.column(col), pa.int64()).to_numpy(zero_copy_only=False)
+        mx = int(np.abs(x).max()) if len(x) else 0
+        if mx and mx ** 4 * len(x) >= 1 << 62:
+            raise ValueError(
+                f"groupby_skew_kurt: |{col}| up to {mx} overflows int64 "
+                "block partials — rescale the column first")
+        gids = S.group_ids(block, keys)
+        order = np.argsort(gids, kind="stable")
+        xs = x[order]
+        x2 = xs * xs
+        starts, lens = S.segments(gids[order])
+        firsts = order[starts]
+        out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in keys}
+        out["n"] = pa.array(lens.astype(np.int64))
+        out["s1"] = pa.array(np.add.reduceat(xs, starts))
+        out["s2"] = pa.array(np.add.reduceat(x2, starts))
+        out["s3"] = pa.array(np.add.reduceat(x2 * xs, starts))
+        out["s4"] = pa.array(np.add.reduceat(x2 * x2, starts))
+        return pa.table(out)
+
+    partial.__name__ = "skew_kurt_partial"
+    if isinstance(ds, pa.Table):
+        parts = partial(ds)
+    else:
+        proj = ds
+        try:
+            proj = ds.select_columns(list(dict.fromkeys(keys + [col])))
+        except Exception:
+            pass
+        from kamae_ray.base import collect_tables
+
+        tbls = [t for t in collect_tables(
+            proj.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)) if t.num_rows]
+        parts = pa.concat_tables(tbls) if tbls else partial(
+            pa.table({k: pa.array([], pa.string()) for k in keys}
+                     | {col: pa.array([], pa.int64())}))
+    if parts.num_rows > max_partial_rows:
+        raise ValueError(
+            f"groupby_skew_kurt: {parts.num_rows} partial rows > "
+            f"max_partial_rows={max_partial_rows}; pre-bucket the key or "
+            "raise the budget")
+    # arbitrary-precision driver fold: exact at any group size/magnitude
+    import math
+
+    acc: dict[tuple, list[int]] = {}
+    key_rows = list(zip(*[parts.column(k).to_pylist() for k in keys])) \
+        if parts.num_rows else []
+    cols = [parts.column(c).to_pylist() for c in ("n", "s1", "s2", "s3", "s4")]
+    for i, kt in enumerate(key_rows):
+        a = acc.setdefault(kt, [0, 0, 0, 0, 0])
+        for j in range(5):
+            a[j] += cols[j][i]
+    out_keys = sorted(acc, key=repr)
+    skews, kurts, ns = [], [], []
+    for kt in out_keys:
+        n, s1, s2, s3, s4 = acc[kt]
+        ns.append(n)
+        B = n * s2 - s1 * s1
+        if B <= 0:
+            skews.append(None)
+            kurts.append(None)
+            continue
+        A_ = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        C_ = n ** 3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4
+        fb = float(B)
+        skews.append(float(A_) / (fb * math.sqrt(fb)))
+        kurts.append(float(C_) / (fb * fb) - 3.0)
+    out = {k: pa.array([kt[i] for kt in out_keys],
+                       A.as_array(parts.column(k)).type)
+           for i, k in enumerate(keys)}
+    out["n"] = pa.array(ns, pa.int64())
+    out["skew_pop"] = pa.array(skews, pa.float64())
+    out["kurt_excess"] = pa.array(kurts, pa.float64())
+    return pa.table(out)

@@ -504,3 +504,61 @@ def test_inverted_index_matches_duckdb(ray_session):
     want = sorted(zip(got["term"], got["df"], got["cf"],
                       (tuple(p) for p in got["postings"])))
     assert rows == want
+
+
+def test_groupby_skew_kurt(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.aggregate import groupby_skew_kurt
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 4, n), pa.int64()),
+        "v": pa.array(np.where(rng.rand(n) < 0.05, None,
+                               rng.randint(-40, 200, n)).tolist(), pa.int64()),
+    })
+    # zero-variance group
+    t = pa.concat_tables([t, pa.table({"k": pa.array([9, 9, 9], pa.int64()),
+                                       "v": pa.array([7, 7, 7], pa.int64())})])
+    got = groupby_skew_kurt(t, "k", "v").to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""
+        WITH s AS (SELECT k, COUNT(v)::HUGEINT AS n, SUM(v)::HUGEINT s1,
+          SUM(v*v)::HUGEINT s2, SUM(v*v*v)::HUGEINT s3, SUM(v*v*v*v)::HUGEINT s4
+          FROM t WHERE v IS NOT NULL GROUP BY k),
+        f AS (SELECT k, CAST(n AS BIGINT) n, (n*s2 - s1*s1) B,
+          (n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1) A,
+          (n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1) C FROM s)
+        SELECT k, n,
+          CASE WHEN B <= 0 THEN NULL ELSE CAST(A AS DOUBLE) /
+            (CAST(B AS DOUBLE) * sqrt(CAST(B AS DOUBLE))) END AS skew_pop,
+          CASE WHEN B <= 0 THEN NULL ELSE CAST(C AS DOUBLE) /
+            (CAST(B AS DOUBLE) * CAST(B AS DOUBLE)) - 3.0 END AS kurt_excess
+        FROM f ORDER BY k
+    """).fetchdf()
+    # BIT-identical floats (exact-integer construction), nulls where B=0
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["n"].tolist() == exp["n"].astype(int).tolist()
+    for c in ("skew_pop", "kurt_excess"):
+        g, x = got[c].to_numpy(), exp[c].to_numpy()
+        assert ((g == x) | (np.isnan(g) & np.isnan(x))).all()
+    assert np.isnan(got.loc[got["k"] == 9, "skew_pop"].iloc[0])
+    # Dataset path agrees with the Table path
+    dgot = groupby_skew_kurt(ray.data.from_arrow(t).repartition(5), "k", "v").to_pandas()
+    assert dgot.equals(got)
+    # sanity vs numpy population moments
+    sub = t.to_pandas().dropna()
+    v0 = sub[sub.k == 0]["v"].to_numpy(dtype=float)
+    m = v0.mean()
+    ref_skew = ((v0 - m) ** 3).mean() / (v0.var() ** 1.5)
+    assert abs(got.loc[got["k"] == 0, "skew_pop"].iloc[0] - ref_skew) < 1e-9
+    # guards: magnitude overflow + budget raise
+    big = pa.table({"k": pa.array([1] * 10, pa.int64()),
+                    "v": pa.array([10**5] * 10, pa.int64())})
+    with pytest.raises(ValueError):
+        groupby_skew_kurt(big, "k", "v")
+    with pytest.raises(ValueError):
+        groupby_skew_kurt(t, "k", "v", max_partial_rows=1)

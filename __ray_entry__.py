@@ -729,6 +729,21 @@ def _q_moments(sf_dir):
     return _round_cols(out, ["skew_pop", "kurt_excess"])
 
 
+def _q_lm_score(sf_dir):
+    """Bigram-LM fluency score (``text_features.lm_bigram_scores``): per-doc
+    mean corpus conditional bigram frequency in ppm — the integer-exact
+    CCNet-style LM quality proxy one order above q_word_freq's unigram.
+    cond_ppm = floor(C(w1,w2)*1e6 / C(w1->*)) (positive int64 floor div ==
+    DuckDB //), per-doc sums exact, score = one double division. Bigram
+    table + margins broadcast once."""
+    from kamae_ray.pipelines.text_features import lm_bigram_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = lm_bigram_scores(ds, "doc_id", "text")
+    return out.map_batches(_rounder(["lm_score"]), batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+
 def _q_array_ops(sf_dir):
     from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
     from kamae_ray.stages.text import TokenizeTransformer
@@ -3939,6 +3954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shards": _q_shards,
         "q_fuzzy_decontam": _q_fuzzy_decontam,
         "q_moments": _q_moments,
+        "q_lm_score": _q_lm_score,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4305,6 +4321,20 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN B <= 0 THEN NULL ELSE CAST(C AS DOUBLE) / "
             "(CAST(B AS DOUBLE) * CAST(B AS DOUBLE)) - 3.0 END, 6) AS kurt_excess "
             "FROM f"
+        ),
+        "q_lm_score": (
+            r"WITH words AS (SELECT doc_id, list_filter(string_split_regex("
+            r"coalesce(text,''), '\s+'), x -> length(x) > 0) AS ws FROM documents), "
+            "bg AS (SELECT doc_id, ws[g.i] AS w1, ws[g.i+1] AS w2 "
+            "FROM words, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g), "
+            "p AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2), "
+            "m AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM p GROUP BY 1), "
+            "o AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "CAST(SUM((p.c2 * 1000000) // m.c1) AS BIGINT) AS sum_ppm "
+            "FROM bg JOIN p USING (w1, w2) JOIN m USING (w1) GROUP BY bg.doc_id) "
+            "SELECT doc_id, n_bigrams, sum_ppm, "
+            "ROUND(CAST(sum_ppm AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS lm_score "
+            "FROM o"
         ),
         "q_oov": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents), "

@@ -775,3 +775,161 @@ def collocations(ds, text_col: str, min_count: int = 2,
         return score(bigrams)
     return bigrams.map_batches(score, batch_format="pyarrow",
                                zero_copy_batch=True, batch_size=None)
+
+
+def lm_bigram_scores(ds, id_col: str, text_col: str,
+                     multiplier: int = 1_000_000,
+                     max_broadcast_pairs: int = 5_000_000):
+    """Bigram language-model fluency score per document — the integer-exact
+    stand-in for CCNet-style LM/perplexity quality filtering one order above
+    :func:`word_freq_scores`'s unigram version: per adjacent word pair, the
+    corpus conditional frequency ``cond_ppm(w1,w2) = floor(C(w1,w2) *
+    multiplier / C(w1->*))`` (pure positive int64 floor division, numpy ==
+    DuckDB ``//``), summed over the document's ordered bigrams; the score is
+    ONE double division ``sum_ppm / n_bigrams``. Garbled or rare-transition
+    text scores LOW; fluent boilerplate scores HIGH. No ln, no float sums.
+
+    Distributed shape: block-local adjacent-pair combiner (the collocations
+    kernel) -> ONE (w1, w2) partial-agg groupby -> the aggregated bigram
+    table + its w1 margins broadcast ONCE via ``ray.put``
+    (``max_broadcast_pairs`` guard — pair vocabularies beyond it need a
+    shuffle-join variant) -> one score map over the corpus (occurrences
+    never leave their block; lookups hash each DISTINCT in-block pair once).
+    Docs with < 2 words emit no row (SQL join semantics). Output:
+    ``(id_col, n_bigrams, sum_ppm, lm_score)``."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    def pair_partial(block: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(
+            pc.fill_null(A.as_array(block.column(text_col)), ""), pattern=r"\s+")
+        split = A._normalize_list(split)
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = split.values
+        d = words.dictionary_encode()
+        dvals = d.dictionary
+        widx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = (pc.utf8_length(dvals).to_numpy(zero_copy_only=False) > 0) \
+            if len(dvals) else np.zeros(0, bool)
+        row_rep = np.repeat(np.arange(block.num_rows), np.diff(offsets))
+        if len(widx) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        left, right = widx[:-1], widx[1:]
+        ok = (row_rep[:-1] == row_rep[1:]) & nonempty[left] & nonempty[right]
+        lw, rw = left[ok], right[ok]
+        nd = len(dvals)
+        code_u, cnt = np.unique(lw * nd + rw, return_counts=True)
+        return pa.table({
+            "w1": pc.cast(dvals.take(pa.array(code_u // nd)), pa.string(), safe=False),
+            "w2": pc.cast(dvals.take(pa.array(code_u % nd)), pa.string(), safe=False),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    pair_partial.__name__ = "bigram_partial"
+    if isinstance(ds, pa.Table):
+        bigrams = groupby_agg(pair_partial(ds), ["w1", "w2"], {"cnt": ["sum"]})
+        bt = bigrams
+    else:
+        pairs = ds.map_batches(pair_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+        agg = groupby_agg(pairs, ["w1", "w2"], {"cnt": ["sum"]})
+        refs = [t for t in collect_tables(agg) if t.num_rows]
+        bt = pa.concat_tables(refs) if refs else pa.table(
+            {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+             "cnt_sum": pa.array([], pa.int64())})
+    if bt.num_rows > max_broadcast_pairs:
+        raise ValueError(
+            f"bigram vocabulary has {bt.num_rows} pairs > max_broadcast_pairs="
+            f"{max_broadcast_pairs}")
+    c2 = pc.cast(bt.column("cnt_sum"), pa.int64()).to_numpy(zero_copy_only=False)
+    if len(c2) and int(c2.max()) * multiplier >= (1 << 63):
+        raise ValueError("bigram count * multiplier overflows int64 — lower multiplier")
+    # pair keys joined with ' ' — unambiguous: words never contain whitespace
+    pair_key = pc.binary_join_element_wise(
+        pc.cast(bt.column("w1"), pa.string()), pc.cast(bt.column("w2"), pa.string()), " ")
+    # w1 margins from the aggregated table (vocab-bounded, exact int64)
+    w1_arr = bt.column("w1")
+    w1d = pc.cast(w1_arr, pa.string()).combine_chunks().dictionary_encode()
+    nw = len(w1d.dictionary)
+    w1_idx = pc.fill_null(w1d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    margins = np.zeros(max(nw, 1), dtype=np.int64)
+    np.add.at(margins, w1_idx, c2)
+    w_labels = pc.cast(w1d.dictionary, pa.string(), safe=False)
+    mult = np.int64(multiplier)
+
+    def make_score(get_state):
+        def score(block: pa.Table) -> pa.Table:
+            pk, pcnt, wl, mg = get_state()
+            split = pc.split_pattern_regex(
+                pc.fill_null(A.as_array(block.column(text_col)), ""), pattern=r"\s+")
+            split = A._normalize_list(split)
+            offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            words = split.values
+            ids_arr = A.as_array(block.column(id_col))
+            empty = pa.table({id_col: ids_arr.slice(0, 0),
+                              "n_bigrams": pa.array([], pa.int64()),
+                              "sum_ppm": pa.array([], pa.int64()),
+                              "lm_score": pa.array([], pa.float64())})
+            d = words.dictionary_encode()
+            dvals = d.dictionary
+            if len(d) < 2:
+                return empty
+            widx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            nonempty = (pc.utf8_length(dvals).to_numpy(zero_copy_only=False) > 0) \
+                if len(dvals) else np.zeros(0, bool)
+            row_rep = np.repeat(np.arange(block.num_rows), np.diff(offsets))
+            left, right = widx[:-1], widx[1:]
+            ok = (row_rep[:-1] == row_rep[1:]) & nonempty[left] & nonempty[right]
+            if not ok.any():
+                return empty
+            lw, rw, docs = left[ok], right[ok], row_rep[:-1][ok]
+            nd = len(dvals)
+            # hash each DISTINCT in-block pair once (lesson 12), then gather
+            code_u, inv = np.unique(lw * nd + rw, return_inverse=True)
+            keys_u = pc.binary_join_element_wise(
+                pc.cast(dvals.take(pa.array(code_u // nd)), pa.string(), safe=False),
+                pc.cast(dvals.take(pa.array(code_u % nd)), pa.string(), safe=False),
+                " ")
+            ppos = pc.fill_null(pc.index_in(keys_u, value_set=pk), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            cu = np.where(ppos >= 0, pcnt[ppos.clip(min=0)], 0)
+            w1u = pc.fill_null(pc.index_in(
+                pc.cast(dvals.take(pa.array(code_u // nd)), pa.string(), safe=False),
+                value_set=wl), -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            m1 = np.where(w1u >= 0, mg[w1u.clip(min=0)], 1)
+            ppm_u = (cu * mult) // np.maximum(m1, 1)
+            contrib = ppm_u[inv]
+            order = np.argsort(docs, kind="stable")
+            starts, lens = S.segments(docs[order])
+            csum = np.concatenate([[0], np.cumsum(contrib[order])])
+            ends = np.concatenate([starts[1:], [len(docs)]])
+            sum_ppm = csum[ends] - csum[starts]
+            out_ids = ids_arr.take(pa.array(docs[order[starts]]))
+            nb = lens.astype(np.int64)
+            return pa.table({
+                id_col: out_ids,
+                "n_bigrams": pa.array(nb),
+                "sum_ppm": pa.array(sum_ppm.astype(np.int64)),
+                "lm_score": pa.array(sum_ppm.astype(np.float64) / nb.astype(np.float64)),
+            })
+
+        score.__name__ = "lm_bigram_score"
+        return score
+
+    if isinstance(ds, pa.Table):
+        state = (pair_key, c2, w_labels, margins)
+        return make_score(lambda: state)(ds)
+    import ray
+
+    ref = ray.put((pair_key, c2, w_labels, margins))
+    holder = {}
+
+    def get_state():
+        if "s" not in holder:
+            holder["s"] = ray.get(ref)
+        return holder["s"]
+
+    return ds.map_batches(make_score(get_state), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)

@@ -562,3 +562,40 @@ def test_groupby_skew_kurt(ray_session):
         groupby_skew_kurt(big, "k", "v")
     with pytest.raises(ValueError):
         groupby_skew_kurt(t, "k", "v", max_partial_rows=1)
+
+
+def test_lm_bigram_scores(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.pipelines.text_features import lm_bigram_scores
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["the cat sat on the mat", "the cat ran", "zz yy xx",
+                 "one", None],  # <2-word docs emit no row
+    })
+    got = lm_bigram_scores(docs, "doc_id", "text").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("docs", docs)
+    exp = con.execute(r"""
+        WITH words AS (SELECT doc_id, list_filter(string_split_regex(
+          coalesce(text,''), '\s+'), x -> length(x) > 0) AS ws FROM docs),
+        bg AS (SELECT doc_id, ws[g.i] AS w1, ws[g.i+1] AS w2
+          FROM words, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g),
+        p AS (SELECT w1, w2, COUNT(*)::BIGINT c2 FROM bg GROUP BY 1,2),
+        m AS (SELECT w1, CAST(SUM(c2) AS BIGINT) c1 FROM p GROUP BY 1)
+        SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
+               CAST(SUM((p.c2 * 1000000) // m.c1) AS BIGINT) sum_ppm
+        FROM bg JOIN p USING (w1, w2) JOIN m USING (w1)
+        GROUP BY bg.doc_id ORDER BY doc_id
+    """).fetchdf()
+    assert got["doc_id"].tolist() == exp["doc_id"].astype(int).tolist() == [1, 2, 3]
+    assert got["n_bigrams"].tolist() == exp["n_bigrams"].astype(int).tolist()
+    assert got["sum_ppm"].tolist() == exp["sum_ppm"].astype(int).tolist()
+    # Dataset path agrees
+    dgot = lm_bigram_scores(ray.data.from_arrow(docs).repartition(3),
+                            "doc_id", "text").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert dgot.equals(got)

@@ -269,6 +269,13 @@ _BENCH_QUERIES = [
     "q_bpe_pairs",  # BPE adjacent-pair counts over token arrays
     "q_oov",  # OOV rate vs fitted top-K vocab
     "q_outliers",  # per-group MAD outlier screen
+    "q_outer",  # FULL OUTER sort-shuffle join (filtered scans, pre-agg right)
+    "q_rolling_median",  # rolling median window (skiplist selection)
+    "q_postings",  # inverted-index build (term -> df/cf/postings)
+    "q_shards",  # weight-balanced snake shard assignment (global rank)
+    "q_fuzzy_decontam",  # cross-corpus near-dup decontamination (LSH + verify)
+    "q_moments",  # per-group skewness/kurtosis (exact power sums)
+    "q_lm_score",  # bigram-LM fluency score (broadcast conditional ppm)
 ]
 
 

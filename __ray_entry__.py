@@ -744,6 +744,28 @@ def _q_lm_score(sf_dir):
                            zero_copy_batch=True, batch_size=None)
 
 
+def _q_triangles(sf_dir):
+    """Exact triangle + wedge count (``graph.triangle_count``) of the
+    undirected modular graph (user_id%400 — event_id%400) derived from
+    events: canonical distinct edges, self-join on the middle vertex
+    (auto-salted), SEMI-join closure — each triangle {a<b<c} counted once.
+    Oracle = the same two-join SQL plan."""
+    from kamae_ray.pipelines.graph import triangle_count
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(u % 400, pa.int64()),
+                         "dst": pa.array(e % 400, pa.int64())})
+
+    to_edges.__name__ = "tri_edges"
+    edges = ev.map_batches(to_edges, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return triangle_count(edges)
+
+
 def _q_array_ops(sf_dir):
     from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
     from kamae_ray.stages.text import TokenizeTransformer
@@ -3955,6 +3977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fuzzy_decontam": _q_fuzzy_decontam,
         "q_moments": _q_moments,
         "q_lm_score": _q_lm_score,
+        "q_triangles": _q_triangles,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4335,6 +4358,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_bigrams, sum_ppm, "
             "ROUND(CAST(sum_ppm AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS lm_score "
             "FROM o"
+        ),
+        "q_triangles": (
+            "WITH raw AS (SELECT user_id % 400 AS s, event_id % 400 AS d FROM events), "
+            "e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b "
+            "FROM raw WHERE s <> d), "
+            "w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a) "
+            "SELECT CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges, "
+            "CAST((SELECT COUNT(*) FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c) "
+            "AS BIGINT) AS n_triangles"
         ),
         "q_oov": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents), "

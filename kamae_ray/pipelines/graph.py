@@ -251,3 +251,78 @@ def pagerank(edges, src: str = "src", dst: str = "dst", damping: float = 0.85,
         return pa.table({"node": b.column("node"), "rank": b.column("rank")})
 
     return _map(state, project, "pr_project")
+
+
+def triangle_count(edges, src: str = "src", dst: str = "dst"):
+    """Exact triangle count of the undirected simple graph underlying an
+    edge table — the classic graph-health / clustering-coefficient
+    numerator, computed with the canonical two-join plan (every triangle
+    {a < b < c} materializes exactly once as the wedge a-b-c closed by edge
+    (a, c)):
+
+    1. canonicalize: (min, max) per edge, self-loops and null endpoints
+       dropped, ``distinct`` (block combiner + ONE sort — the exchange
+       carries at most one row per (block, edge)).
+    2. wedges: sort-shuffle equi-join of the edge list with itself on the
+       middle vertex (left (a,b) x right (b,c) keeps a < b < c for free);
+       ``salt_partitions="auto"`` handles hot middle vertices. Wedge volume
+       is sum-of-deg^2-bounded — cap hub degrees upstream for power-law
+       graphs (the standard mitigation) or the join streams its chunked
+       hot-segment path.
+    3. closure: SEMI join the (a, c) wedge ends against the edge list —
+       only wedge keys shuffle, no right columns ride.
+
+    Returns a one-row table ``(n_wedges, n_triangles)`` (both int64; the
+    wedge count makes the result a clustering-coefficient pair)."""
+    from kamae_ray.stages.aggregate import distinct
+    from kamae_ray.stages.join import shuffle_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src)
+        d = batch.column(dst)
+        ok = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(d)), pc.not_equal(s, d))
+        batch = batch.filter(ok)
+        s, d = batch.column(src), batch.column(dst)
+        return pa.table({"a": pc.min_element_wise(s, d),
+                         "b": pc.max_element_wise(s, d)})
+
+    canon.__name__ = "canonical_edges"
+    if isinstance(edges, pa.Table):
+        e = distinct(canon(edges), ["a", "b"])
+        n_edges = e.num_rows
+    else:
+        e = distinct(edges.map_batches(canon, batch_format="pyarrow",
+                                       zero_copy_batch=True, batch_size=None),
+                     ["a", "b"]).materialize()  # consumed 3x
+        n_edges = e.count()
+    if n_edges == 0:
+        return pa.table({"n_wedges": pa.array([0], pa.int64()),
+                         "n_triangles": pa.array([0], pa.int64())})
+
+    def ren_right(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["b", "c"])
+
+    ren_right.__name__ = "wedge_right"
+    if isinstance(e, pa.Table):
+        wedges = shuffle_join(e, ren_right(e), on="b", how="inner")
+        n_wedges = wedges.num_rows
+        closed = shuffle_join(
+            wedges, e.rename_columns(["a", "c"]), on=["a", "c"], how="semi")
+        n_tri = closed.num_rows
+    else:
+        right = e.map_batches(ren_right, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+        wedges = shuffle_join(e, right, on="b", how="inner",
+                              salt_partitions="auto").materialize()
+        n_wedges = wedges.count()
+
+        def ren_edge_ac(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["a", "c"])
+
+        ren_edge_ac.__name__ = "closure_edges"
+        closure = e.map_batches(ren_edge_ac, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+        closed = shuffle_join(wedges, closure, on=["a", "c"], how="semi")
+        n_tri = closed.count()
+    return pa.table({"n_wedges": pa.array([n_wedges], pa.int64()),
+                     "n_triangles": pa.array([n_tri], pa.int64())})

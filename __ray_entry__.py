@@ -766,6 +766,51 @@ def _q_triangles(sf_dir):
     return triangle_count(edges)
 
 
+def _q_percent_rank(sf_dir):
+    """Global quantile-uniform transform (``aggregate.global_percent_rank``):
+    every lineitem ranked by (price cents, composite row id) — sklearn's
+    QuantileTransformer with a deterministic ROW_NUMBER tie-break. Rank =
+    global_cumsum(ones) over a composite order key (driver state O(distinct
+    prices)); percent_rank = ONE double division of exact ints. n comes from
+    the read's parquet footer (no count pass)."""
+    from kamae_ray.stages.aggregate import global_percent_rank
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    n = ds.count()  # footer metadata on a fresh read
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(pc.cast(batch.column("l_extendedprice"), pa.float64()),
+                                 pa.scalar(100.0)), ndigits=0,
+                     round_mode="half_towards_infinity")
+        rid = pc.add(pc.multiply(batch.column("l_orderkey"), pa.scalar(8, pa.int64())),
+                     pc.cast(batch.column("l_linenumber"), pa.int64()))
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_linenumber": batch.column("l_linenumber"),
+            "cents": pc.cast(c, pa.int64()),
+            "rid": rid,
+        })
+
+    cents.__name__ = "price_cents"
+    b = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+    out = global_percent_rank(b, "cents", "rid", n_rows=n,
+                              rank_col="price_rank")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_linenumber": batch.column("l_linenumber"),
+            "price_rank": batch.column("price_rank"),
+            "percent_rank": pc.round(batch.column("percent_rank"), ndigits=_R,
+                                     round_mode="half_towards_infinity"),
+        })
+
+    finish.__name__ = "percent_rank_project"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_array_ops(sf_dir):
     from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
     from kamae_ray.stages.text import TokenizeTransformer
@@ -3978,6 +4023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_moments": _q_moments,
         "q_lm_score": _q_lm_score,
         "q_triangles": _q_triangles,
+        "q_percent_rank": _q_percent_rank,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4367,6 +4413,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges, "
             "CAST((SELECT COUNT(*) FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c) "
             "AS BIGINT) AS n_triangles"
+        ),
+        "q_percent_rank": (
+            "WITH b AS (SELECT l_orderkey, l_linenumber, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem), "
+            "r AS (SELECT l_orderkey, l_linenumber, "
+            "ROW_NUMBER() OVER (ORDER BY cents, l_orderkey * 8 + l_linenumber) - 1 AS rnk, "
+            "COUNT(*) OVER () AS n FROM b) "
+            "SELECT l_orderkey, l_linenumber, CAST(rnk AS BIGINT) AS price_rank, "
+            "ROUND(CAST(rnk AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS percent_rank FROM r"
         ),
         "q_oov": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents), "

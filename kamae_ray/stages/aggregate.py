@@ -1814,3 +1814,62 @@ def groupby_skew_kurt(ds, keys: str | list[str], col: str,
     out["skew_pop"] = pa.array(skews, pa.float64())
     out["kurt_excess"] = pa.array(kurts, pa.float64())
     return pa.table(out)
+
+
+def global_percent_rank(ds, value_col: str, id_col: str, n_rows: int | None = None,
+                        max_value: int = 1 << 27, max_id: int = 1 << 32,
+                        rank_col: str = "rank", out_col: str = "percent_rank"):
+    """Dataset-wide rank + quantile-uniform transform of an integer column —
+    the GLOBAL twin of the windowed ``percent_rank`` (sklearn
+    QuantileTransformer(output_distribution="uniform") with a deterministic
+    ROW_NUMBER tie-break): every row gets its 0-based position under
+    ``ORDER BY value, id`` and ``percent_rank = rank / (n-1)`` (ONE double
+    division of exact ints; 0.0 when n == 1).
+
+    Scale plan (no global serial scan): the rank is ``global_cumsum(ones)``
+    over the composite int64 order key ``value * max_id + id`` with
+    ``bucket_width = max_id`` — the cumsum bucket id IS the value, so the
+    driver's bucket prefix is O(distinct values), corpus-size-independent.
+    Requires integer values in [0, ``max_value``) and unique non-null
+    integer ids in [0, ``max_id``) (both raise per block); ``n_rows`` skips
+    the count pass when the caller already knows it (fresh parquet reads
+    answer ``count()`` from footer metadata)."""
+    mw, mi = np.int64(max_value), np.int64(max_id)
+    if int(mw) * int(mi) >= 1 << 63:
+        raise ValueError("max_value * max_id must fit int64")
+
+    def add_key(block: pa.Table) -> pa.Table:
+        v = pc.cast(block.column(value_col), pa.int64()).to_numpy(zero_copy_only=False)
+        i = pc.cast(block.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        if len(v) and (v.min() < 0 or v.max() >= mw):
+            raise ValueError(f"values outside [0, {int(mw)}) — raise max_value")
+        if len(i) and (i.min() < 0 or i.max() >= mi):
+            raise ValueError(f"ids outside [0, {int(mi)}) — raise max_id")
+        block = block.append_column("__kr_prk", pa.array(v * mi + i, pa.int64()))
+        return block.append_column("__kr_one", pa.array(np.ones(len(v), np.int64)))
+
+    add_key.__name__ = "percent_rank_key"
+    if isinstance(ds, pa.Table):
+        n = ds.num_rows if n_rows is None else int(n_rows)
+        ranked = global_cumsum(add_key(ds), "__kr_prk", "__kr_one",
+                               out_col=rank_col, bucket_width=int(mi),
+                               exclusive=True)
+    else:
+        n = ds.count() if n_rows is None else int(n_rows)
+        keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+        ranked = global_cumsum(keyed, "__kr_prk", "__kr_one", out_col=rank_col,
+                               bucket_width=int(mi), exclusive=True)
+    denom = float(n - 1) if n > 1 else 1.0
+
+    def finish(block: pa.Table) -> pa.Table:
+        r = block.column(rank_col).to_numpy(zero_copy_only=False)
+        block = block.drop_columns(["__kr_prk", "__kr_one"])
+        return block.append_column(
+            out_col, pa.array(r.astype(np.float64) / denom, pa.float64()))
+
+    finish.__name__ = "percent_rank_finish"
+    if isinstance(ranked, pa.Table):
+        return finish(ranked)
+    return ranked.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

@@ -599,3 +599,35 @@ def test_lm_bigram_scores(ray_session):
                             "doc_id", "text").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert dgot.equals(got)
+
+
+def test_global_percent_rank(ray_session):
+    import ray
+
+    from kamae_ray.stages.aggregate import global_percent_rank
+
+    rng = np.random.RandomState(2)
+    n = 1000
+    t = pa.table({"v": pa.array(rng.randint(0, 50, n), pa.int64()),
+                  "id": pa.array(rng.permutation(n), pa.int64())})
+    got = global_percent_rank(t, "v", "id").to_pandas().sort_values("id")
+    # reference: argsort over (v, id)
+    df = t.to_pandas()
+    order = np.lexsort((df["id"].to_numpy(), df["v"].to_numpy()))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    ref = df.assign(rank=rank).sort_values("id")
+    assert got["rank"].tolist() == ref["rank"].tolist()
+    assert np.allclose(got["percent_rank"].to_numpy(),
+                       ref["rank"].to_numpy() / (n - 1), atol=0)
+    # Dataset path agrees
+    dgot = global_percent_rank(ray.data.from_arrow(t).repartition(7), "v", "id") \
+        .to_pandas().sort_values("id")
+    assert dgot["rank"].tolist() == ref["rank"].tolist()
+    # single row -> 0.0; guards raise
+    one = global_percent_rank(pa.table({"v": pa.array([5], pa.int64()),
+                                        "id": pa.array([0], pa.int64())}), "v", "id")
+    assert one.column("percent_rank").to_pylist() == [0.0]
+    with pytest.raises(ValueError):
+        global_percent_rank(pa.table({"v": pa.array([-1], pa.int64()),
+                                      "id": pa.array([0], pa.int64())}), "v", "id")

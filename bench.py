@@ -276,6 +276,7 @@ _BENCH_QUERIES = [
     "q_fuzzy_decontam",  # cross-corpus near-dup decontamination (LSH + verify)
     "q_moments",  # per-group skewness/kurtosis (exact power sums)
     "q_lm_score",  # bigram-LM fluency score (broadcast conditional ppm)
+    "q_percent_rank",  # global quantile-uniform transform (composite-key rank)
 ]
 
 

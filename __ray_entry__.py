@@ -692,17 +692,19 @@ def _q_fuzzy_decontam(sf_dir):
     shingle Jaccard across the split (q_neardup's certified construction)."""
     from kamae_ray.pipelines.decontam import fuzzy_decontaminate
 
-    def _part(which):
-        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # ONE read feeds both sides (materialized split — the two filter maps
+    # re-read object-store blocks, not parquet)
+    base = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
 
+    def _part(which):
         def f(batch: pa.Table) -> pa.Table:
             ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             m = (ids % 17 == 0) if which == "bench" else (ids % 17 != 0)
             return batch.filter(pa.array(m))
 
         f.__name__ = f"keep_{which}"
-        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
-                              batch_size=None)
+        return base.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                                batch_size=None)
 
     out = fuzzy_decontaminate(_part("corpus"), _part("bench"), "text", "doc_id",
                               jaccard_threshold=0.7)

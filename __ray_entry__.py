@@ -813,6 +813,54 @@ def _q_percent_rank(sf_dir):
                            batch_size=None)
 
 
+def _q_phash(sf_dir):
+    """Image perceptual-hash dedup (``PgmAverageHashTransformer``): PGM
+    payloads (synthesized deterministically from doc_id, q_multimodal's
+    generator) -> REAL decode -> 4x4 nearest-neighbor thumbnail -> aHash
+    with the INTEGER-EXACT bit rule px*16 > sum(px) -> hash-bucket dup
+    groups (count + min-id canonical). Oracle recomputes the hash
+    closed-form over the same pixel formula."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.join import broadcast_join
+    from kamae_ray.stages.multimodal import PgmAverageHashTransformer, encode_pgm
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        imgs = []
+        for d in ids:
+            d = int(d)
+            w = 8 + d % 8
+            i = np.arange(w * 8, dtype=np.int64)
+            imgs.append(encode_pgm(w, 8, 255, (d * (i + 3) + i * i) % 256))
+        return batch.append_column("img", pa.array(imgs, pa.binary()))
+
+    synth.__name__ = "synth_images"
+    out = ds.map_batches(synth, batch_format="pyarrow")
+    out = PgmAverageHashTransformer(input_col="img", output_col="ahash").transform(out)
+    out = out.drop_columns(["img"]).materialize()  # consumed twice (groups + join)
+    g = groupby_agg(out, "ahash", {"doc_id": ["count", "min"]})
+    refs = [t for t in collect_tables(g) if t.num_rows]
+    gt = pa.concat_tables(refs)  # <= 2^16 hash buckets by construction
+    joined = broadcast_join(out, gt, on="ahash")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "ahash": batch.column("ahash"),
+            "dup_group_size": pc.cast(batch.column("doc_id_count"), pa.int64()),
+            "is_canonical": pc.equal(
+                pc.cast(batch.column("doc_id"), pa.float64(), safe=False),
+                batch.column("doc_id_min")),
+        })
+
+    finish.__name__ = "phash_finish"
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=None)
+
+
 def _q_array_ops(sf_dir):
     from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
     from kamae_ray.stages.text import TokenizeTransformer
@@ -4026,6 +4074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lm_score": _q_lm_score,
         "q_triangles": _q_triangles,
         "q_percent_rank": _q_percent_rank,
+        "q_phash": _q_phash,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4424,6 +4473,20 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) OVER () AS n FROM b) "
             "SELECT l_orderkey, l_linenumber, CAST(rnk AS BIGINT) AS price_rank, "
             "ROUND(CAST(rnk AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS percent_rank FROM r"
+        ),
+        "q_phash": (
+            "WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w FROM documents), "
+            "px AS (SELECT doc_id, w, "
+            "[CAST((doc_id*(i+3) + i*i) % 256 AS BIGINT) FOR i IN range(w*8)] AS pxs FROM p), "
+            "th AS (SELECT doc_id, "
+            "[pxs[((j // 4) * 2) * w + ((j % 4) * w) // 4 + 1] FOR j IN range(16)] AS t FROM px), "
+            "d AS (SELECT doc_id, CAST(list_sum("
+            "[CASE WHEN t[j+1] * 16 > list_sum(t) THEN (CAST(1 AS BIGINT) << j) "
+            "ELSE CAST(0 AS BIGINT) END FOR j IN range(16)]) AS BIGINT) AS ahash FROM th), "
+            "g AS (SELECT ahash, CAST(COUNT(*) AS BIGINT) AS dup_group_size, "
+            "MIN(doc_id) AS mn FROM d GROUP BY ahash) "
+            "SELECT d.doc_id, d.ahash, g.dup_group_size, "
+            "d.doc_id = g.mn AS is_canonical FROM d JOIN g USING (ahash)"
         ),
         "q_oov": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents), "

@@ -151,6 +151,7 @@ from kamae_ray.stages.text import (  # noqa: F401
 from kamae_ray.stages.multimodal import (  # noqa: F401
     BinaryFeatureExtractTransformer,
     FrameSampleTransformer,
+    PgmAverageHashTransformer,
     PgmDecodeTransformer,
     PgmResizeTransformer,
     SpectrogramTransformer,

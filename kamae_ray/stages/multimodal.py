@@ -518,3 +518,80 @@ class SpectrogramTransformer(Transformer):
             batch_size=self.batch_size,
             concurrency=self.concurrency,
         )
+
+
+class _PgmAHashActor:
+    """Actor-pool callable: PGM decode -> nearest-neighbor thumbnail ->
+    average hash (integer-exact: bit_j = px_j * n > sum(px))."""
+
+    def __init__(self, input_col: str, out: str, hw: int, hh: int):
+        self.input_col = input_col
+        self.out = out
+        self.hw, self.hh = hw, hh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = A.as_array(batch.column(self.input_col))
+        payloads = col.to_pylist()
+        n = len(payloads)
+        hw, hh = self.hw, self.hh
+        nb = hw * hh
+        j = np.arange(nb, dtype=np.int64)
+        weights = np.int64(1) << j
+        out = np.zeros(n, np.int64)
+        valid = np.zeros(n, bool)
+        for i, p in enumerate(payloads):
+            if not p:
+                continue
+            w, h, _mv, px = decode_pgm(p)
+            pxi = px.astype(np.int64)
+            src = ((j // hw) * h // hh) * w + ((j % hw) * w) // hw
+            t = pxi[src]
+            bits = (t * np.int64(nb)) > t.sum()
+            out[i] = int((weights[bits]).sum())
+            valid[i] = True
+        arr = pa.array(np.where(valid, out, 0), pa.int64(),
+                       mask=~valid)  # null for empty payloads
+        return _append_or_replace(batch, self.out, arr)
+
+
+class PgmAverageHashTransformer(Transformer):
+    """Image perceptual hash (aHash) via an actor pool — the near-dup
+    primitive for image corpora: decode the PGM payload, take the
+    ``hash_width x hash_height`` nearest-neighbor thumbnail (the
+    PgmResizeTransformer mapping), and set ``bit_j = 1`` iff
+    ``px_j * n > sum(px)`` — an INTEGER-EXACT brightness comparison (no
+    float mean), so the hash is bit-identical to the closed-form SQL over
+    the synthesized pixels. Emits ``output_col`` int64 (null for null/empty
+    payloads). Visually-similar images (rescales, brightness-preserving
+    noise) collide; bucket the hash (exact_dedup / groupby) to dedup, or
+    band it for Hamming-distance candidates."""
+
+    compatible_dtypes = None
+    fusible = False
+
+    def __init__(self, *args, hash_width: int = 4, hash_height: int = 4,
+                 batch_size: int = 64, concurrency: tuple[int, int] = (1, 4),
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        if hash_width * hash_height > 63:
+            raise ValueError("hash_width * hash_height must be <= 63 (int64 bits)")
+        self.hash_width = int(hash_width)
+        self.hash_height = int(hash_height)
+        self.batch_size = int(batch_size)
+        self.concurrency = tuple(concurrency)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        return _PgmAHashActor(self.input_col, self.output_col,
+                              self.hash_width, self.hash_height)(batch)
+
+    def transform(self, ds):
+        if isinstance(ds, pa.Table):
+            return self.transform_batch(ds)
+        return ds.map_batches(
+            _PgmAHashActor,
+            fn_constructor_args=(self.input_col, self.output_col,
+                                 self.hash_width, self.hash_height),
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.concurrency,
+        )

@@ -150,3 +150,40 @@ def test_spectrogram_transformer(ray_session):
         [pa.table(b) for b in tf.transform(ds).iter_batches(batch_format="pyarrow")]
     )
     assert got.column("spec_n_frames").to_pylist() == nf
+
+
+def test_pgm_average_hash(ray_session):
+    import ray
+
+    from kamae_ray.stages.multimodal import PgmAverageHashTransformer, encode_pgm
+
+    # 4x4 image == its own thumbnail: bits where px*16 > sum
+    px = np.arange(16, dtype=np.int64) * 10  # sum=1200; bit_j: j*160 > 1200 -> j >= 8
+    img = encode_pgm(4, 4, 255, px)
+    want = sum(1 << j for j in range(8, 16))
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "img": pa.array([img, None], pa.binary())})
+    out = PgmAverageHashTransformer(input_col="img", output_col="ahash").transform(t)
+    assert out.column("ahash").to_pylist() == [want, None]
+    # constant image: no pixel strictly above the mean -> hash 0
+    flat = encode_pgm(4, 4, 255, np.full(16, 7, np.int64))
+    t2 = pa.table({"id": pa.array([1], pa.int64()),
+                   "img": pa.array([flat], pa.binary())})
+    assert PgmAverageHashTransformer(input_col="img", output_col="ahash") \
+        .transform(t2).column("ahash").to_pylist() == [0]
+    # 8x8 -> 4x4 thumbnail path matches the explicit nearest-neighbor gather
+    big = (np.arange(64, dtype=np.int64) * 37) % 256
+    img8 = encode_pgm(8, 8, 255, big)
+    j = np.arange(16)
+    src = ((j // 4) * 8 // 4) * 8 + ((j % 4) * 8) // 4
+    th = big[src]
+    want8 = int(((1 << j)[(th * 16) > th.sum()]).sum())
+    t3 = pa.table({"id": pa.array([1], pa.int64()),
+                   "img": pa.array([img8], pa.binary())})
+    assert PgmAverageHashTransformer(input_col="img", output_col="ahash") \
+        .transform(t3).column("ahash").to_pylist() == [want8]
+    # Dataset path agrees
+    ds = ray.data.from_arrow(t3)
+    got = PgmAverageHashTransformer(input_col="img", output_col="ahash") \
+        .transform(ds).take_all()
+    assert got[0]["ahash"] == want8

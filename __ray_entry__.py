@@ -861,6 +861,21 @@ def _q_phash(sf_dir):
                               batch_size=None)
 
 
+def _q_neardup_best(sf_dir):
+    """Near-dup removal with the PRODUCTION keep rule
+    (``dedup.near_dedup_keep_best``): per duplicate cluster keep the
+    LONGEST doc (n_chars DESC, doc_id tiebreak) instead of the min id —
+    same banded-LSH + exact-Jaccard + CC machinery as q_neardup, only the
+    winner changes. Oracle = q_neardup's exact all-pairs CTE with a
+    ROW_NUMBER winner per component."""
+    from kamae_ray.pipelines.dedup import near_dedup_keep_best
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    deduped, _w = near_dedup_keep_best(ds, "text", "doc_id", "n_chars",
+                                       jaccard_threshold=0.7)
+    return deduped.drop_columns(["text"])
+
+
 def _q_array_ops(sf_dir):
     from kamae_ray.stages import ArrayCropTransformer, ArrayReduceMaxTransformer
     from kamae_ray.stages.text import TokenizeTransformer
@@ -4075,6 +4090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangles": _q_triangles,
         "q_percent_rank": _q_percent_rank,
         "q_phash": _q_phash,
+        "q_neardup_best": _q_neardup_best,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4487,6 +4503,31 @@ def oracle_sql() -> dict[str, str]:
             "MIN(doc_id) AS mn FROM d GROUP BY ahash) "
             "SELECT d.doc_id, d.ahash, g.dup_group_size, "
             "d.doc_id = g.mn AS is_canonical FROM d JOIN g USING (ahash)"
+        ),
+        "q_neardup_best": (
+            r"WITH words AS (SELECT doc_id, "
+            r"list_filter(string_split_regex(coalesce(text,''), '\s+'), w -> length(w) > 0) AS ws "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, shingle FROM ("
+            "SELECT doc_id, CASE WHEN len(ws) >= 3 THEN ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] "
+            "ELSE array_to_string(ws, ' ') END AS shingle "
+            "FROM words, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS i) g)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id ida, b.doc_id idb, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "edges AS (SELECT ida a, idb b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb "
+            "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7), "
+            "und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges UNION SELECT a, a FROM edges), "
+            "walk AS (WITH RECURSIVE w(node, reach) AS (SELECT a, a FROM und "
+            "UNION SELECT w.node, u.b FROM w JOIN und u ON u.a = w.reach) SELECT * FROM w), "
+            "cc AS (SELECT node, min(reach) AS rep FROM walk GROUP BY node), "
+            "win AS (SELECT doc_id FROM (SELECT cc.rep, d.doc_id, "
+            "ROW_NUMBER() OVER (PARTITION BY cc.rep ORDER BY d.n_chars DESC, d.doc_id) AS rn "
+            "FROM cc JOIN documents d ON d.doc_id = cc.node) WHERE rn = 1) "
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT node FROM cc) "
+            "OR doc_id IN (SELECT doc_id FROM win)"
         ),
         "q_oov": (
             f"WITH t AS (SELECT doc_id, {_TOKEN_EXPR} AS toks FROM documents), "

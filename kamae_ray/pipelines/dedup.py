@@ -1729,3 +1729,86 @@ def embedding_prep(
                                   threshold=decontam_threshold, project=False)
     return semantic_dedup(kept, emb_col, id_col, threshold=dedup_threshold,
                           centroids=centroids, n_centroids=n_centroids)
+
+
+def near_dedup_keep_best(ds, text_col: str, id_col: str, score_col: str,
+                         **near_kwargs):
+    """Near-duplicate removal keeping the HIGHEST-SCORING doc per duplicate
+    cluster (ties -> smallest id) — the production keep rule (retain the
+    longest / highest-quality variant of each near-dup family) instead of
+    :func:`near_dedup`'s min-id representative.
+
+    Same machinery end to end (banded LSH -> exact Jaccard verify ->
+    connected components; every ``near_dedup`` kwarg passes through); only
+    the winner rule differs, applied over the duplicate-bounded cluster
+    membership. Driver path: one vectorized candidate-score fetch + a dict
+    fold. Distributed path (clusters as a Dataset above the pair budget):
+    scores join onto the membership, ``topk_per_group(k=1)`` per rep, and
+    an anti-join drops the losers — cluster-bounded exchanges only.
+    ``score_col`` must be non-null numeric for cluster members.
+
+    Returns ``(deduped, winners)`` — winners maps rep -> kept id (dict on
+    the driver path, a (rep, id) Dataset on the distributed path)."""
+    from kamae_ray.stages.aggregate import topk_per_group
+    from kamae_ray.stages.join import shuffle_join
+
+    _, clusters = near_dedup(ds, text_col, id_col, **near_kwargs)
+    if isinstance(clusters, dict):
+        if not clusters:
+            return ds, {}
+        member_arr = pa.array(sorted(clusters), pa.int64())
+        if isinstance(ds, pa.Table):
+            sel = ds.filter(pc.is_in(ds.column(id_col), value_set=member_arr))
+            ids = sel.column(id_col).to_pylist()
+            scores = sel.column(score_col).to_pylist()
+        else:
+            def keep_members(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch.column(id_col), value_set=member_arr))
+
+            keep_members.__name__ = "filter_cluster_members"
+            rows = ds.map_batches(keep_members, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+            ids = [r[id_col] for r in rows]
+            scores = [r[score_col] for r in rows]
+        smap = dict(zip(ids, scores))
+        best: dict = {}
+        for i, rep in clusters.items():
+            s = smap[i]
+            cur = best.get(rep)
+            if cur is None or (s, -i) > (cur[0], -cur[1]):
+                best[rep] = (s, i)
+        winners = {rep: i for rep, (s, i) in best.items()}
+        win_set = set(winners.values())
+        drop = pa.array(sorted(set(clusters) - win_set), pa.int64())
+        if isinstance(ds, pa.Table):
+            return ds.filter(pc.invert(pc.is_in(ds.column(id_col), value_set=drop))), winners
+
+        def drop_losers(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(pc.is_in(batch.column(id_col), value_set=drop)))
+
+        drop_losers.__name__ = "drop_cluster_losers"
+        return ds.map_batches(drop_losers, batch_format="pyarrow",
+                              zero_copy_batch=True), winners
+    # distributed tail: clusters is a Dataset with columns ("id", "rep")
+    if id_col != "id":
+        def ren_members(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([id_col, "rep"])
+
+        ren_members.__name__ = "rename_members"
+        clusters = clusters.map_batches(ren_members, batch_format="pyarrow",
+                                        zero_copy_batch=True, batch_size=None)
+    scores_ds = ds.select_columns([id_col, score_col])
+    membered = shuffle_join(clusters, scores_ds, on=id_col, how="inner").materialize()
+    winners = topk_per_group(membered, ["rep"], score_col, 1,
+                             tiebreak=[id_col]).materialize()
+
+    def win_ids(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col])
+
+    win_ids.__name__ = "winner_ids"
+    losers = shuffle_join(
+        clusters, winners.map_batches(win_ids, batch_format="pyarrow",
+                                      zero_copy_batch=True, batch_size=None),
+        on=id_col, how="anti").materialize()
+    deduped = shuffle_join(ds, losers, on=id_col, how="anti")
+    return deduped, winners

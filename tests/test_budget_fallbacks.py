@@ -244,3 +244,41 @@ def test_triangle_count_known_graph(ray_session):
     empty = triangle_count(pa.table({"src": pa.array([7], pa.int64()),
                                      "dst": pa.array([7], pa.int64())}))
     assert empty.to_pylist() == [{"n_wedges": 0, "n_triangles": 0}]
+
+
+def test_near_dedup_keep_best_driver_vs_distributed(ray_session):
+    import ray
+
+    from kamae_ray.pipelines.dedup import near_dedup_keep_best
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet pink brown black",
+    ]
+    rows = []
+    for i in range(30):
+        if i % 5 == 4:
+            rows.append((i, f"unique document {i} with its own words aa{i} bb{i} cc{i}", 10 + i))
+        else:
+            # near-dup families with varying lengths: longest should win
+            rows.append((i, base[i % 3] + (" extra" * (i % 4)), 100 + (i % 4) * 50))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    fast, w_fast = near_dedup_keep_best(ds, "text", "doc_id", "n_chars",
+                                        jaccard_threshold=0.5)
+    dist, w_dist = near_dedup_keep_best(ds, "text", "doc_id", "n_chars",
+                                        jaccard_threshold=0.5,
+                                        driver_pair_budget=0)
+    assert _canon(fast) == _canon(dist)
+    # the keep rule actually differs from min-id: some winner isn't its cluster rep
+    assert isinstance(w_fast, dict) and any(rep != wid for rep, wid in w_fast.items())
+    # Table path agrees with the Dataset driver path
+    tbl, w_tbl = near_dedup_keep_best(t, "text", "doc_id", "n_chars",
+                                      jaccard_threshold=0.5)
+    assert _canon(fast) == _canon(tbl)
+    assert w_tbl == w_fast

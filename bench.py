@@ -277,6 +277,8 @@ _BENCH_QUERIES = [
     "q_moments",  # per-group skewness/kurtosis (exact power sums)
     "q_lm_score",  # bigram-LM fluency score (broadcast conditional ppm)
     "q_percent_rank",  # global quantile-uniform transform (composite-key rank)
+    "q_phash",  # image aHash dedup groups (decode -> thumbnail -> hash buckets)
+    "q_neardup_best",  # near-dedup keeping the longest doc per cluster
 ]
 
 

@@ -993,6 +993,42 @@ def _q_asof_forward(sf_dir):
     )
 
 
+def _q_nearest(sf_dir):
+    """Nearest as-of (direction='nearest' — pandas merge_asof parity): each
+    event matched to the CLOSEST purchase of the same user in EITHER time
+    direction; equidistant candidates resolve backward (the leakage-safe
+    side) and equal-timestamp ties take the max value (right_tiebreak).
+    Distances compare in the exact int64 microsecond domain. Oracle = DuckDB
+    LEFT JOIN LATERAL argmin over (|t'-t|, forward_flag, value DESC)."""
+    from kamae_ray.stages import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+
+    def strip(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "pts": batch.column("ts"),
+                "matched_pts": batch.column("ts"),
+                "nearest_purchase_value": batch.column("value"),
+            }
+        )
+
+    strip.__name__ = "strip_purchases"
+    right = _read(sf_dir, "events", ["user_id", "ts", "value", "event_type"]).map_batches(
+        strip, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = asof_join(
+        ev, right, by=["user_id"], left_on="ts", right_on="pts",
+        right_cols=["matched_pts", "nearest_purchase_value"],
+        right_tiebreak="nearest_purchase_value", direction="nearest",
+    )
+    return out.map_batches(_rounder(["nearest_purchase_value", "value"]), batch_format="pyarrow").drop_columns(
+        ["event_type"]
+    )
+
+
 def _q_covariance(sf_dir):
     """Distributed covariance of the 64-dim embedding column
     (``covariance_table``): each block contributes an O(d^2) (n, Σx, XᵀX)
@@ -4091,6 +4127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_percent_rank": _q_percent_rank,
         "q_phash": _q_phash,
         "q_neardup_best": _q_neardup_best,
+        "q_nearest": _q_nearest,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -5398,6 +5435,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN "
             "(SELECT user_id, ts AS pts, value AS next_purchase_value FROM events WHERE event_type = 'purchase') p "
             "ON e.user_id = p.user_id AND e.ts < p.pts"
+        ),
+        "q_nearest": (
+            "SELECT e.event_id, e.user_id, e.ts, ROUND(e.value, 6) AS value, "
+            "p.pts AS matched_pts, ROUND(p.v, 6) AS nearest_purchase_value "
+            "FROM events e LEFT JOIN LATERAL ("
+            "SELECT r.ts AS pts, r.value AS v FROM events r "
+            "WHERE r.event_type = 'purchase' AND r.user_id = e.user_id "
+            "ORDER BY abs(epoch_us(r.ts) - epoch_us(e.ts)), (r.ts > e.ts), r.value DESC "
+            "LIMIT 1) p ON TRUE"
         ),
         "q_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
         "q_count_distinct": (

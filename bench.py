@@ -279,6 +279,7 @@ _BENCH_QUERIES = [
     "q_percent_rank",  # global quantile-uniform transform (composite-key rank)
     "q_phash",  # image aHash dedup groups (decode -> thumbnail -> hash buckets)
     "q_neardup_best",  # near-dedup keeping the longest doc per cluster
+    "q_nearest",  # nearest-direction as-of join (merge_asof parity)
 ]
 
 

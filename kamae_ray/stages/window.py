@@ -166,6 +166,15 @@ def asof_join(
     kernel, partitioning contract and salting. Tiebreak still takes the
     LARGEST ``right_tiebreak`` among equal timestamps.
 
+    ``direction="nearest"`` (pandas ``merge_asof(direction='nearest')``
+    parity) matches the right row minimizing ``|t' - t|``; equidistant
+    backward/forward candidates resolve BACKWARD (the leakage-safe side);
+    ``strict`` excludes exact-equal timestamps; ``tolerance`` bounds the
+    absolute distance. Distances compare in the EXACT int64 time domain
+    (never the float sort key) so microsecond-epoch timestamps can't alias.
+    Implemented as two mirrored segmented scans inside the SAME block merge
+    — one extra lexsort, no extra shuffle.
+
     Works on ``ray.data.Dataset`` pairs (entity sort-shuffle + vectorized
     block merge) and on ``pa.Table`` pairs (single-block path, same kernel).
 
@@ -183,9 +192,10 @@ def asof_join(
     """
     right_on = right_on or left_on
     by = list(by)
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be backward|forward")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward|forward|nearest")
     neg = direction == "forward"
+    nearest = direction == "nearest"
 
     if isinstance(left, pa.Table):
         l_names = list(left.column_names)
@@ -197,7 +207,7 @@ def asof_join(
         lt = _prep_side(left, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side=0, salts=1, tiebreak=right_tiebreak, neg=neg)
         rt = _prep_side(right, l_names, by, payload, payload_out, r_types, l_types, left_on, right_on, t_type, side=1, salts=1, tiebreak=right_tiebreak, neg=neg)
         both = pa.concat_tables([lt, rt])
-        merge = _AsofBlockMerge(by, payload_out, strict, tolerance, salted=False, tiebreak=right_tiebreak is not None)
+        merge = _AsofBlockMerge(by, payload_out, strict, tolerance, salted=False, tiebreak=right_tiebreak is not None, nearest=nearest)
         return merge(both)
 
     from kamae_ray.base import dataset_schema
@@ -235,7 +245,7 @@ def asof_join(
     rt = right.map_batches(_NamedFn(prep_right, "asof_prep_right"), batch_format="pyarrow", zero_copy_batch=True)
     both = lt.union(rt)
     keys = by + ([_SALT] if salts > 1 else [])
-    merge = _AsofBlockMerge(by, payload_out, strict, tolerance, salted=salts > 1, tiebreak=right_tiebreak is not None)
+    merge = _AsofBlockMerge(by, payload_out, strict, tolerance, salted=salts > 1, tiebreak=right_tiebreak is not None, nearest=nearest)
     return sorted_block_apply(both, keys, merge, "asof_merge")
 
 
@@ -312,35 +322,24 @@ def _prep_side(
 class _AsofBlockMerge:
     """Vectorized block-local merge: one lexsort + one maximum.accumulate."""
 
-    def __init__(self, by, payload_out, strict, tolerance, salted, tiebreak=False):
+    def __init__(self, by, payload_out, strict, tolerance, salted, tiebreak=False, nearest=False):
         self.by = by
         self.payload_out = payload_out
         self.strict = strict
         self.tolerance = tolerance
         self.salted = salted
         self.tiebreak = tiebreak
+        self.nearest = nearest
 
-    def __call__(self, block: pa.Table) -> pa.Table:
-        drop = [_SIDE, _TIME] + ([_SALT] if self.salted else []) + ([_TB] if self.tiebreak else [])
-        n = block.num_rows
-        if n == 0:
-            return block.drop_columns(drop)
-        side = block.column(_SIDE).to_numpy(zero_copy_only=False)
-        t = block.column(_TIME).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        keys = self.by + ([_SALT] if self.salted else [])
-        gids = S.group_ids(block, keys)
-        # at equal times: non-strict wants rights visible to lefts (right
-        # sorts first); strict hides them (left sorts first)
-        side_key = (1 - side) if not self.strict else side
-        if self.tiebreak:
-            # within equal (entity, t) the max-tiebreak right sorts LAST and
-            # therefore wins the maximum.accumulate
-            tb = block.column(_TB).to_numpy(zero_copy_only=False)
-            order = np.lexsort((tb, side_key, t, gids))
+    def _scan(self, t_sort, tb, side, side_key, gids, n):
+        """One segmented backward scan over a (gids, t_sort, side_key, tb)
+        lexsort: for every left row, the latest preceding right row index.
+        Returns (left_orig, src_orig, matched) in original-row coordinates."""
+        if tb is not None:
+            order = np.lexsort((tb, side_key, t_sort, gids))
         else:
-            order = np.lexsort((side_key, t, gids))
+            order = np.lexsort((side_key, t_sort, gids))
         side_a = side[order]
-        t_a = t[order]
         starts, lens = S.segments(gids[order])
         srep = np.repeat(starts, lens)
         idx = np.arange(n)
@@ -348,12 +347,70 @@ class _AsofBlockMerge:
         left_pos = np.nonzero(side_a == 0)[0]
         lr = last_right[left_pos]
         matched = lr >= srep[left_pos]
-        if self.tolerance is not None:
-            with np.errstate(invalid="ignore"):
-                matched &= (t_a[left_pos] - t_a[np.clip(lr, 0, None)]) <= self.tolerance
-        left_orig = order[left_pos]
-        src_orig = order[np.clip(lr, 0, None)]
-        left_rows = block.take(pa.array(left_orig))
+        return order[left_pos], order[np.clip(lr, 0, None)], matched
+
+    def __call__(self, block: pa.Table) -> pa.Table:
+        drop = [_SIDE, _TIME] + ([_SALT] if self.salted else []) + ([_TB] if self.tiebreak else [])
+        n = block.num_rows
+        if n == 0:
+            return block.drop_columns(drop)
+        side = block.column(_SIDE).to_numpy(zero_copy_only=False)
+        t_raw = block.column(_TIME).to_numpy(zero_copy_only=False)
+        t = t_raw.astype(np.float64, copy=False)
+        keys = self.by + ([_SALT] if self.salted else [])
+        gids = S.group_ids(block, keys)
+        # at equal times: non-strict wants rights visible to lefts (right
+        # sorts first); strict hides them (left sorts first)
+        side_key = (1 - side) if not self.strict else side
+        # within equal (entity, t) the max-tiebreak right sorts LAST and
+        # therefore wins the maximum.accumulate
+        tb = block.column(_TB).to_numpy(zero_copy_only=False) if self.tiebreak else None
+        if self.nearest:
+            # Two mirrored scans in the EXACT time domain (int64 for integer/
+            # timestamp time — float sort keys alias above 2^53 us).
+            left_orig, src_orig, matched = self._scan(t_raw, tb, side, side_key, gids, n)
+            dist_b = np.abs(t_raw[left_orig] - t_raw[src_orig])
+            if self.tolerance is not None:
+                matched &= dist_b <= self.tolerance
+            # forward scan: mirror time; tb stays ASCENDING so the max-tb
+            # right still sorts last among the equal nearest-future rows
+            lf, sf, mf = self._scan(-t_raw, tb, side, side_key, gids, n)
+            dist_f = np.abs(t_raw[lf] - t_raw[sf])
+            if self.tolerance is not None:
+                mf &= dist_f <= self.tolerance
+            # combine per original left row: smaller distance wins, ties
+            # resolve BACKWARD (strict < on the forward update)
+            big = np.iinfo(np.int64).max if t_raw.dtype.kind == "i" else np.inf
+            best_src = np.full(n, -1, dtype=np.int64)
+            best_dist = np.full(n, big, dtype=dist_b.dtype)
+            best_src[left_orig[matched]] = src_orig[matched]
+            best_dist[left_orig[matched]] = dist_b[matched]
+            upd = mf & (dist_f < best_dist[lf])
+            best_src[lf[upd]] = sf[upd]
+            # every left row appears exactly once in left_orig
+            matched = best_src[left_orig] >= 0
+            src_orig = np.clip(best_src[left_orig], 0, None)
+            left_rows = block.take(pa.array(left_orig))
+        else:
+            if tb is not None:
+                order = np.lexsort((tb, side_key, t, gids))
+            else:
+                order = np.lexsort((side_key, t, gids))
+            side_a = side[order]
+            t_a = t[order]
+            starts, lens = S.segments(gids[order])
+            srep = np.repeat(starts, lens)
+            idx = np.arange(n)
+            last_right = np.maximum.accumulate(np.where(side_a == 1, idx, -1))
+            left_pos = np.nonzero(side_a == 0)[0]
+            lr = last_right[left_pos]
+            matched = lr >= srep[left_pos]
+            if self.tolerance is not None:
+                with np.errstate(invalid="ignore"):
+                    matched &= (t_a[left_pos] - t_a[np.clip(lr, 0, None)]) <= self.tolerance
+            left_orig = order[left_pos]
+            src_orig = order[np.clip(lr, 0, None)]
+            left_rows = block.take(pa.array(left_orig))
         cols = {}
         matched_pa = pa.array(matched)
         for name in left_rows.column_names:

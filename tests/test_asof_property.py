@@ -252,3 +252,96 @@ def test_asof_forward_dataset_matches_table(ray_session):
     ge = {r["rid"]: r["v"] for r in got.to_pylist()}
     for r in expect.to_pylist():
         assert ge[r["rid"]] == r["v"], r
+
+
+def _naive_nearest(lu, lt, ru, rt, seq, strict, tolerance):
+    """min |t'-t|; ties resolve backward, then max seq on the winning side."""
+    out = []
+    for u, t in zip(lu, lt):
+        best = None  # (|dt|, forward_flag, -seq)
+        for j in range(len(ru)):
+            if ru[j] != u:
+                continue
+            dt = rt[j] - t
+            if strict and dt == 0:
+                continue
+            if tolerance is not None and abs(dt) > tolerance:
+                continue
+            key = (abs(dt), 1 if dt > 0 else 0, -seq[j])
+            if best is None or key < best[:3]:
+                best = (*key, float(seq[j] * 10))
+        out.append(None if best is None else best[3])
+    return out
+
+
+@given(asof_case())
+@settings(max_examples=80, deadline=None)
+def test_asof_nearest_matches_naive(case):
+    lu, lt, ru, rt, strict, tolerance = case
+    seq = list(range(len(ru)))
+    left = pa.table(
+        {"u": pa.array(lu, pa.int64()), "t": pa.array(lt, pa.int64()), "rid": pa.array(np.arange(len(lu)))}
+    )
+    right = pa.table(
+        {
+            "u": pa.array(ru, pa.int64()),
+            "t": pa.array(rt, pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "p": pa.array([float(s * 10) for s in seq], pa.float64()),
+        }
+    )
+    out = asof_join(
+        left, right, by=["u"], left_on="t", right_cols=["t", "p"],
+        strict=strict, tolerance=tolerance, right_tiebreak="seq",
+        direction="nearest",
+    )
+    got = dict(zip(out.column("rid").to_pylist(), out.column("p").to_pylist()))
+    expect = _naive_nearest(lu, lt, ru, rt, seq, strict, tolerance)
+    assert [got[i] for i in range(len(lu))] == expect
+
+
+def test_asof_nearest_dataset_matches_table(ray_session):
+    import ray
+
+    rng = np.random.default_rng(11)
+    n, m = 4000, 1500
+    left = pa.table({
+        "u": pa.array(rng.integers(0, 40, n)),
+        "t": pa.array(rng.integers(0, 10_000, n)),
+        "rid": pa.array(np.arange(n)),
+    })
+    right = pa.table({
+        "u": pa.array(rng.integers(0, 40, m)),
+        "t": pa.array(rng.integers(0, 10_000, m)),
+        "seq": pa.array(np.arange(m)),
+        "v": pa.array(rng.standard_normal(m)),
+    })
+    expect = asof_join(left, right, by=["u"], left_on="t", right_cols=["t", "v"],
+                       right_tiebreak="seq", direction="nearest")
+    lds = ray.data.from_arrow(left).repartition(6)
+    rds = ray.data.from_arrow(right).repartition(4)
+    got = pa.concat_tables([t for t in ray.get(
+        asof_join(lds, rds, by=["u"], left_on="t", right_cols=["t", "v"],
+                  right_tiebreak="seq", direction="nearest").to_arrow_refs()
+    ) if t.num_rows])
+    ge = {r["rid"]: r["v"] for r in got.to_pylist()}
+    for r in expect.to_pylist():
+        assert ge[r["rid"]] == r["v"], r
+
+
+def test_asof_nearest_exact_us_timestamps():
+    """Distances compare in the exact int64 domain: two candidates whose
+    microsecond-epoch timestamps alias in float64 still resolve correctly."""
+    t0 = 1 << 60  # float64 ulp at this magnitude is 256 — 1us deltas alias
+    left = pa.table({"u": pa.array([0]), "t": pa.array([t0], pa.int64()), "rid": pa.array([0])})
+    # backward at distance 130, forward at distance 129 — in float64 both
+    # round to the same value (ulp at 2^60 is 256)
+    right = pa.table({
+        "u": pa.array([0, 0]),
+        "t": pa.array([t0 - 130, t0 + 129], pa.int64()),
+        "seq": pa.array([0, 1]),
+        "v": pa.array([10.0, 20.0]),
+    })
+    out = asof_join(left, right, by=["u"], left_on="t", right_cols=["t", "v"],
+                    right_tiebreak="seq", direction="nearest")
+    assert out.column("v").to_pylist() == [20.0]

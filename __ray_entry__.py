@@ -2738,6 +2738,21 @@ def _q_hash_encode(sf_dir):
     return out.drop_columns(["o_orderpriority", "prio_parts"])
 
 
+def _q_feature_cross(sf_dir):
+    """FeatureCrossTransformer: hashed categorical cross of
+    (p_brand x p_type) — the wide-and-deep crossed-column op — in the
+    SQL-certifiable poly mode; oracle GENERATED from the same constants
+    (feature_cross_sql). Unit-separator joining keeps ('ab','c') and
+    ('a','bc') in distinct buckets."""
+    from kamae_ray.stages import FeatureCrossTransformer
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+    tr = FeatureCrossTransformer(
+        input_cols=["p_brand", "p_type"], output_col="brand_type_cross", num_bins=500
+    )
+    return tr.transform(ds).drop_columns(["p_brand", "p_type"])
+
+
 def _q_multimodal(sf_dir):
     """Real pure-Python multimodal decode: PGM image + WAV PCM payloads are
     synthesized deterministically from doc_id (no external data), then parsed
@@ -4128,6 +4143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_phash": _q_phash,
         "q_neardup_best": _q_neardup_best,
         "q_nearest": _q_nearest,
+        "q_feature_cross": _q_feature_cross,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -5551,6 +5567,15 @@ def oracle_sql() -> dict[str, str]:
         "q_hash_encode": __import__(
             "kamae_ray.stages.hashing", fromlist=["x"]
         ).hash_encode_oracle_sql(),
+        # q_feature_cross: bucket expression GENERATED from the engine's
+        # shared poly constants (stages/hashing.py feature_cross_sql)
+        "q_feature_cross": (
+            "SELECT p_partkey, "
+            + __import__("kamae_ray.stages.hashing", fromlist=["x"]).feature_cross_sql(
+                ["p_brand", "p_type"], 500
+            )
+            + " AS brand_type_cross FROM part"
+        ),
         "q_cube": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(sum(l_quantity), 6) AS l_quantity_sum, "

@@ -280,6 +280,7 @@ _BENCH_QUERIES = [
     "q_phash",  # image aHash dedup groups (decode -> thumbnail -> hash buckets)
     "q_neardup_best",  # near-dedup keeping the longest doc per cluster
     "q_nearest",  # nearest-direction as-of join (merge_asof parity)
+    "q_feature_cross",  # hashed categorical cross (wide-and-deep buckets)
 ]
 
 

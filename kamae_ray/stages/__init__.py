@@ -76,6 +76,7 @@ from kamae_ray.stages.linalg import (  # noqa: F401
 )
 from kamae_ray.stages.hashing import (  # noqa: F401
     BloomEncodeTransformer,
+    FeatureCrossTransformer,
     HashIndexTransformer,
     HashSplitTransformer,
     MinHashIndexTransformer,

@@ -14,6 +14,8 @@ per actor, reference design SURVEY.md §2.7).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -179,6 +181,63 @@ class HashIndexTransformer(Transformer):
 
         out = self._cast_out(A.lift(kernel, arr))
         return _append_or_replace(batch, self.output_col, out)
+
+
+class FeatureCrossTransformer(Transformer):
+    """Hashed categorical cross (the wide-and-deep / crossed-column shape;
+    the reference's HashIndex is single-column, transformers/hash_index.py:
+    95-119): the N input string columns join with the unit separator
+    chr(31) — so ('ab','c') and ('a','bc') never alias structurally — and
+    the joined key buckets to ``(hash % (num_bins-1)) + 1``; ANY null input
+    -> 0 (the mask bucket, matching HashIndex's null rule).
+
+    hash_fn="poly" (default) is the SQL-certifiable codepoint polynomial —
+    the q_feature_cross oracle is GENERATED from the same constants via
+    ``feature_cross_sql``; hash_fn="farm" swaps in vectorized FarmHash64
+    for high-cardinality production crosses."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, num_bins: int, hash_fn: str = "poly", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_bins = int(num_bins)
+        if self.num_bins < 2:
+            raise ValueError("num_bins must be >= 2 (bucket 0 is the null bucket)")
+        if hash_fn not in ("farm", "poly"):
+            raise ValueError("hash_fn must be 'farm' or 'poly'")
+        if not self.input_cols or len(self.input_cols) < 2:
+            raise ValueError("FeatureCross needs input_cols with >= 2 columns")
+        self.hash_fn = hash_fn
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        cols = [A.as_array(batch.column(c)) for c in self.input_cols]
+        # emit_null (the default): any null input nulls the joined key
+        joined = pc.binary_join_element_wise(*cols, pa.scalar(_CROSS_SEP))
+        if self.hash_fn == "poly":
+            h, null_mask = poly31_column(joined)
+            out = (h % np.int64(self.num_bins - 1)) + np.int64(1)
+        else:
+            from kamae_ray.functions.farmhash import hash64_column
+
+            h, null_mask = hash64_column(joined)
+            out = ((h % np.uint64(self.num_bins - 1)) + np.uint64(1)).astype(np.int64)
+        out[null_mask] = 0
+        return _append_or_replace(batch, self.output_col, pa.array(out, pa.int64()))
+
+
+_CROSS_SEP = "\x1f"
+
+
+def feature_cross_sql(cols: Sequence[str], num_bins: int) -> str:
+    """GENERATED DuckDB expression mirroring FeatureCrossTransformer's
+    hash_fn="poly" bucket over the SQL column expressions ``cols`` — built
+    from the same POLY_* constants, so the cross is hash-certified."""
+    joined = " || chr(31) || ".join(cols)
+    any_null = " OR ".join(f"{c} IS NULL" for c in cols)
+    return (
+        f"CASE WHEN {any_null} THEN 0 "
+        f"ELSE ({poly31_sql(joined)} % {int(num_bins) - 1}) + 1 END"
+    )
 
 
 class MinHashIndexTransformer(Transformer):

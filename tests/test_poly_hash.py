@@ -147,3 +147,39 @@ class TestHashingVectorizer:
         split = sum((tr.transform_batch(t.slice(i, 123)).column("v").to_pylist()
                      for i in range(0, 500, 123)), [])
         assert whole == split
+
+
+def test_feature_cross_buckets_and_null_rule():
+    import duckdb
+    import pyarrow as pa
+
+    from kamae_ray.stages import FeatureCrossTransformer
+    from kamae_ray.stages.hashing import feature_cross_sql, poly31_scalar
+
+    t = pa.table({
+        "a": ["ab", "a", "x", None, "café"],
+        "b": ["c", "bc", "y", "z", "naïve"],
+    })
+    tr = FeatureCrossTransformer(input_cols=["a", "b"], output_col="xb", num_bins=100)
+    got = tr.transform_batch(t).column("xb").to_pylist()
+    # separator discrimination: ('ab','c') and ('a','bc') land in
+    # independent buckets (keys differ), any-null -> 0, non-ASCII exercised
+    exp = [
+        (poly31_scalar("ab\x1fc") % 99) + 1,
+        (poly31_scalar("a\x1fbc") % 99) + 1,
+        (poly31_scalar("x\x1fy") % 99) + 1,
+        0,
+        (poly31_scalar("café\x1fnaïve") % 99) + 1,
+    ]
+    assert got == exp
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    sql = con.execute(
+        "SELECT " + feature_cross_sql(["a", "b"], 100) + " AS xb FROM t"
+    ).fetchall()
+    assert [r[0] for r in sql] == exp
+
+    # farm mode shares the null rule and bucket range
+    fr = FeatureCrossTransformer(input_cols=["a", "b"], output_col="xb", num_bins=100, hash_fn="farm")
+    fgot = fr.transform_batch(t).column("xb").to_pylist()
+    assert fgot[3] == 0 and all(1 <= v <= 99 for i, v in enumerate(fgot) if i != 3)

@@ -2738,6 +2738,21 @@ def _q_hash_encode(sf_dir):
     return out.drop_columns(["o_orderpriority", "prio_parts"])
 
 
+def _q_rare_label(sf_dir):
+    """RareLabelEncoderEstimator: collapse all but the top-10 p_brand
+    categories (count DESC, value ASC tie rule — the documented vocab
+    ordering) into '__rare__'; NULL stays NULL. Capped fits run as a
+    distributed sort+limit (driver sees k rows). Oracle = row_number over
+    the same ordered counts."""
+    from kamae_ray.stages import RareLabelEncoderEstimator
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    tr = RareLabelEncoderEstimator(
+        input_col="p_brand", output_col="brand_capped", min_freq=1, max_categories=10
+    ).fit(ds)
+    return tr.transform(ds).drop_columns(["p_brand"])
+
+
 def _q_feature_cross(sf_dir):
     """FeatureCrossTransformer: hashed categorical cross of
     (p_brand x p_type) — the wide-and-deep crossed-column op — in the
@@ -4144,6 +4159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_neardup_best": _q_neardup_best,
         "q_nearest": _q_nearest,
         "q_feature_cross": _q_feature_cross,
+        "q_rare_label": _q_rare_label,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -5575,6 +5591,14 @@ def oracle_sql() -> dict[str, str]:
                 ["p_brand", "p_type"], 500
             )
             + " AS brand_type_cross FROM part"
+        ),
+        "q_rare_label": (
+            "WITH c AS (SELECT p_brand, COUNT(*) AS cnt FROM part "
+            "WHERE p_brand IS NOT NULL GROUP BY p_brand), "
+            "r AS (SELECT p_brand, row_number() OVER (ORDER BY cnt DESC, p_brand) AS rk FROM c) "
+            "SELECT p.p_partkey, CASE WHEN p.p_brand IS NULL THEN NULL "
+            "WHEN r.rk <= 10 THEN p.p_brand ELSE '__rare__' END AS brand_capped "
+            "FROM part p LEFT JOIN r ON p.p_brand = r.p_brand"
         ),
         "q_cube": (
             "SELECT l_returnflag, l_linestatus, "

@@ -281,6 +281,7 @@ _BENCH_QUERIES = [
     "q_neardup_best",  # near-dedup keeping the longest doc per cluster
     "q_nearest",  # nearest-direction as-of join (merge_asof parity)
     "q_feature_cross",  # hashed categorical cross (wide-and-deep buckets)
+    "q_rare_label",  # rare-category collapse (fitted frequent set)
 ]
 
 

@@ -104,6 +104,8 @@ from kamae_ray.stages.indexers import (  # noqa: F401
     SharedStringIndexTransformer,
     CountEncodeEstimator,
     CountEncodeTransformer,
+    RareLabelEncoderEstimator,
+    RareLabelTransformer,
     StringIndexEstimator,
     StringIndexTransformer,
     TargetEncodeEstimator,

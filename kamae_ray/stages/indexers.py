@@ -512,3 +512,87 @@ class CountEncodeEstimator(Estimator):
     def fit(self, ds) -> CountEncodeTransformer:
         ds = self._maybe_sample(ds)
         return self.fit_from(agg.value_counts(ds, [self.input_col]))
+
+
+class RareLabelTransformer(Transformer):
+    """Collapse infrequent categories into one ``rare_label`` token — the
+    standard cardinality cap before one-hot / hashing (no reference analog;
+    the reference's StringIndex routes rarity to OOV indices instead,
+    estimators/string_index.py:104-136). Fitted ``keep`` categories pass
+    through, anything else -> ``rare_label``, NULL stays NULL (SQL CASE
+    semantics, certified by q_rare_label)."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def __init__(self, *args, keep: Sequence[str], rare_label: str = "__rare__", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.keep = list(keep)
+        self.rare_label = str(rare_label)
+        self._keep_set = None
+
+    def get_params(self):
+        p = super().get_params()
+        p.pop("_keep_set", None)
+        return p
+
+    @property
+    def state_size_hint(self) -> int:
+        return len(self.keep)
+
+    def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
+        if self._keep_set is None:
+            self._keep_set = pa.array(self.keep, pa.string())
+
+        def kernel(flat: pa.Array) -> pa.Array:
+            m = pc.is_in(flat, value_set=self._keep_set)
+            out = pc.if_else(m, flat, pa.scalar(self.rare_label, pa.string()))
+            return pc.if_else(pc.is_valid(flat), out, pa.nulls(len(flat), pa.string()))
+
+        return A.lift(kernel, arr)
+
+
+class RareLabelEncoderEstimator(Estimator):
+    """Fit the frequent-category set — count >= ``min_freq``, optionally
+    capped to the top ``max_categories`` by (count DESC, value ASC), the
+    repo's documented vocab tie rule — via the shared ``value_counts``
+    machinery, and build :class:`RareLabelTransformer`. Uncapped fits join
+    the FUSED fit pass; capped fits push sort+limit into the distributed
+    plan so the driver only ever sees k rows (high-cardinality safe)."""
+
+    def __init__(self, *args, min_freq: int = 2, max_categories: int | None = None,
+                 rare_label: str = "__rare__", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.min_freq = int(min_freq)
+        self.max_categories = int(max_categories) if max_categories is not None else None
+        self.rare_label = str(rare_label)
+
+    def fit_spec(self):
+        if self.max_categories is not None:
+            return None  # capped fit uses the distributed sort+limit path
+        return ("vocab", ((self.input_col,), None))
+
+    def fit_from(self, counts: dict) -> RareLabelTransformer:
+        keep = sorted(
+            (c for c in counts if c is not None and counts[c] >= self.min_freq),
+            key=lambda c: (-counts[c], c),
+        )
+        if self.max_categories is not None:
+            keep = keep[: self.max_categories]
+        return RareLabelTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            keep=sorted(keep),
+            rare_label=self.rare_label,
+        )
+
+    def fit(self, ds) -> RareLabelTransformer:
+        ds = self._maybe_sample(ds)
+        counts = agg.value_counts(
+            ds, [self.input_col],
+            order="frequencyDesc" if self.max_categories is not None else None,
+            top_k=self.max_categories,
+        )
+        return self.fit_from(counts)

@@ -199,3 +199,27 @@ def test_count_encode_semantics_and_dataset_path(ray_session):
     tr_ds = CountEncodeEstimator(input_col="cat", output_col="cnt").fit(ds)
     assert sorted(zip(tr_ds.categories, tr_ds.counts)) == \
         sorted(zip(tr.categories, tr.counts))
+
+
+def test_rare_label_encoder_threshold_and_cap(ray_session):
+    import ray
+
+    import pyarrow as pa
+    from kamae_ray.stages import RareLabelEncoderEstimator
+
+    t = pa.table({"c": ["a"] * 5 + ["b"] * 3 + ["d"] * 3 + ["x", "y", None]})
+    # threshold: drop singletons
+    tr = RareLabelEncoderEstimator(input_col="c", output_col="o", min_freq=2).fit(t)
+    assert tr.keep == ["a", "b", "d"]
+    got = tr.transform(t).column("o").to_pylist()
+    assert got == ["a"] * 5 + ["b"] * 3 + ["d"] * 3 + ["__rare__", "__rare__", None]
+    # cap with the (count DESC, value ASC) tie rule: b ties d -> b kept
+    tr2 = RareLabelEncoderEstimator(input_col="c", output_col="o", min_freq=1, max_categories=2).fit(t)
+    assert tr2.keep == ["a", "b"]
+    # dataset fit (distributed sort+limit path) matches the table fit
+    ds = ray.data.from_arrow(t).repartition(3)
+    tr3 = RareLabelEncoderEstimator(input_col="c", output_col="o", min_freq=1, max_categories=2).fit(ds)
+    assert tr3.keep == tr2.keep
+    # custom rare token round-trips through params
+    tr4 = RareLabelEncoderEstimator(input_col="c", output_col="o", min_freq=2, rare_label="<RARE>").fit(t)
+    assert tr4.transform(t).column("o").to_pylist()[-2] == "<RARE>"

@@ -2738,6 +2738,19 @@ def _q_hash_encode(sf_dir):
     return out.drop_columns(["o_orderpriority", "prio_parts"])
 
 
+def _q_char_diversity(sf_dir):
+    """CharDiversityTransformer: inverse-Simpson codepoint concentration
+    ("effective alphabet size") in exact floor-ppm integer form — the
+    low-diversity-spam gate. ASCII rows bincount straight off the Arrow
+    UTF-8 buffers in bounded 8 MB sub-chunks; oracle GENERATED
+    (char_diversity_oracle_sql)."""
+    from kamae_ray.stages import CharDiversityTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tr = CharDiversityTransformer(input_col="text", output_col="cd")
+    return tr.transform(ds).drop_columns(["text"])
+
+
 def _q_rare_label(sf_dir):
     """RareLabelEncoderEstimator: collapse all but the top-10 p_brand
     categories (count DESC, value ASC tie rule — the documented vocab
@@ -4160,6 +4173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_nearest": _q_nearest,
         "q_feature_cross": _q_feature_cross,
         "q_rare_label": _q_rare_label,
+        "q_char_diversity": _q_char_diversity,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -5600,6 +5614,10 @@ def oracle_sql() -> dict[str, str]:
             "WHEN r.rk <= 10 THEN p.p_brand ELSE '__rare__' END AS brand_capped "
             "FROM part p LEFT JOIN r ON p.p_brand = r.p_brand"
         ),
+        # q_char_diversity: GENERATED from the engine's shared construction
+        "q_char_diversity": __import__(
+            "kamae_ray.stages.text", fromlist=["x"]
+        ).char_diversity_oracle_sql("documents", "doc_id", "text", "cd"),
         "q_cube": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(sum(l_quantity), 6) AS l_quantity_sum, "

@@ -282,6 +282,7 @@ _BENCH_QUERIES = [
     "q_nearest",  # nearest-direction as-of join (merge_asof parity)
     "q_feature_cross",  # hashed categorical cross (wide-and-deep buckets)
     "q_rare_label",  # rare-category collapse (fitted frequent set)
+    "q_char_diversity",  # inverse-Simpson codepoint concentration score
 ]
 
 

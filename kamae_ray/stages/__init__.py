@@ -138,6 +138,7 @@ from kamae_ray.stages.window import (  # noqa: F401
 )
 from kamae_ray.stages.lambda_fn import LambdaFunctionTransformer  # noqa: F401
 from kamae_ray.stages.text import (  # noqa: F401
+    CharDiversityTransformer,
     FingerprintTransformer,
     GopherQualityTransformer,
     HashingVectorizerTransformer,

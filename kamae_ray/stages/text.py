@@ -848,3 +848,102 @@ class HashingVectorizerTransformer(Transformer):
         mat = np.bincount(code, minlength=n * self.dim).astype(np.int64)[: n * self.dim]
         out = pa.FixedSizeListArray.from_arrays(pa.array(mat), self.dim)
         return _append_or_replace(batch, self.output_col, out)
+
+
+class CharDiversityTransformer(Transformer):
+    """Character-diversity quality score: inverse-Simpson concentration of
+    the document's codepoint histogram — "effective alphabet size"
+    ``n^2 / sum(c_i^2)`` — emitted in EXACT integer form (floor ppm) plus
+    its integer evidence columns, so the score is hash-certifiable
+    (lesson-24 family: no float accumulation on either engine). Catches
+    low-diversity spam (repeated-character padding, single-char floods)
+    that length or stopword gates miss; an O(bytes) sibling of
+    RepetitionSignalsTransformer. No reference analog.
+
+    Emits ``<out>_n_chars`` (codepoints counted; null text -> 0),
+    ``<out>_s2`` (sum of squared per-codepoint counts) and ``<out>_ppm`` =
+    ``floor(1e6 * n^2 / s2)`` (0 for empty docs; 1e6 = one distinct char,
+    n*1e6 = all chars distinct).
+
+    ASCII rows count straight off the Arrow UTF-8 buffers — a bincount of
+    ``row_local_id * 256 + byte`` per bounded sub-chunk of rows (bounded so
+    the histogram stays ~8 MB regardless of batch size); rows containing
+    non-ASCII bytes fall back to a per-row codepoint Counter (rare in
+    normalized web corpora)."""
+
+    compatible_dtypes = (pa.string(),)
+    _CHUNK_ROWS = 4096  # 4096*256 int64 bincount = 8 MB
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+
+        flat = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        filled = pc.fill_null(flat, "")
+        if isinstance(filled, pa.ChunkedArray):
+            filled = filled.combine_chunks()
+        n = len(filled)
+        n_chars = np.zeros(n, np.int64)
+        s2 = np.zeros(n, np.int64)
+        if n:
+            bufs = filled.buffers()
+            width = np.int64 if pa.types.is_large_string(filled.type) else np.int32
+            offsets = np.frombuffer(bufs[1], dtype=width)[filled.offset : filled.offset + n + 1].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+            lens = offsets[1:] - offsets[:-1]
+            if len(data):
+                nac = np.concatenate([[0], np.cumsum((data >= 128).astype(np.int64))])
+                ascii_row = (nac[offsets[1:]] - nac[offsets[:-1]]) == 0
+            else:
+                ascii_row = np.ones(n, bool)
+            n_chars[:] = lens  # corrected below for non-ASCII rows
+            good = np.flatnonzero(ascii_row & (lens > 0))
+            for c0 in range(0, len(good), self._CHUNK_ROWS):
+                rows = good[c0 : c0 + self._CHUNK_ROWS]
+                rl = lens[rows]
+                # gather each row's byte span: starts repeated + intra-row arange
+                srep = np.repeat(offsets[rows], rl)
+                intra = np.arange(int(rl.sum()), dtype=np.int64) - np.repeat(
+                    np.cumsum(rl) - rl, rl
+                )
+                bytes_ = data[srep + intra].astype(np.int64)
+                local = np.repeat(np.arange(len(rows), dtype=np.int64), rl)
+                counts = np.bincount(local * 256 + bytes_, minlength=len(rows) * 256)
+                counts = counts.reshape(len(rows), 256)
+                s2[rows] = (counts * counts).sum(axis=1)
+            bad = np.flatnonzero(~ascii_row)
+            if len(bad):
+                from collections import Counter
+
+                for r, v in zip(bad, filled.take(pa.array(bad)).to_pylist()):
+                    c = Counter(v)
+                    n_chars[r] = sum(c.values())
+                    s2[r] = sum(k * k for k in c.values())
+        # exact floor ppm; rows whose n^2 * 1e6 would overflow int64 fold in
+        # arbitrary-precision Python ints (docs beyond ~2M chars)
+        ppm = np.zeros(n, np.int64)
+        nz = s2 > 0
+        small = nz & (n_chars <= 2_000_000)
+        ppm[small] = (n_chars[small] * n_chars[small] * 1_000_000) // s2[small]
+        for r in np.flatnonzero(nz & ~small):
+            ppm[r] = (int(n_chars[r]) ** 2 * 1_000_000) // int(s2[r])
+        base = self.output_col
+        batch = _append_or_replace(batch, f"{base}_n_chars", pa.array(n_chars))
+        batch = _append_or_replace(batch, f"{base}_s2", pa.array(s2))
+        return _append_or_replace(batch, f"{base}_ppm", pa.array(ppm))
+
+
+def char_diversity_oracle_sql(table: str, id_col: str, text_col: str, out: str) -> str:
+    """GENERATED DuckDB oracle for CharDiversityTransformer — per-codepoint
+    counts via string_split_regex (the '' artifact filtered), exact integer
+    n / s2 / floor-div ppm."""
+    return (
+        f"WITH ch AS (SELECT {id_col}, unnest(list_filter(string_split_regex({text_col}, ''), "
+        f"x -> x <> '')) AS c FROM {table}), "
+        f"cc AS (SELECT {id_col}, c, COUNT(*) AS cnt FROM ch GROUP BY {id_col}, c), "
+        f"s AS (SELECT {id_col}, SUM(cnt)::BIGINT AS n, SUM(cnt*cnt)::BIGINT AS s2 "
+        f"FROM cc GROUP BY {id_col}) "
+        f"SELECT d.{id_col}, COALESCE(s.n, 0) AS {out}_n_chars, "
+        f"COALESCE(s.s2, 0) AS {out}_s2, "
+        f"(CASE WHEN COALESCE(s.s2, 0) = 0 THEN 0 ELSE (s.n * s.n * 1000000) // s.s2 END)::BIGINT AS {out}_ppm "
+        f"FROM {table} d LEFT JOIN s USING ({id_col})"
+    )

@@ -115,3 +115,41 @@ class TestOovStats:
         t = _corpus(200, vocab=100)
         with pytest.raises(ValueError, match="max_vocab_rows"):
             token_counts(t, "toks", max_vocab_rows=5)
+
+
+def test_char_diversity_matches_oracle_and_counter():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    from collections import Counter
+
+    from kamae_ray.stages import CharDiversityTransformer
+    from kamae_ray.stages.text import char_diversity_oracle_sql
+
+    rng = np.random.default_rng(3)
+    texts = []
+    for i in range(300):
+        L = int(rng.integers(0, 40))
+        texts.append("".join(chr(int(c)) for c in rng.integers(32, 127, L)))
+    texts += ["", None, "aaaaab", "héllo wörld", "日本語テキスト", "a" * 5000]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = CharDiversityTransformer(input_col="text", output_col="cd").transform_batch(t)
+    # vs per-row Counter reference
+    for txt, n, s2, ppm in zip(
+        texts, out.column("cd_n_chars").to_pylist(), out.column("cd_s2").to_pylist(),
+        out.column("cd_ppm").to_pylist()
+    ):
+        c = Counter(txt or "")
+        en, es2 = sum(c.values()), sum(v * v for v in c.values())
+        assert (n, s2) == (en, es2)
+        assert ppm == (0 if es2 == 0 else (en * en * 1_000_000) // es2)
+    # vs the generated DuckDB oracle
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    res = con.execute(
+        char_diversity_oracle_sql("docs", "doc_id", "text", "cd") + " ORDER BY doc_id"
+    ).fetchall()
+    assert [r[1:] for r in res] == list(zip(
+        out.column("cd_n_chars").to_pylist(), out.column("cd_s2").to_pylist(),
+        out.column("cd_ppm").to_pylist(),
+    ))

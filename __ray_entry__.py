@@ -2738,6 +2738,47 @@ def _q_hash_encode(sf_dir):
     return out.drop_columns(["o_orderpriority", "prio_parts"])
 
 
+def _q_negatives(sf_dir):
+    """negative_sampling: deterministic hash negatives for the
+    (l_suppkey, l_partkey) interaction table — k=8 candidates per distinct
+    supplier from the Knuth/xxhash mix mod |part|, positives anti-joined
+    away (NOT EXISTS). Oracle GENERATED from the shared constants
+    (negative_sampling_oracle_sql); num_items comes from the part footer
+    metadata (no driver read of the table)."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.packing import negative_sampling
+
+    num_items = pq.read_metadata(os.path.join(sf_dir, "part.parquet")).num_rows
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    return negative_sampling(
+        ds, "l_suppkey", "l_partkey", num_items=num_items, k=8,
+        output_col="neg_partkey",
+    )
+
+
+def _q_woe(sf_dir):
+    """WoeEncodeEstimator: Weight-of-Evidence encoding of o_orderpriority
+    against the binary label (o_orderstatus='F'). Counts and the num/den
+    products stay exact int64; the single mirrored ln (chi2/PSI oracle
+    family) is the only float op."""
+    from kamae_ray.stages import WoeEncodeEstimator
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+    def lab(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(batch.column("o_orderstatus"), "F"), pa.int64())
+        return batch.append_column("y", y)
+
+    lab.__name__ = "label_finished"
+    ds2 = ds.map_batches(lab, batch_format="pyarrow", zero_copy_batch=True)
+    tr = WoeEncodeEstimator(
+        input_col="o_orderpriority", target_col="y", output_col="prio_woe"
+    ).fit(ds2)
+    out = tr.transform(ds2).drop_columns(["o_orderstatus", "o_orderpriority", "y"])
+    return out.map_batches(_rounder(["prio_woe"]), batch_format="pyarrow")
+
+
 def _q_char_diversity(sf_dir):
     """CharDiversityTransformer: inverse-Simpson codepoint concentration
     ("effective alphabet size") in exact floor-ppm integer form — the
@@ -4174,6 +4215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_feature_cross": _q_feature_cross,
         "q_rare_label": _q_rare_label,
         "q_char_diversity": _q_char_diversity,
+        "q_woe": _q_woe,
+        "q_negatives": _q_negatives,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -5618,6 +5661,25 @@ def oracle_sql() -> dict[str, str]:
         "q_char_diversity": __import__(
             "kamae_ray.stages.text", fromlist=["x"]
         ).char_diversity_oracle_sql("documents", "doc_id", "text", "cd"),
+        "q_woe": (
+            "WITH l AS (SELECT o_orderkey, o_orderpriority AS c, "
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders), "
+            "s AS (SELECT c, SUM(y)::BIGINT AS pos, COUNT(*)::BIGINT AS n "
+            "FROM l WHERE c IS NOT NULL GROUP BY c), "
+            "t AS (SELECT COALESCE(SUM(pos), 0)::BIGINT AS pt, "
+            "COALESCE(SUM(n - pos), 0)::BIGINT AS nt, COUNT(*)::BIGINT AS kk FROM s) "
+            "SELECT l.o_orderkey, ROUND(CASE WHEN s.c IS NULL THEN 0.0 ELSE "
+            "ln(CAST((s.pos + 1) * (t.nt + t.kk) AS DOUBLE) / "
+            "CAST(((s.n - s.pos) + 1) * (t.pt + t.kk) AS DOUBLE)) END, 6) AS prio_woe "
+            "FROM l LEFT JOIN s ON l.c = s.c CROSS JOIN t"
+        ),
+        # q_negatives: GENERATED from the engine's shared hash constants
+        "q_negatives": __import__(
+            "kamae_ray.pipelines.packing", fromlist=["x"]
+        ).negative_sampling_oracle_sql(
+            "lineitem", "l_suppkey", "l_partkey",
+            "SELECT COUNT(*) FROM part", 8, 0, "l_suppkey", "neg_partkey"
+        ),
         "q_cube": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(sum(l_quantity), 6) AS l_quantity_sum, "

@@ -283,6 +283,8 @@ _BENCH_QUERIES = [
     "q_feature_cross",  # hashed categorical cross (wide-and-deep buckets)
     "q_rare_label",  # rare-category collapse (fitted frequent set)
     "q_char_diversity",  # inverse-Simpson codepoint concentration score
+    "q_woe",  # weight-of-evidence supervised categorical encoding
+    "q_negatives",  # deterministic hash negative sampling + anti-join
 ]
 
 

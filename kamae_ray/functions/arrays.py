@@ -175,3 +175,12 @@ def matrix_view(col: pa.ChunkedArray | pa.Array, width: int | None = None) -> tu
         raise ValueError("ragged inner arrays; fixed width required")
     vals = flat.to_numpy(zero_copy_only=False)
     return vals.reshape(-1, w), w
+
+
+def libm_log(x) -> np.ndarray:
+    """glibc-identical vectorized natural log. numpy's SIMD ``np.log``
+    differs from libm by 1 ULP on ~22% of inputs, while pyarrow's ``ln``
+    kernel is bit-identical to DuckDB's (200k/200k sampled) — every
+    oracle-mirrored log expression must route through this (lesson-24
+    family: a 1-ULP input to ROUND can flip a 6dp boundary)."""
+    return pc.ln(pa.array(np.ascontiguousarray(x, np.float64))).to_numpy(zero_copy_only=False)

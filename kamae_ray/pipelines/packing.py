@@ -127,3 +127,94 @@ def balanced_shards(ds, id_col: str, weight_col: str, num_shards: int,
         return snake(ranked)
     return ranked.map_batches(snake, batch_format="pyarrow", zero_copy_batch=True,
                               batch_size=None)
+
+
+_NS_P = 0x9E3779B97F4A7C15  # Knuth multiplicative (shared with HashSplit)
+_NS_Q = 0xC2B2AE3D27D4EB4F  # xxhash prime2
+
+
+def negative_sampling(ds, key_col: str, item_col: str, num_items: int,
+                      k: int = 4, salt: int = 0, output_col: str = "neg_item"):
+    """Deterministic hash-based negative sampling over a (key, item)
+    interaction table — the contrastive-training prep op (recommenders,
+    two-tower retrieval): for each DISTINCT key emit up to ``k`` distinct
+    candidate items
+
+        ``((key + salt) * P + j * Q  mod 2^64) mod num_items``,  j in [0, k)
+
+    then anti-join the observed positives away (SQL NOT EXISTS, exact).
+    The sample is a pure function of (key, j, salt, num_items) — stable
+    across runs, partitions and cluster sizes — and the uint64 arithmetic
+    mirrors exactly in HUGEINT SQL (q_negatives oracle). Keys and items
+    must be non-negative integers (ids); item ids are assumed dense in
+    [0, num_items).
+
+    Scale plan: candidates are k x distinct(keys) rows built by one
+    vectorized map over the distinct-key table; the one shuffle is the
+    anti-join, whose positive side block-dedups to distinct (key, item)
+    before moving. Expected yield per key is k * (1 - interaction density);
+    callers wanting exactly-k should over-sample and rank. Output columns:
+    ``(key_col, output_col)``, both int64."""
+    import pyarrow.compute as pc
+
+    from kamae_ray.functions import arrays as A
+    from kamae_ray.stages.aggregate import distinct
+    from kamae_ray.stages.join import shuffle_join
+
+    if num_items <= 0 or k <= 0 or salt < 0:
+        raise ValueError("num_items and k must be positive, salt non-negative")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ka = A.as_array(batch.column(key_col))
+        valid = pc.is_valid(ka).to_numpy(zero_copy_only=False)
+        kv = pc.fill_null(pc.cast(ka, pa.int64(), safe=False), 0).to_numpy(
+            zero_copy_only=False)[valid]
+        if len(kv) and kv.min() < 0:
+            raise ValueError("negative_sampling keys must be non-negative")
+        rep = np.repeat(kv, k)
+        j = np.tile(np.arange(k, dtype=np.uint64), len(kv))
+        h = (rep.astype(np.uint64) + np.uint64(salt)) * np.uint64(_NS_P) \
+            + j * np.uint64(_NS_Q)
+        item = (h % np.uint64(num_items)).astype(np.int64)
+        return pa.table({key_col: pa.array(rep), output_col: pa.array(item)})
+
+    emit.__name__ = "emit_negative_candidates"
+    keys = distinct(ds, [key_col])
+    if isinstance(keys, pa.Table):
+        cand = emit(keys)
+        pos = pa.table({key_col: ds.column(key_col), output_col: ds.column(item_col)})
+    else:
+        cand = keys.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+        def strip_pos(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                key_col: pc.cast(A.as_array(batch.column(key_col)), pa.int64(), safe=False),
+                output_col: pc.cast(A.as_array(batch.column(item_col)), pa.int64(), safe=False),
+            })
+
+        strip_pos.__name__ = "strip_positives"
+        pos = ds.map_batches(strip_pos, batch_format="pyarrow", zero_copy_batch=True)
+    # duplicate candidates (two j landing on one item) collapse first
+    cand = distinct(cand, [key_col, output_col])
+    return shuffle_join(cand, pos, on=[key_col, output_col], how="anti")
+
+
+def negative_sampling_oracle_sql(pos_table: str, key_col: str, item_col: str,
+                                 items_count_sql: str, k: int, salt: int,
+                                 out_key: str, out_item: str) -> str:
+    """GENERATED DuckDB oracle for :func:`negative_sampling` — the same
+    (key+salt)*P + j*Q construction in HUGEINT with an explicit mod-2^64
+    fold (non-negative keys by contract, so no negative-remainder
+    normalization is needed), NOT EXISTS for the anti-join."""
+    return (
+        f"WITH ks AS (SELECT DISTINCT {key_col} AS kk FROM {pos_table} "
+        f"WHERE {key_col} IS NOT NULL), "
+        f"m AS (SELECT ({items_count_sql})::HUGEINT AS n), "
+        f"c AS (SELECT kk, ((((kk::HUGEINT + {salt}) * {_NS_P} + j::HUGEINT * {_NS_Q}) "
+        f"% 18446744073709551616) % (SELECT n FROM m))::BIGINT AS item "
+        f"FROM ks, range(0, {k}) t(j)), "
+        f"d AS (SELECT DISTINCT kk, item FROM c) "
+        f"SELECT d.kk AS {out_key}, d.item AS {out_item} FROM d "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {pos_table} l "
+        f"WHERE l.{key_col} = d.kk AND l.{item_col} = d.item)"
+    )

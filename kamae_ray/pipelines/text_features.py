@@ -196,7 +196,8 @@ def tfidf_top_terms(
     def score(block: pa.Table) -> pa.Table:
         tf = block.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
         df = block.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
-        idf = np.log(ln_n1 / (df + 1.0)) + 1.0
+        # libm_log: oracle-mirrored ln must match DuckDB bit-for-bit
+        idf = A.libm_log(ln_n1 / (df + 1.0)) + 1.0
         return block.append_column("tfidf", pa.array(tf * idf, pa.float64()))
 
     score.__name__ = "tfidf_score"
@@ -766,7 +767,8 @@ def collocations(ds, text_col: str, min_count: int = 2,
         lt = l_arr[li].astype(np.float64)
         rt = r_arr[ri].astype(np.float64)
         with np.errstate(divide="ignore"):
-            pmi = np.log((cnt_np.astype(np.float64) * float(N)) / (lt * rt))
+            # libm_log: oracle-mirrored ln must match DuckDB bit-for-bit
+            pmi = A.libm_log((cnt_np.astype(np.float64) * float(N)) / (lt * rt))
         return pa.table({"w1": block.column("w1"), "w2": block.column("w2"),
                          "n_pair": pa.array(cnt_np), "pmi": pa.array(pmi)})
 

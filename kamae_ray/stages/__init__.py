@@ -110,6 +110,7 @@ from kamae_ray.stages.indexers import (  # noqa: F401
     StringIndexTransformer,
     TargetEncodeEstimator,
     TargetEncodeTransformer,
+    WoeEncodeEstimator,
 )
 from kamae_ray.stages.listwise import (  # noqa: F401
     ListMaxTransformer,

@@ -702,12 +702,13 @@ def groupby_cat_stats(ds, keys: str | list[str], col: str):
         starts, lens = S.segments(gs)
         firsts = order[starts]
         n = np.add.reduceat(cs, starts)
-        slog = np.add.reduceat(cs * np.log(cs), starts)
+        # libm_log: oracle-mirrored ln must match DuckDB bit-for-bit
+        slog = np.add.reduceat(cs * A.libm_log(cs), starts)
         s2 = np.add.reduceat(cs * cs, starts)
         out = {k: A.as_array(block.column(k)).take(pa.array(firsts)) for k in keys}
         out["n"] = pa.array(n.astype(np.int64))
         out["n_distinct"] = pa.array(lens.astype(np.int64))
-        out["entropy"] = pa.array(np.log(n) - slog / n)
+        out["entropy"] = pa.array(A.libm_log(n) - slog / n)
         out["gini"] = pa.array(1.0 - s2 / (n * n))
         return pa.table(out)
 

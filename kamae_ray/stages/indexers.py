@@ -425,6 +425,81 @@ class TargetEncodeEstimator(Estimator):
         )
 
 
+class WoeEncodeEstimator(Estimator):
+    """Weight-of-Evidence categorical encoder (the scorecard-standard
+    log-odds sibling of :class:`TargetEncodeEstimator`) over a BINARY 0/1
+    integer target:
+
+    ``woe(c) = ln( ((pos_c + 1) * (neg_tot + K)) / ((neg_c + 1) * (pos_tot + K)) )``
+
+    with Laplace +1 smoothing and K = number of fitted categories. Counts
+    stay exact int64 through the ONE partial-agg groupby (order-free sums),
+    the numerator/denominator are exact int64 PRODUCTS (overflow-guarded),
+    and the only float ops are one division + one mirrored ``ln`` — the
+    chi2/PSI oracle family. Unseen and NULL categories encode 0.0 (no
+    evidence). Builds a :class:`TargetEncodeTransformer` (identical lookup
+    semantics)."""
+
+    def __init__(self, *args, target_col: str, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.target_col = target_col
+
+    def fit(self, ds) -> TargetEncodeTransformer:
+        from kamae_ray.stages.aggregate import groupby_agg
+
+        ds = self._maybe_sample(ds)
+        col = self.input_col
+        if not isinstance(ds, pa.Table):
+            from kamae_ray.base import collect_tables
+            from kamae_ray.sources.io import narrow_read
+
+            proj = narrow_read(ds, [col, self.target_col]) or ds
+            stats = groupby_agg(proj, col, {self.target_col: ["sum", "count"]})
+            parts = [t for t in collect_tables(stats) if t.num_rows]
+            tbl = pa.concat_tables(parts) if parts else pa.table({
+                col: pa.array([], pa.string()),
+                f"{self.target_col}_sum": pa.array([], pa.int64()),
+                f"{self.target_col}_count": pa.array([], pa.int64()),
+            })
+        else:
+            tbl = groupby_agg(ds.select([col, self.target_col]), col,
+                              {self.target_col: ["sum", "count"]})
+        pos = pc.cast(tbl.column(f"{self.target_col}_sum"), pa.int64(),
+                      safe=False).to_numpy(zero_copy_only=False)
+        n = pc.cast(tbl.column(f"{self.target_col}_count"), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        catarr = A.as_array(tbl.column(col))
+        keep = pc.is_valid(catarr).to_numpy(zero_copy_only=False)
+        pos, n = pos[keep], n[keep]
+        if len(pos) and (pos.min() < 0 or (pos > n).any()):
+            raise ValueError("WoeEncode target must be a binary 0/1 integer column")
+        neg = n - pos
+        k = len(pos)
+        pos_tot, neg_tot = int(pos.sum()), int(neg.sum())
+        num = (pos + 1) * np.int64(neg_tot + k)
+        den = (neg + 1) * np.int64(pos_tot + k)
+        if len(num) and max(int(num.max()), int(den.max())) >= 2**53:
+            raise ValueError(
+                "WoeEncode count products exceed exact float64 range (2^53) — "
+                "fit on a sample (sample_fraction) for corpora this large"
+            )
+        # A.libm_log, NOT np.log: numpy's SIMD log differs from libm (and
+        # therefore DuckDB's ln) by 1 ULP on ~22% of inputs — a latent
+        # 6dp-boundary flip (lesson 24).
+        enc = A.libm_log(num.astype(np.float64) / den.astype(np.float64)) if k else np.zeros(0)
+        cats = catarr.filter(pa.array(keep))
+        return TargetEncodeTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            categories=cats.to_pylist(),
+            encodings=enc.tolist(),
+            default_value=0.0,
+        )
+
+
 class CountEncodeTransformer(Transformer):
     """Category -> its fitted occurrence count (``normalize=True``: its
     frequency share of non-null rows) — count/frequency encoding, the

@@ -230,7 +230,8 @@ def drift_report(ds_a, ds_b, col: str, bins: int, lo: float, hi: float,
     s = int(smoothing)
     pa_ = (na.astype(np.float64) + float(s)) / (float(Na) + float(s * bins))
     pb_ = (nb.astype(np.float64) + float(s)) / (float(Nb) + float(s * bins))
-    psi = (pa_ - pb_) * np.log(pa_ / pb_)
+    # libm_log: oracle-mirrored ln must match DuckDB bit-for-bit
+    psi = (pa_ - pb_) * A.libm_log(pa_ / pb_)
     return pa.table({
         "bin": pa.array(np.arange(bins, dtype=np.int64)),
         "n_a": pa.array(na), "n_b": pa.array(nb),
@@ -393,7 +394,8 @@ def categorical_drift(ds_a, ds_b, col: str, smoothing: int = 1,
     s = int(smoothing)
     pa_ = (na.astype(np.float64) + float(s)) / (float(Na) + float(s * K))
     pb_ = (nb.astype(np.float64) + float(s)) / (float(Nb) + float(s * K))
-    psi = (pa_ - pb_) * np.log(pa_ / pb_)
+    # libm_log: oracle-mirrored ln must match DuckDB bit-for-bit
+    psi = (pa_ - pb_) * A.libm_log(pa_ / pb_)
     return pa.table({
         col: pa.array(cats, pa.string()),
         "n_a": pa.array(na), "n_b": pa.array(nb),

@@ -106,7 +106,8 @@ def _hll_estimate(regs: np.ndarray) -> np.ndarray:
     zeros = (regs == 0).sum(axis=1)
     small = (est <= 2.5 * m) & (zeros > 0)
     with np.errstate(divide="ignore"):
-        lin = m * np.log(m / np.where(zeros == 0, 1, zeros))
+        # libm_log: oracle-mirrored ln must match DuckDB bit-for-bit
+        lin = m * A.libm_log(m / np.where(zeros == 0, 1, zeros))
     return np.where(small, lin, est)
 
 

@@ -714,7 +714,11 @@ def _numeric_kernel(kind, op, arrays, v, nulls, pos):
     ``pos`` is the innermost array position per element (all-zero for scalar
     columns); fitted vectors clamp to their last entry beyond it."""
     if kind == "log":
-        return np.log(v + op["alpha"]), pa.float64()
+        # pc.ln, not np.log: numpy's SIMD log differs from the engine's
+        # arrow kernel by 1 ULP on ~22% of inputs (same class as exp below)
+        import pyarrow.compute as _pc
+
+        return _pc.ln(pa.array(v + op["alpha"])).to_numpy(zero_copy_only=False), pa.float64()
     if kind == "abs":
         return np.abs(v), pa.float64()
     if kind == "exp":

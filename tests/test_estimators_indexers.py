@@ -223,3 +223,42 @@ def test_rare_label_encoder_threshold_and_cap(ray_session):
     # custom rare token round-trips through params
     tr4 = RareLabelEncoderEstimator(input_col="c", output_col="o", min_freq=2, rare_label="<RARE>").fit(t)
     assert tr4.transform(t).column("o").to_pylist()[-2] == "<RARE>"
+
+
+def test_woe_encode_matches_manual(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages import WoeEncodeEstimator
+
+    rng = np.random.default_rng(5)
+    cats = rng.choice(["a", "b", "c", "d"], 5000).tolist()
+    y = rng.integers(0, 2, 5000).tolist()
+    t = pa.table({"c": cats, "y": pa.array(y, pa.int64())})
+    tr = WoeEncodeEstimator(input_col="c", target_col="y", output_col="w").fit(t)
+    # manual reference
+    from collections import Counter
+    pos, n = Counter(), Counter()
+    for c, yy in zip(cats, y):
+        n[c] += 1
+        pos[c] += yy
+    K = len(n)
+    pt, nt = sum(pos.values()), sum(n.values()) - sum(pos.values())
+    exp = {c: math.log(((pos[c] + 1) * (nt + K)) / (((n[c] - pos[c]) + 1) * (pt + K))) for c in n}
+    got = dict(zip(tr.categories, tr.encodings))
+    for c in n:
+        assert got[c] == exp[c], c
+    # dataset fit identical (int sums are order-free)
+    ds = ray.data.from_arrow(t).repartition(5)
+    tr2 = WoeEncodeEstimator(input_col="c", target_col="y", output_col="w").fit(ds)
+    assert dict(zip(tr2.categories, tr2.encodings)) == got
+    # non-binary target raises
+    bad = pa.table({"c": ["a", "b"], "y": pa.array([2, 0], pa.int64())})
+    try:
+        WoeEncodeEstimator(input_col="c", target_col="y", output_col="w").fit(bad)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -255,3 +255,30 @@ def test_balanced_shards_table_and_dataset(ray_session):
     bad2 = pa.table({"id": pa.array([1 << 33], pa.int64()), "w": pa.array([1], pa.int64())})
     with pytest.raises(ValueError):
         balanced_shards(bad2, "id", "w", S)
+
+
+def test_negative_sampling_dataset_matches_table(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.packing import negative_sampling
+
+    rng = np.random.default_rng(9)
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 50, 2000)),
+        "i": pa.array(rng.integers(0, 40, 2000)),
+    })
+    expect = negative_sampling(t, "u", "i", num_items=40, k=6)
+    er = sorted(zip(expect.column("u").to_pylist(), expect.column("neg_item").to_pylist()))
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = negative_sampling(ds, "u", "i", num_items=40, k=6)
+    rows = out.take_all()
+    gr = sorted((r["u"], r["neg_item"]) for r in rows)
+    assert gr == er
+    # no emitted pair is a positive; items within range; determinism across runs
+    pos = set(zip(t.column("u").to_pylist(), t.column("i").to_pylist()))
+    assert not (set(gr) & pos)
+    assert all(0 <= it < 40 for _, it in gr)
+    again = negative_sampling(ds, "u", "i", num_items=40, k=6).take_all()
+    assert sorted((r["u"], r["neg_item"]) for r in again) == gr

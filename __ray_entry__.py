@@ -542,6 +542,20 @@ def _q_bpe_pairs(sf_dir):
     return bpe_pair_counts(toks, "toks", min_count=3)
 
 
+def _q_trigrams(sf_dir):
+    """Token trigram mining (``token_stats.token_trigram_counts``): the n=3
+    sibling of q_bpe_pairs — packed 63-bit codes (three 21-bit fields), one
+    code sort-shuffle, order-free integer merge. Repeated-phrase /
+    n-gram-LM statistics over the token stream."""
+    from kamae_ray.pipelines.token_stats import token_trigram_counts
+    from kamae_ray.stages.text import TokenizeTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = TokenizeTransformer(input_col="text", vocab_size=VOCAB,
+                               output_col="toks").transform(ds)
+    return token_trigram_counts(toks, "toks", min_count=2)
+
+
 def _q_oov(sf_dir):
     """Vocabulary-coverage QA (``token_stats.oov_stats``): fit a top-500
     vocabulary by global token frequency (ties -> smaller id, deterministic),
@@ -4217,6 +4231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_char_diversity": _q_char_diversity,
         "q_woe": _q_woe,
         "q_negatives": _q_negatives,
+        "q_trigrams": _q_trigrams,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4501,6 +4516,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g) "
             "SELECT a AS tok_a, b AS tok_b, CAST(COUNT(*) AS BIGINT) AS cnt "
             "FROM p GROUP BY a, b HAVING COUNT(*) >= 3"
+        ),
+        "q_trigrams": (
+            f"WITH t AS (SELECT {_TOKEN_EXPR} AS toks FROM documents), "
+            "p AS (SELECT toks[i]::BIGINT AS a, toks[i+1]::BIGINT AS b, "
+            "toks[i+2]::BIGINT AS c "
+            "FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g) "
+            "SELECT a AS tok_a, b AS tok_b, c AS tok_c, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM p GROUP BY a, b, c HAVING COUNT(*) >= 2"
         ),
         "q_outliers": (
             "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m "

@@ -285,6 +285,7 @@ _BENCH_QUERIES = [
     "q_char_diversity",  # inverse-Simpson codepoint concentration score
     "q_woe",  # weight-of-evidence supervised categorical encoding
     "q_negatives",  # deterministic hash negative sampling + anti-join
+    "q_trigrams",  # packed-code token trigram frequencies
 ]
 
 

@@ -197,3 +197,78 @@ def oov_stats(ds, id_col: str, tokens_col: str, vocab_k: int = 1000,
         return score(ds)
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None)
+
+
+_TRI_LIMIT = 1 << 20  # |token id| bound for the packed int64 trigram code
+
+
+def token_trigram_counts(ds, tokens_col: str, min_count: int = 1):
+    """Adjacent token-TRIGRAM frequencies across the corpus — the n=3
+    sibling of :func:`bpe_pair_counts` (n-gram LM / repeated-phrase mining
+    over token streams). For every row each consecutive
+    ``(tokens[i], tokens[i+1], tokens[i+2])`` counts once; trigrams never
+    span rows. Output: ``tok_a, tok_b, tok_c, cnt`` (int64,
+    cnt >= min_count), sorted (cnt DESC, tok_a, tok_b, tok_c).
+
+    Same scale plan as the pair op: per-block np.unique over packed int64
+    codes (base 2^21 — three 21-bit fields), ONE code sort-shuffle, a
+    segment-sum merge; exchanges carry O(blocks x in-block distinct
+    trigrams). Token ids must satisfy ``|id| < 2^20`` (any real vocab
+    does; bpe_pair_counts allows 2^30 because it only packs two)."""
+    B = np.int64(1 << 21)
+
+    def partial(block: pa.Table) -> pa.Table:
+        lens, v = _flat_tokens(block, tokens_col)
+        if len(v) and (np.abs(v).max() >= _TRI_LIMIT):
+            raise ValueError(
+                "token_trigram_counts: |token id| >= 2^20 cannot pack into "
+                "the int64 trigram code")
+        ends = np.cumsum(lens)
+        valid = np.ones(len(v), dtype=bool)
+        # a trigram starts everywhere except each row's last TWO positions
+        valid[ends[lens > 0] - 1] = False
+        valid[ends[lens > 1] - 2] = False
+        n = len(v)
+        starts_ok = valid[: n - 2] if n >= 2 else valid[:0]
+        a = v[: n - 2][starts_ok] if n else v
+        b = v[1 : n - 1][starts_ok] if n else v
+        c = v[2:][starts_ok] if n else v
+        code = ((a + _TRI_LIMIT) * B + (b + _TRI_LIMIT)) * B + (c + _TRI_LIMIT)
+        u, cnt = np.unique(code, return_counts=True)
+        return pa.table({"tri": pa.array(u, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    partial.__name__ = "trigram_partial"
+
+    def merge(block: pa.Table) -> pa.Table:
+        from kamae_ray.functions import segments as S
+
+        if block.num_rows == 0:
+            return pa.table({"tok_a": pa.array([], pa.int64()),
+                             "tok_b": pa.array([], pa.int64()),
+                             "tok_c": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        code = block.column("tri").to_numpy(zero_copy_only=False)
+        cnt = block.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(code, kind="stable")
+        cs, cc = code[order], cnt[order]
+        starts, _lens = S.segments(cs)
+        tot = np.add.reduceat(cc, starts)
+        keep = tot >= min_count
+        ucode, tot = cs[starts][keep], tot[keep]
+        return pa.table({
+            "tok_a": pa.array(ucode // (B * B) - _TRI_LIMIT, pa.int64()),
+            "tok_b": pa.array((ucode // B) % B - _TRI_LIMIT, pa.int64()),
+            "tok_c": pa.array(ucode % B - _TRI_LIMIT, pa.int64()),
+            "cnt": pa.array(tot),
+        })
+
+    if isinstance(ds, pa.Table):
+        out = merge(partial(ds))
+        return out.sort_by([("cnt", "descending"), ("tok_a", "ascending"),
+                            ("tok_b", "ascending"), ("tok_c", "ascending")])
+    from kamae_ray.stages.window import sorted_block_apply
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return sorted_block_apply(parts, ["tri"], merge, "trigram_merge")

@@ -153,3 +153,37 @@ def test_char_diversity_matches_oracle_and_counter():
         out.column("cd_n_chars").to_pylist(), out.column("cd_s2").to_pylist(),
         out.column("cd_ppm").to_pylist(),
     ))
+
+
+def test_token_trigram_counts_matches_counter(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from collections import Counter
+
+    from kamae_ray.pipelines.token_stats import token_trigram_counts
+
+    rng = np.random.default_rng(13)
+    rows = [rng.integers(0, 9, rng.integers(0, 12)).tolist() for _ in range(800)]
+    t = pa.table({"toks": pa.array(rows, pa.list_(pa.int64()))})
+    exp = Counter()
+    for r in rows:
+        for i in range(len(r) - 2):
+            exp[(r[i], r[i + 1], r[i + 2])] += 1
+    out = token_trigram_counts(t, "toks", min_count=2)
+    got = {(a, b, c): v for a, b, c, v in zip(
+        out.column("tok_a").to_pylist(), out.column("tok_b").to_pylist(),
+        out.column("tok_c").to_pylist(), out.column("cnt").to_pylist())}
+    assert got == {k: v for k, v in exp.items() if v >= 2}
+    # dataset path: same result at any partitioning (trigrams never span rows)
+    ds = ray.data.from_arrow(t).repartition(7)
+    rows_out = token_trigram_counts(ds, "toks", min_count=2).take_all()
+    got_ds = {(r["tok_a"], r["tok_b"], r["tok_c"]): r["cnt"] for r in rows_out}
+    assert got_ds == got
+    # id-range guard
+    big = pa.table({"toks": pa.array([[1 << 20, 1, 2]], pa.list_(pa.int64()))})
+    try:
+        token_trigram_counts(big, "toks")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -662,6 +662,24 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_rolling_p90(sf_dir):
+    """Rolling 0.9-quantile over the trailing 7 rows per entity
+    (``RollingAggTransformer(stat='quantile', q=0.9)``) — the tail-latency /
+    spike-detection window stat. The oracle mirrors pandas' linear
+    interpolation over a list_sort'ed window frame EXACTLY (q cast to
+    DOUBLE — a bare DuckDB decimal literal diverges; 30000/30000 bit-equal
+    measured)."""
+    from kamae_ray.stages import RollingAggTransformer
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    r = RollingAggTransformer(
+        input_col="value", entity_cols=["user_id"], time_col="ts",
+        stat="quantile", q=0.9, window=7, min_periods=1, output_col="roll_p90",
+    )
+    out = r.transform(ev)
+    return out.map_batches(_rounder(["value", "roll_p90"]), batch_format="pyarrow")
+
+
 def _q_postings(sf_dir):
     """Inverted-index build (``text_features.inverted_index``): term ->
     (df, cf, ordered doc-id posting list), min_df=2. Block-local (doc, term,
@@ -4232,6 +4250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_woe": _q_woe,
         "q_negatives": _q_negatives,
         "q_trigrams": _q_trigrams,
+        "q_rolling_p90": _q_rolling_p90,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4552,6 +4571,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ts, ROUND(value, 6) AS value, "
             "ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med_5 FROM events"
+        ),
+        "q_rolling_p90": (
+            "WITH w AS (SELECT event_id, user_id, ts, value, "
+            "list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS sv FROM events), "
+            "e AS (SELECT event_id, user_id, ts, value, sv, "
+            "CAST(0.9 AS DOUBLE) * (len(sv) - 1) AS pos FROM w) "
+            "SELECT event_id, user_id, ts, ROUND(value, 6) AS value, "
+            "ROUND(sv[CAST(floor(pos) AS INT) + 1] + "
+            "(sv[least(CAST(floor(pos) AS INT) + 2, len(sv))] - "
+            "sv[CAST(floor(pos) AS INT) + 1]) * (pos - floor(pos)), 6) AS roll_p90 "
+            "FROM e"
         ),
         "q_postings": (
             "WITH words AS (SELECT doc_id, w AS term FROM ("

@@ -725,7 +725,7 @@ class CumulativeAggTransformer(KeyedWindowTransformer):
         return out
 
 
-_ROLL_STATS = _CUM_STATS + ("median",)
+_ROLL_STATS = _CUM_STATS + ("median", "quantile")
 
 
 class RollingAggTransformer(KeyedWindowTransformer):
@@ -736,13 +736,21 @@ class RollingAggTransformer(KeyedWindowTransformer):
     accumulation, so it is deterministic cross-engine like SQL
     ``median(...) OVER (... ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``)."""
 
-    def __init__(self, *args, stat: str = "mean", window: int = 3, min_periods: int = 1, **kwargs):
+    def __init__(self, *args, stat: str = "mean", window: int = 3, min_periods: int = 1,
+                 q: float = 0.5, **kwargs):
         super().__init__(*args, **kwargs)
         if stat not in _ROLL_STATS:
             raise ValueError(f"stat must be one of {_ROLL_STATS}")
         self.stat = stat
         self.window = int(window)
         self.min_periods = int(min_periods)
+        # stat="quantile" only: rolling q-quantile with pandas' linear
+        # interpolation sorted[lo] + (sorted[hi]-sorted[lo]) * (pos-lo),
+        # pos = q*(n-1). The SQL mirror is bit-identical PROVIDED the oracle
+        # casts q to DOUBLE (a bare 0.9 literal is DECIMAL in DuckDB and the
+        # decimal pos arithmetic diverges — measured 30000/30000 equal with
+        # the cast, 7866/30000 without).
+        self.q = float(q)
 
     def _seg_kernel(self, vals, t, starts, lens, srep):
         if self.stat in ("sum", "count", "mean"):
@@ -760,7 +768,10 @@ class RollingAggTransformer(KeyedWindowTransformer):
             ser = pd.Series(vals)
             gid_rep = np.repeat(np.arange(len(starts)), lens)
             r = ser.groupby(gid_rep).rolling(self.window, min_periods=1)
-            out = getattr(r, self.stat)().to_numpy()
+            if self.stat == "quantile":
+                out = r.quantile(self.q, interpolation="linear").to_numpy()
+            else:
+                out = getattr(r, self.stat)().to_numpy()
         if self.min_periods > 1:
             _, cnt_all = S.seg_rolling_sum_count(np.where(np.isnan(vals), np.nan, vals), self.window, srep)
             out = np.where(cnt_all >= self.min_periods, out, np.nan)

@@ -643,3 +643,30 @@ class TestTwapAdviceFixes:
         t = pa.table({"u": [1] * 6, "ts": ts, "v": [v] * 6})
         with pytest.raises(ValueError, match="overflows int64"):
             time_weighted_avg(t, "u", "ts", "v")
+
+
+def test_rolling_quantile_matches_pandas_reference():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from kamae_ray.stages import RollingAggTransformer
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 20, n)),
+        "ts": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(np.round(rng.standard_normal(n) * 50, 3)),
+    })
+    for q, w in ((0.9, 7), (0.25, 4), (0.5, 5)):
+        r = RollingAggTransformer(
+            input_col="v", entity_cols=["u"], time_col="ts",
+            stat="quantile", q=q, window=w, min_periods=1, output_col="rq",
+        )
+        got = r.transform(t)
+        df = pd.DataFrame({"u": t.column("u").to_pylist(), "v": t.column("v").to_pylist()})
+        exp = df.groupby("u")["v"].transform(
+            lambda s: s.rolling(w, min_periods=1).quantile(q, interpolation="linear")
+        ).to_numpy()
+        assert got.column("rq").to_pylist() == exp.tolist(), (q, w)

@@ -662,6 +662,61 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_attribution(sf_dir):
+    """First-touch attribution chain: sessionize (30-min gap) -> session
+    first-touch channel + exact session-start timestamp (the type-preserving
+    FIRST_VALUE gather — string + timestamp come through exactly) ->
+    row_number -> purchases only. Emits per purchase: the session's first
+    event_type, whole seconds since session start (exact int64 us floor-div)
+    and the number of prior events in the session. ONE entity sort shared by
+    all four window stages (apply_sorted fusion contract)."""
+    from kamae_ray.stages import (
+        SessionizeTransformer,
+        WindowRankTransformer,
+        WindowValueTransformer,
+    )
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    sess = SessionizeTransformer(
+        entity_cols=["user_id"], time_col="ts", gap=1_800_000_000,
+        output_col="session_id",
+    ).transform(ev)
+    from kamae_ray.pipelines import PipelineModel
+
+    ent = ["user_id", "session_id"]
+    # the three same-key window stages fuse into ONE (user, session) sort
+    pm = PipelineModel([
+        WindowValueTransformer(
+            input_col="event_type", entity_cols=ent, time_col="ts",
+            method="first_value", output_col="first_touch",
+        ),
+        WindowValueTransformer(
+            input_col="ts", entity_cols=ent, time_col="ts",
+            method="first_value", output_col="session_start",
+        ),
+        WindowRankTransformer(
+            entity_cols=ent, time_col="ts", method="row_number", output_col="rn",
+        ),
+    ])
+    out = pm.transform(sess)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        ts_us = pc.cast(batch.column("ts"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        st_us = pc.cast(batch.column("session_start"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "first_touch": batch.column("first_touch"),
+            "since_start_s": pa.array((ts_us - st_us) // 1_000_000, pa.int64()),
+            "prior_events": pc.subtract(batch.column("rn"), pa.scalar(1, pa.int64())),
+        })
+
+    finish.__name__ = "attribution_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_rolling_p90(sf_dir):
     """Rolling 0.9-quantile over the trailing 7 rows per entity
     (``RollingAggTransformer(stat='quantile', q=0.9)``) — the tail-latency /
@@ -4251,6 +4306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_negatives": _q_negatives,
         "q_trigrams": _q_trigrams,
         "q_rolling_p90": _q_rolling_p90,
+        "q_attribution": _q_attribution,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4571,6 +4627,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ts, ROUND(value, 6) AS value, "
             "ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_med_5 FROM events"
+        ),
+        "q_attribution": (
+            "WITH g AS (SELECT event_id, user_id, ts, event_type, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS gap_us FROM events), "
+            "s AS (SELECT *, CAST(coalesce(sum(CASE WHEN gap_us > 1800000000 "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) "
+            "AS BIGINT) AS sid FROM g), "
+            "a AS (SELECT event_id, user_id, ts, event_type, "
+            "FIRST_VALUE(event_type) OVER ws AS first_touch, "
+            "FIRST_VALUE(ts) OVER ws AS session_start, "
+            "ROW_NUMBER() OVER ws - 1 AS prior_events FROM s "
+            "WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id)) "
+            "SELECT event_id, user_id, ts, first_touch, "
+            "((epoch_us(ts) - epoch_us(session_start)) // 1000000)::BIGINT AS since_start_s, "
+            "prior_events::BIGINT AS prior_events "
+            "FROM a WHERE event_type = 'purchase'"
         ),
         "q_rolling_p90": (
             "WITH w AS (SELECT event_id, user_id, ts, value, "

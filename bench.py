@@ -287,6 +287,7 @@ _BENCH_QUERIES = [
     "q_negatives",  # deterministic hash negative sampling + anti-join
     "q_trigrams",  # packed-code token trigram frequencies
     "q_rolling_p90",  # rolling 0.9-quantile window stat
+    "q_attribution",  # sessionize -> first-touch attribution chain
 ]
 
 

@@ -465,8 +465,12 @@ class KeyedWindowTransformer(Transformer):
         if n == 0:
             return _append_or_replace(block, self.output_col, pa.array([], self.out_type))
         gids = S.group_ids(block, self.entity_cols)
-        t = _time_to_numeric(A.as_array(block.column(self.time_col))).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        order = np.lexsort((t, gids))
+        # sort by the EXACT native numeric time (int64 for timestamps —
+        # microsecond epochs exceed 2^53, so a float64 sort key aliases
+        # ~256us-apart rows into arrival order); kernels keep float64 t
+        t_raw = _time_to_numeric(A.as_array(block.column(self.time_col))).to_numpy(zero_copy_only=False)
+        t = t_raw.astype(np.float64, copy=False)
+        order = np.lexsort((t_raw, gids))
         gs = gids[order]
         t_s = t[order]
         starts, lens = S.segments(gs)
@@ -649,7 +653,12 @@ class WindowValueTransformer(KeyedWindowTransformer):
     e.g. first-touch attribution, final-state labels. NaN/null values are
     REAL values here (SQL: FIRST_VALUE does not skip nulls); ties on the
     order key follow the stable lexsort (use a unique key for determinism,
-    same caveat as SQL)."""
+    same caveat as SQL).
+
+    The kernel is a TYPE-PRESERVING Arrow gather (no float64 round-trip):
+    strings, timestamps and int64 come through exactly — first-touch
+    channels and exact session-start timestamps work, and microsecond-epoch
+    values can't alias in a float cast."""
 
     def __init__(self, *args, method: str = "first_value", **kwargs):
         super().__init__(*args, **kwargs)
@@ -657,10 +666,26 @@ class WindowValueTransformer(KeyedWindowTransformer):
             raise ValueError("method must be first_value|last_value")
         self.method = method
 
-    def _seg_kernel(self, vals, t, starts, lens, srep):
+    def _block_fn(self, block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        arr = A.as_array(block.column(self.input_col))
+        if n == 0:
+            return _append_or_replace(block, self.output_col, arr.slice(0, 0))
+        gids = S.group_ids(block, self.entity_cols)
+        # exact native numeric sort key (see KeyedWindowTransformer._block_fn)
+        t_raw = _time_to_numeric(A.as_array(block.column(self.time_col))).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((t_raw, gids))
+        starts, lens = S.segments(gids[order])
+        srep = np.repeat(starts, lens)
         if self.method == "first_value":
-            return vals[srep]
-        return vals[srep + np.repeat(lens, lens) - 1]
+            src_sorted = order[srep]
+        else:
+            src_sorted = order[srep + np.repeat(lens, lens) - 1]
+        idx = np.empty(n, np.int64)
+        idx[order] = src_sorted
+        out = arr.take(pa.array(idx))
+        return _append_or_replace(block, self.output_col, self._cast_out(out))
 
 
 class EwmMeanTransformer(KeyedWindowTransformer):

@@ -670,3 +670,37 @@ def test_rolling_quantile_matches_pandas_reference():
             lambda s: s.rolling(w, min_periods=1).quantile(q, interpolation="linear")
         ).to_numpy()
         assert got.column("rq").to_pylist() == exp.tolist(), (q, w)
+
+
+def test_window_value_gather_preserves_types():
+    import numpy as np
+    import pyarrow as pa
+
+    from kamae_ray.stages import WindowValueTransformer
+
+    # string channel + exact int64-us timestamps (values float64 would alias)
+    base = 1 << 60
+    t = pa.table({
+        "u": pa.array([0, 0, 0, 1, 1]),
+        "ts": pa.array([base + 2, base + 1, base + 3, base + 130, base + 129],
+                       pa.timestamp("us")),
+        "ch": pa.array(["b", "a", None, "y", "x"]),
+    })
+    first_ch = WindowValueTransformer(
+        input_col="ch", entity_cols=["u"], time_col="ts",
+        method="first_value", output_col="fc",
+    ).transform_batch(t)
+    assert first_ch.column("fc").to_pylist() == ["a", "a", "a", "x", "x"]
+    assert first_ch.column("fc").type == pa.string()
+    first_ts = WindowValueTransformer(
+        input_col="ts", entity_cols=["u"], time_col="ts",
+        method="first_value", output_col="ft",
+    ).transform_batch(t)
+    got = pa.compute.cast(first_ts.column("ft"), pa.int64()).to_pylist()
+    # exact: +129 beats +130 even though both alias in float64 at 2^60
+    assert got == [base + 1] * 3 + [base + 129] * 2
+    last_ch = WindowValueTransformer(
+        input_col="ch", entity_cols=["u"], time_col="ts",
+        method="last_value", output_col="lc",
+    ).transform_batch(t)
+    assert last_ch.column("lc").to_pylist() == [None, None, None, "y", "y"]

@@ -112,7 +112,11 @@ class HaversineDistanceTransformer(MultiInputTransformer):
         dphi = np.radians(lat2 - lat1)
         dlmb = np.radians(lon2 - lon1)
         h = np.sin(dphi / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2) ** 2
-        return pa.array(2 * _EARTH_RADIUS_KM * np.arcsin(np.sqrt(h)), pa.float64())
+        # pc.asin, not np.arcsin: numpy diverges from libm/DuckDB by 1 ULP
+        # on ~26% of inputs (lesson 38 — oracle-mirrored transcendentals
+        # must ride Arrow kernels); np.sin/np.cos/np.sqrt are exact matches.
+        asin = pc.asin(pa.array(np.sqrt(h))).to_numpy(zero_copy_only=False)
+        return pa.array(2 * _EARTH_RADIUS_KM * asin, pa.float64())
 
 
 class BearingAngleTransformer(MultiInputTransformer):
@@ -138,7 +142,9 @@ class BearingAngleTransformer(MultiInputTransformer):
         dlmb = np.radians(lon2 - lon1)
         y = np.sin(dlmb) * np.cos(p2)
         x = np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dlmb)
-        theta = np.degrees(np.arctan2(y, x))
+        # pc.atan2, not np.arctan2: same lesson-38 libm-parity class
+        at2 = pc.atan2(pa.array(y), pa.array(x)).to_numpy(zero_copy_only=False)
+        theta = np.degrees(at2)
         return pa.array((theta + 360.0) % 360.0, pa.float64())
 
 

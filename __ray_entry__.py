@@ -662,6 +662,37 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_nearest_broadcast(sf_dir):
+    """Same nearest-match semantics as q_nearest through the BROADCAST plan
+    (no shuffle/sort of the left: three exact-int64 vectorized binary
+    searches per batch against the driver-sorted right side) — certifies
+    the second physical plan against the identical LATERAL argmin oracle."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.stages import broadcast_asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+    right = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_type"],
+    )
+    right = right.filter(pc.equal(right.column("event_type"), "purchase"))
+    right = pa.table({
+        "user_id": right.column("user_id"),
+        "pts": right.column("ts"),
+        "matched_pts": right.column("ts"),
+        "nearest_purchase_value": right.column("value"),
+    })
+    out = broadcast_asof_join(
+        ev, right, by=["user_id"], left_on="ts", right_on="pts",
+        right_cols=["matched_pts", "nearest_purchase_value"],
+        right_tiebreak="nearest_purchase_value", direction="nearest",
+    )
+    return out.map_batches(
+        _rounder(["nearest_purchase_value", "value"]), batch_format="pyarrow"
+    ).drop_columns(["event_type"])
+
+
 def _q_attribution(sf_dir):
     """First-touch attribution chain: sessionize (30-min gap) -> session
     first-touch channel + exact session-start timestamp (the type-preserving
@@ -4307,6 +4338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_trigrams": _q_trigrams,
         "q_rolling_p90": _q_rolling_p90,
         "q_attribution": _q_attribution,
+        "q_nearest_broadcast": _q_nearest_broadcast,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -5654,6 +5686,17 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = p.user_id AND e.ts < p.pts"
         ),
         "q_nearest": (
+            "SELECT e.event_id, e.user_id, e.ts, ROUND(e.value, 6) AS value, "
+            "p.pts AS matched_pts, ROUND(p.v, 6) AS nearest_purchase_value "
+            "FROM events e LEFT JOIN LATERAL ("
+            "SELECT r.ts AS pts, r.value AS v FROM events r "
+            "WHERE r.event_type = 'purchase' AND r.user_id = e.user_id "
+            "ORDER BY abs(epoch_us(r.ts) - epoch_us(e.ts)), (r.ts > e.ts), r.value DESC "
+            "LIMIT 1) p ON TRUE"
+        ),
+        # q_nearest_broadcast: identical semantics, second physical plan —
+        # shares q_nearest's oracle verbatim
+        "q_nearest_broadcast": (
             "SELECT e.event_id, e.user_id, e.ts, ROUND(e.value, 6) AS value, "
             "p.pts AS matched_pts, ROUND(p.v, 6) AS nearest_purchase_value "
             "FROM events e LEFT JOIN LATERAL ("

@@ -814,6 +814,7 @@ def broadcast_asof_join(
     tolerance: float | None = None,
     suffix: str = "_r",
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ):
     """As-of join with a SMALL right side: the right table is sorted ONCE on
     the driver, broadcast via ``ray.put``, and every left batch resolves its
@@ -827,11 +828,21 @@ def broadcast_asof_join(
     (entity, time), else right arrival order) with ONE documented
     divergence: NULL entities follow SQL (never match; null-keyed right rows
     are dropped) — the sort-merge path groups nulls together instead.
+
+    ``direction="nearest"`` mirrors ``asof_join(direction="nearest")``:
+    min ``|t'-t|``, equidistant resolves backward, strict excludes equal
+    timestamps, tolerance bounds the absolute distance, max tiebreak among
+    the winning side's equal-time run. Distances and search comparisons run
+    in the EXACT native time domain (int64 for timestamps), three
+    O(log segment) vectorized binary-search passes per batch.
     """
     import ray
 
     from kamae_ray.stages.join import _combined_key
 
+    if direction not in ("backward", "nearest"):
+        raise ValueError("broadcast_asof_join supports direction backward|nearest")
+    nearest = direction == "nearest"
     right_on = right_on or left_on
     by = list(by)
     from kamae_ray.base import dataset_schema
@@ -849,7 +860,10 @@ def broadcast_asof_join(
     if rkey.null_count:
         right = right.filter(pc.is_valid(rkey))  # SQL: null keys never match
         rkey = _combined_key(right, by)
-    rt = pc.cast(_time_to_numeric(A.as_array(right.column(right_on))), pa.float64(), safe=False)
+    # nearest compares exact distances: keep the native numeric time domain
+    # (int64 for timestamps — float64 aliases above 2^53)
+    _num_t = pa.float64() if t_type == pa.float64() else pa.int64()
+    rt = pc.cast(_time_to_numeric(A.as_array(right.column(right_on))), _num_t, safe=False)
     rt_np = rt.to_numpy(zero_copy_only=False)
     # stable sort: (entity, time, [tiebreak]); the LAST row of an equal
     # (entity, time) run wins — stable order = arrival, tiebreak = max wins
@@ -888,31 +902,78 @@ def broadcast_asof_join(
             code = pc.if_else(pc.is_valid(lkey), code, pa.nulls(n, code.type))
         has_ent = pc.is_valid(code).to_numpy(zero_copy_only=False)
         code_np = pc.fill_null(code, 0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        t = pc.cast(_time_to_numeric(A.as_array(batch.column(left_on))), pa.float64(), safe=False)
+        t = pc.cast(_time_to_numeric(A.as_array(batch.column(left_on))), _num_t, safe=False)
+        if t.null_count:
+            has_t = pc.is_valid(t).to_numpy(zero_copy_only=False)
+            t = pc.fill_null(t, 0)
+        else:
+            has_t = None
         t_np = t.to_numpy(zero_copy_only=False)
         times = st["times"]
-        lo = np.where(has_ent, st["seg_start"][code_np], 0).astype(np.int64)
-        hi = np.where(has_ent, st["seg_end"][code_np], 0).astype(np.int64)
-        seg_lo = lo.copy()
-        # vectorized binary search: rightmost idx in [lo, hi) with
-        # times[idx] <= t (strict: < t); O(log max_segment) numpy passes
-        while True:
-            active = lo < hi
-            if not active.any():
-                break
-            mid = (lo + hi) // 2
-            mv = times[np.clip(mid, 0, max(len(times) - 1, 0))]
-            go_right = (mv < t_np) if strict else (mv <= t_np)
-            go_right &= active
-            lo = np.where(go_right, mid + 1, lo)
-            hi = np.where(active & ~go_right, mid, hi)
-        match_idx = lo - 1
-        matched = has_ent & (match_idx >= seg_lo)
-        with np.errstate(invalid="ignore"):
+        seg_lo = np.where(has_ent, st["seg_start"][code_np], 0).astype(np.int64)
+        seg_hi = np.where(has_ent, st["seg_end"][code_np], 0).astype(np.int64)
+
+        def ins_point(leq: bool) -> np.ndarray:
+            # vectorized binary search: FIRST idx in [seg_lo, seg_hi) with
+            # times[idx] > t (leq=True) or >= t (leq=False);
+            # O(log max_segment) numpy passes
+            lo, hi = seg_lo.copy(), seg_hi.copy()
+            while True:
+                active = lo < hi
+                if not active.any():
+                    break
+                mid = (lo + hi) // 2
+                mv = times[np.clip(mid, 0, max(len(times) - 1, 0))]
+                go_right = (mv <= t_np) if leq else (mv < t_np)
+                go_right &= active
+                lo = np.where(go_right, mid + 1, lo)
+                hi = np.where(active & ~go_right, mid, hi)
+            return lo
+
+        if nearest:
+            # backward: last idx with t' <= t (strict: < t)
+            back_idx = ins_point(leq=not strict) - 1
+            mb = has_ent & (back_idx >= seg_lo)
+            dist_b = np.where(mb, t_np - times[np.clip(back_idx, 0, max(len(times) - 1, 0))], 0)
+            if tolerance is not None:
+                mb &= dist_b <= tolerance
+            # forward: first idx with t' > t (equal times already belong to
+            # the non-strict backward winner at distance 0)
+            fwd_start = ins_point(leq=True)
+            mf = has_ent & (fwd_start < seg_hi)
+            ft = times[np.clip(fwd_start, 0, max(len(times) - 1, 0))]
+            dist_f = np.where(mf, ft - t_np, 0)
+            if tolerance is not None:
+                mf &= dist_f <= tolerance
+            # max-tiebreak among the forward run's equal timestamps: the
+            # run's LAST row (sorted (t, tb) ascending) — one more search
+            # against the run's own timestamp
+            lo, hi = np.maximum(fwd_start, seg_lo), seg_hi.copy()
+            tv = ft
+            while True:
+                active = lo < hi
+                if not active.any():
+                    break
+                mid = (lo + hi) // 2
+                mv = times[np.clip(mid, 0, max(len(times) - 1, 0))]
+                go_right = (mv <= tv) & active
+                lo = np.where(go_right, mid + 1, lo)
+                hi = np.where(active & ~go_right, mid, hi)
+            fwd_idx = lo - 1
+            take_fwd = mf & (~mb | (dist_f < dist_b))  # ties resolve backward
+            matched = mb | mf
+            match_idx = np.where(take_fwd, fwd_idx, back_idx)
+        else:
+            match_idx = ins_point(leq=not strict) - 1
+            matched = has_ent & (match_idx >= seg_lo)
             if tolerance is not None:
                 mt = times[np.clip(match_idx, 0, max(len(times) - 1, 0))]
                 matched &= (t_np - mt) <= tolerance
-            matched &= ~np.isnan(t_np)
+        if has_t is not None:
+            matched &= has_t
+        elif _num_t == pa.float64():
+            with np.errstate(invalid="ignore"):
+                matched &= ~np.isnan(t_np)
         take_idx = pa.array(np.where(matched, np.clip(match_idx, 0, None), 0), pa.int64())
         matched_pa = pa.array(matched)
         out = batch

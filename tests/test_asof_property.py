@@ -345,3 +345,30 @@ def test_asof_nearest_exact_us_timestamps():
     out = asof_join(left, right, by=["u"], left_on="t", right_cols=["t", "v"],
                     right_tiebreak="seq", direction="nearest")
     assert out.column("v").to_pylist() == [20.0]
+
+
+@given(asof_case())
+@settings(max_examples=60, deadline=None)
+def test_broadcast_nearest_matches_sort_merge(case):
+    lu, lt, ru, rt, strict, tolerance = case
+    seq = list(range(len(ru)))
+    left = pa.table(
+        {"u": pa.array(lu, pa.int64()), "t": pa.array(lt, pa.int64()), "rid": pa.array(np.arange(len(lu)))}
+    )
+    right = pa.table({
+        "u": pa.array(ru, pa.int64()),
+        "t": pa.array(rt, pa.int64()),
+        "seq": pa.array(seq, pa.int64()),
+        "p": pa.array([float(s * 10) for s in seq], pa.float64()),
+    })
+    from kamae_ray.stages import broadcast_asof_join
+
+    exp = asof_join(left, right, by=["u"], left_on="t", right_cols=["t", "p"],
+                    strict=strict, tolerance=tolerance, right_tiebreak="seq",
+                    direction="nearest")
+    got = broadcast_asof_join(left, right, by=["u"], left_on="t", right_cols=["t", "p"],
+                              strict=strict, tolerance=tolerance, right_tiebreak="seq",
+                              direction="nearest")
+    e = dict(zip(exp.column("rid").to_pylist(), exp.column("p").to_pylist()))
+    g = dict(zip(got.column("rid").to_pylist(), got.column("p").to_pylist()))
+    assert g == e

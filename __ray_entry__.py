@@ -662,6 +662,28 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_auc(sf_dir):
+    """Exact distributed ROC-AUC (``profile.binary_auc``): Mann-Whitney rank
+    formulation with exact tie handling over integer cent-quantized scores —
+    num2/P/N are pure int64 (one partial-agg groupby + an ordered neg
+    prefix), the AUC is ONE double division. Label = purchase events."""
+    from kamae_ray.stages.profile import binary_auc
+
+    ev = _read(sf_dir, "events", ["value", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        y = pc.cast(pc.equal(batch.column("event_type"), "purchase"), pa.int64())
+        return pa.table({"s": cents, "y": y})
+
+    prep.__name__ = "auc_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = binary_auc(ds, "s", "y")
+    return _round_cols(out, ["auc"])
+
+
 def _q_nearest_broadcast(sf_dir):
     """Same nearest-match semantics as q_nearest through the BROADCAST plan
     (no shuffle/sort of the left: three exact-int64 vectorized binary
@@ -4339,6 +4361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_p90": _q_rolling_p90,
         "q_attribution": _q_attribution,
         "q_nearest_broadcast": _q_nearest_broadcast,
+        "q_auc": _q_auc,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -5693,6 +5716,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE r.event_type = 'purchase' AND r.user_id = e.user_id "
             "ORDER BY abs(epoch_us(r.ts) - epoch_us(e.ts)), (r.ts > e.ts), r.value DESC "
             "LIMIT 1) p ON TRUE"
+        ),
+        "q_auc": (
+            "WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS s, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            "FROM events WHERE value IS NOT NULL), "
+            "g AS (SELECT s, SUM(y)::BIGINT AS pos, "
+            "(COUNT(*) - SUM(y))::BIGINT AS neg FROM t GROUP BY s), "
+            "o AS (SELECT pos, neg, COALESCE(SUM(neg) OVER (ORDER BY s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumneg FROM g) "
+            "SELECT SUM(pos * (2 * cumneg + neg))::BIGINT AS num2, "
+            "SUM(pos)::BIGINT AS pos_total, SUM(neg)::BIGINT AS neg_total, "
+            "ROUND((SUM(pos * (2 * cumneg + neg))::DOUBLE) / "
+            "(2.0 * SUM(pos) * SUM(neg)), 6) AS auc FROM o"
         ),
         # q_nearest_broadcast: identical semantics, second physical plan —
         # shares q_nearest's oracle verbatim

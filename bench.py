@@ -289,6 +289,7 @@ _BENCH_QUERIES = [
     "q_rolling_p90",  # rolling 0.9-quantile window stat
     "q_attribution",  # sessionize -> first-touch attribution chain
     "q_nearest_broadcast",  # nearest as-of through the broadcast plan
+    "q_auc",  # exact distributed ROC-AUC (integer Mann-Whitney)
 ]
 
 

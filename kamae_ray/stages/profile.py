@@ -402,3 +402,116 @@ def categorical_drift(ds_a, ds_b, col: str, smoothing: int = 1,
         "p_a": pa.array(pa_), "p_b": pa.array(pb_),
         "psi_term": pa.array(psi),
     })
+
+
+def binary_auc(ds, score_col: str, label_col: str,
+               driver_budget: int = 5_000_000):
+    """EXACT ROC-AUC of a binary 0/1 integer label against an INTEGER score
+    column (model-eval at corpus scale; float scores should be quantized to
+    fixed-point first — the repo's integer-score discipline, e.g.
+    LinearScoreTransformer's int64 logits). Rank formulation with exact tie
+    handling, all in int64:
+
+        num2 = sum over distinct scores v of  pos_v * (2*cumneg_below_v + neg_v)
+        AUC  = num2 / (2 * P * N)        (ONE double division)
+
+    which equals P(score_pos > score_neg) + 0.5*P(==) — the Mann-Whitney
+    statistic. Returns a 1-row table (num2, pos_total, neg_total, auc).
+
+    Scale plan: ONE partial-agg groupby builds the distinct-score
+    (pos_v, n_v) table; under ``driver_budget`` distinct scores the fold is
+    a driver numpy pass, above it the exclusive prefix rides
+    ``global_cumsum`` (bucket id = score, driver state O(distinct scores /
+    bucket)) and the fold is per-block partials + an O(blocks) driver sum.
+    Both paths are exact integers (asserted equal in tests). Raises when
+    2*P*N would leave int64 (~2e9 balanced rows) — beyond that compute AUC
+    per shard/group and average, or subsample."""
+    from kamae_ray.stages.aggregate import global_cumsum, groupby_agg
+
+    def _fold_sorted(scores, pos, n):
+        neg = n - pos
+        if len(pos) and (pos.min() < 0 or (pos > n).any()):
+            raise ValueError("binary_auc label must be a 0/1 integer column")
+        order = np.argsort(scores, kind="stable")
+        pos, neg = pos[order], neg[order]
+        P, N = int(pos.sum()), int(neg.sum())
+        if 2 * P * N >= 1 << 63:
+            raise ValueError("2*P*N exceeds int64 — compute AUC per group/shard")
+        cumneg = np.concatenate([[0], np.cumsum(neg)[:-1]]).astype(np.int64)
+        num2 = int((pos * (2 * cumneg + neg)).sum())
+        return num2, P, N
+
+    def _result(num2, P, N):
+        auc = float(num2) / (2.0 * P * N) if P and N else float("nan")
+        return pa.table({
+            "num2": pa.array([num2], pa.int64()),
+            "pos_total": pa.array([P], pa.int64()),
+            "neg_total": pa.array([N], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+        })
+
+    if isinstance(ds, pa.Table):
+        stats = groupby_agg(ds.select([score_col, label_col]), score_col,
+                            {label_col: ["sum", "count"]})
+        keep = pc.is_valid(stats.column(score_col)).to_numpy(zero_copy_only=False)
+        s = pc.cast(stats.column(score_col), pa.int64(), safe=False).to_numpy(zero_copy_only=False)[keep]
+        p = pc.cast(stats.column(f"{label_col}_sum"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)[keep]
+        n = pc.cast(stats.column(f"{label_col}_count"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)[keep]
+        return _result(*_fold_sorted(s, p, n))
+
+    from kamae_ray.base import collect_tables
+    from kamae_ray.state.aggregators import _project
+
+    proj = _project(ds, [score_col, label_col])
+    stats = groupby_agg(proj, score_col, {label_col: ["sum", "count"]})
+    stats = stats.materialize()  # consumed twice below on the distributed path
+    n_distinct = stats.count()
+    if n_distinct <= driver_budget:
+        parts = [t for t in collect_tables(stats) if t.num_rows]
+        if not parts:
+            return _result(0, 0, 0)
+        tbl = pa.concat_tables(parts)
+        keep = pc.is_valid(tbl.column(score_col)).to_numpy(zero_copy_only=False)
+        s = pc.cast(tbl.column(score_col), pa.int64(), safe=False).to_numpy(zero_copy_only=False)[keep]
+        p = pc.cast(tbl.column(f"{label_col}_sum"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)[keep]
+        n = pc.cast(tbl.column(f"{label_col}_count"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)[keep]
+        return _result(*_fold_sorted(s, p, n))
+
+    # distributed path: exclusive neg-prefix over the distinct-score order
+    def prep(block: pa.Table) -> pa.Table:
+        keep = pc.is_valid(block.column(score_col))
+        block = block.filter(keep)
+        s = pc.cast(block.column(score_col), pa.int64(), safe=False)
+        p = pc.cast(block.column(f"{label_col}_sum"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        n = pc.cast(block.column(f"{label_col}_count"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        if len(p) and (p.min() < 0 or (p > n).any()):
+            raise ValueError("binary_auc label must be a 0/1 integer column")
+        return pa.table({"__auc_s": s, "__auc_pos": pa.array(p),
+                         "__auc_neg": pa.array(n - p)})
+
+    prep.__name__ = "auc_prep"
+    keyed = stats.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=None)
+    ranked = global_cumsum(keyed, "__auc_s", "__auc_neg", out_col="__auc_cumneg",
+                           exclusive=True)
+
+    def partial(block: pa.Table) -> pa.Table:
+        p = block.column("__auc_pos").to_numpy(zero_copy_only=False)
+        g = block.column("__auc_neg").to_numpy(zero_copy_only=False)
+        c = block.column("__auc_cumneg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "num2": pa.array([int((p * (2 * c + g)).sum())], pa.int64()),
+            "p": pa.array([int(p.sum())], pa.int64()),
+            "n": pa.array([int(g.sum())], pa.int64()),
+        })
+
+    partial.__name__ = "auc_partial"
+    parts = [t for t in collect_tables(
+        ranked.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)) if t.num_rows]
+    num2 = sum(int(x) for t in parts for x in t.column("num2").to_pylist())
+    P = sum(int(x) for t in parts for x in t.column("p").to_pylist())
+    N = sum(int(x) for t in parts for x in t.column("n").to_pylist())
+    if 2 * P * N >= 1 << 63:
+        raise ValueError("2*P*N exceeds int64 — compute AUC per group/shard")
+    return _result(num2, P, N)

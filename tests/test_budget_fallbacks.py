@@ -282,3 +282,37 @@ def test_near_dedup_keep_best_driver_vs_distributed(ray_session):
                                       jaccard_threshold=0.5)
     assert _canon(fast) == _canon(tbl)
     assert w_tbl == w_fast
+
+
+def test_binary_auc_driver_and_distributed_equal(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.profile import binary_auc
+
+    rng = np.random.default_rng(31)
+    n = 30000
+    score = rng.integers(0, 400, n)  # heavy ties
+    y = (rng.random(n) < (score / 500.0)).astype(np.int64)
+    t = pa.table({"s": pa.array(score, pa.int64()), "y": pa.array(y, pa.int64())})
+    # searchsorted Mann-Whitney reference with tie correction
+    ps, ns = np.sort(score[y == 1]), np.sort(score[y == 0])
+    lt = np.searchsorted(ns, ps, side="left")
+    le = np.searchsorted(ns, ps, side="right")
+    ref = (lt.sum() + 0.5 * (le - lt).sum()) / (len(ps) * len(ns))
+    table_out = binary_auc(t, "s", "y")
+    assert abs(table_out.column("auc").to_pylist()[0] - ref) < 1e-12
+    ds = ray.data.from_arrow(t).repartition(6)
+    driver = binary_auc(ds, "s", "y")  # under budget -> driver fold
+    forced = binary_auc(ds, "s", "y", driver_budget=0)  # distributed prefix
+    for c in ("num2", "pos_total", "neg_total"):
+        assert driver.column(c).to_pylist() == table_out.column(c).to_pylist()
+        assert forced.column(c).to_pylist() == table_out.column(c).to_pylist(), c
+    # non-binary label raises
+    bad = pa.table({"s": pa.array([1, 2], pa.int64()), "y": pa.array([2, 0], pa.int64())})
+    try:
+        binary_auc(bad, "s", "y")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -662,6 +662,19 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_mi(sf_dir):
+    """(term, class) 2x2 mutual information feature scores
+    (``chi2_scores(stat='mi')``) — the sklearn mutual_info-style relevance
+    statistic on the same exact-integer cell machinery as q_chi2; four
+    mirrored libm_log terms summed in a fixed order (lesson 38)."""
+    from kamae_ray.pipelines.text_features import chi2_scores
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    out = chi2_scores(ds, "text", "lang", stat="mi")
+    return out.map_batches(_rounder(["mi"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_auc(sf_dir):
     """Exact distributed ROC-AUC (``profile.binary_auc``): Mann-Whitney rank
     formulation with exact tie handling over integer cent-quantized scores —
@@ -4362,6 +4375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_attribution": _q_attribution,
         "q_nearest_broadcast": _q_nearest_broadcast,
         "q_auc": _q_auc,
+        "q_mi": _q_mi,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6120,6 +6134,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM x) "
             "SELECT term, class, a AS n_docs, CASE WHEN d1 * d2 = 0 THEN NULL "
             "ELSE ROUND(Nf * (dif * dif) / (d1 * d2), 6) END AS chi2 FROM y"
+        ),
+        "q_mi": (
+            "WITH cls AS (SELECT doc_id, lang AS class, text FROM documents "
+            "WHERE lang IS NOT NULL), "
+            "tot AS (SELECT COUNT(*)::BIGINT AS N FROM cls), "
+            "ct AS (SELECT class, COUNT(*)::BIGINT AS n_class FROM cls GROUP BY 1), "
+            "dt AS (SELECT DISTINCT doc_id, class, unnest(list_distinct("
+            r"list_filter(string_split_regex(coalesce(text,''), '\s+'), "
+            "x -> length(x) > 0))) AS term FROM cls), "
+            "a AS (SELECT term, class, COUNT(*)::BIGINT AS a FROM dt GROUP BY 1, 2), "
+            "nt AS (SELECT term, SUM(a)::BIGINT AS n_term FROM a GROUP BY 1), "
+            "x AS (SELECT a.term, a.class, a.a, a.a::DOUBLE AS af, "
+            "(ct.n_class - a.a)::DOUBLE AS b, (nt.n_term - a.a)::DOUBLE AS c, "
+            "(tot.N - ct.n_class - nt.n_term + a.a)::DOUBLE AS dd, "
+            "nt.n_term::DOUBLE AS ntm, ct.n_class::DOUBLE AS ncl, tot.N::DOUBLE AS Nf "
+            "FROM a JOIN ct USING (class) JOIN nt USING (term) CROSS JOIN tot) "
+            "SELECT term, class, a AS n_docs, ROUND("
+            "CASE WHEN af > 0 THEN (af / Nf) * ln(af * Nf / (ntm * ncl)) ELSE 0 END "
+            "+ CASE WHEN b > 0 THEN (b / Nf) * ln(b * Nf / ((Nf - ntm) * ncl)) ELSE 0 END "
+            "+ CASE WHEN c > 0 THEN (c / Nf) * ln(c * Nf / (ntm * (Nf - ncl))) ELSE 0 END "
+            "+ CASE WHEN dd > 0 THEN (dd / Nf) * ln(dd * Nf / ((Nf - ntm) * (Nf - ncl))) ELSE 0 END"
+            ", 6) AS mi FROM x"
         ),
         # bucket expr generated from the engine's own poly31 constants
         "q_hash_vec": (lambda _p: (

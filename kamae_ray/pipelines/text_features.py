@@ -516,7 +516,7 @@ def chunk_documents(ds, id_col: str, text_col: str, chunk_words: int = 128,
                           batch_size=None)
 
 
-def chi2_scores(ds, text_col: str, class_col: str):
+def chi2_scores(ds, text_col: str, class_col: str, stat: str = "chi2"):
     """Per-(term, class) chi-squared feature scores over DOCUMENT PRESENCE
     (the sklearn/NLP vocabulary-selection statistic): for each term and
     class, the 2x2 chi2 of [docs-in-class with/without term vs other-class
@@ -529,6 +529,12 @@ def chi2_scores(ds, text_col: str, class_col: str):
     float64 expression over them, mirrored operation-for-operation by the
     SQL oracle (q_cat_stats entropy precedent — deterministic to the ULP,
     absorbed by 6dp rounding).
+
+    ``stat="mi"`` emits 2x2 mutual information in nats instead
+    (sklearn mutual_info-style feature relevance): ``sum over cells of
+    (cell/N) * ln(cell*N / (row*col))`` with empty cells contributing 0 —
+    same exact-integer cells, four mirrored ``libm_log`` terms summed in a
+    fixed order (lesson 38: pc.ln == DuckDB ln bit-for-bit).
 
     Scale plan: one tiny class-totals partial pass, one block pass emitting
     per-block (term, class, count) partials from PER-DOC DISTINCT terms
@@ -608,6 +614,8 @@ def chi2_scores(ds, text_col: str, class_col: str):
                          "cnt": pa.array(cnt.astype(np.int64))})
 
     pair_partial.__name__ = "chi2_pair_partial"
+    if stat not in ("chi2", "mi"):
+        raise ValueError("stat must be 'chi2' or 'mi'")
 
     def chi2_kern(block: pa.Table) -> pa.Table:
         from kamae_ray.functions import segments as S
@@ -644,6 +652,21 @@ def chi2_scores(ds, text_col: str, class_col: str):
         b = ncl - af
         c = ntm - af
         dd = Nf - ncl - ntm + af
+        if stat == "mi":
+            def _term(cell, row, col):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ratio = cell * Nf / (row * col)
+                    lg = A.libm_log(np.where(ratio > 0, ratio, 1.0))
+                    return np.where(cell > 0, (cell / Nf) * lg, 0.0)
+
+            mi = (_term(af, ntm, ncl) + _term(b, Nf - ntm, ncl)
+                  + _term(c, ntm, Nf - ncl) + _term(dd, Nf - ntm, Nf - ncl))
+            return pa.table({
+                "term": term_vals,
+                "class": pa.array(np.array(labels, dtype=object)[gcls], pa.string()),
+                "n_docs": pa.array(a),
+                "mi": pa.array(mi, pa.float64()),
+            })
         dif = af * dd - b * c
         d1 = (af + b) * (c + dd)
         d2 = (af + c) * (b + dd)

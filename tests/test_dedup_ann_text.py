@@ -1507,3 +1507,31 @@ def test_ivf_update_appends_without_touching_base(ray_session):
         assert rerun.column("id").to_pylist() == want.column("id").to_pylist()
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_chi2_scores_mi_stat():
+    import math
+
+    import pyarrow as pa
+
+    from kamae_ray.pipelines.text_features import chi2_scores
+
+    docs = ["spam spam buy", "hello world", "buy now spam", "hello friend"]
+    cls = ["bad", "good", "bad", "good"]
+    t = pa.table({"text": docs, "lang": cls})
+    out = chi2_scores(t, "text", "lang", stat="mi")
+    got = {(r["term"], r["class"]): r["mi"] for r in out.to_pylist()}
+    # manual: term 'spam' occurs in both bad docs, no good docs; N=4
+    # cells: a=2 (spam,bad), b=0, c=0, d=2; rows nt=2, cols nc=2
+    exp = 2 * (2 / 4) * math.log(2 * 4 / (2 * 2))
+    assert abs(got[("spam", "bad")] - exp) < 1e-15
+    # perfectly balanced term has MI 0: none here, but a term in one doc of
+    # each class ('buy' is bad-only too) — check independence term ~0 shape
+    assert got[("spam", "bad")] > 0
+    # symmetric class sees the complementary association
+    assert ("hello", "good") in got and got[("hello", "good")] > 0
+    try:
+        chi2_scores(t, "text", "lang", stat="nope")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -662,6 +662,34 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_group_impute(sf_dir):
+    """GroupedImputeEstimator: group-conditional median fill — nulls take
+    their event_type's exact quantile_cont median, all-null groups fall
+    back to the global median. Fit = ONE projected (group, value) quantile
+    sort; sparse nulls injected via a mirrored CASE."""
+    from kamae_ray.stages import GroupedImputeEstimator
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def sparsify(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column("value"), pa.float64())
+        v = pc.if_else(pc.less(v, 5.0), pa.nulls(batch.num_rows, pa.float64()), v)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "v": v,
+        })
+
+    sparsify.__name__ = "sparsify_values"
+    ds = ev.map_batches(sparsify, batch_format="pyarrow", zero_copy_batch=True)
+    tr = GroupedImputeEstimator(
+        input_col="v", group_col="event_type", output_col="value_filled",
+        strategy="median",
+    ).fit(ds)
+    out = tr.transform(ds).drop_columns(["v"])
+    return out.map_batches(_rounder(["value_filled"]), batch_format="pyarrow")
+
+
 def _q_mi(sf_dir):
     """(term, class) 2x2 mutual information feature scores
     (``chi2_scores(stat='mi')``) — the sklearn mutual_info-style relevance
@@ -4376,6 +4404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_nearest_broadcast": _q_nearest_broadcast,
         "q_auc": _q_auc,
         "q_mi": _q_mi,
+        "q_group_impute": _q_group_impute,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6134,6 +6163,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM x) "
             "SELECT term, class, a AS n_docs, CASE WHEN d1 * d2 = 0 THEN NULL "
             "ELSE ROUND(Nf * (dif * dif) / (d1 * d2), 6) END AS chi2 FROM y"
+        ),
+        "q_group_impute": (
+            "WITH b AS (SELECT event_id, event_type, "
+            "CASE WHEN value < 5.0 THEN NULL ELSE value END AS v FROM events), "
+            "g AS (SELECT event_type, quantile_cont(v, 0.5) AS m FROM b GROUP BY 1), "
+            "t AS (SELECT quantile_cont(v, 0.5) AS gm FROM b) "
+            "SELECT b.event_id, b.event_type, "
+            "ROUND(COALESCE(b.v, g.m, t.gm), 6) AS value_filled "
+            "FROM b LEFT JOIN g USING (event_type) CROSS JOIN t"
         ),
         "q_mi": (
             "WITH cls AS (SELECT doc_id, lang AS class, text FROM documents "

@@ -291,6 +291,7 @@ _BENCH_QUERIES = [
     "q_nearest_broadcast",  # nearest as-of through the broadcast plan
     "q_auc",  # exact distributed ROC-AUC (integer Mann-Whitney)
     "q_mi",  # (term, class) mutual-information feature scores
+    "q_group_impute",  # group-conditional median fill
 ]
 
 

@@ -84,6 +84,8 @@ from kamae_ray.stages.hashing import (  # noqa: F401
 from kamae_ray.stages.scalers import (  # noqa: F401
     ConditionalStandardScaleEstimator,
     ConditionalStandardScaleTransformer,
+    GroupedImputeEstimator,
+    GroupedImputeTransformer,
     ImputeEstimator,
     ImputeTransformer,
     MinMaxScaleEstimator,

@@ -503,3 +503,145 @@ class RobustScaleEstimator(Estimator):
             stddev=[hi - lo],
             mask_value=self.mask_value,
         )
+
+
+class GroupedImputeTransformer(Transformer):
+    """Fill null values of ``input_col`` with the fitted PER-GROUP statistic
+    of ``group_col`` (unseen or null groups -> the global ``default_value``)
+    — the group-conditional sibling of :class:`ImputeTransformer`. Non-null
+    values pass through unchanged. Lookup is one ``index_in`` over the
+    fitted group list per batch."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, group_col: str, groups: Sequence, values: Sequence[float],
+                 default_value: float, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.group_col = group_col
+        self.groups = list(groups)
+        self.values = [float(v) for v in values]
+        self.default_value = float(default_value)
+        self._cached = None
+
+    def get_params(self):
+        p = super().get_params()
+        p.pop("_cached", None)
+        return p
+
+    @property
+    def state_size_hint(self) -> int:
+        return len(self.groups)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        if self._cached is None:
+            self._cached = (pa.array(self.groups),
+                            np.asarray(self.values + [self.default_value], np.float64))
+        gkeys, vals = self._cached
+        x = pc.cast(A.as_array(batch.column(self.input_col)), pa.float64(), safe=False)
+        g = A.as_array(batch.column(self.group_col))
+        if len(gkeys):
+            pos = pc.index_in(pc.cast(g, gkeys.type, safe=False), value_set=gkeys)
+            pos = pc.fill_null(pos, len(vals) - 1).to_numpy(zero_copy_only=False).astype(np.int64)
+            fill = vals[pos]
+        else:
+            fill = np.full(batch.num_rows, self.default_value)
+        # per-group medians can themselves be null (all-null group) -> default
+        fill = np.where(np.isnan(fill), self.default_value, fill)
+        out = pc.if_else(pc.is_valid(x), x, pa.array(fill, pa.float64()))
+        return _append_or_replace(batch, self.output_col, self._cast_out(out))
+
+
+class GroupedImputeEstimator(Estimator):
+    """Fit one impute statistic PER CATEGORY of ``group_col`` plus the
+    global fallback, then build :class:`GroupedImputeTransformer`.
+
+    ``strategy="median"`` (default) is the exact ``quantile_cont`` selection
+    — cross-engine exact (one projected (group, col) quantile sort;
+    q_group_impute oracle). ``strategy="mean"`` is exact for integer columns
+    (order-free int sums); float means are accumulation-order-sensitive
+    across engines (documented, same caveat as TargetEncode). State is
+    O(groups), the bounded-vocabulary contract."""
+
+    def __init__(self, *args, group_col: str, strategy: str = "median", **kwargs):
+        super().__init__(*args, **kwargs)
+        if strategy not in ("median", "mean"):
+            raise ValueError("strategy must be median|mean")
+        self.group_col = group_col
+        self.strategy = strategy
+
+    def fit(self, ds) -> GroupedImputeTransformer:
+        from kamae_ray.base import collect_tables
+        from kamae_ray.state.aggregators import _project, exact_quantiles
+        from kamae_ray.stages.aggregate import groupby_agg, quantile_per_group
+
+        ds = self._maybe_sample(ds)
+        col, grp = self.input_col, self.group_col
+        proj = ds if isinstance(ds, pa.Table) else (_project(ds, [grp, col]) or ds)
+        if self.strategy == "median":
+            stats = quantile_per_group(proj, [grp], col, [0.5], out_prefix="__gi")
+            vname = "__gi_p50"
+        else:
+            stats = groupby_agg(proj, grp, {col: ["sum", "count"]})
+        if not isinstance(stats, pa.Table):
+            parts = [t for t in collect_tables(stats) if t.num_rows]
+            stats = pa.concat_tables(parts) if parts else None
+        groups, values = [], []
+        gsum = gcnt = 0.0
+        if stats is not None and stats.num_rows:
+            garr = A.as_array(stats.column(grp))
+            keep = pc.is_valid(garr).to_numpy(zero_copy_only=False)
+            if self.strategy == "median":
+                v = pc.cast(stats.column(vname), pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+            else:
+                s = pc.cast(stats.column(f"{col}_sum"), pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+                c = pc.cast(stats.column(f"{col}_count"), pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+                # all-null groups have a null (NaN) sum — exclude them from
+                # the global totals and give them a NaN statistic (dropped
+                # below -> global-default fallback)
+                ok = (c > 0) & ~np.isnan(s)
+                gsum, gcnt = float(s[keep & ok].sum()), float(c[keep & ok].sum())
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    v = np.where(ok, s / np.where(c == 0, 1, c), np.nan)
+            groups = garr.filter(pa.array(keep)).to_pylist()
+            values = v[keep].tolist()
+        if self.strategy == "median":
+            default = _table_median(proj, col) if isinstance(proj, pa.Table) \
+                else exact_quantiles(proj, col, [0.5])[0]
+        else:
+            default = (gsum / gcnt) if gcnt else 0.0
+        default = 0.0 if default is None or (isinstance(default, float) and np.isnan(default)) else float(default)
+        # all-null groups carry a NaN statistic: drop them from the fitted
+        # map so they fall back to the global default (not 0). Sort by group
+        # — collect order follows block completion (lesson 18), fitted params
+        # must be run-deterministic.
+        kept = sorted(
+            ((g, v) for g, v in zip(groups, values)
+             if not (isinstance(v, float) and np.isnan(v))),
+            key=lambda gv: gv[0],
+        )
+        return GroupedImputeTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            group_col=self.group_col,
+            groups=[g for g, _v in kept],
+            values=[v for _g, v in kept],
+            default_value=default,
+        )
+
+
+def _table_median(t: pa.Table, col: str) -> float:
+    v, mask = A.to_numpy(pc.cast(A.as_array(t.column(col)), pa.float64(), safe=False))
+    v = v.astype(np.float64, copy=True)
+    if mask is not None:
+        v = v[~mask]
+    v = v[~np.isnan(v)]
+    if not len(v):
+        return 0.0
+    v.sort()
+    n = len(v)
+    # quantile_cont(0.5): linear interpolation == midpoint of the two
+    # middle elements for even n
+    return float(v[(n - 1) // 2]) if n % 2 else float((v[n // 2 - 1] + v[n // 2]) / 2)

@@ -262,3 +262,32 @@ def test_woe_encode_matches_manual(ray_session):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_grouped_impute_median_and_mean(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages import GroupedImputeEstimator
+
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "b", "c", "c", None, "z"],
+        "v": [1.0, None, 3.0, 10.0, None, None, None, 7.0, None],
+    })
+    tr = GroupedImputeEstimator(input_col="v", group_col="g", output_col="o").fit(t)
+    # a-median 2.0, b 10.0; all-null c dropped from the map; global median
+    # of [1,3,10,7] = 5.0 backs c, unseen z and the null group
+    assert (tr.groups, tr.values, tr.default_value) == (["a", "b"], [2.0, 10.0], 5.0)
+    assert tr.transform(t).column("o").to_pylist() == \
+        [1.0, 2.0, 3.0, 10.0, 10.0, 5.0, 5.0, 7.0, 5.0]
+    # dataset fit identical
+    ds = ray.data.from_arrow(t).repartition(4)
+    tr2 = GroupedImputeEstimator(input_col="v", group_col="g", output_col="o").fit(ds)
+    assert (tr2.groups, tr2.values, tr2.default_value) == (tr.groups, tr.values, tr.default_value)
+    # mean strategy on integers (order-free exact)
+    ti = pa.table({"g": ["a", "a", "b"], "v": pa.array([2, 4, None], pa.int64())})
+    trm = GroupedImputeEstimator(input_col="v", group_col="g", output_col="o",
+                                 strategy="mean").fit(ti)
+    got = trm.transform(ti).column("o").to_pylist()
+    assert got == [2.0, 4.0, 3.0]  # b all-null -> global mean (2+4)/2

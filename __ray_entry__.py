@@ -662,6 +662,28 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_calibration(sf_dir):
+    """Reliability-diagram bins (``profile.calibration_bins``): cent scores
+    vs the purchase label in 20 equal-width buckets — per-bucket exact
+    int64 (n, pos, score_sum) + two single-division rates. One derived-
+    bucket map + one partial-agg groupby."""
+    from kamae_ray.stages.profile import calibration_bins
+
+    ev = _read(sf_dir, "events", ["value", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        y = pc.cast(pc.equal(batch.column("event_type"), "purchase"), pa.int64())
+        return pa.table({"s": cents, "y": y})
+
+    prep.__name__ = "calibration_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = calibration_bins(ds, "s", "y", bins=20, max_score=50_000)
+    return _round_cols(out, ["pos_rate", "mean_score"])
+
+
 def _q_group_impute(sf_dir):
     """GroupedImputeEstimator: group-conditional median fill — nulls take
     their event_type's exact quantile_cont median, all-null groups fall
@@ -4405,6 +4427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_auc": _q_auc,
         "q_mi": _q_mi,
         "q_group_impute": _q_group_impute,
+        "q_calibration": _q_calibration,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6163,6 +6186,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM x) "
             "SELECT term, class, a AS n_docs, CASE WHEN d1 * d2 = 0 THEN NULL "
             "ELSE ROUND(Nf * (dif * dif) / (d1 * d2), 6) END AS chi2 FROM y"
+        ),
+        "q_calibration": (
+            "WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS s, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            "FROM events WHERE value IS NOT NULL), "
+            "g AS (SELECT (s * 20) // 50000 AS bucket, COUNT(*)::BIGINT AS n, "
+            "SUM(y)::BIGINT AS pos, SUM(s)::BIGINT AS score_sum FROM t GROUP BY 1) "
+            "SELECT bucket, n, pos, score_sum, "
+            "ROUND(pos::DOUBLE / n, 6) AS pos_rate, "
+            "ROUND(score_sum::DOUBLE / n, 6) AS mean_score FROM g"
         ),
         "q_group_impute": (
             "WITH b AS (SELECT event_id, event_type, "

@@ -292,6 +292,7 @@ _BENCH_QUERIES = [
     "q_auc",  # exact distributed ROC-AUC (integer Mann-Whitney)
     "q_mi",  # (term, class) mutual-information feature scores
     "q_group_impute",  # group-conditional median fill
+    "q_calibration",  # reliability-diagram bins (exact int counts)
 ]
 
 

@@ -515,3 +515,69 @@ def binary_auc(ds, score_col: str, label_col: str,
     if 2 * P * N >= 1 << 63:
         raise ValueError("2*P*N exceeds int64 — compute AUC per group/shard")
     return _result(num2, P, N)
+
+
+def calibration_bins(ds, score_col: str, label_col: str, bins: int,
+                     max_score: int):
+    """Reliability-diagram / calibration-curve bins for a binary 0/1 label
+    against an INTEGER score in ``[0, max_score)`` (quantize floats first —
+    binary_auc's convention): equal-width bucket ``score * bins //
+    max_score``, per-bucket exact int64 (n, positives, score_sum) and the
+    two derived rates (each ONE double division). Returns a driver table
+    sorted by bucket — O(bins), the bounded-output contract.
+
+    Scale plan: one derived-bucket map + ONE partial-agg groupby; nothing
+    else moves."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    if bins <= 0 or max_score <= 0 or bins * max_score >= 1 << 62:
+        raise ValueError("bins and max_score must be positive with bins*max_score < 2^62")
+
+    def bucketize(block: pa.Table) -> pa.Table:
+        s = pc.cast(A.as_array(block.column(score_col)), pa.int64(), safe=False)
+        ok = pc.is_valid(s)
+        block = pa.table({"s": s, "y": pc.cast(A.as_array(block.column(label_col)), pa.int64(), safe=False)}).filter(ok)
+        sv = block.column("s").to_numpy(zero_copy_only=False)
+        if len(sv) and (sv.min() < 0 or sv.max() >= max_score):
+            raise ValueError(f"scores outside [0, {max_score}) — raise max_score")
+        b = sv * np.int64(bins) // np.int64(max_score)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "y": block.column("y"), "s": block.column("s")})
+
+    bucketize.__name__ = "calibration_bucketize"
+    if isinstance(ds, pa.Table):
+        stats = groupby_agg(bucketize(ds), "bucket",
+                            {"y": ["sum", "count"], "s": ["sum"]})
+    else:
+        from kamae_ray.base import collect_tables
+        from kamae_ray.state.aggregators import _project
+
+        proj = _project(ds, [score_col, label_col]) or ds
+        keyed = proj.map_batches(bucketize, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+        stats = groupby_agg(keyed, "bucket", {"y": ["sum", "count"], "s": ["sum"]})
+        parts = [t for t in collect_tables(stats) if t.num_rows]
+        stats = pa.concat_tables(parts) if parts else pa.table(
+            {"bucket": pa.array([], pa.int64()), "y_sum": pa.array([], pa.float64()),
+             "y_count": pa.array([], pa.int64()), "s_sum": pa.array([], pa.float64())})
+    stats = stats.sort_by("bucket")
+    n = pc.cast(stats.column("y_count"), pa.int64()).to_numpy(zero_copy_only=False)
+    pos_f = pc.cast(stats.column("y_sum"), pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+    ss_f = pc.cast(stats.column("s_sum"), pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+    if len(ss_f) and (np.abs(ss_f).max() >= 2.0**53 or np.abs(pos_f).max() >= 2.0**53):
+        raise ValueError("per-bucket sums exceed exact float64 range — use more bins")
+    pos = pos_f.astype(np.int64)
+    ssum = ss_f.astype(np.int64)
+    if len(pos) and (pos < 0).any() or len(pos) and (pos > n).any():
+        raise ValueError("calibration label must be a 0/1 integer column")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rate = np.where(n > 0, pos / np.where(n == 0, 1, n), np.nan)
+        mean_s = np.where(n > 0, ssum / np.where(n == 0, 1, n), np.nan)
+    return pa.table({
+        "bucket": stats.column("bucket"),
+        "n": pa.array(n),
+        "pos": pa.array(pos),
+        "score_sum": pa.array(ssum),
+        "pos_rate": pa.array(rate, pa.float64()),
+        "mean_score": pa.array(mean_s, pa.float64()),
+    })

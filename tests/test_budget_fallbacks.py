@@ -316,3 +316,27 @@ def test_binary_auc_driver_and_distributed_equal(ray_session):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_calibration_bins_dataset_matches_table(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.profile import calibration_bins
+
+    rng = np.random.default_rng(41)
+    n = 8000
+    s = rng.integers(0, 500, n)
+    y = (rng.random(n) < s / 600).astype(np.int64)
+    t = pa.table({"s": pa.array(s, pa.int64()), "y": pa.array(y)})
+    exp = calibration_bins(t, "s", "y", bins=8, max_score=500)
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = calibration_bins(ds, "s", "y", bins=8, max_score=500)
+    assert got.to_pylist() == exp.to_pylist()
+    # range guard
+    try:
+        calibration_bins(t, "s", "y", bins=8, max_score=100)
+        assert False, "expected ValueError"
+    except Exception:
+        pass

@@ -680,7 +680,8 @@ def _q_calibration(sf_dir):
 
     prep.__name__ = "calibration_quantize"
     ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    out = calibration_bins(ds, "s", "y", bins=20, max_score=50_000)
+    # max_score covers value growth across scales (sf0.1 max is 56021 cents)
+    out = calibration_bins(ds, "s", "y", bins=20, max_score=100_000)
     return _round_cols(out, ["pos_rate", "mean_score"])
 
 
@@ -6191,7 +6192,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS s, "
             "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
             "FROM events WHERE value IS NOT NULL), "
-            "g AS (SELECT (s * 20) // 50000 AS bucket, COUNT(*)::BIGINT AS n, "
+            "g AS (SELECT (s * 20) // 100000 AS bucket, COUNT(*)::BIGINT AS n, "
             "SUM(y)::BIGINT AS pos, SUM(s)::BIGINT AS score_sum FROM t GROUP BY 1) "
             "SELECT bucket, n, pos, score_sum, "
             "ROUND(pos::DOUBLE / n, 6) AS pos_rate, "

@@ -662,6 +662,29 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_loo_encode(sf_dir):
+    """Leave-one-out target encoding (``LooTargetEncodeEstimator``) — the
+    leakage-safe training-time supervised encoder: each row's own label is
+    excluded from its category mean ((sum_c - y)/(n_c - 1)); singletons and
+    unseen/null categories take the global prior. Exact int64 sums, ONE
+    double division per row."""
+    from kamae_ray.stages import LooTargetEncodeEstimator
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+    def lab(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(batch.column("o_orderstatus"), "F"), pa.int64())
+        return batch.append_column("y", y)
+
+    lab.__name__ = "label_finished"
+    ds2 = ds.map_batches(lab, batch_format="pyarrow", zero_copy_batch=True)
+    tr = LooTargetEncodeEstimator(
+        input_col="o_orderpriority", target_col="y", output_col="prio_loo"
+    ).fit(ds2)
+    out = tr.transform(ds2).drop_columns(["o_orderstatus", "o_orderpriority", "y"])
+    return out.map_batches(_rounder(["prio_loo"]), batch_format="pyarrow")
+
+
 def _q_calibration(sf_dir):
     """Reliability-diagram bins (``profile.calibration_bins``): cent scores
     vs the purchase label in 20 equal-width buckets — per-bucket exact
@@ -4429,6 +4452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mi": _q_mi,
         "q_group_impute": _q_group_impute,
         "q_calibration": _q_calibration,
+        "q_loo_encode": _q_loo_encode,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6187,6 +6211,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM x) "
             "SELECT term, class, a AS n_docs, CASE WHEN d1 * d2 = 0 THEN NULL "
             "ELSE ROUND(Nf * (dif * dif) / (d1 * d2), 6) END AS chi2 FROM y"
+        ),
+        "q_loo_encode": (
+            "WITH l AS (SELECT o_orderkey, o_orderpriority AS c, "
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders), "
+            "s AS (SELECT c, SUM(y)::BIGINT AS sc, COUNT(*)::BIGINT AS n "
+            "FROM l WHERE c IS NOT NULL GROUP BY c), "
+            "t AS (SELECT SUM(sc)::DOUBLE / SUM(n) AS prior FROM s) "
+            "SELECT l.o_orderkey, ROUND(CASE WHEN s.c IS NULL OR s.n <= 1 "
+            "THEN t.prior ELSE (s.sc - l.y)::DOUBLE / (s.n - 1) END, 6) AS prio_loo "
+            "FROM l LEFT JOIN s ON l.c = s.c CROSS JOIN t"
         ),
         "q_calibration": (
             "WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS s, "

@@ -293,6 +293,7 @@ _BENCH_QUERIES = [
     "q_mi",  # (term, class) mutual-information feature scores
     "q_group_impute",  # group-conditional median fill
     "q_calibration",  # reliability-diagram bins (exact int counts)
+    "q_loo_encode",  # leave-one-out target encoding (leakage-safe)
 ]
 
 

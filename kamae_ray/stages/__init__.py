@@ -110,6 +110,8 @@ from kamae_ray.stages.indexers import (  # noqa: F401
     RareLabelTransformer,
     StringIndexEstimator,
     StringIndexTransformer,
+    LooTargetEncodeEstimator,
+    LooTargetEncodeTransformer,
     TargetEncodeEstimator,
     TargetEncodeTransformer,
     WoeEncodeEstimator,

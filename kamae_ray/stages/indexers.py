@@ -425,6 +425,126 @@ class TargetEncodeEstimator(Estimator):
         )
 
 
+class LooTargetEncodeTransformer(Transformer):
+    """LEAVE-ONE-OUT target encoding — the leakage-safe training-time
+    variant of :class:`TargetEncodeTransformer`: each row's own target is
+    excluded from its category's mean,
+
+        ``enc(row) = (sum_target(cat) - y_row) / (count(cat) - 1)``
+
+    so the feature never reads the row's own label (the same zero-leakage
+    contract as the windowed layer). Singleton categories, unseen
+    categories and NULLs encode the fitted global prior. Exact for integer
+    targets: fitted sums/counts are int64 and the encode is ONE double
+    division of exact ints per row. Requires ``target_col`` in the batch
+    at transform time (training-time encode by construction)."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, target_col: str, categories: Sequence,
+                 sums: Sequence[int], counts: Sequence[int],
+                 prior: float, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.target_col = target_col
+        self.categories = list(categories)
+        self.sums = [int(s) for s in sums]
+        self.counts = [int(c) for c in counts]
+        self.prior = float(prior)
+        self._cached = None
+
+    def get_params(self):
+        p = super().get_params()
+        p.pop("_cached", None)
+        return p
+
+    @property
+    def state_size_hint(self) -> int:
+        return len(self.categories)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        if self._cached is None:
+            self._cached = (
+                pa.array(self.categories),
+                np.asarray(self.sums + [0], np.int64),
+                np.asarray(self.counts + [0], np.int64),
+            )
+        cats, sums, cnts = self._cached
+        flat = A.as_array(batch.column(self.input_col))
+        y = pc.cast(A.as_array(batch.column(self.target_col)), pa.int64(), safe=False)
+        yv = pc.fill_null(y, 0).to_numpy(zero_copy_only=False)
+        y_ok = pc.is_valid(y).to_numpy(zero_copy_only=False)
+        d = flat.dictionary_encode()
+        dvals = pc.cast(d.dictionary, cats.type, safe=False) if len(cats) else d.dictionary
+        pos = pc.index_in(dvals, value_set=cats) if len(cats) else pa.nulls(len(dvals), pa.int32())
+        pos = pc.fill_null(pos, len(sums) - 1).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.fill_null(d.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        row_pos = np.where(idx >= 0, pos[np.maximum(idx, 0)] if len(pos) else len(sums) - 1,
+                           len(sums) - 1)
+        s_r, c_r = sums[row_pos], cnts[row_pos]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            enc = (s_r - yv).astype(np.float64) / (c_r - 1)
+        usable = (c_r > 1) & y_ok
+        out = np.where(usable, enc, self.prior)
+        return _append_or_replace(batch, self.output_col,
+                                  self._cast_out(pa.array(out, pa.float64())))
+
+
+class LooTargetEncodeEstimator(Estimator):
+    """Fit exact int64 per-category target sums/counts (ONE partial-agg
+    groupby) plus the global prior, then build
+    :class:`LooTargetEncodeTransformer`. Integer 0/1-or-count targets only
+    (sums must be order-free exact; validated)."""
+
+    def __init__(self, *args, target_col: str, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.target_col = target_col
+
+    def fit(self, ds) -> LooTargetEncodeTransformer:
+        from kamae_ray.stages.aggregate import groupby_agg
+
+        ds = self._maybe_sample(ds)
+        col = self.input_col
+        if not isinstance(ds, pa.Table):
+            from kamae_ray.base import collect_tables
+            from kamae_ray.sources.io import narrow_read
+
+            proj = narrow_read(ds, [col, self.target_col]) or ds
+            stats = groupby_agg(proj, col, {self.target_col: ["sum", "count"]})
+            parts = [t for t in collect_tables(stats) if t.num_rows]
+            tbl = pa.concat_tables(parts) if parts else pa.table({
+                col: pa.array([], pa.string()),
+                f"{self.target_col}_sum": pa.array([], pa.int64()),
+                f"{self.target_col}_count": pa.array([], pa.int64()),
+            })
+        else:
+            tbl = groupby_agg(ds.select([col, self.target_col]), col,
+                              {self.target_col: ["sum", "count"]})
+        s = pc.cast(tbl.column(f"{self.target_col}_sum"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        n = pc.cast(tbl.column(f"{self.target_col}_count"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        catarr = A.as_array(tbl.column(col))
+        keep = pc.is_valid(catarr).to_numpy(zero_copy_only=False)
+        s, n = s[keep], n[keep]
+        # canonical order (lesson 18: collect order is completion order)
+        cats = catarr.filter(pa.array(keep)).to_pylist()
+        order = sorted(range(len(cats)), key=lambda i: str(cats[i]))
+        cats = [cats[i] for i in order]
+        s, n = s[order] if len(s) else s, n[order] if len(n) else n
+        total_s, total_c = int(s.sum()) if len(s) else 0, int(n.sum()) if len(n) else 0
+        prior = (total_s / total_c) if total_c else 0.0
+        return LooTargetEncodeTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            target_col=self.target_col,
+            categories=cats,
+            sums=s.tolist(),
+            counts=n.tolist(),
+            prior=prior,
+        )
+
+
 class WoeEncodeEstimator(Estimator):
     """Weight-of-Evidence categorical encoder (the scorecard-standard
     log-odds sibling of :class:`TargetEncodeEstimator`) over a BINARY 0/1

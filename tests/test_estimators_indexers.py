@@ -291,3 +291,28 @@ def test_grouped_impute_median_and_mean(ray_session):
                                  strategy="mean").fit(ti)
     got = trm.transform(ti).column("o").to_pylist()
     assert got == [2.0, 4.0, 3.0]  # b all-null -> global mean (2+4)/2
+
+
+def test_loo_target_encode(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages import LooTargetEncodeEstimator
+
+    t = pa.table({"c": ["a", "a", "a", "b", "b", "x", None], "y": [1, 0, 1, 1, 1, 0, 1]})
+    tr = LooTargetEncodeEstimator(input_col="c", target_col="y", output_col="e").fit(t)
+    got = tr.transform(t).column("e").to_pylist()
+    # prior = mean over NON-NULL-category rows = 4/6
+    p = 4 / 6
+    assert got == [0.5, 1.0, 0.5, 1.0, 1.0, p, p]
+    # zero leakage: a row's own label never reaches its encode — flipping
+    # row 1's label changes every OTHER a-row's encode but row 1 keeps the
+    # encode implied by the other rows
+    t2 = pa.table({"c": ["a", "a", "a"], "y": [1, 1, 1]})
+    tr2 = LooTargetEncodeEstimator(input_col="c", target_col="y", output_col="e").fit(t2)
+    assert tr2.transform(t2).column("e").to_pylist() == [1.0, 1.0, 1.0]
+    # dataset fit matches table fit
+    ds = ray.data.from_arrow(t).repartition(3)
+    tr3 = LooTargetEncodeEstimator(input_col="c", target_col="y", output_col="e").fit(ds)
+    assert (tr3.categories, tr3.sums, tr3.counts, tr3.prior) == \
+        (tr.categories, tr.sums, tr.counts, tr.prior)

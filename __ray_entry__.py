@@ -662,6 +662,23 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_group_bucket(sf_dir):
+    """GroupedQuantileBucketizeEstimator: per-event_type learned quartile
+    boundaries (exact quantile_cont, 6dp-rounded for oracle parity), rows
+    bucket against THEIR group's splits — the group-conditional Spark
+    QuantileDiscretizer. Fit = ONE projected (group, value) quantile
+    sort."""
+    from kamae_ray.stages import GroupedQuantileBucketizeEstimator
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    tr = GroupedQuantileBucketizeEstimator(
+        input_col="value", group_col="event_type", output_col="value_bucket",
+        num_buckets=4, boundary_decimals=6,
+    ).fit(ev)
+    out = tr.transform(ev)
+    return out.map_batches(_rounder(["value"]), batch_format="pyarrow")
+
+
 def _q_loo_encode(sf_dir):
     """Leave-one-out target encoding (``LooTargetEncodeEstimator``) — the
     leakage-safe training-time supervised encoder: each row's own label is
@@ -4453,6 +4470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_impute": _q_group_impute,
         "q_calibration": _q_calibration,
         "q_loo_encode": _q_loo_encode,
+        "q_group_bucket": _q_group_bucket,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6211,6 +6229,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM x) "
             "SELECT term, class, a AS n_docs, CASE WHEN d1 * d2 = 0 THEN NULL "
             "ELSE ROUND(Nf * (dif * dif) / (d1 * d2), 6) END AS chi2 FROM y"
+        ),
+        "q_group_bucket": (
+            # GroupedBucketize rule: bucket = (#splits <= x) + 1 == CASE '<'
+            "WITH q AS (SELECT event_type, "
+            "ROUND(quantile_cont(value, 0.25), 6) AS q1, "
+            "ROUND(quantile_cont(value, 0.5), 6) AS q2, "
+            "ROUND(quantile_cont(value, 0.75), 6) AS q3 "
+            "FROM events GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS value, "
+            "CASE WHEN e.value IS NULL THEN NULL WHEN e.value < q.q1 THEN 1 "
+            "WHEN e.value < q.q2 THEN 2 WHEN e.value < q.q3 THEN 3 ELSE 4 END AS value_bucket "
+            "FROM events e JOIN q USING (event_type)"
         ),
         "q_loo_encode": (
             "WITH l AS (SELECT o_orderkey, o_orderpriority AS c, "

@@ -294,6 +294,7 @@ _BENCH_QUERIES = [
     "q_group_impute",  # group-conditional median fill
     "q_calibration",  # reliability-diagram bins (exact int counts)
     "q_loo_encode",  # leave-one-out target encoding (leakage-safe)
+    "q_group_bucket",  # per-group learned quantile buckets
 ]
 
 

@@ -84,8 +84,10 @@ from kamae_ray.stages.hashing import (  # noqa: F401
 from kamae_ray.stages.scalers import (  # noqa: F401
     ConditionalStandardScaleEstimator,
     ConditionalStandardScaleTransformer,
+    GroupedBucketizeTransformer,
     GroupedImputeEstimator,
     GroupedImputeTransformer,
+    GroupedQuantileBucketizeEstimator,
     ImputeEstimator,
     ImputeTransformer,
     MinMaxScaleEstimator,

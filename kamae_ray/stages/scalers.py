@@ -645,3 +645,151 @@ def _table_median(t: pa.Table, col: str) -> float:
     # quantile_cont(0.5): linear interpolation == midpoint of the two
     # middle elements for even n
     return float(v[(n - 1) // 2]) if n % 2 else float((v[n // 2 - 1] + v[n // 2]) / 2)
+
+
+class GroupedBucketizeTransformer(Transformer):
+    """Per-group learned-boundary discretizer: each row buckets against ITS
+    group's splits (``bisect_right + 1``, bucket 0 reserved — the
+    BucketizeTransformer rule); unseen/null groups use the fitted GLOBAL
+    splits; null values stay null. One searchsorted per distinct group
+    present in the batch (groups are vocab-bounded)."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, group_col: str, groups: Sequence,
+                 splits_per_group: Sequence[Sequence[float]],
+                 default_splits: Sequence[float], **kwargs):
+        super().__init__(*args, **kwargs)
+        self.group_col = group_col
+        self.groups = list(groups)
+        self.splits_per_group = [list(map(float, s)) for s in splits_per_group]
+        self.default_splits = [float(s) for s in default_splits]
+        self._cached = None
+
+    def get_params(self):
+        p = super().get_params()
+        p.pop("_cached", None)
+        return p
+
+    @property
+    def state_size_hint(self) -> int:
+        return sum(len(s) for s in self.splits_per_group)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        if self._cached is None:
+            self._cached = (pa.array(self.groups),
+                            [np.asarray(s) for s in self.splits_per_group],
+                            np.asarray(self.default_splits))
+        gkeys, splits, dflt = self._cached
+        vals, mask = A.to_numpy(pc.cast(A.as_array(batch.column(self.input_col)),
+                                        pa.float64(), safe=False))
+        g = A.as_array(batch.column(self.group_col))
+        if len(gkeys):
+            pos = pc.index_in(pc.cast(g, gkeys.type, safe=False), value_set=gkeys)
+            pos = pc.fill_null(pos, len(splits)).to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            pos = np.full(batch.num_rows, 0, np.int64)
+        out = np.zeros(len(vals), np.int64)
+        for gi in np.unique(pos):
+            m = pos == gi
+            sp = splits[gi] if gi < len(splits) else dflt
+            out[m] = np.searchsorted(sp, vals[m], side="right") + 1
+        col = pa.array(out.astype(np.int32), mask=mask)
+        return _append_or_replace(batch, self.output_col, self._cast_out(col))
+
+
+class GroupedQuantileBucketizeEstimator(Estimator):
+    """Fit exact ``quantile_cont`` boundaries at ``i/num_buckets`` PER
+    CATEGORY of ``group_col`` (plus global fallback splits), then build
+    :class:`GroupedBucketizeTransformer` — the group-conditional Spark
+    QuantileDiscretizer. Fit = ONE projected (group, col) quantile sort +
+    the global exact_quantiles passes; state O(groups x buckets).
+    ``boundary_decimals`` rounds learned boundaries for oracle parity
+    (QuantileBucketizeEstimator precedent); duplicate boundaries within a
+    group collapse (skewed groups get fewer buckets, Spark behavior)."""
+
+    def __init__(self, *args, group_col: str, num_buckets: int = 4,
+                 boundary_decimals: int | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if num_buckets < 2:
+            raise ValueError("num_buckets must be >= 2")
+        self.group_col = group_col
+        self.num_buckets = int(num_buckets)
+        self.boundary_decimals = boundary_decimals
+
+    def fit(self, ds) -> GroupedBucketizeTransformer:
+        from kamae_ray.base import collect_tables
+        from kamae_ray.stages.aggregate import quantile_per_group
+
+        ds = self._maybe_sample(ds)
+        col, grp = self.input_col, self.group_col
+        probs = [i / self.num_buckets for i in range(1, self.num_buckets)]
+        if isinstance(ds, pa.Table):
+            proj = ds
+            stats = quantile_per_group(proj, [grp], col, probs, out_prefix="__gq")
+        else:
+            from kamae_ray.state.aggregators import _project
+
+            proj = _project(ds, [grp, col]) or ds
+            stats = quantile_per_group(proj, [grp], col, probs, out_prefix="__gq")
+            parts = [t for t in collect_tables(stats) if t.num_rows]
+            stats = pa.concat_tables(parts) if parts else None
+        names = [f"__gq_p{int(round(q * 100))}" for q in probs]
+
+        def _round(xs):
+            if self.boundary_decimals is None:
+                return [float(x) for x in xs]
+            r = pc.round(pa.array([float(x) for x in xs], pa.float64()),
+                         ndigits=self.boundary_decimals,
+                         round_mode="half_towards_infinity")
+            return r.to_pylist()
+
+        groups, splits = [], []
+        if stats is not None and stats.num_rows:
+            garr = A.as_array(stats.column(grp))
+            keep = pc.is_valid(garr).to_numpy(zero_copy_only=False)
+            cols = [pc.cast(stats.column(nm), pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+                    for nm in names]
+            for i in np.flatnonzero(keep):
+                bounds = [c[i] for c in cols]
+                if any(np.isnan(b) for b in bounds):
+                    continue  # all-null group -> fallback to global splits
+                groups.append(garr[int(i)].as_py())
+                splits.append(sorted(dict.fromkeys(_round(bounds))))
+        order = sorted(range(len(groups)), key=lambda i: str(groups[i]))
+        groups = [groups[i] for i in order]
+        splits = [splits[i] for i in order]
+        if isinstance(proj, pa.Table):
+            gl = [_table_quantile_cont(proj, col, q) for q in probs]
+        else:
+            from kamae_ray.state.aggregators import exact_quantiles
+
+            gl = exact_quantiles(proj, col, probs)
+        gl = [b for b in gl if b is not None and not (isinstance(b, float) and np.isnan(b))]
+        default = sorted(dict.fromkeys(_round(gl))) if gl else []
+        return GroupedBucketizeTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            group_col=self.group_col,
+            groups=groups,
+            splits_per_group=splits,
+            default_splits=default,
+        )
+
+
+def _table_quantile_cont(t: pa.Table, col: str, q: float) -> float:
+    v, mask = A.to_numpy(pc.cast(A.as_array(t.column(col)), pa.float64(), safe=False))
+    v = v.astype(np.float64, copy=True)
+    if mask is not None:
+        v = v[~mask]
+    v = v[~np.isnan(v)]
+    if not len(v):
+        return float("nan")
+    v.sort()
+    pos = q * (len(v) - 1)
+    lo = int(np.floor(pos))
+    hi = min(lo + 1, len(v) - 1)
+    return float(v[lo] + (v[hi] - v[lo]) * (pos - lo))

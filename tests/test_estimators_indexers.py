@@ -316,3 +316,39 @@ def test_loo_target_encode(ray_session):
     tr3 = LooTargetEncodeEstimator(input_col="c", target_col="y", output_col="e").fit(ds)
     assert (tr3.categories, tr3.sums, tr3.counts, tr3.prior) == \
         (tr.categories, tr.sums, tr.counts, tr.prior)
+
+
+def test_grouped_quantile_bucketize(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages import GroupedQuantileBucketizeEstimator
+
+    rng = np.random.default_rng(7)
+    # group b shifted so its quartiles differ from a's
+    g = rng.choice(["a", "b"], 2000).tolist()
+    v = rng.standard_normal(2000) + np.where(np.array(g) == "b", 10.0, 0.0)
+    t = pa.table({"g": g, "v": v})
+    tr = GroupedQuantileBucketizeEstimator(
+        input_col="v", group_col="g", output_col="b",
+        num_buckets=4, boundary_decimals=6).fit(t)
+    out = tr.transform(t)
+    import collections
+    c = collections.Counter(zip(out.column("g").to_pylist(), out.column("b").to_pylist()))
+    # each group's own quartiles -> ~balanced buckets within each group
+    for grp in ("a", "b"):
+        n = sum(cnt for (gg, _b), cnt in c.items() if gg == grp)
+        for bkt in (1, 2, 3, 4):
+            assert abs(c[(grp, bkt)] - n / 4) <= 2, (grp, bkt, c)
+    # unseen group falls back to GLOBAL splits; null value stays null
+    t2 = pa.table({"g": ["zzz", "a"], "v": [100.0, None]})
+    got = tr.transform(t2).column("b").to_pylist()
+    assert got[0] == 4 and got[1] is None
+    # dataset fit matches table fit
+    ds = ray.data.from_arrow(t).repartition(5)
+    tr2 = GroupedQuantileBucketizeEstimator(
+        input_col="v", group_col="g", output_col="b",
+        num_buckets=4, boundary_decimals=6).fit(ds)
+    assert tr2.groups == tr.groups and tr2.splits_per_group == tr.splits_per_group \
+        and tr2.default_splits == tr.default_splits

@@ -662,6 +662,46 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_rfm(sf_dir):
+    """RFM features per user (recency / frequency / monetary — the classic
+    CRM feature triple) over purchase events at a pinned cutoff: one
+    partial-agg groupby, everything exact int64 (timestamps re-based to
+    2024-01-01 so max() partials stay under 2^53 even through a float64
+    agg path; money in half-away cents)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    BASE_US = 1_704_067_200_000_000   # 2024-01-01 00:00:00 UTC in us
+    CUTOFF_US = 1_709_251_200_000_000  # 2024-03-01 00:00:00 UTC
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        ts_rel = pc.subtract(pc.cast(batch.column("ts"), pa.int64()), pa.scalar(BASE_US, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "ts_rel": ts_rel, "cents": cents})
+
+    prep.__name__ = "rfm_prep"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    stats = groupby_agg(ds, "user_id", {"ts_rel": ["max"], "cents": ["sum", "count"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mx = pc.cast(batch.column("ts_rel_max"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        s = pc.cast(batch.column("cents_sum"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        n = pc.cast(batch.column("cents_count"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        rec = ((CUTOFF_US - BASE_US) - mx) // 1_000_000
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "recency_s": pa.array(rec, pa.int64()),
+            "frequency": pa.array(n),
+            "monetary_cents": pa.array(s),
+        })
+
+    finish.__name__ = "rfm_finish"
+    return stats.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_group_bucket(sf_dir):
     """GroupedQuantileBucketizeEstimator: per-event_type learned quartile
     boundaries (exact quantile_cont, 6dp-rounded for oracle parity), rows
@@ -4471,6 +4511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_calibration": _q_calibration,
         "q_loo_encode": _q_loo_encode,
         "q_group_bucket": _q_group_bucket,
+        "q_rfm": _q_rfm,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6229,6 +6270,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM x) "
             "SELECT term, class, a AS n_docs, CASE WHEN d1 * d2 = 0 THEN NULL "
             "ELSE ROUND(Nf * (dif * dif) / (d1 * d2), 6) END AS chi2 FROM y"
+        ),
+        "q_rfm": (
+            "SELECT user_id, "
+            "((1709251200000000 - 1704067200000000) - "
+            "MAX(epoch_us(ts) - 1704067200000000)) // 1000000 AS recency_s, "
+            "COUNT(*)::BIGINT AS frequency, "
+            "SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS monetary_cents "
+            "FROM events WHERE event_type = 'purchase' GROUP BY user_id"
         ),
         "q_group_bucket": (
             # GroupedBucketize rule: bucket = (#splits <= x) + 1 == CASE '<'

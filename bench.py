@@ -295,6 +295,7 @@ _BENCH_QUERIES = [
     "q_calibration",  # reliability-diagram bins (exact int counts)
     "q_loo_encode",  # leave-one-out target encoding (leakage-safe)
     "q_group_bucket",  # per-group learned quantile buckets
+    "q_rfm",  # recency/frequency/monetary features per user
 ]
 
 

@@ -577,6 +577,11 @@ class GroupedImputeEstimator(Estimator):
         ds = self._maybe_sample(ds)
         col, grp = self.input_col, self.group_col
         proj = ds if isinstance(ds, pa.Table) else (_project(ds, [grp, col]) or ds)
+        if not isinstance(proj, pa.Table):
+            # the median fit consumes proj 4x (group quantile sort + the
+            # 3-pass global exact_quantiles) — materialize the 2-column
+            # intermediate once (lesson 14/30)
+            proj = proj.materialize()
         if self.strategy == "median":
             stats = quantile_per_group(proj, [grp], col, [0.5], out_prefix="__gi")
             vname = "__gi_p50"

@@ -662,6 +662,52 @@ def _q_rolling_median(sf_dir):
     return out.map_batches(_rounder(["value", "roll_med_5"]), batch_format="pyarrow")
 
 
+def _q_group_auc(sf_dir):
+    """Per-group exact ROC-AUC (``profile.binary_auc_by_group``) — model
+    eval per slice: the integer Mann-Whitney fold segmented by event_type
+    (one (group, score) groupby + one group sort, vectorized exclusive
+    neg-prefix per segment)."""
+    from kamae_ray.stages.profile import binary_auc_by_group
+
+    ev = _read(sf_dir, "events", ["value", "event_type", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        # label: odd user ids (deterministic, balanced across types)
+        y = pc.cast(pc.equal(pc.bit_wise_and(batch.column("user_id"), pa.scalar(1, pa.int64())),
+                             pa.scalar(1, pa.int64())), pa.int64())
+        return pa.table({"g": batch.column("event_type"), "s": cents, "y": y})
+
+    prep.__name__ = "group_auc_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = binary_auc_by_group(ds, "g", "s", "y")
+    return _round_cols(out, ["auc"]) if isinstance(out, pa.Table) else out.map_batches(
+        _rounder(["auc"]), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_brier(sf_dir):
+    """Exact Brier score (``profile.brier_score``): fixed-point p = cents /
+    56100 against the purchase label — the numerator is a pure int64 sum of
+    squares (per-block partials, O(blocks) fold, zero shuffles)."""
+    from kamae_ray.stages.profile import brier_score
+
+    ev = _read(sf_dir, "events", ["value", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        y = pc.cast(pc.equal(batch.column("event_type"), "purchase"), pa.int64())
+        return pa.table({"s": cents, "y": y})
+
+    prep.__name__ = "brier_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = brier_score(ds, "s", "y", scale=56_100)
+    return _round_cols(out, ["brier"])
+
+
 def _q_rfm(sf_dir):
     """RFM features per user (recency / frequency / monetary — the classic
     CRM feature triple) over purchase events at a pinned cutoff: one
@@ -4512,6 +4558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_loo_encode": _q_loo_encode,
         "q_group_bucket": _q_group_bucket,
         "q_rfm": _q_rfm,
+        "q_group_auc": _q_group_auc,
+        "q_brier": _q_brier,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6270,6 +6318,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM x) "
             "SELECT term, class, a AS n_docs, CASE WHEN d1 * d2 = 0 THEN NULL "
             "ELSE ROUND(Nf * (dif * dif) / (d1 * d2), 6) END AS chi2 FROM y"
+        ),
+        "q_group_auc": (
+            "WITH t AS (SELECT event_type AS g, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS s, "
+            "(user_id & 1)::BIGINT AS y FROM events WHERE value IS NOT NULL), "
+            "c AS (SELECT g, s, SUM(y)::BIGINT AS pos, "
+            "(COUNT(*) - SUM(y))::BIGINT AS neg FROM t GROUP BY g, s), "
+            "o AS (SELECT g, pos, neg, COALESCE(SUM(neg) OVER (PARTITION BY g "
+            "ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumneg FROM c) "
+            "SELECT g, SUM(pos * (2 * cumneg + neg))::BIGINT AS num2, "
+            "SUM(pos)::BIGINT AS pos_total, SUM(neg)::BIGINT AS neg_total, "
+            "ROUND((SUM(pos * (2 * cumneg + neg))::DOUBLE) / "
+            "(2.0 * SUM(pos) * SUM(neg)), 6) AS auc FROM o GROUP BY g"
+        ),
+        "q_brier": (
+            "WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS s, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT SUM((s - y * 56100) * (s - y * 56100))::BIGINT AS num, "
+            "COUNT(*)::BIGINT AS n, "
+            "ROUND(SUM((s - y * 56100) * (s - y * 56100))::DOUBLE / "
+            "(COUNT(*) * 56100.0 * 56100.0), 6) AS brier FROM t"
         ),
         "q_rfm": (
             "SELECT user_id, "

@@ -296,6 +296,8 @@ _BENCH_QUERIES = [
     "q_loo_encode",  # leave-one-out target encoding (leakage-safe)
     "q_group_bucket",  # per-group learned quantile buckets
     "q_rfm",  # recency/frequency/monetary features per user
+    "q_group_auc",  # per-slice exact ROC-AUC
+    "q_brier",  # exact fixed-point Brier score
 ]
 
 

@@ -581,3 +581,111 @@ def calibration_bins(ds, score_col: str, label_col: str, bins: int,
         "pos_rate": pa.array(rate, pa.float64()),
         "mean_score": pa.array(mean_s, pa.float64()),
     })
+
+
+def binary_auc_by_group(ds, group_col: str, score_col: str, label_col: str):
+    """Per-GROUP exact ROC-AUC (:func:`binary_auc` segmented by a model /
+    slice / cohort column): one partial-agg groupby on (group, score), then
+    ONE group sort and a fully vectorized segmented fold — exclusive
+    neg-prefix per group via the cumsum-minus-segment-base trick. Output:
+    one row per group (num2, pos_total, neg_total, auc), all int64 except
+    the single-division auc. Raises when any group's 2*P*N leaves int64."""
+    from kamae_ray.functions import segments as S
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.window import sorted_block_apply
+
+    stats = groupby_agg(
+        ds if isinstance(ds, pa.Table) else ds,
+        [group_col, score_col], {label_col: ["sum", "count"]})
+
+    def fold(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({group_col: block.column(group_col),
+                             "num2": pa.array([], pa.int64()),
+                             "pos_total": pa.array([], pa.int64()),
+                             "neg_total": pa.array([], pa.int64()),
+                             "auc": pa.array([], pa.float64())})
+        keep = pc.is_valid(block.column(score_col)).to_numpy(zero_copy_only=False)
+        block = block.filter(pa.array(keep))
+        gids = S.group_ids(block, [group_col])
+        s = pc.cast(block.column(score_col), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        p = pc.cast(block.column(f"{label_col}_sum"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        n = pc.cast(block.column(f"{label_col}_count"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        if len(p) and (p.min() < 0 or (p > n).any()):
+            raise ValueError("binary_auc_by_group label must be a 0/1 integer column")
+        neg = n - p
+        order = np.lexsort((s, gids))
+        gs, ps, ns = gids[order], p[order], neg[order]
+        starts, lens = S.segments(gs)
+        cum = np.cumsum(ns) - ns  # inclusive-prefix minus self = exclusive
+        base = np.repeat(cum[starts], lens)
+        cumneg = cum - base
+        terms = ps * (2 * cumneg + ns)
+        num2 = np.add.reduceat(terms, starts)
+        P = np.add.reduceat(ps, starts)
+        N = np.add.reduceat(ns, starts)
+        if len(P) and (2.0 * P.astype(np.float64) * N.astype(np.float64)).max() >= 2.0**63:
+            raise ValueError("a group's 2*P*N exceeds int64 — shard further")
+        first = order[starts]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            auc = np.where((P > 0) & (N > 0),
+                           num2.astype(np.float64) / (2.0 * P * N), np.nan)
+        return pa.table({
+            group_col: A.as_array(block.column(group_col)).take(pa.array(first)),
+            "num2": pa.array(num2), "pos_total": pa.array(P),
+            "neg_total": pa.array(N),
+            "auc": pa.array(auc, pa.float64(), mask=~((P > 0) & (N > 0))),
+        })
+
+    if isinstance(stats, pa.Table):
+        return fold(stats)
+    return sorted_block_apply(stats, [group_col], fold, "group_auc_fold")
+
+
+def brier_score(ds, score_col: str, label_col: str, scale: int):
+    """EXACT Brier score of fixed-point probability scores (``p = s /
+    scale``, s integer in [0, scale]) against a binary 0/1 label:
+
+        ``num = sum (s - y*scale)^2``  (exact int64)
+        ``brier = num / (n * scale^2)``  (ONE double division)
+
+    Per-block int64 partials, O(blocks) driver fold — no shuffle at all.
+    Returns a 1-row table (num, n, brier). Guard: n * scale^2 must stay
+    inside int64."""
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+
+    def partial(block: pa.Table) -> pa.Table:
+        s = pc.cast(A.as_array(block.column(score_col)), pa.int64(), safe=False)
+        y = pc.cast(A.as_array(block.column(label_col)), pa.int64(), safe=False)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(y))
+        t = pa.table({"s": s, "y": y}).filter(ok)
+        sv = t.column("s").to_numpy(zero_copy_only=False)
+        yv = t.column("y").to_numpy(zero_copy_only=False)
+        if len(sv) and (sv.min() < 0 or sv.max() > scale):
+            raise ValueError(f"scores outside [0, {scale}]")
+        if len(yv) and ((yv < 0) | (yv > 1)).any():
+            raise ValueError("brier_score label must be a 0/1 integer column")
+        d = sv - yv * np.int64(scale)
+        return pa.table({"num": pa.array([int((d * d).sum())], pa.int64()),
+                         "n": pa.array([len(sv)], pa.int64())})
+
+    partial.__name__ = "brier_partial"
+    if isinstance(ds, pa.Table):
+        parts = [partial(ds)]
+    else:
+        from kamae_ray.base import collect_tables
+        from kamae_ray.state.aggregators import _project
+
+        proj = _project(ds, [score_col, label_col]) or ds
+        parts = [t for t in collect_tables(
+            proj.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)) if t.num_rows]
+    num = sum(int(x) for t in parts for x in t.column("num").to_pylist())
+    n = sum(int(x) for t in parts for x in t.column("n").to_pylist())
+    if n * scale * scale >= 1 << 63:
+        raise ValueError("n * scale^2 exceeds int64 — reduce scale")
+    brier = (num / (n * scale * scale)) if n else float("nan")
+    return pa.table({"num": pa.array([num], pa.int64()),
+                     "n": pa.array([n], pa.int64()),
+                     "brier": pa.array([brier], pa.float64())})

@@ -340,3 +340,36 @@ def test_calibration_bins_dataset_matches_table(ray_session):
         assert False, "expected ValueError"
     except Exception:
         pass
+
+
+def test_group_auc_and_brier(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.profile import binary_auc, binary_auc_by_group, brier_score
+
+    rng = np.random.default_rng(43)
+    n = 15000
+    g = rng.choice(["m1", "m2", "m3"], n).tolist()
+    s = rng.integers(0, 200, n)
+    y = (rng.random(n) < s / 260).astype(np.int64)
+    t = pa.table({"g": g, "s": pa.array(s, pa.int64()), "y": pa.array(y)})
+    table_out = {r["g"]: r for r in binary_auc_by_group(t, "g", "s", "y").to_pylist()}
+    # each group equals the global op run on that group's slice
+    for grp in ("m1", "m2", "m3"):
+        sub = t.filter(pa.compute.equal(t.column("g"), grp))
+        ref = binary_auc(sub, "s", "y").to_pylist()[0]
+        got = table_out[grp]
+        assert (got["num2"], got["pos_total"], got["neg_total"]) == \
+            (ref["num2"], ref["pos_total"], ref["neg_total"]), grp
+    # dataset path equals the table path
+    ds = ray.data.from_arrow(t).repartition(6)
+    rows = binary_auc_by_group(ds, "g", "s", "y").take_all()
+    assert {r["g"]: (r["num2"], r["pos_total"], r["neg_total"]) for r in rows} == \
+        {k: (v["num2"], v["pos_total"], v["neg_total"]) for k, v in table_out.items()}
+    # brier: table, dataset and numpy reference agree
+    bt = brier_score(t, "s", "y", scale=200).to_pylist()[0]
+    bd = brier_score(ds, "s", "y", scale=200).to_pylist()[0]
+    ref = float(np.mean((s / 200 - y) ** 2))
+    assert bt == bd and abs(bt["brier"] - ref) < 1e-12

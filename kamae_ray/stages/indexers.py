@@ -335,7 +335,9 @@ class TargetEncodeTransformer(Transformer):
         return len(self.categories)
 
     def _encode_flat(self, flat: pa.Array) -> pa.Array:
-        if self._cached is None:
+        # getattr guard: _load_stages rebuilds via __new__ + params (private
+        # caches are popped from get_params and never restored)
+        if getattr(self, "_cached", None) is None:
             cats = pa.array(self.categories)
             enc = np.asarray(self.encodings + [self.default_value], np.float64)
             self._cached = (cats, enc)
@@ -462,7 +464,8 @@ class LooTargetEncodeTransformer(Transformer):
         return len(self.categories)
 
     def transform_batch(self, batch: pa.Table) -> pa.Table:
-        if self._cached is None:
+        # getattr guard: survives the __new__-based _load_stages rebuild
+        if getattr(self, "_cached", None) is None:
             self._cached = (
                 pa.array(self.categories),
                 np.asarray(self.sums + [0], np.int64),
@@ -646,7 +649,9 @@ class CountEncodeTransformer(Transformer):
         return len(self.categories)
 
     def _encode_flat(self, flat: pa.Array) -> pa.Array:
-        if self._cached is None:
+        # getattr guard: _load_stages rebuilds via __new__ + params (private
+        # caches are popped from get_params and never restored)
+        if getattr(self, "_cached", None) is None:
             cats = pa.array(self.categories)
             total = float(sum(self.counts)) or 1.0
             vals = np.asarray(self.counts + [0], np.float64)
@@ -735,7 +740,8 @@ class RareLabelTransformer(Transformer):
         return len(self.keep)
 
     def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
-        if self._keep_set is None:
+        # getattr guard: survives the __new__-based _load_stages rebuild
+        if getattr(self, "_keep_set", None) is None:
             self._keep_set = pa.array(self.keep, pa.string())
 
         def kernel(flat: pa.Array) -> pa.Array:

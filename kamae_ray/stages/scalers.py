@@ -533,7 +533,8 @@ class GroupedImputeTransformer(Transformer):
         return len(self.groups)
 
     def transform_batch(self, batch: pa.Table) -> pa.Table:
-        if self._cached is None:
+        # getattr guard: survives the __new__-based _load_stages rebuild
+        if getattr(self, "_cached", None) is None:
             self._cached = (pa.array(self.groups),
                             np.asarray(self.values + [self.default_value], np.float64))
         gkeys, vals = self._cached
@@ -681,7 +682,8 @@ class GroupedBucketizeTransformer(Transformer):
         return sum(len(s) for s in self.splits_per_group)
 
     def transform_batch(self, batch: pa.Table) -> pa.Table:
-        if self._cached is None:
+        # getattr guard: survives the __new__-based _load_stages rebuild
+        if getattr(self, "_cached", None) is None:
             self._cached = (pa.array(self.groups),
                             [np.asarray(s) for s in self.splits_per_group],
                             np.asarray(self.default_splits))

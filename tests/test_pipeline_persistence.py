@@ -213,3 +213,50 @@ def test_current_time_ops_pinned():
     assert CurrentDateTimeTransformer(pinned_datetime=pin, output_col="o").transform_batch(t).column("o").to_pylist() == [pin] * 2
     out = CurrentUnixTimestampTransformer(pinned_datetime=pin, unit="s", output_col="o").transform_batch(t)
     assert out.column("o").to_pylist() == [1623760200.0] * 2
+
+
+def test_lazy_cache_transformers_survive_load(tmp_path):
+    """_load_stages rebuilds via __new__ + params: private lazy caches
+    (popped from get_params) must be getattr-guarded — a bare
+    ``self._cached is None`` raises AttributeError after load (found on
+    RareLabel; TargetEncode/CountEncode had the same latent bug)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kamae_ray.pipelines import Pipeline, PipelineModel
+    from kamae_ray.stages import (
+        CountEncodeEstimator,
+        FeatureCrossTransformer,
+        GroupedImputeEstimator,
+        GroupedQuantileBucketizeEstimator,
+        LooTargetEncodeEstimator,
+        RareLabelEncoderEstimator,
+        TargetEncodeEstimator,
+        WoeEncodeEstimator,
+    )
+
+    rng = np.random.default_rng(1)
+    t = pa.table({
+        "a": rng.choice(["x", "y", "z", "w"], 400).tolist(),
+        "b": rng.choice(["p", "q"], 400).tolist(),
+        "v": pa.array([None if rng.random() < 0.1 else float(x)
+                       for x in rng.standard_normal(400)], pa.float64()),
+        "y": pa.array(rng.integers(0, 2, 400), pa.int64()),
+    })
+    pipe = Pipeline([
+        FeatureCrossTransformer(input_cols=["a", "b"], output_col="cross", num_bins=50),
+        RareLabelEncoderEstimator(input_col="a", output_col="a_cap", min_freq=1, max_categories=2),
+        WoeEncodeEstimator(input_col="b", target_col="y", output_col="b_woe"),
+        LooTargetEncodeEstimator(input_col="a", target_col="y", output_col="a_loo"),
+        TargetEncodeEstimator(input_col="a", target_col="y", output_col="a_te", smoothing=1.0),
+        CountEncodeEstimator(input_col="a", output_col="a_cnt"),
+        GroupedImputeEstimator(input_col="v", group_col="b", output_col="v_fill"),
+        GroupedQuantileBucketizeEstimator(input_col="v", group_col="b", output_col="v_bkt",
+                                          num_buckets=4, boundary_decimals=6),
+    ])
+    pm = pipe.fit(t)
+    out1 = pm.transform(t)
+    path = str(tmp_path / "pm")
+    pm.save(path)
+    out2 = PipelineModel.load(path).transform(t)
+    assert out1.equals(out2)

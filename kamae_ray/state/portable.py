@@ -162,6 +162,28 @@ def _spec_of_inner(stage, t, E, I, Sc, St, ref):
         return {"op": "hash_index", "input": stage.input_col, "output": stage.output_col,
                 "num_bins": int(stage.num_bins), "mask_value": stage.mask_value,
                 "hash": "farmhash64" if stage.hash_fn == "farm" else "poly31"}
+    if t is H.FeatureCrossTransformer:
+        return {"op": "feature_cross", "inputs": list(stage.input_cols),
+                "output": stage.output_col, "num_bins": int(stage.num_bins),
+                "hash": "farmhash64" if stage.hash_fn == "farm" else "poly31"}
+    if t is I.RareLabelTransformer:
+        return {"op": "rare_label", "input": stage.input_col, "output": stage.output_col,
+                "keep": ref(np.asarray(stage.keep, dtype=object)),
+                "rare_label": stage.rare_label}
+    if t is Sc.GroupedImputeTransformer:
+        return {"op": "grouped_impute", "input": stage.input_col,
+                "group": stage.group_col, "output": stage.output_col,
+                "groups": ref(np.asarray([str(g) for g in stage.groups], dtype=object)),
+                "values": ref(np.asarray(stage.values, np.float64)),
+                "default_value": float(stage.default_value)}
+    if t is Sc.GroupedBucketizeTransformer:
+        flat = np.asarray([x for s in stage.splits_per_group for x in s], np.float64)
+        offs = np.cumsum([0] + [len(s) for s in stage.splits_per_group]).astype(np.int64)
+        return {"op": "grouped_bucketize", "input": stage.input_col,
+                "group": stage.group_col, "output": stage.output_col,
+                "groups": ref(np.asarray([str(g) for g in stage.groups], dtype=object)),
+                "splits_flat": ref(flat), "splits_offsets": ref(offs),
+                "default_splits": ref(np.asarray(stage.default_splits, np.float64))}
     if t is Lw.ListRankTransformer or (isinstance(stage, Lw.ListStatTransformer)
                                        and t is not Lw.ListStatTransformer):
         op = {"op": "list_rank" if t is Lw.ListRankTransformer else "list_stat",
@@ -574,6 +596,69 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
                                len(enc) - 1).to_numpy(zero_copy_only=False)
             out = enc[pos.astype(np.int64)]
             table = emit(table, op["output"], pa.array(out, pa.float64()))
+        elif kind == "feature_cross":
+            cols = [pc.cast(inp(c), pa.string(), safe=False) for c in op["inputs"]]
+            cols = [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols]
+            joined = pc.binary_join_element_wise(*cols, pa.scalar("\x1f"))
+            null_mask = pc.is_null(joined).to_numpy(zero_copy_only=False)
+            if op.get("hash") == "poly31":
+                hp = np.empty(len(joined), dtype=np.int64)
+                for i, v in enumerate(joined.to_pylist()):
+                    hv = 7
+                    for ch in (v or ""):
+                        hv = (hv * 31 + ord(ch)) % 1000000007
+                    hp[i] = hv
+                out = (hp % np.int64(op["num_bins"] - 1)) + np.int64(1)
+            else:
+                from kamae_ray.functions.farmhash import hash64_column
+
+                h, null_mask = hash64_column(joined)
+                out = ((h % np.uint64(op["num_bins"] - 1)) + np.uint64(1)).astype(np.int64)
+            out[null_mask] = 0
+            table = emit(table, op["output"], pa.array(out, pa.int64()))
+        elif kind == "rare_label":
+            vals = pc.cast(inp(op["input"]), pa.string(), safe=False)
+            vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+            keep = pa.array(arrays[op["keep"]].astype(str))
+            m = pc.is_in(vals, value_set=keep)
+            out = pc.if_else(m, vals, pa.scalar(op["rare_label"], pa.string()))
+            out = pc.if_else(pc.is_valid(vals), out, pa.nulls(len(vals), pa.string()))
+            table = emit(table, op["output"], out)
+        elif kind == "grouped_impute":
+            x = pc.cast(inp(op["input"]), pa.float64(), safe=False)
+            x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+            g = pc.cast(inp(op["group"]), pa.string(), safe=False)
+            g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+            gk = pa.array(arrays[op["groups"]].astype(str))
+            fillv = np.append(arrays[op["values"]].astype(np.float64),
+                              float(op["default_value"]))
+            pos = pc.fill_null(pc.index_in(g, value_set=gk),
+                               len(fillv) - 1).to_numpy(zero_copy_only=False)
+            fill = fillv[pos.astype(np.int64)]
+            out = pc.if_else(pc.is_valid(x), x, pa.array(fill, pa.float64()))
+            table = emit(table, op["output"], out)
+        elif kind == "grouped_bucketize":
+            x = pc.cast(inp(op["input"]), pa.float64(), safe=False)
+            x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+            vals_np = x.to_numpy(zero_copy_only=False)
+            nulls = pc.is_null(x).to_numpy(zero_copy_only=False)
+            g = pc.cast(inp(op["group"]), pa.string(), safe=False)
+            g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+            gk = pa.array(arrays[op["groups"]].astype(str))
+            flat = arrays[op["splits_flat"]].astype(np.float64)
+            offs = arrays[op["splits_offsets"]].astype(np.int64)
+            dflt = arrays[op["default_splits"]].astype(np.float64)
+            n_g = len(gk)
+            pos = pc.fill_null(pc.index_in(g, value_set=gk),
+                               n_g).to_numpy(zero_copy_only=False).astype(np.int64)
+            out = np.zeros(len(vals_np), np.int64)
+            safe = np.where(nulls, 0.0, vals_np)
+            for gi in np.unique(pos):
+                m = pos == gi
+                sp = flat[offs[gi]:offs[gi + 1]] if gi < n_g else dflt
+                out[m] = np.searchsorted(sp, safe[m], side="right") + 1
+            table = emit(table, op["output"],
+                         pa.array(out.astype(np.int32), mask=nulls))
         elif kind in ("list_stat", "list_rank"):
             table = emit(table, op["output"], _listwise_kernel(kind, op, table, inp))
         elif kind in ("pca_project", "l2_normalize", "linear_score"):
@@ -841,6 +926,10 @@ def _string_kernel(kind, op, table, inp):
 #: constant forms — the per-row-pattern column forms export as None and raise.
 PORTABLE_CLASSES = frozenset({
     "TargetEncodeTransformer",
+    "FeatureCrossTransformer",
+    "RareLabelTransformer",
+    "GroupedImputeTransformer",
+    "GroupedBucketizeTransformer",
     "LogTransformer",
     "AbsoluteValueTransformer",
     "ExpTransformer",

@@ -587,3 +587,41 @@ def test_portable_linear_score_and_poly_hash(tmp_path):
     eng = model.transform(t)
     for c in ["logit", "h", "hf"]:
         assert got.column(c).to_pylist() == eng.column(c).to_pylist(), c
+
+
+def test_portable_covers_session3_encoders(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.stages import (
+        FeatureCrossTransformer,
+        GroupedImputeEstimator,
+        GroupedQuantileBucketizeEstimator,
+        RareLabelEncoderEstimator,
+    )
+    from kamae_ray.state.portable import apply_portable, export_portable
+
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "a": rng.choice(["x", "y", "z", "w"], 400).tolist(),
+        "b": rng.choice(["p", "q"], 400).tolist(),
+        "v": pa.array([None if rng.random() < 0.1 else float(x)
+                       for x in rng.standard_normal(400)], pa.float64()),
+    })
+    pm = Pipeline([
+        FeatureCrossTransformer(input_cols=["a", "b"], output_col="cross", num_bins=50),
+        FeatureCrossTransformer(input_cols=["a", "b"], output_col="cross_f",
+                                num_bins=50, hash_fn="farm"),
+        RareLabelEncoderEstimator(input_col="a", output_col="a_cap",
+                                  min_freq=1, max_categories=2),
+        GroupedImputeEstimator(input_col="v", group_col="b", output_col="v_fill"),
+        GroupedQuantileBucketizeEstimator(input_col="v", group_col="b", output_col="v_bkt",
+                                          num_buckets=4, boundary_decimals=6),
+    ]).fit(t)
+    ref = pm.transform(t)
+    path = str(tmp_path / "art")
+    export_portable(pm, path)
+    got = apply_portable(path, t)
+    for c in ("cross", "cross_f", "a_cap", "v_fill", "v_bkt"):
+        assert got.column(c).to_pylist() == ref.column(c).to_pylist(), c

@@ -708,6 +708,109 @@ def _q_brier(sf_dir):
     return _round_cols(out, ["brier"])
 
 
+def _q_ranking_eval(sf_dir):
+    """Per-query ranking-eval metrics (``evalmetrics.ranking_metrics``):
+    each user's event stream is a ranked list (rank = ts, event_id order),
+    graded relevance purchase=3 / click=2 / view=1 — emits n, total_rel,
+    hits@10, precision/recall@10, RR@10, DCG/IDCG/NDCG@10 per user. The
+    DCG float chain is a fixed-order dot against ln(2)/ln(r+1) libm
+    constants shared with the GENERATED oracle expression
+    (``ranking_dcg_sql``) — bit-identical on both engines."""
+    from kamae_ray.stages.evalmetrics import ranking_metrics
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+
+        def ind(v, w):
+            return pc.multiply(
+                pc.cast(pc.coalesce(pc.equal(et, v), pa.scalar(False)), pa.int64()),
+                pa.scalar(w, pa.int64()))
+
+        rel = pc.add(pc.add(ind("purchase", 3), ind("click", 2)), ind("view", 1))
+        return pa.table({"user_id": batch.column("user_id"), "ts": batch.column("ts"),
+                         "event_id": batch.column("event_id"), "rel": rel})
+
+    prep.__name__ = "ranking_rel_grade"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = ranking_metrics(ds, "user_id", ["ts", "event_id"], "rel", k=10)
+    fl = ["prec_k", "recall_k", "rr_k", "dcg_k", "idcg_k", "ndcg_k"]
+    return out.map_batches(_rounder(fl), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_confusion(sf_dir):
+    """Thresholded confusion matrix per event_type slice
+    (``evalmetrics.confusion_by_group``): prediction = cents >= 15000
+    against the odd-user label — exact int64 tp/fp/fn/tn via one
+    partial-agg groupby, accuracy/precision/recall/F1 each ONE double
+    division (F1 in the single-division 2tp/(2tp+fp+fn) form)."""
+    from kamae_ray.stages.evalmetrics import confusion_by_group
+
+    ev = _read(sf_dir, "events", ["value", "event_type", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        y = pc.cast(pc.bit_wise_and(batch.column("user_id"), pa.scalar(1, pa.int64())), pa.int64())
+        return pa.table({"g": batch.column("event_type"), "s": cents, "y": y})
+
+    prep.__name__ = "confusion_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = confusion_by_group(ds, "g", "s", "y", 15_000)
+    fl = ["accuracy", "precision", "recall", "f1"]
+    return out.map_batches(_rounder(fl), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_ks(sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between the purchase and
+    click value distributions (``evalmetrics.ks_statistic``) — drift
+    testing in pure int64: the sup-CDF-distance numerator is
+    max |cum_a*n_b - cum_b*n_a| over distinct cent values (exact
+    cross-multiplied fractions), ks is the single closing division."""
+    from kamae_ray.stages.evalmetrics import ks_statistic
+
+    ev = _read(sf_dir, "events", ["value", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"g": batch.column("event_type"), "s": cents})
+
+    prep.__name__ = "ks_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = ks_statistic(ds, "s", "g", "purchase", "click")
+    return _round_cols(out, ["ks"])
+
+
+def _q_lift(sf_dir):
+    """Cumulative gains / lift table (``evalmetrics.lift_table``): cent
+    scores vs the purchase label in 20 equal-width buckets, accumulated
+    from the top bucket down — per-bucket exact int64 counts, gain and
+    lift as single divisions of exact int64 products (the model-targeting
+    report twin of q_calibration)."""
+    from kamae_ray.stages.evalmetrics import lift_table
+
+    ev = _read(sf_dir, "events", ["value", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        y = pc.cast(pc.equal(batch.column("event_type"), "purchase"), pa.int64())
+        return pa.table({"s": cents, "y": y})
+
+    prep.__name__ = "lift_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = lift_table(ds, "s", "y", bins=20, max_score=100_000)
+    return _round_cols(out, ["gain", "lift"])
+
+
 def _q_rfm(sf_dir):
     """RFM features per user (recency / frequency / monetary — the classic
     CRM feature triple) over purchase events at a pinned cutoff: one
@@ -4560,6 +4663,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rfm": _q_rfm,
         "q_group_auc": _q_group_auc,
         "q_brier": _q_brier,
+        "q_ranking_eval": _q_ranking_eval,
+        "q_confusion": _q_confusion,
+        "q_ks": _q_ks,
+        "q_lift": _q_lift,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -4695,6 +4802,43 @@ def _linear_score_oracle() -> str:
     w, bias = default_linear_weights(64)
     return linear_score_oracle_sql(
         "embeddings", "vec_id", "embedding", w, bias, min_logit=0)
+
+
+def _ranking_eval_oracle_sql() -> str:
+    """q_ranking_eval oracle GENERATED from the engine's own DCG constants
+    (``evalmetrics.ranking_dcg_sql`` — ln(2)/ln(r+1) terms summed
+    left-associatively, the kernel's exact accumulation order)."""
+    from kamae_ray.stages.evalmetrics import ranking_dcg_sql
+
+    dcg = ranking_dcg_sql(10, "rel", "rnk")
+    idcg = ranking_dcg_sql(10, "rel", "drnk")
+    return (
+        "WITH r AS (SELECT user_id, "
+        "CASE WHEN event_type = 'purchase' THEN 3 "
+        "WHEN event_type = 'click' THEN 2 "
+        "WHEN event_type = 'view' THEN 1 ELSE 0 END AS rel, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY "
+        "CASE WHEN event_type = 'purchase' THEN 3 "
+        "WHEN event_type = 'click' THEN 2 "
+        "WHEN event_type = 'view' THEN 1 ELSE 0 END DESC, ts, event_id) AS drnk "
+        "FROM events) "
+        "SELECT user_id, COUNT(*)::BIGINT AS n, "
+        "SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS total_rel, "
+        "SUM(CASE WHEN rel > 0 AND rnk <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_k, "
+        "ROUND(CAST(SUM(CASE WHEN rel > 0 AND rnk <= 10 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(10 AS DOUBLE), 6) AS prec_k, "
+        "ROUND(CASE WHEN SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) > 0 THEN "
+        "CAST(SUM(CASE WHEN rel > 0 AND rnk <= 10 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS DOUBLE) END, 6) AS recall_k, "
+        "ROUND(CASE WHEN MIN(CASE WHEN rel > 0 AND rnk <= 10 THEN rnk END) IS NULL "
+        "THEN CAST(0 AS DOUBLE) ELSE CAST(1 AS DOUBLE) "
+        "/ CAST(MIN(CASE WHEN rel > 0 AND rnk <= 10 THEN rnk END) AS DOUBLE) END, 6) AS rr_k, "
+        f"ROUND({dcg}, 6) AS dcg_k, "
+        f"ROUND({idcg}, 6) AS idcg_k, "
+        f"ROUND(CASE WHEN ({idcg}) > 0 THEN ({dcg}) / ({idcg}) END, 6) AS ndcg_k "
+        "FROM r GROUP BY user_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6340,6 +6484,70 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS n, "
             "ROUND(SUM((s - y * 56100) * (s - y * 56100))::DOUBLE / "
             "(COUNT(*) * 56100.0 * 56100.0), 6) AS brier FROM t"
+        ),
+        # q_ranking_eval: the DCG/IDCG expressions are GENERATED from the
+        # same ln(2)/ln(r+1) constants the engine kernel uses (shared-
+        # constants oracle pattern); idcg's row_number tiebreak (rel DESC,
+        # ts, event_id) mirrors the kernel's lexsort((rank, -rel, gid)).
+        "q_ranking_eval": _ranking_eval_oracle_sql(),
+        "q_confusion": (
+            "WITH t AS (SELECT event_type AS g, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS s, "
+            "(user_id & 1)::BIGINT AS y FROM events WHERE value IS NOT NULL) "
+            "SELECT g, "
+            "SUM(CASE WHEN s >= 15000 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp, "
+            "SUM(CASE WHEN s >= 15000 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp, "
+            "SUM(CASE WHEN s < 15000 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn, "
+            "SUM(CASE WHEN s < 15000 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn, "
+            "ROUND(CAST(SUM(CASE WHEN (s >= 15000) = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ CAST(COUNT(*) AS DOUBLE), 6) AS accuracy, "
+            "ROUND(CASE WHEN SUM(CASE WHEN s >= 15000 THEN 1 ELSE 0 END) > 0 THEN "
+            "CAST(SUM(CASE WHEN s >= 15000 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ CAST(SUM(CASE WHEN s >= 15000 THEN 1 ELSE 0 END) AS DOUBLE) END, 6) AS precision, "
+            "ROUND(CASE WHEN SUM(y) > 0 THEN "
+            "CAST(SUM(CASE WHEN s >= 15000 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ CAST(SUM(y) AS DOUBLE) END, 6) AS recall, "
+            "ROUND(CASE WHEN 2 * SUM(CASE WHEN s >= 15000 AND y = 1 THEN 1 ELSE 0 END) "
+            "+ SUM(CASE WHEN s >= 15000 AND y = 0 THEN 1 ELSE 0 END) "
+            "+ SUM(CASE WHEN s < 15000 AND y = 1 THEN 1 ELSE 0 END) > 0 THEN "
+            "CAST(2 * SUM(CASE WHEN s >= 15000 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ CAST(2 * SUM(CASE WHEN s >= 15000 AND y = 1 THEN 1 ELSE 0 END) "
+            "+ SUM(CASE WHEN s >= 15000 AND y = 0 THEN 1 ELSE 0 END) "
+            "+ SUM(CASE WHEN s < 15000 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) END, 6) AS f1 "
+            "FROM t GROUP BY g"
+        ),
+        "q_ks": (
+            "WITH f AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS s, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a, "
+            "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type IN ('purchase', 'click')), "
+            "g AS (SELECT s, SUM(a)::BIGINT AS ca, SUM(b)::BIGINT AS cb "
+            "FROM f GROUP BY s), "
+            "c AS (SELECT SUM(ca) OVER (ORDER BY s)::BIGINT AS cuma, "
+            "SUM(cb) OVER (ORDER BY s)::BIGINT AS cumb FROM g), "
+            "tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM g) "
+            "SELECT MAX(abs(cuma * nb - cumb * na))::BIGINT AS d_num, "
+            "ANY_VALUE(na)::BIGINT AS n_a, ANY_VALUE(nb)::BIGINT AS n_b, "
+            "ROUND(CAST(MAX(abs(cuma * nb - cumb * na)) AS DOUBLE) "
+            "/ CAST(ANY_VALUE(na) * ANY_VALUE(nb) AS DOUBLE), 6) AS ks "
+            "FROM c, tot"
+        ),
+        "q_lift": (
+            "WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS s, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            "FROM events WHERE value IS NOT NULL), "
+            "g AS (SELECT (s * 20) // 100000 AS bucket, COUNT(*)::BIGINT AS n, "
+            "SUM(y)::BIGINT AS pos FROM t GROUP BY 1), "
+            "c AS (SELECT bucket, n, pos, "
+            "SUM(n) OVER (ORDER BY bucket DESC)::BIGINT AS cum_n, "
+            "SUM(pos) OVER (ORDER BY bucket DESC)::BIGINT AS cum_pos FROM g), "
+            "tot AS (SELECT SUM(n)::BIGINT AS tn, SUM(pos)::BIGINT AS tp FROM g) "
+            "SELECT bucket, n, pos, cum_n, cum_pos, "
+            "ROUND(CASE WHEN tp > 0 THEN CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE) END, 6) AS gain, "
+            "ROUND(CASE WHEN tp > 0 AND cum_n > 0 THEN "
+            "CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE) END, 6) AS lift "
+            "FROM c, tot"
         ),
         "q_rfm": (
             "SELECT user_id, "

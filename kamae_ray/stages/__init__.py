@@ -182,3 +182,9 @@ from kamae_ray.stages.sketches import (  # noqa: F401
     groupby_approx_count_distinct,
 )
 from kamae_ray.stages.profile import profile_columns  # noqa: F401
+from kamae_ray.stages.evalmetrics import (  # noqa: F401
+    confusion_by_group,
+    ks_statistic,
+    lift_table,
+    ranking_metrics,
+)

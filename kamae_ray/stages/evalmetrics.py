@@ -1,0 +1,438 @@
+"""Model / ranking evaluation metrics at corpus scale — the offline-eval
+family that sits next to training-data prep: per-query ranking metrics
+(DCG/NDCG/MRR/precision/recall@k), thresholded confusion matrices per
+slice, the two-sample Kolmogorov-Smirnov statistic, and cumulative
+gain/lift tables.
+
+Exactness discipline (the repo invariant): every statistic is either a
+pure int64 count, a single IEEE division of two exact integers, or a
+fixed-order float expression whose every transcendental routes through
+``functions/arrays.libm_log`` so the DuckDB oracle reproduces it
+bit-for-bit (CLAUDE lesson 38).
+
+Scale plan per op is documented on the function; none of them ever
+materializes the input — confusion/KS/lift reduce to per-distinct-value
+or per-group partials, ranking_metrics is ONE query-key sort plus a
+vectorized segment kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kamae_ray.functions import arrays as A
+from kamae_ray.functions import segments as S
+
+_BIG = np.int64(1) << np.int64(62)
+
+
+def _dcg_constants(k: int) -> np.ndarray:
+    """c_r = ln(2)/ln(r+1) for ranks r=1..k, every term a libm ln and one
+    IEEE division — bit-identical to the SQL ``ln(CAST(2 AS DOUBLE)) /
+    ln(CAST(r+1 AS DOUBLE))`` the oracle generator emits."""
+    ln = A.libm_log(np.arange(2.0, k + 2.0))
+    ln2 = A.libm_log(np.array([2.0]))[0]
+    return ln2 / ln
+
+
+def ranking_dcg_sql(k: int, rel_expr: str, rank_col: str) -> str:
+    """The oracle-side DCG@k expression GENERATED from the same constants
+    as the engine kernel: a left-associative sum of
+    ``COALESCE(MAX(CASE WHEN rank=r THEN rel END), 0) * (ln(2)/ln(r+1))``
+    terms — the engine accumulates in the identical left-to-right order, so
+    the float result is bit-identical (shared-constants oracle pattern)."""
+    terms = [
+        f"COALESCE(MAX(CASE WHEN {rank_col} = {r} THEN {rel_expr} END), 0)::DOUBLE"
+        f" * (ln(CAST(2 AS DOUBLE)) / ln(CAST({r + 1} AS DOUBLE)))"
+        for r in range(1, k + 1)
+    ]
+    return " + ".join(terms)
+
+
+def ranking_metrics(ds, query_col: str, order_cols: list[str], rel_col: str,
+                    k: int = 10):
+    """Per-query ranking-evaluation metrics over a (query, rank-order,
+    integer relevance) table: n, total_rel, hits@k, precision@k, recall@k,
+    reciprocal rank@k, DCG@k, IDCG@k, NDCG@k — one output row per query
+    (per-query rows on purpose: a global mean would be a cross-query float
+    sum whose accumulation order differs between engines; averaging the
+    bounded per-query table is the caller's one driver step).
+
+    ``order_cols`` must define a TOTAL order within each query (include a
+    unique tiebreak column); rank is the 1-based position in that order.
+    ``rel_col`` is a non-negative integer (graded) relevance.
+
+    Exactness: hits/totals are int64; precision/recall/RR are single
+    divisions; DCG/IDCG are fixed-order dot products against
+    ``ln(2)/ln(r+1)`` constants (libm via pyarrow — lesson 38), accumulated
+    left-to-right exactly as the generated SQL (:func:`ranking_dcg_sql`);
+    IDCG orders by (rel DESC, rank ASC) — mirrored by the oracle's
+    row_number tiebreak. NDCG is one division, null when IDCG=0; RR@k is
+    0.0 (not null) when no relevant item ranks <= k — the MRR convention.
+
+    Scale plan: ONE distributed sort on the query key (the only exchange),
+    then a fully vectorized block kernel (intra-query ordering via Arrow
+    sort_indices, segment scatter into an (n_queries x k) matrix). Ranking
+    semantics per reference listwise family (ListRankTransformer,
+    /root/reference/src/kamae/spark/transformers/list_rank.py — here as an
+    eval aggregate rather than a feature)."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    if k <= 0 or k > 1024:
+        raise ValueError("k must be in [1, 1024]")
+    C = _dcg_constants(k)
+
+    def fold(block: pa.Table) -> pa.Table:
+        empty = pa.table({
+            query_col: pa.array([], block.schema.field(query_col).type),
+            "n": pa.array([], pa.int64()),
+            "total_rel": pa.array([], pa.int64()),
+            "hits_k": pa.array([], pa.int64()),
+            "prec_k": pa.array([], pa.float64()),
+            "recall_k": pa.array([], pa.float64()),
+            "rr_k": pa.array([], pa.float64()),
+            "dcg_k": pa.array([], pa.float64()),
+            "idcg_k": pa.array([], pa.float64()),
+            "ndcg_k": pa.array([], pa.float64()),
+        })
+        if block.num_rows == 0:
+            return empty
+        keys = [(query_col, "ascending")] + [(c, "ascending") for c in order_cols]
+        block = block.take(pc.sort_indices(block, sort_keys=keys))
+        gids = S.group_ids(block, [query_col])
+        starts, lens = S.segments(gids)
+        nseg = len(starts)
+        srep = S.starts_rep(starts, lens)
+        r = (np.arange(block.num_rows, dtype=np.int64) - srep) + 1
+        rel = pc.cast(A.as_array(block.column(rel_col)), pa.int64(),
+                      safe=False).to_numpy(zero_copy_only=False)
+        if len(rel) and rel.min() < 0:
+            raise ValueError("ranking_metrics relevance must be >= 0")
+        seg_idx = np.repeat(np.arange(nseg, dtype=np.int64), lens)
+        relpos = (rel > 0).astype(np.int64)
+        topk = r <= k
+
+        n = lens.astype(np.int64)
+        total_rel = np.add.reduceat(relpos, starts).astype(np.int64)
+        hits = np.add.reduceat(relpos * topk, starts).astype(np.int64)
+        cand = np.where((relpos > 0) & topk, r, _BIG)
+        frank = np.minimum.reduceat(cand, starts)
+
+        # rank-indexed relevance matrix (zeros beyond each query's length)
+        h = np.zeros((nseg, k), dtype=np.float64)
+        m = topk
+        h[seg_idx[m], r[m] - 1] = rel[m]
+        # ideal order: rel DESC then rank ASC inside each query
+        ordd = np.lexsort((r, -rel, gids))
+        hd = np.zeros((nseg, k), dtype=np.float64)
+        hd[seg_idx[m], r[m] - 1] = rel[ordd][m]
+
+        # left-to-right accumulation, same association as the generated SQL
+        dcg = h[:, 0] * C[0]
+        idcg = hd[:, 0] * C[0]
+        for j in range(1, k):
+            dcg = dcg + h[:, j] * C[j]
+            idcg = idcg + hd[:, j] * C[j]
+
+        prec = hits / float(k)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            recall = np.where(total_rel > 0,
+                              hits / np.where(total_rel == 0, 1, total_rel), np.nan)
+            rr = np.where(frank < _BIG, 1.0 / np.where(frank == 0, 1, frank), 0.0)
+            ndcg = np.where(idcg > 0, dcg / np.where(idcg == 0, 1.0, idcg), np.nan)
+        return pa.table({
+            query_col: A.as_array(block.column(query_col)).take(pa.array(starts)),
+            "n": pa.array(n),
+            "total_rel": pa.array(total_rel),
+            "hits_k": pa.array(hits),
+            "prec_k": pa.array(prec, pa.float64()),
+            "recall_k": pa.array(recall, pa.float64(), mask=~(total_rel > 0)),
+            "rr_k": pa.array(rr, pa.float64()),
+            "dcg_k": pa.array(dcg, pa.float64()),
+            "idcg_k": pa.array(idcg, pa.float64()),
+            "ndcg_k": pa.array(ndcg, pa.float64(), mask=~(idcg > 0)),
+        })
+
+    if isinstance(ds, pa.Table):
+        return fold(ds)
+    return sorted_block_apply(ds, [query_col], fold, "ranking_metrics_fold")
+
+
+def confusion_by_group(ds, group_col: str, score_col: str, label_col: str,
+                       threshold):
+    """Thresholded binary confusion matrix per slice: exact int64
+    tp/fp/fn/tn counts (prediction = ``score >= threshold``), plus
+    accuracy, precision, recall and F1, each ONE double division of exact
+    integers (F1 = 2*tp / (2*tp + fp + fn) — the algebraic form with a
+    single division, mirrored verbatim by the oracle; null when the
+    denominator is 0).
+
+    Scale plan: a derived-indicator map + ONE partial-agg groupby on the
+    slice key; nothing else moves. Output is one row per group."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    def prep(block: pa.Table) -> pa.Table:
+        s = A.as_array(block.column(score_col))
+        y = pc.cast(A.as_array(block.column(label_col)), pa.int64(), safe=False)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(y))
+        pred = pc.cast(pc.greater_equal(s, threshold), pa.int64())
+        t = pa.table({
+            "g": A.as_array(block.column(group_col)),
+            "tp": pc.multiply(pred, y),
+            "fp": pc.multiply(pred, pc.subtract(pa.scalar(1, pa.int64()), y)),
+            "fn": pc.multiply(pc.subtract(pa.scalar(1, pa.int64()), pred), y),
+            "tn": pc.multiply(pc.subtract(pa.scalar(1, pa.int64()), pred),
+                              pc.subtract(pa.scalar(1, pa.int64()), y)),
+        }).filter(ok)
+        yv = t.column("tp").to_numpy(zero_copy_only=False) + \
+            t.column("fn").to_numpy(zero_copy_only=False)
+        if len(yv) and ((yv < 0) | (yv > 1)).any():
+            raise ValueError("confusion_by_group label must be a 0/1 integer column")
+        return t
+
+    prep.__name__ = "confusion_indicators"
+
+    def finish(stats: pa.Table) -> pa.Table:
+        def col(name):
+            v = pc.cast(stats.column(f"{name}_sum"), pa.float64(),
+                        safe=False).to_numpy(zero_copy_only=False)
+            if len(v) and np.abs(v).max() >= 2.0**53:
+                raise ValueError("confusion counts exceed exact float64 range")
+            return v.astype(np.int64)
+
+        tp, fp, fn, tn = col("tp"), col("fp"), col("fn"), col("tn")
+        n = tp + fp + fn + tn
+        with np.errstate(invalid="ignore", divide="ignore"):
+            acc = np.where(n > 0, (tp + tn) / np.where(n == 0, 1, n), np.nan)
+            prec = np.where(tp + fp > 0, tp / np.where(tp + fp == 0, 1, tp + fp), np.nan)
+            rec = np.where(tp + fn > 0, tp / np.where(tp + fn == 0, 1, tp + fn), np.nan)
+            d = 2 * tp + fp + fn
+            f1 = np.where(d > 0, (2 * tp) / np.where(d == 0, 1, d), np.nan)
+        return pa.table({
+            group_col: stats.column("g"),
+            "tp": pa.array(tp), "fp": pa.array(fp),
+            "fn": pa.array(fn), "tn": pa.array(tn),
+            "accuracy": pa.array(acc, pa.float64(), mask=~(n > 0)),
+            "precision": pa.array(prec, pa.float64(), mask=~(tp + fp > 0)),
+            "recall": pa.array(rec, pa.float64(), mask=~(tp + fn > 0)),
+            "f1": pa.array(f1, pa.float64(), mask=~(d > 0)),
+        })
+
+    aggs = {c: ["sum"] for c in ("tp", "fp", "fn", "tn")}
+    if isinstance(ds, pa.Table):
+        return finish(groupby_agg(prep(ds), "g", aggs))
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    stats = groupby_agg(keyed, "g", aggs)
+    finish.__name__ = "confusion_finish"
+    return stats.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+
+
+def ks_statistic(ds, value_col: str, group_col: str, group_a, group_b,
+                 driver_budget: int = 5_000_000):
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the rows of
+    two groups over an INTEGER value column (quantize floats to fixed-point
+    first — the repo's integer-score discipline). The sup-distance is
+    evaluated in pure int64 by cross-multiplying the two empirical CDFs:
+
+        d_num = max over distinct v of | cum_a(v) * n_b  -  cum_b(v) * n_a |
+        ks    = d_num / (n_a * n_b)          (ONE double division)
+
+    Returns a 1-row table (d_num, n_a, n_b, ks). Raises when n_a * n_b
+    would leave int64 (~3e9 rows a side — shard or subsample beyond that).
+
+    Scale plan: ONE partial-agg groupby builds the distinct-value
+    (cnt_a, cnt_b) table. Under ``driver_budget`` distinct values the CDF
+    fold is a driver numpy pass; above it, both running counts ride ONE
+    ``global_cumsum`` exchange (the two counts packed into a single int64
+    word — exact while each side stays < 2^30 rows, so the packed running
+    sum cum_a * 2^32 + cum_b never leaves int64), then per-block max
+    partials and an O(blocks) driver max. Both paths are exact integers
+    (asserted equal in tests)."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import global_cumsum, groupby_agg
+    from kamae_ray.state.aggregators import _project
+
+    def prep(block: pa.Table) -> pa.Table:
+        g = A.as_array(block.column(group_col))
+        v = pc.cast(A.as_array(block.column(value_col)), pa.int64(), safe=False)
+        is_a = pc.cast(pc.equal(g, group_a), pa.int64())
+        is_b = pc.cast(pc.equal(g, group_b), pa.int64())
+        keep = pc.and_(pc.is_valid(v),
+                       pc.or_(pc.equal(is_a, 1), pc.equal(is_b, 1)))
+        return pa.table({"v": v, "a": is_a, "b": is_b}).filter(keep)
+
+    prep.__name__ = "ks_tag"
+
+    def _result(d_num: int, na: int, nb: int):
+        if na * nb >= 1 << 62:
+            raise ValueError("n_a * n_b exceeds the exact int64 KS range")
+        ks = (d_num / (na * nb)) if na and nb else float("nan")
+        return pa.table({
+            "d_num": pa.array([d_num], pa.int64()),
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "ks": pa.array([ks], pa.float64()),
+        })
+
+    def _driver_fold(tbl: pa.Table):
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        ca = tbl.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = tbl.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        ca, cb = np.cumsum(ca[order]), np.cumsum(cb[order])
+        na, nb = (int(ca[-1]), int(cb[-1])) if len(ca) else (0, 0)
+        if not (na and nb):
+            return _result(0, na, nb)
+        d = np.abs(ca * nb - cb * na)
+        return _result(int(d.max()), na, nb)
+
+    if isinstance(ds, pa.Table):
+        t = prep(ds)
+        stats = groupby_agg(t, "v", {"a": ["sum"], "b": ["sum"]})
+        return _driver_fold(pa.table({
+            "v": stats.column("v"),
+            "a": pc.cast(stats.column("a_sum"), pa.int64(), safe=False),
+            "b": pc.cast(stats.column("b_sum"), pa.int64(), safe=False),
+        }))
+
+    proj = _project(ds, [value_col, group_col]) or ds
+    keyed = proj.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+    stats = groupby_agg(keyed, "v", {"a": ["sum"], "b": ["sum"]}).materialize()
+    if stats.count() <= driver_budget:
+        parts = [t for t in collect_tables(stats) if t.num_rows]
+        if not parts:
+            return _result(0, 0, 0)
+        tbl = pa.concat_tables(parts)
+        return _driver_fold(pa.table({
+            "v": tbl.column("v"),
+            "a": pc.cast(tbl.column("a_sum"), pa.int64(), safe=False),
+            "b": pc.cast(tbl.column("b_sum"), pa.int64(), safe=False),
+        }))
+
+    # distributed: pack both per-value counts into one int64 word so a
+    # SINGLE global_cumsum carries both running CDFs (each < 2^31)
+    def pack(block: pa.Table) -> pa.Table:
+        a = pc.cast(block.column("a_sum"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        b = pc.cast(block.column("b_sum"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": block.column("v"),
+            "__ks_packed": pa.array(a * (np.int64(1) << np.int64(32)) + b),
+            "a": pa.array(a), "b": pa.array(b),
+        })
+
+    pack.__name__ = "ks_pack"
+    packed = stats.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None)
+    totals = [t for t in collect_tables(
+        packed.map_batches(
+            lambda bl: pa.table({
+                "a": pa.array([int(bl.column("a").to_numpy(zero_copy_only=False).sum())], pa.int64()),
+                "b": pa.array([int(bl.column("b").to_numpy(zero_copy_only=False).sum())], pa.int64()),
+            }), batch_format="pyarrow", zero_copy_batch=True, batch_size=None))
+        if t.num_rows]
+    na = sum(int(x) for t in totals for x in t.column("a").to_pylist())
+    nb = sum(int(x) for t in totals for x in t.column("b").to_pylist())
+    if not (na and nb):
+        return _result(0, na, nb)
+    if max(na, nb) >= 1 << 30:
+        raise ValueError("packed KS path requires each side < 2^30 rows")
+    packed = packed.materialize()  # consumed by the cumsum's two passes
+    ranked = global_cumsum(packed, "v", "__ks_packed", out_col="__ks_cum",
+                           exclusive=False)
+
+    def block_max(block: pa.Table) -> pa.Table:
+        cum = block.column("__ks_cum").to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = cum >> np.int64(32)
+        cb = cum & ((np.int64(1) << np.int64(32)) - 1)
+        d = np.abs(ca * np.int64(nb) - cb * np.int64(na))
+        return pa.table({"d": pa.array([int(d.max()) if len(d) else 0], pa.int64())})
+
+    block_max.__name__ = "ks_block_max"
+    parts = [t for t in collect_tables(
+        ranked.map_batches(block_max, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)) if t.num_rows]
+    d_num = max((int(x) for t in parts for x in t.column("d").to_pylist()),
+                default=0)
+    return _result(d_num, na, nb)
+
+
+def lift_table(ds, score_col: str, label_col: str, bins: int, max_score: int):
+    """Cumulative gains / lift table over equal-width score buckets
+    (descending from the top-score bucket — the classic model-targeting
+    report): per-bucket exact int64 (n, pos), running cum_n / cum_pos, and
+
+        gain = cum_pos / total_pos               (ONE double division)
+        lift = (cum_pos * total_n) / (cum_n * total_pos)
+                                                 (exact int64 products,
+                                                  ONE double division)
+
+    Scores are integers in [0, max_score) (quantize floats first). Output
+    is a driver table sorted by bucket DESC — O(bins). Raises when an
+    int64 product would overflow (rows ~> 3e9: use wider buckets or shard).
+
+    Scale plan: one derived-bucket map + ONE partial-agg groupby, exactly
+    :func:`calibration_bins`'s shape; the cumulative fold is O(bins) on the
+    driver."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.state.aggregators import _project
+
+    if bins <= 0 or max_score <= 0 or bins * max_score >= 1 << 62:
+        raise ValueError("bins and max_score must be positive with bins*max_score < 2^62")
+
+    def bucketize(block: pa.Table) -> pa.Table:
+        s = pc.cast(A.as_array(block.column(score_col)), pa.int64(), safe=False)
+        y = pc.cast(A.as_array(block.column(label_col)), pa.int64(), safe=False)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(y))
+        t = pa.table({"s": s, "y": y}).filter(ok)
+        sv = t.column("s").to_numpy(zero_copy_only=False)
+        if len(sv) and (sv.min() < 0 or sv.max() >= max_score):
+            raise ValueError(f"scores outside [0, {max_score}) — raise max_score")
+        b = sv * np.int64(bins) // np.int64(max_score)
+        return pa.table({"bucket": pa.array(b, pa.int64()), "y": t.column("y")})
+
+    bucketize.__name__ = "lift_bucketize"
+    if isinstance(ds, pa.Table):
+        stats = groupby_agg(bucketize(ds), "bucket", {"y": ["sum", "count"]})
+    else:
+        proj = _project(ds, [score_col, label_col]) or ds
+        keyed = proj.map_batches(bucketize, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+        parts = [t for t in collect_tables(
+            groupby_agg(keyed, "bucket", {"y": ["sum", "count"]})) if t.num_rows]
+        stats = pa.concat_tables(parts) if parts else pa.table(
+            {"bucket": pa.array([], pa.int64()),
+             "y_sum": pa.array([], pa.float64()),
+             "y_count": pa.array([], pa.int64())})
+    stats = stats.sort_by([("bucket", "descending")])
+    n = pc.cast(stats.column("y_count"), pa.int64()).to_numpy(zero_copy_only=False)
+    pos_f = pc.cast(stats.column("y_sum"), pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+    if len(pos_f) and np.abs(pos_f).max() >= 2.0**53:
+        raise ValueError("per-bucket sums exceed exact float64 range")
+    pos = pos_f.astype(np.int64)
+    if len(pos) and ((pos < 0) | (pos > n)).any():
+        raise ValueError("lift_table label must be a 0/1 integer column")
+    cum_n, cum_pos = np.cumsum(n), np.cumsum(pos)
+    total_n = int(cum_n[-1]) if len(cum_n) else 0
+    total_pos = int(cum_pos[-1]) if len(cum_pos) else 0
+    if total_n and (total_n * total_n >= 1 << 62):
+        raise ValueError("row count exceeds the exact int64 lift range")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        gain = np.where(total_pos > 0, cum_pos / max(total_pos, 1), np.nan)
+        lift = np.where((total_pos > 0) & (cum_n > 0),
+                        (cum_pos * total_n) / np.where(cum_n * total_pos == 0, 1,
+                                                       cum_n * total_pos), np.nan)
+    return pa.table({
+        "bucket": stats.column("bucket"),
+        "n": pa.array(n), "pos": pa.array(pos),
+        "cum_n": pa.array(cum_n.astype(np.int64)),
+        "cum_pos": pa.array(cum_pos.astype(np.int64)),
+        "gain": pa.array(gain, pa.float64(), mask=np.full(len(n), total_pos == 0)),
+        "lift": pa.array(lift, pa.float64(),
+                         mask=~((np.full(len(n), total_pos) > 0) & (cum_n > 0))),
+    })

@@ -1,0 +1,163 @@
+"""Evaluation-metrics family (stages/evalmetrics.py): ranking metrics,
+confusion matrices, two-sample KS, lift tables — table-vs-Dataset parity,
+the KS driver-vs-distributed fallback twin, and the exactness edge cases
+(zero-relevance queries, empty sides, all-one-class groups)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.stages.evalmetrics import (
+    confusion_by_group,
+    ks_statistic,
+    lift_table,
+    ranking_metrics,
+)
+
+
+def _collect(obj) -> pa.Table:
+    if isinstance(obj, pa.Table):
+        return obj
+    return pa.concat_tables(
+        [pa.table(b) for b in obj.iter_batches(batch_format="pyarrow")])
+
+
+@pytest.fixture(scope="module")
+def eval_data():
+    rng = np.random.default_rng(42)
+    n = 6000
+    return pa.table({
+        "q": pa.array(rng.integers(0, 250, n)),
+        "ts": pa.array(rng.integers(0, 10**9, n)),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "rel": pa.array((rng.random(n) < 0.25).astype(np.int64)
+                        * rng.integers(1, 4, n)),
+        "s": pa.array(rng.integers(0, 1000, n)),
+        "y": pa.array((rng.random(n) < 0.35).astype(np.int64)),
+        "g": pa.array(rng.choice(["a", "b", "c"], n)),
+    })
+
+
+def test_ranking_metrics_table_vs_dataset(ray_session, eval_data):
+    import ray
+
+    t = ranking_metrics(eval_data, "q", ["ts", "eid"], "rel", k=10).sort_by("q")
+    d = _collect(ranking_metrics(ray.data.from_arrow(eval_data), "q",
+                                 ["ts", "eid"], "rel", k=10)).sort_by("q")
+    assert t.schema == d.schema
+    for c in t.column_names:
+        a = t.column(c).to_numpy(zero_copy_only=False)
+        b = d.column(c).to_numpy(zero_copy_only=False)
+        if a.dtype.kind == "f":
+            na = np.isnan(a.astype(float))
+            assert (na == np.isnan(b.astype(float))).all()
+            assert (a[~na] == b[~na]).all(), c  # bit-identical, not approx
+        else:
+            assert (a == b).all(), c
+
+
+def test_ranking_metrics_hand_case():
+    # one query: ranks 1..4, rel (0, 2, 0, 1)
+    t = pa.table({"q": [1, 1, 1, 1], "o": [10, 20, 30, 40],
+                  "rel": [0, 2, 0, 1]})
+    out = ranking_metrics(t, "q", ["o"], "rel", k=3)
+    assert out.num_rows == 1
+    r = out.to_pylist()[0]
+    assert r["n"] == 4 and r["total_rel"] == 2 and r["hits_k"] == 1
+    assert r["prec_k"] == 1 / 3 and r["recall_k"] == 0.5 and r["rr_k"] == 0.5
+    ln = np.log  # plain log fine for a tolerance check
+    dcg = 2 * (ln(2) / ln(3))
+    idcg = 2 * (ln(2) / ln(2)) + 1 * (ln(2) / ln(3))
+    assert abs(r["dcg_k"] - dcg) < 1e-12
+    assert abs(r["idcg_k"] - idcg) < 1e-12
+    assert abs(r["ndcg_k"] - dcg / idcg) < 1e-12
+
+
+def test_ranking_metrics_zero_relevance_query():
+    t = pa.table({"q": [7, 7, 8], "o": [1, 2, 1], "rel": [0, 0, 2]})
+    out = ranking_metrics(t, "q", ["o"], "rel", k=5).sort_by("q")
+    rows = out.to_pylist()
+    assert rows[0]["rr_k"] == 0.0            # MRR convention: 0, not null
+    assert rows[0]["recall_k"] is None       # no relevant items -> null
+    assert rows[0]["ndcg_k"] is None         # idcg = 0 -> null
+    assert rows[1]["ndcg_k"] == 1.0
+
+
+def test_ranking_metrics_rejects_negative_rel():
+    t = pa.table({"q": [1], "o": [1], "rel": [-1]})
+    with pytest.raises(ValueError, match="relevance"):
+        ranking_metrics(t, "q", ["o"], "rel")
+
+
+def test_confusion_by_group_exact(eval_data):
+    out = confusion_by_group(eval_data, "g", "s", "y", 500).sort_by("g")
+    import pandas as pd
+
+    df = eval_data.to_pandas()
+    for row in out.to_pylist():
+        sub = df[df.g == row["g"]]
+        pred = sub.s >= 500
+        assert row["tp"] == int((pred & (sub.y == 1)).sum())
+        assert row["fp"] == int((pred & (sub.y == 0)).sum())
+        assert row["fn"] == int((~pred & (sub.y == 1)).sum())
+        assert row["tn"] == int((~pred & (sub.y == 0)).sum())
+        assert row["f1"] == (2 * row["tp"]) / (2 * row["tp"] + row["fp"] + row["fn"])
+    assert isinstance(df, pd.DataFrame)
+
+
+def test_confusion_one_class_group_nulls():
+    # a group with no positive predictions -> precision null, recall defined
+    t = pa.table({"g": ["x", "x"], "s": [1, 2], "y": [1, 0]})
+    out = confusion_by_group(t, "g", "s", "y", 100)
+    r = out.to_pylist()[0]
+    assert r["tp"] == 0 and r["fp"] == 0 and r["precision"] is None
+    assert r["recall"] == 0.0 and r["f1"] == 0.0
+
+
+def test_ks_statistic_matches_scipy_form(eval_data):
+    out = ks_statistic(eval_data, "s", "g", "a", "b")
+    r = out.to_pylist()[0]
+    df = eval_data.to_pandas()
+    xa = np.sort(df[df.g == "a"].s.to_numpy())
+    xb = np.sort(df[df.g == "b"].s.to_numpy())
+    grid = np.unique(np.concatenate([xa, xb]))
+    fa = np.searchsorted(xa, grid, side="right") / len(xa)
+    fb = np.searchsorted(xb, grid, side="right") / len(xb)
+    assert abs(r["ks"] - np.abs(fa - fb).max()) < 1e-12
+    assert r["n_a"] == len(xa) and r["n_b"] == len(xb)
+
+
+def test_ks_driver_vs_distributed_twin(ray_session, eval_data):
+    import ray
+
+    ds = ray.data.from_arrow(eval_data)
+    a = ks_statistic(ds, "s", "g", "a", "b", driver_budget=5_000_000)
+    b = ks_statistic(ds, "s", "g", "a", "b", driver_budget=0)  # force packed path
+    assert a.to_pylist() == b.to_pylist()
+    c = ks_statistic(eval_data, "s", "g", "a", "b")
+    assert a.to_pylist() == c.to_pylist()
+
+
+def test_ks_empty_side():
+    t = pa.table({"g": ["a", "a"], "s": [1, 2]})
+    r = ks_statistic(t, "s", "g", "a", "b").to_pylist()[0]
+    assert r["n_b"] == 0 and r["d_num"] == 0 and np.isnan(r["ks"])
+
+
+def test_lift_table_exact(eval_data):
+    out = lift_table(eval_data, "s", "y", bins=10, max_score=1000)
+    df = eval_data.to_pandas()
+    total_n, total_pos = len(df), int(df.y.sum())
+    rows = out.to_pylist()
+    assert [r["bucket"] for r in rows] == sorted([r["bucket"] for r in rows],
+                                                 reverse=True)
+    assert rows[-1]["cum_n"] == total_n and rows[-1]["cum_pos"] == total_pos
+    assert rows[-1]["gain"] == 1.0
+    for r in rows:
+        assert r["lift"] == (r["cum_pos"] * total_n) / (r["cum_n"] * total_pos)
+
+
+def test_lift_table_rejects_out_of_range():
+    t = pa.table({"s": [5000], "y": [1]})
+    with pytest.raises(ValueError, match="outside"):
+        lift_table(t, "s", "y", bins=10, max_score=1000)

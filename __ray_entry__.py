@@ -811,6 +811,52 @@ def _q_lift(sf_dir):
     return _round_cols(out, ["gain", "lift"])
 
 
+def _q_ohlc(sf_dir):
+    """Daily OHLC candles per user (``window.resample_ohlc``): open/high/
+    low/close/sum/count of cent values per (user, epoch-day bucket) —
+    everything exact int64, open/close deterministic via the (ts, event_id)
+    tiebreak. ONE (entity, bucket) sort + segment kernel."""
+    from kamae_ray.stages.window import resample_ohlc
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "ts": batch.column("ts"),
+                         "event_id": batch.column("event_id"), "cents": cents})
+
+    prep.__name__ = "ohlc_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return resample_ohlc(ds, "user_id", "ts", "cents", bucket_s=86_400,
+                         tiebreak_cols=["event_id"])
+
+
+def _q_anomaly(sf_dir):
+    """Leakage-safe streaming anomaly flags
+    (``window.expanding_zscore_flags``): each event is tested against its
+    user's PRIOR value history with the exact-integer rule
+    (n*x - s)^2 > 9*(n*q - s^2) — no float mean/std on either engine;
+    fewer than 5 prior observations emit a null flag."""
+    from kamae_ray.stages.window import expanding_zscore_flags
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "ts": batch.column("ts"), "cents": cents})
+
+    prep.__name__ = "anomaly_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return expanding_zscore_flags(ds, "user_id", "ts", "cents", z=3,
+                                  min_history=5, tiebreak_cols=["event_id"])
+
+
 def _q_rfm(sf_dir):
     """RFM features per user (recency / frequency / monetary — the classic
     CRM feature triple) over purchase events at a pinned cutoff: one
@@ -4667,6 +4713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_confusion": _q_confusion,
         "q_ks": _q_ks,
         "q_lift": _q_lift,
+        "q_ohlc": _q_ohlc,
+        "q_anomaly": _q_anomaly,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6548,6 +6596,36 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN tp > 0 AND cum_n > 0 THEN "
             "CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE) END, 6) AS lift "
             "FROM c, tot"
+        ),
+        "q_ohlc": (
+            "WITH t AS (SELECT user_id, ts, event_id, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents, "
+            "epoch_us(ts) // 86400000000 AS bucket FROM events "
+            "WHERE value IS NOT NULL AND ts IS NOT NULL), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket "
+            "ORDER BY ts, event_id) AS rn, "
+            "row_number() OVER (PARTITION BY user_id, bucket "
+            "ORDER BY ts DESC, event_id DESC) AS rrn FROM t) "
+            "SELECT user_id, bucket, "
+            "MAX(CASE WHEN rn = 1 THEN cents END)::BIGINT AS open, "
+            "MAX(cents)::BIGINT AS high, MIN(cents)::BIGINT AS low, "
+            "MAX(CASE WHEN rrn = 1 THEN cents END)::BIGINT AS close, "
+            "SUM(cents)::BIGINT AS value_sum, COUNT(*)::BIGINT AS n "
+            "FROM r GROUP BY user_id, bucket"
+        ),
+        "q_anomaly": (
+            "WITH t AS (SELECT event_id, user_id, ts, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE value IS NOT NULL AND ts IS NOT NULL), "
+            "w AS (SELECT *, COUNT(*) OVER win AS np, "
+            "COALESCE(SUM(cents) OVER win, 0) AS s, "
+            "COALESCE(SUM(cents * cents) OVER win, 0) AS q FROM t "
+            "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_id, user_id, ts, cents, np::BIGINT AS n_prev, "
+            "CASE WHEN np >= 5 THEN "
+            "(np * cents - s) * (np * cents - s) > 9 * (np * q - s * s) END AS anomaly "
+            "FROM w"
         ),
         "q_rfm": (
             "SELECT user_id, "

@@ -2164,3 +2164,176 @@ def time_weighted_avg(ds, entity_cols, time_col: str, value_col: str,
     except Exception:
         pass
     return sorted_block_apply(ds, entity_cols, kern, "time_weighted_avg")
+
+
+def resample_ohlc(ds, entity_cols, time_col: str, value_col: str,
+                  bucket_s: int, tiebreak_cols=()):
+    """OHLC time-bucket resample — the candlestick aggregate: per
+    (entity, ``bucket_s``-wide epoch bucket), the OPEN (value at the
+    earliest observation), HIGH/LOW (max/min), CLOSE (latest) plus exact
+    int64 count and sum. ``value_col`` must be an INTEGER column (quantize
+    floats to fixed-point cents first — the repo's integer discipline);
+    everything emitted is exact int64, no float anywhere. Equal-timestamp
+    ties resolve by ``tiebreak_cols`` — pass a unique column (e.g. the
+    event id) for fully deterministic open/close.
+
+    ``bucket_s`` follows :func:`resample_locf`'s seconds contract for
+    timestamp columns (scaled by the native unit); plain-int time columns
+    use raw units. Null time or value rows are dropped (SQL aggregate
+    semantics).
+
+    Scale plan: a derived-bucket map, then ONE distributed sort on
+    (entity, bucket) — the partition contract key is exactly the group key
+    (CLAUDE lesson 9) — and a vectorized segment kernel (lexsort intra,
+    reduceat extremes, first/last gathers). Per-bucket sums are guarded
+    against int64 overflow (raise, never wrap)."""
+    entity_cols = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    tiebreak_cols = list(tiebreak_cols)
+    bucket_s = int(bucket_s)
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be > 0")
+
+    is_table = isinstance(ds, pa.Table)
+    if is_table:
+        t_type = ds.schema.field(time_col).type
+    else:
+        from kamae_ray.base import dataset_schema
+
+        t_type = dataset_schema(ds).field(time_col).type
+    _per = ({"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[t_type.unit]
+            if pa.types.is_timestamp(t_type) else 1)
+    width = np.int64(bucket_s * _per)
+
+    def to_buckets(block: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(pc.is_valid(block.column(time_col)),
+                           pc.is_valid(block.column(value_col)))
+        block = block.filter(pc.fill_null(ok, False))
+        t = pc.cast(A.as_array(block.column(time_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        out = block.select(entity_cols + tiebreak_cols + [time_col, value_col])
+        return out.append_column("__kr_bucket", pa.array(t // width))
+
+    to_buckets.__name__ = "ohlc_bucketize"
+
+    def kern(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        gcols = entity_cols + ["__kr_bucket"]
+        if n == 0:
+            out = {c: block.column(c) for c in entity_cols}
+            out["bucket"] = pa.array([], pa.int64())
+            for c in ("open", "high", "low", "close", "value_sum"):
+                out[c] = pa.array([], pa.int64())
+            out["n"] = pa.array([], pa.int64())
+            return pa.table(out)
+        gids = S.group_ids(block, gcols)
+        t = pc.cast(A.as_array(block.column(time_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        v = pc.cast(A.as_array(block.column(value_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        tb = [pc.cast(A.as_array(block.column(c)), pa.int64(), safe=False)
+              .to_numpy(zero_copy_only=False) for c in tiebreak_cols]
+        order = np.lexsort(tuple(reversed(tb)) + (t, gids))
+        gs, ts_, vs = gids[order], t[order], v[order]
+        starts, lens = S.segments(gs)
+        ends = starts + lens - 1
+        if len(vs) and float(np.abs(vs).max()) * float(lens.max()) >= 2.0**62:
+            raise ValueError("resample_ohlc: per-bucket sum may overflow "
+                             "int64 — use a smaller bucket or rescale")
+        firsts = order[starts]
+        out = {c: A.as_array(block.column(c)).take(pa.array(firsts))
+               for c in entity_cols}
+        out["bucket"] = A.as_array(block.column("__kr_bucket")).take(pa.array(firsts))
+        out["open"] = pa.array(vs[starts])
+        out["high"] = pa.array(np.maximum.reduceat(vs, starts))
+        out["low"] = pa.array(np.minimum.reduceat(vs, starts))
+        out["close"] = pa.array(vs[ends])
+        out["value_sum"] = pa.array(np.add.reduceat(vs, starts).astype(np.int64))
+        out["n"] = pa.array(lens.astype(np.int64))
+        return pa.table(out)
+
+    if is_table:
+        return kern(to_buckets(ds))
+    bucketed = ds.map_batches(to_buckets, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return sorted_block_apply(bucketed, entity_cols + ["__kr_bucket"], kern,
+                              "ohlc_fold")
+
+
+def expanding_zscore_flags(ds, entity_cols, time_col: str, value_col: str,
+                           z: int = 3, min_history: int = 5, tiebreak_cols=()):
+    """Leakage-safe streaming anomaly flags: for each observation, flag
+    whether it sits more than ``z`` population standard deviations from the
+    mean of its entity's PRIOR history (expanding window, current row
+    excluded — the training-time-safe formulation). ``value_col`` must be
+    an INTEGER column (fixed-point cents). The flag rule is EXACT-INTEGER
+    (lesson-24 family — no float mean/std on either engine):
+
+        flag  <=>  (n*x - s)^2  >  z^2 * (n*q - s^2)
+
+    with n = prior count, s = prior sum, q = prior sum of squares — the
+    cross-multiplied form of ``(x - s/n)^2 > z^2 * var``. Rows with fewer
+    than ``min_history`` prior observations emit a null flag. Output:
+    input columns + ``n_prev`` + ``anomaly``.
+
+    Scale plan: ONE entity sort-shuffle, vectorized segmented exclusive
+    prefix sums (int64, order-free). Every int64 product is guarded via a
+    float64 magnitude estimate (raise, never wrap) — beyond ~1e6-row
+    entity histories at cent scale, shard by time or rescale."""
+    entity_cols = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    tiebreak_cols = list(tiebreak_cols)
+    if z <= 0 or min_history < 1:
+        raise ValueError("z must be > 0 and min_history >= 1")
+
+    def kern(block: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(pc.is_valid(block.column(time_col)),
+                           pc.is_valid(block.column(value_col)))
+        block = block.filter(pc.fill_null(ok, False))
+        n = block.num_rows
+        if n == 0:
+            return block.append_column(
+                "n_prev", pa.array([], pa.int64())).append_column(
+                "anomaly", pa.array([], pa.bool_()))
+        gids = S.group_ids(block, entity_cols)
+        t = pc.cast(A.as_array(block.column(time_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        v = pc.cast(A.as_array(block.column(value_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        tb = [pc.cast(A.as_array(block.column(c)), pa.int64(), safe=False)
+              .to_numpy(zero_copy_only=False) for c in tiebreak_cols]
+        order = np.lexsort(tuple(reversed(tb)) + (t, gids))
+        gs, vs = gids[order], v[order]
+        starts, lens = S.segments(gs)
+        srep = S.starts_rep(starts, lens)
+        pos = np.arange(n, dtype=np.int64)
+        n_prev = pos - srep
+        vv = vs * vs
+        if len(vs) and float(np.abs(vs).max()) ** 2 >= 2.0**62:
+            raise ValueError("expanding_zscore_flags: value^2 overflows int64")
+        cs = np.cumsum(vs)
+        cq = np.cumsum(vv)
+        # exclusive within-segment prefix: (inclusive - self) minus the
+        # segment's base (the global exclusive prefix at its first row)
+        s_prev = (cs - vs) - np.repeat((cs - vs)[starts], lens)
+        q_prev = (cq - vv) - np.repeat((cq - vv)[starts], lens)
+        # overflow guards on the cross-multiplied rule (float estimates)
+        mx_s = float(np.abs(s_prev).max(initial=0))
+        mx_q = float(np.abs(q_prev).max(initial=0))
+        mx_n = float(n_prev.max(initial=0))
+        mx_v = float(np.abs(vs).max(initial=0))
+        if (max(mx_n * mx_v, mx_s) ** 2 >= 2.0**62
+                or z * z * (mx_n * mx_q + mx_s * mx_s) >= 2.0**62):
+            raise ValueError("expanding_zscore_flags: integer rule overflows "
+                             "int64 — shard long entity histories or rescale")
+        dev = n_prev * vs - s_prev
+        lhs = dev * dev
+        rhs = np.int64(z * z) * (n_prev * q_prev - s_prev * s_prev)
+        flag = lhs > rhs
+        known = n_prev >= min_history
+        out = block.take(pa.array(order))
+        out = out.append_column("n_prev", pa.array(n_prev))
+        out = out.append_column("anomaly", pa.array(flag, pa.bool_(), mask=~known))
+        return out
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    return sorted_block_apply(ds, entity_cols, kern, "expanding_zscore")

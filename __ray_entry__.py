@@ -857,6 +857,32 @@ def _q_anomaly(sf_dir):
                                   min_history=5, tiebreak_cols=["event_id"])
 
 
+def _q_rowwise_jaccard(sf_dir):
+    """Per-row token-set Jaccard (``similarity.rowwise_jaccard``) between
+    the first and second half of each document's word list — the pair-
+    verification kernel as a row-wise feature: exact int64 distinct /
+    intersection counts and an integer ppm ratio, zero shuffles (rows are
+    independent; per-block single dictionary-encode, lesson 12)."""
+    from kamae_ray.functions import arrays as A2
+    from kamae_ray.stages.similarity import rowwise_jaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        words = A2.drop_empty_tokens(
+            A2.as_array(pc.utf8_split_whitespace(batch.column("text"))))
+        a, b = A2.split_list_halves(words)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "half_a": a, "half_b": b})
+
+    prep.__name__ = "jaccard_halves"
+    ds = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+    out = rowwise_jaccard(ds, "half_a", "half_b")
+    return out.select_columns(["doc_id", "jaccard_inter", "jaccard_union",
+                               "jaccard_ppm"])
+
+
 def _q_rfm(sf_dir):
     """RFM features per user (recency / frequency / monetary — the classic
     CRM feature triple) over purchase events at a pinned cutoff: one
@@ -4715,6 +4741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lift": _q_lift,
         "q_ohlc": _q_ohlc,
         "q_anomaly": _q_anomaly,
+        "q_rowwise_jaccard": _q_rowwise_jaccard,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6596,6 +6623,22 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN tp > 0 AND cum_n > 0 THEN "
             "CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE) END, 6) AS lift "
             "FROM c, tot"
+        ),
+        # q_rowwise_jaccard: engine halves split the POST-filter word list
+        # (drop_empty_tokens mirrors list_filter); 1-based inclusive slices
+        "q_rowwise_jaccard": (
+            r"WITH w AS (SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE "
+            r"list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) "
+            "END AS words FROM documents), "
+            "h AS (SELECT doc_id, words[1:len(words) // 2] AS a, "
+            "words[len(words) // 2 + 1:len(words)] AS b FROM w), "
+            "j AS (SELECT doc_id, "
+            "len(list_distinct(list_intersect(a, b)))::BIGINT AS jaccard_inter, "
+            "len(list_distinct(list_concat(a, b)))::BIGINT AS jaccard_union "
+            "FROM h) "
+            "SELECT doc_id, jaccard_inter, jaccard_union, "
+            "CASE WHEN jaccard_union > 0 THEN "
+            "(jaccard_inter * 1000000) // jaccard_union END AS jaccard_ppm FROM j"
         ),
         "q_ohlc": (
             "WITH t AS (SELECT user_id, ts, event_id, "

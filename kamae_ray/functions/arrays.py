@@ -184,3 +184,53 @@ def libm_log(x) -> np.ndarray:
     oracle-mirrored log expression must route through this (lesson-24
     family: a 1-ULP input to ROUND can flip a 6dp boundary)."""
     return pc.ln(pa.array(np.ascontiguousarray(x, np.float64))).to_numpy(zero_copy_only=False)
+
+
+def split_list_halves(arr: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Split each list row into its first ``len//2`` elements and the rest
+    (two list arrays): ONE flat gather per half via the repeat + intra-arange
+    trick (lesson 33 — never a per-row loop). Null rows stay null; empty
+    rows yield two empty lists."""
+    levels, flat = unwrap(arr)
+    if len(levels) != 1:
+        raise ValueError("split_list_halves expects a single-level list column")
+    offsets, validity = levels[0]
+    lens = np.diff(offsets)
+    ha = lens // 2
+
+    def gather(starts: np.ndarray, ls: np.ndarray) -> pa.Array:
+        total = int(ls.sum())
+        if total:
+            rep = np.repeat(starts, ls)
+            intra = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(ls)[:-1])), ls)
+            vals = flat.take(pa.array(rep + intra))
+        else:
+            vals = flat.slice(0, 0)
+        offs = pa.array(np.concatenate(([0], np.cumsum(ls))), pa.int32())
+        if validity is not None:
+            return pa.ListArray.from_arrays(offs, vals, mask=pc.invert(validity))
+        return pa.ListArray.from_arrays(offs, vals)
+
+    return gather(offsets[:-1], ha), gather(offsets[:-1] + ha, lens - ha)
+
+
+def drop_empty_tokens(arr: pa.Array) -> pa.Array:
+    """Remove empty-string elements from a list<string> column (the engine
+    twin of SQL ``list_filter(words, x -> length(x) > 0)`` — Arrow's
+    whitespace split emits '' for leading/trailing whitespace where the
+    regex-split oracle filters them). Null rows stay null; one vectorized
+    filter + offset rebuild, no per-row loop."""
+    levels, flat = unwrap(arr)
+    if len(levels) != 1:
+        raise ValueError("drop_empty_tokens expects a single-level list column")
+    offsets, validity = levels[0]
+    lens = np.diff(offsets).astype(np.int64)
+    keep = pc.fill_null(pc.not_equal(flat, ""), False).to_numpy(zero_copy_only=False)
+    kept = flat.filter(pa.array(keep))
+    csum = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+    new_lens = csum[offsets[1:]] - csum[offsets[:-1]]
+    offs = pa.array(np.concatenate(([0], np.cumsum(new_lens))), pa.int32())
+    if validity is not None:
+        return pa.ListArray.from_arrays(offs, kept, mask=pc.invert(validity))
+    return pa.ListArray.from_arrays(offs, kept)

@@ -167,3 +167,88 @@ class L2NormalizeTransformer(Transformer):
         out = A.rewrap(levels, pa.array(v / per_row, pa.float64()))
         out = self._cast_out(out)
         return _append_or_replace(batch, self.output_col, out)
+
+
+def rowwise_jaccard(ds, col_a: str, col_b: str, prefix: str = "jaccard"):
+    """Per-row token-SET Jaccard similarity between two list columns (pair
+    verification / variant scoring): appends ``{prefix}_inter`` and
+    ``{prefix}_union`` (exact int64 distinct-element counts) and
+    ``{prefix}_ppm`` (parts-per-million, ``inter * 1_000_000 // union`` —
+    integer-exact, no float anywhere). Rows where either list is null emit
+    nulls; ``union == 0`` (two empty lists) emits a null ppm (0/0). Lists
+    are taken literally — no token normalization or empty-string dropping
+    (compose upstream).
+
+    Fully vectorized, shuffle-free (rows are independent): per block, BOTH
+    columns' flat values dictionary-encode ONCE (lesson 12 — hash each
+    distinct token once), then one lexsort over (row, code, side) and run-
+    boundary arithmetic produce the per-row distinct/intersection counts;
+    null rows' stale offset spans are dropped before encoding (lesson-21
+    family)."""
+
+    def _flat(block: pa.Table, col: str):
+        arr = A.as_array(block.column(col))
+        levels, flat = A.unwrap(arr)
+        if len(levels) != 1:
+            raise ValueError(f"rowwise_jaccard: {col} must be a flat list column")
+        offsets, validity = levels[0]
+        lens = np.diff(offsets).astype(np.int64)
+        if validity is not None:
+            vmask = validity.to_numpy(zero_copy_only=False)
+            flat = flat.filter(pa.array(np.repeat(vmask, lens)))
+            lens = np.where(vmask, lens, 0)
+            return lens, flat, ~vmask
+        return lens, flat, np.zeros(len(lens), dtype=bool)
+
+    def kern(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        la, fa, nulla = _flat(block, col_a)
+        lb, fb, nullb = _flat(block, col_b)
+        either_null = nulla | nullb
+        if len(fa) + len(fb):
+            combined = pa.concat_arrays([
+                pa.concat_arrays(fa.cast(pa.string()).chunks)
+                if isinstance(fa, pa.ChunkedArray) else fa.cast(pa.string()),
+                pa.concat_arrays(fb.cast(pa.string()).chunks)
+                if isinstance(fb, pa.ChunkedArray) else fb.cast(pa.string()),
+            ])
+            codes = pc.fill_null(combined.dictionary_encode().indices, 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            codes = np.zeros(0, np.int64)
+        rows = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la),
+                               np.repeat(np.arange(n, dtype=np.int64), lb)])
+        side = np.concatenate([np.zeros(int(la.sum()), np.int8),
+                               np.ones(int(lb.sum()), np.int8)])
+        # ignore tokens from null rows entirely (their spans were dropped
+        # from the flats already; lens are 0 so rows/side exclude them)
+        order = np.lexsort((side, codes, rows))
+        rs, cs, ss = rows[order], codes[order], side[order]
+        m = len(rs)
+        inter = np.zeros(n, np.int64)
+        union = np.zeros(n, np.int64)
+        if m:
+            new = np.concatenate([[True], (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])])
+            starts = np.nonzero(new)[0]
+            ends = np.concatenate([starts[1:] - 1, [m - 1]])
+            run_row = rs[starts]
+            both = (ss[starts] == 0) & (ss[ends] == 1)
+            union = np.bincount(run_row, minlength=n).astype(np.int64)
+            inter = np.bincount(run_row[both], minlength=n).astype(np.int64)
+        ppm = np.where(union > 0, inter * np.int64(1_000_000)
+                       // np.where(union == 0, 1, union), 0)
+        out = block
+        out = out.append_column(f"{prefix}_inter",
+                                pa.array(inter, pa.int64(), mask=either_null))
+        out = out.append_column(f"{prefix}_union",
+                                pa.array(union, pa.int64(), mask=either_null))
+        out = out.append_column(f"{prefix}_ppm",
+                                pa.array(ppm, pa.int64(),
+                                         mask=either_null | (union == 0)))
+        return out
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    kern.__name__ = "rowwise_jaccard"
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)

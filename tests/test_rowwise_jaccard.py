@@ -1,0 +1,61 @@
+"""rowwise_jaccard + the list-split helpers (similarity.py / arrays.py):
+set semantics, null/empty contracts, python-set equivalence, Dataset parity."""
+
+import numpy as np
+import pyarrow as pa
+
+from kamae_ray.functions.arrays import drop_empty_tokens, split_list_halves
+from kamae_ray.stages.similarity import rowwise_jaccard
+
+
+def test_split_list_halves():
+    a = pa.array([["a", "b", "c"], None, [], ["x", "y", "z", "w"], ["q"]])
+    l, r = split_list_halves(a)
+    assert l.to_pylist() == [["a"], None, [], ["x", "y"], []]
+    assert r.to_pylist() == [["b", "c"], None, [], ["z", "w"], ["q"]]
+
+
+def test_drop_empty_tokens():
+    a = pa.array([["", "a", "", "b"], None, [""], ["x"]])
+    assert drop_empty_tokens(a).to_pylist() == [["a", "b"], None, [], ["x"]]
+
+
+def test_rowwise_jaccard_hand_cases():
+    t = pa.table({
+        "a": [["x", "y", "y"], ["a"], None, [], ["p"]],
+        "b": [["y", "z"], ["a"], ["q"], [], None],
+    })
+    out = rowwise_jaccard(t, "a", "b").to_pylist()
+    assert (out[0]["jaccard_inter"], out[0]["jaccard_union"],
+            out[0]["jaccard_ppm"]) == (1, 3, 333333)
+    assert out[1]["jaccard_ppm"] == 1_000_000
+    assert out[2]["jaccard_ppm"] is None      # null a
+    assert out[3]["jaccard_union"] == 0 and out[3]["jaccard_ppm"] is None
+    assert out[4]["jaccard_ppm"] is None      # null b
+
+
+def test_rowwise_jaccard_matches_python_sets():
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    rows_a = [list(rng.choice(vocab, rng.integers(0, 15))) for _ in range(300)]
+    rows_b = [list(rng.choice(vocab, rng.integers(0, 15))) for _ in range(300)]
+    t = pa.table({"a": pa.array(rows_a, pa.list_(pa.string())),
+                  "b": pa.array(rows_b, pa.list_(pa.string()))})
+    out = rowwise_jaccard(t, "a", "b")
+    for i in range(300):
+        sa, sb = set(rows_a[i]), set(rows_b[i])
+        assert out.column("jaccard_inter")[i].as_py() == len(sa & sb)
+        assert out.column("jaccard_union")[i].as_py() == len(sa | sb)
+        exp = (len(sa & sb) * 1_000_000 // len(sa | sb)) if sa | sb else None
+        assert out.column("jaccard_ppm")[i].as_py() == exp
+
+
+def test_rowwise_jaccard_dataset(ray_session):
+    import ray
+
+    t = pa.table({"id": [1, 2], "a": [["x"], ["y", "z"]],
+                  "b": [["x", "y"], ["z"]]})
+    ds = rowwise_jaccard(ray.data.from_arrow(t), "a", "b")
+    got = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]).sort_by("id")
+    assert got.column("jaccard_ppm").to_pylist() == [500000, 500000]

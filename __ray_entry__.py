@@ -883,6 +883,51 @@ def _q_rowwise_jaccard(sf_dir):
                                "jaccard_ppm"])
 
 
+def _q_spearman(sf_dir):
+    """Per-event_type Spearman rank correlation between value and time
+    (``profile.spearman_by_group``) — the drift/trend statistic with exact
+    tie handling: integer 2*avg-rank arithmetic centered by n+1, exact
+    int64 power sums (emitted for hash certification), one sqrt/mul/div
+    closing expression."""
+    from kamae_ray.stages.profile import spearman_by_group
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"g": batch.column("event_type"), "x": cents,
+                         "y": pc.cast(batch.column("ts"), pa.int64())})
+
+    prep.__name__ = "spearman_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = spearman_by_group(ds, "g", "x", "y")
+    return out.map_batches(_rounder(["spearman"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_gini(sf_dir):
+    """Per-event_type Gini concentration of cent values
+    (``profile.gini_by_group``): the inequality measure as a pure int64
+    segment sum (tie-order invariant) + ONE double division."""
+    from kamae_ray.stages.profile import gini_by_group
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"g": batch.column("event_type"), "v": cents})
+
+    prep.__name__ = "gini_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = gini_by_group(ds, "g", "v")
+    return out.map_batches(_rounder(["gini"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_rfm(sf_dir):
     """RFM features per user (recency / frequency / monetary — the classic
     CRM feature triple) over purchase events at a pinned cutoff: one
@@ -4742,6 +4787,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ohlc": _q_ohlc,
         "q_anomaly": _q_anomaly,
         "q_rowwise_jaccard": _q_rowwise_jaccard,
+        "q_spearman": _q_spearman,
+        "q_gini": _q_gini,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6623,6 +6670,37 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN tp > 0 AND cum_n > 0 THEN "
             "CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE) END, 6) AS lift "
             "FROM c, tot"
+        ),
+        "q_spearman": (
+            "WITH t AS (SELECT event_type AS g, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS x, epoch_us(ts) AS y "
+            "FROM events WHERE value IS NOT NULL), "
+            "r AS (SELECT g, "
+            "2 * RANK() OVER (PARTITION BY g ORDER BY x) "
+            "+ COUNT(*) OVER (PARTITION BY g, x) - 1 AS r2x, "
+            "2 * RANK() OVER (PARTITION BY g ORDER BY y) "
+            "+ COUNT(*) OVER (PARTITION BY g, y) - 1 AS r2y, "
+            "COUNT(*) OVER (PARTITION BY g) AS ng FROM t), "
+            "c AS (SELECT g, ANY_VALUE(ng)::BIGINT AS n, "
+            "SUM((r2x - ng - 1) * (r2y - ng - 1))::BIGINT AS s_ab, "
+            "SUM((r2x - ng - 1) * (r2x - ng - 1))::BIGINT AS s_aa, "
+            "SUM((r2y - ng - 1) * (r2y - ng - 1))::BIGINT AS s_bb FROM r GROUP BY g) "
+            "SELECT g, n, s_ab, s_aa, s_bb, "
+            "ROUND(CASE WHEN n >= 2 AND s_aa > 0 AND s_bb > 0 THEN "
+            "CAST(s_ab AS DOUBLE) / (sqrt(CAST(s_aa AS DOUBLE)) "
+            "* sqrt(CAST(s_bb AS DOUBLE))) END, 6) AS spearman FROM c"
+        ),
+        "q_gini": (
+            "WITH t AS (SELECT event_type AS g, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS v "
+            "FROM events WHERE value IS NOT NULL), "
+            "r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS p, "
+            "COUNT(*) OVER (PARTITION BY g) AS n FROM t), "
+            "c AS (SELECT g, ANY_VALUE(n)::BIGINT AS n, SUM(v)::BIGINT AS value_sum, "
+            "SUM((2 * p - n - 1) * v)::BIGINT AS gini_num FROM r GROUP BY g) "
+            "SELECT g, n, value_sum, gini_num, "
+            "ROUND(CASE WHEN n * value_sum > 0 THEN CAST(gini_num AS DOUBLE) "
+            "/ CAST(n * value_sum AS DOUBLE) END, 6) AS gini FROM c"
         ),
         # q_rowwise_jaccard: engine halves split the POST-filter word list
         # (drop_empty_tokens mirrors list_filter); 1-based inclusive slices

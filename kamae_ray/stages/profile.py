@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from kamae_ray.functions import arrays as A
+from kamae_ray.functions import segments as S
 
 
 def profile_columns(ds, cols: list[str] | None = None,
@@ -689,3 +690,155 @@ def brier_score(ds, score_col: str, label_col: str, scale: int):
     return pa.table({"num": pa.array([num], pa.int64()),
                      "n": pa.array([n], pa.int64()),
                      "brier": pa.array([brier], pa.float64())})
+
+
+def spearman_by_group(ds, group_col: str, x_col: str, y_col: str):
+    """Per-group Spearman rank correlation with exact tie handling: both
+    columns rank within their group with AVERAGE ranks for ties, carried as
+    the INTEGER ``2*avg_rank = 2*min_rank + tie_count - 1`` (the lesson-24
+    exact-integer family — no float rank arithmetic on either engine), then
+    centered by the integer group constant ``n+1`` so every power sum is an
+    exact int64:
+
+        spearman = S_ab / (sqrt(S_aa) * sqrt(S_bb))
+
+    with S_ab/S_aa/S_bb the centered integer products (emitted for
+    hash-exact certification; sqrt/mul/div of integer-derived doubles are
+    IEEE-exact and bit-identical cross-engine — the groupby_skew_kurt
+    precedent). Null pairs are dropped (SQL pair semantics); spearman is
+    null when n < 2 or either column is constant. Raises when a group's
+    4*n^3 rank-product sum would leave int64 (n ~> 1e6 — shard or sample).
+
+    Scale plan: ONE group sort-shuffle, three in-block lexsorts (x-rank,
+    y-rank, segment fold) — ranks need the whole group co-located, so this
+    is sort-based by necessity, unlike the partial-agg groupby_corr."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    def _num(block, col):
+        arr = A.as_array(block.column(col))
+        t = pa.int64() if pa.types.is_integer(arr.type) else pa.float64()
+        return pc.cast(arr, t, safe=False).to_numpy(zero_copy_only=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(pc.is_valid(block.column(x_col)),
+                           pc.is_valid(block.column(y_col)))
+        block = block.filter(pc.fill_null(ok, False))
+        n = block.num_rows
+        if n == 0:
+            return pa.table({
+                group_col: block.column(group_col),
+                "n": pa.array([], pa.int64()),
+                "s_ab": pa.array([], pa.int64()),
+                "s_aa": pa.array([], pa.int64()),
+                "s_bb": pa.array([], pa.int64()),
+                "spearman": pa.array([], pa.float64()),
+            })
+        gids = S.group_ids(block, [group_col])
+        g_order = np.argsort(gids, kind="stable")
+        starts, lens = S.segments(gids[g_order])
+        if float(lens.max()) ** 3 * 4.0 >= 2.0**62:
+            raise ValueError("spearman_by_group: a group's rank-product sum "
+                             "overflows int64 — shard or sample the group")
+        ng = np.empty(n, np.int64)                      # group size per row
+        ng[g_order] = np.repeat(lens.astype(np.int64), lens)
+
+        def r2(v):
+            order = np.lexsort((v, gids))
+            gs, vs = gids[order], v[order]
+            st, ln = S.segments(gs)
+            pos = (np.arange(n, dtype=np.int64) - np.repeat(st, ln)) + 1
+            new = np.concatenate([[True], (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])])
+            rst = np.nonzero(new)[0]
+            rln = np.diff(np.concatenate([rst, [n]]))
+            rend = rst + rln - 1
+            out = np.empty(n, np.int64)
+            out[order] = np.repeat(pos[rst] + pos[rend], rln)
+            return out
+
+        a = r2(_num(block, x_col)) - (ng + 1)           # centered 2*rank
+        b = r2(_num(block, y_col)) - (ng + 1)
+        asort, bsort = a[g_order], b[g_order]
+        s_ab = np.add.reduceat(asort * bsort, starts).astype(np.int64)
+        s_aa = np.add.reduceat(asort * asort, starts).astype(np.int64)
+        s_bb = np.add.reduceat(bsort * bsort, starts).astype(np.int64)
+        nseg = lens.astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.sqrt(s_aa.astype(np.float64)) * np.sqrt(s_bb.astype(np.float64))
+            rho = np.where(denom > 0, s_ab.astype(np.float64)
+                           / np.where(denom == 0, 1.0, denom), np.nan)
+        okm = (nseg >= 2) & (s_aa > 0) & (s_bb > 0)
+        firsts = g_order[starts]
+        return pa.table({
+            group_col: A.as_array(block.column(group_col)).take(pa.array(firsts)),
+            "n": pa.array(nseg),
+            "s_ab": pa.array(s_ab), "s_aa": pa.array(s_aa), "s_bb": pa.array(s_bb),
+            "spearman": pa.array(rho, pa.float64(), mask=~okm),
+        })
+
+    if isinstance(ds, pa.Table):
+        return fold(ds)
+    return sorted_block_apply(ds, [group_col], fold, "spearman_fold")
+
+
+def gini_by_group(ds, group_col: str, value_col: str):
+    """Per-group Gini concentration coefficient over a NON-NEGATIVE integer
+    value column (cents discipline) — the classic inequality measure for
+    spend / exposure / token-count distributions:
+
+        gini = sum((2*i - n - 1) * v_i) / (n * sum(v))    (v sorted asc,
+                                                           1-based i)
+
+    The numerator is a pure int64 segment sum (tie-order invariant: equal
+    values commute across their positions, so the engine's stable sort and
+    the oracle's arbitrary row_number tie order agree exactly); gini is ONE
+    double division. Nulls drop; negative values raise. Output per group:
+    n, value_sum, gini_num (all exact int64) + gini (null when n*sum = 0).
+
+    Scale plan: ONE group sort-shuffle + an in-block lexsort and reduceat;
+    guarded against int64 overflow (raise, never wrap)."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    def fold(block: pa.Table) -> pa.Table:
+        block = block.filter(pc.is_valid(block.column(value_col)))
+        n = block.num_rows
+        if n == 0:
+            return pa.table({
+                group_col: block.column(group_col),
+                "n": pa.array([], pa.int64()),
+                "value_sum": pa.array([], pa.int64()),
+                "gini_num": pa.array([], pa.int64()),
+                "gini": pa.array([], pa.float64()),
+            })
+        v = pc.cast(A.as_array(block.column(value_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        if v.min() < 0:
+            raise ValueError("gini_by_group requires non-negative values")
+        gids = S.group_ids(block, [group_col])
+        order = np.lexsort((v, gids))
+        gs, vs = gids[order], v[order]
+        starts, lens = S.segments(gs)
+        if len(vs) and float(lens.max()) ** 2 * float(vs.max(initial=0)) >= 2.0**62:
+            raise ValueError("gini_by_group: numerator overflows int64 — "
+                             "rescale values or shard groups")
+        pos = (np.arange(n, dtype=np.int64) - np.repeat(starts, lens)) + 1
+        nrep = np.repeat(lens.astype(np.int64), lens)
+        num = np.add.reduceat((2 * pos - nrep - 1) * vs, starts).astype(np.int64)
+        vsum = np.add.reduceat(vs, starts).astype(np.int64)
+        nseg = lens.astype(np.int64)
+        denom = nseg * vsum
+        with np.errstate(invalid="ignore", divide="ignore"):
+            gini = np.where(denom > 0, num.astype(np.float64)
+                            / np.where(denom == 0, 1, denom).astype(np.float64),
+                            np.nan)
+        firsts = order[starts]
+        return pa.table({
+            group_col: A.as_array(block.column(group_col)).take(pa.array(firsts)),
+            "n": pa.array(nseg),
+            "value_sum": pa.array(vsum),
+            "gini_num": pa.array(num),
+            "gini": pa.array(gini, pa.float64(), mask=~(denom > 0)),
+        })
+
+    if isinstance(ds, pa.Table):
+        return fold(ds)
+    return sorted_block_apply(ds, [group_col], fold, "gini_fold")

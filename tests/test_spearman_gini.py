@@ -1,0 +1,80 @@
+"""spearman_by_group + gini_by_group (stages/profile.py): pandas/closed-form
+equivalence, tie handling, constant-column nulls, Dataset parity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kamae_ray.stages.profile import gini_by_group, spearman_by_group
+
+
+def _collect(obj) -> pa.Table:
+    if isinstance(obj, pa.Table):
+        return obj
+    return pa.concat_tables(
+        [pa.table(b) for b in obj.iter_batches(batch_format="pyarrow")])
+
+
+@pytest.fixture(scope="module")
+def stat_data():
+    rng = np.random.default_rng(17)
+    n = 12000
+    return pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c"], n)),
+        "x": pa.array(rng.integers(0, 200, n)),    # heavy ties
+        "y": pa.array(rng.integers(0, 10**7, n)),
+        "v": pa.array(rng.integers(0, 40000, n)),
+    })
+
+
+def test_spearman_matches_pandas_rank_corr(stat_data):
+    out = spearman_by_group(stat_data, "g", "x", "y").sort_by("g")
+    df = stat_data.to_pandas()
+    for row in out.to_pylist():
+        sub = df[df.g == row["g"]]
+        ref = sub.x.rank().corr(sub.y.rank())   # pearson of average ranks
+        assert abs(row["spearman"] - ref) < 1e-12
+
+
+def test_spearman_perfect_and_constant():
+    t = pa.table({"g": ["a"] * 5 + ["b"] * 5,
+                  "x": [1, 2, 3, 4, 5, 7, 7, 7, 7, 7],
+                  "y": [10, 20, 30, 40, 50, 1, 2, 3, 4, 5]})
+    out = spearman_by_group(t, "g", "x", "y").sort_by("g").to_pylist()
+    assert out[0]["spearman"] == 1.0
+    assert out[1]["spearman"] is None           # constant x -> s_aa = 0
+
+
+def test_spearman_dataset_parity(ray_session, stat_data):
+    import ray
+
+    t = spearman_by_group(stat_data, "g", "x", "y").sort_by("g")
+    d = _collect(spearman_by_group(ray.data.from_arrow(stat_data),
+                                   "g", "x", "y")).sort_by("g")
+    assert t.equals(d.select(t.column_names))
+
+
+def test_gini_closed_forms():
+    # all-equal values -> gini 0; one owner of everything -> (n-1)/n
+    t = pa.table({"g": ["e"] * 4 + ["o"] * 4,
+                  "v": [5, 5, 5, 5, 0, 0, 0, 100]})
+    out = gini_by_group(t, "g", "v").sort_by("g").to_pylist()
+    assert out[0]["gini"] == 0.0
+    assert out[1]["gini"] == 3 / 4
+
+
+def test_gini_matches_numpy(stat_data):
+    out = gini_by_group(stat_data, "g", "v").sort_by("g")
+    df = stat_data.to_pandas()
+    for row in out.to_pylist():
+        v = np.sort(df[df.g == row["g"]].v.to_numpy().astype(np.int64))
+        n = len(v)
+        num = int(((2 * np.arange(1, n + 1) - n - 1) * v).sum())
+        assert row["gini_num"] == num
+        assert row["gini"] == num / (n * int(v.sum()))
+
+
+def test_gini_rejects_negative():
+    t = pa.table({"g": ["a"], "v": [-1]})
+    with pytest.raises(ValueError, match="non-negative"):
+        gini_by_group(t, "g", "v")

@@ -41,7 +41,10 @@ def test_spearman_perfect_and_constant():
                   "x": [1, 2, 3, 4, 5, 7, 7, 7, 7, 7],
                   "y": [10, 20, 30, 40, 50, 1, 2, 3, 4, 5]})
     out = spearman_by_group(t, "g", "x", "y").sort_by("g").to_pylist()
-    assert out[0]["spearman"] == 1.0
+    # sqrt(S)*sqrt(S) is not exactly S unless S is a perfect square — the
+    # contract is bit-parity with the oracle's identical expression, not 1.0
+    assert abs(out[0]["spearman"] - 1.0) < 1e-15
+    assert out[0]["s_ab"] == out[0]["s_aa"] == out[0]["s_bb"]  # exact ints DO say rho=1
     assert out[1]["spearman"] is None           # constant x -> s_aa = 0
 
 

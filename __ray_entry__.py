@@ -928,6 +928,45 @@ def _q_gini(sf_dir):
                            zero_copy_batch=True)
 
 
+def _q_hhi(sf_dir):
+    """Per-event_type Herfindahl concentration of user activity
+    (``profile.herfindahl_by_group``) — integer-exact ppm from one
+    (group, category) partial-agg groupby + a cell-level segment fold."""
+    from kamae_ray.stages.profile import herfindahl_by_group
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return herfindahl_by_group(ev, "event_type", "user_id")
+
+
+def _q_item2item(sf_dir):
+    """Item-to-item recommendations (composition: ``cooccurrence_counts``
+    -> symmetric fan-out -> ``topk_per_group``): the 5 most co-purchased
+    parts per part across all orders, deterministic under count ties via
+    the co_item tiebreak. The exchange carries only (item, co_item, n)
+    cells; top-k reduces per block before its shuffle."""
+    from kamae_ray.functions import arrays as A2
+    from kamae_ray.stages.aggregate import cooccurrence_counts, topk_per_group
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    co = cooccurrence_counts(ds, "l_orderkey", "l_partkey")
+
+    def both(block: pa.Table) -> pa.Table:
+        ia = A2.as_array(block.column("item_a"))
+        ib = A2.as_array(block.column("item_b"))
+        nn = A2.as_array(block.column("n"))
+        return pa.table({
+            "item": pa.concat_arrays([ia, ib]),
+            "co_item": pa.concat_arrays([ib, ia]),
+            "n": pa.concat_arrays([nn, nn]),
+        })
+
+    both.__name__ = "item2item_symmetrize"
+    sym = co.map_batches(both, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    return topk_per_group(sym, "item", "n", 5, descending=True,
+                          tiebreak=["co_item"])
+
+
 def _q_rfm(sf_dir):
     """RFM features per user (recency / frequency / monetary — the classic
     CRM feature triple) over purchase events at a pinned cutoff: one
@@ -4789,6 +4828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rowwise_jaccard": _q_rowwise_jaccard,
         "q_spearman": _q_spearman,
         "q_gini": _q_gini,
+        "q_hhi": _q_hhi,
+        "q_item2item": _q_item2item,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6670,6 +6711,24 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN tp > 0 AND cum_n > 0 THEN "
             "CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE) END, 6) AS lift "
             "FROM c, tot"
+        ),
+        "q_hhi": (
+            "WITH cells AS (SELECT event_type, user_id, COUNT(*)::BIGINT AS n "
+            "FROM events GROUP BY event_type, user_id) "
+            "SELECT event_type, COUNT(*)::BIGINT AS n_categories, "
+            "SUM(n)::BIGINT AS total, SUM(n * n)::BIGINT AS hhi_num, "
+            "CASE WHEN SUM(n) > 0 THEN (SUM(n * n)::BIGINT * 1000000) "
+            "// (SUM(n)::BIGINT * SUM(n)::BIGINT) END AS hhi_ppm "
+            "FROM cells GROUP BY event_type"
+        ),
+        "q_item2item": (
+            "WITH p AS (SELECT a.l_partkey AS item, b.l_partkey AS co_item, "
+            "count(*)::BIGINT AS n FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey "
+            "GROUP BY item, co_item), "
+            "r AS (SELECT item, co_item, n, row_number() OVER ("
+            "PARTITION BY item ORDER BY n DESC, co_item) AS rn FROM p) "
+            "SELECT item, co_item, n FROM r WHERE rn <= 5"
         ),
         "q_spearman": (
             "WITH t AS (SELECT event_type AS g, "

@@ -298,6 +298,17 @@ _BENCH_QUERIES = [
     "q_rfm",  # recency/frequency/monetary features per user
     "q_group_auc",  # per-slice exact ROC-AUC
     "q_brier",  # exact fixed-point Brier score
+    "q_ranking_eval",  # per-query NDCG/MRR/P@k (libm-constant DCG chain)
+    "q_confusion",  # thresholded confusion matrix per slice
+    "q_ks",  # two-sample Kolmogorov-Smirnov (exact cross-multiplied CDFs)
+    "q_lift",  # cumulative gains/lift table
+    "q_ohlc",  # daily OHLC candles per entity (int64 segment kernel)
+    "q_anomaly",  # expanding z-score anomaly flags (exact integer rule)
+    "q_rowwise_jaccard",  # per-row token-set overlap (dictionary-encoded)
+    "q_spearman",  # per-group tie-aware rank correlation
+    "q_gini",  # per-group Gini concentration
+    "q_hhi",  # per-group Herfindahl concentration (integer ppm)
+    "q_item2item",  # co-occurrence -> symmetric top-k recommendations
 ]
 
 

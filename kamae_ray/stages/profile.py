@@ -842,3 +842,75 @@ def gini_by_group(ds, group_col: str, value_col: str):
     if isinstance(ds, pa.Table):
         return fold(ds)
     return sorted_block_apply(ds, [group_col], fold, "gini_fold")
+
+
+def herfindahl_by_group(ds, group_col: str, category_col: str,
+                        driver_budget: int = 5_000_000):
+    """Per-group Herfindahl-Hirschman concentration index over a category
+    column (how concentrated is a slice's activity across users / domains /
+    sources): with c_i the per-category counts inside a group,
+
+        hhi_ppm = sum(c_i^2) * 1_000_000 // (sum(c_i))^2
+
+    — integer-exact ppm (the char-diversity/inverse-Simpson family), plus
+    the exact int64 ingredients (n_categories, total, hhi_num). Null
+    categories count as a category (SQL GROUP BY semantics). Raises when a
+    group's total leaves the exact int64 square range (~3e9 rows).
+
+    Scale plan: ONE partial-agg groupby on (group, category) builds the
+    count cells; the per-group fold is a segment kernel over ONE group
+    sort of those cells (cells, not rows, move)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.window import sorted_block_apply
+
+    # COUNT(*) per cell, not COUNT(category): a null category still forms a
+    # cell whose size is its row count (the r4 count-vs-count(*) lesson)
+    def ones(block: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: block.column(group_col),
+            category_col: block.column(category_col),
+            "__one": pa.array(np.ones(block.num_rows, np.int64)),
+        })
+
+    ones.__name__ = "hhi_ones"
+    tagged = ones(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        ones, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    cells = groupby_agg(tagged, [group_col, category_col], {"__one": ["count"]})
+    cnt_col = "__one_count"
+
+    def fold(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return pa.table({
+                group_col: block.column(group_col),
+                "n_categories": pa.array([], pa.int64()),
+                "total": pa.array([], pa.int64()),
+                "hhi_num": pa.array([], pa.int64()),
+                "hhi_ppm": pa.array([], pa.int64()),
+            })
+        gids = S.group_ids(block, [group_col])
+        order = np.argsort(gids, kind="stable")
+        gs = gids[order]
+        # count counts non-null; null categories still form a cell whose
+        # size is the row count — recover it from the groupby's count=0 rows
+        c = pc.cast(block.column(cnt_col), pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)[order]
+        starts, lens = S.segments(gs)
+        total = np.add.reduceat(c, starts).astype(np.int64)
+        if len(total) and float(total.max()) ** 2 >= 2.0**62:
+            raise ValueError("herfindahl_by_group: total^2 overflows int64")
+        num = np.add.reduceat(c * c, starts).astype(np.int64)
+        ppm = np.where(total > 0, num * np.int64(1_000_000)
+                       // np.where(total == 0, 1, total * total), 0)
+        firsts = order[starts]
+        return pa.table({
+            group_col: A.as_array(block.column(group_col)).take(pa.array(firsts)),
+            "n_categories": pa.array(lens.astype(np.int64)),
+            "total": pa.array(total),
+            "hhi_num": pa.array(num),
+            "hhi_ppm": pa.array(ppm, pa.int64(), mask=~(total > 0)),
+        })
+
+    if isinstance(cells, pa.Table):
+        return fold(cells)
+    return sorted_block_apply(cells, [group_col], fold, "hhi_fold")

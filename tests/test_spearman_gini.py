@@ -81,3 +81,30 @@ def test_gini_rejects_negative():
     t = pa.table({"g": ["a"], "v": [-1]})
     with pytest.raises(ValueError, match="non-negative"):
         gini_by_group(t, "g", "v")
+
+
+def test_herfindahl_null_categories_and_closed_form():
+    from kamae_ray.stages.profile import herfindahl_by_group
+
+    # group "m": one category owns everything -> ppm 1_000_000; group "s":
+    # 4 equal categories (incl. a NULL category) -> 250_000 ppm
+    t = pa.table({
+        "g": ["m"] * 3 + ["s"] * 4,
+        "c": pa.array([7, 7, 7, 1, 2, 3, None], pa.int64()),
+    })
+    out = herfindahl_by_group(t, "g", "c").sort_by("g").to_pylist()
+    assert out[0] == {"g": "m", "n_categories": 1, "total": 3,
+                      "hhi_num": 9, "hhi_ppm": 1_000_000}
+    assert out[1] == {"g": "s", "n_categories": 4, "total": 4,
+                      "hhi_num": 4, "hhi_ppm": 250_000}
+
+
+def test_herfindahl_dataset_parity(ray_session, stat_data):
+    import ray
+
+    from kamae_ray.stages.profile import herfindahl_by_group
+
+    t = herfindahl_by_group(stat_data, "g", "x").sort_by("g")
+    d = _collect(herfindahl_by_group(ray.data.from_arrow(stat_data),
+                                     "g", "x")).sort_by("g")
+    assert t.equals(d.select(t.column_names))

@@ -138,6 +138,21 @@ def test_ks_driver_vs_distributed_twin(ray_session, eval_data):
     assert a.to_pylist() == c.to_pylist()
 
 
+def test_ks_distributed_negative_values(ray_session):
+    # negative integer values exercise global_cumsum's negative bucket ids
+    import ray
+
+    rng = np.random.default_rng(13)
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b"], 4000)),
+        "s": pa.array(rng.integers(-5000, 5000, 4000)),
+    })
+    ds = ray.data.from_arrow(t)
+    a = ks_statistic(ds, "s", "g", "a", "b", driver_budget=0)
+    b = ks_statistic(t, "s", "g", "a", "b")
+    assert a.to_pylist() == b.to_pylist()
+
+
 def test_ks_empty_side():
     t = pa.table({"g": ["a", "a"], "s": [1, 2]})
     r = ks_statistic(t, "s", "g", "a", "b").to_pylist()[0]

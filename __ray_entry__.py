@@ -967,6 +967,49 @@ def _q_item2item(sf_dir):
                           tiebreak=["co_item"])
 
 
+def _q_ab_test(sf_dir):
+    """Per-experiment A/B readout (``evalmetrics.ab_test_chi2``): exact
+    int64 2x2 cells (variant = odd order key, success = finished status)
+    per priority bucket, conversion rates and the chi-squared statistic in
+    a fixed mirrored float expression over exact cells."""
+    from kamae_ray.stages.evalmetrics import ab_test_chi2
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.bit_wise_and(batch.column("o_orderkey"), pa.scalar(1, pa.int64())), pa.int64())
+        y = pc.cast(pc.equal(batch.column("o_orderstatus"), "F"), pa.int64())
+        return pa.table({"e": batch.column("o_orderpriority"), "v": v, "y": y})
+
+    prep.__name__ = "ab_prep"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = ab_test_chi2(keyed, "e", "v", "y")
+    return out.map_batches(_rounder(["rate_control", "rate_variant", "chi2"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_trimmed_mean(sf_dir):
+    """Per-event_type 10%-trimmed mean of cent values
+    (``evalmetrics.trimmed_mean_by_group``) — the robust location estimate:
+    exact int64 survivor sums over a positional trim mask (tie-order
+    invariant), ONE double division."""
+    from kamae_ray.stages.evalmetrics import trimmed_mean_by_group
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"g": batch.column("event_type"), "v": cents})
+
+    prep.__name__ = "trimmed_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = trimmed_mean_by_group(ds, "g", "v", trim_ppm=100_000)
+    return out.map_batches(_rounder(["trimmed_mean"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_rfm(sf_dir):
     """RFM features per user (recency / frequency / monetary — the classic
     CRM feature triple) over purchase events at a pinned cutoff: one
@@ -4830,6 +4873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gini": _q_gini,
         "q_hhi": _q_hhi,
         "q_item2item": _q_item2item,
+        "q_ab_test": _q_ab_test,
+        "q_trimmed_mean": _q_trimmed_mean,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6711,6 +6756,41 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN tp > 0 AND cum_n > 0 THEN "
             "CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE) END, 6) AS lift "
             "FROM c, tot"
+        ),
+        "q_ab_test": (
+            "WITH t AS (SELECT o_orderpriority AS e, "
+            "(o_orderkey & 1)::BIGINT AS v, "
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders), "
+            "c AS (SELECT e, "
+            "SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS na, "
+            "SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS nb, "
+            "SUM(CASE WHEN v = 0 THEN y ELSE 0 END)::BIGINT AS sa, "
+            "SUM(CASE WHEN v = 1 THEN y ELSE 0 END)::BIGINT AS sb FROM t GROUP BY e) "
+            "SELECT e, na AS n_control, nb AS n_variant, "
+            "sa AS success_control, sb AS success_variant, "
+            "ROUND(CASE WHEN na > 0 THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) END, 6) AS rate_control, "
+            "ROUND(CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) END, 6) AS rate_variant, "
+            "ROUND(CASE WHEN CAST(sa + (na - sa) AS DOUBLE) * CAST(sb + (nb - sb) AS DOUBLE) "
+            "* CAST(sa + sb AS DOUBLE) * CAST((na - sa) + (nb - sb) AS DOUBLE) > 0 THEN "
+            "(CAST(na + nb AS DOUBLE) * (CAST(sa * (nb - sb) - (na - sa) * sb AS DOUBLE) "
+            "* CAST(sa * (nb - sb) - (na - sa) * sb AS DOUBLE))) "
+            "/ (CAST(sa + (na - sa) AS DOUBLE) * CAST(sb + (nb - sb) AS DOUBLE) "
+            "* CAST(sa + sb AS DOUBLE) * CAST((na - sa) + (nb - sb) AS DOUBLE)) END, 6) AS chi2 "
+            "FROM c"
+        ),
+        "q_trimmed_mean": (
+            "WITH t AS (SELECT event_type AS g, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS v "
+            "FROM events WHERE value IS NOT NULL), "
+            "r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS p, "
+            "COUNT(*) OVER (PARTITION BY g) AS n FROM t), "
+            "f AS (SELECT g, v, n FROM r "
+            "WHERE p > (n * 100000) // 1000000 AND p <= n - (n * 100000) // 1000000), "
+            "c AS (SELECT g, ANY_VALUE(n)::BIGINT AS n, COUNT(*)::BIGINT AS n_used, "
+            "SUM(v)::BIGINT AS trimmed_sum FROM f GROUP BY g) "
+            "SELECT g, n, n_used, trimmed_sum, "
+            "ROUND(CASE WHEN n_used > 0 THEN CAST(trimmed_sum AS DOUBLE) "
+            "/ CAST(n_used AS DOUBLE) END, 6) AS trimmed_mean FROM c"
         ),
         "q_hhi": (
             "WITH cells AS (SELECT event_type, user_id, COUNT(*)::BIGINT AS n "

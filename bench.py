@@ -309,6 +309,8 @@ _BENCH_QUERIES = [
     "q_gini",  # per-group Gini concentration
     "q_hhi",  # per-group Herfindahl concentration (integer ppm)
     "q_item2item",  # co-occurrence -> symmetric top-k recommendations
+    "q_ab_test",  # per-experiment 2x2 chi-squared readout
+    "q_trimmed_mean",  # per-group symmetric trimmed mean
 ]
 
 

@@ -436,3 +436,144 @@ def lift_table(ds, score_col: str, label_col: str, bins: int, max_score: int):
         "lift": pa.array(lift, pa.float64(),
                          mask=~((np.full(len(n), total_pos) > 0) & (cum_n > 0))),
     })
+
+
+def ab_test_chi2(ds, exp_col: str, variant_col: str, success_col: str):
+    """Per-experiment A/B readout: exact int64 2x2 cells (control/variant x
+    success/failure), the two conversion rates (single divisions), and the
+    chi-squared test statistic
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b) * (c+d) * (a+c) * (b+d))
+
+    evaluated in a FIXED float expression order from the exact integer
+    cells (the int -> double conversions and IEEE ops are deterministic, so
+    the oracle's identical expression is bit-identical). ``variant_col``
+    and ``success_col`` are 0/1 integers; null rows drop. chi2 is null when
+    any margin is 0. Raises when a cell product a*d would leave int64
+    (~2^31 rows per experiment).
+
+    Scale plan: one indicator map + ONE partial-agg groupby on the
+    experiment key; O(experiments) output."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    def prep(block: pa.Table) -> pa.Table:
+        v = pc.cast(A.as_array(block.column(variant_col)), pa.int64(), safe=False)
+        y = pc.cast(A.as_array(block.column(success_col)), pa.int64(), safe=False)
+        ok = pc.and_(pc.is_valid(v), pc.is_valid(y))
+        t = pa.table({
+            "e": A.as_array(block.column(exp_col)),
+            "sa": pc.multiply(pc.subtract(pa.scalar(1, pa.int64()), v), y),
+            "na": pc.subtract(pa.scalar(1, pa.int64()), v),
+            "sb": pc.multiply(v, y),
+            "nb": v,
+        }).filter(ok)
+        for c in ("na", "nb"):
+            vv = t.column(c).to_numpy(zero_copy_only=False)
+            if len(vv) and ((vv < 0) | (vv > 1)).any():
+                raise ValueError("ab_test_chi2 variant must be a 0/1 integer column")
+        return t
+
+    prep.__name__ = "ab_indicators"
+
+    def finish(stats: pa.Table) -> pa.Table:
+        def col(name):
+            v = pc.cast(stats.column(f"{name}_sum"), pa.float64(),
+                        safe=False).to_numpy(zero_copy_only=False)
+            if len(v) and np.abs(v).max() >= 2.0**53:
+                raise ValueError("ab_test_chi2 counts exceed exact float64 range")
+            return v.astype(np.int64)
+
+        sa, na, sb, nb = col("sa"), col("na"), col("sb"), col("nb")
+        a, b = sa, na - sa          # control success / failure
+        c, d = sb, nb - sb          # variant success / failure
+        if len(a) and (na.astype(np.float64) * nb.astype(np.float64)).max() >= 2.0**62:
+            raise ValueError("ab_test_chi2: a cell product overflows int64")
+        adbc = a * d - b * c
+        n_tot = na + nb
+        m1, m2, m3, m4 = a + b, c + d, a + c, b + d
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rate_a = np.where(na > 0, a / np.where(na == 0, 1, na), np.nan)
+            rate_b = np.where(nb > 0, c / np.where(nb == 0, 1, nb), np.nan)
+            den = (m1.astype(np.float64) * m2.astype(np.float64)
+                   * m3.astype(np.float64) * m4.astype(np.float64))
+            num = n_tot.astype(np.float64) * (adbc.astype(np.float64)
+                                              * adbc.astype(np.float64))
+            chi2 = np.where(den > 0, num / np.where(den == 0, 1.0, den), np.nan)
+        return pa.table({
+            exp_col: stats.column("e"),
+            "n_control": pa.array(na), "n_variant": pa.array(nb),
+            "success_control": pa.array(sa), "success_variant": pa.array(sb),
+            "rate_control": pa.array(rate_a, pa.float64(), mask=~(na > 0)),
+            "rate_variant": pa.array(rate_b, pa.float64(), mask=~(nb > 0)),
+            "chi2": pa.array(chi2, pa.float64(), mask=~(den > 0)),
+        })
+
+    aggs = {c: ["sum"] for c in ("sa", "na", "sb", "nb")}
+    if isinstance(ds, pa.Table):
+        return finish(groupby_agg(prep(ds), "e", aggs))
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    finish.__name__ = "ab_finish"
+    return groupby_agg(keyed, "e", aggs).map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def trimmed_mean_by_group(ds, group_col: str, value_col: str, trim_ppm: int):
+    """Per-group symmetric trimmed mean of an INTEGER value column: drop
+    the lowest and highest ``floor(n * trim_ppm / 1e6)`` observations, then
+    the exact int64 sum of the survivors over their count — ONE double
+    division. Tie-order invariant (equal values straddling the cut
+    contribute the same sum whichever copies are dropped). Null values
+    drop; groups trimmed to nothing emit null. Output: group, n, n_used,
+    trimmed_sum (exact int64), trimmed_mean.
+
+    Scale plan: ONE group sort-shuffle + an in-block lexsort, positional
+    mask and reduceat — the gini_by_group shape."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    if not (0 <= trim_ppm < 500_000):
+        raise ValueError("trim_ppm must be in [0, 500000)")
+
+    def fold(block: pa.Table) -> pa.Table:
+        block = block.filter(pc.is_valid(block.column(value_col)))
+        n = block.num_rows
+        if n == 0:
+            return pa.table({
+                group_col: block.column(group_col),
+                "n": pa.array([], pa.int64()),
+                "n_used": pa.array([], pa.int64()),
+                "trimmed_sum": pa.array([], pa.int64()),
+                "trimmed_mean": pa.array([], pa.float64()),
+            })
+        v = pc.cast(A.as_array(block.column(value_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        gids = S.group_ids(block, [group_col])
+        order = np.lexsort((v, gids))
+        gs, vs = gids[order], v[order]
+        starts, lens = S.segments(gs)
+        if len(vs) and float(np.abs(vs).max()) * float(lens.max()) >= 2.0**62:
+            raise ValueError("trimmed_mean_by_group: group sum overflows int64")
+        pos = (np.arange(n, dtype=np.int64) - np.repeat(starts, lens)) + 1
+        nrep = np.repeat(lens.astype(np.int64), lens)
+        krep = nrep * np.int64(trim_ppm) // np.int64(1_000_000)
+        keep = (pos > krep) & (pos <= nrep - krep)
+        tsum = np.add.reduceat(np.where(keep, vs, 0), starts).astype(np.int64)
+        nseg = lens.astype(np.int64)
+        k = nseg * np.int64(trim_ppm) // np.int64(1_000_000)
+        used = nseg - 2 * k
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(used > 0, tsum.astype(np.float64)
+                            / np.where(used == 0, 1, used).astype(np.float64),
+                            np.nan)
+        firsts = order[starts]
+        return pa.table({
+            group_col: A.as_array(block.column(group_col)).take(pa.array(firsts)),
+            "n": pa.array(nseg),
+            "n_used": pa.array(used),
+            "trimmed_sum": pa.array(tsum),
+            "trimmed_mean": pa.array(mean, pa.float64(), mask=~(used > 0)),
+        })
+
+    if isinstance(ds, pa.Table):
+        return fold(ds)
+    return sorted_block_apply(ds, [group_col], fold, "trimmed_mean_fold")

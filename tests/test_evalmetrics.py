@@ -176,3 +176,55 @@ def test_lift_table_rejects_out_of_range():
     t = pa.table({"s": [5000], "y": [1]})
     with pytest.raises(ValueError, match="outside"):
         lift_table(t, "s", "y", bins=10, max_score=1000)
+
+
+def test_ab_test_chi2_hand_case():
+    from kamae_ray.stages.evalmetrics import ab_test_chi2
+
+    # a=30/100 control, c=40/100 variant; chi2 = N(ad-bc)^2 / margins
+    rows = ([("e", 0, 1)] * 30 + [("e", 0, 0)] * 70
+            + [("e", 1, 1)] * 40 + [("e", 1, 0)] * 60)
+    t = pa.table({"e": [r[0] for r in rows], "v": [r[1] for r in rows],
+                  "y": [r[2] for r in rows]})
+    r = ab_test_chi2(t, "e", "v", "y").to_pylist()[0]
+    assert (r["n_control"], r["n_variant"]) == (100, 100)
+    assert (r["success_control"], r["success_variant"]) == (30, 40)
+    a, b, c, d = 30, 70, 40, 60
+    exp = 200 * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert abs(r["chi2"] - exp) < 1e-12
+    assert r["rate_control"] == 0.3 and r["rate_variant"] == 0.4
+
+
+def test_ab_test_chi2_degenerate_margin_null():
+    from kamae_ray.stages.evalmetrics import ab_test_chi2
+
+    # all successes -> a failure margin of 0 -> chi2 null
+    t = pa.table({"e": ["x", "x"], "v": [0, 1], "y": [1, 1]})
+    assert ab_test_chi2(t, "e", "v", "y").to_pylist()[0]["chi2"] is None
+
+
+def test_trimmed_mean_matches_numpy(ray_session, eval_data):
+    import ray
+
+    from kamae_ray.stages.evalmetrics import trimmed_mean_by_group
+
+    t = trimmed_mean_by_group(eval_data, "g", "s", trim_ppm=100_000).sort_by("g")
+    df = eval_data.to_pandas()
+    for row in t.to_pylist():
+        v = np.sort(df[df.g == row["g"]].s.to_numpy().astype(np.int64))
+        k = len(v) * 100_000 // 1_000_000
+        surv = v[k:len(v) - k]
+        assert row["n_used"] == len(surv)
+        assert row["trimmed_sum"] == int(surv.sum())
+        assert row["trimmed_mean"] == surv.sum() / len(surv)
+    d = _collect(trimmed_mean_by_group(ray.data.from_arrow(eval_data),
+                                       "g", "s", trim_ppm=100_000)).sort_by("g")
+    assert t.equals(d.select(t.column_names))
+
+
+def test_trimmed_mean_zero_trim_is_mean():
+    from kamae_ray.stages.evalmetrics import trimmed_mean_by_group
+
+    t = pa.table({"g": ["a"] * 4, "v": [1, 2, 3, 10]})
+    r = trimmed_mean_by_group(t, "g", "v", trim_ppm=0).to_pylist()[0]
+    assert r["trimmed_mean"] == 4.0 and r["n_used"] == 4

@@ -1010,6 +1010,118 @@ def _q_trimmed_mean(sf_dir):
                            zero_copy_batch=True)
 
 
+def _q_cyclical(sf_dir):
+    """Hour-of-day cyclical encoding (``CyclicalEncodeTransformer``):
+    sin/cos of 2*pi*hour/24 — numpy's sin/cos are bit-identical to
+    DuckDB's libm kernels (the lesson-38 exception list), expression
+    mirrored left-associatively."""
+    from kamae_ray.stages import CyclicalEncodeTransformer
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch.column("event_id"),
+                         "hour": pc.cast(pc.hour(batch.column("ts")), pa.int64())})
+
+    prep.__name__ = "hour_of_day"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = CyclicalEncodeTransformer(input_col="hour", output_col="hod",
+                                    period=24).transform(ds)
+    return out.map_batches(_rounder(["hod_sin", "hod_cos"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_autocorr(sf_dir):
+    """Lag-1 autocorrelation of cent values per event_type (composition:
+    per-user ``LagTransformer`` -> exact int64 pair sums via one
+    partial-agg groupby -> the Pearson expression in a fixed mirrored
+    float order). All six sums are integer-exact (guarded < 2^53 through
+    the float64 agg path); the closing expression's int->double casts and
+    IEEE ops are deterministic on both engines."""
+    from kamae_ray.stages import LagTransformer
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "ts": batch.column("ts"),
+                         "event_type": batch.column("event_type"), "cents": cents})
+
+    quant.__name__ = "autocorr_quantize"
+    ds = ev.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+    lagged = LagTransformer(input_col="cents", entity_cols=["user_id"],
+                            time_col="ts", offset=1,
+                            output_col="prev_cents").transform(ds)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch.column("cents")),
+                     pc.is_valid(batch.column("prev_cents")))
+        t = batch.filter(ok)
+        x = pc.cast(t.column("cents"), pa.int64(), safe=False)
+        y = pc.cast(t.column("prev_cents"), pa.int64(), safe=False)
+        return pa.table({"g": t.column("event_type"), "x": x, "y": y,
+                         "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+                         "xy": pc.multiply(x, y)})
+
+    pairs.__name__ = "autocorr_pairs"
+    keyed = lagged.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None)
+    stats = groupby_agg(keyed, "g", {c: ["sum"] for c in ("x", "y", "xx", "yy", "xy")}
+                        | {"x": ["sum", "count"]})
+
+    def finish(block: pa.Table) -> pa.Table:
+        def col(name):
+            v = pc.cast(block.column(name), pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+            if len(v) and np.abs(v).max() >= 2.0**53:
+                raise ValueError("autocorr sums exceed exact float64 range")
+            return v.astype(np.int64)
+
+        n = col("x_count")
+        sx, sy = col("x_sum"), col("y_sum")
+        sxx, syy, sxy = col("xx_sum"), col("yy_sum"), col("xy_sum")
+        nf, sxf, syf = n.astype(np.float64), sx.astype(np.float64), sy.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            den = (np.sqrt(nf * sxx.astype(np.float64) - sxf * sxf)
+                   * np.sqrt(nf * syy.astype(np.float64) - syf * syf))
+            rho = np.where(den > 0,
+                           (nf * sxy.astype(np.float64) - sxf * syf)
+                           / np.where(den == 0, 1.0, den), np.nan)
+        return pa.table({
+            "g": block.column("g"), "n": pa.array(n),
+            "autocorr": pa.array(rho, pa.float64(), mask=~(den > 0)),
+        })
+
+    finish.__name__ = "autocorr_finish"
+    out = stats.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
+    return out.map_batches(_rounder(["autocorr"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_label_prop(sf_dir):
+    """One-step label propagation on the order-supplier bipartite graph
+    (composition: broadcast_join the small supplier label table onto
+    lineitem edges -> ``groupby_mode`` per order): each order takes the
+    majority nation of its suppliers, ties to the smallest label —
+    deterministic, two exchanges total."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_mode
+    from kamae_ray.stages.join import broadcast_join
+
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    # the label table is tiny (one row per supplier) — driver-collect and
+    # broadcast it; the edge scan never shuffles for the join
+    labels = pa.concat_tables([t for t in collect_tables(supp) if t.num_rows])
+    labels = pa.table({"l_suppkey": labels.column("s_suppkey"),
+                       "nation": labels.column("s_nationkey")})
+    joined = broadcast_join(edges, labels, on="l_suppkey", how="inner")
+    return groupby_mode(joined, "l_orderkey", "nation")
+
+
 def _q_rfm(sf_dir):
     """RFM features per user (recency / frequency / monetary — the classic
     CRM feature triple) over purchase events at a pinned cutoff: one
@@ -4875,6 +4987,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_item2item": _q_item2item,
         "q_ab_test": _q_ab_test,
         "q_trimmed_mean": _q_trimmed_mean,
+        "q_cyclical": _q_cyclical,
+        "q_autocorr": _q_autocorr,
+        "q_label_prop": _q_label_prop,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6756,6 +6871,40 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN tp > 0 AND cum_n > 0 THEN "
             "CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE) END, 6) AS lift "
             "FROM c, tot"
+        ),
+        "q_cyclical": (
+            "SELECT event_id, CAST(hour(ts) AS BIGINT) AS hour, "
+            "ROUND(sin(2 * pi() * hour(ts) / CAST(24 AS DOUBLE)), 6) AS hod_sin, "
+            "ROUND(cos(2 * pi() * hour(ts) / CAST(24 AS DOUBLE)), 6) AS hod_cos "
+            "FROM events"
+        ),
+        "q_autocorr": (
+            "WITH t AS (SELECT user_id, ts, event_type, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE value IS NOT NULL), "
+            "l AS (SELECT event_type AS g, cents AS x, "
+            "lag(cents) OVER (PARTITION BY user_id ORDER BY ts) AS y FROM t), "
+            "p AS (SELECT g, x, y FROM l WHERE y IS NOT NULL), "
+            "c AS (SELECT g, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx, "
+            "SUM(y)::BIGINT AS sy, SUM(x * x)::BIGINT AS sxx, "
+            "SUM(y * y)::BIGINT AS syy, SUM(x * y)::BIGINT AS sxy FROM p GROUP BY g) "
+            "SELECT g, n, ROUND(CASE WHEN "
+            "sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+            "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN "
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+            "/ (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+            "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) AS autocorr "
+            "FROM c"
+        ),
+        "q_label_prop": (
+            "WITH j AS (SELECT l.l_orderkey, s.s_nationkey AS nation "
+            "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey), "
+            "c AS (SELECT l_orderkey, nation, COUNT(*)::BIGINT AS cnt "
+            "FROM j GROUP BY l_orderkey, nation), "
+            "r AS (SELECT l_orderkey, nation, cnt, row_number() OVER ("
+            "PARTITION BY l_orderkey ORDER BY cnt DESC, nation) AS rn FROM c) "
+            "SELECT l_orderkey, nation AS nation_mode, cnt AS nation_mode_count "
+            "FROM r WHERE rn = 1"
         ),
         "q_ab_test": (
             "WITH t AS (SELECT o_orderpriority AS e, "

@@ -311,6 +311,9 @@ _BENCH_QUERIES = [
     "q_item2item",  # co-occurrence -> symmetric top-k recommendations
     "q_ab_test",  # per-experiment 2x2 chi-squared readout
     "q_trimmed_mean",  # per-group symmetric trimmed mean
+    "q_cyclical",  # sin/cos seasonality encoding (bit-exact trig)
+    "q_autocorr",  # lag-1 autocorrelation per group (exact pair sums)
+    "q_label_prop",  # 1-step majority label propagation
 ]
 
 

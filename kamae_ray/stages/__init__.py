@@ -6,6 +6,7 @@ from kamae_ray.stages.elementwise import (  # noqa: F401
     BucketizeTransformer,
     ClipTransformer,
     CoalesceTransformer,
+    CyclicalEncodeTransformer,
     DivideTransformer,
     ExponentTransformer,
     ExpTransformer,

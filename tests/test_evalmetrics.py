@@ -228,3 +228,36 @@ def test_trimmed_mean_zero_trim_is_mean():
     t = pa.table({"g": ["a"] * 4, "v": [1, 2, 3, 10]})
     r = trimmed_mean_by_group(t, "g", "v", trim_ppm=0).to_pylist()[0]
     assert r["trimmed_mean"] == 4.0 and r["n_used"] == 4
+
+
+def test_cyclical_encode_roundtrip(tmp_path):
+    import numpy as np
+
+    from kamae_ray.pipelines import PipelineModel
+    from kamae_ray.stages import CyclicalEncodeTransformer
+
+    t = pa.table({"h": pa.array([0.0, 6.0, 12.0, 18.0, None], pa.float64())})
+    tr = CyclicalEncodeTransformer(input_col="h", output_col="hod", period=24)
+    out = tr.transform(t)
+    assert out.column("hod_sin")[0].as_py() == 0.0
+    assert out.column("hod_cos")[0].as_py() == 1.0
+    assert abs(out.column("hod_sin")[1].as_py() - 1.0) < 1e-15
+    assert out.column("hod_sin")[4].as_py() is None
+    # boundary adjacency: 23h is close to 0h in (sin, cos) space
+    t2 = pa.table({"h": pa.array([23.0, 0.0], pa.float64())})
+    o2 = tr.transform(t2)
+    d = np.hypot(o2.column("hod_sin")[0].as_py() - o2.column("hod_sin")[1].as_py(),
+                 o2.column("hod_cos")[0].as_py() - o2.column("hod_cos")[1].as_py())
+    assert d < 0.3
+    # lesson-41 contract: save/load then transform works and matches
+    pm = PipelineModel([tr])
+    pm.save(str(tmp_path / "cyc"))
+    pm2 = PipelineModel.load(str(tmp_path / "cyc"))
+    assert pm2.transform(t).equals(out)
+
+
+def test_cyclical_rejects_bad_period():
+    from kamae_ray.stages import CyclicalEncodeTransformer
+
+    with pytest.raises(ValueError, match="period"):
+        CyclicalEncodeTransformer(input_col="h", output_col="o", period=0)

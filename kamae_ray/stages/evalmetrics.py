@@ -104,6 +104,10 @@ def ranking_metrics(ds, query_col: str, order_cols: list[str], rel_col: str,
         gids = S.group_ids(block, [query_col])
         starts, lens = S.segments(gids)
         nseg = len(starts)
+        if nseg * k > (1 << 27):
+            raise ValueError("ranking_metrics: the per-block (queries x k) "
+                             "scatter matrix exceeds 1 GiB — lower k or "
+                             "repartition to smaller blocks")
         srep = S.starts_rep(starts, lens)
         r = (np.arange(block.num_rows, dtype=np.int64) - srep) + 1
         rel = pc.cast(A.as_array(block.column(rel_col)), pa.int64(),
@@ -484,6 +488,8 @@ def ab_test_chi2(ds, exp_col: str, variant_col: str, success_col: str):
             return v.astype(np.int64)
 
         sa, na, sb, nb = col("sa"), col("na"), col("sb"), col("nb")
+        if len(sa) and (((sa < 0) | (sa > na)) | ((sb < 0) | (sb > nb))).any():
+            raise ValueError("ab_test_chi2 success must be a 0/1 integer column")
         a, b = sa, na - sa          # control success / failure
         c, d = sb, nb - sb          # variant success / failure
         if len(a) and (na.astype(np.float64) * nb.astype(np.float64)).max() >= 2.0**62:

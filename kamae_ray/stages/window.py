@@ -2195,14 +2195,20 @@ def resample_ohlc(ds, entity_cols, time_col: str, value_col: str,
 
     is_table = isinstance(ds, pa.Table)
     if is_table:
-        t_type = ds.schema.field(time_col).type
+        schema = ds.schema
     else:
         from kamae_ray.base import dataset_schema
 
-        t_type = dataset_schema(ds).field(time_col).type
+        schema = dataset_schema(ds)
+    t_type = schema.field(time_col).type
     _per = ({"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[t_type.unit]
             if pa.types.is_timestamp(t_type) else 1)
     width = np.int64(bucket_s * _per)
+    for c in tiebreak_cols:
+        tt = schema.field(c).type
+        if not (pa.types.is_integer(tt) or pa.types.is_timestamp(tt)):
+            raise ValueError(f"resample_ohlc tiebreak column {c!r} must be "
+                             f"integer or timestamp (got {tt})")
 
     def to_buckets(block: pa.Table) -> pa.Table:
         ok = pc.and_kleene(pc.is_valid(block.column(time_col)),
@@ -2283,6 +2289,18 @@ def expanding_zscore_flags(ds, entity_cols, time_col: str, value_col: str,
     tiebreak_cols = list(tiebreak_cols)
     if z <= 0 or min_history < 1:
         raise ValueError("z must be > 0 and min_history >= 1")
+    if tiebreak_cols:
+        if isinstance(ds, pa.Table):
+            schema = ds.schema
+        else:
+            from kamae_ray.base import dataset_schema
+
+            schema = dataset_schema(ds)
+        for c in tiebreak_cols:
+            tt = schema.field(c).type
+            if not (pa.types.is_integer(tt) or pa.types.is_timestamp(tt)):
+                raise ValueError(f"expanding_zscore_flags tiebreak column "
+                                 f"{c!r} must be integer or timestamp")
 
     def kern(block: pa.Table) -> pa.Table:
         ok = pc.and_kleene(pc.is_valid(block.column(time_col)),

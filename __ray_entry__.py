@@ -1122,6 +1122,24 @@ def _q_label_prop(sf_dir):
     return groupby_mode(joined, "l_orderkey", "nation")
 
 
+def _q_rules(sf_dir):
+    """Data-quality expectations report (``profile.check_rules``): five
+    assertion rules over orders — null / bound / set / regex rules share
+    ONE partial pass; the uniqueness rule adds one distinct-count exchange.
+    All counts exact int64."""
+    from kamae_ray.stages.profile import check_rules
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                                  "o_totalprice", "o_orderpriority"])
+    return check_rules(ds, [
+        {"col": "o_custkey", "rule": "not_null"},
+        {"col": "o_totalprice", "rule": "max", "value": 300_000.0},
+        {"col": "o_orderstatus", "rule": "in_set", "values": ["O", "F"]},
+        {"col": "o_orderkey", "rule": "unique"},
+        {"col": "o_orderpriority", "rule": "matches", "pattern": "[0-3]-.*"},
+    ])
+
+
 def _q_rfm(sf_dir):
     """RFM features per user (recency / frequency / monetary — the classic
     CRM feature triple) over purchase events at a pinned cutoff: one
@@ -4990,6 +5008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cyclical": _q_cyclical,
         "q_autocorr": _q_autocorr,
         "q_label_prop": _q_label_prop,
+        "q_rules": _q_rules,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6871,6 +6890,25 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN tp > 0 AND cum_n > 0 THEN "
             "CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE) END, 6) AS lift "
             "FROM c, tot"
+        ),
+        "q_rules": (
+            "SELECT 0::BIGINT AS rule_idx, 'o_custkey' AS col, 'not_null' AS rule, "
+            "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations, "
+            "COUNT(*)::BIGINT AS n_rows FROM orders "
+            "UNION ALL SELECT 1::BIGINT, 'o_totalprice', 'max', "
+            "SUM(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END)::BIGINT, "
+            "COUNT(*)::BIGINT FROM orders "
+            "UNION ALL SELECT 2::BIGINT, 'o_orderstatus', 'in_set', "
+            "SUM(CASE WHEN o_orderstatus IS NOT NULL "
+            "AND o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END)::BIGINT, "
+            "COUNT(*)::BIGINT FROM orders "
+            "UNION ALL SELECT 3::BIGINT, 'o_orderkey', 'unique', "
+            "(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey))::BIGINT, "
+            "COUNT(o_orderkey)::BIGINT FROM orders "
+            "UNION ALL SELECT 4::BIGINT, 'o_orderpriority', 'matches', "
+            "SUM(CASE WHEN o_orderpriority IS NOT NULL "
+            "AND NOT regexp_full_match(o_orderpriority, '[0-3]-.*') "
+            "THEN 1 ELSE 0 END)::BIGINT, COUNT(*)::BIGINT FROM orders"
         ),
         "q_cyclical": (
             "SELECT event_id, CAST(hour(ts) AS BIGINT) AS hour, "

@@ -314,6 +314,7 @@ _BENCH_QUERIES = [
     "q_cyclical",  # sin/cos seasonality encoding (bit-exact trig)
     "q_autocorr",  # lag-1 autocorrelation per group (exact pair sums)
     "q_label_prop",  # 1-step majority label propagation
+    "q_rules",  # data-quality expectations report (exact violation counts)
 ]
 
 

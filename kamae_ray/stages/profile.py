@@ -914,3 +914,132 @@ def herfindahl_by_group(ds, group_col: str, category_col: str,
     if isinstance(cells, pa.Table):
         return fold(cells)
     return sorted_block_apply(cells, [group_col], fold, "hhi_fold")
+
+
+def check_rules(ds, rules: list[dict]):
+    """Data-quality assertion report — the expectations layer a 100-TB
+    ingest needs before features are trusted: each rule yields one output
+    row ``(rule_idx, col, rule, violations, n_rows)`` with EXACT int64
+    counts. Supported rules (``{"col": ..., "rule": ..., ...}``):
+
+    - ``not_null`` — violations = null count
+    - ``min`` / ``max`` (param ``value``) — non-null values outside the
+      bound (null passes; pair with not_null to forbid)
+    - ``in_set`` (param ``values``) — non-null values outside the set
+    - ``matches`` (param ``pattern``, RE2 full-match) — non-null strings
+      not matching
+    - ``unique`` — surplus duplicates = count(col) - count(distinct col)
+      (SQL form; nulls don't count)
+
+    Scale plan: ALL row-local rules ride ONE shared pass (per-block int64
+    partials, O(blocks x rules) driver fold — the profile_columns shape);
+    each ``unique`` rule adds one distinct-count exchange on just that
+    column. Nothing materializes."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.state.aggregators import _project
+
+    for i, r in enumerate(rules):
+        if r.get("rule") not in ("not_null", "min", "max", "in_set",
+                                 "matches", "unique"):
+            raise ValueError(f"rule {i}: unknown rule {r.get('rule')!r}")
+        if "col" not in r:
+            raise ValueError(f"rule {i}: missing col")
+
+    local = [(i, r) for i, r in enumerate(rules) if r["rule"] != "unique"]
+    uniq = [(i, r) for i, r in enumerate(rules) if r["rule"] == "unique"]
+
+    def partial(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        counts = []
+        for i, r in local:
+            col = A.as_array(block.column(r["col"]))
+            rule = r["rule"]
+            if rule == "not_null":
+                v = col.null_count
+            elif rule in ("min", "max"):
+                cmpfn = pc.less if rule == "min" else pc.greater
+                bad = cmpfn(col, r["value"])
+                v = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+            elif rule == "in_set":
+                ok = pc.is_in(col, value_set=pa.array(list(r["values"])))
+                bad = pc.and_(pc.invert(ok), pc.is_valid(col))
+                v = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+            else:  # matches
+                ok = pc.match_substring_regex(
+                    pc.cast(col, pa.string(), safe=False),
+                    f"^(?:{r['pattern']})$")
+                bad = pc.and_(pc.invert(ok), pc.is_valid(col))
+                v = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+            counts.append(int(v))
+        return pa.table({
+            "rule_idx": pa.array([i for i, _ in local], pa.int64()),
+            "violations": pa.array(counts, pa.int64()),
+            "n_rows": pa.array([n] * len(local), pa.int64()),
+        })
+
+    partial.__name__ = "rules_partial"
+    need = sorted({r["col"] for _, r in local})
+    out_v = {i: 0 for i, _ in local}
+    out_n = {i: 0 for i, _ in local}
+    if local:
+        if isinstance(ds, pa.Table):
+            parts = [partial(ds)]
+        else:
+            proj = _project(ds, need) or ds
+            parts = [t for t in collect_tables(
+                proj.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None))
+                     if t.num_rows]
+        for t in parts:
+            for ri, v, n in zip(t.column("rule_idx").to_pylist(),
+                                t.column("violations").to_pylist(),
+                                t.column("n_rows").to_pylist()):
+                out_v[ri] += int(v)
+                out_n[ri] += int(n)
+
+    for i, r in uniq:
+        from kamae_ray.stages.aggregate import groupby_agg
+
+        col = r["col"]
+        if isinstance(ds, pa.Table):
+            src = ds.select([col]).filter(pc.is_valid(ds.column(col)))
+            cells = groupby_agg(src.append_column(
+                "__one", pa.array(np.ones(src.num_rows, np.int64))),
+                col, {"__one": ["count"]})
+            cnts = pc.cast(cells.column("__one_count"), pa.int64()).to_numpy(zero_copy_only=False)
+            total, distinct = int(cnts.sum()), len(cnts)
+        else:
+            def ones(block: pa.Table, _c=col) -> pa.Table:
+                block = block.filter(pc.is_valid(block.column(_c)))
+                return pa.table({_c: block.column(_c),
+                                 "__one": pa.array(np.ones(block.num_rows, np.int64))})
+
+            ones.__name__ = "unique_ones"
+            proj = _project(ds, [col]) or ds
+            cells = groupby_agg(proj.map_batches(
+                ones, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None), col, {"__one": ["count"]})
+
+            def fold(block: pa.Table) -> pa.Table:
+                c = pc.cast(block.column("__one_count"), pa.int64()).to_numpy(zero_copy_only=False)
+                return pa.table({"t": pa.array([int(c.sum())], pa.int64()),
+                                 "d": pa.array([len(c)], pa.int64())})
+
+            fold.__name__ = "unique_fold"
+            parts = [t for t in collect_tables(
+                cells.map_batches(fold, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None))
+                     if t.num_rows]
+            total = sum(int(x) for t in parts for x in t.column("t").to_pylist())
+            distinct = sum(int(x) for t in parts for x in t.column("d").to_pylist())
+        out_v[i] = total - distinct
+        out_n[i] = total
+
+    order = sorted(out_v)
+    return pa.table({
+        "rule_idx": pa.array(order, pa.int64()),
+        "col": pa.array([rules[i]["col"] for i in order], pa.string()),
+        "rule": pa.array([rules[i]["rule"] for i in order], pa.string()),
+        "violations": pa.array([out_v[i] for i in order], pa.int64()),
+        "n_rows": pa.array([out_n[i] for i in order], pa.int64()),
+    })

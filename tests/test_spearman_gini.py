@@ -108,3 +108,36 @@ def test_herfindahl_dataset_parity(ray_session, stat_data):
     d = _collect(herfindahl_by_group(ray.data.from_arrow(stat_data),
                                      "g", "x")).sort_by("g")
     assert t.equals(d.select(t.column_names))
+
+
+def test_check_rules_all_kinds(ray_session):
+    import ray
+
+    from kamae_ray.stages.profile import check_rules
+
+    t = pa.table({
+        "a": pa.array([1, 2, None, 500, 7], pa.int64()),
+        "s": pa.array(["x@y.com", "bad", None, "a@b.org", "c@d.net"]),
+        "k": pa.array([1, 1, 2, 3, 3], pa.int64()),
+    })
+    rules = [
+        {"col": "a", "rule": "not_null"},
+        {"col": "a", "rule": "max", "value": 100},
+        {"col": "a", "rule": "min", "value": 2},
+        {"col": "s", "rule": "matches", "pattern": r"[^@]+@[^@]+\.[a-z]+"},
+        {"col": "k", "rule": "unique"},
+        {"col": "k", "rule": "in_set", "values": [1, 2]},
+    ]
+    out = check_rules(t, rules).to_pylist()
+    assert [r["violations"] for r in out] == [1, 1, 1, 1, 2, 2]
+    assert out[4]["n_rows"] == 5          # unique counts non-null rows
+    # Dataset path identical
+    d = check_rules(ray.data.from_arrow(t), rules).to_pylist()
+    assert d == out
+
+
+def test_check_rules_rejects_unknown():
+    from kamae_ray.stages.profile import check_rules
+
+    with pytest.raises(ValueError, match="unknown rule"):
+        check_rules(pa.table({"a": [1]}), [{"col": "a", "rule": "nope"}])

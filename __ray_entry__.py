@@ -1122,6 +1122,17 @@ def _q_label_prop(sf_dir):
     return groupby_mode(joined, "l_orderkey", "nation")
 
 
+def _q_kfold(sf_dir):
+    """Balanced stratified K-fold assignment (``packing.stratified_kfold``):
+    per order-priority stratum, rows rank by the salted Knuth hash of the
+    order key and fold = rank % 5 — exact per-stratum balance, pure
+    function of (ids, salt), HUGEINT-mirrored hash."""
+    from kamae_ray.pipelines.packing import stratified_kfold
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return stratified_kfold(ds, "o_orderpriority", "o_orderkey", k=5, salt=7)
+
+
 def _q_rules(sf_dir):
     """Data-quality expectations report (``profile.check_rules``): five
     assertion rules over orders — null / bound / set / regex rules share
@@ -5009,6 +5020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_autocorr": _q_autocorr,
         "q_label_prop": _q_label_prop,
         "q_rules": _q_rules,
+        "q_kfold": _q_kfold,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6890,6 +6902,16 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN tp > 0 AND cum_n > 0 THEN "
             "CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE) END, 6) AS lift "
             "FROM c, tot"
+        ),
+        # q_kfold: hash constant shared with the engine (packing._NS_P)
+        "q_kfold": (
+            "WITH h AS (SELECT o_orderkey, o_orderpriority, "
+            "((o_orderkey::HUGEINT + 7) * 11400714819323198485) "
+            "% 18446744073709551616 AS hh FROM orders), "
+            "r AS (SELECT o_orderkey, o_orderpriority, row_number() OVER ("
+            "PARTITION BY o_orderpriority ORDER BY hh, o_orderkey) AS rn FROM h) "
+            "SELECT o_orderkey, o_orderpriority, "
+            "CAST((rn - 1) % 5 AS BIGINT) AS fold FROM r"
         ),
         "q_rules": (
             "SELECT 0::BIGINT AS rule_idx, 'o_custkey' AS col, 'not_null' AS rule, "

@@ -315,6 +315,7 @@ _BENCH_QUERIES = [
     "q_autocorr",  # lag-1 autocorrelation per group (exact pair sums)
     "q_label_prop",  # 1-step majority label propagation
     "q_rules",  # data-quality expectations report (exact violation counts)
+    "q_kfold",  # balanced stratified K-fold assignment (hash rank)
 ]
 
 

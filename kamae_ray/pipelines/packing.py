@@ -218,3 +218,54 @@ def negative_sampling_oracle_sql(pos_table: str, key_col: str, item_col: str,
         f"WHERE NOT EXISTS (SELECT 1 FROM {pos_table} l "
         f"WHERE l.{key_col} = d.kk AND l.{item_col} = d.item)"
     )
+
+
+def stratified_kfold(ds, stratum_cols, id_col: str, k: int, salt: int = 0,
+                     output_col: str = "fold"):
+    """Balanced, deterministic stratified K-fold assignment — the CV-split
+    prep op: within each stratum, rows rank by the salted Knuth
+    multiplicative hash of their id (tiebreak id) and take
+    ``fold = (rank - 1) % k``, so every stratum's folds differ by at most
+    one row (EXACT balance, unlike independent hash-mod splits) and the
+    assignment is a pure function of (ids in the stratum, salt) — stable
+    across runs, partitionings and cluster sizes. Ids must be non-negative
+    integers; the uint64 arithmetic mirrors exactly in HUGEINT SQL
+    (q_kfold oracle).
+
+    Scale plan: ONE stratum sort-shuffle + an in-block lexsort over the
+    hash; nothing else moves."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kamae_ray.functions import arrays as A
+    from kamae_ray.functions import segments as S
+    from kamae_ray.stages.window import sorted_block_apply
+
+    stratum_cols = [stratum_cols] if isinstance(stratum_cols, str) else list(stratum_cols)
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def kern(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return block.append_column(output_col, pa.array([], pa.int64()))
+        ids = pc.cast(A.as_array(block.column(id_col)), pa.int64(),
+                      safe=False).to_numpy(zero_copy_only=False)
+        if ids.min() < 0:
+            raise ValueError("stratified_kfold ids must be non-negative")
+        gids = S.group_ids(block, stratum_cols)
+        h = (ids.astype(np.uint64) + np.uint64(salt)) * np.uint64(_NS_P)
+        # a signed view of the uint64 hash is order-INconsistent across the
+        # sign boundary — sort on (high bit, then signed low 63) instead
+        order = np.lexsort((ids, h.astype(np.int64),
+                            (h >> np.uint64(63)).astype(np.int64), gids))
+        starts, lens = S.segments(gids[order])
+        rank = (np.arange(n, dtype=np.int64) - np.repeat(starts, lens))
+        fold = np.empty(n, np.int64)
+        fold[order] = rank % np.int64(k)
+        return block.append_column(output_col, pa.array(fold))
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    return sorted_block_apply(ds, stratum_cols, kern, "kfold_assign")

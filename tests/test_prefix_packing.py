@@ -282,3 +282,33 @@ def test_negative_sampling_dataset_matches_table(ray_session):
     assert all(0 <= it < 40 for _, it in gr)
     again = negative_sampling(ds, "u", "i", num_items=40, k=6).take_all()
     assert sorted((r["u"], r["neg_item"]) for r in again) == gr
+
+
+def test_stratified_kfold_balance_and_determinism(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.packing import stratified_kfold
+
+    rng = np.random.default_rng(3)
+    n = 9000
+    t = pa.table({"g": pa.array(rng.choice(["a", "b", "c"], n)),
+                  "id": pa.array(rng.permutation(n).astype(np.int64))})
+    out = stratified_kfold(t, "g", "id", k=4, salt=11)
+    import collections
+
+    cnt = collections.Counter(zip(out.column("g").to_pylist(),
+                                  out.column("fold").to_pylist()))
+    for g in "abc":
+        sizes = [cnt[(g, f)] for f in range(4)]
+        assert max(sizes) - min(sizes) <= 1          # exact balance
+    # pure function of (ids, salt): Dataset path == Table path, rerun-stable
+    d = stratified_kfold(ray.data.from_arrow(t), "g", "id", k=4, salt=11)
+    dt = pa.concat_tables([pa.table(b) for b in d.iter_batches(batch_format="pyarrow")])
+    a = out.sort_by([("g", "ascending"), ("id", "ascending")])
+    b = dt.sort_by([("g", "ascending"), ("id", "ascending")])
+    assert a.equals(b.select(a.column_names))
+    # different salt -> different assignment (not degenerate)
+    alt = stratified_kfold(t, "g", "id", k=4, salt=12)
+    assert out.column("fold").to_pylist() != alt.column("fold").to_pylist()

@@ -1122,6 +1122,68 @@ def _q_label_prop(sf_dir):
     return groupby_mode(joined, "l_orderkey", "nation")
 
 
+def _q_eval_chain(sf_dir):
+    """END-TO-END model-eval chain: LinearScoreTransformer's exact int64
+    logits over the embeddings -> thresholded per-slice confusion matrix
+    (``confusion_by_group``) — scoring and evaluation certified together
+    by ONE oracle whose logit CTE is GENERATED from the shared weights
+    (``linear_score_oracle_sql``)."""
+    from kamae_ray.stages.evalmetrics import confusion_by_group
+    from kamae_ray.stages.linalg import LinearScoreTransformer, default_linear_weights
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    w, bias = default_linear_weights(64)
+    scored = LinearScoreTransformer(input_col="embedding", output_col="logit",
+                                    weights=w, bias=bias).transform(emb)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vid = pc.cast(batch.column("vec_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array(vid % np.int64(4)),
+            "s": batch.column("logit"),
+            "y": pa.array(vid & np.int64(1)),
+        })
+
+    prep.__name__ = "eval_chain_slices"
+    keyed = scored.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None)
+    out = confusion_by_group(keyed, "g", "s", "y", 0)
+    return out.map_batches(_rounder(["accuracy", "precision", "recall", "f1"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _eval_chain_oracle_sql() -> str:
+    from kamae_ray.stages.linalg import default_linear_weights, linear_score_oracle_sql
+
+    w, bias = default_linear_weights(64)
+    logit = linear_score_oracle_sql("embeddings", "vec_id", "embedding", w, bias)
+    return (
+        f"WITH t AS (SELECT vec_id % 4 AS g, logit AS s, "
+        f"(vec_id & 1)::BIGINT AS y FROM ({logit})) "
+        "SELECT g, "
+        "SUM(CASE WHEN s >= 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp, "
+        "SUM(CASE WHEN s >= 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp, "
+        "SUM(CASE WHEN s < 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn, "
+        "SUM(CASE WHEN s < 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn, "
+        "ROUND(CAST(SUM(CASE WHEN (s >= 0) = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS accuracy, "
+        "ROUND(CASE WHEN SUM(CASE WHEN s >= 0 THEN 1 ELSE 0 END) > 0 THEN "
+        "CAST(SUM(CASE WHEN s >= 0 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(SUM(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS DOUBLE) END, 6) AS precision, "
+        "ROUND(CASE WHEN SUM(y) > 0 THEN "
+        "CAST(SUM(CASE WHEN s >= 0 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(SUM(y) AS DOUBLE) END, 6) AS recall, "
+        "ROUND(CASE WHEN 2 * SUM(CASE WHEN s >= 0 AND y = 1 THEN 1 ELSE 0 END) "
+        "+ SUM(CASE WHEN s >= 0 AND y = 0 THEN 1 ELSE 0 END) "
+        "+ SUM(CASE WHEN s < 0 AND y = 1 THEN 1 ELSE 0 END) > 0 THEN "
+        "CAST(2 * SUM(CASE WHEN s >= 0 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(2 * SUM(CASE WHEN s >= 0 AND y = 1 THEN 1 ELSE 0 END) "
+        "+ SUM(CASE WHEN s >= 0 AND y = 0 THEN 1 ELSE 0 END) "
+        "+ SUM(CASE WHEN s < 0 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) END, 6) AS f1 "
+        "FROM t GROUP BY g"
+    )
+
+
 def _q_kfold(sf_dir):
     """Balanced stratified K-fold assignment (``packing.stratified_kfold``):
     per order-priority stratum, rows rank by the salted Knuth hash of the
@@ -5021,6 +5083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_label_prop": _q_label_prop,
         "q_rules": _q_rules,
         "q_kfold": _q_kfold,
+        "q_eval_chain": _q_eval_chain,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6903,6 +6966,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE) END, 6) AS lift "
             "FROM c, tot"
         ),
+        # q_eval_chain: logit CTE generated from the shared weights
+        "q_eval_chain": _eval_chain_oracle_sql(),
         # q_kfold: hash constant shared with the engine (packing._NS_P)
         "q_kfold": (
             "WITH h AS (SELECT o_orderkey, o_orderpriority, "

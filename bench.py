@@ -316,6 +316,7 @@ _BENCH_QUERIES = [
     "q_label_prop",  # 1-step majority label propagation
     "q_rules",  # data-quality expectations report (exact violation counts)
     "q_kfold",  # balanced stratified K-fold assignment (hash rank)
+    "q_eval_chain",  # scoring -> per-slice confusion, one chained oracle
 ]
 
 

@@ -1184,6 +1184,30 @@ def _eval_chain_oracle_sql() -> str:
     )
 
 
+def _q_novelty(sf_dir):
+    """Per-document n-gram novelty vs the benchmark slice
+    (``decontam.novelty_scores``): distinct 3-grams, verified reference
+    hits, and the integer novelty ppm — the curation-weighting twin of
+    q_decontaminate (broadcast set, zero corpus shuffles)."""
+    from kamae_ray.pipelines.decontam import benchmark_ngram_set, novelty_scores
+
+    def bench_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    def corpus_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 != 0))
+
+    docs = lambda: _read(sf_dir, "documents", ["doc_id", "text"])  # noqa: E731
+    bench_ds = docs().map_batches(bench_part, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+    bset = benchmark_ngram_set(bench_ds, "text", n=3)
+    corpus = docs().map_batches(corpus_part, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    return novelty_scores(corpus, bset, "text", "doc_id")
+
+
 def _q_kfold(sf_dir):
     """Balanced stratified K-fold assignment (``packing.stratified_kfold``):
     per order-priority stratum, rows rank by the salted Knuth hash of the
@@ -5084,6 +5108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rules": _q_rules,
         "q_kfold": _q_kfold,
         "q_eval_chain": _q_eval_chain,
+        "q_novelty": _q_novelty,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -6965,6 +6990,25 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN tp > 0 AND cum_n > 0 THEN "
             "CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE) END, 6) AS lift "
             "FROM c, tot"
+        ),
+        # q_novelty: same gram construction as q_decontaminate's oracle
+        "q_novelty": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, unnest(list_transform("
+            "range(1, len(ws) - 3 + 2), i -> array_to_string(ws[i:i+2], ' '))) AS g "
+            "FROM w WHERE len(ws) >= 3), "
+            "dg AS (SELECT DISTINCT doc_id, g FROM grams), "
+            "bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0), "
+            "c AS (SELECT doc_id, COUNT(*)::BIGINT AS n_grams, "
+            "SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END)::BIGINT AS n_hits "
+            "FROM dg WHERE doc_id % 97 <> 0 GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(c.n_grams, 0)::BIGINT AS n_grams, "
+            "COALESCE(c.n_hits, 0)::BIGINT AS n_hits, "
+            "CASE WHEN c.n_grams > 0 THEN "
+            "((c.n_grams - c.n_hits) * 1000000) // c.n_grams END AS novelty_ppm "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d "
+            "LEFT JOIN c USING (doc_id)"
         ),
         # q_eval_chain: logit CTE generated from the shared weights
         "q_eval_chain": _eval_chain_oracle_sql(),

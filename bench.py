@@ -317,6 +317,7 @@ _BENCH_QUERIES = [
     "q_rules",  # data-quality expectations report (exact violation counts)
     "q_kfold",  # balanced stratified K-fold assignment (hash rank)
     "q_eval_chain",  # scoring -> per-slice confusion, one chained oracle
+    "q_novelty",  # per-doc n-gram novelty vs a reference set
 ]
 
 

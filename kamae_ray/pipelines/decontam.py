@@ -745,3 +745,77 @@ def fuzzy_decontaminate(
     _finish.__name__ = "finish_flag"
     return joined.map_batches(_finish, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
+
+
+def novelty_scores(ds, bench: dict, text_col: str, id_col: str):
+    """Per-document n-gram NOVELTY against a reference set — the
+    curation-weighting twin of :func:`decontaminate` (prefer documents
+    whose content is new relative to what the corpus/benchmark already
+    covers): for each document, the distinct-gram count, the number of
+    those grams present in the reference set (hash candidates via
+    searchsorted + EXACT string verification, decontaminate's rule), and
+
+        novelty_ppm = (n_grams - n_hits) * 1_000_000 // n_grams
+
+    (integer-exact; null when the document has no full n-gram). Every
+    input document emits a row. Gram identity carries the 61-bit rolling
+    hash's distinctness caveat (duplicate_passage_stats' note).
+
+    Scale plan: the reference set broadcasts with ONE ``ray.put``; the
+    corpus side is a single shuffle-free map."""
+
+    def nov(batch: pa.Table, b: dict) -> pa.Table:
+        n = b["n"]
+        bh: np.ndarray = b["hashes"]
+        h, doc_of, word_start, words, _ = _full_gram_data(
+            A.as_array(batch.column(text_col)), n)
+        if len(h):
+            order = np.lexsort((h, doc_of))
+            keep = np.ones(len(order), dtype=bool)
+            d_o, h_o = doc_of[order], h[order]
+            keep[1:] = (d_o[1:] != d_o[:-1]) | (h_o[1:] != h_o[:-1])
+            sel = order[keep]                 # one representative per (doc, gram)
+            d_s, h_s = doc_of[sel], h[sel]
+        else:
+            sel = np.zeros(0, np.int64)
+            d_s = np.zeros(0, np.int64)
+            h_s = np.zeros(0, np.uint64)
+        totals = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(d_s):
+            du, dc = np.unique(d_s, return_counts=True)
+            totals[du] = dc
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(h_s) and len(bh):
+            pos = np.searchsorted(bh, h_s)
+            pos[pos == len(bh)] = 0
+            cand = bh[pos] == h_s
+            ci = np.flatnonzero(cand)
+            if len(ci):
+                gs = _gram_strings_at(words, word_start[sel[ci]], n)
+                ok = pc.is_in(gs, value_set=b["grams"]).to_numpy(zero_copy_only=False)
+                ci = ci[ok]
+            if len(ci):
+                hu, hc = np.unique(d_s[ci], return_counts=True)
+                hits[hu] = hc
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppm = np.where(totals > 0, (totals - hits) * np.int64(1_000_000)
+                           // np.where(totals == 0, 1, totals), 0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_grams": pa.array(totals),
+            "n_hits": pa.array(hits),
+            "novelty_ppm": pa.array(ppm, pa.int64(), mask=~(totals > 0)),
+        })
+
+    if isinstance(ds, pa.Table):
+        return nov(ds, bench)
+    import ray
+
+    ref = ray.put(bench)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return nov(batch, ray.get(ref))
+
+    fn.__name__ = "novelty_scores"
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)

@@ -441,3 +441,35 @@ def test_bm25_property_vs_duckdb(docs):
     o = con.sql(bm25_oracle_sql("documents", "doc_id", "text", ["cat", "dog"])
                 ).arrow().sort_by("doc_id")
     assert out.to_pylist() == o.to_pylist()
+
+
+def test_novelty_scores_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.decontam import benchmark_ngram_set, novelty_scores
+
+    bench = pa.table({"doc_id": [0], "text": ["the cat sat on the mat"]})
+    corpus = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the cat sat on a rug",          # shares 'the cat sat' + 'cat sat on'
+            "dogs bark loudly at night",     # all novel
+            "one two",                       # < 3 words -> no grams
+            None,                            # null text -> no grams
+        ],
+    })
+    bset = benchmark_ngram_set(bench, "text", n=3)
+    out = novelty_scores(corpus, bset, "text", "doc_id").sort_by("doc_id")
+    rows = out.to_pylist()
+    assert rows[0]["n_grams"] == 4 and rows[0]["n_hits"] == 2
+    assert rows[0]["novelty_ppm"] == 2 * 1_000_000 // 4
+    assert rows[1]["n_hits"] == 0 and rows[1]["novelty_ppm"] == 1_000_000
+    assert rows[2]["n_grams"] == 0 and rows[2]["novelty_ppm"] is None
+    assert rows[3]["n_grams"] == 0 and rows[3]["novelty_ppm"] is None
+    # Dataset path identical
+    d = novelty_scores(ray.data.from_arrow(corpus), bset, "text", "doc_id")
+    dt = pa.concat_tables([pa.table(b) for b in d.iter_batches(batch_format="pyarrow")])
+    assert dt.sort_by("doc_id").equals(out)
+    assert isinstance(np.int64(1), np.int64)

@@ -1152,6 +1152,17 @@ def _q_eval_chain(sf_dir):
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _cv_encode_oracle_sql() -> str:
+    from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
+
+    inner = cv_target_encode_oracle_sql(
+        "(SELECT o_orderkey, o_custkey, "
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders)",
+        "o_custkey", "y", "o_orderkey", n_folds=5, salt=11,
+        output_col="cust_te")
+    return inner
+
+
 def _eval_chain_oracle_sql() -> str:
     from kamae_ray.stages.linalg import default_linear_weights, linear_score_oracle_sql
 
@@ -1206,6 +1217,31 @@ def _q_novelty(sf_dir):
     corpus = docs().map_batches(corpus_part, batch_format="pyarrow",
                                 zero_copy_batch=True, batch_size=None)
     return novelty_scores(corpus, bset, "text", "doc_id")
+
+
+def _q_cv_encode(sf_dir):
+    """K-fold cross-fitted target encoding (``cv_target_encode``): each
+    order's customer encodes as the customer's finished-rate over the OTHER four
+    hash folds — leakage-safe batch training features, exact int64 fold
+    sums, ONE mirrored double division per row, fold = Knuth hash of the
+    order key (q_negatives construction)."""
+    from kamae_ray.stages import cv_target_encode
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+
+    def lab(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(batch.column("o_orderstatus"), "F"), pa.int64())
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_custkey": batch.column("o_custkey"),
+            "y": y,
+        })
+
+    lab.__name__ = "label_finished"
+    ds2 = ds.map_batches(lab, batch_format="pyarrow", zero_copy_batch=True)
+    out = cv_target_encode(ds2, "o_custkey", "y", "o_orderkey",
+                           n_folds=5, salt=11, output_col="cust_te")
+    return out.map_batches(_rounder(["cust_te"]), batch_format="pyarrow")
 
 
 def _q_kfold(sf_dir):
@@ -5109,6 +5145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kfold": _q_kfold,
         "q_eval_chain": _q_eval_chain,
         "q_novelty": _q_novelty,
+        "q_cv_encode": _q_cv_encode,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7010,6 +7047,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d "
             "LEFT JOIN c USING (doc_id)"
         ),
+        # q_cv_encode: fold hash + OOF means generated from shared constants
+        "q_cv_encode": _cv_encode_oracle_sql(),
         # q_eval_chain: logit CTE generated from the shared weights
         "q_eval_chain": _eval_chain_oracle_sql(),
         # q_kfold: hash constant shared with the engine (packing._NS_P)

@@ -318,6 +318,7 @@ _BENCH_QUERIES = [
     "q_kfold",  # balanced stratified K-fold assignment (hash rank)
     "q_eval_chain",  # scoring -> per-slice confusion, one chained oracle
     "q_novelty",  # per-doc n-gram novelty vs a reference set
+    "q_cv_encode",  # K-fold cross-fitted target encoding (OOF means)
 ]
 
 

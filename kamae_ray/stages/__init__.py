@@ -118,6 +118,7 @@ from kamae_ray.stages.indexers import (  # noqa: F401
     TargetEncodeEstimator,
     TargetEncodeTransformer,
     WoeEncodeEstimator,
+    cv_target_encode,
 )
 from kamae_ray.stages.listwise import (  # noqa: F401
     ListMaxTransformer,

@@ -797,3 +797,165 @@ class RareLabelEncoderEstimator(Estimator):
             top_k=self.max_categories,
         )
         return self.fit_from(counts)
+
+
+def cv_target_encode(ds, key_col: str, target_col: str, id_col: str,
+                     n_folds: int = 5, salt: int = 0,
+                     output_col: str = "te_cv",
+                     max_stats_rows: int = 2_000_000):
+    """K-fold cross-fitted target encoding — the leakage-safe batch-training
+    sibling of :class:`LooTargetEncodeEstimator` (reference has no CV
+    variant; LOO semantics at estimators/target_encode-style lookup): each
+    row's encoding is its category's target mean computed over the OTHER
+    folds only,
+
+        ``enc = (sum_k - sum_{k,f}) / (n_k - n_{k,f})``
+
+    with the row's fold ``f = ((id + salt) * P mod 2^64) mod n_folds`` — a
+    pure hash of the row id (stable across partitions/cluster sizes, and
+    mirrored exactly in HUGEINT SQL, the q_negatives construction). Rows
+    whose category exists only inside their own fold, NULL and unseen
+    categories take the global prior. Integer targets only: category sums
+    stay exact int64 (order-free), so the single double division is
+    bit-identical cross-engine.
+
+    Scale plan: ONE partial-agg groupby over (key, fold) — the stats table
+    is |categories| x n_folds rows (categorical-encoder contract, guarded
+    by ``max_stats_rows``) — then a stateless broadcast map that recomputes
+    the fold hash and encodes via two flat-array gathers. No row shuffle.
+
+    Output columns: ``(id_col, key_col, "fold", output_col)`` with the
+    encoding UNROUNDED float64 (callers round for oracle compare)."""
+    from kamae_ray.pipelines.packing import _NS_P
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    if n_folds < 2:
+        raise ValueError("cv_target_encode needs n_folds >= 2")
+    if salt < 0:
+        raise ValueError("salt must be non-negative")
+    nf = np.uint64(n_folds)
+
+    def _fold(ids: pa.Array) -> np.ndarray:
+        iv = pc.cast(ids, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        if len(iv) and iv.min() < 0:
+            raise ValueError("cv_target_encode ids must be non-negative integers")
+        h = (iv.astype(np.uint64) + np.uint64(salt)) * np.uint64(_NS_P)
+        return (h % nf).astype(np.int64)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        y = A.as_array(batch.column(target_col))
+        if not pa.types.is_integer(y.type):
+            raise ValueError("cv_target_encode target must be an integer column")
+        return pa.table({
+            key_col: A.as_array(batch.column(key_col)),
+            "fold": pa.array(_fold(A.as_array(batch.column(id_col)))),
+            target_col: pc.cast(y, pa.int64(), safe=False),
+        })
+
+    prep.__name__ = "cv_te_fold_assign"
+    if isinstance(ds, pa.Table):
+        stats = groupby_agg(prep(ds), [key_col, "fold"],
+                            {target_col: ["sum", "count"]})
+        parts = [stats] if stats.num_rows else []
+    else:
+        from kamae_ray.base import collect_tables
+        from kamae_ray.sources.io import narrow_read
+
+        proj = narrow_read(ds, [id_col, key_col, target_col]) or ds
+        stats = groupby_agg(
+            proj.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            [key_col, "fold"], {target_col: ["sum", "count"]})
+        parts = [t for t in collect_tables(stats) if t.num_rows]
+    if parts:
+        tbl = pa.concat_tables(parts)
+    else:
+        tbl = pa.table({key_col: pa.array([], pa.string()),
+                        "fold": pa.array([], pa.int64()),
+                        f"{target_col}_sum": pa.array([], pa.int64()),
+                        f"{target_col}_count": pa.array([], pa.int64())})
+    if tbl.num_rows > max_stats_rows:
+        raise ValueError(
+            f"cv_target_encode stats table ({tbl.num_rows} rows) exceeds "
+            f"max_stats_rows={max_stats_rows} — this is a categorical "
+            "encoder; reduce key cardinality or raise the budget")
+    karr = A.as_array(tbl.column(key_col))
+    keep = pc.is_valid(karr).to_numpy(zero_copy_only=False)
+    s = pc.cast(tbl.column(f"{target_col}_sum"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)[keep]
+    n = pc.cast(tbl.column(f"{target_col}_count"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)[keep]
+    f = pc.cast(tbl.column("fold"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)[keep]
+    kkept = karr.filter(pa.array(keep))
+    # int sums are order-free — no canonical reorder needed (lesson 18
+    # only bites float partials); categories dedup via dictionary encode
+    dk = kkept.dictionary_encode()
+    cats = dk.dictionary
+    ci = pc.fill_null(dk.indices, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    k = len(cats)
+    s_flat = np.zeros(k * n_folds, np.int64)
+    c_flat = np.zeros(k * n_folds, np.int64)
+    np.add.at(s_flat, ci * n_folds + f, s)
+    np.add.at(c_flat, ci * n_folds + f, n)
+    ts = s_flat.reshape(k, n_folds).sum(axis=1) if k else np.zeros(0, np.int64)
+    tn = c_flat.reshape(k, n_folds).sum(axis=1) if k else np.zeros(0, np.int64)
+    tot_s, tot_n = int(ts.sum()), int(tn.sum())
+    prior = (tot_s / tot_n) if tot_n else 0.0
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = A.as_array(batch.column(id_col))
+        fold = _fold(ids)
+        ka = A.as_array(batch.column(key_col))
+        d = ka.dictionary_encode()
+        dvals = pc.cast(d.dictionary, cats.type, safe=False) if k else d.dictionary
+        pos = pc.index_in(dvals, value_set=cats) if k else \
+            pa.nulls(len(dvals), pa.int32())
+        pos = pc.fill_null(pos, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.fill_null(d.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rci = np.where(idx >= 0, pos[np.maximum(idx, 0)] if len(pos) else -1, -1)
+        safe = np.maximum(rci, 0)
+        oof_s = ts[safe] - s_flat[safe * n_folds + fold] if k else np.zeros(len(rci))
+        oof_n = tn[safe] - c_flat[safe * n_folds + fold] if k else np.zeros(len(rci))
+        known = (rci >= 0) & (oof_n > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            enc = np.where(known, oof_s / np.maximum(oof_n, 1), prior)
+        return pa.table({
+            id_col: ids,
+            key_col: ka,
+            "fold": pa.array(fold),
+            output_col: pa.array(enc, pa.float64()),
+        })
+
+    encode.__name__ = "cv_te_encode"
+    if isinstance(ds, pa.Table):
+        return encode(ds)
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cv_target_encode_oracle_sql(table_expr: str, key_col: str, target_col: str,
+                                id_col: str, n_folds: int, salt: int,
+                                output_col: str = "te_cv") -> str:
+    """GENERATED DuckDB oracle for :func:`cv_target_encode` — the same
+    (id+salt)*P fold hash in HUGEINT with an explicit mod-2^64 fold
+    (non-negative ids by contract), exact BIGINT sums, one mirrored
+    double division, ROUND 6dp."""
+    from kamae_ray.pipelines.packing import _NS_P
+
+    return (
+        f"WITH b AS (SELECT {id_col} AS rid, {key_col} AS kk, "
+        f"{target_col} AS y, (((({id_col}::HUGEINT + {salt}) * {_NS_P}) "
+        f"% 18446744073709551616) % {n_folds})::BIGINT AS f "
+        f"FROM {table_expr}), "
+        f"s AS (SELECT kk, f, SUM(y)::BIGINT AS sy, COUNT(*)::BIGINT AS n "
+        f"FROM b WHERE kk IS NOT NULL GROUP BY kk, f), "
+        f"t AS (SELECT kk, SUM(sy)::BIGINT AS ts, SUM(n)::BIGINT AS tn "
+        f"FROM s GROUP BY kk), "
+        f"g AS (SELECT CASE WHEN COALESCE(SUM(n), 0) = 0 THEN 0.0 "
+        f"ELSE SUM(sy)::DOUBLE / SUM(n) END AS prior FROM s) "
+        f"SELECT b.rid AS {id_col}, b.kk AS {key_col}, b.f AS fold, "
+        f"ROUND(CASE WHEN t.kk IS NULL OR t.tn - s.n <= 0 THEN g.prior "
+        f"ELSE (t.ts - s.sy)::DOUBLE / (t.tn - s.n) END, 6) AS {output_col} "
+        f"FROM b LEFT JOIN s ON b.kk = s.kk AND b.f = s.f "
+        f"LEFT JOIN t ON b.kk = t.kk CROSS JOIN g"
+    )

@@ -352,3 +352,56 @@ def test_grouped_quantile_bucketize(ray_session):
         num_buckets=4, boundary_decimals=6).fit(ds)
     assert tr2.groups == tr.groups and tr2.splits_per_group == tr.splits_per_group \
         and tr2.default_splits == tr.default_splits
+
+
+def test_cv_target_encode(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.packing import _NS_P
+    from kamae_ray.stages import cv_target_encode
+
+    ids = list(range(12))
+    keys = ["a"] * 8 + ["b"] * 3 + [None]
+    y = [1, 0, 1, 1, 0, 0, 1, 0, 1, 1, 0, 1]
+    t = pa.table({"id": ids, "k": keys, "y": y})
+    out = cv_target_encode(t, "k", "y", "id", n_folds=3, salt=5, output_col="e")
+    folds = [((i + 5) * _NS_P % 2**64) % 3 for i in ids]
+    assert out.column("fold").to_pylist() == folds
+    # naive reference: OOF mean per (key, fold); singleton-fold keys / null
+    # keys take the global prior over non-null-key rows
+    from collections import defaultdict
+    sums, cnts = defaultdict(int), defaultdict(int)
+    for i, k, yy in zip(ids, keys, y):
+        if k is not None:
+            sums[(k, folds[i])] += yy
+            cnts[(k, folds[i])] += 1
+    tot_s = {k: sum(v for (kk, f), v in sums.items() if kk == k) for k in ("a", "b")}
+    tot_n = {k: sum(v for (kk, f), v in cnts.items() if kk == k) for k in ("a", "b")}
+    prior = sum(tot_s.values()) / sum(tot_n.values())
+    exp = []
+    for i, k in zip(ids, keys):
+        if k is None:
+            exp.append(prior)
+        else:
+            on = tot_n[k] - cnts[(k, folds[i])]
+            exp.append((tot_s[k] - sums[(k, folds[i])]) / on if on > 0 else prior)
+    assert out.column("e").to_pylist() == exp
+    # no-leakage: flipping a row's own label never changes its OWN encode
+    y2 = list(y)
+    y2[0] = 0
+    out2 = cv_target_encode(pa.table({"id": ids, "k": keys, "y": y2}),
+                            "k", "y", "id", n_folds=3, salt=5, output_col="e")
+    e1 = out.column("e").to_pylist()
+    e2 = out2.column("e").to_pylist()
+    f0 = folds[0]
+    for i in range(12):
+        if keys[i] == "a" and folds[i] == f0:
+            assert e1[i] == e2[i]  # same fold as row 0 -> excluded either way
+    # dataset path matches table path (sorted by id)
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = cv_target_encode(ds, "k", "y", "id", n_folds=3, salt=5, output_col="e")
+    rows = sorted(
+        (r["id"], r["fold"], r["e"]) for r in got.take_all()
+    )
+    assert rows == sorted(zip(ids, folds, exp))

@@ -1244,6 +1244,61 @@ def _q_cv_encode(sf_dir):
     return out.map_batches(_rounder(["cust_te"]), batch_format="pyarrow")
 
 
+def _q_rrf(sf_dir):
+    """Reciprocal Rank Fusion (``text_features.rrf_fuse``): two partial
+    per-lang rankings — even-length docs by (length DESC, doc_id) and
+    non-multiple-of-3 docs by doc_id — fused as exact int64
+    ``scale // (k0 + rank)`` sums. One shared-key sort per ranking + ONE
+    partial-agg groupby; order-free integer sums."""
+    from kamae_ray.pipelines.text_features import rrf_fuse
+    from kamae_ray.stages import WindowRankTransformer
+    from kamae_ray.stages.window import apply_sorted
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column("lang")),
+                       pc.is_valid(batch.column("text")))
+        batch = batch.filter(keep)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        L = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False)
+        # single int64 order key for (L DESC, doc_id ASC): ids < 2^33
+        key_a = ids - L.astype(np.int64) * (1 << 33)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "L": pa.array(L.astype(np.int64)),
+            "key_a": pa.array(key_a),
+        })
+
+    prep.__name__ = "rrf_prep"
+    base = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def even_len(batch: pa.Table) -> pa.Table:
+        L = batch.column("L").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(L % 2 == 0))
+
+    def not_mod3(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 3 != 0))
+
+    rank = lambda col: WindowRankTransformer(  # noqa: E731
+        entity_cols=["lang"], time_col=col, method="row_number", output_col="r")
+    keep = lambda b: pa.table({  # noqa: E731
+        "lang": b.column("lang"), "doc_id": b.column("doc_id"),
+        "r": b.column("r")})
+    src_a = apply_sorted(
+        base.map_batches(even_len, batch_format="pyarrow", zero_copy_batch=True),
+        rank("key_a"),
+    ).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    src_b = apply_sorted(
+        base.map_batches(not_mod3, batch_format="pyarrow", zero_copy_batch=True),
+        rank("doc_id"),
+    ).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return rrf_fuse(src_a.union(src_b), "lang", "doc_id", "r",
+                    k0=60, scale=1_000_000)
+
+
 def _q_kfold(sf_dir):
     """Balanced stratified K-fold assignment (``packing.stratified_kfold``):
     per order-priority stratum, rows rank by the salted Knuth hash of the
@@ -5146,6 +5201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_eval_chain": _q_eval_chain,
         "q_novelty": _q_novelty,
         "q_cv_encode": _q_cv_encode,
+        "q_rrf": _q_rrf,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7046,6 +7102,19 @@ def oracle_sql() -> dict[str, str]:
             "((c.n_grams - c.n_hits) * 1000000) // c.n_grams END AS novelty_ppm "
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d "
             "LEFT JOIN c USING (doc_id)"
+        ),
+        "q_rrf": (
+            "WITH d AS (SELECT doc_id, lang, length(text) AS L FROM documents "
+            "WHERE lang IS NOT NULL AND text IS NOT NULL), "
+            "a AS (SELECT lang, doc_id, row_number() OVER "
+            "(PARTITION BY lang ORDER BY L DESC, doc_id) AS r "
+            "FROM d WHERE L % 2 = 0), "
+            "b AS (SELECT lang, doc_id, row_number() OVER "
+            "(PARTITION BY lang ORDER BY doc_id) AS r "
+            "FROM d WHERE doc_id % 3 <> 0), "
+            "u AS (SELECT * FROM a UNION ALL SELECT * FROM b) "
+            "SELECT lang, doc_id, SUM(1000000 // (60 + r))::BIGINT AS rrf_score, "
+            "COUNT(*)::BIGINT AS n_sources FROM u GROUP BY lang, doc_id"
         ),
         # q_cv_encode: fold hash + OOF means generated from shared constants
         "q_cv_encode": _cv_encode_oracle_sql(),

@@ -319,6 +319,7 @@ _BENCH_QUERIES = [
     "q_eval_chain",  # scoring -> per-slice confusion, one chained oracle
     "q_novelty",  # per-doc n-gram novelty vs a reference set
     "q_cv_encode",  # K-fold cross-fitted target encoding (OOF means)
+    "q_rrf",  # reciprocal rank fusion of two partial rankings
 ]
 
 

@@ -958,3 +958,62 @@ def lm_bigram_scores(ds, id_col: str, text_col: str,
 
     return ds.map_batches(make_score(get_state), batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
+
+
+def rrf_fuse(ds, group_cols, item_col: str, rank_col: str,
+             k0: int = 60, scale: int = 1_000_000,
+             output_col: str = "rrf_score"):
+    """Reciprocal Rank Fusion (Cormack et al. 2009) over a UNION of
+    per-source ranking rows — the standard hybrid-retrieval combiner
+    (BM25 + embedding top-k): each ``(group, item, rank)`` row contributes
+
+        ``scale // (k0 + rank)``
+
+    and the fused score is the exact int64 sum over sources (order-free —
+    partition/merge order can never flip a result; no reference analog).
+    Input rows carry one rank per (source, group, item); sources are
+    implicit (each UNION branch is one source). Output: one row per
+    distinct ``group_cols + [item_col]`` with ``output_col`` (int64 fused
+    score) and ``n_sources`` (int64 contributing-source count).
+
+    Scale plan: one vectorized contribution map + ONE partial-agg groupby
+    over (group, item) — contributions pre-combine inside blocks, so only
+    per-block partials shuffle."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    if k0 < 0 or scale <= 0:
+        raise ValueError("k0 must be non-negative and scale positive")
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        r = pc.cast(A.as_array(batch.column(rank_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        if len(r) and r.min() < 1:
+            raise ValueError("rrf_fuse ranks must be 1-based positive integers")
+        c = scale // (k0 + r)
+        cols = {g: batch.column(g) for g in group_cols}
+        cols[item_col] = batch.column(item_col)
+        cols["__c"] = pa.array(c, pa.int64())
+        return pa.table(cols)
+
+    contrib.__name__ = "rrf_contribution"
+    if isinstance(ds, pa.Table):
+        tbl = groupby_agg(contrib(ds), group_cols + [item_col],
+                          {"__c": ["sum", "count"]})
+        out = tbl
+    else:
+        out = groupby_agg(
+            ds.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True),
+            group_cols + [item_col], {"__c": ["sum", "count"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {g: batch.column(g) for g in group_cols}
+        cols[item_col] = batch.column(item_col)
+        cols[output_col] = pc.cast(batch.column("__c_sum"), pa.int64(), safe=False)
+        cols["n_sources"] = pc.cast(batch.column("__c_count"), pa.int64(), safe=False)
+        return pa.table(cols)
+
+    finish.__name__ = "rrf_finish"
+    if isinstance(out, pa.Table):
+        return finish(out)
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -631,3 +631,31 @@ def test_global_percent_rank(ray_session):
     with pytest.raises(ValueError):
         global_percent_rank(pa.table({"v": pa.array([-1], pa.int64()),
                                       "id": pa.array([0], pa.int64())}), "v", "id")
+
+
+def test_rrf_fuse(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.text_features import rrf_fuse
+
+    # two sources over one group: item 10 is rank 1 in both
+    t = pa.table({
+        "g": ["x"] * 5,
+        "item": [10, 11, 12, 10, 12],
+        "r": [1, 2, 3, 1, 2],
+    })
+    out = rrf_fuse(t, "g", "item", "r", k0=60, scale=1_000_000)
+    rows = {r["item"]: (r["rrf_score"], r["n_sources"])
+            for r in out.to_pylist()}
+    c = lambda r: 1_000_000 // (60 + r)  # noqa: E731
+    assert rows == {10: (2 * c(1), 2), 11: (c(2), 1), 12: (c(3) + c(2), 2)}
+    # dataset path identical
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = {r["item"]: (r["rrf_score"], r["n_sources"])
+           for r in rrf_fuse(ds, "g", "item", "r").take_all()}
+    assert got == rows
+    # 0-based rank rejected
+    import pytest
+    with pytest.raises(ValueError):
+        rrf_fuse(pa.table({"g": ["x"], "item": [1], "r": [0]}), "g", "item", "r")

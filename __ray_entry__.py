@@ -1299,6 +1299,32 @@ def _q_rrf(sf_dir):
                     k0=60, scale=1_000_000)
 
 
+def _q_weighted_median(sf_dir):
+    """Exact weighted median per group (``weighted_quantile_per_group``):
+    the smallest extended price whose quantity-weighted cumulative mass
+    reaches half the group total — pure integer rule 1e6*cumw >= q*totw
+    (peers included, SQL RANGE semantics), value gathered type-preserving.
+    ONE projected sort + segmented kernel."""
+    from kamae_ray.stages.aggregate import weighted_quantile_per_group
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "l_extendedprice": batch.column("l_extendedprice"),
+            "qty": pc.cast(batch.column("l_quantity"), pa.int64(), safe=False),
+        })
+
+    prep.__name__ = "wq_prep"
+    ds = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return weighted_quantile_per_group(
+        ds, ["l_returnflag", "l_linestatus"], "l_extendedprice", "qty",
+        q_ppm=500_000)
+
+
 def _q_kfold(sf_dir):
     """Balanced stratified K-fold assignment (``packing.stratified_kfold``):
     per order-priority stratum, rows rank by the salted Knuth hash of the
@@ -5202,6 +5228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_novelty": _q_novelty,
         "q_cv_encode": _q_cv_encode,
         "q_rrf": _q_rrf,
+        "q_weighted_median": _q_weighted_median,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7115,6 +7142,22 @@ def oracle_sql() -> dict[str, str]:
             "u AS (SELECT * FROM a UNION ALL SELECT * FROM b) "
             "SELECT lang, doc_id, SUM(1000000 // (60 + r))::BIGINT AS rrf_score, "
             "COUNT(*)::BIGINT AS n_sources FROM u GROUP BY lang, doc_id"
+        ),
+        "q_weighted_median": (
+            "WITH b AS (SELECT l_returnflag, l_linestatus, l_extendedprice, "
+            "l_quantity::BIGINT AS w FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL), "
+            "t AS (SELECT l_returnflag, l_linestatus, SUM(w)::BIGINT AS tw "
+            "FROM b GROUP BY l_returnflag, l_linestatus), "
+            "c AS (SELECT l_returnflag, l_linestatus, l_extendedprice, "
+            "SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus "
+            "ORDER BY l_extendedprice) AS cw FROM b) "
+            "SELECT c.l_returnflag, c.l_linestatus, "
+            "MIN(c.l_extendedprice) AS l_extendedprice_wq, t.tw AS qty_total "
+            "FROM c JOIN t ON c.l_returnflag = t.l_returnflag "
+            "AND c.l_linestatus = t.l_linestatus "
+            "WHERE 1000000 * c.cw >= 500000 * t.tw "
+            "GROUP BY c.l_returnflag, c.l_linestatus, t.tw"
         ),
         # q_cv_encode: fold hash + OOF means generated from shared constants
         "q_cv_encode": _cv_encode_oracle_sql(),

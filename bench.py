@@ -320,6 +320,7 @@ _BENCH_QUERIES = [
     "q_novelty",  # per-doc n-gram novelty vs a reference set
     "q_cv_encode",  # K-fold cross-fitted target encoding (OOF means)
     "q_rrf",  # reciprocal rank fusion of two partial rankings
+    "q_weighted_median",  # exact weighted quantile per group (integer rule)
 ]
 
 

@@ -1190,6 +1190,93 @@ def quantile_per_group(ds, keys, col: str, qs, out_prefix: str | None = None,
     return sorted_block_apply(proj, keys, kern, "group_quantiles")
 
 
+def weighted_quantile_per_group(ds, keys, value_col: str, weight_col: str,
+                                q_ppm: int = 500_000, output_col: str | None = None):
+    """Exact WEIGHTED quantile of ``value_col`` per group — the smallest
+    actual value ``v`` whose cumulative weight (ties/peers included, SQL
+    RANGE-frame semantics) satisfies the EXACT integer rule
+
+        ``1_000_000 * cumw(v) >= q_ppm * totw``
+
+    i.e. the weighted ``q_ppm/1e6``-quantile (500000 = the weighted
+    median). Weights must be non-negative integers (exact int64 sums —
+    order-free, no float accumulation anywhere; the rule is a pure integer
+    comparison so it mirrors bit-exactly in SQL:
+
+        ``SELECT g, MIN(v) FROM (... SUM(w) OVER (PARTITION BY g ORDER BY
+        v) AS cw ...) JOIN tot USING (g) WHERE 1000000*cw >= q_ppm*tw``
+
+    ). The selected value is an actual data value gathered type-preserving
+    (no float round-trip). Rows with NULL value or NULL weight are excluded
+    (mirror with WHERE on both). Output: key columns + the selected value
+    (``output_col``, default ``{value_col}_wq``) + ``{weight_col}_total``.
+
+    Scale plan: ONE sort-shuffle of the PROJECTED (keys, value, weight)
+    columns, then a fully vectorized segmented kernel (lexsort + segmented
+    cumsum + run-end peer fold + one minimum.reduceat) — no per-group
+    Python loop."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not (0 < q_ppm <= 1_000_000):
+        raise ValueError("q_ppm must be in (0, 1000000]")
+    out_name = output_col or f"{value_col}_wq"
+
+    def kern(block: pa.Table) -> pa.Table:
+        varr = A.as_array(block.column(value_col))
+        warr = A.as_array(block.column(weight_col))
+        keep = pc.and_(pc.is_valid(varr), pc.is_valid(warr))
+        block = block.filter(keep)
+        if block.num_rows == 0:
+            out = {kc: A.as_array(block.column(kc)) for kc in keys}
+            out[out_name] = A.as_array(block.column(value_col))
+            out[f"{weight_col}_total"] = pa.array([], pa.int64())
+            return pa.table(out)
+        varr = A.as_array(block.column(value_col))
+        gids = S.group_ids(block, keys)
+        v = pc.cast(varr, pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+        w = pc.cast(A.as_array(block.column(weight_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        if w.min() < 0:
+            raise ValueError("weighted_quantile_per_group weights must be >= 0")
+        order = np.lexsort((v, gids))
+        gs, vs, ws = gids[order], v[order], w[order]
+        n = len(gs)
+        starts, lens = S.segments(gs)
+        cum = np.cumsum(ws)
+        base = cum[starts] - ws[starts]
+        cum_in = cum - np.repeat(base, lens)
+        tw = np.add.reduceat(ws, starts)
+        if int(tw.max()) >= 2**63 // 1_000_000:
+            raise ValueError(
+                "weighted_quantile_per_group group weight exceeds the exact "
+                "int64 rule range (2^63 / 1e6) — rescale weights")
+        new_run = np.ones(n, bool)
+        new_run[1:] = (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])
+        run_id = np.cumsum(new_run) - 1
+        last_mask = np.r_[new_run[1:], True]
+        run_last_cum = cum_in[last_mask]
+        peer_cum = run_last_cum[run_id]
+        elig = 1_000_000 * peer_cum >= q_ppm * np.repeat(tw, lens)
+        cand = np.where(elig, np.arange(n, dtype=np.int64), n)
+        first = np.minimum.reduceat(cand, starts)
+        orig = order[first]
+        take = pa.array(orig)
+        out = {kc: A.as_array(block.column(kc)).take(take) for kc in keys}
+        out[out_name] = varr.take(take)
+        out[f"{weight_col}_total"] = pa.array(tw, pa.int64())
+        return pa.table(out)
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    proj = ds
+    try:
+        proj = ds.select_columns(list(dict.fromkeys(keys + [value_col, weight_col])))
+    except Exception:
+        pass
+    from kamae_ray.stages.window import sorted_block_apply
+
+    return sorted_block_apply(proj, keys, kern, "weighted_group_quantile")
+
+
 def _dedup_block_all(block: pa.Table, cols: list[str]) -> pa.Table:
     if block.num_rows == 0:
         return block

@@ -659,3 +659,52 @@ def test_rrf_fuse(ray_session):
     import pytest
     with pytest.raises(ValueError):
         rrf_fuse(pa.table({"g": ["x"], "item": [1], "r": [0]}), "g", "item", "r")
+
+
+def test_weighted_quantile_per_group(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.aggregate import weighted_quantile_per_group
+
+    # hand case: group a values 1,2,3 weights 1,1,2 -> tot 4, median at
+    # cum>=2 -> v=2; group b has a tie run (2,2) whose peers fold together
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "b", "b"],
+        "v": [1.0, 2.0, 3.0, 2.0, 2.0, 9.0],
+        "w": [1, 1, 2, 1, 1, 6],
+    })
+    out = weighted_quantile_per_group(t, "g", "v", "w", q_ppm=500_000)
+    got = {r["g"]: (r["v_wq"], r["w_total"]) for r in out.to_pylist()}
+    assert got == {"a": (2.0, 4), "b": (9.0, 8)}
+    # b: cum at v=2 run end = 2; 1e6*2 >= 5e5*8 -> 2>=4 false -> v=9
+    # naive reference sweep incl. zero weights and p90
+    rng = np.random.default_rng(3)
+    g = rng.choice(["x", "y", "z"], 500).tolist()
+    v = rng.integers(0, 40, 500).astype(float)
+    w = rng.integers(0, 5, 500)
+    tt = pa.table({"g": g, "v": v, "w": w})
+    for q in (250_000, 500_000, 900_000):
+        res = {r["g"]: r["v_wq"] for r in
+               weighted_quantile_per_group(tt, "g", "v", "w", q_ppm=q).to_pylist()}
+        for grp in ("x", "y", "z"):
+            vals = sorted((vv, ww) for vv, ww, gg in zip(v, w, g) if gg == grp)
+            tw = sum(ww for _, ww in vals)
+            cum = 0
+            byval = {}
+            for vv, ww in vals:
+                cum += ww
+                byval[vv] = cum  # last write per value = peer-inclusive cum
+            exp = min(vv for vv, cw in byval.items() if 1_000_000 * cw >= q * tw)
+            assert res[grp] == exp, (grp, q)
+    # dataset path identical; type-preserving gather (int values stay int)
+    ti = pa.table({"g": ["a", "a"], "v": [5, 7], "w": [1, 3]})
+    oi = weighted_quantile_per_group(ti, "g", "v", "w")
+    assert oi.column("v_wq").type == pa.int64() and oi.column("v_wq").to_pylist() == [7]
+    ds = ray.data.from_arrow(tt).repartition(3)
+    got_ds = {r["g"]: r["v_wq"] for r in
+              weighted_quantile_per_group(ds, "g", "v", "w").take_all()}
+    got_t = {r["g"]: r["v_wq"] for r in
+             weighted_quantile_per_group(tt, "g", "v", "w").to_pylist()}
+    assert got_ds == got_t

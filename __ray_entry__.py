@@ -1325,6 +1325,42 @@ def _q_weighted_median(sf_dir):
         q_ppm=500_000)
 
 
+def _q_rolling_corr(sf_dir):
+    """Rolling Pearson correlation of price-cents vs quantity per supplier
+    over the last 5 lineitems (``window.rolling_corr``): exact int64 rolling
+    power sums, integer-derived sqrt/mul/div float chain (q_moments family),
+    unique composite order key (orderkey*8+linenumber, cents, qty — the
+    synthetic lineitem duplicates (orderkey, linenumber)!) so the ROWS
+    frame is deterministic."""
+    from kamae_ray.stages.window import rolling_corr
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_orderkey", "l_linenumber",
+                "l_extendedprice", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch.column("l_extendedprice"),
+                                         pa.float64()), 100.0),
+                     ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64())
+        tk = pc.add(pc.multiply(batch.column("l_orderkey"), 8),
+                    pc.cast(batch.column("l_linenumber"), pa.int64()))
+        return pa.table({
+            "l_suppkey": batch.column("l_suppkey"),
+            "tk": tk,
+            "x": cents,
+            "y": pc.cast(batch.column("l_quantity"), pa.int64(), safe=False),
+        })
+
+    prep.__name__ = "rolling_corr_prep"
+    ds = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = rolling_corr(ds, "l_suppkey", ["tk", "x", "y"], "x", "y", window=5,
+                       min_periods=2, output_col="roll_corr")
+    drop = out.drop_columns(["x", "y"])
+    return drop.map_batches(_rounder(["roll_corr"]), batch_format="pyarrow")
+
+
 def _q_kfold(sf_dir):
     """Balanced stratified K-fold assignment (``packing.stratified_kfold``):
     per order-priority stratum, rows rank by the salted Knuth hash of the
@@ -5229,6 +5265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cv_encode": _q_cv_encode,
         "q_rrf": _q_rrf,
         "q_weighted_median": _q_weighted_median,
+        "q_rolling_corr": _q_rolling_corr,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7158,6 +7195,22 @@ def oracle_sql() -> dict[str, str]:
             "AND c.l_linestatus = t.l_linestatus "
             "WHERE 1000000 * c.cw >= 500000 * t.tw "
             "GROUP BY c.l_returnflag, c.l_linestatus, t.tw"
+        ),
+        "q_rolling_corr": (
+            "WITH b AS (SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS tk, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x, "
+            "l_quantity::BIGINT AS y FROM lineitem), "
+            "w AS (SELECT l_suppkey, tk, COUNT(*) OVER win AS n, "
+            "SUM(x) OVER win AS sx, SUM(y) OVER win AS sy, "
+            "SUM(x*x) OVER win AS sxx, SUM(y*y) OVER win AS syy, "
+            "SUM(x*y) OVER win AS sxy FROM b "
+            "WINDOW win AS (PARTITION BY l_suppkey ORDER BY tk, x, y "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) "
+            "SELECT l_suppkey, tk, "
+            "CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 "
+            "THEN ROUND((n*sxy - sx*sy)::DOUBLE / "
+            "(sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 6) "
+            "END AS roll_corr FROM w"
         ),
         # q_cv_encode: fold hash + OOF means generated from shared constants
         "q_cv_encode": _cv_encode_oracle_sql(),

@@ -321,6 +321,7 @@ _BENCH_QUERIES = [
     "q_cv_encode",  # K-fold cross-fitted target encoding (OOF means)
     "q_rrf",  # reciprocal rank fusion of two partial rankings
     "q_weighted_median",  # exact weighted quantile per group (integer rule)
+    "q_rolling_corr",  # rolling Pearson corr, exact int64 power sums
 ]
 
 

@@ -2355,3 +2355,88 @@ def expanding_zscore_flags(ds, entity_cols, time_col: str, value_col: str,
     if isinstance(ds, pa.Table):
         return kern(ds)
     return sorted_block_apply(ds, entity_cols, kern, "expanding_zscore")
+
+
+def rolling_corr(ds, entity_cols, time_col: str, x_col: str, y_col: str,
+                 window: int, min_periods: int = 2,
+                 output_col: str = "roll_corr"):
+    """Rolling Pearson correlation of two INTEGER series over the previous
+    ``window`` rows (current inclusive) in per-entity time order — the
+    pair-signal feature (price-vs-volume, click-vs-dwell). All five rolling
+    power sums (sx, sy, sxx, syy, sxy) are exact int64 prefix-sum
+    differences, so
+
+        ``corr = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))``
+
+    is the q_moments family: integer-derived doubles through sqrt/mul/div
+    only — bit-identical to the same SQL window expression (HUGEINT window
+    sums cast ::DOUBLE). Zero variance on either side, or fewer than
+    ``min_periods`` rows in frame, -> NULL. Inputs must be non-null int
+    columns and ``time_col`` (a column or a LIST of columns, lexicographic)
+    must be a unique order key within each entity — ROWS frames are
+    tie-order-dependent, so mirror the full composite in the SQL ORDER BY.
+
+    Scale plan: ONE sort-shuffle on the entity key, then a fully vectorized
+    segmented kernel (padded cumsums + clipped lookback gather)."""
+    entity_cols = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    time_cols = [time_col] if isinstance(time_col, str) else list(time_col)
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    W = int(window)
+
+    def blockfn(block: pa.Table) -> pa.Table:
+        n_rows = block.num_rows
+        if n_rows == 0:
+            return _append_or_replace(block, output_col,
+                                      pa.array([], pa.float64()))
+        for c in (x_col, y_col):
+            if A.as_array(block.column(c)).null_count:
+                raise ValueError(f"rolling_corr requires non-null {c!r}")
+        gids = S.group_ids(block, entity_cols)
+        tkeys = [_time_to_numeric(A.as_array(block.column(tc)))
+                 .to_numpy(zero_copy_only=False) for tc in time_cols]
+        order = np.lexsort(tuple(reversed(tkeys)) + (gids,))
+        gs = gids[order]
+        x = pc.cast(A.as_array(block.column(x_col)), pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)[order]
+        y = pc.cast(A.as_array(block.column(y_col)), pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)[order]
+        starts, lens = S.segments(gs)
+        mx = int(np.abs(x).max()) if n_rows else 0
+        my = int(np.abs(y).max()) if n_rows else 0
+        L = int(lens.max()) if len(lens) else 0
+        if (max(W * mx, W * my) ** 2 >= 2**63
+                or L * max(mx * mx, my * my, mx * my, 1) >= 2**62):
+            raise ValueError(
+                "rolling_corr integer power sums would overflow int64 — "
+                "rescale inputs or reduce the window")
+        pos = np.arange(n_rows, dtype=np.int64) - np.repeat(starts, lens)
+        c = np.minimum(pos + 1, W)
+        lo = np.arange(n_rows, dtype=np.int64) + 1 - c
+
+        def roll(v):
+            cp = np.concatenate(([0], np.cumsum(v)))
+            return cp[np.arange(n_rows) + 1] - cp[lo]
+
+        sx, sy = roll(x), roll(y)
+        sxx, syy, sxy = roll(x * x), roll(y * y), roll(x * y)
+        num = c * sxy - sx * sy
+        da = c * sxx - sx * sx
+        db = c * syy - sy * sy
+        ok = (c >= min_periods) & (da > 0) & (db > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            res = np.where(
+                ok,
+                num.astype(np.float64)
+                / (np.sqrt(np.where(ok, da, 1).astype(np.float64))
+                   * np.sqrt(np.where(ok, db, 1).astype(np.float64))),
+                np.nan,
+            )
+        out = np.empty(n_rows, np.float64)
+        out[order] = res
+        col = pa.array(out, pa.float64(), mask=np.isnan(out))
+        return _append_or_replace(block, output_col, col)
+
+    if isinstance(ds, pa.Table):
+        return blockfn(ds)
+    return sorted_block_apply(ds, entity_cols, blockfn, "rolling_corr")

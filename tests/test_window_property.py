@@ -98,3 +98,56 @@ def test_backfill_matches_pandas(data, method):
     df["ref"] = getattr(df.groupby("u")["v"], method)()
     expect = df.sort_values("rid")["ref"].reset_index(drop=True).astype(float)
     pd.testing.assert_series_equal(got, expect, check_names=False, atol=1e-9)
+
+
+def test_rolling_corr_vs_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from kamae_ray.stages.window import rolling_corr
+
+    rng = np.random.default_rng(11)
+    n = 400
+    e = rng.choice(["a", "b", "c"], n)
+    t = rng.permutation(n).astype(np.int64)  # unique order key
+    x = rng.integers(-50, 50, n)
+    y = x * 2 + rng.integers(-30, 30, n)  # correlated
+    tbl = pa.table({"e": e, "t": t, "x": x, "y": y})
+    out = rolling_corr(tbl, "e", "t", "x", "y", window=7, min_periods=2)
+    got = out.column("roll_corr").to_pylist()
+    # pandas reference in the same per-entity time order
+    df = pd.DataFrame({"e": e, "t": t, "x": x, "y": y, "i": np.arange(n)})
+    df = df.sort_values(["e", "t"])
+    # manual per-row window reference
+    exp = [None] * n
+    for ent, sub in df.groupby("e"):
+        xs = sub["x"].to_numpy(); ys = sub["y"].to_numpy(); idx = sub["i"].to_numpy()
+        for j in range(len(xs)):
+            lo = max(0, j - 6)
+            wx, wy = xs[lo:j + 1], ys[lo:j + 1]
+            c = len(wx)
+            if c < 2:
+                continue
+            num = c * int((wx * wy).sum()) - int(wx.sum()) * int(wy.sum())
+            da = c * int((wx * wx).sum()) - int(wx.sum()) ** 2
+            db = c * int((wy * wy).sum()) - int(wy.sum()) ** 2
+            if da > 0 and db > 0:
+                exp[idx[j]] = num / (np.sqrt(float(da)) * np.sqrt(float(db)))
+    assert got == exp
+    # dataset path identical (sorted by t)
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    rows = {r["t"]: r["roll_corr"] for r in
+            rolling_corr(ds, "e", "t", "x", "y", window=7, min_periods=2).take_all()}
+    assert rows == {tt: g for tt, g in zip(t.tolist(), got)}
+    # null input rejected
+    with pytest.raises(ValueError):
+        rolling_corr(pa.table({"e": ["a"], "t": [1], "x": pa.array([None], pa.int64()),
+                               "y": [1]}), "e", "t", "x", "y", window=3)
+    # overflow guard trips on huge values
+    with pytest.raises(ValueError):
+        rolling_corr(pa.table({"e": ["a", "a"], "t": [1, 2],
+                               "x": [2**31, 2**31], "y": [1, 2]}),
+                     "e", "t", "x", "y", window=10**6)

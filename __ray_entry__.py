@@ -1361,6 +1361,76 @@ def _q_rolling_corr(sf_dir):
     return drop.map_batches(_rounder(["roll_corr"]), batch_format="pyarrow")
 
 
+def _q_feature_store(sf_dir):
+    """Point-in-time feature-store materialization: a click spine enriched
+    with TWO temporal features (last purchase value/ts, microseconds since
+    last view) via chained strict asof joins plus one static dimension
+    (market segment) via broadcast join — the standard training-set build
+    with zero time-travel leakage. Exact int64 timestamp arithmetic."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.stages import asof_join, broadcast_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def spine(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("event_type"), "click"))
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+        })
+
+    spine.__name__ = "click_spine"
+    left = ev.map_batches(spine, batch_format="pyarrow", zero_copy_batch=True)
+
+    def feat(evtype, tname, vcol):
+        def f(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.equal(batch.column("event_type"), evtype))
+            cols = {"user_id": batch.column("user_id"),
+                    tname: batch.column("ts"),
+                    "matched_" + tname: batch.column("ts")}
+            if vcol:
+                cols[vcol] = batch.column("value")
+            return pa.table(cols)
+
+        f.__name__ = f"feature_{evtype}"
+        return f
+
+    purch = _read(sf_dir, "events", ["user_id", "ts", "value", "event_type"])         .map_batches(feat("purchase", "pts", "last_purchase_value"),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    views = _read(sf_dir, "events", ["user_id", "ts", "event_type"])         .map_batches(feat("view", "vts", None),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join(left, purch, by=["user_id"], left_on="ts", right_on="pts",
+                    right_cols=["matched_pts", "last_purchase_value"],
+                    strict=True)
+    out = asof_join(out, views, by=["user_id"], left_on="ts", right_on="vts",
+                    right_cols=["matched_vts"], strict=True)
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename_columns(["user_id", "c_mktsegment"])
+    out = broadcast_join(out, cust, on=["user_id"],
+                         right_cols=["c_mktsegment"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        vts = pc.cast(batch.column("matched_vts"), pa.int64())
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "pts": batch.column("matched_pts"),
+            "last_purchase_value": pc.round(
+                batch.column("last_purchase_value"), ndigits=_R,
+                round_mode="half_towards_infinity"),
+            "us_since_view": pc.subtract(ts, vts),
+            "c_mktsegment": batch.column("c_mktsegment"),
+        })
+
+    finish.__name__ = "feature_store_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_kfold(sf_dir):
     """Balanced stratified K-fold assignment (``packing.stratified_kfold``):
     per order-priority stratum, rows rank by the salted Knuth hash of the
@@ -5266,6 +5336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rrf": _q_rrf,
         "q_weighted_median": _q_weighted_median,
         "q_rolling_corr": _q_rolling_corr,
+        "q_feature_store": _q_feature_store,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7211,6 +7282,21 @@ def oracle_sql() -> dict[str, str]:
             "THEN ROUND((n*sxy - sx*sy)::DOUBLE / "
             "(sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 6) "
             "END AS roll_corr FROM w"
+        ),
+        "q_feature_store": (
+            "SELECT e.event_id, e.user_id, e.ts, p.pts, "
+            "ROUND(p.last_purchase_value, 6) AS last_purchase_value, "
+            "epoch_us(e.ts) - epoch_us(v.vts) AS us_since_view, "
+            "c.c_mktsegment "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click') e "
+            "ASOF LEFT JOIN (SELECT user_id, ts AS pts, value AS "
+            "last_purchase_value FROM events WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts > p.pts "
+            "ASOF LEFT JOIN (SELECT user_id, ts AS vts FROM events "
+            "WHERE event_type = 'view') v "
+            "ON e.user_id = v.user_id AND e.ts > v.vts "
+            "LEFT JOIN customer c ON e.user_id = c.c_custkey"
         ),
         # q_cv_encode: fold hash + OOF means generated from shared constants
         "q_cv_encode": _cv_encode_oracle_sql(),

@@ -322,6 +322,7 @@ _BENCH_QUERIES = [
     "q_rrf",  # reciprocal rank fusion of two partial rankings
     "q_weighted_median",  # exact weighted quantile per group (integer rule)
     "q_rolling_corr",  # rolling Pearson corr, exact int64 power sums
+    "q_feature_store",  # chained point-in-time asof features + static dim
 ]
 
 

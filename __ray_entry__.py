@@ -736,7 +736,7 @@ def _q_ranking_eval(sf_dir):
     ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
                         batch_size=None)
     out = ranking_metrics(ds, "user_id", ["ts", "event_id"], "rel", k=10)
-    fl = ["prec_k", "recall_k", "rr_k", "dcg_k", "idcg_k", "ndcg_k"]
+    fl = ["prec_k", "recall_k", "rr_k", "ap_k", "dcg_k", "idcg_k", "ndcg_k"]
     return out.map_batches(_rounder(fl), batch_format="pyarrow",
                            zero_copy_batch=True)
 
@@ -5478,12 +5478,13 @@ def _ranking_eval_oracle_sql() -> str:
     """q_ranking_eval oracle GENERATED from the engine's own DCG constants
     (``evalmetrics.ranking_dcg_sql`` — ln(2)/ln(r+1) terms summed
     left-associatively, the kernel's exact accumulation order)."""
-    from kamae_ray.stages.evalmetrics import ranking_dcg_sql
+    from kamae_ray.stages.evalmetrics import ranking_ap_sql, ranking_dcg_sql
 
     dcg = ranking_dcg_sql(10, "rel", "rnk")
     idcg = ranking_dcg_sql(10, "rel", "drnk")
+    ap = ranking_ap_sql(10, "rel", "rnk", "chit")
     return (
-        "WITH r AS (SELECT user_id, "
+        "WITH r0 AS (SELECT user_id, "
         "CASE WHEN event_type = 'purchase' THEN 3 "
         "WHEN event_type = 'click' THEN 2 "
         "WHEN event_type = 'view' THEN 1 ELSE 0 END AS rel, "
@@ -5492,7 +5493,10 @@ def _ranking_eval_oracle_sql() -> str:
         "CASE WHEN event_type = 'purchase' THEN 3 "
         "WHEN event_type = 'click' THEN 2 "
         "WHEN event_type = 'view' THEN 1 ELSE 0 END DESC, ts, event_id) AS drnk "
-        "FROM events) "
+        "FROM events), "
+        "r AS (SELECT *, SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY user_id ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS chit FROM r0) "
         "SELECT user_id, COUNT(*)::BIGINT AS n, "
         "SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS total_rel, "
         "SUM(CASE WHEN rel > 0 AND rnk <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_k, "
@@ -5504,6 +5508,9 @@ def _ranking_eval_oracle_sql() -> str:
         "ROUND(CASE WHEN MIN(CASE WHEN rel > 0 AND rnk <= 10 THEN rnk END) IS NULL "
         "THEN CAST(0 AS DOUBLE) ELSE CAST(1 AS DOUBLE) "
         "/ CAST(MIN(CASE WHEN rel > 0 AND rnk <= 10 THEN rnk END) AS DOUBLE) END, 6) AS rr_k, "
+        "ROUND(CASE WHEN SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) > 0 THEN "
+        f"({ap}) / CAST(LEAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END), 10) "
+        "AS DOUBLE) END, 6) AS ap_k, "
         f"ROUND({dcg}, 6) AS dcg_k, "
         f"ROUND({idcg}, 6) AS idcg_k, "
         f"ROUND(CASE WHEN ({idcg}) > 0 THEN ({dcg}) / ({idcg}) END, 6) AS ndcg_k "

@@ -51,11 +51,26 @@ def ranking_dcg_sql(k: int, rel_expr: str, rank_col: str) -> str:
     return " + ".join(terms)
 
 
+def ranking_ap_sql(k: int, rel_expr: str, rank_col: str, cumhits_col: str) -> str:
+    """The oracle-side average-precision@k numerator GENERATED to match the
+    engine kernel term-for-term: a left-associative sum of
+    ``COALESCE(MAX(CASE WHEN rank=r AND rel>0 THEN cumhits END), 0) / r``
+    terms — each term is one exact-int-over-int division, so the only float
+    sensitivity is the accumulation order, which is shared."""
+    terms = [
+        f"COALESCE(MAX(CASE WHEN {rank_col} = {r} AND {rel_expr} > 0 "
+        f"THEN {cumhits_col} END), 0)::DOUBLE / CAST({r} AS DOUBLE)"
+        for r in range(1, k + 1)
+    ]
+    return " + ".join(terms)
+
+
 def ranking_metrics(ds, query_col: str, order_cols: list[str], rel_col: str,
                     k: int = 10):
     """Per-query ranking-evaluation metrics over a (query, rank-order,
     integer relevance) table: n, total_rel, hits@k, precision@k, recall@k,
-    reciprocal rank@k, DCG@k, IDCG@k, NDCG@k — one output row per query
+    reciprocal rank@k, average precision@k, DCG@k, IDCG@k, NDCG@k — one
+    output row per query
     (per-query rows on purpose: a global mean would be a cross-query float
     sum whose accumulation order differs between engines; averaging the
     bounded per-query table is the caller's one driver step).
@@ -93,6 +108,7 @@ def ranking_metrics(ds, query_col: str, order_cols: list[str], rel_col: str,
             "prec_k": pa.array([], pa.float64()),
             "recall_k": pa.array([], pa.float64()),
             "rr_k": pa.array([], pa.float64()),
+            "ap_k": pa.array([], pa.float64()),
             "dcg_k": pa.array([], pa.float64()),
             "idcg_k": pa.array([], pa.float64()),
             "ndcg_k": pa.array([], pa.float64()),
@@ -134,11 +150,15 @@ def ranking_metrics(ds, query_col: str, order_cols: list[str], rel_col: str,
         hd[seg_idx[m], r[m] - 1] = rel[ordd][m]
 
         # left-to-right accumulation, same association as the generated SQL
+        b = (h > 0).astype(np.int64)
+        ch = np.cumsum(b, axis=1)
         dcg = h[:, 0] * C[0]
         idcg = hd[:, 0] * C[0]
+        ap = (b[:, 0] * ch[:, 0]).astype(np.float64) / 1.0
         for j in range(1, k):
             dcg = dcg + h[:, j] * C[j]
             idcg = idcg + hd[:, j] * C[j]
+            ap = ap + (b[:, j] * ch[:, j]).astype(np.float64) / float(j + 1)
 
         prec = hits / float(k)
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -146,6 +166,9 @@ def ranking_metrics(ds, query_col: str, order_cols: list[str], rel_col: str,
                               hits / np.where(total_rel == 0, 1, total_rel), np.nan)
             rr = np.where(frank < _BIG, 1.0 / np.where(frank == 0, 1, frank), 0.0)
             ndcg = np.where(idcg > 0, dcg / np.where(idcg == 0, 1.0, idcg), np.nan)
+            ap_den = np.minimum(total_rel, k)
+            ap_k = np.where(total_rel > 0,
+                            ap / np.where(ap_den == 0, 1, ap_den), np.nan)
         return pa.table({
             query_col: A.as_array(block.column(query_col)).take(pa.array(starts)),
             "n": pa.array(n),
@@ -154,6 +177,7 @@ def ranking_metrics(ds, query_col: str, order_cols: list[str], rel_col: str,
             "prec_k": pa.array(prec, pa.float64()),
             "recall_k": pa.array(recall, pa.float64(), mask=~(total_rel > 0)),
             "rr_k": pa.array(rr, pa.float64()),
+            "ap_k": pa.array(ap_k, pa.float64(), mask=~(total_rel > 0)),
             "dcg_k": pa.array(dcg, pa.float64()),
             "idcg_k": pa.array(idcg, pa.float64()),
             "ndcg_k": pa.array(ndcg, pa.float64(), mask=~(idcg > 0)),

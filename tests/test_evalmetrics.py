@@ -261,3 +261,22 @@ def test_cyclical_rejects_bad_period():
 
     with pytest.raises(ValueError, match="period"):
         CyclicalEncodeTransformer(input_col="h", output_col="o", period=0)
+
+
+def test_ranking_metrics_ap_hand_case():
+    # rel at ranks 1..5: (1, 0, 1, 0, 1); k=5; total_rel=3
+    t = pa.table({"q": [1] * 5, "o": list(range(5)),
+                  "rel": [1, 0, 1, 0, 1]})
+    r = ranking_metrics(t, "q", ["o"], "rel", k=5).to_pylist()[0]
+    # AP@5 = (1/1 + 2/3 + 3/5) / min(3, 5)
+    assert r["ap_k"] == (1 / 1 + 2 / 3 + 3 / 5) / 3
+    # k truncation: same rels, k=2 -> (1/1) / min(3, 2)
+    r2 = ranking_metrics(t, "q", ["o"], "rel", k=2).to_pylist()[0]
+    assert r2["ap_k"] == 1.0 / 2
+    # zero-relevance query -> null
+    t0 = pa.table({"q": [9, 9], "o": [1, 2], "rel": [0, 0]})
+    assert ranking_metrics(t0, "q", ["o"], "rel", k=3).to_pylist()[0]["ap_k"] is None
+    # graded relevance counts as binary for AP (rel>0)
+    tg = pa.table({"q": [1, 1], "o": [1, 2], "rel": [3, 2]})
+    assert ranking_metrics(tg, "q", ["o"], "rel", k=2).to_pylist()[0]["ap_k"] == \
+        (1 / 1 + 2 / 2) / 2

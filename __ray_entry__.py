@@ -1152,6 +1152,54 @@ def _q_eval_chain(sf_dir):
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_logloss(sf_dir):
+    """Per-slice binary cross-entropy over exact fixed-point logits
+    (``evalmetrics.logloss_by_group``): LinearScore int64 logits -> mirrored
+    sigmoid (pc.exp == DuckDB libm) -> per-row MICRO-unit quantization ->
+    order-free integer group sums. The whole scoring+eval chain certifies
+    under one generated oracle."""
+    from kamae_ray.stages.evalmetrics import logloss_by_group
+    from kamae_ray.stages.linalg import LinearScoreTransformer, default_linear_weights
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    w, bias = default_linear_weights(64)
+    scored = LinearScoreTransformer(input_col="embedding", output_col="logit",
+                                    weights=w, bias=bias).transform(emb)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vid = pc.cast(batch.column("vec_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array(vid % np.int64(4)),
+            "logit": batch.column("logit"),
+            "y": pa.array(vid % np.int64(2)),
+        })
+
+    prep.__name__ = "logloss_slices"
+    keyed = scored.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None)
+    out = logloss_by_group(keyed, "g", "logit", "y", logit_scale_bits=28)
+    return out.map_batches(_rounder(["mean_logloss"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _logloss_oracle_sql() -> str:
+    from kamae_ray.stages.linalg import default_linear_weights, linear_score_oracle_sql
+
+    w, bias = default_linear_weights(64)
+    logit = linear_score_oracle_sql("embeddings", "vec_id", "embedding", w, bias)
+    return (
+        f"WITH sc AS ({logit}), "
+        "b AS (SELECT vec_id % 4 AS g, vec_id % 2 AS y, "
+        "logit / 268435456.0 AS z FROM sc), "
+        "m AS (SELECT g, CAST(ROUND(1000000.0 * (CASE WHEN y = 1 "
+        "THEN -ln(1.0 / (1.0 + exp(-z))) "
+        "ELSE -ln(1.0 - 1.0 / (1.0 + exp(-z))) END)) AS BIGINT) AS mu FROM b) "
+        "SELECT g, COUNT(*)::BIGINT AS n, SUM(mu)::BIGINT AS ll_sum_ppm, "
+        "ROUND((SUM(mu)::BIGINT::DOUBLE / COUNT(*)) / 1000000.0, 6) "
+        "AS mean_logloss FROM m GROUP BY g"
+    )
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5337,6 +5385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_median": _q_weighted_median,
         "q_rolling_corr": _q_rolling_corr,
         "q_feature_store": _q_feature_store,
+        "q_logloss": _q_logloss,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7305,6 +7354,8 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = v.user_id AND e.ts > v.vts "
             "LEFT JOIN customer c ON e.user_id = c.c_custkey"
         ),
+        # q_logloss: logit CTE + sigmoid/ln chain generated from shared weights
+        "q_logloss": _logloss_oracle_sql(),
         # q_cv_encode: fold hash + OOF means generated from shared constants
         "q_cv_encode": _cv_encode_oracle_sql(),
         # q_eval_chain: logit CTE generated from the shared weights

@@ -323,6 +323,7 @@ _BENCH_QUERIES = [
     "q_weighted_median",  # exact weighted quantile per group (integer rule)
     "q_rolling_corr",  # rolling Pearson corr, exact int64 power sums
     "q_feature_store",  # chained point-in-time asof features + static dim
+    "q_logloss",  # per-slice cross-entropy, micro-unit integer sums
 ]
 
 

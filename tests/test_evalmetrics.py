@@ -280,3 +280,41 @@ def test_ranking_metrics_ap_hand_case():
     tg = pa.table({"q": [1, 1], "o": [1, 2], "rel": [3, 2]})
     assert ranking_metrics(tg, "q", ["o"], "rel", k=2).to_pylist()[0]["ap_k"] == \
         (1 / 1 + 2 / 2) / 2
+
+
+def test_logloss_by_group(ray_session):
+    import math
+
+    import ray
+
+    from kamae_ray.stages.evalmetrics import logloss_by_group
+
+    # logits quantized at 2^4: z = q/16
+    t = pa.table({"g": ["a", "a", "b", "b"],
+                  "logit": [32, -16, 0, 48],
+                  "y": [1, 0, 1, 0]})
+    out = logloss_by_group(t, "g", "logit", "y", logit_scale_bits=4)
+    rows = {r["g"]: r for r in out.to_pylist()}
+
+    def mu(z, y):
+        s = 1.0 / (1.0 + math.exp(-z))
+        term = -math.log(s) if y == 1 else -math.log(1.0 - s)
+        return math.floor(term * 1e6 + 0.5)
+
+    ea = mu(2.0, 1) + mu(-1.0, 0)
+    eb = mu(0.0, 1) + mu(3.0, 0)
+    assert rows["a"]["ll_sum_ppm"] == ea and rows["a"]["n"] == 2
+    assert rows["b"]["ll_sum_ppm"] == eb
+    assert rows["a"]["mean_logloss"] == (ea / 2) / 1e6
+    # dataset path identical
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = {r["g"]: r["ll_sum_ppm"]
+           for r in logloss_by_group(ds, "g", "logit", "y", 4).take_all()}
+    assert got == {"a": ea, "b": eb}
+    # label and |z| guards
+    with pytest.raises(ValueError, match="0/1"):
+        logloss_by_group(pa.table({"g": ["a"], "logit": [1], "y": [2]}),
+                         "g", "logit", "y", 4)
+    with pytest.raises(ValueError, match="z"):
+        logloss_by_group(pa.table({"g": ["a"], "logit": [600], "y": [1]}),
+                         "g", "logit", "y", 4)

@@ -1200,6 +1200,54 @@ def _logloss_oracle_sql() -> str:
     )
 
 
+def _q_benford(sf_dir):
+    """Benford first-digit screen per order priority
+    (``profile.benford_test``): exact int64 digit counts off the decimal
+    string of price cents + nine mirrored chi-squared terms (libm ln)."""
+    from kamae_ray.stages.profile import benford_test
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("o_totalprice"),
+                                                 pa.float64()), 100.0),
+                             ndigits=0, round_mode="half_towards_infinity"),
+                    pa.int64())
+        return pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                         "v": c})
+
+    cents.__name__ = "benford_cents"
+    keyed = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    out = benford_test(keyed, "o_orderpriority", "v")
+    return out.map_batches(_rounder(["chi2"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _benford_oracle_sql() -> str:
+    from kamae_ray.stages.profile import benford_chi2_sql
+
+    chi2 = benford_chi2_sql(
+        "t.n", "COALESCE(MAX(CASE WHEN c.dig = {d} THEN c.cnt END), 0)")
+    dcols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN c.dig = {d} THEN c.cnt END), 0)::BIGINT AS d{d}"
+        for d in range(1, 10))
+    return (
+        "WITH b AS (SELECT o_orderpriority AS g, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders "
+        "WHERE o_totalprice IS NOT NULL "
+        "AND CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0), "
+        "d AS (SELECT g, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) "
+        "AS dig FROM b), "
+        "c AS (SELECT g, dig, COUNT(*)::BIGINT AS cnt FROM d GROUP BY g, dig), "
+        "t AS (SELECT g, SUM(cnt)::BIGINT AS n FROM c GROUP BY g) "
+        "SELECT t.g AS o_orderpriority, t.n, "
+        f"{dcols}, "
+        f"ROUND({chi2}, 6) AS chi2 "
+        "FROM c JOIN t USING (g) GROUP BY t.g, t.n"
+    )
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5386,6 +5434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_corr": _q_rolling_corr,
         "q_feature_store": _q_feature_store,
         "q_logloss": _q_logloss,
+        "q_benford": _q_benford,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7356,6 +7405,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # q_logloss: logit CTE + sigmoid/ln chain generated from shared weights
         "q_logloss": _logloss_oracle_sql(),
+        # q_benford: nine chi2 terms generated from the shared Benford probs
+        "q_benford": _benford_oracle_sql(),
         # q_cv_encode: fold hash + OOF means generated from shared constants
         "q_cv_encode": _cv_encode_oracle_sql(),
         # q_eval_chain: logit CTE generated from the shared weights

@@ -324,6 +324,7 @@ _BENCH_QUERIES = [
     "q_rolling_corr",  # rolling Pearson corr, exact int64 power sums
     "q_feature_store",  # chained point-in-time asof features + static dim
     "q_logloss",  # per-slice cross-entropy, micro-unit integer sums
+    "q_benford",  # Benford first-digit chi2 data-quality screen
 ]
 
 

@@ -1043,3 +1043,99 @@ def check_rules(ds, rules: list[dict]):
         "violations": pa.array([out_v[i] for i in order], pa.int64()),
         "n_rows": pa.array([out_n[i] for i in order], pa.int64()),
     })
+
+
+def benford_test(ds, group_col: str, value_col: str):
+    """Per-group Benford's-law first-digit screen over a POSITIVE integer
+    column — the classic fabricated-data / unit-mix data-quality signal:
+    exact int64 digit counts d1..d9 plus the chi-squared statistic against
+    the Benford expectation ``p_d = ln((d+1)/d) / ln(10)``.
+
+    First digits come from the integer's decimal string (both engines
+    format int64 identically — no float formatting anywhere); counts are
+    order-free int64; the chi2 is nine fixed-order mirrored float terms
+    ``(c_d - n*p_d)^2 / (n*p_d)`` with every ln through libm
+    (:func:`benford_chi2_sql` generates the identical SQL). Rows with NULL
+    or non-positive values are excluded (mirror with WHERE).
+
+    Scale plan: one vectorized digit map + ONE partial-agg groupby to
+    (group, digit) cells, then a segment fold over ONE sort of the cells
+    (<= 9 cells per group move, never rows)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.window import sorted_block_apply
+
+    def prep(block: pa.Table) -> pa.Table:
+        v = A.as_array(block.column(value_col))
+        keep = pc.and_(pc.is_valid(v), pc.greater(
+            pc.cast(v, pa.int64(), safe=False), 0))
+        block = block.filter(keep)
+        vi = pc.cast(A.as_array(block.column(value_col)), pa.int64(), safe=False)
+        dig = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(vi, pa.string()), 0, 1), pa.int64())
+        return pa.table({
+            group_col: block.column(group_col),
+            "__dig": dig,
+            "__one": pa.array(np.ones(block.num_rows, np.int64)),
+        })
+
+    prep.__name__ = "benford_digits"
+    tagged = prep(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    cells = groupby_agg(tagged, [group_col, "__dig"], {"__one": ["count"]})
+
+    l10 = A.libm_log(np.array([10.0]))[0]
+    pd_ = A.libm_log((np.arange(1, 10) + 1.0) / np.arange(1, 10)) / l10
+
+    def fold(block: pa.Table) -> pa.Table:
+        out_cols = {group_col: None, "n": pa.int64()}
+        if block.num_rows == 0:
+            cols = {group_col: A.as_array(block.column(group_col)),
+                    "n": pa.array([], pa.int64())}
+            for d in range(1, 10):
+                cols[f"d{d}"] = pa.array([], pa.int64())
+            cols["chi2"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        gids = S.group_ids(block, [group_col])
+        order = np.argsort(gids, kind="stable")
+        gs = gids[order]
+        dig = pc.cast(A.as_array(block.column("__dig")), pa.int64(),
+                      safe=False).to_numpy(zero_copy_only=False)[order]
+        cnt = pc.cast(A.as_array(block.column("__one_count")), pa.int64(),
+                      safe=False).to_numpy(zero_copy_only=False)[order]
+        starts, lens = S.segments(gs)
+        nseg = len(starts)
+        seg_idx = np.repeat(np.arange(nseg, dtype=np.int64), lens)
+        mat = np.zeros((nseg, 9), np.int64)
+        mat[seg_idx, dig - 1] = cnt
+        n = mat.sum(axis=1)
+        nf = n.astype(np.float64)
+        chi2 = np.zeros(nseg, np.float64)
+        for j in range(9):
+            e = nf * pd_[j]
+            diff = mat[:, j].astype(np.float64) - e
+            chi2 = chi2 + diff * diff / e
+        firsts = order[starts]
+        cols = {group_col: A.as_array(block.column(group_col)).take(pa.array(firsts)),
+                "n": pa.array(n)}
+        for d in range(1, 10):
+            cols[f"d{d}"] = pa.array(mat[:, d - 1])
+        cols["chi2"] = pa.array(chi2, pa.float64())
+        return pa.table(cols)
+
+    if isinstance(cells, pa.Table):
+        return fold(cells)
+    return sorted_block_apply(cells, [group_col], fold, "benford_fold")
+
+
+def benford_chi2_sql(n_expr: str, cnt_fmt: str) -> str:
+    """The oracle-side Benford chi2 GENERATED term-for-term like the engine
+    fold: nine left-associative ``(c_d - n*p_d)^2 / (n*p_d)`` terms with
+    ``p_d = ln((d+1)/d)/ln(10)``. ``cnt_fmt`` is a format string with
+    ``{d}`` producing the digit-d count expression."""
+    terms = []
+    for d in range(1, 10):
+        cd = cnt_fmt.format(d=d)
+        e = (f"({n_expr})::DOUBLE * (ln(CAST({d + 1} AS DOUBLE) / "
+             f"CAST({d} AS DOUBLE)) / ln(CAST(10 AS DOUBLE)))")
+        terms.append(f"((({cd})::DOUBLE - {e}) * (({cd})::DOUBLE - {e}) / ({e}))")
+    return " + ".join(terms)

@@ -708,3 +708,42 @@ def test_weighted_quantile_per_group(ray_session):
     got_t = {r["g"]: r["v_wq"] for r in
              weighted_quantile_per_group(tt, "g", "v", "w").to_pylist()}
     assert got_ds == got_t
+
+
+def test_benford_test(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.functions import arrays as A
+    from kamae_ray.stages.profile import benford_test
+
+    rng = np.random.default_rng(5)
+    # log-uniform values follow Benford closely; group y is uniform (bad fit)
+    va = np.floor(10 ** rng.uniform(0, 6, 3000)).astype(np.int64) + 1
+    vb = rng.integers(1, 1000, 1000)
+    t = pa.table({"g": ["a"] * 3000 + ["b"] * 1000,
+                  "v": np.concatenate([va, vb])})
+    out = benford_test(t, "g", "v")
+    rows = {r["g"]: r for r in out.to_pylist()}
+    # counts: exact first-digit tallies
+    for grp, vals in (("a", va), ("b", vb)):
+        digs = np.array([int(str(x)[0]) for x in vals])
+        for d in range(1, 10):
+            assert rows[grp][f"d{d}"] == int((digs == d).sum())
+        assert rows[grp]["n"] == len(vals)
+        # chi2 vs naive reference (tolerance: ordering is the only diff)
+        n = len(vals)
+        p = np.log((np.arange(1, 10) + 1.0) / np.arange(1, 10)) / np.log(10.0)
+        e = n * p
+        c = np.array([(digs == d).sum() for d in range(1, 10)], float)
+        ref = (((c - e) ** 2) / e).sum()
+        assert abs(rows[grp]["chi2"] - ref) < 1e-9
+    # null / non-positive rows excluded
+    t2 = pa.table({"g": ["a", "a", "a"], "v": pa.array([19, None, 0], pa.int64())})
+    r2 = benford_test(t2, "g", "v").to_pylist()[0]
+    assert r2["n"] == 1 and r2["d1"] == 1
+    # dataset path identical
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = {r["g"]: (r["n"], r["chi2"]) for r in benford_test(ds, "g", "v").take_all()}
+    assert got == {g: (rows[g]["n"], rows[g]["chi2"]) for g in ("a", "b")}

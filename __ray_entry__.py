@@ -1248,6 +1248,27 @@ def _benford_oracle_sql() -> str:
     )
 
 
+def _q_iv(sf_dir):
+    """Per-category WoE + Information-Value contributions
+    (``indexers.woe_iv_table``): the scorecard feature-selection report —
+    exact int64 counts, smoothed shares, one mirrored ln per category."""
+    from kamae_ray.stages.indexers import woe_iv_table
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def lab(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "prio": batch.column("o_orderpriority"),
+            "y": pc.cast(pc.equal(batch.column("o_orderstatus"), "F"), pa.int64()),
+        })
+
+    lab.__name__ = "iv_label"
+    keyed = ds.map_batches(lab, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    out = woe_iv_table(keyed, "prio", "y")
+    return _round_cols(out, ["woe", "iv"])
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5435,6 +5456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_feature_store": _q_feature_store,
         "q_logloss": _q_logloss,
         "q_benford": _q_benford,
+        "q_iv": _q_iv,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7405,6 +7427,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         # q_logloss: logit CTE + sigmoid/ln chain generated from shared weights
         "q_logloss": _logloss_oracle_sql(),
+        "q_iv": (
+            "WITH l AS (SELECT o_orderpriority AS prio, "
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders), "
+            "s AS (SELECT prio, SUM(y)::BIGINT AS pos, "
+            "(COUNT(*) - SUM(y))::BIGINT AS neg "
+            "FROM l WHERE prio IS NOT NULL GROUP BY prio), "
+            "t AS (SELECT SUM(pos)::BIGINT AS pt, SUM(neg)::BIGINT AS nt, "
+            "COUNT(*)::BIGINT AS kk FROM s) "
+            "SELECT s.prio, s.pos, s.neg, "
+            "ROUND(ln(CAST((s.pos + 1) * (t.nt + t.kk) AS DOUBLE) / "
+            "CAST((s.neg + 1) * (t.pt + t.kk) AS DOUBLE)), 6) AS woe, "
+            "ROUND((CAST(s.pos + 1 AS DOUBLE) / CAST(t.pt + t.kk AS DOUBLE) "
+            "- CAST(s.neg + 1 AS DOUBLE) / CAST(t.nt + t.kk AS DOUBLE)) "
+            "* ln(CAST((s.pos + 1) * (t.nt + t.kk) AS DOUBLE) / "
+            "CAST((s.neg + 1) * (t.pt + t.kk) AS DOUBLE)), 6) AS iv "
+            "FROM s CROSS JOIN t"
+        ),
         # q_benford: nine chi2 terms generated from the shared Benford probs
         "q_benford": _benford_oracle_sql(),
         # q_cv_encode: fold hash + OOF means generated from shared constants

@@ -325,6 +325,7 @@ _BENCH_QUERIES = [
     "q_feature_store",  # chained point-in-time asof features + static dim
     "q_logloss",  # per-slice cross-entropy, micro-unit integer sums
     "q_benford",  # Benford first-digit chi2 data-quality screen
+    "q_iv",  # WoE + information-value per category
 ]
 
 

@@ -959,3 +959,64 @@ def cv_target_encode_oracle_sql(table_expr: str, key_col: str, target_col: str,
         f"FROM b LEFT JOIN s ON b.kk = s.kk AND b.f = s.f "
         f"LEFT JOIN t ON b.kk = t.kk CROSS JOIN g"
     )
+
+
+def woe_iv_table(ds, key_col: str, target_col: str):
+    """Per-category Weight-of-Evidence + Information-Value contribution
+    table — the scorecard feature-selection report (IV = sum of the per-
+    category ``iv`` column; emitted per-category so no cross-row float sum
+    ever happens inside the engine). Same Laplace-smoothed construction as
+    :class:`WoeEncodeEstimator` (exact int64 counts/products, one mirrored
+    ln) plus the smoothed share difference:
+
+        ``iv_c = ((pos_c+1)/(pos_tot+K) - (neg_c+1)/(neg_tot+K)) * woe_c``
+
+    Binary 0/1 integer targets; NULL categories excluded. Output columns:
+    key, pos, neg, woe, iv. One partial-agg groupby; the category table is
+    vocab-bounded (driver-final like every indexer fit)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    if not isinstance(ds, pa.Table):
+        from kamae_ray.base import collect_tables
+        from kamae_ray.sources.io import narrow_read
+
+        proj = narrow_read(ds, [key_col, target_col]) or ds
+        stats = groupby_agg(proj, key_col, {target_col: ["sum", "count"]})
+        parts = [t for t in collect_tables(stats) if t.num_rows]
+        tbl = pa.concat_tables(parts) if parts else pa.table({
+            key_col: pa.array([], pa.string()),
+            f"{target_col}_sum": pa.array([], pa.int64()),
+            f"{target_col}_count": pa.array([], pa.int64()),
+        })
+    else:
+        tbl = groupby_agg(ds.select([key_col, target_col]), key_col,
+                          {target_col: ["sum", "count"]})
+    pos = pc.cast(tbl.column(f"{target_col}_sum"), pa.int64(),
+                  safe=False).to_numpy(zero_copy_only=False)
+    n = pc.cast(tbl.column(f"{target_col}_count"), pa.int64(),
+                safe=False).to_numpy(zero_copy_only=False)
+    catarr = A.as_array(tbl.column(key_col))
+    keep = pc.is_valid(catarr).to_numpy(zero_copy_only=False)
+    pos, n = pos[keep], n[keep]
+    if len(pos) and (pos.min() < 0 or (pos > n).any()):
+        raise ValueError("woe_iv_table target must be a binary 0/1 integer column")
+    neg = n - pos
+    k = len(pos)
+    pt, nt = int(pos.sum()), int(neg.sum())
+    num = (pos + 1) * np.int64(nt + k)
+    den = (neg + 1) * np.int64(pt + k)
+    if k and max(int(num.max()), int(den.max())) >= 2**53:
+        raise ValueError("woe_iv_table count products exceed exact float64 "
+                         "range (2^53) — fit on a sample")
+    woe = A.libm_log(num.astype(np.float64) / den.astype(np.float64)) if k \
+        else np.zeros(0)
+    sp = (pos + 1).astype(np.float64) / np.float64(pt + k)
+    sn = (neg + 1).astype(np.float64) / np.float64(nt + k)
+    iv = (sp - sn) * woe
+    return pa.table({
+        key_col: catarr.filter(pa.array(keep)),
+        "pos": pa.array(pos),
+        "neg": pa.array(neg),
+        "woe": pa.array(woe, pa.float64()),
+        "iv": pa.array(iv, pa.float64()),
+    })

@@ -405,3 +405,35 @@ def test_cv_target_encode(ray_session):
         (r["id"], r["fold"], r["e"]) for r in got.take_all()
     )
     assert rows == sorted(zip(ids, folds, exp))
+
+
+def test_woe_iv_table(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.indexers import woe_iv_table
+
+    t = pa.table({"c": ["a", "a", "a", "b", "b", None],
+                  "y": [1, 1, 0, 0, 0, 1]})
+    out = woe_iv_table(t, "c", "y")
+    rows = {r["c"]: r for r in out.to_pylist()}
+    # totals over NON-NULL categories: pt=2, nt=3, K=2
+    pt, nt, k = 2, 3, 2
+    for cat, (p, ng) in {"a": (2, 1), "b": (0, 2)}.items():
+        woe = math.log(((p + 1) * (nt + k)) / ((ng + 1) * (pt + k)))
+        iv = ((p + 1) / (pt + k) - (ng + 1) / (nt + k)) * woe
+        assert rows[cat]["pos"] == p and rows[cat]["neg"] == ng
+        assert abs(rows[cat]["woe"] - woe) < 1e-12
+        assert abs(rows[cat]["iv"] - iv) < 1e-12
+    assert None not in rows
+    # dataset fit matches table fit
+    ds = ray.data.from_arrow(t).repartition(2)
+    out2 = woe_iv_table(ds, "c", "y")
+    assert sorted(out.to_pylist(), key=lambda r: r["c"]) == \
+        sorted(out2.to_pylist(), key=lambda r: r["c"])
+    # non-binary target rejected
+    import pytest
+    with pytest.raises(ValueError, match="binary"):
+        woe_iv_table(pa.table({"c": ["a"], "y": [2]}), "c", "y")

@@ -1269,6 +1269,45 @@ def _q_iv(sf_dir):
     return _round_cols(out, ["woe", "iv"])
 
 
+def _q_bootstrap(sf_dir):
+    """Multiplier bootstrap of total order value
+    (``profile.multiplier_bootstrap``): 16 deterministic Binomial(32,1/2)
+    hash reweightings -> exact int64 replicate sums, estimate = wsum/16
+    (power-of-two division). Distributed uncertainty, zero resampling."""
+    from kamae_ray.stages.profile import multiplier_bootstrap
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("o_totalprice"),
+                                                 pa.float64()), 100.0),
+                             ndigits=0, round_mode="half_towards_infinity"),
+                    pa.int64())
+        return pa.table({"id": batch.column("o_orderkey"), "x": c})
+
+    cents.__name__ = "bootstrap_cents"
+    keyed = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    out = multiplier_bootstrap(keyed, "id", "x", replicates=16, salt=7)
+    return _round_cols(out, ["estimate"])
+
+
+def _bootstrap_oracle_sql() -> str:
+    from kamae_ray.stages.profile import _BOOT_P, _BOOT_Q
+
+    return (
+        "WITH b AS (SELECT o_orderkey AS id, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x FROM orders "
+        "WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL), "
+        "r AS (SELECT CAST(rep AS BIGINT) AS replicate FROM range(0, 16) t(rep)), "
+        "w AS (SELECT replicate, "
+        f"SUM(bit_count((((id::HUGEINT * {_BOOT_P} + (replicate + 7) * {_BOOT_Q}) "
+        "% 18446744073709551616) % 4294967296)::BIGINT)::BIGINT * x)::BIGINT "
+        "AS wsum FROM b CROSS JOIN r GROUP BY replicate) "
+        "SELECT replicate, wsum, ROUND(wsum::DOUBLE / 16.0, 6) AS estimate FROM w"
+    )
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5457,6 +5496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_logloss": _q_logloss,
         "q_benford": _q_benford,
         "q_iv": _q_iv,
+        "q_bootstrap": _q_bootstrap,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7444,6 +7484,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST((s.neg + 1) * (t.pt + t.kk) AS DOUBLE)), 6) AS iv "
             "FROM s CROSS JOIN t"
         ),
+        # q_bootstrap: hash constants shared with the engine (profile._BOOT_*)
+        "q_bootstrap": _bootstrap_oracle_sql(),
         # q_benford: nine chi2 terms generated from the shared Benford probs
         "q_benford": _benford_oracle_sql(),
         # q_cv_encode: fold hash + OOF means generated from shared constants

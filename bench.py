@@ -326,6 +326,7 @@ _BENCH_QUERIES = [
     "q_logloss",  # per-slice cross-entropy, micro-unit integer sums
     "q_benford",  # Benford first-digit chi2 data-quality screen
     "q_iv",  # WoE + information-value per category
+    "q_bootstrap",  # multiplier bootstrap, exact integer replicate sums
 ]
 
 

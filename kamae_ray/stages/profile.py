@@ -1139,3 +1139,89 @@ def benford_chi2_sql(n_expr: str, cnt_fmt: str) -> str:
              f"CAST({d} AS DOUBLE)) / ln(CAST(10 AS DOUBLE)))")
         terms.append(f"((({cd})::DOUBLE - {e}) * (({cd})::DOUBLE - {e}) / ({e}))")
     return " + ".join(terms)
+
+
+_BOOT_P = 0x9E3779B97F4A7C15  # Knuth multiplicative (shared with HashSplit)
+_BOOT_Q = 0xC2B2AE3D27D4EB4F
+
+
+def _popcount32(v: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of uint64 values with only the low 32 bits set
+    (SWAR — numpy 1.26 has no bitwise_count)."""
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x55555555))
+    v = (v & np.uint64(0x33333333)) + ((v >> np.uint64(2)) & np.uint64(0x33333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    # uint64 doesn't truncate the byte-fold multiply like uint32 — mask to
+    # the count byte (max 32 fits in 6 bits)
+    return (((v * np.uint64(0x01010101)) >> np.uint64(24))
+            & np.uint64(0x3F)).astype(np.int64)
+
+
+def multiplier_bootstrap(ds, id_col: str, value_col: str,
+                         replicates: int = 16, salt: int = 0):
+    """Deterministic multiplier bootstrap of a SUM statistic — distributed
+    uncertainty estimation without resampling the data: replicate ``r``
+    reweights each row by
+
+        ``w = popcount32((id*P + (r+salt)*Q) mod 2^32)``  (Binomial(32, 1/2))
+
+    and reports ``wsum_r = sum(w * x)`` (exact int64, order-free) plus the
+    unbiased ``estimate_r = wsum_r / 16`` (division by a power of two —
+    exact IEEE; E[w] = 16). The spread of the R estimates is the bootstrap
+    uncertainty of ``sum(x)``. Pure function of (id, r, salt): stable
+    across partitions/cluster sizes and HUGEINT-mirrorable in SQL
+    (bit_count — parity verified). Ids non-negative ints; values int64.
+
+    Scale plan: one vectorized map emits R partial rows PER BLOCK (never
+    per row); the driver folds O(blocks x R) integers. Output: one row per
+    replicate (replicate, wsum, estimate)."""
+    if not (1 <= replicates <= 64):
+        raise ValueError("replicates must be in [1, 64]")
+    if salt < 0:
+        raise ValueError("salt must be non-negative")
+
+    def partial(block: pa.Table) -> pa.Table:
+        ids_a = A.as_array(block.column(id_col))
+        vals_a = A.as_array(block.column(value_col))
+        keep = pc.and_(pc.is_valid(ids_a), pc.is_valid(vals_a))
+        block = block.filter(keep)
+        ids = pc.cast(A.as_array(block.column(id_col)), pa.int64(),
+                      safe=False).to_numpy(zero_copy_only=False)
+        x = pc.cast(A.as_array(block.column(value_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("multiplier_bootstrap ids must be non-negative")
+        if len(x) and 32 * int(np.abs(x).max()) * len(x) >= 2**62:
+            raise ValueError("multiplier_bootstrap block weighted sum risks "
+                             "int64 overflow — rescale values")
+        hbase = ids.astype(np.uint64) * np.uint64(_BOOT_P)
+        reps = np.arange(replicates, dtype=np.int64)
+        sums = np.zeros(replicates, np.int64)
+        for r in range(replicates):
+            h = (hbase + np.uint64((r + salt)) * np.uint64(_BOOT_Q)) \
+                & np.uint64(0xFFFFFFFF)
+            w = _popcount32(h)
+            sums[r] = int((w * x).sum())
+        return pa.table({"replicate": pa.array(reps),
+                         "wsum": pa.array(sums)})
+
+    partial.__name__ = "bootstrap_block_partial"
+    if isinstance(ds, pa.Table):
+        parts = [partial(ds)]
+    else:
+        from kamae_ray.base import collect_tables
+
+        parts = [t for t in collect_tables(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)) if t.num_rows]
+    tot = np.zeros(replicates, np.int64)
+    for t in parts:
+        r = t.column("replicate").to_numpy(zero_copy_only=False)
+        s = t.column("wsum").to_numpy(zero_copy_only=False)
+        np.add.at(tot, r, s)
+    est = tot.astype(np.float64) / 16.0
+    return pa.table({
+        "replicate": pa.array(np.arange(replicates, dtype=np.int64)),
+        "wsum": pa.array(tot),
+        "estimate": pa.array(est, pa.float64()),
+    })

@@ -747,3 +747,37 @@ def test_benford_test(ray_session):
     ds = ray.data.from_arrow(t).repartition(3)
     got = {r["g"]: (r["n"], r["chi2"]) for r in benford_test(ds, "g", "v").take_all()}
     assert got == {g: (rows[g]["n"], rows[g]["chi2"]) for g in ("a", "b")}
+
+
+def test_multiplier_bootstrap(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.profile import (_BOOT_P, _BOOT_Q, _popcount32,
+                                          multiplier_bootstrap)
+
+    # popcount SWAR vs python bin() on the hash domain
+    rng = np.random.default_rng(1)
+    v = rng.integers(0, 2**32, 2000).astype(np.uint64)
+    assert (_popcount32(v) ==
+            np.array([bin(int(z)).count("1") for z in v])).all()
+    ids = np.arange(100, dtype=np.int64)
+    x = rng.integers(-1000, 1000, 100)
+    t = pa.table({"id": ids, "x": x})
+    out = multiplier_bootstrap(t, "id", "x", replicates=4, salt=2)
+    rows = out.to_pylist()
+    for r in range(4):
+        h = (ids.astype(np.uint64) * np.uint64(_BOOT_P)
+             + np.uint64(r + 2) * np.uint64(_BOOT_Q)) & np.uint64(0xFFFFFFFF)
+        w = np.array([bin(int(z)).count("1") for z in h])
+        exp = int((w * x).sum())
+        assert rows[r]["wsum"] == exp
+        assert rows[r]["estimate"] == exp / 16.0
+    # replicate estimates scatter AROUND the true total (sanity)
+    est = np.array([r["estimate"] for r in rows])
+    assert abs(est.mean() - x.sum()) < 6 * (abs(x).sum() ** 0.5) * 40
+    # dataset path identical regardless of partitioning (order-free sums)
+    ds = ray.data.from_arrow(t).repartition(5)
+    out2 = multiplier_bootstrap(ds, "id", "x", replicates=4, salt=2)
+    assert out2.to_pylist() == rows

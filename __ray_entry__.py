@@ -1308,6 +1308,33 @@ def _bootstrap_oracle_sql() -> str:
     )
 
 
+def _q_welch(sf_dir):
+    """Per-cohort Welch two-sample t-test (``profile.welch_t_by_group``):
+    purchase vs view value-cents within user_id%10 cohorts — exact int64
+    (n, sum, sum-of-squares) cells, mirrored sqrt/mul/div float chain,
+    Welch-Satterthwaite df."""
+    from kamae_ray.stages.profile import welch_t_by_group
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"),
+                                                     pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"cohort": pa.array(uid % np.int64(10)),
+                         "etype": batch.column("event_type"),
+                         "cents": cents})
+
+    prep.__name__ = "welch_prep_cohorts"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    out = welch_t_by_group(keyed, "cohort", "etype", "cents",
+                           class_a="purchase", class_b="view")
+    return _round_cols(out, ["mean_a", "mean_b", "t_stat", "df"])
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5497,6 +5524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_benford": _q_benford,
         "q_iv": _q_iv,
         "q_bootstrap": _q_bootstrap,
+        "q_welch": _q_welch,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7483,6 +7511,37 @@ def oracle_sql() -> dict[str, str]:
             "* ln(CAST((s.pos + 1) * (t.nt + t.kk) AS DOUBLE) / "
             "CAST((s.neg + 1) * (t.pt + t.kk) AS DOUBLE)), 6) AS iv "
             "FROM s CROSS JOIN t"
+        ),
+        "q_welch": (
+            "WITH b AS (SELECT user_id % 10 AS cohort, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isa, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS x FROM events "
+            "WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')), "
+            "c AS (SELECT cohort, isa, COUNT(*)::BIGINT AS n, "
+            "SUM(x)::BIGINT AS sx, SUM(x*x)::BIGINT AS sxx "
+            "FROM b GROUP BY cohort, isa), "
+            "p AS (SELECT cohort, "
+            "COALESCE(MAX(CASE WHEN isa = 1 THEN n END), 0) AS na, "
+            "COALESCE(MAX(CASE WHEN isa = 1 THEN sx END), 0) AS sa, "
+            "COALESCE(MAX(CASE WHEN isa = 1 THEN sxx END), 0) AS sxxa, "
+            "COALESCE(MAX(CASE WHEN isa = 0 THEN n END), 0) AS nb, "
+            "COALESCE(MAX(CASE WHEN isa = 0 THEN sx END), 0) AS sb, "
+            "COALESCE(MAX(CASE WHEN isa = 0 THEN sxx END), 0) AS sxxb "
+            "FROM c GROUP BY cohort), "
+            "v AS (SELECT *, "
+            "CASE WHEN na >= 2 THEN (na::HUGEINT * sxxa - sa::HUGEINT * sa)::DOUBLE "
+            "/ (na * (na - 1))::DOUBLE END / na::DOUBLE AS sea, "
+            "CASE WHEN nb >= 2 THEN (nb::HUGEINT * sxxb - sb::HUGEINT * sb)::DOUBLE "
+            "/ (nb * (nb - 1))::DOUBLE END / nb::DOUBLE AS seb FROM p) "
+            "SELECT cohort, na AS n_a, nb AS n_b, "
+            "ROUND(CASE WHEN na > 0 THEN sa::DOUBLE / na END, 6) AS mean_a, "
+            "ROUND(CASE WHEN nb > 0 THEN sb::DOUBLE / nb END, 6) AS mean_b, "
+            "ROUND(CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0 THEN "
+            "(sa::DOUBLE / na - sb::DOUBLE / nb) / sqrt(sea + seb) END, 6) AS t_stat, "
+            "ROUND(CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0 THEN "
+            "((sea + seb) * (sea + seb)) / "
+            "(sea * sea / (na - 1)::DOUBLE + seb * seb / (nb - 1)::DOUBLE) END, 6) "
+            "AS df FROM v"
         ),
         # q_bootstrap: hash constants shared with the engine (profile._BOOT_*)
         "q_bootstrap": _bootstrap_oracle_sql(),

@@ -327,6 +327,7 @@ _BENCH_QUERIES = [
     "q_benford",  # Benford first-digit chi2 data-quality screen
     "q_iv",  # WoE + information-value per category
     "q_bootstrap",  # multiplier bootstrap, exact integer replicate sums
+    "q_welch",  # per-cohort Welch t-test, exact int64 cells
 ]
 
 

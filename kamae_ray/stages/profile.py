@@ -1225,3 +1225,120 @@ def multiplier_bootstrap(ds, id_col: str, value_col: str,
         "wsum": pa.array(tot),
         "estimate": pa.array(est, pa.float64()),
     })
+
+
+def welch_t_by_group(ds, group_col: str, class_col: str, value_col: str,
+                     class_a, class_b, max_cells: int = 2_000_000):
+    """Per-group Welch two-sample t statistic over an INTEGER metric — the
+    unequal-variance A/B readout (the parametric sibling of
+    ``ab_test_chi2``): within each group, compare ``value_col`` between
+    ``class_a`` and ``class_b`` rows.
+
+    Exactness: per-(group, class) n / sum(x) / sum(x^2) are order-free
+    int64 partials through ONE groupby; means, sample variances, the t
+    statistic and the Welch–Satterthwaite df are a fixed mirrored float
+    chain over integer-derived doubles (sqrt/mul/div only — q_moments
+    family; the ``n*sxx - sx^2`` numerators fold in arbitrary-precision
+    python ints, then convert once — the same round-to-nearest DuckDB's
+    HUGEINT::DOUBLE applies). ``t``/``df`` are NULL when either class has
+    n < 2 or the pooled standard error is 0. Sums are guarded < 2^53
+    (exactness through the float64 agg path).
+
+    Scale plan: one derived map + ONE partial-agg groupby to (group, class)
+    cells; the driver folds O(groups) cells (guarded by ``max_cells``)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    def prep(block: pa.Table) -> pa.Table:
+        cls = A.as_array(block.column(class_col))
+        keep = pc.and_(pc.is_valid(A.as_array(block.column(value_col))),
+                       pc.or_(pc.equal(cls, class_a), pc.equal(cls, class_b)))
+        block = block.filter(keep)
+        x = pc.cast(A.as_array(block.column(value_col)), pa.int64(), safe=False)
+        xv = x.to_numpy(zero_copy_only=False)
+        if len(xv) and int(np.abs(xv).max()) >= (1 << 31):
+            raise ValueError("welch_t_by_group values must fit 31 bits "
+                             "(x^2 must stay exact int64) — rescale")
+        return pa.table({
+            group_col: block.column(group_col),
+            "__is_a": pc.cast(pc.equal(A.as_array(block.column(class_col)),
+                                       class_a), pa.int64()),
+            "__x": x,
+            "__xx": pa.array(xv * xv),
+        })
+
+    prep.__name__ = "welch_prep"
+    tagged = prep(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    cells = groupby_agg(tagged, [group_col, "__is_a"],
+                        {"__x": ["sum", "count"], "__xx": ["sum"]})
+    if isinstance(cells, pa.Table):
+        tbl = cells
+    else:
+        from kamae_ray.base import collect_tables
+
+        parts = [t for t in collect_tables(cells) if t.num_rows]
+        tbl = pa.concat_tables(parts) if parts else None
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n_a": pa.array([], pa.int64()),
+                         "n_b": pa.array([], pa.int64()),
+                         "mean_a": pa.array([], pa.float64()),
+                         "mean_b": pa.array([], pa.float64()),
+                         "t_stat": pa.array([], pa.float64()),
+                         "df": pa.array([], pa.float64())})
+    if tbl.num_rows > max_cells:
+        raise ValueError(f"welch_t_by_group cells ({tbl.num_rows}) exceed "
+                         f"max_cells={max_cells}")
+    sx = pc.cast(tbl.column("__x_sum"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    n = pc.cast(tbl.column("__x_count"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    sxx = pc.cast(tbl.column("__xx_sum"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    if len(sxx) and int(np.abs(sxx).max()) >= (1 << 53):
+        raise ValueError("welch_t_by_group sums exceed exact float64 range")
+    isa = pc.cast(tbl.column("__is_a"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    garr = A.as_array(tbl.column(group_col))
+    cells_by_g: dict = {}
+    for i in range(tbl.num_rows):
+        g = garr[i].as_py()
+        cells_by_g.setdefault(g, {})[int(isa[i])] = (
+            int(n[i]), int(sx[i]), int(sxx[i]))
+    groups = sorted(cells_by_g, key=lambda v: (v is None, str(v)))
+    out_g, na_l, nb_l, ma_l, mb_l, t_l, df_l = [], [], [], [], [], [], []
+    for g in groups:
+        a = cells_by_g[g].get(1, (0, 0, 0))
+        b = cells_by_g[g].get(0, (0, 0, 0))
+        na, sa, sxxa = a
+        nb, sb, sxxb = b
+        ma = sa / na if na else None
+        mb = sb / nb if nb else None
+        t = df = None
+        if na >= 2 and nb >= 2:
+            va = float(na * sxxa - sa * sa) / float(na * (na - 1))
+            vb = float(nb * sxxb - sb * sb) / float(nb * (nb - 1))
+            sea = va / float(na)
+            seb = vb / float(nb)
+            se2 = sea + seb
+            if se2 > 0:
+                t = (ma - mb) / np.sqrt(se2)
+                da = sea * sea / float(na - 1)
+                db = seb * seb / float(nb - 1)
+                df = (se2 * se2) / (da + db)
+        out_g.append(g)
+        na_l.append(na)
+        nb_l.append(nb)
+        ma_l.append(ma)
+        mb_l.append(mb)
+        t_l.append(None if t is None else float(t))
+        df_l.append(None if df is None else float(df))
+    return pa.table({
+        group_col: pa.array(out_g, garr.type),
+        "n_a": pa.array(na_l, pa.int64()),
+        "n_b": pa.array(nb_l, pa.int64()),
+        "mean_a": pa.array(ma_l, pa.float64()),
+        "mean_b": pa.array(mb_l, pa.float64()),
+        "t_stat": pa.array(t_l, pa.float64()),
+        "df": pa.array(df_l, pa.float64()),
+    })

@@ -781,3 +781,40 @@ def test_multiplier_bootstrap(ray_session):
     ds = ray.data.from_arrow(t).repartition(5)
     out2 = multiplier_bootstrap(ds, "id", "x", replicates=4, salt=2)
     assert out2.to_pylist() == rows
+
+
+def test_welch_t_by_group(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.profile import welch_t_by_group
+
+    rng = np.random.default_rng(9)
+    g = rng.choice(["g1", "g2"], 400).tolist()
+    cls = rng.choice(["a", "b", "other"], 400).tolist()
+    x = rng.integers(-100, 200, 400)
+    t = pa.table({"g": g, "c": cls, "x": x})
+    out = welch_t_by_group(t, "g", "c", "x", class_a="a", class_b="b")
+    rows = {r["g"]: r for r in out.to_pylist()}
+    for grp in ("g1", "g2"):
+        xa = np.array([xx for xx, gg, cc in zip(x, g, cls) if gg == grp and cc == "a"], float)
+        xb = np.array([xx for xx, gg, cc in zip(x, g, cls) if gg == grp and cc == "b"], float)
+        va, vb = xa.var(ddof=1), xb.var(ddof=1)
+        se2 = va / len(xa) + vb / len(xb)
+        t_ref = (xa.mean() - xb.mean()) / np.sqrt(se2)
+        df_ref = se2**2 / ((va / len(xa))**2 / (len(xa) - 1)
+                           + (vb / len(xb))**2 / (len(xb) - 1))
+        r = rows[grp]
+        assert r["n_a"] == len(xa) and r["n_b"] == len(xb)
+        assert abs(r["t_stat"] - t_ref) < 1e-9
+        assert abs(r["df"] - df_ref) < 1e-6
+        assert abs(r["mean_a"] - xa.mean()) < 1e-12
+    # degenerate: one class missing -> null t/df
+    t2 = pa.table({"g": ["z"] * 3, "c": ["a", "a", "a"], "x": [1, 2, 3]})
+    r2 = welch_t_by_group(t2, "g", "c", "x", class_a="a", class_b="b").to_pylist()[0]
+    assert r2["t_stat"] is None and r2["mean_b"] is None and r2["n_b"] == 0
+    # dataset path identical
+    ds = ray.data.from_arrow(t).repartition(4)
+    out2 = welch_t_by_group(ds, "g", "c", "x", class_a="a", class_b="b")
+    assert out2.to_pylist() == out.to_pylist()

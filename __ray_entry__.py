@@ -1335,6 +1335,18 @@ def _q_welch(sf_dir):
     return _round_cols(out, ["mean_a", "mean_b", "t_stat", "df"])
 
 
+def _q_containment(sf_dir):
+    """Containment near-dup pairs (``dedup.containment_pairs``): the
+    subset-duplicate detector — shared-shingle candidate generation is
+    recall-EXACT for containment, the keep rule and ppm are pure int64.
+    Exact all-pairs SQL oracle (q_neardup family)."""
+    from kamae_ray.pipelines.dedup import containment_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return containment_pairs(ds, "text", "doc_id", threshold_ppm=700_000,
+                             shingle_k=3)
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5525,6 +5537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_iv": _q_iv,
         "q_bootstrap": _q_bootstrap,
         "q_welch": _q_welch,
+        "q_containment": _q_containment,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7542,6 +7555,23 @@ def oracle_sql() -> dict[str, str]:
             "((sea + seb) * (sea + seb)) / "
             "(sea * sea / (na - 1)::DOUBLE + seb * seb / (nb - 1)::DOUBLE) END, 6) "
             "AS df FROM v"
+        ),
+        "q_containment": (
+            r"WITH words AS (SELECT doc_id, "
+            r"list_filter(string_split_regex(coalesce(text,''), '\s+'), w -> length(w) > 0) AS ws "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, shingle FROM ("
+            "SELECT doc_id, CASE WHEN len(ws) >= 3 THEN ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] "
+            "ELSE array_to_string(ws, ' ') END AS shingle "
+            "FROM words, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS i) g)), "
+            "sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, i AS inter, sa.n AS n_a, sb.n AS n_b, "
+            "(i * 1000000) // least(sa.n, sb.n) AS cont_ppm "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE 1000000 * i >= 700000 * least(sa.n, sb.n)"
         ),
         # q_bootstrap: hash constants shared with the engine (profile._BOOT_*)
         "q_bootstrap": _bootstrap_oracle_sql(),

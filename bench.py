@@ -328,6 +328,7 @@ _BENCH_QUERIES = [
     "q_iv",  # WoE + information-value per category
     "q_bootstrap",  # multiplier bootstrap, exact integer replicate sums
     "q_welch",  # per-cohort Welch t-test, exact int64 cells
+    "q_containment",  # subset-duplicate containment pairs (exact recall)
 ]
 
 

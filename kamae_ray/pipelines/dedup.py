@@ -1812,3 +1812,108 @@ def near_dedup_keep_best(ds, text_col: str, id_col: str, score_col: str,
         on=id_col, how="anti").materialize()
     deduped = shuffle_join(ds, losers, on=id_col, how="anti")
     return deduped, winners
+
+
+def containment_pairs(ds, text_col: str, id_col: str,
+                      threshold_ppm: int = 700_000, shingle_k: int = 3,
+                      max_shingle_df: int = 65_536):
+    """Containment near-duplicate pairs — the subset-duplicate detector
+    Jaccard misses (a short doc embedded in a long one has low resemblance
+    but high containment): for every pair sharing at least one shingle,
+
+        ``cont_ppm = 1_000_000 * |A ∩ B| // min(|A|, |B|)``
+
+    kept when ``1e6 * inter >= threshold_ppm * min(n_a, n_b)`` — a pure
+    int64 rule (no recall gap: containment > 0 implies a shared shingle, so
+    shingle-join candidate generation is EXACT, unlike banded LSH whose
+    resemblance bias under-recalls containment). Shingles are the shared
+    64-bit rolling hashes (collision-negligible, q_neardup convention).
+
+    Scale plan: shingle explode -> ONE sort on the shingle hash ->
+    block-segment pair emission (``_SegmentPairs``, raising past
+    ``max_shingle_df`` so a hot shingle can never silently blow up) ->
+    partial-agg pair counts -> two candidate-bounded distributed size
+    joins (the verified_pairs materialize-checkpoint pattern). Output:
+    (id_a, id_b, inter, n_a, n_b, cont_ppm), all int64."""
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.join import shuffle_join
+    from kamae_ray.stages.window import sorted_block_apply
+
+    if not (0 < threshold_ppm <= 1_000_000):
+        raise ValueError("threshold_ppm must be in (0, 1e6]")
+
+    def sh_rows(batch: pa.Table) -> pa.Table:
+        t = _shingle_list_batch(batch, text_col, id_col, shingle_k)
+        lists = A.as_array(t.column("__kr_sh"))
+        (offs,), flat = A.unwrap(lists)
+        lens = np.diff(offs[0])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "__h": flat,
+            id_col: pa.array(np.repeat(ids, lens), pa.int64()),
+        })
+
+    sh_rows.__name__ = "containment_shingle_rows"
+    if isinstance(ds, pa.Table):
+        import ray.data
+
+        ds = ray.data.from_arrow(ds)
+    sh = ds.map_batches(sh_rows, batch_format="pyarrow", zero_copy_batch=True)
+    sh = sh.materialize()  # consumed twice (sizes + pair emission)
+    sizes = groupby_agg(sh, id_col, {"__h": ["count"]})
+
+    def size_cols(prefix):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                f"id_{prefix}": pc.cast(A.as_array(batch.column(id_col)),
+                                        pa.int64(), safe=False),
+                f"n_{prefix}": pc.cast(batch.column("__h_count"), pa.int64(),
+                                       safe=False),
+            })
+
+        f.__name__ = f"containment_sizes_{prefix}"
+        return f
+
+    sizes = sizes.materialize()  # consumed twice (both pair sides)
+    pairs = sorted_block_apply(
+        sh, ["__h"],
+        _SegmentPairs(["__h"], id_col=id_col, max_bucket_size=max_shingle_df,
+                      on_oversize="raise"),
+        "containment_segment_pairs")
+    inter = groupby_agg(pairs, ["id_a", "id_b"], {"id_a": ["count"]})
+
+    def rename_inter(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "inter": pc.cast(batch.column("id_a_count"), pa.int64(), safe=False),
+        })
+
+    rename_inter.__name__ = "containment_inter"
+    inter = inter.map_batches(rename_inter, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    sa = sizes.map_batches(size_cols("a"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    sb = sizes.map_batches(size_cols("b"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # candidate-bounded joins with materialize checkpoints (the
+    # verified_pairs pattern — sizes stay distributed, O(docs) never
+    # touches the driver)
+    with_a = shuffle_join(inter, sa, on="id_a", how="inner").materialize()
+    with_b = shuffle_join(with_a, sb, on="id_b", how="inner")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.column("inter").to_numpy(zero_copy_only=False)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        mn = np.minimum(na, nb)
+        keep = 1_000_000 * i >= threshold_ppm * mn
+        batch = batch.filter(pa.array(keep))
+        i, mn = i[keep], mn[keep]
+        ppm = np.zeros(len(i), np.int64)
+        nz = mn > 0
+        ppm[nz] = (1_000_000 * i[nz]) // mn[nz]
+        return batch.append_column("cont_ppm", pa.array(ppm, pa.int64()))
+
+    finish.__name__ = "containment_finish"
+    return with_b.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

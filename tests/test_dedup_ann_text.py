@@ -1535,3 +1535,40 @@ def test_chi2_scores_mi_stat():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_containment_pairs(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.dedup import containment_pairs
+
+    # doc 2 is a strict subset of doc 1 (containment 1.0, low jaccard);
+    # doc 3 unrelated; doc 4 == doc 2 (identical)
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a b c d e f g h i j k l m n o p",
+            "a b c d e",
+            "z y x w v u t s r q",
+            "a b c d e",
+        ],
+    })
+    ds = ray.data.from_arrow(docs).repartition(2)
+    out = containment_pairs(ds, "text", "doc_id", threshold_ppm=900_000,
+                            shingle_k=3)
+    rows = {(r["id_a"], r["id_b"]): r for r in out.take_all()}
+    # doc1 has 14 shingles, doc2 has 3, all of doc2's inside doc1
+    assert rows[(1, 2)]["inter"] == 3 and rows[(1, 2)]["cont_ppm"] == 1_000_000
+    assert rows[(1, 4)]["cont_ppm"] == 1_000_000
+    assert rows[(2, 4)]["cont_ppm"] == 1_000_000
+    assert (1, 3) not in rows and (2, 3) not in rows
+    # threshold excludes partial overlap: doc 5 shares 1 of 3 shingles
+    docs2 = pa.table({"doc_id": [1, 2],
+                      "text": ["a b c d e", "a b c x y"]})
+    out2 = containment_pairs(ray.data.from_arrow(docs2), "text", "doc_id",
+                             threshold_ppm=500_000, shingle_k=3)
+    assert out2.take_all() == []  # 1/3 = 333333 ppm below threshold
+    out3 = containment_pairs(ray.data.from_arrow(docs2), "text", "doc_id",
+                             threshold_ppm=300_000, shingle_k=3)
+    assert out3.take_all()[0]["cont_ppm"] == 333_333

@@ -1347,6 +1347,36 @@ def _q_containment(sf_dir):
                              shingle_k=3)
 
 
+def _q_cusum(sf_dir):
+    """Per-user two-sided CUSUM drift statistic (``window.cusum_flags``):
+    exact int64 micro-unit prefix sums + grouped running extrema (the
+    recurrence-free identity), alarms at a fixed threshold. Zero float
+    anywhere."""
+    from kamae_ray.stages.window import cusum_flags
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"),
+                                                     pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "cents": cents,
+        })
+
+    prep.__name__ = "cusum_prep"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = cusum_flags(ds, "user_id", ["ts", "event_id"], "cents",
+                      target_ppm=10_000_000_000, threshold_ppm=50_000_000_000)
+    return out.drop_columns(["cents", "ts"])
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5538,6 +5568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bootstrap": _q_bootstrap,
         "q_welch": _q_welch,
         "q_containment": _q_containment,
+        "q_cusum": _q_cusum,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7572,6 +7603,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
             "JOIN sizes sb ON sb.doc_id = id_b "
             "WHERE 1000000 * i >= 700000 * least(sa.n, sb.n)"
+        ),
+        "q_cusum": (
+            "WITH b AS (SELECT event_id, user_id, ts, "
+            "CAST(ROUND(value * 100) AS BIGINT) * 1000000 - 10000000000 AS d "
+            "FROM events WHERE value IS NOT NULL), "
+            "w AS (SELECT event_id, user_id, ts, "
+            "SUM(d) OVER win AS cum FROM b "
+            "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "m AS (SELECT event_id, user_id, cum, "
+            "LEAST(MIN(cum) OVER win2, 0) AS rmin, "
+            "GREATEST(MAX(cum) OVER win2, 0) AS rmax FROM w "
+            "WINDOW win2 AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT event_id, user_id, (cum - rmin)::BIGINT AS cusum_up, "
+            "(rmax - cum)::BIGINT AS cusum_dn, "
+            "CAST(CASE WHEN cum - rmin > 50000000000 "
+            "OR rmax - cum > 50000000000 THEN 1 ELSE 0 END AS TINYINT) "
+            "AS cusum_alarm FROM m"
         ),
         # q_bootstrap: hash constants shared with the engine (profile._BOOT_*)
         "q_bootstrap": _bootstrap_oracle_sql(),

@@ -329,6 +329,7 @@ _BENCH_QUERIES = [
     "q_bootstrap",  # multiplier bootstrap, exact integer replicate sums
     "q_welch",  # per-cohort Welch t-test, exact int64 cells
     "q_containment",  # subset-duplicate containment pairs (exact recall)
+    "q_cusum",  # exact-integer CUSUM drift statistic per entity
 ]
 
 

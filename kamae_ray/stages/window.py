@@ -2440,3 +2440,79 @@ def rolling_corr(ds, entity_cols, time_col: str, x_col: str, y_col: str,
     if isinstance(ds, pa.Table):
         return blockfn(ds)
     return sorted_block_apply(ds, entity_cols, blockfn, "rolling_corr")
+
+
+def cusum_flags(ds, entity_cols, time_col, value_col: str,
+                target_ppm: int, threshold_ppm: int,
+                output_prefix: str = "cusum"):
+    """Two-sided CUSUM drift detector per entity in time order — the
+    classic sequential change-point statistic, computed EXACTLY in int64
+    micro-units: with ``d_t = value_t * 1e6 - target_ppm``,
+
+        ``s_up_t = max(0, s_up_{t-1} + d_t) = cum_t - min(0, min_{j<=t} cum_j)``
+        ``s_dn_t = max(0, s_dn_{t-1} - d_t) = max(0, max_{j<=t} cum_j) - cum_t``
+
+    (the prefix-extremum identity turns the recurrence into one cumsum +
+    one grouped running min/max — no float recurrence, bit-exact in SQL as
+    ``SUM/MIN/MAX OVER (... ROWS UNBOUNDED PRECEDING)``). Alarms fire when
+    the statistic exceeds ``threshold_ppm``. Values must be non-null
+    integers; ``time_col`` (column or list) must be a unique in-entity
+    order key (composite keys as in :func:`rolling_corr`).
+
+    Output columns appended: ``{prefix}_up``, ``{prefix}_dn`` (int64
+    micro-units) and ``{prefix}_alarm`` (int8 0/1, either side).
+
+    Scale plan: ONE sort-shuffle on the entity key; the kernel is a
+    segmented cumsum + pandas C grouped cummin/cummax."""
+    entity_cols = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    time_cols = [time_col] if isinstance(time_col, str) else list(time_col)
+
+    def blockfn(block: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n_rows = block.num_rows
+        if n_rows == 0:
+            out = _append_or_replace(block, f"{output_prefix}_up",
+                                     pa.array([], pa.int64()))
+            out = _append_or_replace(out, f"{output_prefix}_dn",
+                                     pa.array([], pa.int64()))
+            return _append_or_replace(out, f"{output_prefix}_alarm",
+                                      pa.array([], pa.int8()))
+        varr = A.as_array(block.column(value_col))
+        if varr.null_count:
+            raise ValueError("cusum_flags requires non-null values")
+        gids = S.group_ids(block, entity_cols)
+        tkeys = [_time_to_numeric(A.as_array(block.column(tc)))
+                 .to_numpy(zero_copy_only=False) for tc in time_cols]
+        order = np.lexsort(tuple(reversed(tkeys)) + (gids,))
+        gs = gids[order]
+        x = pc.cast(varr, pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)[order]
+        starts, lens = S.segments(gs)
+        mx = int(np.abs(x).max()) if n_rows else 0
+        L = int(lens.max()) if len(lens) else 0
+        if L * (mx * 1_000_000 + abs(int(target_ppm))) >= 2**62:
+            raise ValueError("cusum_flags cumulative micro-units risk int64 "
+                             "overflow — rescale values")
+        d = x * np.int64(1_000_000) - np.int64(target_ppm)
+        cum = np.cumsum(d)
+        base = cum[starts] - d[starts]
+        cum_in = cum - np.repeat(base, lens)
+        gid_rep = np.repeat(np.arange(len(starts)), lens)
+        ser = pd.Series(cum_in)
+        rmin = ser.groupby(gid_rep).cummin().to_numpy()
+        rmax = ser.groupby(gid_rep).cummax().to_numpy()
+        s_up = cum_in - np.minimum(rmin, 0)
+        s_dn = np.maximum(rmax, 0) - cum_in
+        alarm = ((s_up > threshold_ppm) | (s_dn > threshold_ppm)).astype(np.int8)
+        up = np.empty(n_rows, np.int64)
+        dn = np.empty(n_rows, np.int64)
+        al = np.empty(n_rows, np.int8)
+        up[order], dn[order], al[order] = s_up, s_dn, alarm
+        out = _append_or_replace(block, f"{output_prefix}_up", pa.array(up))
+        out = _append_or_replace(out, f"{output_prefix}_dn", pa.array(dn))
+        return _append_or_replace(out, f"{output_prefix}_alarm", pa.array(al))
+
+    if isinstance(ds, pa.Table):
+        return blockfn(ds)
+    return sorted_block_apply(ds, entity_cols, blockfn, "cusum_flags")

@@ -151,3 +151,43 @@ def test_rolling_corr_vs_pandas(ray_session):
         rolling_corr(pa.table({"e": ["a", "a"], "t": [1, 2],
                                "x": [2**31, 2**31], "y": [1, 2]}),
                      "e", "t", "x", "y", window=10**6)
+
+
+def test_cusum_flags(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.window import cusum_flags
+
+    # recurrence reference: s_up = max(0, s+d), s_dn = max(0, s-d)
+    rng = np.random.default_rng(21)
+    n = 300
+    e = rng.choice(["a", "b"], n)
+    t = rng.permutation(n).astype(np.int64)
+    x = rng.integers(0, 20, n)
+    tbl = pa.table({"e": e, "t": t, "x": x})
+    out = cusum_flags(tbl, "e", "t", "x", target_ppm=9_500_000,
+                      threshold_ppm=40_000_000)
+    up = out.column("cusum_up").to_pylist()
+    dn = out.column("cusum_dn").to_pylist()
+    al = out.column("cusum_alarm").to_pylist()
+    import pandas as pd
+    df = pd.DataFrame({"e": e, "t": t, "x": x, "i": np.arange(n)}).sort_values(["e", "t"])
+    exp_up, exp_dn = [0] * n, [0] * n
+    for ent, sub in df.groupby("e"):
+        su = sd = 0
+        for _, row in sub.iterrows():
+            d = int(row["x"]) * 1_000_000 - 9_500_000
+            su = max(0, su + d)
+            sd = max(0, sd - d)
+            exp_up[int(row["i"])] = su
+            exp_dn[int(row["i"])] = sd
+    assert up == exp_up and dn == exp_dn
+    assert al == [int(u > 40_000_000 or d > 40_000_000)
+                  for u, d in zip(exp_up, exp_dn)]
+    # dataset path identical
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    rows = {r["t"]: (r["cusum_up"], r["cusum_dn"])
+            for r in cusum_flags(ds, "e", "t", "x", 9_500_000, 40_000_000).take_all()}
+    assert rows == {tt: (u, d) for tt, u, d in zip(t.tolist(), exp_up, exp_dn)}

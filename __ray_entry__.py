@@ -1377,6 +1377,27 @@ def _q_cusum(sf_dir):
     return out.drop_columns(["cents", "ts"])
 
 
+def _q_clustering(sf_dir):
+    """Per-node local clustering coefficient
+    (``graph.clustering_coefficients``) of the q_triangles modular graph —
+    exact int64 degrees/triangle counts, integer-ppm coefficient, NULL
+    below degree 2."""
+    from kamae_ray.pipelines.graph import clustering_coefficients
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(u % 400, pa.int64()),
+                         "dst": pa.array(e % 400, pa.int64())})
+
+    to_edges.__name__ = "lcc_edges"
+    edges = ev.map_batches(to_edges, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return clustering_coefficients(edges)
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5569,6 +5590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_welch": _q_welch,
         "q_containment": _q_containment,
         "q_cusum": _q_cusum,
+        "q_clustering": _q_clustering,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7622,6 +7644,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN cum - rmin > 50000000000 "
             "OR rmax - cum > 50000000000 THEN 1 ELSE 0 END AS TINYINT) "
             "AS cusum_alarm FROM m"
+        ),
+        "q_clustering": (
+            "WITH raw AS (SELECT user_id % 400 AS s, event_id % 400 AS d FROM events), "
+            "e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b "
+            "FROM raw WHERE s <> d), "
+            "deg AS (SELECT node, COUNT(*)::BIGINT AS degree FROM "
+            "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node), "
+            "w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a), "
+            "t AS (SELECT w.a, w.b, w.c FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c), "
+            "tri AS (SELECT node, COUNT(*)::BIGINT AS triangles FROM "
+            "(SELECT a AS node FROM t UNION ALL SELECT b FROM t "
+            "UNION ALL SELECT c FROM t) GROUP BY node) "
+            "SELECT deg.node, deg.degree, COALESCE(tri.triangles, 0) AS triangles, "
+            "CASE WHEN deg.degree >= 2 THEN "
+            "(2000000 * COALESCE(tri.triangles, 0)) // (deg.degree * (deg.degree - 1)) "
+            "END AS lcc_ppm FROM deg LEFT JOIN tri USING (node)"
         ),
         # q_bootstrap: hash constants shared with the engine (profile._BOOT_*)
         "q_bootstrap": _bootstrap_oracle_sql(),

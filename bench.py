@@ -330,6 +330,7 @@ _BENCH_QUERIES = [
     "q_welch",  # per-cohort Welch t-test, exact int64 cells
     "q_containment",  # subset-duplicate containment pairs (exact recall)
     "q_cusum",  # exact-integer CUSUM drift statistic per entity
+    "q_clustering",  # per-node local clustering coefficient (int ppm)
 ]
 
 

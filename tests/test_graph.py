@@ -76,3 +76,31 @@ def test_pagerank_dataset_paths_agree(ray_session):
         ).sort_by("node")
         assert got.column("node").to_pylist() == want.column("node").to_pylist(), budget
         assert got.column("rank").to_pylist() == want.column("rank").to_pylist(), budget
+
+
+def test_clustering_coefficients(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.graph import clustering_coefficients
+
+    # K4 minus edge (3,4): triangles {1,2,3} and {1,2,4}
+    edges = pa.table({"src": [1, 1, 1, 2, 2],
+                      "dst": [2, 3, 4, 3, 4]})
+    out = clustering_coefficients(edges)
+    rows = {r["node"]: r for r in out.to_pylist()}
+    assert rows[1]["degree"] == 3 and rows[1]["triangles"] == 2
+    assert rows[1]["lcc_ppm"] == (2_000_000 * 2) // (3 * 2)
+    assert rows[3]["degree"] == 2 and rows[3]["triangles"] == 1
+    assert rows[3]["lcc_ppm"] == 1_000_000
+    # isolated-in-triangle-terms node with degree 1 -> null
+    e2 = pa.table({"src": [1, 2, 3, 4], "dst": [2, 3, 1, 1]})
+    r2 = {r["node"]: r for r in clustering_coefficients(e2).to_pylist()}
+    assert r2[4]["degree"] == 1 and r2[4]["lcc_ppm"] is None
+    assert r2[4]["triangles"] == 0
+    # dataset path + duplicate/reversed edges collapse
+    e3 = pa.table({"src": [1, 2, 2, 3, 1], "dst": [2, 1, 3, 2, 3]})
+    ds = ray.data.from_arrow(e3).repartition(2)
+    r3 = {r["node"]: r for r in clustering_coefficients(ds).take_all()}
+    assert all(r3[n]["triangles"] == 1 and r3[n]["lcc_ppm"] == 1_000_000
+               for n in (1, 2, 3))

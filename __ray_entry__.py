@@ -1398,6 +1398,56 @@ def _q_clustering(sf_dir):
     return clustering_coefficients(edges)
 
 
+def _q_km(sf_dir):
+    """Kaplan-Meier time-to-first-purchase per user cohort
+    (``evalmetrics.km_curve``): per-user durations with right-censoring at
+    the last observed event, then the product-limit curve in exact int64
+    micro-log-units (one mirrored ln + exp). Timestamps re-based to the
+    2024-01-01 epoch so min/max stay exact through the float64 agg path
+    (q_rfm lesson)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.evalmetrics import km_curve
+
+    EPOCH = 1_704_067_200_000_000  # 2024-01-01 in us
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.subtract(pc.cast(batch.column("ts"), pa.int64()),
+                         pa.scalar(EPOCH, pa.int64()))
+        is_p = pc.equal(batch.column("event_type"), "purchase")
+        pts = pc.if_else(is_p, ts, pa.nulls(batch.num_rows, pa.int64()))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "ts0": ts, "pts": pts})
+
+    prep.__name__ = "km_user_prep"
+    per_ev = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
+    per_user = groupby_agg(per_ev, "user_id",
+                           {"ts0": ["min", "max"], "pts": ["min"]})
+
+    def durations(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        t0 = pc.cast(batch.column("ts0_min"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        t1 = pc.cast(batch.column("ts0_max"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        fp = batch.column("pts_min")
+        has_p = pc.is_valid(fp).to_numpy(zero_copy_only=False)
+        fpv = pc.fill_null(pc.cast(fp, pa.int64(), safe=False), 0).to_numpy(zero_copy_only=False)
+        end = np.where(has_p, fpv, t1)
+        dur_s = (end - t0) // 1_000_000
+        return pa.table({
+            "cohort": pa.array(uid % np.int64(4)),
+            "dur_s": pa.array(dur_s),
+            "event": pa.array(has_p.astype(np.int64)),
+        })
+
+    durations.__name__ = "km_durations"
+    keyed = per_user.map_batches(durations, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+    out = km_curve(keyed, "cohort", "dur_s", "event")
+    return out.map_batches(_rounder(["survival"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5591,6 +5641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_containment": _q_containment,
         "q_cusum": _q_cusum,
         "q_clustering": _q_clustering,
+        "q_km": _q_km,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7660,6 +7711,35 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN deg.degree >= 2 THEN "
             "(2000000 * COALESCE(tri.triangles, 0)) // (deg.degree * (deg.degree - 1)) "
             "END AS lcc_ppm FROM deg LEFT JOIN tri USING (node)"
+        ),
+        "q_km": (
+            "WITH u AS (SELECT user_id, "
+            "MIN(epoch_us(ts)) - 1704067200000000 AS t0, "
+            "MAX(epoch_us(ts)) - 1704067200000000 AS t1, "
+            "MIN(CASE WHEN event_type = 'purchase' "
+            "THEN epoch_us(ts) - 1704067200000000 END) AS fp "
+            "FROM events GROUP BY user_id), "
+            "dur AS (SELECT user_id % 4 AS cohort, "
+            "(COALESCE(fp, t1) - t0) // 1000000 AS t, "
+            "CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
+            "cells AS (SELECT cohort, t, SUM(ev)::BIGINT AS d, "
+            "SUM(1 - ev)::BIGINT AS c FROM dur GROUP BY cohort, t), "
+            "risk AS (SELECT *, "
+            "SUM(d + c) OVER (PARTITION BY cohort)::BIGINT "
+            "- COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n "
+            "FROM cells), "
+            "mu AS (SELECT *, CASE WHEN d >= n THEN 0 ELSE "
+            "CAST(ROUND(1000000.0 * ln(CAST(n - d AS DOUBLE) / "
+            "CAST(n AS DOUBLE))) AS BIGINT) END AS term, "
+            "CASE WHEN d >= n THEN 1 ELSE 0 END AS ab FROM risk), "
+            "acc AS (SELECT *, SUM(term) OVER w AS cmu, SUM(ab) OVER w AS abc "
+            "FROM mu WINDOW w AS (PARTITION BY cohort ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT cohort, t, n, d, c, "
+            "CASE WHEN abc > 0 THEN NULL ELSE cmu END AS km_logmu, "
+            "ROUND(CASE WHEN abc > 0 THEN 0.0 "
+            "ELSE exp(cmu::DOUBLE / 1000000.0) END, 6) AS survival FROM acc"
         ),
         # q_bootstrap: hash constants shared with the engine (profile._BOOT_*)
         "q_bootstrap": _bootstrap_oracle_sql(),

@@ -331,6 +331,7 @@ _BENCH_QUERIES = [
     "q_containment",  # subset-duplicate containment pairs (exact recall)
     "q_cusum",  # exact-integer CUSUM drift statistic per entity
     "q_clustering",  # per-node local clustering coefficient (int ppm)
+    "q_km",  # Kaplan-Meier survival curve, micro-log-unit exact
 ]
 
 

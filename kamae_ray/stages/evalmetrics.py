@@ -678,3 +678,109 @@ def logloss_by_group(ds, group_cols, logit_col: str, label_col: str,
     if isinstance(agg, pa.Table):
         return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def km_curve(ds, group_cols, time_col: str, event_col: str):
+    """Kaplan–Meier survival curve per group — time-to-event analysis at
+    corpus scale (churn, time-to-purchase, document lifetime): one output
+    row per distinct (group, time) with the at-risk count ``n``, events
+    ``d``, censored ``c`` and the product-limit estimate
+
+        ``S(t) = prod_{t_i <= t} (1 - d_i / n_i)``
+
+    carried as ``km_logmu = cumsum(round(1e6 * ln((n-d)/n)))`` — each log
+    factor quantizes to exact int64 MICRO-units (the certified half-away
+    ROUND pair), so the cross-time accumulation is an order-free INTEGER
+    sum; ``survival = exp(km_logmu / 1e6)`` is one mirrored exp (pc.exp ==
+    DuckDB libm). Deterministic by construction (documented µ-precision KM
+    — factors are exact to 1e-6 in log space). Once a time absorbs everyone
+    at risk (d = n), ``survival`` is exactly 0.0 and ``km_logmu`` NULL from
+    that time on. ``time_col`` int64 durations; ``event_col`` 0/1 (0 =
+    censored). Null times/events are rejected.
+
+    Scale plan: ONE partial-agg groupby to (group, time) cells, then a
+    segment kernel over ONE sort of the cells (cells, never rows, move)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.window import sorted_block_apply
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def prep(block: pa.Table) -> pa.Table:
+        t = A.as_array(block.column(time_col))
+        ev = A.as_array(block.column(event_col))
+        if t.null_count or ev.null_count:
+            raise ValueError("km_curve requires non-null time and event")
+        y = pc.cast(ev, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        if len(y) and not np.isin(y, (0, 1)).all():
+            raise ValueError("km_curve event must be 0/1")
+        cols = {g: block.column(g) for g in group_cols}
+        cols["__t"] = pc.cast(t, pa.int64(), safe=False)
+        cols["__d"] = pa.array(y)
+        cols["__c"] = pa.array(1 - y)
+        return pa.table(cols)
+
+    prep.__name__ = "km_cells_prep"
+    tagged = prep(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    cells = groupby_agg(tagged, group_cols + ["__t"],
+                        {"__d": ["sum"], "__c": ["sum"]})
+
+    def fold(block: pa.Table) -> pa.Table:
+        base = {g: A.as_array(block.column(g)) for g in group_cols}
+        if block.num_rows == 0:
+            out = dict(base)
+            out["t"] = pa.array([], pa.int64())
+            for c in ("n", "d", "c"):
+                out[c] = pa.array([], pa.int64())
+            out["km_logmu"] = pa.array([], pa.int64())
+            out["survival"] = pa.array([], pa.float64())
+            return pa.table(out)
+        gids = S.group_ids(block, group_cols)
+        t = pc.cast(A.as_array(block.column("__t")), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        d = pc.cast(A.as_array(block.column("__d_sum")), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        c = pc.cast(A.as_array(block.column("__c_sum")), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, gids))
+        gs, ts, ds_, cs = gids[order], t[order], d[order], c[order]
+        starts, lens = S.segments(gs)
+        leave = ds_ + cs
+        cum = np.cumsum(leave)
+        base_off = cum[starts] - leave[starts]
+        left_before = (cum - leave) - np.repeat(base_off, lens)
+        tot = np.add.reduceat(leave, starts)
+        n_at_risk = np.repeat(tot, lens) - left_before
+        frac = (n_at_risk - ds_).astype(np.float64) / n_at_risk.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            ln = A.libm_log(frac)
+        absorbing = ds_ >= n_at_risk
+        mu = np.zeros(len(ts), np.int64)
+        fin = ~absorbing
+        if fin.any():
+            mu[fin] = pc.cast(pc.round(pa.array(ln[fin] * 1_000_000.0),
+                                       ndigits=0,
+                                       round_mode="half_towards_infinity"),
+                              pa.int64()).to_numpy(zero_copy_only=False)
+        cmu = np.cumsum(mu)
+        cmu = cmu - np.repeat(cmu[starts] - mu[starts], lens)
+        # absorbed at or after the first d == n row in the group
+        ab_cum = np.cumsum(absorbing.astype(np.int64))
+        ab_cum = ab_cum - np.repeat(
+            ab_cum[starts] - absorbing[starts].astype(np.int64), lens)
+        dead = ab_cum > 0
+        surv = np.where(dead, 0.0,
+                        pc.exp(pa.array(cmu.astype(np.float64) / 1_000_000.0))
+                        .to_numpy(zero_copy_only=False))
+        out = {g: base[g].take(pa.array(order)) for g in group_cols}
+        out["t"] = pa.array(ts)
+        out["n"] = pa.array(n_at_risk)
+        out["d"] = pa.array(ds_)
+        out["c"] = pa.array(cs)
+        out["km_logmu"] = pa.array(cmu, pa.int64(), mask=dead)
+        out["survival"] = pa.array(surv, pa.float64())
+        return pa.table(out)
+
+    if isinstance(cells, pa.Table):
+        return fold(cells)
+    return sorted_block_apply(cells, group_cols, fold, "km_fold")

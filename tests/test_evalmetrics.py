@@ -318,3 +318,46 @@ def test_logloss_by_group(ray_session):
     with pytest.raises(ValueError, match="z"):
         logloss_by_group(pa.table({"g": ["a"], "logit": [600], "y": [1]}),
                          "g", "logit", "y", 4)
+
+
+def test_km_curve(ray_session):
+    import math
+
+    import ray
+
+    from kamae_ray.stages.evalmetrics import km_curve
+
+    # classic hand case: times 1,2,2,3(c),4 in one group
+    t = pa.table({"g": ["x"] * 5,
+                  "t": [1, 2, 2, 3, 4],
+                  "e": [1, 1, 1, 0, 1]})
+    out = km_curve(t, "g", "t", "e")
+    rows = {r["t"]: r for r in out.to_pylist()}
+    # t=1: n=5 d=1 -> S=4/5; t=2: n=4 d=2 -> S=4/5*2/4; t=3 censored: S holds
+    assert rows[1]["n"] == 5 and rows[1]["d"] == 1
+    assert rows[2]["n"] == 4 and rows[2]["d"] == 2
+    assert rows[3]["n"] == 2 and rows[3]["d"] == 0 and rows[3]["c"] == 1
+
+    def mu(frac):
+        return math.floor(1e6 * math.log(frac) + 0.5) if math.log(frac) >= 0 \
+            else -math.floor(-1e6 * math.log(frac) + 0.5)
+
+    m1 = mu(4 / 5)
+    m2 = m1 + mu(2 / 4)
+    assert rows[1]["km_logmu"] == m1
+    assert rows[2]["km_logmu"] == m2 == rows[3]["km_logmu"]
+    assert abs(rows[2]["survival"] - math.exp(m2 / 1e6)) < 1e-12
+    # µ-precision tracks the true product within 1e-5
+    assert abs(rows[2]["survival"] - 0.4) < 1e-5
+    # absorption: last at-risk row dies -> survival exactly 0, logmu null
+    assert rows[4]["n"] == 1 and rows[4]["d"] == 1
+    assert rows[4]["survival"] == 0.0 and rows[4]["km_logmu"] is None
+    # dataset path identical
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = sorted((r["t"], r["n"], r["survival"])
+                 for r in km_curve(ds, "g", "t", "e").take_all())
+    exp = sorted((r["t"], r["n"], r["survival"]) for r in out.to_pylist())
+    assert got == exp
+    # validation
+    with pytest.raises(ValueError, match="0/1"):
+        km_curve(pa.table({"g": ["a"], "t": [1], "e": [3]}), "g", "t", "e")

@@ -1448,6 +1448,32 @@ def _q_km(sf_dir):
                            zero_copy_batch=True)
 
 
+def _q_quantile_norm(sf_dir):
+    """Quantile normalization across event types
+    (``aggregate.quantile_normalize``): each event's value cents mapped to
+    the global value at its within-type rank fraction — one group sort, one
+    bucketed global cumsum, one rank->value join; the target index is a
+    mirrored divide/multiply/FLOOR chain."""
+    from kamae_ray.stages.aggregate import quantile_normalize
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"),
+                                                     pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_id": batch.column("event_id"),
+                         "event_type": batch.column("event_type"),
+                         "cents": cents})
+
+    prep.__name__ = "qn_prep"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return quantile_normalize(keyed, "event_type", "cents", "event_id")
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5642,6 +5668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cusum": _q_cusum,
         "q_clustering": _q_clustering,
         "q_km": _q_km,
+        "q_quantile_norm": _q_quantile_norm,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7740,6 +7767,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN abc > 0 THEN NULL ELSE cmu END AS km_logmu, "
             "ROUND(CASE WHEN abc > 0 THEN 0.0 "
             "ELSE exp(cmu::DOUBLE / 1000000.0) END, 6) AS survival FROM acc"
+        ),
+        "q_quantile_norm": (
+            "WITH b AS (SELECT event_id, event_type, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE value IS NOT NULL), "
+            "tot AS (SELECT COUNT(*)::BIGINT AS n FROM b), "
+            "gr AS (SELECT event_id, event_type, cents, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY cents, event_id) - 1 AS r, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS ng FROM b), "
+            "gl AS (SELECT cents AS gv, "
+            "ROW_NUMBER() OVER (ORDER BY cents, event_id) - 1 AS rnk FROM b) "
+            "SELECT gr.event_id, gr.event_type, gr.cents, gl.gv AS cents_qn "
+            "FROM gr CROSS JOIN tot JOIN gl ON gl.rnk = "
+            "CASE WHEN gr.ng > 1 THEN CAST(FLOOR(CAST(gr.r AS DOUBLE) "
+            "/ CAST(gr.ng - 1 AS DOUBLE) * CAST(tot.n - 1 AS DOUBLE)) AS BIGINT) "
+            "ELSE 0 END"
         ),
         # q_bootstrap: hash constants shared with the engine (profile._BOOT_*)
         "q_bootstrap": _bootstrap_oracle_sql(),

@@ -332,6 +332,7 @@ _BENCH_QUERIES = [
     "q_cusum",  # exact-integer CUSUM drift statistic per entity
     "q_clustering",  # per-node local clustering coefficient (int ppm)
     "q_km",  # Kaplan-Meier survival curve, micro-log-unit exact
+    "q_quantile_norm",  # cross-group quantile normalization (rank join)
 ]
 
 

@@ -1961,3 +1961,91 @@ def global_percent_rank(ds, value_col: str, id_col: str, n_rows: int | None = No
         return finish(ranked)
     return ranked.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
+
+
+def quantile_normalize(ds, group_cols, value_col: str, id_col: str,
+                       n_rows: int | None = None, max_value: int = 1 << 27,
+                       max_id: int = 1 << 32, out_col: str | None = None):
+    """Quantile normalization across groups — map every row's value onto
+    the GLOBAL distribution's value at the row's within-group rank fraction
+    (the batch-effect/domain-shift alignment transform; sklearn
+    QuantileTransformer fit on the whole corpus, applied per group):
+
+        ``target = floor(r_g / (n_g - 1) * (N - 1))``  (0 when n_g == 1)
+        ``out    = global_value_at_rank(target)``
+
+    with ``r_g`` the 0-based (value, id) rank inside the group and the
+    global rank table built by :func:`global_percent_rank`'s bucketed
+    ``global_cumsum`` (no serial scan). The target expression is
+    integer-derived floats through divide/multiply/floor only — mirrored
+    exactly by ``FLOOR(r::DOUBLE / (ng-1)::DOUBLE * (N-1)::DOUBLE)``; the
+    output value is an actual data value (no arithmetic). Integer values in
+    [0, max_value), unique non-negative ids in [0, max_id).
+
+    Scale plan: ONE group sort (in-block rank kernel), the bucketed global
+    cumsum, and ONE equi-join of rows onto the O(N) rank->value table.
+    Output: input columns + ``{value_col}_qn``."""
+    from kamae_ray.stages.join import shuffle_join
+    from kamae_ray.stages.window import sorted_block_apply
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    out_name = out_col or f"{value_col}_qn"
+    if isinstance(ds, pa.Table):
+        n = ds.num_rows if n_rows is None else int(n_rows)
+    else:
+        n = ds.count() if n_rows is None else int(n_rows)
+        ds = ds.materialize()  # consumed twice (global ranks + group ranks)
+    ranked = global_percent_rank(ds, value_col, id_col, n_rows=n,
+                                 max_value=max_value, max_id=max_id)
+
+    def lookup_cols(block: pa.Table) -> pa.Table:
+        return pa.table({
+            "__tgt": pc.cast(block.column("rank"), pa.int64(), safe=False),
+            out_name: block.column(value_col),
+        })
+
+    lookup_cols.__name__ = "qn_rank_lookup"
+    lookup = lookup_cols(ranked) if isinstance(ranked, pa.Table) else \
+        ranked.map_batches(lookup_cols, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    nf = float(n - 1) if n > 1 else 0.0
+
+    def group_rank(block: pa.Table) -> pa.Table:
+        m = block.num_rows
+        if m == 0:
+            return block.append_column("__tgt", pa.array([], pa.int64()))
+        gids = S.group_ids(block, group_cols)
+        v = pc.cast(A.as_array(block.column(value_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        i = pc.cast(A.as_array(block.column(id_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, v, gids))
+        gs = gids[order]
+        starts, lens = S.segments(gs)
+        r = np.arange(m, dtype=np.int64) - np.repeat(starts, lens)
+        ng = np.repeat(lens, lens).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tgt_s = np.where(
+                ng > 1,
+                np.floor(r.astype(np.float64) / (ng - 1).astype(np.float64)
+                         * nf).astype(np.int64),
+                0)
+        tgt = np.empty(m, np.int64)
+        tgt[order] = tgt_s
+        return block.append_column("__tgt", pa.array(tgt))
+
+    out = sorted_block_apply(ds, group_cols, group_rank, "qn_group_rank") \
+        if not isinstance(ds, pa.Table) else group_rank(ds)
+    if isinstance(out, pa.Table):
+        lk = lookup if isinstance(lookup, pa.Table) else None
+        joined = out.join(lk, keys="__tgt", join_type="inner") \
+            .sort_by(id_col)
+        return joined.drop_columns(["__tgt"])
+    joined = shuffle_join(out, lookup, on="__tgt", how="inner")
+
+    def drop_tgt(block: pa.Table) -> pa.Table:
+        return block.drop_columns(["__tgt"])
+
+    drop_tgt.__name__ = "qn_finish"
+    return joined.map_batches(drop_tgt, batch_format="pyarrow",
+                              zero_copy_batch=True)

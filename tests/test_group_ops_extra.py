@@ -818,3 +818,41 @@ def test_welch_t_by_group(ray_session):
     ds = ray.data.from_arrow(t).repartition(4)
     out2 = welch_t_by_group(ds, "g", "c", "x", class_a="a", class_b="b")
     assert out2.to_pylist() == out.to_pylist()
+
+
+def test_quantile_normalize(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.aggregate import quantile_normalize
+
+    # two shifted groups map onto the same global ladder
+    rng = np.random.default_rng(13)
+    ga = rng.integers(0, 100, 60)
+    gb = rng.integers(500, 600, 40)
+    v = np.concatenate([ga, gb]).astype(np.int64)
+    ids = np.arange(100, dtype=np.int64)
+    g = ["a"] * 60 + ["b"] * 40
+    t = pa.table({"id": ids, "g": g, "v": v})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = {r["id"]: r["v_qn"] for r in
+           quantile_normalize(ds, "g", "v", "id").take_all()}
+    # naive reference
+    glob = sorted(zip(v.tolist(), ids.tolist()))
+    gvals = [x for x, _ in glob]
+    N = len(v)
+    for grp, size in (("a", 60), ("b", 40)):
+        sub = sorted((vv, ii) for vv, ii, gg in zip(v, ids, g) if gg == grp)
+        for r, (vv, ii) in enumerate(sub):
+            tgt = int(np.floor(np.float64(r) / np.float64(size - 1)
+                               * np.float64(N - 1)))
+            assert out[ii] == gvals[tgt], (grp, r, ii)
+    # min maps to global min, max to global max in both groups
+    amin = min(ii for vv, ii in zip(v, ids) if g[ii] == "a" and vv == ga.min())
+    assert out[amin] == min(v)
+    # singleton group -> global min
+    t2 = pa.table({"id": [0, 1, 2], "g": ["x", "y", "y"], "v": [50, 7, 9]})
+    o2 = {r["id"]: r["v_qn"] for r in
+          quantile_normalize(ray.data.from_arrow(t2), "g", "v", "id").take_all()}
+    assert o2[0] == 7  # rank fraction 0 -> global rank 0 value

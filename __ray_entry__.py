@@ -1474,6 +1474,34 @@ def _q_quantile_norm(sf_dir):
     return quantile_normalize(keyed, "event_type", "cents", "event_id")
 
 
+def _q_group_scale(sf_dir):
+    """Group-conditional z-score (``GroupedStandardScaleEstimator``): value
+    cents standardized within each event type — exact int64 power-sum fit
+    (mean/std bit-identical cross-engine), division-form transform, null
+    values stay null."""
+    from kamae_ray.stages import GroupedStandardScaleEstimator
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"),
+                                                     pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_id": batch.column("event_id"),
+                         "event_type": batch.column("event_type"),
+                         "cents": cents})
+
+    prep.__name__ = "group_scale_prep"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    tr = GroupedStandardScaleEstimator(
+        input_col="cents", group_col="event_type", output_col="z").fit(ds)
+    out = tr.transform(ds)
+    return out.map_batches(_rounder(["z"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5669,6 +5697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clustering": _q_clustering,
         "q_km": _q_km,
         "q_quantile_norm": _q_quantile_norm,
+        "q_group_scale": _q_group_scale,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7784,6 +7813,21 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN gr.ng > 1 THEN CAST(FLOOR(CAST(gr.r AS DOUBLE) "
             "/ CAST(gr.ng - 1 AS DOUBLE) * CAST(tot.n - 1 AS DOUBLE)) AS BIGINT) "
             "ELSE 0 END"
+        ),
+        "q_group_scale": (
+            "WITH b AS (SELECT event_id, event_type, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+            "c AS (SELECT event_type, COUNT(cents)::BIGINT AS n, "
+            "SUM(cents)::BIGINT AS sx, SUM(cents*cents)::BIGINT AS sxx "
+            "FROM b WHERE event_type IS NOT NULL GROUP BY event_type), "
+            "m AS (SELECT event_type, sx::DOUBLE / n AS mean, "
+            "sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE "
+            "/ (n::HUGEINT * n)::DOUBLE) AS std FROM c WHERE n > 0) "
+            "SELECT b.event_id, b.event_type, b.cents, "
+            "ROUND(CASE WHEN b.cents IS NULL THEN NULL "
+            "WHEN m.std = 0 THEN 0.0 "
+            "ELSE (b.cents::DOUBLE - m.mean) / m.std END, 6) AS z "
+            "FROM b LEFT JOIN m USING (event_type)"
         ),
         # q_bootstrap: hash constants shared with the engine (profile._BOOT_*)
         "q_bootstrap": _bootstrap_oracle_sql(),

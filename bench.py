@@ -333,6 +333,7 @@ _BENCH_QUERIES = [
     "q_clustering",  # per-node local clustering coefficient (int ppm)
     "q_km",  # Kaplan-Meier survival curve, micro-log-unit exact
     "q_quantile_norm",  # cross-group quantile normalization (rank join)
+    "q_group_scale",  # group-conditional z-score, exact power-sum fit
 ]
 
 

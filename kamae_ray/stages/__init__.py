@@ -99,6 +99,8 @@ from kamae_ray.stages.scalers import (  # noqa: F401
     StandardScaleEstimator,
     StandardScaleTransformer,
     WinsorizeEstimator,
+    GroupedStandardScaleEstimator,
+    GroupedStandardScaleTransformer,
 )
 from kamae_ray.stages.indexers import (  # noqa: F401
     OneHotEncodeEstimator,

@@ -800,3 +800,152 @@ def _table_quantile_cont(t: pa.Table, col: str, q: float) -> float:
     lo = int(np.floor(pos))
     hi = min(lo + 1, len(v) - 1)
     return float(v[lo] + (v[hi] - v[lo]) * (pos - lo))
+
+
+class GroupedStandardScaleTransformer(Transformer):
+    """Group-conditional z-score: ``(x - mean_g) / std_g`` with the fitted
+    PER-GROUP population moments (unseen/null groups -> the global
+    fallback; zero-std groups -> 0.0, the StandardScale convention; null
+    values stay null). The division form is mirrored verbatim in SQL —
+    never the multiply-by-reciprocal form (1 ULP apart)."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, group_col: str, groups: Sequence,
+                 means: Sequence[float], stds: Sequence[float],
+                 default_mean: float, default_std: float, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.group_col = group_col
+        self.groups = list(groups)
+        self.means = [float(m) for m in means]
+        self.stds = [float(s) for s in stds]
+        self.default_mean = float(default_mean)
+        self.default_std = float(default_std)
+        self._cached = None
+
+    def get_params(self):
+        p = super().get_params()
+        p.pop("_cached", None)
+        return p
+
+    @property
+    def state_size_hint(self) -> int:
+        return len(self.groups)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        # getattr guard: survives the __new__-based _load_stages rebuild
+        if getattr(self, "_cached", None) is None:
+            self._cached = (
+                pa.array(self.groups),
+                np.asarray(self.means + [self.default_mean], np.float64),
+                np.asarray(self.stds + [self.default_std], np.float64),
+            )
+        gkeys, means, stds = self._cached
+        xarr = A.as_array(batch.column(self.input_col))
+        x, mask = A.to_numpy(pc.cast(xarr, pa.float64(), safe=False))
+        g = A.as_array(batch.column(self.group_col))
+        if len(gkeys):
+            pos = pc.index_in(pc.cast(g, gkeys.type, safe=False), value_set=gkeys)
+            pos = pc.fill_null(pos, len(means) - 1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            pos = np.full(batch.num_rows, 0, np.int64)
+            means = np.asarray([self.default_mean])
+            stds = np.asarray([self.default_std])
+        m, s = means[pos], stds[pos]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(s == 0, 0.0, (x - m) / np.where(s == 0, 1.0, s))
+        isnull = np.zeros(batch.num_rows, bool) if mask is None else mask
+        col = pa.array(out, pa.float64(), mask=isnull)
+        return _append_or_replace(batch, self.output_col, self._cast_out(col))
+
+
+class GroupedStandardScaleEstimator(Estimator):
+    """Fit per-group population mean/std over an INTEGER column (exact
+    int64 power sums: mean = sx/n, var = (n*sxx - sx^2)/n^2 — the
+    q_moments family, arbitrary-precision numerator fold, so the fitted
+    moments and the transform are bit-identical to the SQL mirror) plus the
+    global fallback over all fitted rows; build
+    :class:`GroupedStandardScaleTransformer`. State is O(groups)."""
+
+    def __init__(self, *args, group_col: str, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.group_col = group_col
+
+    def fit(self, ds) -> GroupedStandardScaleTransformer:
+        from kamae_ray.base import collect_tables
+        from kamae_ray.stages.aggregate import groupby_agg
+
+        ds = self._maybe_sample(ds)
+        col, grp = self.input_col, self.group_col
+
+        def add_sq(block: pa.Table) -> pa.Table:
+            x = A.as_array(block.column(col))
+            if not pa.types.is_integer(x.type):
+                raise ValueError(
+                    "GroupedStandardScale requires an integer input column "
+                    "(exact cross-engine moments) — quantize first")
+            xv = pc.cast(x, pa.int64(), safe=False)
+            xn = pc.fill_null(xv, 0).to_numpy(zero_copy_only=False)
+            if len(xn) and int(np.abs(xn).max()) >= (1 << 31):
+                raise ValueError("values must fit 31 bits (x^2 exactness)")
+            sq = pc.multiply_checked(xv, xv)
+            return pa.table({grp: block.column(grp), col: xv, "__sq": sq})
+
+        add_sq.__name__ = "grouped_scale_sq"
+        if isinstance(ds, pa.Table):
+            stats = groupby_agg(add_sq(ds), grp, {col: ["sum", "count"],
+                                                  "__sq": ["sum"]})
+        else:
+            tagged = ds.map_batches(add_sq, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=None)
+            parts = [t for t in collect_tables(
+                groupby_agg(tagged, grp, {col: ["sum", "count"], "__sq": ["sum"]}))
+                if t.num_rows]
+            stats = pa.concat_tables(parts) if parts else None
+        groups, means, stds = [], [], []
+        tot_n = tot_sx = tot_sxx = 0
+        if stats is not None and stats.num_rows:
+            garr = A.as_array(stats.column(grp))
+            keep = pc.is_valid(garr).to_numpy(zero_copy_only=False)
+            sx = pc.cast(stats.column(f"{col}_sum"), pa.int64(), safe=False) \
+                .to_numpy(zero_copy_only=False)
+            n = pc.cast(stats.column(f"{col}_count"), pa.int64(), safe=False) \
+                .to_numpy(zero_copy_only=False)
+            sxx = pc.cast(stats.column("__sq_sum"), pa.int64(), safe=False) \
+                .to_numpy(zero_copy_only=False)
+            if len(sxx) and int(np.abs(sxx).max()) >= (1 << 53):
+                raise ValueError("GroupedStandardScale sums exceed exact "
+                                 "float64 range — fit on a sample")
+            glist = garr.to_pylist()
+            rows = sorted(
+                (i for i in range(len(glist)) if keep[i] and n[i] > 0),
+                key=lambda i: str(glist[i]))
+            for i in rows:
+                ni, sxi, sxxi = int(n[i]), int(sx[i]), int(sxx[i])
+                groups.append(glist[i])
+                means.append(sxi / ni)
+                stds.append(float(np.sqrt(float(ni * sxxi - sxi * sxi)
+                                          / float(ni * ni))))
+                tot_n += ni
+                tot_sx += sxi
+                tot_sxx += sxxi
+        if tot_n:
+            dmean = tot_sx / tot_n
+            dstd = float(np.sqrt(float(tot_n * tot_sxx - tot_sx * tot_sx)
+                                 / float(tot_n * tot_n)))
+        else:
+            dmean, dstd = 0.0, 0.0
+        return GroupedStandardScaleTransformer(
+            input_col=self.input_col,
+            output_col=self.output_col,
+            input_dtype=self.input_dtype,
+            output_dtype=self.output_dtype,
+            layer_name=self.layer_name,
+            group_col=self.group_col,
+            groups=groups,
+            means=means,
+            stds=stds,
+            default_mean=dmean,
+            default_std=dstd,
+        )

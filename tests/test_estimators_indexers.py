@@ -437,3 +437,40 @@ def test_woe_iv_table(ray_session):
     import pytest
     with pytest.raises(ValueError, match="binary"):
         woe_iv_table(pa.table({"c": ["a"], "y": [2]}), "c", "y")
+
+
+def test_grouped_standard_scale(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages import GroupedStandardScaleEstimator
+
+    t = pa.table({"g": ["a", "a", "a", "b", "b", None],
+                  "x": pa.array([1, 2, 3, 10, 10, 7], pa.int64())})
+    tr = GroupedStandardScaleEstimator(input_col="x", group_col="g",
+                                       output_col="z").fit(t)
+    out = tr.transform(t).column("z").to_pylist()
+    ma, sa = 2.0, np.sqrt((3 * 14 - 36) / 9)  # group a: 1,2,3
+    assert abs(out[0] - (1 - ma) / sa) < 1e-15
+    assert out[4] == 0.0  # zero-std group b
+    # null group -> GLOBAL fallback over fitted rows (a+b)
+    tot_n, tot_sx, tot_sxx = 5, 26, 214
+    gm = tot_sx / tot_n
+    gs = np.sqrt((tot_n * tot_sxx - tot_sx**2) / tot_n**2)
+    assert abs(out[5] - (7 - gm) / gs) < 1e-15
+    # null value -> null
+    t2 = pa.table({"g": ["a", "a"], "x": pa.array([1, None], pa.int64())})
+    tr2 = GroupedStandardScaleEstimator(input_col="x", group_col="g",
+                                        output_col="z").fit(t2)
+    assert tr2.transform(t2).column("z").to_pylist()[1] is None
+    # dataset fit identical; float input rejected
+    ds = ray.data.from_arrow(t).repartition(3)
+    tr3 = GroupedStandardScaleEstimator(input_col="x", group_col="g",
+                                        output_col="z").fit(ds)
+    assert (tr3.groups, tr3.means, tr3.stds) == (tr.groups, tr.means, tr.stds)
+    import pytest
+    with pytest.raises(ValueError, match="integer"):
+        GroupedStandardScaleEstimator(input_col="f", group_col="g",
+                                      output_col="z").fit(
+            pa.table({"g": ["a"], "f": [1.5]}))

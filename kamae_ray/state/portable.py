@@ -176,6 +176,14 @@ def _spec_of_inner(stage, t, E, I, Sc, St, ref):
                 "groups": ref(np.asarray([str(g) for g in stage.groups], dtype=object)),
                 "values": ref(np.asarray(stage.values, np.float64)),
                 "default_value": float(stage.default_value)}
+    if t is Sc.GroupedStandardScaleTransformer:
+        return {"op": "grouped_standard_scale", "input": stage.input_col,
+                "group": stage.group_col, "output": stage.output_col,
+                "groups": ref(np.asarray([str(g) for g in stage.groups], dtype=object)),
+                "means": ref(np.asarray(stage.means, np.float64)),
+                "stds": ref(np.asarray(stage.stds, np.float64)),
+                "default_mean": float(stage.default_mean),
+                "default_std": float(stage.default_std)}
     if t is Sc.GroupedBucketizeTransformer:
         flat = np.asarray([x for s in stage.splits_per_group for x in s], np.float64)
         offs = np.cumsum([0] + [len(s) for s in stage.splits_per_group]).astype(np.int64)
@@ -637,6 +645,28 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
             fill = fillv[pos.astype(np.int64)]
             out = pc.if_else(pc.is_valid(x), x, pa.array(fill, pa.float64()))
             table = emit(table, op["output"], out)
+        elif kind == "grouped_standard_scale":
+            x = pc.cast(inp(op["input"]), pa.float64(), safe=False)
+            x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+            g = pc.cast(inp(op["group"]), pa.string(), safe=False)
+            g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+            gk = pa.array(arrays[op["groups"]].astype(str))
+            means = np.append(arrays[op["means"]].astype(np.float64),
+                              float(op["default_mean"]))
+            stds = np.append(arrays[op["stds"]].astype(np.float64),
+                             float(op["default_std"]))
+            pos = pc.fill_null(pc.index_in(g, value_set=gk),
+                               len(means) - 1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            xv = x.to_numpy(zero_copy_only=False)
+            nulls = pc.is_null(x).to_numpy(zero_copy_only=False)
+            m, s = means[pos], stds[pos]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(s == 0, 0.0,
+                               (np.where(nulls, 0.0, xv) - m)
+                               / np.where(s == 0, 1.0, s))
+            table = emit(table, op["output"],
+                         pa.array(out, pa.float64(), mask=nulls))
         elif kind == "grouped_bucketize":
             x = pc.cast(inp(op["input"]), pa.float64(), safe=False)
             x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
@@ -929,6 +959,7 @@ PORTABLE_CLASSES = frozenset({
     "FeatureCrossTransformer",
     "RareLabelTransformer",
     "GroupedImputeTransformer",
+    "GroupedStandardScaleTransformer",
     "GroupedBucketizeTransformer",
     "LogTransformer",
     "AbsoluteValueTransformer",

@@ -625,3 +625,32 @@ def test_portable_covers_session3_encoders(tmp_path):
     got = apply_portable(path, t)
     for c in ("cross", "cross_f", "a_cap", "v_fill", "v_bkt"):
         assert got.column(c).to_pylist() == ref.column(c).to_pylist(), c
+
+
+def test_portable_grouped_standard_scale(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.stages import GroupedStandardScaleEstimator
+    from kamae_ray.state.portable import apply_portable, export_portable
+
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "g": rng.choice(["p", "q", "r"], 300).tolist(),
+        "x": pa.array([None if rng.random() < 0.1 else int(v)
+                       for v in rng.integers(-500, 500, 300)], pa.int64()),
+    })
+    pm = Pipeline([
+        GroupedStandardScaleEstimator(input_col="x", group_col="g",
+                                      output_col="z"),
+    ]).fit(t)
+    ref = pm.transform(t)
+    path = str(tmp_path / "art")
+    export_portable(pm, path)
+    got = apply_portable(path, t)
+    assert got.column("z").to_pylist() == ref.column("z").to_pylist()
+    # unseen group at serve time takes the global fallback, identically
+    t2 = pa.table({"g": ["NEW", "p"], "x": pa.array([10, 10], pa.int64())})
+    assert apply_portable(path, t2).column("z").to_pylist() == \
+        pm.transform(t2).column("z").to_pylist()

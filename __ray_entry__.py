@@ -1502,6 +1502,35 @@ def _q_group_scale(sf_dir):
                            zero_copy_batch=True)
 
 
+def _q_prompts(sf_dir):
+    """Structured-to-text prompt rendering (``text.render_grouped_text``):
+    each user's time-ordered event log serialized into one training
+    document — string_agg ORDER BY semantics over a unique composite order
+    key, vectorized Arrow binary_join."""
+    from kamae_ray.stages.text import render_grouped_text
+
+    EPOCH = 1_704_067_200_000_000
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        secs = pc.divide(pc.subtract(ts, pa.scalar(EPOCH, pa.int64())),
+                         pa.scalar(1_000_000, pa.int64()))
+        line = pc.binary_join_element_wise(
+            batch.column("event_type"), pc.cast(secs, pa.string()), "@")
+        okey = pc.add(pc.multiply(pc.subtract(ts, pa.scalar(EPOCH, pa.int64())),
+                                  pa.scalar(1 << 20, pa.int64())),
+                      pc.cast(batch.column("event_id"), pa.int64()))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "line": line, "okey": okey})
+
+    prep.__name__ = "prompt_lines"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return render_grouped_text(keyed, "user_id", "line", "okey", sep="; ",
+                               out_col="history")
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5698,6 +5727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_km": _q_km,
         "q_quantile_norm": _q_quantile_norm,
         "q_group_scale": _q_group_scale,
+        "q_prompts": _q_prompts,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7828,6 +7858,15 @@ def oracle_sql() -> dict[str, str]:
             "WHEN m.std = 0 THEN 0.0 "
             "ELSE (b.cents::DOUBLE - m.mean) / m.std END, 6) AS z "
             "FROM b LEFT JOIN m USING (event_type)"
+        ),
+        "q_prompts": (
+            "WITH b AS (SELECT user_id, "
+            "event_type || '@' || CAST((epoch_us(ts) - 1704067200000000) "
+            "// 1000000 AS VARCHAR) AS line, "
+            "(epoch_us(ts) - 1704067200000000) * 1048576 + event_id AS okey "
+            "FROM events WHERE event_type IS NOT NULL) "
+            "SELECT user_id, string_agg(line, '; ' ORDER BY okey) AS history, "
+            "COUNT(*)::BIGINT AS n_lines FROM b GROUP BY user_id"
         ),
         # q_bootstrap: hash constants shared with the engine (profile._BOOT_*)
         "q_bootstrap": _bootstrap_oracle_sql(),

@@ -334,6 +334,7 @@ _BENCH_QUERIES = [
     "q_km",  # Kaplan-Meier survival curve, micro-log-unit exact
     "q_quantile_norm",  # cross-group quantile normalization (rank join)
     "q_group_scale",  # group-conditional z-score, exact power-sum fit
+    "q_prompts",  # structured-to-text prompt rendering (string_agg)
 ]
 
 

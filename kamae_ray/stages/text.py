@@ -947,3 +947,49 @@ def char_diversity_oracle_sql(table: str, id_col: str, text_col: str, out: str) 
         f"(CASE WHEN COALESCE(s.s2, 0) = 0 THEN 0 ELSE (s.n * s.n * 1000000) // s.s2 END)::BIGINT AS {out}_ppm "
         f"FROM {table} d LEFT JOIN s USING ({id_col})"
     )
+
+
+def render_grouped_text(ds, group_cols, line_col: str, order_col: str,
+                        sep: str = "\n", out_col: str = "rendered"):
+    """Render each group's ordered lines into ONE text document — the
+    structured-to-text serialization step of LLM training-data pipelines
+    (user history -> prompt document, table rows -> document corpus): SQL
+    ``string_agg(line, sep ORDER BY order_col)``.
+
+    Deterministic only under a UNIQUE in-group order key (same contract as
+    :func:`~kamae_ray.stages.aggregate.groupby_collect`, which provides the
+    one sort-shuffle); the join itself is a vectorized Arrow
+    ``binary_join`` over list offsets — no per-group Python. Null lines are
+    dropped before collecting (string_agg semantics). Output: group
+    columns + ``out_col`` + ``n_lines`` (int64).
+
+    Scale plan: ONE key sort + block kernel; a group's document must fit in
+    a block (the listwise contract)."""
+    from kamae_ray.stages.aggregate import groupby_collect
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def drop_null_lines(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column(line_col)))
+
+    drop_null_lines.__name__ = "render_drop_null_lines"
+    src = drop_null_lines(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        drop_null_lines, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+    collected = groupby_collect(src, group_cols, line_col,
+                                order_col=order_col, out_col="__lines")
+
+    def join_lines(batch: pa.Table) -> pa.Table:
+        lists = A.as_array(batch.column("__lines"))
+        joined = pc.binary_join(lists, sep)
+        n = pc.list_value_length(lists)
+        cols = {g: batch.column(g) for g in group_cols}
+        cols[out_col] = joined
+        cols["n_lines"] = pc.cast(n, pa.int64())
+        return pa.table(cols)
+
+    join_lines.__name__ = "render_join_lines"
+    if isinstance(collected, pa.Table):
+        return join_lines(collected)
+    return collected.map_batches(join_lines, batch_format="pyarrow",
+                                 zero_copy_batch=True)

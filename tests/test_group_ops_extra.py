@@ -856,3 +856,26 @@ def test_quantile_normalize(ray_session):
     o2 = {r["id"]: r["v_qn"] for r in
           quantile_normalize(ray.data.from_arrow(t2), "g", "v", "id").take_all()}
     assert o2[0] == 7  # rank fraction 0 -> global rank 0 value
+
+
+def test_render_grouped_text(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.text import render_grouped_text
+
+    t = pa.table({
+        "g": ["a", "a", "b", "a", "b"],
+        "line": ["x", None, "p", "y", "q"],
+        "o": [2, 1, 9, 1, 3],
+    })
+    out = render_grouped_text(t, "g", "line", "o", sep="|", out_col="doc")
+    rows = {r["g"]: (r["doc"], r["n_lines"]) for r in out.to_pylist()}
+    # null line dropped; order by o: a -> y(1), x(2); b -> q(3), p(9)
+    assert rows == {"a": ("y|x", 2), "b": ("q|p", 2)}
+    # dataset path identical
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = {r["g"]: (r["doc"], r["n_lines"])
+           for r in render_grouped_text(ds, "g", "line", "o", sep="|",
+                                        out_col="doc").take_all()}
+    assert got == rows

@@ -1531,6 +1531,68 @@ def _q_prompts(sf_dir):
                                out_col="history")
 
 
+def _q_rebalance(sf_dir):
+    """Deterministic class rebalancing (``packing.rebalance_classes``):
+    order statuses hash-thinned to the minority count — the q_negatives
+    Knuth-hash keep rule, HUGEINT-mirrored, corpus never shuffles."""
+    from kamae_ray.pipelines.packing import rebalance_classes
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    return rebalance_classes(ds, "o_orderstatus", "o_orderkey", salt=3)
+
+
+def _rebalance_oracle_sql() -> str:
+    from kamae_ray.pipelines.packing import _NS_P
+
+    return (
+        "WITH c AS (SELECT o_orderstatus AS cl, COUNT(*)::BIGINT AS n "
+        "FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY cl), "
+        "m AS (SELECT MIN(n)::HUGEINT AS n_min FROM c) "
+        "SELECT o.o_orderkey, o.o_orderstatus FROM orders o "
+        "JOIN c ON c.cl = o.o_orderstatus CROSS JOIN m "
+        f"WHERE (((o.o_orderkey::HUGEINT + 3) * {_NS_P}) "
+        "% 18446744073709551616) % c.n < m.n_min"
+    )
+
+
+def _q_nucleus(sf_dir):
+    """Top-p vocabulary truncation per language
+    (``aggregate.nucleus_filter``): corpus word counts cut to the smallest
+    highest-count set covering 80% of each language's token mass — pure
+    int64 exclusive-prefix rule under (count DESC, word ASC)."""
+    from kamae_ray.stages.aggregate import groupby_agg, nucleus_filter
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column("lang")),
+                                     pc.is_valid(batch.column("text"))))
+        split = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
+        split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        lang = A_langrep = batch.column("lang").to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(split)
+        rep = pa.array(np.repeat(A_langrep, lens))
+        t = pa.table({"lang": rep, "word": flat,
+                      "__one": pa.array(np.ones(len(flat), np.int64))})
+        return t.filter(pc.greater(pc.utf8_length(t.column("word")), 0))
+
+    words.__name__ = "nucleus_words"
+    wc = groupby_agg(docs.map_batches(words, batch_format="pyarrow",
+                                      zero_copy_batch=True, batch_size=None),
+                     ["lang", "word"], {"__one": ["count"]})
+
+    def cnt_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch.column("lang"),
+                         "word": batch.column("word"),
+                         "cnt": pc.cast(batch.column("__one_count"),
+                                        pa.int64(), safe=False)})
+
+    cnt_col.__name__ = "nucleus_counts"
+    wc = wc.map_batches(cnt_col, batch_format="pyarrow", zero_copy_batch=True)
+    return nucleus_filter(wc, "lang", "cnt", "word", p_ppm=800_000)
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5728,6 +5790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantile_norm": _q_quantile_norm,
         "q_group_scale": _q_group_scale,
         "q_prompts": _q_prompts,
+        "q_rebalance": _q_rebalance,
+        "q_nucleus": _q_nucleus,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7872,6 +7936,21 @@ def oracle_sql() -> dict[str, str]:
         "q_bootstrap": _bootstrap_oracle_sql(),
         # q_benford: nine chi2 terms generated from the shared Benford probs
         "q_benford": _benford_oracle_sql(),
+        "q_nucleus": (
+            r"WITH w AS (SELECT lang, unnest(list_filter("
+            r"string_split_regex(text, '\s+'), x -> length(x) > 0)) AS word "
+            "FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL), "
+            "c AS (SELECT lang, word, COUNT(*)::BIGINT AS cnt "
+            "FROM w GROUP BY lang, word), "
+            "r AS (SELECT *, SUM(cnt) OVER (PARTITION BY lang "
+            "ORDER BY cnt DESC, word ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) - cnt AS excl, "
+            "SUM(cnt) OVER (PARTITION BY lang) AS tot FROM c) "
+            "SELECT lang, word, cnt FROM r "
+            "WHERE 1000000 * excl < 800000 * tot"
+        ),
+        # q_rebalance: Knuth-hash keep rule shared with the engine
+        "q_rebalance": _rebalance_oracle_sql(),
         # q_cv_encode: fold hash + OOF means generated from shared constants
         "q_cv_encode": _cv_encode_oracle_sql(),
         # q_eval_chain: logit CTE generated from the shared weights

@@ -335,6 +335,8 @@ _BENCH_QUERIES = [
     "q_quantile_norm",  # cross-group quantile normalization (rank join)
     "q_group_scale",  # group-conditional z-score, exact power-sum fit
     "q_prompts",  # structured-to-text prompt rendering (string_agg)
+    "q_rebalance",  # deterministic hash class rebalancing
+    "q_nucleus",  # top-p vocabulary truncation per group
 ]
 
 

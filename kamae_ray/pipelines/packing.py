@@ -269,3 +269,81 @@ def stratified_kfold(ds, stratum_cols, id_col: str, k: int, salt: int = 0,
     if isinstance(ds, pa.Table):
         return kern(ds)
     return sorted_block_apply(ds, stratum_cols, kern, "kfold_assign")
+
+
+def rebalance_classes(ds, class_col: str, id_col: str, salt: int = 0,
+                      max_classes: int = 100_000):
+    """Deterministic majority-class downsampling — equalize class sizes to
+    the minority count without resampling randomness: a row survives iff
+
+        ``((id + salt) * P mod 2^64) mod n_class < n_min``
+
+    (the q_negatives hash construction — a pure function of (id, salt) and
+    the class counts, stable across partitions/cluster sizes and
+    HUGEINT-mirrorable). Expected kept per class = n_min (exact in
+    distribution; the rule is the standard hash-thinning used for
+    class-balanced corpus sampling). Null classes are dropped. Ids
+    non-negative ints.
+
+    Scale plan: ONE partial-agg groupby for the O(classes) count table
+    (driver-held, guarded by ``max_classes``), then a stateless broadcast
+    filter map — the corpus never shuffles."""
+    import pyarrow.compute as pc
+
+    from kamae_ray.base import collect_tables
+    from kamae_ray.functions import arrays as A
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({class_col: batch.column(class_col),
+                         "__one": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    ones.__name__ = "rebalance_ones"
+    if isinstance(ds, pa.Table):
+        cells = groupby_agg(ones(ds), class_col, {"__one": ["count"]})
+    else:
+        parts = [t for t in collect_tables(groupby_agg(
+            ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None),
+            class_col, {"__one": ["count"]})) if t.num_rows]
+        cells = pa.concat_tables(parts) if parts else pa.table(
+            {class_col: pa.array([], pa.string()),
+             "__one_count": pa.array([], pa.int64())})
+    if cells.num_rows > max_classes:
+        raise ValueError(f"rebalance_classes saw {cells.num_rows} classes "
+                         f"(> max_classes={max_classes})")
+    carr = A.as_array(cells.column(class_col))
+    keep = pc.is_valid(carr).to_numpy(zero_copy_only=False)
+    counts = pc.cast(cells.column("__one_count"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)[keep]
+    classes = carr.filter(pa.array(keep))
+    n_min = int(counts.min()) if len(counts) else 0
+
+    def thin(batch: pa.Table) -> pa.Table:
+        cl = A.as_array(batch.column(class_col))
+        valid = pc.is_valid(cl)
+        batch = batch.filter(valid)
+        cl = A.as_array(batch.column(class_col))
+        ids = pc.cast(A.as_array(batch.column(id_col)), pa.int64(),
+                      safe=False).to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("rebalance_classes ids must be non-negative")
+        d = cl.dictionary_encode()
+        dvals = pc.cast(d.dictionary, classes.type, safe=False) if len(classes) \
+            else d.dictionary
+        pos = pc.index_in(dvals, value_set=classes) if len(classes) else \
+            pa.nulls(len(dvals), pa.int32())
+        pos = pc.fill_null(pos, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.fill_null(d.indices, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rci = pos[idx] if len(pos) else np.full(len(ids), -1, np.int64)
+        ng = np.where(rci >= 0, counts[np.maximum(rci, 0)] if len(counts) else 1, 1)
+        h = (ids.astype(np.uint64) + np.uint64(salt)) * np.uint64(_NS_P)
+        keep_row = (h % ng.astype(np.uint64)).astype(np.int64) < n_min
+        keep_row &= rci >= 0
+        return batch.filter(pa.array(keep_row))
+
+    thin.__name__ = "rebalance_thin"
+    if isinstance(ds, pa.Table):
+        return thin(ds)
+    return ds.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)

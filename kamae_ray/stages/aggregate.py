@@ -2049,3 +2049,59 @@ def quantile_normalize(ds, group_cols, value_col: str, id_col: str,
     drop_tgt.__name__ = "qn_finish"
     return joined.map_batches(drop_tgt, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def nucleus_filter(ds, group_cols, weight_col: str, item_col: str,
+                   p_ppm: int = 900_000):
+    """Top-p (nucleus) truncation per group — keep the smallest
+    highest-weight item set whose mass reaches ``p_ppm/1e6`` of the group
+    total (vocabulary truncation, nucleus sampling support sets, long-tail
+    pruning): under ``(weight DESC, item ASC)`` order a row survives iff
+
+        ``1_000_000 * cum_before < p_ppm * total``
+
+    — a pure int64 rule on exact integer weights (exclusive prefix sums;
+    the boundary-crossing row is kept, everything after it cut). Rows with
+    NULL weight or item are dropped (mirror with WHERE). Output: the
+    surviving input rows unchanged.
+
+    Scale plan: ONE sort-shuffle on the group key, then a segmented
+    cumsum/filter kernel."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not (0 < p_ppm <= 1_000_000):
+        raise ValueError("p_ppm must be in (0, 1e6]")
+
+    def kern(block: pa.Table) -> pa.Table:
+        keep0 = pc.and_(pc.is_valid(A.as_array(block.column(weight_col))),
+                        pc.is_valid(A.as_array(block.column(item_col))))
+        block = block.filter(keep0)
+        n = block.num_rows
+        if n == 0:
+            return block
+        gids = S.group_ids(block, group_cols)
+        w = pc.cast(A.as_array(block.column(weight_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        if w.min() < 0:
+            raise ValueError("nucleus_filter weights must be >= 0")
+        it = A.as_array(block.column(item_col))
+        # item tiebreak via rank (any total order type), weight descending
+        itr = pc.rank(it, sort_keys="ascending").to_numpy(zero_copy_only=False)
+        order = np.lexsort((itr, -w, gids))
+        gs, ws = gids[order], w[order]
+        starts, lens = S.segments(gs)
+        tot = np.add.reduceat(ws, starts)
+        if len(tot) and int(tot.max()) >= 2**63 // 1_000_000:
+            raise ValueError("nucleus_filter group weight exceeds the exact "
+                             "int64 rule range — rescale weights")
+        cum = np.cumsum(ws)
+        excl = (cum - ws) - np.repeat(cum[starts] - ws[starts], lens)
+        keep_s = 1_000_000 * excl < p_ppm * np.repeat(tot, lens)
+        keep = np.zeros(n, bool)
+        keep[order] = keep_s
+        return block.filter(pa.array(keep))
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    return sorted_block_apply(ds, group_cols, kern, "nucleus_filter")

@@ -879,3 +879,59 @@ def test_render_grouped_text(ray_session):
            for r in render_grouped_text(ds, "g", "line", "o", sep="|",
                                         out_col="doc").take_all()}
     assert got == rows
+
+
+def test_nucleus_filter(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.aggregate import nucleus_filter
+
+    # group a: weights 50,30,15,5 -> p=0.8: excl prefixes 0,50,80,95;
+    # keep while excl < 80 -> first two; the crossing row (excl=80) is CUT
+    # because 80 < 80 is false... boundary: keep iff 1e6*excl < p*tot
+    t = pa.table({"g": ["a"] * 4 + ["b"] * 2,
+                  "item": ["w", "x", "y", "z", "p", "q"],
+                  "wt": [50, 30, 15, 5, 1, 1]})
+    out = nucleus_filter(t, "g", "wt", "item", p_ppm=800_000)
+    got = sorted((r["g"], r["item"]) for r in out.to_pylist())
+    # a: tot=100; excl(w)=0<80 keep, excl(x)=50<80 keep, excl(y)=80 !<80 cut
+    # b: tot=2; excl(p)=0<1.6 keep, excl(q)=1*1e6 < 0.8*2e6 keep (ties by item)
+    assert got == [("a", "w"), ("a", "x"), ("b", "p"), ("b", "q")]
+    # tie handling: equal weights ordered by item rank
+    t2 = pa.table({"g": ["a"] * 3, "item": ["c", "b", "a"], "wt": [1, 1, 1]})
+    o2 = sorted(r["item"] for r in
+                nucleus_filter(t2, "g", "wt", "item", p_ppm=600_000).to_pylist())
+    assert o2 == ["a", "b"]  # excl: a=0, b=1e6<1.8e6, c=2e6 cut
+    # dataset path identical
+    ds = ray.data.from_arrow(t).repartition(2)
+    got_ds = sorted((r["g"], r["item"]) for r in
+                    nucleus_filter(ds, "g", "wt", "item", 800_000).take_all())
+    assert got_ds == got
+
+
+def test_rebalance_classes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.packing import _NS_P, rebalance_classes
+
+    ids = np.arange(300, dtype=np.int64)
+    cls = ["maj"] * 250 + ["min"] * 50
+    t = pa.table({"id": ids, "c": cls})
+    out = rebalance_classes(t, "c", "id", salt=1)
+    rows = out.to_pylist()
+    # exact keep rule per row
+    for r in rows:
+        n_cl = 250 if r["c"] == "maj" else 50
+        h = ((int(r["id"]) + 1) * _NS_P) % 2**64
+        assert h % n_cl < 50
+    kept_maj = sum(1 for r in rows if r["c"] == "maj")
+    kept_min = sum(1 for r in rows if r["c"] == "min")
+    assert kept_min == 50  # minority class fully kept
+    assert 20 <= kept_maj <= 90  # expected ~50
+    # dataset path identical
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = sorted(r["id"] for r in rebalance_classes(ds, "c", "id", salt=1).take_all())
+    assert got == sorted(r["id"] for r in rows)

@@ -1593,6 +1593,87 @@ def _q_nucleus(sf_dir):
     return nucleus_filter(wc, "lang", "cnt", "word", p_ppm=800_000)
 
 
+def _q_pinball(sf_dir):
+    """Per-flag pinball (p90 quantile) loss
+    (``evalmetrics.pinball_loss_by_group``) of a naive unit-price forecast
+    vs actual price cents — exact int64 micro-unit branches, order-free
+    sums, one mirrored mean chain."""
+    from kamae_ray.stages.evalmetrics import pinball_loss_by_group
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("l_extendedprice"),
+                                                     pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"),
+                        pa.int64())
+        pred = pc.multiply(pc.cast(batch.column("l_quantity"), pa.int64(),
+                                   safe=False), pa.scalar(150_000, pa.int64()))
+        return pa.table({"l_returnflag": batch.column("l_returnflag"),
+                         "actual": cents, "pred": pred})
+
+    prep.__name__ = "pinball_prep"
+    ds = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = pinball_loss_by_group(ds, "l_returnflag", "actual", "pred",
+                                q_ppm=900_000)
+    return out.map_batches(_rounder(["mean_pinball"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_pr_auc(sf_dir):
+    """Per-slice binary average precision (``evalmetrics.binary_ap_by_group``
+    — the PR-AUC estimator) over LinearScore int64 logits: each positive's
+    precision@rank quantized to exact micro-units, order-free integer
+    sums, deterministic (score DESC, id) order."""
+    from kamae_ray.stages.evalmetrics import binary_ap_by_group
+    from kamae_ray.stages.linalg import LinearScoreTransformer, default_linear_weights
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    w, bias = default_linear_weights(64)
+    scored = LinearScoreTransformer(input_col="embedding", output_col="logit",
+                                    weights=w, bias=bias).transform(emb)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vid = pc.cast(batch.column("vec_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array(vid % np.int64(4)),
+            "logit": batch.column("logit"),
+            "y": pa.array(vid % np.int64(2)),
+            "vec_id": batch.column("vec_id"),
+        })
+
+    prep.__name__ = "pr_auc_slices"
+    keyed = scored.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None)
+    out = binary_ap_by_group(keyed, "g", "logit", "y", "vec_id")
+    return out.map_batches(_rounder(["ap"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _pr_auc_oracle_sql() -> str:
+    from kamae_ray.stages.linalg import default_linear_weights, linear_score_oracle_sql
+
+    w, bias = default_linear_weights(64)
+    logit = linear_score_oracle_sql("embeddings", "vec_id", "embedding", w, bias)
+    return (
+        f"WITH sc AS ({logit}), "
+        "b AS (SELECT vec_id % 4 AS g, vec_id % 2 AS y, logit, vec_id FROM sc), "
+        "r AS (SELECT g, y, "
+        "ROW_NUMBER() OVER (PARTITION BY g ORDER BY logit DESC, vec_id) AS rnk, "
+        "SUM(y) OVER (PARTITION BY g ORDER BY logit DESC, vec_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp FROM b) "
+        "SELECT g, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS n_pos, "
+        "SUM(CASE WHEN y = 1 THEN CAST(ROUND(1000000.0 * "
+        "(cp::DOUBLE / rnk)) AS BIGINT) ELSE 0 END)::BIGINT AS ap_sum_mu, "
+        "ROUND(CASE WHEN SUM(y) > 0 THEN "
+        "(SUM(CASE WHEN y = 1 THEN CAST(ROUND(1000000.0 * (cp::DOUBLE / rnk)) "
+        "AS BIGINT) ELSE 0 END)::BIGINT::DOUBLE / SUM(y)) / 1000000.0 END, 6) "
+        "AS ap FROM r GROUP BY g"
+    )
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5792,6 +5873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_prompts": _q_prompts,
         "q_rebalance": _q_rebalance,
         "q_nucleus": _q_nucleus,
+        "q_pinball": _q_pinball,
+        "q_pr_auc": _q_pr_auc,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -7949,6 +8032,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, word, cnt FROM r "
             "WHERE 1000000 * excl < 800000 * tot"
         ),
+        "q_pinball": (
+            "WITH b AS (SELECT l_returnflag, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+            "- l_quantity::BIGINT * 150000 AS e FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL), "
+            "m AS (SELECT l_returnflag, "
+            "GREATEST(900000 * e, -100000 * e) AS mu FROM b) "
+            "SELECT l_returnflag, COUNT(*)::BIGINT AS n, "
+            "SUM(mu)::BIGINT AS pinball_sum_mu, "
+            "ROUND((SUM(mu)::BIGINT::DOUBLE / COUNT(*)) / 1000000.0, 6) "
+            "AS mean_pinball FROM m GROUP BY l_returnflag"
+        ),
+        # q_pr_auc: logit CTE + µ-precision terms generated from shared weights
+        "q_pr_auc": _pr_auc_oracle_sql(),
         # q_rebalance: Knuth-hash keep rule shared with the engine
         "q_rebalance": _rebalance_oracle_sql(),
         # q_cv_encode: fold hash + OOF means generated from shared constants

@@ -337,6 +337,8 @@ _BENCH_QUERIES = [
     "q_prompts",  # structured-to-text prompt rendering (string_agg)
     "q_rebalance",  # deterministic hash class rebalancing
     "q_nucleus",  # top-p vocabulary truncation per group
+    "q_pinball",  # quantile-forecast pinball loss, exact integer branches
+    "q_pr_auc",  # per-slice average precision (PR-AUC), micro-unit exact
 ]
 
 

@@ -784,3 +784,132 @@ def km_curve(ds, group_cols, time_col: str, event_col: str):
     if isinstance(cells, pa.Table):
         return fold(cells)
     return sorted_block_apply(cells, group_cols, fold, "km_fold")
+
+
+def pinball_loss_by_group(ds, group_cols, actual_col: str, pred_col: str,
+                          q_ppm: int = 500_000):
+    """Per-group pinball (quantile) loss over INTEGER actual/prediction
+    columns — the quantile-forecast eval metric, EXACT in int64 micro
+    units: with ``e = actual - pred``,
+
+        ``loss_mu = max(q_ppm * e, (q_ppm - 1_000_000) * e)``
+
+    (both branches integer products; the max picks q*e for under-forecasts
+    and (q-1)*e for over-forecasts). Group sums are order-free int64; the
+    mean is one mirrored float chain ``(sum::DOUBLE / n) / 1e6``. Rows with
+    NULL actual or pred are excluded.
+
+    Scale plan: one stateless map + ONE partial-agg groupby."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not (0 < q_ppm < 1_000_000):
+        raise ValueError("q_ppm must be in (0, 1e6)")
+
+    def per_row(batch: pa.Table) -> pa.Table:
+        a = A.as_array(batch.column(actual_col))
+        p = A.as_array(batch.column(pred_col))
+        keep = pc.and_(pc.is_valid(a), pc.is_valid(p))
+        batch = batch.filter(keep)
+        av = pc.cast(A.as_array(batch.column(actual_col)), pa.int64(),
+                     safe=False).to_numpy(zero_copy_only=False)
+        pv = pc.cast(A.as_array(batch.column(pred_col)), pa.int64(),
+                     safe=False).to_numpy(zero_copy_only=False)
+        e = av - pv
+        if len(e) and int(np.abs(e).max()) >= 2**63 // 1_000_000:
+            raise ValueError("pinball error exceeds exact int64 µ range")
+        loss = np.maximum(q_ppm * e, (q_ppm - 1_000_000) * e)
+        cols = {g: batch.column(g) for g in group_cols}
+        cols["__mu"] = pa.array(loss, pa.int64())
+        return pa.table(cols)
+
+    per_row.__name__ = "pinball_micro_terms"
+    src = per_row(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        per_row, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    agg = groupby_agg(src, group_cols, {"__mu": ["sum", "count"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        su = pc.cast(batch.column("__mu_sum"), pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)
+        n = pc.cast(batch.column("__mu_count"), pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)
+        cols = {g: batch.column(g) for g in group_cols}
+        cols["n"] = pa.array(n)
+        cols["pinball_sum_mu"] = pa.array(su)
+        cols["mean_pinball"] = pa.array(
+            (su.astype(np.float64) / n) / 1_000_000.0, pa.float64())
+        return pa.table(cols)
+
+    finish.__name__ = "pinball_finish"
+    if isinstance(agg, pa.Table):
+        return finish(agg)
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def binary_ap_by_group(ds, group_col: str, score_col: str, label_col: str,
+                       id_col: str):
+    """Per-group binary average precision (the PR-AUC estimator
+    ``AP = mean over positives of precision@rank``) under the deterministic
+    ``(score DESC, id ASC)`` order — each positive's precision term
+    ``cum_pos/rank`` is an exact int-over-int division quantized to int64
+    MICRO-units (half-away ROUND, the logloss/KM family), so the cross-row
+    aggregation is an order-free integer sum:
+
+        ``ap = (sum_mu / n_pos) / 1e6``   (NULL when a group has no positives)
+
+    Integer scores and unique ids required (ties under equal scores break
+    by id — mirror the full ORDER BY). Output: group, n, n_pos, ap_sum_mu,
+    ap.
+
+    Scale plan: ONE sort-shuffle on the group key + a segmented kernel."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    def kern(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        empty = pa.table({
+            group_col: A.as_array(block.column(group_col)).slice(0, 0),
+            "n": pa.array([], pa.int64()),
+            "n_pos": pa.array([], pa.int64()),
+            "ap_sum_mu": pa.array([], pa.int64()),
+            "ap": pa.array([], pa.float64()),
+        })
+        if n == 0:
+            return empty
+        gids = S.group_ids(block, [group_col])
+        s = pc.cast(A.as_array(block.column(score_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        y = pc.cast(A.as_array(block.column(label_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        if not np.isin(y, (0, 1)).all():
+            raise ValueError("binary_ap_by_group labels must be 0/1")
+        i = pc.cast(A.as_array(block.column(id_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, -s, gids))
+        gs, ys = gids[order], y[order]
+        starts, lens = S.segments(gs)
+        rnk = np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1
+        cum = np.cumsum(ys)
+        cp = cum - np.repeat(cum[starts] - ys[starts], lens)
+        term = 1_000_000.0 * (cp.astype(np.float64) / rnk.astype(np.float64))
+        mu = pc.cast(pc.round(pa.array(term), ndigits=0,
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        mu = np.where(ys == 1, mu, 0)
+        ap_sum = np.add.reduceat(mu, starts).astype(np.int64)
+        n_pos = np.add.reduceat(ys, starts).astype(np.int64)
+        n_g = lens.astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ap = (ap_sum.astype(np.float64) / np.where(n_pos == 0, 1, n_pos)) \
+                / 1_000_000.0
+        firsts = order[starts]
+        return pa.table({
+            group_col: A.as_array(block.column(group_col)).take(pa.array(firsts)),
+            "n": pa.array(n_g),
+            "n_pos": pa.array(n_pos),
+            "ap_sum_mu": pa.array(ap_sum),
+            "ap": pa.array(ap, pa.float64(), mask=n_pos == 0),
+        })
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    return sorted_block_apply(ds, [group_col], kern, "binary_ap_fold")

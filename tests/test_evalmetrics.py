@@ -361,3 +361,47 @@ def test_km_curve(ray_session):
     # validation
     with pytest.raises(ValueError, match="0/1"):
         km_curve(pa.table({"g": ["a"], "t": [1], "e": [3]}), "g", "t", "e")
+
+
+def test_pinball_loss_by_group(ray_session):
+    import ray
+
+    from kamae_ray.stages.evalmetrics import pinball_loss_by_group
+
+    t = pa.table({"g": ["a", "a", "b"],
+                  "y": [100, 50, 10],
+                  "p": [80, 70, 10]})
+    out = pinball_loss_by_group(t, "g", "y", "p", q_ppm=900_000)
+    rows = {r["g"]: r for r in out.to_pylist()}
+    # a: e=20 -> 0.9*20e6=18e6; e=-20 -> max(-18e6, 2e6)=2e6
+    assert rows["a"]["pinball_sum_mu"] == 18_000_000 + 2_000_000
+    assert rows["a"]["mean_pinball"] == (20_000_000 / 2) / 1e6
+    assert rows["b"]["pinball_sum_mu"] == 0
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = {r["g"]: r["pinball_sum_mu"]
+           for r in pinball_loss_by_group(ds, "g", "y", "p", 900_000).take_all()}
+    assert got == {"a": 20_000_000, "b": 0}
+
+
+def test_binary_ap_by_group(ray_session):
+    import ray
+
+    from kamae_ray.stages.evalmetrics import binary_ap_by_group
+
+    # scores rank ids 1..4 descending; labels 1,0,1,0 -> AP = (1/1 + 2/3)/2
+    t = pa.table({"g": ["x"] * 4, "s": [40, 30, 20, 10],
+                  "y": [1, 0, 1, 0], "id": [1, 2, 3, 4]})
+    r = binary_ap_by_group(t, "g", "s", "y", "id").to_pylist()[0]
+    exp_mu = 1_000_000 + round(1_000_000 * 2 / 3)
+    assert r["n_pos"] == 2 and r["ap_sum_mu"] == exp_mu
+    assert r["ap"] == (exp_mu / 2) / 1e6
+    # no positives -> null
+    t0 = pa.table({"g": ["z"], "s": [1], "y": [0], "id": [1]})
+    assert binary_ap_by_group(t0, "g", "s", "y", "id").to_pylist()[0]["ap"] is None
+    # score ties break by id (deterministic)
+    tt = pa.table({"g": ["x"] * 2, "s": [5, 5], "y": [0, 1], "id": [1, 2]})
+    rt = binary_ap_by_group(tt, "g", "s", "y", "id").to_pylist()[0]
+    assert rt["ap_sum_mu"] == 500_000  # positive lands at rank 2
+    # dataset path identical
+    ds = ray.data.from_arrow(t).repartition(2)
+    assert binary_ap_by_group(ds, "g", "s", "y", "id").take_all()[0]["ap_sum_mu"] == exp_mu

@@ -8040,9 +8040,11 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT l_returnflag, "
             "GREATEST(900000 * e, -100000 * e) AS mu FROM b) "
             "SELECT l_returnflag, COUNT(*)::BIGINT AS n, "
-            "SUM(mu)::BIGINT AS pinball_sum_mu, "
-            "ROUND((SUM(mu)::BIGINT::DOUBLE / COUNT(*)) / 1000000.0, 6) "
-            "AS mean_pinball FROM m GROUP BY l_returnflag"
+            "(SUM(mu // 1048576)::BIGINT * 1048576 "
+            "+ SUM(mu % 1048576)::BIGINT)::BIGINT AS pinball_sum_mu, "
+            "ROUND(((SUM(mu // 1048576)::BIGINT * 1048576 "
+            "+ SUM(mu % 1048576)::BIGINT)::BIGINT::DOUBLE / COUNT(*)) "
+            "/ 1000000.0, 6) AS mean_pinball FROM m GROUP BY l_returnflag"
         ),
         # q_pr_auc: logit CTE + µ-precision terms generated from shared weights
         "q_pr_auc": _pr_auc_oracle_sql(),

@@ -795,9 +795,12 @@ def pinball_loss_by_group(ds, group_cols, actual_col: str, pred_col: str,
         ``loss_mu = max(q_ppm * e, (q_ppm - 1_000_000) * e)``
 
     (both branches integer products; the max picks q*e for under-forecasts
-    and (q-1)*e for over-forecasts). Group sums are order-free int64; the
-    mean is one mirrored float chain ``(sum::DOUBLE / n) / 1e6``. Rows with
-    NULL actual or pred are excluded.
+    and (q-1)*e for over-forecasts). The non-negative loss splits into
+    2^20 hi/lo parts so each group sum stays EXACT through the float64 agg
+    path (totals to ~2^73 — mirror with SUM(mu // 2^20)*2^20 +
+    SUM(mu % 2^20)); the mean is one mirrored float chain
+    ``(sum::DOUBLE / n) / 1e6``. Rows with NULL actual or pred are
+    excluded.
 
     Scale plan: one stateless map + ONE partial-agg groupby."""
     from kamae_ray.stages.aggregate import groupby_agg
@@ -820,18 +823,25 @@ def pinball_loss_by_group(ds, group_cols, actual_col: str, pred_col: str,
             raise ValueError("pinball error exceeds exact int64 µ range")
         loss = np.maximum(q_ppm * e, (q_ppm - 1_000_000) * e)
         cols = {g: batch.column(g) for g in group_cols}
-        cols["__mu"] = pa.array(loss, pa.int64())
+        # loss is non-negative; split into 2^20 hi/lo parts so each group
+        # sum stays exact through the float64 agg path (sums to ~2^73)
+        cols["__hi"] = pa.array(loss >> 20)
+        cols["__lo"] = pa.array(loss & np.int64((1 << 20) - 1))
         return pa.table(cols)
 
     per_row.__name__ = "pinball_micro_terms"
     src = per_row(ds) if isinstance(ds, pa.Table) else ds.map_batches(
         per_row, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    agg = groupby_agg(src, group_cols, {"__mu": ["sum", "count"]})
+    agg = groupby_agg(src, group_cols, {"__hi": ["sum", "count"],
+                                        "__lo": ["sum"]})
 
     def finish(batch: pa.Table) -> pa.Table:
-        su = pc.cast(batch.column("__mu_sum"), pa.int64(), safe=False) \
+        hi = pc.cast(batch.column("__hi_sum"), pa.int64(), safe=False) \
             .to_numpy(zero_copy_only=False)
-        n = pc.cast(batch.column("__mu_count"), pa.int64(), safe=False) \
+        lo = pc.cast(batch.column("__lo_sum"), pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)
+        su = (hi << 20) + lo
+        n = pc.cast(batch.column("__hi_count"), pa.int64(), safe=False) \
             .to_numpy(zero_copy_only=False)
         cols = {g: batch.column(g) for g in group_cols}
         cols["n"] = pa.array(n)

@@ -1194,9 +1194,12 @@ def _logloss_oracle_sql() -> str:
         "m AS (SELECT g, CAST(ROUND(1000000.0 * (CASE WHEN y = 1 "
         "THEN -ln(1.0 / (1.0 + exp(-z))) "
         "ELSE -ln(1.0 - 1.0 / (1.0 + exp(-z))) END)) AS BIGINT) AS mu FROM b) "
-        "SELECT g, COUNT(*)::BIGINT AS n, SUM(mu)::BIGINT AS ll_sum_ppm, "
-        "ROUND((SUM(mu)::BIGINT::DOUBLE / COUNT(*)) / 1000000.0, 6) "
-        "AS mean_logloss FROM m GROUP BY g"
+        "SELECT g, COUNT(*)::BIGINT AS n, "
+        "(SUM(mu // 1048576)::BIGINT * 1048576 "
+        "+ SUM(mu % 1048576)::BIGINT)::BIGINT AS ll_sum_ppm, "
+        "ROUND(((SUM(mu // 1048576)::BIGINT * 1048576 "
+        "+ SUM(mu % 1048576)::BIGINT)::BIGINT::DOUBLE / COUNT(*)) "
+        "/ 1000000.0, 6) AS mean_logloss FROM m GROUP BY g"
     )
 
 

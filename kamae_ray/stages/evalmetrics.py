@@ -618,8 +618,10 @@ def logloss_by_group(ds, group_cols, logit_col: str, label_col: str,
     to DuckDB libm — verified 200k/200k like ``ln``, lesson 38), and each
     row's term ``-ln(p)`` / ``-ln(1-p)`` quantizes to exact int64
     MICRO-units (half-away ROUND — the certified cents-conversion pair), so
-    the cross-row aggregation is an order-free INTEGER sum: no float
-    accumulation anywhere (the q_twap trick applied to an eval metric).
+    the cross-row aggregation is an order-free INTEGER sum split into 2^20
+    hi/lo partials (exact through the float64 agg path to ~2^73 totals —
+    mirror with SUM(mu // 2^20)*2^20 + SUM(mu % 2^20); the q_pinball
+    lesson). No float accumulation anywhere.
 
     Output per group: ``n`` (int64), ``ll_sum_ppm`` (int64 micro-logloss
     sum), ``mean_logloss`` (``(ll_sum_ppm / n) / 1e6``, one mirrored float
@@ -649,23 +651,31 @@ def logloss_by_group(ds, group_cols, logit_col: str, label_col: str,
         s = 1.0 / (1.0 + pc.exp(pa.array(-z)).to_numpy(zero_copy_only=False))
         term = np.where(y == 1, -A.libm_log(s), -A.libm_log(1.0 - s))
         mu = pc.cast(pc.round(pa.array(term * 1_000_000.0), ndigits=0,
-                              round_mode="half_towards_infinity"), pa.int64())
+                              round_mode="half_towards_infinity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
         cols = {g: batch.column(g) for g in group_cols}
-        cols["__mu"] = mu
+        # non-negative terms split into 2^20 hi/lo parts: each group sum
+        # stays exact through the float64 agg path (the q_pinball lesson)
+        cols["__hi"] = pa.array(mu >> 20)
+        cols["__lo"] = pa.array(mu & np.int64((1 << 20) - 1))
         return pa.table(cols)
 
     per_row.__name__ = "logloss_micro_terms"
     if isinstance(ds, pa.Table):
-        agg = groupby_agg(per_row(ds), group_cols, {"__mu": ["sum", "count"]})
+        agg = groupby_agg(per_row(ds), group_cols,
+                          {"__hi": ["sum", "count"], "__lo": ["sum"]})
     else:
         agg = groupby_agg(
             ds.map_batches(per_row, batch_format="pyarrow", zero_copy_batch=True),
-            group_cols, {"__mu": ["sum", "count"]})
+            group_cols, {"__hi": ["sum", "count"], "__lo": ["sum"]})
 
     def finish(batch: pa.Table) -> pa.Table:
-        su = pc.cast(batch.column("__mu_sum"), pa.int64(), safe=False) \
+        hi = pc.cast(batch.column("__hi_sum"), pa.int64(), safe=False) \
             .to_numpy(zero_copy_only=False)
-        n = pc.cast(batch.column("__mu_count"), pa.int64(), safe=False) \
+        lo = pc.cast(batch.column("__lo_sum"), pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)
+        su = (hi << 20) + lo
+        n = pc.cast(batch.column("__hi_count"), pa.int64(), safe=False) \
             .to_numpy(zero_copy_only=False)
         mean = (su.astype(np.float64) / n) / 1_000_000.0
         cols = {g: batch.column(g) for g in group_cols}

@@ -1677,6 +1677,27 @@ def _pr_auc_oracle_sql() -> str:
     )
 
 
+def _q_hard_negatives(sf_dir):
+    """Hard-negative mining (``ann.hard_negatives``): each embedding's 5
+    most-similar OPPOSITE-parity vectors — per-label complement corpora
+    broadcast once, exact tiled top-k, (sim DESC, nbr ASC) ties. The
+    contrastive-training negatives builder."""
+    from kamae_ray.pipelines.ann import hard_negatives
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def lab(batch: pa.Table) -> pa.Table:
+        vid = pc.cast(batch.column("vec_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        return batch.append_column("y", pa.array(vid % np.int64(2)))
+
+    lab.__name__ = "hardneg_labels"
+    keyed = ds.map_batches(lab, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    out = hard_negatives(keyed, "vec_id", "embedding", "y", k=5)
+    return out.map_batches(_rounder(["cosine"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _cv_encode_oracle_sql() -> str:
     from kamae_ray.stages.indexers import cv_target_encode_oracle_sql
 
@@ -5878,6 +5899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_nucleus": _q_nucleus,
         "q_pinball": _q_pinball,
         "q_pr_auc": _q_pr_auc,
+        "q_hard_negatives": _q_hard_negatives,
         # --- previously certified in r1-r4 windows (kept, never dropped) ---
         "q_ann_ivf": _q_ann_ivf,
         "q_funnel": _q_funnel,
@@ -8051,6 +8073,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # q_pr_auc: logit CTE + µ-precision terms generated from shared weights
         "q_pr_auc": _pr_auc_oracle_sql(),
+        "q_hard_negatives": (
+            "WITH scored AS (SELECT a.vec_id AS src, b.vec_id AS nbr, "
+            "list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]) AS cs "
+            "FROM embeddings a CROSS JOIN embeddings b "
+            "WHERE a.vec_id % 2 <> b.vec_id % 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY src "
+            "ORDER BY cs DESC, nbr) AS rank FROM scored) "
+            "SELECT src, CAST(rank AS BIGINT) AS rank, nbr, "
+            "ROUND(cs, 6) AS cosine FROM r WHERE rank <= 5"
+        ),
         # q_rebalance: Knuth-hash keep rule shared with the engine
         "q_rebalance": _rebalance_oracle_sql(),
         # q_cv_encode: fold hash + OOF means generated from shared constants

@@ -339,6 +339,7 @@ _BENCH_QUERIES = [
     "q_nucleus",  # top-p vocabulary truncation per group
     "q_pinball",  # quantile-forecast pinball loss, exact integer branches
     "q_pr_auc",  # per-slice average precision (PR-AUC), micro-unit exact
+    "q_hard_negatives",  # contrastive hard-negative mining (complement kNN)
 ]
 
 

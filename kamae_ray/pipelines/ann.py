@@ -999,3 +999,100 @@ def knn_graph(ds, id_col: str, emb_col: str, k: int = 5,
     fn = _KnnGraphPartial(ref, emb_col, id_col, k)
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None)
+
+
+class _HardNegPartial:
+    """Per-block hard-negative search: rows route to their label's
+    COMPLEMENT corpus (self never present — same label), then the exact
+    :class:`_KnnGraphPartial` selection runs per label subset."""
+
+    def __init__(self, by_label: dict, emb_col: str, id_col: str,
+                 label_col: str, k: int):
+        self.by_label = by_label
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.label_col = label_col
+        self.k = k
+        self._kern = None
+        self.__name__ = "hard_negatives_partial"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if self._kern is None:
+            self._kern = {lab: _KnnGraphPartial(ref, self.emb_col,
+                                                self.id_col, self.k)
+                          for lab, ref in self.by_label.items()}
+        labs = A.as_array(batch.column(self.label_col))
+        parts = []
+        for lab, kern in self._kern.items():
+            sub = batch.filter(pc.equal(labs, lab))
+            if sub.num_rows:
+                parts.append(kern(sub))
+        if not parts:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "nbr": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.concat_tables(parts)
+
+
+def hard_negatives(ds, id_col: str, emb_col: str, label_col: str, k: int = 5,
+                   max_broadcast_rows: int = 2_000_000, max_labels: int = 64):
+    """Hard-negative mining for contrastive training: each vector's k most
+    similar vectors with a DIFFERENT label (the informative negatives two-
+    tower / triplet losses want). Deterministic (sim DESC, nbr ASC) ties,
+    exact within the knn_graph contract.
+
+    Scale plan: the corpus splits into per-label COMPLEMENT matrices
+    broadcast once (`ray.put`; total bytes = (L-1) x corpus — guarded by
+    ``max_labels``; for the common 2-class case it equals one corpus);
+    blocks route their rows to their label's complement and run the tiled
+    exact top-k — no shuffle, no N^2 materialization. Output: src, rank,
+    nbr, cosine."""
+    from kamae_ray.base import collect_tables
+
+    def corpus_parts(tbl_list):
+        ids_l, mats, labs_l = [], [], []
+        for t in tbl_list:
+            if not t.num_rows:
+                continue
+            ids_l.append(A.as_array(t.column(id_col)).to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            m, _ = A.matrix_view(t.column(emb_col))
+            mats.append(m.astype(np.float64))
+            labs_l.append(A.as_array(t.column(label_col)).to_pylist())
+        ids = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
+        mat = np.concatenate(mats) if mats else np.zeros((0, 0))
+        labs = [x for part in labs_l for x in part]
+        return ids, mat, labs
+
+    if isinstance(ds, pa.Table):
+        ids, mat, labs = corpus_parts([ds])
+        put = lambda obj: obj  # noqa: E731
+        src = ds
+    else:
+        import ray
+
+        proj = ds.select_columns([id_col, emb_col, label_col]).materialize()
+        if proj.count() > max_broadcast_rows:
+            raise ValueError(
+                f"hard_negatives corpus exceeds max_broadcast_rows="
+                f"{max_broadcast_rows}; use the IVF path at this scale")
+        ids, mat, labs = corpus_parts(collect_tables(proj))
+        put = ray.put
+        src = proj
+    mat = _normalize(mat)
+    uniq = sorted(set(labs), key=lambda v: (v is None, str(v)))
+    if len(uniq) > max_labels:
+        raise ValueError(f"hard_negatives saw {len(uniq)} labels "
+                         f"(> max_labels={max_labels})")
+    labs_np = np.asarray(labs, dtype=object)
+    by_label = {}
+    for lab in uniq:
+        mask = labs_np != lab
+        by_label[lab] = put((ids[mask], mat[mask]))
+    kern = _HardNegPartial(by_label, emb_col, id_col, label_col, k)
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    return src.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)

@@ -1572,3 +1572,41 @@ def test_containment_pairs(ray_session):
     out3 = containment_pairs(ray.data.from_arrow(docs2), "text", "doc_id",
                              threshold_ppm=300_000, shingle_k=3)
     assert out3.take_all()[0]["cont_ppm"] == 333_333
+
+
+def test_hard_negatives(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.ann import hard_negatives
+
+    rng = np.random.default_rng(17)
+    n, d = 60, 8
+    mat = rng.standard_normal((n, d))
+    labels = (np.arange(n) % 3).astype(np.int64)
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "emb": pa.array([row.tolist() for row in mat],
+                        pa.list_(pa.float64())),
+        "lab": pa.array(labels),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = hard_negatives(ds, "id", "emb", "lab", k=4).take_all()
+    # naive reference
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append((r["rank"], r["nbr"], r["cosine"]))
+    assert len(by_src) == n
+    for s in range(n):
+        cand = [(-(sims[s, j]), j) for j in range(n) if labels[j] != labels[s]]
+        cand.sort()
+        exp = [j for _, j in cand[:4]]
+        got = [nbr for rk, nbr, _c in sorted(by_src[s])]
+        assert got == exp, s
+        # every neighbor has a different label and is never self
+        assert all(labels[j] != labels[s] for j in got)
+        for rk, nbr, cs in by_src[s]:
+            assert abs(cs - sims[s, nbr]) < 1e-9

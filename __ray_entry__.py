@@ -1338,6 +1338,86 @@ def _q_welch(sf_dir):
     return _round_cols(out, ["mean_a", "mean_b", "t_stat", "df"])
 
 
+def _q_mcc(sf_dir):
+    """Matthews correlation per event_type slice
+    (``evalmetrics.mcc_by_group``): prediction = cents >= 10000 against the
+    odd-user label — exact int64 confusion cells, mcc as a fixed mirrored
+    sqrt/mul/div float chain (correctly-rounded IEEE ops at any magnitude,
+    no 2^53 requirement)."""
+    from kamae_ray.stages.evalmetrics import mcc_by_group
+
+    ev = _read(sf_dir, "events", ["value", "event_type", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        y = pc.cast(pc.bit_wise_and(batch.column("user_id"), pa.scalar(1, pa.int64())), pa.int64())
+        return pa.table({"g": batch.column("event_type"), "s": cents, "y": y})
+
+    prep.__name__ = "mcc_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = mcc_by_group(ds, "g", "s", "y", 10_000)
+    return out.map_batches(_rounder(["mcc"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_kappa(sf_dir):
+    """Cohen's kappa inter-rater agreement per order status
+    (``evalmetrics.cohen_kappa_by_group``): rater A = the order-priority
+    digit, rater B = a custkey-derived 5-way category — the label-quality
+    audit between two annotation passes. The statistic is ONE division of
+    two exact python-int numerators (the cohen identity clears the inner
+    divisions); the oracle mirrors it over HUGEINT cells."""
+    from kamae_ray.stages.evalmetrics import cohen_kappa_by_group
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_custkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column("o_orderpriority")),
+                       pc.is_valid(batch.column("o_custkey")))
+        batch = batch.filter(keep)
+        a = pc.utf8_slice_codeunits(pc.cast(batch.column("o_orderpriority"),
+                                            pa.string()), 0, 1)
+        ck = pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(pa.array(1 + ck % np.int64(5)), pa.string())
+        return pa.table({"g": batch.column("o_orderstatus"),
+                         "rater_a": a, "rater_b": b})
+
+    prep.__name__ = "kappa_raters"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    out = cohen_kappa_by_group(keyed, "g", "rater_a", "rater_b")
+    return _round_cols(out, ["kappa"])
+
+
+def _q_jsd(sf_dir):
+    """Jensen-Shannon divergence between the language distributions of the
+    even and odd corpus halves (``categorical_drift(stat="jsd")``): exact
+    int counts over the union category space, Laplace-smoothed mirrored
+    proportions, per-category jsd_term with both ln's through libm
+    (lesson 38) — no cross-row float sum exists."""
+    from kamae_ray.stages.profile import categorical_drift
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def half(parity):
+        def f(batch: pa.Table) -> pa.Table:
+            did = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array((did % 2) == parity))
+
+        f.__name__ = f"half_{parity}"
+        return f
+
+    a = docs.map_batches(half(0), batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    b = docs.map_batches(half(1), batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    out = categorical_drift(a, b, "lang", stat="jsd")
+    return _round_cols(out, ["p_a", "p_b", "jsd_term"])
+
+
 def _q_containment(sf_dir):
     """Containment near-dup pairs (``dedup.containment_pairs``): the
     subset-duplicate detector — shared-shingle candidate generation is
@@ -5888,6 +5968,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_iv": _q_iv,
         "q_bootstrap": _q_bootstrap,
         "q_welch": _q_welch,
+        "q_mcc": _q_mcc,
+        "q_kappa": _q_kappa,
+        "q_jsd": _q_jsd,
         "q_containment": _q_containment,
         "q_cusum": _q_cusum,
         "q_clustering": _q_clustering,
@@ -8425,6 +8508,62 @@ def oracle_sql() -> dict[str, str]:
         ).checksum_oracle_sql("orders", ["o_orderkey", "o_orderstatus"],
                               {"o_orderkey": "int", "o_orderstatus": "str"},
                               salt=5),
+        "q_mcc": (
+            "WITH t AS (SELECT event_type AS g, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS s, "
+            "(user_id & 1)::BIGINT AS y FROM events WHERE value IS NOT NULL), "
+            "c AS (SELECT g, "
+            "SUM(CASE WHEN s >= 10000 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp, "
+            "SUM(CASE WHEN s >= 10000 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp, "
+            "SUM(CASE WHEN s < 10000 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn, "
+            "SUM(CASE WHEN s < 10000 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn "
+            "FROM t GROUP BY g) "
+            "SELECT g, tp, fp, fn, tn, "
+            "ROUND(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 "
+            "AND tn + fn > 0 THEN "
+            "(tp::DOUBLE * tn::DOUBLE - fp::DOUBLE * fn::DOUBLE) / "
+            "(sqrt((tp + fp)::DOUBLE) * sqrt((tp + fn)::DOUBLE) * "
+            "sqrt((tn + fp)::DOUBLE) * sqrt((tn + fn)::DOUBLE)) END, 6) AS mcc "
+            "FROM c"
+        ),
+        "q_kappa": (
+            "WITH b AS (SELECT o_orderstatus AS g, "
+            "substr(o_orderpriority, 1, 1) AS a, "
+            "CAST(1 + o_custkey % 5 AS VARCHAR) AS bb FROM orders "
+            "WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL), "
+            "cells AS (SELECT g, a, bb, COUNT(*)::BIGINT AS c FROM b GROUP BY 1, 2, 3), "
+            "tot AS (SELECT g, SUM(c)::BIGINT AS n, "
+            "SUM(CASE WHEN a = bb THEN c ELSE 0 END)::BIGINT AS agree "
+            "FROM cells GROUP BY g), "
+            "rs AS (SELECT g, a, SUM(c)::BIGINT AS r FROM cells GROUP BY g, a), "
+            "cs AS (SELECT g, bb, SUM(c)::BIGINT AS cc FROM cells GROUP BY g, bb), "
+            "pe AS (SELECT rs.g, CAST(SUM(rs.r::HUGEINT * cs.cc) AS HUGEINT) AS pe_num "
+            "FROM rs JOIN cs ON rs.g = cs.g AND rs.a = cs.bb GROUP BY rs.g) "
+            "SELECT t.g, t.n, t.agree, "
+            "ROUND(CASE WHEN t.n::HUGEINT * t.n - COALESCE(pe.pe_num, 0) <> 0 THEN "
+            "(t.n::HUGEINT * t.agree - COALESCE(pe.pe_num, 0))::DOUBLE / "
+            "(t.n::HUGEINT * t.n - COALESCE(pe.pe_num, 0))::DOUBLE END, 6) AS kappa "
+            "FROM tot t LEFT JOIN pe ON t.g = pe.g"
+        ),
+        "q_jsd": (
+            "WITH ca AS (SELECT lang AS c, count(*)::BIGINT AS n FROM documents "
+            "WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1), "
+            "cb AS (SELECT lang AS c, count(*)::BIGINT AS n FROM documents "
+            "WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1), "
+            "u AS (SELECT c FROM ca UNION SELECT c FROM cb), "
+            "k AS (SELECT COUNT(*)::BIGINT AS K FROM u), "
+            "j AS (SELECT u.c, COALESCE(ca.n, 0) AS n_a, COALESCE(cb.n, 0) AS n_b, "
+            "(SELECT SUM(n) FROM ca) AS Na, (SELECT SUM(n) FROM cb) AS Nb, k.K "
+            "FROM u LEFT JOIN ca USING (c) LEFT JOIN cb USING (c) CROSS JOIN k), "
+            "p AS (SELECT c, n_a, n_b, "
+            "(n_a::DOUBLE + 1.0) / (Na::DOUBLE + (1 * K)::DOUBLE) AS p_a, "
+            "(n_b::DOUBLE + 1.0) / (Nb::DOUBLE + (1 * K)::DOUBLE) AS p_b FROM j) "
+            "SELECT c AS lang, n_a, n_b, ROUND(p_a, 6) AS p_a, "
+            "ROUND(p_b, 6) AS p_b, "
+            "ROUND(CAST(0.5 AS DOUBLE) * p_a * ln(p_a / ((p_a + p_b) / CAST(2.0 AS DOUBLE))) "
+            "+ CAST(0.5 AS DOUBLE) * p_b * ln(p_b / ((p_a + p_b) / CAST(2.0 AS DOUBLE))), 6) "
+            "AS jsd_term FROM p"
+        ),
         "q_cat_drift": (
             "WITH ca AS (SELECT source AS c, count(*)::BIGINT AS n FROM documents "
             "WHERE lang = 'en' AND source IS NOT NULL GROUP BY 1), "

@@ -933,3 +933,167 @@ def binary_ap_by_group(ds, group_col: str, score_col: str, label_col: str,
     if isinstance(ds, pa.Table):
         return kern(ds)
     return sorted_block_apply(ds, [group_col], kern, "binary_ap_fold")
+
+
+def mcc_by_group(ds, group_col: str, score_col: str, label_col: str,
+                 threshold):
+    """Matthews correlation coefficient per slice — the balanced
+    single-number summary of a thresholded binary confusion matrix
+    (``confusion_by_group``'s chance-corrected sibling; the reference's
+    eval layer stops at accuracy-family stats, so this extends it for
+    imbalanced corpus labels):
+
+        mcc = (tp*tn - fp*fn) /
+              (sqrt(tp+fp) * sqrt(tp+fn) * sqrt(tn+fp) * sqrt(tn+fn))
+
+    Exactness: tp/fp/fn/tn are exact int64 counts through ONE partial-agg
+    groupby; the closing expression is a FIXED left-associative float chain
+    over integer-derived doubles — products, subtraction, sqrt and division
+    are all single correctly-rounded IEEE ops, so the mirrored SQL
+    ``(tp::DOUBLE * tn - fp::DOUBLE * fn) / (sqrt(..)*sqrt(..)*..)`` is
+    bit-identical at ANY magnitude (no 2^53 exactness requirement — both
+    engines round the same way). ``mcc`` is NULL when any margin is 0.
+
+    Scale plan: identical to confusion_by_group — one derived-indicator
+    map + ONE groupby on the slice key; output is one row per group."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    one = pa.scalar(1, pa.int64())
+
+    def prep(block: pa.Table) -> pa.Table:
+        s = A.as_array(block.column(score_col))
+        y = pc.cast(A.as_array(block.column(label_col)), pa.int64(), safe=False)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(y))
+        yv = pc.cast(y, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        if len(yv) and not np.isin(yv[pc.is_valid(y).to_numpy(zero_copy_only=False)],
+                                   (0, 1)).all():
+            raise ValueError("mcc_by_group label must be a 0/1 integer column")
+        pred = pc.cast(pc.greater_equal(s, threshold), pa.int64())
+        return pa.table({
+            "g": A.as_array(block.column(group_col)),
+            "tp": pc.multiply(pred, y),
+            "fp": pc.multiply(pred, pc.subtract(one, y)),
+            "fn": pc.multiply(pc.subtract(one, pred), y),
+            "tn": pc.multiply(pc.subtract(one, pred), pc.subtract(one, y)),
+        }).filter(ok)
+
+    prep.__name__ = "mcc_indicators"
+
+    def finish(stats: pa.Table) -> pa.Table:
+        def col(name):
+            v = pc.cast(stats.column(f"{name}_sum"), pa.float64(),
+                        safe=False).to_numpy(zero_copy_only=False)
+            if len(v) and np.abs(v).max() >= 2.0**53:
+                raise ValueError("mcc counts exceed exact float64 range")
+            return v.astype(np.int64)
+
+        tp, fp, fn, tn = col("tp"), col("fp"), col("fn"), col("tn")
+        m1, m2, m3, m4 = tp + fp, tp + fn, tn + fp, tn + fn
+        bad = (m1 == 0) | (m2 == 0) | (m3 == 0) | (m4 == 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # fixed left-assoc chain mirrored verbatim by the oracle SQL
+            num = tp.astype(np.float64) * tn.astype(np.float64) \
+                - fp.astype(np.float64) * fn.astype(np.float64)
+            den = np.sqrt(m1.astype(np.float64)) * np.sqrt(m2.astype(np.float64)) \
+                * np.sqrt(m3.astype(np.float64)) * np.sqrt(m4.astype(np.float64))
+            mcc = num / np.where(bad, 1.0, den)
+        return pa.table({
+            group_col: stats.column("g"),
+            "tp": pa.array(tp), "fp": pa.array(fp),
+            "fn": pa.array(fn), "tn": pa.array(tn),
+            "mcc": pa.array(mcc, pa.float64(), mask=bad),
+        })
+
+    aggs = {c: ["sum"] for c in ("tp", "fp", "fn", "tn")}
+    if isinstance(ds, pa.Table):
+        return finish(groupby_agg(prep(ds), "g", aggs))
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    stats = groupby_agg(keyed, "g", aggs)
+    finish.__name__ = "mcc_finish"
+    return stats.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+
+
+def cohen_kappa_by_group(ds, group_col: str, a_col: str, b_col: str,
+                         max_cells: int = 2_000_000):
+    """Cohen's kappa inter-rater agreement per group over two CATEGORICAL
+    rating columns (label-quality audit for annotation pipelines — chance-
+    corrected agreement between two labeling passes):
+
+        kappa = (po - pe) / (1 - pe)
+              = (n*agree - pe_num) / (n*n - pe_num)     [exact-int form]
+
+    where ``agree = sum_c cell(c,c)`` and ``pe_num = sum_c row_c * col_c``
+    over the union category space. Exactness: the whole statistic reduces
+    to ONE IEEE division of two exact python-int-folded numerators (the
+    cohen identity clears every inner division) — the DuckDB mirror
+    ``(n*agree - pe)::DOUBLE / (n*n - pe)::DOUBLE`` computes the same two
+    HUGEINT integers and applies the same round-to-nearest conversions.
+    NULL when ``n*n == pe_num`` (both raters constant). Rows where either
+    rating is null are dropped (SQL WHERE semantics).
+
+    Scale plan: ratings cast to string, ONE partial-agg groupby to
+    (group, a, b) cells; the driver folds O(groups x categories^2) cells
+    guarded by ``max_cells``. Output: group, n, agree, kappa."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    def prep(block: pa.Table) -> pa.Table:
+        av = pc.cast(A.as_array(block.column(a_col)), pa.string(), safe=False)
+        bv = pc.cast(A.as_array(block.column(b_col)), pa.string(), safe=False)
+        t = pa.table({group_col: A.as_array(block.column(group_col)),
+                      "__ka": av, "__kb": bv,
+                      "__one": pa.array(np.ones(block.num_rows, np.int64))})
+        return t.filter(pc.and_(pc.is_valid(av), pc.is_valid(bv)))
+
+    prep.__name__ = "kappa_cells"
+    keyed = prep(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    cells = groupby_agg(keyed, [group_col, "__ka", "__kb"], {"__one": ["sum"]})
+    if isinstance(cells, pa.Table):
+        tbl = cells
+    else:
+        parts = [t for t in collect_tables(cells) if t.num_rows]
+        tbl = pa.concat_tables(parts) if parts else None
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "agree": pa.array([], pa.int64()),
+                         "kappa": pa.array([], pa.float64())})
+    if tbl.num_rows > max_cells:
+        raise ValueError(f"cohen_kappa cells ({tbl.num_rows}) exceed "
+                         f"max_cells={max_cells}")
+    garr = A.as_array(tbl.column(group_col))
+    aarr = tbl.column("__ka").to_pylist()
+    barr = tbl.column("__kb").to_pylist()
+    cnt = pc.cast(tbl.column("__one_sum"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    by_g: dict = {}
+    for i in range(tbl.num_rows):
+        g = garr[i].as_py()
+        st = by_g.setdefault(g, {"n": 0, "agree": 0, "row": {}, "col": {}})
+        c = int(cnt[i])
+        st["n"] += c
+        if aarr[i] == barr[i]:
+            st["agree"] += c
+        st["row"][aarr[i]] = st["row"].get(aarr[i], 0) + c
+        st["col"][barr[i]] = st["col"].get(barr[i], 0) + c
+    groups = sorted(by_g, key=lambda v: (v is None, str(v)))
+    out_g, n_l, ag_l, k_l = [], [], [], []
+    for g in groups:
+        st = by_g[g]
+        n, agree = st["n"], st["agree"]
+        pe_num = sum(r * st["col"].get(cat, 0) for cat, r in st["row"].items())
+        den = n * n - pe_num
+        kap = float(n * agree - pe_num) / float(den) if den else None
+        out_g.append(g)
+        n_l.append(n)
+        ag_l.append(agree)
+        k_l.append(kap)
+    return pa.table({
+        group_col: pa.array(out_g, garr.type),
+        "n": pa.array(n_l, pa.int64()),
+        "agree": pa.array(ag_l, pa.int64()),
+        "kappa": pa.array(k_l, pa.float64()),
+    })

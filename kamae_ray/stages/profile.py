@@ -340,7 +340,8 @@ def checksum_oracle_sql(table: str, cols: list[str], col_types: dict,
 
 
 def categorical_drift(ds_a, ds_b, col: str, smoothing: int = 1,
-                      max_broadcast_terms: int = 5_000_000) -> pa.Table:
+                      max_broadcast_terms: int = 5_000_000,
+                      stat: str = "psi") -> pa.Table:
     """PSI drift between two snapshots of a CATEGORICAL column — the
     numeric ``drift_report``'s sibling: value-count both sides, take the
     union of observed categories, Laplace-smooth
@@ -348,6 +349,15 @@ def categorical_drift(ds_a, ds_b, col: str, smoothing: int = 1,
     per-category counts, proportions and psi_term (exact int counts, one
     mirrored float expression). Nulls count as their own category is NOT
     implemented — nulls are dropped (SQL GROUP BY semantics with a WHERE).
+
+    ``stat="jsd"`` emits the Jensen-Shannon divergence contribution instead
+    (``jsd_term = 0.5*p*ln(p/m) + 0.5*q*ln(q/m)``, ``m=(p+q)/2``, nats) —
+    the bounded symmetric divergence (0..ln 2) used to compare corpus
+    composition between snapshots/mixtures; the per-category terms are
+    emitted (not summed) so no cross-row float accumulation exists, the
+    same per-term discipline as PSI/IV. Both ln's route through
+    ``libm_log`` (lesson 38) and every sub-expression is mirrored verbatim
+    by the oracle SQL.
 
     Scale plan: two per-block ``group_by`` count partials (vocab-bounded
     driver folds, the temperature_mix pattern); driver state O(categories)
@@ -395,6 +405,19 @@ def categorical_drift(ds_a, ds_b, col: str, smoothing: int = 1,
     s = int(smoothing)
     pa_ = (na.astype(np.float64) + float(s)) / (float(Na) + float(s * K))
     pb_ = (nb.astype(np.float64) + float(s)) / (float(Nb) + float(s * K))
+    if stat == "jsd":
+        m = (pa_ + pb_) / 2.0
+        # libm_log: oracle-mirrored ln must match DuckDB bit-for-bit;
+        # fixed left-assoc 0.5*p*ln(p/m) + 0.5*q*ln(q/m)
+        term = 0.5 * pa_ * A.libm_log(pa_ / m) + 0.5 * pb_ * A.libm_log(pb_ / m)
+        return pa.table({
+            col: pa.array(cats, pa.string()),
+            "n_a": pa.array(na), "n_b": pa.array(nb),
+            "p_a": pa.array(pa_), "p_b": pa.array(pb_),
+            "jsd_term": pa.array(term),
+        })
+    if stat != "psi":
+        raise ValueError(f"unknown stat {stat!r} (psi | jsd)")
     # libm_log: oracle-mirrored ln must match DuckDB bit-for-bit
     psi = (pa_ - pb_) * A.libm_log(pa_ / pb_)
     return pa.table({

@@ -405,3 +405,117 @@ def test_binary_ap_by_group(ray_session):
     # dataset path identical
     ds = ray.data.from_arrow(t).repartition(2)
     assert binary_ap_by_group(ds, "g", "s", "y", "id").take_all()[0]["ap_sum_mu"] == exp_mu
+
+
+def test_mcc_by_group_matches_reference(ray_session, eval_data):
+    import ray
+
+    from kamae_ray.stages.evalmetrics import mcc_by_group
+
+    t = mcc_by_group(eval_data, "g", "s", "y", 500).sort_by("g")
+    d = _collect(mcc_by_group(ray.data.from_arrow(eval_data), "g", "s", "y",
+                              500)).sort_by("g")
+    assert t.schema == d.schema
+    assert t.equals(d)
+    # naive per-group reference
+    g = eval_data.column("g").to_numpy(zero_copy_only=False)
+    s = eval_data.column("s").to_numpy(zero_copy_only=False)
+    y = eval_data.column("y").to_numpy(zero_copy_only=False)
+    for i, lab in enumerate(t.column("g").to_pylist()):
+        m = g == lab
+        pred = (s[m] >= 500).astype(np.int64)
+        yy = y[m]
+        tp = int(((pred == 1) & (yy == 1)).sum())
+        fp = int(((pred == 1) & (yy == 0)).sum())
+        fn = int(((pred == 0) & (yy == 1)).sum())
+        tn = int(((pred == 0) & (yy == 0)).sum())
+        assert t.column("tp")[i].as_py() == tp
+        assert t.column("tn")[i].as_py() == tn
+        ref = (tp * tn - fp * fn) / np.sqrt(float(tp + fp) * (tp + fn)
+                                            * (tn + fp) * (tn + fn))
+        assert abs(t.column("mcc")[i].as_py() - ref) < 1e-12
+
+
+def test_mcc_zero_margin_is_null():
+    from kamae_ray.stages.evalmetrics import mcc_by_group
+
+    t = pa.table({"g": ["a", "a"], "s": [5, 9], "y": [1, 1]})  # no negatives
+    out = mcc_by_group(t, "g", "s", "y", 7)
+    assert out.column("mcc")[0].as_py() is None
+
+
+def test_mcc_rejects_bad_label():
+    from kamae_ray.stages.evalmetrics import mcc_by_group
+
+    t = pa.table({"g": ["a"], "s": [5], "y": [2]})
+    with pytest.raises(ValueError, match="0/1"):
+        mcc_by_group(t, "g", "s", "y", 7)
+
+
+def test_cohen_kappa_hand_case(ray_session):
+    import ray
+
+    from kamae_ray.stages.evalmetrics import cohen_kappa_by_group
+
+    # classic 2x2: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no
+    a = ["y"] * 25 + ["n"] * 25
+    b = ["y"] * 20 + ["n"] * 5 + ["y"] * 10 + ["n"] * 15
+    t = pa.table({"g": ["s"] * 50, "a": a, "b": b})
+    out = cohen_kappa_by_group(t, "g", "a", "b")
+    assert out.column("n")[0].as_py() == 50
+    assert out.column("agree")[0].as_py() == 35
+    # po=0.7, pe=(25*30 + 25*20)/2500=0.5 -> kappa=0.4
+    assert abs(out.column("kappa")[0].as_py() - 0.4) < 1e-15
+    d = cohen_kappa_by_group(ray.data.from_arrow(t), "g", "a", "b")
+    assert out.equals(d)
+
+
+def test_cohen_kappa_constant_raters_null_and_nulls_dropped():
+    from kamae_ray.stages.evalmetrics import cohen_kappa_by_group
+
+    t = pa.table({"g": ["s"] * 4, "a": ["x", "x", "x", None],
+                  "b": ["x", "x", "x", "x"]})
+    out = cohen_kappa_by_group(t, "g", "a", "b")
+    assert out.column("n")[0].as_py() == 3  # null rating dropped
+    assert out.column("kappa")[0].as_py() is None  # n*n == pe_num
+
+
+def test_cohen_kappa_multiclass_reference():
+    from kamae_ray.stages.evalmetrics import cohen_kappa_by_group
+
+    rng = np.random.default_rng(7)
+    a = rng.choice(list("abc"), 500)
+    b = rng.choice(list("abcd"), 500)  # label spaces may differ
+    t = pa.table({"g": rng.choice(["u", "v"], 500), "a": a, "b": b})
+    out = cohen_kappa_by_group(t, "g", "a", "b")
+    g = t.column("g").to_numpy(zero_copy_only=False)
+    for i, lab in enumerate(out.column("g").to_pylist()):
+        m = g == lab
+        aa, bb = a[m], b[m]
+        n = int(m.sum())
+        agree = int((aa == bb).sum())
+        pe_num = sum(int((aa == c).sum()) * int((bb == c).sum())
+                     for c in set(aa) | set(bb))
+        ref = (n * agree - pe_num) / (n * n - pe_num)
+        assert out.column("n")[i].as_py() == n
+        assert out.column("agree")[i].as_py() == agree
+        assert abs(out.column("kappa")[i].as_py() - ref) < 1e-15
+
+
+def test_categorical_drift_jsd(ray_session):
+    from kamae_ray.stages.profile import categorical_drift
+
+    ta = pa.table({"c": ["x"] * 30 + ["y"] * 10})
+    tb = pa.table({"c": ["x"] * 10 + ["y"] * 30})
+    out = categorical_drift(ta, tb, "c", stat="jsd")
+    # symmetric: swapping sides swaps p_a/p_b but keeps jsd_term
+    rev = categorical_drift(tb, ta, "c", stat="jsd")
+    assert out.column("jsd_term").equals(rev.column("jsd_term"))
+    assert all(v > 0 for v in out.column("jsd_term").to_pylist())
+    # identical distributions -> exactly 0.0 terms (ln(1) == 0)
+    same = categorical_drift(ta, ta, "c", stat="jsd")
+    assert same.column("jsd_term").to_pylist() == [0.0, 0.0]
+    # total JSD over the union is bounded by ln 2
+    assert sum(out.column("jsd_term").to_pylist()) <= np.log(2.0) + 1e-12
+    with pytest.raises(ValueError, match="unknown stat"):
+        categorical_drift(ta, tb, "c", stat="kl")

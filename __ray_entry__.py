@@ -1418,6 +1418,64 @@ def _q_jsd(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "jsd_term"])
 
 
+def _q_kendall(sf_dir):
+    """Per-nation Kendall tau-b between a tied ordinal (custkey%100) and
+    account-balance cents (``profile.kendall_tau_by_group``): exact int64
+    sign-product pair sums (tiled O(n^2) kernel, lesson 31) + tie counts;
+    tau_b is the fixed sqrt/mul/div chain. Exact all-pairs SQL oracle."""
+    from kamae_ray.stages.profile import kendall_tau_by_group
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_custkey", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column("c_acctbal")),
+                       pc.is_valid(batch.column("c_custkey")))
+        batch = batch.filter(keep)
+        ck = pc.cast(batch.column("c_custkey"), pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("c_acctbal"),
+                                                     pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"g": batch.column("c_nationkey"),
+                         "x": pa.array(ck % np.int64(100)), "y": cents})
+
+    prep.__name__ = "kendall_prep_customer"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    out = kendall_tau_by_group(keyed, "g", "x", "y")
+    return out.map_batches(_rounder(["tau_b"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_logrank(sf_dir):
+    """Two-arm log-rank survival-test terms (``evalmetrics.logrank_terms``):
+    order lifetime in month buckets, event = finished status, arms =
+    custkey parity — per-event-time exact at-risk/event cells, oe and the
+    hypergeometric variance each ONE division of exact integers (terms
+    emitted per time, no cross-row float sum; km_curve's companion)."""
+    from kamae_ray.stages.evalmetrics import logrank_terms
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column("o_custkey")),
+                       pc.is_valid(batch.column("o_orderdate")))
+        batch = batch.filter(keep)
+        us = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        t = (us // np.int64(86_400_000_000)) // np.int64(30)
+        ev = pc.fill_null(pc.cast(pc.equal(batch.column("o_orderstatus"), "F"),
+                                  pa.int64()), 0)
+        ck = pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"t": pa.array(t), "ev": ev,
+                         "arm": pa.array(ck % np.int64(2))})
+
+    prep.__name__ = "logrank_prep_orders"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    out = logrank_terms(keyed, "t", "ev", "arm", arm_a=1, arm_b=0)
+    return _round_cols(out, ["oe", "v"])
+
+
 def _q_containment(sf_dir):
     """Containment near-dup pairs (``dedup.containment_pairs``): the
     subset-duplicate detector — shared-shingle candidate generation is
@@ -5969,6 +6027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bootstrap": _q_bootstrap,
         "q_welch": _q_welch,
         "q_mcc": _q_mcc,
+        "q_kendall": _q_kendall,
+        "q_logrank": _q_logrank,
         "q_kappa": _q_kappa,
         "q_jsd": _q_jsd,
         "q_containment": _q_containment,
@@ -8508,6 +8568,50 @@ def oracle_sql() -> dict[str, str]:
         ).checksum_oracle_sql("orders", ["o_orderkey", "o_orderstatus"],
                               {"o_orderkey": "int", "o_orderstatus": "str"},
                               salt=5),
+        "q_kendall": (
+            "WITH b AS (SELECT c_nationkey AS g, c_custkey % 100 AS x, "
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS y, c_custkey AS id "
+            "FROM customer WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL), "
+            "cnt AS (SELECT g, COUNT(*)::BIGINT AS n FROM b GROUP BY g), "
+            "p AS (SELECT a.g, "
+            "SUM(sign(a.x - bb.x) * sign(a.y - bb.y))::BIGINT AS ncd, "
+            "SUM(CASE WHEN a.x = bb.x THEN 1 ELSE 0 END)::BIGINT AS t1, "
+            "SUM(CASE WHEN a.y = bb.y THEN 1 ELSE 0 END)::BIGINT AS t2 "
+            "FROM b a JOIN b bb ON a.g = bb.g AND a.id < bb.id GROUP BY a.g) "
+            "SELECT c.g, c.n, COALESCE(p.ncd, 0) AS ncd, "
+            "COALESCE(p.t1, 0) AS ties_x, COALESCE(p.t2, 0) AS ties_y, "
+            "ROUND(CASE WHEN (c.n * (c.n - 1)) // 2 - COALESCE(p.t1, 0) > 0 "
+            "AND (c.n * (c.n - 1)) // 2 - COALESCE(p.t2, 0) > 0 THEN "
+            "COALESCE(p.ncd, 0)::DOUBLE / "
+            "(sqrt(((c.n * (c.n - 1)) // 2 - COALESCE(p.t1, 0))::DOUBLE) * "
+            "sqrt(((c.n * (c.n - 1)) // 2 - COALESCE(p.t2, 0))::DOUBLE)) END, 6) "
+            "AS tau_b FROM cnt c LEFT JOIN p ON c.g = p.g"
+        ),
+        "q_logrank": (
+            "WITH e AS (SELECT (epoch_us(o_orderdate) // 86400000000) // 30 AS t, "
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS d, "
+            "CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END AS isa "
+            "FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL), "
+            "tot AS (SELECT SUM(isa)::BIGINT AS ta, SUM(1 - isa)::BIGINT AS tb FROM e), "
+            "cells AS (SELECT t, "
+            "SUM(CASE WHEN isa = 1 THEN d ELSE 0 END)::BIGINT AS d_a, "
+            "SUM(CASE WHEN isa = 0 THEN d ELSE 0 END)::BIGINT AS d_b, "
+            "SUM(isa)::BIGINT AS m_a, SUM(1 - isa)::BIGINT AS m_b "
+            "FROM e GROUP BY t), "
+            "cum AS (SELECT t, d_a, d_b, "
+            "tot.ta - COALESCE(SUM(m_a) OVER (ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_a, "
+            "tot.tb - COALESCE(SUM(m_b) OVER (ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_b "
+            "FROM cells CROSS JOIN tot) "
+            "SELECT t, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, d_a, d_b, "
+            "ROUND(CAST(d_a AS DOUBLE) - ((d_a + d_b) * n_a)::DOUBLE / "
+            "(n_a + n_b)::DOUBLE, 6) AS oe, "
+            "ROUND(CASE WHEN n_a + n_b > 1 THEN "
+            "((d_a + d_b)::HUGEINT * n_a * n_b * ((n_a + n_b) - (d_a + d_b)))::DOUBLE / "
+            "((n_a + n_b)::HUGEINT * (n_a + n_b) * ((n_a + n_b) - 1))::DOUBLE END, 6) "
+            "AS v FROM cum WHERE d_a + d_b > 0"
+        ),
         "q_mcc": (
             "WITH t AS (SELECT event_type AS g, "
             "CAST(ROUND(value * 100) AS BIGINT) AS s, "

@@ -1097,3 +1097,121 @@ def cohen_kappa_by_group(ds, group_col: str, a_col: str, b_col: str,
         "agree": pa.array(ag_l, pa.int64()),
         "kappa": pa.array(k_l, pa.float64()),
     })
+
+
+def logrank_terms(ds, time_col: str, event_col: str, arm_col: str,
+                  arm_a, arm_b, max_cells: int = 5_000_000):
+    """Two-arm log-rank test terms — the survival-curve significance
+    companion to :func:`km_curve`: one output row per distinct EVENT time
+    with both arms' at-risk counts (``n_a``/``n_b``), event counts
+    (``d_a``/``d_b``), the observed-minus-expected contribution
+
+        ``oe = d_a - d*n_a/n``     (one exact-int product, one division)
+
+    and the hypergeometric variance term
+
+        ``v = d*n_a*n_b*(n-d) / (n^2*(n-1))``   (ONE division of two
+                                                 exact python ints)
+
+    Per-time TERMS are emitted, not the chi-squared sum — a cross-time
+    float accumulation would be order-sensitive (the PSI/IV discipline);
+    the caller's closing ``sum(oe)^2 / sum(v)`` over the bounded terms
+    table is its one driver step. ``v`` is NULL when ``n <= 1``. Rows
+    with an arm other than ``arm_a``/``arm_b`` are dropped; null
+    times/events are rejected.
+
+    Scale plan: ONE partial-agg groupby to (arm, time) cells (rows never
+    move); the driver folds O(distinct times) cells guarded by
+    ``max_cells`` — the binary_auc fold pattern."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    def prep(block: pa.Table) -> pa.Table:
+        arm = A.as_array(block.column(arm_col))
+        keep = pc.or_(pc.equal(arm, arm_a), pc.equal(arm, arm_b))
+        block = block.filter(keep)
+        t = A.as_array(block.column(time_col))
+        ev = A.as_array(block.column(event_col))
+        if t.null_count or ev.null_count:
+            raise ValueError("logrank_terms requires non-null time and event")
+        y = pc.cast(ev, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        if len(y) and not np.isin(y, (0, 1)).all():
+            raise ValueError("logrank_terms event must be 0/1")
+        return pa.table({
+            "__isa": pc.cast(pc.equal(A.as_array(block.column(arm_col)),
+                                      arm_a), pa.int64()),
+            "__t": pc.cast(t, pa.int64(), safe=False),
+            "__d": pa.array(y),
+            "__m": pa.array(np.ones(block.num_rows, np.int64)),
+        })
+
+    prep.__name__ = "logrank_cells"
+    tagged = prep(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    cells = groupby_agg(tagged, ["__isa", "__t"], {"__d": ["sum"],
+                                                   "__m": ["sum"]})
+    if isinstance(cells, pa.Table):
+        tbl = cells
+    else:
+        parts = [t for t in collect_tables(cells) if t.num_rows]
+        tbl = pa.concat_tables(parts) if parts else None
+    empty = pa.table({"t": pa.array([], pa.int64()),
+                      "n_a": pa.array([], pa.int64()),
+                      "n_b": pa.array([], pa.int64()),
+                      "d_a": pa.array([], pa.int64()),
+                      "d_b": pa.array([], pa.int64()),
+                      "oe": pa.array([], pa.float64()),
+                      "v": pa.array([], pa.float64())})
+    if tbl is None or tbl.num_rows == 0:
+        return empty
+    if tbl.num_rows > max_cells:
+        raise ValueError(f"logrank cells ({tbl.num_rows}) exceed "
+                         f"max_cells={max_cells}")
+    isa = pc.cast(tbl.column("__isa"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    tv = pc.cast(tbl.column("__t"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    dv = pc.cast(tbl.column("__d_sum"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    mv = pc.cast(tbl.column("__m_sum"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    times = np.unique(tv)
+    K = len(times)
+    idx = np.searchsorted(times, tv)
+    da = np.zeros(K, np.int64)
+    db = np.zeros(K, np.int64)
+    ma = np.zeros(K, np.int64)
+    mb = np.zeros(K, np.int64)
+    a = isa == 1
+    np.add.at(da, idx[a], dv[a])
+    np.add.at(db, idx[~a], dv[~a])
+    np.add.at(ma, idx[a], mv[a])
+    np.add.at(mb, idx[~a], mv[~a])
+    tot_a, tot_b = int(ma.sum()), int(mb.sum())
+    # at risk at t = total - everyone whose time < t (they left earlier)
+    na = tot_a - (np.cumsum(ma) - ma)
+    nb = tot_b - (np.cumsum(mb) - mb)
+    keep = (da + db) > 0  # event times only
+    out_t, na_l, nb_l, da_l, db_l, oe_l, v_l = [], [], [], [], [], [], []
+    for i in np.flatnonzero(keep):
+        n_a, n_b = int(na[i]), int(nb[i])
+        d_a, d_b = int(da[i]), int(db[i])
+        n, d = n_a + n_b, d_a + d_b
+        oe = float(d_a) - float(d * n_a) / float(n)
+        v = None
+        if n > 1:
+            v = float(d * n_a * n_b * (n - d)) / float(n * n * (n - 1))
+        out_t.append(int(times[i]))
+        na_l.append(n_a)
+        nb_l.append(n_b)
+        da_l.append(d_a)
+        db_l.append(d_b)
+        oe_l.append(oe)
+        v_l.append(v)
+    return pa.table({"t": pa.array(out_t, pa.int64()),
+                     "n_a": pa.array(na_l, pa.int64()),
+                     "n_b": pa.array(nb_l, pa.int64()),
+                     "d_a": pa.array(da_l, pa.int64()),
+                     "d_b": pa.array(db_l, pa.int64()),
+                     "oe": pa.array(oe_l, pa.float64()),
+                     "v": pa.array(v_l, pa.float64())})

@@ -1365,3 +1365,101 @@ def welch_t_by_group(ds, group_col: str, class_col: str, value_col: str,
         "t_stat": pa.array(t_l, pa.float64()),
         "df": pa.array(df_l, pa.float64()),
     })
+
+
+def kendall_tau_by_group(ds, group_col: str, x_col: str, y_col: str,
+                         max_group_rows: int = 100_000):
+    """Per-group Kendall tau-b rank correlation over two INTEGER columns —
+    the tie-aware concordance statistic (``spearman_by_group``'s sibling
+    for ordinal agreement):
+
+        ncd   = sum over pairs i<j of sign(x_i-x_j) * sign(y_i-y_j)
+        tau_b = ncd / (sqrt(n0 - n1) * sqrt(n0 - n2))
+
+    with ``n0 = n(n-1)/2`` and ``n1``/``n2`` the tied-pair counts in x/y.
+    Exactness: ncd and the tie counts are pure int64 (sign products summed
+    over the symmetric pair matrix, halved — always even), tau_b is a fixed
+    sqrt/mul/div chain over integer-derived doubles (bit-identical
+    cross-engine). Rows with a null x or y are dropped (SQL pair-scan
+    semantics); tau_b is NULL when either tie-corrected pair count is 0.
+
+    Scale plan: ONE sort-shuffle on the group key, then a per-group kernel
+    that is O(n^2) pairwise sign products TILED to ~16 MB chunks (lesson
+    31) — exact and vectorized; groups above ``max_group_rows`` raise
+    (document the merge-sort inversion O(n log n) path before lifting the
+    cap). Output: group, n, ncd, ties_x, ties_y, tau_b."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    def prep(block: pa.Table) -> pa.Table:
+        xa = A.as_array(block.column(x_col))
+        ya = A.as_array(block.column(y_col))
+        t = pa.table({group_col: A.as_array(block.column(group_col)),
+                      x_col: pc.cast(xa, pa.int64(), safe=False),
+                      y_col: pc.cast(ya, pa.int64(), safe=False)})
+        return t.filter(pc.and_(pc.is_valid(xa), pc.is_valid(ya)))
+
+    prep.__name__ = "kendall_prep"
+
+    def kern(block: pa.Table) -> pa.Table:
+        garr = A.as_array(block.column(group_col))
+        if block.num_rows == 0:
+            return pa.table({
+                group_col: garr.slice(0, 0),
+                "n": pa.array([], pa.int64()),
+                "ncd": pa.array([], pa.int64()),
+                "ties_x": pa.array([], pa.int64()),
+                "ties_y": pa.array([], pa.int64()),
+                "tau_b": pa.array([], pa.float64()),
+            })
+        gids = S.group_ids(block, [group_col])
+        x = A.as_array(block.column(x_col)).to_numpy(zero_copy_only=False)
+        y = A.as_array(block.column(y_col)).to_numpy(zero_copy_only=False)
+        if len(x) and max(int(np.abs(x).max()), int(np.abs(y).max())) >= (1 << 62):
+            raise ValueError("kendall values must fit 62 bits (sign diffs)")
+        order = np.argsort(gids, kind="stable")
+        gs, xs, ys = gids[order], x[order], y[order]
+        starts, lens = S.segments(gs)
+        out_g, n_l, ncd_l, t1_l, t2_l, tau_l = [], [], [], [], [], []
+        for s0, ln in zip(starts, lens):
+            n = int(ln)
+            if n > max_group_rows:
+                raise ValueError(f"kendall group of {n} rows exceeds "
+                                 f"max_group_rows={max_group_rows}")
+            xv, yv = xs[s0:s0 + n], ys[s0:s0 + n]
+            acc = 0
+            chunk = max(1, 2_000_000 // max(n, 1))
+            for i in range(0, n, chunk):
+                sx = np.sign(xv[i:i + chunk, None] - xv[None, :]).astype(np.int8)
+                sy = np.sign(yv[i:i + chunk, None] - yv[None, :]).astype(np.int8)
+                acc += int((sx * sy).sum(dtype=np.int64))
+            ncd = acc // 2  # symmetric matrix, zero diagonal -> always even
+            _, cx = np.unique(xv, return_counts=True)
+            _, cy = np.unique(yv, return_counts=True)
+            n1 = int((cx * (cx - 1) // 2).sum())
+            n2 = int((cy * (cy - 1) // 2).sum())
+            n0 = n * (n - 1) // 2
+            tau = None
+            if n0 - n1 > 0 and n0 - n2 > 0:
+                tau = float(ncd) / (np.sqrt(float(n0 - n1))
+                                    * np.sqrt(float(n0 - n2)))
+            out_g.append(int(s0))
+            n_l.append(n)
+            ncd_l.append(ncd)
+            t1_l.append(n1)
+            t2_l.append(n2)
+            tau_l.append(tau)
+        firsts = order[np.array(out_g, dtype=np.int64)]
+        return pa.table({
+            group_col: garr.take(pa.array(firsts)),
+            "n": pa.array(n_l, pa.int64()),
+            "ncd": pa.array(ncd_l, pa.int64()),
+            "ties_x": pa.array(t1_l, pa.int64()),
+            "ties_y": pa.array(t2_l, pa.int64()),
+            "tau_b": pa.array(tau_l, pa.float64()),
+        })
+
+    if isinstance(ds, pa.Table):
+        return kern(prep(ds))
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return sorted_block_apply(keyed, [group_col], kern, "kendall_fold")

@@ -519,3 +519,44 @@ def test_categorical_drift_jsd(ray_session):
     assert sum(out.column("jsd_term").to_pylist()) <= np.log(2.0) + 1e-12
     with pytest.raises(ValueError, match="unknown stat"):
         categorical_drift(ta, tb, "c", stat="kl")
+
+
+def test_logrank_hand_case(ray_session):
+    import ray
+
+    from kamae_ray.stages.evalmetrics import logrank_terms
+
+    # arm a: events at t=1,3; censored at 4. arm b: event at 1 (x2), censored 2.
+    t = pa.table({
+        "t": pa.array([1, 3, 4, 1, 1, 2], pa.int64()),
+        "ev": pa.array([1, 1, 0, 1, 1, 0], pa.int64()),
+        "arm": pa.array(["a", "a", "a", "b", "b", "b"]),
+    })
+    out = logrank_terms(t, "t", "ev", "arm", "a", "b")
+    assert out.column("t").to_pylist() == [1, 3]
+    # t=1: n_a=3, n_b=3, d_a=1, d_b=2 -> oe = 1 - 3*3/6 = -0.5
+    assert out.column("n_a")[0].as_py() == 3
+    assert out.column("n_b")[0].as_py() == 3
+    assert out.column("oe")[0].as_py() == 1.0 - (3 * 3) / 6.0
+    v0 = (3 * 3 * 3 * (6 - 3)) / (6 * 6 * 5)
+    assert out.column("v")[0].as_py() == v0
+    # t=3: n_a=2, n_b=0, d=1 -> oe = 1 - 1*2/2 = 0, v = 0
+    assert out.column("oe")[1].as_py() == 0.0
+    assert out.column("v")[1].as_py() == 0.0
+    d = logrank_terms(ray.data.from_arrow(t), "t", "ev", "arm", "a", "b")
+    assert out.equals(d)
+
+
+def test_logrank_guards():
+    from kamae_ray.stages.evalmetrics import logrank_terms
+
+    bad = pa.table({"t": [1], "ev": [2], "arm": ["a"]})
+    with pytest.raises(ValueError, match="0/1"):
+        logrank_terms(bad, "t", "ev", "arm", "a", "b")
+    nul = pa.table({"t": pa.array([None], pa.int64()), "ev": [1], "arm": ["a"]})
+    with pytest.raises(ValueError, match="non-null"):
+        logrank_terms(nul, "t", "ev", "arm", "a", "b")
+    # rows outside the two arms are dropped; empty result keeps schema
+    other = pa.table({"t": [1], "ev": [1], "arm": ["zz"]})
+    out = logrank_terms(other, "t", "ev", "arm", "a", "b")
+    assert out.num_rows == 0 and "oe" in out.column_names

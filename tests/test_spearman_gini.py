@@ -141,3 +141,66 @@ def test_check_rules_rejects_unknown():
 
     with pytest.raises(ValueError, match="unknown rule"):
         check_rules(pa.table({"a": [1]}), [{"col": "a", "rule": "nope"}])
+
+
+def test_kendall_tau_matches_naive(ray_session):
+    import ray
+
+    from kamae_ray.stages.profile import kendall_tau_by_group
+
+    rng = np.random.default_rng(11)
+    n = 900
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c"], n)),
+        "x": pa.array(rng.integers(0, 40, n)),   # heavy ties
+        "y": pa.array(rng.integers(-50, 50, n)),
+    })
+    out = kendall_tau_by_group(t, "g", "x", "y")
+    d = kendall_tau_by_group(ray.data.from_arrow(t), "g", "x", "y")
+    dt = pa.concat_tables([pa.table(b) for b in
+                           d.iter_batches(batch_format="pyarrow")]).sort_by("g")
+    assert out.sort_by("g").equals(dt)
+    g = t.column("g").to_numpy(zero_copy_only=False)
+    x = t.column("x").to_numpy(zero_copy_only=False)
+    y = t.column("y").to_numpy(zero_copy_only=False)
+    srt = out.sort_by("g")
+    for i, lab in enumerate(srt.column("g").to_pylist()):
+        m = g == lab
+        xv, yv = x[m], y[m]
+        nn = len(xv)
+        ncd = n1 = n2 = 0
+        for a in range(nn):
+            for b in range(a + 1, nn):
+                ncd += int(np.sign(xv[a] - xv[b])) * int(np.sign(yv[a] - yv[b]))
+                n1 += xv[a] == xv[b]
+                n2 += yv[a] == yv[b]
+        n0 = nn * (nn - 1) // 2
+        assert srt.column("ncd")[i].as_py() == ncd
+        assert srt.column("ties_x")[i].as_py() == n1
+        assert srt.column("ties_y")[i].as_py() == n2
+        ref = ncd / (np.sqrt(float(n0 - n1)) * np.sqrt(float(n0 - n2)))
+        assert srt.column("tau_b")[i].as_py() == ref
+
+
+def test_kendall_perfect_and_degenerate():
+    from kamae_ray.stages.profile import kendall_tau_by_group
+
+    t = pa.table({"g": ["a"] * 5, "x": [1, 2, 3, 4, 5], "y": [10, 20, 30, 40, 50]})
+    # sqrt(n0)*sqrt(n0) != n0 exactly unless n0 is a perfect square — the
+    # fixed chain is the contract (spearman lesson), so compare with 1 ULP
+    assert abs(kendall_tau_by_group(t, "g", "x", "y").column("tau_b")[0].as_py()
+               - 1.0) < 1e-15
+    c = pa.table({"g": ["a"] * 4, "x": [7, 7, 7, 7], "y": [1, 2, 3, 4]})
+    out = kendall_tau_by_group(c, "g", "x", "y")
+    assert out.column("tau_b")[0].as_py() is None  # constant x: n0 == n1
+    # null x/y rows are dropped (SQL pair-scan semantics)
+    nl = pa.table({"g": ["a"] * 3, "x": [1, None, 2], "y": [5, 9, None]})
+    assert kendall_tau_by_group(nl, "g", "x", "y").column("n")[0].as_py() == 1
+
+
+def test_kendall_group_cap_raises():
+    from kamae_ray.stages.profile import kendall_tau_by_group
+
+    t = pa.table({"g": ["a"] * 10, "x": list(range(10)), "y": list(range(10))})
+    with pytest.raises(ValueError, match="max_group_rows"):
+        kendall_tau_by_group(t, "g", "x", "y", max_group_rows=5)

@@ -1418,6 +1418,28 @@ def _q_jsd(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "jsd_term"])
 
 
+def _q_assortativity(sf_dir):
+    """Degree assortativity (``graph.degree_assortativity``) of the
+    undirected modular events graph (q_triangles' edge set): exact int
+    power sums over both orientations of every distinct edge, Newman's r
+    as the fixed mirrored Pearson chain."""
+    from kamae_ray.pipelines.graph import degree_assortativity
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(u % 400, pa.int64()),
+                         "dst": pa.array(e % 400, pa.int64())})
+
+    to_edges.__name__ = "assort_edges"
+    edges = ev.map_batches(to_edges, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    out = degree_assortativity(edges)
+    return _round_cols(out, ["assortativity"])
+
+
 def _q_kendall(sf_dir):
     """Per-nation Kendall tau-b between a tied ordinal (custkey%100) and
     account-balance cents (``profile.kendall_tau_by_group``): exact int64
@@ -6028,6 +6050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_welch": _q_welch,
         "q_mcc": _q_mcc,
         "q_kendall": _q_kendall,
+        "q_assortativity": _q_assortativity,
         "q_logrank": _q_logrank,
         "q_kappa": _q_kappa,
         "q_jsd": _q_jsd,
@@ -8568,6 +8591,29 @@ def oracle_sql() -> dict[str, str]:
         ).checksum_oracle_sql("orders", ["o_orderkey", "o_orderstatus"],
                               {"o_orderkey": "int", "o_orderstatus": "str"},
                               salt=5),
+        "q_assortativity": (
+            "WITH raw AS (SELECT user_id % 400 AS s, event_id % 400 AS d "
+            "FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL "
+            "AND user_id % 400 <> event_id % 400), "
+            "e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw), "
+            "deg AS (SELECT node, COUNT(*)::BIGINT AS deg FROM "
+            "(SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) "
+            "GROUP BY node), "
+            "pr AS (SELECT da.deg AS x, db.deg AS y FROM e "
+            "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b "
+            "UNION ALL SELECT db.deg AS x, da.deg AS y FROM e "
+            "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b), "
+            "t AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s1, "
+            "SUM(y)::BIGINT AS s2, SUM(x * y)::BIGINT AS s12, "
+            "SUM(x * x)::BIGINT AS s11, SUM(y * y)::BIGINT AS s22 FROM pr) "
+            "SELECT n, s1, s2, s12, s11, s22, "
+            "ROUND(CASE WHEN n::HUGEINT * s11 - s1::HUGEINT * s1 > 0 "
+            "AND n::HUGEINT * s22 - s2::HUGEINT * s2 > 0 THEN "
+            "(n::HUGEINT * s12 - s1::HUGEINT * s2)::DOUBLE / "
+            "(sqrt((n::HUGEINT * s11 - s1::HUGEINT * s1)::DOUBLE) * "
+            "sqrt((n::HUGEINT * s22 - s2::HUGEINT * s2)::DOUBLE)) END, 6) "
+            "AS assortativity FROM t"
+        ),
         "q_kendall": (
             "WITH b AS (SELECT c_nationkey AS g, c_custkey % 100 AS x, "
             "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS y, c_custkey AS id "

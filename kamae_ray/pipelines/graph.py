@@ -445,3 +445,113 @@ def clustering_coefficients(edges, src: str = "src", dst: str = "dst"):
              "triangles": pa.array([], pa.int64()),
              "lcc_ppm": pa.array([], pa.int64())})
     return out
+
+
+def degree_assortativity(edges, src: str = "src", dst: str = "dst"):
+    """Degree assortativity coefficient of the undirected simple graph —
+    the Newman (2002) mixing statistic: the Pearson correlation of the
+    degree pairs at the two ends of every edge (each undirected edge
+    contributes BOTH orientations, the standard symmetric convention).
+
+    Exactness: the six power sums (n, s1, s2, s12, s11, s22) over the
+    directed pair list are folded as arbitrary-precision python ints from
+    per-block int64 partials (guarded < 2^63 — the welch family); the
+    coefficient is the fixed mirrored Pearson chain
+
+        r = (n*s12 - s1*s2) / (sqrt(n*s11 - s1*s1) * sqrt(n*s22 - s2*s2))
+
+    over integer-derived doubles (sqrt/mul/div only — bit-identical
+    cross-engine). NULL when either variance term is <= 0 (regular graph).
+
+    Scale plan: canonical distinct edge list (ONE exchange) -> endpoint
+    explode + groupby for degrees -> TWO degree equi-joins back onto the
+    edge list (auto-salted; degrees table is O(nodes)) -> O(blocks) 1-row
+    partials; the driver folds O(blocks) cells. Returns a one-row table
+    ``(n, s1, s2, s12, s11, s22, assortativity)``."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import distinct, groupby_agg
+    from kamae_ray.stages.join import shuffle_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src)
+        d = batch.column(dst)
+        ok = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(d)), pc.not_equal(s, d))
+        batch = batch.filter(ok)
+        s, d = batch.column(src), batch.column(dst)
+        return pa.table({"a": pc.min_element_wise(s, d),
+                         "b": pc.max_element_wise(s, d)})
+
+    canon.__name__ = "canonical_edges"
+    table_in = isinstance(edges, pa.Table)
+    if table_in:
+        import ray.data
+
+        edges = ray.data.from_arrow(edges)
+    e = distinct(edges.map_batches(canon, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None),
+                 ["a", "b"]).materialize()  # consumed 3x
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "__one": pa.array(np.ones(2 * len(a), np.int64))})
+
+    endpoints.__name__ = "edge_endpoints"
+    deg = groupby_agg(e.map_batches(endpoints, batch_format="pyarrow",
+                                    zero_copy_batch=True), "node",
+                      {"__one": ["count"]})
+
+    def deg_a(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch.column("node"),
+                         "deg_a": pc.cast(batch.column("__one_count"),
+                                          pa.int64(), safe=False)})
+
+    def deg_b(batch: pa.Table) -> pa.Table:
+        return pa.table({"b": batch.column("node"),
+                         "deg_b": pc.cast(batch.column("__one_count"),
+                                          pa.int64(), safe=False)})
+
+    deg_a.__name__ = "deg_as_a"
+    deg_b.__name__ = "deg_as_b"
+    deg = deg.materialize()
+    ja = shuffle_join(e, deg.map_batches(deg_a, batch_format="pyarrow",
+                                         zero_copy_batch=True), on="a",
+                      how="inner", salt_partitions="auto")
+    jb = shuffle_join(ja, deg.map_batches(deg_b, batch_format="pyarrow",
+                                          zero_copy_batch=True), on="b",
+                      how="inner", salt_partitions="auto")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("deg_a").to_numpy(zero_copy_only=False)
+        y = batch.column("deg_b").to_numpy(zero_copy_only=False)
+        # both orientations: s1 == s2 and s11 == s22 by construction, but
+        # all six are carried so the mirrored Pearson chain stays generic
+        s1 = int(x.sum()) + int(y.sum())
+        s12 = 2 * int((x * y).sum())
+        s11 = int((x * x).sum()) + int((y * y).sum())
+        vals = [2 * len(x), s1, s1, s12, s11, s11]
+        if any(abs(v) >= (1 << 63) for v in vals):
+            raise ValueError("assortativity block partials exceed int64")
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in
+                         zip(("n", "s1", "s2", "s12", "s11", "s22"), vals)})
+
+    partial.__name__ = "assort_partials"
+    parts = [t for t in collect_tables(
+        jb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)) if t.num_rows]
+    tot = {k: 0 for k in ("n", "s1", "s2", "s12", "s11", "s22")}
+    for t in parts:
+        for k in tot:
+            tot[k] += sum(t.column(k).to_pylist())
+    n, s1, s2 = tot["n"], tot["s1"], tot["s2"]
+    s12, s11, s22 = tot["s12"], tot["s11"], tot["s22"]
+    if any(abs(v) >= (1 << 63) for v in tot.values()):
+        raise ValueError("assortativity sums exceed int64 — rescale degrees")
+    va, vb = n * s11 - s1 * s1, n * s22 - s2 * s2
+    r = None
+    if va > 0 and vb > 0:
+        r = float(n * s12 - s1 * s2) / (np.sqrt(float(va)) * np.sqrt(float(vb)))
+    out = {k: pa.array([tot[k]], pa.int64()) for k in tot}
+    out["assortativity"] = pa.array([r], pa.float64())
+    return pa.table(out)

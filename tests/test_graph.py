@@ -104,3 +104,37 @@ def test_clustering_coefficients(ray_session):
     r3 = {r["node"]: r for r in clustering_coefficients(ds).take_all()}
     assert all(r3[n]["triangles"] == 1 and r3[n]["lcc_ppm"] == 1_000_000
                for n in (1, 2, 3))
+
+
+def test_degree_assortativity_star_and_reference(ray_session):
+    import ray
+
+    from kamae_ray.pipelines.graph import degree_assortativity
+
+    # star K1,4: hub degree 4, leaves degree 1 -> perfectly disassortative
+    star = pa.table({"src": [0, 0, 0, 0], "dst": [1, 2, 3, 4]})
+    out = degree_assortativity(star)
+    assert out.column("n")[0].as_py() == 8
+    assert abs(out.column("assortativity")[0].as_py() + 1.0) < 1e-12
+    # cycle: regular graph -> zero variance -> NULL
+    cyc = pa.table({"src": [0, 1, 2], "dst": [1, 2, 0]})
+    assert degree_assortativity(cyc).column("assortativity")[0].as_py() is None
+    # random graph vs naive numpy reference (dups/reverses/self-loops mixed in)
+    rng = np.random.default_rng(3)
+    s = rng.integers(0, 30, 300)
+    d = rng.integers(0, 30, 300)
+    t = pa.table({"src": pa.array(s), "dst": pa.array(d)})
+    out = degree_assortativity(ray.data.from_arrow(t))
+    es = set()
+    for a, b in zip(s.tolist(), d.tolist()):
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in es] + [deg[b] for a, b in es]
+    ys = [deg[b] for a, b in es] + [deg[a] for a, b in es]
+    ref = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
+    assert abs(out.column("assortativity")[0].as_py() - ref) < 1e-9
+    assert out.column("n")[0].as_py() == 2 * len(es)

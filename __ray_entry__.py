@@ -1418,6 +1418,82 @@ def _q_jsd(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "jsd_term"])
 
 
+def _q_array_distinct(sf_dir):
+    """Per-row token-set canonicalization
+    (``ArrayDistinctSortTransformer``): distinct + ascending sort of each
+    document's word list — ONE dictionary-encode per block, rank-remapped
+    lexsort, boundary dedup (no per-row loop). Oracle =
+    list_sort(list_distinct(...)) verbatim."""
+    from kamae_ray.functions.arrays import as_array, drop_empty_tokens
+    from kamae_ray.stages.array_ops import ArrayDistinctSortTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        w = as_array(pc.split_pattern_regex(
+            pc.fill_null(pc.cast(batch.column("text"), pa.string()), ""),
+            pattern=r"\s+"))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "words": drop_empty_tokens(w)})
+
+    words.__name__ = "doc_words"
+    keyed = ds.map_batches(words, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    t = ArrayDistinctSortTransformer(input_col="words", output_col="toks")
+    out = t.transform(keyed)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "toks"])
+
+    proj.__name__ = "project_toks"
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_poly2(sf_dir):
+    """Degree-2 polynomial feature expansion
+    (``PolynomialExpandTransformer``): the full upper-triangle of products
+    over (quantity, suppkey, linenumber) — exact int64, one fused batch
+    map, zero exchanges."""
+    from kamae_ray.stages.elementwise import PolynomialExpandTransformer
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_suppkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "ln": pc.cast(batch.column("l_linenumber"), pa.int64()),
+            "qty": pc.cast(batch.column("l_quantity"), pa.int64(), safe=False),
+            "sk": batch.column("l_suppkey"),
+        })
+
+    prep.__name__ = "poly_inputs"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    t = PolynomialExpandTransformer(input_cols=["qty", "sk", "ln"],
+                                    output_col="p")
+    out = t.transform(keyed)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["l_orderkey", "ln"] + t.outputs)
+
+    proj.__name__ = "project_poly"
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_contingency(sf_dir):
+    """Contingency-cell diagnostics between returnflag and linestatus
+    (``profile.contingency_residuals``): exact int64 observed/margin
+    counts, expected = one division of an exact product, standardized
+    residual as the fixed (o-e)/sqrt(e) chain — per-cell terms, no
+    cross-cell float sum."""
+    from kamae_ray.stages.profile import contingency_residuals
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    out = contingency_residuals(ds, "l_returnflag", "l_linestatus")
+    return _round_cols(out, ["expected", "residual"])
+
+
 def _q_assortativity(sf_dir):
     """Degree assortativity (``graph.degree_assortativity``) of the
     undirected modular events graph (q_triangles' edge set): exact int
@@ -6051,6 +6127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mcc": _q_mcc,
         "q_kendall": _q_kendall,
         "q_assortativity": _q_assortativity,
+        "q_array_distinct": _q_array_distinct,
+        "q_poly2": _q_poly2,
+        "q_contingency": _q_contingency,
         "q_logrank": _q_logrank,
         "q_kappa": _q_kappa,
         "q_jsd": _q_jsd,
@@ -8591,6 +8670,36 @@ def oracle_sql() -> dict[str, str]:
         ).checksum_oracle_sql("orders", ["o_orderkey", "o_orderstatus"],
                               {"o_orderkey": "int", "o_orderstatus": "str"},
                               salt=5),
+        "q_array_distinct": (
+            r"SELECT doc_id, list_sort(list_distinct(list_filter("
+            r"string_split_regex(coalesce(text, ''), '\s+'), "
+            r"w -> length(w) > 0))) AS toks FROM documents"
+        ),
+        "q_poly2": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln, "
+            "CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS p_qty_x_qty, "
+            "CAST(l_quantity AS BIGINT) * l_suppkey AS p_qty_x_sk, "
+            "CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT) AS p_qty_x_ln, "
+            "l_suppkey * l_suppkey AS p_sk_x_sk, "
+            "l_suppkey * CAST(l_linenumber AS BIGINT) AS p_sk_x_ln, "
+            "CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT) AS p_ln_x_ln "
+            "FROM lineitem"
+        ),
+        "q_contingency": (
+            "WITH b AS (SELECT l_returnflag AS x, l_linestatus AS y FROM lineitem "
+            "WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL), "
+            "cells AS (SELECT x, y, COUNT(*)::BIGINT AS o FROM b GROUP BY x, y), "
+            "rm AS (SELECT x, SUM(o)::BIGINT AS r FROM cells GROUP BY x), "
+            "cm AS (SELECT y, SUM(o)::BIGINT AS c FROM cells GROUP BY y), "
+            "n AS (SELECT SUM(o)::BIGINT AS n FROM cells) "
+            "SELECT cells.x AS l_returnflag, cells.y AS l_linestatus, "
+            "cells.o AS observed, "
+            "ROUND((rm.r::HUGEINT * cm.c)::DOUBLE / n.n::DOUBLE, 6) AS expected, "
+            "ROUND((cells.o::DOUBLE - (rm.r::HUGEINT * cm.c)::DOUBLE / n.n::DOUBLE) "
+            "/ sqrt((rm.r::HUGEINT * cm.c)::DOUBLE / n.n::DOUBLE), 6) AS residual "
+            "FROM cells JOIN rm ON rm.x = cells.x JOIN cm ON cm.y = cells.y "
+            "CROSS JOIN n"
+        ),
         "q_assortativity": (
             "WITH raw AS (SELECT user_id % 400 AS s, event_id % 400 AS d "
             "FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL "

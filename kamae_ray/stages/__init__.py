@@ -8,6 +8,7 @@ from kamae_ray.stages.elementwise import (  # noqa: F401
     CoalesceTransformer,
     CyclicalEncodeTransformer,
     DivideTransformer,
+    PolynomialExpandTransformer,
     ExponentTransformer,
     ExpTransformer,
     IdentityTransformer,
@@ -57,6 +58,7 @@ from kamae_ray.stages.dates import (  # noqa: F401
 from kamae_ray.stages.array_ops import (  # noqa: F401
     ArrayConcatenateTransformer,
     ArrayCropTransformer,
+    ArrayDistinctSortTransformer,
     ArrayReduceMaxTransformer,
     ArraySplitTransformer,
     ArraySubtractMinimumTransformer,

@@ -351,3 +351,59 @@ class StringSequenceToEmbeddingTransformer(Transformer):
         out_arr = A.rewrap(levels, lvl1)
         out_arr = self._cast_out(out_arr)
         return _append_or_replace(batch, self.output_col, out_arr)
+
+
+class ArrayDistinctSortTransformer(Transformer):
+    """Per-row distinct + ascending sort of a list column — the token-set
+    canonicalizer (per-row vocabulary for set-similarity / dedup features;
+    extends the reference's array family, which has no set op). Null
+    ELEMENTS are dropped and a null ROW stays null — exactly DuckDB's
+    ``list_sort(list_distinct(x))`` (list_distinct removes NULLs), which
+    the oracle mirrors verbatim.
+
+    Vectorized kernel (no per-row loop): ONE dictionary-encode of the
+    block's flat values (lesson 12), dictionary ids remapped to their
+    lexicographic rank, ONE (row, rank) lexsort, boundary dedup, and a
+    single ListArray rebuild from counts. Works for string and numeric
+    value types alike."""
+
+    compatible_dtypes = None
+
+    def _transform_array(self, arr: pa.Array, batch: pa.Table) -> pa.Array:
+        arr = A.as_array(arr)
+        if not pa.types.is_list(arr.type) and not pa.types.is_large_list(arr.type):
+            raise TypeError("ArrayDistinctSort needs a list column")
+        n = len(arr)
+        row_null = ~pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        lens = pc.fill_null(pc.list_value_length(arr), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = A.as_array(pc.list_flatten(arr))  # excludes null rows' spans
+        rows_all = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        flat = A.as_array(flat.filter(pa.array(keep)))
+        rows = rows_all[keep]
+        vtype = arr.type.value_type
+        if len(flat) == 0:
+            counts = np.zeros(n, np.int64)
+            offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]),
+                               pa.int32())
+            return pa.ListArray.from_arrays(
+                offsets, pa.array([], vtype),
+                mask=pa.array(row_null))
+        d = pc.dictionary_encode(flat)
+        codes = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq = d.dictionary
+        order_u = pc.sort_indices(uniq).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(uniq), np.int64)
+        rank[order_u] = np.arange(len(uniq), dtype=np.int64)
+        key = rank[codes]
+        order = np.lexsort((key, rows))
+        rr, kk = rows[order], key[order]
+        first = np.ones(len(order), bool)
+        first[1:] = (rr[1:] != rr[:-1]) | (kk[1:] != kk[:-1])
+        counts = np.bincount(rr[first], minlength=n).astype(np.int64)
+        offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]), pa.int32())
+        values = A.as_array(flat.take(pa.array(order[first])))
+        return pa.ListArray.from_arrays(offsets, values,
+                                        mask=pa.array(row_null))

@@ -490,3 +490,62 @@ class CyclicalEncodeTransformer(Transformer):
     @property
     def outputs(self) -> list[str]:
         return [f"{self.output_col}_sin", f"{self.output_col}_cos"]
+
+
+class PolynomialExpandTransformer(Transformer):
+    """Degree-2 polynomial feature expansion over N numeric columns — the
+    sklearn ``PolynomialFeatures(degree=2, interaction+squares)`` shape
+    (extends the reference's pairwise Multiply, transformers/multiply.py,
+    to the full upper-triangle in ONE fused batch): appends
+    ``{output_col}_{ci}_x_{cj}`` for every i <= j pair.
+
+    Exactness: integer inputs stay exact int64 (products guarded < 2^63 via
+    a 31-bit input check); float inputs are one correctly-rounded IEEE
+    multiply, mirrored verbatim by ``a * b`` in SQL. A null in either
+    factor nulls that product (Arrow multiply semantics)."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if not self.input_cols or len(self.input_cols) < 2:
+            raise ValueError("PolynomialExpand needs input_cols with >= 2 columns")
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        cols = {}
+        any_int = False
+        for c in self.input_cols:
+            arr = A.as_array(batch.column(c))
+            if pa.types.is_integer(arr.type):
+                arr = pc.cast(arr, pa.int64(), safe=False)
+                v = arr.to_numpy(zero_copy_only=False)
+                if len(v) and arr.null_count < len(arr):
+                    mx = pc.max(pc.abs(arr)).as_py()
+                    if mx is not None and mx >= (1 << 31):
+                        raise ValueError(
+                            f"PolynomialExpand int input {c} must fit 31 bits "
+                            "(products must stay exact int64) — rescale")
+                any_int = True
+            elif pa.types.is_floating(arr.type):
+                arr = pc.cast(arr, pa.float64(), safe=False)
+            else:
+                raise TypeError(f"PolynomialExpand input {c} must be numeric")
+            cols[c] = arr
+        out = batch
+        for i, ci in enumerate(self.input_cols):
+            for cj in self.input_cols[i:]:
+                a, b = cols[ci], cols[cj]
+                if pa.types.is_integer(a.type) != pa.types.is_integer(b.type):
+                    a = pc.cast(a, pa.float64(), safe=False)
+                    b = pc.cast(b, pa.float64(), safe=False)
+                out = _append_or_replace(out, f"{self.output_col}_{ci}_x_{cj}",
+                                         pc.multiply_checked(a, b))
+        return out
+
+    @property
+    def outputs(self) -> list[str]:
+        names = []
+        for i, ci in enumerate(self.input_cols):
+            for cj in self.input_cols[i:]:
+                names.append(f"{self.output_col}_{ci}_x_{cj}")
+        return names

@@ -1463,3 +1463,77 @@ def kendall_tau_by_group(ds, group_col: str, x_col: str, y_col: str,
     keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
                            batch_size=None)
     return sorted_block_apply(keyed, [group_col], kern, "kendall_fold")
+
+
+def contingency_residuals(ds, x_col: str, y_col: str,
+                          max_cells: int = 2_000_000):
+    """Contingency-table cell diagnostics between two CATEGORICAL columns —
+    per-cell observed count, expected count under independence and the
+    standardized Pearson residual
+
+        e     = row_x * col_y / n       (exact-int product, ONE division)
+        resid = (o - e) / sqrt(e)       (fixed mirrored float chain)
+
+    Per-CELL terms are emitted (the chi-squared total would be an
+    order-sensitive cross-cell float sum — the PSI/IV discipline; the
+    caller's ``sum(resid^2)`` over the bounded cells table is its one
+    driver step). Rows with a null x or y are dropped (SQL GROUP BY with a
+    WHERE); categories are compared as strings.
+
+    Scale plan: ONE partial-agg groupby to (x, y) cells; margins fold on
+    the driver over O(cells) guarded by ``max_cells``."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    def prep(block: pa.Table) -> pa.Table:
+        xv = pc.cast(A.as_array(block.column(x_col)), pa.string(), safe=False)
+        yv = pc.cast(A.as_array(block.column(y_col)), pa.string(), safe=False)
+        t = pa.table({"__cx": xv, "__cy": yv,
+                      "__one": pa.array(np.ones(block.num_rows, np.int64))})
+        return t.filter(pc.and_(pc.is_valid(xv), pc.is_valid(yv)))
+
+    prep.__name__ = "contingency_cells"
+    keyed = prep(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    cells = groupby_agg(keyed, ["__cx", "__cy"], {"__one": ["sum"]})
+    if isinstance(cells, pa.Table):
+        tbl = cells
+    else:
+        parts = [t for t in collect_tables(cells) if t.num_rows]
+        tbl = pa.concat_tables(parts) if parts else None
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table({x_col: pa.array([], pa.string()),
+                         y_col: pa.array([], pa.string()),
+                         "observed": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.float64()),
+                         "residual": pa.array([], pa.float64())})
+    if tbl.num_rows > max_cells:
+        raise ValueError(f"contingency cells ({tbl.num_rows}) exceed "
+                         f"max_cells={max_cells}")
+    xs = tbl.column("__cx").to_pylist()
+    ys = tbl.column("__cy").to_pylist()
+    o = pc.cast(tbl.column("__one_sum"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    rows: dict = {}
+    colm: dict = {}
+    n = 0
+    for i in range(tbl.num_rows):
+        c = int(o[i])
+        rows[xs[i]] = rows.get(xs[i], 0) + c
+        colm[ys[i]] = colm.get(ys[i], 0) + c
+        n += c
+    order = sorted(range(tbl.num_rows), key=lambda i: (xs[i], ys[i]))
+    out_x, out_y, o_l, e_l, r_l = [], [], [], [], []
+    for i in order:
+        e = float(rows[xs[i]] * colm[ys[i]]) / float(n)
+        resid = (float(int(o[i])) - e) / np.sqrt(e)
+        out_x.append(xs[i])
+        out_y.append(ys[i])
+        o_l.append(int(o[i]))
+        e_l.append(e)
+        r_l.append(resid)
+    return pa.table({x_col: pa.array(out_x, pa.string()),
+                     y_col: pa.array(out_y, pa.string()),
+                     "observed": pa.array(o_l, pa.int64()),
+                     "expected": pa.array(e_l, pa.float64()),
+                     "residual": pa.array(r_l, pa.float64())})

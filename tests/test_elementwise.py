@@ -137,3 +137,26 @@ def test_coalesce_multi_and_constant():
     assert col(out, "o") == [1.0, 2.0, None]
     out2 = CoalesceTransformer(input_col="a", constant=7.0, output_col="o").transform_batch(t)
     assert col(out2, "o") == [7.0, 2.0, 7.0]
+
+
+def test_polynomial_expand():
+    from kamae_ray.stages.elementwise import PolynomialExpandTransformer
+
+    t = PolynomialExpandTransformer(input_cols=["a", "b"], output_col="p")
+    tb = pa.table({"a": [2, None, -4], "b": [3, 5, 7]})
+    out = t.transform(tb)
+    assert out.column("p_a_x_a").to_pylist() == [4, None, 16]
+    assert out.column("p_a_x_b").to_pylist() == [6, None, -28]
+    assert out.column("p_b_x_b").to_pylist() == [9, 25, 49]
+    assert t.outputs == ["p_a_x_a", "p_a_x_b", "p_b_x_b"]
+    # mixed int/float pair promotes to float; float products correctly rounded
+    tf = pa.table({"a": [2], "b": [0.1]})
+    of = PolynomialExpandTransformer(input_cols=["a", "b"],
+                                     output_col="p").transform(tf)
+    assert of.column("p_a_x_b")[0].as_py() == 2 * 0.1
+    assert of.column("p_a_x_a").to_pylist() == [4]
+    with pytest.raises(ValueError, match="31 bits"):
+        PolynomialExpandTransformer(input_cols=["a", "b"], output_col="p") \
+            .transform(pa.table({"a": [1 << 32], "b": [1]}))
+    with pytest.raises(ValueError, match=">= 2"):
+        PolynomialExpandTransformer(input_cols=["a"], output_col="p")

@@ -3,6 +3,7 @@ set semantics, null/empty contracts, python-set equivalence, Dataset parity."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from kamae_ray.functions.arrays import drop_empty_tokens, split_list_halves
 from kamae_ray.stages.similarity import rowwise_jaccard
@@ -59,3 +60,30 @@ def test_rowwise_jaccard_dataset(ray_session):
     got = pa.concat_tables(
         [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]).sort_by("id")
     assert got.column("jaccard_ppm").to_pylist() == [500000, 500000]
+
+
+def test_array_distinct_sort(ray_session):
+    import ray
+
+    from kamae_ray.stages.array_ops import ArrayDistinctSortTransformer
+
+    t = ArrayDistinctSortTransformer(input_col="x", output_col="y")
+    tb = pa.table({"x": [["b", "a", "b", None, "a"], None, [], ["z"],
+                         ["m", "m"]]})
+    out = t.transform(tb)
+    assert out.column("y").to_pylist() == [["a", "b"], None, [], ["z"], ["m"]]
+    # int lists take the same path
+    ti = pa.table({"x": pa.array([[3, 1, 3], [2], None], pa.list_(pa.int64()))})
+    oi = ArrayDistinctSortTransformer(input_col="x", output_col="y").transform(ti)
+    assert oi.column("y").to_pylist() == [[1, 3], [2], None]
+    # Dataset parity + random reference vs python sets
+    rng = np.random.default_rng(5)
+    rows = [[str(v) for v in rng.integers(0, 20, rng.integers(0, 12))]
+            for _ in range(400)]
+    big = pa.table({"x": pa.array(rows, pa.list_(pa.string()))})
+    d = t.transform(ray.data.from_arrow(big))
+    got = pa.concat_tables([pa.table(b) for b in
+                            d.iter_batches(batch_format="pyarrow")])
+    assert got.column("y").to_pylist() == [sorted(set(r)) for r in rows]
+    with pytest.raises(TypeError, match="list column"):
+        t.transform(pa.table({"x": ["not-a-list"]}))

@@ -204,3 +204,32 @@ def test_kendall_group_cap_raises():
     t = pa.table({"g": ["a"] * 10, "x": list(range(10)), "y": list(range(10))})
     with pytest.raises(ValueError, match="max_group_rows"):
         kendall_tau_by_group(t, "g", "x", "y", max_group_rows=5)
+
+
+def test_contingency_residuals(ray_session):
+    import ray
+
+    from kamae_ray.stages.profile import contingency_residuals
+
+    rng = np.random.default_rng(13)
+    t = pa.table({"x": pa.array(rng.choice(["r", "s", "t"], 800)),
+                  "y": pa.array(rng.choice(["u", "v"], 800))})
+    out = contingency_residuals(t, "x", "y")
+    d = contingency_residuals(ray.data.from_arrow(t), "x", "y")
+    assert out.equals(d)
+    xs = t.column("x").to_numpy(zero_copy_only=False)
+    ys = t.column("y").to_numpy(zero_copy_only=False)
+    n = len(xs)
+    for i in range(out.num_rows):
+        xv = out.column("x")[i].as_py()
+        yv = out.column("y")[i].as_py()
+        o = int(((xs == xv) & (ys == yv)).sum())
+        e = int((xs == xv).sum()) * int((ys == yv).sum()) / n
+        assert out.column("observed")[i].as_py() == o
+        assert abs(out.column("expected")[i].as_py() - e) < 1e-9
+        assert abs(out.column("residual")[i].as_py() - (o - e) / np.sqrt(e)) < 1e-9
+    # expected counts over all cells sum to n
+    assert abs(sum(out.column("expected").to_pylist()) - n) < 1e-6
+    # null categories are dropped
+    t2 = pa.table({"x": ["a", None], "y": ["b", "b"]})
+    assert contingency_residuals(t2, "x", "y").column("observed").to_pylist() == [1]

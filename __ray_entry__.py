@@ -1418,6 +1418,57 @@ def _q_jsd(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "jsd_term"])
 
 
+def _q_wasserstein(sf_dir):
+    """Two-sample 1-Wasserstein distance between the purchase and view
+    value distributions (``evalmetrics.wasserstein_distance``) — KS's
+    integral sibling: exact int64 CDF cross-products weighted by
+    distinct-value gaps, folded in arbitrary-precision python ints; ONE
+    closing division."""
+    from kamae_ray.stages.evalmetrics import wasserstein_distance
+
+    ev = _read(sf_dir, "events", ["value", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"g": batch.column("event_type"), "s": cents})
+
+    prep.__name__ = "w1_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = wasserstein_distance(ds, "s", "g", "purchase", "view")
+    return _round_cols(out, ["w1_num", "w1"])
+
+
+def _q_acf(sf_dir):
+    """Autocorrelation function (lags 1..3) of value cents per user cohort
+    (``profile.acf_by_group``): exact int64 power sums per (cohort, lag)
+    via vectorized scatter-adds over ONE cohort sort; Pearson close with
+    python-int numerators, mirrored sqrt/mul/div chain."""
+    from kamae_ray.stages.profile import acf_by_group
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column("user_id")),
+                                     pc.is_valid(batch.column("value"))))
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("value"), pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"g": pa.array(uid % np.int64(1000)),
+                         "ts": batch.column("ts"),
+                         "event_id": batch.column("event_id"),
+                         "v": cents})
+
+    prep.__name__ = "acf_cohorts"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    out = acf_by_group(keyed, "g", ["ts", "event_id"], "v", max_lag=3)
+    return out.map_batches(_rounder(["acf"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_array_distinct(sf_dir):
     """Per-row token-set canonicalization
     (``ArrayDistinctSortTransformer``): distinct + ascending sort of each
@@ -6128,6 +6179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kendall": _q_kendall,
         "q_assortativity": _q_assortativity,
         "q_array_distinct": _q_array_distinct,
+        "q_wasserstein": _q_wasserstein,
+        "q_acf": _q_acf,
         "q_poly2": _q_poly2,
         "q_contingency": _q_contingency,
         "q_logrank": _q_logrank,
@@ -8670,6 +8723,28 @@ def oracle_sql() -> dict[str, str]:
         ).checksum_oracle_sql("orders", ["o_orderkey", "o_orderstatus"],
                               {"o_orderkey": "int", "o_orderstatus": "str"},
                               salt=5),
+        "q_wasserstein": (
+            "WITH f AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v, "
+            "event_type AS g FROM events WHERE value IS NOT NULL "
+            "AND event_type IN ('purchase', 'view')), "
+            "c AS (SELECT v, "
+            "SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS a, "
+            "SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END)::BIGINT AS b "
+            "FROM f GROUP BY v), "
+            "t AS (SELECT SUM(a)::BIGINT AS na, SUM(b)::BIGINT AS nb FROM c), "
+            "w AS (SELECT v, SUM(a) OVER (ORDER BY v)::BIGINT AS ca, "
+            "SUM(b) OVER (ORDER BY v)::BIGINT AS cb, "
+            "LEAD(v) OVER (ORDER BY v) AS nv FROM c), "
+            "s AS (SELECT CAST(SUM(abs(ca::HUGEINT * t.nb - cb::HUGEINT * t.na) "
+            "* (nv - v)) AS HUGEINT) AS num FROM w CROSS JOIN t "
+            "WHERE nv IS NOT NULL) "
+            "SELECT t.na AS n_a, t.nb AS n_b, ROUND(s.num::DOUBLE, 6) AS w1_num, "
+            "ROUND(s.num::DOUBLE / (t.na::HUGEINT * t.nb)::DOUBLE, 6) AS w1 "
+            "FROM s CROSS JOIN t"
+        ),
+        "q_acf": (
+            'WITH b AS (SELECT user_id % 1000 AS g, ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL), l AS (SELECT g, 1 AS lag, LAG(v, 1) OVER w1 AS x, v AS y FROM b WINDOW w1 AS (PARTITION BY g ORDER BY ts, event_id) UNION ALL SELECT g, 2 AS lag, LAG(v, 2) OVER w2 AS x, v AS y FROM b WINDOW w2 AS (PARTITION BY g ORDER BY ts, event_id) UNION ALL SELECT g, 3 AS lag, LAG(v, 3) OVER w3 AS x, v AS y FROM b WINDOW w3 AS (PARTITION BY g ORDER BY ts, event_id)), s AS (SELECT g, CAST(lag AS BIGINT) AS lag, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy FROM l WHERE x IS NOT NULL GROUP BY g, lag) SELECT g, lag, n AS n_pairs, ROUND(CASE WHEN n >= 2 AND n::HUGEINT * sxx - sx::HUGEINT * sx > 0 AND n::HUGEINT * syy - sy::HUGEINT * sy > 0 THEN (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE / (sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE) * sqrt((n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE)) END, 6) AS acf FROM s'
+        ),
         "q_array_distinct": (
             r"SELECT doc_id, list_sort(list_distinct(list_filter("
             r"string_split_regex(coalesce(text, ''), '\s+'), "

@@ -1537,3 +1537,116 @@ def contingency_residuals(ds, x_col: str, y_col: str,
                      "observed": pa.array(o_l, pa.int64()),
                      "expected": pa.array(e_l, pa.float64()),
                      "residual": pa.array(r_l, pa.float64())})
+
+
+def acf_by_group(ds, group_col: str, order_cols, value_col: str,
+                 max_lag: int = 5):
+    """Autocorrelation function per group — the lag-1..K Pearson table over
+    an INTEGER value column ordered within each entity (seasonality /
+    persistence screening; generalizes the lag-1 composition behind
+    q_autocorr to a full ACF):
+
+    for each lag k, the pairs are (v_i, v_{i+k}) within a group under the
+    ``order_cols`` total order; exact int64 power sums (n, sx, sy, sxy,
+    sxx, syy) per (group, lag) accumulate via vectorized scatter-adds, the
+    Pearson close is the fixed mirrored
+
+        r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+
+    chain with python-int numerators (the welch family). Values must fit
+    26 bits (squares' SUMS stay exact int64 at any realistic group size);
+    null values are dropped BEFORE pairing (= the SQL LAG over the filtered
+    set). ``acf`` is NULL when n < 2 or either variance term is 0.
+
+    Scale plan: ONE sort-shuffle on the group key; the kernel is one
+    in-block lexsort + K shifted vectorized passes; output is O(groups*K)
+    cells. Include a unique tiebreak in ``order_cols``."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    if max_lag < 1 or max_lag > 256:
+        raise ValueError("max_lag must be in [1, 256]")
+
+    def prep(block: pa.Table) -> pa.Table:
+        v = pc.cast(A.as_array(block.column(value_col)), pa.int64(), safe=False)
+        cols = {group_col: A.as_array(block.column(group_col))}
+        for c in order_cols:
+            cols[c] = pc.cast(A.as_array(block.column(c)), pa.int64(),
+                              safe=False)
+        cols[value_col] = v
+        return pa.table(cols).filter(pc.is_valid(v))
+
+    prep.__name__ = "acf_prep"
+
+    def kern(block: pa.Table) -> pa.Table:
+        garr = A.as_array(block.column(group_col))
+        empty = pa.table({
+            group_col: garr.slice(0, 0),
+            "lag": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "acf": pa.array([], pa.float64()),
+        })
+        if block.num_rows == 0:
+            return empty
+        gids = S.group_ids(block, [group_col])
+        v = A.as_array(block.column(value_col)).to_numpy(zero_copy_only=False)
+        if len(v) and int(np.abs(v).max()) >= (1 << 26):
+            raise ValueError("acf values must fit 26 bits — rescale "
+                             "(squares' sums must stay exact int64)")
+        okeys = [A.as_array(block.column(c)).to_numpy(zero_copy_only=False)
+                 for c in order_cols]
+        order = np.lexsort(tuple(reversed(okeys)) + (gids,))
+        gs, vs = gids[order], v[order]
+        n_g = int(gs.max()) + 1
+        firsts_idx = np.full(n_g, len(gs), np.int64)
+        np.minimum.at(firsts_idx, gs, np.arange(len(gs), dtype=np.int64))
+        out_lag, out_n, out_acf, out_gid = [], [], [], []
+        for k in range(1, max_lag + 1):
+            if len(vs) <= k:
+                break
+            m = gs[:-k] == gs[k:]
+            gid = gs[:-k][m]
+            x = vs[:-k][m]
+            y = vs[k:][m]
+            n = np.zeros(n_g, np.int64)
+            sx = np.zeros(n_g, np.int64)
+            sy = np.zeros(n_g, np.int64)
+            sxy = np.zeros(n_g, np.int64)
+            sxx = np.zeros(n_g, np.int64)
+            syy = np.zeros(n_g, np.int64)
+            np.add.at(n, gid, 1)
+            np.add.at(sx, gid, x)
+            np.add.at(sy, gid, y)
+            np.add.at(sxy, gid, x * y)
+            np.add.at(sxx, gid, x * x)
+            np.add.at(syy, gid, y * y)
+            if len(n) and max(int(sxx.max()), int(syy.max()),
+                              int(np.abs(sxy).max())) >= (1 << 62):
+                raise ValueError("acf power sums exceed int64")
+            for g in np.flatnonzero(n > 0):
+                ng = int(n[g])
+                va = ng * int(sxx[g]) - int(sx[g]) ** 2
+                vb = ng * int(syy[g]) - int(sy[g]) ** 2
+                r = None
+                if ng >= 2 and va > 0 and vb > 0:
+                    r = float(ng * int(sxy[g]) - int(sx[g]) * int(sy[g])) / (
+                        np.sqrt(float(va)) * np.sqrt(float(vb)))
+                out_gid.append(int(g))
+                out_lag.append(k)
+                out_n.append(ng)
+                out_acf.append(r)
+        if not out_gid:
+            return empty
+        take_idx = order[firsts_idx[np.array(out_gid, np.int64)]]
+        return pa.table({
+            group_col: garr.take(pa.array(take_idx)),
+            "lag": pa.array(out_lag, pa.int64()),
+            "n_pairs": pa.array(out_n, pa.int64()),
+            "acf": pa.array(out_acf, pa.float64()),
+        })
+
+    if isinstance(ds, pa.Table):
+        return kern(prep(ds))
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return sorted_block_apply(keyed, [group_col], kern, "acf_fold")

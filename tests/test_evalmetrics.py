@@ -560,3 +560,52 @@ def test_logrank_guards():
     other = pa.table({"t": [1], "ev": [1], "arm": ["zz"]})
     out = logrank_terms(other, "t", "ev", "arm", "a", "b")
     assert out.num_rows == 0 and "oe" in out.column_names
+
+
+def test_wasserstein_matches_reference(ray_session, eval_data):
+    import ray
+
+    from kamae_ray.stages.evalmetrics import wasserstein_distance
+
+    t = pa.table({"v": eval_data.column("s"), "g": eval_data.column("g")})
+    out = wasserstein_distance(t, "v", "g", "a", "b")
+    d = wasserstein_distance(ray.data.from_arrow(t), "v", "g", "a", "b")
+    assert out.equals(d)
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    g = t.column("g").to_numpy(zero_copy_only=False)
+    a, b = np.sort(v[g == "a"]), np.sort(v[g == "b"])
+    grid = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, grid, side="right") / len(a)
+    cb = np.searchsorted(b, grid, side="right") / len(b)
+    ref = float((np.abs(ca - cb)[:-1] * np.diff(grid)).sum())
+    assert abs(out.column("w1")[0].as_py() - ref) < 1e-9
+    assert out.column("n_a")[0].as_py() == len(a)
+
+
+def test_wasserstein_shift_and_identity():
+    from kamae_ray.stages.evalmetrics import wasserstein_distance
+
+    base = np.arange(100, dtype=np.int64)
+    t = pa.table({"v": pa.array(np.concatenate([base, base + 7])),
+                  "g": ["a"] * 100 + ["b"] * 100})
+    out = wasserstein_distance(t, "v", "g", "a", "b")
+    assert out.column("w1")[0].as_py() == 7.0  # pure shift
+    same = pa.table({"v": pa.array(np.concatenate([base, base])),
+                     "g": ["a"] * 100 + ["b"] * 100})
+    assert wasserstein_distance(same, "v", "g", "a", "b") \
+        .column("w1")[0].as_py() == 0.0
+    empty = pa.table({"v": pa.array(base), "g": ["a"] * 100})
+    assert wasserstein_distance(empty, "v", "g", "a", "b") \
+        .column("w1")[0].as_py() is None
+
+
+def test_wasserstein_budget_raise(ray_session):
+    import ray
+
+    from kamae_ray.stages.evalmetrics import wasserstein_distance
+
+    t = pa.table({"v": pa.array(np.arange(100, dtype=np.int64)),
+                  "g": ["a", "b"] * 50})
+    with pytest.raises(ValueError, match="driver_budget"):
+        wasserstein_distance(ray.data.from_arrow(t), "v", "g", "a", "b",
+                             driver_budget=10)

@@ -233,3 +233,53 @@ def test_contingency_residuals(ray_session):
     # null categories are dropped
     t2 = pa.table({"x": ["a", None], "y": ["b", "b"]})
     assert contingency_residuals(t2, "x", "y").column("observed").to_pylist() == [1]
+
+
+def test_acf_matches_corrcoef(ray_session):
+    import ray
+
+    from kamae_ray.stages.profile import acf_by_group
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b"], n)),
+        "o": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(-1000, 1000, n)),
+    })
+    out = acf_by_group(t, "g", ["o"], "v", max_lag=4).sort_by(
+        [("g", "ascending"), ("lag", "ascending")])
+    d = acf_by_group(ray.data.from_arrow(t), "g", ["o"], "v", max_lag=4)
+    dt = pa.concat_tables([pa.table(b) for b in
+                           d.iter_batches(batch_format="pyarrow")]).sort_by(
+        [("g", "ascending"), ("lag", "ascending")])
+    assert out.equals(dt)
+    df = t.to_pandas().sort_values("o")
+    for row in out.to_pylist():
+        v = df[df.g == row["g"]].v.to_numpy()
+        x, y = v[:-row["lag"]], v[row["lag"]:]
+        assert row["n_pairs"] == len(x)
+        ref = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
+        assert abs(row["acf"] - ref) < 1e-9
+
+
+def test_acf_edge_cases():
+    from kamae_ray.stages.profile import acf_by_group
+
+    # perfectly alternating series: lag-1 acf = -1, lag-2 acf = +1
+    t = pa.table({"g": ["a"] * 8, "o": list(range(8)),
+                  "v": [1, -1, 1, -1, 1, -1, 1, -1]})
+    out = acf_by_group(t, "g", ["o"], "v", max_lag=2).to_pylist()
+    assert abs(out[0]["acf"] + 1.0) < 1e-15
+    assert abs(out[1]["acf"] - 1.0) < 1e-15
+    # constant series -> variance 0 -> NULL
+    c = pa.table({"g": ["a"] * 5, "o": list(range(5)), "v": [3] * 5})
+    assert acf_by_group(c, "g", ["o"], "v", max_lag=1).to_pylist()[0]["acf"] is None
+    # nulls dropped BEFORE pairing (SQL LAG over the filtered set)
+    nl = pa.table({"g": ["a"] * 4, "o": [0, 1, 2, 3],
+                   "v": pa.array([5, None, 6, 7], pa.int64())})
+    out = acf_by_group(nl, "g", ["o"], "v", max_lag=1)
+    assert out.column("n_pairs")[0].as_py() == 2  # (5,6), (6,7)
+    with pytest.raises(ValueError, match="26 bits"):
+        acf_by_group(pa.table({"g": ["a"], "o": [0], "v": [1 << 27]}),
+                     "g", ["o"], "v", max_lag=1)

@@ -1418,6 +1418,100 @@ def _q_jsd(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "jsd_term"])
 
 
+def _q_rbo(sf_dir):
+    """Truncated rank-biased overlap@5 (p=0.5) between two rankings of each
+    order's line items — quantity-ranked vs price-ranked
+    (``evalmetrics.rbo_by_query``): overlap@d is the cumulative histogram
+    of max(rank_a, rank_b) (pure int64), the weighted sum shares its
+    (1-p)p^(d-1) constants with the GENERATED oracle term-for-term. Ranks
+    and the fold run in ONE order-key sort."""
+    from kamae_ray.stages.evalmetrics import rbo_by_query
+    from kamae_ray.stages.window import sorted_block_apply
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(batch.column("l_extendedprice"),
+                                                     pa.float64()), 100.0),
+                                 ndigits=0, round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"q": batch.column("l_orderkey"),
+                         "ln": pc.cast(batch.column("l_linenumber"), pa.int64()),
+                         "qty": pc.cast(batch.column("l_quantity"), pa.int64(),
+                                        safe=False),
+                         "cents": cents})
+
+    prep.__name__ = "rbo_inputs"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+    def _ranks(qs, key, ln):
+        ordr = np.lexsort((ln, -key, qs))
+        qq = qs[ordr]
+        starts = np.ones(len(qq), bool)
+        starts[1:] = qq[1:] != qq[:-1]
+        sidx = np.flatnonzero(starts)
+        lens = np.diff(np.append(sidx, len(qq)))
+        rk = np.arange(len(qq), dtype=np.int64) - np.repeat(sidx, lens) + 1
+        out = np.empty(len(qq), np.int64)
+        out[ordr] = rk
+        return out
+
+    def kern(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"q": pa.array([], pa.int64()),
+                             "inter_k": pa.array([], pa.int64()),
+                             "rbo_k": pa.array([], pa.float64())})
+        qs = block.column("q").to_numpy(zero_copy_only=False)
+        ln = block.column("ln").to_numpy(zero_copy_only=False)
+        qty = block.column("qty").to_numpy(zero_copy_only=False)
+        cents = block.column("cents").to_numpy(zero_copy_only=False)
+        # the synthetic lineitem duplicates linenumbers within an order —
+        # reduce to ONE item per (q, ln) (MAX qty/cents, mirrored by the
+        # oracle's GROUP BY) so (qty DESC, ln) is a total order
+        if len(ln) and (ln.min() < 0 or ln.max() >= 16):
+            raise ValueError("rbo item key packing expects 0 <= ln < 16")
+        comb = qs * np.int64(16) + ln
+        uniq, inv = np.unique(comb, return_inverse=True)
+        mq = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        mc = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mq, inv, qty)
+        np.maximum.at(mc, inv, cents)
+        iq, iln = uniq // np.int64(16), uniq % np.int64(16)
+        t = pa.table({"q": pa.array(iq),
+                      "ra": pa.array(_ranks(iq, mq, iln)),
+                      "rb": pa.array(_ranks(iq, mc, iln))})
+        return rbo_by_query(t, "q", "ra", "rb", k=5, p=0.5)
+
+    out = sorted_block_apply(keyed, ["q"], kern, "rbo_ranks_fold")
+    return out.map_batches(_rounder(["rbo_k"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _rbo_oracle_sql() -> str:
+    """q_rbo oracle GENERATED from the engine's own RBO constants
+    (``evalmetrics.rbo_sql`` — (1-p)p^(d-1) round-trip float literals,
+    summed in the kernel's exact d order)."""
+    from kamae_ray.stages.evalmetrics import rbo_sql
+
+    terms = rbo_sql(5, 0.5,
+                    "SUM(CASE WHEN greatest(ra, rb) <= {d} THEN 1 ELSE 0 END)")
+    return (
+        "WITH b0 AS (SELECT l_orderkey AS q, CAST(l_linenumber AS BIGINT) AS ln, "
+        "CAST(l_quantity AS BIGINT) AS qty, "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem), "
+        "b AS (SELECT q, ln, MAX(qty) AS qty, MAX(cents) AS cents FROM b0 "
+        "GROUP BY q, ln), "
+        "r AS (SELECT q, "
+        "row_number() OVER (PARTITION BY q ORDER BY qty DESC, ln) AS ra, "
+        "row_number() OVER (PARTITION BY q ORDER BY cents DESC, ln) AS rb "
+        "FROM b) "
+        "SELECT q, SUM(CASE WHEN greatest(ra, rb) <= 5 THEN 1 ELSE 0 END)::BIGINT "
+        f"AS inter_k, ROUND({terms}, 6) AS rbo_k FROM r GROUP BY q"
+    )
+
+
 def _q_wasserstein(sf_dir):
     """Two-sample 1-Wasserstein distance between the purchase and view
     value distributions (``evalmetrics.wasserstein_distance``) — KS's
@@ -6180,6 +6274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_assortativity": _q_assortativity,
         "q_array_distinct": _q_array_distinct,
         "q_wasserstein": _q_wasserstein,
+        "q_rbo": _q_rbo,
         "q_acf": _q_acf,
         "q_poly2": _q_poly2,
         "q_contingency": _q_contingency,
@@ -8723,6 +8818,7 @@ def oracle_sql() -> dict[str, str]:
         ).checksum_oracle_sql("orders", ["o_orderkey", "o_orderstatus"],
                               {"o_orderkey": "int", "o_orderstatus": "str"},
                               salt=5),
+        "q_rbo": _rbo_oracle_sql(),
         "q_wasserstein": (
             "WITH f AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v, "
             "event_type AS g FROM events WHERE value IS NOT NULL "

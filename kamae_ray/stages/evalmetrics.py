@@ -1308,3 +1308,99 @@ def wasserstein_distance(ds, value_col: str, group_col: str, group_a, group_b,
         "a": pc.cast(tbl.column("a_sum"), pa.int64(), safe=False),
         "b": pc.cast(tbl.column("b_sum"), pa.int64(), safe=False),
     }))
+
+
+def rbo_sql(k: int, p: float, inter_fmt: str) -> str:
+    """The oracle-side truncated RBO@k expression GENERATED from the same
+    constants as the engine kernel: a left-associative sum of
+    ``inter_d::DOUBLE / d * c_d`` terms with ``c_d = (1-p) * p^(d-1)``
+    emitted as exact round-trip float literals (repr(c) parses back to the
+    identical double in DuckDB), accumulated in the engine's d order —
+    the shared-constants pattern of :func:`ranking_dcg_sql`.
+    ``inter_fmt`` formats the overlap@d SQL expression given d."""
+    terms = []
+    c = 1.0 - p
+    for d in range(1, k + 1):
+        terms.append(f"({inter_fmt.format(d=d)})::DOUBLE / "
+                     f"CAST({d} AS DOUBLE) * CAST({c!r} AS DOUBLE)")
+        c = c * p
+    return " + ".join(terms)
+
+
+def rbo_by_query(ds, query_col: str, rank_a_col: str, rank_b_col: str,
+                 k: int = 10, p: float = 0.5):
+    """Truncated rank-biased overlap (Webber et al. 2010, the prefix sum —
+    no tail extrapolation) between TWO rankings of items per query:
+
+        rbo@k = sum over d=1..k of (1-p)*p^(d-1) * overlap@d / d
+
+    where ``overlap@d`` counts items whose positions in BOTH rankings are
+    <= d. Input is the joined item table: one row per (query, item) with
+    its 1-based integer position in each ranking (items absent from a
+    ranking carry a null and never enter an overlap — standard prefix-RBO
+    semantics).
+
+    Exactness: overlap@d is the cumulative histogram of max(rank_a, rank_b)
+    — pure int64; each term is one exact-int division times a shared
+    constant, accumulated in fixed d order; the oracle is GENERATED from
+    the identical constants (:func:`rbo_sql`) so the float chain is
+    bit-identical. Output: query, inter_k, rbo_k.
+
+    Scale plan: ONE sort-shuffle on the query key + a vectorized bincount
+    segment kernel; O(queries) output rows."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    if k <= 0 or k > 1024:
+        raise ValueError("k must be in [1, 1024]")
+    if not (0.0 < p < 1.0):
+        raise ValueError("p must be in (0, 1)")
+    consts = np.empty(k, np.float64)
+    c = 1.0 - p
+    for d in range(k):
+        consts[d] = c
+        c = c * p
+
+    def kern(block: pa.Table) -> pa.Table:
+        qarr = A.as_array(block.column(query_col))
+        empty = pa.table({
+            query_col: qarr.slice(0, 0),
+            "inter_k": pa.array([], pa.int64()),
+            "rbo_k": pa.array([], pa.float64()),
+        })
+        if block.num_rows == 0:
+            return empty
+        gids = S.group_ids(block, [query_col])
+        ra = A.as_array(block.column(rank_a_col))
+        rb = A.as_array(block.column(rank_b_col))
+        both = pc.and_(pc.is_valid(ra), pc.is_valid(rb)) \
+            .to_numpy(zero_copy_only=False)
+        rav = pc.fill_null(pc.cast(ra, pa.int64(), safe=False), 1 << 40) \
+            .to_numpy(zero_copy_only=False)
+        rbv = pc.fill_null(pc.cast(rb, pa.int64(), safe=False), 1 << 40) \
+            .to_numpy(zero_copy_only=False)
+        if both.any() and min(int(rav[both].min()), int(rbv[both].min())) < 1:
+            raise ValueError("ranks must be 1-based positive integers")
+        n_g = int(gids.max()) + 1
+        m = np.maximum(rav, rbv)
+        m = np.where(both & (m <= k), m, 0)  # 0 = never counted
+        # per-(group, depth) counts -> cumulative overlap@d per group
+        hist = np.zeros((n_g, k + 1), np.int64)
+        np.add.at(hist, (gids, m), 1)
+        hist[:, 0] = 0
+        inter = np.cumsum(hist, axis=1)[:, 1:]  # (n_g, k)
+        # fixed d-order left-assoc accumulation shared with the oracle
+        rbo = np.zeros(n_g, np.float64)
+        for d in range(1, k + 1):
+            rbo = rbo + inter[:, d - 1].astype(np.float64) / float(d) \
+                * consts[d - 1]
+        firsts = np.full(n_g, len(gids), np.int64)
+        np.minimum.at(firsts, gids, np.arange(len(gids), dtype=np.int64))
+        return pa.table({
+            query_col: qarr.take(pa.array(firsts)),
+            "inter_k": pa.array(inter[:, k - 1]),
+            "rbo_k": pa.array(rbo),
+        })
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    return sorted_block_apply(ds, [query_col], kern, "rbo_fold")

@@ -609,3 +609,64 @@ def test_wasserstein_budget_raise(ray_session):
     with pytest.raises(ValueError, match="driver_budget"):
         wasserstein_distance(ray.data.from_arrow(t), "v", "g", "a", "b",
                              driver_budget=10)
+
+
+def test_rbo_hand_cases(ray_session):
+    import ray
+
+    from kamae_ray.stages.evalmetrics import rbo_by_query
+
+    # identical rankings of 5 items -> overlap@d = d -> rbo = sum (1-p)p^(d-1)
+    t = pa.table({"q": ["a"] * 5, "ra": [1, 2, 3, 4, 5], "rb": [1, 2, 3, 4, 5]})
+    out = rbo_by_query(t, "q", "ra", "rb", k=5, p=0.5)
+    ref = 0.0
+    c = 0.5
+    for d in range(1, 6):
+        ref = ref + float(d) / float(d) * c
+        c *= 0.5
+    assert out.column("rbo_k")[0].as_py() == ref
+    assert out.column("inter_k")[0].as_py() == 5
+    # disjoint prefixes -> 0
+    t2 = pa.table({"q": ["a"] * 4, "ra": [1, 2, None, None],
+                   "rb": [None, None, 1, 2]})
+    out2 = rbo_by_query(t2, "q", "ra", "rb", k=5, p=0.5)
+    assert out2.column("rbo_k")[0].as_py() == 0.0
+    # naive reference on random rankings + Dataset parity
+    rng = np.random.default_rng(9)
+    qs, ras, rbs = [], [], []
+    for q in range(50):
+        n = rng.integers(3, 12)
+        pa_ = rng.permutation(n) + 1
+        pb_ = rng.permutation(n) + 1
+        qs += [q] * n
+        ras += pa_.tolist()
+        rbs += pb_.tolist()
+    big = pa.table({"q": pa.array(qs, pa.int64()), "ra": pa.array(ras),
+                    "rb": pa.array(rbs)})
+    out3 = rbo_by_query(big, "q", "ra", "rb", k=7, p=0.5).sort_by("q")
+    d3 = pa.concat_tables([pa.table(b) for b in
+                           rbo_by_query(ray.data.from_arrow(big), "q", "ra",
+                                        "rb", k=7, p=0.5)
+                           .iter_batches(batch_format="pyarrow")]).sort_by("q")
+    assert out3.equals(d3)
+    df = big.to_pandas()
+    for row in out3.to_pylist():
+        sub = df[df.q == row["q"]]
+        ref = 0.0
+        c = 0.5
+        for d in range(1, 8):
+            ov = int(((sub.ra <= d) & (sub.rb <= d)).sum())
+            ref = ref + float(ov) / float(d) * c
+            c *= 0.5
+        assert abs(row["rbo_k"] - ref) < 1e-15
+
+
+def test_rbo_guards():
+    from kamae_ray.stages.evalmetrics import rbo_by_query
+
+    with pytest.raises(ValueError, match="1-based"):
+        rbo_by_query(pa.table({"q": ["a"], "ra": [0], "rb": [1]}),
+                     "q", "ra", "rb", k=3)
+    with pytest.raises(ValueError, match="p must be"):
+        rbo_by_query(pa.table({"q": ["a"], "ra": [1], "rb": [1]}),
+                     "q", "ra", "rb", k=3, p=1.5)

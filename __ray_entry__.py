@@ -1418,6 +1418,27 @@ def _q_jsd(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "jsd_term"])
 
 
+def _q_paths(sf_dir):
+    """3-step path counts over user timelines
+    (``window.event_ngram_counts``): the k-step funnel / sankey miner —
+    ONE entity sort, packed int64 n-gram codes per block, global counts on
+    the chr(31)-joined path string. LEAD-window oracle."""
+    from kamae_ray.stages.window import event_ngram_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column("user_id")),
+                       pc.is_valid(batch.column("ts")))
+        return batch.filter(keep)
+
+    prep.__name__ = "paths_prep"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return event_ngram_counts(keyed, "user_id", "ts", "event_type", 3,
+                              tiebreak_col="event_id")
+
+
 def _q_rbo(sf_dir):
     """Truncated rank-biased overlap@5 (p=0.5) between two rankings of each
     order's line items — quantity-ranked vs price-ranked
@@ -6275,6 +6296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_array_distinct": _q_array_distinct,
         "q_wasserstein": _q_wasserstein,
         "q_rbo": _q_rbo,
+        "q_paths": _q_paths,
         "q_acf": _q_acf,
         "q_poly2": _q_poly2,
         "q_contingency": _q_contingency,
@@ -8819,6 +8841,16 @@ def oracle_sql() -> dict[str, str]:
                               {"o_orderkey": "int", "o_orderstatus": "str"},
                               salt=5),
         "q_rbo": _rbo_oracle_sql(),
+        "q_paths": (
+            "WITH b AS (SELECT user_id AS g, ts, event_id, event_type AS lab "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "l AS (SELECT g, lab, LEAD(lab, 1) OVER w AS l1, "
+            "LEAD(lab, 2) OVER w AS l2 FROM b "
+            "WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)) "
+            "SELECT lab || chr(31) || l1 || chr(31) || l2 AS path, "
+            "COUNT(*)::BIGINT AS n FROM l WHERE lab IS NOT NULL "
+            "AND l1 IS NOT NULL AND l2 IS NOT NULL GROUP BY 1"
+        ),
         "q_wasserstein": (
             "WITH f AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v, "
             "event_type AS g FROM events WHERE value IS NOT NULL "

@@ -2516,3 +2516,99 @@ def cusum_flags(ds, entity_cols, time_col, value_col: str,
     if isinstance(ds, pa.Table):
         return blockfn(ds)
     return sorted_block_apply(ds, entity_cols, blockfn, "cusum_flags")
+
+
+def event_ngram_counts(ds, entity_cols, time_col: str, event_col: str, n: int,
+                       tiebreak_col: str | None = None, sep: str = "\x1f"):
+    """Sequential path mining: global counts of every length-``n`` run of
+    consecutive events within an entity timeline — the k-step
+    generalization of :func:`transition_counts` (funnels / sankey paths /
+    session n-grams). A path renders as the events joined by ``sep``
+    (chr(31) by default — the FeatureCross unit-separator rule, so labels
+    can never alias structurally).
+
+    Null-event semantics match transition_counts (= the LEAD oracle with a
+    final WHERE): a null event still consumes its timeline position but
+    every window touching it drops. Pass a unique ``tiebreak_col`` for
+    deterministic paths under equal timestamps.
+
+    Scale plan: ONE entity sort-shuffle; the block kernel is one lexsort +
+    n-1 shifted compares, paths pack into ONE int64 code (codes *
+    K^j — K = block dictionary size, guarded < 2^62) for the per-block
+    np.unique partial; the final exchange carries only (path, n) cells."""
+    entity_cols = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    if n < 2 or n > 8:
+        raise ValueError("n must be in [2, 8]")
+
+    def kern(block: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "path": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        if block.num_rows == 0:
+            return empty
+        ev = pc.cast(A.as_array(block.column(event_col)), pa.string(), safe=False)
+        d = ev.dictionary_encode()
+        K = len(d.dictionary)
+        if K and K ** n >= (1 << 62):
+            raise ValueError("event_ngram_counts: dictionary^n exceeds int64 "
+                             "packing — reduce n or the label cardinality")
+        codes = pc.fill_null(d.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _time_to_numeric(A.as_array(block.column(time_col))).to_numpy(zero_copy_only=False)
+        gids = S.group_ids(block, entity_cols)
+        keys = [t, gids]
+        if tiebreak_col is not None:
+            tb = pc.cast(A.as_array(block.column(tiebreak_col)), pa.int64(), safe=False)
+            keys = [tb.to_numpy(zero_copy_only=False), t, gids]
+        order = np.lexsort(tuple(keys))
+        gs, cs = gids[order], codes[order]
+        m = len(gs) - (n - 1)
+        if m <= 0:
+            return empty
+        ok = gs[:m] == gs[n - 1:]          # window stays inside one entity
+        packed = np.zeros(m, np.int64)
+        for j in range(n):
+            cj = cs[j:m + j]
+            ok = ok & (cj >= 0)
+            packed = packed * np.int64(max(K, 1)) + cj
+        packed = packed[ok]
+        if not len(packed):
+            return empty
+        uniq, counts = np.unique(packed, return_counts=True)
+        parts = []
+        rem = uniq
+        for j in range(n):
+            parts.append(rem % np.int64(max(K, 1)))
+            rem = rem // np.int64(max(K, 1))
+        labels = [d.dictionary.take(pa.array(p, pa.int64()))
+                  for p in reversed(parts)]
+        path = pc.binary_join_element_wise(*labels, pa.scalar(sep))
+        return pa.table({"path": path,
+                         "n": pa.array(counts.astype(np.int64))})
+
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    if isinstance(ds, pa.Table):
+        cells = kern(ds)
+    else:
+        cols = entity_cols + [time_col, event_col] + (
+            [tiebreak_col] if tiebreak_col else [])
+        proj = ds
+        try:
+            proj = ds.select_columns(list(dict.fromkeys(cols)))
+        except Exception:
+            pass
+        cells = sorted_block_apply(proj, entity_cols, kern, "ngram_cells")
+    agg = groupby_agg(cells, ["path"], {"n": ["sum"]})
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "path": b.column("path"),
+            "n": pc.cast(b.column("n_sum"), pa.int64(), safe=False),
+        })
+
+    finish.__name__ = "ngram_finish"
+    if isinstance(agg, pa.Table):
+        return finish(agg)
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)

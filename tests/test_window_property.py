@@ -5,6 +5,7 @@ groupby references over random entity/time data (unique timestamps per entity
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -191,3 +192,46 @@ def test_cusum_flags(ray_session):
     rows = {r["t"]: (r["cusum_up"], r["cusum_dn"])
             for r in cusum_flags(ds, "e", "t", "x", 9_500_000, 40_000_000).take_all()}
     assert rows == {tt: (u, d) for tt, u, d in zip(t.tolist(), exp_up, exp_dn)}
+
+
+def test_event_ngram_counts(ray_session):
+    import ray
+
+    from kamae_ray.stages.window import event_ngram_counts
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 120, n)),
+        "ts": pa.array(rng.permutation(n).astype(np.int64)),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "e": pa.array(rng.choice(["a", "b", "c", None], n,
+                                 p=[0.4, 0.3, 0.2, 0.1])),
+    })
+    out = event_ngram_counts(t, "u", "ts", "e", 3, tiebreak_col="eid",
+                             sep=">").sort_by("path")
+    d = event_ngram_counts(ray.data.from_arrow(t), "u", "ts", "e", 3,
+                           tiebreak_col="eid", sep=">")
+    dt = pa.concat_tables([pa.table(b) for b in
+                           d.iter_batches(batch_format="pyarrow")]).sort_by("path")
+    assert out.equals(dt)
+    # naive reference: nulls consume their position, windows touching drop
+    df = t.to_pandas().sort_values(["u", "ts", "eid"])
+    ref = {}
+    for _, grp in df.groupby("u"):
+        evs = grp.e.tolist()
+        for i in range(len(evs) - 2):
+            w = evs[i:i + 3]
+            if all(x is not None for x in w):
+                ref[">".join(w)] = ref.get(">".join(w), 0) + 1
+    got = {r["path"]: r["n"] for r in out.to_pylist()}
+    assert got == ref
+    # n=2 equals transition_counts totals
+    from kamae_ray.stages.window import transition_counts
+
+    two = event_ngram_counts(t, "u", "ts", "e", 2, tiebreak_col="eid", sep=">")
+    tc = transition_counts(t, "u", "ts", "e", tiebreak_col="eid")
+    pairs = {f'{r["from_event"]}>{r["to_event"]}': r["n"] for r in tc.to_pylist()}
+    assert {r["path"]: r["n"] for r in two.to_pylist()} == pairs
+    with pytest.raises(ValueError, match=r"\[2, 8\]"):
+        event_ngram_counts(t, "u", "ts", "e", 1)

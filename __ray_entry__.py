@@ -3285,6 +3285,27 @@ def _q_ann_ivf(sf_dir):
     )
 
 
+def _q_ann_recall(sf_dir):
+    """ANN quality certification (``ann.ann_recall``): per-query recall@10
+    of the 4-probe fixed-centroid IVF against the exact brute-force top-10
+    — both sides deterministic, so recall is an exact statistic the oracle
+    reproduces (the index-tuning readout as a first-class query)."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.ann import ann_recall
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qrows = first.filter(pc.is_in(first.column("vec_id"), value_set=pa.array([0, 1, 2, 3])))
+    queries = np.asarray(qrows.sort_by("vec_id").column("embedding").to_pylist(),
+                         dtype=np.float64)
+    crows = first.filter(pc.less(first.column("vec_id"), 16)).sort_by("vec_id")
+    cents = np.asarray(crows.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_recall(ds, queries, "embedding", "vec_id", k=10, n_probe=4,
+                      centroids=cents)
+
+
 def _q_ann_ivf_index(sf_dir):
     """PERSISTED IVF index: build writes the corpus hive-partitioned by
     nearest centroid (one directory per inverted list); query reads ONLY its
@@ -6297,6 +6318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_wasserstein": _q_wasserstein,
         "q_rbo": _q_rbo,
         "q_paths": _q_paths,
+        "q_ann_recall": _q_ann_recall,
         "q_acf": _q_acf,
         "q_poly2": _q_poly2,
         "q_contingency": _q_contingency,
@@ -7791,6 +7813,40 @@ def oracle_sql() -> dict[str, str]:
         # assignment is an argmax over 16 constant vectors, probes are the
         # top-4 centroids per query, both with the (cs DESC, cid ASC)
         # tiebreak the engine's stable argsort/argmax reproduces.
+        "q_ann_recall": (
+            "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce "
+            "FROM embeddings WHERE vec_id < 16), "
+            "q AS (SELECT vec_id AS query_idx, embedding::DOUBLE[] AS qe "
+            "FROM embeddings WHERE vec_id IN (0, 1, 2, 3)), "
+            "asn AS (SELECT vec_id, cid FROM ("
+            "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce) DESC, c.cid) AS rn "
+            "FROM embeddings e CROSS JOIN c) WHERE rn = 1), "
+            "pr AS (SELECT query_idx, cid FROM ("
+            "SELECT q.query_idx, c.cid, row_number() OVER (PARTITION BY q.query_idx "
+            "ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid) AS rn "
+            "FROM q CROSS JOIN c) WHERE rn <= 4), "
+            "iscored AS (SELECT q.query_idx, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS cs "
+            "FROM embeddings e JOIN asn ON asn.vec_id = e.vec_id "
+            "JOIN pr ON pr.cid = asn.cid JOIN q ON q.query_idx = pr.query_idx), "
+            "ivf AS (SELECT query_idx, vec_id FROM ("
+            "SELECT query_idx, vec_id, row_number() OVER ("
+            "PARTITION BY query_idx ORDER BY cs DESC, vec_id) AS rank "
+            "FROM iscored) WHERE rank <= 10), "
+            "bscored AS (SELECT q.query_idx, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS cs "
+            "FROM embeddings e CROSS JOIN q), "
+            "brute AS (SELECT query_idx, vec_id FROM ("
+            "SELECT query_idx, vec_id, row_number() OVER ("
+            "PARTITION BY query_idx ORDER BY cs DESC, vec_id) AS rank "
+            "FROM bscored) WHERE rank <= 10) "
+            "SELECT b.query_idx::BIGINT AS query_idx, "
+            "COUNT(i.vec_id)::BIGINT AS hits, "
+            "ROUND(COUNT(i.vec_id)::DOUBLE / CAST(10 AS DOUBLE), 6) AS recall_k "
+            "FROM brute b LEFT JOIN ivf i ON i.query_idx = b.query_idx "
+            "AND i.vec_id = b.vec_id GROUP BY b.query_idx"
+        ),
         "q_ann_ivf": (
             "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce "
             "FROM embeddings WHERE vec_id < 16), "

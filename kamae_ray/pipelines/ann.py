@@ -1096,3 +1096,36 @@ def hard_negatives(ds, id_col: str, emb_col: str, label_col: str, k: int = 5,
     if isinstance(ds, pa.Table):
         return kern(ds)
     return src.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ann_recall(ds, queries: np.ndarray, emb_col: str, id_col: str,
+               k: int = 10, n_probe: int = 4, centroids=None):
+    """ANN quality certification: per-query recall@k of the probed IVF
+    top-k against the exact brute-force top-k over the same corpus — the
+    standard index-tuning readout (n_probe vs recall). Both sides are
+    deterministic (fixed centroids / exact scans), so recall is an exact
+    statistic, not an estimate: ``hits`` is an exact int64 intersection
+    count and ``recall_k = hits / k`` is ONE division.
+
+    Scale plan: two corpus passes (the probed IVF pass reads only its
+    probed lists when used with the persisted index; here the in-memory
+    ``ivf_topk``) + an O(queries * k) driver join. Output: query_idx,
+    hits, recall_k."""
+    ivf = ivf_topk(ds, queries, emb_col, id_col, k=k, n_probe=n_probe,
+                   centroids=centroids)
+    brute = brute_force_topk(ds, queries, emb_col, id_col, k=k)
+    by_q: dict = {}
+    for r in ivf.to_pylist():
+        by_q.setdefault(int(r["query_idx"]), set()).add(int(r["id"]))
+    out_q, hits_l, rec_l = [], [], []
+    bq: dict = {}
+    for r in brute.to_pylist():
+        bq.setdefault(int(r["query_idx"]), set()).add(int(r["id"]))
+    for qi in sorted(bq):
+        hits = len(bq[qi] & by_q.get(qi, set()))
+        out_q.append(qi)
+        hits_l.append(hits)
+        rec_l.append(float(hits) / float(k))
+    return pa.table({"query_idx": pa.array(out_q, pa.int64()),
+                     "hits": pa.array(hits_l, pa.int64()),
+                     "recall_k": pa.array(rec_l, pa.float64())})

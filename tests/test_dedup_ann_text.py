@@ -1610,3 +1610,32 @@ def test_hard_negatives(ray_session):
         assert all(labels[j] != labels[s] for j in got)
         for rk, nbr, cs in by_src[s]:
             assert abs(cs - sims[s, nbr]) < 1e-9
+
+
+def test_ann_recall_full_probe_is_one(ray_session):
+    import ray
+
+    from kamae_ray.pipelines.ann import ann_recall
+
+    rng = np.random.default_rng(19)
+    n, d = 400, 16
+    emb = rng.normal(size=(n, d))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(emb),
+                                        pa.list_(pa.float64()))})
+    queries = emb[:3]
+    cents = emb[:8]
+    # full probe == brute force -> recall exactly 1.0 per query
+    full = ann_recall(t, queries, "embedding", "vec_id", k=10, n_probe=8,
+                      centroids=cents)
+    assert full.column("recall_k").to_pylist() == [1.0, 1.0, 1.0]
+    assert full.column("hits").to_pylist() == [10, 10, 10]
+    # low probe: recall in [0, 1], hits == |ivf ∩ brute| by construction
+    low = ann_recall(ray.data.from_arrow(t), queries, "embedding", "vec_id",
+                     k=10, n_probe=1, centroids=cents)
+    for r in low.column("recall_k").to_pylist():
+        assert 0.0 <= r <= 1.0
+    # Dataset == Table on the same parameters
+    lt = ann_recall(t, queries, "embedding", "vec_id", k=10, n_probe=1,
+                    centroids=cents)
+    assert lt.equals(pa.table(low.to_pydict()))

@@ -1418,6 +1418,58 @@ def _q_jsd(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "jsd_term"])
 
 
+def _q_dsir(sf_dir):
+    """DSIR-style importance weights (``text_features.dsir_scores``): score
+    every document by the hashed-unigram log-likelihood ratio of the
+    English subcorpus (target domain) vs the full corpus — data selection
+    for LM training as a first-class query. Poly31 buckets (q_hash_encode
+    constants), libm lns, per-bucket micro-unit quantization -> ORDER-FREE
+    integer per-doc sums."""
+    import pyarrow.dataset as pds
+
+    from kamae_ray.pipelines.text_features import dsir_scores
+    from kamae_ray.sources.io import read_parquet_clean
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    source = _read(sf_dir, "documents", ["doc_id", "text"])
+    target = read_parquet_clean(path, columns=["doc_id", "text", "lang"],
+                                filter=pds.field("lang") == "en")
+    out = dsir_scores(source, target, "doc_id", "text", n_buckets=4096)
+    return out.map_batches(_rounder(["dsir_avg"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _dsir_oracle_sql() -> str:
+    """q_dsir oracle GENERATED from the engine's shared poly31 constants
+    (``hashing.poly31_sql``) — bucket counts, mirrored smoothed log-ratio,
+    micro-unit ROUND, order-free integer per-doc sums."""
+    from kamae_ray.stages.hashing import poly31_sql
+
+    pb = poly31_sql("w")
+    return (
+        r"WITH w0 AS (SELECT doc_id, lang, w FROM documents, "
+        r"UNNEST(list_filter(string_split_regex(coalesce(text, ''), '\s+'), "
+        r"x -> length(x) > 0)) AS u(w)), "
+        f"wb AS (SELECT doc_id, lang, ({pb}) % 4096 AS b FROM w0), "
+        "src AS (SELECT b, COUNT(*)::BIGINT AS s FROM wb GROUP BY b), "
+        "tgt AS (SELECT b, COUNT(*)::BIGINT AS t FROM wb WHERE lang = 'en' "
+        "GROUP BY b), "
+        "tot AS (SELECT (SELECT SUM(s) FROM src)::BIGINT AS S, "
+        "(SELECT COALESCE(SUM(t), 0) FROM tgt)::BIGINT AS T), "
+        "lr AS (SELECT gs.b, CAST(ROUND(CAST(1000000 AS DOUBLE) * "
+        "(ln((COALESCE(tgt.t, 0) + 1)::DOUBLE / (tot.T + 4096)::DOUBLE) "
+        "- ln((COALESCE(src.s, 0) + 1)::DOUBLE / (tot.S + 4096)::DOUBLE))) "
+        "AS BIGINT) AS mu FROM range(0, 4096) gs(b) "
+        "LEFT JOIN src ON src.b = gs.b LEFT JOIN tgt ON tgt.b = gs.b "
+        "CROSS JOIN tot) "
+        "SELECT wb.doc_id, COUNT(*)::BIGINT AS n_words, "
+        "SUM(lr.mu)::BIGINT AS dsir_sum_mu, "
+        "ROUND((SUM(lr.mu)::DOUBLE / COUNT(*)::DOUBLE) / "
+        "CAST(1000000 AS DOUBLE), 6) AS dsir_avg "
+        "FROM wb JOIN lr ON lr.b = wb.b GROUP BY wb.doc_id"
+    )
+
+
 def _q_paths(sf_dir):
     """3-step path counts over user timelines
     (``window.event_ngram_counts``): the k-step funnel / sankey miner —
@@ -6319,6 +6371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rbo": _q_rbo,
         "q_paths": _q_paths,
         "q_ann_recall": _q_ann_recall,
+        "q_dsir": _q_dsir,
         "q_acf": _q_acf,
         "q_poly2": _q_poly2,
         "q_contingency": _q_contingency,
@@ -8897,6 +8950,7 @@ def oracle_sql() -> dict[str, str]:
                               {"o_orderkey": "int", "o_orderstatus": "str"},
                               salt=5),
         "q_rbo": _rbo_oracle_sql(),
+        "q_dsir": _dsir_oracle_sql(),
         "q_paths": (
             "WITH b AS (SELECT user_id AS g, ts, event_id, event_type AS lab "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "

@@ -1017,3 +1017,111 @@ def rrf_fuse(ds, group_cols, item_col: str, rank_col: str,
     if isinstance(out, pa.Table):
         return finish(out)
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dsir_scores(ds_source, ds_target, id_col: str, text_col: str,
+                n_buckets: int = 4096, mu_scale: int = 1_000_000):
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public recipe): score each SOURCE document by the log-likelihood ratio
+    of a hashed-unigram bag model fit on the TARGET domain vs the source:
+
+        lr_mu[b]   = round(mu_scale * (ln((t_b+1)/(T+B)) - ln((s_b+1)/(S+B))))
+        dsir_sum   = sum over word OCCURRENCES of lr_mu[bucket(word)]
+
+    Buckets are the SQL-certifiable codepoint polynomial (poly31 % B — the
+    q_hash_encode constants), both ln's route through libm (lesson 38), and
+    each per-bucket log-ratio quantizes to exact int64 MICRO-units
+    (half-away — the km_curve family), so the per-doc aggregation is an
+    ORDER-FREE integer sum: no cross-word float accumulation exists.
+    ``dsir_avg = (sum/n_words)/mu_scale`` is two mirrored divisions. Docs
+    with zero words drop (SQL join semantics).
+
+    Scale plan: two tf passes (block-local, no shuffle) -> O(blocks x B)
+    dense bucket-count partials folded on the driver (B is fixed and
+    small) -> the lr table rides the score-map closure (broadcast once) ->
+    one score map. Output: (id_col, n_words, dsir_sum_mu, dsir_avg)."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.functions import segments as S
+    from kamae_ray.stages.hashing import poly31_column
+
+    B = int(n_buckets)
+    if B < 2 or B > 1_000_000:
+        raise ValueError("n_buckets must be in [2, 1e6]")
+
+    def bucket_counts(tf_long):
+        def partial(block: pa.Table) -> pa.Table:
+            h, _ = poly31_column(A.as_array(block.column("term")))
+            b = h % np.int64(B)
+            tf = block.column("tf").to_numpy(zero_copy_only=False)
+            dense = np.zeros(B, np.int64)
+            np.add.at(dense, b, tf)
+            return pa.table({"b": pa.array(np.arange(B, dtype=np.int64)),
+                             "c": pa.array(dense)})
+
+        partial.__name__ = "dsir_bucket_counts"
+        if isinstance(tf_long, pa.Table):
+            parts = [partial(tf_long)]
+        else:
+            parts = [t for t in collect_tables(
+                tf_long.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=None))
+                if t.num_rows]
+        dense = np.zeros(B, np.int64)
+        for t in parts:
+            dense[t.column("b").to_numpy(zero_copy_only=False)] += \
+                t.column("c").to_numpy(zero_copy_only=False)
+        return dense
+
+    tf_src = term_frequencies(ds_source, id_col, text_col)
+    if not isinstance(tf_src, pa.Table):
+        tf_src = tf_src.materialize()  # consumed twice (counts + scoring)
+    s_b = bucket_counts(tf_src)
+    t_b = bucket_counts(term_frequencies(ds_target, id_col, text_col))
+    S_tot, T_tot = int(s_b.sum()), int(t_b.sum())
+    if S_tot == 0 or T_tot == 0:
+        raise ValueError("dsir_scores: empty source or target corpus")
+    # mirrored float chain: integer adds, two casts, two libm lns, round
+    lr = A.libm_log((t_b + 1).astype(np.float64) / float(T_tot + B)) \
+        - A.libm_log((s_b + 1).astype(np.float64) / float(S_tot + B))
+    lr_mu = pc.cast(pc.round(pa.array(float(mu_scale) * lr), ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+
+    def score(block: pa.Table) -> pa.Table:
+        ids_arr = A.as_array(block.column(id_col))
+        empty = pa.table({id_col: ids_arr.slice(0, 0),
+                          "n_words": pa.array([], pa.int64()),
+                          "dsir_sum_mu": pa.array([], pa.int64()),
+                          "dsir_avg": pa.array([], pa.float64())})
+        if block.num_rows == 0:
+            return empty
+        h, _ = poly31_column(A.as_array(block.column("term")))
+        b = h % np.int64(B)
+        tf = block.column("tf").to_numpy(zero_copy_only=False)
+        gids = ids_arr.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(gids, kind="stable")
+        starts, _lens = S.segments(gids[order])
+        contrib = (lr_mu[b] * tf)[order]
+        csum = np.concatenate([[0], np.cumsum(contrib)])
+        ends = np.concatenate([starts[1:], [len(gids)]])
+        sum_mu = csum[ends] - csum[starts]
+        tsum = np.concatenate([[0], np.cumsum(tf[order])])
+        n_words = tsum[ends] - tsum[starts]
+        if len(sum_mu) and int(np.abs(sum_mu).max()) >= (1 << 62):
+            raise ValueError("dsir per-doc sums exceed int64")
+        avg = (sum_mu.astype(np.float64) / n_words.astype(np.float64)) \
+            / float(mu_scale)
+        return pa.table({
+            id_col: ids_arr.take(pa.array(order[starts])),
+            "n_words": pa.array(n_words),
+            "dsir_sum_mu": pa.array(sum_mu),
+            "dsir_avg": pa.array(avg, pa.float64()),
+        })
+
+    score.__name__ = "dsir_score"
+    if isinstance(tf_src, pa.Table):
+        return score(tf_src)
+    return tf_src.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

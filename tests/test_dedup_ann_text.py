@@ -1639,3 +1639,38 @@ def test_ann_recall_full_probe_is_one(ray_session):
     lt = ann_recall(t, queries, "embedding", "vec_id", k=10, n_probe=1,
                     centroids=cents)
     assert lt.equals(pa.table(low.to_pydict()))
+
+
+def test_dsir_scores(ray_session):
+    import ray
+
+    from kamae_ray.pipelines.text_features import dsir_scores
+
+    # target domain speaks 'ml'; source mixes 'ml' and 'cooking' docs
+    src = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["model training data", "recipe soup onions",
+                 "training model weights", "soup recipe salt"],
+    })
+    tgt = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": ["model training", "training weights model"],
+    })
+    out = dsir_scores(src, tgt, "doc_id", "text", n_buckets=512).sort_by("doc_id")
+    scores = dict(zip(out.column("doc_id").to_pylist(),
+                      out.column("dsir_avg").to_pylist()))
+    # in-domain docs must outrank the cooking docs
+    assert min(scores[1], scores[3]) > max(scores[2], scores[4])
+    assert out.column("n_words").to_pylist() == [3, 3, 3, 3]
+    # Dataset == Table on the same inputs
+    d = dsir_scores(ray.data.from_arrow(src), ray.data.from_arrow(tgt),
+                    "doc_id", "text", n_buckets=512)
+    dt = pa.concat_tables([pa.table(b) for b in
+                           d.iter_batches(batch_format="pyarrow")]).sort_by("doc_id")
+    assert out.equals(dt)
+    # per-doc sum is the exact integer sum of its bucket mus (order-free)
+    assert out.column("dsir_sum_mu").type == pa.int64()
+    with pytest.raises(ValueError, match="empty source or target"):
+        dsir_scores(src, pa.table({"doc_id": pa.array([], pa.int64()),
+                                   "text": pa.array([], pa.string())}),
+                    "doc_id", "text")

@@ -1418,6 +1418,47 @@ def _q_jsd(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "jsd_term"])
 
 
+def _q_bottomk(sf_dir):
+    """Bottom-k (KMV) distinct sketch per return flag
+    (``sketches.bottomk_sketch``): the k smallest poly31 hashes of each
+    group's distinct part keys — a deterministic mergeable distinct sample
+    + cardinality estimator ((k-1)*P/h_k, ONE division of exact ints);
+    partition-invariant by min-k algebra (the anti-lesson-32 sketch)."""
+    from kamae_ray.stages.sketches import bottomk_sketch
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"g": batch.column("l_returnflag"),
+                         "it": pc.cast(batch.column("l_partkey"),
+                                       pa.string())})
+
+    prep.__name__ = "bottomk_prep"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    out = bottomk_sketch(keyed, "g", "it", k=32)
+    return out.map_batches(_rounder(["est_distinct"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _bottomk_oracle_sql() -> str:
+    """q_bottomk oracle GENERATED from the shared poly31 constants."""
+    from kamae_ray.stages.hashing import POLY_P, poly31_sql
+
+    return (
+        "WITH b AS (SELECT l_returnflag AS g, CAST(l_partkey AS VARCHAR) AS it "
+        "FROM lineitem WHERE l_partkey IS NOT NULL), "
+        f"d AS (SELECT DISTINCT g, (({poly31_sql('it')}) * 2654435761) "
+        f"% {POLY_P} AS h, it FROM b), "
+        "r AS (SELECT g, h, it, row_number() OVER (PARTITION BY g "
+        "ORDER BY h, it) AS rank FROM d) "
+        "SELECT g, CAST(rank AS BIGINT) AS rank, it, h AS hash, "
+        "ROUND(CASE WHEN rank = 32 AND h > 0 THEN "
+        f"CAST(31 AS DOUBLE) * CAST({POLY_P} AS DOUBLE) / h::DOUBLE END, 6) "
+        "AS est_distinct FROM r WHERE rank <= 32"
+    )
+
+
 def _q_dsir(sf_dir):
     """DSIR-style importance weights (``text_features.dsir_scores``): score
     every document by the hashed-unigram log-likelihood ratio of the
@@ -6372,6 +6413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_paths": _q_paths,
         "q_ann_recall": _q_ann_recall,
         "q_dsir": _q_dsir,
+        "q_bottomk": _q_bottomk,
         "q_acf": _q_acf,
         "q_poly2": _q_poly2,
         "q_contingency": _q_contingency,
@@ -8951,6 +8993,7 @@ def oracle_sql() -> dict[str, str]:
                               salt=5),
         "q_rbo": _rbo_oracle_sql(),
         "q_dsir": _dsir_oracle_sql(),
+        "q_bottomk": _bottomk_oracle_sql(),
         "q_paths": (
             "WITH b AS (SELECT user_id AS g, ts, event_id, event_type AS lab "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "

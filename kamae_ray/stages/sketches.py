@@ -775,3 +775,90 @@ def approx_counts(ds, col: str, values: list, width: int = 2048,
     # itself hashes any type
     return pa.table({col: pa.array(values),
                      "approx_count": pa.array(est)})
+
+
+def bottomk_sketch(ds, group_cols, item_col: str, k: int = 64):
+    """Deterministic bottom-k (KMV) sketch per group over a STRING item
+    column: the k smallest poly31 hashes of the group's DISTINCT items —
+    simultaneously a mergeable distinct-count estimator and a deterministic
+    uniform sample of the group's distinct values (the classic KMV /
+    bottom-k construction; order-free and partition-invariant because
+    min-k of a union is min-k of the per-part min-ks — the anti-lesson-32
+    sketch, like Count-Min).
+
+    Output: one row per (group, rank 1..k): the item, its hash, and on
+    every row the group's ``n_seen`` (exact distinct count of SKETCHED
+    items is NOT carried — the estimator is ``est = (k-1) * P / h_k`` on
+    the rank-k row, ONE division of exact ints, NULL below k items where
+    the sketch is EXACT and ``n_seen`` itself is the answer).
+
+    Scale plan: block-local (group, hash) dedup -> partial bottom-k per
+    group per block (<= k rows per key cross the ONE exchange) -> head-k
+    finalize; hashes are the shared poly31 constants, so the whole sketch
+    is SQL-certifiable."""
+    from kamae_ray.stages.aggregate import distinct, topk_per_group
+    from kamae_ray.stages.hashing import POLY_P, poly31_column
+
+    KMIX = 2_654_435_761  # Knuth multiplier: (h*K) % P is a bijection on
+    # [0, P) that decorrelates poly31's sequential-suffix banding (raw
+    # poly31 of "item123"-style keys clusters, which would bias the KMV
+    # estimator); h*K < 2^63 for h < P, exact in int64 on BOTH engines
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if k < 2 or k > 100_000:
+        raise ValueError("k must be in [2, 1e5]")
+
+    def tag(block: pa.Table) -> pa.Table:
+        it = pc.cast(A.as_array(block.column(item_col)), pa.string(), safe=False)
+        h, null_mask = poly31_column(it)
+        h = (h * np.int64(KMIX)) % np.int64(POLY_P)
+        cols = {g: A.as_array(block.column(g)) for g in group_cols}
+        cols[item_col] = it
+        cols["__h"] = pa.array(h, pa.int64())
+        return pa.table(cols).filter(pa.array(~null_mask))
+
+    tag.__name__ = "bottomk_hash"
+    tagged = tag(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # distinct (group, hash, item) tuples; a poly31 collision keeps both
+    # items (documented: "k smallest distinct (hash, item) pairs" — the
+    # estimator lives in hash space and the oracle mirrors the same rule)
+    cells = distinct(tagged, group_cols + ["__h", item_col])
+    top = topk_per_group(cells, group_cols, "__h", k, descending=False,
+                         tiebreak=[item_col])
+
+    def finish(block: pa.Table) -> pa.Table:
+        base = {g: A.as_array(block.column(g)) for g in group_cols}
+        empty = dict(base)
+        if block.num_rows == 0:
+            out = {g: a.slice(0, 0) for g, a in empty.items()}
+            out["rank"] = pa.array([], pa.int64())
+            out[item_col] = pa.array([], pa.string())
+            out["hash"] = pa.array([], pa.int64())
+            out["est_distinct"] = pa.array([], pa.float64())
+            return pa.table(out)
+        idx = np.asarray(pc.sort_indices(
+            block, sort_keys=[(g, "ascending") for g in group_cols]
+            + [("__h", "ascending"), (item_col, "ascending")]))
+        gids = S.group_ids(block, group_cols)
+        gs = gids[idx]
+        starts, lens = S.segments(gs)
+        rank = np.arange(len(gs), dtype=np.int64) - np.repeat(starts, lens) + 1
+        h = block.column("__h").to_numpy(zero_copy_only=False)[idx]
+        est = np.where((rank == k) & (h > 0),
+                       (float(k - 1) * float(POLY_P)) /
+                       np.where(h == 0, 1, h).astype(np.float64),
+                       np.nan)
+        out = {g: base[g].take(pa.array(idx)) for g in group_cols}
+        out["rank"] = pa.array(rank)
+        out[item_col] = A.as_array(block.column(item_col)).take(pa.array(idx))
+        out["hash"] = pa.array(h)
+        out["est_distinct"] = pa.array(est, pa.float64(),
+                                       mask=~((rank == k) & (h > 0)))
+        return pa.table(out)
+
+    finish.__name__ = "bottomk_finish"
+    if isinstance(top, pa.Table):
+        return finish(top)
+    return top.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)

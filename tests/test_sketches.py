@@ -511,3 +511,43 @@ class TestApproxCountsProbeTypes:
         out = approx_counts(t, "x", [2, 3, 99])
         assert out.schema.field("x").type == pa.int64()
         assert out.column("approx_count").to_pylist() == [2, 3, 0]
+
+
+def test_bottomk_sketch(ray_session):
+    import ray
+
+    import pyarrow.compute as pc
+
+    from kamae_ray.stages.hashing import POLY_P, poly31_scalar
+    from kamae_ray.stages.sketches import bottomk_sketch
+
+    rng = np.random.default_rng(41)
+    items = [f"item{v}" for v in rng.integers(0, 5000, 20000)]
+    t = pa.table({"g": pa.array(rng.choice(["a", "b"], 20000)),
+                  "it": pa.array(items)})
+    k = 256
+    out = bottomk_sketch(t, "g", "it", k=k).sort_by(
+        [("g", "ascending"), ("rank", "ascending")])
+    d = bottomk_sketch(ray.data.from_arrow(t), "g", "it", k=k)
+    dt = pa.concat_tables([pa.table(b) for b in
+                           d.iter_batches(batch_format="pyarrow")]).sort_by(
+        [("g", "ascending"), ("rank", "ascending")])
+    assert out.equals(dt)  # partition invariance: Dataset == Table
+    g = np.array(t.column("g").to_pylist())
+    for lab in ("a", "b"):
+        distinct = sorted(set(np.array(items)[g == lab].tolist()))
+        hs = sorted(((poly31_scalar(v) * 2654435761) % POLY_P, v) for v in distinct)[:k]
+        sub = out.filter(pc.equal(out.column("g"), lab))
+        assert sub.column("hash").to_pylist() == [h for h, _ in hs]
+        assert sub.column("it").to_pylist() == [v for _, v in hs]
+        # estimator within 30% at k=256 (KMV error ~1/sqrt(k) ~ 6%; one
+        # fixed sample, so leave generous slack — determinism, not luck)
+        est = sub.column("est_distinct")[k - 1].as_py()
+        true = len(distinct)
+        assert abs(est - true) / true < 0.3
+        assert est == (float(k - 1) * float(POLY_P)) / float(hs[k - 1][0])
+    # below-k group: sketch is exact, estimator NULL
+    small = bottomk_sketch(pa.table({"g": ["s"] * 3,
+                                     "it": ["x", "y", "z"]}), "g", "it", k=8)
+    assert small.num_rows == 3
+    assert all(v is None for v in small.column("est_distinct").to_pylist())

@@ -1418,6 +1418,41 @@ def _q_jsd(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "jsd_term"])
 
 
+def _q_ppm(sf_dir):
+    """Color-image decode (``PpmDecodeTransformer``): deterministic P6
+    payloads synthesized from doc_id -> REAL binary parse in an actor pool
+    -> exact int64 per-channel pixel sums + one-division mean; the oracle
+    recomputes the sums closed-form over the same pixel formula."""
+    from kamae_ray.stages.multimodal import PpmDecodeTransformer, encode_ppm
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        imgs = []
+        for d in ids:
+            d = int(d)
+            w = 8 + d % 5
+            i = np.arange(w * 6, dtype=np.int64)
+            rgb = np.stack([(d + 3 * i) % 256, (2 * d + i * i) % 256,
+                            (d * i + 7) % 256], axis=1)
+            imgs.append(encode_ppm(w, 6, 255, rgb))
+        return batch.append_column("img", pa.array(imgs, pa.binary()))
+
+    synth.__name__ = "synth_color_images"
+    out = ds.map_batches(synth, batch_format="pyarrow")
+    t = PpmDecodeTransformer(input_col="img", output_col="im")
+    out = t.transform(out)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id"] + t.outputs)
+
+    proj.__name__ = "project_ppm"
+    out = out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+    return out.map_batches(_rounder(["im_mean"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_bottomk(sf_dir):
     """Bottom-k (KMV) distinct sketch per return flag
     (``sketches.bottomk_sketch``): the k smallest poly31 hashes of each
@@ -6414,6 +6449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_recall": _q_ann_recall,
         "q_dsir": _q_dsir,
         "q_bottomk": _q_bottomk,
+        "q_ppm": _q_ppm,
         "q_acf": _q_acf,
         "q_poly2": _q_poly2,
         "q_contingency": _q_contingency,
@@ -8994,6 +9030,19 @@ def oracle_sql() -> dict[str, str]:
         "q_rbo": _rbo_oracle_sql(),
         "q_dsir": _dsir_oracle_sql(),
         "q_bottomk": _bottomk_oracle_sql(),
+        "q_ppm": (
+            "WITH dims AS (SELECT doc_id AS d, 8 + doc_id % 5 AS w FROM documents), "
+            "s AS (SELECT d, w, SUM((d + 3 * i) % 256)::BIGINT AS rs, "
+            "SUM((2 * d + i * i) % 256)::BIGINT AS gs, "
+            "SUM((d * i + 7) % 256)::BIGINT AS bs "
+            "FROM dims, LATERAL (SELECT unnest(range(0, w * 6)) AS i) t "
+            "GROUP BY d, w) "
+            "SELECT d AS doc_id, w AS im_width, CAST(6 AS BIGINT) AS im_height, "
+            "CAST(255 AS BIGINT) AS im_maxval, rs AS im_r_sum, gs AS im_g_sum, "
+            "bs AS im_b_sum, "
+            "ROUND((rs + gs + bs)::DOUBLE / (3 * w * 6)::DOUBLE, 6) AS im_mean "
+            "FROM s"
+        ),
         "q_paths": (
             "WITH b AS (SELECT user_id AS g, ts, event_id, event_type AS lab "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "

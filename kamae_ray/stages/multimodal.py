@@ -595,3 +595,121 @@ class PgmAverageHashTransformer(Transformer):
             batch_size=self.batch_size,
             concurrency=self.concurrency,
         )
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a netpbm COLOR image (P6 binary or P3 ASCII) ->
+    (width, height, maxval, pixels (w*h, 3) float64 RGB). Same header
+    grammar as :func:`decode_pgm`; raster is interleaved RGB triplets."""
+    if payload[:2] not in (b"P6", b"P3"):
+        raise ValueError(f"not a PPM payload (magic {payload[:2]!r})")
+    binary = payload[:2] == b"P6"
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    n = w * h * 3
+    if binary:
+        pos += 1  # exactly one whitespace byte after maxval
+        per = 2 if maxval > 255 else 1
+        raster = payload[pos : pos + n * per]
+        if len(raster) < n * per:
+            raise ValueError(f"PPM raster truncated: {len(raster)} < {n * per}")
+        dt = ">u2" if per == 2 else np.uint8
+        px = np.frombuffer(raster, dtype=dt, count=n).astype(np.float64)
+    else:
+        px = np.array(payload[pos:].split()[:n], dtype=np.float64)
+        if len(px) < n:
+            raise ValueError("PPM ASCII raster truncated")
+    return w, h, maxval, px.reshape(-1, 3)
+
+
+def encode_ppm(width: int, height: int, maxval: int, rgb: np.ndarray) -> bytes:
+    """Serialize an (w*h, 3) integer RGB array as binary P6 (test/synth
+    twin of :func:`decode_ppm`; 8-bit only)."""
+    assert maxval <= 255
+    head = f"P6\n{width} {height}\n{maxval}\n".encode()
+    return head + np.asarray(rgb, dtype=np.uint8).reshape(-1).tobytes()
+
+
+class _PpmDecodeActor:
+    """Actor-pool callable: per-batch PPM parse -> exact per-channel sums
+    (int64 — the closed-form-oracle-friendly form) + the overall mean."""
+
+    def __init__(self, input_col: str, prefix: str):
+        self.input_col = input_col
+        self.prefix = prefix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = A.as_array(batch.column(self.input_col))
+        payloads = col.to_pylist()
+        n = len(payloads)
+        w = np.zeros(n, np.int64)
+        h = np.zeros(n, np.int64)
+        mv = np.zeros(n, np.int64)
+        sums = np.zeros((n, 3), np.int64)
+        mean = np.full(n, np.nan)
+        for i, p in enumerate(payloads):
+            if not p:
+                continue
+            wi, hi, mvi, px = decode_ppm(p)
+            w[i], h[i], mv[i] = wi, hi, mvi
+            s = px.sum(axis=0).astype(np.int64)  # exact: pixel ints
+            sums[i] = s
+            mean[i] = float(int(s.sum())) / float(3 * wi * hi)
+        pre = self.prefix
+        batch = _append_or_replace(batch, f"{pre}_width", pa.array(w))
+        batch = _append_or_replace(batch, f"{pre}_height", pa.array(h))
+        batch = _append_or_replace(batch, f"{pre}_maxval", pa.array(mv))
+        batch = _append_or_replace(batch, f"{pre}_r_sum", pa.array(sums[:, 0]))
+        batch = _append_or_replace(batch, f"{pre}_g_sum", pa.array(sums[:, 1]))
+        batch = _append_or_replace(batch, f"{pre}_b_sum", pa.array(sums[:, 2]))
+        return _append_or_replace(batch, f"{pre}_mean",
+                                  pa.array(mean, pa.float64(), from_pandas=True))
+
+
+class PpmDecodeTransformer(Transformer):
+    """Real netpbm COLOR decode (P6 binary / P3 ASCII) via an actor pool —
+    the RGB sibling of :class:`PgmDecodeTransformer`: emits
+    ``<out>_width/_height/_maxval`` + EXACT int64 per-channel pixel sums
+    (``_r_sum/_g_sum/_b_sum`` — closed-form-oracle friendly) and the
+    overall mean (ONE division of exact ints)."""
+
+    compatible_dtypes = None
+    fusible = False
+
+    def __init__(self, *args, batch_size: int = 64,
+                 concurrency: tuple[int, int] = (1, 4), **kwargs):
+        super().__init__(*args, **kwargs)
+        self.batch_size = int(batch_size)
+        self.concurrency = tuple(concurrency)
+
+    @property
+    def outputs(self):
+        pre = self.output_col
+        return [f"{pre}_width", f"{pre}_height", f"{pre}_maxval",
+                f"{pre}_r_sum", f"{pre}_g_sum", f"{pre}_b_sum", f"{pre}_mean"]
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        return _PpmDecodeActor(self.input_col, self.output_col)(batch)
+
+    def transform(self, ds):
+        if isinstance(ds, pa.Table):
+            return self.transform_batch(ds)
+        return ds.map_batches(
+            _PpmDecodeActor,
+            fn_constructor_args=(self.input_col, self.output_col),
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.concurrency,
+        )

@@ -187,3 +187,35 @@ def test_pgm_average_hash(ray_session):
     got = PgmAverageHashTransformer(input_col="img", output_col="ahash") \
         .transform(ds).take_all()
     assert got[0]["ahash"] == want8
+
+
+def test_ppm_decode_roundtrip_and_ascii(ray_session):
+    import ray
+
+    from kamae_ray.stages.multimodal import (PpmDecodeTransformer, decode_ppm,
+                                             encode_ppm)
+
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 256, (12, 3))
+    p6 = encode_ppm(4, 3, 255, rgb)
+    w, h, mv, px = decode_ppm(p6)
+    assert (w, h, mv) == (4, 3, 255)
+    assert np.array_equal(px, rgb.astype(np.float64))
+    # P3 ASCII with a comment parses identically
+    body = " ".join(str(int(v)) for v in rgb.reshape(-1))
+    p3 = f"P3\n# comment\n4 3\n255\n{body}\n".encode()
+    assert np.array_equal(decode_ppm(p3)[3], rgb.astype(np.float64))
+    with pytest.raises(ValueError, match="not a PPM"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(p6[:-5])
+    # transformer: exact channel sums + one-division mean; Dataset actor path
+    t = PpmDecodeTransformer(input_col="img", output_col="im")
+    tbl = pa.table({"img": pa.array([p6, p3], pa.binary())})
+    out = t.transform(tbl)
+    assert out.column("im_r_sum").to_pylist() == [int(rgb[:, 0].sum())] * 2
+    assert out.column("im_mean")[0].as_py() == int(rgb.sum()) / 36.0
+    d = t.transform(ray.data.from_arrow(tbl))
+    dt = pa.concat_tables([pa.table(b) for b in
+                           d.iter_batches(batch_format="pyarrow")])
+    assert dt.select(out.column_names).equals(out)

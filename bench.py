@@ -340,6 +340,16 @@ _BENCH_QUERIES = [
     "q_pinball",  # quantile-forecast pinball loss, exact integer branches
     "q_pr_auc",  # per-slice average precision (PR-AUC), micro-unit exact
     "q_hard_negatives",  # contrastive hard-negative mining (complement kNN)
+    "q_kendall",  # tau-b: tiled O(n^2) sign-product kernel per group
+    "q_wasserstein",  # W1 drift: CDF-gap area over distinct-value cells
+    "q_dsir",  # DSIR importance weights (hashed unigram log-ratios)
+    "q_paths",  # 3-step path mining (packed n-gram codes per block)
+    "q_array_distinct",  # per-row token-set canonicalization (one lexsort)
+    "q_rbo",  # rank-biased overlap of two per-order rankings
+    "q_ann_recall",  # IVF-vs-brute recall certification (two corpus passes)
+    "q_bottomk",  # KMV distinct sketch (partial bottom-k per group)
+    "q_ppm",  # color-image decode, exact channel sums (actor pool)
+    "q_acf",  # lag-1..3 autocorrelation tables (scatter-add power sums)
 ]
 
 

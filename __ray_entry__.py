@@ -1418,6 +1418,58 @@ def _q_jsd(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "jsd_term"])
 
 
+def _q_ip(sf_dir):
+    """IPv4 parsing features (``strings.IpToIntTransformer``): dotted-quad
+    strings (synthesized deterministically from user_id, with an invalid
+    class mixed in) -> int64 address + /24 prefix; strict TRY_CAST-style
+    null semantics the closed-form oracle mirrors."""
+    from kamae_ray.stages.strings import IpToIntTransformer
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        bad = (uid % 29) == 0
+        a = np.where(bad, 300, 10)
+        parts = [a, (uid // 65536) % 256, (uid // 256) % 256, uid % 256]
+        cols = [pc.cast(pa.array(p.astype(np.int64)), pa.string()) for p in parts]
+        ip = pc.binary_join_element_wise(cols[0], cols[1], cols[2], cols[3],
+                                         pa.scalar("."))
+        return pa.table({"event_id": batch.column("event_id"), "ip": ip})
+
+    synth.__name__ = "synth_ips"
+    keyed = ev.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    t = IpToIntTransformer(input_col="ip", output_col="ipn")
+    out = t.transform(keyed)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "ipn", "ipn_net24"])
+
+    proj.__name__ = "project_ip"
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_readability(sf_dir):
+    """Flesch reading-ease corpus scoring (``text.ReadabilityTransformer``):
+    RE2 word/sentence/vowel-group counts shared verbatim with the oracle,
+    fixed left-assoc float chain with CAST literals (lesson 39)."""
+    from kamae_ray.stages.text import ReadabilityTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = ReadabilityTransformer(input_col="text", output_col="fl")
+    out = t.transform(ds)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id"] + t.outputs)
+
+    proj.__name__ = "project_fl"
+    out = out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+    return out.map_batches(_rounder(["fl"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_ppm(sf_dir):
     """Color-image decode (``PpmDecodeTransformer``): deterministic P6
     payloads synthesized from doc_id -> REAL binary parse in an actor pool
@@ -6450,6 +6502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir": _q_dsir,
         "q_bottomk": _q_bottomk,
         "q_ppm": _q_ppm,
+        "q_ip": _q_ip,
+        "q_readability": _q_readability,
         "q_acf": _q_acf,
         "q_poly2": _q_poly2,
         "q_contingency": _q_contingency,
@@ -9030,6 +9084,30 @@ def oracle_sql() -> dict[str, str]:
         "q_rbo": _rbo_oracle_sql(),
         "q_dsir": _dsir_oracle_sql(),
         "q_bottomk": _bottomk_oracle_sql(),
+        "q_ip": (
+            "WITH b AS (SELECT event_id, user_id, user_id % 29 = 0 AS bad "
+            "FROM events WHERE user_id IS NOT NULL) "
+            "SELECT event_id, "
+            "CASE WHEN NOT bad THEN 10 * 16777216 "
+            "+ ((user_id // 65536) % 256) * 65536 "
+            "+ ((user_id // 256) % 256) * 256 + user_id % 256 END AS ipn, "
+            "CASE WHEN NOT bad THEN (10 * 16777216 "
+            "+ ((user_id // 65536) % 256) * 65536 "
+            "+ ((user_id // 256) % 256) * 256 + user_id % 256) // 256 END "
+            "AS ipn_net24 FROM b"
+        ),
+        "q_readability": (
+            r"WITH c AS (SELECT doc_id, "
+            r"len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS w, "
+            r"greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1)::BIGINT AS s, "
+            r"len(regexp_extract_all(coalesce(text, ''), '[aeiouyAEIOUY]+'))::BIGINT AS syl "
+            "FROM documents) "
+            "SELECT doc_id, w AS fl_words, s AS fl_sentences, syl AS fl_syllables, "
+            "ROUND(CASE WHEN w > 0 THEN CAST(206.835 AS DOUBLE) "
+            "- CAST(1.015 AS DOUBLE) * (w::DOUBLE / s::DOUBLE) "
+            "- CAST(84.6 AS DOUBLE) * (syl::DOUBLE / w::DOUBLE) END, 6) AS fl "
+            "FROM c"
+        ),
         "q_ppm": (
             "WITH dims AS (SELECT doc_id AS d, 8 + doc_id % 5 AS w FROM documents), "
             "s AS (SELECT d, w, SUM((d + 3 * i) % 256)::BIGINT AS rs, "

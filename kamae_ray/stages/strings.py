@@ -508,3 +508,50 @@ class UrlDomainTransformer(Transformer):
         if self.blocklist:
             out.append(f"{base}_blocked")
         return out
+
+
+class IpToIntTransformer(Transformer):
+    """Dotted-quad IPv4 parsing: ``a.b.c.d`` -> the int64
+    ``a*2^24 + b*2^16 + c*2^8 + d`` plus the /24 subnet prefix
+    (``{out}_net24``) — the log-enrichment staple (geo/abuse joins key on
+    the integer form). Strictly-invalid rows (not exactly 4 fields, a
+    non-digit field, a value > 255, or an empty field) -> null, the SQL
+    TRY_CAST semantics the oracle mirrors. Fully vectorized: one split +
+    four casted field columns, no per-row loop."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = A.as_array(pc.cast(A.as_array(batch.column(self.input_col)),
+                                 pa.string(), safe=False))
+        split = A.as_array(pc.split_pattern(pc.fill_null(arr, ""), pattern="."))
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        ok = (lens == 4) & pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        flat = A.as_array(pc.list_flatten(split))
+        digits = pc.match_substring_regex(flat, r"^\d{1,3}$") \
+            .to_numpy(zero_copy_only=False)
+        vals = np.zeros(len(flat), np.int64)
+        if digits.any():
+            good = flat.filter(pa.array(digits))
+            vals[digits] = pc.cast(good, pa.int64()).to_numpy(zero_copy_only=False)
+        vals = np.where(digits & (vals <= 255), vals, -1)
+        # scatter the 4 fields of valid rows into a (n, 4) matrix
+        n = len(arr)
+        mat = np.full((n, 4), -1, np.int64)
+        rows4 = np.flatnonzero(ok)
+        if len(rows4):
+            starts = np.cumsum(np.concatenate([[0], lens[:-1]]))
+            for j in range(4):
+                mat[rows4, j] = vals[starts[rows4] + j]
+        valid = ok & (mat >= 0).all(axis=1)
+        ip = (mat[:, 0] << 24) + (mat[:, 1] << 16) + (mat[:, 2] << 8) + mat[:, 3]
+        out = batch
+        out = _append_or_replace(out, self.output_col,
+                                 pa.array(ip, pa.int64(), mask=~valid))
+        net24 = ip >> 8
+        return _append_or_replace(out, f"{self.output_col}_net24",
+                                  pa.array(net24, pa.int64(), mask=~valid))
+
+    @property
+    def outputs(self) -> list[str]:
+        return [self.output_col, f"{self.output_col}_net24"]

@@ -993,3 +993,47 @@ def render_grouped_text(ds, group_cols, line_col: str, order_col: str,
         return join_lines(collected)
     return collected.map_batches(join_lines, batch_format="pyarrow",
                                  zero_copy_batch=True)
+
+
+class ReadabilityTransformer(Transformer):
+    """Flesch reading-ease estimate over raw text — the classic readability
+    quality signal for corpus curation:
+
+        flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    with vectorized RE2 counts shared verbatim with the oracle: words =
+    ``\\S+`` runs, sentences = ``[.!?]+`` runs (floored at 1), syllables =
+    ``[aeiouyAEIOUY]+`` vowel-group runs (the standard heuristic). The
+    closing expression is a FIXED left-associative float chain over exact
+    int64 counts with round-trip decimal literals (lesson 39: every
+    literal CASTs to DOUBLE in the mirrored SQL). Emits ``{out}_words``,
+    ``{out}_sentences``, ``{out}_syllables`` (int64) and ``{out}`` (the
+    score, null for zero-word docs)."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(A.as_array(batch.column(self.input_col)),
+                                   pa.string(), safe=False), "")
+        w = pc.count_substring_regex(txt, pattern=r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.count_substring_regex(txt, pattern=r"[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        syl = pc.count_substring_regex(txt, pattern=r"[aeiouyAEIOUY]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.maximum(s, 1)
+        bad = w == 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            score = 206.835 - 1.015 * (w.astype(np.float64) / s.astype(np.float64)) \
+                - 84.6 * (syl.astype(np.float64) / np.where(bad, 1, w).astype(np.float64))
+        out = batch
+        out = _append_or_replace(out, f"{self.output_col}_words", pa.array(w))
+        out = _append_or_replace(out, f"{self.output_col}_sentences", pa.array(s))
+        out = _append_or_replace(out, f"{self.output_col}_syllables", pa.array(syl))
+        return _append_or_replace(out, self.output_col,
+                                  pa.array(score, pa.float64(), mask=bad))
+
+    @property
+    def outputs(self) -> list[str]:
+        return [f"{self.output_col}_words", f"{self.output_col}_sentences",
+                f"{self.output_col}_syllables", self.output_col]

@@ -408,3 +408,33 @@ class TestUrlDomain:
                                     tld_levels=3).transform_batch(t)
         assert out2.column("url_domain").to_pylist() == ["co.uk"]
         assert out3.column("url_domain").to_pylist() == ["example.co.uk"]
+
+
+def test_ip_to_int():
+    from kamae_ray.stages.strings import IpToIntTransformer
+
+    t = IpToIntTransformer(input_col="ip", output_col="ipn")
+    tb = pa.table({"ip": ["0.0.0.0", "255.255.255.255", "10.0.0.1",
+                          "256.1.1.1", "1.2.3", "1.2.3.4.5", "a.b.c.d",
+                          "1..2.3", None, " 1.2.3.4"]})
+    out = t.transform(tb)
+    assert out.column("ipn").to_pylist() == [
+        0, 4294967295, 167772161, None, None, None, None, None, None, None]
+    assert out.column("ipn_net24").to_pylist()[2] == 167772161 >> 8
+    assert out.column("ipn").type == pa.int64()
+
+
+def test_readability():
+    from kamae_ray.stages.text import ReadabilityTransformer
+
+    t = ReadabilityTransformer(input_col="t", output_col="fl")
+    tb = pa.table({"t": ["The cat sat. It was flat!", "no punctuation here",
+                         "", None]})
+    out = t.transform(tb)
+    assert out.column("fl_words").to_pylist() == [6, 3, 0, 0]
+    assert out.column("fl_sentences").to_pylist() == [2, 1, 1, 1]  # floor 1
+    # vowel-group runs: The(1) cat(1) sat(1) It(1) was(1) flat(1) = 6
+    assert out.column("fl_syllables")[0].as_py() == 6
+    ref = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert out.column("fl")[0].as_py() == ref
+    assert out.column("fl")[2].as_py() is None  # zero words -> null

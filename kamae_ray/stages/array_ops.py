@@ -407,3 +407,92 @@ class ArrayDistinctSortTransformer(Transformer):
         values = A.as_array(flat.take(pa.array(order[first])))
         return pa.ListArray.from_arrays(offsets, values,
                                         mask=pa.array(row_null))
+
+
+class ArraySetOpTransformer(Transformer):
+    """Row-wise set algebra between TWO list columns — per-row sorted
+    distinct ``intersect`` / ``union`` / ``except`` (A minus B), the
+    token-set counterpart of the EXCEPT/INTERSECT relational ops (and
+    ``rowwise_jaccard``'s constructive sibling: it returns the sets, not
+    just their sizes). Null ELEMENTS are dropped; the output row is null
+    when EITHER input row is null (DuckDB list-function null semantics,
+    mirrored by the oracle's ``list_sort(list_distinct(list_intersect(..)))``
+    family).
+
+    Vectorized kernel (no per-row loop): both flats concatenate under a
+    source tag, ONE dictionary-encode + rank remap, ONE (row, rank, src)
+    lexsort; per-(row, value) presence bits fold via boundary scans and the
+    keep rule is a mask — then one ListArray rebuild."""
+
+    compatible_dtypes = None
+
+    def __init__(self, *args, op: str, **kwargs):
+        super().__init__(*args, **kwargs)
+        if op not in ("intersect", "union", "except"):
+            raise ValueError("op must be intersect | union | except")
+        if not self.input_cols or len(self.input_cols) != 2:
+            raise ValueError("ArraySetOp needs input_cols with exactly 2 columns")
+        self.op = op
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        la = A.as_array(batch.column(self.input_cols[0]))
+        lb = A.as_array(batch.column(self.input_cols[1]))
+        for arr in (la, lb):
+            if not pa.types.is_list(arr.type) and not pa.types.is_large_list(arr.type):
+                raise TypeError("ArraySetOp needs list columns")
+        n = len(la)
+        row_null = (~pc.is_valid(la).to_numpy(zero_copy_only=False)) | \
+            (~pc.is_valid(lb).to_numpy(zero_copy_only=False))
+        vtype = la.type.value_type
+
+        def flat_rows(arr):
+            lens = pc.fill_null(pc.list_value_length(arr), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = A.as_array(pc.list_flatten(arr))
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            keep = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+            return A.as_array(flat.filter(pa.array(keep))), rows[keep]
+
+        fa, ra = flat_rows(la)
+        fb, rb = flat_rows(lb)
+        flat = pa.concat_arrays([fa, pc.cast(fb, fa.type, safe=False)])
+        rows = np.concatenate([ra, rb])
+        src = np.concatenate([np.zeros(len(ra), np.int8),
+                              np.ones(len(rb), np.int8)])
+        if len(flat) == 0:
+            counts = np.zeros(n, np.int64)
+            offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]), pa.int32())
+            return _append_or_replace(
+                batch, self.output_col,
+                pa.ListArray.from_arrays(offsets, pa.array([], vtype),
+                                         mask=pa.array(row_null)))
+        d = pc.dictionary_encode(flat)
+        codes = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq = d.dictionary
+        order_u = pc.sort_indices(uniq).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(uniq), np.int64)
+        rank[order_u] = np.arange(len(uniq), dtype=np.int64)
+        key = rank[codes]
+        order = np.lexsort((src, key, rows))
+        rr, kk, ss = rows[order], key[order], src[order]
+        first = np.ones(len(order), bool)
+        first[1:] = (rr[1:] != rr[:-1]) | (kk[1:] != kk[:-1])
+        gid = np.cumsum(first) - 1   # dense (row, value) group ids
+        in_a = np.zeros(gid[-1] + 1, bool)
+        in_b = np.zeros(gid[-1] + 1, bool)
+        in_a[gid[ss == 0]] = True
+        in_b[gid[ss == 1]] = True
+        if self.op == "intersect":
+            keep_g = in_a & in_b
+        elif self.op == "union":
+            keep_g = in_a | in_b
+        else:
+            keep_g = in_a & ~in_b
+        keep = first & keep_g[gid]
+        counts = np.bincount(rr[keep], minlength=n).astype(np.int64)
+        offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]), pa.int32())
+        values = A.as_array(flat.take(pa.array(order[keep])))
+        return _append_or_replace(
+            batch, self.output_col,
+            pa.ListArray.from_arrays(offsets, values, mask=pa.array(row_null)))

@@ -1418,6 +1418,46 @@ def _q_jsd(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "jsd_term"])
 
 
+def _q_array_setops(sf_dir):
+    """Row-wise token-set algebra (``ArraySetOpTransformer``): sorted
+    distinct intersect and A-minus-B between each document's two word
+    halves (q_rowwise_jaccard's constructive sibling — the sets, not just
+    the sizes). ONE dictionary-encode + lexsort per block."""
+    from kamae_ray.functions.arrays import as_array, drop_empty_tokens, split_list_halves
+    from kamae_ray.stages.array_ops import ArraySetOpTransformer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def halves(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        w = as_array(pc.split_pattern_regex(pc.fill_null(
+            pc.cast(txt, pa.string()), ""), pattern=r"\s+"))
+        words = drop_empty_tokens(w)
+        # null text -> null halves (mirror the oracle's CASE WHEN NULL)
+        nulls = ~pc.is_valid(txt).to_numpy(zero_copy_only=False)
+        if nulls.any():
+            words = pa.ListArray.from_arrays(
+                words.offsets, words.values,
+                mask=pa.array(nulls | ~pc.is_valid(words).to_numpy(zero_copy_only=False)))
+        a, b = split_list_halves(words)
+        return pa.table({"doc_id": batch.column("doc_id"), "a": a, "b": b})
+
+    halves.__name__ = "doc_word_halves"
+    keyed = ds.map_batches(halves, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    ti = ArraySetOpTransformer(input_cols=["a", "b"], output_col="inter",
+                               op="intersect")
+    te = ArraySetOpTransformer(input_cols=["a", "b"], output_col="a_minus_b",
+                               op="except")
+    out = te.transform(ti.transform(keyed))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "inter", "a_minus_b"])
+
+    proj.__name__ = "project_setops"
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_ip(sf_dir):
     """IPv4 parsing features (``strings.IpToIntTransformer``): dotted-quad
     strings (synthesized deterministically from user_id, with an invalid
@@ -6503,6 +6543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bottomk": _q_bottomk,
         "q_ppm": _q_ppm,
         "q_ip": _q_ip,
+        "q_array_setops": _q_array_setops,
         "q_readability": _q_readability,
         "q_acf": _q_acf,
         "q_poly2": _q_poly2,
@@ -9084,6 +9125,17 @@ def oracle_sql() -> dict[str, str]:
         "q_rbo": _rbo_oracle_sql(),
         "q_dsir": _dsir_oracle_sql(),
         "q_bottomk": _bottomk_oracle_sql(),
+        "q_array_setops": (
+            r"WITH w AS (SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE "
+            r"list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) "
+            "END AS words FROM documents), "
+            "h AS (SELECT doc_id, words[1:len(words) // 2] AS a, "
+            "words[len(words) // 2 + 1:len(words)] AS b FROM w) "
+            "SELECT doc_id, "
+            "list_sort(list_distinct(list_intersect(a, b))) AS inter, "
+            "list_sort(list_filter(list_distinct(a), "
+            "x -> NOT list_contains(b, x))) AS a_minus_b FROM h"
+        ),
         "q_ip": (
             "WITH b AS (SELECT event_id, user_id, user_id % 29 = 0 AS bad "
             "FROM events WHERE user_id IS NOT NULL) "

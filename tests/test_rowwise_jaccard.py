@@ -87,3 +87,41 @@ def test_array_distinct_sort(ray_session):
     assert got.column("y").to_pylist() == [sorted(set(r)) for r in rows]
     with pytest.raises(TypeError, match="list column"):
         t.transform(pa.table({"x": ["not-a-list"]}))
+
+
+def test_array_setops(ray_session):
+    import ray
+
+    from kamae_ray.stages.array_ops import ArraySetOpTransformer
+
+    tb = pa.table({"a": [["x", "y", "z", "y"], ["p"], None, [], ["m"]],
+                   "b": [["y", "w", "z"], [], ["q"], ["r"], None]})
+    ops = {"intersect": [["y", "z"], [], None, [], None],
+           "union": [["w", "x", "y", "z"], ["p"], None, ["r"], None],
+           "except": [["x"], ["p"], None, [], None]}
+    for op, want in ops.items():
+        t = ArraySetOpTransformer(input_cols=["a", "b"], output_col="o", op=op)
+        assert t.transform(tb).column("o").to_pylist() == want, op
+        d = t.transform(ray.data.from_arrow(tb))
+        got = pa.concat_tables([pa.table(x) for x in
+                                d.iter_batches(batch_format="pyarrow")])
+        assert got.column("o").to_pylist() == want, op
+    # python-set reference sweep incl. null elements (dropped)
+    rng = np.random.default_rng(8)
+    rows_a, rows_b = [], []
+    for _ in range(300):
+        rows_a.append([str(v) for v in rng.integers(0, 15, rng.integers(0, 9))])
+        rows_b.append([str(v) for v in rng.integers(0, 15, rng.integers(0, 9))])
+    big = pa.table({"a": pa.array(rows_a, pa.list_(pa.string())),
+                    "b": pa.array(rows_b, pa.list_(pa.string()))})
+    for op, fn in (("intersect", lambda x, y: x & y),
+                   ("union", lambda x, y: x | y),
+                   ("except", lambda x, y: x - y)):
+        out = ArraySetOpTransformer(input_cols=["a", "b"], output_col="o",
+                                    op=op).transform(big)
+        assert out.column("o").to_pylist() == [
+            sorted(fn(set(x), set(y))) for x, y in zip(rows_a, rows_b)], op
+    with pytest.raises(ValueError, match="intersect"):
+        ArraySetOpTransformer(input_cols=["a", "b"], output_col="o", op="xor")
+    with pytest.raises(ValueError, match="exactly 2"):
+        ArraySetOpTransformer(input_cols=["a"], output_col="o", op="union")

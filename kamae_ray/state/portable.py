@@ -233,6 +233,12 @@ def _spec_of_inner(stage, t, E, I, Sc, St, ref):
                 "bin_labels": list(stage.bin_labels),
                 "default_label": stage.default_label,
                 "label_kind": "number" if numeric else "string"}
+    if t is E.PolynomialExpandTransformer:
+        return {"op": "polynomial_expand", "inputs": list(stage.input_cols),
+                "output": stage.output_col}
+    if t is St.IpToIntTransformer:
+        return {"op": "ip_to_int", "input": stage.input_col,
+                "output": stage.output_col}
     if t is E.StringMapTransformer:
         return {"op": "string_map", "input": stage.input_col, "output": stage.output_col,
                 "match": list(stage.string_match_values),
@@ -488,6 +494,53 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
             out, out_type = _numeric_kernel(kind, op, arrays, v, nulls,
                                             np.zeros(len(v), np.int64))
             table = emit(table, op["output"], pa.array(out, out_type, mask=nulls if kind != "impute" else None))
+        elif kind == "polynomial_expand":
+            # upper-triangle degree-2 products; same promotion rule as the
+            # engine transformer (int pairs stay exact int64, mixed -> f64)
+            cols = {}
+            for c in op["inputs"]:
+                col = table.column(c)
+                col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                cols[c] = pc.cast(col, pa.int64() if pa.types.is_integer(col.type)
+                                  else pa.float64(), safe=False)
+            ins = op["inputs"]
+            for i, ci in enumerate(ins):
+                for cj in ins[i:]:
+                    a, b = cols[ci], cols[cj]
+                    if pa.types.is_integer(a.type) != pa.types.is_integer(b.type):
+                        a = pc.cast(a, pa.float64(), safe=False)
+                        b = pc.cast(b, pa.float64(), safe=False)
+                    table = emit(table, f"{op['output']}_{ci}_x_{cj}",
+                                 pc.multiply_checked(a, b))
+        elif kind == "ip_to_int":
+            arr = table.column(op["input"])
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            arr = pc.cast(arr, pa.string(), safe=False)
+            split = pc.split_pattern(pc.fill_null(arr, ""), pattern=".")
+            split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
+            lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+            okm = (lens == 4) & pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(split)
+            flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+            digits = pc.match_substring_regex(flat, r"^\d{1,3}$") \
+                .to_numpy(zero_copy_only=False)
+            vals = np.zeros(len(flat), np.int64)
+            if digits.any():
+                good = flat.filter(pa.array(digits))
+                vals[digits] = pc.cast(good, pa.int64()).to_numpy(zero_copy_only=False)
+            vals = np.where(digits & (vals <= 255), vals, -1)
+            nrows = len(arr)
+            mat = np.full((nrows, 4), -1, np.int64)
+            rows4 = np.flatnonzero(okm)
+            if len(rows4):
+                starts = np.cumsum(np.concatenate([[0], lens[:-1]]))
+                for j in range(4):
+                    mat[rows4, j] = vals[starts[rows4] + j]
+            okm = okm & (mat >= 0).all(axis=1)
+            ipv = (mat[:, 0] << 24) + (mat[:, 1] << 16) + (mat[:, 2] << 8) + mat[:, 3]
+            table = emit(table, op["output"], pa.array(ipv, pa.int64(), mask=~okm))
+            table = set_col(table, op["output"] + "_net24",
+                            pa.array(ipv >> 8, pa.int64(), mask=~okm))
         elif kind == "bin":
             flat = inp(op["input"]).combine_chunks() if isinstance(inp(op["input"]), pa.ChunkedArray) else inp(op["input"])
             label_type = pa.float64() if op["label_kind"] == "number" else pa.string()

@@ -654,3 +654,31 @@ def test_portable_grouped_standard_scale(tmp_path):
     t2 = pa.table({"g": ["NEW", "p"], "x": pa.array([10, 10], pa.int64())})
     assert apply_portable(path, t2).column("z").to_pylist() == \
         pm.transform(t2).column("z").to_pylist()
+
+
+def test_portable_poly_and_ip_round_trip(tmp_path):
+    """PolynomialExpand + IpToInt through apply_portable == engine
+    transform (exact ints incl. null semantics)."""
+    from kamae_ray.pipelines import Pipeline
+    from kamae_ray.state.portable import apply_portable
+    from kamae_ray.stages import IpToIntTransformer, PolynomialExpandTransformer
+
+    t = pa.table({
+        "a": pa.array([2, None, -4, 7], pa.int64()),
+        "b": pa.array([3, 5, None, 11], pa.int64()),
+        "f": pa.array([0.5, 1.5, 2.5, None], pa.float64()),
+        "ip": pa.array(["10.0.0.1", "256.1.1.1", None, "192.168.7.9"]),
+    })
+    pipe = Pipeline([
+        PolynomialExpandTransformer(input_cols=["a", "b", "f"], output_col="p"),
+        IpToIntTransformer(input_col="ip", output_col="ipn"),
+    ])
+    model = pipe.fit(t)
+    art = tmp_path / "pp"
+    model.export_portable(str(art))
+    got = apply_portable(str(art), t)
+    expect = model.transform(t)
+    for col in ["p_a_x_a", "p_a_x_b", "p_a_x_f", "p_b_x_b", "p_b_x_f",
+                "p_f_x_f", "ipn", "ipn_net24"]:
+        assert got.column(col).to_pylist() == expect.column(col).to_pylist(), col
+        assert got.column(col).type == expect.column(col).type, col

@@ -6412,6 +6412,47 @@ def _q_decontaminate(sf_dir):
     return decontaminate(corpus, bset, "text", "doc_id")
 
 
+def _q_kanon(sf_dir):
+    """k-anonymity suppression (``privacy.k_anonymize``): keep customers
+    whose quasi-identifier tuple (mktsegment, custkey % 200) occurs >= 3
+    times — SQL ``QUALIFY COUNT(*) OVER (PARTITION BY ...) >= 3``. Counts
+    are integers so the kept set is cross-engine exact. ONE sort on the QI
+    tuple + a vectorized block run-count filter; no join, no second pass."""
+    from kamae_ray.stages.privacy import k_anonymize
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return batch.append_column("qi_bucket", pa.array(k % 200))
+
+    bucket.__name__ = "qi_bucket"
+    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return k_anonymize(ds, ["c_mktsegment", "qi_bucket"], 3)
+
+
+def _q_ldiv(sf_dir):
+    """l-diversity audit (``privacy.l_diversity``): per QI group
+    (orderpriority, custkey % 100), the non-null sensitive row count, the
+    distinct sensitive-value count (SQL COUNT(DISTINCT)) and the l >= 2
+    flag. All-integer outputs; one pair-count combiner pass + one key
+    exchange over distinct (QI, sensitive) cells."""
+    from kamae_ray.stages.privacy import l_diversity
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderpriority", "o_orderstatus"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return batch.append_column("qi_bucket", pa.array(k % 100))
+
+    bucket.__name__ = "qi_bucket"
+    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return l_diversity(ds, ["o_orderpriority", "qi_bucket"], "o_orderstatus", 2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- r5 driver window: 3 anchors + previously-red (q_linear_score/
@@ -6683,6 +6724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping": _q_hopping,
         "q_resample": _q_resample,
         "q_cat_stats": _q_cat_stats,
+        "q_kanon": _q_kanon,
+        "q_ldiv": _q_ldiv,
     }
 
 
@@ -9409,5 +9452,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CASE WHEN duration_us = 0 THEN NULL ELSE "
             "ROUND(CAST(num AS DOUBLE) / (CAST(duration_us AS DOUBLE) * 100), 6) "
             "END AS twap, n_obs, COALESCE(duration_us, 0) AS duration_us FROM g"
+        ),
+        "q_kanon": (
+            "SELECT c_custkey, c_nationkey, c_mktsegment, "
+            "c_custkey % 200 AS qi_bucket FROM customer "
+            "QUALIFY COUNT(*) OVER "
+            "(PARTITION BY c_mktsegment, c_custkey % 200) >= 3"
+        ),
+        "q_ldiv": (
+            "SELECT o_orderpriority, o_custkey % 100 AS qi_bucket, "
+            "COUNT(o_orderstatus)::BIGINT AS n, "
+            "COUNT(DISTINCT o_orderstatus)::BIGINT AS n_sensitive, "
+            "CAST(COUNT(DISTINCT o_orderstatus) >= 2 AS BIGINT) AS diverse "
+            "FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2"
         ),
     }

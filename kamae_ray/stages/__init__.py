@@ -198,3 +198,4 @@ from kamae_ray.stages.evalmetrics import (  # noqa: F401
     lift_table,
     ranking_metrics,
 )
+from kamae_ray.stages.privacy import k_anonymize, l_diversity  # noqa: F401

@@ -6412,6 +6412,31 @@ def _q_decontaminate(sf_dir):
     return decontaminate(corpus, bset, "text", "doc_id")
 
 
+def _q_int8(sf_dir):
+    """Per-vector int8 scalar quantization (``QuantizeEmbeddingTransformer``)
+    — the embedding-compression step before a memory-bounded ANN index.
+    code = floor((x-lo)*255/(hi-lo)+0.5): sub/mul/div/add/floor only, all
+    IEEE-exact, so the codes are bit-identical to the DuckDB list-lambda
+    oracle (float literals CAST to DOUBLE, lesson 39). Stateless map, no
+    shuffle; codes cast up to BIGINT lists only for the driver compare."""
+    from kamae_ray.stages.similarity import QuantizeEmbeddingTransformer
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = QuantizeEmbeddingTransformer(
+        input_col="embedding", output_col="q8", levels=256).transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("q8")
+        batch = batch.set_column(
+            i, "q8", pc.cast(batch.column("q8"), pa.list_(pa.int64())))
+        batch = _round_cols(batch, ["q8_lo", "q8_hi"])
+        return batch.drop_columns(["embedding"])
+
+    finish.__name__ = "int8_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_kanon(sf_dir):
     """k-anonymity suppression (``privacy.k_anonymize``): keep customers
     whose quasi-identifier tuple (mktsegment, custkey % 200) occurs >= 3
@@ -6726,6 +6751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cat_stats": _q_cat_stats,
         "q_kanon": _q_kanon,
         "q_ldiv": _q_ldiv,
+        "q_int8": _q_int8,
     }
 
 
@@ -9465,5 +9491,14 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT o_orderstatus)::BIGINT AS n_sensitive, "
             "CAST(COUNT(DISTINCT o_orderstatus) >= 2 AS BIGINT) AS diverse "
             "FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2"
+        ),
+        "q_int8": (
+            "WITH b AS (SELECT vec_id, "
+            "list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings), "
+            "m AS (SELECT vec_id, e, list_min(e) AS lo, list_max(e) AS hi FROM b) "
+            "SELECT vec_id, list_transform(e, x -> CASE WHEN hi = lo "
+            "THEN CAST(0 AS BIGINT) ELSE CAST(floor((x - lo) * CAST(255 AS DOUBLE) "
+            "/ (hi - lo) + CAST(0.5 AS DOUBLE)) AS BIGINT) END) AS q8, "
+            "ROUND(lo, 6) AS q8_lo, ROUND(hi, 6) AS q8_hi FROM m"
         ),
     }

@@ -199,3 +199,4 @@ from kamae_ray.stages.evalmetrics import (  # noqa: F401
     ranking_metrics,
 )
 from kamae_ray.stages.privacy import k_anonymize, l_diversity  # noqa: F401
+from kamae_ray.stages.similarity import QuantizeEmbeddingTransformer  # noqa: F401

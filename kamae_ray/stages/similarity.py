@@ -169,6 +169,73 @@ class L2NormalizeTransformer(Transformer):
         return _append_or_replace(batch, self.output_col, out)
 
 
+class QuantizeEmbeddingTransformer(Transformer):
+    """Per-vector affine scalar quantization of an embedding list column —
+    the int8 compression step before a memory-bounded ANN index (4x smaller
+    than float32, 8x smaller than float64):
+
+        code = floor((x - lo) * (levels-1) / (hi - lo) + 0.5)
+
+    with ``lo``/``hi`` the vector's own min/max (emitted as
+    ``{output_col}_lo`` / ``{output_col}_hi`` float64 columns for
+    dequantization ``lo + code * (hi - lo) / (levels-1)``). Constant vectors
+    (hi == lo) quantize to all zeros. The float chain is sub/mul/div/add/
+    floor only — IEEE-exact ops, bit-identical across engines (no
+    transcendentals, lesson-38 family). Codes are uint8 for levels <= 256,
+    int32 above. Null rows emit null; null ELEMENTS are rejected.
+
+    Stateless vectorized map — no fit, no shuffle; scale-safe by
+    construction."""
+
+    compatible_dtypes = (pa.float64(),)
+
+    def __init__(self, levels: int = 256, **kwargs) -> None:
+        super().__init__(**kwargs)
+        if not 2 <= int(levels) <= 1 << 31:
+            raise ValueError("levels must be in [2, 2^31]")
+        self.levels = int(levels)
+
+    def transform_batch(self, batch: pa.Table) -> pa.Table:
+        arr = self._cast_in(batch.column(self.input_col))
+        lv, flat = A.unwrap(arr)
+        if flat.null_count:
+            raise ValueError("QuantizeEmbedding: null list elements unsupported")
+        offsets, validity = lv[-1]
+        v = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        starts = offsets[:-1]
+        lens = np.diff(offsets)
+        n = len(lens)
+        lo = np.zeros(n)
+        hi = np.zeros(n)
+        nz = lens > 0
+        if v.size and nz.any():
+            # reduceat over non-empty segments only: consecutive non-empty
+            # starts delimit exactly their data (empty segments own no span)
+            nz_starts = starts[nz]
+            lo[nz] = np.minimum.reduceat(v, nz_starts)
+            hi[nz] = np.maximum.reduceat(v, nz_starts)
+        rng = hi - lo
+        per_lo = np.repeat(lo, lens)
+        per_rng = np.repeat(rng, lens)
+        # EXACT SQL mirror: floor((x - lo) * (L-1) / (hi - lo) + 0.5)
+        num = (v - per_lo) * float(self.levels - 1)
+        q = np.floor(
+            np.divide(num, per_rng, out=np.zeros_like(num), where=per_rng > 0)
+            + 0.5
+        )
+        code_np = q.astype(np.uint8) if self.levels <= 256 else q.astype(np.int32)
+        codes = A.rewrap(lv, pa.array(code_np))
+        null_row = ~nz
+        if validity is not None:
+            null_row |= ~validity.to_numpy(zero_copy_only=False)
+        mask = null_row if null_row.any() else None
+        batch = _append_or_replace(batch, self.output_col, codes)
+        batch = _append_or_replace(
+            batch, f"{self.output_col}_lo", pa.array(lo, pa.float64(), mask=mask))
+        return _append_or_replace(
+            batch, f"{self.output_col}_hi", pa.array(hi, pa.float64(), mask=mask))
+
+
 def rowwise_jaccard(ds, col_a: str, col_b: str, prefix: str = "jaccard"):
     """Per-row token-SET Jaccard similarity between two list columns (pair
     verification / variant scoring): appends ``{prefix}_inter`` and

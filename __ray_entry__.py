@@ -6412,6 +6412,17 @@ def _q_decontaminate(sf_dir):
     return decontaminate(corpus, bset, "text", "doc_id")
 
 
+def _q_ttr(sf_dir):
+    """Per-document lexical statistics (``text.lexical_stats``): token
+    count, distinct types, hapax legomena and the type-token ratio in exact
+    integer ppm (floor-div — no float anywhere). Shuffle-free vectorized
+    map: ONE dictionary-encode per block + a (row, code) lexsort."""
+    from kamae_ray.stages.text import lexical_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lexical_stats(ds, "doc_id", "text")
+
+
 def _q_int8(sf_dir):
     """Per-vector int8 scalar quantization (``QuantizeEmbeddingTransformer``)
     — the embedding-compression step before a memory-bounded ANN index.
@@ -6752,6 +6763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kanon": _q_kanon,
         "q_ldiv": _q_ldiv,
         "q_int8": _q_int8,
+        "q_ttr": _q_ttr,
     }
 
 
@@ -9500,5 +9512,18 @@ def oracle_sql() -> dict[str, str]:
             "THEN CAST(0 AS BIGINT) ELSE CAST(floor((x - lo) * CAST(255 AS DOUBLE) "
             "/ (hi - lo) + CAST(0.5 AS DOUBLE)) AS BIGINT) END) AS q8, "
             "ROUND(lo, 6) AS q8_lo, ROUND(hi, 6) AS q8_hi FROM m"
+        ),
+        "q_ttr": (
+            r"WITH w AS (SELECT doc_id, "
+            r"list_filter(string_split_regex(coalesce(text,''), '\s+'), "
+            "x -> length(x) > 0) AS ws FROM documents), "
+            "x AS (SELECT doc_id, unnest(ws) AS tok FROM w WHERE len(ws) > 0), "
+            "c AS (SELECT doc_id, tok, count(*)::BIGINT AS n FROM x "
+            "GROUP BY 1, 2) "
+            "SELECT doc_id, SUM(n)::BIGINT AS n_tok, "
+            "COUNT(*)::BIGINT AS n_types, "
+            "SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax, "
+            "CAST((COUNT(*)::BIGINT * 1000000) // SUM(n)::BIGINT AS BIGINT) "
+            "AS ttr_ppm FROM c GROUP BY doc_id"
         ),
     }

@@ -1037,3 +1037,63 @@ class ReadabilityTransformer(Transformer):
     def outputs(self) -> list[str]:
         return [f"{self.output_col}_words", f"{self.output_col}_sentences",
                 f"{self.output_col}_syllables", self.output_col]
+
+
+def lexical_stats(ds, id_col: str, text_col: str):
+    """Per-document lexical statistics — the type-token-ratio family of
+    corpus-quality signals: ``n_tok`` (whitespace tokens), ``n_types``
+    (distinct tokens), ``n_hapax`` (tokens occurring exactly once in the
+    doc) and ``ttr_ppm = n_types * 1e6 // n_tok`` (integer floor-div —
+    cross-engine exact, no float). Zero-token docs are dropped (both the
+    engine and the SQL oracle filter them).
+
+    Shuffle-free: rows are independent. Per block, ONE dictionary-encode of
+    the flat word values (lesson 12 — hash each distinct token once), one
+    lexsort over (row, code) and run-boundary arithmetic produce every
+    per-doc count; no per-row loop."""
+
+    def kernel(block: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(A.as_array(block.column(text_col)),
+                                   pa.string(), safe=False), "")
+        words = A.drop_empty_tokens(
+            pc.split_pattern_regex(txt, pattern=r"\s+"))
+        lv, flat = A.unwrap(words)
+        offsets = lv[0][0]
+        lens = np.diff(offsets).astype(np.int64)
+        n = len(lens)
+        codes = pc.fill_null(flat.dictionary_encode().indices, -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        order = np.lexsort((codes, rows))
+        r_s, c_s = rows[order], codes[order]
+        new = np.concatenate(([True], (r_s[1:] != r_s[:-1])
+                              | (c_s[1:] != c_s[:-1]))) if len(r_s) else \
+            np.zeros(0, bool)
+        starts = np.nonzero(new)[0]
+        run_lens = np.diff(np.concatenate((starts, [len(r_s)]))) \
+            if len(starts) else np.zeros(0, np.int64)
+        run_rows = r_s[starts] if len(starts) else np.zeros(0, np.int64)
+        n_types = np.bincount(run_rows, minlength=n).astype(np.int64)
+        n_hapax = np.bincount(run_rows[run_lens == 1],
+                              minlength=n).astype(np.int64)
+        keep = lens > 0
+        ttr = np.zeros(n, np.int64)
+        ttr[keep] = (n_types[keep] * 1_000_000) // lens[keep]
+        out = pa.table({
+            id_col: A.as_array(block.column(id_col)),
+            "n_tok": pa.array(lens),
+            "n_types": pa.array(n_types),
+            "n_hapax": pa.array(n_hapax),
+            "ttr_ppm": pa.array(ttr),
+        })
+        return out.filter(pa.array(keep))
+
+    kernel.__name__ = "lexical_stats"
+    if isinstance(ds, pa.Table):
+        return kernel(ds)
+    try:
+        ds = ds.select_columns([id_col, text_col])
+    except Exception:
+        pass
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)

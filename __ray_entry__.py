@@ -6412,6 +6412,45 @@ def _q_decontaminate(sf_dir):
     return decontaminate(corpus, bset, "text", "doc_id")
 
 
+def _q_anova(sf_dir):
+    """Per-cohort one-way ANOVA F (``profile.anova_f_by_group``) of quantity
+    across the three return-flag classes. Per-class n/sum/sumsq are
+    order-free int64 partials; the F float chain accumulates
+    left-associatively in the declared class order on BOTH engines (the
+    static-chain family), so f_stat is bit-identical to the GENERATED
+    oracle. One groupby to (cohort, class) cells; driver folds O(cells)."""
+    from kamae_ray.stages.profile import anova_f_by_group
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_returnflag", "l_quantity"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return batch.append_column("cohort", pa.array(k % 25))
+
+    mk.__name__ = "mk_cohort"
+    ds = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = anova_f_by_group(ds, "cohort", "l_returnflag", "l_quantity",
+                           ["A", "N", "R"])
+    return _round_cols(out, ["f_stat"])
+
+
+def _q_cramers(sf_dir):
+    """Global Cramér's V association (``profile.cramers_v``) between order
+    status and priority over their fixed category lists. Exact int64
+    contingency cells (one per-block bincount partial, O(blocks x 15) rows
+    move); the chi2 chain is left-assoc in (x, y) declared order — the
+    GENERATED oracle emits the identical parenthesization."""
+    from kamae_ray.stages.profile import cramers_v
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    out = cramers_v(ds, "o_orderstatus", "o_orderpriority",
+                    ["F", "O", "P"],
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                     "5-LOW"])
+    return _round_cols(out, ["chi2", "v"])
+
+
 def _q_ttr(sf_dir):
     """Per-document lexical statistics (``text.lexical_stats``): token
     count, distinct types, hapax legomena and the type-token ratio in exact
@@ -6764,6 +6803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ldiv": _q_ldiv,
         "q_int8": _q_int8,
         "q_ttr": _q_ttr,
+        "q_anova": _q_anova,
+        "q_cramers": _q_cramers,
     }
 
 
@@ -6823,6 +6864,23 @@ def _ranking_eval_oracle_sql() -> str:
         f"ROUND(CASE WHEN ({idcg}) > 0 THEN ({dcg}) / ({idcg}) END, 6) AS ndcg_k "
         "FROM r GROUP BY user_id"
     )
+
+
+def _anova_oracle() -> str:
+    from kamae_ray.stages.profile import anova_f_oracle_sql
+
+    return anova_f_oracle_sql(
+        "lineitem", "l_suppkey % 25", "cohort", "l_returnflag",
+        "CAST(l_quantity AS BIGINT)", ["A", "N", "R"])
+
+
+def _cramers_oracle() -> str:
+    from kamae_ray.stages.profile import cramers_v_oracle_sql
+
+    return cramers_v_oracle_sql(
+        "orders", "o_orderstatus", "o_orderpriority",
+        ["F", "O", "P"],
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9526,4 +9584,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST((COUNT(*)::BIGINT * 1000000) // SUM(n)::BIGINT AS BIGINT) "
             "AS ttr_ppm FROM c GROUP BY doc_id"
         ),
+        # q_anova / q_cramers: oracles GENERATED from the same class lists
+        # and left-assoc float-chain order as the engine kernels
+        "q_anova": _anova_oracle(),
+        "q_cramers": _cramers_oracle(),
     }

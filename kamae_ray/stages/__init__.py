@@ -199,4 +199,6 @@ from kamae_ray.stages.evalmetrics import (  # noqa: F401
     ranking_metrics,
 )
 from kamae_ray.stages.privacy import k_anonymize, l_diversity  # noqa: F401
+from kamae_ray.stages.profile import anova_f_by_group, cramers_v  # noqa: F401
+from kamae_ray.stages.text import lexical_stats  # noqa: F401
 from kamae_ray.stages.similarity import QuantizeEmbeddingTransformer  # noqa: F401

@@ -1650,3 +1650,287 @@ def acf_by_group(ds, group_col: str, order_cols, value_col: str,
     keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
                            batch_size=None)
     return sorted_block_apply(keyed, [group_col], kern, "acf_fold")
+
+
+def anova_f_by_group(ds, group_col: str, class_col: str, value_col: str,
+                     classes: list, max_cells: int = 2_000_000):
+    """Per-group one-way ANOVA F statistic over an INTEGER metric across a
+    FIXED class list (the g-sample generalization of ``welch_t_by_group``):
+
+        SSB = sum_j s_j^2/n_j - S^2/N      (between-class)
+        SSW = sum_j (ss_j - s_j^2/n_j)     (within-class)
+        F   = (SSB/(g-1)) / (SSW/(N-g))
+
+    with g the number of classes present (n_j > 0). ``classes`` must be the
+    explicit category list — the float chains accumulate left-associatively
+    in that exact order on BOTH engines (the ranking-DCG static-chain
+    pattern), so F is bit-identical to a generated SQL oracle. Per-class
+    n/sum/sum-of-squares are order-free int64 partials (values guarded to
+    31 bits, sums to 2^53). ``f_stat`` is NULL when fewer than 2 classes
+    are present, N <= g, or SSW <= 0.
+
+    Scale plan: one derived map + ONE partial-agg groupby to
+    (group, class) cells; the driver folds O(groups x classes) tiny cells
+    (guarded by ``max_cells``)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    classes = list(classes)
+    cmap = {c: i for i, c in enumerate(classes)}
+    if len(cmap) != len(classes) or len(classes) < 2:
+        raise ValueError("classes must be >= 2 distinct values")
+
+    def prep(block: pa.Table) -> pa.Table:
+        cls = A.as_array(block.column(class_col))
+        member = pc.is_in(cls, value_set=pa.array(classes, cls.type))
+        keep = pc.and_(pc.is_valid(A.as_array(block.column(value_col))), member)
+        block = block.filter(keep)
+        x = pc.cast(A.as_array(block.column(value_col)), pa.int64(), safe=False)
+        xv = x.to_numpy(zero_copy_only=False)
+        if len(xv) and int(np.abs(xv).max()) >= (1 << 31):
+            raise ValueError("anova_f_by_group values must fit 31 bits "
+                             "(x^2 must stay exact int64) — rescale")
+        ci = pc.index_in(A.as_array(block.column(class_col)),
+                         value_set=pa.array(classes, cls.type))
+        return pa.table({
+            group_col: block.column(group_col),
+            "__cls": pc.cast(ci, pa.int64()),
+            "__x": x,
+            "__xx": pa.array(xv * xv),
+        })
+
+    prep.__name__ = "anova_prep"
+    tagged = prep(ds) if isinstance(ds, pa.Table) else ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    cells = groupby_agg(tagged, [group_col, "__cls"],
+                        {"__x": ["sum", "count"], "__xx": ["sum"]})
+    if isinstance(cells, pa.Table):
+        tbl = cells
+    else:
+        from kamae_ray.base import collect_tables
+
+        parts = [t for t in collect_tables(cells) if t.num_rows]
+        tbl = pa.concat_tables(parts) if parts else None
+    gtype = None
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "n_classes": pa.array([], pa.int64()),
+                         "f_stat": pa.array([], pa.float64())})
+    if tbl.num_rows > max_cells:
+        raise ValueError(f"anova_f_by_group cells ({tbl.num_rows}) exceed "
+                         f"max_cells={max_cells}")
+    sx = pc.cast(tbl.column("__x_sum"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    n = pc.cast(tbl.column("__x_count"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    sxx = pc.cast(tbl.column("__xx_sum"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    if len(sxx) and int(np.abs(sxx).max()) >= (1 << 53):
+        raise ValueError("anova_f_by_group sums exceed exact float64 range")
+    ci = pc.cast(tbl.column("__cls"), pa.int64(), safe=False) \
+        .to_numpy(zero_copy_only=False)
+    garr = A.as_array(tbl.column(group_col))
+    gtype = garr.type
+    by_g: dict = {}
+    for i in range(tbl.num_rows):
+        gval = garr[i].as_py()
+        by_g.setdefault(gval, {})[int(ci[i])] = (int(n[i]), int(sx[i]),
+                                                 int(sxx[i]))
+    groups = sorted(by_g, key=lambda v: (v is None, str(v)))
+    out_g, n_l, g_l, f_l = [], [], [], []
+    for gval in groups:
+        cellmap = by_g[gval]
+        N = sum(c[0] for c in cellmap.values())
+        S = sum(c[1] for c in cellmap.values())
+        g_present = sum(1 for c in cellmap.values() if c[0] > 0)
+        # left-assoc float chains in the declared class order — the SQL
+        # oracle emits the identical parenthesization
+        tb = 0.0
+        sw = 0.0
+        for j in range(len(classes)):
+            nj, sj, ssj = cellmap.get(j, (0, 0, 0))
+            if nj > 0:
+                term = (float(sj) * float(sj)) / float(nj)
+                tb = tb + term
+                sw = sw + (float(ssj) - term)
+        f = None
+        if g_present >= 2 and N > g_present:
+            ssb = tb - (float(S) * float(S)) / float(N)
+            if sw > 0:
+                f = (ssb / float(g_present - 1)) / (sw / float(N - g_present))
+        out_g.append(gval)
+        n_l.append(N)
+        g_l.append(g_present)
+        f_l.append(f)
+    return pa.table({
+        group_col: pa.array(out_g, gtype),
+        "n": pa.array(n_l, pa.int64()),
+        "n_classes": pa.array(g_l, pa.int64()),
+        "f_stat": pa.array(f_l, pa.float64()),
+    })
+
+
+def anova_f_oracle_sql(table: str, group_expr: str, group_name: str,
+                       class_col: str, value_expr: str,
+                       classes: list) -> str:
+    """GENERATE the exact SQL oracle for :func:`anova_f_by_group` — pivoted
+    per-class cells + the SAME left-associative float chains."""
+    def lit(v):
+        return "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) \
+            else str(v)
+
+    piv = ", ".join(
+        f"COALESCE(MAX(CASE WHEN cls = {lit(c)} THEN n END), 0) AS n_{i}, "
+        f"COALESCE(MAX(CASE WHEN cls = {lit(c)} THEN sx END), 0) AS s_{i}, "
+        f"COALESCE(MAX(CASE WHEN cls = {lit(c)} THEN sxx END), 0) AS ss_{i}"
+        for i, c in enumerate(classes))
+    tb = "CAST(0 AS DOUBLE)"
+    sw = "CAST(0 AS DOUBLE)"
+    for i in range(len(classes)):
+        term = (f"(CAST(s_{i} AS DOUBLE) * CAST(s_{i} AS DOUBLE)) "
+                f"/ CAST(n_{i} AS DOUBLE)")
+        tb = f"({tb} + CASE WHEN n_{i} > 0 THEN {term} ELSE 0 END)"
+        sw = (f"({sw} + CASE WHEN n_{i} > 0 THEN "
+              f"CAST(ss_{i} AS DOUBLE) - {term} ELSE 0 END)")
+    ntot = " + ".join(f"n_{i}" for i in range(len(classes)))
+    gpres = " + ".join(f"CASE WHEN n_{i} > 0 THEN 1 ELSE 0 END"
+                       for i in range(len(classes)))
+    stot = " + ".join(f"s_{i}" for i in range(len(classes)))
+    inlist = ", ".join(lit(c) for c in classes)
+    return (
+        f"WITH b AS (SELECT {group_expr} AS {group_name}, {class_col} AS cls, "
+        f"{value_expr} AS x FROM {table} "
+        f"WHERE ({value_expr}) IS NOT NULL AND {class_col} IN ({inlist})), "
+        "c AS (SELECT " + group_name + ", cls, COUNT(*)::BIGINT AS n, "
+        "SUM(x)::BIGINT AS sx, "
+        "SUM(x*x)::BIGINT AS sxx FROM b GROUP BY 1, cls), "
+        f"p AS (SELECT {group_name}, {piv} FROM c GROUP BY 1), "
+        f"v AS (SELECT {group_name}, ({ntot})::BIGINT AS n, ({gpres})::BIGINT AS n_classes, "
+        f"({stot})::BIGINT AS s, {tb} AS tb, {sw} AS sw FROM p) "
+        "SELECT " + group_name + ", n, n_classes, "
+        "ROUND(CASE WHEN n_classes >= 2 AND n > n_classes AND sw > 0 THEN "
+        "((tb - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) "
+        "/ CAST(n_classes - 1 AS DOUBLE)) / "
+        "(sw / CAST(n - n_classes AS DOUBLE)) END, 6) "
+        "AS f_stat FROM v"
+    )
+
+
+def cramers_v(ds, x_col: str, y_col: str, x_values: list, y_values: list,
+              max_parts: int = 1_000_000):
+    """Global Cramér's V association between two categorical columns over
+    FIXED category lists: ``V = sqrt(chi2 / (n * min(r-1, c-1)))`` with the
+    classic chi-square over the r x c contingency table (rows outside the
+    given lists are dropped). Cell counts and margins are exact int64 (one
+    per-block bincount partial — O(blocks x r x c) rows shuffle, never the
+    data); the chi2 sum accumulates left-associatively in (x, y) declared
+    order on both engines, so the statistic is bit-identical to the
+    generated oracle. Returns ONE row: n, chi2, v."""
+    x_values, y_values = list(x_values), list(y_values)
+    r, c = len(x_values), len(y_values)
+    if r < 2 or c < 2:
+        raise ValueError("need >= 2 categories per side")
+
+    def partial(block: pa.Table) -> pa.Table:
+        xs = A.as_array(block.column(x_col))
+        ys = A.as_array(block.column(y_col))
+        xi = pc.index_in(xs, value_set=pa.array(x_values, xs.type))
+        yi = pc.index_in(ys, value_set=pa.array(y_values, ys.type))
+        xv = pc.fill_null(xi, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = pc.fill_null(yi, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (xv >= 0) & (yv >= 0)
+        counts = np.bincount(xv[m] * c + yv[m], minlength=r * c)
+        return pa.table({"cell": pa.array(np.arange(r * c, dtype=np.int64)),
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    partial.__name__ = "cramers_partial"
+    if isinstance(ds, pa.Table):
+        cnt = partial(ds).column("cnt").to_numpy(zero_copy_only=False).copy()
+    else:
+        from kamae_ray.base import collect_tables
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+        cnt = np.zeros(r * c, np.int64)
+        n_parts = 0
+        for t in collect_tables(parts):
+            n_parts += 1
+            if n_parts > max_parts:
+                raise ValueError("cramers_v partials exceed max_parts")
+            if t.num_rows:
+                cell = t.column("cell").to_numpy(zero_copy_only=False)
+                cv = t.column("cnt").to_numpy(zero_copy_only=False)
+                np.add.at(cnt, cell, cv)
+    o = cnt.reshape(r, c)
+    rows = o.sum(axis=1)
+    cols = o.sum(axis=0)
+    n = int(o.sum())
+    chi2 = None
+    v = None
+    if n > 0 and (rows > 0).sum() >= 2 and (cols > 0).sum() >= 2:
+        # BLOCKED left-assoc in (x, y) declared order — per-x inner chain,
+        # outer chain across x (the oracle emits the identical association;
+        # a flat r*c chain would exceed DuckDB's 128-deep binder recursion)
+        acc = 0.0
+        for i in range(r):
+            rowacc = 0.0
+            for j in range(c):
+                if rows[i] > 0 and cols[j] > 0:
+                    e = (float(rows[i]) * float(cols[j])) / float(n)
+                    d = float(o[i, j]) - e
+                    rowacc = rowacc + (d * d) / e
+            acc = acc + rowacc
+        chi2 = acc
+        dof = min(int((rows > 0).sum()) - 1, int((cols > 0).sum()) - 1)
+        v = float(np.sqrt(chi2 / (float(n) * float(dof))))
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "chi2": pa.array([chi2], pa.float64()),
+                     "v": pa.array([v], pa.float64())})
+
+
+def cramers_v_oracle_sql(table: str, x_col: str, y_col: str,
+                         x_values: list, y_values: list,
+                         where: str = "TRUE") -> str:
+    """GENERATE the exact SQL oracle for :func:`cramers_v` — static pivoted
+    cells and the SAME left-associative (x, y)-ordered chi2 chain."""
+    def lit(v):
+        return "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) \
+            else str(v)
+
+    r, c = len(x_values), len(y_values)
+    cells = ", ".join(
+        f"SUM(CASE WHEN {x_col} = {lit(x)} AND {y_col} = {lit(y)} "
+        f"THEN 1 ELSE 0 END)::BIGINT AS o_{i}_{j}"
+        for i, x in enumerate(x_values) for j, y in enumerate(y_values))
+    rowsum = {i: " + ".join(f"o_{i}_{j}" for j in range(c)) for i in range(r)}
+    colsum = {j: " + ".join(f"o_{i}_{j}" for i in range(r)) for j in range(c)}
+    margins = ", ".join(
+        [f"({rowsum[i]})::BIGINT AS r_{i}" for i in range(r)]
+        + [f"({colsum[j]})::BIGINT AS c_{j}" for j in range(c)])
+    ntot = " + ".join(f"r_{i}" for i in range(r))
+    acc = "CAST(0 AS DOUBLE)"
+    for i in range(r):
+        rowacc = "CAST(0 AS DOUBLE)"
+        for j in range(c):
+            e = (f"(CAST(r_{i} AS DOUBLE) * CAST(c_{j} AS DOUBLE)) "
+                 f"/ CAST(n AS DOUBLE)")
+            d = f"(CAST(o_{i}_{j} AS DOUBLE) - ({e}))"
+            rowacc = (f"({rowacc} + CASE WHEN r_{i} > 0 AND c_{j} > 0 THEN "
+                      f"({d} * {d}) / ({e}) ELSE 0 END)")
+        acc = f"({acc} + {rowacc})"
+    rpres = " + ".join(f"CASE WHEN r_{i} > 0 THEN 1 ELSE 0 END"
+                       for i in range(r))
+    cpres = " + ".join(f"CASE WHEN c_{j} > 0 THEN 1 ELSE 0 END"
+                       for j in range(c))
+    return (
+        f"WITH p AS (SELECT {cells} FROM {table} WHERE {where}), "
+        f"m AS (SELECT *, {margins} FROM p), "
+        f"v AS (SELECT *, ({ntot})::BIGINT AS n, "
+        f"({rpres})::BIGINT AS rp, ({cpres})::BIGINT AS cp FROM m), "
+        f"w AS (SELECT n, rp, cp, CASE WHEN n > 0 AND rp >= 2 AND cp >= 2 "
+        f"THEN {acc} END AS chi2 FROM v) "
+        f"SELECT n, ROUND(chi2, 6) AS chi2, "
+        f"ROUND(CASE WHEN chi2 IS NOT NULL THEN sqrt(chi2 / "
+        f"(CAST(n AS DOUBLE) * CAST(LEAST(rp - 1, cp - 1) AS DOUBLE))) "
+        f"END, 6) AS v FROM w"
+    )

@@ -1972,6 +1972,29 @@ def _q_containment(sf_dir):
                              shingle_k=3)
 
 
+def _q_er_cluster(sf_dir):
+    """Entity-resolution clustering (``dedup.er_cluster``): blocking on the
+    2-char lowercase prefix -> in-block Levenshtein<=1 edges over DISTINCT
+    names -> connected components -> total (id, cluster) labels. Names are
+    each supplier's nation name (IRAN/IRAQ is a genuine distance-1 merge;
+    every same-name group clusters to its min supplier id). Oracle =
+    DuckDB levenshtein + the q_components recursive-CTE min-reach."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.dedup import er_cluster
+    from kamae_ray.stages.join import broadcast_join
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nation = nation.rename_columns(["s_nationkey", "n_name"])
+    joined = broadcast_join(ds, nation, on="s_nationkey",
+                            right_cols=["n_name"], how="inner")
+    out = er_cluster(joined, "s_suppkey", "n_name", max_distance=1,
+                     block_chars=2)
+    return out.sort("s_suppkey")
+
+
 def _q_cusum(sf_dir):
     """Per-user two-sided CUSUM drift statistic (``window.cusum_flags``):
     exact int64 micro-unit prefix sums + grouped running extrema (the
@@ -6668,6 +6691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kappa": _q_kappa,
         "q_jsd": _q_jsd,
         "q_containment": _q_containment,
+        "q_er_cluster": _q_er_cluster,
         "q_cusum": _q_cusum,
         "q_clustering": _q_clustering,
         "q_km": _q_km,
@@ -8770,6 +8794,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
             "JOIN sizes sb ON sb.doc_id = id_b "
             "WHERE 1000000 * i >= 700000 * least(sa.n, sb.n)"
+        ),
+        # entity-resolution clustering: blocking prefix + levenshtein<=1
+        # edges over distinct names, recursive-CTE min-reach components
+        "q_er_cluster": (
+            "WITH base AS (SELECT CAST(s_suppkey AS BIGINT) AS id, "
+            "n_name AS name, lower(substr(n_name, 1, 2)) AS blk "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name IS NOT NULL), "
+            "minid AS (SELECT name, blk, MIN(id) AS mid FROM base "
+            "GROUP BY name, blk), "
+            "cand AS (SELECT a.mid AS a, b.mid AS b FROM minid a "
+            "JOIN minid b ON a.blk = b.blk AND a.mid < b.mid "
+            "WHERE levenshtein(a.name, b.name) <= 1 "
+            "UNION ALL SELECT m.mid, bb.id FROM base bb "
+            "JOIN minid m ON bb.name = m.name WHERE bb.id <> m.mid), "
+            "und AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand "
+            "UNION SELECT a, a FROM cand), "
+            "walk AS (WITH RECURSIVE w(node, reach) AS (SELECT a, a FROM und "
+            "UNION SELECT w.node, u.b FROM w JOIN und u ON u.a = w.reach) "
+            "SELECT * FROM w), "
+            "rep AS (SELECT node AS id, MIN(reach) AS rep FROM walk "
+            "GROUP BY node) "
+            "SELECT b.id AS s_suppkey, COALESCE(r.rep, b.id) AS cluster "
+            "FROM base b LEFT JOIN rep r ON b.id = r.id ORDER BY s_suppkey"
         ),
         "q_cusum": (
             "WITH b AS (SELECT event_id, user_id, ts, "

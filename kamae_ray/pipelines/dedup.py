@@ -1917,3 +1917,133 @@ def containment_pairs(ds, text_col: str, id_col: str,
 
     finish.__name__ = "containment_finish"
     return with_b.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def er_cluster(ds, id_col: str, name_col: str, max_distance: int = 1,
+               block_chars: int = 2, max_group_distinct: int = 8192):
+    """Entity-resolution clustering over a string column: blocking ->
+    in-block Levenshtein candidate edges -> connected components -> total
+    (id, cluster) labels, the classic record-linkage chain.
+
+    Semantics (oracle-mirrored exactly):
+      * blocking key = ``lower(substr(name, 1, block_chars))`` — only names
+        sharing a block can match (the documented recall/cost trade of
+        blocking-based ER);
+      * within a block, DISTINCT names a < b (by their minimum id) become an
+        edge when ``levenshtein(a, b) <= max_distance`` (byte-level,
+        identical to DuckDB ``levenshtein`` for ASCII);
+      * every id additionally edges to its name's minimum id (same-name
+        equality needs no distance);
+      * clusters are connected components with ``cluster`` = min id reached;
+        unmatched / unique-name rows keep ``cluster = id``. Null names are
+        dropped.
+
+    Scale plan: ONE sort on the blocking key co-locates each block; per
+    block the DISTINCT names (dictionary encode, lesson 12) pairwise-score
+    through the vectorized Wagner-Fischer matrix (functions/editdist.py —
+    never per-occurrence, never per-pair Python). Edge volume is bounded by
+    distinct-name pairs under ``max_group_distinct`` (raise above — pick
+    more block chars). Components run on the label table only
+    (``connected_components_ds``: bounded by matched ids, fixed block count
+    per iteration); the final labeling is one equi-join."""
+    from kamae_ray.functions.editdist import levenshtein_matrix
+    from kamae_ray.stages.join import shuffle_join
+    from kamae_ray.stages.window import sorted_block_apply
+
+    def keyed(block: pa.Table) -> pa.Table:
+        name = pc.cast(A.as_array(block.column(name_col)), pa.string(),
+                       safe=False)
+        keep = pc.is_valid(name)
+        block = pa.table({id_col: pc.cast(A.as_array(block.column(id_col)),
+                                          pa.int64(), safe=False),
+                          "__name": name}).filter(keep)
+        k = pc.utf8_lower(
+            pc.utf8_slice_codeunits(block.column("__name"), 0, block_chars))
+        return block.append_column("__blk", k)
+
+    keyed.__name__ = "er_blocking_key"
+
+    def edges_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        ids = pc.cast(A.as_array(block.column(id_col)), pa.int64(),
+                      safe=False).to_numpy(zero_copy_only=False)
+        gids = S.group_ids(block, ["__blk"])
+        d = A.as_array(block.column("__name")).dictionary_encode()
+        codes = pc.fill_null(d.indices, -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        names = d.dictionary
+        # min id per distinct name (names never straddle blocking keys)
+        order = np.lexsort((ids, codes))
+        c_s, i_s = codes[order], ids[order]
+        starts, _lens = S.segments(c_s)
+        min_id = np.zeros(len(names), np.int64)
+        min_id[c_s[starts]] = i_s[starts]
+        ea = [ids[ids != min_id[codes]]]
+        eb = [min_id[codes][ids != min_id[codes]]]
+        # cross-name candidates per blocking group over DISTINCT names
+        gorder = np.lexsort((codes, gids))
+        g_s, cd_s = gids[gorder], codes[gorder]
+        gstarts, glens = S.segments(g_s)
+        for s, ln in zip(gstarts, glens):
+            dist_codes = np.unique(cd_s[s:s + ln])
+            m = len(dist_codes)
+            if m < 2:
+                continue
+            if m > max_group_distinct:
+                raise ValueError(
+                    f"er_cluster block has {m} distinct names "
+                    f"(> max_group_distinct={max_group_distinct}) — "
+                    "use more block_chars")
+            sub = names.take(pa.array(dist_codes))
+            dm = levenshtein_matrix(sub, sub)
+            ii, jj = np.nonzero(np.triu(dm <= max_distance, k=1))
+            if len(ii):
+                ma = min_id[dist_codes[ii]]
+                mb = min_id[dist_codes[jj]]
+                ea.append(np.minimum(ma, mb))
+                eb.append(np.maximum(ma, mb))
+        return pa.table({"id_a": pa.array(np.concatenate(ea), pa.int64()),
+                         "id_b": pa.array(np.concatenate(eb), pa.int64())})
+
+    edges_kernel.__name__ = "er_edges"
+
+    if isinstance(ds, pa.Table):
+        base = keyed(ds)
+        edges = edges_kernel(base)
+        lab = connected_components(
+            list(zip(edges.column("id_a").to_pylist(),
+                     edges.column("id_b").to_pylist())))
+        ids = base.column(id_col).to_pylist()
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array([lab.get(i, i) for i in ids], pa.int64()),
+        })
+
+    base = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+    base = base.materialize()  # consumed twice: edge pass + final labeling
+    edges = sorted_block_apply(base, ["__blk"], edges_kernel, "er_edges")
+    labels = connected_components_ds(edges)
+    if id_col != "id":
+        def relabel(block: pa.Table) -> pa.Table:
+            return block.rename_columns([id_col, "rep"])
+
+        relabel.__name__ = "er_relabel"
+        labels = labels.map_batches(relabel, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=None)
+    out = shuffle_join(base.select_columns([id_col]), labels,
+                       on=id_col, right_cols=["rep"], how="left")
+
+    def finish(block: pa.Table) -> pa.Table:
+        ids = A.as_array(block.column(id_col))
+        rep = A.as_array(block.column("rep"))
+        return pa.table({
+            id_col: ids,
+            "cluster": pc.coalesce(rep, pc.cast(ids, pa.int64(), safe=False)),
+        })
+
+    finish.__name__ = "er_finish"
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)

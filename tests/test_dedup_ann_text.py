@@ -1674,3 +1674,42 @@ def test_dsir_scores(ray_session):
         dsir_scores(src, pa.table({"doc_id": pa.array([], pa.int64()),
                                    "text": pa.array([], pa.string())}),
                     "doc_id", "text")
+
+
+def test_er_cluster(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.dedup import er_cluster
+
+    # names: "iran"/"iraq" are distance-1 within block "ir"; "kenya" twice
+    # (same-name edge); "peru" unique; "india" vs "iran" distance 3 (no edge
+    # despite sharing block "ir"? no — "india" blocks to "in", separate).
+    t = pa.table({
+        "id": pa.array([10, 3, 7, 5, 9, 2, 8], pa.int64()),
+        "name": ["iran", "iraq", "kenya", "kenya", "peru", "iran", None],
+    })
+    expect = {10: 2, 3: 2, 2: 2,   # iran(2,10)+iraq(3) merge, rep = min id 2
+              7: 5, 5: 5,          # kenya twins
+              9: 9}                # unique name -> own id; null name dropped
+    # Table path
+    out = er_cluster(t, "id", "name", max_distance=1, block_chars=2)
+    got = {r["id"]: r["cluster"] for r in out.to_pylist()}
+    assert got == expect
+    # Dataset path (multi-block)
+    ds = ray.data.from_arrow(t).repartition(3)
+    out2 = er_cluster(ds, "id", "name", max_distance=1, block_chars=2)
+    got2 = {r["id"]: r["cluster"] for r in out2.take_all()}
+    assert got2 == expect
+    # distance 0: only exact same-name clusters
+    out3 = er_cluster(t, "id", "name", max_distance=0, block_chars=2)
+    got3 = {r["id"]: r["cluster"] for r in out3.to_pylist()}
+    assert got3 == {10: 2, 3: 3, 2: 2, 7: 5, 5: 5, 9: 9}
+    # block budget raise
+    import pytest
+    with pytest.raises(ValueError, match="distinct names"):
+        big = pa.table({
+            "id": pa.array(range(4), pa.int64()),
+            "name": ["aa" + str(i) for i in range(4)],
+        })
+        er_cluster(big, "id", "name", max_group_distinct=2)

@@ -1995,6 +1995,26 @@ def _q_er_cluster(sf_dir):
     return out.sort("s_suppkey")
 
 
+def _q_rolling_distinct(sf_dir):
+    """Trailing-window distinct count (``window.rolling_count_distinct``):
+    per user, DISTINCT event types among the last 5 events — SQL's windowed
+    COUNT(DISTINCT), integer-exact via the previous-occurrence difference
+    array (one entity sort, two lexsorts + one cumsum per block)."""
+    from kamae_ray.stages.window import rolling_count_distinct
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = rolling_count_distinct(ev, "user_id", ["ts", "event_id"],
+                                 "event_type", window=5,
+                                 out_col="w_distinct")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "user_id", "w_distinct"])
+
+    finish.__name__ = "project_rcd"
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+
 def _q_cusum(sf_dir):
     """Per-user two-sided CUSUM drift statistic (``window.cusum_flags``):
     exact int64 micro-unit prefix sums + grouped running extrema (the
@@ -6692,6 +6712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jsd": _q_jsd,
         "q_containment": _q_containment,
         "q_er_cluster": _q_er_cluster,
+        "q_rolling_distinct": _q_rolling_distinct,
         "q_cusum": _q_cusum,
         "q_clustering": _q_clustering,
         "q_km": _q_km,
@@ -8818,6 +8839,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY node) "
             "SELECT b.id AS s_suppkey, COALESCE(r.rep, b.id) AS cluster "
             "FROM base b LEFT JOIN rep r ON b.id = r.id ORDER BY s_suppkey"
+        ),
+        "q_rolling_distinct": (
+            "SELECT event_id, user_id, count(DISTINCT event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w_distinct "
+            "FROM events"
         ),
         "q_cusum": (
             "WITH b AS (SELECT event_id, user_id, ts, "

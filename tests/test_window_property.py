@@ -235,3 +235,36 @@ def test_event_ngram_counts(ray_session):
     assert {r["path"]: r["n"] for r in two.to_pylist()} == pairs
     with pytest.raises(ValueError, match=r"\[2, 8\]"):
         event_ngram_counts(t, "u", "ts", "e", 1)
+
+
+def test_rolling_count_distinct(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.window import rolling_count_distinct
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 11, n), pa.int64()),
+        "ts": pa.array(rng.permutation(n), pa.int64()),
+        "item": pa.array([None if rng.random() < 0.1 else f"i{v}"
+                          for v in rng.integers(0, 7, n)]),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = {(g, ts): d for g, ts, d in zip(*con.sql(
+        "SELECT g, ts, count(DISTINCT item) OVER (PARTITION BY g ORDER BY ts "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) FROM t"
+    ).fetchnumpy().values())}
+    # Table path
+    o = rolling_count_distinct(t, "g", "ts", "item", window=4).to_pydict()
+    assert all(want[(g, ts)] == v for g, ts, v in
+               zip(o["g"], o["ts"], o["item_wdistinct"]))
+    # Dataset path (multi-block, groups co-located by the sort)
+    ds = ray.data.from_arrow(t).repartition(5)
+    rows = rolling_count_distinct(ds, "g", "ts", "item", window=4).take_all()
+    assert len(rows) == n
+    assert all(want[(r["g"], r["ts"])] == r["item_wdistinct"] for r in rows)

@@ -6571,6 +6571,28 @@ def _q_ldiv(sf_dir):
     return l_diversity(ds, ["o_orderpriority", "qi_bucket"], "o_orderstatus", 2)
 
 
+def _q_tclose(sf_dir):
+    """t-closeness audit (``privacy.t_closeness``): per QI group
+    (orderpriority, custkey % 100), the EXACT total-variation distance
+    between the group's order-status distribution and the global one —
+    cross-multiplied integer counts, absent categories in closed form,
+    ppm by exact integer division. One combiner pass + one cell sort."""
+    from kamae_ray.stages.privacy import t_closeness
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderpriority", "o_orderstatus"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return batch.append_column("qi_bucket", pa.array(k % 100))
+
+    bucket.__name__ = "qi_bucket"
+    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return t_closeness(ds, ["o_orderpriority", "qi_bucket"],
+                       "o_orderstatus", t_ppm=150_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- r5 driver window: 3 anchors + previously-red (q_linear_score/
@@ -6713,6 +6735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_containment": _q_containment,
         "q_er_cluster": _q_er_cluster,
         "q_rolling_distinct": _q_rolling_distinct,
+        "q_tclose": _q_tclose,
         "q_cusum": _q_cusum,
         "q_clustering": _q_clustering,
         "q_km": _q_km,
@@ -8845,6 +8868,29 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w_distinct "
             "FROM events"
+        ),
+        # t-closeness: exact cross-multiplied total-variation distance per
+        # QI group vs the global sensitive distribution (ppm = integer div)
+        "q_tclose": (
+            "WITH base AS (SELECT o_orderpriority AS p, o_custkey % 100 AS b, "
+            "o_orderstatus AS s FROM orders WHERE o_orderstatus IS NOT NULL), "
+            "cells AS (SELECT p, b, s, count(*)::BIGINT AS ngc FROM base "
+            "GROUP BY p, b, s), "
+            "gm AS (SELECT p, b, SUM(ngc)::BIGINT AS ng FROM cells GROUP BY p, b), "
+            "cm AS (SELECT s, SUM(ngc)::BIGINT AS nc FROM cells GROUP BY s), "
+            "tot AS (SELECT SUM(ngc)::BIGINT AS n FROM cells), "
+            "grid AS (SELECT gm.p, gm.b, cm.s, gm.ng, cm.nc FROM gm CROSS JOIN cm), "
+            "j AS (SELECT grid.p, grid.b, grid.ng, grid.nc, "
+            "COALESCE(cells.ngc, 0) AS ngc FROM grid LEFT JOIN cells "
+            "ON grid.p = cells.p AND grid.b = cells.b AND grid.s = cells.s), "
+            "agg AS (SELECT p, b, MAX(ng) AS n, "
+            "SUM(ABS(ngc * (SELECT n FROM tot) - nc * ng)) AS num "
+            "FROM j GROUP BY p, b), "
+            "fin AS (SELECT p, b, n, CAST(CAST(num AS HUGEINT) * 1000000 "
+            "// (2 * (SELECT n FROM tot) * n) AS BIGINT) AS tv_ppm FROM agg) "
+            "SELECT p AS o_orderpriority, b AS qi_bucket, n, tv_ppm, "
+            "CAST(CASE WHEN tv_ppm <= 150000 THEN 1 ELSE 0 END AS BIGINT) AS close "
+            "FROM fin"
         ),
         "q_cusum": (
             "WITH b AS (SELECT event_id, user_id, ts, "

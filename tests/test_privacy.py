@@ -118,3 +118,56 @@ def test_ldiv_dataset_parity(ray_session, people):
         ((r["seg"] or "~"), r["bucket"], r["n"], r["n_sensitive"], r["diverse"])
         for r in t.to_pylist())
     assert key(got) == key(want)
+
+
+def test_t_closeness(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.privacy import t_closeness
+
+    rng = np.random.default_rng(9)
+    n = 2500
+    t = pa.table({
+        "qi": pa.array([f"q{v}" for v in rng.integers(0, 9, n)]),
+        "s": pa.array([None if rng.random() < 0.07 else f"s{v}"
+                       for v in rng.integers(0, 5, n)]),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = {r[0]: r[1:] for r in con.sql("""
+        WITH base AS (SELECT qi, s FROM t WHERE s IS NOT NULL),
+        cells AS (SELECT qi, s, count(*)::BIGINT AS ngc FROM base GROUP BY qi, s),
+        gm AS (SELECT qi, SUM(ngc)::BIGINT AS ng FROM cells GROUP BY qi),
+        cm AS (SELECT s, SUM(ngc)::BIGINT AS nc FROM cells GROUP BY s),
+        tot AS (SELECT SUM(ngc)::BIGINT AS n FROM cells),
+        grid AS (SELECT gm.qi, cm.s, gm.ng, cm.nc FROM gm CROSS JOIN cm),
+        j AS (SELECT grid.qi, grid.ng, grid.nc, COALESCE(cells.ngc, 0) AS ngc
+              FROM grid LEFT JOIN cells ON grid.qi = cells.qi AND grid.s = cells.s),
+        agg AS (SELECT qi, MAX(ng) AS n,
+                SUM(ABS(ngc * (SELECT n FROM tot) - nc * ng)) AS num FROM j GROUP BY qi)
+        SELECT qi, n, CAST(CAST(num AS HUGEINT) * 1000000
+               // (2 * (SELECT n FROM tot) * n) AS BIGINT) AS tv_ppm FROM agg
+    """).fetchall()}
+    # Table path
+    out = t_closeness(t, "qi", "s", t_ppm=120_000)
+    for r in out.to_pylist():
+        assert want[r["qi"]] == (r["n"], r["tv_ppm"])
+        assert r["close"] == int(r["tv_ppm"] <= 120_000)
+    # Dataset path
+    rows = t_closeness(ray.data.from_arrow(t).repartition(4), "qi", "s",
+                       t_ppm=120_000).take_all()
+    assert len(rows) == 9
+    for r in rows:
+        assert want[r["qi"]] == (r["n"], r["tv_ppm"])
+    # uniform group == global distribution -> tv 0
+    u = pa.table({"qi": ["a"] * 4 + ["b"] * 4, "s": ["x", "y"] * 4})
+    ou = t_closeness(u, "qi", "s", t_ppm=0)
+    assert ou.column("tv_ppm").to_pylist() == [0, 0]
+    assert ou.column("close").to_pylist() == [1, 1]
+    # category budget raise
+    import pytest
+    with pytest.raises(ValueError, match="categories"):
+        t_closeness(t, "qi", "s", t_ppm=0, max_categories=2)

@@ -6593,6 +6593,34 @@ def _q_tclose(sf_dir):
                        "o_orderstatus", t_ppm=150_000)
 
 
+def _q_link_pred(sf_dir):
+    """Common-neighbor link prediction (``graph.link_prediction``): exact
+    common-neighbor counts, degrees, neighbor-set Jaccard ppm and is_edge
+    flag for every node pair sharing >= 3 neighbors, over a deterministic
+    sparse bipartite graph from lineitem. All-integer columns; canonical
+    two-hop wedge join plan (auto-salted), one pair groupby fold."""
+    from kamae_ray.pipelines.graph import link_prediction
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(
+            pc.cast(batch.column("l_orderkey"), pa.int64(), safe=False),
+            pc.multiply(pc.divide(pc.cast(batch.column("l_orderkey"),
+                                          pa.int64(), safe=False), 40), 40)))
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(pk % 300, pa.int64()),
+            "dst": pa.array(5000 + sk % 150, pa.int64()),
+        })
+
+    edges.__name__ = "derive_link_edges"
+    e = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+    return link_prediction(e, min_common=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- r5 driver window: 3 anchors + previously-red (q_linear_score/
@@ -6736,6 +6764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_er_cluster": _q_er_cluster,
         "q_rolling_distinct": _q_rolling_distinct,
         "q_tclose": _q_tclose,
+        "q_link_pred": _q_link_pred,
         "q_cusum": _q_cusum,
         "q_clustering": _q_clustering,
         "q_km": _q_km,
@@ -8891,6 +8920,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p AS o_orderpriority, b AS qi_bucket, n, tv_ppm, "
             "CAST(CASE WHEN tv_ppm <= 150000 THEN 1 ELSE 0 END AS BIGINT) AS close "
             "FROM fin"
+        ),
+        # link prediction: common-neighbor counts + neighbor-set Jaccard
+        # over the derived sparse bipartite lineitem graph
+        "q_link_pred": (
+            "WITH e AS (SELECT DISTINCT CAST(l_partkey % 300 AS BIGINT) a, "
+            "CAST(5000 + l_suppkey % 150 AS BIGINT) b FROM lineitem "
+            "WHERE l_orderkey % 40 = 0), "
+            "und AS (SELECT a AS node, b AS nbr FROM e "
+            "UNION ALL SELECT b, a FROM e), "
+            "deg AS (SELECT node, count(*)::BIGINT AS deg FROM und "
+            "GROUP BY node), "
+            "w AS (SELECT l.node AS u, r.node AS v, count(*)::BIGINT AS cn "
+            "FROM und l JOIN und r ON l.nbr = r.nbr AND l.node < r.node "
+            "GROUP BY 1, 2) "
+            "SELECT u, v, cn, du.deg AS deg_u, dv.deg AS deg_v, "
+            "cn * 1000000 // (du.deg + dv.deg - cn) AS jaccard_ppm, "
+            "CAST(CASE WHEN EXISTS(SELECT 1 FROM e WHERE e.a = u AND e.b = v) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS is_edge "
+            "FROM w JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v "
+            "WHERE cn >= 3"
         ),
         "q_cusum": (
             "WITH b AS (SELECT event_id, user_id, ts, "

@@ -138,3 +138,48 @@ def test_degree_assortativity_star_and_reference(ray_session):
     ref = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
     assert abs(out.column("assortativity")[0].as_py() - ref) < 1e-9
     assert out.column("n")[0].as_py() == 2 * len(es)
+
+
+def test_link_prediction(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.pipelines.graph import link_prediction
+
+    rng = np.random.default_rng(23)
+    m = 400
+    t = pa.table({
+        "src": pa.array(rng.integers(0, 30, m), pa.int64()),
+        "dst": pa.array(rng.integers(0, 30, m), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = {(r[0], r[1]): r[2:] for r in con.sql("""
+        WITH e AS (SELECT DISTINCT LEAST(src,dst) a, GREATEST(src,dst) b
+                   FROM t WHERE src <> dst),
+        und AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT node, count(*)::BIGINT AS deg FROM und GROUP BY node),
+        w AS (SELECT l.node AS u, r.node AS v, count(*)::BIGINT AS cn
+              FROM und l JOIN und r ON l.nbr = r.nbr AND l.node < r.node
+              GROUP BY 1, 2)
+        SELECT u, v, cn, du.deg, dv.deg,
+               cn * 1000000 // (du.deg + dv.deg - cn),
+               CAST(CASE WHEN EXISTS(SELECT 1 FROM e WHERE e.a = u AND e.b = v)
+                    THEN 1 ELSE 0 END AS BIGINT)
+        FROM w JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+        WHERE cn >= 2
+    """).fetchall()}
+    cols = ["cn", "deg_u", "deg_v", "jaccard_ppm", "is_edge"]
+    # Table path
+    out = link_prediction(t, min_common=2)
+    assert out.num_rows == len(want)
+    for r in out.to_pylist():
+        assert want[(r["u"], r["v"])] == tuple(r[c] for c in cols)
+    # Dataset path
+    rows = link_prediction(ray.data.from_arrow(t).repartition(4),
+                           min_common=2).take_all()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert want[(r["u"], r["v"])] == tuple(r[c] for c in cols)

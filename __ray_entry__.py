@@ -6621,6 +6621,31 @@ def _q_link_pred(sf_dir):
     return link_prediction(e, min_common=3)
 
 
+def _q_xi(sf_dir):
+    """Chatterjee rank correlation xi (``profile.chatterjee_xi_by_group``):
+    per supplier cohort, the tie-aware non-linear dependence of quantity on
+    extendedprice — exact int64 rank sums (num/den emitted for hash
+    certification); the single division is the only float step."""
+    from kamae_ray.stages.profile import chatterjee_xi_by_group
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_suppkey",
+                "l_extendedprice", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return batch.append_column("cohort", pa.array(sk % 25, pa.int64()))
+
+    prep.__name__ = "xi_cohort"
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = chatterjee_xi_by_group(ds, "cohort", "l_extendedprice",
+                                 "l_quantity",
+                                 tiebreak_cols=["l_orderkey", "l_linenumber"])
+    return out.map_batches(_rounder(["xi"]), batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- r5 driver window: 3 anchors + previously-red (q_linear_score/
@@ -6765,6 +6790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_distinct": _q_rolling_distinct,
         "q_tclose": _q_tclose,
         "q_link_pred": _q_link_pred,
+        "q_xi": _q_xi,
         "q_cusum": _q_cusum,
         "q_clustering": _q_clustering,
         "q_km": _q_km,
@@ -8940,6 +8966,28 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS BIGINT) AS is_edge "
             "FROM w JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v "
             "WHERE cn >= 3"
+        ),
+        # Chatterjee xi: tie-aware rank-correlation, exact int64 sums,
+        # single mirrored division
+        "q_xi": (
+            "WITH b AS (SELECT l_suppkey % 25 AS cohort, l_extendedprice AS x, "
+            "l_orderkey AS t1, l_linenumber AS t2, l_quantity AS y "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+            "AND l_quantity IS NOT NULL), "
+            "rk AS (SELECT cohort, x, t1, t2, "
+            "COUNT(*) OVER (PARTITION BY cohort) AS n, "
+            "COUNT(*) OVER (PARTITION BY cohort ORDER BY y "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r, "
+            "COUNT(*) OVER (PARTITION BY cohort ORDER BY y DESC "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l FROM b), "
+            "d AS (SELECT cohort, n, l, r, LEAD(r) OVER "
+            "(PARTITION BY cohort ORDER BY x, t1, t2) AS rn FROM rk), "
+            "agg AS (SELECT cohort, MAX(n)::BIGINT AS n, "
+            "COALESCE(SUM(ABS(rn - r)) FILTER (rn IS NOT NULL), 0)::BIGINT AS sd, "
+            "SUM(l * (n - l))::BIGINT AS sl FROM d GROUP BY cohort) "
+            "SELECT cohort, n, n * sd AS num, 2 * sl AS den, "
+            "CASE WHEN sl > 0 THEN ROUND(1 - CAST(n * sd AS DOUBLE) / (2 * sl), 6) "
+            "END AS xi FROM agg"
         ),
         "q_cusum": (
             "WITH b AS (SELECT event_id, user_id, ts, "

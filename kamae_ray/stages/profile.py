@@ -1934,3 +1934,102 @@ def cramers_v_oracle_sql(table: str, x_col: str, y_col: str,
         f"(CAST(n AS DOUBLE) * CAST(LEAST(rp - 1, cp - 1) AS DOUBLE))) "
         f"END, 6) AS v FROM w"
     )
+
+
+def chatterjee_xi_by_group(ds, group_col: str, x_col: str, y_col: str,
+                           tiebreak_cols=()):
+    """Per-group Chatterjee rank correlation xi(x -> y) (Chatterjee 2021's
+    non-linear dependence coefficient, ~0 for independence, ~1 when y is a
+    measurable function of x), the general tie-aware form: with rows
+    ordered by ``(x, tiebreaks)`` inside the group,
+
+        ``xi = 1 - n * sum_i |r_{i+1} - r_i| / (2 * sum_i l_i (n - l_i))``
+
+    where ``r_i = #{j: y_j <= y_i}`` and ``l_i = #{j: y_j >= y_i}``. Both
+    sums are exact int64 (the spearman_by_group lesson-24 family); the
+    only float step is the single division (+1 -) of integer-derived
+    doubles — bit-identical cross-engine. ``num`` / ``den`` are emitted
+    for hash-exact certification; xi is NULL when the denominator is 0
+    (constant y or n = 1). Null x/y pairs are dropped (SQL pair
+    semantics). Ties in x make xi order-dependent — pass unique
+    ``tiebreak_cols`` for a deterministic result (the SQL mirror's ORDER
+    BY). Raises when a group's n^3 leaves the float64-exact integer range.
+
+    Scale plan: ONE group sort-shuffle, two in-block lexsorts (y-rank
+    runs, x-order scan) — ranks need the whole group co-located."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    tiebreak_cols = list(tiebreak_cols)
+
+    def _num(block, col):
+        arr = A.as_array(block.column(col))
+        t = pa.int64() if pa.types.is_integer(arr.type) else pa.float64()
+        return pc.cast(arr, t, safe=False).to_numpy(zero_copy_only=False)
+
+    def fold(block: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(pc.is_valid(block.column(x_col)),
+                           pc.is_valid(block.column(y_col)))
+        block = block.filter(pc.fill_null(ok, False))
+        n = block.num_rows
+        if n == 0:
+            return pa.table({
+                group_col: block.column(group_col),
+                "n": pa.array([], pa.int64()),
+                "num": pa.array([], pa.int64()),
+                "den": pa.array([], pa.int64()),
+                "xi": pa.array([], pa.float64()),
+            })
+        gids = S.group_ids(block, [group_col])
+        g_order = np.argsort(gids, kind="stable")
+        starts, lens = S.segments(gids[g_order])
+        if float(lens.max()) ** 3 >= 2.0**53:
+            raise ValueError("chatterjee_xi_by_group: a group's n^3 leaves "
+                             "the float64-exact range — shard or sample")
+        ng = np.empty(n, np.int64)
+        ng[g_order] = np.repeat(lens.astype(np.int64), lens)
+        # r = max rank (count <=), minr -> l = n - minr + 1, over y runs
+        y = _num(block, y_col)
+        yo = np.lexsort((y, gids))
+        gs, vs = gids[yo], y[yo]
+        st, ln = S.segments(gs)
+        pos = (np.arange(n, dtype=np.int64) - np.repeat(st, ln)) + 1
+        new = np.concatenate([[True], (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])])
+        rst = np.nonzero(new)[0]
+        rln = np.diff(np.concatenate([rst, [n]]))
+        rend = rst + rln - 1
+        r = np.empty(n, np.int64)
+        r[yo] = np.repeat(pos[rend], rln)
+        minr = np.empty(n, np.int64)
+        minr[yo] = np.repeat(pos[rst], rln)
+        l = ng - minr + 1
+        # scan in (group, x, tiebreaks) order
+        keys = [_num(block, c) if not pa.types.is_string(
+                    A.as_array(block.column(c)).type)
+                else A.as_array(block.column(c)).to_numpy(zero_copy_only=False)
+                for c in tiebreak_cols]
+        xo = np.lexsort(tuple(reversed(keys)) + (_num(block, x_col), gids))
+        gx, rx = gids[xo], r[xo]
+        d = np.abs(np.diff(rx))
+        d[gx[1:] != gx[:-1]] = 0
+        dpad = np.concatenate([[0], d])
+        dpad[starts] = 0
+        sd = np.add.reduceat(dpad, starts).astype(np.int64)
+        lg = l[g_order]
+        sl = np.add.reduceat(lg * (ng[g_order] - lg), starts).astype(np.int64)
+        nseg = lens.astype(np.int64)
+        num = nseg * sd
+        den = 2 * sl
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xi = 1.0 - num.astype(np.float64) / np.where(den == 0, 1.0,
+                                                         den.astype(np.float64))
+        firsts = g_order[starts]
+        return pa.table({
+            group_col: A.as_array(block.column(group_col)).take(pa.array(firsts)),
+            "n": pa.array(nseg),
+            "num": pa.array(num), "den": pa.array(den),
+            "xi": pa.array(xi, pa.float64(), mask=den == 0),
+        })
+
+    if isinstance(ds, pa.Table):
+        return fold(ds)
+    return sorted_block_apply(ds, [group_col], fold, "chatterjee_fold")

@@ -115,3 +115,67 @@ def test_cramers_dataset_parity(ray_session, anova_data):
     want = cramers_v(anova_data, "c", "g", ["x", "y", "z", "w"],
                      list(range(30)))
     assert got.to_pylist() == want.to_pylist()
+
+
+def test_chatterjee_xi_by_group(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kamae_ray.stages.profile import chatterjee_xi_by_group
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    g = rng.integers(0, 6, n)
+    x = np.round(rng.standard_normal(n), 2)
+    y = np.where(g % 2 == 0, np.round(x * x, 1),
+                 np.round(rng.standard_normal(n), 1))
+    t = pa.table({
+        "g": pa.array(g, pa.int64()),
+        "x": pa.array(np.where(rng.random(n) < 0.03, np.nan, x)),
+        "y": y,
+        "tb": pa.array(rng.permutation(n), pa.int64()),
+    })
+    # nan -> null for SQL parity
+    import pyarrow.compute as pc
+    xa = pc.if_else(pc.is_nan(t.column("x").combine_chunks()), None,
+                    t.column("x").combine_chunks())
+    t = t.set_column(1, "x", xa)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = {r[0]: r[1:] for r in con.sql("""
+        WITH rk AS (SELECT g, x, tb,
+          COUNT(*) OVER (PARTITION BY g) AS n,
+          COUNT(*) OVER (PARTITION BY g ORDER BY y
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+          COUNT(*) OVER (PARTITION BY g ORDER BY y DESC
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+          FROM t WHERE x IS NOT NULL AND y IS NOT NULL),
+        d AS (SELECT g, n, l, r,
+              LEAD(r) OVER (PARTITION BY g ORDER BY x, tb) AS rn FROM rk),
+        agg AS (SELECT g, MAX(n)::BIGINT AS n,
+                COALESCE(SUM(ABS(rn - r)) FILTER (rn IS NOT NULL), 0)::BIGINT AS sd,
+                SUM(l * (n - l))::BIGINT AS sl FROM d GROUP BY g)
+        SELECT g, n, n * sd, 2 * sl,
+          CASE WHEN sl > 0 THEN 1 - CAST(n * sd AS DOUBLE) / (2 * sl) END
+        FROM agg
+    """).fetchall()}
+    cols = ["n", "num", "den", "xi"]
+    out = chatterjee_xi_by_group(t, "g", "x", "y", tiebreak_cols=["tb"])
+    assert {r["g"]: tuple(r[c] for c in cols)
+            for r in out.to_pylist()} == want  # bit-exact incl. xi
+    rows = chatterjee_xi_by_group(ray.data.from_arrow(t).repartition(4),
+                                  "g", "x", "y",
+                                  tiebreak_cols=["tb"]).take_all()
+    assert {r["g"]: tuple(r[c] for c in cols) for r in rows} == want
+    # functional y = f(x) with distinct x -> xi close to 1; constant y -> null
+    xs = np.linspace(0, 1, 400)
+    ft = pa.table({"g": pa.array([0] * 400 + [1] * 400, pa.int64()),
+                   "x": pa.array(np.concatenate([xs, xs])),
+                   "y": pa.array(np.concatenate([xs ** 2, np.zeros(400)])),
+                   "tb": pa.array(np.arange(800), pa.int64())})
+    fo = {r["g"]: r for r in
+          chatterjee_xi_by_group(ft, "g", "x", "y",
+                                 tiebreak_cols=["tb"]).to_pylist()}
+    assert fo[0]["xi"] > 0.95 and fo[1]["xi"] is None

@@ -5447,6 +5447,52 @@ def _q_editdist(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def _q_damerau(sf_dir):
+    """Element-wise FULL Damerau-Levenshtein (unrestricted transpositions,
+    Lowrance-Wagner — batch-vectorized alphabet-indexed DP, the (n,257)
+    last-occurrence table and full distance cube chunked to ~64 MB).
+    Oracle = DuckDB damerau_levenshtein() (byte-level parity, ASCII data)."""
+    from kamae_ray.stages import EditDistanceTransformer
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+    tf = EditDistanceTransformer(
+        input_cols=["p_name", "p_type"], output_col="d", mode="damerau"
+    )
+    out = tf.transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "d": pc.cast(batch.column("d"), pa.int64()),
+        })
+
+    finish.__name__ = "damerau_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def _q_hamming(sf_dir):
+    """Element-wise Hamming distance extended to unequal lengths (byte
+    mismatches over the common prefix + length difference; equals DuckDB
+    hamming() on equal lengths, which raises otherwise — the oracle
+    mirrors the extension with substr/least/abs)."""
+    from kamae_ray.stages import EditDistanceTransformer
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+    tf = EditDistanceTransformer(
+        input_cols=["p_brand", "p_type"], output_col="d", mode="hamming"
+    )
+    out = tf.transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "d": pc.cast(batch.column("d"), pa.int64()),
+        })
+
+    finish.__name__ = "hamming_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 def _q_llm_prep(sf_dir):
     """END-TO-END LLM corpus prep (``pipelines.llm_prep``): quality filter
     (length + stopword ratio) -> benchmark decontamination (3-gram overlap
@@ -6831,6 +6877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kmeans": _q_kmeans,
         "q_count_encode": _q_count_encode,
         "q_editdist": _q_editdist,
+        "q_damerau": _q_damerau,
+        "q_hamming": _q_hamming,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -7616,6 +7664,20 @@ def oracle_sql() -> dict[str, str]:
         "q_editdist": (
             "SELECT p_partkey, CAST(levenshtein(coalesce(p_name, ''), "
             "coalesce(p_type, '')) AS BIGINT) AS d FROM part"
+        ),
+        "q_damerau": (
+            "SELECT p_partkey, CAST(damerau_levenshtein(coalesce(p_name, ''), "
+            "coalesce(p_type, '')) AS BIGINT) AS d FROM part"
+        ),
+        "q_hamming": (
+            "SELECT p_partkey, CAST(CASE WHEN least(length(coalesce(p_brand, '')), "
+            "length(coalesce(p_type, ''))) = 0 "
+            "THEN abs(length(coalesce(p_brand, '')) - length(coalesce(p_type, ''))) "
+            "ELSE hamming(substr(coalesce(p_brand, ''), 1, least(length(coalesce(p_brand, '')), "
+            "length(coalesce(p_type, '')))), substr(coalesce(p_type, ''), 1, "
+            "least(length(coalesce(p_brand, '')), length(coalesce(p_type, ''))))) "
+            "+ abs(length(coalesce(p_brand, '')) - length(coalesce(p_type, ''))) END "
+            "AS BIGINT) AS d FROM part"
         ),
         "q_cooccur": (
             "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n "

@@ -89,6 +89,86 @@ def levenshtein_matrix(a, b, max_len: int = 128) -> np.ndarray:
     return ans
 
 
+def damerau_pairwise(a, b, max_len: int = 64) -> np.ndarray:
+    """Element-wise int32 FULL Damerau-Levenshtein distance (unrestricted
+    transpositions, Lowrance-Wagner — DuckDB ``damerau_levenshtein`` parity:
+    ``ca -> abc`` is 2, not OSA's 3; byte-level, ASCII == DuckDB). The
+    classic alphabet-indexed DP with the (i, j) cell loop scalar and every
+    cell update vectorized across pairs: the last-occurrence table ``da`` is
+    an (n, 257) matrix (byte+1; padding byte -1 maps to slot 0, which real
+    bytes never read), the full (n, La+2, Lb+2) distance cube is kept
+    because transposition lookups reach arbitrary earlier rows. Left side
+    chunked so the cube stays ~64 MB. Nulls count as empty strings."""
+    ac, alen = _encode(a, max_len)
+    bc, blen = _encode(b, max_len)
+    n = len(alen)
+    if len(blen) != n:
+        raise ValueError("damerau_pairwise needs equal-length arrays")
+    ans = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return ans
+    Lb_all = int(blen.max())
+    cube = max((int(alen.max()) + 2) * (Lb_all + 2), 1)
+    Nc = max(1, min(n, (16 << 20) // cube))
+    for lo in range(0, n, Nc):
+        hi = min(lo + Nc, n)
+        d = hi - lo
+        acs, alens = ac[lo:hi], alen[lo:hi]
+        bcs, blens = bc[lo:hi], blen[lo:hi]
+        La = int(alens.max())
+        Lb = int(blens.max())
+        maxd = np.int32(La + Lb + 1)
+        # D[:, x+1, y+1] = d[x][y]; row/col 0 is the "-1" border = maxdist
+        D = np.empty((d, La + 2, Lb + 2), dtype=np.int32)
+        D[:, 0, :] = maxd
+        D[:, :, 0] = maxd
+        D[:, 1, 1:] = np.arange(Lb + 1, dtype=np.int32)[None, :]
+        D[:, 1:, 1] = np.arange(La + 1, dtype=np.int32)[None, :]
+        da = np.zeros((d, 257), dtype=np.int32)
+        rows = np.arange(d, dtype=np.int64)
+        for i in range(1, La + 1):
+            ai = acs[:, i - 1]
+            db = np.zeros(d, dtype=np.int32)
+            for j in range(1, Lb + 1):
+                bj = bcs[:, j - 1]
+                k = da[rows, bj.astype(np.int64) + 1]
+                l = db
+                match = (ai == bj) & (ai >= 0)
+                cost = (~match).astype(np.int32)
+                cell = D[:, i, j] + cost
+                np.minimum(cell, D[:, i + 1, j] + 1, out=cell)
+                np.minimum(cell, D[:, i, j + 1] + 1, out=cell)
+                trans = D[rows, k, l] + (i - k - 1) + 1 + (j - l - 1)
+                np.minimum(cell, trans, out=cell)
+                D[:, i + 1, j + 1] = cell
+                db = np.where(match, np.int32(j), db)
+            da[rows, ai.astype(np.int64) + 1] = i
+        ans[lo:hi] = D[rows, alens + 1, blens + 1]
+    return ans
+
+
+def hamming_pairwise(a, b, max_len: int = 128) -> np.ndarray:
+    """Element-wise int32 byte mismatch count over the COMMON PREFIX plus
+    the length difference — equals DuckDB ``hamming`` (byte-level, ASCII ==
+    chars) when lengths match, and extends it totally to unequal lengths
+    (DuckDB raises there); oracle mirror:
+    ``CASE WHEN least(la, lb) = 0 THEN abs(la - lb) ELSE
+    hamming(substr(a, 1, least(la, lb)), substr(b, 1, least(la, lb)))
+    + abs(la - lb) END``. Nulls count as empty strings."""
+    ac, alen = _encode(a, max_len)
+    bc, blen = _encode(b, max_len)
+    n = len(alen)
+    if len(blen) != n:
+        raise ValueError("hamming_pairwise needs equal-length arrays")
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    L = min(ac.shape[1], bc.shape[1])
+    common = np.minimum(alen, blen)
+    valid = np.arange(L, dtype=np.int64)[None, :] < common[:, None]
+    mism = ((ac[:, :L] != bc[:, :L]) & valid).sum(axis=1)
+    return (mism + np.abs(alen - blen)).astype(np.int32)
+
+
 def levenshtein_pairwise(a, b, max_len: int = 128) -> np.ndarray:
     """Element-wise int32 Levenshtein distance of two equal-length string
     arrays (row i of ``a`` vs row i of ``b``) — same byte-level DP as

@@ -381,25 +381,41 @@ class StringArrayConstantTransformer(Transformer):
 
 
 class EditDistanceTransformer(MultiInputTransformer):
-    """Element-wise Levenshtein distance of two string columns (int32) —
-    SQL ``levenshtein(a, b)`` (byte-level; identical for ASCII). Nulls count
-    as empty strings. Vectorized Wagner-Fischer across the whole batch
-    (functions/editdist.levenshtein_pairwise): O(La*Lb) numpy passes, never
-    per-row Python. No reference analog (kamae has no two-column string
-    similarity); the fuzzy_join kernel exposed as a transformer."""
+    """Element-wise string distance of two string columns (int32), three
+    modes, all byte-level (identical to DuckDB for ASCII), nulls as empty
+    strings, every mode a batch-vectorized DP with no per-row Python
+    (functions/editdist):
+
+    - ``"levenshtein"`` — SQL ``levenshtein(a, b)`` (Wagner-Fischer).
+    - ``"damerau"`` — SQL ``damerau_levenshtein(a, b)``: FULL unrestricted
+      transpositions (Lowrance-Wagner), not OSA.
+    - ``"hamming"`` — byte mismatches over the common prefix plus the
+      length difference; equals SQL ``hamming(a, b)`` on equal lengths and
+      extends it totally (DuckDB raises on unequal lengths).
+
+    No reference analog (kamae has no two-column string similarity); the
+    fuzzy_join kernel family exposed as a transformer."""
 
     compatible_dtypes = _STR
 
-    def __init__(self, *args, max_len: int = 128, **kwargs):
+    def __init__(self, *args, max_len: int = 128, mode: str = "levenshtein", **kwargs):
         super().__init__(*args, **kwargs)
         if self.input_cols is None or len(self.input_cols) != 2:
             raise ValueError("EditDistanceTransformer needs exactly two input_cols")
+        if mode not in ("levenshtein", "damerau", "hamming"):
+            raise ValueError(f"unknown edit-distance mode {mode!r}")
         self.max_len = int(max_len)
+        self.mode = mode
 
     def _fold(self, flats):
-        from kamae_ray.functions.editdist import levenshtein_pairwise
+        from kamae_ray.functions import editdist
 
-        return pa.array(levenshtein_pairwise(flats[0], flats[1], self.max_len), pa.int32())
+        fn = {
+            "levenshtein": editdist.levenshtein_pairwise,
+            "damerau": editdist.damerau_pairwise,
+            "hamming": editdist.hamming_pairwise,
+        }[self.mode]
+        return pa.array(fn(flats[0], flats[1], self.max_len), pa.int32())
 
 
 class JsonExtractTransformer(Transformer):

@@ -139,3 +139,48 @@ def test_edit_distance_transformer_vs_duckdb(ray_session):
     assert got.column("d").to_pylist() == want.column("d").to_pylist()
     with pytest.raises(ValueError):
         EditDistanceTransformer(input_cols=["a"], output_col="d")
+
+
+def test_edit_distance_damerau_and_hamming_vs_duckdb():
+    import random
+    import string as _string
+
+    import duckdb
+
+    from kamae_ray.stages import EditDistanceTransformer
+
+    rng = random.Random(11)
+    alph = _string.ascii_lowercase[:6] + "é"
+    a = ["".join(rng.choices(alph, k=rng.randint(0, 10))) for _ in range(500)]
+    b = ["".join(rng.choices(alph, k=rng.randint(0, 10))) for _ in range(500)]
+    a[0], b[0] = "ca", "abc"  # full-DL witness: 2 (OSA would say 3)
+    a[3] = None
+    t = pa.table({"i": pa.array(range(500), pa.int64()),
+                  "a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())})
+    dam = EditDistanceTransformer(input_cols=["a", "b"], output_col="d", mode="damerau")
+    got = dam.transform_batch(t).column("d").to_pylist()
+    ora = duckdb.sql(
+        "SELECT damerau_levenshtein(coalesce(a,''), coalesce(b,'')) d FROM t ORDER BY i"
+    ).df()["d"].astype(int).tolist()
+    assert got == ora
+    assert got[0] == 2
+
+    # hamming: ASCII-only (DuckDB length/substr are char-based; engine is bytes)
+    a2 = ["".join(rng.choices(_string.ascii_lowercase, k=rng.randint(0, 8))) for _ in range(500)]
+    b2 = ["".join(rng.choices(_string.ascii_lowercase, k=rng.randint(0, 8))) for _ in range(500)]
+    b2[7] = None
+    t2 = pa.table({"i": pa.array(range(500), pa.int64()),
+                   "a": pa.array(a2, pa.string()), "b": pa.array(b2, pa.string())})
+    ham = EditDistanceTransformer(input_cols=["a", "b"], output_col="d", mode="hamming")
+    got2 = ham.transform_batch(t2).column("d").to_pylist()
+    ora2 = duckdb.sql(
+        "SELECT CASE WHEN least(length(coalesce(a,'')), length(coalesce(b,''))) = 0 "
+        "THEN abs(length(coalesce(a,'')) - length(coalesce(b,''))) "
+        "ELSE hamming(substr(coalesce(a,''), 1, least(length(coalesce(a,'')), length(coalesce(b,'')))), "
+        "substr(coalesce(b,''), 1, least(length(coalesce(a,'')), length(coalesce(b,''))))) "
+        "+ abs(length(coalesce(a,'')) - length(coalesce(b,''))) END d FROM t2 ORDER BY i"
+    ).df()["d"].astype(int).tolist()
+    assert got2 == ora2
+
+    with pytest.raises(ValueError):
+        EditDistanceTransformer(input_cols=["a", "b"], output_col="d", mode="jaro")

@@ -5493,6 +5493,30 @@ def _q_hamming(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def _q_charset_jaccard(sf_dir):
+    """Element-wise distinct-byte-set Jaccard in exact integer ppm (one
+    (n,256) presence-matrix scatter + popcounts per batch; floor division —
+    no float ratio on either engine). Oracle mirrors with
+    list_intersect/list_distinct over regexp_split_to_array, empty cases
+    CASEd out (DuckDB splits '' into a phantom [''])."""
+    from kamae_ray.stages import EditDistanceTransformer
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+    tf = EditDistanceTransformer(
+        input_cols=["p_name", "p_type"], output_col="sim_ppm", mode="charset_jaccard"
+    )
+    out = tf.transform(ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "sim_ppm": pc.cast(batch.column("sim_ppm"), pa.int64()),
+        })
+
+    finish.__name__ = "charset_jaccard_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 def _q_llm_prep(sf_dir):
     """END-TO-END LLM corpus prep (``pipelines.llm_prep``): quality filter
     (length + stopword ratio) -> benchmark decontamination (3-gram overlap
@@ -6879,6 +6903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_editdist": _q_editdist,
         "q_damerau": _q_damerau,
         "q_hamming": _q_hamming,
+        "q_charset_jaccard": _q_charset_jaccard,
         "q_semi": _q_semi,
         "q_anti": _q_anti,
         "q_explode": _q_explode,
@@ -7678,6 +7703,18 @@ def oracle_sql() -> dict[str, str]:
             "least(length(coalesce(p_brand, '')), length(coalesce(p_type, ''))))) "
             "+ abs(length(coalesce(p_brand, '')) - length(coalesce(p_type, ''))) END "
             "AS BIGINT) AS d FROM part"
+        ),
+        "q_charset_jaccard": (
+            "WITH s AS (SELECT p_partkey, "
+            "list_distinct(regexp_split_to_array(coalesce(p_name, ''), '')) AS da, "
+            "list_distinct(regexp_split_to_array(coalesce(p_type, ''), '')) AS db, "
+            "length(coalesce(p_name, '')) AS la, length(coalesce(p_type, '')) AS lb "
+            "FROM part) "
+            "SELECT p_partkey, CAST(CASE WHEN la = 0 AND lb = 0 THEN 1000000 "
+            "WHEN la = 0 OR lb = 0 THEN 0 "
+            "ELSE (1000000 * len(list_intersect(da, db))) // "
+            "(len(da) + len(db) - len(list_intersect(da, db))) END AS BIGINT) AS sim_ppm "
+            "FROM s"
         ),
         "q_cooccur": (
             "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n "

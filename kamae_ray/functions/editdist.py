@@ -169,6 +169,42 @@ def hamming_pairwise(a, b, max_len: int = 128) -> np.ndarray:
     return (mism + np.abs(alen - blen)).astype(np.int32)
 
 
+def charset_jaccard_ppm_pairwise(a, b, max_len: int = 128) -> np.ndarray:
+    """Element-wise Jaccard similarity of the DISTINCT BYTE SETS of two
+    strings, in exact integer parts-per-million: ``(1e6 * |A ∩ B|) //
+    |A ∪ B|`` (floor). Both empty -> 1_000_000; one empty -> 0. Byte-level
+    (ASCII == DuckDB codepoints); the SQL mirror is
+    ``1000000 * len(list_intersect(list_distinct(regexp_split_to_array(a,
+    '')), ...)) // (len(dA) + len(dB) - inter)`` with the empty cases CASEd
+    out (DuckDB splits '' to a phantom ['']). Presence matrices are (n, 256)
+    bools filled by one fancy-index scatter — no per-row Python. Nulls count
+    as empty strings."""
+    ac, alen = _encode(a, max_len)
+    bc, blen = _encode(b, max_len)
+    n = len(alen)
+    if len(blen) != n:
+        raise ValueError("charset_jaccard_ppm_pairwise needs equal-length arrays")
+    out = np.zeros(n, dtype=np.int32)
+    Nc = 1 << 16  # (Nc, 256) bool x2 = 32 MB scratch
+    for lo in range(0, n, Nc):
+        hi = min(lo + Nc, n)
+        d = hi - lo
+        pa_ = np.zeros((d, 256), dtype=bool)
+        pb_ = np.zeros((d, 256), dtype=bool)
+        ma = ac[lo:hi] >= 0
+        mb = bc[lo:hi] >= 0
+        pa_[np.nonzero(ma)[0], ac[lo:hi][ma]] = True
+        pb_[np.nonzero(mb)[0], bc[lo:hi][mb]] = True
+        inter = (pa_ & pb_).sum(axis=1).astype(np.int64)
+        union = (pa_ | pb_).sum(axis=1).astype(np.int64)
+        ppm = np.zeros(d, dtype=np.int64)
+        nz = union > 0
+        ppm[nz] = (1_000_000 * inter[nz]) // union[nz]
+        ppm[~nz] = 1_000_000  # both empty: identical
+        out[lo:hi] = ppm.astype(np.int32)
+    return out
+
+
 def levenshtein_pairwise(a, b, max_len: int = 128) -> np.ndarray:
     """Element-wise int32 Levenshtein distance of two equal-length string
     arrays (row i of ``a`` vs row i of ``b``) — same byte-level DP as

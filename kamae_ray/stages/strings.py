@@ -392,6 +392,9 @@ class EditDistanceTransformer(MultiInputTransformer):
     - ``"hamming"`` — byte mismatches over the common prefix plus the
       length difference; equals SQL ``hamming(a, b)`` on equal lengths and
       extends it totally (DuckDB raises on unequal lengths).
+    - ``"charset_jaccard"`` — exact integer ppm Jaccard of the distinct
+      byte sets (both empty -> 1e6); SQL mirror via
+      list_intersect/list_distinct over regexp_split_to_array.
 
     No reference analog (kamae has no two-column string similarity); the
     fuzzy_join kernel family exposed as a transformer."""
@@ -402,7 +405,7 @@ class EditDistanceTransformer(MultiInputTransformer):
         super().__init__(*args, **kwargs)
         if self.input_cols is None or len(self.input_cols) != 2:
             raise ValueError("EditDistanceTransformer needs exactly two input_cols")
-        if mode not in ("levenshtein", "damerau", "hamming"):
+        if mode not in ("levenshtein", "damerau", "hamming", "charset_jaccard"):
             raise ValueError(f"unknown edit-distance mode {mode!r}")
         self.max_len = int(max_len)
         self.mode = mode
@@ -414,6 +417,7 @@ class EditDistanceTransformer(MultiInputTransformer):
             "levenshtein": editdist.levenshtein_pairwise,
             "damerau": editdist.damerau_pairwise,
             "hamming": editdist.hamming_pairwise,
+            "charset_jaccard": editdist.charset_jaccard_ppm_pairwise,
         }[self.mode]
         return pa.array(fn(flats[0], flats[1], self.max_len), pa.int32())
 

@@ -184,3 +184,33 @@ def test_edit_distance_damerau_and_hamming_vs_duckdb():
 
     with pytest.raises(ValueError):
         EditDistanceTransformer(input_cols=["a", "b"], output_col="d", mode="jaro")
+
+
+def test_charset_jaccard_mode_vs_duckdb():
+    import random
+    import string as _string
+
+    import duckdb
+
+    from kamae_ray.stages import EditDistanceTransformer
+
+    rng = random.Random(23)
+    a = ["".join(rng.choices(_string.ascii_lowercase[:9] + " #", k=rng.randint(0, 10))) for _ in range(600)]
+    b = ["".join(rng.choices(_string.ascii_lowercase[:9] + " #", k=rng.randint(0, 10))) for _ in range(600)]
+    a[0] = b[0] = ""
+    a[1] = ""
+    b[2] = None
+    t = pa.table({"i": pa.array(range(600), pa.int64()),
+                  "a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())})
+    tf = EditDistanceTransformer(input_cols=["a", "b"], output_col="d", mode="charset_jaccard")
+    got = tf.transform_batch(t).column("d").to_pylist()
+    ora = duckdb.sql(
+        "WITH s AS (SELECT i, list_distinct(regexp_split_to_array(coalesce(a,''), '')) da, "
+        "list_distinct(regexp_split_to_array(coalesce(b,''), '')) db, "
+        "length(coalesce(a,'')) la, length(coalesce(b,'')) lb FROM t) "
+        "SELECT CASE WHEN la = 0 AND lb = 0 THEN 1000000 WHEN la = 0 OR lb = 0 THEN 0 "
+        "ELSE (1000000 * len(list_intersect(da, db))) // "
+        "(len(da) + len(db) - len(list_intersect(da, db))) END d FROM s ORDER BY i"
+    ).df()["d"].astype(int).tolist()
+    assert got == ora
+    assert got[0] == 1000000 and got[1] == 0

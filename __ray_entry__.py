@@ -6185,6 +6185,39 @@ def _q_word_chunks(sf_dir):
     return chunk_documents(ds, "doc_id", "text", chunk_words=64, overlap=16)
 
 
+def _mutual_nn_oracle() -> str:
+    from kamae_ray.pipelines.ann import mutual_nn_oracle_sql
+
+    return mutual_nn_oracle_sql("embeddings", "vec_id", "embedding",
+                                "t.vec_id % 2 = 0", "t.vec_id % 2 = 1")
+
+
+def _q_mutual_nn(sf_dir):
+    """Mutual nearest-neighbor pairs between the even- and odd-id halves of
+    the embeddings table (``mutual_nn``): EXACT integer squared-L2 on the
+    floor-quantized grid (kmeans/PQ fixed-point family — argmin is
+    deterministic on both engines), smallest-id tie-break both directions.
+    b side broadcast once; a side streams ONE pass emitting both
+    directions' evidence; b-winners resolve via two small groupbys; mutual
+    filter is a broadcast join. Oracle = generated CROSS JOIN row_number
+    SQL over the same quantized integers."""
+    from kamae_ray.pipelines.ann import mutual_nn
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def half(want):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id")
+            keep = pc.equal(pc.bit_wise_and(ids, 1), want)
+            return t.filter(keep)
+        f.__name__ = f"mutual_half{want}"
+        return f
+
+    a = ds.map_batches(half(0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    b = ds.map_batches(half(1), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return mutual_nn(a, b, "vec_id", "embedding")
+
+
 def _q_knn(sf_dir):
     """Exact cosine kNN graph (``knn_graph``): every vector's 5 nearest
     others — the semantic-dedup graph primitive. Corpus matrix broadcast
@@ -6737,6 +6770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scd2": _q_scd2,
         "q_json": _q_json,
         "q_knn": _q_knn,
+        "q_mutual_nn": _q_mutual_nn,
         "q_word_chunks": _q_word_chunks,
         "q_countmin": _q_countmin,
         "q_chi2": _q_chi2,
@@ -8677,6 +8711,7 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(w[ci*48+1 : LEAST(ci*48+64, nw)], ' ') AS chunk_text, "
             "LEAST(64, nw - ci*48) AS n_chunk_words FROM c"
         ),
+        "q_mutual_nn": _mutual_nn_oracle(),
         "q_knn": (
             "WITH scored AS (SELECT a.vec_id AS src, b.vec_id AS nbr, "
             "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs "

@@ -1129,3 +1129,220 @@ def ann_recall(ds, queries: np.ndarray, emb_col: str, id_col: str,
     return pa.table({"query_idx": pa.array(out_q, pa.int64()),
                      "hits": pa.array(hits_l, pa.int64()),
                      "recall_k": pa.array(rec_l, pa.float64())})
+
+
+class _MutualNNPartial:
+    """One a-side pass against the broadcast b-side, emitting BOTH
+    directions' evidence per block in one output table (``dir`` 0 = this
+    block's a-winners; ``dir`` 1 = per-b partial minima over this block's a
+    rows), so the reverse direction costs no second corpus pass. Distances
+    are EXACT integer squared-L2 on the floor-quantized grid (values stay
+    int-valued float64 < 2^53 end-to-end, so the tiled matmul is exact; the
+    int64 cast at the end is lossless). b rows arrive sorted by id, so
+    ``argmin`` (first minimum) IS the smallest-id tie-break for direction
+    a->b; direction b->a tie-breaks with an explicit where-min over the a
+    ids of tied cells."""
+
+    def __init__(self, side_ref, id_col: str, vec_col: str, scale: float):
+        self.side_ref = side_ref
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.scale = scale
+        self._side = None
+        self.__name__ = "mutual_nn_partial"
+
+    def _get_side(self):
+        if self._side is None:
+            ref = self.side_ref
+            if isinstance(ref, tuple):
+                self._side = ref
+            else:
+                import ray
+
+                self._side = ray.get(ref)
+        return self._side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b_ids, qb, nb = self._get_side()
+        a_ids = A.as_array(batch.column(self.id_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m, _ = A.matrix_view(batch.column(self.vec_col))
+        qa = np.floor(m.astype(np.float64) * self.scale)
+        na = (qa * qa).sum(axis=1)
+        n, n_b = len(a_ids), len(b_ids)
+        if n == 0 or n_b == 0:
+            return pa.table({"dir": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64()),
+                             "cand": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        # tile a rows so the (tile, n_b) distance matrix stays ~32 MB
+        tile = max(1, (4 << 20) // max(n_b, 1))
+        a_nn = np.empty(n, dtype=np.int64)
+        a_nd = np.empty(n, dtype=np.float64)
+        b_nd = np.full(n_b, np.inf)
+        b_na = np.full(n_b, np.iinfo(np.int64).max, dtype=np.int64)
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            dist = na[lo:hi, None] + nb[None, :] - 2.0 * (qa[lo:hi] @ qb.T)
+            j = dist.argmin(axis=1)
+            a_nn[lo:hi] = b_ids[j]
+            a_nd[lo:hi] = dist[np.arange(hi - lo), j]
+            dmin = dist.min(axis=0)
+            ties = np.where(dist == dmin[None, :],
+                            a_ids[lo:hi, None],
+                            np.iinfo(np.int64).max).min(axis=0)
+            better = dmin < b_nd
+            equal = (dmin == b_nd) & (ties < b_na)
+            upd = better | equal
+            b_nd[upd] = dmin[upd]
+            b_na[upd] = ties[upd]
+        out_dir = np.concatenate([np.zeros(n, np.int64), np.ones(n_b, np.int64)])
+        out_id = np.concatenate([a_ids, b_ids])
+        out_cand = np.concatenate([a_nn, b_na])
+        out_dist = np.concatenate([a_nd, b_nd]).astype(np.int64)
+        return pa.table({"dir": pa.array(out_dir, pa.int64()),
+                         "id": pa.array(out_id, pa.int64()),
+                         "cand": pa.array(out_cand, pa.int64()),
+                         "dist": pa.array(out_dist, pa.int64())})
+
+
+def _mutual_side(tbl: pa.Table, id_col: str, vec_col: str, scale: float):
+    ids = A.as_array(tbl.column(id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+    m, _ = A.matrix_view(tbl.column(vec_col))
+    q = np.floor(m.astype(np.float64) * scale)
+    order = np.argsort(ids, kind="stable")
+    ids, q = ids[order], q[order]
+    return ids, q, (q * q).sum(axis=1)
+
+
+def mutual_nn(ds_a, ds_b, id_col: str, vec_col: str, scale_bits: int = 20,
+              max_broadcast_rows: int = 2_000_000):
+    """Mutual nearest-neighbor pairs between two embedding sets — the
+    classic alignment/entity-matching primitive (bitext mining, catalog
+    matching): emit (id_a, id_b, dist) where b is a's nearest neighbor AND
+    a is b's nearest neighbor. Distances are EXACT integer squared-L2 over
+    floor-quantized coordinates (``floor(v * 2^scale_bits)``), so the
+    argmin is deterministic on both engines — no float-accumulation-order
+    risk (the kmeans/PQ fixed-point family); ties break to the smallest
+    candidate id on both sides.
+
+    Scale plan: the b side is collected ONCE under ``max_broadcast_rows``
+    and broadcast (``ray.put``); the a side streams through ONE map that
+    emits its a-winners plus per-b partial minima (no second corpus pass),
+    the b-direction resolves with two small groupbys over
+    O(blocks * n_b) partial rows, and the mutual join is a broadcast
+    semi-join against the O(n_b) b-winner table. Nothing materializes the
+    a side on the driver. Above the budget: raise (partition both sides
+    with ivf_build and run per-probed-cell, the documented scale path)."""
+    scale = float(1 << scale_bits)
+    if isinstance(ds_a, pa.Table) and isinstance(ds_b, pa.Table):
+        side = _mutual_side(ds_b, id_col, vec_col, scale)
+        mixed = _MutualNNPartial(side, id_col, vec_col, scale)(ds_a)
+        import pyarrow.compute as pc
+
+        a2b = mixed.filter(pc.equal(mixed.column("dir"), 0))
+        bp = mixed.filter(pc.equal(mixed.column("dir"), 1))
+        # partials from the single table ARE the b-winners already
+        b_win = {int(i): (int(c), int(d)) for i, c, d in
+                 zip(bp.column("id").to_pylist(), bp.column("cand").to_pylist(),
+                     bp.column("dist").to_pylist())}
+        ids_a, ids_b, dists = [], [], []
+        for ia, ib, d in zip(a2b.column("id").to_pylist(),
+                             a2b.column("cand").to_pylist(),
+                             a2b.column("dist").to_pylist()):
+            w = b_win.get(int(ib))
+            if w is not None and w[0] == int(ia):
+                ids_a.append(int(ia)); ids_b.append(int(ib)); dists.append(int(d))
+        return pa.table({"id_a": pa.array(ids_a, pa.int64()),
+                         "id_b": pa.array(ids_b, pa.int64()),
+                         "dist": pa.array(dists, pa.int64())})
+
+    import pyarrow.compute as pc
+    import ray
+
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.join import broadcast_join
+
+    proj_b = ds_b.select_columns([id_col, vec_col])
+    try:
+        n_b = ds_b._logical_plan.dag.infer_metadata().num_rows
+    except Exception:
+        n_b = None
+    if n_b is None:
+        n_b = proj_b.count()
+    if n_b > max_broadcast_rows:
+        raise ValueError(
+            f"mutual_nn: b side {n_b} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; partition both sides with ivf_build and "
+            "run per probed cell at this scale")
+    b_tbl = pa.concat_tables(collect_tables(proj_b)).combine_chunks()
+    side_ref = ray.put(_mutual_side(b_tbl, id_col, vec_col, scale))
+    mixed = ds_a.map_batches(
+        _MutualNNPartial(side_ref, id_col, vec_col, scale),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ).materialize()  # consumed twice (lesson 14)
+
+    def keep_dir(want):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("dir"), want))
+            return t.drop_columns(["dir"])
+        f.__name__ = f"mutual_dir{want}"
+        return f
+
+    a2b = mixed.map_batches(keep_dir(0), batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    bp = mixed.map_batches(keep_dir(1), batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    # resolve b-winners: min dist per b, then min cand among min-dist rows;
+    # int-valued float64 through the agg is exact (dist < 2^53)
+    m1 = groupby_agg(bp, "id", {"dist": ["min"]})
+    m1_tbl = pa.concat_tables(collect_tables(m1)).combine_chunks()
+    m1_tbl = pa.table({
+        "id": pc.cast(m1_tbl.column("id"), pa.int64(), safe=False),
+        "dist": pc.cast(m1_tbl.column("dist_min"), pa.int64(), safe=False)})
+    best = broadcast_join(bp, m1_tbl, on=["id", "dist"], how="semi")
+    m2 = groupby_agg(best, "id", {"cand": ["min"], "dist": ["min"]})
+    m2_tbl = pa.concat_tables(collect_tables(m2)).combine_chunks()
+    b_win = pa.table({
+        "cand": pc.cast(m2_tbl.column("id"), pa.int64(), safe=False),
+        "__kr_bwin_a": pc.cast(m2_tbl.column("cand_min"), pa.int64(), safe=False)})
+    # mutual: a2b row (id, cand) survives iff b_win[cand] == id
+    joined = broadcast_join(a2b, b_win, on="cand", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("id"), t.column("__kr_bwin_a")))
+        return pa.table({"id_a": t.column("id"), "id_b": t.column("cand"),
+                         "dist": t.column("dist")})
+
+    finish.__name__ = "mutual_nn_finish"
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+
+def mutual_nn_oracle_sql(table: str, id_col: str, vec_col: str,
+                         side_expr_a: str, side_expr_b: str,
+                         scale_bits: int = 20) -> str:
+    """DuckDB mirror of :func:`mutual_nn` over one source table split into
+    a/b sides by boolean expressions: the same floor-quantized integer
+    squared-L2 (list_sum over BIGINT is HUGEINT — cast back), row_number
+    tie-break (dist, candidate id) on both directions, mutual filter."""
+    scale = float(1 << scale_bits)
+    return (
+        f"WITH q AS (SELECT {id_col} AS id, "
+        f"list_transform({vec_col}::DOUBLE[], x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv "
+        f"FROM {table}), "
+        f"sa AS (SELECT q.* FROM q, {table} t WHERE q.id = t.{id_col} AND ({side_expr_a})), "
+        f"sb AS (SELECT q.* FROM q, {table} t WHERE q.id = t.{id_col} AND ({side_expr_b})), "
+        "d AS (SELECT sa.id AS ia, sb.id AS ib, "
+        "CAST(list_sum(list_transform(list_zip(sa.qv, sb.qv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist "
+        "FROM sa CROSS JOIN sb), "
+        "fa AS (SELECT ia, ib, dist, row_number() OVER (PARTITION BY ia "
+        "ORDER BY dist, ib) AS rn FROM d), "
+        "fb AS (SELECT ia, ib, dist, row_number() OVER (PARTITION BY ib "
+        "ORDER BY dist, ia) AS rn FROM d) "
+        "SELECT fa.ia AS id_a, fa.ib AS id_b, fa.dist AS dist "
+        "FROM fa JOIN fb ON fa.ia = fb.ia AND fa.ib = fb.ib "
+        "WHERE fa.rn = 1 AND fb.rn = 1"
+    )

@@ -1713,3 +1713,29 @@ def test_er_cluster(ray_session):
             "name": ["aa" + str(i) for i in range(4)],
         })
         er_cluster(big, "id", "name", max_group_distinct=2)
+
+
+def test_mutual_nn_dataset_matches_table_and_budget(ray_session):
+    import pyarrow.parquet as pq
+    import ray
+
+    from kamae_ray.pipelines.ann import mutual_nn
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    a_t = t.filter(pa.array(ids % 2 == 0))
+    b_t = t.filter(pa.array(ids % 2 == 1))
+    want = mutual_nn(a_t, b_t, "vec_id", "embedding").sort_by("id_a")
+    a_ds = ray.data.from_arrow(a_t).repartition(4)
+    b_ds = ray.data.from_arrow(b_t).repartition(3)
+    got = pa.concat_tables(
+        [pa.table(x) for x in mutual_nn(a_ds, b_ds, "vec_id", "embedding")
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by("id_a")
+    assert got.cast(want.schema).equals(want)
+    assert want.num_rows > 0
+    # mutual pairs are a partial matching: ids appear at most once per side
+    assert len(set(want.column("id_a").to_pylist())) == want.num_rows
+    assert len(set(want.column("id_b").to_pylist())) == want.num_rows
+    with pytest.raises(ValueError):
+        mutual_nn(a_ds, b_ds, "vec_id", "embedding", max_broadcast_rows=3)

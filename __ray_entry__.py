@@ -1972,6 +1972,28 @@ def _q_containment(sf_dir):
                              shingle_k=3)
 
 
+def _q_snm_pairs(sf_dir):
+    """Sorted-neighborhood ER blocking (Hernandez-Stolfo): candidate pairs
+    within a 4-row window of the global (acctbal cents, id) order. Rank =
+    bucketed global_cumsum of ones (driver state O(distinct values)); pair
+    assembly = one skew-free shuffle_join on the unique rank. Oracle =
+    row_number self-join on rank difference."""
+    from kamae_ray.pipelines.dedup import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"), 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"id": t.column("c_custkey"),
+                         "val": pc.add(cents, 100000)})
+
+    prep.__name__ = "snm_prep"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return sorted_neighborhood_pairs(keyed, "id", "val", window=4)
+
+
 def _q_er_cluster(sf_dir):
     """Entity-resolution clustering (``dedup.er_cluster``): blocking on the
     2-char lowercase prefix -> in-block Levenshtein<=1 edges over DISTINCT
@@ -6891,6 +6913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jsd": _q_jsd,
         "q_containment": _q_containment,
         "q_er_cluster": _q_er_cluster,
+        "q_snm_pairs": _q_snm_pairs,
         "q_rolling_distinct": _q_rolling_distinct,
         "q_tclose": _q_tclose,
         "q_link_pred": _q_link_pred,
@@ -9030,6 +9053,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         # entity-resolution clustering: blocking prefix + levenshtein<=1
         # edges over distinct names, recursive-CTE min-reach components
+        "q_snm_pairs": (
+            "WITH s AS (SELECT c_custkey AS id, CAST(round(c_acctbal * 100) AS BIGINT) "
+            "+ 100000 AS val FROM customer), "
+            "r AS (SELECT id, val, row_number() OVER (ORDER BY val, id) - 1 AS rn FROM s) "
+            "SELECT a.id AS id_a, b.id AS id_b, a.val AS val_a, b.val AS val_b "
+            "FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3"
+        ),
         "q_er_cluster": (
             "WITH base AS (SELECT CAST(s_suppkey AS BIGINT) AS id, "
             "n_name AS name, lower(substr(n_name, 1, 2)) AS blk "

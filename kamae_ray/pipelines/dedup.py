@@ -2047,3 +2047,77 @@ def er_cluster(ds, id_col: str, name_col: str, max_distance: int = 1,
     finish.__name__ = "er_finish"
     return out.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)
+
+
+def sorted_neighborhood_pairs(ds, id_col: str, value_col: str, window: int = 3,
+                              max_value: int = 1 << 27, max_id: int = 1 << 32):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): order every
+    record by an integer blocking key, slide a ``window``-row window over
+    the GLOBAL sort order, and emit each candidate pair once — the classic
+    entity-resolution candidate generator complementing the equality
+    blocking in :func:`er_cluster`. Output: ``id_a, id_b, val_a, val_b``
+    for every pair whose 0-based ranks (ORDER BY value, id) differ by
+    1..window-1, id_a the lower-ranked row.
+
+    Scale plan: the global rank is :func:`~kamae_ray.stages.aggregate.
+    global_percent_rank`'s bucketed ``global_cumsum(ones)`` (driver state
+    O(distinct values), never a serial scan); each row then fans out
+    ``window-1`` probe rows targeting the next ranks, and ONE
+    ``shuffle_join`` on the UNIQUE rank key (skew-free by construction)
+    assembles the pairs. No stage holds more than a block; the ranked
+    intermediate is materialized once (it feeds base + probes — lesson 14).
+    Integer keys in [0, max_value), unique ids in [0, max_id)."""
+    from kamae_ray.stages.aggregate import global_percent_rank
+    from kamae_ray.stages.join import shuffle_join
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    fan = window - 1
+    ranked = global_percent_rank(ds, value_col, id_col, max_value=max_value,
+                                 max_id=max_id)
+
+    def base_block(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "__kr_rank": pc.cast(t.column("rank"), pa.int64(), safe=False),
+            "id_b": pc.cast(t.column(id_col), pa.int64(), safe=False),
+            "val_b": pc.cast(t.column(value_col), pa.int64(), safe=False),
+        })
+
+    def probe_block(t: pa.Table) -> pa.Table:
+        r = pc.cast(t.column("rank"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        i = pc.cast(t.column(id_col), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        v = pc.cast(t.column(value_col), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        n = len(r)
+        d = np.tile(np.arange(1, fan + 1, dtype=np.int64), n)
+        rep_r = np.repeat(r, fan)
+        return pa.table({
+            "__kr_rank": pa.array(rep_r + d, pa.int64()),
+            "id_a": pa.array(np.repeat(i, fan), pa.int64()),
+            "val_a": pa.array(np.repeat(v, fan), pa.int64()),
+        })
+
+    base_block.__name__ = "snm_base"
+    probe_block.__name__ = "snm_probes"
+    if isinstance(ranked, pa.Table):
+        probes = probe_block(ranked)
+        base = base_block(ranked)
+        joined = shuffle_join(probes, base, on="__kr_rank", how="inner")
+    else:
+        ranked = ranked.materialize()
+        probes = ranked.map_batches(probe_block, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=None)
+        base = ranked.map_batches(base_block, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+        joined = shuffle_join(probes, base, on="__kr_rank", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": t.column("id_a"), "id_b": t.column("id_b"),
+            "val_a": t.column("val_a"), "val_b": t.column("val_b"),
+        })
+
+    finish.__name__ = "snm_finish"
+    if isinstance(joined, pa.Table):
+        return finish(joined)
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

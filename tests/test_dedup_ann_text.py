@@ -1739,3 +1739,26 @@ def test_mutual_nn_dataset_matches_table_and_budget(ray_session):
     assert len(set(want.column("id_b").to_pylist())) == want.num_rows
     with pytest.raises(ValueError):
         mutual_nn(a_ds, b_ds, "vec_id", "embedding", max_broadcast_rows=3)
+
+
+def test_sorted_neighborhood_pairs_dataset_matches_table(ray_session):
+    import ray
+
+    from kamae_ray.pipelines.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(4)
+    n = 500
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "val": pa.array(rng.integers(0, 50, n), pa.int64())})  # heavy ties
+    want = sorted_neighborhood_pairs(t, "id", "val", window=5).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")])
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = pa.concat_tables(
+        [pa.table(x) for x in sorted_neighborhood_pairs(ds, "id", "val", window=5)
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    assert got.cast(want.schema).equals(want)
+    # every row pairs with the next 4 ranks except the tail
+    assert want.num_rows == (n - 1) + (n - 2) + (n - 3) + (n - 4)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(t, "id", "val", window=1)

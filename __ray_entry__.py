@@ -5652,6 +5652,19 @@ def _q_drift(sf_dir):
     return _round_cols(out, ["p_a", "p_b", "psi_term"])
 
 
+def _q_session_drift(sf_dir):
+    """Behavioral session drift: sessionize-by-gap, render each session as
+    its events' first-character string (ts,event_id order, capped 64),
+    Levenshtein between consecutive sessions per user — ONE wide stage
+    (in-block sessionize + capped byte-gather strings + vectorized pair DP).
+    Oracle = gaps-and-islands + string_agg + lag + levenshtein."""
+    from kamae_ray.stages.window import session_drift
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return session_drift(ev, "user_id", "ts", "event_id", "event_type",
+                         3_600_000_000, max_seq=64)
+
+
 def _q_session_stats(sf_dir):
     """Session analytics chain: sessionize-by-gap (1h) -> per-session
     aggregates (events, exact cents sum, start/end, integer duration) — the
@@ -6798,6 +6811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chi2": _q_chi2,
         "q_drift": _q_drift,
         "q_session_stats": _q_session_stats,
+        "q_session_drift": _q_session_drift,
         "q_checksum": _q_checksum,
         "q_top_items": _q_top_items,
         "q_twap": _q_twap,
@@ -9624,6 +9638,22 @@ def oracle_sql() -> dict[str, str]:
             "(n_b::DOUBLE + 1.0) / (Nb::DOUBLE + 12.0) AS p_b FROM j) "
             "SELECT bin, n_a, n_b, ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b, "
             "ROUND((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term FROM p"
+        ),
+        "q_session_drift": (
+            "WITH g AS (SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS gap_us FROM events), "
+            "s AS (SELECT user_id, ts, event_id, c, CAST(coalesce(sum(CASE WHEN "
+            "gap_us > 3600000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id), 0) AS BIGINT) AS session_id FROM g), "
+            "q AS (SELECT user_id, session_id, substr(coalesce(string_agg(c, '' "
+            "ORDER BY ts, event_id), ''), 1, 64) AS seq FROM s "
+            "GROUP BY user_id, session_id), "
+            "p AS (SELECT user_id, session_id, seq, lag(seq) OVER (PARTITION BY "
+            "user_id ORDER BY session_id) AS prev_seq FROM q) "
+            "SELECT user_id, session_id, prev_seq, seq, "
+            "CAST(levenshtein(prev_seq, seq) AS BIGINT) AS dist "
+            "FROM p WHERE prev_seq IS NOT NULL"
         ),
         "q_session_stats": (
             "WITH s AS (SELECT user_id, ts, value, "

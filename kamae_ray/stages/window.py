@@ -2683,3 +2683,119 @@ def rolling_count_distinct(ds, entity_cols, time_col, item_col: str,
     if isinstance(ds, pa.Table):
         return blockfn(ds)
     return sorted_block_apply(ds, entity_cols, blockfn, "rolling_count_distinct")
+
+
+def session_drift(ds, entity_col: str, time_col: str, tiebreak_col: str,
+                  type_col: str, gap: int, max_seq: int = 64):
+    """Behavioral session drift: sessionize each entity's event stream by
+    inactivity ``gap`` (microseconds, the q_session_stats semantics:
+    break when gap STRICTLY exceeds), render every session as the string of
+    its events' FIRST CHARACTERS in (time, tiebreak) order capped at
+    ``max_seq``, and score each consecutive session pair with the
+    byte-level Levenshtein distance (ASCII == SQL ``levenshtein``) — how
+    much an entity's behavior pattern changed session-over-session. Null
+    types are skipped in the string but still drive sessionization (SQL
+    ``string_agg`` null-skipping); empty types contribute nothing.
+
+    Output: ``user_id, session_id (the LATER session), prev_seq, seq,
+    dist`` — sessions 1.. of each entity (session 0 has no predecessor).
+
+    Scale plan: ONE wide stage — sort co-locates entities (sort key ==
+    entity, lesson 9), then a single block kernel does sessionization,
+    capped string assembly (one byte gather + offsets — no per-session
+    Python) and the pair distances (functions/editdist, vectorized across
+    pairs). SQL mirror: gaps-and-islands + ``substr(string_agg(c, ''
+    ORDER BY ts, id), 1, max_seq)`` + ``lag`` + ``levenshtein``."""
+    from kamae_ray.functions.editdist import levenshtein_pairwise
+
+    gap_us = np.int64(gap)
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "session_id": pa.array([], pa.int64()),
+        "prev_seq": pa.array([], pa.string()),
+        "seq": pa.array([], pa.string()),
+        "dist": pa.array([], pa.int64()),
+    })
+
+    def kern(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return empty
+        uid = pc.cast(A.as_array(block.column(entity_col)), pa.int64(),
+                      safe=False).to_numpy(zero_copy_only=False)
+        ts = pc.cast(A.as_array(block.column(time_col)), pa.int64(),
+                     safe=False).to_numpy(zero_copy_only=False)
+        tb = pc.cast(A.as_array(block.column(tiebreak_col)), pa.int64(),
+                     safe=False).to_numpy(zero_copy_only=False)
+        tarr = pc.cast(A.as_array(block.column(type_col)), pa.string(), safe=False)
+        tarr = tarr.combine_chunks() if isinstance(tarr, pa.ChunkedArray) else tarr
+        bufs = tarr.buffers()
+        width = np.int64 if pa.types.is_large_string(tarr.type) else np.int32
+        offs = np.frombuffer(bufs[-2], dtype=width)[
+            tarr.offset: tarr.offset + n + 1].astype(np.int64)
+        data = (np.frombuffer(bufs[-1], dtype=np.uint8)
+                if bufs[-1] is not None else np.zeros(0, np.uint8))
+        lens = offs[1:] - offs[:-1]
+        valid = np.ones(n, bool)
+        if tarr.null_count:
+            valid = pc.is_valid(tarr).to_numpy(zero_copy_only=False)
+        keep_row = valid & (lens > 0)
+        first_byte = np.zeros(n, np.uint8)
+        nz = lens > 0
+        first_byte[nz] = data[offs[:-1][nz]]
+
+        order = np.lexsort((tb, ts, uid))
+        u, t = uid[order], ts[order]
+        fb, k = first_byte[order], keep_row[order]
+        ustarts, ulens = S.segments(u)
+        prev_t = np.empty_like(t)
+        prev_t[1:] = t[:-1]
+        prev_t[ustarts] = t[ustarts]
+        brk = (t - prev_t) > gap_us
+        brk[ustarts] = False
+        cs = np.cumsum(brk.astype(np.int64))
+        sess = cs - np.repeat(cs[ustarts], ulens)
+
+        newseg = brk.copy()
+        newseg[ustarts] = True
+        sstarts = np.flatnonzero(newseg)
+        slens = np.diff(np.append(sstarts, n))
+        ns = len(sstarts)
+        # capped kept-rank inside each session
+        kint = k.astype(np.int64)
+        kc = np.cumsum(kint)
+        kbase = np.repeat(kc[sstarts] - kint[sstarts], slens)
+        rank0 = kc - kbase - 1  # 0-based among kept rows (valid where k)
+        sel = k & (rank0 < max_seq)
+        seq_bytes = fb[sel]
+        cnt = np.add.reduceat(sel.astype(np.int64), sstarts) if ns else np.zeros(0, np.int64)
+        # reduceat quirk: a trailing empty segment still yields its start elem
+        cnt = cnt * (slens > 0)
+        soff = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32)
+        strs = pa.Array.from_buffers(
+            pa.utf8(), ns,
+            [None, pa.py_buffer(soff.tobytes()), pa.py_buffer(seq_bytes.tobytes())])
+
+        su = u[sstarts]
+        sidx = sess[sstarts]
+        not_first = np.ones(ns, bool)
+        su_starts, _ = S.segments(su)
+        not_first[su_starts] = False
+        cur = np.flatnonzero(not_first)
+        if len(cur) == 0:
+            return empty
+        prev = cur - 1
+        cur_a = strs.take(pa.array(cur))
+        prev_a = strs.take(pa.array(prev))
+        dist = levenshtein_pairwise(prev_a, cur_a, max_len=max_seq)
+        return pa.table({
+            "user_id": pa.array(su[cur], pa.int64()),
+            "session_id": pa.array(sidx[cur], pa.int64()),
+            "prev_seq": prev_a,
+            "seq": cur_a,
+            "dist": pa.array(dist.astype(np.int64), pa.int64()),
+        })
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    return sorted_block_apply(ds, [entity_col], kern, "session_drift")

@@ -704,3 +704,35 @@ def test_window_value_gather_preserves_types():
         method="last_value", output_col="lc",
     ).transform_batch(t)
     assert last_ch.column("lc").to_pylist() == [None, None, None, "y", "y"]
+
+
+def test_session_drift_dataset_matches_table_and_nulls(ray_session):
+    import ray
+
+    from kamae_ray.stages.window import session_drift
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    ts = np.sort(rng.integers(0, 10**9, n)) * 1000 + 1_700_000_000_000_000
+    types = rng.choice(["view", "click", "purchase", "", "signup"], n).astype(object)
+    types[rng.random(n) < 0.05] = None
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(list(types), pa.string()),
+    })
+    want = session_drift(t, "user_id", "ts", "event_id", "event_type",
+                         50_000_000_000, max_seq=8).sort_by(
+        [("user_id", "ascending"), ("session_id", "ascending")])
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = pa.concat_tables(
+        [pa.table(x) for x in session_drift(ds, "user_id", "ts", "event_id",
+                                            "event_type", 50_000_000_000, max_seq=8)
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+    assert got.cast(want.schema).equals(want)
+    assert want.num_rows > 0
+    import pyarrow.compute as pc
+
+    assert pc.max(pc.utf8_length(want.column("seq"))).as_py() <= 8

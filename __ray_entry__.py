@@ -3061,6 +3061,35 @@ def _q_lm_score(sf_dir):
                            zero_copy_batch=True, batch_size=None)
 
 
+def _q_kcore(sf_dir):
+    """R-round k-core peel (k=3, rounds=8) of the modular events graph —
+    deterministic fixed-round contract mirrored by the unrolled
+    MATERIALIZED-CTE oracle (DuckDB inlines plain CTEs; chained rounds
+    re-evaluate exponentially without the hint). Driver bincount fast path
+    under budget; groupby + two semi-join exchanges per round above it."""
+    from kamae_ray.pipelines.graph import k_core
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(u % 400, pa.int64()),
+                         "dst": pa.array(e % 400, pa.int64())})
+
+    to_edges.__name__ = "kcore_edges"
+    edges = ev.map_batches(to_edges, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return k_core(edges, 3, rounds=8)
+
+
+def _kcore_oracle() -> str:
+    from kamae_ray.pipelines.graph import k_core_oracle_sql
+
+    return k_core_oracle_sql(
+        "SELECT user_id % 400 AS src, event_id % 400 AS dst FROM events", 3, rounds=8)
+
+
 def _q_triangles(sf_dir):
     """Exact triangle + wedge count (``graph.triangle_count``) of the
     undirected modular graph (user_id%400 — event_id%400) derived from
@@ -6853,6 +6882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_moments": _q_moments,
         "q_lm_score": _q_lm_score,
         "q_triangles": _q_triangles,
+        "q_kcore": _q_kcore,
         "q_percent_rank": _q_percent_rank,
         "q_phash": _q_phash,
         "q_neardup_best": _q_neardup_best,
@@ -7432,6 +7462,7 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(sum_ppm AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS lm_score "
             "FROM o"
         ),
+        "q_kcore": _kcore_oracle(),
         "q_triangles": (
             "WITH raw AS (SELECT user_id % 400 AS s, event_id % 400 AS d FROM events), "
             "e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b "

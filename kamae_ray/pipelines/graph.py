@@ -686,3 +686,151 @@ def link_prediction(edges, src: str = "src", dst: str = "dst",
         parts = collect_tables(res)
         return pa.concat_tables(parts) if parts else res.schema()
     return res
+
+
+def k_core(edges, k: int, src: str = "src", dst: str = "dst",
+           rounds: int = 8, max_driver_edges: int = 5_000_000):
+    """R-round k-core peel of the undirected simple graph underlying an
+    edge table: iteratively remove nodes of degree < ``k`` (degrees over
+    canonical DISTINCT edges, self-loops dropped) for exactly ``rounds``
+    rounds, then report every surviving endpoint with its degree in the
+    surviving edge set. When the peel converges within ``rounds`` (checked
+    by the tests on the tested graphs; adversarial chains peel one layer
+    per round) the result IS the classic k-core; the fixed round count is
+    part of the operator contract so the result is deterministic and
+    SQL-mirrorable regardless (``k_core_oracle_sql`` unrolls the SAME
+    rounds). Output: ``node, deg`` (deg >= 1; isolated leftovers vanish
+    with their edges).
+
+    Scale plan: canonical distinct edges via the triangle_count plan (block
+    combiner + one sort); under ``max_driver_edges`` the peel runs as
+    numpy bincount rounds on the driver (the pagerank lesson-23 fast path —
+    each round is O(E), no exchanges); above it, each round is one
+    degree-count groupby + two SEMI shuffle-joins with the carried edge set
+    re-materialized at a fixed block count per round (CC-loop lesson)."""
+    from kamae_ray.stages.aggregate import distinct, groupby_agg
+    from kamae_ray.stages.join import shuffle_join
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src)
+        d = batch.column(dst)
+        ok = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(d)), pc.not_equal(s, d))
+        batch = batch.filter(ok)
+        s, d = batch.column(src), batch.column(dst)
+        return pa.table({"a": pc.cast(pc.min_element_wise(s, d), pa.int64(), safe=False),
+                         "b": pc.cast(pc.max_element_wise(s, d), pa.int64(), safe=False)})
+
+    canon.__name__ = "kcore_canon"
+
+    def _drive(a: np.ndarray, b: np.ndarray) -> pa.Table:
+        for _ in range(rounds):
+            if len(a) == 0:
+                break
+            nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+            deg = np.bincount(inv, minlength=len(nodes))
+            ok = deg >= k
+            keep = ok[inv[:len(a)]] & ok[inv[len(a):]]
+            if keep.all():
+                break  # fixpoint: further rounds are identity
+            a, b = a[keep], b[keep]
+        if len(a) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        deg = np.bincount(inv, minlength=len(nodes))
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "deg": pa.array(deg.astype(np.int64), pa.int64())})
+
+    if isinstance(edges, pa.Table):
+        e = distinct(canon(edges), ["a", "b"])
+        return _drive(e.column("a").to_numpy(zero_copy_only=False),
+                      e.column("b").to_numpy(zero_copy_only=False))
+
+    e = distinct(edges.map_batches(canon, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None),
+                 ["a", "b"]).materialize()
+    n_edges = e.count()
+    if n_edges <= max_driver_edges:
+        from kamae_ray.base import collect_tables
+
+        full = pa.concat_tables(collect_tables(e)).combine_chunks()
+        return _drive(full.column("a").to_numpy(zero_copy_only=False),
+                      full.column("b").to_numpy(zero_copy_only=False))
+
+    import ray  # noqa: F401  (documents the distributed tier's dependency)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [A.as_array(t.column("a")), A.as_array(t.column("b"))])})
+
+    endpoints.__name__ = "kcore_endpoints"
+    n_blocks = max(1, min(64, n_edges // 65536 + 1))
+    for _ in range(rounds):
+        degs = groupby_agg(e.map_batches(endpoints, batch_format="pyarrow",
+                                         zero_copy_batch=True, batch_size=None),
+                           "node", {"node": ["count"]})
+
+        def active_only(t: pa.Table) -> pa.Table:
+            cnt = pc.cast(t.column("node_count"), pa.int64(), safe=False)
+            t = t.filter(pc.greater_equal(cnt, k))
+            return pa.table({"node": pc.cast(t.column("node"), pa.int64(), safe=False)})
+
+        active_only.__name__ = "kcore_active"
+        act = degs.map_batches(active_only, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None).materialize()
+
+        def ren(col_out):
+            def f(t: pa.Table) -> pa.Table:
+                return t.rename_columns([col_out])
+            f.__name__ = f"kcore_ren_{col_out}"
+            return f
+
+        e = shuffle_join(e, act.map_batches(ren("a"), batch_format="pyarrow",
+                                            zero_copy_batch=True, batch_size=None),
+                         on="a", how="semi")
+        e = shuffle_join(e, act.map_batches(ren("b"), batch_format="pyarrow",
+                                            zero_copy_batch=True, batch_size=None),
+                         on="b", how="semi")
+        e = e.repartition(n_blocks).materialize()
+    final = groupby_agg(e.map_batches(endpoints, batch_format="pyarrow",
+                                      zero_copy_batch=True, batch_size=None),
+                        "node", {"node": ["count"]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(t.column("node"), pa.int64(), safe=False),
+                         "deg": pc.cast(t.column("node_count"), pa.int64(), safe=False)})
+
+    finish.__name__ = "kcore_finish"
+    return final.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+
+
+def k_core_oracle_sql(edges_cte: str, k: int, rounds: int = 8) -> str:
+    """DuckDB mirror of :func:`k_core`: the SAME fixed round count unrolled
+    as a CTE chain over ``edges_cte`` (a subquery yielding src, dst)."""
+    parts = [
+        f"WITH raw AS ({edges_cte}), ",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", d{r} AS MATERIALIZED (SELECT node, count(*) AS deg FROM "
+            f"(SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) "
+            f"GROUP BY node)"
+        )
+        parts.append(
+            f", e{r} AS MATERIALIZED (SELECT a, b FROM {prev} WHERE "
+            f"a IN (SELECT node FROM d{r} WHERE deg >= {k}) AND "
+            f"b IN (SELECT node FROM d{r} WHERE deg >= {k}))"
+        )
+        prev = f"e{r}"
+    parts.append(
+        f" SELECT node, CAST(count(*) AS BIGINT) AS deg FROM "
+        f"(SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) GROUP BY node"
+    )
+    return "".join(parts)

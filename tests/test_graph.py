@@ -183,3 +183,34 @@ def test_link_prediction(ray_session):
     assert len(rows) == len(want)
     for r in rows:
         assert want[(r["u"], r["v"])] == tuple(r[c] for c in cols)
+
+
+def test_k_core_distributed_matches_driver_and_oracle(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.pipelines.graph import k_core, k_core_oracle_sql
+
+    rng = np.random.default_rng(12)
+    src = rng.integers(0, 200, 700)
+    dst = rng.integers(0, 200, 700)
+    chain = np.arange(500, 530)
+    t = pa.table({"src": pa.array(np.concatenate([src, chain[:-1]]), pa.int64()),
+                  "dst": pa.array(np.concatenate([dst, chain[1:]]), pa.int64())})
+    want = k_core(t, 3).sort_by("node")
+    con = duckdb.connect()
+    con.register("g", t)
+    exp = con.sql(k_core_oracle_sql("SELECT src, dst FROM g", 3) + " ORDER BY node").arrow()
+    assert want.equals(exp.cast(want.schema))
+    ds = ray.data.from_arrow(t).repartition(4)
+    # driver fast path returns a Table directly (lesson-23 style)
+    got = k_core(ds, 3).sort_by("node")
+    assert got.cast(want.schema).equals(want)
+    # forced distributed tier (budget 0) must agree exactly
+    got2 = pa.concat_tables(
+        [pa.table(x) for x in k_core(ds, 3, max_driver_edges=0)
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by("node")
+    assert got2.cast(want.schema).equals(want)
+    with pytest.raises(ValueError):
+        k_core(t, 0)

@@ -5694,6 +5694,41 @@ def _q_session_drift(sf_dir):
                          3_600_000_000, max_seq=64)
 
 
+def _q_decay(sf_dir):
+    """Per-user exponentially time-decayed spend (half-life 7 days, ref =
+    global max ts): EXACT dyadic decay — int64 (key, age-bucket) sums
+    through the shuffle, then one fixed-order float fold per key (terms are
+    exact ints scaled by powers of two; additions left-assoc ascending age
+    — the ranking_dcg mirrored-chain family, bit-identical cross-engine).
+    Oracle generated from the same constants."""
+    from kamae_ray.stages.aggregate import time_decayed_sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    mx = _read(sf_dir, "events", ["ts"]).max("ts")
+    ref = int(pa.scalar(mx, pa.timestamp("us")).cast(pa.int64()).as_py())
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                         "cents": cents})
+
+    prep.__name__ = "decay_prep"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return time_decayed_sum(keyed, "user_id", "ts_us", "cents",
+                            604_800_000_000, ref)
+
+
+def _decay_oracle() -> str:
+    from kamae_ray.stages.aggregate import time_decayed_sum_oracle_sql
+
+    return time_decayed_sum_oracle_sql(
+        "events", "user_id", "ts", "CAST(round(value * 100) AS BIGINT)",
+        604_800_000_000, "SELECT max(epoch_us(ts)) FROM events")
+
+
 def _q_session_stats(sf_dir):
     """Session analytics chain: sessionize-by-gap (1h) -> per-session
     aggregates (events, exact cents sum, start/end, integer duration) — the
@@ -6840,6 +6875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chi2": _q_chi2,
         "q_drift": _q_drift,
         "q_session_stats": _q_session_stats,
+        "q_decay": _q_decay,
         "q_session_drift": _q_session_drift,
         "q_checksum": _q_checksum,
         "q_top_items": _q_top_items,
@@ -9686,6 +9722,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(levenshtein(prev_seq, seq) AS BIGINT) AS dist "
             "FROM p WHERE prev_seq IS NOT NULL"
         ),
+        "q_decay": _decay_oracle(),
         "q_session_stats": (
             "WITH s AS (SELECT user_id, ts, value, "
             "CAST(coalesce(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) "

@@ -2105,3 +2105,127 @@ def nucleus_filter(ds, group_cols, weight_col: str, item_col: str,
     if isinstance(ds, pa.Table):
         return kern(ds)
     return sorted_block_apply(ds, group_cols, kern, "nucleus_filter")
+
+
+def time_decayed_sum(ds, key_col: str, time_col: str, value_col: str,
+                     half_life: int, ref_time: int, max_age: int = 32,
+                     out_col: str = "decayed"):
+    """Per-key exponentially time-decayed sum with EXACT dyadic decay — the
+    classic recency-weighted engagement feature, formulated so both engines
+    compute bit-identical float64:
+
+        age    = (ref_time - t) // half_life   (integer floor-div; rows
+                 after ``ref_time`` or older than ``max_age`` half-lives
+                 are dropped, as are null values)
+        result = ((b_0 + b_1 * 0.5) + b_2 * 0.25) + ...   (ages ascending)
+
+    where ``b_a`` is the key's EXACT int64 value sum in age bucket ``a``.
+    Each term is an exact integer scaled by a power of two (lossless in
+    IEEE float64 while ``|b_a| < 2^53``, asserted per block), and the
+    additions run in one FIXED order — the ranking_dcg mirrored-chain
+    family, so a generated SQL pivot reproduces the bits exactly
+    (:func:`time_decayed_sum_oracle_sql`). Output: ``key, decayed``.
+
+    Scale plan: a per-block (key, age) partial combiner shrinks the
+    exchange to O(keys x max_age) rows per block, ONE key sort co-locates
+    partials, and a segmented fold emits one row per key — no driver
+    state."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    hl = np.int64(half_life)
+    ref = np.int64(ref_time)
+    if half_life <= 0:
+        raise ValueError("half_life must be positive")
+    weights = 0.5 ** np.arange(max_age + 1)  # exact dyadic in float64
+
+    def partial(block: pa.Table) -> pa.Table:
+        keys = pc.cast(A.as_array(block.column(key_col)), pa.int64(), safe=False)
+        vals = A.as_array(block.column(value_col))
+        t = pc.cast(A.as_array(block.column(time_col)), pa.int64(), safe=False)
+        ok = pc.and_(pc.is_valid(vals), pc.is_valid(keys))
+        sub = pa.table({"k": keys, "v": pc.cast(vals, pa.int64(), safe=False),
+                        "t": t}).filter(ok)
+        k = sub.column("k").to_numpy(zero_copy_only=False)
+        v = sub.column("v").to_numpy(zero_copy_only=False)
+        tt = sub.column("t").to_numpy(zero_copy_only=False)
+        age = (ref - tt) // hl
+        keep = (tt <= ref) & (age <= max_age)
+        k, v, age = k[keep], v[keep], age[keep]
+        if len(k) == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "age": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        code = np.lexsort((age, k))
+        ks, ages, vs = k[code], age[code], v[code]
+        changes = np.ones(len(ks), bool)
+        changes[1:] = (ks[1:] != ks[:-1]) | (ages[1:] != ages[:-1])
+        starts = np.flatnonzero(changes)
+        sums = np.add.reduceat(vs, starts)
+        return pa.table({"k": pa.array(ks[starts], pa.int64()),
+                         "age": pa.array(ages[starts], pa.int64()),
+                         "s": pa.array(sums, pa.int64())})
+
+    partial.__name__ = "decay_partial"
+
+    def fold(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.float64())})
+        k = block.column("k").to_numpy(zero_copy_only=False)
+        age = block.column("age").to_numpy(zero_copy_only=False)
+        s = block.column("s").to_numpy(zero_copy_only=False)
+        code = np.lexsort((age, k))
+        k, age, s = k[code], age[code], s[code]
+        changes = np.ones(len(k), bool)
+        changes[1:] = (k[1:] != k[:-1]) | (age[1:] != age[:-1])
+        starts = np.flatnonzero(changes)
+        bk, bage = k[starts], age[starts]
+        bs = np.add.reduceat(s, starts)
+        if np.abs(bs).max(initial=0) >= (1 << 53):
+            raise ValueError("time_decayed_sum: bucket sum exceeds 2^53 — "
+                             "exact float64 scaling no longer holds; shrink "
+                             "values or half_life buckets")
+        kstarts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        klens = np.diff(np.append(kstarts, len(bk)))
+        acc = np.zeros(len(kstarts))
+        # ages ascending within key (lexsort) — terms added in fixed order;
+        # loop over the <= max_age+1 distinct positions, vectorized over keys
+        maxlen = int(klens.max()) if len(klens) else 0
+        for j in range(maxlen):
+            has = klens > j
+            idx = kstarts[has] + j
+            acc[has] = acc[has] + bs[idx] * weights[bage[idx]]
+        return pa.table({key_col: pa.array(bk[kstarts], pa.int64()),
+                         out_col: pa.array(acc, pa.float64())})
+
+    fold.__name__ = "decay_fold"
+    if isinstance(ds, pa.Table):
+        return fold(partial(ds))
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return sorted_block_apply(parts, ["k"], fold, "decay_fold")
+
+
+def time_decayed_sum_oracle_sql(table_expr: str, key_col: str, time_col: str,
+                                value_expr: str, half_life: int, ref_expr: str,
+                                max_age: int = 32, out_col: str = "decayed") -> str:
+    """DuckDB mirror of :func:`time_decayed_sum`: the same integer bucket
+    sums pivoted into one left-associated chain of dyadic-scaled terms (the
+    generated-fixed-order-float family). ``value_expr`` must yield BIGINT;
+    ``ref_expr`` a BIGINT epoch-us scalar subquery or literal."""
+    base = (
+        f"WITH __base AS (SELECT {key_col} AS k, "
+        f"(({ref_expr}) - epoch_us({time_col})) // {half_life} AS age, "
+        f"{value_expr} AS v FROM {table_expr} "
+        f"WHERE {value_expr} IS NOT NULL AND {key_col} IS NOT NULL "
+        f"AND epoch_us({time_col}) <= ({ref_expr})), "
+        f"__b AS (SELECT k, age, CAST(SUM(v) AS BIGINT) AS s FROM __base "
+        f"WHERE age <= {max_age} GROUP BY k, age)"
+    )
+    chain = "CAST(0 AS DOUBLE)"
+    for a in range(max_age + 1):
+        w = 0.5 ** a
+        chain = (f"({chain} + coalesce(MAX(CASE WHEN age = {a} THEN s END), 0) "
+                 f"* CAST({w!r} AS DOUBLE))")
+    return (f"{base} SELECT k AS {key_col}, {chain} AS {out_col} "
+            f"FROM __b GROUP BY k")

@@ -935,3 +935,39 @@ def test_rebalance_classes(ray_session):
     ds = ray.data.from_arrow(t).repartition(3)
     got = sorted(r["id"] for r in rebalance_classes(ds, "c", "id", salt=1).take_all())
     assert got == sorted(r["id"] for r in rows)
+
+
+def test_time_decayed_sum_bitexact_vs_duckdb_and_distributed(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.aggregate import time_decayed_sum, time_decayed_sum_oracle_sql
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    hl = 1000
+    ref = 50_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 60, n), pa.int64()),
+        "t_us": pa.array(rng.integers(0, 60_000, n), pa.int64()),
+        "v": pa.array(rng.integers(-500, 500, n), pa.int64()),
+    })
+    want = time_decayed_sum(t, "k", "t_us", "v", hl, ref, max_age=10).sort_by("k")
+    con = duckdb.connect()
+    con.register("src", t)
+    sql = time_decayed_sum_oracle_sql(
+        "(SELECT k, make_timestamp(t_us) AS ts, v FROM src)", "k", "ts", "v",
+        hl, str(ref), max_age=10)
+    exp = con.sql(sql + " ORDER BY k").arrow()
+    assert want.column("k").to_pylist() == exp.column("k").to_pylist()
+    ga = want.column("decayed").to_numpy()
+    ea = exp.column("decayed").to_numpy()
+    assert (ga.view(np.int64) == ea.view(np.int64)).all()  # BIT-identical
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = pa.concat_tables(
+        [pa.table(x) for x in time_decayed_sum(ds, "k", "t_us", "v", hl, ref, max_age=10)
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by("k")
+    assert got.cast(want.schema).equals(want)
+    with pytest.raises(ValueError):
+        time_decayed_sum(t, "k", "t_us", "v", 0, ref)

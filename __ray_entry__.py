@@ -6317,6 +6317,42 @@ def _q_mutual_nn(sf_dir):
     return mutual_nn(a, b, "vec_id", "embedding")
 
 
+def _q_mmr(sf_dir):
+    """MMR diversity reranking (Carbonell-Goldstein) of the vec_id%3==1
+    candidate pool against query vector vec_id=0: exact integer fixed-point
+    relevance/similarity, rational lambda=1/2, k=8 greedy picks, ties to
+    smallest id. Driver-bounded reranker by contract (candidates raise past
+    the budget). Oracle = k unrolled MATERIALIZED selection rounds."""
+    from kamae_ray.functions import arrays as A
+    from kamae_ray.pipelines.ann import mmr_select
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id")
+        import numpy as np
+
+        iv = ids.to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(iv % 3 == 1))
+
+    keep.__name__ = "mmr_candidates"
+    # the fixed query vector: row vec_id == 0 (one tiny filtered read)
+    q0_t = _read(sf_dir, "embeddings", ["vec_id", "embedding"])         .filter(expr="vec_id == 0").take_all()
+    import numpy as np
+
+    q0 = np.asarray(q0_t[0]["embedding"], dtype=np.float64)
+    cand = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+    return mmr_select(cand, "vec_id", "embedding", q0, k=8)
+
+
+def _mmr_oracle() -> str:
+    from kamae_ray.pipelines.ann import mmr_oracle_sql
+
+    return mmr_oracle_sql("embeddings", "vec_id", "embedding", 0,
+                          "c.vid % 3 = 1", k=8)
+
+
 def _q_knn(sf_dir):
     """Exact cosine kNN graph (``knn_graph``): every vector's 5 nearest
     others — the semantic-dedup graph primitive. Corpus matrix broadcast
@@ -6869,6 +6905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scd2": _q_scd2,
         "q_json": _q_json,
         "q_knn": _q_knn,
+        "q_mmr": _q_mmr,
         "q_mutual_nn": _q_mutual_nn,
         "q_word_chunks": _q_word_chunks,
         "q_countmin": _q_countmin,
@@ -8816,6 +8853,7 @@ def oracle_sql() -> dict[str, str]:
             "LEAST(64, nw - ci*48) AS n_chunk_words FROM c"
         ),
         "q_mutual_nn": _mutual_nn_oracle(),
+        "q_mmr": _mmr_oracle(),
         "q_knn": (
             "WITH scored AS (SELECT a.vec_id AS src, b.vec_id AS nbr, "
             "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs "

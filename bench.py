@@ -234,6 +234,7 @@ _BENCH_QUERIES = [
     "q_session_drift",  # consecutive-session sequence Levenshtein per user
     "q_kcore",  # R-round k-core peel, unrolled materialized-CTE oracle
     "q_decay",  # time-decayed sum, exact dyadic fixed-order float chain
+    "q_mmr",  # MMR diversity reranking, unrolled-CTE oracle
     "q_replace_col",  # column-pattern regex replace, distinct-once RE2 dispatch
     "q_chunk",  # RAG chunking fan-out (vectorized per-ordinal utf8 slices)
     "q_windows",  # LLM context windows (offsets-arithmetic 2-D gather)

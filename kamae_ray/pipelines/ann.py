@@ -1346,3 +1346,119 @@ def mutual_nn_oracle_sql(table: str, id_col: str, vec_col: str,
         "FROM fa JOIN fb ON fa.ia = fb.ia AND fa.ib = fb.ib "
         "WHERE fa.rn = 1 AND fb.rn = 1"
     )
+
+
+def mmr_select(ds, id_col: str, vec_col: str, query_vec: np.ndarray,
+               k: int = 8, lam: tuple[int, int] = (1, 2),
+               scale_bits: int = 20, max_candidates: int = 100_000):
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998):
+    greedily select ``k`` items maximizing ``lam * relevance - (1 - lam) *
+    max-similarity-to-already-selected`` — the standard diversity reranker
+    over a retrieval candidate pool. Entirely EXACT integer arithmetic:
+    vectors floor-quantize to the 2^scale_bits grid, relevance and
+    similarity are integer dot products (< 2^53, exact through float64
+    matmuls), ``lam`` is a rational ``(num, den)`` so the greedy argmax
+    compares ``num * rel - (den - num) * max_sim`` in int64 — deterministic
+    on both engines, ties to the smallest id. Output: ``rank (1-based),
+    vec_id, rel``.
+
+    Scale plan: MMR is inherently sequential in ``k`` and is used as a
+    RERANKER over a bounded candidate pool (top-N of a distributed
+    retrieval stage); the pool collects under ``max_candidates`` (raise
+    above — shrink the pool upstream) and the greedy runs O(k * n * d) on
+    the driver with an incrementally-maintained max-sim vector."""
+    L, D = int(lam[0]), int(lam[1])
+    if not (0 < L < D):
+        raise ValueError("lam must be a proper rational (num, den), 0 < num < den")
+    scale = float(1 << scale_bits)
+    if isinstance(ds, pa.Table):
+        tbl = ds
+        n = tbl.num_rows
+    else:
+        from kamae_ray.base import collect_tables
+
+        proj = ds.select_columns([id_col, vec_col])
+        try:
+            n = ds._logical_plan.dag.infer_metadata().num_rows
+        except Exception:
+            n = None
+        if n is None:
+            n = proj.count()
+        if n > max_candidates:
+            raise ValueError(
+                f"mmr_select: {n} candidates exceed max_candidates="
+                f"{max_candidates}; prefilter with a distributed top-N first")
+        tbl = pa.concat_tables(collect_tables(proj)).combine_chunks()
+        n = tbl.num_rows
+    if n > max_candidates:
+        raise ValueError(
+            f"mmr_select: {n} candidates exceed max_candidates={max_candidates}")
+    ids = A.as_array(tbl.column(id_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+    m, _ = A.matrix_view(tbl.column(vec_col))
+    q = np.floor(m.astype(np.float64) * scale)
+    q0 = np.floor(np.asarray(query_vec, dtype=np.float64) * scale)
+    order = np.argsort(ids, kind="stable")
+    ids, q = ids[order], q[order]
+    rel = (q @ q0)  # int-valued float64, exact
+    out_rank, out_id, out_rel = [], [], []
+    picked = np.zeros(len(ids), bool)
+    msim = np.full(len(ids), -np.inf)
+    for r in range(1, min(k, len(ids)) + 1):
+        if r == 1:
+            score = rel * D  # lam*rel alone decides the first pick (scaled)
+        else:
+            score = rel * L - msim * (D - L)
+        score = np.where(picked, -np.inf, score)
+        j = int(np.argmax(score))  # ids ascending -> first max = smallest id
+        picked[j] = True
+        out_rank.append(r)
+        out_id.append(int(ids[j]))
+        out_rel.append(int(rel[j]))
+        sims = q @ q[j]
+        msim = np.maximum(msim, sims)
+    return pa.table({"rank": pa.array(out_rank, pa.int64()),
+                     "vec_id": pa.array(out_id, pa.int64()),
+                     "rel": pa.array(out_rel, pa.int64())})
+
+
+def mmr_oracle_sql(table: str, id_col: str, vec_col: str, query_id: int,
+                   cand_cond: str, k: int = 8, lam: tuple[int, int] = (1, 2),
+                   scale_bits: int = 20) -> str:
+    """DuckDB mirror of :func:`mmr_select` with the query vector taken from
+    the row ``id_col = query_id``: k unrolled MATERIALIZED selection rounds
+    (plain CTEs inline and re-evaluate exponentially), identical integer
+    score ``num*rel - (den-num)*max_sim``, (score DESC, id) tie order."""
+    L, D = int(lam[0]), int(lam[1])
+    scale = float(1 << scale_bits)
+    dot = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+           "p -> p[1] * p[2])) AS BIGINT)")
+    parts = [
+        f"WITH __q AS MATERIALIZED (SELECT {id_col} AS vid, "
+        f"list_transform({vec_col}::DOUBLE[], x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv "
+        f"FROM {table}), ",
+        f"__c AS MATERIALIZED (SELECT c.vid, c.qv, "
+        + dot.format(a="c.qv", b="(SELECT qv FROM __q WHERE vid = %d)" % query_id)
+        + f" AS rel FROM __q c WHERE {cand_cond}), ",
+        "sel1 AS MATERIALIZED (SELECT vid, qv, rel FROM __c "
+        "ORDER BY rel DESC, vid LIMIT 1)",
+    ]
+    prev = "sel1"
+    pick_names = ["sel1"]
+    for r in range(2, k + 1):
+        sim = dot.format(a="c.qv", b="s.qv")
+        parts.append(
+            f", m{r} AS MATERIALIZED (SELECT c.vid, c.qv, c.rel, "
+            f"MAX({sim}) AS ms FROM __c c JOIN ({' UNION ALL '.join('SELECT * FROM ' + p for p in pick_names)}) s ON true "
+            f"WHERE c.vid NOT IN ({' UNION ALL '.join('SELECT vid FROM ' + p for p in pick_names)}) "
+            f"GROUP BY c.vid, c.qv, c.rel)"
+        )
+        parts.append(
+            f", sel{r} AS MATERIALIZED (SELECT vid, qv, rel FROM m{r} "
+            f"ORDER BY {L} * rel - {D - L} * ms DESC, vid LIMIT 1)"
+        )
+        pick_names.append(f"sel{r}")
+        prev = f"sel{r}"
+    finals = " UNION ALL ".join(
+        f"SELECT {i + 1} AS rank, vid AS vec_id, rel FROM {p}"
+        for i, p in enumerate(pick_names))
+    return "".join(parts) + " " + finals

@@ -1762,3 +1762,29 @@ def test_sorted_neighborhood_pairs_dataset_matches_table(ray_session):
     assert want.num_rows == (n - 1) + (n - 2) + (n - 3) + (n - 4)
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(t, "id", "val", window=1)
+
+
+def test_mmr_select_dataset_budget_and_determinism(ray_session):
+    import pyarrow.parquet as pq
+    import ray
+
+    from kamae_ray.functions import arrays as A
+    from kamae_ray.pipelines.ann import mmr_select
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    m, _ = A.matrix_view(t.column("embedding"))
+    ids = t.column("vec_id").to_numpy()
+    q0 = m[list(ids).index(0)]
+    cand = t.filter(pa.array(ids % 3 == 1))
+    want = mmr_select(cand, "vec_id", "embedding", q0, k=6)
+    assert want.num_rows == 6
+    # first pick is the max-relevance candidate; later picks diversify
+    assert want.column("rank").to_pylist() == [1, 2, 3, 4, 5, 6]
+    assert len(set(want.column("vec_id").to_pylist())) == 6
+    ds = ray.data.from_arrow(cand).repartition(3)
+    got = mmr_select(ds, "vec_id", "embedding", q0, k=6)
+    assert got.equals(want)
+    with pytest.raises(ValueError):
+        mmr_select(ds, "vec_id", "embedding", q0, k=6, max_candidates=2)
+    with pytest.raises(ValueError):
+        mmr_select(cand, "vec_id", "embedding", q0, lam=(3, 2))

@@ -5468,6 +5468,27 @@ def _q_weighted_sample(sf_dir):
                            zero_copy_batch=True)
 
 
+def _q_aes_sample(sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis): k=300
+    customers by acctbal-cents weight; key = ln(dyadic hash uniform)/w is
+    bit-identical cross-engine (libm ln + IEEE division), ties to smallest
+    id; partial top-k plan keeps the exchange at k rows per block."""
+    from kamae_ray.stages.hashing import weighted_sample_noreplace
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"), 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"id": t.column("c_custkey"),
+                         "w": pc.add(cents, 100001)})
+
+    prep.__name__ = "aes_prep"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return weighted_sample_noreplace(keyed, "id", "w", 300, salt=7)
+
+
 def _q_group_sample(sf_dir):
     """Deterministic k-per-group sample (``group_sample``): smallest-hash
     rows per market segment via the partial top-k plan; SQL ROW_NUMBER over
@@ -5727,6 +5748,26 @@ def _decay_oracle() -> str:
     return time_decayed_sum_oracle_sql(
         "events", "user_id", "ts", "CAST(round(value * 100) AS BIGINT)",
         604_800_000_000, "SELECT max(epoch_us(ts)) FROM events")
+
+
+def _q_ucb(sf_dir):
+    """UCB1 bandit exploration scores per event-type arm over exact cents
+    rewards: one partial-agg exchange + O(arms) driver finish; the float
+    chain (sum/n + sqrt((2*lnN)/n)) is single-order with a libm ln —
+    bit-identical to the SQL mirror (lesson 38)."""
+    from kamae_ray.stages.evalmetrics import ucb_scores
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "cents": cents})
+
+    prep.__name__ = "ucb_prep_cents"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return ucb_scores(keyed, "event_type", "cents")
 
 
 def _q_session_stats(sf_dir):
@@ -6913,6 +6954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_drift": _q_drift,
         "q_session_stats": _q_session_stats,
         "q_decay": _q_decay,
+        "q_ucb": _q_ucb,
         "q_session_drift": _q_session_drift,
         "q_checksum": _q_checksum,
         "q_top_items": _q_top_items,
@@ -6926,6 +6968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack": _q_pack,
         "q_quantile_bucket": _q_quantile_bucket,
         "q_group_sample": _q_group_sample,
+        "q_aes_sample": _q_aes_sample,
         "q_asof_forward": _q_asof_forward,
         "q_windows": _q_windows,
         "q_replace_col": _q_replace_col,
@@ -8475,6 +8518,14 @@ def oracle_sql() -> dict[str, str]:
             "% 18446744073709551616 AS hv FROM orders) "
             "ORDER BY hv LIMIT 1000"
         ),
+        "q_aes_sample": (
+            "WITH b AS (SELECT c_custkey AS id, CAST(round(c_acctbal * 100) AS BIGINT) "
+            "+ 100001 AS w FROM customer), "
+            "s AS (SELECT id, w, ln((((CAST(id + 7 AS HUGEINT) * 11400714819323198485) "
+            "% 18446744073709551616) // 2048 + 1) / 9007199254740992.0) / w AS key FROM b) "
+            "SELECT id, w, key FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY key DESC, id) rn "
+            "FROM s) WHERE rn <= 300"
+        ),
         "q_group_sample": (
             "SELECT c_custkey, c_mktsegment FROM ("
             "SELECT c_custkey, c_mktsegment, ROW_NUMBER() OVER ("
@@ -9759,6 +9810,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, prev_seq, seq, "
             "CAST(levenshtein(prev_seq, seq) AS BIGINT) AS dist "
             "FROM p WHERE prev_seq IS NOT NULL"
+        ),
+        "q_ucb": (
+            "WITH b AS (SELECT event_type AS arm, CAST(round(value * 100) AS BIGINT) "
+            "AS v FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+            "a AS (SELECT arm, CAST(SUM(v) AS BIGINT) s, count(*)::BIGINT n FROM b "
+            "GROUP BY arm HAVING count(*) > 0) "
+            "SELECT arm, n, CAST(s AS DOUBLE) / n + sqrt((CAST(2.0 AS DOUBLE) * "
+            "ln((SELECT CAST(SUM(n) AS DOUBLE) FROM a))) / n) AS ucb FROM a"
         ),
         "q_decay": _decay_oracle(),
         "q_session_stats": (

@@ -1404,3 +1404,52 @@ def rbo_by_query(ds, query_col: str, rank_a_col: str, rank_b_col: str,
     if isinstance(ds, pa.Table):
         return kern(ds)
     return sorted_block_apply(ds, [query_col], kern, "rbo_fold")
+
+
+def ucb_scores(ds, arm_col: str, reward_col: str, max_arms: int = 1_000_000):
+    """UCB1 exploration scores per arm (Auer 2002): ``mean + sqrt(2 ln N /
+    n)`` over integer rewards — the classic bandit readout for
+    offline-evaluating ranking/allocation policies. The float chain is ONE
+    fixed order (sum/n + sqrt((2*lnN)/n)) with the log routed through
+    ``arrays.libm_log`` (lesson 38), so a SQL mirror reproduces the bits
+    exactly. Null arms and null rewards are excluded (SQL count/WHERE
+    semantics); arms with zero counted rewards are dropped (HAVING n > 0).
+    Output: ``arm, n, ucb``.
+
+    Scale plan: one partial-agg exchange (groupby_agg int sums), then an
+    O(arms) driver finish under ``max_arms`` (arm cardinality is small by
+    nature; raise above)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        a = A.as_array(t.column(arm_col))
+        v = A.as_array(t.column(reward_col))
+        t2 = pa.table({"arm": a, "v": pc.cast(v, pa.int64(), safe=False)})
+        return t2.filter(pc.and_(pc.is_valid(a), pc.is_valid(v)))
+
+    prep.__name__ = "ucb_prep"
+    if isinstance(ds, pa.Table):
+        agg = groupby_agg(prep(ds), "arm", {"v": ["sum", "count"]})
+    else:
+        keyed = ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+        agg = groupby_agg(keyed, "arm", {"v": ["sum", "count"]})
+        from kamae_ray.base import collect_tables
+
+        agg = pa.concat_tables(collect_tables(agg)).combine_chunks()
+    if agg.num_rows > max_arms:
+        raise ValueError(f"ucb_scores: {agg.num_rows} arms exceed max_arms")
+    agg = agg.sort_by("arm")
+    s = agg.column("v_sum").to_numpy(zero_copy_only=False)
+    n = agg.column("v_count").to_numpy(zero_copy_only=False)
+    keep = n > 0
+    s, n = s[keep], n[keep]
+    arms = agg.column("arm").filter(pa.array(keep))
+    if np.abs(s).max(initial=0) >= (1 << 53) or int(n.sum()) >= (1 << 53):
+        raise ValueError("ucb_scores: sums exceed exact float64 range")
+    N = float(int(n.sum()))
+    lnN = A.libm_log(np.array([N]))[0]
+    nf = n.astype(np.float64)
+    ucb = s / nf + np.sqrt((2.0 * lnN) / nf)
+    return pa.table({"arm": arms, "n": pa.array(n.astype(np.int64), pa.int64()),
+                     "ucb": pa.array(ucb, pa.float64())})

@@ -914,3 +914,56 @@ def temperature_mix_oracle_cond(key_expr: str, corpus_count_expr: str,
     rhs_t = " * ".join([f"CAST({hash_mod} AS HUGEINT)"] * q)
     rhs_m = " * ".join([f"CAST({min_count_expr} AS HUGEINT)"] * e) if e else "1"
     return f"({lhs}) * ({rhs_n}) < ({rhs_t}) * ({rhs_m})"
+
+
+def weighted_sample_noreplace(ds, id_col: str, weight_col: str, k: int,
+                              salt: int = 0):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+    each row draws a deterministic uniform from the house Knuth hash,
+    ``u = ((hash >> 11) + 1) / 2^53`` (exact dyadic in (0, 1]), and the
+    sample is the k LARGEST ``u^(1/w)`` — compared in log space as
+    ``ln(u) / w`` (ln via arrays.libm_log, division IEEE — the whole key is
+    bit-identical cross-engine, lesson 38), ties to the smallest id.
+    Exactly reproduces inclusion probabilities proportional to weight
+    without replacement, unlike the Bernoulli ``weighted_sample``. Weights
+    must be POSITIVE integers (raises per block). Output: ``id, w, key``.
+
+    Scale plan: one stateless map computes keys, then the partial top-k
+    plan (block-local head-k before the shuffle) — the exchange carries at
+    most k rows per block."""
+    from kamae_ray.stages.aggregate import topk_per_group
+
+    P = np.uint64(0x9E3779B97F4A7C15)
+    s_u = np.uint64(salt)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = pc.cast(A.as_array(t.column(id_col)), pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)
+        w = pc.cast(A.as_array(t.column(weight_col)), pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)
+        if len(w) and w.min() <= 0:
+            raise ValueError("weighted_sample_noreplace: weights must be positive")
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) + s_u) * P
+        u = ((h >> np.uint64(11)) + np.uint64(1)).astype(np.float64) / float(1 << 53)
+        key = A.libm_log(u) / w.astype(np.float64)
+        return pa.table({"__g": pa.array(np.zeros(len(ids), np.int64)),
+                         "id": pa.array(ids, pa.int64()),
+                         "w": pa.array(w, pa.int64()),
+                         "key": pa.array(key, pa.float64())})
+
+    keyed.__name__ = "aes_keys"
+    if isinstance(ds, pa.Table):
+        kt = keyed(ds)
+        top = topk_per_group(kt, "__g", "key", k, descending=True, tiebreak="id")
+        return top.drop_columns(["__g"])
+    mapped = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
+    top = topk_per_group(mapped, "__g", "key", k, descending=True, tiebreak="id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__g"])
+
+    finish.__name__ = "aes_finish"
+    return top.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)

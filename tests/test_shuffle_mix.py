@@ -204,3 +204,57 @@ class TestTemperatureMixNegativeKeys:
             eng = out.sort_by("k").select(["k", "c", "n_corpus"]).combine_chunks()
             assert eng.equals(ora.cast(eng.schema).combine_chunks()), (alpha, salt)
             assert 0 < out.num_rows < n  # both branches of the keep rule hit
+
+
+def test_weighted_sample_noreplace_props_and_dataset(ray_session):
+    import ray
+
+    from kamae_ray.stages.hashing import weighted_sample_noreplace
+
+    n = 5000
+    ids = np.arange(n)
+    # first half weight 1, second half weight 50
+    w = np.where(ids < n // 2, 1, 50).astype(np.int64)
+    t = pa.table({"id": pa.array(ids, pa.int64()), "w": pa.array(w, pa.int64())})
+    want = weighted_sample_noreplace(t, "id", "w", 400, salt=3).sort_by("id")
+    assert want.num_rows == 400
+    # no replacement: ids unique
+    got_ids = want.column("id").to_pylist()
+    assert len(set(got_ids)) == 400
+    # heavy rows dominate the sample (P[heavy] ~ 50x)
+    heavy = sum(1 for i in got_ids if i >= n // 2)
+    assert heavy > 350
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = pa.concat_tables(
+        [pa.table(x) for x in weighted_sample_noreplace(ds, "id", "w", 400, salt=3)
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by("id")
+    assert got.cast(want.schema).equals(want)
+    bad = pa.table({"id": pa.array([1, 2], pa.int64()), "w": pa.array([1, 0], pa.int64())})
+    with pytest.raises(ValueError):
+        weighted_sample_noreplace(bad, "id", "w", 1)
+
+
+def test_ucb_scores_dataset_matches_table(ray_session):
+    import ray
+
+    from kamae_ray.stages.evalmetrics import ucb_scores
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    arms = rng.choice(["a", "b", "c", "d"], n).astype(object)
+    arms[5] = None
+    v = rng.integers(-100, 400, n).astype(object)
+    v[7] = None
+    t = pa.table({"arm": pa.array(list(arms), pa.string()),
+                  "v": pa.array(list(v), pa.int64())})
+    want = ucb_scores(t, "arm", "v")
+    assert want.num_rows == 4
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = ucb_scores(ds, "arm", "v")
+    assert got.equals(want)
+    # exploration bonus shrinks with n: arm with fewer pulls has bigger bonus
+    import numpy as _np
+
+    nn = _np.array(want.column("n").to_pylist(), dtype=float)
+    assert (nn > 0).all()

@@ -5770,6 +5770,46 @@ def _q_ucb(sf_dir):
     return ucb_scores(keyed, "event_type", "cents")
 
 
+def _q_ols2(sf_dir):
+    """Per-group two-feature OLS (y=extendedprice cents ~ quantity +
+    discount%) by Cramer's rule over EXACT int64 moment sums (nine sums,
+    one exchange, guarded < 2^53 through the float64 agg path); the 3x3
+    determinants are one fixed IEEE expression mirrored verbatim by the
+    generated oracle — bit-identical betas, singular groups null."""
+    from kamae_ray.stages.linalg import grouped_ols2
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        def cents(col, mul):
+            return pc.cast(pc.round(pc.multiply(col, mul),
+                                    round_mode="half_towards_infinity"),
+                           pa.int64())
+
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "x1": cents(pc.cast(t.column("l_quantity"), pa.float64(), safe=False), 1.0),
+            "x2": cents(t.column("l_discount"), 100.0),
+            "y": cents(t.column("l_extendedprice"), 100.0),
+        })
+
+    prep.__name__ = "ols2_units"
+    keyed = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return grouped_ols2(keyed, "l_returnflag", "x1", "x2", "y")
+
+
+def _ols2_oracle() -> str:
+    from kamae_ray.stages.linalg import grouped_ols2_oracle_sql
+
+    return grouped_ols2_oracle_sql(
+        "lineitem", "l_returnflag",
+        "CAST(round(CAST(l_quantity AS DOUBLE) * 1.0) AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)")
+
+
 def _q_session_stats(sf_dir):
     """Session analytics chain: sessionize-by-gap (1h) -> per-session
     aggregates (events, exact cents sum, start/end, integer duration) — the
@@ -6955,6 +6995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_stats": _q_session_stats,
         "q_decay": _q_decay,
         "q_ucb": _q_ucb,
+        "q_ols2": _q_ols2,
         "q_session_drift": _q_session_drift,
         "q_checksum": _q_checksum,
         "q_top_items": _q_top_items,
@@ -9811,6 +9852,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(levenshtein(prev_seq, seq) AS BIGINT) AS dist "
             "FROM p WHERE prev_seq IS NOT NULL"
         ),
+        "q_ols2": _ols2_oracle(),
         "q_ucb": (
             "WITH b AS (SELECT event_type AS arm, CAST(round(value * 100) AS BIGINT) "
             "AS v FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL), "

@@ -374,3 +374,127 @@ def vector_mean_oracle_sql(
         f"array_agg((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / {scale} ORDER BY i) AS centroid "
         f"FROM q GROUP BY {key} ORDER BY {key}"
     )
+
+
+def grouped_ols2(ds, group_cols, x1_col: str, x2_col: str, y_col: str):
+    """Per-group ordinary least squares with TWO integer features and an
+    intercept: ``y ~ b0 + b1*x1 + b2*x2`` solved in closed form by Cramer's
+    rule over the group's EXACT int64 moment matrix (n, Sx1, Sx2, Sx11,
+    Sx12, Sx22, Sy, Sx1y, Sx2y — all guarded < 2^53 so they ride the
+    float64 agg path losslessly). The 3x3 determinants are ONE fixed
+    IEEE expression over those exact integers — identical bits on any
+    engine that mirrors the expression tree (the groupby_skew_kurt
+    family); singular groups (det == 0) yield null betas. Output:
+    group cols, ``n, b0, b1, b2``.
+
+    Scale plan: one partial-agg exchange (nine int sums per group), O(1)
+    finish per group — no driver state, no second pass."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def prep(t: pa.Table) -> pa.Table:
+        x1 = pc.cast(A.as_array(t.column(x1_col)), pa.int64(), safe=False)
+        x2 = pc.cast(A.as_array(t.column(x2_col)), pa.int64(), safe=False)
+        y = pc.cast(A.as_array(t.column(y_col)), pa.int64(), safe=False)
+        ok = pc.and_(pc.and_(pc.is_valid(x1), pc.is_valid(x2)), pc.is_valid(y))
+        cols = {k: t.column(k) for k in group_cols}
+        x1n = x1.to_numpy(zero_copy_only=False)
+        x2n = x2.to_numpy(zero_copy_only=False)
+        yn = y.to_numpy(zero_copy_only=False)
+        cols.update({
+            "__one": pa.array(np.ones(t.num_rows, np.int64)),
+            "__x1": x1, "__x2": x2, "__y": y,
+            "__x11": pa.array(x1n * x1n, pa.int64()),
+            "__x12": pa.array(x1n * x2n, pa.int64()),
+            "__x22": pa.array(x2n * x2n, pa.int64()),
+            "__x1y": pa.array(x1n * yn, pa.int64()),
+            "__x2y": pa.array(x2n * yn, pa.int64()),
+        })
+        return pa.table(cols).filter(ok)
+
+    prep.__name__ = "ols2_prep"
+    aggs = {c: ["sum"] for c in
+            ("__one", "__x1", "__x2", "__y", "__x11", "__x12", "__x22",
+             "__x1y", "__x2y")}
+    if isinstance(ds, pa.Table):
+        agg = groupby_agg(prep(ds), group_cols, aggs)
+    else:
+        keyed = ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+        agg = groupby_agg(keyed, group_cols, aggs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = {k: t.column(k) for k in group_cols}
+            out.update({"n": pa.array([], pa.int64()),
+                        "b0": pa.array([], pa.float64()),
+                        "b1": pa.array([], pa.float64()),
+                        "b2": pa.array([], pa.float64())})
+            return pa.table(out)
+        g = {c: t.column(f"{c}_sum").to_numpy(zero_copy_only=False)
+             for c in ("__one", "__x1", "__x2", "__y", "__x11", "__x12",
+                       "__x22", "__x1y", "__x2y")}
+        for c, v in g.items():
+            if np.abs(v).max(initial=0) >= (1 << 53):
+                raise ValueError(f"grouped_ols2: sum of {c} exceeds 2^53 — "
+                                 "shrink feature/target units")
+        n = g["__one"]; a = g["__x1"]; b = g["__x2"]
+        c_ = g["__x11"]; d = g["__x12"]; e = g["__x22"]
+        p = g["__y"]; q = g["__x1y"]; r2 = g["__x2y"]
+        det = n * (c_ * e - d * d) - a * (a * e - d * b) + b * (a * d - c_ * b)
+        det0 = p * (c_ * e - d * d) - a * (q * e - d * r2) + b * (q * d - c_ * r2)
+        det1 = n * (q * e - d * r2) - p * (a * e - d * b) + b * (a * r2 - q * b)
+        det2 = n * (c_ * r2 - q * d) - a * (a * r2 - q * b) + p * (a * d - c_ * b)
+        sing = det == 0.0
+        safe = np.where(sing, 1.0, det)
+        b0 = det0 / safe
+        b1 = det1 / safe
+        b2 = det2 / safe
+        mask = ~sing
+        out = {k: t.column(k) for k in group_cols}
+        out["n"] = pa.array(n.astype(np.int64), pa.int64())
+        out["b0"] = pa.array(np.where(mask, b0, 0.0), pa.float64(),
+                             mask=~mask if sing.any() else None)
+        out["b1"] = pa.array(np.where(mask, b1, 0.0), pa.float64(),
+                             mask=~mask if sing.any() else None)
+        out["b2"] = pa.array(np.where(mask, b2, 0.0), pa.float64(),
+                             mask=~mask if sing.any() else None)
+        return pa.table(out)
+
+    finish.__name__ = "ols2_finish"
+    if isinstance(agg, pa.Table):
+        return finish(agg)
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+
+def grouped_ols2_oracle_sql(table_expr: str, group_cols, x1_expr: str,
+                            x2_expr: str, y_expr: str) -> str:
+    """DuckDB mirror of :func:`grouped_ols2`: the same exact-int moment
+    sums and the same fixed Cramer expression tree (every product of two
+    moments runs in float64 on both engines)."""
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    gsel = ", ".join(gcols)
+    return (
+        f"WITH __b AS (SELECT {gsel}, {x1_expr} AS x1, {x2_expr} AS x2, "
+        f"{y_expr} AS y FROM {table_expr} WHERE {x1_expr} IS NOT NULL AND "
+        f"{x2_expr} IS NOT NULL AND {y_expr} IS NOT NULL), "
+        f"__m AS (SELECT {gsel}, CAST(count(*) AS DOUBLE) AS n, "
+        "CAST(SUM(x1) AS DOUBLE) AS a, CAST(SUM(x2) AS DOUBLE) AS b, "
+        "CAST(SUM(y) AS DOUBLE) AS p, CAST(SUM(x1 * x1) AS DOUBLE) AS c, "
+        "CAST(SUM(x1 * x2) AS DOUBLE) AS d, CAST(SUM(x2 * x2) AS DOUBLE) AS e, "
+        "CAST(SUM(x1 * y) AS DOUBLE) AS q, CAST(SUM(x2 * y) AS DOUBLE) AS r2 "
+        f"FROM __b GROUP BY {gsel}), "
+        f"__d AS (SELECT {gsel}, n, a, b, p, c, d, e, q, r2, "
+        "n * (c * e - d * d) - a * (a * e - d * b) + b * (a * d - c * b) AS det "
+        "FROM __m) "
+        f"SELECT {gsel}, CAST(n AS BIGINT) AS n, "
+        "(p * (c * e - d * d) - a * (q * e - d * r2) + b * (q * d - c * r2)) "
+        "/ NULLIF(det, 0) AS b0, "
+        "(n * (q * e - d * r2) - p * (a * e - d * b) + b * (a * r2 - q * b)) "
+        "/ NULLIF(det, 0) AS b1, "
+        "(n * (c * r2 - q * d) - a * (a * r2 - q * b) + p * (a * d - c * b)) "
+        "/ NULLIF(det, 0) AS b2 "
+        "FROM __d"
+    )

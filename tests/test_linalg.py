@@ -184,3 +184,45 @@ def test_groupby_vector_mean_all_null_keys():
                   "v": pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float32()))})
     out = groupby_vector_mean(t, "g", "v", scale_bits=4)
     assert out.num_rows == 1 and out.column("n").to_pylist() == [2]
+
+
+def test_grouped_ols2_recovers_planted_coefficients(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.linalg import grouped_ols2, grouped_ols2_oracle_sql
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    g = rng.integers(0, 4, n)
+    x1 = rng.integers(0, 50, n)
+    x2 = rng.integers(0, 100, n)
+    noise = rng.integers(-3, 4, n)
+    y = 7 + 3 * x1 - 2 * x2 + noise
+    t = pa.table({"g": pa.array(g, pa.int64()), "x1": pa.array(x1, pa.int64()),
+                  "x2": pa.array(x2, pa.int64()), "y": pa.array(y, pa.int64())})
+    want = grouped_ols2(t, "g", "x1", "x2", "y").sort_by("g")
+    b1 = np.array(want.column("b1").to_pylist())
+    b2 = np.array(want.column("b2").to_pylist())
+    assert np.allclose(b1, 3.0, atol=0.05) and np.allclose(b2, -2.0, atol=0.05)
+    con = duckdb.connect()
+    con.register("src", t)
+    exp = con.sql(grouped_ols2_oracle_sql("src", "g", "x1", "x2", "y")
+                  + " ORDER BY g").arrow()
+    for c in ("b0", "b1", "b2"):
+        ga = np.asarray(want.column(c).to_numpy(zero_copy_only=False))
+        ea = np.asarray(exp.column(c).to_numpy(zero_copy_only=False))
+        assert (ga.view(np.int64) == ea.view(np.int64)).all()
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = pa.concat_tables(
+        [pa.table(x) for x in grouped_ols2(ds, "g", "x1", "x2", "y")
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by("g")
+    assert got.cast(want.schema).equals(want)
+    # singular group (constant features) -> null betas
+    s = pa.table({"g": pa.array([9, 9, 9], pa.int64()),
+                  "x1": pa.array([1, 1, 1], pa.int64()),
+                  "x2": pa.array([2, 2, 2], pa.int64()),
+                  "y": pa.array([5, 6, 7], pa.int64())})
+    sing = grouped_ols2(s, "g", "x1", "x2", "y")
+    assert sing.column("b1").null_count == 1

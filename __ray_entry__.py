@@ -4294,6 +4294,25 @@ def _q_coalesce(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_zipf(sf_dir):
+    """Zipf's-law slope/intercept of the corpus unigram distribution over
+    the top-1000 terms: milli-ln integer quantization (libm ln, half-away)
+    makes the regression moments exact int64; slope is one division,
+    intercept one fixed IEEE chain — bit-identical to the SQL mirror.
+    Counts = one explode + partial-agg exchange; partial top-k bounds the
+    second exchange; driver sees only the top-R rows."""
+    from kamae_ray.pipelines.text_features import zipf_fit
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return zipf_fit(ds, "text", top_r=1000)
+
+
+def _zipf_oracle() -> str:
+    from kamae_ray.pipelines.text_features import zipf_oracle_sql
+
+    return zipf_oracle_sql("documents", "text", 1000)
+
+
 def _q_top_terms(sf_dir):
     """EXACT corpus-wide top-10 terms with bounded shuffle (heavy-hitters
     plan): words explode, per-block counts Misra-Gries-compressed to 256
@@ -7169,6 +7188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition": _q_repetition,
         "q_rank": _q_rank,
         "q_top_terms": _q_top_terms,
+        "q_zipf": _q_zipf,
         "q_profile": _q_profile,
         "q_range_join": _q_range_join,
         "q_ngrams": _q_ngrams,
@@ -8200,6 +8220,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, "
             "COALESCE(NULLIF(l_discount, 0.0), l_tax) AS disc_filled FROM lineitem"
         ),
+        "q_zipf": _zipf_oracle(),
         "q_top_terms": (
             "WITH w AS (SELECT unnest(list_filter(string_split_regex(coalesce(text,''), '\\s+'), "
             "x -> length(x) > 0)) AS term FROM documents) "

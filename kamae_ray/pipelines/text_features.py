@@ -1125,3 +1125,98 @@ def dsir_scores(ds_source, ds_target, id_col: str, text_col: str,
         return score(tf_src)
     return tf_src.map_batches(score, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
+
+
+def zipf_fit(ds, text_col: str, top_r: int = 1000):
+    """Zipf's-law fit of the corpus unigram distribution: least-squares
+    slope/intercept of ``ln(freq) ~ ln(rank)`` over the top ``top_r`` terms
+    (count DESC, term ASC rank order) — the classic corpus-health readout
+    (natural text slopes ~ -1). Both log coordinates quantize to EXACT
+    milli-ln integers (``round(ln(v) * 1000)``, libm ln + half-away — bits
+    identical cross-engine), so the regression moments are exact int64 and
+    the slope is ONE division; the intercept chain is one fixed IEEE order.
+    Output: one row ``n_terms, slope, intercept``.
+
+    Scale plan: term counts are one explode + partial-agg exchange; the
+    partial top-k plan bounds the second exchange at k rows per block; the
+    driver sees only ``top_r`` rows."""
+    from kamae_ray.stages.aggregate import groupby_agg, topk_per_group
+    from kamae_ray.stages.reshape import explode
+    from kamae_ray.stages.text import NGramTransformer
+
+    terms = NGramTransformer(input_col=text_col, n=1, output_col="term").transform(ds)
+    terms = explode(terms, "term")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t.column("term"),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    proj.__name__ = "zipf_proj"
+    if isinstance(terms, pa.Table):
+        counts = groupby_agg(proj(terms), "term", {"one": ["sum"]})
+    else:
+        counts = groupby_agg(
+            terms.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=None),
+            "term", {"one": ["sum"]})
+
+    def addg(t: pa.Table) -> pa.Table:
+        return pa.table({"__g": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "term": t.column("term"),
+                         "n": pc.cast(t.column("one_sum"), pa.int64(), safe=False)})
+
+    addg.__name__ = "zipf_addg"
+    if isinstance(counts, pa.Table):
+        top = topk_per_group(addg(counts), "__g", "n", top_r,
+                             descending=True, tiebreak="term")
+    else:
+        top = topk_per_group(
+            counts.map_batches(addg, batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None),
+            "__g", "n", top_r, descending=True, tiebreak="term")
+        from kamae_ray.base import collect_tables
+
+        top = pa.concat_tables(collect_tables(top)).combine_chunks()
+    if top.num_rows < 2:
+        return pa.table({"n_terms": pa.array([top.num_rows], pa.int64()),
+                         "slope": pa.array([None], pa.float64()),
+                         "intercept": pa.array([None], pa.float64())})
+    # rank order: (n DESC, term ASC)
+    idx = pc.sort_indices(top, sort_keys=[("n", "descending"), ("term", "ascending")])
+    cnt = top.column("n").take(idx).to_numpy(zero_copy_only=False)
+    k = len(cnt)
+    r = np.arange(1, k + 1, dtype=np.float64)
+    x = np.floor(A.libm_log(r) * 1000.0 + 0.5).astype(np.int64)
+    y = np.floor(A.libm_log(cnt.astype(np.float64)) * 1000.0 + 0.5).astype(np.int64)
+    kk = np.int64(k)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = int(kk) * sxy - sx * sy
+    den = int(kk) * sxx - sx * sx
+    slope = float(num) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(k)
+    return pa.table({"n_terms": pa.array([k], pa.int64()),
+                     "slope": pa.array([slope], pa.float64()),
+                     "intercept": pa.array([intercept], pa.float64())})
+
+
+def zipf_oracle_sql(table: str, text_col: str, top_r: int = 1000) -> str:
+    """DuckDB mirror of :func:`zipf_fit` — same tokenization
+    (whitespace-split non-empty), same milli-ln quantization, same exact
+    integer moments and single-order float chain."""
+    return (
+        r"WITH w AS (SELECT unnest(list_filter(string_split_regex("
+        rf"coalesce({text_col}, ''), '\s+'), x -> length(x) > 0)) AS term "
+        f"FROM {table}), "
+        "c AS (SELECT term, count(*)::BIGINT AS n FROM w GROUP BY term), "
+        "t AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r FROM c), "
+        f"q AS (SELECT CAST(round(ln(r) * 1000) AS BIGINT) AS x, "
+        f"CAST(round(ln(n) * 1000) AS BIGINT) AS y FROM t WHERE r <= {top_r}), "
+        "m AS (SELECT count(*)::BIGINT AS k, CAST(SUM(x) AS BIGINT) AS sx, "
+        "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sxx FROM q) "
+        "SELECT k AS n_terms, "
+        "CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx) AS slope, "
+        "(CAST(sy AS DOUBLE) - (CAST(k * sxy - sx * sy AS DOUBLE) / "
+        "(k * sxx - sx * sx)) * CAST(sx AS DOUBLE)) / k AS intercept FROM m"
+    )

@@ -971,3 +971,29 @@ def test_time_decayed_sum_bitexact_vs_duckdb_and_distributed(ray_session):
     assert got.cast(want.schema).equals(want)
     with pytest.raises(ValueError):
         time_decayed_sum(t, "k", "t_us", "v", 0, ref)
+
+
+def test_zipf_fit_dataset_matches_table_and_law(ray_session):
+    import ray
+
+    from kamae_ray.pipelines.text_features import zipf_fit
+
+    rng = np.random.default_rng(6)
+    # synthesize a corpus whose term counts actually follow freq ~ rank^-1
+    words = []
+    for r in range(1, 80):
+        words.extend([f"w{r:03d}"] * max(1, 8000 // r))
+    rng.shuffle(words)
+    docs = [" ".join(words[i::50]) for i in range(50)]
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    want = zipf_fit(t, "text", top_r=79)
+    slope = want.column("slope")[0].as_py()
+    assert -1.15 < slope < -0.85  # recovers the planted -1 exponent
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = zipf_fit(ds, "text", top_r=79)
+    assert got.equals(want)
+    empty = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([""], pa.string())})
+    deg = zipf_fit(empty, "text")
+    assert deg.column("slope").null_count == 1

@@ -5789,6 +5789,26 @@ def _q_ucb(sf_dir):
     return ucb_scores(keyed, "event_type", "cents")
 
 
+def _q_power_means(sf_dir):
+    """Geometric + harmonic mean of extendedprice cents per returnflag:
+    micro-ln int64 sums (libm ln) and exact 1e12//v integer reciprocals —
+    one partial-agg exchange, bit-identical gmean/hmean vs the mirrored
+    exp / one-division SQL (lesson-38 exp class)."""
+    from kamae_ray.stages.profile import grouped_power_means
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_returnflag": t.column("l_returnflag"), "v": cents})
+
+    prep.__name__ = "pmean_units"
+    keyed = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return grouped_power_means(keyed, "l_returnflag", "v")
+
+
 def _q_ols2(sf_dir):
     """Per-group two-feature OLS (y=extendedprice cents ~ quantity +
     discount%) by Cramer's rule over EXACT int64 moment sums (nine sums,
@@ -7015,6 +7035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decay": _q_decay,
         "q_ucb": _q_ucb,
         "q_ols2": _q_ols2,
+        "q_power_means": _q_power_means,
         "q_session_drift": _q_session_drift,
         "q_checksum": _q_checksum,
         "q_top_items": _q_top_items,
@@ -9872,6 +9893,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, prev_seq, seq, "
             "CAST(levenshtein(prev_seq, seq) AS BIGINT) AS dist "
             "FROM p WHERE prev_seq IS NOT NULL"
+        ),
+        "q_power_means": (
+            "WITH b AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) v "
+            "FROM lineitem WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0), "
+            "m AS (SELECT l_returnflag, count(*)::BIGINT n, "
+            "CAST(SUM(CAST(round(ln(v) * 1000000) AS BIGINT)) AS BIGINT) sln, "
+            "CAST(SUM(1000000000000 // v) AS BIGINT) srec FROM b GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, exp((CAST(sln AS DOUBLE) / 1000000.0) / n) AS gmean, "
+            "(CAST(n AS DOUBLE) * 1000000000000.0) / srec AS hmean FROM m"
         ),
         "q_ols2": _ols2_oracle(),
         "q_ucb": (

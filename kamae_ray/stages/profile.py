@@ -2033,3 +2033,69 @@ def chatterjee_xi_by_group(ds, group_col: str, x_col: str, y_col: str,
     if isinstance(ds, pa.Table):
         return fold(ds)
     return sorted_block_apply(ds, [group_col], fold, "chatterjee_fold")
+
+
+def grouped_power_means(ds, group_cols, value_col: str):
+    """Geometric and harmonic means per group over POSITIVE integer values
+    (zero/negative/null rows dropped — log/reciprocal domain, SQL WHERE
+    mirror), both in engine-exact forms:
+
+    - geometric: each ``ln(v)`` quantizes to micro-ln int64 (libm ln +
+      half-away — bit-identical cross-engine), so the group sum is exact
+      and ``exp((S/1e6)/n)`` is one fixed IEEE chain (pc.exp == DuckDB exp,
+      lesson 38 class).
+    - harmonic: reciprocals as exact integers ``1e12 // v`` (floor), so the
+      group sum is exact int64 and ``(n * 1e12) / S`` is ONE division.
+
+    Output: group cols, ``n, gmean, hmean``. One partial-agg exchange; the
+    final sums are guarded < 2^53 (the float64 agg path is lossless below
+    it)."""
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.cast(A.as_array(t.column(value_col)), pa.int64(), safe=False)
+        cols = {k: t.column(k) for k in group_cols}
+        vn = v.to_numpy(zero_copy_only=False)
+        ok_np = np.asarray(pc.is_valid(v).to_numpy(zero_copy_only=False)) & (
+            np.nan_to_num(vn, nan=0) > 0) if v.null_count else (vn > 0)
+        vv = np.where(ok_np, vn, 1)
+        lnm = np.floor(A.libm_log(vv.astype(np.float64)) * 1_000_000.0 + 0.5) \
+            .astype(np.int64)
+        rec = np.int64(1_000_000_000_000) // vv
+        cols["__one"] = pa.array(np.ones(t.num_rows, np.int64))
+        cols["__lnm"] = pa.array(lnm, pa.int64())
+        cols["__rec"] = pa.array(rec, pa.int64())
+        return pa.table(cols).filter(pa.array(ok_np))
+
+    prep.__name__ = "pmean_prep"
+    aggs = {"__one": ["sum"], "__lnm": ["sum"], "__rec": ["sum"]}
+    if isinstance(ds, pa.Table):
+        agg = groupby_agg(prep(ds), group_cols, aggs)
+    else:
+        keyed = ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+        agg = groupby_agg(keyed, group_cols, aggs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("__one_sum").to_numpy(zero_copy_only=False)
+        sln = t.column("__lnm_sum").to_numpy(zero_copy_only=False)
+        srec = t.column("__rec_sum").to_numpy(zero_copy_only=False)
+        for v in (sln, srec):
+            if len(v) and np.abs(v).max(initial=0) >= (1 << 53):
+                raise ValueError("grouped_power_means: sum exceeds 2^53 — "
+                                 "the float64 agg path is no longer exact")
+        gmean = pc.exp(pa.array((sln / 1_000_000.0) / n, pa.float64()))
+        hmean = pa.array((n * 1_000_000_000_000.0) / srec, pa.float64())
+        out = {k: t.column(k) for k in group_cols}
+        out["n"] = pa.array(n.astype(np.int64), pa.int64())
+        out["gmean"] = gmean
+        out["hmean"] = hmean
+        return pa.table(out)
+
+    finish.__name__ = "pmean_finish"
+    if isinstance(agg, pa.Table):
+        return finish(agg)
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)

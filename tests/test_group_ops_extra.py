@@ -997,3 +997,32 @@ def test_zipf_fit_dataset_matches_table_and_law(ray_session):
                       "text": pa.array([""], pa.string())})
     deg = zipf_fit(empty, "text")
     assert deg.column("slope").null_count == 1
+
+
+def test_grouped_power_means_dataset_and_references(ray_session):
+    import ray
+
+    from kamae_ray.stages.profile import grouped_power_means
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    g = rng.integers(0, 5, n)
+    v = rng.integers(1, 100000, n).astype(object)
+    v[4] = None
+    v[9] = 0  # dropped: outside the log/reciprocal domain
+    t = pa.table({"g": pa.array(g, pa.int64()), "v": pa.array(list(v), pa.int64())})
+    want = grouped_power_means(t, "g", "v").sort_by("g")
+    # sanity vs naive float references (quantization error ~1e-6 relative)
+    mask = np.array([x is not None and x > 0 for x in v])
+    for row in want.to_pylist():
+        sel = np.array([int(x) for x, m, gg in zip(v, mask, g)
+                        if m and gg == row["g"]], dtype=float)
+        assert abs(row["gmean"] - np.exp(np.mean(np.log(sel)))) / row["gmean"] < 1e-5
+        assert abs(row["hmean"] - len(sel) / np.sum(1.0 / sel)) / row["hmean"] < 1e-5
+        assert row["n"] == len(sel)
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = pa.concat_tables(
+        [pa.table(x) for x in grouped_power_means(ds, "g", "v")
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by("g")
+    assert got.cast(want.schema).equals(want)

@@ -1994,6 +1994,28 @@ def _q_snm_pairs(sf_dir):
     return sorted_neighborhood_pairs(keyed, "id", "val", window=4)
 
 
+def _q_golden(sf_dir):
+    """Survivorship merge after ER clustering (golden record): per synthetic
+    cluster (c_custkey%300), each attribute takes the most frequent
+    non-null value (ties smallest). O(attrs) partial-count + top-1
+    exchanges, winners assembled with cluster-key joins — never the input
+    rows. Oracle = per-attr ROW_NUMBER + LEFT JOIN chain."""
+    from kamae_ray.pipelines.dedup import golden_record
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_nationkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({"cluster": pa.array(keys % 300, pa.int64()),
+                         "seg": t.column("c_mktsegment"),
+                         "nat": pc.cast(t.column("c_nationkey"), pa.int64(), safe=False)})
+
+    prep.__name__ = "golden_prep"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return golden_record(keyed, "cluster", ["seg", "nat"])
+
+
 def _q_er_cluster(sf_dir):
     """Entity-resolution clustering (``dedup.er_cluster``): blocking on the
     2-char lowercase prefix -> in-block Levenshtein<=1 edges over DISTINCT
@@ -7155,6 +7177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_containment": _q_containment,
         "q_er_cluster": _q_er_cluster,
         "q_snm_pairs": _q_snm_pairs,
+        "q_golden": _q_golden,
         "q_rolling_distinct": _q_rolling_distinct,
         "q_tclose": _q_tclose,
         "q_link_pred": _q_link_pred,
@@ -9306,6 +9329,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # entity-resolution clustering: blocking prefix + levenshtein<=1
         # edges over distinct names, recursive-CTE min-reach components
+        "q_golden": (
+            "WITH b AS (SELECT c_custkey % 300 AS cluster, c_mktsegment AS seg, "
+            "CAST(c_nationkey AS BIGINT) AS nat FROM customer), "
+            "ws AS (SELECT cluster, seg FROM (SELECT cluster, seg, row_number() OVER "
+            "(PARTITION BY cluster ORDER BY count(*) DESC, seg) rn FROM b "
+            "WHERE seg IS NOT NULL GROUP BY cluster, seg) WHERE rn = 1), "
+            "wn AS (SELECT cluster, nat FROM (SELECT cluster, nat, row_number() OVER "
+            "(PARTITION BY cluster ORDER BY count(*) DESC, nat) rn FROM b "
+            "WHERE nat IS NOT NULL GROUP BY cluster, nat) WHERE rn = 1) "
+            "SELECT c.cluster, ws.seg, wn.nat FROM (SELECT DISTINCT cluster FROM b) c "
+            "LEFT JOIN ws USING (cluster) LEFT JOIN wn USING (cluster)"
+        ),
         "q_snm_pairs": (
             "WITH s AS (SELECT c_custkey AS id, CAST(round(c_acctbal * 100) AS BIGINT) "
             "+ 100000 AS val FROM customer), "

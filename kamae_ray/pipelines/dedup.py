@@ -2121,3 +2121,68 @@ def sorted_neighborhood_pairs(ds, id_col: str, value_col: str, window: int = 3,
         return finish(joined)
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
+
+
+def golden_record(ds, cluster_col: str, attr_cols: list[str]):
+    """Survivorship merge (the MDM step after entity-resolution
+    clustering): one canonical row per cluster, each attribute taking the
+    cluster's MOST FREQUENT non-null value (ties to the smallest value) —
+    SQL ``row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC,
+    value)`` per attribute, LEFT-joined so all-null attributes stay null.
+    Output: ``cluster_col, <attr_cols...>``.
+
+    Scale plan: per attribute, one (cluster, value) partial-count exchange
+    + the partial top-k plan (k=1) — O(attrs) exchanges total; the winners
+    then assemble with shuffle joins on the cluster key (O(clusters) rows
+    each, never the input). No driver state."""
+    from kamae_ray.stages.aggregate import distinct, groupby_agg, topk_per_group
+    from kamae_ray.stages.join import shuffle_join
+
+    if not attr_cols:
+        raise ValueError("golden_record needs at least one attribute column")
+
+    def winner(a_col: str):
+        def proj(t: pa.Table) -> pa.Table:
+            v = A.as_array(t.column(a_col))
+            sub = pa.table({cluster_col: t.column(cluster_col), a_col: v,
+                            "__one": pa.array(np.ones(t.num_rows, np.int64))})
+            return sub.filter(pc.and_(pc.is_valid(v),
+                                      pc.is_valid(A.as_array(t.column(cluster_col)))))
+
+        proj.__name__ = f"golden_proj_{a_col}"
+        if isinstance(ds, pa.Table):
+            counts = groupby_agg(proj(ds), [cluster_col, a_col], {"__one": ["sum"]})
+            top = topk_per_group(counts, cluster_col, "__one_sum", 1,
+                                 descending=True, tiebreak=a_col)
+            return top.select([cluster_col, a_col])
+        mapped = ds.map_batches(proj, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+        counts = groupby_agg(mapped, [cluster_col, a_col], {"__one": ["sum"]})
+        top = topk_per_group(counts, cluster_col, "__one_sum", 1,
+                             descending=True, tiebreak=a_col)
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.select([cluster_col, a_col])
+
+        keep.__name__ = f"golden_keep_{a_col}"
+        return top.map_batches(keep, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+
+    def clusters_only(t: pa.Table) -> pa.Table:
+        c = A.as_array(t.column(cluster_col))
+        return pa.table({cluster_col: c}).filter(pc.is_valid(c))
+
+    clusters_only.__name__ = "golden_clusters"
+    if isinstance(ds, pa.Table):
+        out = distinct(clusters_only(ds), [cluster_col])
+        for a in attr_cols:
+            w = winner(a)
+            idx = {c: i for i, c in enumerate(w.column_names)}
+            out = shuffle_join(out, w, on=cluster_col, how="left")
+        return out
+    base = ds.map_batches(clusters_only, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    out = distinct(base, [cluster_col])
+    for a in attr_cols:
+        out = shuffle_join(out, winner(a), on=cluster_col, how="left")
+    return out

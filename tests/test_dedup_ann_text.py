@@ -1788,3 +1788,29 @@ def test_mmr_select_dataset_budget_and_determinism(ray_session):
         mmr_select(ds, "vec_id", "embedding", q0, k=6, max_candidates=2)
     with pytest.raises(ValueError):
         mmr_select(cand, "vec_id", "embedding", q0, lam=(3, 2))
+
+
+def test_golden_record_dataset_nulls_and_ties(ray_session):
+    import ray
+
+    from kamae_ray.pipelines.dedup import golden_record
+
+    t = pa.table({
+        "cluster": pa.array([1, 1, 1, 2, 2, 3, None], pa.int64()),
+        "a": pa.array(["x", "y", "y", None, None, "z", "q"], pa.string()),
+        "b": pa.array([5, 5, 7, 9, 9, None, 1], pa.int64()),
+    })
+    want = golden_record(t, "cluster", ["a", "b"]).sort_by("cluster")
+    rows = {r["cluster"]: r for r in want.to_pylist()}
+    assert rows[1]["a"] == "y" and rows[1]["b"] == 5  # majority; count-tie -> min
+    assert rows[2]["a"] is None and rows[2]["b"] == 9  # all-null attr stays null
+    assert rows[3]["a"] == "z" and rows[3]["b"] is None
+    assert None not in rows  # null clusters dropped
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = pa.concat_tables(
+        [pa.table(x) for x in golden_record(ds, "cluster", ["a", "b"])
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by("cluster")
+    assert got.cast(want.schema).equals(want)
+    with pytest.raises(ValueError):
+        golden_record(t, "cluster", [])

@@ -2180,6 +2180,7 @@ def golden_record(ds, cluster_col: str, attr_cols: list[str]):
             idx = {c: i for i, c in enumerate(w.column_names)}
             out = shuffle_join(out, w, on=cluster_col, how="left")
         return out
+    ds = ds.materialize()  # consumed 1 + len(attr_cols) times (lesson 14)
     base = ds.map_batches(clusters_only, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
     out = distinct(base, [cluster_col])

@@ -4335,6 +4335,57 @@ def _zipf_oracle() -> str:
     return zipf_oracle_sql("documents", "text", 1000)
 
 
+def _q_sparse_dot(sf_dir):
+    """Sparse-vector dot products between consecutive documents (pair =
+    doc_id//2): per-doc term-frequency vectors (term_frequencies block
+    kernel, no shuffle) -> ONE (pair, term) shuffle_join of the even
+    against the odd member -> exact int64 tf*tf products summed per pair.
+    The sparse-feature similarity composition, all existing operators."""
+    from kamae_ray.pipelines.text_features import term_frequencies
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.join import shuffle_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tf = term_frequencies(ds, "doc_id", "text").materialize()
+
+    def side(par):
+        def f(t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = (d % 2) == par
+            sub = t.filter(pa.array(keep))
+            dd = sub.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table({"pair": pa.array(dd // 2, pa.int64()),
+                             "term": sub.column("term"),
+                             f"tf{par}": pc.cast(sub.column("tf"), pa.int64(), safe=False)})
+        f.__name__ = f"sparse_side{par}"
+        return f
+
+    a = tf.map_batches(side(0), batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+    b = tf.map_batches(side(1), batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+    joined = shuffle_join(a, b, on=["pair", "term"], how="inner")
+
+    def mul(t: pa.Table) -> pa.Table:
+        p = t.column("tf0").to_numpy(zero_copy_only=False) * \
+            t.column("tf1").to_numpy(zero_copy_only=False)
+        return pa.table({"pair": t.column("pair"),
+                         "prod": pa.array(p, pa.int64())})
+
+    mul.__name__ = "sparse_mul"
+    prods = joined.map_batches(mul, batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None)
+    agg = groupby_agg(prods, "pair", {"prod": ["sum"]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"pair": t.column("pair"),
+                         "dot": pc.cast(t.column("prod_sum"), pa.int64(), safe=False)})
+
+    finish.__name__ = "sparse_finish"
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_top_terms(sf_dir):
     """EXACT corpus-wide top-10 terms with bounded shuffle (heavy-hitters
     plan): words explode, per-block counts Misra-Gries-compressed to 256
@@ -7233,6 +7284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rank": _q_rank,
         "q_top_terms": _q_top_terms,
         "q_zipf": _q_zipf,
+        "q_sparse_dot": _q_sparse_dot,
         "q_profile": _q_profile,
         "q_range_join": _q_range_join,
         "q_ngrams": _q_ngrams,
@@ -8263,6 +8315,14 @@ def oracle_sql() -> dict[str, str]:
         "q_coalesce": (
             "SELECT l_orderkey, l_linenumber, "
             "COALESCE(NULLIF(l_discount, 0.0), l_tax) AS disc_filled FROM lineitem"
+        ),
+        "q_sparse_dot": (
+            "WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex("
+            "coalesce(text, ''), '\\s+'), x -> length(x) > 0)) AS term FROM documents), "
+            "c AS (SELECT doc_id, term, count(*)::BIGINT tf FROM w GROUP BY doc_id, term) "
+            "SELECT a.doc_id // 2 AS pair, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot "
+            "FROM c a JOIN c b ON a.doc_id // 2 = b.doc_id // 2 AND a.term = b.term "
+            "AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY pair"
         ),
         "q_zipf": _zipf_oracle(),
         "q_top_terms": (

@@ -241,6 +241,7 @@ _BENCH_QUERIES = [
     "q_zipf",  # Zipf slope fit, milli-ln integer moments
     "q_power_means",  # geometric + harmonic means, exact quantized forms
     "q_golden",  # survivorship merge: most-frequent non-null per cluster
+    "q_sparse_dot",  # consecutive-doc sparse tf dot products
     "q_replace_col",  # column-pattern regex replace, distinct-once RE2 dispatch
     "q_chunk",  # RAG chunking fan-out (vectorized per-ordinal utf8 slices)
     "q_windows",  # LLM context windows (offsets-arithmetic 2-D gather)

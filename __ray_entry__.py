@@ -6442,6 +6442,46 @@ def _q_scd2(sf_dir):
                       tiebreak_col="event_id", carry_cols=["event_id"])
 
 
+def _q_scd2_merge(sf_dir):
+    """Incremental SCD2 merge certified against the FULL REBUILD: build the
+    dimension from pre-midpoint events, form one snapshot row per user from
+    the post-midpoint half (latest (ts DESC, event_id) row), and merge —
+    only the open slice joins the snapshot (O(keys) exchange, history
+    streams through). Oracle = the q_scd2 gaps-and-islands SQL over
+    old UNION snapshot, so the incremental==rebuild contract IS the
+    certification."""
+    from kamae_ray.stages.aggregate import topk_per_group
+    from kamae_ray.stages.window import scd2_build, scd2_merge
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    lo = int(pa.scalar(_read(sf_dir, "events", ["ts"]).min("ts"),
+                       pa.timestamp("us")).cast(pa.int64()).as_py())
+    hi = int(pa.scalar(_read(sf_dir, "events", ["ts"]).max("ts"),
+                       pa.timestamp("us")).cast(pa.int64()).as_py())
+    cut = (lo + hi) // 2
+
+    def half(old):
+        def f(t: pa.Table) -> pa.Table:
+            us = pc.cast(t.column("ts"), pa.int64())
+            ok = pc.is_valid(t.column("ts"))
+            keep = pc.and_(ok, pc.less(us, cut) if old else pc.greater_equal(us, cut))
+            return t.filter(keep)
+        f.__name__ = f"scd2m_half{int(old)}"
+        return f
+
+    ev = ev.materialize()
+    old = ev.map_batches(half(True), batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    post = ev.map_batches(half(False), batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+    dim = scd2_build(old, "user_id", "ts", ["event_type"],
+                     tiebreak_col="event_id", carry_cols=["event_id"])
+    snap = topk_per_group(post, "user_id", "ts", 1, descending=True,
+                          tiebreak="event_id")
+    return scd2_merge(dim, snap, "user_id", "ts", ["event_type"],
+                      carry_cols=["event_id"])
+
+
 def _q_json(sf_dir):
     """Flat-JSON field extraction (``JsonExtractTransformer``) over the
     events ``props`` payload column: one RE2 extract per batch, unquote +
@@ -7096,6 +7136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_line_filter": _q_line_filter,
         "q_gopher": _q_gopher,
         "q_scd2": _q_scd2,
+        "q_scd2_merge": _q_scd2_merge,
         "q_json": _q_json,
         "q_knn": _q_knn,
         "q_mmr": _q_mmr,
@@ -9038,6 +9079,27 @@ def oracle_sql() -> dict[str, str]:
             "g_flag_symbol AND g_flag_alpha AND g_flag_stop) AS g_pass FROM m"
         ))(__import__("kamae_ray.stages.text", fromlist=["x"]).gopher_oracle_exprs(
             "text", "g")),
+        "q_scd2_merge": (
+            "WITH cut AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c "
+            "FROM events WHERE ts IS NOT NULL), "
+            "oldr AS (SELECT user_id, ts, event_id, event_type FROM events "
+            "WHERE ts IS NOT NULL AND epoch_us(ts) < (SELECT c FROM cut)), "
+            "post AS (SELECT user_id, ts, event_id, event_type FROM events "
+            "WHERE ts IS NOT NULL AND epoch_us(ts) >= (SELECT c FROM cut)), "
+            "snap AS (SELECT user_id, ts, event_id, event_type FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) rn "
+            "FROM post) WHERE rn = 1), "
+            "s AS (SELECT * FROM oldr UNION ALL SELECT * FROM snap), "
+            "o AS (SELECT *, LAG(event_type) OVER w AS prev, ROW_NUMBER() OVER w AS rn "
+            "FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "ch AS (SELECT user_id, ts, event_id, event_type FROM o WHERE rn = 1 OR "
+            "(prev IS DISTINCT FROM event_type)), "
+            "v AS (SELECT user_id, event_id, event_type, ts AS valid_from, "
+            "LEAD(ts) OVER w2 AS valid_to, ROW_NUMBER() OVER w2 AS version FROM ch "
+            "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, event_id, event_type, valid_from, valid_to, "
+            "CAST(version AS BIGINT) AS version, valid_to IS NULL AS is_current FROM v"
+        ),
         "q_scd2": (
             "WITH s AS (SELECT user_id, ts, event_id, event_type FROM events "
             "WHERE ts IS NOT NULL), "

@@ -2799,3 +2799,157 @@ def session_drift(ds, entity_col: str, time_col: str, tiebreak_col: str,
     if isinstance(ds, pa.Table):
         return kern(ds)
     return sorted_block_apply(ds, [entity_col], kern, "session_drift")
+
+
+def scd2_merge(dim, snapshot, key_cols, time_col: str, attr_cols,
+               carry_cols: list[str] | None = None):
+    """Incremental SCD2 merge — apply one CDC snapshot batch to an existing
+    :func:`scd2_build` dimension WITHOUT rebuilding history: per key, if
+    the snapshot's tracked attrs differ (null-safe) from the key's open
+    version, close it at the snapshot time and open version+1; equal attrs
+    and absent keys leave the dimension untouched; brand-new keys insert
+    version 1. The certified contract (tests + q_scd2_merge oracle) is
+    ``merge(build(old), snap) == build(old UNION snap)`` whenever each
+    key's snapshot time is strictly later than its open ``valid_from``
+    (raised otherwise) and the snapshot holds ONE row per key (raised).
+
+    Scale plan: closed versions stream through untouched; only the open
+    slice (one row per key) FULL-OUTER shuffle-joins the snapshot, and a
+    vectorized block map emits unchanged/closed/new rows — O(keys)
+    exchange, never the history."""
+    from kamae_ray.stages.join import shuffle_join
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    attr_cols = [attr_cols] if isinstance(attr_cols, str) else list(attr_cols)
+    carry_cols = list(carry_cols or [])
+    out_cols = key_cols + carry_cols + attr_cols + [
+        "valid_from", "valid_to", "version", "is_current"]
+    ren = {c: f"__s_{c}" for c in carry_cols + attr_cols + [time_col]}
+
+    def snap_prep(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in key_cols}
+        for c, rc in ren.items():
+            cols[rc] = t.column(c)
+        cols["__s_present"] = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table(cols)
+
+    snap_prep.__name__ = "scd2m_snap"
+
+    def split(pred):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pred(t.column("is_current")))
+        return f
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        o_has = pc.is_valid(t.column("version")).to_numpy(zero_copy_only=False)
+        s_has = pc.is_valid(t.column("__s_present")).to_numpy(zero_copy_only=False)
+        # null-safe "attrs differ" vector
+        differ = np.zeros(n, bool)
+        for c in attr_cols:
+            a = A.as_array(t.column(c))
+            b = A.as_array(t.column(f"__s_{c}"))
+            av = pc.is_valid(a).to_numpy(zero_copy_only=False)
+            bv = pc.is_valid(b).to_numpy(zero_copy_only=False)
+            neq = pc.fill_null(pc.not_equal(a, b), True).to_numpy(zero_copy_only=False)
+            differ |= np.where(av & bv, neq, av != bv)
+        both = o_has & s_has
+        if both.any():
+            vf = pc.cast(A.as_array(t.column("valid_from")), pa.int64(),
+                         safe=False).to_numpy(zero_copy_only=False)
+            st = pc.cast(A.as_array(t.column(f"__s_{time_col}")), pa.int64(),
+                         safe=False).to_numpy(zero_copy_only=False)
+            if (st[both] <= vf[both]).any():
+                raise ValueError(
+                    "scd2_merge: a snapshot time is not strictly later than "
+                    "the key's open valid_from — the incremental==rebuild "
+                    "contract does not hold; rebuild with scd2_build")
+        pieces = []
+        unchanged = o_has & (~s_has | (s_has & ~differ))
+        if unchanged.any():
+            sub = t.filter(pa.array(unchanged))
+            pieces.append(pa.table({c: sub.column(c) for c in out_cols}))
+        closing = both & differ
+        if closing.any():
+            sub = t.filter(pa.array(closing))
+            cols = {c: sub.column(c) for c in out_cols}
+            cols["valid_to"] = pc.cast(sub.column(f"__s_{time_col}"),
+                                       sub.column("valid_from").type, safe=False)
+            cols["is_current"] = pa.array(np.zeros(sub.num_rows, bool))
+            pieces.append(pa.table(cols))
+            newc = {k: sub.column(k) for k in key_cols}
+            for c in carry_cols + attr_cols:
+                newc[c] = pc.cast(sub.column(f"__s_{c}"), sub.column(c).type,
+                                  safe=False)
+            newc["valid_from"] = pc.cast(sub.column(f"__s_{time_col}"),
+                                         sub.column("valid_from").type, safe=False)
+            newc["valid_to"] = pa.nulls(sub.num_rows, sub.column("valid_to").type)
+            newc["version"] = pc.add(sub.column("version"), 1)
+            newc["is_current"] = pa.array(np.ones(sub.num_rows, bool))
+            pieces.append(pa.table({c: newc[c] for c in out_cols}))
+        fresh = s_has & ~o_has
+        if fresh.any():
+            sub = t.filter(pa.array(fresh))
+            newc = {k: sub.column(k) for k in key_cols}
+            for c in carry_cols + attr_cols:
+                newc[c] = pc.cast(sub.column(f"__s_{c}"), sub.column(c).type,
+                                  safe=False)
+            newc["valid_from"] = pc.cast(sub.column(f"__s_{time_col}"),
+                                         sub.column("valid_from").type, safe=False)
+            newc["valid_to"] = pa.nulls(sub.num_rows, sub.column("valid_to").type)
+            newc["version"] = pa.array(np.ones(sub.num_rows, np.int64))
+            newc["is_current"] = pa.array(np.ones(sub.num_rows, bool))
+            pieces.append(pa.table({c: newc[c] for c in out_cols}))
+        if not pieces:
+            return t.select(out_cols).slice(0, 0)
+        return pa.concat_tables(pieces)
+
+    merge_block.__name__ = "scd2m_apply"
+
+    def _check_unique(snap_tbl: pa.Table):
+        gids = S.group_ids(snap_tbl, key_cols)
+        if len(gids) and len(np.unique(gids)) != len(gids):
+            raise ValueError("scd2_merge: snapshot must hold one row per key")
+
+    if isinstance(dim, pa.Table):
+        snap = snap_prep(snapshot)
+        if snap.num_rows == 0:
+            return dim.select(out_cols)  # empty CDC batch: no-op
+        _check_unique(snap)
+        closed = dim.filter(pc.invert(dim.column("is_current").combine_chunks()))
+        open_ = dim.filter(dim.column("is_current").combine_chunks())
+        j = shuffle_join(open_, snap, on=key_cols, how="outer")
+        merged = merge_block(j)
+        return pa.concat_tables([closed.select(out_cols), merged.select(out_cols)])
+
+    import pyarrow.compute as _pc  # noqa: F401
+
+    from kamae_ray.stages.aggregate import distinct
+
+    snap = snapshot.map_batches(snap_prep, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None).materialize()
+    n_snap = snap.count()
+    if n_snap == 0:
+        return dim  # an empty CDC batch is a no-op (and lesson 19: an
+        # empty materialized snapshot loses its schema through the join)
+    if distinct(snap, key_cols).count() != n_snap:
+        raise ValueError("scd2_merge: snapshot must hold one row per key")
+    dim = dim.materialize()  # consumed twice (closed + open slices)
+
+    def keep_closed(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(A.as_array(t.column("is_current")))) \
+            .select(out_cols)
+
+    def keep_open(t: pa.Table) -> pa.Table:
+        return t.filter(A.as_array(t.column("is_current")))
+
+    keep_closed.__name__ = "scd2m_closed"
+    keep_open.__name__ = "scd2m_open"
+    closed = dim.map_batches(keep_closed, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    open_ = dim.map_batches(keep_open, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    j = shuffle_join(open_, snap, on=key_cols, how="outer")
+    merged = j.map_batches(merge_block, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return closed.union(merged)

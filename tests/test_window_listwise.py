@@ -736,3 +736,62 @@ def test_session_drift_dataset_matches_table_and_nulls(ray_session):
     import pyarrow.compute as pc
 
     assert pc.max(pc.utf8_length(want.column("seq"))).as_py() <= 8
+
+
+def test_scd2_merge_equals_rebuild_and_guards(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.window import scd2_build, scd2_merge
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    uid = rng.integers(0, 80, n)
+    ts = np.sort(rng.integers(0, 10**6, n)) * 1000
+    t = pa.table({"user_id": pa.array(uid, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_id": pa.array(np.arange(n), pa.int64()),
+                  "event_type": pa.array(list(rng.choice(["a", "b", None], n)),
+                                         pa.string())})
+    cutoff = 5 * 10**8  # microseconds; ts spans [0, 1e9) us
+    old = t.filter(pa.array(ts < cutoff))
+    post = t.filter(pa.array(ts >= cutoff))
+    assert old.num_rows > 0 and post.num_rows > 0
+    con = duckdb.connect()
+    con.register("post", post)
+    snap = con.sql(
+        "SELECT user_id, event_id, event_type, ts FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) rn FROM post) "
+        "WHERE rn = 1").arrow()
+    dim = scd2_build(old, "user_id", "ts", ["event_type"],
+                     tiebreak_col="event_id", carry_cols=["event_id"])
+    want = scd2_merge(dim, snap, "user_id", "ts", ["event_type"],
+                      carry_cols=["event_id"])
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    uni = pa.concat_tables([old.select(cols), snap.select(cols).cast(old.select(cols).schema)])
+    rebuilt = scd2_build(uni, "user_id", "ts", ["event_type"],
+                         tiebreak_col="event_id", carry_cols=["event_id"])
+    key = [("user_id", "ascending"), ("version", "ascending")]
+    assert want.sort_by(key).select(rebuilt.column_names).cast(
+        rebuilt.schema).equals(rebuilt.sort_by(key))
+    # dataset path agrees
+    dim_ds = ray.data.from_arrow(dim).repartition(4)
+    snap_ds = ray.data.from_arrow(snap).repartition(3)
+    got = pa.concat_tables(
+        [pa.table(x) for x in scd2_merge(dim_ds, snap_ds, "user_id", "ts",
+                                         ["event_type"], carry_cols=["event_id"])
+         .iter_batches(batch_format="pyarrow")])
+    assert got.sort_by(key).cast(want.sort_by(key).schema).equals(want.sort_by(key))
+    # guards: duplicate snapshot keys; non-later snapshot time
+    dup = pa.concat_tables([snap, snap.slice(0, 1)])
+    with pytest.raises(ValueError):
+        scd2_merge(dim, dup, "user_id", "ts", ["event_type"], carry_cols=["event_id"])
+    stale = snap.set_column(snap.schema.get_field_index("ts"), "ts",
+                            pa.array(np.zeros(snap.num_rows, np.int64),
+                                     pa.timestamp("us")))
+    with pytest.raises(ValueError):
+        scd2_merge(dim, stale, "user_id", "ts", ["event_type"], carry_cols=["event_id"])
+    # empty CDC batch is a no-op
+    noop = scd2_merge(dim, snap.slice(0, 0), "user_id", "ts", ["event_type"],
+                      carry_cols=["event_id"])
+    assert noop.sort_by(key).equals(dim.select(noop.column_names).sort_by(key))

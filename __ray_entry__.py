@@ -5862,6 +5862,26 @@ def _q_ucb(sf_dir):
     return ucb_scores(keyed, "event_type", "cents")
 
 
+def _q_theil(sf_dir):
+    """Theil T inequality of order totalprice cents per order priority:
+    mu is ONE division of exact int sums, each (x/mu)ln(x/mu) term
+    quantizes to micro-units (libm ln) so the cross-row sum is order-free
+    exact — two partial-agg exchanges + an O(groups) broadcast."""
+    from kamae_ray.stages.profile import theil_index_by_group
+
+    o = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"g": t.column("o_orderpriority"), "v": cents})
+
+    prep.__name__ = "theil_units"
+    keyed = o.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+    return theil_index_by_group(keyed, "g", "v")
+
+
 def _q_power_means(sf_dir):
     """Geometric + harmonic mean of extendedprice cents per returnflag:
     micro-ln int64 sums (libm ln) and exact 1e12//v integer reciprocals —
@@ -7150,6 +7170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ucb": _q_ucb,
         "q_ols2": _q_ols2,
         "q_power_means": _q_power_means,
+        "q_theil": _q_theil,
         "q_session_drift": _q_session_drift,
         "q_checksum": _q_checksum,
         "q_top_items": _q_top_items,
@@ -10050,6 +10071,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, prev_seq, seq, "
             "CAST(levenshtein(prev_seq, seq) AS BIGINT) AS dist "
             "FROM p WHERE prev_seq IS NOT NULL"
+        ),
+        "q_theil": (
+            "WITH b AS (SELECT o_orderpriority g, CAST(round(o_totalprice * 100) "
+            "AS BIGINT) v FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0), "
+            "m AS (SELECT g, count(*)::BIGINT n, CAST(SUM(v) AS BIGINT) s FROM b GROUP BY g), "
+            "t2 AS (SELECT b.g, m.n, CAST(round((v / (CAST(s AS DOUBLE) / n)) * "
+            "ln(v / (CAST(s AS DOUBLE) / n)) * 1000000) AS BIGINT) AS term "
+            "FROM b JOIN m USING (g)), "
+            "f AS (SELECT g, max(n) n, CAST(SUM(term) AS BIGINT) st FROM t2 GROUP BY g) "
+            "SELECT g, n, (CAST(st AS DOUBLE) / 1000000.0) / n AS theil FROM f"
         ),
         "q_power_means": (
             "WITH b AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) v "

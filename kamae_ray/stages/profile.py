@@ -2099,3 +2099,89 @@ def grouped_power_means(ds, group_cols, value_col: str):
         return finish(agg)
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)
+
+
+def theil_index_by_group(ds, group_cols, value_col: str):
+    """Theil T inequality index per group over POSITIVE integer values:
+    ``T = (1/n) * sum((x/mu) * ln(x/mu))`` — the entropy-based inequality
+    measure complementing Gini. Engine-exact despite the transcendental:
+    ``mu = S/n`` is ONE division of exact ints, each row term
+    ``(x/mu) * ln(x/mu)`` (libm ln, IEEE ops) quantizes half-away to
+    micro-units int64, so the cross-row sum is ORDER-FREE exact (the
+    Kaplan-Meier/logloss family) and the close is one fixed float chain.
+    Zero/negative/null values are dropped (WHERE mirror). Output:
+    group cols, ``n, theil``.
+
+    Scale plan: pass 1 = one partial-agg exchange for (n, S) per group;
+    the O(groups) mean table broadcasts back (never a shuffle join); pass 2
+    = one more partial-agg exchange over the quantized terms."""
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.join import broadcast_join
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def clean(t: pa.Table) -> pa.Table:
+        v = pc.cast(A.as_array(t.column(value_col)), pa.int64(), safe=False)
+        cols = {k: t.column(k) for k in group_cols}
+        cols["__v"] = v
+        cols["__one"] = pa.array(np.ones(t.num_rows, np.int64))
+        vn = v.to_numpy(zero_copy_only=False)
+        ok = np.asarray(pc.is_valid(v).to_numpy(zero_copy_only=False)) & (
+            np.nan_to_num(vn, nan=0) > 0) if v.null_count else (vn > 0)
+        return pa.table(cols).filter(pa.array(ok))
+
+    clean.__name__ = "theil_clean"
+    if isinstance(ds, pa.Table):
+        base = clean(ds)
+        agg = groupby_agg(base, group_cols, {"__v": ["sum"], "__one": ["sum"]})
+    else:
+        base = ds.map_batches(clean, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None).materialize()
+        agg_ds = groupby_agg(base, group_cols, {"__v": ["sum"], "__one": ["sum"]})
+        from kamae_ray.base import collect_tables
+
+        agg = pa.concat_tables(collect_tables(agg_ds)).combine_chunks()
+    s = agg.column("__v_sum").to_numpy(zero_copy_only=False)
+    n = agg.column("__one_sum").to_numpy(zero_copy_only=False)
+    if len(s) and np.abs(s).max(initial=0) >= (1 << 53):
+        raise ValueError("theil_index_by_group: group sum exceeds 2^53")
+    means = pa.table({**{k: agg.column(k) for k in group_cols},
+                      "__mu": pa.array(s / n, pa.float64()),
+                      "__n": pa.array(n.astype(np.int64), pa.int64())})
+
+    def terms(t: pa.Table) -> pa.Table:
+        v = t.column("__v").to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = t.column("__mu").to_numpy(zero_copy_only=False)
+        r = v / mu
+        term = r * A.libm_log(r)
+        q = np.where(term >= 0, np.floor(term * 1_000_000.0 + 0.5),
+                     np.ceil(term * 1_000_000.0 - 0.5)).astype(np.int64)
+        cols = {k: t.column(k) for k in group_cols}
+        cols["__term"] = pa.array(q, pa.int64())
+        cols["__n"] = t.column("__n")
+        return pa.table(cols)
+
+    terms.__name__ = "theil_terms"
+
+    def finish(t: pa.Table) -> pa.Table:
+        ts_ = t.column("__term_sum").to_numpy(zero_copy_only=False)
+        nn = t.column("__n_max").to_numpy(zero_copy_only=False)
+        if len(ts_) and np.abs(ts_).max(initial=0) >= (1 << 53):
+            raise ValueError("theil_index_by_group: term sum exceeds 2^53")
+        out = {k: t.column(k) for k in group_cols}
+        out["n"] = pa.array(nn.astype(np.int64), pa.int64())
+        out["theil"] = pa.array((ts_ / 1_000_000.0) / nn, pa.float64())
+        return pa.table(out)
+
+    finish.__name__ = "theil_finish"
+    if isinstance(ds, pa.Table):
+        joined = broadcast_join(base, means, on=group_cols, how="inner")
+        tt = terms(joined)
+        agg2 = groupby_agg(tt, group_cols, {"__term": ["sum"], "__n": ["max"]})
+        return finish(agg2)
+    joined = broadcast_join(base, means, on=group_cols, how="inner")
+    tt = joined.map_batches(terms, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    agg2 = groupby_agg(tt, group_cols, {"__term": ["sum"], "__n": ["max"]})
+    return agg2.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)

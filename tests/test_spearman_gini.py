@@ -283,3 +283,36 @@ def test_acf_edge_cases():
     with pytest.raises(ValueError, match="26 bits"):
         acf_by_group(pa.table({"g": ["a"], "o": [0], "v": [1 << 27]}),
                      "g", ["o"], "v", max_lag=1)
+
+
+def test_theil_index_by_group_dataset_and_reference(ray_session):
+    import ray
+
+    from kamae_ray.stages.profile import theil_index_by_group
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    g = rng.integers(0, 4, n)
+    v = rng.integers(1, 10_000, n).astype(object)
+    v[3] = None
+    v[8] = 0
+    t = pa.table({"g": pa.array(g, pa.int64()), "v": pa.array(list(v), pa.int64())})
+    want = theil_index_by_group(t, "g", "v").sort_by("g")
+    for row in want.to_pylist():
+        sel = np.array([int(x) for x, gg in zip(v, g)
+                        if x is not None and x > 0 and gg == row["g"]], dtype=float)
+        mu = sel.mean()
+        ref = float(np.mean((sel / mu) * np.log(sel / mu)))
+        assert abs(row["theil"] - ref) < 1e-5
+        assert row["theil"] >= 0.0
+        assert row["n"] == len(sel)
+    # equal values -> exactly zero
+    eq = pa.table({"g": pa.array([1] * 10, pa.int64()),
+                   "v": pa.array([7] * 10, pa.int64())})
+    assert theil_index_by_group(eq, "g", "v").column("theil")[0].as_py() == 0.0
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = pa.concat_tables(
+        [pa.table(x) for x in theil_index_by_group(ds, "g", "v")
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by("g")
+    assert got.cast(want.schema).equals(want)

@@ -395,6 +395,10 @@ class EditDistanceTransformer(MultiInputTransformer):
     - ``"charset_jaccard"`` — exact integer ppm Jaccard of the distinct
       byte sets (both empty -> 1e6); SQL mirror via
       list_intersect/list_distinct over regexp_split_to_array.
+    - ``"jaro"`` / ``"jaro_winkler"`` — float64 similarity BIT-identical
+      to DuckDB's NATIVE jaro_similarity / jaro_winkler_similarity
+      (floored transposition halves, 0.7-gated prefix boost) — an
+      independent-implementation certification, not an expression mirror.
 
     No reference analog (kamae has no two-column string similarity); the
     fuzzy_join kernel family exposed as a transformer."""
@@ -405,7 +409,8 @@ class EditDistanceTransformer(MultiInputTransformer):
         super().__init__(*args, **kwargs)
         if self.input_cols is None or len(self.input_cols) != 2:
             raise ValueError("EditDistanceTransformer needs exactly two input_cols")
-        if mode not in ("levenshtein", "damerau", "hamming", "charset_jaccard"):
+        if mode not in ("levenshtein", "damerau", "hamming", "charset_jaccard",
+                        "jaro", "jaro_winkler"):
             raise ValueError(f"unknown edit-distance mode {mode!r}")
         self.max_len = int(max_len)
         self.mode = mode
@@ -413,6 +418,10 @@ class EditDistanceTransformer(MultiInputTransformer):
     def _fold(self, flats):
         from kamae_ray.functions import editdist
 
+        if self.mode in ("jaro", "jaro_winkler"):
+            return pa.array(editdist.jaro_winkler_pairwise(
+                flats[0], flats[1], self.max_len,
+                winkler=self.mode == "jaro_winkler"), pa.float64())
         fn = {
             "levenshtein": editdist.levenshtein_pairwise,
             "damerau": editdist.damerau_pairwise,

@@ -183,7 +183,7 @@ def test_edit_distance_damerau_and_hamming_vs_duckdb():
     assert got2 == ora2
 
     with pytest.raises(ValueError):
-        EditDistanceTransformer(input_cols=["a", "b"], output_col="d", mode="jaro")
+        EditDistanceTransformer(input_cols=["a", "b"], output_col="d", mode="cosine")
 
 
 def test_charset_jaccard_mode_vs_duckdb():
@@ -214,3 +214,33 @@ def test_charset_jaccard_mode_vs_duckdb():
     ).df()["d"].astype(int).tolist()
     assert got == ora
     assert got[0] == 1000000 and got[1] == 0
+
+
+def test_jaro_winkler_modes_bitexact_vs_duckdb_native():
+    import random
+    import string as _string
+
+    import duckdb
+    import numpy as np
+
+    from kamae_ray.stages import EditDistanceTransformer
+
+    rng = random.Random(31)
+    alph = _string.ascii_lowercase[:7] + "é "
+    a = ["".join(rng.choices(alph, k=rng.randint(0, 14))) for _ in range(4000)]
+    b = ["".join(rng.choices(alph, k=rng.randint(0, 14))) for _ in range(4000)]
+    a[0], b[0] = "martha", "marhta"  # classic: jaro 0.944..., jw 0.961...
+    a[2] = None
+    t = pa.table({"i": pa.array(range(4000), pa.int64()),
+                  "a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())})
+    for mode, fn in (("jaro", "jaro_similarity"),
+                     ("jaro_winkler", "jaro_winkler_similarity")):
+        tf = EditDistanceTransformer(input_cols=["a", "b"], output_col="s", mode=mode)
+        got = tf.transform_batch(t).column("s").to_numpy()
+        exp = duckdb.sql(
+            f"SELECT {fn}(coalesce(a,''), coalesce(b,'')) s FROM t ORDER BY i"
+        ).df()["s"].to_numpy()
+        assert (got.view(np.int64) == exp.view(np.int64)).all()
+    jw = EditDistanceTransformer(input_cols=["a", "b"], output_col="s",
+                                 mode="jaro_winkler").transform_batch(t)
+    assert abs(jw.column("s")[0].as_py() - 0.9611111111111111) < 1e-15

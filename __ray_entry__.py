@@ -5625,6 +5625,18 @@ def _q_jaro(sf_dir):
     return tf.transform(ds)
 
 
+def _q_jaccard_sim(sf_dir):
+    """Distinct-byte-set Jaccard similarity as float64 — ONE division of
+    exact integer counts, BIT-identical to DuckDB's NATIVE jaccard()
+    (independent implementation; empties totalized by a CASE guard)."""
+    from kamae_ray.stages import EditDistanceTransformer
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+    tf = EditDistanceTransformer(input_cols=["p_name", "p_type"],
+                                 output_col="sim", mode="jaccard_sim")
+    return tf.transform(ds)
+
+
 def _q_damerau(sf_dir):
     """Element-wise FULL Damerau-Levenshtein (unrestricted transpositions,
     Lowrance-Wagner — batch-vectorized alphabet-indexed DP, the (n,257)
@@ -7351,6 +7363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_editdist": _q_editdist,
         "q_damerau": _q_damerau,
         "q_jaro": _q_jaro,
+        "q_jaccard_sim": _q_jaccard_sim,
         "q_hamming": _q_hamming,
         "q_charset_jaccard": _q_charset_jaccard,
         "q_semi": _q_semi,
@@ -8141,6 +8154,14 @@ def oracle_sql() -> dict[str, str]:
         "q_editdist": (
             "SELECT p_partkey, CAST(levenshtein(coalesce(p_name, ''), "
             "coalesce(p_type, '')) AS BIGINT) AS d FROM part"
+        ),
+        "q_jaccard_sim": (
+            "SELECT p_partkey, p_name, p_type, CASE "
+            "WHEN length(coalesce(p_name, '')) = 0 AND length(coalesce(p_type, '')) = 0 "
+            "THEN CAST(1.0 AS DOUBLE) "
+            "WHEN length(coalesce(p_name, '')) = 0 OR length(coalesce(p_type, '')) = 0 "
+            "THEN CAST(0.0 AS DOUBLE) "
+            "ELSE jaccard(coalesce(p_name, ''), coalesce(p_type, '')) END AS sim FROM part"
         ),
         "q_jaro": (
             "SELECT p_partkey, p_name, p_type, jaro_winkler_similarity("

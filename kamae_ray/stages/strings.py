@@ -410,7 +410,7 @@ class EditDistanceTransformer(MultiInputTransformer):
         if self.input_cols is None or len(self.input_cols) != 2:
             raise ValueError("EditDistanceTransformer needs exactly two input_cols")
         if mode not in ("levenshtein", "damerau", "hamming", "charset_jaccard",
-                        "jaro", "jaro_winkler"):
+                        "jaccard_sim", "jaro", "jaro_winkler"):
             raise ValueError(f"unknown edit-distance mode {mode!r}")
         self.max_len = int(max_len)
         self.mode = mode
@@ -422,6 +422,9 @@ class EditDistanceTransformer(MultiInputTransformer):
             return pa.array(editdist.jaro_winkler_pairwise(
                 flats[0], flats[1], self.max_len,
                 winkler=self.mode == "jaro_winkler"), pa.float64())
+        if self.mode == "jaccard_sim":
+            return pa.array(editdist.charset_jaccard_float_pairwise(
+                flats[0], flats[1], self.max_len), pa.float64())
         fn = {
             "levenshtein": editdist.levenshtein_pairwise,
             "damerau": editdist.damerau_pairwise,

@@ -244,3 +244,32 @@ def test_jaro_winkler_modes_bitexact_vs_duckdb_native():
     jw = EditDistanceTransformer(input_cols=["a", "b"], output_col="s",
                                  mode="jaro_winkler").transform_batch(t)
     assert abs(jw.column("s")[0].as_py() - 0.9611111111111111) < 1e-15
+
+
+def test_jaccard_sim_mode_bitexact_vs_duckdb_native():
+    import random
+    import string as _string
+
+    import duckdb
+    import numpy as np
+
+    from kamae_ray.stages import EditDistanceTransformer
+
+    rng = random.Random(41)
+    alph = _string.ascii_lowercase[:8] + "é "
+    a = ["".join(rng.choices(alph, k=rng.randint(1, 12))) for _ in range(3000)]
+    b = ["".join(rng.choices(alph, k=rng.randint(1, 12))) for _ in range(3000)]
+    a[0] = ""
+    b[1] = ""
+    a[2] = b[2] = ""
+    t = pa.table({"i": pa.array(range(3000), pa.int64()),
+                  "a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())})
+    tf = EditDistanceTransformer(input_cols=["a", "b"], output_col="s",
+                                 mode="jaccard_sim")
+    got = tf.transform_batch(t).column("s").to_numpy()
+    exp = duckdb.sql(
+        "SELECT CASE WHEN length(a) = 0 AND length(b) = 0 THEN CAST(1.0 AS DOUBLE) "
+        "WHEN length(a) = 0 OR length(b) = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE jaccard(a, b) END s FROM t ORDER BY i").df()["s"].to_numpy()
+    assert (got.view(np.int64) == exp.view(np.int64)).all()
+    assert got[0] == 0.0 and got[1] == 0.0 and got[2] == 1.0

@@ -6651,6 +6651,33 @@ def _q_knn(sf_dir):
                            zero_copy_batch=True)
 
 
+def _q_strip_accents(sf_dir):
+    """Accent stripping certified against DuckDB's NATIVE strip_accents
+    (independent utf8proc implementation): accented synth strings built
+    identically on both engines from customer fields; engine = NFKD +
+    remove combining marks, which equals DuckDB's NFD-strip on the plain
+    accent class exercised here (compatibility ligatures like U+FB01 are
+    the documented divergence and are excluded)."""
+    from kamae_ray.stages.text import TextNormalizeTransformer
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        seg = pc.fill_null(pc.cast(t.column("c_mktsegment"), pa.string()), "")
+        s = pc.binary_join_element_wise(
+            pa.scalar("Élite à la "), seg,
+            pa.scalar(" Ångström Crème Brûlée São ñoño Ж"), pa.scalar(""))
+        return pa.table({"c_custkey": t.column("c_custkey"), "s": s})
+
+    synth.__name__ = "accents_synth"
+    keyed = ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    tf = TextNormalizeTransformer(input_col="s", output_col="stripped",
+                                  lowercase=False, strip_accents=True,
+                                  collapse_whitespace=False, trim=False)
+    return tf.transform(keyed)
+
+
 def _q_normalize(sf_dir):
     """Text normalization (``TextNormalizeTransformer``): lowercase +
     whitespace collapse + trim over a mixed-case/mixed-whitespace text built
@@ -7220,6 +7247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_time_rolling": _q_time_rolling,
         "q_bloom_semi": _q_bloom_semi,
         "q_normalize": _q_normalize,
+        "q_strip_accents": _q_strip_accents,
         "q_norm_dedup": _q_norm_dedup,
         "q_url": _q_url,
         "q_domain_cap": _q_domain_cap,
@@ -9202,6 +9230,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cs DESC, nbr) AS rank FROM scored) "
             "SELECT src, CAST(rank AS BIGINT) AS rank, nbr, ROUND(cs, 6) AS cosine "
             "FROM r WHERE rank <= 5"
+        ),
+        "q_strip_accents": (
+            "WITH s AS (SELECT c_custkey, 'Élite à la ' || coalesce(c_mktsegment, '') "
+            "|| ' Ångström Crème Brûlée São ñoño Ж' AS s FROM customer) "
+            "SELECT c_custkey, s, strip_accents(s) AS stripped FROM s"
         ),
         "q_normalize": (
             "WITH s AS (SELECT o_orderkey, '  The ' || o_orderpriority "

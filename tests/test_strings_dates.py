@@ -438,3 +438,24 @@ def test_readability():
     ref = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
     assert out.column("fl")[0].as_py() == ref
     assert out.column("fl")[2].as_py() is None  # zero words -> null
+
+
+def test_strip_accents_matches_duckdb_native_on_accent_class():
+    import duckdb
+
+    from kamae_ray.stages.text import TextNormalizeTransformer
+
+    words = ["Crème", "Brûlée", "naïve", "São", "Ångström", "Ж", "œuf",
+             "ñoño", "ÀÉÎÕÜ çĆč", "mixed Énd", "plain ascii", ""]
+    t = pa.table({"i": pa.array(range(len(words)), pa.int64()),
+                  "s": pa.array(words, pa.string())})
+    tf = TextNormalizeTransformer(input_col="s", output_col="o", lowercase=False,
+                                  strip_accents=True, collapse_whitespace=False,
+                                  trim=False)
+    got = tf.transform_batch(t).column("o").to_pylist()
+    exp = [r[0] for r in duckdb.sql(
+        "select strip_accents(s) from (select * from t order by i)").fetchall()]
+    assert got == exp
+    # documented divergence: compatibility ligatures decompose under NFKD
+    lig = pa.table({"s": pa.array(["ﬁn"], pa.string())})
+    assert tf.transform_batch(lig).column("o").to_pylist() == ["fin"]

@@ -6678,6 +6678,29 @@ def _q_strip_accents(sf_dir):
     return tf.transform(keyed)
 
 
+def _q_base64(sf_dir):
+    """Vectorized base64 serialization of synthesized binary payloads
+    (UTF-8 bytes of an accented synth string): one 3-byte-group gather +
+    bit ops + alphabet lookup per batch. Oracle = DuckDB's NATIVE
+    to_base64(encode(s)) — independent implementation."""
+    from kamae_ray.stages import Base64EncodeTransformer
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        seg = pc.fill_null(pc.cast(t.column("c_mktsegment"), pa.string()), "")
+        ids = pc.cast(t.column("c_custkey"), pa.string())
+        s = pc.binary_join_element_wise(
+            pa.scalar("payload é "), seg, pa.scalar("#"), ids, pa.scalar(""))
+        return pa.table({"c_custkey": t.column("c_custkey"), "s": s})
+
+    synth.__name__ = "b64_synth"
+    keyed = ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    tf = Base64EncodeTransformer(input_col="s", output_col="b64")
+    return tf.transform(keyed)
+
+
 def _q_normalize(sf_dir):
     """Text normalization (``TextNormalizeTransformer``): lowercase +
     whitespace collapse + trim over a mixed-case/mixed-whitespace text built
@@ -7248,6 +7271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semi": _q_bloom_semi,
         "q_normalize": _q_normalize,
         "q_strip_accents": _q_strip_accents,
+        "q_base64": _q_base64,
         "q_norm_dedup": _q_norm_dedup,
         "q_url": _q_url,
         "q_domain_cap": _q_domain_cap,
@@ -9230,6 +9254,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cs DESC, nbr) AS rank FROM scored) "
             "SELECT src, CAST(rank AS BIGINT) AS rank, nbr, ROUND(cs, 6) AS cosine "
             "FROM r WHERE rank <= 5"
+        ),
+        "q_base64": (
+            "WITH s AS (SELECT c_custkey, 'payload é ' || coalesce(c_mktsegment, '') "
+            "|| '#' || c_custkey::VARCHAR AS s FROM customer) "
+            "SELECT c_custkey, s, to_base64(encode(s)) AS b64 FROM s"
         ),
         "q_strip_accents": (
             "WITH s AS (SELECT c_custkey, 'Élite à la ' || coalesce(c_mktsegment, '') "

@@ -234,3 +234,69 @@ def drop_empty_tokens(arr: pa.Array) -> pa.Array:
     if validity is not None:
         return pa.ListArray.from_arrays(offs, kept, mask=pc.invert(validity))
     return pa.ListArray.from_arrays(offs, kept)
+
+
+_B64_ALPHABET = np.frombuffer(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/",
+    dtype=np.uint8)
+
+
+def base64_encode(arr: pa.Array) -> pa.Array:
+    """Vectorized standard base64 (RFC 4648 with padding) of a string or
+    binary column — one gather into 3-byte groups, one bit-op pass, one
+    alphabet lookup, '=' padding scattered at row tails; no per-row Python.
+    Matches DuckDB ``to_base64`` exactly. Nulls stay null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        view_t = pa.binary() if pa.types.is_string(arr.type) else pa.large_binary()
+        arr = arr.view(view_t)
+    null_mask = None
+    if arr.null_count:
+        null_mask = pc.is_null(arr)
+        arr = pc.fill_null(arr, b"")
+    n = len(arr)
+    bufs = arr.buffers()
+    width = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=width)[arr.offset: arr.offset + n + 1] \
+        .astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.zeros(0, np.uint8))
+    lens = offs[1:] - offs[:-1]
+    ng = (lens + 2) // 3
+    padded = ng * 3
+    total = int(padded.sum())
+    out_lens = ng * 4
+    out_offs = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
+    if total == 0:
+        out = pa.array([""] * n, pa.string())
+        return pc.if_else(null_mask, pa.nulls(n, pa.string()), out) \
+            if null_mask is not None else out
+    pstart = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    row = np.repeat(np.arange(n, dtype=np.int64), padded)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(pstart, padded)
+    valid = pos < lens[row]
+    src = offs[:-1][row] + np.minimum(pos, np.maximum(lens[row] - 1, 0))
+    buf = np.where(valid, data[src], np.uint8(0)).astype(np.uint8)
+    g = buf.reshape(-1, 3).astype(np.uint32)
+    v = (g[:, 0] << 16) | (g[:, 1] << 8) | g[:, 2]
+    idx = np.empty((len(v), 4), dtype=np.int64)
+    idx[:, 0] = (v >> 18) & 63
+    idx[:, 1] = (v >> 12) & 63
+    idx[:, 2] = (v >> 6) & 63
+    idx[:, 3] = v & 63
+    chars = _B64_ALPHABET[idx.reshape(-1)]
+    rem = lens % 3
+    ends = out_offs[1:]
+    one = rem == 2   # one '=' at the last char
+    two = rem == 1   # '==' at the last two chars
+    chars[ends[one] - 1] = ord("=")
+    chars[ends[two] - 1] = ord("=")
+    chars[ends[two] - 2] = ord("=")
+    out = pa.Array.from_buffers(
+        pa.utf8(), n,
+        [None, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+         pa.py_buffer(chars.tobytes())])
+    if null_mask is not None:
+        out = pc.if_else(null_mask, pa.nulls(n, pa.string()), out)
+    return out

@@ -434,6 +434,20 @@ class EditDistanceTransformer(MultiInputTransformer):
         return pa.array(fn(flats[0], flats[1], self.max_len), pa.int32())
 
 
+class Base64EncodeTransformer(UnaryKernelTransformer):
+    """Standard base64 (RFC 4648, padded) of a string or binary column —
+    the binary-feature serialization step (embedding blobs, image bytes,
+    tokenized payloads into text-only sinks). Fully vectorized
+    (functions/arrays.base64_encode: one 3-byte-group gather + bit ops +
+    alphabet lookup); exactly DuckDB ``to_base64``. Nulls stay null. No
+    reference analog (kamae has no binary serialization surface)."""
+
+    compatible_dtypes = (pa.string(), pa.binary(), pa.large_binary())
+
+    def _kernel(self, flat):
+        return A.base64_encode(flat)
+
+
 class JsonExtractTransformer(Transformer):
     """Extract one top-level scalar field from FLAT JSON strings — the
     event-properties column staple (``{"k": 87, "src": "web"}``-shaped

@@ -459,3 +459,29 @@ def test_strip_accents_matches_duckdb_native_on_accent_class():
     # documented divergence: compatibility ligatures decompose under NFKD
     lig = pa.table({"s": pa.array(["ﬁn"], pa.string())})
     assert tf.transform_batch(lig).column("o").to_pylist() == ["fin"]
+
+
+def test_base64_encode_vs_python_and_duckdb():
+    import base64 as _b64
+    import random
+
+    import duckdb
+
+    from kamae_ray.functions.arrays import base64_encode
+    from kamae_ray.stages import Base64EncodeTransformer
+
+    rng = random.Random(7)
+    vals = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 25)))
+            for _ in range(3000)]
+    arr = pa.array(vals, pa.binary())
+    got = base64_encode(arr).to_pylist()
+    assert got == [_b64.b64encode(v).decode() for v in vals]
+    exp = [r[0] for r in duckdb.sql(
+        "select to_base64(b) from (select * from t)").fetchall()] if False else None
+    con = duckdb.connect()
+    con.register("t", pa.table({"b": arr}))
+    assert got == [r[0] for r in con.sql("select to_base64(b) from t").fetchall()]
+    s = pa.table({"s": pa.array(["hello!x", None, "", "é"], pa.string())})
+    tf = Base64EncodeTransformer(input_col="s", output_col="o")
+    assert tf.transform_batch(s).column("o").to_pylist() == \
+        ["aGVsbG8heA==", None, "", "w6k="]

@@ -6701,6 +6701,37 @@ def _q_base64(sf_dir):
     return tf.transform(keyed)
 
 
+def _q_base64_roundtrip(sf_dir):
+    """Base64 encode -> strict decode roundtrip back to the original text
+    (binary-through-text-sink fidelity): both transformers vectorized;
+    oracle = DuckDB's native decode(from_base64(to_base64(encode(s))))."""
+    from kamae_ray.stages import Base64DecodeTransformer, Base64EncodeTransformer
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        seg = pc.fill_null(pc.cast(t.column("c_mktsegment"), pa.string()), "")
+        ids = pc.cast(t.column("c_custkey"), pa.string())
+        s = pc.binary_join_element_wise(
+            pa.scalar("payload é "), seg, pa.scalar("#"), ids, pa.scalar(""))
+        return pa.table({"c_custkey": t.column("c_custkey"), "s": s})
+
+    synth.__name__ = "b64rt_synth"
+    keyed = ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    enc = Base64EncodeTransformer(input_col="s", output_col="b64").transform(keyed)
+    dec = Base64DecodeTransformer(input_col="b64", output_col="back_bin").transform(enc)
+
+    def finish(t: pa.Table) -> pa.Table:
+        back = pc.cast(t.column("back_bin"), pa.string())
+        return pa.table({"c_custkey": t.column("c_custkey"), "s": t.column("s"),
+                         "b64": t.column("b64"), "back": back})
+
+    finish.__name__ = "b64rt_finish"
+    return dec.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_normalize(sf_dir):
     """Text normalization (``TextNormalizeTransformer``): lowercase +
     whitespace collapse + trim over a mixed-case/mixed-whitespace text built
@@ -7272,6 +7303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_normalize": _q_normalize,
         "q_strip_accents": _q_strip_accents,
         "q_base64": _q_base64,
+        "q_base64_roundtrip": _q_base64_roundtrip,
         "q_norm_dedup": _q_norm_dedup,
         "q_url": _q_url,
         "q_domain_cap": _q_domain_cap,
@@ -9254,6 +9286,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cs DESC, nbr) AS rank FROM scored) "
             "SELECT src, CAST(rank AS BIGINT) AS rank, nbr, ROUND(cs, 6) AS cosine "
             "FROM r WHERE rank <= 5"
+        ),
+        "q_base64_roundtrip": (
+            "WITH s AS (SELECT c_custkey, 'payload é ' || coalesce(c_mktsegment, '') "
+            "|| '#' || c_custkey::VARCHAR AS s FROM customer) "
+            "SELECT c_custkey, s, to_base64(encode(s)) AS b64, "
+            "decode(from_base64(to_base64(encode(s)))) AS back FROM s"
         ),
         "q_base64": (
             "WITH s AS (SELECT c_custkey, 'payload é ' || coalesce(c_mktsegment, '') "

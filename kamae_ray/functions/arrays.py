@@ -300,3 +300,80 @@ def base64_encode(arr: pa.Array) -> pa.Array:
     if null_mask is not None:
         out = pc.if_else(null_mask, pa.nulls(n, pa.string()), out)
     return out
+
+
+_B64_DECODE = np.full(256, 255, dtype=np.uint8)
+_B64_DECODE[_B64_ALPHABET] = np.arange(64, dtype=np.uint8)
+_B64_DECODE[ord("=")] = 0
+
+
+def base64_decode(arr: pa.Array) -> pa.Array:
+    """Vectorized strict base64 decode (RFC 4648, padded) of a string
+    column to binary — inverse of :func:`base64_encode`, same parity
+    contract as DuckDB ``from_base64``. Raises on malformed input (length
+    not a multiple of 4, or characters outside the alphabet). Nulls stay
+    null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    null_mask = None
+    if arr.null_count:
+        null_mask = pc.is_null(arr)
+        arr = pc.fill_null(arr, "")
+    n = len(arr)
+    bufs = arr.buffers()
+    width = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=width)[arr.offset: arr.offset + n + 1] \
+        .astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.zeros(0, np.uint8))
+    lens = offs[1:] - offs[:-1]
+    if len(lens) and (lens % 4 != 0).any():
+        raise ValueError("base64_decode: input length not a multiple of 4")
+    # flat groups align with row boundaries (every row is a multiple of 4);
+    # gather each row's span into one contiguous char buffer first
+    total = int(lens.sum())
+    if total == 0:
+        out = pa.array([b""] * n, pa.binary())
+        return pc.if_else(null_mask, pa.nulls(n, pa.binary()), out) \
+            if null_mask is not None else out
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    chars = data[offs[:-1][row] + pos]
+    vals = _B64_DECODE[chars]
+    is_pad = chars == ord("=")
+    if (vals == 255).any():
+        raise ValueError("base64_decode: character outside the base64 alphabet")
+    # '=' allowed only in the last two positions of a row
+    tail = pos >= (lens[row] - 2)
+    if (is_pad & ~tail).any():
+        raise ValueError("base64_decode: padding only allowed at the end")
+    # '=' at the second-to-last slot requires '=' at the last slot too
+    ends = np.cumsum(lens) - 1
+    nz = lens > 0
+    if (is_pad[ends[nz] - 1] & ~is_pad[ends[nz]]).any():
+        raise ValueError("base64_decode: padding only allowed at the end")
+    pads = np.zeros(n, dtype=np.int64)
+    np.add.at(pads, row[is_pad], 1)
+    g = vals.reshape(-1, 4).astype(np.uint32)
+    v = (g[:, 0] << 18) | (g[:, 1] << 12) | (g[:, 2] << 6) | g[:, 3]
+    trio = np.empty((len(v), 3), dtype=np.uint8)
+    trio[:, 0] = (v >> 16) & 255
+    trio[:, 1] = (v >> 8) & 255
+    trio[:, 2] = v & 255
+    flat = trio.reshape(-1)
+    full = (lens // 4) * 3
+    out_lens = full - pads
+    out_offs = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
+    fstarts = np.concatenate([[0], np.cumsum(full)[:-1]])
+    orow = np.repeat(np.arange(n, dtype=np.int64), out_lens)
+    opos = np.arange(int(out_lens.sum()), dtype=np.int64) - \
+        np.repeat(out_offs[:-1], out_lens)
+    out_bytes = flat[fstarts[orow] + opos]
+    out = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+         pa.py_buffer(out_bytes.tobytes())])
+    if null_mask is not None:
+        out = pc.if_else(null_mask, pa.nulls(n, pa.binary()), out)
+    return out

@@ -36,6 +36,7 @@ from kamae_ray.stages.strings import (  # noqa: F401
     UrlDomainTransformer,
     StringArrayConstantTransformer,
     StringCaseTransformer,
+    Base64DecodeTransformer,
     Base64EncodeTransformer,
     EditDistanceTransformer,
     StringConcatenateTransformer,

@@ -448,6 +448,17 @@ class Base64EncodeTransformer(UnaryKernelTransformer):
         return A.base64_encode(flat)
 
 
+class Base64DecodeTransformer(UnaryKernelTransformer):
+    """Strict base64 decode of a string column to binary (RFC 4648,
+    padded) — inverse of :class:`Base64EncodeTransformer`, DuckDB
+    ``from_base64`` parity; malformed input raises. Nulls stay null."""
+
+    compatible_dtypes = (pa.string(),)
+
+    def _kernel(self, flat):
+        return A.base64_decode(flat)
+
+
 class JsonExtractTransformer(Transformer):
     """Extract one top-level scalar field from FLAT JSON strings — the
     event-properties column staple (``{"k": 87, "src": "web"}``-shaped

@@ -485,3 +485,23 @@ def test_base64_encode_vs_python_and_duckdb():
     tf = Base64EncodeTransformer(input_col="s", output_col="o")
     assert tf.transform_batch(s).column("o").to_pylist() == \
         ["aGVsbG8heA==", None, "", "w6k="]
+
+
+def test_base64_decode_roundtrip_and_guards():
+    import random
+
+    from kamae_ray.functions.arrays import base64_decode, base64_encode
+    from kamae_ray.stages import Base64DecodeTransformer
+
+    rng = random.Random(19)
+    vals = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 30)))
+            for _ in range(2000)]
+    enc = base64_encode(pa.array(vals, pa.binary()))
+    assert base64_decode(enc).to_pylist() == vals
+    t = pa.table({"s": pa.array(["aGVsbG8heA==", None, "", "w6k="], pa.string())})
+    tf = Base64DecodeTransformer(input_col="s", output_col="o")
+    assert tf.transform_batch(t).column("o").to_pylist() == \
+        [b"hello!x", None, b"", b"\xc3\xa9"]
+    for bad in ["abc", "a===", "ab=c", "=abc", "a!bc"]:
+        with pytest.raises(ValueError):
+            base64_decode(pa.array([bad]))

@@ -6732,6 +6732,54 @@ def _q_base64_roundtrip(sf_dir):
                            batch_size=None)
 
 
+def _q_hex(sf_dir):
+    """Uppercase hex of synthesized binary payloads — one vectorized
+    2-chars-per-byte lookup; oracle = DuckDB's NATIVE hex(encode(s))."""
+    from kamae_ray.stages import HexEncodeTransformer
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        seg = pc.fill_null(pc.cast(t.column("c_mktsegment"), pa.string()), "")
+        ids = pc.cast(t.column("c_custkey"), pa.string())
+        s = pc.binary_join_element_wise(seg, pa.scalar("é#"), ids, pa.scalar(""))
+        return pa.table({"c_custkey": t.column("c_custkey"), "s": s})
+
+    synth.__name__ = "hex_synth"
+    keyed = ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return HexEncodeTransformer(input_col="s", output_col="h").transform(keyed)
+
+
+def _q_bit_hamming(sf_dir):
+    """64-bit Hamming distance between two Knuth-hash signatures per key —
+    the SimHash/binary-embedding distance primitive: popcount(xor) via the
+    vectorized bit cascade; oracle = native bit_count(xor) over the same
+    HUGEINT-mirrored hashes (wrapped into signed int64 exactly like the
+    engine's uint64 view)."""
+    from kamae_ray.stages import BitHammingTransformer
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        P = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            h1 = (k.astype(np.uint64) + np.uint64(1)) * P
+            h2 = (k.astype(np.uint64) + np.uint64(2)) * P
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "h1": pa.array(h1.view(np.int64), pa.int64()),
+                         "h2": pa.array(h2.view(np.int64), pa.int64())})
+
+    synth.__name__ = "bith_synth"
+    keyed = ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    tf = BitHammingTransformer(input_cols=["h1", "h2"], output_col="d")
+    return tf.transform(keyed)
+
+
 def _q_normalize(sf_dir):
     """Text normalization (``TextNormalizeTransformer``): lowercase +
     whitespace collapse + trim over a mixed-case/mixed-whitespace text built
@@ -7304,6 +7352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_strip_accents": _q_strip_accents,
         "q_base64": _q_base64,
         "q_base64_roundtrip": _q_base64_roundtrip,
+        "q_hex": _q_hex,
+        "q_bit_hamming": _q_bit_hamming,
         "q_norm_dedup": _q_norm_dedup,
         "q_url": _q_url,
         "q_domain_cap": _q_domain_cap,
@@ -9286,6 +9336,24 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cs DESC, nbr) AS rank FROM scored) "
             "SELECT src, CAST(rank AS BIGINT) AS rank, nbr, ROUND(cs, 6) AS cosine "
             "FROM r WHERE rank <= 5"
+        ),
+        "q_hex": (
+            "WITH s AS (SELECT c_custkey, coalesce(c_mktsegment, '') || 'é#' "
+            "|| c_custkey::VARCHAR AS s FROM customer) "
+            "SELECT c_custkey, s, hex(encode(s)) AS h FROM s"
+        ),
+        "q_bit_hamming": (
+            "WITH h AS (SELECT c_custkey, "
+            "CAST((CAST(c_custkey + 1 AS HUGEINT) * 11400714819323198485) "
+            "% 18446744073709551616 AS HUGEINT) AS u1, "
+            "CAST((CAST(c_custkey + 2 AS HUGEINT) * 11400714819323198485) "
+            "% 18446744073709551616 AS HUGEINT) AS u2 FROM customer), "
+            "w AS (SELECT c_custkey, "
+            "CAST(CASE WHEN u1 >= 9223372036854775808 THEN u1 - 18446744073709551616 "
+            "ELSE u1 END AS BIGINT) AS h1, "
+            "CAST(CASE WHEN u2 >= 9223372036854775808 THEN u2 - 18446744073709551616 "
+            "ELSE u2 END AS BIGINT) AS h2 FROM h) "
+            "SELECT c_custkey, h1, h2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS d FROM w"
         ),
         "q_base64_roundtrip": (
             "WITH s AS (SELECT c_custkey, 'payload é ' || coalesce(c_mktsegment, '') "

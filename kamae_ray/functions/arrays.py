@@ -377,3 +377,63 @@ def base64_decode(arr: pa.Array) -> pa.Array:
     if null_mask is not None:
         out = pc.if_else(null_mask, pa.nulls(n, pa.binary()), out)
     return out
+
+
+_HEX_CHARS = np.frombuffer(b"0123456789ABCDEF", dtype=np.uint8)
+
+
+def hex_encode(arr: pa.Array) -> pa.Array:
+    """Vectorized uppercase hex of a string/binary column — DuckDB
+    ``hex(blob)`` parity (two chars per byte, one lookup). Nulls stay
+    null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        view_t = pa.binary() if pa.types.is_string(arr.type) else pa.large_binary()
+        arr = arr.view(view_t)
+    null_mask = None
+    if arr.null_count:
+        null_mask = pc.is_null(arr)
+        arr = pc.fill_null(arr, b"")
+    n = len(arr)
+    bufs = arr.buffers()
+    width = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=width)[arr.offset: arr.offset + n + 1] \
+        .astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.zeros(0, np.uint8))
+    lens = offs[1:] - offs[:-1]
+    total = int(lens.sum())
+    out_offs = (np.concatenate([[0], np.cumsum(lens)]) * 2).astype(np.int32)
+    if total == 0:
+        chars = np.zeros(0, np.uint8)
+    else:
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        b = data[offs[:-1][row] + pos]
+        chars = np.empty(total * 2, dtype=np.uint8)
+        chars[0::2] = _HEX_CHARS[b >> 4]
+        chars[1::2] = _HEX_CHARS[b & 15]
+    out = pa.Array.from_buffers(
+        pa.utf8(), n, [None, pa.py_buffer(out_offs.tobytes()),
+                       pa.py_buffer(chars.tobytes())])
+    if null_mask is not None:
+        out = pc.if_else(null_mask, pa.nulls(n, pa.string()), out)
+    return out
+
+
+def popcount_int64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count of int64 values (two's complement, so
+    -1 -> 64 — DuckDB ``bit_count(BIGINT)`` parity)."""
+    v = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    v = v - ((v >> np.uint64(1)) & m1)
+    v = (v & m2) + ((v >> np.uint64(2)) & m2)
+    v = (v + (v >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        v = (v * h) >> np.uint64(56)
+    return v.astype(np.int64)

@@ -1,6 +1,7 @@
 """All transformer / estimator stages."""
 
 from kamae_ray.stages.elementwise import (  # noqa: F401
+    BitHammingTransformer,
     AbsoluteValueTransformer,
     BinTransformer,
     BucketizeTransformer,
@@ -37,6 +38,7 @@ from kamae_ray.stages.strings import (  # noqa: F401
     StringArrayConstantTransformer,
     StringCaseTransformer,
     Base64DecodeTransformer,
+    HexEncodeTransformer,
     Base64EncodeTransformer,
     EditDistanceTransformer,
     StringConcatenateTransformer,

@@ -549,3 +549,28 @@ class PolynomialExpandTransformer(Transformer):
             for cj in self.input_cols[i:]:
                 names.append(f"{self.output_col}_{ci}_x_{cj}")
         return names
+
+
+class BitHammingTransformer(MultiInputTransformer):
+    """Element-wise Hamming distance between two int64 columns —
+    ``bit_count(xor(a, b))`` (two's complement, 64-bit): THE SimHash /
+    binary-embedding distance primitive, vectorized via the classic
+    popcount bit cascade (functions/arrays.popcount_int64, DuckDB
+    bit_count parity incl. negatives)."""
+
+    compatible_dtypes = (pa.int64(), pa.int32(), pa.int16(), pa.int8())
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.input_cols is None or len(self.input_cols) != 2:
+            raise ValueError("BitHammingTransformer needs exactly two input_cols")
+
+    def _fold(self, flats):
+        import numpy as np
+
+        from kamae_ray.functions import arrays as A
+
+        a = pc.cast(flats[0], pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        b = pc.cast(flats[1], pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        x = np.bitwise_xor(a, b)
+        return pa.array(A.popcount_int64(x), pa.int64())

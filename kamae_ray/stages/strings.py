@@ -459,6 +459,16 @@ class Base64DecodeTransformer(UnaryKernelTransformer):
         return A.base64_decode(flat)
 
 
+class HexEncodeTransformer(UnaryKernelTransformer):
+    """Uppercase hex of a string/binary column (two chars per byte, one
+    vectorized lookup) — DuckDB ``hex(blob)`` parity. Nulls stay null."""
+
+    compatible_dtypes = (pa.string(), pa.binary(), pa.large_binary())
+
+    def _kernel(self, flat):
+        return A.hex_encode(flat)
+
+
 class JsonExtractTransformer(Transformer):
     """Extract one top-level scalar field from FLAT JSON strings — the
     event-properties column staple (``{"k": 87, "src": "web"}``-shaped

@@ -505,3 +505,31 @@ def test_base64_decode_roundtrip_and_guards():
     for bad in ["abc", "a===", "ab=c", "=abc", "a!bc"]:
         with pytest.raises(ValueError):
             base64_decode(pa.array([bad]))
+
+
+def test_hex_and_bit_hamming_vs_duckdb():
+    import random
+
+    import duckdb
+    import numpy as np
+
+    from kamae_ray.functions.arrays import hex_encode, popcount_int64
+    from kamae_ray.stages import BitHammingTransformer
+
+    rng = random.Random(5)
+    vals = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 20)))
+            for _ in range(2000)]
+    con = duckdb.connect()
+    con.register("t", pa.table({"b": pa.array(vals, pa.binary())}))
+    exp = [r[0] for r in con.sql("select hex(b) from t").fetchall()]
+    assert hex_encode(pa.array(vals, pa.binary())).to_pylist() == exp
+    g = np.random.default_rng(4)
+    x = np.concatenate([g.integers(-2**62, 2**62, 3000), [0, -1, -2**63]]).astype(np.int64)
+    y = np.concatenate([g.integers(-2**62, 2**62, 3000), [-1, -1, 2**62]]).astype(np.int64)
+    t = pa.table({"a": pa.array(x, pa.int64()), "b": pa.array(y, pa.int64())})
+    tf = BitHammingTransformer(input_cols=["a", "b"], output_col="d")
+    got = tf.transform_batch(t).column("d").to_pylist()
+    con.register("u", t)
+    expd = [r[0] for r in con.sql("select bit_count(xor(a, b)) from u").fetchall()]
+    assert got == expd
+    assert got[-3] == 64  # 0 vs -1

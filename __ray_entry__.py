@@ -6780,6 +6780,18 @@ def _q_bit_hamming(sf_dir):
     return tf.transform(keyed)
 
 
+def _q_soundex(sf_dir):
+    """Phonetic Soundex blocking keys over customer names (the simplified
+    translate-collapse variant): one vectorized flat-byte pass. The SQL
+    mirror collapses duplicate codes via LIST ops — RE2 has no
+    backreferences, so the textbook regexp '(.)\\1+' recipe is silently a
+    no-op in DuckDB (caught building this oracle)."""
+    from kamae_ray.stages import SoundexTransformer
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return SoundexTransformer(input_col="c_name", output_col="sdx").transform(ds)
+
+
 def _q_normalize(sf_dir):
     """Text normalization (``TextNormalizeTransformer``): lowercase +
     whitespace collapse + trim over a mixed-case/mixed-whitespace text built
@@ -7354,6 +7366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_base64_roundtrip": _q_base64_roundtrip,
         "q_hex": _q_hex,
         "q_bit_hamming": _q_bit_hamming,
+        "q_soundex": _q_soundex,
         "q_norm_dedup": _q_norm_dedup,
         "q_url": _q_url,
         "q_domain_cap": _q_domain_cap,
@@ -9341,6 +9354,19 @@ def oracle_sql() -> dict[str, str]:
             "WITH s AS (SELECT c_custkey, coalesce(c_mktsegment, '') || 'é#' "
             "|| c_custkey::VARCHAR AS s FROM customer) "
             "SELECT c_custkey, s, hex(encode(s)) AS h FROM s"
+        ),
+        "q_soundex": (
+            "WITH u AS (SELECT c_custkey, c_name, upper(regexp_replace("
+            "coalesce(c_name, ''), '[^A-Za-z]', '', 'g')) AS c FROM customer), "
+            "t2 AS (SELECT c_custkey, c_name, c, regexp_split_to_array(translate(c, "
+            "'AEIOUYHWBFPVCGJKQSXZDTLMNR', '00000000111122222222334556'), '') AS lst "
+            "FROM u), "
+            "d AS (SELECT c_custkey, c_name, c, array_to_string(list_transform("
+            "list_filter(list_zip(lst, list_prepend('#', lst[1:len(lst)-1])), "
+            "p -> p[1] IS DISTINCT FROM p[2]), p -> p[1]), '') AS dd FROM t2) "
+            "SELECT c_custkey, c_name, CASE WHEN length(c) = 0 THEN '' ELSE "
+            "substr(c, 1, 1) || substr(replace(substr(dd, 2), '0', '') || '000', 1, 3) "
+            "END AS sdx FROM d"
         ),
         "q_bit_hamming": (
             "WITH h AS (SELECT c_custkey, "

@@ -345,3 +345,87 @@ def jaro_winkler_pairwise(a, b, max_len: int = 64, winkler: bool = True) -> np.n
     boost = v > 0.7
     v = np.where(boost, v + p * 0.1 * (1.0 - v), v)
     return v
+
+
+_SDX_CODE = np.zeros(256, dtype=np.uint8)  # non-letters never reach the LUT
+for _c, _d in zip(b"AEIOUYHWBFPVCGJKQSXZDTLMNR",
+                  b"00000000111122222222334556"):
+    _SDX_CODE[_c] = _d
+
+
+def soundex_column(arr, max_len: int = 128) -> pa.Array:
+    """Vectorized simplified American Soundex (the classic SQL
+    translate-collapse variant: letters only, uppercase, consonant-class
+    digits, adjacent duplicate CODES collapsed before vowels drop — no H/W
+    separator rule): 4-char codes like ``Robert -> R163``; empty/letterless
+    input -> ``''``; null -> null. The ER blocking key staple. SQL mirror:
+    ``substr(c,1,1) || substr(replace(substr(regexp_replace(translate(c,
+    ...), '(.)\\1+', '\\1', 'g'), 2), '0', '') || '000', 1, 3)`` over the
+    letters-only uppercase form."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.string(), safe=False)
+    null_mask = pc.is_null(arr) if arr.null_count else None
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    bufs = arr.buffers()
+    width = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=width)[arr.offset: arr.offset + n + 1] \
+        .astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.zeros(0, np.uint8))
+    lens = offs[1:] - offs[:-1]
+    total = int(lens.sum())
+    if total == 0:
+        out = pa.array([""] * n, pa.string())
+        return pc.if_else(null_mask, pa.nulls(n, pa.string()), out) \
+            if null_mask is not None else out
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    b = data[offs[:-1][row] + pos]
+    up = np.where((b >= ord("a")) & (b <= ord("z")), b - 32, b)
+    is_letter = (up >= ord("A")) & (up <= ord("Z"))
+    row_l, up_l = row[is_letter], up[is_letter]
+    if len(up_l) == 0:
+        out = pa.array([""] * n, pa.string())
+        return pc.if_else(null_mask, pa.nulls(n, pa.string()), out) \
+            if null_mask is not None else out
+    code = _SDX_CODE[up_l]
+    first_of_row = np.ones(len(row_l), bool)
+    first_of_row[1:] = row_l[1:] != row_l[:-1]
+    # collapse adjacent equal codes within each row
+    keep = first_of_row.copy()
+    keep[1:] |= code[1:] != code[:-1]
+    row_k, up_k, code_k = row_l[keep], up_l[keep], code[keep]
+    fk = first_of_row[keep]
+    # output digits: non-first positions whose code is not '0', first 3
+    is_digit = ~fk & (code_k != ord("0"))
+    # rank among digits within row
+    di = np.cumsum(is_digit)
+    base = np.zeros(len(row_k), np.int64)
+    rstarts = np.flatnonzero(fk)
+    base[rstarts] = di[rstarts] - is_digit[rstarts]
+    np.maximum.accumulate(base, out=base)  # wrong for multi-row... recompute:
+    base = np.repeat(di[rstarts] - is_digit[rstarts],
+                     np.diff(np.append(rstarts, len(row_k))))
+    rank = di - base - 1  # 0-based digit rank (valid where is_digit)
+    sel = is_digit & (rank < 3)
+    # assemble: per row that has letters -> 4 bytes (letter + 3 digits,
+    # padded with '0'); rows without letters -> empty
+    has = np.zeros(n, bool)
+    has[row_k[rstarts]] = True
+    out_lens = np.where(has, 4, 0).astype(np.int64)
+    out_offs = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int32)
+    buf = np.full(int(out_lens.sum()), ord("0"), dtype=np.uint8)
+    # row -> output start (only for rows with letters)
+    ostart = np.zeros(n, np.int64)
+    ostart[:] = out_offs[:-1]
+    buf[ostart[row_k[rstarts]]] = up_k[rstarts]
+    buf[ostart[row_k[sel]] + 1 + rank[sel]] = code_k[sel]
+    out = pa.Array.from_buffers(
+        pa.utf8(), n, [None, pa.py_buffer(out_offs.tobytes()),
+                       pa.py_buffer(buf.tobytes())])
+    if null_mask is not None:
+        out = pc.if_else(null_mask, pa.nulls(n, pa.string()), out)
+    return out

@@ -39,6 +39,7 @@ from kamae_ray.stages.strings import (  # noqa: F401
     StringCaseTransformer,
     Base64DecodeTransformer,
     HexEncodeTransformer,
+    SoundexTransformer,
     Base64EncodeTransformer,
     EditDistanceTransformer,
     StringConcatenateTransformer,

@@ -469,6 +469,24 @@ class HexEncodeTransformer(UnaryKernelTransformer):
         return A.hex_encode(flat)
 
 
+class SoundexTransformer(UnaryKernelTransformer):
+    """Simplified American Soundex codes (the SQL translate-collapse
+    variant: letters only, uppercase, consonant-class digits, adjacent
+    duplicate codes collapsed before vowels drop — no H/W separator rule)
+    — the classic phonetic blocking key for entity resolution; 4-char
+    codes (``Robert -> R163``), letterless input -> ``''``, nulls null.
+    Fully vectorized over the flat byte buffer (functions/editdist.
+    soundex_column); the SQL mirror deduplicates via list ops (RE2 has no
+    backreferences — a regex '(.)\\1+' collapse is silently a no-op)."""
+
+    compatible_dtypes = _STR
+
+    def _kernel(self, flat):
+        from kamae_ray.functions.editdist import soundex_column
+
+        return soundex_column(flat)
+
+
 class JsonExtractTransformer(Transformer):
     """Extract one top-level scalar field from FLAT JSON strings — the
     event-properties column staple (``{"k": 87, "src": "web"}``-shaped

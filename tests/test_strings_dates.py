@@ -533,3 +533,35 @@ def test_hex_and_bit_hamming_vs_duckdb():
     expd = [r[0] for r in con.sql("select bit_count(xor(a, b)) from u").fetchall()]
     assert got == expd
     assert got[-3] == 64  # 0 vs -1
+
+
+def test_soundex_vs_sql_list_dedup_recipe():
+    import random
+    import string as _string
+
+    import duckdb
+
+    from kamae_ray.stages import SoundexTransformer
+
+    words = ["Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister", "Honeyman",
+             "", "a1b2c3", "éclair", None]
+    rng = random.Random(5)
+    words += ["".join(rng.choices(_string.ascii_letters + "0123456789 -é",
+                                  k=rng.randint(0, 15))) for _ in range(2000)]
+    t = pa.table({"i": pa.array(range(len(words)), pa.int64()),
+                  "w": pa.array(words, pa.string())})
+    tf = SoundexTransformer(input_col="w", output_col="sdx")
+    got = tf.transform_batch(t).column("sdx").to_pylist()
+    assert got[:6] == ["R163", "R163", "A226", "T522", "P236", "H555"]
+    assert got[6] == "" and got[9] is None
+    exp = [r[0] for r in duckdb.sql(r"""
+        WITH u AS (SELECT i, upper(regexp_replace(coalesce(w,''), '[^A-Za-z]', '', 'g')) AS c FROM t),
+        t2 AS (SELECT i, c, regexp_split_to_array(translate(c,
+          'AEIOUYHWBFPVCGJKQSXZDTLMNR', '00000000111122222222334556'), '') AS lst FROM u),
+        d AS (SELECT i, c, array_to_string(list_transform(list_filter(list_zip(lst,
+          list_prepend('#', lst[1:len(lst)-1])), p -> p[1] IS DISTINCT FROM p[2]),
+          p -> p[1]), '') AS dd FROM t2)
+        SELECT CASE WHEN length(c) = 0 THEN '' ELSE substr(c,1,1) ||
+          substr(replace(substr(dd, 2), '0', '') || '000', 1, 3) END
+        FROM d ORDER BY i""").fetchall()]
+    assert ["" if g is None else g for g in got] == exp

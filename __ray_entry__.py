@@ -5968,6 +5968,59 @@ def _ols2_oracle() -> str:
         "CAST(round(l_extendedprice * 100) AS BIGINT)")
 
 
+def _q_idle_gaps(sf_dir):
+    """Idle gaps between consecutive sessions per user (the inverse of the
+    session table): sessionize -> per-session (start, end) int64 agg ->
+    Lag(prev end) per user over session order -> exact integer gap
+    seconds. Pure composition of certified operators; two exchanges."""
+    from kamae_ray.stages import LagTransformer, SessionizeTransformer
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    sess = SessionizeTransformer(entity_cols=["user_id"], time_col="ts",
+                                 gap=3_600_000_000, output_col="session_id"
+                                 ).transform(ev)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "session_id": t.column("session_id"),
+                         "ts_us": pc.cast(t.column("ts"), pa.int64())})
+
+    prep.__name__ = "gaps_prep"
+    keyed = sess.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+    agg = groupby_agg(keyed, ["user_id", "session_id"], {"ts_us": ["min", "max"]})
+
+    def units(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64(), safe=False),
+            "session_id": pc.cast(t.column("session_id"), pa.int64(), safe=False),
+            "start_us": pc.cast(t.column("ts_us_min"), pa.int64(), safe=False),
+            "end_us": pc.cast(t.column("ts_us_max"), pa.int64(), safe=False),
+        })
+
+    units.__name__ = "gaps_units"
+    per_sess = agg.map_batches(units, batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None)
+    lag = LagTransformer(input_col="end_us", entity_cols=["user_id"],
+                         time_col="session_id", output_col="prev_end_us")
+    out = lag.transform(per_sess)
+
+    def finish(t: pa.Table) -> pa.Table:
+        prev = t.column("prev_end_us")
+        keep = pc.is_valid(prev)
+        t = t.filter(keep)
+        gap_s = pc.divide(pc.subtract(t.column("start_us"), t.column("prev_end_us")),
+                          pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"user_id": t.column("user_id"),
+                         "session_id": t.column("session_id"),
+                         "gap_s": pc.cast(gap_s, pa.int64(), safe=False)})
+
+    finish.__name__ = "gaps_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_session_stats(sf_dir):
     """Session analytics chain: sessionize-by-gap (1h) -> per-session
     aggregates (events, exact cents sum, start/end, integer duration) — the
@@ -7339,6 +7392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_power_means": _q_power_means,
         "q_theil": _q_theil,
         "q_session_drift": _q_session_drift,
+        "q_idle_gaps": _q_idle_gaps,
         "q_checksum": _q_checksum,
         "q_top_items": _q_top_items,
         "q_twap": _q_twap,
@@ -10335,6 +10389,19 @@ def oracle_sql() -> dict[str, str]:
             "ln((SELECT CAST(SUM(n) AS DOUBLE) FROM a))) / n) AS ucb FROM a"
         ),
         "q_decay": _decay_oracle(),
+        "q_idle_gaps": (
+            "WITH s AS (SELECT user_id, ts, CAST(coalesce(sum(CASE WHEN gap_us > "
+            "3600000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id), 0) AS BIGINT) AS session_id FROM (SELECT event_id, user_id, ts, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id) AS gap_us FROM events)), "
+            "g AS (SELECT user_id, session_id, min(epoch_us(ts)) AS start_us, "
+            "max(epoch_us(ts)) AS end_us FROM s GROUP BY user_id, session_id), "
+            "l AS (SELECT user_id, session_id, start_us, lag(end_us) OVER "
+            "(PARTITION BY user_id ORDER BY session_id) AS prev_end FROM g) "
+            "SELECT user_id, session_id, CAST((start_us - prev_end) // 1000000 "
+            "AS BIGINT) AS gap_s FROM l WHERE prev_end IS NOT NULL"
+        ),
         "q_session_stats": (
             "WITH s AS (SELECT user_id, ts, value, "
             "CAST(coalesce(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) "

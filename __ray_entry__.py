@@ -2016,6 +2016,52 @@ def _q_golden(sf_dir):
     return golden_record(keyed, "cluster", ["seg", "nat"])
 
 
+def _q_er_golden(sf_dir):
+    """END-TO-END entity-resolution chain certified by ONE chained oracle:
+    blocking -> Levenshtein edges -> connected components (er_cluster) ->
+    golden-record survivorship (most frequent name per cluster, ties
+    smallest) -> one canonical row per cluster with its member count.
+    The full MDM pipeline: every stage individually certified elsewhere
+    (q_er_cluster, q_golden); this certifies the composition."""
+    import pyarrow.parquet as pq
+
+    from kamae_ray.pipelines.dedup import er_cluster, golden_record
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.join import broadcast_join, shuffle_join
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nation = nation.rename_columns(["s_nationkey", "n_name"])
+    joined = broadcast_join(ds, nation, on="s_nationkey",
+                            right_cols=["n_name"], how="inner").materialize()
+    clusters = er_cluster(joined, "s_suppkey", "n_name", max_distance=1,
+                          block_chars=2)
+    withname = shuffle_join(clusters, joined, on="s_suppkey",
+                            right_cols=["n_name"], how="inner")
+    gold = golden_record(withname, "cluster", ["n_name"])
+    counts = groupby_agg(withname, "cluster", {"s_suppkey": ["count"]})
+
+    def cnt_units(t: pa.Table) -> pa.Table:
+        return pa.table({"cluster": pc.cast(t.column("cluster"), pa.int64(), safe=False),
+                         "n_members": pc.cast(t.column("s_suppkey_count"),
+                                              pa.int64(), safe=False)})
+
+    cnt_units.__name__ = "ergold_counts"
+    counts = counts.map_batches(cnt_units, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    out = shuffle_join(gold, counts, on="cluster", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"cluster": t.column("cluster"),
+                         "canonical_name": t.column("n_name"),
+                         "n_members": t.column("n_members")})
+
+    finish.__name__ = "ergold_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_er_cluster(sf_dir):
     """Entity-resolution clustering (``dedup.er_cluster``): blocking on the
     2-char lowercase prefix -> in-block Levenshtein<=1 edges over DISTINCT
@@ -7516,6 +7562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jsd": _q_jsd,
         "q_containment": _q_containment,
         "q_er_cluster": _q_er_cluster,
+        "q_er_golden": _q_er_golden,
         "q_snm_pairs": _q_snm_pairs,
         "q_golden": _q_golden,
         "q_rolling_distinct": _q_rolling_distinct,
@@ -9778,6 +9825,29 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT id, val, row_number() OVER (ORDER BY val, id) - 1 AS rn FROM s) "
             "SELECT a.id AS id_a, b.id AS id_b, a.val AS val_a, b.val AS val_b "
             "FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3"
+        ),
+        "q_er_golden": (
+            "WITH base AS (SELECT CAST(s_suppkey AS BIGINT) AS id, n_name AS name, "
+            "lower(substr(n_name, 1, 2)) AS blk FROM supplier JOIN nation ON "
+            "s_nationkey = n_nationkey WHERE n_name IS NOT NULL), "
+            "minid AS (SELECT name, blk, MIN(id) AS mid FROM base GROUP BY name, blk), "
+            "cand AS (SELECT a.mid AS a, b.mid AS b FROM minid a JOIN minid b ON "
+            "a.blk = b.blk AND a.mid < b.mid WHERE levenshtein(a.name, b.name) <= 1 "
+            "UNION ALL SELECT m.mid, bb.id FROM base bb JOIN minid m ON bb.name = m.name "
+            "WHERE bb.id <> m.mid), "
+            "und AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand UNION "
+            "SELECT a, a FROM cand), "
+            "walk AS (WITH RECURSIVE w(node, reach) AS (SELECT a, a FROM und UNION "
+            "SELECT w.node, u.b FROM w JOIN und u ON u.a = w.reach) SELECT * FROM w), "
+            "rep AS (SELECT node AS id, MIN(reach) AS rep FROM walk GROUP BY node), "
+            "lab AS (SELECT b.id, COALESCE(r.rep, b.id) AS cluster, b.name FROM base b "
+            "LEFT JOIN rep r ON b.id = r.id), "
+            "w2 AS (SELECT cluster, name, count(*) AS c FROM lab GROUP BY cluster, name), "
+            "win AS (SELECT cluster, name FROM (SELECT cluster, name, row_number() OVER "
+            "(PARTITION BY cluster ORDER BY c DESC, name) rn FROM w2) WHERE rn = 1), "
+            "cnt AS (SELECT cluster, count(*)::BIGINT AS n_members FROM lab GROUP BY cluster) "
+            "SELECT c.cluster, w.name AS canonical_name, c.n_members FROM cnt c "
+            "JOIN win w USING (cluster)"
         ),
         "q_er_cluster": (
             "WITH base AS (SELECT CAST(s_suppkey AS BIGINT) AS id, "

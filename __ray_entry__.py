@@ -2038,7 +2038,7 @@ def _q_er_golden(sf_dir):
     clusters = er_cluster(joined, "s_suppkey", "n_name", max_distance=1,
                           block_chars=2)
     withname = shuffle_join(clusters, joined, on="s_suppkey",
-                            right_cols=["n_name"], how="inner")
+                            right_cols=["n_name"], how="inner").materialize()
     gold = golden_record(withname, "cluster", ["n_name"])
     counts = groupby_agg(withname, "cluster", {"s_suppkey": ["count"]})
 

@@ -5787,6 +5787,56 @@ def _q_cooccur(sf_dir):
     return cooccurrence_counts(ds, "l_orderkey", "l_partkey")
 
 
+def _q_assoc(sf_dir):
+    """Market-basket association rules (support / confidence / lift) over
+    distinct order baskets: pair counts via the cooccurrence block kernel
+    on the DISTINCT (order, part) set, margins broadcast back, every ratio
+    ONE IEEE division of exact int64 counts (bit-identical cross-engine);
+    support in exact integer ppm. HAVING n_ab >= 2 bounds the rule set."""
+    from kamae_ray.stages.aggregate import cooccurrence_counts, distinct, groupby_agg
+    from kamae_ray.stages.join import broadcast_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    d = distinct(li, ["l_orderkey", "l_partkey"]).materialize()
+    co = cooccurrence_counts(d, "l_orderkey", "l_partkey")
+
+    def keep2(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"), 2))
+
+    keep2.__name__ = "assoc_keep2"
+    co = co.map_batches(keep2, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    marg = groupby_agg(d, "l_partkey", {"l_orderkey": ["count"]})
+    from kamae_ray.base import collect_tables
+
+    mt = pa.concat_tables(collect_tables(marg)).combine_chunks()
+    ma = pa.table({"item_a": pc.cast(mt.column("l_partkey"), pa.int64(), safe=False),
+                   "n_a": pc.cast(mt.column("l_orderkey_count"), pa.int64(), safe=False)})
+    mb = pa.table({"item_b": ma.column("item_a"), "n_b": ma.column("n_a")})
+    n_orders = distinct(d, ["l_orderkey"]).count()
+    out = broadcast_join(co, ma, on="item_a", how="inner")
+    out = broadcast_join(out, mb, on="item_b", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nab = pc.cast(t.column("n"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        na = t.column("n_a").to_numpy(zero_copy_only=False)
+        nb = t.column("n_b").to_numpy(zero_copy_only=False)
+        support_ppm = (1_000_000 * nab) // np.int64(n_orders)
+        conf = nab.astype(np.float64) / na
+        lift = (nab * np.int64(n_orders)).astype(np.float64) / (na * nb).astype(np.float64)
+        return pa.table({"item_a": t.column("item_a"), "item_b": t.column("item_b"),
+                         "n_ab": pa.array(nab, pa.int64()),
+                         "support_ppm": pa.array(support_ppm, pa.int64()),
+                         "conf_a": pa.array(conf, pa.float64()),
+                         "lift": pa.array(lift, pa.float64())})
+
+    finish.__name__ = "assoc_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_transitions(sf_dir):
     """Markov transition matrix of the event stream (``transition_counts``):
     consecutive (from, to) event pairs per user timeline, event_id tiebreak
@@ -7590,6 +7640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_intervals": _q_intervals,
         "q_transitions": _q_transitions,
         "q_cooccur": _q_cooccur,
+        "q_assoc": _q_assoc,
         "q_llm_prep": _q_llm_prep,
         "q_dup_removal": _q_dup_removal,
         "q_minhash_pairs": _q_minhash_pairs,
@@ -8440,6 +8491,18 @@ def oracle_sql() -> dict[str, str]:
             "ELSE (1000000 * len(list_intersect(da, db))) // "
             "(len(da) + len(db) - len(list_intersect(da, db))) END AS BIGINT) AS sim_ppm "
             "FROM s"
+        ),
+        "q_assoc": (
+            "WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem), "
+            "p AS (SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_ab "
+            "FROM d a JOIN d b ON a.o = b.o AND a.i < b.i GROUP BY 1, 2 "
+            "HAVING count(*) >= 2), "
+            "m AS (SELECT i, count(*)::BIGINT AS n_i FROM d GROUP BY i), "
+            "t AS (SELECT count(DISTINCT o)::BIGINT AS n FROM d) "
+            "SELECT item_a, item_b, n_ab, (1000000 * n_ab) // t.n AS support_ppm, "
+            "CAST(n_ab AS DOUBLE) / ma.n_i AS conf_a, "
+            "CAST(n_ab * t.n AS DOUBLE) / CAST(ma.n_i * mb.n_i AS DOUBLE) AS lift "
+            "FROM p JOIN m ma ON ma.i = item_a JOIN m mb ON mb.i = item_b, t"
         ),
         "q_cooccur": (
             "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n "

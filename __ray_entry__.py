@@ -6117,6 +6117,97 @@ def _q_idle_gaps(sf_dir):
                            batch_size=None)
 
 
+def _q_ltv(sf_dir):
+    """Cohort LTV curves: users cohorted by their FIRST event's 30-day
+    period; per (cohort, age-period) exact cents spend -> cumulative spend
+    over age (one keyed window pass on the tiny agg table) -> LTV per user
+    in exact integer micro-units (1e6 * cum // cohort_size). First-event
+    table via one groupby min, broadcast back; all counts/sums exact
+    int64."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages import CumulativeAggTransformer
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.join import broadcast_join
+
+    PERIOD = 2_592_000_000_000  # 30 days in us
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("value"), pa.float64(), safe=False), 100.0),
+            round_mode="half_towards_infinity"), pa.int64(), safe=False)
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                         "cents": pc.fill_null(cents, 0)})
+
+    prep.__name__ = "ltv_prep"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None).materialize()
+    firsts = groupby_agg(keyed, "user_id", {"ts_us": ["min"]})
+    ft = pa.concat_tables(collect_tables(firsts)).combine_chunks()
+    ft = pa.table({"user_id": pc.cast(ft.column("user_id"), pa.int64(), safe=False),
+                   "first_us": pc.cast(ft.column("ts_us_min"), pa.int64(), safe=False)})
+    joined = broadcast_join(keyed, ft, on="user_id", how="inner")
+
+    def buckets(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        fu = t.column("first_us").to_numpy(zero_copy_only=False)
+        cohort = fu // PERIOD
+        age = ts // PERIOD - cohort
+        return pa.table({"cohort": pa.array(cohort, pa.int64()),
+                         "age": pa.array(age, pa.int64()),
+                         "cents": t.column("cents")})
+
+    buckets.__name__ = "ltv_buckets"
+    cells = joined.map_batches(buckets, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+    agg = groupby_agg(cells, ["cohort", "age"], {"cents": ["sum"]})
+
+    def units(t: pa.Table) -> pa.Table:
+        return pa.table({"cohort": pc.cast(t.column("cohort"), pa.int64(), safe=False),
+                         "age": pc.cast(t.column("age"), pa.int64(), safe=False),
+                         "spend": pc.cast(t.column("cents_sum"), pa.int64(), safe=False)})
+
+    units.__name__ = "ltv_units"
+    agg = agg.map_batches(units, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+    cum = CumulativeAggTransformer(input_col="spend", entity_cols=["cohort"],
+                                   time_col="age", stat="sum",
+                                   include_current=True,
+                                   output_col="cum_spend").transform(agg)
+    # cohort sizes: distinct users per cohort (exact int)
+    def usr_cohort(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        fu = t.column("first_us").to_numpy(zero_copy_only=False)
+        return pa.table({"cohort": pa.array(fu // PERIOD, pa.int64()),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    sizes = groupby_agg(usr_cohort(ft), "cohort", {"one": ["sum"]})
+    st = pa.table({"cohort": pc.cast(sizes.column("cohort"), pa.int64(), safe=False),
+                   "n_users": pc.cast(sizes.column("one_sum"), pa.int64(), safe=False)})
+    out = broadcast_join(cum, st, on="cohort", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cumv = pc.cast(t.column("cum_spend"), pa.int64(), safe=False)             .to_numpy(zero_copy_only=False)
+        nu = t.column("n_users").to_numpy(zero_copy_only=False)
+        ltv = (1_000_000 * cumv) // nu
+        return pa.table({"cohort": t.column("cohort"), "age": t.column("age"),
+                         "spend": t.column("spend"),
+                         "cum_spend": pa.array(cumv, pa.int64()),
+                         "n_users": t.column("n_users"),
+                         "ltv_micro": pa.array(ltv, pa.int64())})
+
+    finish.__name__ = "ltv_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_session_stats(sf_dir):
     """Session analytics chain: sessionize-by-gap (1h) -> per-session
     aggregates (events, exact cents sum, start/end, integer duration) — the
@@ -7489,6 +7580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_theil": _q_theil,
         "q_session_drift": _q_session_drift,
         "q_idle_gaps": _q_idle_gaps,
+        "q_ltv": _q_ltv,
         "q_checksum": _q_checksum,
         "q_top_items": _q_top_items,
         "q_twap": _q_twap,
@@ -10522,6 +10614,23 @@ def oracle_sql() -> dict[str, str]:
             "ln((SELECT CAST(SUM(n) AS DOUBLE) FROM a))) / n) AS ucb FROM a"
         ),
         "q_decay": _decay_oracle(),
+        "q_ltv": (
+            "WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, "
+            "coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents FROM events), "
+            "f AS (SELECT user_id, min(ts_us) AS first_us FROM b GROUP BY user_id), "
+            "c AS (SELECT b.user_id, f.first_us // 2592000000000 AS cohort, "
+            "b.ts_us // 2592000000000 - f.first_us // 2592000000000 AS age, b.cents "
+            "FROM b JOIN f USING (user_id)), "
+            "g AS (SELECT cohort, age, CAST(SUM(cents) AS BIGINT) AS spend "
+            "FROM c GROUP BY cohort, age), "
+            "w AS (SELECT cohort, age, spend, CAST(SUM(spend) OVER (PARTITION BY cohort "
+            "ORDER BY age ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend FROM g), "
+            "s AS (SELECT first_us // 2592000000000 AS cohort, count(*)::BIGINT "
+            "AS n_users FROM f GROUP BY cohort) "
+            "SELECT w.cohort, w.age, w.spend, w.cum_spend, s.n_users, "
+            "(1000000 * w.cum_spend) // s.n_users AS ltv_micro "
+            "FROM w JOIN s USING (cohort)"
+        ),
         "q_idle_gaps": (
             "WITH s AS (SELECT user_id, ts, CAST(coalesce(sum(CASE WHEN gap_us > "
             "3600000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, "

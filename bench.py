@@ -255,6 +255,7 @@ _BENCH_QUERIES = [
     "q_idle_gaps",  # inter-session idle gaps, pure operator composition
     "q_er_golden",  # full ER chain: cluster -> survivorship, ONE oracle
     "q_assoc",  # association rules: support/confidence/lift, exact ratios
+    "q_ltv",  # cohort LTV curves, exact integer micro-units
     "q_replace_col",  # column-pattern regex replace, distinct-once RE2 dispatch
     "q_chunk",  # RAG chunking fan-out (vectorized per-ordinal utf8 slices)
     "q_windows",  # LLM context windows (offsets-arithmetic 2-D gather)

@@ -2864,6 +2864,44 @@ def _q_calibration(sf_dir):
     return _round_cols(out, ["pos_rate", "mean_score"])
 
 
+def _q_ece(sf_dir):
+    """Expected calibration error over the reliability bins — the common-
+    denominator identity makes it ONE exact integer sum + ONE division:
+    ECE = sum_b |pos_b * M - score_sum_b| / (N * M) (M = the score cap),
+    order-free int64 numerator, no per-bin float chain. Bins from the
+    certified calibration_bins partials; driver fold over <= 20 rows."""
+    from kamae_ray.stages.profile import calibration_bins
+
+    ev = _read(sf_dir, "events", ["value", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(batch.column("value"), pa.float64()), 100.0),
+            ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        y = pc.cast(pc.equal(batch.column("event_type"), "purchase"), pa.int64())
+        return pa.table({"s": cents, "y": y})
+
+    prep.__name__ = "ece_quantize"
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    bins = calibration_bins(ds, "s", "y", bins=20, max_score=100_000)
+    if not isinstance(bins, pa.Table):
+        from kamae_ray.base import collect_tables
+
+        bins = pa.concat_tables(collect_tables(bins)).combine_chunks()
+    import numpy as np
+
+    n = pc.cast(bins.column("n"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+    pos = pc.cast(bins.column("pos"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+    ss = pc.cast(bins.column("score_sum"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+    M = np.int64(100_000)
+    num = int(np.abs(pos * M - ss).sum())
+    N = int(n.sum())
+    ece = float(num) / float(N * 100_000)
+    return pa.table({"n_total": pa.array([N], pa.int64()),
+                     "ece": pa.array([ece], pa.float64())})
+
+
 def _q_group_impute(sf_dir):
     """GroupedImputeEstimator: group-conditional median fill — nulls take
     their event_type's exact quantile_cont median, all-null groups fall
@@ -7647,6 +7685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mi": _q_mi,
         "q_group_impute": _q_group_impute,
         "q_calibration": _q_calibration,
+        "q_ece": _q_ece,
         "q_loo_encode": _q_loo_encode,
         "q_group_bucket": _q_group_bucket,
         "q_rfm": _q_rfm,
@@ -10474,6 +10513,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.o_orderkey, ROUND(CASE WHEN s.c IS NULL OR s.n <= 1 "
             "THEN t.prior ELSE (s.sc - l.y)::DOUBLE / (s.n - 1) END, 6) AS prio_loo "
             "FROM l LEFT JOIN s ON l.c = s.c CROSS JOIN t"
+        ),
+        "q_ece": (
+            "WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS s, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events "
+            "WHERE value IS NOT NULL), "
+            "g AS (SELECT (s * 20) // 100000 AS bucket, COUNT(*)::BIGINT AS n, "
+            "SUM(y)::BIGINT AS pos, SUM(s)::BIGINT AS score_sum FROM t GROUP BY 1) "
+            "SELECT CAST(SUM(n) AS BIGINT) AS n_total, "
+            "CAST(CAST(SUM(ABS(pos * 100000 - score_sum)) AS BIGINT) AS DOUBLE) / "
+            "CAST(CAST(SUM(n) AS BIGINT) * 100000 AS DOUBLE) AS ece FROM g"
         ),
         "q_calibration": (
             "WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS s, "

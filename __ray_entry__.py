@@ -2841,6 +2841,55 @@ def _q_loo_encode(sf_dir):
     return out.map_batches(_rounder(["prio_loo"]), batch_format="pyarrow")
 
 
+def _q_ips(sf_dir):
+    """Off-policy evaluation (IPS + self-normalized SNIPS) of a target
+    policy over logged events: logged propensities are deterministic ppm
+    rationals, inverse weights quantize to EXACT integers (1e8 // p_ppm),
+    so both numerators are order-free int64 sums (< 2^53 guarded by
+    construction) and each estimate is ONE division. The counterfactual-
+    learning readout; one stateless map + one constant-key partial agg."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.filter(pc.is_valid(t.column("value")))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        p_ppm = 100_000 + (eid % 9) * 100_000  # logged propensity 0.1..0.9
+        w_q = np.int64(100_000_000) // p_ppm  # exact integer inverse weight
+        ind = ((eid % 7) < 3).astype(np.int64)  # target-policy action match
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("value"), pa.float64(), safe=False), 100.0),
+            round_mode="half_towards_infinity"), pa.int64(), safe=False)             .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array(np.zeros(len(eid), np.int64)),
+            "one": pa.array(np.ones(len(eid), np.int64)),
+            "wr": pa.array(w_q * ind * cents, pa.int64()),
+            "w": pa.array(w_q * ind, pa.int64()),
+        })
+
+    prep.__name__ = "ips_terms"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    agg = groupby_agg(keyed, "g", {"one": ["sum"], "wr": ["sum"], "w": ["sum"]})
+    if not isinstance(agg, pa.Table):
+        parts = [t for t in collect_tables(agg) if t.num_rows > 0]
+        agg = pa.concat_tables(parts).combine_chunks()
+    n = int(agg.column("one_sum")[0].as_py())
+    swr = int(agg.column("wr_sum")[0].as_py())
+    sw = int(agg.column("w_sum")[0].as_py())
+    ips_cents = float(swr) / float(n * 100)  # w_q/1e8 * 1e6-fold... one division
+    snips_cents = float(swr) / float(sw) if sw else None
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "sum_wr": pa.array([swr], pa.int64()),
+                     "sum_w": pa.array([sw], pa.int64()),
+                     "ips_cents": pa.array([ips_cents], pa.float64()),
+                     "snips_cents": pa.array([snips_cents], pa.float64())})
+
+
 def _q_calibration(sf_dir):
     """Reliability-diagram bins (``profile.calibration_bins``): cent scores
     vs the purchase label in 20 equal-width buckets — per-bucket exact
@@ -7686,6 +7735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_impute": _q_group_impute,
         "q_calibration": _q_calibration,
         "q_ece": _q_ece,
+        "q_ips": _q_ips,
         "q_loo_encode": _q_loo_encode,
         "q_group_bucket": _q_group_bucket,
         "q_rfm": _q_rfm,
@@ -10513,6 +10563,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.o_orderkey, ROUND(CASE WHEN s.c IS NULL OR s.n <= 1 "
             "THEN t.prior ELSE (s.sc - l.y)::DOUBLE / (s.n - 1) END, 6) AS prio_loo "
             "FROM l LEFT JOIN s ON l.c = s.c CROSS JOIN t"
+        ),
+        "q_ips": (
+            "WITH b AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS r, "
+            "100000000 // (100000 + (event_id % 9) * 100000) AS w_q, "
+            "CASE WHEN (event_id % 7) < 3 THEN 1 ELSE 0 END AS ind FROM events "
+            "WHERE value IS NOT NULL), "
+            "s AS (SELECT count(*)::BIGINT AS n, CAST(SUM(w_q * ind * r) AS BIGINT) "
+            "AS sum_wr, CAST(SUM(w_q * ind) AS BIGINT) AS sum_w FROM b) "
+            "SELECT n, sum_wr, sum_w, CAST(sum_wr AS DOUBLE) / CAST(n * 100 AS DOUBLE) "
+            "AS ips_cents, CAST(sum_wr AS DOUBLE) / CAST(sum_w AS DOUBLE) "
+            "AS snips_cents FROM s"
         ),
         "q_ece": (
             "WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS s, "

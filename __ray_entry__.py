@@ -2206,6 +2206,48 @@ def _q_km(sf_dir):
                            zero_copy_batch=True)
 
 
+_KM_SQL = "WITH u AS (SELECT user_id, MIN(epoch_us(ts)) - 1704067200000000 AS t0, MAX(epoch_us(ts)) - 1704067200000000 AS t1, MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) - 1704067200000000 END) AS fp FROM events GROUP BY user_id), dur AS (SELECT user_id % 4 AS cohort, (COALESCE(fp, t1) - t0) // 1000000 AS t, CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), cells AS (SELECT cohort, t, SUM(ev)::BIGINT AS d, SUM(1 - ev)::BIGINT AS c FROM dur GROUP BY cohort, t), risk AS (SELECT *, SUM(d + c) OVER (PARTITION BY cohort)::BIGINT - COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n FROM cells), mu AS (SELECT *, CASE WHEN d >= n THEN 0 ELSE CAST(ROUND(1000000.0 * ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) END AS term, CASE WHEN d >= n THEN 1 ELSE 0 END AS ab FROM risk), acc AS (SELECT *, SUM(term) OVER w AS cmu, SUM(ab) OVER w AS abc FROM mu WINDOW w AS (PARTITION BY cohort ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT cohort, t, n, d, c, CASE WHEN abc > 0 THEN NULL ELSE cmu END AS km_logmu, ROUND(CASE WHEN abc > 0 THEN 0.0 ELSE exp(cmu::DOUBLE / 1000000.0) END, 6) AS survival FROM acc"
+
+_RMST_ORACLE = (
+    "WITH km AS (" + _KM_SQL + "), "
+    "l AS (SELECT cohort, t, survival, LEAD(t) OVER (PARTITION BY cohort "
+    "ORDER BY t) AS t_next FROM km) "
+    "SELECT cohort, t, CAST(t_next - t AS BIGINT) AS dt_s, "
+    "survival * CAST(t_next - t AS DOUBLE) AS rmst_term "
+    "FROM l WHERE t_next IS NOT NULL"
+)
+
+
+def _q_rmst(sf_dir):
+    """Restricted-mean-survival-time terms per cohort: the KM curve's step
+    integral emitted PER INTERVAL (term = rounded survival x exact int
+    interval seconds — one multiply, no cross-row float sum; the
+    logrank_terms row-emission pattern). Reuses the certified q_km chain +
+    one keyed LEAD pass; oracle wraps the q_km SQL in a LEAD window."""
+    from kamae_ray.stages import LeadTransformer
+
+    km = _q_km(sf_dir)
+    lead = LeadTransformer(input_col="t", entity_cols=["cohort"],
+                           time_col="t", output_col="t_next")
+    out = lead.transform(km)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nxt = batch.column("t_next")
+        batch = batch.filter(pc.is_valid(nxt))
+        dt = pc.subtract(pc.cast(batch.column("t_next"), pa.int64(), safe=False),
+                         pc.cast(batch.column("t"), pa.int64(), safe=False))
+        term = pc.multiply(pc.cast(batch.column("survival"), pa.float64()),
+                           pc.cast(dt, pa.float64(), safe=False))
+        return pa.table({"cohort": batch.column("cohort"),
+                         "t": batch.column("t"),
+                         "dt_s": pc.cast(dt, pa.int64(), safe=False),
+                         "rmst_term": term})
+
+    finish.__name__ = "rmst_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_quantile_norm(sf_dir):
     """Quantile normalization across event types
     (``aggregate.quantile_normalize``): each event's value cents mapped to
@@ -7803,6 +7845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cusum": _q_cusum,
         "q_clustering": _q_clustering,
         "q_km": _q_km,
+        "q_rmst": _q_rmst,
         "q_quantile_norm": _q_quantile_norm,
         "q_group_scale": _q_group_scale,
         "q_prompts": _q_prompts,
@@ -10221,35 +10264,8 @@ def oracle_sql() -> dict[str, str]:
             "(2000000 * COALESCE(tri.triangles, 0)) // (deg.degree * (deg.degree - 1)) "
             "END AS lcc_ppm FROM deg LEFT JOIN tri USING (node)"
         ),
-        "q_km": (
-            "WITH u AS (SELECT user_id, "
-            "MIN(epoch_us(ts)) - 1704067200000000 AS t0, "
-            "MAX(epoch_us(ts)) - 1704067200000000 AS t1, "
-            "MIN(CASE WHEN event_type = 'purchase' "
-            "THEN epoch_us(ts) - 1704067200000000 END) AS fp "
-            "FROM events GROUP BY user_id), "
-            "dur AS (SELECT user_id % 4 AS cohort, "
-            "(COALESCE(fp, t1) - t0) // 1000000 AS t, "
-            "CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
-            "cells AS (SELECT cohort, t, SUM(ev)::BIGINT AS d, "
-            "SUM(1 - ev)::BIGINT AS c FROM dur GROUP BY cohort, t), "
-            "risk AS (SELECT *, "
-            "SUM(d + c) OVER (PARTITION BY cohort)::BIGINT "
-            "- COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY t "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n "
-            "FROM cells), "
-            "mu AS (SELECT *, CASE WHEN d >= n THEN 0 ELSE "
-            "CAST(ROUND(1000000.0 * ln(CAST(n - d AS DOUBLE) / "
-            "CAST(n AS DOUBLE))) AS BIGINT) END AS term, "
-            "CASE WHEN d >= n THEN 1 ELSE 0 END AS ab FROM risk), "
-            "acc AS (SELECT *, SUM(term) OVER w AS cmu, SUM(ab) OVER w AS abc "
-            "FROM mu WINDOW w AS (PARTITION BY cohort ORDER BY t "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
-            "SELECT cohort, t, n, d, c, "
-            "CASE WHEN abc > 0 THEN NULL ELSE cmu END AS km_logmu, "
-            "ROUND(CASE WHEN abc > 0 THEN 0.0 "
-            "ELSE exp(cmu::DOUBLE / 1000000.0) END, 6) AS survival FROM acc"
-        ),
+        "q_rmst": _RMST_ORACLE,
+        "q_km": _KM_SQL,
         "q_quantile_norm": (
             "WITH b AS (SELECT event_id, event_type, "
             "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events "

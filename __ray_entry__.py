@@ -6337,6 +6337,31 @@ def _q_ltv(sf_dir):
                            batch_size=None)
 
 
+def _q_change_point(sf_dir):
+    """Per-user spend change point (binary segmentation, K=1): the split
+    maximizing between-segment SS over the (ts, event_id) order — exact
+    int64 prefix sums, the d^2/(n1*n2) score bit-identical cross-engine,
+    (score DESC, k) winner == SQL ROW_NUMBER. ONE entity sort + one
+    in-block prefix sweep."""
+    from kamae_ray.stages.window import change_point_by_entity
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("value"), pa.float64(), safe=False), 100.0),
+            round_mode="half_towards_infinity"), pa.int64(), safe=False)
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                         "event_id": t.column("event_id"),
+                         "cents": pc.fill_null(cents, 0)})
+
+    prep.__name__ = "cp_prep"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    return change_point_by_entity(keyed, "user_id", "ts_us", "event_id", "cents")
+
+
 def _q_session_stats(sf_dir):
     """Session analytics chain: sessionize-by-gap (1h) -> per-session
     aggregates (events, exact cents sum, start/end, integer duration) — the
@@ -7710,6 +7735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_drift": _q_session_drift,
         "q_idle_gaps": _q_idle_gaps,
         "q_ltv": _q_ltv,
+        "q_change_point": _q_change_point,
         "q_checksum": _q_checksum,
         "q_top_items": _q_top_items,
         "q_twap": _q_twap,
@@ -10740,6 +10766,23 @@ def oracle_sql() -> dict[str, str]:
             "ln((SELECT CAST(SUM(n) AS DOUBLE) FROM a))) / n) AS ucb FROM a"
         ),
         "q_decay": _decay_oracle(),
+        "q_change_point": (
+            "WITH b AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+            "coalesce(CAST(round(value * 100) AS BIGINT), 0) AS v FROM events), "
+            "o AS (SELECT user_id, t, event_id, v, SUM(v) OVER (PARTITION BY user_id "
+            "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS s1, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS k, "
+            "COUNT(*) OVER (PARTITION BY user_id) AS n, "
+            "SUM(v) OVER (PARTITION BY user_id) AS s FROM b), "
+            "c AS (SELECT user_id, t, k, n, CAST(s1 * (n - k) - (s - s1) * k "
+            "AS BIGINT) AS d FROM o WHERE k < n), "
+            "sc AS (SELECT user_id, t, k, (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) / "
+            "CAST(k * (n - k) AS DOUBLE) AS score FROM c), "
+            "p AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY score DESC, k) rn FROM sc) "
+            "SELECT user_id AS entity, CAST(t AS BIGINT) AS split_t, "
+            "CAST(k AS BIGINT) AS k, score FROM p WHERE rn = 1"
+        ),
         "q_ltv": (
             "WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, "
             "coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents FROM events), "

@@ -2953,3 +2953,76 @@ def scd2_merge(dim, snapshot, key_cols, time_col: str, attr_cols,
     merged = j.map_batches(merge_block, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)
     return closed.union(merged)
+
+
+def change_point_by_entity(ds, entity_col: str, time_col: str,
+                           tiebreak_col: str, value_col: str):
+    """Single change-point per entity (binary segmentation, K=1): the split
+    k maximizing the between-segment sum of squares over the (time,
+    tiebreak) order — CUSUM's location-estimating sibling. Engine-exact
+    argmax: with prefix sum ``s1`` and totals (n, s), the score
+    ``d^2 / (n1 * n2)`` with ``d = s1*n2 - s2*n1`` is built from EXACT
+    int64 ints (guarded), so both engines compute bit-identical floats and
+    the (score DESC, k ASC) winner matches SQL ROW_NUMBER exactly.
+    Output: ``entity, split_t (last time of the left segment), k (1-based
+    left size), score``. Entities with one row have no split and drop.
+
+    Scale plan: ONE entity sort, one in-block prefix-sum sweep per entity —
+    no per-row Python, no second pass."""
+    empty = pa.table({
+        "entity": pa.array([], pa.int64()),
+        "split_t": pa.array([], pa.int64()),
+        "k": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+    })
+
+    def kern(block: pa.Table) -> pa.Table:
+        n_rows = block.num_rows
+        if n_rows == 0:
+            return empty
+        e = pc.cast(A.as_array(block.column(entity_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        t = pc.cast(A.as_array(block.column(time_col)), pa.int64(),
+                    safe=False).to_numpy(zero_copy_only=False)
+        tb = pc.cast(A.as_array(block.column(tiebreak_col)), pa.int64(),
+                     safe=False).to_numpy(zero_copy_only=False)
+        v = pc.cast(pc.fill_null(A.as_array(block.column(value_col)), 0),
+                    pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, t, e))
+        e, t, v = e[order], t[order], v[order]
+        estarts, elens = S.segments(e)
+        cs = np.cumsum(v)
+        base = np.repeat(cs[estarts] - v[estarts], elens)
+        s1 = cs - base  # inclusive prefix within entity
+        n = np.repeat(elens, elens).astype(np.int64)
+        stot = np.repeat(s1[estarts + elens - 1], elens)
+        k = np.arange(n_rows, dtype=np.int64) - np.repeat(estarts, elens) + 1
+        n2 = n - k
+        valid = n2 > 0
+        if np.abs(s1).max(initial=0) * int(n.max(initial=1)) >= (1 << 62):
+            raise ValueError("change_point_by_entity: prefix-sum x n risks "
+                             "int64 overflow; shrink value units")
+        d = s1 * n2 - (stot - s1) * k
+        with np.errstate(invalid="ignore", divide="ignore"):
+            score = np.where(valid,
+                             (d.astype(np.float64) * d.astype(np.float64))
+                             / (k * n2).astype(np.float64, copy=False),
+                             -np.inf)
+        # per-entity argmax, vectorized: segment max via reduceat, then the
+        # FIRST position achieving it (rows are k-ascending -> smallest k)
+        mx = np.maximum.reduceat(score, estarts)
+        cand = np.flatnonzero(score == np.repeat(mx, elens))
+        e_cand = e[cand]
+        first = np.ones(len(cand), bool)
+        first[1:] = e_cand[1:] != e_cand[:-1]
+        best = cand[first]
+        ok = elens > 1
+        bidx = best[ok]
+        return pa.table({"entity": pa.array(e[bidx], pa.int64()),
+                         "split_t": pa.array(t[bidx], pa.int64()),
+                         "k": pa.array(k[bidx], pa.int64()),
+                         "score": pa.array(score[bidx], pa.float64())})
+
+    if isinstance(ds, pa.Table):
+        return kern(ds)
+    return sorted_block_apply(ds, [entity_col], kern, "change_point")

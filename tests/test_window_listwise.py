@@ -795,3 +795,45 @@ def test_scd2_merge_equals_rebuild_and_guards(ray_session):
     noop = scd2_merge(dim, snap.slice(0, 0), "user_id", "ts", ["event_type"],
                       carry_cols=["event_id"])
     assert noop.sort_by(key).equals(dim.select(noop.column_names).sort_by(key))
+
+
+def test_change_point_by_entity_planted_shift_and_dataset(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.stages.window import change_point_by_entity
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    e = rng.integers(0, 40, n)
+    t = np.sort(rng.integers(0, 10**6, n))
+    v = rng.integers(0, 100, n)
+    v[(e == 0) & (t > 500_000)] += 500  # planted level shift
+    tt = pa.table({"e": pa.array(e, pa.int64()), "t": pa.array(t, pa.int64()),
+                   "id": pa.array(np.arange(n), pa.int64()),
+                   "v": pa.array(v, pa.int64())})
+    want = change_point_by_entity(tt, "e", "t", "id", "v").sort_by("entity")
+    con = duckdb.connect()
+    con.register("src", tt)
+    exp = con.sql("""
+        WITH o AS (SELECT e, t, id, v, SUM(v) OVER (PARTITION BY e ORDER BY t, id
+          ROWS UNBOUNDED PRECEDING) AS s1, ROW_NUMBER() OVER (PARTITION BY e
+          ORDER BY t, id) AS k, COUNT(*) OVER (PARTITION BY e) AS n,
+          SUM(v) OVER (PARTITION BY e) AS s FROM src),
+        c AS (SELECT e, t, k, n, CAST(s1*(n-k) - (s-s1)*k AS BIGINT) AS d
+          FROM o WHERE k < n),
+        sc AS (SELECT e, t, k, (CAST(d AS DOUBLE)*CAST(d AS DOUBLE)) /
+          CAST(k*(n-k) AS DOUBLE) AS score FROM c),
+        p AS (SELECT *, row_number() OVER (PARTITION BY e ORDER BY score DESC, k) rn
+          FROM sc)
+        SELECT e AS entity, t AS split_t, CAST(k AS BIGINT) AS k, score
+        FROM p WHERE rn = 1 ORDER BY entity""").arrow()
+    assert want.equals(exp.cast(want.schema))
+    r0 = [r for r in want.to_pylist() if r["entity"] == 0][0]
+    assert abs(r0["split_t"] - 500_000) < 80_000  # shift located
+    ds = ray.data.from_arrow(tt).repartition(5)
+    got = pa.concat_tables(
+        [pa.table(x) for x in change_point_by_entity(ds, "e", "t", "id", "v")
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by("entity")
+    assert got.cast(want.schema).equals(want)

@@ -2932,6 +2932,60 @@ def _q_ips(sf_dir):
                      "snips_cents": pa.array([snips_cents], pa.float64())})
 
 
+def _q_mi2d(sf_dir):
+    """Binned mutual information between hour-of-day and spend decile —
+    continuous-pair feature relevance: exact int64 2D contingency cells +
+    margins, each cell term ``n_xy * (ln(n_xy * N) - ln(n_x * n_y))``
+    micro-quantized (libm ln; the KM order-free-sum family), MI = ONE
+    closing division. O(cells) driver fold (cells = 24 x 10)."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.filter(pc.is_valid(t.column("value")))
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("value"), pa.float64(), safe=False), 100.0),
+            round_mode="half_towards_infinity"), pa.int64(), safe=False)             .to_numpy(zero_copy_only=False)
+        dec = np.clip((cents * 10) // 100_000, 0, 9)
+        return pa.table({"x": pa.array(hour, pa.int64()),
+                         "y": pa.array(dec, pa.int64()),
+                         "one": pa.array(np.ones(len(us), np.int64))})
+
+    prep.__name__ = "mi2d_bins"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    cells = groupby_agg(keyed, ["x", "y"], {"one": ["sum"]})
+    if not isinstance(cells, pa.Table):
+        parts = [t for t in collect_tables(cells) if t.num_rows > 0]
+        cells = pa.concat_tables(parts).combine_chunks()
+    import numpy as np
+
+    from kamae_ray.functions import arrays as A
+
+    x = pc.cast(cells.column("x"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+    y = pc.cast(cells.column("y"), pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+    nxy = pc.cast(cells.column("one_sum"), pa.int64(), safe=False)         .to_numpy(zero_copy_only=False)
+    N = int(nxy.sum())
+    nx = np.zeros(24, np.int64)
+    np.add.at(nx, x, nxy)
+    ny = np.zeros(10, np.int64)
+    np.add.at(ny, y, nxy)
+    a = (nxy * np.int64(N)).astype(np.float64)
+    b = (nx[x] * ny[y]).astype(np.float64)
+    term = nxy.astype(np.float64) * (A.libm_log(a) - A.libm_log(b))
+    q = np.where(term >= 0, np.floor(term * 1_000_000.0 + 0.5),
+                 np.ceil(term * 1_000_000.0 - 0.5)).astype(np.int64)
+    mi = float(int(q.sum())) / float(N * 1_000_000)
+    return pa.table({"n": pa.array([N], pa.int64()),
+                     "mi_nats": pa.array([mi], pa.float64())})
+
+
 def _q_calibration(sf_dir):
     """Reliability-diagram bins (``profile.calibration_bins``): cent scores
     vs the purchase label in 20 equal-width buckets — per-bucket exact
@@ -7804,6 +7858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_calibration": _q_calibration,
         "q_ece": _q_ece,
         "q_ips": _q_ips,
+        "q_mi2d": _q_mi2d,
         "q_loo_encode": _q_loo_encode,
         "q_group_bucket": _q_group_bucket,
         "q_rfm": _q_rfm,
@@ -10605,6 +10660,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.o_orderkey, ROUND(CASE WHEN s.c IS NULL OR s.n <= 1 "
             "THEN t.prior ELSE (s.sc - l.y)::DOUBLE / (s.n - 1) END, 6) AS prio_loo "
             "FROM l LEFT JOIN s ON l.c = s.c CROSS JOIN t"
+        ),
+        "q_mi2d": (
+            "WITH b AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS x, "
+            "least(greatest((CAST(round(value * 100) AS BIGINT) * 10) // 100000, 0), 9) "
+            "AS y FROM events WHERE value IS NOT NULL), "
+            "c AS (SELECT x, y, count(*)::BIGINT AS nxy FROM b GROUP BY x, y), "
+            "mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM c GROUP BY x), "
+            "my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM c GROUP BY y), "
+            "tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM c), "
+            "t2 AS (SELECT CAST(round(nxy * (ln(CAST(nxy * tot.n AS DOUBLE)) - "
+            "ln(CAST(mx.nx * my.ny AS DOUBLE))) * 1000000) AS BIGINT) AS q "
+            "FROM c JOIN mx USING (x) JOIN my USING (y), tot) "
+            "SELECT (SELECT n FROM tot) AS n, "
+            "CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / "
+            "CAST((SELECT n FROM tot) * 1000000 AS DOUBLE) AS mi_nats FROM t2"
         ),
         "q_ips": (
             "WITH b AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS r, "

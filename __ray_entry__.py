@@ -6020,6 +6020,95 @@ def _q_assoc(sf_dir):
                            batch_size=None)
 
 
+def _q_reco(sf_dir):
+    """END-TO-END recommender candidate generation, one chained oracle:
+    distinct order baskets -> symmetric co-occurrence scores -> each
+    customer's ANCHOR item (latest order by (date, orderkey), smallest
+    part) -> co-occurring candidates -> anti-join items the customer
+    already bought -> top-3 by (count DESC, item). Joins shuffle on
+    order/customer keys; the co-occurrence table is the only wide
+    intermediate; every rank deterministic."""
+    from kamae_ray.stages.aggregate import (cooccurrence_counts, distinct,
+                                            groupby_agg, topk_per_group)
+    from kamae_ray.stages.join import shuffle_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    baskets = distinct(li, ["l_orderkey", "l_partkey"]).materialize()
+    co = cooccurrence_counts(baskets, "l_orderkey", "l_partkey")
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("item_a")
+        b = t.column("item_b")
+        n = pc.cast(t.column("n"), pa.int64(), safe=False)
+        return pa.table({
+            "anchor_item": pa.concat_arrays([
+                pc.cast(a, pa.int64(), safe=False).combine_chunks()
+                if isinstance(a, pa.ChunkedArray) else pc.cast(a, pa.int64(), safe=False),
+                pc.cast(b, pa.int64(), safe=False).combine_chunks()
+                if isinstance(b, pa.ChunkedArray) else pc.cast(b, pa.int64(), safe=False)]),
+            "cand": pa.concat_arrays([
+                pc.cast(b, pa.int64(), safe=False).combine_chunks()
+                if isinstance(b, pa.ChunkedArray) else pc.cast(b, pa.int64(), safe=False),
+                pc.cast(a, pa.int64(), safe=False).combine_chunks()
+                if isinstance(a, pa.ChunkedArray) else pc.cast(a, pa.int64(), safe=False)]),
+            "n": pa.concat_arrays([n.combine_chunks() if isinstance(n, pa.ChunkedArray) else n] * 2),
+        })
+
+    sym.__name__ = "reco_sym"
+    sym_co = co.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
+    # customer-item purchase table (rides three consumers -> materialize)
+    withc = shuffle_join(baskets, ords.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        on="l_orderkey", how="inner").materialize()
+
+    def okey(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        days = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()), pa.int32())             .to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "l_orderkey": t.column("l_orderkey"),
+                         "l_partkey": t.column("l_partkey"),
+                         "ord_key": pa.array(days * (1 << 32) + ok, pa.int64())})
+
+    okey.__name__ = "reco_orderkey"
+    keyed = withc.map_batches(okey, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=None)
+    latest = topk_per_group(keyed, "o_custkey", "ord_key", 1, descending=True,
+                            tiebreak="l_partkey")
+    anchors = groupby_agg(latest, "o_custkey", {"l_partkey": ["min"]})
+
+    def anchor_units(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.cast(t.column("o_custkey"), pa.int64(), safe=False),
+                         "anchor_item": pc.cast(t.column("l_partkey_min"), pa.int64(),
+                                                safe=False)})
+
+    anchor_units.__name__ = "reco_anchor"
+    anchors = anchors.map_batches(anchor_units, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+    cands = shuffle_join(anchors, sym_co, on="anchor_item", how="inner")
+    seen = withc.map_batches(
+        lambda t: pa.table({"o_custkey": t.column("o_custkey"),
+                            "cand": pc.cast(t.column("l_partkey"), pa.int64(), safe=False)}),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    fresh = shuffle_join(cands, seen, on=["o_custkey", "cand"], how="anti")
+    top3 = topk_per_group(fresh, "o_custkey", "n", 3, descending=True,
+                          tiebreak="cand")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "anchor_item": t.column("anchor_item"),
+                         "cand": t.column("cand"),
+                         "n": pc.cast(t.column("n"), pa.int64(), safe=False)})
+
+    finish.__name__ = "reco_finish"
+    return top3.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
+
+
 def _q_transitions(sf_dir):
     """Markov transition matrix of the event stream (``transition_counts``):
     consecutive (from, to) event pairs per user timeline, event_id tiebreak
@@ -7946,6 +8035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_transitions": _q_transitions,
         "q_cooccur": _q_cooccur,
         "q_assoc": _q_assoc,
+        "q_reco": _q_reco,
         "q_llm_prep": _q_llm_prep,
         "q_dup_removal": _q_dup_removal,
         "q_minhash_pairs": _q_minhash_pairs,
@@ -8796,6 +8886,27 @@ def oracle_sql() -> dict[str, str]:
             "ELSE (1000000 * len(list_intersect(da, db))) // "
             "(len(da) + len(db) - len(list_intersect(da, db))) END AS BIGINT) AS sim_ppm "
             "FROM s"
+        ),
+        "q_reco": (
+            "WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem), "
+            "p AS (SELECT a.i AS ia, b.i AS ib, count(*)::BIGINT AS n FROM d a "
+            "JOIN d b ON a.o = b.o AND a.i < b.i GROUP BY 1, 2), "
+            "sym AS (SELECT ia AS anchor_item, ib AS cand, n FROM p "
+            "UNION ALL SELECT ib, ia, n FROM p), "
+            "w AS (SELECT o_custkey, d.o AS ok, o_orderdate, d.i FROM d "
+            "JOIN orders ON d.o = o_orderkey), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY "
+            "CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) * 4294967296 + ok DESC, i) "
+            "AS rn FROM w), "
+            "anc AS (SELECT o_custkey, MIN(i) AS anchor_item FROM r WHERE rn = 1 "
+            "GROUP BY o_custkey), "
+            "c AS (SELECT anc.o_custkey, anc.anchor_item, s.cand, s.n FROM anc "
+            "JOIN sym s ON s.anchor_item = anc.anchor_item), "
+            "f AS (SELECT c.* FROM c WHERE NOT EXISTS (SELECT 1 FROM w WHERE "
+            "w.o_custkey = c.o_custkey AND w.i = c.cand)), "
+            "t3 AS (SELECT *, row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY n DESC, cand) AS rk FROM f) "
+            "SELECT o_custkey, anchor_item, cand, n FROM t3 WHERE rk <= 3"
         ),
         "q_assoc": (
             "WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem), "

@@ -1931,6 +1931,39 @@ def _q_kendall(sf_dir):
                            zero_copy_batch=True)
 
 
+def _q_trend(sf_dir):
+    """Mann-Kendall-style monotonic trend per user (users % 7 == 0 slice):
+    Kendall tau-b between event time and spend cents — the tie-aware trend
+    detector (tau sign = trend direction, |tau| = strength). Same tiled
+    exact-int64 sign-product kernel as q_kendall; oracle = the all-pairs
+    self-join tau_b SQL over (ts, cents)."""
+    from kamae_ray.stages.profile import kendall_tau_by_group
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keep = pc.is_valid(batch.column("value"))
+        batch = batch.filter(keep)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        sub = pa.array(uid % 7 == 0)
+        batch = batch.filter(sub)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(batch.column("value"), pa.float64()), 100.0),
+            ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"g": batch.column("user_id"),
+                         "x": pc.cast(batch.column("ts"), pa.int64()),
+                         "y": cents})
+
+    prep.__name__ = "trend_prep"
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    out = kendall_tau_by_group(keyed, "g", "x", "y")
+    return out.map_batches(_rounder(["tau_b"]), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_logrank(sf_dir):
     """Two-arm log-rank survival-test terms (``evalmetrics.logrank_terms``):
     order lifetime in month buckets, event = finished status, arms =
@@ -7985,6 +8018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_welch": _q_welch,
         "q_mcc": _q_mcc,
         "q_kendall": _q_kendall,
+        "q_trend": _q_trend,
         "q_assortativity": _q_assortativity,
         "q_array_distinct": _q_array_distinct,
         "q_wasserstein": _q_wasserstein,
@@ -11147,6 +11181,23 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt((n::HUGEINT * s11 - s1::HUGEINT * s1)::DOUBLE) * "
             "sqrt((n::HUGEINT * s22 - s2::HUGEINT * s2)::DOUBLE)) END, 6) "
             "AS assortativity FROM t"
+        ),
+        "q_trend": (
+            "WITH b AS (SELECT user_id AS g, epoch_us(ts) AS x, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS y, event_id AS id FROM events "
+            "WHERE value IS NOT NULL AND user_id % 7 = 0), "
+            "cnt AS (SELECT g, COUNT(*)::BIGINT AS n FROM b GROUP BY g), "
+            "p AS (SELECT a.g, SUM(sign(a.x - bb.x) * sign(a.y - bb.y))::BIGINT AS ncd, "
+            "SUM(CASE WHEN a.x = bb.x THEN 1 ELSE 0 END)::BIGINT AS t1, "
+            "SUM(CASE WHEN a.y = bb.y THEN 1 ELSE 0 END)::BIGINT AS t2 "
+            "FROM b a JOIN b bb ON a.g = bb.g AND a.id < bb.id GROUP BY a.g) "
+            "SELECT c.g, c.n, COALESCE(p.ncd, 0) AS ncd, COALESCE(p.t1, 0) AS ties_x, "
+            "COALESCE(p.t2, 0) AS ties_y, ROUND(CASE WHEN (c.n * (c.n - 1)) // 2 "
+            "- COALESCE(p.t1, 0) > 0 AND (c.n * (c.n - 1)) // 2 - COALESCE(p.t2, 0) > 0 "
+            "THEN COALESCE(p.ncd, 0)::DOUBLE / (sqrt(((c.n * (c.n - 1)) // 2 "
+            "- COALESCE(p.t1, 0))::DOUBLE) * sqrt(((c.n * (c.n - 1)) // 2 "
+            "- COALESCE(p.t2, 0))::DOUBLE)) END, 6) AS tau_b "
+            "FROM cnt c LEFT JOIN p ON c.g = p.g"
         ),
         "q_kendall": (
             "WITH b AS (SELECT c_nationkey AS g, c_custkey % 100 AS x, "

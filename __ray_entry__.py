@@ -1964,6 +1964,84 @@ def _q_trend(sf_dir):
                            zero_copy_batch=True)
 
 
+def _q_psm(sf_dir):
+    """Propensity-score matching (exact-match nation + nearest score +
+    caliper): each treated customer (odd key) matches its nation's nearest
+    control (even key) by acctbal-cents score via the certified
+    nearest-asof machinery (exact int64 distances; ties backward-then-max
+    control id), then a 1000-cent caliper filter. The causal-inference
+    data-prep staple; ONE asof sort plan. Oracle = LATERAL nearest with
+    the identical tie chain."""
+    from kamae_ray.stages.window import asof_join
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.filter(pc.is_valid(t.column("c_acctbal")))
+        cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"), 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "nation": pc.cast(t.column("c_nationkey"), pa.int64(),
+                                           safe=False),
+                         "score": cents})
+
+    prep.__name__ = "psm_prep"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None).materialize()
+
+    def side(par, names):
+        def f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+            sub = t.filter(pa.array(k % 2 == par))
+            cols = dict(zip(names, [sub.column("c_custkey"), sub.column("nation"),
+                                    sub.column("score")]))
+            return pa.table(cols)
+        f.__name__ = f"psm_side{par}"
+        return f
+
+    treated = keyed.map_batches(side(1, ["treated_id", "nation", "t_score"]),
+                                batch_format="pyarrow", zero_copy_batch=True,
+                                batch_size=None)
+    controls = keyed.map_batches(side(0, ["control_id", "nation", "c_score"]),
+                                 batch_format="pyarrow", zero_copy_batch=True,
+                                 batch_size=None)
+
+    def dup_score(t: pa.Table) -> pa.Table:
+        return t.append_column("c_score_val", t.column("c_score"))
+
+    dup_score.__name__ = "psm_dup"
+    controls = controls.map_batches(dup_score, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=None)
+    out = asof_join(treated, controls, by=["nation"], left_on="t_score",
+                    right_on="c_score", right_cols=["control_id", "c_score_val"],
+                    right_tiebreak="control_id", direction="nearest")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ok = pc.is_valid(t.column("control_id"))
+        t = t.filter(ok)
+        ts_ = t.column("t_score").to_numpy(zero_copy_only=False)
+        cs = t.column("c_score_val").to_numpy(zero_copy_only=False)
+        keep = np.abs(ts_ - cs) <= 1000
+        t = t.filter(pa.array(keep))
+        return pa.table({"treated_id": t.column("treated_id"),
+                         "nation": t.column("nation"),
+                         "t_score": t.column("t_score"),
+                         "control_id": pc.cast(t.column("control_id"), pa.int64(),
+                                               safe=False),
+                         "c_score": pc.cast(t.column("c_score_val"), pa.int64(),
+                                            safe=False)})
+
+    finish.__name__ = "psm_finish"
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
 def _q_logrank(sf_dir):
     """Two-arm log-rank survival-test terms (``evalmetrics.logrank_terms``):
     order lifetime in month buckets, event = finished status, arms =
@@ -8019,6 +8097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mcc": _q_mcc,
         "q_kendall": _q_kendall,
         "q_trend": _q_trend,
+        "q_psm": _q_psm,
         "q_assortativity": _q_assortativity,
         "q_array_distinct": _q_array_distinct,
         "q_wasserstein": _q_wasserstein,
@@ -11181,6 +11260,20 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt((n::HUGEINT * s11 - s1::HUGEINT * s1)::DOUBLE) * "
             "sqrt((n::HUGEINT * s22 - s2::HUGEINT * s2)::DOUBLE)) END, 6) "
             "AS assortativity FROM t"
+        ),
+        "q_psm": (
+            "WITH b AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS score FROM customer "
+            "WHERE c_acctbal IS NOT NULL), "
+            "tr AS (SELECT c_custkey AS treated_id, nation, score AS t_score FROM b "
+            "WHERE c_custkey % 2 = 1), "
+            "co AS (SELECT c_custkey AS control_id, nation, score AS c_score FROM b "
+            "WHERE c_custkey % 2 = 0) "
+            "SELECT tr.treated_id, tr.nation, tr.t_score, m.control_id, m.c_score "
+            "FROM tr JOIN LATERAL (SELECT co.control_id, co.c_score FROM co "
+            "WHERE co.nation = tr.nation ORDER BY abs(co.c_score - tr.t_score), "
+            "(co.c_score > tr.t_score), co.control_id DESC LIMIT 1) m ON TRUE "
+            "WHERE abs(m.c_score - tr.t_score) <= 1000"
         ),
         "q_trend": (
             "WITH b AS (SELECT user_id AS g, epoch_us(ts) AS x, "

@@ -2042,6 +2042,55 @@ def _q_psm(sf_dir):
                            batch_size=None)
 
 
+def _q_uplift(sf_dir):
+    """Uplift readout per market segment: treated (odd custkey) vs control
+    response rates (response = acctbal > 5000$) — exact int64 cells, each
+    rate ONE division, uplift one subtraction of identically-computed
+    floats (bit-identical cross-engine). PSM's aggregate companion; one
+    partial-agg exchange."""
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.filter(pc.is_valid(t.column("c_acctbal")))
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        treat = (k % 2 == 1).astype(np.int64)
+        resp = pc.cast(pc.greater(t.column("c_acctbal"), 5000.0), pa.int64(),
+                       safe=False).to_numpy(zero_copy_only=False)
+        return pa.table({"seg": t.column("c_mktsegment"),
+                         "nt": pa.array(treat, pa.int64()),
+                         "nc": pa.array(1 - treat, pa.int64()),
+                         "rt": pa.array(treat * resp, pa.int64()),
+                         "rc": pa.array((1 - treat) * resp, pa.int64())})
+
+    prep.__name__ = "uplift_cells"
+    keyed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    agg = groupby_agg(keyed, "seg", {"nt": ["sum"], "nc": ["sum"],
+                                     "rt": ["sum"], "rc": ["sum"]})
+    if not isinstance(agg, pa.Table):
+        parts = [t for t in collect_tables(agg) if t.num_rows > 0]
+        agg = pa.concat_tables(parts).combine_chunks()
+    import numpy as np
+
+    nt = agg.column("nt_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    nc = agg.column("nc_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    rt = agg.column("rt_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    rc = agg.column("rc_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    rate_t = rt.astype(np.float64) / nt
+    rate_c = rc.astype(np.float64) / nc
+    return pa.table({"seg": agg.column("seg"),
+                     "n_treated": pa.array(nt, pa.int64()),
+                     "n_control": pa.array(nc, pa.int64()),
+                     "rate_t": pa.array(rate_t, pa.float64()),
+                     "rate_c": pa.array(rate_c, pa.float64()),
+                     "uplift": pa.array(rate_t - rate_c, pa.float64())}).sort_by("seg")
+
+
 def _q_logrank(sf_dir):
     """Two-arm log-rank survival-test terms (``evalmetrics.logrank_terms``):
     order lifetime in month buckets, event = finished status, arms =
@@ -8098,6 +8147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kendall": _q_kendall,
         "q_trend": _q_trend,
         "q_psm": _q_psm,
+        "q_uplift": _q_uplift,
         "q_assortativity": _q_assortativity,
         "q_array_distinct": _q_array_distinct,
         "q_wasserstein": _q_wasserstein,
@@ -11260,6 +11310,20 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt((n::HUGEINT * s11 - s1::HUGEINT * s1)::DOUBLE) * "
             "sqrt((n::HUGEINT * s22 - s2::HUGEINT * s2)::DOUBLE)) END, 6) "
             "AS assortativity FROM t"
+        ),
+        "q_uplift": (
+            "WITH b AS (SELECT c_mktsegment AS seg, c_custkey % 2 AS tr, "
+            "CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END AS resp FROM customer "
+            "WHERE c_acctbal IS NOT NULL), "
+            "g AS (SELECT seg, CAST(SUM(tr) AS BIGINT) AS n_treated, "
+            "CAST(SUM(1 - tr) AS BIGINT) AS n_control, "
+            "CAST(SUM(tr * resp) AS BIGINT) AS rt, "
+            "CAST(SUM((1 - tr) * resp) AS BIGINT) AS rc FROM b GROUP BY seg) "
+            "SELECT seg, n_treated, n_control, "
+            "CAST(rt AS DOUBLE) / n_treated AS rate_t, "
+            "CAST(rc AS DOUBLE) / n_control AS rate_c, "
+            "CAST(rt AS DOUBLE) / n_treated - CAST(rc AS DOUBLE) / n_control "
+            "AS uplift FROM g"
         ),
         "q_psm": (
             "WITH b AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation, "

@@ -59,6 +59,14 @@ v2 additions (stateless serving ops; all state inline in spec.json):
   ``default`` if set, else x unchanged; null -> null.
 - ``string_case``     upper | lower.
 - ``string_affix``    out = prefix + x + suffix.
+- ``edit_distance``   two-column string distances (levenshtein / full
+  damerau / extended hamming / charset-jaccard ppm / jaro / jaro_winkler);
+  the interpreter carries plain-python reference DPs that are bit-identical
+  to the engine's vectorized kernels.
+- ``soundex``         simplified translate-collapse Soundex codes.
+- ``base64_encode`` / ``base64_decode`` / ``hex_encode`` — binary-feature
+  serialization (strict RFC 4648 decode; malformed input raises).
+- ``bit_hamming``     popcount(xor) of two int64 columns.
 - ``string_concat``   join ``inputs`` columns with ``separator``; any null
   input -> null row.
 - ``string_replace``  replace all matches of ``pattern`` (RE2 regex when
@@ -238,6 +246,25 @@ def _spec_of_inner(stage, t, E, I, Sc, St, ref):
                 "output": stage.output_col}
     if t is St.IpToIntTransformer:
         return {"op": "ip_to_int", "input": stage.input_col,
+                "output": stage.output_col}
+    if t is St.EditDistanceTransformer:
+        return {"op": "edit_distance", "inputs": list(stage.input_cols),
+                "output": stage.output_col, "mode": stage.mode,
+                "max_len": int(stage.max_len)}
+    if t is St.SoundexTransformer:
+        return {"op": "soundex", "input": stage.input_col,
+                "output": stage.output_col}
+    if t is St.Base64EncodeTransformer:
+        return {"op": "base64_encode", "input": stage.input_col,
+                "output": stage.output_col}
+    if t is St.Base64DecodeTransformer:
+        return {"op": "base64_decode", "input": stage.input_col,
+                "output": stage.output_col}
+    if t is St.HexEncodeTransformer:
+        return {"op": "hex_encode", "input": stage.input_col,
+                "output": stage.output_col}
+    if t is E.BitHammingTransformer:
+        return {"op": "bit_hamming", "inputs": list(stage.input_cols),
                 "output": stage.output_col}
     if t is E.StringMapTransformer:
         return {"op": "string_map", "input": stage.input_col, "output": stage.output_col,
@@ -512,6 +539,167 @@ def apply_portable(path: str, table: pa.Table) -> pa.Table:
                         b = pc.cast(b, pa.float64(), safe=False)
                     table = emit(table, f"{op['output']}_{ci}_x_{cj}",
                                  pc.multiply_checked(a, b))
+        elif kind == "edit_distance":
+            # plain-python reference DPs (executable documentation; the
+            # engine's vectorized kernels live in functions/editdist)
+            a = pc.cast(inp(op["inputs"][0]), pa.string(), safe=False).fill_null("").to_pylist()
+            b = pc.cast(inp(op["inputs"][1]), pa.string(), safe=False).fill_null("").to_pylist()
+            mode = op["mode"]
+
+            def _lev(x, y):
+                xb, yb = x.encode(), y.encode()
+                prev = list(range(len(yb) + 1))
+                for i, ca in enumerate(xb, 1):
+                    cur = [i]
+                    for j, cb in enumerate(yb, 1):
+                        cur.append(min(prev[j - 1] + (ca != cb), cur[-1] + 1,
+                                       prev[j] + 1))
+                    prev = cur
+                return prev[-1]
+
+            def _dl(x, y):
+                xb, yb = x.encode(), y.encode()
+                la, lb = len(xb), len(yb)
+                inf = la + lb + 1
+                d = [[inf] * (lb + 2) for _ in range(la + 2)]
+                d[1][1] = 0
+                for i in range(1, la + 1):
+                    d[i + 1][1] = i
+                for j in range(1, lb + 1):
+                    d[1][j + 1] = j
+                da = {}
+                for i in range(1, la + 1):
+                    db = 0
+                    for j in range(1, lb + 1):
+                        k = da.get(yb[j - 1], 0)
+                        l = db
+                        cost = 0 if xb[i - 1] == yb[j - 1] else 1
+                        if cost == 0:
+                            db = j
+                        d[i + 1][j + 1] = min(
+                            d[i][j] + cost, d[i + 1][j] + 1, d[i][j + 1] + 1,
+                            d[k][l] + (i - k - 1) + 1 + (j - l - 1))
+                    da[xb[i - 1]] = i
+                return d[la + 1][lb + 1]
+
+            def _ham(x, y):
+                xb, yb = x.encode(), y.encode()
+                m = min(len(xb), len(yb))
+                return sum(1 for i in range(m) if xb[i] != yb[i]) + abs(len(xb) - len(yb))
+
+            def _cj(x, y):
+                sa, sb = set(x.encode()), set(y.encode())
+                u = len(sa | sb)
+                return 1_000_000 if u == 0 else (1_000_000 * len(sa & sb)) // u
+
+            def _jaro(x, y, winkler):
+                xb, yb = x.encode(), y.encode()
+                la, lb = len(xb), len(yb)
+                if la == 0 or lb == 0:
+                    return 0.0
+                w = max(max(la, lb) // 2 - 1, 0)
+                bm = [False] * lb
+                am = [False] * la
+                for i in range(la):
+                    for j in range(max(0, i - w), min(lb, i + w + 1)):
+                        if not bm[j] and xb[i] == yb[j]:
+                            am[i] = bm[j] = True
+                            break
+                m = sum(am)
+                if m == 0:
+                    return 0.0
+                bs = [yb[j] for j in range(lb) if bm[j]]
+                k = t2 = 0
+                for i in range(la):
+                    if am[i]:
+                        if xb[i] != bs[k]:
+                            t2 += 1
+                        k += 1
+                v = (m / la + m / lb + (m - t2 // 2) / m) / 3.0
+                if winkler and v > 0.7:
+                    p = 0
+                    for cx, cy in zip(xb, yb):
+                        if cx == cy and p < 4:
+                            p += 1
+                        else:
+                            break
+                    v = v + p * 0.1 * (1.0 - v)
+                return v
+
+            if mode == "levenshtein":
+                out = pa.array([_lev(x, y) for x, y in zip(a, b)], pa.int32())
+            elif mode == "damerau":
+                out = pa.array([_dl(x, y) for x, y in zip(a, b)], pa.int32())
+            elif mode == "hamming":
+                out = pa.array([_ham(x, y) for x, y in zip(a, b)], pa.int32())
+            elif mode == "charset_jaccard":
+                out = pa.array([_cj(x, y) for x, y in zip(a, b)], pa.int32())
+            else:
+                out = pa.array([_jaro(x, y, mode == "jaro_winkler")
+                                for x, y in zip(a, b)], pa.float64())
+            table = emit(table, op["output"], out)
+        elif kind == "soundex":
+            import re as _re
+
+            _code = str.maketrans("AEIOUYHWBFPVCGJKQSXZDTLMNR",
+                                  "00000000111122222222334556")
+
+            def _sdx(x):
+                if x is None:
+                    return None
+                c = _re.sub("[^A-Za-z]", "", x).upper()
+                if not c:
+                    return ""
+                codes = c.translate(_code)
+                dedup = codes[0] + "".join(
+                    codes[i] for i in range(1, len(codes))
+                    if codes[i] != codes[i - 1])
+                digits = dedup[1:].replace("0", "")
+                return c[0] + (digits + "000")[:3]
+
+            vals = pc.cast(inp(op["input"]), pa.string(), safe=False).to_pylist()
+            table = emit(table, op["output"], pa.array([_sdx(v) for v in vals],
+                                                       pa.string()))
+        elif kind in ("base64_encode", "hex_encode"):
+            import base64 as _b64
+            import binascii as _ba
+
+            col = inp(op["input"])
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                vals = [None if v is None else v.encode() for v in col.to_pylist()]
+            else:
+                vals = col.to_pylist()
+            if kind == "base64_encode":
+                out = [None if v is None else _b64.b64encode(v).decode() for v in vals]
+            else:
+                out = [None if v is None else _ba.hexlify(v).decode().upper()
+                       for v in vals]
+            table = emit(table, op["output"], pa.array(out, pa.string()))
+        elif kind == "base64_decode":
+            _ALPH = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/=")
+
+            def _dec(v):
+                if v is None:
+                    return None
+                if len(v) % 4 != 0 or not set(v) <= _ALPH:
+                    raise ValueError("malformed base64")
+                body = v.rstrip("=")
+                if "=" in body or len(v) - len(body) > 2:
+                    raise ValueError("malformed base64 padding")
+                import base64 as _b64
+
+                return _b64.b64decode(v)
+
+            vals = pc.cast(inp(op["input"]), pa.string(), safe=False).to_pylist()
+            table = emit(table, op["output"], pa.array([_dec(v) for v in vals],
+                                                       pa.binary()))
+        elif kind == "bit_hamming":
+            av = pc.cast(inp(op["inputs"][0]), pa.int64(), safe=False).to_pylist()
+            bv = pc.cast(inp(op["inputs"][1]), pa.int64(), safe=False).to_pylist()
+            out = [None if (x is None or y is None)
+                   else ((x ^ y) & 0xFFFFFFFFFFFFFFFF).bit_count()
+                   for x, y in zip(av, bv)]
+            table = emit(table, op["output"], pa.array(out, pa.int64()))
         elif kind == "ip_to_int":
             arr = table.column(op["input"])
             arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr

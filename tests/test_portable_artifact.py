@@ -682,3 +682,53 @@ def test_portable_poly_and_ip_round_trip(tmp_path):
                 "p_f_x_f", "ipn", "ipn_net24"]:
         assert got.column(col).to_pylist() == expect.column(col).to_pylist(), col
         assert got.column(col).type == expect.column(col).type, col
+
+
+def test_portable_covers_string_distance_and_binary_ops(tmp_path):
+    import random
+    import string as _string
+
+    from kamae_ray.pipelines import PipelineModel
+    from kamae_ray.state.portable import apply_portable, export_portable
+    from kamae_ray.stages import (
+        Base64DecodeTransformer,
+        Base64EncodeTransformer,
+        BitHammingTransformer,
+        EditDistanceTransformer,
+        HexEncodeTransformer,
+        SoundexTransformer,
+    )
+
+    rng = random.Random(3)
+    n = 300
+    a = ["".join(rng.choices(_string.ascii_letters + " é0", k=rng.randint(0, 12)))
+         for _ in range(n)]
+    b = ["".join(rng.choices(_string.ascii_letters + " é0", k=rng.randint(0, 12)))
+         for _ in range(n)]
+    a[1] = None
+    t = pa.table({
+        "a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
+        "h1": pa.array([rng.randrange(-2**62, 2**62) for _ in range(n)], pa.int64()),
+        "h2": pa.array([rng.randrange(-2**62, 2**62) for _ in range(n)], pa.int64()),
+    })
+    stages = [
+        EditDistanceTransformer(input_cols=["a", "b"], output_col="lev"),
+        EditDistanceTransformer(input_cols=["a", "b"], output_col="dl", mode="damerau"),
+        EditDistanceTransformer(input_cols=["a", "b"], output_col="hm", mode="hamming"),
+        EditDistanceTransformer(input_cols=["a", "b"], output_col="cj",
+                                mode="charset_jaccard"),
+        EditDistanceTransformer(input_cols=["a", "b"], output_col="jw",
+                                mode="jaro_winkler"),
+        SoundexTransformer(input_col="a", output_col="sdx"),
+        Base64EncodeTransformer(input_col="a", output_col="b64"),
+        Base64DecodeTransformer(input_col="b64", output_col="raw"),
+        HexEncodeTransformer(input_col="b", output_col="hx"),
+        BitHammingTransformer(input_cols=["h1", "h2"], output_col="bits"),
+    ]
+    pm = PipelineModel(stages)
+    want = pm.transform(t)
+    path = str(tmp_path / "artifact")
+    export_portable(pm, path)
+    got = apply_portable(path, t)
+    for c in ("lev", "dl", "hm", "cj", "jw", "sdx", "b64", "raw", "hx", "bits"):
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c

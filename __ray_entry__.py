@@ -4775,6 +4775,66 @@ def _q_sparse_dot(sf_dir):
                            batch_size=None)
 
 
+def _q_heaps(sf_dir):
+    """Heaps'-law vocabulary-growth fit: V(n) ~ K n^b over doc order —
+    each term's FIRST doc via one groupby min, new-terms-per-doc counts,
+    exact cumulative vocab via the bucketed global cumsum, then the zipf
+    milli-ln integer-moment regression (libm ln, exact int64 sums, slope =
+    ONE division). Corpus-statistics sibling of q_zipf; b ~ 0.4-0.6 for
+    natural text."""
+    import numpy as np
+
+    from kamae_ray.base import collect_tables
+    from kamae_ray.functions import arrays as A
+    from kamae_ray.pipelines.text_features import term_frequencies
+    from kamae_ray.stages.aggregate import global_cumsum, groupby_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tf = term_frequencies(ds, "doc_id", "text")
+    firsts = groupby_agg(tf, "term", {"doc_id": ["min"]})
+
+    def newc(t: pa.Table) -> pa.Table:
+        return pa.table({"doc": pc.cast(t.column("doc_id_min"), pa.int64(),
+                                        safe=False),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    newc.__name__ = "heaps_new"
+    per_doc = groupby_agg(
+        firsts.map_batches(newc, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None),
+        "doc", {"one": ["sum"]})
+
+    def units(t: pa.Table) -> pa.Table:
+        return pa.table({"doc": pc.cast(t.column("doc"), pa.int64(), safe=False),
+                         "nv": pc.cast(t.column("one_sum"), pa.int64(), safe=False)})
+
+    units.__name__ = "heaps_units"
+    per_doc = per_doc.map_batches(units, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+    cum = global_cumsum(per_doc, "doc", "nv", out_col="vocab", exclusive=False)
+    if not isinstance(cum, pa.Table):
+        parts = [t for t in collect_tables(cum) if t.num_rows > 0]
+        cum = pa.concat_tables(parts).combine_chunks()
+    cum = cum.sort_by("doc")
+    # x = rank of the doc among docs that introduced terms (1-based), the
+    # "documents seen" axis restricted to growth points; y = vocab so far
+    k = np.arange(1, cum.num_rows + 1, dtype=np.float64)
+    # rebase to the true doc count axis: the doc's 1-based position among
+    # ALL docs is doc_id + 1 (doc ids are dense 0..N-1 in this corpus)
+    docs = cum.column("doc").to_numpy(zero_copy_only=False).astype(np.float64) + 1.0
+    v = cum.column("vocab").to_numpy(zero_copy_only=False).astype(np.float64)
+    x = np.floor(A.libm_log(docs) * 1000.0 + 0.5).astype(np.int64)
+    y = np.floor(A.libm_log(v) * 1000.0 + 0.5).astype(np.int64)
+    kk = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = kk * sxy - sx * sy
+    den = kk * sxx - sx * sx
+    slope = float(num) / float(den) if den else None
+    return pa.table({"n_points": pa.array([kk], pa.int64()),
+                     "b": pa.array([slope], pa.float64())})
+
+
 def _q_top_terms(sf_dir):
     """EXACT corpus-wide top-10 terms with bounded shuffle (heavy-hitters
     plan): words explode, per-block counts Misra-Gries-compressed to 256
@@ -8231,6 +8291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rank": _q_rank,
         "q_top_terms": _q_top_terms,
         "q_zipf": _q_zipf,
+        "q_heaps": _q_heaps,
         "q_sparse_dot": _q_sparse_dot,
         "q_profile": _q_profile,
         "q_range_join": _q_range_join,
@@ -9315,6 +9376,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id // 2 AS pair, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot "
             "FROM c a JOIN c b ON a.doc_id // 2 = b.doc_id // 2 AND a.term = b.term "
             "AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY pair"
+        ),
+        "q_heaps": (
+            "WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex("
+            "coalesce(text, ''), '\\s+'), x -> length(x) > 0)) AS term FROM documents), "
+            "f AS (SELECT term, min(doc_id) AS d FROM w GROUP BY term), "
+            "g AS (SELECT d, count(*)::BIGINT AS nv FROM f GROUP BY d), "
+            "c AS (SELECT d, CAST(SUM(nv) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT) AS vocab FROM g), "
+            "q AS (SELECT CAST(round(ln(d + 1) * 1000) AS BIGINT) AS x, "
+            "CAST(round(ln(vocab) * 1000) AS BIGINT) AS y FROM c), "
+            "m AS (SELECT count(*)::BIGINT AS k, CAST(SUM(x) AS BIGINT) AS sx, "
+            "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy, "
+            "CAST(SUM(x * x) AS BIGINT) AS sxx FROM q) "
+            "SELECT k AS n_points, CASE WHEN k * sxx - sx * sx = 0 THEN NULL ELSE "
+            "CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx) END AS b FROM m"
         ),
         "q_zipf": _zipf_oracle(),
         "q_top_terms": (

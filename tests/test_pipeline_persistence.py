@@ -260,3 +260,42 @@ def test_lazy_cache_transformers_survive_load(tmp_path):
     pm.save(path)
     out2 = PipelineModel.load(path).transform(t)
     assert out1.equals(out2)
+
+
+def test_session6_stages_roundtrip_and_transform_after_load(tmp_path):
+    """Lesson-41 class: every stage must transform correctly after a
+    __new__-based load (no lazily-built private attrs assumed present)."""
+    from kamae_ray.pipelines import PipelineModel
+    from kamae_ray.stages import (
+        Base64DecodeTransformer,
+        Base64EncodeTransformer,
+        BitHammingTransformer,
+        EditDistanceTransformer,
+        HexEncodeTransformer,
+        SoundexTransformer,
+    )
+
+    t = pa.table({
+        "a": pa.array(["Robert", "crème", None, ""], pa.string()),
+        "b": pa.array(["Rupert", "creme", "x", "y"], pa.string()),
+        "h1": pa.array([5, -1, 0, 2**62], pa.int64()),
+        "h2": pa.array([3, -1, -1, 0], pa.int64()),
+    })
+    pm = PipelineModel([
+        EditDistanceTransformer(input_cols=["a", "b"], output_col="dl", mode="damerau"),
+        EditDistanceTransformer(input_cols=["a", "b"], output_col="jw",
+                                mode="jaro_winkler", max_len=32),
+        SoundexTransformer(input_col="a", output_col="sdx"),
+        Base64EncodeTransformer(input_col="a", output_col="b64"),
+        Base64DecodeTransformer(input_col="b64", output_col="raw"),
+        HexEncodeTransformer(input_col="b", output_col="hx"),
+        BitHammingTransformer(input_cols=["h1", "h2"], output_col="bits"),
+    ])
+    want = pm.transform(t)
+    path = str(tmp_path / "pm")
+    pm.save(path)
+    loaded = PipelineModel.load(path)
+    got = loaded.transform(t)
+    assert got.equals(want)
+    # mode/max_len params survived the round trip
+    assert loaded.stages[1].mode == "jaro_winkler" and loaded.stages[1].max_len == 32

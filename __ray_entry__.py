@@ -3472,6 +3472,28 @@ def _q_lm_score(sf_dir):
                            zero_copy_batch=True, batch_size=None)
 
 
+def _q_adamic_adar(sf_dir):
+    """Adamic-Adar link prediction over the modular events graph (u%300 —
+    e%300): degree-discounted common-neighbor scores, each 1/ln(deg_z)
+    term micro-quantized (libm ln) so pair sums are order-free exact int64.
+    The canonical wedge join with the shared neighbor's degree riding the
+    left side; min_common=2 bounds the pair set."""
+    from kamae_ray.pipelines.graph import adamic_adar
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(u % 300, pa.int64()),
+                         "dst": pa.array(e % 300, pa.int64())})
+
+    to_edges.__name__ = "aa_edges"
+    edges = ev.map_batches(to_edges, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return adamic_adar(edges, min_common=2)
+
+
 def _q_kcore(sf_dir):
     """R-round k-core peel (k=3, rounds=8) of the modular events graph —
     deterministic fixed-round contract mirrored by the unrolled
@@ -8148,6 +8170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lm_score": _q_lm_score,
         "q_triangles": _q_triangles,
         "q_kcore": _q_kcore,
+        "q_adamic_adar": _q_adamic_adar,
         "q_percent_rank": _q_percent_rank,
         "q_phash": _q_phash,
         "q_neardup_best": _q_neardup_best,
@@ -8742,6 +8765,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_bigrams, sum_ppm, "
             "ROUND(CAST(sum_ppm AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS lm_score "
             "FROM o"
+        ),
+        "q_adamic_adar": (
+            "WITH raw AS (SELECT user_id % 300 AS src, event_id % 300 AS dst "
+            "FROM events), "
+            "e AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b FROM raw "
+            "WHERE src <> dst), "
+            "und AS (SELECT a AS node, b AS z FROM e UNION ALL SELECT b, a FROM e), "
+            "deg AS (SELECT node AS z, count(*)::BIGINT AS d FROM und GROUP BY node), "
+            "zt AS (SELECT z, CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) "
+            "AS term FROM deg), "
+            "w AS (SELECT l.node AS u, r.node AS v, zt.term FROM und l "
+            "JOIN und r ON l.z = r.z JOIN zt ON zt.z = l.z WHERE l.node < r.node) "
+            "SELECT u, v, count(*)::BIGINT AS cn, CAST(SUM(term) AS BIGINT) AS aa_micro "
+            "FROM w GROUP BY u, v HAVING count(*) >= 2"
         ),
         "q_kcore": _kcore_oracle(),
         "q_triangles": (

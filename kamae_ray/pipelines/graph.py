@@ -834,3 +834,106 @@ def k_core_oracle_sql(edges_cte: str, k: int, rounds: int = 8) -> str:
         f"(SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) GROUP BY node"
     )
     return "".join(parts)
+
+
+def adamic_adar(edges, src: str = "src", dst: str = "dst",
+                min_common: int = 1):
+    """Adamic-Adar link-prediction scores: for node pairs ``u < v`` with
+    common neighbors, ``AA = sum over common z of 1 / ln(deg(z))`` — the
+    degree-discounted companion of :func:`link_prediction` (hub neighbors
+    count less). Every per-wedge term quantizes to micro-units
+    (``round(1e6 / ln(deg_z))``, libm ln + half-away — the KM order-free-
+    sum family), so the pair sums are exact int64 and cross-engine exact;
+    common neighbors have degree >= 2 by construction, so ln is never 0.
+    Output: ``u, v, cn, aa_micro``.
+
+    Scale plan: the canonical two-hop wedge join with the SHARED
+    neighbor's degree riding the left side (one extra degree join keyed on
+    z); pair fold carries (count, exact term sum) only."""
+    from kamae_ray.stages.aggregate import distinct, groupby_agg
+    from kamae_ray.stages.join import shuffle_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = pc.cast(A.as_array(batch.column(src)), pa.int64(), safe=False)
+        d = pc.cast(A.as_array(batch.column(dst)), pa.int64(), safe=False)
+        ok = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(d)),
+                     pc.not_equal(s, d))
+        t = pa.table({"s": s, "d": d}).filter(ok)
+        return pa.table({"a": pc.min_element_wise(t.column("s"), t.column("d")),
+                         "b": pc.max_element_wise(t.column("s"), t.column("d"))})
+
+    canon.__name__ = "aa_canon"
+    if isinstance(edges, pa.Table):
+        import ray.data
+
+        edges = ray.data.from_arrow(edges)
+    e = distinct(edges.map_batches(canon, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None),
+                 ["a", "b"]).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = A.as_array(batch.column("a"))
+        b = A.as_array(batch.column("b"))
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "z": pa.concat_arrays([b, a])})
+
+    endpoints.__name__ = "aa_adjacency"
+    und = e.map_batches(endpoints, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+    deg = groupby_agg(und, "node", {"z": ["count"]})
+
+    def deg_z(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = pc.cast(batch.column("z_count"), pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False)
+        term = np.floor(1_000_000.0 / A.libm_log(d.astype(np.float64)) + 0.5) \
+            .astype(np.int64)
+        return pa.table({"z": batch.column("node"),
+                         "aa_term": pa.array(term, pa.int64())})
+
+    deg_z.__name__ = "aa_degree_terms"
+    zterms = deg.map_batches(deg_z, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    undt = shuffle_join(und, zterms, on="z", right_cols=["aa_term"],
+                        how="inner", salt_partitions="auto").materialize()
+
+    def as_left(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column("node"), "z": batch.column("z"),
+                         "aa_term": batch.column("aa_term")})
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        return pa.table({"z": batch.column("z"), "v": batch.column("node")})
+
+    as_left.__name__ = "aa_left"
+    as_right.__name__ = "aa_right"
+    left = undt.map_batches(as_left, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    right = undt.map_batches(as_right, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    wedges = shuffle_join(left, right, on="z", right_cols=["v"],
+                          how="inner", salt_partitions="auto")
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch.column("u"), batch.column("v")))
+        return pa.table({"u": batch.column("u"), "v": batch.column("v"),
+                         "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                         "aa_term": batch.column("aa_term")})
+
+    ordered.__name__ = "aa_pairs"
+    pairs = wedges.map_batches(ordered, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+    agg = groupby_agg(pairs, ["u", "v"], {"one": ["sum"], "aa_term": ["sum"]})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cn = pc.cast(batch.column("one_sum"), pa.int64(), safe=False)
+        batch = batch.append_column("__cn", cn)
+        batch = batch.filter(pc.greater_equal(batch.column("__cn"), min_common))
+        return pa.table({"u": batch.column("u"), "v": batch.column("v"),
+                         "cn": batch.column("__cn"),
+                         "aa_micro": pc.cast(batch.column("aa_term_sum"),
+                                             pa.int64(), safe=False)})
+
+    finish.__name__ = "aa_finish"
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)

@@ -214,3 +214,39 @@ def test_k_core_distributed_matches_driver_and_oracle(ray_session):
     assert got2.cast(want.schema).equals(want)
     with pytest.raises(ValueError):
         k_core(t, 0)
+
+
+def test_adamic_adar_matches_sql_and_discounts_hubs(ray_session):
+    import duckdb
+    import ray
+
+    from kamae_ray.pipelines.graph import adamic_adar
+
+    rng = np.random.default_rng(4)
+    t = pa.table({"src": pa.array(rng.integers(0, 120, 500), pa.int64()),
+                  "dst": pa.array(rng.integers(0, 120, 500), pa.int64())})
+    got = pa.concat_tables(
+        [pa.table(x) for x in adamic_adar(t).iter_batches(batch_format="pyarrow")]
+    ).sort_by([("u", "ascending"), ("v", "ascending")])
+    con = duckdb.connect()
+    con.register("g", t)
+    exp = con.sql("""
+        WITH e AS (SELECT DISTINCT least(src,dst) a, greatest(src,dst) b FROM g
+                   WHERE src <> dst),
+        und AS (SELECT a AS node, b AS z FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT node AS z, count(*)::BIGINT AS d FROM und GROUP BY node),
+        zt AS (SELECT z, CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+               AS term FROM deg),
+        w AS (SELECT l.node AS u, r.node AS v, zt.term FROM und l
+              JOIN und r ON l.z = r.z JOIN zt ON zt.z = l.z WHERE l.node < r.node)
+        SELECT u, v, count(*)::BIGINT AS cn, CAST(SUM(term) AS BIGINT) AS aa_micro
+        FROM w GROUP BY u, v ORDER BY u, v""").arrow()
+    assert got.equals(exp.cast(got.schema))
+    # hub discount: a pair with one low-degree shared neighbor can outscore
+    # one with a single hub neighbor
+    star = pa.table({"src": pa.array([0] * 10 + [100, 101], pa.int64()),
+                     "dst": pa.array(list(range(1, 11)) + [200, 200], pa.int64())})
+    s = pa.concat_tables(
+        [pa.table(x) for x in adamic_adar(star).iter_batches(batch_format="pyarrow")])
+    rows = {(r["u"], r["v"]): r["aa_micro"] for r in s.to_pylist()}
+    assert rows[(100, 101)] > rows[(1, 2)]  # deg(200)=2 beats deg(0)=10

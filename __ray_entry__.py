@@ -8773,8 +8773,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE src <> dst), "
             "und AS (SELECT a AS node, b AS z FROM e UNION ALL SELECT b, a FROM e), "
             "deg AS (SELECT node AS z, count(*)::BIGINT AS d FROM und GROUP BY node), "
-            "zt AS (SELECT z, CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) "
-            "AS term FROM deg), "
+            "zt AS (SELECT z, CASE WHEN d < 2 THEN 0 ELSE CAST(round(1000000.0 / "
+            "ln(CAST(d AS DOUBLE))) AS BIGINT) END AS term FROM deg), "
             "w AS (SELECT l.node AS u, r.node AS v, zt.term FROM und l "
             "JOIN und r ON l.z = r.z JOIN zt ON zt.z = l.z WHERE l.node < r.node) "
             "SELECT u, v, count(*)::BIGINT AS cn, CAST(SUM(term) AS BIGINT) AS aa_micro "

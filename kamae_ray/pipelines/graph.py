@@ -887,8 +887,13 @@ def adamic_adar(edges, src: str = "src", dst: str = "dst",
 
         d = pc.cast(batch.column("z_count"), pa.int64(), safe=False) \
             .to_numpy(zero_copy_only=False)
-        term = np.floor(1_000_000.0 / A.libm_log(d.astype(np.float64)) + 0.5) \
-            .astype(np.int64)
+        # degree-1 nodes can never be a COMMON neighbor (their single wedge
+        # is the filtered self pair) — but guard ln(1)=0 anyway so no inf
+        # term ever exists on either engine
+        safe_d = np.maximum(d, 2).astype(np.float64)
+        term = np.where(d >= 2,
+                        np.floor(1_000_000.0 / A.libm_log(safe_d) + 0.5),
+                        0.0).astype(np.int64)
         return pa.table({"z": batch.column("node"),
                          "aa_term": pa.array(term, pa.int64())})
 

@@ -235,7 +235,8 @@ def test_adamic_adar_matches_sql_and_discounts_hubs(ray_session):
                    WHERE src <> dst),
         und AS (SELECT a AS node, b AS z FROM e UNION ALL SELECT b, a FROM e),
         deg AS (SELECT node AS z, count(*)::BIGINT AS d FROM und GROUP BY node),
-        zt AS (SELECT z, CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+        zt AS (SELECT z, CASE WHEN d < 2 THEN 0 ELSE
+               CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) END
                AS term FROM deg),
         w AS (SELECT l.node AS u, r.node AS v, zt.term FROM und l
               JOIN und r ON l.z = r.z JOIN zt ON zt.z = l.z WHERE l.node < r.node)

@@ -6498,6 +6498,26 @@ def _q_ucb(sf_dir):
     return ucb_scores(keyed, "event_type", "cents")
 
 
+def _q_lorenz(sf_dir):
+    """Lorenz-curve decile points per order priority (Gini's visualization
+    table): exact int64 within-group cumsums after ONE group sort, shares
+    as integer ppm (floor) — tie-invariant because equal values contribute
+    equally at any tie order. Rows never leave their block twice."""
+    from kamae_ray.stages.profile import lorenz_points_by_group
+
+    o = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"g": t.column("o_orderpriority"), "v": cents})
+
+    prep.__name__ = "lorenz_units"
+    keyed = o.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+    return lorenz_points_by_group(keyed, "g", "v", points=10)
+
+
 def _q_theil(sf_dir):
     """Theil T inequality of order totalprice cents per order priority:
     mu is ONE division of exact int sums, each (x/mu)ln(x/mu) term
@@ -8117,6 +8137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ols2": _q_ols2,
         "q_power_means": _q_power_means,
         "q_theil": _q_theil,
+        "q_lorenz": _q_lorenz,
         "q_session_drift": _q_session_drift,
         "q_idle_gaps": _q_idle_gaps,
         "q_ltv": _q_ltv,
@@ -11193,6 +11214,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, prev_seq, seq, "
             "CAST(levenshtein(prev_seq, seq) AS BIGINT) AS dist "
             "FROM p WHERE prev_seq IS NOT NULL"
+        ),
+        "q_lorenz": (
+            "WITH b AS (SELECT o_orderpriority g, CAST(round(o_totalprice * 100) "
+            "AS BIGINT) v FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 0), "
+            "o AS (SELECT g, v, SUM(v) OVER (PARTITION BY g ORDER BY v "
+            "ROWS UNBOUNDED PRECEDING) AS cum, ROW_NUMBER() OVER (PARTITION BY g "
+            "ORDER BY v) AS rn, COUNT(*) OVER (PARTITION BY g) AS n, "
+            "SUM(v) OVER (PARTITION BY g) AS tot FROM b), "
+            "k AS (SELECT g, n, tot, unnest(range(1, 11)) AS k FROM "
+            "(SELECT DISTINCT g, n, tot FROM o)), "
+            "j AS (SELECT g, k, n, tot, (k * n) // 10 AS pos FROM k), "
+            "m AS (SELECT j.g, j.k, j.n AS n_rows, CASE WHEN j.pos = 0 THEN 0 ELSE "
+            "(SELECT cum FROM o WHERE o.g = j.g AND o.rn = j.pos) END AS cv, j.tot "
+            "FROM j) "
+            "SELECT g, CAST(k AS BIGINT) AS k, CAST(n_rows AS BIGINT) AS n_rows, "
+            "CAST(CASE WHEN tot > 0 THEN (1000000 * cv) // tot ELSE 0 END AS BIGINT) AS cum_ppm FROM m"
         ),
         "q_theil": (
             "WITH b AS (SELECT o_orderpriority g, CAST(round(o_totalprice * 100) "

@@ -2185,3 +2185,72 @@ def theil_index_by_group(ds, group_cols, value_col: str):
     agg2 = groupby_agg(tt, group_cols, {"__term": ["sum"], "__n": ["max"]})
     return agg2.map_batches(finish, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=None)
+
+
+def lorenz_points_by_group(ds, group_cols, value_col: str, points: int = 10):
+    """Lorenz-curve sample points per group over non-negative integer
+    values — the Gini index's visualization table: for k = 1..points, the
+    cumulative value share (exact integer ppm, ``1e6 * cum_k // total``)
+    held by the poorest ``floor(k * n / points)`` rows (value-ascending,
+    ties broken by arrival after ONE in-block lexsort — share values are
+    tie-invariant because equal values contribute equally). Output: group
+    cols, ``k, n_rows, cum_ppm``. Null/negative values are dropped (SQL
+    WHERE mirror).
+
+    Scale plan: ONE group sort-shuffle, an in-block cumsum + one gather at
+    the point positions — rows never leave their block twice."""
+    from kamae_ray.stages.window import sorted_block_apply
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def clean(t: pa.Table) -> pa.Table:
+        v = pc.cast(A.as_array(t.column(value_col)), pa.int64(), safe=False)
+        cols = {k: t.column(k) for k in group_cols}
+        cols["__v"] = v
+        vn = v.to_numpy(zero_copy_only=False)
+        ok = (np.asarray(pc.is_valid(v).to_numpy(zero_copy_only=False))
+              & (np.nan_to_num(vn, nan=-1) >= 0)) if v.null_count else (vn >= 0)
+        return pa.table(cols).filter(pa.array(ok))
+
+    clean.__name__ = "lorenz_clean"
+
+    def kern(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            out = {g: block.column(g) for g in group_cols}
+            out.update({"k": pa.array([], pa.int64()),
+                        "n_rows": pa.array([], pa.int64()),
+                        "cum_ppm": pa.array([], pa.int64())})
+            return pa.table(out)
+        gids = S.group_ids(block, group_cols)
+        v = block.column("__v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, gids))
+        gs, vs = gids[order], v[order]
+        starts, lens = S.segments(gs)
+        cs = np.cumsum(vs)
+        base = np.repeat(cs[starts] - vs[starts], lens)
+        cum = cs - base  # inclusive within-group prefix
+        tot = np.repeat(cum[starts + lens - 1], len(starts)) if False else cum[starts + lens - 1]
+        if np.abs(cs).max(initial=0) >= (1 << 53):
+            raise ValueError("lorenz_points_by_group: cumsum exceeds 2^53")
+        ks = np.tile(np.arange(1, points + 1, dtype=np.int64), len(starts))
+        grp = np.repeat(np.arange(len(starts)), points)
+        n_g = lens[grp]
+        pos = (ks * n_g) // points  # rows included at point k
+        # cumulative value at position pos (0 -> 0)
+        idx = starts[grp] + np.maximum(pos - 1, 0)
+        cv = np.where(pos > 0, cum[idx], 0)
+        totg = tot[grp]
+        ppm = np.where(totg > 0, (1_000_000 * cv) // np.maximum(totg, 1), 0)
+        firsts = order[starts]
+        out = {g: A.as_array(block.column(g)).take(pa.array(firsts[grp]))
+               for g in group_cols}
+        out["k"] = pa.array(ks, pa.int64())
+        out["n_rows"] = pa.array(n_g.astype(np.int64), pa.int64())
+        out["cum_ppm"] = pa.array(ppm.astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    if isinstance(ds, pa.Table):
+        return kern(clean(ds))
+    cleaned = ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+    return sorted_block_apply(cleaned, group_cols, kern, "lorenz_points")

@@ -316,3 +316,35 @@ def test_theil_index_by_group_dataset_and_reference(ray_session):
          .iter_batches(batch_format="pyarrow")]
     ).sort_by("g")
     assert got.cast(want.schema).equals(want)
+
+
+def test_lorenz_points_by_group_properties_and_dataset(ray_session):
+    import ray
+
+    from kamae_ray.stages.profile import lorenz_points_by_group
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    g = rng.integers(0, 4, n)
+    v = rng.integers(0, 10_000, n)
+    t = pa.table({"g": pa.array(g, pa.int64()), "v": pa.array(v, pa.int64())})
+    want = lorenz_points_by_group(t, "g", "v").sort_by(
+        [("g", "ascending"), ("k", "ascending")])
+    rows = want.to_pylist()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["cum_ppm"])
+    for gg, curve in by_g.items():
+        assert len(curve) == 10
+        assert curve == sorted(curve)           # monotone
+        assert curve[-1] == 1_000_000           # full share at k=10
+        sel = np.sort(v[g == gg]).astype(np.int64)
+        k5 = (5 * len(sel)) // 10
+        expect5 = (1_000_000 * int(sel[:k5].sum())) // int(sel.sum())
+        assert curve[4] == expect5              # exact decile share
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = pa.concat_tables(
+        [pa.table(x) for x in lorenz_points_by_group(ds, "g", "v")
+         .iter_batches(batch_format="pyarrow")]
+    ).sort_by([("g", "ascending"), ("k", "ascending")])
+    assert got.cast(want.schema).equals(want)

@@ -6767,6 +6767,68 @@ def _q_change_point(sf_dir):
     return change_point_by_entity(keyed, "user_id", "ts_us", "event_id", "cents")
 
 
+def _q_regularity(sf_dir):
+    """Event-cadence regularity per user: coefficient of variation of
+    inter-arrival gaps (Lag -> exact int64 gap power sums -> std/mean, the
+    skew-family sqrt/div chain — integer-derived doubles, bit-identical).
+    CV < 1 = regular cadence, > 1 = bursty. Two exchanges."""
+    import numpy as np
+
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages import LagTransformer
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts_us": pc.cast(t.column("ts"), pa.int64())})
+
+    to_us.__name__ = "regularity_us"
+    evu = ev.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    # lag of the sort key itself: the per-user GAP MULTISET is invariant
+    # to tie order (successive diffs of a sorted multiset), so the power
+    # sums match the oracle's (ts, event_id)-ordered LAG exactly
+    lag = LagTransformer(input_col="ts_us", entity_cols=["user_id"],
+                         time_col="ts_us", output_col="prev_us")
+    out = lag.transform(evu)
+
+    def gaps(t: pa.Table) -> pa.Table:
+        prev = t.column("prev_us")
+        t = t.filter(pc.is_valid(prev))
+        g = pc.subtract(pc.cast(t.column("ts_us"), pa.int64()),
+                        pc.cast(t.column("prev_us"), pa.int64(), safe=False))
+        gs = pc.divide(g, pa.scalar(1_000_000, pa.int64()))  # whole seconds
+        gn = pc.cast(gs, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t.column("user_id"),
+                         "g": pa.array(gn, pa.int64()),
+                         "g2": pa.array(gn * gn, pa.int64()),
+                         "one": pa.array(np.ones(len(gn), np.int64))})
+
+    gaps.__name__ = "regularity_gaps"
+    keyed = out.map_batches(gaps, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
+    agg = groupby_agg(keyed, "user_id", {"g": ["sum"], "g2": ["sum"],
+                                         "one": ["sum"]})
+    if not isinstance(agg, pa.Table):
+        parts = [t for t in collect_tables(agg) if t.num_rows > 0]
+        agg = pa.concat_tables(parts).combine_chunks()
+    agg = agg.sort_by("user_id")
+    n = agg.column("one_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = agg.column("g_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    s2 = agg.column("g2_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = (n >= 2) & (s > 0)
+    n, s, s2 = n[keep], s[keep], s2[keep]
+    uid = agg.column("user_id").filter(pa.array(keep))
+    # population variance * n^2 = n*s2 - s^2 (exact int); cv = sqrt(var)/mean
+    var_num = (n * s2 - s * s).astype(np.float64)
+    cv = np.sqrt(var_num / (n.astype(np.float64) * n)) / (s.astype(np.float64) / n)
+    return pa.table({"user_id": uid,
+                     "n_gaps": pa.array(n, pa.int64()),
+                     "cv": pa.array(cv, pa.float64())})
+
+
 def _q_session_stats(sf_dir):
     """Session analytics chain: sessionize-by-gap (1h) -> per-session
     aggregates (events, exact cents sum, start/end, integer duration) — the
@@ -8140,6 +8202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lorenz": _q_lorenz,
         "q_session_drift": _q_session_drift,
         "q_idle_gaps": _q_idle_gaps,
+        "q_regularity": _q_regularity,
         "q_ltv": _q_ltv,
         "q_change_point": _q_change_point,
         "q_checksum": _q_checksum,
@@ -11293,6 +11356,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.cohort, w.age, w.spend, w.cum_spend, s.n_users, "
             "(1000000 * w.cum_spend) // s.n_users AS ltv_micro "
             "FROM w JOIN s USING (cohort)"
+        ),
+        "q_regularity": (
+            "WITH l AS (SELECT user_id, epoch_us(ts) AS t, lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "g AS (SELECT user_id, (t - prev) // 1000000 AS gp FROM l "
+            "WHERE prev IS NOT NULL), "
+            "a AS (SELECT user_id, count(*)::BIGINT AS n, CAST(SUM(gp) AS BIGINT) AS s, "
+            "CAST(SUM(gp * gp) AS BIGINT) AS s2 FROM g GROUP BY user_id) "
+            "SELECT user_id, n AS n_gaps, sqrt(CAST(n * s2 - s * s AS DOUBLE) / "
+            "(CAST(n AS DOUBLE) * n)) / (CAST(s AS DOUBLE) / n) AS cv "
+            "FROM a WHERE n >= 2 AND s > 0"
         ),
         "q_idle_gaps": (
             "WITH s AS (SELECT user_id, ts, CAST(coalesce(sum(CASE WHEN gap_us > "

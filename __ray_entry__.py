@@ -6829,6 +6829,64 @@ def _q_regularity(sf_dir):
                      "cv": pa.array(cv, pa.float64())})
 
 
+def _q_utilization(sf_dir):
+    """Activity utilization per user: total session seconds over the
+    observation span (sessionize -> per-session durations -> per-user
+    busy/span exact int sums, ratio in exact integer ppm). The activity-
+    density feature; two exchanges."""
+    import numpy as np
+
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages import SessionizeTransformer
+    from kamae_ray.stages.aggregate import groupby_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    sess = SessionizeTransformer(entity_cols=["user_id"], time_col="ts",
+                                 gap=3_600_000_000, output_col="session_id"
+                                 ).transform(ev)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "session_id": t.column("session_id"),
+                         "ts_us": pc.cast(t.column("ts"), pa.int64())})
+
+    prep.__name__ = "util_prep"
+    keyed = sess.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+    per_sess = groupby_agg(keyed, ["user_id", "session_id"],
+                           {"ts_us": ["min", "max"]})
+
+    def durs(t: pa.Table) -> pa.Table:
+        lo = pc.cast(t.column("ts_us_min"), pa.int64(), safe=False)             .to_numpy(zero_copy_only=False)
+        hi = pc.cast(t.column("ts_us_max"), pa.int64(), safe=False)             .to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": pc.cast(t.column("user_id"), pa.int64(),
+                                            safe=False),
+                         "busy": pa.array(hi - lo, pa.int64()),
+                         "lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64())})
+
+    durs.__name__ = "util_durs"
+    d = per_sess.map_batches(durs, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+    agg = groupby_agg(d, "user_id", {"busy": ["sum"], "lo": ["min"],
+                                     "hi": ["max"]})
+    if not isinstance(agg, pa.Table):
+        parts = [t for t in collect_tables(agg) if t.num_rows > 0]
+        agg = pa.concat_tables(parts).combine_chunks()
+    agg = agg.sort_by("user_id")
+    busy = agg.column("busy_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = agg.column("lo_min").to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = agg.column("hi_max").to_numpy(zero_copy_only=False).astype(np.int64)
+    span = hi - lo
+    keep = span > 0
+    uid = agg.column("user_id").filter(pa.array(keep))
+    ppm = (1_000_000 * busy[keep]) // span[keep]
+    return pa.table({"user_id": pc.cast(uid, pa.int64(), safe=False),
+                     "busy_s": pa.array(busy[keep] // 1_000_000, pa.int64()),
+                     "span_s": pa.array(span[keep] // 1_000_000, pa.int64()),
+                     "util_ppm": pa.array(ppm, pa.int64())})
+
+
 def _q_session_stats(sf_dir):
     """Session analytics chain: sessionize-by-gap (1h) -> per-session
     aggregates (events, exact cents sum, start/end, integer duration) — the
@@ -8203,6 +8261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_drift": _q_session_drift,
         "q_idle_gaps": _q_idle_gaps,
         "q_regularity": _q_regularity,
+        "q_utilization": _q_utilization,
         "q_ltv": _q_ltv,
         "q_change_point": _q_change_point,
         "q_checksum": _q_checksum,
@@ -11356,6 +11415,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.cohort, w.age, w.spend, w.cum_spend, s.n_users, "
             "(1000000 * w.cum_spend) // s.n_users AS ltv_micro "
             "FROM w JOIN s USING (cohort)"
+        ),
+        "q_utilization": (
+            "WITH s AS (SELECT user_id, ts, CAST(coalesce(sum(CASE WHEN gap_us > "
+            "3600000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id), 0) AS BIGINT) AS session_id FROM (SELECT event_id, user_id, ts, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id) AS gap_us FROM events)), "
+            "g AS (SELECT user_id, session_id, max(epoch_us(ts)) - min(epoch_us(ts)) "
+            "AS busy, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi "
+            "FROM s GROUP BY user_id, session_id), "
+            "a AS (SELECT user_id, CAST(SUM(busy) AS BIGINT) AS busy, "
+            "CAST(min(lo) AS BIGINT) AS lo, CAST(max(hi) AS BIGINT) AS hi "
+            "FROM g GROUP BY user_id) "
+            "SELECT user_id, CAST(busy // 1000000 AS BIGINT) AS busy_s, "
+            "CAST((hi - lo) // 1000000 AS BIGINT) AS span_s, "
+            "CAST((1000000 * busy) // (hi - lo) AS BIGINT) AS util_ppm "
+            "FROM a WHERE hi - lo > 0"
         ),
         "q_regularity": (
             "WITH l AS (SELECT user_id, epoch_us(ts) AS t, lag(epoch_us(ts)) OVER "

@@ -6558,6 +6558,107 @@ def _q_power_means(sf_dir):
     return grouped_power_means(keyed, "l_returnflag", "v")
 
 
+def _q_price_index(sf_dir):
+    """Laspeyres price index per returnflag: base period = ship dates
+    before the midpoint, current = after; per-part period prices are
+    floor-div cents averages (exact ints, documented quantization), and
+    the index is ONE division of two exact int64 basket sums
+    ``sum(p_cur * q_base) / sum(p_base * q_base)`` over parts present in
+    both periods. The pricing/inflation readout; two partial-agg exchanges
+    + one part-keyed join."""
+    import numpy as np
+
+    from kamae_ray.base import collect_tables
+    from kamae_ray.stages.aggregate import groupby_agg
+    from kamae_ray.stages.join import shuffle_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_partkey", "l_quantity", "l_extendedprice",
+                "l_shipdate"])
+    lo = int(pa.scalar(_read(sf_dir, "lineitem", ["l_shipdate"]).min("l_shipdate"),
+                       pa.timestamp("us")).cast(pa.int64()).as_py())
+    hi = int(pa.scalar(_read(sf_dir, "lineitem", ["l_shipdate"]).max("l_shipdate"),
+                       pa.timestamp("us")).cast(pa.int64()).as_py())
+    cut = (lo + hi) // 2
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("l_shipdate"), pa.timestamp("us")),
+                     pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        qty = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("l_quantity"), pa.float64(), safe=False), 1.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        per = pc.cast(pc.greater_equal(us, cut), pa.int64(), safe=False)
+        return pa.table({"flag": t.column("l_returnflag"),
+                         "part": t.column("l_partkey"), "per": per,
+                         "cents": cents, "qty": qty})
+
+    prep.__name__ = "pidx_prep"
+    keyed = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+    agg = groupby_agg(keyed, ["flag", "part", "per"],
+                      {"cents": ["sum"], "qty": ["sum"]})
+
+    def price(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("cents_sum"), pa.int64(), safe=False)             .to_numpy(zero_copy_only=False)
+        q = pc.cast(t.column("qty_sum"), pa.int64(), safe=False)             .to_numpy(zero_copy_only=False)
+        keep = q > 0
+        sub = pa.table({"flag": t.column("flag"), "part": t.column("part"),
+                        "per": t.column("per"),
+                        "price": pa.array(np.where(keep, c // np.maximum(q, 1), 0),
+                                          pa.int64()),
+                        "qty": pa.array(q, pa.int64())}).filter(pa.array(keep))
+        return sub
+
+    price.__name__ = "pidx_price"
+    per_part = agg.map_batches(price, batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None).materialize()
+
+    def side(p, names):
+        def f(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.equal(t.column("per"), p))
+            return pa.table({"flag": sub.column("flag"), "part": sub.column("part"),
+                             names[0]: sub.column("price"),
+                             names[1]: sub.column("qty")})
+        f.__name__ = f"pidx_side{p}"
+        return f
+
+    base = per_part.map_batches(side(0, ["p0", "q0"]), batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    cur = per_part.map_batches(side(1, ["p1", "q1"]), batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+    both = shuffle_join(base, cur, on=["flag", "part"],
+                        right_cols=["p1"], how="inner")
+
+    def terms(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        p0 = t.column("p0").to_numpy(zero_copy_only=False)
+        p1 = t.column("p1").to_numpy(zero_copy_only=False)
+        q0 = t.column("q0").to_numpy(zero_copy_only=False)
+        return pa.table({"flag": t.column("flag"),
+                         "num": pa.array(p1 * q0, pa.int64()),
+                         "den": pa.array(p0 * q0, pa.int64())})
+
+    terms.__name__ = "pidx_terms"
+    tt = both.map_batches(terms, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+    fin = groupby_agg(tt, "flag", {"num": ["sum"], "den": ["sum"]})
+    if not isinstance(fin, pa.Table):
+        parts = [t for t in collect_tables(fin) if t.num_rows > 0]
+        fin = pa.concat_tables(parts).combine_chunks()
+    fin = fin.sort_by("flag")
+    num = fin.column("num_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    den = fin.column("den_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = den > 0
+    return pa.table({"flag": fin.column("flag").filter(pa.array(keep)),
+                     "num": pa.array(num[keep], pa.int64()),
+                     "den": pa.array(den[keep], pa.int64()),
+                     "laspeyres": pa.array(num[keep].astype(np.float64)
+                                           / den[keep], pa.float64())})
+
+
 def _q_ols2(sf_dir):
     """Per-group two-feature OLS (y=extendedprice cents ~ quantity +
     discount%) by Cramer's rule over EXACT int64 moment sums (nine sums,
@@ -8256,6 +8357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ucb": _q_ucb,
         "q_ols2": _q_ols2,
         "q_power_means": _q_power_means,
+        "q_price_index": _q_price_index,
         "q_theil": _q_theil,
         "q_lorenz": _q_lorenz,
         "q_session_drift": _q_session_drift,
@@ -11362,6 +11464,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM b JOIN m USING (g)), "
             "f AS (SELECT g, max(n) n, CAST(SUM(term) AS BIGINT) st FROM t2 GROUP BY g) "
             "SELECT g, n, (CAST(st AS DOUBLE) / 1000000.0) / n AS theil FROM f"
+        ),
+        "q_price_index": (
+            "WITH c AS (SELECT (min(epoch_us(CAST(l_shipdate AS TIMESTAMP))) + "
+            "max(epoch_us(CAST(l_shipdate AS TIMESTAMP)))) // 2 AS cut FROM lineitem), "
+            "b AS (SELECT l_returnflag AS flag, l_partkey AS part, "
+            "CASE WHEN epoch_us(CAST(l_shipdate AS TIMESTAMP)) >= (SELECT cut FROM c) "
+            "THEN 1 ELSE 0 END AS per, CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "AS cents, CAST(round(CAST(l_quantity AS DOUBLE) * 1.0) AS BIGINT) AS qty "
+            "FROM lineitem), "
+            "g AS (SELECT flag, part, per, CAST(SUM(cents) AS BIGINT) AS c2, "
+            "CAST(SUM(qty) AS BIGINT) AS q2 FROM b GROUP BY flag, part, per), "
+            "p AS (SELECT flag, part, per, c2 // q2 AS price, q2 AS qty FROM g "
+            "WHERE q2 > 0), "
+            "j AS (SELECT b0.flag, b0.part, b0.price AS p0, b0.qty AS q0, "
+            "b1.price AS p1 FROM p b0 JOIN p b1 ON b0.flag = b1.flag AND "
+            "b0.part = b1.part AND b0.per = 0 AND b1.per = 1), "
+            "f AS (SELECT flag, CAST(SUM(p1 * q0) AS BIGINT) AS num, "
+            "CAST(SUM(p0 * q0) AS BIGINT) AS den FROM j GROUP BY flag) "
+            "SELECT flag, num, den, CAST(num AS DOUBLE) / den AS laspeyres "
+            "FROM f WHERE den > 0"
         ),
         "q_power_means": (
             "WITH b AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) v "

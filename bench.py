@@ -270,6 +270,7 @@ _BENCH_QUERIES = [
     "q_lorenz",  # Lorenz-curve decile points, exact integer ppm shares
     "q_regularity",  # inter-arrival cadence CV per user
     "q_utilization",  # session busy fraction per user, exact ppm
+    "q_price_index",  # Laspeyres price index, exact basket sums
     "q_replace_col",  # column-pattern regex replace, distinct-once RE2 dispatch
     "q_chunk",  # RAG chunking fan-out (vectorized per-ordinal utf8 slices)
     "q_windows",  # LLM context windows (offsets-arithmetic 2-D gather)
